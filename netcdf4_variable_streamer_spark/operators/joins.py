@@ -1,0 +1,260 @@
+"""B-2 join operators (SURVEY.md §2 Table B).
+
+The reference has no joins (SURVEY.md §2 Table A "explicitly absent");
+the engine supplies every join kind via Catalyst's planner. 100 TB
+posture: dimension tables (region/nation/supplier at star scale) are
+explicitly `broadcast()`-hinted so the big fact tables never shuffle for
+them; fact⋈fact equi-joins shuffle on their keys with AQE skew handling;
+the one theta join keeps its non-equi side provably tiny (a literal band
+table) so BroadcastNestedLoop stays cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register, ts_str
+from netcdf4_variable_streamer_spark.tables import load_table
+
+
+@register(
+    "q_join_inner_hash",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       ROUND(o.o_totalprice, 2) AS o_totalprice
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+    doc="Equi inner join; planner picks shuffled-hash/sort-merge, AQE may "
+        "demote to broadcast at runtime.",
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey, "inner")
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       COALESCE(o.o_orderstatus, 'NO_ORDER') AS status
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+""",
+    doc="Left outer join with a null-probing projection.",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select(
+        "c_custkey",
+        "o_orderkey",
+        F.coalesce(o.o_orderstatus, F.lit("NO_ORDER")).alias("status"),
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+SELECT s.s_suppkey, c.c_custkey,
+       COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey
+FROM (SELECT * FROM supplier WHERE s_nationkey < 5) s
+FULL OUTER JOIN (SELECT * FROM customer WHERE c_nationkey >= 3 AND c_nationkey < 8) c
+  ON s.s_nationkey = c.c_nationkey
+""",
+    doc="Full outer join with partially overlapping key domains so all "
+        "three null patterns appear.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    c = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") >= 3) & (F.col("c_nationkey") < 8)
+    )
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").select(
+        "s_suppkey",
+        "c_custkey",
+        F.coalesce(s.s_nationkey, c.c_nationkey).alias("nationkey"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
+    doc="Left semi join (EXISTS): orders having a high-quantity lineitem.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left anti join (NOT EXISTS): customers with no orders.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_broadcast_star",
+    oracle=f"""
+SELECT n_name, {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: 5-way star join; nation/region broadcast so the "
+        "fact-side never shuffles for the dimensions.",
+)
+def q_join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            c.c_custkey == o.o_custkey,
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle=f"""
+SELECT b.band_id, COUNT(*) AS n_orders, {SQL_DSUM('o.o_totalprice')} AS band_total
+FROM orders o
+JOIN (VALUES (0, 0.0, 100000.0), (1, 100000.0, 250000.0),
+             (2, 250000.0, 400000.0), (3, 400000.0, 1e12)) b(band_id, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+""",
+    doc="Non-equi band join: tiny literal band table → BroadcastNestedLoop "
+        "(the only safe plan shape for theta joins at scale).",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 100000.0), (1, 100000.0, 250000.0),
+         (2, 250000.0, 400000.0), (3, 400000.0, 1e12)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("band_total"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       STRFTIME(p.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       STRFTIME(MAX(v.ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+    doc="As-of join: each purchase matched to the user's latest strictly "
+        "earlier view. Spark lacks native ASOF → equi-join on user + "
+        "max() pick-latest (equivalently window row_number=1).",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    return (
+        p.join(v, (p.user_id == v.v_user) & (v.v_ts < p.p_ts))
+        .groupBy("purchase_id", "user_id", "p_ts")
+        .agg(F.max("v_ts").alias("max_v_ts"))
+        .select(
+            "purchase_id",
+            "user_id",
+            ts_str("p_ts").alias("purchase_ts"),
+            ts_str("max_v_ts").alias("last_view_ts"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+SELECT n_name, r_name FROM nation CROSS JOIN region
+""",
+    doc="Cartesian product (125 rows — the only safe cross join is a "
+        "provably tiny one).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")

@@ -1,0 +1,173 @@
+"""B-5 sort/limit/top-k and B-6 set operators (SURVEY.md §2 Table B).
+
+Absent from the reference (physical array order is its only "sort");
+supplied here via Spark's TakeOrderedAndProject (global top-k without a
+total sort — each partition keeps k, the driver merges k·P rows) and the
+set-operator planner rules. Every ORDER BY carries a total deterministic
+key (SURVEY §7.5 hygiene) so LIMIT results are cross-engine stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register, ts_str
+from netcdf4_variable_streamer_spark.tables import load_table
+
+
+@register(
+    "q_sort_multikey_nulls",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NULLIF(o_orderstatus, 'O') AS status_or_null,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY status_or_null ASC NULLS LAST, o_orderpriority DESC,
+         o_totalprice ASC, o_orderkey ASC
+LIMIT 100
+""",
+    doc="Multi-key sort with NULLS LAST + deterministic limit.",
+)
+def q_sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy(
+            F.asc_nulls_last("status_or_null"),
+            F.desc("o_orderpriority"),
+            F.asc("o_totalprice"),
+            F.asc("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_topk_global",
+    oracle=f"""
+SELECT l_orderkey,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: join+agg then global top-10 "
+        "(TakeOrderedAndProject — no full sort at scale).",
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o.filter(F.col("o_orderdate") < cutoff), c.c_custkey == o.o_custkey)
+        .join(
+            li.filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_str("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+""",
+    doc="Bag union (duplicates preserved).",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="Set union (distinct).",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+""",
+    doc="Set intersection: customers that placed orders.",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c.intersect(o)
+
+
+@register(
+    "q_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+    doc="Set difference: customers with no orders (distinct semantics).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c.subtract(o)
