@@ -3,5 +3,9 @@
 from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     aggregates,
     joins,
+    projection,
+    scalar_functions,
     setops,
+    udfs,
+    windows,
 )
