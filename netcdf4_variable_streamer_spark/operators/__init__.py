@@ -2,10 +2,14 @@
 
 from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     projection,
     scalar_functions,
     setops,
+    similarity,
+    text,
     udfs,
     windows,
 )

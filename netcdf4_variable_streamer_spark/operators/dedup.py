@@ -1,0 +1,254 @@
+"""B-10 deduplication operators (north star: LLM-data-pipeline dedup).
+
+Four strategies over `documents`, all shuffle-disciplined for 100 TB:
+
+- exact:       one hash-shuffle on the full text (or its md5 at scale);
+- n-gram Jaccard: exact all-pairs on a bounded subset (quadratic — the
+  honest baseline the LSH variants approximate);
+- MinHash+LSH: shingle → 32-perm MinHash → 8×4 banding → bucket join →
+  exact-Jaccard verify of candidates only. The candidate join is on
+  (band, signature) — cardinality ∝ near-duplicates, not |corpus|²;
+- SimHash:     64-bit sign fingerprint, 16-bit chunk bucketing (pigeonhole:
+  hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), bit_count verify.
+
+All arithmetic is integer/hash-based → fully deterministic; MinHash/
+SimHash use Spark's xxhash64, which has no cross-engine twin in DuckDB →
+those two are rows-only checks (SURVEY §2 Table B note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def _shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a space-tokenized text."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MD5(text) AS text_md5
+FROM documents
+GROUP BY text
+""",
+    doc="Exact dedup: keep min doc_id per identical text. At 100 TB the "
+        "shuffle key is md5(text) (16 bytes), not the text itself.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_md5", F.md5("text"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", "text_md5")
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           generate_series(1, LEN(STRING_SPLIT(text,' ')) - 2),
+           i -> STRING_SPLIT(text,' ')[i] || ' ' ||
+                STRING_SPLIT(text,' ')[i+1] || ' ' ||
+                STRING_SPLIT(text,' ')[i+2])) AS ss
+  FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       ROUND(CAST(LEN(LIST_INTERSECT(a.ss, b.ss)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(a.ss, b.ss))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.ss, b.ss)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.ss, b.ss))) >= 0.2
+""",
+    doc="Exact all-pairs word-3-gram Jaccard on a bounded subset — the "
+        "ground-truth kernel the LSH pipeline approximates.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", _shingles(F.col("text")).alias("ss"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+    union = F.size(F.array_union(F.col("a.ss"), F.col("b.ss")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_near_minhash",
+    oracle=None,  # xxhash64 has no DuckDB twin → rows-only (deterministic)
+    doc="MinHash+LSH near-dup pipeline: 3-gram shingles → 32-perm MinHash "
+        "(xxhash64 salted per perm) → 8 bands × 4 rows → bucket join for "
+        "candidates → exact Jaccard ≥ 0.6 verify on candidates only.",
+)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("ss")
+    )
+    d = d.filter(F.size("ss") > 0)
+    ex = d.select("doc_id", F.explode("ss").alias("sh"))
+
+    # 32 salted-hash min-aggregations in one shuffle on doc_id
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh{p}")
+            for p in range(NUM_PERM)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+
+    # exact-Jaccard verification of candidates only
+    sizes = d.select("doc_id", F.size("ss").alias("n_sh"))
+    sh = d.select("doc_id", F.explode("ss").alias("sh"))
+    inter = (
+        cands.join(sh.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("d2") == F.col("s2.doc_id"))
+            & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("z1"), F.col("d1") == F.col("z1.doc_id"))
+        .join(sizes.alias("z2"), F.col("d2") == F.col("z2.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("z1.n_sh") + F.col("z2.n_sh") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint → rows-only (deterministic)
+    doc="SimHash near-dup: 64-bit sign fingerprint of token hashes; "
+        "16-bit-chunk bucketing (hamming ≤ 3 ⇒ some chunk equal) then "
+        "bit_count(xor) verify.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
+        )
+    fp = bit_sums.select("doc_id", sim.alias("simhash"))
+
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+
+    x, y = chunks.alias("x"), chunks.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)

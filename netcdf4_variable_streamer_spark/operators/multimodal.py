@@ -1,0 +1,148 @@
+"""B-10 multimodal-column operators (north star: image/audio/video rows).
+
+The engine's multimodal model: an opaque `binary` payload column + a
+typed metadata struct, processed by Arrow-batched pandas UDFs over
+`mapInPandas`. The real decode step (JPEG/WAV/frame-sampling) needs
+codec libraries absent from this environment, so `functions.multimodal`
+stubs it behind NotImplementedError; the *plumbing* — binary columns,
+schema, batch shape, partitioning — is real and oracle-checked here
+using a deterministic byte-level feature extractor instead of a codec.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+
+@register(
+    "q_multimodal_bundle",
+    oracle="""
+WITH nrm AS (
+  SELECT vec_id,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)))
+           AS emb_norm
+  FROM embeddings
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       e.label, ROUND(n.emb_norm, 4) AS emb_norm
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+JOIN nrm n ON n.vec_id = e.vec_id
+WHERE d.lang IN ('en', 'de') AND e.label < 5
+""",
+    doc="Multimodal row bundle: text + metadata + embedding joined into "
+        "one struct, filtered through nested access, projected flat for "
+        "hashing.",
+)
+def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    bundled = (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn(
+            "bundle",
+            F.struct(
+                F.struct("doc_id", "lang", "source", "n_chars").alias("meta"),
+                F.col("text").alias("content"),
+                F.struct("embedding", "label").alias("vector"),
+            ),
+        )
+        .withColumn("emb_norm", F.sqrt(dot))
+    )
+    return bundled.filter(
+        F.col("bundle.meta.lang").isin("en", "de")
+        & (F.col("bundle.vector.label") < 5)
+    ).select(
+        F.col("bundle.meta.doc_id").alias("doc_id"),
+        F.col("bundle.meta.lang").alias("lang"),
+        F.col("bundle.meta.source").alias("source"),
+        F.col("bundle.meta.n_chars").alias("n_chars"),
+        F.col("bundle.vector.label").alias("label"),
+        F.round("emb_norm", 4).alias("emb_norm"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS payload_len,
+       MD5(text) AS payload_md5,
+       ROUND(LIST_SUM(LIST_TRANSFORM(
+               generate_series(1, LEAST(LENGTH(text), 16)),
+               i -> CAST(ORD(SUBSTR(text, i, 1)) AS DOUBLE)))
+             / LEAST(LENGTH(text), 16), 4) AS header_mean_byte
+FROM documents
+""",
+    doc="Binary-column plumbing: text encoded to an opaque binary payload, "
+        "features extracted by an Arrow-batched pandas UDF over "
+        "mapInPandas (the slot where a real image/audio decoder plugs "
+        "in; see functions.multimodal for the gated codec stubs).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_len": [len(b) for b in payloads],
+                    "payload_md5": [
+                        hashlib.md5(b).hexdigest() for b in payloads
+                    ],
+                    "header_mean_byte": [
+                        round(sum(b[:16]) / float(len(b[:16])), 4)
+                        for b in payloads
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        extract,
+        "doc_id long, payload_len long, payload_md5 string, "
+        "header_mean_byte double",
+    )
+
+
+@register(
+    "q_pivot_lang_source",
+    oracle="""
+SELECT source,
+       COUNT(*) FILTER (WHERE lang = 'en') AS en,
+       COUNT(*) FILTER (WHERE lang = 'de') AS de,
+       COUNT(*) FILTER (WHERE lang = 'es') AS es,
+       COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+       COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+FROM documents
+GROUP BY source
+""",
+    doc="Wide matrix: document counts by source × language via pivot "
+        "(explicit value list keeps the schema static at any scale).",
+)
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["en", "de", "es", "fr", "zh"]
+    p = d.groupBy("source").pivot("lang", langs).count()
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in langs],
+    )

@@ -1,0 +1,256 @@
+"""B-10 similarity-search operators (north star: embedding ANN).
+
+Three paths over `embeddings` (64-dim float vectors):
+
+- `q_sim_knn_cosine`  — declarative brute force: broadcast the (provably
+  small) query set, JVM-side zip_with/aggregate dot products, windowed
+  top-k. Sequential fold ⇒ bit-identical to the oracle's list_sum.
+- `q_sim_knn_blocked` — the 100 TB scale path: same semantics, but the
+  dot products run as blockwise NumPy matmul inside `mapInArrow` (one
+  BLAS call per Arrow batch instead of per-row expression trees). Same
+  oracle SQL as the declarative path — both must hash-match it.
+- `q_sim_lsh_ann`     — sign-random-projection LSH bucketing: candidates
+  only form inside matching 8-bit buckets, then exact rerank. Recall < 1
+  by design → rows-only check.
+- `q_sim_threshold_pairs` — all-pairs cosine ≥ τ (exact, quadratic; the
+  honest baseline the LSH path approximates).
+
+Ranking ties: rank by (round(cos,4) DESC, vec_id) — rounding first makes
+the order immune to 1-ulp cross-engine drift, vec_id makes it total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+N_QUERIES = 20
+TOP_K = 5
+TAU = 0.35
+
+# sequential-fold dot product: bit-identical to DuckDB's list_sum fold
+_DOT_SQL = (
+    "LIST_SUM(LIST_TRANSFORM(generate_series(1, LEN({a}.embedding)), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)))"
+)
+
+_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings
+),
+p AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         ROUND({_DOT_SQL.format(a='q', b='e')} / (q.nrm * e.nrm), 4) AS cos_sim
+  FROM v q JOIN v e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM p) t
+WHERE rn <= {TOP_K}
+"""
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+def _topk(pairs: DataFrame) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "q_sim_knn_cosine",
+    oracle=_KNN_ORACLE,
+    doc="Brute-force cosine k-NN (k=5, 20 queries): broadcast queries, "
+        "JVM dot products, windowed top-k.",
+)
+def q_sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
+            ),
+        )
+        .select("q_id", "vec_id", "cos_sim")
+    )
+    return _topk(pairs)
+
+
+@register(
+    "q_sim_knn_blocked",
+    oracle=_KNN_ORACLE,
+    doc="Scale-path k-NN: blockwise NumPy matmul in mapInArrow (one BLAS "
+        "GEMM per Arrow batch); must hash-match the same oracle as the "
+        "declarative path. The only driver-side collect is the 20-row "
+        "query block (provably small broadcast).",
+)
+def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def block_cos(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            ids = np.asarray(d["vec_id"], dtype=np.int64)
+            X = np.asarray(d["embedding"], dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = Xn @ Qn.T  # (rows, n_queries) — one GEMM per batch
+            n_rows, n_q = cos.shape
+            mask = ids[:, None] != q_ids[None, :]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "q_id": np.broadcast_to(q_ids, (n_rows, n_q))[mask],
+                    "vec_id": np.broadcast_to(ids[:, None], (n_rows, n_q))[mask],
+                    "cos_sim": np.round(cos, 4)[mask],
+                }
+            )
+
+    pairs = e.mapInArrow(block_cos, "q_id long, vec_id long, cos_sim double")
+    return _topk(pairs)
+
+
+@register(
+    "q_sim_threshold_pairs",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND({_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm), 4) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {TAU}
+""",
+    doc=f"All-pairs cosine ≥ {TAU} (exact quadratic baseline; embedding "
+        "near-dup detection).",
+)
+def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .filter(cos >= TAU)
+        .select("v1", "v2", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "q_sim_lsh_ann",
+    oracle=None,  # approximate by design (recall < 1) → rows-only
+    doc="Sign-random-projection LSH ANN, multi-table: 4 hash tables × 6 "
+        "fixed hyperplanes (seed 42) → per-table 6-bit bucket → union of "
+        "bucket-mates as candidates → exact cosine rerank, top-5 per "
+        "query. The (table, bucket) equi-join replaces the quadratic "
+        "cross join at scale; more tables buy recall linearly in cost.",
+)
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    n_tables, n_bits = 4, 6
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((n_tables, n_bits, 64))
+
+    def bucketize(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            X = np.asarray(d["embedding"], dtype=np.float64)
+            ids = np.asarray(d["vec_id"], dtype=np.int64)
+            out_ids, out_tbl, out_bkt = [], [], []
+            for t in range(n_tables):
+                bits = (X @ planes[t].T) > 0
+                bucket = (bits * (1 << np.arange(n_bits))).sum(axis=1)
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), t, dtype=np.int64))
+                out_bkt.append(bucket.astype(np.int64))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "tbl": np.concatenate(out_tbl),
+                    "bucket": np.concatenate(out_bkt),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = e.mapInArrow(bucketize, "vec_id long, tbl long, bucket long")
+    eb = _with_norm(e)
+    q_buckets = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket"
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(q_buckets),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        cand.join(eb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
+            ),
+        )
+        .select("q_id", "vec_id", "cos_sim")
+    )
+    return _topk(pairs)

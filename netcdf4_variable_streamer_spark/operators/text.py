@@ -1,0 +1,322 @@
+"""B-10 text-analysis operators (north star: LLM-data-pipeline text prep).
+
+Corpus statistics, tf-idf, heuristic language ID, quality scoring, token
+counting and document fingerprinting over `documents`. Everything is
+built from explode/groupBy/window built-ins (one shuffle per agg, no
+Python), and every constant the heuristics need (stopword lists, top
+terms per language) is *derived from the corpus itself* inside the query
+— no out-of-band state, so the same SQL is expressible in the oracle.
+
+Fingerprints use md5 (identical across Spark/DuckDB), not xxhash64,
+precisely so the oracle can hash-match them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT tok) AS vocab,
+       (COUNT(*) * 10000 // COUNT(DISTINCT doc_id)) / 10000.0
+         AS tokens_per_doc,
+       (COUNT(DISTINCT tok) * 10000 // COUNT(*)) / 10000.0
+         AS type_token_ratio
+FROM tok
+GROUP BY lang
+""",
+    doc="Corpus statistics per language: doc counts, token counts, "
+        "vocabulary, type-token ratio.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(load_table(spark, sf_dir, "documents"))
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+        # truncated 4-decimal ratios via integer division: bit-identical
+        # across engines even at exact decimal ties (round() is not)
+        (
+            F.floor(F.count(F.lit(1)) * 10000 / F.countDistinct("doc_id"))
+            / 10000.0
+        ).alias("tokens_per_doc"),
+        (
+            F.floor(F.countDistinct("tok") * 10000 / F.count(F.lit(1)))
+            / 10000.0
+        ).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "q_text_tfidf_top",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rn
+      FROM scored) t
+WHERE rn <= 3 AND doc_id < 100
+""",
+    doc="tf-idf with corpus-derived idf; top-3 terms per document "
+        "(two aggs + one broadcastable idf join + window).",
+)
+def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs).select("doc_id", "tok")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar for the idf constant (metadata-cheap)
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+lang_top AS (
+  SELECT lang AS cand_lang, tok FROM (
+    SELECT lang, tok, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM tok GROUP BY lang, tok) t
+  WHERE rn <= 20
+),
+votes AS (
+  SELECT tok.doc_id, lang_top.cand_lang, COUNT(*) AS hits
+  FROM tok JOIN lang_top USING (tok)
+  GROUP BY tok.doc_id, lang_top.cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand_lang) AS rn
+  FROM votes
+)
+SELECT d.doc_id, d.lang AS true_lang, b.pred_lang, b.hits
+FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+""",
+    doc="Heuristic language ID: top-20 tokens per language (derived from "
+        "the corpus), classify each doc by weighted token-hit votes.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("tok")
+    )
+    lang_top = (
+        tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_lang))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "tok")
+    )
+    votes = (
+        tok.select("doc_id", "tok")
+        .join(F.broadcast(lang_top), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("cand_lang")
+    )
+    best = (
+        votes.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "hits")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("true_lang")
+    ).join(best, "doc_id").select("doc_id", "true_lang", "pred_lang", "hits")
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+stop AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM tok GROUP BY tok) t
+  WHERE rn <= 20
+),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT t.tok) AS n_types,
+         SUM(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+         SUM(LENGTH(t.tok)) AS n_tok_chars
+  FROM tok t LEFT JOIN stop s ON t.tok = s.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.n_chars,
+       p.n_tokens,
+       (p.n_tok_chars * 10000 // p.n_tokens) / 10000.0 AS avg_tok_len,
+       (p.n_stop * 10000 // p.n_tokens) / 10000.0 AS stopword_ratio,
+       (p.n_types * 10000 // p.n_tokens) / 10000.0 AS uniq_ratio,
+       ((  4 * LEAST(p.n_tokens, 100) * 100
+         + 3 * (p.n_stop * 10000 // p.n_tokens)
+         + 3 * (p.n_types * 10000 // p.n_tokens)) // 10) / 10000.0 AS quality
+FROM documents d JOIN per_doc p USING (doc_id)
+""",
+    doc="Quality scoring: length/stopword/uniqueness signals combined into "
+        "a 0-1 score; stopwords derived as the corpus top-20 tokens.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs).select("doc_id", "tok")
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    stop = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("tok", F.lit(1).alias("is_stop"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(stop), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+            F.sum(F.coalesce("is_stop", F.lit(0))).alias("n_stop"),
+            F.sum(F.length("tok")).alias("n_tok_chars"),
+        )
+    )
+    # all ratios as truncated 4-decimal integer arithmetic — bit-identical
+    # across engines even at exact decimal ties (round() is not; a 0.49525
+    # quality tie at sf0.01 flips differently in Spark vs DuckDB)
+    nt = F.col("n_tokens")
+    ratio = lambda num: F.floor(num * 10000 / nt) / 10000.0  # noqa: E731
+    stop_i = F.floor(F.col("n_stop") * 10000 / nt)
+    uniq_i = F.floor(F.col("n_types") * 10000 / nt)
+    quality_i = F.floor(
+        (4 * F.least(nt, F.lit(100)) * 100 + 3 * stop_i + 3 * uniq_i) / 10
+    )
+    return docs.select("doc_id", "n_chars").join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        ratio(F.col("n_tok_chars")).alias("avg_tok_len"),
+        (stop_i / 10000.0).alias("stopword_ratio"),
+        (uniq_i / 10000.0).alias("uniq_ratio"),
+        (quality_i / 10000.0).alias("quality"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS BIGINT)
+         AS n_subword_units,
+       (n_chars * 10000 // LEN(STRING_SPLIT(text, ' '))) / 10000.0
+         AS chars_per_token
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish greedy ≤4-char "
+        "subword units (regex), chars/token ratio.",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+        .cast("long")
+        .alias("n_subword_units"),
+        (F.floor(F.col("n_chars") * 10000 / ws) / 10000.0).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(
+           generate_series(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 1)),
+           i -> MD5(COALESCE(STRING_SPLIT(text,' ')[i],'') || ' ' ||
+                    COALESCE(STRING_SPLIT(text,' ')[i+1],'') || ' ' ||
+                    COALESCE(STRING_SPLIT(text,' ')[i+2],''))) AS hashes
+  FROM documents
+)
+SELECT d.doc_id,
+       MD5(d.text) AS doc_md5,
+       LIST_MIN(s.hashes) AS min_shingle_md5
+FROM documents d JOIN sh s USING (doc_id)
+""",
+    doc="Document fingerprinting: whole-doc md5 + winnowing-style minimum "
+        "shingle md5 (md5 is portable across engines, unlike xxhash64).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.coalesce(F.element_at(toks, i), F.lit("")),
+                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        F.array_min(hashes).alias("min_shingle_md5"),
+    )
