@@ -1,0 +1,73 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Keys mirror BASELINE.md's measured shapes: q1 pricing agg, q3 top-k join,
+q5 star join, w1 window rank, s1 sessionize, t1 tumbling, d1 exact dedup,
+v1 knn cosine (declarative), v1b knn (blocked NumPy path), x1 json agg.
+Method matches BASELINE.md: warm-up run, then best of 3, wall-clock to
+collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_KEYS = {
+    "q1": "q_agg_groupby_sum",
+    "q3": "q_topk_global",
+    "q5": "q_join_broadcast_star",
+    "w1": "q_win_rank_topk_group",
+    "s1": "q_stream_session",
+    "t1": "q_stream_tumbling",
+    "d1": "q_dedup_exact",
+    "v1": "q_sim_knn_cosine",
+    "v1b": "q_sim_knn_blocked",
+    "x1": "q_fn_json",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+
+    import netcdf4_variable_streamer_spark.operators  # noqa: F401
+    import netcdf4_variable_streamer_spark.streaming  # noqa: F401
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from netcdf4_variable_streamer_spark.session import get_spark
+
+    spark = get_spark("nvss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for label, key in BENCH_KEYS.items():
+        builder = REGISTRY[key].builder
+        builder(spark, sf_dir).collect()  # warm-up (plan + JIT + cache)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[label] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_best_of_3",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -190,32 +190,29 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
-                 AS sum_price
+               CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
 
 
-# Statistical aggregates, computed from decimal-exact power sums so both
-# engines produce bit-identical doubles (SURVEY §7.5; naive avg() of doubles
-# is order-dependent and diverges past 4-decimal rounding at sf0.1).
+# Statistical aggregates from exact fixed-point power sums: both engines
+# produce bit-identical doubles with no round() anywhere (SURVEY §7.5;
+# stddev_samp()'s internal float order is engine-dependent, these are not).
+_FPS = "CAST(SUM(CAST(FLOOR(({e}) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000"
 _STATS_SQL = f"""
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS s1,
-       ROUND(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS s2,
-       ROUND(
-         (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-            * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-         / (COUNT(*) - 1), 4) AS var_qty,
-       ROUND(
-         (CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE)
-          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-            * CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-         / (COUNT(*) - 1), 4) AS covar_qty_disc
+       {_FPS.format(e='l_quantity')} AS s1,
+       {_FPS.format(e='l_quantity * l_quantity')} AS s2,
+       ({_FPS.format(e='l_quantity * l_quantity')}
+        - ({_FPS.format(e='l_quantity')}) * ({_FPS.format(e='l_quantity')})
+          / COUNT(*)) / (COUNT(*) - 1) AS var_qty,
+       ({_FPS.format(e='l_quantity * l_discount')}
+        - ({_FPS.format(e='l_quantity')}) * ({_FPS.format(e='l_discount')})
+          / COUNT(*)) / (COUNT(*) - 1) AS covar_qty_disc
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -224,26 +221,26 @@ GROUP BY l_returnflag
 @register(
     "q_agg_stats",
     oracle=_STATS_SQL,
-    doc="Variance/covariance via decimal-exact power sums (cross-engine "
-        "deterministic where stddev_samp()'s float order is not).",
+    doc="Variance/covariance via exact fixed-point power sums "
+        "(cross-engine deterministic where stddev_samp()'s float order "
+        "is not).",
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     d = F.col("l_discount")
-    sum_q = F.sum(q.cast("decimal(18,6)")).cast("double")
-    sum_qq = F.sum((q * q).cast("decimal(18,6)")).cast("double")
-    sum_qd = F.sum((q * d).cast("decimal(18,6)")).cast("double")
-    sum_d = F.sum(d.cast("decimal(18,6)")).cast("double")
+
+    def fps(e):
+        return F.sum(F.floor(e * 1000000).cast("long")).cast("double") / 1000000
+
+    sum_q, sum_qq, sum_qd, sum_d = fps(q), fps(q * q), fps(q * d), fps(d)
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
-        F.round(sum_q, 4).alias("s1"),
-        F.round(sum_qq, 4).alias("s2"),
-        F.round((sum_qq - sum_q * sum_q / n) / (n - F.lit(1)), 4).alias("var_qty"),
-        F.round((sum_qd - sum_q * sum_d / n) / (n - F.lit(1)), 4).alias(
-            "covar_qty_disc"
-        ),
+        sum_q.alias("s1"),
+        sum_qq.alias("s2"),
+        ((sum_qq - sum_q * sum_q / n) / (n - F.lit(1))).alias("var_qty"),
+        ((sum_qd - sum_q * sum_d / n) / (n - F.lit(1))).alias("covar_qty_disc"),
     )
 
 

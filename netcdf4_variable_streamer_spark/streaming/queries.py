@@ -1,0 +1,253 @@
+"""B-8 streaming operators (SURVEY.md §2 Table B).
+
+The reference's streaming is *transport* streaming (buffered line
+append / tail-follow, Table A A4-A9/A14) with no event-time semantics;
+the engine adds real event-time processing on Structured Streaming:
+tumbling/sliding/session windows, watermarks, stateful dedup and custom
+state machines.
+
+Contract per SURVEY §5.2 layer 3: every windowed op registers its
+*batch twin* (oracle-checked against DuckDB); the streaming form runs
+the same transformation over a file stream of the identical input with
+`trigger(availableNow=True)` and must produce the identical result —
+asserted in tests/test_streaming.py. Two keys are streaming-only
+(watermark drop, custom state) → rows-only checks.
+
+100 TB posture: state is keyed (event_type / user_id shuffle keys),
+watermarks bound state size, and the file source is just a stand-in for
+Kafka — the transformations never depend on the source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register, ts_str
+from netcdf4_variable_streamer_spark.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source stands in for Kafka)."""
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # dir source, one table
+        .parquet(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_completion(
+    df: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink with availableNow and
+    return the materialized result table. output_mode: 'complete' for
+    plain aggregations, 'append' for dedup/watermarked appends, 'update'
+    for applyInPandasWithState-style operators."""
+    name = name or f"nvss_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(
+        prefix="ckpt_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Shared transformations: applied identically to the batch table and the
+# stream so the streaming test can assert equality by construction.
+# ---------------------------------------------------------------------------
+
+def _tumbling(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _sliding(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            ts_str(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _session(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            ts_str(F.col("w.start"), _TS_FMT).alias("session_start"),
+            ts_str(F.col("w.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts::TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value', 4)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="1-hour tumbling window count/sum per event_type (batch twin; the "
+        "streaming form over the same input must match — see "
+        "tests/test_streaming.py).",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tumbling(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+SELECT STRFTIME(TIME_BUCKET(INTERVAL '15 minutes', ts::TIMESTAMP)
+                  - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+GROUP BY 1, 2
+""",
+    doc="1-hour window sliding every 15 min (each event lands in exactly "
+        "4 windows; the oracle materializes the 4 shifted buckets).",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sliding(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value,
+         CASE WHEN ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER (
+                PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+              < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       {s} AS sum_value
+FROM ids
+GROUP BY user_id, session_id
+""".format(s=SQL_DSUM("value", 4)),
+    doc="30-min-gap sessionization via session_window; the oracle is the "
+        "gaps-and-islands formulation (new session iff gap >= 30 min, "
+        "session end = last event + gap — Spark's session_window "
+        "semantics).",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+""",
+    doc="Stateful dedup: dropDuplicates on the grain key; batch twin is "
+        "DISTINCT (streaming form uses dropDuplicates within watermark).",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "q_stream_watermark_late",
+    oracle=None,  # true streaming run → rows-only
+    doc="Real Structured-Streaming run: 10-minute watermark on ts, "
+        "tumbling 1-h counts, availableNow trigger, memory sink. "
+        "Exercises watermark bookkeeping + late-row dropping end to end.",
+)
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            ts_str(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_completion(agg)
+
+
+@register(
+    "q_stream_stateful_custom",
+    oracle=None,  # custom stateful op → rows-only
+    doc="Per-user custom state machine (applyInPandasWithState in the "
+        "streaming form, tests/test_streaming.py): running event count, "
+        "purchase count, and last event type per user. The batch twin "
+        "here computes the same final state declaratively.",
+)
+def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("last_type"),
+    )

@@ -1,0 +1,102 @@
+"""B-8 tests: batch twins oracle-match DuckDB; streaming forms over the
+same input (file stream + availableNow) equal their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+
+from netcdf4_variable_streamer_spark import oracle as oracle_mod
+from netcdf4_variable_streamer_spark.streaming import queries as sq
+from tests.conftest import SF_DIR
+
+BATCH_KEYS = [
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup",
+]
+
+
+@pytest.mark.parametrize("key", BATCH_KEYS)
+def test_batch_twin_oracle(check, key):
+    check(key)
+
+
+@pytest.mark.parametrize(
+    "xform", [sq._tumbling, sq._sliding, sq._session], ids=["tumbling", "sliding", "session"]
+)
+def test_streaming_equals_batch_twin(spark, xform):
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    batch = xform(load_table(spark, SF_DIR, "events")).toPandas()
+    stream = sq.run_to_completion(
+        xform(sq.load_events_stream(spark, SF_DIR))
+    ).toPandas()
+    oracle_mod.compare_frames(stream, batch, f"stream-vs-batch:{xform.__name__}")
+
+
+def test_streaming_dedup_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .toPandas()
+    )
+    ev = sq.load_events_stream(spark, SF_DIR)
+    stream = sq.run_to_completion(
+        ev.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type"),
+        output_mode="append",
+    ).toPandas()
+    oracle_mod.compare_frames(stream, batch, "stream-dedup")
+
+
+def test_watermark_late_runs(check):
+    pdf = check("q_stream_watermark_late")
+    assert len(pdf) > 0
+
+
+def test_stateful_custom_state_machine(spark, check):
+    """applyInPandasWithState streaming state machine ends in the same
+    final state as the declarative batch twin."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch = check("q_stream_stateful_custom")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, p, last_ts, last_eid, last_type = state.get
+        else:
+            n, p, last_ts, last_eid, last_type = 0, 0, -1, -1, ""
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                n += 1
+                p += int(r.event_type == "purchase")
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                if (ts_us, r.event_id) >= (last_ts, last_eid):
+                    last_ts, last_eid, last_type = ts_us, r.event_id, r.event_type
+        state.update((n, p, last_ts, last_eid, last_type))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_purchases": [p],
+             "last_type": [last_type]}
+        )
+
+    ev = sq.load_events_stream(spark, SF_DIR)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, n_purchases long, last_type string",
+        "n_events long, n_purchases long, last_ts long, "
+        "last_eid long, last_type string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    got = sq.run_to_completion(out, output_mode="update").toPandas()
+    # memory sink in update mode may emit per-batch rows; keep the last per user
+    got = got.groupby("user_id", as_index=False).last()
+    oracle_mod.compare_frames(got, batch.toPandas() if hasattr(batch, "toPandas") else batch,
+                              "stateful-custom")
