@@ -21,6 +21,8 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource pushFilters is gated off by default
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 BUILD_CONFS = {

@@ -1,0 +1,285 @@
+"""Custom Python DataSource: the reference's chunked I/O as a Spark source.
+
+Maps the reference surface (SURVEY.md §2 Table A) onto the PySpark 4.x
+DataSource API:
+
+- A1/A8/A9 chunked scan → ``reader``: one InputPartition per storage
+  chunk (chunk-alignment = partition-alignment), Arrow RecordBatch reads,
+  column pruning via the pushed-down read schema.
+- A11 hyperslab slice  → ``pushFilters``: range predicates on the
+  streamed-dim index column prune whole chunks before they are opened
+  (the automatic version of the reference's user-driven `var[a:b]`).
+- A4-A7 buffered write → ``writer``: each task buffers rows into NumPy
+  blocks of `chunk_lines` and emits chunk files; `commit` assigns global
+  line offsets and publishes them into the meta sidecar atomically
+  (task files are invisible until job commit).
+- A14 append/tail      → ``simpleStreamReader``: offset = current extent
+  of the UNLIMITED dim; each microbatch reads [start, extent).
+
+100 TB posture: partitions() is O(#chunks) metadata work on the driver;
+data reads are per-chunk Arrow batches on executors; pruned chunks are
+never opened; the writer commits offsets only at job commit so failed
+tasks leave no visible data.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from netcdf4_variable_streamer_spark.sources.chunkstore import (
+    ChunkInfo,
+    ChunkStore,
+)
+
+FORMAT_NAME = "netcdf_chunks"
+
+
+@dataclass
+class ChunkPartition(InputPartition):
+    path: str
+    file: str
+    start: int
+    n_lines: int
+
+
+@dataclass
+class ChunkCommitMessage(WriterCommitMessage):
+    files: list  # [(filename, n_lines)]
+
+
+def _spark_schema(store: ChunkStore) -> str:
+    parts = [f"{store.streamed_dim}_idx long"]
+    parts += [f"{d}_idx int" for d in store.fixed_dims]
+    type_map = {
+        "int8": "byte", "int16": "short", "int32": "int", "int64": "long",
+        "float32": "float", "float64": "double",
+    }
+    parts += [f"{v} {type_map[dt]}" for v, dt in store.variables.items()]
+    return ", ".join(parts)
+
+
+class NetCDFChunkReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        self.lo = 0  # inclusive lower bound on streamed idx from pushdown
+        self.hi: int | None = None  # exclusive upper bound
+        self._store = ChunkStore.open(path)
+        self._idx_col = f"{self._store.streamed_dim}_idx"
+
+    def pushFilters(self, filters: list[Filter]):
+        """Harvest streamed-dim index ranges to prune whole chunks
+        (reference A11 as automatic pushdown). Every filter is yielded
+        back: chunk pruning is partition-granular, so Spark must still
+        evaluate the predicates row-level inside surviving chunks."""
+        for f in filters:
+            if getattr(f, "attribute", None) == (self._idx_col,) and hasattr(
+                f, "value"
+            ):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(v))
+                    self.hi = min(self.hi or int(v) + 1, int(v) + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(v) + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(v))
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi or int(v), int(v))
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi or int(v) + 1, int(v) + 1)
+            yield f  # always re-evaluated row-level by Spark
+
+    def partitions(self):
+        out = []
+        for c in self._store.list_chunks():
+            if c.start + c.n_lines <= self.lo:
+                continue
+            if self.hi is not None and c.start >= self.hi:
+                continue
+            out.append(ChunkPartition(self.path, c.file, c.start, c.n_lines))
+        return out
+
+    def read(self, partition: ChunkPartition):
+        tbl = pq.read_table(
+            os.path.join(partition.path, partition.file),
+            columns=self.columns,
+        )
+        for batch in tbl.to_batches():
+            yield batch
+
+
+class NetCDFChunkWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+        store = ChunkStore.open(path)
+        self.chunk_lines = store.chunk_lines
+        self.var_names = list(store.variables)
+        self.line_shape = store.line_shape
+        self.fixed_dim_names = list(store.fixed_dims)
+        self.streamed_dim = store.streamed_dim
+
+    def write(self, iterator):
+        """Task-level buffered append (reference A4-A6): accumulate rows
+        into dense line blocks; emit one pending chunk file per
+        `chunk_lines` lines. Incoming rows must be grouped by streamed
+        index (long form, C order within a line)."""
+        store = ChunkStore.open(self.path)
+        pending: list[tuple[str, int]] = []
+        cells = store.cells_per_line
+        buf: dict[str, list] = {v: [] for v in self.var_names}
+        n_buffered = 0
+
+        rows_per_line: dict[int, int] = {}
+        current: dict[str, list] = {v: [] for v in self.var_names}
+        current_line: int | None = None
+
+        def emit_block():
+            nonlocal n_buffered
+            if n_buffered == 0:
+                return
+            block = {
+                v: np.asarray(buf[v], dtype=store.variables[v]).reshape(
+                    (n_buffered, *self.line_shape)
+                )
+                for v in self.var_names
+            }
+            fname = f"pending-{uuid.uuid4().hex}.npz"
+            np.savez(os.path.join(self.path, fname), **block)
+            pending.append((fname, n_buffered))
+            for v in self.var_names:
+                buf[v].clear()
+            n_buffered = 0
+
+        def close_line():
+            nonlocal current_line, n_buffered
+            if current_line is None:
+                return
+            if len(current[self.var_names[0]]) != cells:
+                raise ValueError(
+                    f"line {current_line}: got "
+                    f"{len(current[self.var_names[0]])} cells, need {cells}"
+                )
+            for v in self.var_names:
+                buf[v].extend(current[v])
+                current[v].clear()
+            n_buffered += 1
+            current_line = None
+            if n_buffered == self.chunk_lines:
+                emit_block()
+
+        idx_name = f"{self.streamed_dim}_idx"
+        for row in iterator:
+            li = row[idx_name]
+            if li != current_line:
+                close_line()
+                current_line = li
+            for v in self.var_names:
+                current[v].append(row[v])
+        close_line()
+        emit_block()
+        return ChunkCommitMessage(files=pending)
+
+    def commit(self, messages):
+        """Job commit: deterministically order task outputs, assign global
+        line offsets, convert pending blocks into chunk files, publish
+        meta atomically (reference A6/A7 flush+close)."""
+        store = ChunkStore.open(self.path)
+        for msg in messages:
+            for fname, _n in msg.files:
+                with np.load(os.path.join(self.path, fname)) as z:
+                    block = {v: z[v] for v in self.var_names}
+                store.append_block(block)
+                os.remove(os.path.join(self.path, fname))
+
+    def abort(self, messages):
+        for msg in messages:
+            if msg is None:
+                continue
+            for fname, _n in msg.files:
+                try:
+                    os.remove(os.path.join(self.path, fname))
+                except OSError:
+                    pass
+
+
+class NetCDFChunkStreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow a growing store (reference A14): the offset is the
+    current extent of the UNLIMITED dim."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def _rows_between(self, lo: int, hi: int):
+        # materialized (not a generator): the runner pickles the prefetched
+        # rows for microbatch replay
+        out = []
+        store = ChunkStore.open(self.path)
+        for c in store.list_chunks():
+            if c.start + c.n_lines <= lo or c.start >= hi:
+                continue
+            tbl = store.read_chunk(c, columns=self.columns)
+            idx = tbl.column(f"{store.streamed_dim}_idx").to_numpy()
+            mask = (idx >= lo) & (idx < hi)
+            for row in tbl.filter(pa.array(mask)).to_pylist():
+                out.append(tuple(row[c_] for c_ in self.columns))
+        return out
+
+    def read(self, start: dict):
+        store = ChunkStore.open(self.path)
+        end = {"line": store.extent}
+        return self._rows_between(start["line"], end["line"]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_between(start["line"], end["line"])
+
+
+class NetCDFChunkDataSource(DataSource):
+    """spark.read.format("netcdf_chunks").option("path", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return _spark_schema(ChunkStore.open(self.options["path"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return NetCDFChunkReader(self.options["path"], schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return NetCDFChunkWriter(self.options["path"], schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return NetCDFChunkStreamReader(self.options["path"], schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(NetCDFChunkDataSource)

@@ -1,0 +1,259 @@
+"""M3 tests: reference-parity round trips (SURVEY §5.2 layer 2, the
+reference's own test strategy upgraded with hypothesis) + DataSource
+scan/pushdown/write/stream behavior."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from netcdf4_variable_streamer_spark.sources.chunkstore import (
+    ChunkStore,
+    StreamedDataset,
+)
+from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+    FORMAT_NAME,
+    NetCDFChunkDataSource,
+    NetCDFChunkReader,
+)
+from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+SCRATCH = srcq.SCRATCH
+
+
+def _tmp():
+    p = os.path.join(SCRATCH, f"t_{uuid.uuid4().hex[:8]}")
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: property-based round trips through the pure-Python store
+# (write line-by-line and block-wise → read back → exact equality;
+# non-dividing buffer sizes, both axis orders, append-reopen).
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    t=st.integers(0, 17),
+    ny=st.integers(1, 5),
+    nx=st.integers(1, 4),
+    chunk_lines=st.integers(1, 7),
+    dtype=st.sampled_from(["float32", "float64", "int32", "int64"]),
+    streamed_first=st.booleans(),
+    by_line=st.booleans(),
+)
+def test_roundtrip_property(t, ny, nx, chunk_lines, dtype, streamed_first,
+                            by_line):
+    path = _tmp()
+    try:
+        store = ChunkStore.create(
+            path, {"time": None, "y": ny, "x": nx}, "time", chunk_lines,
+            {"v": dtype},
+        )
+        dims = ("time", "y", "x") if streamed_first else ("y", "x", "time")
+        from netcdf4_variable_streamer_spark.sources.chunkstore import (
+            StreamedVariable,
+        )
+
+        var = StreamedVariable(store, dims)
+        rng = np.random.RandomState(42)
+        logical_shape = (
+            (t, ny, nx) if streamed_first else (ny, nx, t)
+        )
+        data = (rng.rand(*logical_shape) * 100).astype(dtype)
+        if by_line:
+            for i in range(t):
+                line = np.take(data, i, axis=dims.index("time"))
+                var.streamline({"v": line})
+        else:
+            var.stream_block({"v": data})
+        var.flush()
+
+        # read back (new handle = A14 append-reopen semantics for reads)
+        store2 = ChunkStore.open(path)
+        var2 = StreamedVariable(store2, dims)
+        if t == 0:
+            assert store2.extent == 0
+            return
+        got = np.concatenate(
+            [b["v"] for _, b in var2.yield_blocks()],
+            axis=dims.index("time"),
+        )
+        np.testing.assert_array_equal(got, data)
+
+        # line generator agrees too
+        lines = list(var2.yield_lines())
+        assert len(lines) == t
+        np.testing.assert_array_equal(
+            lines[3][1]["v"] if t > 3 else lines[0][1]["v"],
+            np.take(data, 3 if t > 3 else 0, axis=dims.index("time")),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_append_reopen_continues_extent():
+    path = _tmp()
+    try:
+        ds = StreamedDataset(path, "w")
+        ds.create_dimension("time", None)
+        ds.create_dimension("y", 3)
+        var = ds.create_streamed_variables(
+            {"v": "float64"}, ("time", "y"), chunk_size_mb=0.0001
+        )
+        var.stream_block({"v": np.arange(12.0).reshape(4, 3)})
+        ds.close()
+
+        ds2 = StreamedDataset(path, "a")
+        assert ds2.store.extent == 4  # cursor = UNLIMITED extent (A14)
+        var2 = ds2.variable(("time", "y"))
+        var2.stream_block({"v": np.arange(12.0, 18.0).reshape(2, 3)})
+        ds2.close()
+
+        store = ChunkStore.open(path)
+        assert store.extent == 6
+        got = np.concatenate(
+            [b["v"] for _, b in
+             __import__("netcdf4_variable_streamer_spark.sources.chunkstore",
+                        fromlist=["StreamedVariable"])
+             .StreamedVariable(store, ("time", "y")).yield_blocks()]
+        )
+        np.testing.assert_array_equal(got, np.arange(18.0).reshape(6, 3))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_attrs_roundtrip():
+    path = _tmp()
+    try:
+        ds = StreamedDataset(path, "w")
+        ds.create_dimension("time", None)
+        ds.create_dimension("y", 2)
+        ds.create_streamed_variables(
+            {"v": "float32"}, ("time", "y"),
+            attrs={"v:units": "K"},
+        )
+        ds.set_attr("title", "test grid")
+        ds.close()
+        ds2 = StreamedDataset(path, "r")
+        assert ds2.get_attr("title") == "test grid"
+        assert ds2.get_attr("v:units") == "K"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# DataSource: scan equality, pushdown pruning, write path, stream tail.
+# ---------------------------------------------------------------------------
+
+def test_scan_matches_store(spark):
+    path = srcq.ensure_grid()
+    spark.dataSource.register(NetCDFChunkDataSource)
+    df = spark.read.format(FORMAT_NAME).option("path", path).load()
+    assert df.count() == srcq.GRID_T * srcq.GRID_Y * srcq.GRID_X
+    # exact cell check against the closed-form generator
+    row = df.filter(
+        (df.time_idx == 57) & (df.y_idx == 3) & (df.x_idx == 21)
+    ).collect()[0]
+    expect = srcq.grid_values(57, 1)
+    assert row.temperature == pytest.approx(
+        float(expect["temperature"][0, 3, 21]), abs=0
+    )
+
+
+def test_pushdown_prunes_chunks(spark):
+    path = srcq.ensure_grid()
+    store = ChunkStore.open(path)
+    n_chunks = len(store.list_chunks())
+    from pyspark.sql.types import StructType
+
+    schema = spark.read.format(FORMAT_NAME).option("path", path).load().schema
+    r = NetCDFChunkReader(path, schema)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    unhandled = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("time_idx",), 17), LessThan(("time_idx",), 33),
+             LessThan(("y_idx",), 8)]
+        )
+    )
+    # all filters come back (pruning is chunk-granular, rows re-checked)
+    assert len(unhandled) == 3
+    parts = r.partitions()
+    assert 0 < len(parts) < n_chunks  # pruning actually happened
+    assert all(p.start + p.n_lines > 17 and p.start < 33 for p in parts)
+
+    # and the full plan returns correct data under pushdown
+    df = spark.read.format(FORMAT_NAME).option("path", path).load()
+    got = df.filter((df.time_idx >= 17) & (df.time_idx < 33)).count()
+    assert got == 16 * srcq.GRID_Y * srcq.GRID_X
+
+
+def test_sink_roundtrip(check):
+    pdf = check("snk_chunked_write")
+    assert pdf.loc[0, "n_cells"] == 32 * srcq.GRID_Y * srcq.GRID_X
+    assert pdf.loc[0, "n_lines"] == 32
+
+
+def test_scan_queries(check):
+    pdf = check("src_netcdf_chunked_scan")
+    assert pdf.loc[0, "n_cells"] == srcq.GRID_T * srcq.GRID_Y * srcq.GRID_X
+    box = check("q_filter_hyperslab")
+    assert len(box) == 8  # y_idx 0..7
+    assert (box["n_cells"] == (93 - 17) * 8).all()  # x 4..11 → 8 cols
+    assert (box["t_min"] == 17).all() and (box["t_max"] == 92).all()
+
+
+def test_stream_tail(check):
+    pdf = check("src_netcdf_stream_tail")
+    assert len(pdf) == srcq.GRID_T
+    assert (pdf["n_cells"] == srcq.GRID_Y * srcq.GRID_X).all()
+
+
+def test_stream_tail_picks_up_appends(spark):
+    """True tail-follow: a second microbatch sees only appended lines."""
+    path = _tmp()
+    try:
+        ChunkStore.create(
+            path, {"time": None, "y": 2, "x": 2}, "time", 4,
+            {"temperature": "float32", "humidity": "float32"},
+        )
+        store = ChunkStore.open(path)
+        store.append_block(
+            {"temperature": np.ones((3, 2, 2), np.float32),
+             "humidity": np.zeros((3, 2, 2), np.float32)}
+        )
+        from pyspark.sql.types import StructType
+        spark.dataSource.register(NetCDFChunkDataSource)
+        schema = (
+            spark.read.format(FORMAT_NAME).option("path", path).load().schema
+        )
+        r = NetCDFChunkStreamReaderForTest = None
+        from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+            NetCDFChunkStreamReader,
+        )
+
+        sr = NetCDFChunkStreamReader(path, schema)
+        rows1, off1 = sr.read(sr.initialOffset())
+        assert off1 == {"line": 3} and len(list(rows1)) == 12
+        store2 = ChunkStore.open(path)
+        store2.append_block(
+            {"temperature": np.full((2, 2, 2), 2, np.float32),
+             "humidity": np.ones((2, 2, 2), np.float32)}
+        )
+        rows2, off2 = sr.read(off1)
+        rows2 = list(rows2)
+        assert off2 == {"line": 5} and len(rows2) == 8
+        # replay between offsets returns the same rows (exactly-once)
+        replay = list(sr.readBetweenOffsets(off1, off2))
+        assert sorted(replay) == sorted(rows2)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
