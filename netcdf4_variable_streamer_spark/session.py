@@ -42,10 +42,21 @@ def get_spark(app_name: str = "netcdf4-variable-streamer-spark") -> SparkSession
     return b.getOrCreate()
 
 
+_CONFS_APPLIED: set[int] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> None:
-    """Best-effort apply of runtime-settable confs to any session."""
+    """Best-effort apply of runtime-settable confs to any session.
+
+    Memoized per session object: each conf.set is a Py4J round trip, and
+    this runs on every table load — without the memo a 6-table star join
+    pays ~50 round trips per build.
+    """
+    if id(spark) in _CONFS_APPLIED:
+        return
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a foreign session — keep going
+    _CONFS_APPLIED.add(id(spark))

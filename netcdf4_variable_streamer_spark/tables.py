@@ -19,14 +19,26 @@ TABLE_NAMES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Scan-reuse cache: (session JVM id, sf_dir, name) -> analyzed DataFrame.
+# Reading a parquet footer + analysis costs ~50-150 ms per call; operators
+# that touch 6 tables (star join) pay it 6x per build without this. The
+# cache holds lazy plans only (no data is pinned), so it is safe at any
+# scale; keyed on the session so a stopped/replaced session misses.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
         # ns epoch → µs TimestampType; truncating integer division matches
         # DuckDB's TIMESTAMP_NS → TIMESTAMP cast for post-1970 data.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 
