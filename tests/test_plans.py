@@ -1,0 +1,101 @@
+"""Physical-plan posture tests (SURVEY.md §4): the *shape* of the plan is
+part of each operator's contract — pushdown, pruning, broadcast choice,
+shuffle budget — because at 100 TB the plan shape IS the cost model.
+These fail on posture regressions that sf0.01 timing would never notice.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from netcdf4_variable_streamer_spark import plans
+from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def build(spark, key):
+    return REGISTRY[key].builder(spark, SF)
+
+
+def test_q1_pushdown_pruning_single_shuffle(spark):
+    df = build(spark, "q_agg_groupby_sum")
+    plans.assert_pushed_filters(df, "l_shipdate")
+    # lineitem has 16 columns; q1 touches 7 — the rest must not be read
+    plans.assert_read_schema_excludes(
+        df, "l_orderkey", "l_partkey", "l_suppkey", "l_comment", "l_shipmode"
+    )
+    plans.assert_max_shuffles(df, 1)  # one partial->final agg exchange
+    plans.assert_wholestage_codegen(df)
+
+
+def test_filter_predicates_all_pushed(spark):
+    df = build(spark, "q_filter_predicates")
+    plans.assert_pushed_filters(df, "o_totalprice")
+    plans.assert_wholestage_codegen(df)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = build(spark, "q_join_broadcast_star")
+    # region, nation, supplier, customer are all dims: >= 3 broadcast joins
+    plans.assert_broadcast_joins(df, at_least=3)
+    plans.assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # top-k + merge on driver), never a global sort of the full input.
+    df = build(spark, "q_topk_global")
+    assert plans.count_nodes(plans.plan_string(df), "TakeOrderedAndProject") >= 1
+
+
+def test_window_single_shuffle(spark):
+    df = build(spark, "q_win_rank_topk_group")
+    # one hash-partition exchange for the window; the rank filter must not
+    # add a second shuffle
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_cross_join_is_explicit_and_tiny(spark):
+    # q_join_cross is the ONE deliberate cartesian (nation x region, 25x5);
+    # assert it broadcasts the small side rather than shuffling both.
+    df = build(spark, "q_join_cross")
+    plan = plans.plan_string(df)
+    assert (
+        plans.count_nodes(plan, "BroadcastNestedLoopJoin") >= 1
+        or plans.count_nodes(plan, "CartesianProduct") == 0
+    ), plan
+
+
+def test_knn_broadcasts_queries_no_cartesian(spark):
+    df = build(spark, "q_sim_knn_cosine")
+    plans.assert_broadcast_joins(df, at_least=1)
+    plans.assert_no_cartesian(df)
+
+
+def test_lsh_candidates_equi_join(spark):
+    # the whole point of LSH: candidate generation is an equi-join on
+    # (tbl, bucket), NOT an all-pairs product
+    df = build(spark, "q_sim_lsh_ann")
+    plans.assert_no_cartesian(df)
+
+
+def test_minhash_no_cartesian(spark):
+    df = build(spark, "q_dedup_near_minhash")
+    plans.assert_no_cartesian(df)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = build(spark, "q_dedup_exact")
+    plans.assert_max_shuffles(df, 1)
+
+
+@pytest.mark.parametrize(
+    "key", ["q_agg_groupby_sum", "q_join_broadcast_star", "q_topk_global"]
+)
+def test_executed_plan_aqe_finalizes(spark, key):
+    # AQE must actually engage: the post-execution plan is final and keeps
+    # the broadcast/agg structure (no runtime demotion to SMJ/cartesian).
+    df = build(spark, key)
+    final = plans.executed_plan_string(df)
+    assert "CartesianProduct" not in final
