@@ -252,3 +252,130 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (north-star dedup family, 5th strategy): treat
+# cosine >= TAU_EMB between embedding vectors as "same content". Two forms:
+# one-hop canonicalization (SQL-oracle-able) and full transitive clustering
+# (iterative label propagation, hash-matched against a DuckDB recursive CTE).
+# ---------------------------------------------------------------------------
+
+TAU_EMB = 0.35  # pair threshold; the sf* fixtures have clusters above this
+
+_EMB_NORM_SQL = (
+    "SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)))"
+)
+_EMB_DOT_SQL = (
+    "LIST_SUM(LIST_TRANSFORM(generate_series(1, LEN({a}.embedding)), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+)
+_EMB_PAIRS_CTE = f"""
+v AS (SELECT vec_id, embedding, {_EMB_NORM_SQL} AS nrm FROM embeddings),
+p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {_EMB_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {TAU_EMB}
+)"""
+
+
+def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v1, v2) with v1 < v2 and cosine >= TAU_EMB — shared edge set."""
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        _dot,
+        _with_norm,
+    )
+
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    return a.join(b, F.col("v1") < F.col("v2")).filter(cos >= TAU_EMB).select(
+        "v1", "v2"
+    )
+
+
+@register(
+    "q_dedup_embed_cosine",
+    oracle=f"""
+WITH {_EMB_PAIRS_CTE}
+SELECT e.vec_id,
+       COALESCE(MIN(p.v1), e.vec_id) AS canonical_id,
+       CAST(CASE WHEN COUNT(p.v1) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM embeddings e LEFT JOIN p ON p.v2 = e.vec_id
+GROUP BY e.vec_id
+""",
+    doc=f"Embedding-cosine near-dup, keep-lowest-id one-hop: each vector's "
+        f"canonical is its smallest-id neighbor with cosine >= {TAU_EMB} "
+        "(or itself). One aggregation over the pair set; full transitive "
+        "closure is q_dedup_cc_clusters.",
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    p = _emb_pairs(spark, sf_dir)
+    return (
+        e.join(p, e.vec_id == p.v2, "left")
+        .groupBy("vec_id")
+        .agg(
+            F.coalesce(F.min("v1"), F.first("vec_id")).alias("canonical_id"),
+            (F.count("v1") > 0).cast("long").alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "q_dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE {_EMB_PAIRS_CTE},
+e AS (SELECT v1 AS src, v2 AS dst FROM p
+      UNION ALL SELECT v2, v1 FROM p),
+reach(v, lab) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.v
+)
+SELECT v AS vec_id, MIN(lab) AS component_id FROM reach GROUP BY v
+""",
+    doc="Transitive near-dup clustering: connected components of the "
+        "cosine>=TAU_EMB graph by iterative min-label propagation "
+        "(converges in O(diameter) joins; lineage cut per iteration via "
+        "localCheckpoint). Driver sees only one scalar per iteration "
+        "(sum of labels — strictly decreasing, so equality = fixpoint). "
+        "Oracle: DuckDB recursive CTE computing min reachable id.",
+)
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _emb_pairs(spark, sf_dir)
+    edges = (
+        p.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+        .unionByName(p.select(F.col("v2").alias("src"), F.col("v1").alias("dst")))
+        .localCheckpoint()  # edge set reused every iteration
+    )
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id"), F.col("vec_id").alias("lab"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(50):  # bound >> any realistic near-dup graph diameter
+        prop = labels.join(edges, labels.vec_id == edges.src).select(
+            F.col("dst").alias("vec_id"), F.col("lab")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("vec_id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("vec_id", F.col("lab").alias("component_id"))

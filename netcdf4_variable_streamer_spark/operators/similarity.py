@@ -254,3 +254,102 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "cos_sim")
     )
     return _topk(pairs)
+
+
+@register(
+    "q_sim_ivf_ann",
+    oracle=None,  # approximate by design (probes nprobe/nlist of the space)
+    doc="IVF (inverted-file) ANN: 16 centroids seeded from the first 16 "
+        "vectors and refined with one distributed Lloyd step (assign via "
+        "blockwise NumPy argmin in mapInArrow; per-dimension means via "
+        "posexplode + groupBy — only the 16x64 centroid table is ever "
+        "collected). Each query probes its 4 nearest centroids; candidate "
+        "generation is an equi-join on centroid id (the IVF analogue of "
+        "the LSH bucket join), then exact cosine rerank to top-5.",
+)
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    n_list, n_probe = 16, 4
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    seeds = np.array(
+        [
+            r.embedding
+            for r in sorted(
+                e.filter(F.col("vec_id") < n_list).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ],
+        dtype=np.float64,
+    )
+
+    def make_assign(cent: "np.ndarray"):
+        def assign(batches):
+            for batch in batches:
+                d = batch.to_pydict()
+                X = np.asarray(d["embedding"], dtype=np.float64)
+                # argmin squared L2: ||x||^2 - 2xC^T + ||c||^2; ||x||^2 const
+                dist = -2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "vec_id": np.asarray(d["vec_id"], dtype=np.int64),
+                        "cluster": dist.argmin(axis=1).astype(np.int64),
+                    }
+                )
+
+        return assign
+
+    # one Lloyd refinement step, fully distributed: mean per (cluster, dim)
+    assign0 = e.mapInArrow(make_assign(seeds), "vec_id long, cluster long")
+    means = (
+        assign0.join(e, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()  # exactly n_list x 64 rows — provably small
+    )
+    cents = seeds.copy()
+    for r in means:
+        cents[r.cluster, r.pos] = r.m
+
+    inv = e.mapInArrow(make_assign(cents), "vec_id long, cluster long")
+
+    # each query probes its n_probe nearest refined centroids (20x16 numpy)
+    q_emb = _with_norm(e).filter(F.col("vec_id") < N_QUERIES)
+    qrows = sorted(q_emb.collect(), key=lambda r: r.vec_id)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qdist = -2.0 * (Q @ cents.T) + (cents * cents).sum(axis=1)
+    probes = [
+        (int(r.vec_id), int(c))
+        for r, row in zip(qrows, qdist)
+        for c in np.argsort(row)[:n_probe]
+    ]
+    q_probe = spark.createDataFrame(probes, "q_id long, cluster long")
+
+    cand = (
+        inv.join(F.broadcast(q_probe), "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    eb = _with_norm(e)
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        cand.join(eb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
+            ),
+        )
+        .select("q_id", "vec_id", "cos_sim")
+    )
+    return _topk(pairs)

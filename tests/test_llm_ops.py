@@ -7,12 +7,16 @@ import pytest
 
 SQL_KEYS = [
     "q_dedup_exact", "q_dedup_ngram_jaccard",
+    "q_dedup_embed_cosine", "q_dedup_cc_clusters",
     "q_sim_knn_cosine", "q_sim_knn_blocked", "q_sim_threshold_pairs",
     "q_text_stats", "q_text_tfidf_top", "q_text_langid", "q_text_quality",
     "q_text_tokens", "q_text_fingerprint",
     "q_multimodal_bundle", "q_multimodal_features", "q_pivot_lang_source",
 ]
-ROWS_ONLY_KEYS = ["q_dedup_near_minhash", "q_dedup_simhash", "q_sim_lsh_ann"]
+ROWS_ONLY_KEYS = [
+    "q_dedup_near_minhash", "q_dedup_simhash", "q_sim_lsh_ann",
+    "q_sim_ivf_ann",
+]
 
 
 @pytest.mark.parametrize("key", SQL_KEYS)
@@ -97,3 +101,33 @@ def test_multimodal_codec_stubs_gated():
     assert aud.loc[0, "n_samples"] == 110
     frames = list(mm.frame_sample_batches(iter([pdf]), fake=True))
     assert len(frames[0]) == 2  # 110 bytes / 64-byte frames → 2 frames
+
+
+def test_ivf_ann_recall_vs_exact(check, spark):
+    """IVF with nprobe=4/nlist=16 must reach >=0.7 recall@5 against exact
+    k-NN, and every scored pair must agree with the exact cosine."""
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    import tests.conftest as c
+
+    ann = check("q_sim_ivf_ann")
+    exact = REGISTRY["q_sim_knn_cosine"].builder(spark, c.SF_DIR).toPandas()
+    exact_pairs = {(int(r.q_id), int(r.vec_id)) for r in exact.itertuples()}
+    exact_scores = {
+        (int(r.q_id), int(r.vec_id)): r.cos_sim for r in exact.itertuples()
+    }
+    ann_pairs = {(int(r.q_id), int(r.vec_id)) for r in ann.itertuples()}
+    for r in ann.itertuples():
+        k = (int(r.q_id), int(r.vec_id))
+        if k in exact_scores:
+            assert abs(exact_scores[k] - r.cos_sim) < 1e-9
+    recall = len(exact_pairs & ann_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"IVF recall@5 too low: {recall}"
+
+
+def test_cc_is_coarser_than_one_hop(check):
+    """Transitive clustering must never split what one-hop merged: the
+    component id of any vector is <= its one-hop canonical id."""
+    one_hop = check("q_dedup_embed_cosine").set_index("vec_id")
+    cc = check("q_dedup_cc_clusters").set_index("vec_id")
+    joined = one_hop.join(cc)
+    assert (joined["component_id"] <= joined["canonical_id"]).all()
