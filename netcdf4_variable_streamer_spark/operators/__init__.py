@@ -9,6 +9,7 @@ from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     scalar_functions,
     setops,
     similarity,
+    subqueries,
     text,
     udfs,
     windows,

@@ -264,3 +264,30 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(MAX(l_extendedprice), 4) AS pmax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact percentiles per group (Spark `percentile` == DuckDB "
+        "`quantile_cont`: both linear-interpolate). Exact percentile "
+        "requires a per-group sort; the sketch alternative at extreme "
+        "group cardinality is approx_percentile (t-digest, fixed state), "
+        "same call-site shape.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+    )

@@ -99,3 +99,23 @@ def test_executed_plan_aqe_finalizes(spark, key):
     df = build(spark, key)
     final = plans.executed_plan_string(df)
     assert "CartesianProduct" not in final
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    # correlated scalar subquery must plan as aggregate-then-join (exactly
+    # one join), and EXISTS/NOT EXISTS as semi/anti joins — never a per-row
+    # subquery execution
+    import re
+
+    df = build(spark, "q_subquery_scalar_corr")
+    plan = plans.plan_string(df)
+    joins = (
+        plans.count_nodes(plan, "SortMergeJoin")
+        + plans.count_nodes(plan, "BroadcastHashJoin")
+        + plans.count_nodes(plan, "ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+
+    plan2 = plans.plan_string(build(spark, "q_subquery_exists"))
+    kinds = set(re.findall(r"\bLeftSemi\b|\bLeftAnti\b", plan2))
+    assert kinds == {"LeftSemi", "LeftAnti"}, plan2

@@ -11,6 +11,11 @@ AGG_KEYS = [
     "q_agg_groupby_sum", "q_agg_having", "q_agg_distinct",
     "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube",
     "q_agg_grouping_sets", "q_agg_stats", "q_agg_collect",
+    "q_agg_percentiles",
+]
+SUBQUERY_KEYS = [
+    "q_subquery_scalar", "q_subquery_scalar_corr",
+    "q_subquery_exists", "q_subquery_in",
 ]
 JOIN_KEYS = [
     "q_join_inner_hash", "q_join_left_outer", "q_join_full_outer",
@@ -23,7 +28,7 @@ SET_KEYS = [
 ]
 
 
-@pytest.mark.parametrize("key", AGG_KEYS + JOIN_KEYS + SET_KEYS)
+@pytest.mark.parametrize("key", AGG_KEYS + JOIN_KEYS + SET_KEYS + SUBQUERY_KEYS)
 def test_oracle_match(check, key):
     assert key in REGISTRY
     check(key)
