@@ -251,3 +251,62 @@ def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.struct(F.col("ts"), F.col("event_id"))
         ).alias("last_type"),
     )
+
+
+def _split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v, p
+
+
+def _interval_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Each purchase joined to the same user's views in the preceding hour
+    (inclusive both ends). The time-bound condition is what makes this
+    join streamable: state on both sides is evicted once the watermark
+    passes the interval."""
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        ts_str("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        ts_str("view_ts", _TS_FMT).alias("view_ts"),
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       STRFTIME(p.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       STRFTIME(v.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL '1 hour'
+ AND v.ts::TIMESTAMP <= p.ts::TIMESTAMP
+""",
+    doc="Stream-stream interval join (batch twin): every purchase joined "
+        "to the same user's views within the preceding hour. The "
+        "streaming form (tests/test_streaming.py) watermarks BOTH sides "
+        "and relies on the interval bound for state eviction — the only "
+        "join shape whose state is provably bounded on two unbounded "
+        "inputs.",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, p = _split_views_purchases(load_table(spark, sf_dir, "events"))
+    return _interval_join(v, p)

@@ -100,3 +100,23 @@ def test_stateful_custom_state_machine(spark, check):
     got = got.groupby("user_id", as_index=False).last()
     oracle_mod.compare_frames(got, batch.toPandas() if hasattr(batch, "toPandas") else batch,
                               "stateful-custom")
+
+
+def test_stream_stream_interval_join(spark, check):
+    """Stream-stream interval join with watermarks on both sides produces
+    exactly the batch twin's result on the same input."""
+    batch = check("q_stream_join")
+    ev = sq.load_events_stream(spark, SF_DIR)
+    v, p = sq._split_views_purchases(ev)
+    stream = sq.run_to_completion(
+        sq._interval_join(
+            v.withWatermark("view_ts", "2 hours"),
+            p.withWatermark("purchase_ts", "2 hours"),
+        ),
+        output_mode="append",
+    ).toPandas()
+    oracle_mod.compare_frames(
+        stream,
+        batch.toPandas() if hasattr(batch, "toPandas") else batch,
+        "stream-stream-join",
+    )
