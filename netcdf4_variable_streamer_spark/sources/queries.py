@@ -183,3 +183,43 @@ def src_netcdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("temperature").cast("double")).alias("sum_temp"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "snk_parquet_partitioned",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Hive-partitioned parquet sink: write lineitem partitionBy "
+        "(l_returnflag) with sortWithinPartitions on the filter column "
+        "(row-group stats become selective), read the layout back, count "
+        "per partition. The re-read per-partition counts must equal the "
+        "source's — i.e. the partitioned write loses/duplicates nothing. "
+        "At 100 TB this layout is what makes partition pruning free for "
+        "every downstream query filtering on the partition column.",
+)
+def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"pq_part_{_uuid.uuid4().hex[:8]}")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.repartition("l_returnflag")  # one task per partition value bundle
+        .sortWithinPartitions("l_shipdate")
+        .write.partitionBy("l_returnflag")
+        .mode("overwrite")
+        .parquet(dst)
+    )
+    back = spark.read.parquet(dst)
+    out = (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(out, "l_returnflag string, n_rows long")

@@ -257,3 +257,10 @@ def test_stream_tail_picks_up_appends(spark):
         assert sorted(replay) == sorted(rows2)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_partitioned_parquet_sink(check):
+    """Partitioned write round-trip: per-partition counts oracle-match the
+    source table (nothing lost/duplicated by the layout rewrite)."""
+    pdf = check("snk_parquet_partitioned")
+    assert len(pdf) == 3  # l_returnflag in {A, N, R}
