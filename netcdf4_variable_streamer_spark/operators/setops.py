@@ -159,15 +159,18 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey AS custkey FROM orders
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 """,
-    doc="Set difference: customers with no orders (distinct semantics).",
+    doc="Set difference: customers without finished orders (distinct "
+        "semantics; right-side predicate keeps the result non-trivial).",
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey")
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
     )
     return c.subtract(o)
