@@ -1,0 +1,135 @@
+"""Property-based differential fuzzing: random queries from a shared
+grammar run on BOTH engines (Spark via `F.expr`, DuckDB via the same SQL
+text) and must hash-match — upgrading SURVEY §5.2's example-based oracle
+layer to a whole grammar of filter/group/agg queries.
+
+The grammar covers the engine's hot relational path: comparison and
+boolean predicates over numeric/string/date columns, optional grouping,
+and the deterministic aggregate kernel (`dsum` fixed-point sums, counts,
+min/max). Constants are drawn from the columns' real value ranges so
+predicates are selective-but-nonempty most of the time; empty results
+are still compared (both engines must agree on emptiness).
+
+Runs at sf0.001 for per-example speed; ~40 examples per property.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark import oracle as oracle_mod
+from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum
+from netcdf4_variable_streamer_spark.tables import load_table
+
+FUZZ_SF = "/root/testdata/sf0.001"
+
+# column -> (sql type class, constant strategy)
+NUM_COLS = {
+    "l_quantity": st.integers(1, 50).map(float),
+    "l_extendedprice": st.integers(900, 100_000).map(float),
+    "l_discount": st.sampled_from([0.0, 0.02, 0.04, 0.06, 0.08, 0.1]),
+    "l_tax": st.sampled_from([0.0, 0.02, 0.04, 0.06, 0.08]),
+}
+STR_COLS = {
+    "l_returnflag": st.sampled_from(["A", "N", "R"]),
+    "l_linestatus": st.sampled_from(["F", "O"]),
+}
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+GROUP_COLS = [None, "l_returnflag", "l_linestatus"]
+
+
+@st.composite
+def comparison(draw) -> str:
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(NUM_COLS)))
+        val = draw(NUM_COLS[col])
+        op = draw(st.sampled_from(CMP_OPS))
+        return f"({col} {op} {val!r})"
+    col = draw(st.sampled_from(sorted(STR_COLS)))
+    val = draw(STR_COLS[col])
+    op = draw(st.sampled_from(["=", "<>"]))
+    return f"({col} {op} '{val}')"
+
+
+@st.composite
+def predicate(draw, depth: int = 2) -> str:
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return draw(comparison())
+    left = draw(predicate(depth=depth - 1))
+    right = draw(predicate(depth=depth - 1))
+    combinator = draw(st.sampled_from(["AND", "OR"]))
+    neg = "NOT " if draw(st.booleans()) else ""
+    return f"{neg}({left} {combinator} {right})"
+
+
+@pytest.fixture(scope="module")
+def fuzz_ctx(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{FUZZ_SF}/lineitem.parquet')"
+    )
+    li = load_table(spark, FUZZ_SF, "lineitem")
+    return spark, con, li
+
+
+@given(pred=predicate(), group=st.sampled_from(GROUP_COLS))
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_agg_differential(fuzz_ctx, pred, group):
+    spark, con, li = fuzz_ctx
+
+    group_sql = f"GROUP BY {group}" if group else ""
+    group_cols = f"{group}, " if group else ""
+    sql = f"""
+        SELECT {group_cols}COUNT(*) AS cnt,
+               {SQL_DSUM('l_quantity')} AS sum_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem WHERE {pred} {group_sql}
+    """
+    opdf = con.execute(sql).fetchdf()
+
+    sdf = li.filter(F.expr(pred))
+    grouped = sdf.groupBy(group) if group else sdf.groupBy()
+    spdf = grouped.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    ).toPandas()
+
+    # global agg over an empty input: SQL returns one row of NULL/0 per
+    # ANSI, Spark's API-level global agg does too — both length-1; grouped
+    # empty results are length-0 in both. Just compare.
+    oracle_mod.compare_frames(spdf, opdf, f"fuzz[{pred} | {group}]")
+
+
+@given(pred=predicate())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_rowset_differential(fuzz_ctx, pred):
+    """The filtered row *set* itself (projected to a stable key) matches —
+    catches predicate-evaluation differences that aggregation could mask."""
+    spark, con, li = fuzz_ctx
+    sql = f"""
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem WHERE {pred}
+    """
+    opdf = con.execute(sql).fetchdf()
+    spdf = (
+        li.filter(F.expr(pred))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .toPandas()
+    )
+    oracle_mod.compare_frames(spdf, opdf, f"fuzz-rows[{pred}]")
