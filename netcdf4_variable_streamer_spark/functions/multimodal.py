@@ -116,3 +116,60 @@ def frame_sample_batches(
                     (doc_id, i, hashlib.md5(b[off : off + every_n_bytes]).hexdigest())
                 )
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
+
+
+RESIZED_IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, pixels binary"
+)
+
+
+def resize_image_batches(
+    batches: Iterator[pd.DataFrame],
+    target: tuple[int, int] = (4, 4),
+    fake: bool = False,
+) -> Iterator[pd.DataFrame]:
+    """payload(binary) → decoded, resized pixel buffer (binary) + dims.
+
+    Real path needs Pillow (`Image.resize`); the fake path decodes via
+    `_fake_pixels` and resizes with exact block-mean pooling (NumPy only)
+    so the distributed plumbing — binary in, binary out, constant output
+    shape per row — is exercised end to end. Output `pixels` is the
+    row-major uint8 buffer of the resized image; downstream operators
+    treat it as an opaque payload again, which is the multimodal
+    column contract (opaque binary + typed metadata)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    th, tw = target
+    for pdf in batches:
+        if not have_pil and not fake:
+            raise NotImplementedError(
+                "STUB: image resize requires Pillow (not installed); pass "
+                "fake=True for the deterministic NumPy block-mean resize"
+            )
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if have_pil and not fake:
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(payload)).resize((tw, th))
+                arr = np.asarray(img, dtype=np.uint8)
+            else:
+                src = _fake_pixels(bytes(payload))  # (8, 8, 3)
+                fh, fw = src.shape[0] // th, src.shape[1] // tw
+                arr = (
+                    src.reshape(th, fh, tw, fw, src.shape[2])
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+            c = arr.shape[2] if arr.ndim == 3 else 1
+            rows.append((doc_id, tw, th, c, arr.tobytes()))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "n_channels", "pixels"]
+        )

@@ -263,3 +263,33 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_total,
+       COUNT(*) AS n
+FROM events
+WHERE CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) >= 50
+GROUP BY user_id
+""",
+    doc="Semi-structured VariantType path (Spark 4.x): parse_json once "
+        "into a variant column, variant_get typed extraction, filter + "
+        "aggregate on the extracted value. Same semantics as the string "
+        "get_json_object path (q_fn_json) but with the parse cost paid "
+        "once per row, not once per extraction — the 100 TB posture for "
+        "multi-field JSON props.",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("pv", F.parse_json("props"))
+    k = F.try_variant_get(F.col("pv"), "$.k", "long")
+    return (
+        v.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("user_id")
+        .agg(F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n"))
+    )

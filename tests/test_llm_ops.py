@@ -131,3 +131,36 @@ def test_cc_is_coarser_than_one_hop(check):
     cc = check("q_dedup_cc_clusters").set_index("vec_id")
     joined = one_hop.join(cc)
     assert (joined["component_id"] <= joined["canonical_id"]).all()
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Resize kernel end to end through mapInPandas: constant output
+    shape, opaque-binary-out contract, deterministic fake decode."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions import multimodal as mm
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [b"x" * 200, b"hello world" * 20]}
+    )
+    with _pytest.raises(NotImplementedError):
+        list(mm.resize_image_batches(iter([pdf])))
+    (out,) = list(mm.resize_image_batches(iter([pdf]), fake=True))
+    assert list(out.columns) == ["doc_id", "width", "height", "n_channels", "pixels"]
+    assert (out["width"] == 4).all() and (out["height"] == 4).all()
+    assert all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+
+    # distributed: same kernel through mapInPandas over a binary column
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.mapInPandas(
+            lambda it: mm.resize_image_batches(it, fake=True),
+            mm.RESIZED_IMAGE_SCHEMA,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert bytes(got.loc[0, "pixels"]) == bytes(out.loc[0, "pixels"])
