@@ -320,3 +320,45 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("doc_md5"),
         F.array_min(hashes).alias("min_shingle_md5"),
     )
+
+
+@register(
+    "q_sample_hash_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, MD5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN hx < 'cccccccc' THEN 'train'
+              WHEN hx < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM s GROUP BY split, lang
+""",
+    doc="Deterministic hash-based train/val/test split (~80/10/10 by md5 "
+        "prefix of the stable doc key): the split of a document never "
+        "changes with corpus size, partitioning, or engine — the property "
+        "a 100 TB training pipeline needs for reproducible splits. Pure "
+        "map-side expression + one aggregation; the md5 hex threshold "
+        "comparison is lexicographic and engine-portable.",
+)
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(hx < "cccccccc", "train")
+        .when(hx < "e6666666", "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -12,6 +12,7 @@ SQL_KEYS = [
     "q_text_stats", "q_text_tfidf_top", "q_text_langid", "q_text_quality",
     "q_text_tokens", "q_text_fingerprint",
     "q_multimodal_bundle", "q_multimodal_features", "q_pivot_lang_source",
+    "q_sample_hash_split",
 ]
 ROWS_ONLY_KEYS = [
     "q_dedup_near_minhash", "q_dedup_simhash", "q_sim_lsh_ann",
