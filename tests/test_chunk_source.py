@@ -264,3 +264,59 @@ def test_partitioned_parquet_sink(check):
     source table (nothing lost/duplicated by the layout rewrite)."""
     pdf = check("snk_parquet_partitioned")
     assert len(pdf) == 3  # l_returnflag in {A, N, R}
+
+
+def test_stream_write_foreachbatch_roundtrip(spark):
+    """The reference's primary use case in streaming form: lines arriving
+    as an unbounded stream are appended into the chunked store through
+    the engine's own sink (readStream tail -> foreachBatch -> DataSource
+    writer), and the result equals the source exactly."""
+    import tempfile
+
+    src = srcq.ensure_grid()
+    dst = _tmp()
+    ChunkStore.create(
+        dst,
+        {"time": None, "y": srcq.GRID_Y, "x": srcq.GRID_X},
+        "time",
+        16,
+        {"temperature": "float32", "humidity": "float32"},
+    )
+    spark.dataSource.register(NetCDFChunkDataSource)
+
+    def append_batch(batch_df, batch_id):
+        (
+            batch_df.orderBy("time_idx", "y_idx", "x_idx")
+            .coalesce(1)
+            .write.format(FORMAT_NAME)
+            .option("path", dst)
+            .mode("append")
+            .save()
+        )
+
+    stream = spark.readStream.format(FORMAT_NAME).option("path", src).load()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sw_", dir=SCRATCH)
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    src_df = (
+        spark.read.format(FORMAT_NAME).option("path", src).load().toPandas()
+        .sort_values(["time_idx", "y_idx", "x_idx"]).reset_index(drop=True)
+    )
+    dst_df = (
+        spark.read.format(FORMAT_NAME).option("path", dst).load().toPandas()
+        .sort_values(["time_idx", "y_idx", "x_idx"]).reset_index(drop=True)
+    )
+    assert len(dst_df) == len(src_df) == srcq.GRID_T * srcq.GRID_Y * srcq.GRID_X
+    assert np.array_equal(
+        src_df["temperature"].to_numpy(), dst_df["temperature"].to_numpy()
+    )
+    assert np.array_equal(
+        src_df["humidity"].to_numpy(), dst_df["humidity"].to_numpy()
+    )
+    shutil.rmtree(dst, ignore_errors=True)
