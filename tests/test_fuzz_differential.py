@@ -133,3 +133,82 @@ def test_filter_rowset_differential(fuzz_ctx, pred):
         .toPandas()
     )
     oracle_mod.compare_frames(spdf, opdf, f"fuzz-rows[{pred}]")
+
+
+# ---------------------------------------------------------------------------
+# Join fuzzing: random join type x random side-filters, customer |><| orders.
+# ---------------------------------------------------------------------------
+
+ORDER_PRED = {
+    "o_totalprice": st.integers(1000, 300_000).map(float),
+    "o_custkey": st.integers(1, 1500).map(float),
+}
+CUST_PRED = {
+    "c_acctbal": st.integers(-999, 9999).map(float),
+    "c_custkey": st.integers(1, 1500).map(float),
+}
+
+
+@st.composite
+def side_pred(draw, cols) -> str:
+    col = draw(st.sampled_from(sorted(cols)))
+    val = draw(cols[col])
+    op = draw(st.sampled_from(CMP_OPS))
+    return f"({col} {op} {val!r})"
+
+
+@pytest.fixture(scope="module")
+def join_ctx(spark):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{FUZZ_SF}/{t}.parquet')"
+        )
+    c = load_table(spark, FUZZ_SF, "customer")
+    o = load_table(spark, FUZZ_SF, "orders")
+    return spark, con, c, o
+
+
+@given(
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    cpred=side_pred(CUST_PRED),
+    opred=side_pred(ORDER_PRED),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_differential(join_ctx, how, cpred, opred):
+    spark, con, c, o = join_ctx
+    cf = c.filter(F.expr(cpred))
+    of = o.filter(F.expr(opred))
+
+    if how in ("left_semi", "left_anti"):
+        word = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+        sql = f"""
+            SELECT c_custkey, COUNT(*) AS n FROM customer c
+            WHERE {cpred} AND {word} (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND {opred})
+            GROUP BY c_custkey
+        """
+        sdf = cf.join(of, cf.c_custkey == of.o_custkey, how).groupBy(
+            "c_custkey"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    else:
+        join_word = "JOIN" if how == "inner" else "LEFT JOIN"
+        sql = f"""
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM (SELECT * FROM customer WHERE {cpred}) c
+            {join_word} (SELECT * FROM orders WHERE {opred}) o
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """
+        sdf = cf.join(of, cf.c_custkey == of.o_custkey, how).groupBy(
+            "c_custkey"
+        ).agg(F.count("o_orderkey").alias("n_orders"))
+
+    opdf = con.execute(sql).fetchdf()
+    oracle_mod.compare_frames(sdf.toPandas(), opdf, f"fuzz-join[{how}|{cpred}|{opred}]")
