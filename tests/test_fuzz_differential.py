@@ -212,3 +212,75 @@ def test_join_differential(join_ctx, how, cpred, opred):
 
     opdf = con.execute(sql).fetchdf()
     oracle_mod.compare_frames(sdf.toPandas(), opdf, f"fuzz-join[{how}|{cpred}|{opred}]")
+
+
+# ---------------------------------------------------------------------------
+# Window fuzzing: random function x partition key x frame over events,
+# with a total deterministic order (ts, event_id) so ranks are unique.
+# ---------------------------------------------------------------------------
+
+WIN_PARTITIONS = ["user_id", "event_type"]
+
+
+@pytest.fixture(scope="module")
+def win_ctx(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, user_id, event_type, "
+        "value, ts::TIMESTAMP AS ts FROM "
+        f"read_parquet('{FUZZ_SF}/events.parquet')"
+    )
+    e = load_table(spark, FUZZ_SF, "events")
+    return spark, con, e
+
+
+@given(
+    part=st.sampled_from(WIN_PARTITIONS),
+    fn=st.sampled_from(["row_number", "rank", "lag", "lead", "run_sum", "mov_min"]),
+    frame_lo=st.integers(1, 5),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_differential(win_ctx, part, fn, frame_lo):
+    from pyspark.sql import Window
+
+    spark, con, e = win_ctx
+    order_sql = "ORDER BY ts, event_id"
+    w = Window.partitionBy(part).orderBy("ts", "event_id")
+
+    if fn == "row_number":
+        expr, col = F.row_number(), f"ROW_NUMBER() OVER (PARTITION BY {part} {order_sql})"
+    elif fn == "rank":
+        expr, col = F.rank(), f"RANK() OVER (PARTITION BY {part} {order_sql})"
+    elif fn == "lag":
+        expr = F.lag("event_id", frame_lo)
+        col = f"LAG(event_id, {frame_lo}) OVER (PARTITION BY {part} {order_sql})"
+    elif fn == "lead":
+        expr = F.lead("event_id", frame_lo)
+        col = f"LEAD(event_id, {frame_lo}) OVER (PARTITION BY {part} {order_sql})"
+    elif fn == "run_sum":
+        expr = F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        col = (
+            f"SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER ("
+            f"PARTITION BY {part} {order_sql} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    else:  # mov_min over a bounded trailing frame
+        expr = F.min("event_id").over(w.rowsBetween(-frame_lo, 0))
+        col = (
+            f"MIN(event_id) OVER (PARTITION BY {part} {order_sql} "
+            f"ROWS BETWEEN {frame_lo} PRECEDING AND CURRENT ROW)"
+        )
+
+    if fn in ("row_number", "rank", "lag", "lead"):
+        expr = expr.over(w)
+
+    sql = f"SELECT event_id, {col} AS win_val FROM events"
+    opdf = con.execute(sql).fetchdf()
+    spdf = e.select("event_id", expr.alias("win_val")).toPandas()
+    oracle_mod.compare_frames(spdf, opdf, f"fuzz-win[{fn}|{part}|{frame_lo}]")
