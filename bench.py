@@ -30,6 +30,31 @@ BENCH_KEYS = {
     "x1": "q_fn_json",
 }
 
+# c1: chunked-I/O scan throughput (the reference's core competency) — a
+# 4096-line grid (4.2M cells x 2 vars) aggregated through the custom
+# DataSource; baseline comparison in BASELINE.md "chunked scan" row.
+C1_GRID_LINES = 4096
+
+
+def c1_chunked_scan(spark):
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.registry import dsum
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+        FORMAT_NAME,
+        NetCDFChunkDataSource,
+    )
+
+    path = srcq.ensure_grid(t_total=C1_GRID_LINES)
+    spark.dataSource.register(NetCDFChunkDataSource)
+    df = spark.read.format(FORMAT_NAME).option("path", path).load()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,15 +68,17 @@ def main() -> None:
     spark = get_spark("nvss-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    builders = {k: REGISTRY[v].builder for k, v in BENCH_KEYS.items()}
+    builders["c1"] = lambda s, _sf: c1_chunked_scan(s)
+
     # Suite-wide warm-up pass first: JVM JIT (C2) needs several executions
     # of the shared codegen/shuffle paths before timings are steady-state;
     # warming only the measured key leaves the first keys ~2x slower.
-    for key in BENCH_KEYS.values():
-        REGISTRY[key].builder(spark, sf_dir).collect()
+    for builder in builders.values():
+        builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for label, key in BENCH_KEYS.items():
-        builder = REGISTRY[key].builder
+    for label, builder in builders.items():
         builder(spark, sf_dir).collect()  # per-key warm-up (plan cache)
         best = float("inf")
         for _ in range(3):

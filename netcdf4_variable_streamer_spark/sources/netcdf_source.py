@@ -57,8 +57,16 @@ FORMAT_NAME = "netcdf_chunks"
 
 @dataclass
 class ChunkPartition(InputPartition):
+    """A contiguous run of storage chunks read by one task.
+
+    Bundling chunks into runs (instead of one partition per chunk) keeps
+    the per-partition cost — task scheduling + one JVM<->Python worker
+    round trip — amortized over many chunks: a 100 TB store has millions
+    of chunks but the scan still plans O(cluster-parallelism) tasks.
+    `start`/`n_lines` describe the whole run (used by pruning tests)."""
+
     path: str
-    file: str
+    files: list  # chunk filenames in streamed-dim order
     start: int
     n_lines: int
 
@@ -80,13 +88,20 @@ def _spark_schema(store: ChunkStore) -> str:
 
 
 class NetCDFChunkReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(
+        self, path: str, schema: StructType, target_partitions: int | None = None
+    ):
         self.path = path
         self.columns = [f.name for f in schema.fields]
         self.lo = 0  # inclusive lower bound on streamed idx from pushdown
         self.hi: int | None = None  # exclusive upper bound
         self._store = ChunkStore.open(path)
         self._idx_col = f"{self._store.streamed_dim}_idx"
+        # scan parallelism target: ~3 waves per core slot so stragglers
+        # rebalance; overridable per-read via option("target_partitions")
+        self.target_partitions = target_partitions or 3 * int(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
 
     def pushFilters(self, filters: list[Filter]):
         """Harvest streamed-dim index ranges to prune whole chunks
@@ -112,22 +127,55 @@ class NetCDFChunkReader(DataSourceReader):
             yield f  # always re-evaluated row-level by Spark
 
     def partitions(self):
-        out = []
-        for c in self._store.list_chunks():
-            if c.start + c.n_lines <= self.lo:
-                continue
-            if self.hi is not None and c.start >= self.hi:
-                continue
-            out.append(ChunkPartition(self.path, c.file, c.start, c.n_lines))
+        survivors = [
+            c
+            for c in self._store.list_chunks()
+            if c.start + c.n_lines > self.lo
+            and (self.hi is None or c.start < self.hi)
+        ]
+        if not survivors:
+            # Spark requires >= 1 partition; an empty run reads nothing
+            return [ChunkPartition(self.path, [], 0, 0)]
+        # bundle contiguous chunk-runs so one task reads ~equal line counts
+        n_bundles = max(1, min(len(survivors), self.target_partitions))
+        total = sum(c.n_lines for c in survivors)
+        per_bundle = -(-total // n_bundles)  # ceil
+        out: list[ChunkPartition] = []
+        run: list[ChunkInfo] = []
+        run_lines = 0
+        for c in survivors:
+            run.append(c)
+            run_lines += c.n_lines
+            if run_lines >= per_bundle:
+                out.append(
+                    ChunkPartition(
+                        self.path, [r.file for r in run], run[0].start, run_lines
+                    )
+                )
+                run, run_lines = [], 0
+        if run:
+            out.append(
+                ChunkPartition(
+                    self.path, [r.file for r in run], run[0].start, run_lines
+                )
+            )
         return out
 
     def read(self, partition: ChunkPartition):
-        tbl = pq.read_table(
-            os.path.join(partition.path, partition.file),
-            columns=self.columns,
-        )
-        for batch in tbl.to_batches():
-            yield batch
+        # Coalesce the run's chunk files into large Arrow batches before
+        # crossing to the JVM: per-batch ingestion overhead is fixed, so
+        # fewer/bigger batches win. Memory stays bounded by the bundle
+        # size partitions() chose (~total_lines / target_partitions).
+        tables = [
+            pq.read_table(
+                os.path.join(partition.path, fname), columns=self.columns
+            )
+            for fname in partition.files
+        ]
+        if not tables:
+            return
+        combined = pa.concat_tables(tables).combine_chunks()
+        yield from combined.to_batches(max_chunksize=1 << 20)
 
 
 class NetCDFChunkWriter(DataSourceWriter):
@@ -272,7 +320,10 @@ class NetCDFChunkDataSource(DataSource):
         return _spark_schema(ChunkStore.open(self.options["path"]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return NetCDFChunkReader(self.options["path"], schema)
+        tp = self.options.get("target_partitions")
+        return NetCDFChunkReader(
+            self.options["path"], schema, int(tp) if tp else None
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return NetCDFChunkWriter(self.options["path"], schema, overwrite)
