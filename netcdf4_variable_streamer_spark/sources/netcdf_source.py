@@ -33,8 +33,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -178,7 +178,7 @@ class NetCDFChunkReader(DataSourceReader):
         yield from combined.to_batches(max_chunksize=1 << 20)
 
 
-class NetCDFChunkWriter(DataSourceWriter):
+class NetCDFChunkWriter(DataSourceArrowWriter):
     def __init__(self, path: str, schema: StructType, overwrite: bool):
         self.path = path
         self.schema = schema
@@ -186,31 +186,35 @@ class NetCDFChunkWriter(DataSourceWriter):
         store = ChunkStore.open(path)
         self.chunk_lines = store.chunk_lines
         self.var_names = list(store.variables)
+        self.var_dtypes = dict(store.variables)
         self.line_shape = store.line_shape
-        self.fixed_dim_names = list(store.fixed_dims)
+        self.cells = store.cells_per_line
         self.streamed_dim = store.streamed_dim
 
     def write(self, iterator):
-        """Task-level buffered append (reference A4-A6): accumulate rows
-        into dense line blocks; emit one pending chunk file per
-        `chunk_lines` lines. Incoming rows must be grouped by streamed
-        index (long form, C order within a line)."""
-        store = ChunkStore.open(self.path)
+        """Task-level buffered append (reference A4-A6), Arrow path: each
+        incoming RecordBatch's columns become NumPy arrays wholesale (no
+        per-row Python), complete lines are buffered and emitted as one
+        pending chunk file per `chunk_lines` lines; a partial-line tail
+        is carried into the next batch. Incoming rows must be sorted by
+        (streamed idx, fixed dims in C order) within the task."""
         pending: list[tuple[str, int]] = []
-        cells = store.cells_per_line
-        buf: dict[str, list] = {v: [] for v in self.var_names}
-        n_buffered = 0
+        idx_name = f"{self.streamed_dim}_idx"
+        cells = self.cells
 
-        rows_per_line: dict[int, int] = {}
-        current: dict[str, list] = {v: [] for v in self.var_names}
-        current_line: int | None = None
+        carry_idx = np.empty(0, dtype=np.int64)
+        carry: dict[str, np.ndarray] = {
+            v: np.empty(0, dtype=self.var_dtypes[v]) for v in self.var_names
+        }
+        line_buf: dict[str, list[np.ndarray]] = {v: [] for v in self.var_names}
+        n_buffered = 0
 
         def emit_block():
             nonlocal n_buffered
             if n_buffered == 0:
                 return
             block = {
-                v: np.asarray(buf[v], dtype=store.variables[v]).reshape(
+                v: np.concatenate(line_buf[v]).reshape(
                     (n_buffered, *self.line_shape)
                 )
                 for v in self.var_names
@@ -219,35 +223,63 @@ class NetCDFChunkWriter(DataSourceWriter):
             np.savez(os.path.join(self.path, fname), **block)
             pending.append((fname, n_buffered))
             for v in self.var_names:
-                buf[v].clear()
+                line_buf[v].clear()
             n_buffered = 0
 
-        def close_line():
-            nonlocal current_line, n_buffered
-            if current_line is None:
-                return
-            if len(current[self.var_names[0]]) != cells:
-                raise ValueError(
-                    f"line {current_line}: got "
-                    f"{len(current[self.var_names[0]])} cells, need {cells}"
-                )
-            for v in self.var_names:
-                buf[v].extend(current[v])
-                current[v].clear()
-            n_buffered += 1
-            current_line = None
-            if n_buffered == self.chunk_lines:
-                emit_block()
+        def consume(idx: np.ndarray, cols: dict[str, np.ndarray]):
+            """Buffer all complete lines in (idx, cols); return the tail."""
+            nonlocal n_buffered
+            n_lines = len(idx) // cells
+            if n_lines:
+                head = idx[: n_lines * cells].reshape(n_lines, cells)
+                if not (head == head[:, :1]).all():
+                    raise ValueError(
+                        "rows of one line are not contiguous: writer input "
+                        "must be sorted by (streamed idx, fixed dims)"
+                    )
+                for v in self.var_names:
+                    line_buf[v].append(
+                        np.ascontiguousarray(
+                            cols[v][: n_lines * cells], dtype=self.var_dtypes[v]
+                        )
+                    )
+                n_buffered += n_lines
+                while n_buffered >= self.chunk_lines:
+                    # split exact chunk multiples out of the buffer
+                    flat = {v: np.concatenate(line_buf[v]) for v in self.var_names}
+                    take = self.chunk_lines * cells
+                    block = {
+                        v: flat[v][:take].reshape(
+                            (self.chunk_lines, *self.line_shape)
+                        )
+                        for v in self.var_names
+                    }
+                    fname = f"pending-{uuid.uuid4().hex}.npz"
+                    np.savez(os.path.join(self.path, fname), **block)
+                    pending.append((fname, self.chunk_lines))
+                    for v in self.var_names:
+                        line_buf[v] = [flat[v][take:]]
+                    n_buffered -= self.chunk_lines
+            tail = len(idx) - n_lines * cells
+            return idx[len(idx) - tail:], {
+                v: cols[v][len(idx) - tail:] for v in self.var_names
+            }
 
-        idx_name = f"{self.streamed_dim}_idx"
-        for row in iterator:
-            li = row[idx_name]
-            if li != current_line:
-                close_line()
-                current_line = li
-            for v in self.var_names:
-                current[v].append(row[v])
-        close_line()
+        for batch in iterator:
+            d = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            idx = np.concatenate([carry_idx, d[idx_name].to_numpy()])
+            cols = {
+                v: np.concatenate(
+                    [carry[v], d[v].to_numpy(zero_copy_only=False)]
+                )
+                for v in self.var_names
+            }
+            carry_idx, carry = consume(idx, cols)
+        if len(carry_idx):
+            raise ValueError(
+                f"task input ended mid-line: {len(carry_idx)} of {cells} "
+                "cells for the final line"
+            )
         emit_block()
         return ChunkCommitMessage(files=pending)
 
