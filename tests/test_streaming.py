@@ -120,3 +120,78 @@ def test_stream_stream_interval_join(spark, check):
         batch.toPandas() if hasattr(batch, "toPandas") else batch,
         "stream-stream-join",
     )
+
+
+def test_transform_with_state_in_pandas(spark, check):
+    """Arbitrary-state API v2 (transformWithStateInPandas): per-user
+    running counters end in the same final state as the declarative
+    batch twin. Skips if the runtime lacks the API's deps (protobuf /
+    RocksDB state store)."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    batch = check("q_stream_stateful_custom")
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._state = handle.getValueState(
+                "agg",
+                "n_events long, n_purchases long, last_ts long, "
+                "last_eid long, last_type string",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, p, last_ts, last_eid, last_type = self._state.get()
+            else:
+                n, p, last_ts, last_eid, last_type = 0, 0, -1, -1, ""
+            for pdf in rows:
+                for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                    n += 1
+                    p += int(r.event_type == "purchase")
+                    ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                    if (ts_us, r.event_id) >= (last_ts, last_eid):
+                        last_ts, last_eid, last_type = (
+                            ts_us, r.event_id, r.event_type,
+                        )
+            self._state.update((n, p, last_ts, last_eid, last_type))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "n_purchases": [p],
+                 "last_type": [last_type]}
+            )
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = sq.load_events_stream(spark, SF_DIR)
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            Counter(),
+            "user_id long, n_events long, n_purchases long, last_type string",
+            "Update",
+            "None",
+        )
+        got = sq.run_to_completion(out, output_mode="update").toPandas()
+        got = got.groupby("user_id", as_index=False).last()
+    except Exception as ex:  # missing native deps → document-and-skip
+        pytest.skip(f"transformWithStateInPandas unavailable: {ex}")
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    oracle_mod.compare_frames(
+        got,
+        batch.toPandas() if hasattr(batch, "toPandas") else batch,
+        "transform-with-state",
+    )
