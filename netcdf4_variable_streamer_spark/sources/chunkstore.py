@@ -66,6 +66,11 @@ class ChunkStore:
     variables: dict[str, str]  # name -> numpy dtype string
     attrs: dict[str, str] = field(default_factory=dict)
     chunks: list[ChunkInfo] = field(default_factory=list)
+    # reference A15: compression settings forwarded to the storage codec
+    # (zlib level -> parquet codec/level); recorded in the meta sidecar so
+    # readers need no configuration.
+    compression: str = "snappy"
+    compression_level: int | None = None
 
     # -- lifecycle ---------------------------------------------------------
     @classmethod
@@ -77,6 +82,8 @@ class ChunkStore:
         chunk_lines: int,
         variables: dict[str, str],
         attrs: dict[str, str] | None = None,
+        compression: str = "snappy",
+        compression_level: int | None = None,
     ) -> "ChunkStore":
         streamed = [d for d, n in dims.items() if n is None]
         if streamed != [streamed_dim]:
@@ -88,7 +95,9 @@ class ChunkStore:
                 raise ValueError(f"unsupported dtype {dt} for {v}")
         os.makedirs(path, exist_ok=True)
         store = cls(path, dict(dims), streamed_dim, chunk_lines,
-                    dict(variables), dict(attrs or {}))
+                    dict(variables), dict(attrs or {}),
+                    compression=compression,
+                    compression_level=compression_level)
         store._save_meta()
         return store
 
@@ -104,6 +113,8 @@ class ChunkStore:
             m["variables"],
             m.get("attrs", {}),
             [ChunkInfo(**c) for c in m["chunks"]],
+            compression=m.get("compression", "snappy"),
+            compression_level=m.get("compression_level"),
         )
         return store
 
@@ -117,6 +128,8 @@ class ChunkStore:
                     "chunk_lines": self.chunk_lines,
                     "variables": self.variables,
                     "attrs": self.attrs,
+                    "compression": self.compression,
+                    "compression_level": self.compression_level,
                     "chunks": [vars(c) for c in self.chunks],
                 },
                 f,
@@ -186,7 +199,12 @@ class ChunkStore:
             cols[v] = arr.reshape(-1)
         fname = f"chunk-{len(self.chunks):05d}-{uuid.uuid4().hex[:8]}.parquet"
         table = pa.Table.from_pydict(cols, schema=self.arrow_schema())
-        pq.write_table(table, os.path.join(self.path, fname))
+        pq.write_table(
+            table,
+            os.path.join(self.path, fname),
+            compression=self.compression,
+            compression_level=self.compression_level,
+        )
         info = ChunkInfo(len(self.chunks), start, n_lines, fname)
         self.chunks.append(info)
         self._save_meta()

@@ -320,3 +320,31 @@ def test_stream_write_foreachbatch_roundtrip(spark):
         src_df["humidity"].to_numpy(), dst_df["humidity"].to_numpy()
     )
     shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_compression_passthrough():
+    """Reference A15: codec settings forwarded to storage and recorded in
+    the meta sidecar; round-trip is byte-identical across codecs."""
+    import pyarrow.parquet as pq
+
+    for codec, level in (("zstd", 7), ("gzip", 6), ("snappy", None)):
+        path = _tmp()
+        try:
+            store = ChunkStore.create(
+                path, {"time": None, "y": 3, "x": 4}, "time", 4,
+                {"v": "float64"}, compression=codec, compression_level=level,
+            )
+            block = np.arange(2 * 3 * 4, dtype=np.float64).reshape(2, 3, 4)
+            store.append_block({"v": block})
+            re = ChunkStore.open(path)
+            assert re.compression == codec
+            got = re.read_chunk(re.list_chunks()[0]).column("v").to_numpy()
+            assert np.array_equal(got, block.reshape(-1))
+            meta = pq.ParquetFile(
+                os.path.join(path, re.list_chunks()[0].file)
+            ).metadata
+            assert meta.row_group(0).column(0).compression.lower() == (
+                "uncompressed" if codec == "none" else codec
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
