@@ -264,3 +264,51 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle=f"""
+SELECT COUNT(*) AS n_pairs,
+       {SQL_DSUM('ABS(a.o_totalprice - b.o_totalprice)')} AS gap_total
+FROM orders a
+JOIN orders b
+  ON b.o_orderkey > a.o_orderkey
+ AND ABS(a.o_totalprice - b.o_totalprice) <= 1000
+""",
+    doc="Large-large range join via bucketing (the scale path a "
+        "BroadcastNestedLoop theta join cannot take): bucket width = band "
+        "radius, the probe side explodes to its 3 covering buckets, the "
+        "build side keeps one — every qualifying pair meets on exactly one "
+        "equi-join key (no dedup needed), then the exact band predicate "
+        "filters. Cost is candidate pairs (density-bounded per bucket), "
+        "never |orders|^2; the join is shuffled-hash/sort-merge on the "
+        "bucket key, asserted cartesian-free in tests/test_plans.py.",
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 1000.0
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucket = F.floor(F.col("o_totalprice") / width).cast("long")
+    probe = (
+        o.withColumn("b0", bucket)
+        .withColumn("bucket", F.explode(F.array(
+            F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)))
+        .select(
+            F.col("o_orderkey").alias("k1"),
+            F.col("o_totalprice").alias("p1"),
+            "bucket",
+        )
+    )
+    build = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        bucket.alias("bucket"),
+    )
+    pairs = probe.join(build, "bucket").filter(
+        (F.col("k2") > F.col("k1"))
+        & (F.abs(F.col("p1") - F.col("p2")) <= width)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum(F.abs(F.col("p1") - F.col("p2"))).alias("gap_total"),
+    )

@@ -80,6 +80,15 @@ def test_lsh_candidates_equi_join(spark):
     plans.assert_no_cartesian(df)
 
 
+def test_range_bucketed_is_equi_join(spark):
+    # the banded rewrite's whole point: a large-large range join planned
+    # as a shuffled equi-join on the bucket key, never nested-loop
+    df = build(spark, "q_join_range_bucketed")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
 def test_minhash_no_cartesian(spark):
     df = build(spark, "q_dedup_near_minhash")
     plans.assert_no_cartesian(df)
