@@ -18,7 +18,7 @@ those two are rows-only checks (SURVEY §2 Table B note).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from netcdf4_variable_streamer_spark.registry import register
@@ -27,6 +27,7 @@ from netcdf4_variable_streamer_spark.tables import load_table
 NUM_PERM = 32
 BANDS = 8
 ROWS_PER_BAND = NUM_PERM // BANDS
+MAX_BUCKET = 64  # LSH bucket-width cap: wider = boilerplate, not near-dups
 
 
 def _shingles(text: Column, k: int = 3) -> Column:
@@ -144,6 +145,15 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    # Skew guard (standard LSH practice): a bucket with > MAX_BUCKET members
+    # is boilerplate colliding into one signature, not near-duplicates —
+    # and it would contribute O(width^2) candidate pairs. Cap it before the
+    # self-join so one pathological signature can't quadratically dominate;
+    # AQE skew-split handles the sub-cap imbalance that remains.
+    wb = Window.partitionBy("band", "sig")
+    bands = bands.withColumn(
+        "bucket_width", F.count(F.lit(1)).over(wb)
+    ).filter(F.col("bucket_width") <= MAX_BUCKET).drop("bucket_width")
     x, y = bands.alias("x"), bands.alias("y")
     cands = (
         x.join(
