@@ -226,28 +226,45 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 GROUP BY p.event_id, p.user_id, p.ts
 """,
     doc="As-of join: each purchase matched to the user's latest strictly "
-        "earlier view. Spark lacks native ASOF → equi-join on user + "
-        "max() pick-latest (equivalently window row_number=1).",
+        "earlier view. Spark lacks native ASOF; the scalable formulation "
+        "is union-then-window: interleave both event kinds per user in "
+        "(ts, kind) order — purchases sort BEFORE same-ts views so "
+        "'strictly earlier' holds — and carry last non-null view ts with "
+        "an unbounded-preceding frame. One shuffle on user_id, O(events) "
+        "state, no per-user views x purchases pair blowup.",
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("p_ts"),
-    )
     v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(1).alias("kind"),  # views AFTER same-ts purchases
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("kind").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = v.unionByName(p).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
     )
     return (
-        p.join(v, (p.user_id == v.v_user) & (v.v_ts < p.p_ts))
-        .groupBy("purchase_id", "user_id", "p_ts")
-        .agg(F.max("v_ts").alias("max_v_ts"))
+        merged.filter(F.col("kind") == 0)
+        .filter(F.col("last_view_ts").isNotNull())
         .select(
             "purchase_id",
             "user_id",
-            ts_str("p_ts").alias("purchase_ts"),
-            ts_str("max_v_ts").alias("last_view_ts"),
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("last_view_ts").alias("last_view_ts"),
         )
     )
 
