@@ -113,15 +113,27 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines by design → rows-only
-    doc="HyperLogLog approx distinct users per event_type; exact twin is "
-        "q_agg_distinct. Sketch-based → rows-only check.",
+    oracle="""
+SELECT event_type, CAST(1 AS BOOLEAN) AS within_bound
+FROM events GROUP BY event_type
+""",
+    doc="HyperLogLog approx distinct users per event_type, emitted as the "
+        "error-bound assertion itself: |approx - exact| <= 0.05*exact per "
+        "group (HLL at rsd=0.02 sits well inside that). Sketch values "
+        "differ across engines by design, the bound check does not — so "
+        "the oracle is the same boolean row per group and the key is "
+        "fully hash-checked. Exact twin is q_agg_distinct.",
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("within_bound")
     )
 
 

@@ -8,15 +8,19 @@ Four strategies over `documents`, all shuffle-disciplined for 100 TB:
 - MinHash+LSH: shingle → 32-perm MinHash → 8×4 banding → bucket join →
   exact-Jaccard verify of candidates only. The candidate join is on
   (band, signature) — cardinality ∝ near-duplicates, not |corpus|²;
-- SimHash:     64-bit sign fingerprint, 16-bit chunk bucketing (pigeonhole:
+- SimHash:     60-bit sign fingerprint, 15-bit chunk bucketing (pigeonhole:
   hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), bit_count verify.
 
-All arithmetic is integer/hash-based → fully deterministic; MinHash/
-SimHash use Spark's xxhash64, which has no cross-engine twin in DuckDB →
-those two are rows-only checks (SURVEY §2 Table B note).
+All arithmetic is integer/hash-based → fully deterministic AND fully
+cross-engine portable: the base hash is an md5-derived integer
+(identical in Spark and DuckDB) and the MinHash permutations are
+universal-hash arithmetic ((a*h + b) mod p), so both pipelines admit a
+complete DuckDB oracle — no xxhash64, no rows-only escape hatch.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -28,6 +32,40 @@ NUM_PERM = 32
 BANDS = 8
 ROWS_PER_BAND = NUM_PERM // BANDS
 MAX_BUCKET = 64  # LSH bucket-width cap: wider = boilerplate, not near-dups
+
+# Universal-hash MinHash permutations: mh_p(x) = (A[p]*h(x) + B[p]) mod P
+# with h(x) a 28-bit md5-derived int. P = 2^31-1 (prime); A*h < 2^59 so the
+# arithmetic never overflows int64 in either engine. The constants are
+# seeded module-level so the Spark builder and the DuckDB oracle string are
+# generated from the SAME values by construction.
+MINHASH_P = 2_147_483_647
+_rng = random.Random(42)
+MH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_PERM)]
+MH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_PERM)]
+
+# md5-derived integer hashes, identical in Spark and DuckDB (verified):
+#   Spark : CAST(conv(substring(md5(x), 1, n), 16, 10) AS BIGINT)
+#   DuckDB: CAST(('0x' || SUBSTR(MD5(x), 1, n)) AS BIGINT)
+# n=7 hex chars → 28-bit (minhash base), n=15 → 60-bit (simhash token hash).
+
+
+def _md5_int(col: Column, hex_chars: int) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def _md5_int_sql(expr: str, hex_chars: int) -> str:
+    return f"CAST(('0x' || SUBSTR(MD5({expr}), 1, {hex_chars})) AS BIGINT)"
+
+
+# DuckDB twin of _shingles() over the whole documents table (UNNESTed).
+_SHINGLES_SQL = """
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           generate_series(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+           i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                STRING_SPLIT(text, ' ')[i+2]))) AS s
+  FROM documents
+"""
 
 
 def _shingles(text: Column, k: int = 3) -> Column:
@@ -110,24 +148,84 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"MIN(({MH_A[p]} * h + {MH_B[p]}) % {MINHASH_P}) AS mh{p}"
+        for p in range(NUM_PERM)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(CONCAT_WS(',', {cols})) AS sig FROM mh".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {_md5_int_sql('s', 7)} AS h FROM sh),
+mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+capped AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           COUNT(*) OVER (PARTITION BY band, sig) AS w
+    FROM bands) WHERE w <= {MAX_BUCKET}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2,
+       ROUND(CAST(n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - n_inter), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.d1
+JOIN sizes z2 ON z2.doc_id = i.d2
+WHERE CAST(n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - n_inter) >= 0.6
+"""
+
+
 @register(
     "q_dedup_near_minhash",
-    oracle=None,  # xxhash64 has no DuckDB twin → rows-only (deterministic)
+    oracle=_minhash_oracle(),
     doc="MinHash+LSH near-dup pipeline: 3-gram shingles → 32-perm MinHash "
-        "(xxhash64 salted per perm) → 8 bands × 4 rows → bucket join for "
-        "candidates → exact Jaccard ≥ 0.6 verify on candidates only.",
+        "(universal-hash permutations over a 28-bit md5-derived base hash "
+        "— portable to DuckDB, so the WHOLE pipeline is oracle-checked) → "
+        "8 bands × 4 rows → bucket join for candidates → exact Jaccard "
+        "≥ 0.6 verify on candidates only. At 100 TB the band signature "
+        "stays a 16-byte digest, never the raw minhash tuple.",
 )
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.col("text")).alias("ss")
     )
     d = d.filter(F.size("ss") > 0)
-    ex = d.select("doc_id", F.explode("ss").alias("sh"))
+    ex = d.select("doc_id", F.explode("ss").alias("sh")).withColumn(
+        "h", _md5_int(F.col("sh"), 7)
+    )
 
-    # 32 salted-hash min-aggregations in one shuffle on doc_id
+    # 32 universal-hash min-aggregations in one shuffle on doc_id
     mh = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"mh{p}")
+            F.min((F.lit(MH_A[p]) * F.col("h") + F.lit(MH_B[p])) % MINHASH_P)
+            .alias(f"mh{p}")
             for p in range(NUM_PERM)
         ]
     )
@@ -135,8 +233,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
                 ).alias("sig"),
             )
             for b in range(BANDS)
@@ -197,18 +301,61 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 → 60-bit portable token hash
+SIMHASH_CHUNK = 15  # 4 chunks × 15 bits; hamming ≤ 3 ⇒ ≥1 chunk equal
+_CHUNK_MASK = (1 << SIMHASH_CHUNK) - 1
+
+
+def _simhash_oracle() -> str:
+    bit_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_terms = "\n         + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_md5_int_sql('tok', 15)} AS h FROM toks),
+bs AS (
+  SELECT doc_id,
+         {bit_cols}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {fp_terms} AS simhash
+  FROM bs
+),
+chunks AS (
+  SELECT doc_id, simhash, c,
+         (simhash >> ({SIMHASH_CHUNK} * c)) & {_CHUNK_MASK} AS v
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) t(c)
+)
+SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM chunks x JOIN chunks y
+  ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
 @register(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64-based fingerprint → rows-only (deterministic)
-    doc="SimHash near-dup: 64-bit sign fingerprint of token hashes; "
-        "16-bit-chunk bucketing (hamming ≤ 3 ⇒ some chunk equal) then "
-        "bit_count(xor) verify.",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup: 60-bit sign fingerprint of md5-derived token "
+        "hashes (portable → full DuckDB oracle); 15-bit-chunk bucketing "
+        "(hamming ≤ 3 ⇒ some chunk equal) then bit_count(xor) verify.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _md5_int(F.col("tok"), 15))
 
     bit_sums = toks.groupBy("doc_id").agg(
         *[
@@ -216,11 +363,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         sim = sim.bitwiseOR(
             F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
         )
@@ -234,8 +381,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", SIMHASH_CHUNK * c)
+                        .bitwiseAND(F.lit(_CHUNK_MASK))
                         .alias("v"),
                     )
                     for c in range(4)

@@ -9,9 +9,10 @@ Three paths over `embeddings` (64-dim float vectors):
   dot products run as blockwise NumPy matmul inside `mapInArrow` (one
   BLAS call per Arrow batch instead of per-row expression trees). Same
   oracle SQL as the declarative path — both must hash-match it.
-- `q_sim_lsh_ann`     — sign-random-projection LSH bucketing: candidates
-  only form inside matching 8-bit buckets, then exact rerank. Recall < 1
-  by design → rows-only check.
+- `q_sim_lsh_ann`     — sign-random-projection multi-probe LSH bucketing:
+  candidates only form inside matching buckets, then exact rerank.
+  Recall < 1 by design → the key emits its own recall@5 >= 0.7
+  assertion as a hash-checked boolean row (same for `q_sim_ivf_ann`).
 - `q_sim_threshold_pairs` — all-pairs cosine ≥ τ (exact, quadratic; the
   honest baseline the LSH path approximates).
 
@@ -185,18 +186,26 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sim_lsh_ann",
-    oracle=None,  # approximate by design (recall < 1) → rows-only
-    doc="Sign-random-projection LSH ANN, multi-table: 4 hash tables × 6 "
-        "fixed hyperplanes (seed 42) → per-table 6-bit bucket → union of "
-        "bucket-mates as candidates → exact cosine rerank, top-5 per "
-        "query. The (table, bucket) equi-join replaces the quadratic "
-        "cross join at scale; more tables buy recall linearly in cost.",
+    oracle=f"""
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(1 AS BOOLEAN) AS recall_ok
+""",
+    doc="Sign-random-projection LSH ANN, multi-table multi-probe: 8 hash "
+        "tables × 6 fixed hyperplanes (seed 42) → per-table 6-bit bucket; "
+        "each QUERY additionally probes the 6 buckets at hamming distance "
+        "1 (data vectors are bucketed exactly once — probing is query-side "
+        "only, the standard multi-probe trade). The (table, bucket) "
+        "equi-join replaces the quadratic cross join at scale; tables and "
+        "probes buy recall linearly in cost, bits scale with log(n). "
+        "Recall < 1 by design, so the emitted result is the quality "
+        "assertion itself: mean recall@5 vs the exact top-5 (computed in "
+        "the same query) >= 0.7 → one fully hash-checked boolean row.",
 )
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    n_tables, n_bits = 4, 6
+    n_tables, n_bits = 8, 6
     rng = np.random.RandomState(42)
     planes = rng.standard_normal((n_tables, n_bits, 64))
 
@@ -223,8 +232,23 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = e.mapInArrow(bucketize, "vec_id long, tbl long, bucket long")
     eb = _with_norm(e)
-    q_buckets = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "tbl", "bucket"
+    # multi-probe: each query probes its own bucket plus the n_bits
+    # buckets at hamming distance 1 — 7 probe rows per (query, table)
+    q_buckets = (
+        buckets.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "tbl",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_bits)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     )
     cand = (
         buckets.join(
@@ -253,19 +277,33 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "vec_id", "cos_sim")
     )
-    return _topk(pairs)
+    lsh_topk = _topk(pairs).select("q_id", "vec_id")
+    exact_topk = q_sim_knn_cosine(spark, sf_dir).select("q_id", "vec_id")
+    hits = lsh_topk.join(exact_topk, ["q_id", "vec_id"])
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        (
+            F.count(F.lit(1)) >= F.lit(0.7 * N_QUERIES * TOP_K)
+        ).alias("recall_ok"),
+    )
 
 
 @register(
     "q_sim_ivf_ann",
-    oracle=None,  # approximate by design (probes nprobe/nlist of the space)
+    oracle=f"""
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(1 AS BOOLEAN) AS recall_ok
+""",
     doc="IVF (inverted-file) ANN: 16 centroids seeded from the first 16 "
         "vectors and refined with one distributed Lloyd step (assign via "
         "blockwise NumPy argmin in mapInArrow; per-dimension means via "
         "posexplode + groupBy — only the 16x64 centroid table is ever "
         "collected). Each query probes its 4 nearest centroids; candidate "
         "generation is an equi-join on centroid id (the IVF analogue of "
-        "the LSH bucket join), then exact cosine rerank to top-5.",
+        "the LSH bucket join), then exact cosine rerank to top-5. "
+        "Approximate by design (probes nprobe/nlist of the space), so the "
+        "emitted result is the quality assertion: mean recall@5 vs the "
+        "exact top-5 >= 0.7 → one fully hash-checked boolean row.",
 )
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -352,4 +390,12 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "vec_id", "cos_sim")
     )
-    return _topk(pairs)
+    ivf_topk = _topk(pairs).select("q_id", "vec_id")
+    exact_topk = q_sim_knn_cosine(spark, sf_dir).select("q_id", "vec_id")
+    hits = ivf_topk.join(exact_topk, ["q_id", "vec_id"])
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        (
+            F.count(F.lit(1)) >= F.lit(0.7 * N_QUERIES * TOP_K)
+        ).alias("recall_ok"),
+    )
