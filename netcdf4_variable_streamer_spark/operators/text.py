@@ -30,7 +30,9 @@ def _tokens(df: DataFrame) -> DataFrame:
     "q_text_stats",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  SELECT * FROM (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
 )
 SELECT lang,
        COUNT(DISTINCT doc_id) AS n_docs,
@@ -69,7 +71,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tfidf_top",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  SELECT * FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
 ),
 tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
@@ -117,7 +121,9 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_langid",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  SELECT * FROM (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
 ),
 lang_top AS (
   SELECT lang AS cand_lang, tok FROM (
@@ -179,7 +185,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_quality",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  SELECT * FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
 ),
 stop AS (
   SELECT tok FROM (

@@ -103,7 +103,7 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT d.doc_id, t.token
 FROM documents d, UNNEST(STRING_SPLIT(d.text, ' ')) AS t(token)
-WHERE d.doc_id < 20
+WHERE d.doc_id < 20 AND t.token <> ''
 """,
     doc="Python UDTF: one document row → one row per token "
         "(lateral-join expansion).",

@@ -3,9 +3,13 @@
 The grid fixture (FIXTURES.md §3) is generated deterministically through
 the reference-parity write path itself (StreamedDataset/StreamedVariable
 — so every scan query also exercises A1-A7), then scanned through the
-custom DataSource. DuckDB has no view of the generated store, so these
-are rows-only checks; exact round-trip equality is asserted in
-tests/test_chunk_source.py instead (SURVEY §5.2 layer 2).
+custom DataSource. DuckDB has no view of the generated store, but the
+fixture is CLOSED-FORM (pure integer/rational IEEE arithmetic — no
+transcendentals, so every engine computes bit-identical float32 cells),
+which means each key's expected result is itself SQL-expressible: the
+oracle regenerates the grid with generate_series and aggregates it.
+Exact round-trip equality is additionally asserted in
+tests/test_chunk_source.py (SURVEY §5.2 layer 2).
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from netcdf4_variable_streamer_spark.registry import dsum, register
+from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register
 from netcdf4_variable_streamer_spark.sources.chunkstore import StreamedDataset
 from netcdf4_variable_streamer_spark.sources.netcdf_source import (
     FORMAT_NAME,
@@ -32,23 +36,46 @@ GRID_T, GRID_Y, GRID_X = 128, 32, 32
 
 
 def grid_values(t0: int, n: int) -> dict[str, np.ndarray]:
-    """Deterministic (seedless, closed-form) grid block [t0, t0+n)."""
+    """Deterministic (seedless, closed-form) grid block [t0, t0+n).
+
+    Pure integer/rational IEEE-754 double arithmetic, NO transcendentals:
+    libm sin/cos may differ by 1 ulp across implementations, and after
+    the float32 cast + 1e-6 fixed-point sum that 1 ulp is visible. Every
+    term here is an exact double computation that any engine reproduces
+    bit-identically, so the DuckDB oracle can regenerate the grid.
+    """
     t = np.arange(t0, t0 + n, dtype=np.float64)[:, None, None]
     y = np.arange(GRID_Y, dtype=np.float64)[None, :, None]
     x = np.arange(GRID_X, dtype=np.float64)[None, None, :]
-    temperature = (280 + 10 * np.sin(t * 0.1) + y * 0.01 + x * 0.001).astype(
+    temperature = (280 + ((t * 7) % 50) * 0.1 + y * 0.01 + x * 0.001).astype(
         np.float32
     )
-    humidity = (50 + 20 * np.cos(t * 0.05) - y * 0.02 + x * 0.002).astype(
+    humidity = (50 + ((t * 13) % 40) * 0.5 - y * 0.02 + x * 0.002).astype(
         np.float32
     )
     return {"temperature": temperature, "humidity": humidity}
 
 
+# DuckDB twin of grid_values ⊗ full index space: regenerates the grid
+# cells (same association order, same int→double products, float32 cast)
+# for the closed-form oracles below. {T} is the time extent.
+_GRID_CTE = f"""
+g AS (
+  SELECT tt.t AS t, yy.y AS y, xx.x AS x,
+         CAST(CAST(280 + ((tt.t * 7) % 50) * 0.1 + yy.y * 0.01
+                   + xx.x * 0.001 AS FLOAT) AS DOUBLE) AS temperature,
+         CAST(CAST(50 + ((tt.t * 13) % 40) * 0.5 - yy.y * 0.02
+                   + xx.x * 0.002 AS FLOAT) AS DOUBLE) AS humidity
+  FROM (SELECT UNNEST(generate_series(0, {{T}} - 1)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {GRID_Y - 1})) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {GRID_X - 1})) AS x) xx
+)"""
+
+
 def ensure_grid(path: str | None = None, t_total: int = GRID_T) -> str:
     """Materialize the grid store through the reference-parity write path
     (A1-A7): DDL, block-streamed writes, flush-on-close."""
-    path = path or os.path.join(SCRATCH, f"grid_{t_total}")
+    path = path or os.path.join(SCRATCH, f"grid_v2_{t_total}")
     meta = os.path.join(path, "meta.json")
     if os.path.exists(meta):
         return path
@@ -78,10 +105,18 @@ def _register_and_load(spark: SparkSession, path: str) -> DataFrame:
 
 @register(
     "src_netcdf_chunked_scan",
-    oracle=None,  # generated store not visible to DuckDB → rows-only
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       {SQL_DSUM('humidity')} AS sum_hum
+FROM g
+""",
     doc="Chunk-partitioned scan through the custom DataSource (reference "
         "A1/A8/A9 as a Spark source): full-grid aggregate over one "
-        "partition per storage chunk.",
+        "partition per storage chunk. Oracle regenerates the closed-form "
+        "grid in SQL — a full write(A1-A7)+scan(A8/A9) round-trip check.",
 )
 def src_netcdf_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _register_and_load(spark, ensure_grid())
@@ -95,7 +130,17 @@ def src_netcdf_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_filter_hyperslab",
-    oracle=None,
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT y AS y_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       MIN(t) AS t_min,
+       MAX(t) AS t_max
+FROM g
+WHERE t >= 17 AND t < 93 AND y < 8 AND x BETWEEN 4 AND 11
+GROUP BY y
+""",
     doc="Hyperslab box filter (reference A11) as automatic pushdown: the "
         "streamed-dim range reaches pushFilters and prunes whole chunks; "
         "the y/x box is evaluated post-scan by Spark.",
@@ -108,7 +153,7 @@ def q_filter_hyperslab(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("y_idx") < 8)
         & (F.col("x_idx").between(4, 11))
     )
-    return box.groupBy("y_idx").agg(
+    return box.groupBy(F.col("y_idx").cast("long").alias("y_idx")).agg(
         F.count(F.lit(1)).alias("n_cells"),
         dsum(F.col("temperature").cast("double")).alias("sum_temp"),
         F.min("time_idx").alias("t_min"),
@@ -118,10 +163,18 @@ def q_filter_hyperslab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snk_chunked_write",
-    oracle=None,
+    oracle=f"""
+WITH {_GRID_CTE.format(T=32)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g
+""",
     doc="Buffered chunk-aligned append sink (reference A4-A7 as a Spark "
-        "sink): write a grid slice through the DataSource writer, read "
-        "it back through the DataSource reader, compare aggregates.",
+        "sink): write a grid slice (t < 32) through the DataSource "
+        "writer, read it back through the DataSource reader; the oracle "
+        "is the closed-form aggregate of that slice, so any loss or "
+        "duplication in the write→read round trip hash-mismatches.",
 )
 def snk_chunked_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -163,10 +216,17 @@ def snk_chunked_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "src_netcdf_stream_tail",
-    oracle=None,
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
     doc="Tail-follow of the growing streamed dim (reference A14) as a "
         "Structured Streaming source: offset = UNLIMITED-dim extent; "
-        "availableNow run drains the current extent into a memory sink.",
+        "availableNow run drains the current extent into a memory sink. "
+        "Oracle: per-line closed-form aggregates of the full extent.",
 )
 def src_netcdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netcdf4_variable_streamer_spark.streaming.queries import (

@@ -167,7 +167,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts::TIMESTAMP AS ts, value,
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
          CASE WHEN ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER (
                 PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
               < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
@@ -175,7 +175,7 @@ WITH marked AS (
 ),
 ids AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
@@ -212,10 +212,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_watermark_late",
-    oracle=None,  # true streaming run → rows-only
+    oracle="""
+SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts::TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
     doc="Real Structured-Streaming run: 10-minute watermark on ts, "
         "tumbling 1-h counts, availableNow trigger, memory sink. "
-        "Exercises watermark bookkeeping + late-row dropping end to end.",
+        "Exercises watermark bookkeeping + late-row dropping end to end. "
+        "Oracle: the input arrives as ONE availableNow batch (single "
+        "parquet file), so the watermark never advances mid-stream, no "
+        "row is late, and complete-mode output equals the full batch "
+        "aggregation — which IS SQL-expressible. The late-drop path "
+        "itself is exercised with multi-batch input in "
+        "tests/test_streaming.py.",
 )
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events_stream(spark, sf_dir)
@@ -234,11 +247,29 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_stateful_custom",
-    oracle=None,  # custom stateful op → rows-only
+    oracle="""
+WITH agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases
+  FROM events GROUP BY user_id
+),
+last AS (
+  SELECT user_id, event_type AS last_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1
+)
+SELECT a.user_id, a.n_events, a.n_purchases, l.last_type
+FROM agg a JOIN last l ON l.user_id = a.user_id
+""",
     doc="Per-user custom state machine (applyInPandasWithState in the "
         "streaming form, tests/test_streaming.py): running event count, "
         "purchase count, and last event type per user. The batch twin "
-        "here computes the same final state declaratively.",
+        "here computes the same final state declaratively; the oracle is "
+        "its gaps-free SQL equivalent (max_by ≡ ROW_NUMBER-1 on "
+        "(ts, event_id) DESC).",
 )
 def q_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
