@@ -32,6 +32,133 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# ---------------------------------------------------------------------------
+# Canonical contract order. The external driver verifies registry keys in
+# iteration order with a bounded per-round window (round 1: exactly the
+# first 50), so iteration order is part of the contract, not an accident
+# of module import order. Policy:
+#   1-50  every committed SURVEY §2 Table B key that lacked a driver row
+#         in round 1 (B-0 sources/sinks, B-4 windows, B-8 streaming, B-9
+#         UDFs, B-10 text) plus the formerly-no-oracle sketch keys, then
+#         the core join/agg/projection spine;
+#   51-66 remaining committed Table B keys (driver-green in round 1,
+#         recorded in CORRECTNESS_r01.json);
+#   67+   addendum keys beyond the committed plan.
+# Keys not listed here (new work) append after the listed ones in
+# registration order — add them to the list when promoting them into the
+# verified window.
+# ---------------------------------------------------------------------------
+
+CANONICAL_ORDER: list[str] = [
+    # -- 1-5: B-0 sources/sinks + hyperslab (reference core surface)
+    "src_parquet_scan",
+    "src_netcdf_chunked_scan",
+    "src_netcdf_stream_tail",
+    "snk_chunked_write",
+    "q_filter_hyperslab",
+    # -- 6-12: B-4 window functions
+    "q_win_rank_topk_group",
+    "q_win_running_sum",
+    "q_win_sliding_frame",
+    "q_win_range_frame",
+    "q_win_lead_lag",
+    "q_win_ntile_pct",
+    "q_win_first_last",
+    # -- 13-17: B-9 UDF surface
+    "q_udf_row",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_split",
+    "q_map_in_arrow",
+    # -- 18-19: B-10 text (committed)
+    "q_text_stats",
+    "q_text_tfidf_top",
+    # -- 20-25: B-8 streaming
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_watermark_late",
+    "q_stream_stateful_custom",
+    # -- 26-29: formerly err(no_oracle), now fully oracle-checked
+    "q_agg_approx_distinct",
+    "q_dedup_near_minhash",
+    "q_dedup_simhash",
+    "q_sim_lsh_ann",
+    # -- 30-50: committed relational spine
+    "q_project_rename_cast",
+    "q_filter_predicates",
+    "q_join_inner_hash",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast_star",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_agg_groupby_sum",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_collect",
+    "q_dedup_exact",
+    "q_sim_knn_cosine",
+    "q_sim_threshold_pairs",
+    # -- 51-66: remaining committed Table B (driver-green in round 1)
+    "q_join_cross",
+    "q_sort_multikey_nulls",
+    "q_topk_global",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_map",
+    "q_fn_json",
+    "q_multimodal_bundle",
+    "q_pivot_lang_source",
+    # -- 67+: addendum beyond the committed plan
+    "q_agg_percentiles",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embed_cosine",
+    "q_dedup_cc_clusters",
+    "q_join_range_bucketed",
+    "q_sim_knn_blocked",
+    "q_sim_ivf_ann",
+    "q_subquery_scalar",
+    "q_subquery_scalar_corr",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_sample_hash_split",
+    "q_fn_variant",
+    "q_multimodal_features",
+    "q_stream_join",
+    "snk_parquet_partitioned",
+]
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY in canonical contract order (unlisted keys append last)."""
+    out: dict[str, QuerySpec] = {}
+    for k in CANONICAL_ORDER:
+        if k in REGISTRY:
+            out[k] = REGISTRY[k]
+    for k, spec in REGISTRY.items():
+        if k not in out:
+            out[k] = spec
+    return out
+
 
 def register(key: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a query builder under ``key``."""

@@ -49,4 +49,39 @@ def test_contract_shape():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 20 or True  # grows round over round
+    assert set(o) == set(q), "every key must carry a DuckDB oracle"
+
+
+def test_contract_canonical_order():
+    """The driver verifies a bounded prefix of queries() per round; the
+    first 50 must be exactly the committed SURVEY §2 Table B coverage
+    set (registry.py CANONICAL_ORDER policy)."""
+    import __spark_entry__ as e
+    from netcdf4_variable_streamer_spark.registry import (
+        CANONICAL_ORDER,
+        REGISTRY,
+    )
+
+    keys = list(e.queries())
+    assert keys[: len(CANONICAL_ORDER)] == [
+        k for k in CANONICAL_ORDER if k in REGISTRY
+    ]
+    # no stale entries: every listed key exists
+    missing = [k for k in CANONICAL_ORDER if k not in REGISTRY]
+    assert not missing, f"CANONICAL_ORDER lists unknown keys: {missing}"
+    # the window includes every round-1-unverified committed family
+    window = set(keys[:50])
+    committed_b8 = {
+        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+        "q_stream_dedup", "q_stream_watermark_late",
+        "q_stream_stateful_custom",
+    }  # q_stream_join is addendum (round-1 green), outside the window
+    assert committed_b8 <= window
+    for fam in ("q_win_", "q_udf"):
+        assert all(k in window for k in REGISTRY if k.startswith(fam)), fam
+    for k in ("src_netcdf_chunked_scan", "src_netcdf_stream_tail",
+              "snk_chunked_write", "q_filter_hyperslab",
+              "q_text_stats", "q_text_tfidf_top",
+              "q_agg_approx_distinct", "q_dedup_near_minhash",
+              "q_dedup_simhash", "q_sim_lsh_ann"):
+        assert k in window, k
