@@ -104,8 +104,10 @@ def assert_max_shuffles(df: DataFrame, n: int) -> None:
     scale; a query that shuffles more times than its algebra requires is
     wrong even when it is fast at sf0.1."""
     plan = plan_string(df)
-    # 'Exchange' node lines; exclude AQE's 'ShuffleQueryStage' reuse wrappers.
-    found = count_nodes(plan, "Exchange") - count_nodes(plan, "ReusedExchange")
+    # count_nodes matches exact node headers, so 'ReusedExchange' nodes are
+    # already NOT counted as 'Exchange' — no subtraction (subtracting them
+    # made the budget too lenient and could go negative).
+    found = count_nodes(plan, "Exchange")
     assert found <= n, f"expected <= {n} shuffles, found {found}.\n{plan}"
 
 

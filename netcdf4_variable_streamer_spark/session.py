@@ -42,7 +42,12 @@ def get_spark(app_name: str = "netcdf4-variable-streamer-spark") -> SparkSession
     return b.getOrCreate()
 
 
-_CONFS_APPLIED: set[int] = set()
+# WeakSet, not a set of id()s: CPython reuses ids after GC, so a replaced
+# session could alias a stale id and silently skip conf application. Weak
+# references track the live object itself and drop with it.
+import weakref  # noqa: E402  (kept local to the memo it serves)
+
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def apply_runtime_confs(spark: SparkSession) -> None:
@@ -52,11 +57,11 @@ def apply_runtime_confs(spark: SparkSession) -> None:
     this runs on every table load — without the memo a 6-table star join
     pays ~50 round trips per build.
     """
-    if id(spark) in _CONFS_APPLIED:
+    if spark in _CONFS_APPLIED:
         return
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a foreign session — keep going
-    _CONFS_APPLIED.add(id(spark))
+    _CONFS_APPLIED.add(spark)

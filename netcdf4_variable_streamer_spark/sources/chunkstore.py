@@ -170,6 +170,17 @@ class ChunkStore:
     def list_chunks(self) -> list[ChunkInfo]:
         return list(self.chunks)
 
+    def truncate(self) -> None:
+        """Drop all committed chunks (overwrite-mode reset, A7 inverse):
+        delete the chunk files, clear the index, republish meta."""
+        for c in self.chunks:
+            try:
+                os.remove(os.path.join(self.path, c.file))
+            except OSError:
+                pass
+        self.chunks = []
+        self._save_meta()
+
     def read_chunk(self, chunk: ChunkInfo, columns: list[str] | None = None
                    ) -> pa.Table:
         return pq.read_table(

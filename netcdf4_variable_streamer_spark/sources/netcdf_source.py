@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -286,8 +287,13 @@ class NetCDFChunkWriter(DataSourceArrowWriter):
     def commit(self, messages):
         """Job commit: deterministically order task outputs, assign global
         line offsets, convert pending blocks into chunk files, publish
-        meta atomically (reference A6/A7 flush+close)."""
+        meta atomically (reference A6/A7 flush+close). In overwrite mode
+        the existing chunks are dropped HERE, not in write(): tasks may
+        retry/speculate, and the store must stay intact if the job fails
+        before commit."""
         store = ChunkStore.open(self.path)
+        if self.overwrite:
+            store.truncate()
         for msg in messages:
             for fname, _n in msg.files:
                 with np.load(os.path.join(self.path, fname)) as z:

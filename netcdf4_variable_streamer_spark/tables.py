@@ -9,6 +9,8 @@ disagree with DuckDB's ns→µs truncation).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,17 +21,24 @@ TABLE_NAMES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# Scan-reuse cache: (session JVM id, sf_dir, name) -> analyzed DataFrame.
+# Scan-reuse cache: session -> {(sf_dir, name) -> analyzed DataFrame}.
 # Reading a parquet footer + analysis costs ~50-150 ms per call; operators
 # that touch 6 tables (star join) pay it 6x per build without this. The
 # cache holds lazy plans only (no data is pinned), so it is safe at any
-# scale; keyed on the session so a stopped/replaced session misses.
-_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# scale. Keyed WEAKLY on the live session object — id(spark) would alias
+# after GC (CPython reuses ids), handing out DataFrames bound to a
+# stopped session; a WeakKeyDictionary entry dies with its session.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    cached = _SCAN_CACHE.get(key)
+    per_session = _SCAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     apply_runtime_confs(spark)
@@ -38,7 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns epoch → µs TimestampType; truncating integer division matches
         # DuckDB's TIMESTAMP_NS → TIMESTAMP cast for post-1970 data.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _SCAN_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

@@ -266,6 +266,42 @@ def test_partitioned_parquet_sink(check):
     assert len(pdf) == 3  # l_returnflag in {A, N, R}
 
 
+def test_sink_overwrite_mode(spark):
+    """mode('overwrite') must REPLACE the store's chunks, not silently
+    append duplicates; the reset happens at job commit so a failed job
+    leaves the old data intact."""
+    src = srcq.ensure_grid()
+    dst = _tmp()
+    ChunkStore.create(
+        dst,
+        {"time": None, "y": srcq.GRID_Y, "x": srcq.GRID_X},
+        "time",
+        16,
+        {"temperature": "float32", "humidity": "float32"},
+    )
+    spark.dataSource.register(NetCDFChunkDataSource)
+    sl = (
+        spark.read.format(FORMAT_NAME).option("path", src).load()
+        .filter("time_idx < 32")
+        .orderBy("time_idx", "y_idx", "x_idx")
+        .coalesce(1)
+    )
+    for mode in ("append", "append"):  # 2 appends -> 64 lines
+        sl.write.format(FORMAT_NAME).option("path", dst).mode(mode).save()
+    assert ChunkStore.open(dst).extent == 64
+    # overwrite drops both prior appends and leaves exactly one copy
+    sl.write.format(FORMAT_NAME).option("path", dst).mode("overwrite").save()
+    store = ChunkStore.open(dst)
+    assert store.extent == 32
+    back = spark.read.format(FORMAT_NAME).option("path", dst).load()
+    assert back.count() == 32 * srcq.GRID_Y * srcq.GRID_X
+    # every chunk file the meta references exists; no orphan chunk files
+    files = {c.file for c in store.list_chunks()}
+    on_disk = {f for f in os.listdir(dst) if f.startswith("chunk-")}
+    assert files == on_disk
+    shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_stream_write_foreachbatch_roundtrip(spark):
     """The reference's primary use case in streaming form: lines arriving
     as an unbounded stream are appended into the chunked store through
