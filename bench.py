@@ -36,10 +36,20 @@ BENCH_KEYS = {
 C1_GRID_LINES = 4096
 
 
-def c1_chunked_scan(spark):
+def _c1_agg(df):
     from pyspark.sql import functions as F
 
     from netcdf4_variable_streamer_spark.registry import dsum
+
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+    )
+
+
+def c1_chunked_scan(spark):
+    """Python-DataSource scan path (protocol surface, A8/A9)."""
     from netcdf4_variable_streamer_spark.sources import queries as srcq
     from netcdf4_variable_streamer_spark.sources.netcdf_source import (
         FORMAT_NAME,
@@ -48,12 +58,17 @@ def c1_chunked_scan(spark):
 
     path = srcq.ensure_grid(t_total=C1_GRID_LINES)
     spark.dataSource.register(NetCDFChunkDataSource)
-    df = spark.read.format(FORMAT_NAME).option("path", path).load()
-    return df.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
-        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
-    )
+    return _c1_agg(spark.read.format(FORMAT_NAME).option("path", path).load())
+
+
+def c1n_native_scan(spark):
+    """Native JVM parquet scan over the same chunk store (the batch-read
+    scale path: zero Python crossings, vectorized decode)."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf_source import read_native
+
+    path = srcq.ensure_grid(t_total=C1_GRID_LINES)
+    return _c1_agg(read_native(spark, path))
 
 
 def main() -> None:
@@ -70,6 +85,7 @@ def main() -> None:
 
     builders = {k: REGISTRY[v].builder for k, v in BENCH_KEYS.items()}
     builders["c1"] = lambda s, _sf: c1_chunked_scan(s)
+    builders["c1n"] = lambda s, _sf: c1n_native_scan(s)
 
     # Suite-wide warm-up pass first: JVM JIT (C2) needs several executions
     # of the shared codegen/shuffle paths before timings are steady-state;

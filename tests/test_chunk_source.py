@@ -197,6 +197,45 @@ def test_pushdown_prunes_chunks(spark):
     assert got == 16 * srcq.GRID_Y * srcq.GRID_X
 
 
+def test_native_read_matches_datasource(spark):
+    """The native JVM parquet batch path must be row-identical to the
+    Python DataSource scan, and must honor commit visibility: a chunk
+    file on disk but absent from the meta sidecar (aborted job debris)
+    is invisible to both paths."""
+    from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+        read_native,
+    )
+
+    src = srcq.ensure_grid()
+    # copy the store so the orphan we plant can't pollute other tests
+    path = _tmp()
+    shutil.rmtree(path)
+    shutil.copytree(src, path)
+    spark.dataSource.register(NetCDFChunkDataSource)
+
+    ds = spark.read.format(FORMAT_NAME).option("path", path).load()
+    nat = read_native(spark, path)
+    assert nat.schema == ds.schema
+    cols = ["time_idx", "y_idx", "x_idx", "temperature", "humidity"]
+    a = ds.orderBy(*cols[:3]).collect()
+    b = nat.orderBy(*cols[:3]).collect()
+    assert a == b
+
+    # plant an orphan chunk file NOT referenced by meta.json
+    store = ChunkStore.open(path)
+    donor = store.list_chunks()[0].file
+    shutil.copy(
+        os.path.join(path, donor), os.path.join(path, "chunk-99999-orphan.parquet")
+    )
+    n_expected = srcq.GRID_T * srcq.GRID_Y * srcq.GRID_X
+    assert read_native(spark, path).count() == n_expected
+    assert (
+        spark.read.format(FORMAT_NAME).option("path", path).load().count()
+        == n_expected
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_sink_roundtrip(check):
     pdf = check("snk_chunked_write")
     assert pdf.loc[0, "n_cells"] == 32 * srcq.GRID_Y * srcq.GRID_X
