@@ -129,11 +129,15 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.array([r.embedding for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
+    from netcdf4_variable_streamer_spark.functions.arrow_np import (
+        column_i64,
+        list_matrix_f64,
+    )
+
     def block_cos(batches):
         for batch in batches:
-            d = batch.to_pydict()
-            ids = np.asarray(d["vec_id"], dtype=np.int64)
-            X = np.asarray(d["embedding"], dtype=np.float64)
+            ids = column_i64(batch, "vec_id")
+            X = list_matrix_f64(batch, "embedding")
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             cos = Xn @ Qn.T  # (rows, n_queries) — one GEMM per batch
             n_rows, n_q = cos.shape
@@ -209,11 +213,15 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = np.random.RandomState(42)
     planes = rng.standard_normal((n_tables, n_bits, 64))
 
+    from netcdf4_variable_streamer_spark.functions.arrow_np import (
+        column_i64,
+        list_matrix_f64,
+    )
+
     def bucketize(batches):
         for batch in batches:
-            d = batch.to_pydict()
-            X = np.asarray(d["embedding"], dtype=np.float64)
-            ids = np.asarray(d["vec_id"], dtype=np.int64)
+            X = list_matrix_f64(batch, "embedding")
+            ids = column_i64(batch, "vec_id")
             out_ids, out_tbl, out_bkt = [], [], []
             for t in range(n_tables):
                 bits = (X @ planes[t].T) > 0
@@ -323,16 +331,20 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
 
+    from netcdf4_variable_streamer_spark.functions.arrow_np import (
+        column_i64,
+        list_matrix_f64,
+    )
+
     def make_assign(cent: "np.ndarray"):
         def assign(batches):
             for batch in batches:
-                d = batch.to_pydict()
-                X = np.asarray(d["embedding"], dtype=np.float64)
+                X = list_matrix_f64(batch, "embedding")
                 # argmin squared L2: ||x||^2 - 2xC^T + ||c||^2; ||x||^2 const
                 dist = -2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)
                 yield pa.RecordBatch.from_pydict(
                     {
-                        "vec_id": np.asarray(d["vec_id"], dtype=np.int64),
+                        "vec_id": column_i64(batch, "vec_id"),
                         "cluster": dist.argmin(axis=1).astype(np.int64),
                     }
                 )

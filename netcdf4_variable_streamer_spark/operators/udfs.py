@@ -144,13 +144,17 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
+    from netcdf4_variable_streamer_spark.functions.arrow_np import (
+        column_i64,
+        list_matrix_f64,
+    )
+
     def l2_batches(batches):
         for batch in batches:
-            tbl = batch.to_pydict()
-            mat = np.asarray(tbl["embedding"], dtype=np.float64)
+            mat = list_matrix_f64(batch, "embedding")
             norms = np.round(np.sqrt((mat * mat).sum(axis=1)), 4)
             yield pa.RecordBatch.from_pydict(
-                {"vec_id": tbl["vec_id"], "l2_norm": norms}
+                {"vec_id": column_i64(batch, "vec_id"), "l2_norm": norms}
             )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
