@@ -38,10 +38,111 @@ def _fake_pixels(payload: bytes, shape=(8, 8, 3)) -> np.ndarray:
     return out.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs, pure NumPy (no external libraries): uncompressed 24-bit BMP
+# and binary PPM (P6). These are not stubs — any BMP/P6 payload a user
+# writes with a standard tool decodes here, and the encoders produce files
+# standard tools open. Everything else (JPEG/PNG/...) still needs Pillow.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes
+    (bottom-up rows, BGR channel order, rows padded to 4 bytes)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB.
+    Handles bottom-up (height > 0) and top-down (height < 0) row order
+    and 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6, maxval 255) bytes."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → (h, w, 3) uint8 RGB. Handles comment
+    lines and arbitrary whitespace in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval 255 supported ({maxval})")
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=h * w * 3, offset=pos
+    ).reshape(h, w, 3)
+
+
+def decode_any(payload: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes to a pure-NumPy decoder; None if the
+    format needs an external codec."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return None
+
+
 def decode_image_batches(
     batches: Iterator[pd.DataFrame], fake: bool = False
 ) -> Iterator[pd.DataFrame]:
-    """payload(binary) → image features. Real path needs Pillow."""
+    """payload(binary) → image features.
+
+    BMP (uncompressed 24-bit) and PPM (P6) payloads decode through the
+    pure-NumPy codecs above — a REAL path with no external dependency.
+    Other formats need Pillow; without it they raise the clearly-marked
+    stub error (or use the `fake=True` synthetic decode in tests)."""
     try:
         from PIL import Image  # noqa: F401
 
@@ -50,22 +151,26 @@ def decode_image_batches(
         have_pil = False
 
     for pdf in batches:
-        if not have_pil and not fake:
-            raise NotImplementedError(
-                "STUB: image decode requires Pillow, which is not installed "
-                "in this environment; pass fake=True for the deterministic "
-                "synthetic decode used by the plumbing tests"
-            )
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if have_pil and not fake:
-                import io
-
-                from PIL import Image
-
-                img = np.asarray(Image.open(io.BytesIO(payload)))
+            b = bytes(payload)
+            if fake:
+                img = _fake_pixels(b)
             else:
-                img = _fake_pixels(bytes(payload))
+                img = decode_any(b)
+                if img is None:
+                    if not have_pil:
+                        raise NotImplementedError(
+                            "STUB: only BMP/P6-PPM decode natively; other "
+                            "formats require Pillow (not installed here). "
+                            "Pass fake=True for the synthetic decode used "
+                            "by the plumbing tests"
+                        )
+                    import io
+
+                    from PIL import Image
+
+                    img = np.asarray(Image.open(io.BytesIO(b)))
             h, w = img.shape[0], img.shape[1]
             c = img.shape[2] if img.ndim == 3 else 1
             rows.append((doc_id, w, h, c, round(float(img.mean()), 4)))

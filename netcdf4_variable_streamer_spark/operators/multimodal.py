@@ -124,6 +124,82 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_image_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 31 + yy.y * 7 + xx.x * 3 + cc.c * 11) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+)
+SELECT doc_id,
+       CAST(6 AS INTEGER) AS width,
+       CAST(5 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       FLOOR(SUM(v) * 10000.0 / 90) / 10000.0 AS mean_pixel
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL image decode, no external codec: closed-form 5x6 RGB pixels "
+        "per document are encoded to an uncompressed 24-bit BMP (pure "
+        "NumPy, functions.multimodal.encode_bmp), shipped through Spark "
+        "as an opaque binary column, then decoded back by the pure-NumPy "
+        "BMP decoder (bottom-up rows, BGR order, 4-byte row padding — "
+        "width 6 makes the 18-byte rows pad to 20) and reduced to "
+        "features. The oracle regenerates the same pixels in SQL, so any "
+        "codec bug (channel swap, row flip, padding shear) hash-"
+        "mismatches. At scale this is one mapInPandas per side with no "
+        "shuffle: decode parallelism = scan parallelism.",
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    H, W, C = 5, 6, 3
+    ys, xs, cs = np.indices((H, W, C))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    ((int(d) * 31 + ys * 7 + xs * 3 + cs * 11) % 256).astype(
+                        np.uint8
+                    )
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                h, w, c = img.shape
+                mean = math.floor(int(img.sum()) * 10000.0 / (h * w * c)) / 10000.0
+                rows.append((d, w, h, c, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_channels", "mean_pixel"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_channels int, mean_pixel double",
+    )
+
+
+@register(
     "q_pivot_lang_source",
     oracle="""
 SELECT source,

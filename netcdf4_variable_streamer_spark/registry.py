@@ -145,6 +145,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_features",
     "q_stream_join",
     "snk_parquet_partitioned",
+    "q_multimodal_image_decode",
 ]
 
 
