@@ -188,6 +188,166 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH-prefiltered threshold pairs: deterministic LCG hyperplanes -------
+#
+# The hyperplane components come from a glibc-constant LCG over the flat
+# index k = (t*BITS + b)*64 + dim, scaled to [-0.5, 0.5):
+#     v = ((1103515245*k + 12345) mod 2^31) / 2^31 - 0.5
+# Every step is exact integer arithmetic + a division by a power of two,
+# so Spark (Python-computed literals) and DuckDB (SQL) produce
+# bit-identical doubles — which makes the WHOLE pipeline (bucketing,
+# candidate join, cosine verify) hash-checkable, unlike seeded
+# numpy.standard_normal. Sign-LSH only needs isotropic-ish independent
+# directions; an LCG sequence is amply random for 48 hyperplanes.
+
+_PLSH_TABLES, _PLSH_BITS = 8, 6
+_PLSH_MAX_BUCKET = 256  # skew guard: drop super-dense buckets pre-join
+
+
+def _plsh_plane(t: int, b: int) -> list[float]:
+    return [
+        ((1103515245 * ((t * _PLSH_BITS + b) * 64 + d) + 12345) % 2147483648)
+        / 2147483648.0
+        - 0.5
+        for d in range(64)
+    ]
+
+
+@register(
+    "q_sim_threshold_lsh",
+    oracle=f"""
+WITH planes AS (
+  SELECT tt.t, bb.b,
+         LIST(CAST((1103515245 * ((tt.t * {_PLSH_BITS} + bb.b) * 64 + dd.d)
+                    + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5
+              ORDER BY dd.d) AS pl
+  FROM (SELECT UNNEST(generate_series(0, {_PLSH_TABLES - 1})) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {_PLSH_BITS - 1})) AS b) bb
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS d) dd
+  GROUP BY tt.t, bb.b
+),
+buckets AS (
+  SELECT e.vec_id, p.t AS tbl,
+         SUM(CASE WHEN LIST_SUM(LIST_TRANSFORM(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE) * p.pl[i])) > 0
+             THEN 1 << p.b ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+capped AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT vec_id, tbl, bucket,
+           COUNT(*) OVER (PARTITION BY tbl, bucket) AS w
+    FROM buckets) WHERE w <= {_PLSH_MAX_BUCKET}
+),
+cands AS (
+  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+  FROM capped x JOIN capped y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+v AS (
+  SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings
+)
+SELECT c.v1, c.v2,
+       ROUND({_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm), 4) AS cos_sim
+FROM cands c
+JOIN v a ON a.vec_id = c.v1
+JOIN v b ON b.vec_id = c.v2
+WHERE {_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {TAU}
+""",
+    doc=f"LSH-prefiltered threshold pairs — the PRODUCTION shape of "
+        f"q_sim_threshold_pairs: candidates form only inside matching "
+        f"({_PLSH_TABLES} tables x {_PLSH_BITS}-bit) sign-LSH buckets "
+        f"(equi-join, never a cross join), dense buckets capped at "
+        f"{_PLSH_MAX_BUCKET} as the skew guard, then exact cosine >= "
+        f"{TAU} verifies candidates only. Hyperplanes are LCG-derived so "
+        f"both engines reproduce them bit-identically — the entire "
+        f"approximate pipeline is hash-checked, not just an assertion "
+        f"row. Output is a recall-bounded subset of the exact baseline; "
+        f"at 100 TB the bucket equi-join replaces the quadratic v1<v2 "
+        f"join, which is the difference between feasible and not.",
+)
+def q_sim_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def lit_plane(t: int, b: int) -> Column:
+        return F.array(*[F.lit(x) for x in _plsh_plane(t, b)])
+
+    def fold_dot(plane: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket_cols = [
+        sum(
+            (
+                F.when(fold_dot(lit_plane(t, b)) > 0, F.lit(1 << b)).otherwise(
+                    F.lit(0)
+                )
+                for b in range(_PLSH_BITS)
+            ),
+            start=F.lit(0),
+        ).alias(f"bkt{t}")
+        for t in range(_PLSH_TABLES)
+    ]
+    buckets = e.select("vec_id", *bucket_cols).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("long").alias("tbl"),
+                        F.col(f"bkt{t}").cast("long").alias("bucket"),
+                    )
+                    for t in range(_PLSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+    w = Window.partitionBy("tbl", "bucket")
+    capped = (
+        buckets.withColumn("w", F.count(F.lit(1)).over(w))
+        .filter(F.col("w") <= _PLSH_MAX_BUCKET)
+        .drop("w")
+    )
+    x = capped.select(
+        F.col("vec_id").alias("v1"), "tbl", "bucket"
+    )
+    y = capped.select(
+        F.col("vec_id").alias("v2"), "tbl", "bucket"
+    )
+    cands = (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
+
+    v = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = v.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    return (
+        cands.join(a, "v1")
+        .join(b, "v2")
+        .filter(cos >= TAU)
+        .select("v1", "v2", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
 @register(
     "q_sim_lsh_ann",
     oracle=f"""

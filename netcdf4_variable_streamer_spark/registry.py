@@ -146,6 +146,7 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_join",
     "snk_parquet_partitioned",
     "q_multimodal_image_decode",
+    "q_sim_threshold_lsh",
 ]
 
 

@@ -10,7 +10,7 @@ SQL_KEYS = [
     "q_dedup_near_minhash", "q_dedup_simhash",
     "q_dedup_embed_cosine", "q_dedup_cc_clusters",
     "q_sim_knn_cosine", "q_sim_knn_blocked", "q_sim_threshold_pairs",
-    "q_sim_lsh_ann", "q_sim_ivf_ann",
+    "q_sim_lsh_ann", "q_sim_ivf_ann", "q_sim_threshold_lsh",
     "q_text_stats", "q_text_tfidf_top", "q_text_langid", "q_text_quality",
     "q_text_tokens", "q_text_fingerprint",
     "q_multimodal_bundle", "q_multimodal_features", "q_pivot_lang_source",
@@ -126,6 +126,23 @@ def test_bmp_ppm_codec_roundtrip():
     (out,) = list(mm.decode_image_batches(iter([payloads])))
     assert (out["width"] == 3).all() and (out["height"] == 4).all()
     assert out.loc[0, "mean_pixel"] == out.loc[1, "mean_pixel"]
+
+
+def test_threshold_lsh_subset_and_recall(check):
+    """LSH-prefiltered threshold pairs vs the exact quadratic baseline:
+    precision is 1 by construction (exact verify on candidates) so every
+    reported pair must be in the exact set; recall at tau follows sign-
+    LSH theory (~0.35 for mid-similarity pairs with 8 tables x 6 bits —
+    this corpus has no planted high-cos near-dups, where collision
+    probability, and thus recall, would approach 1)."""
+    lsh = check("q_sim_threshold_lsh")
+    exact = check("q_sim_threshold_pairs")
+    got = {(int(r.v1), int(r.v2)) for r in lsh.itertuples()}
+    ex = {(int(r.v1), int(r.v2)) for r in exact.itertuples()}
+    assert got <= ex, "LSH reported a pair the exact baseline lacks"
+    assert len(got) / max(len(ex), 1) >= 0.25, (
+        f"recall collapsed: {len(got)}/{len(ex)}"
+    )
 
 
 def test_ivf_ann_recall_vs_exact(check):

@@ -80,6 +80,16 @@ def test_lsh_candidates_equi_join(spark):
     plans.assert_no_cartesian(df)
 
 
+def test_threshold_lsh_equi_join_no_cartesian(spark):
+    # the production-shaped threshold-pairs key: candidates via bucket
+    # equi-join (capped), exact verify via equi-joins on vec ids — the
+    # quadratic v1<v2 product must appear NOWHERE in the plan
+    df = build(spark, "q_sim_threshold_lsh")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
 def test_range_bucketed_is_equi_join(spark):
     # the banded rewrite's whole point: a large-large range join planned
     # as a shuffled equi-join on the bucket key, never nested-loop
