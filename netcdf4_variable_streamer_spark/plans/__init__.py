@@ -9,6 +9,7 @@ not only as a slower BENCH number.
 """
 
 from netcdf4_variable_streamer_spark.plans.inspect import (  # noqa: F401
+    analyzed_plan_string,
     assert_broadcast_joins,
     assert_max_shuffles,
     assert_no_cartesian,

@@ -39,6 +39,13 @@ def executed_plan_string(df: DataFrame, run: bool = True) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def analyzed_plan_string(df: DataFrame) -> str:
+    """The analyzed LOGICAL plan — works for streaming DataFrames too
+    (their physical plan only exists inside a started query), which is
+    where watermark (`EventTimeWatermark`) nodes are asserted."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def count_nodes(plan: str, node: str) -> int:
     """Count plan-tree occurrences of a node name (word-boundary match).
 

@@ -120,6 +120,79 @@ def test_executed_plan_aqe_finalizes(spark, key):
     assert "CartesianProduct" not in final
 
 
+def test_native_chunk_scan_pushdown_and_pruning(spark):
+    """B-0 native batch path: a streamed-dim filter must reach the parquet
+    scan as PushedFilters (row-group min/max pruning at scale) and column
+    pruning must drop unprojected variables from ReadSchema."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+        read_native,
+    )
+
+    df = (
+        read_native(spark, srcq.ensure_grid())
+        .filter(F.col("time_idx") >= 64)
+        .select("time_idx", "temperature")
+    )
+    plans.assert_pushed_filters(df, "time_idx")
+    plans.assert_read_schema_excludes(df, "humidity", "y_idx", "x_idx")
+    plans.assert_wholestage_codegen(df)
+
+
+def test_chunk_ds_pushdown_prunes_partitions(spark):
+    """B-0 Python-DataSource path: a pushed streamed-dim range must shrink
+    the number of planned partitions (pruned chunks are never opened) —
+    the partition count IS the plan shape for a Python data source."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+        FORMAT_NAME,
+        NetCDFChunkDataSource,
+    )
+
+    path = srcq.ensure_grid()
+    spark.dataSource.register(NetCDFChunkDataSource)
+    base = spark.read.format(FORMAT_NAME).option("path", path).load()
+    full_parts = base.rdd.getNumPartitions()
+    pruned = base.filter(
+        (base.time_idx >= 100) & (base.time_idx < 116)
+    ).rdd.getNumPartitions()
+    assert pruned < full_parts, (full_parts, pruned)
+
+
+def test_stream_watermark_in_plan(spark):
+    """B-8: the watermarked tumbling agg must carry an EventTimeWatermark
+    node — without it state never expires on an unbounded stream."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.streaming import queries as sq
+
+    ev = sq.load_events_stream(spark, SF)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    plan = plans.analyzed_plan_string(agg)
+    assert "EventTimeWatermark" in plan, plan
+
+
+def test_stream_join_watermarks_both_sides(spark):
+    """B-8 stream-stream interval join: BOTH inputs must be watermarked —
+    one-sided state on two unbounded inputs grows without bound."""
+    from netcdf4_variable_streamer_spark.streaming import queries as sq
+
+    ev = sq.load_events_stream(spark, SF)
+    v, p = sq._split_views_purchases(ev)
+    j = sq._interval_join(
+        v.withWatermark("view_ts", "2 hours"),
+        p.withWatermark("purchase_ts", "2 hours"),
+    )
+    plan = plans.analyzed_plan_string(j)
+    assert plan.count("EventTimeWatermark") == 2, plan
+
+
 def test_correlated_subqueries_decorrelate(spark):
     # correlated scalar subquery must plan as aggregate-then-join (exactly
     # one join), and EXISTS/NOT EXISTS as semi/anti joins — never a per-row
