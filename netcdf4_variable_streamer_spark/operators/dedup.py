@@ -509,7 +509,16 @@ SELECT v AS vec_id, MIN(lab) AS component_id FROM reach GROUP BY v
         "Oracle: DuckDB recursive CTE computing min reachable id.",
 )
 def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _emb_pairs(spark, sf_dir)
+    return _cc_over_pairs(spark, sf_dir, _emb_pairs(spark, sf_dir))
+
+
+def _cc_over_pairs(
+    spark: SparkSession, sf_dir: str, p: DataFrame
+) -> DataFrame:
+    """Connected components over an undirected (v1, v2) pair set by
+    iterative min-label propagation; O(diameter) rounds, lineage cut per
+    round, only a strictly-decreasing label-sum scalar ever reaches the
+    driver (equality = fixpoint)."""
     edges = (
         p.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
         .unionByName(p.select(F.col("v2").alias("src"), F.col("v1").alias("dst")))
@@ -536,3 +545,44 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select("vec_id", F.col("lab").alias("component_id"))
+
+
+def _cc_lsh_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        PLSH_PAIRS_CTE,
+    )
+
+    return f"""
+WITH RECURSIVE {PLSH_PAIRS_CTE},
+e AS (SELECT v1 AS src, v2 AS dst FROM lsh_pairs
+      UNION ALL SELECT v2, v1 FROM lsh_pairs),
+reach(v, lab) AS (
+  SELECT vec_id, vec_id FROM vv
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.v
+)
+SELECT v AS vec_id, MIN(lab) AS component_id FROM reach GROUP BY v
+"""
+
+
+@register(
+    "q_dedup_cc_lsh",
+    oracle=_cc_lsh_oracle(),
+    doc="PRODUCTION-shaped transitive near-dup clustering: the edge set "
+        "comes from the LSH-bucketed pair generator (equi-join candidates "
+        "+ exact cosine verify — q_sim_threshold_lsh's pipeline) instead "
+        "of the quadratic all-pairs join, then the same min-label "
+        "propagation as q_dedup_cc_clusters. Because the LCG hyperplanes "
+        "are engine-portable, the DuckDB oracle reproduces the LSH edge "
+        "set exactly and runs the recursive closure over it — the whole "
+        "approximate pipeline is hash-checked end to end. This is the "
+        "composition a 100 TB dedup actually runs: bucketed candidates → "
+        "verify → cluster; no stage is quadratic.",
+)
+def q_dedup_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        lsh_threshold_pairs,
+    )
+
+    pairs = lsh_threshold_pairs(spark, sf_dir).select("v1", "v2")
+    return _cc_over_pairs(spark, sf_dir, pairs)

@@ -213,10 +213,11 @@ def _plsh_plane(t: int, b: int) -> list[float]:
     ]
 
 
-@register(
-    "q_sim_threshold_lsh",
-    oracle=f"""
-WITH planes AS (
+# CTE block shared by every LSH-pipeline oracle (threshold pairs here,
+# transitive clustering in operators/dedup.py): reproduces planes →
+# buckets → capped → candidate pairs → exact-cosine-verified pairs
+# (v1 < v2, cos >= TAU) bit-identically to the Spark pipeline.
+PLSH_PAIRS_CTE = f"""planes AS (
   SELECT tt.t, bb.b,
          LIST(CAST((1103515245 * ((tt.t * {_PLSH_BITS} + bb.b) * 64 + dd.d)
                     + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5
@@ -245,29 +246,24 @@ cands AS (
   FROM capped x JOIN capped y
     ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 ),
-v AS (
+vv AS (
   SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings
-)
-SELECT c.v1, c.v2,
-       ROUND({_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm), 4) AS cos_sim
-FROM cands c
-JOIN v a ON a.vec_id = c.v1
-JOIN v b ON b.vec_id = c.v2
-WHERE {_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {TAU}
-""",
-    doc=f"LSH-prefiltered threshold pairs — the PRODUCTION shape of "
-        f"q_sim_threshold_pairs: candidates form only inside matching "
-        f"({_PLSH_TABLES} tables x {_PLSH_BITS}-bit) sign-LSH buckets "
-        f"(equi-join, never a cross join), dense buckets capped at "
-        f"{_PLSH_MAX_BUCKET} as the skew guard, then exact cosine >= "
-        f"{TAU} verifies candidates only. Hyperplanes are LCG-derived so "
-        f"both engines reproduce them bit-identically — the entire "
-        f"approximate pipeline is hash-checked, not just an assertion "
-        f"row. Output is a recall-bounded subset of the exact baseline; "
-        f"at 100 TB the bucket equi-join replaces the quadratic v1<v2 "
-        f"join, which is the difference between feasible and not.",
-)
-def q_sim_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+),
+lsh_pairs AS (
+  SELECT c.v1, c.v2,
+         ROUND({_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm), 4)
+           AS cos_sim
+  FROM cands c
+  JOIN vv a ON a.vec_id = c.v1
+  JOIN vv b ON b.vec_id = c.v2
+  WHERE {_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {TAU}
+)"""
+
+
+def lsh_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v1, v2, cos_sim) with cos >= TAU via LSH-bucketed candidate
+    generation + exact verify — the reusable production pair generator
+    (threshold key below; transitive clustering in operators/dedup.py)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def lit_plane(t: int, b: int) -> Column:
@@ -315,12 +311,8 @@ def q_sim_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") <= _PLSH_MAX_BUCKET)
         .drop("w")
     )
-    x = capped.select(
-        F.col("vec_id").alias("v1"), "tbl", "bucket"
-    )
-    y = capped.select(
-        F.col("vec_id").alias("v2"), "tbl", "bucket"
-    )
+    x = capped.select(F.col("vec_id").alias("v1"), "tbl", "bucket")
+    y = capped.select(F.col("vec_id").alias("v2"), "tbl", "bucket")
     cands = (
         x.join(y, ["tbl", "bucket"])
         .filter(F.col("v1") < F.col("v2"))
@@ -346,6 +338,28 @@ def q_sim_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= TAU)
         .select("v1", "v2", F.round(cos, 4).alias("cos_sim"))
     )
+
+
+@register(
+    "q_sim_threshold_lsh",
+    oracle=f"""
+WITH {PLSH_PAIRS_CTE}
+SELECT v1, v2, cos_sim FROM lsh_pairs
+""",
+    doc=f"LSH-prefiltered threshold pairs — the PRODUCTION shape of "
+        f"q_sim_threshold_pairs: candidates form only inside matching "
+        f"({_PLSH_TABLES} tables x {_PLSH_BITS}-bit) sign-LSH buckets "
+        f"(equi-join, never a cross join), dense buckets capped at "
+        f"{_PLSH_MAX_BUCKET} as the skew guard, then exact cosine >= "
+        f"{TAU} verifies candidates only. Hyperplanes are LCG-derived so "
+        f"both engines reproduce them bit-identically — the entire "
+        f"approximate pipeline is hash-checked, not just an assertion "
+        f"row. Output is a recall-bounded subset of the exact baseline; "
+        f"at 100 TB the bucket equi-join replaces the quadratic v1<v2 "
+        f"join, which is the difference between feasible and not.",
+)
+def q_sim_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_threshold_pairs(spark, sf_dir)
 
 
 @register(

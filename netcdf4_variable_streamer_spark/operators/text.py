@@ -370,3 +370,134 @@ def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# per-language keep rates for corpus rebalancing: downsample the dominant
+# language, keep the rest. Thresholds are md5-hex prefixes (rate = prefix
+# value / 16^8), lexicographic comparison is engine-portable.
+_STRATA_RATES = {
+    "en": "33333333",  # ~20 % of english
+    "de": "cccccccc",  # ~80 %
+    "es": "cccccccc",
+    "fr": "cccccccc",
+    "zh": "ffffffff",  # keep ~all
+}
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE MD5(CAST(doc_id AS VARCHAR)) <
+        CASE lang
+          {' '.join(f"WHEN '{lg}' THEN '{th}'" for lg, th in _STRATA_RATES.items())}
+          ELSE '80000000' END
+)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM kept GROUP BY lang
+""",
+    doc="Stratified (per-language) deterministic downsampling — the "
+        "corpus-rebalancing step of a training-data pipeline: each "
+        "stratum keeps a different md5-hash fraction of its documents "
+        "(en 20 %, zh ~100 %, rest 80 %), so dominant languages are "
+        "downsampled without any shuffle — a pure map-side predicate "
+        "whose keep/drop decision is stable across corpus size, "
+        "partitioning, and engine. One aggregation for the audit counts.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    th = F.lit("80000000")
+    for lg, t in _STRATA_RATES.items():
+        th = F.when(F.col("lang") == lg, F.lit(t)).otherwise(th)
+    return (
+        d.filter(hx < th)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "q_text_contamination",
+    oracle="""
+WITH ev AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             generate_series(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 4, 0)),
+             i -> STRING_SPLIT(text,' ')[i] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+1] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+2] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+3] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+4]))) AS g
+    FROM documents WHERE doc_id < 10) t
+),
+tr AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             generate_series(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 4, 0)),
+             i -> STRING_SPLIT(text,' ')[i] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+1] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+2] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+3] || ' ' ||
+                  STRING_SPLIT(text,' ')[i+4]))) AS g
+    FROM documents WHERE doc_id >= 10) t
+)
+SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared_ngrams
+FROM tr JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id, ev.doc_id
+""",
+    doc="Benchmark-decontamination scan — the overlap detector every "
+        "serious training pipeline runs before training: documents "
+        "sharing a word-5-gram with any document of the (small) eval set "
+        "are flagged with the shared-n-gram count. The eval side's "
+        "distinct n-grams BROADCAST (an eval suite is KBs against a "
+        "100 TB corpus), so the corpus side is one map-side hash probe + "
+        "one aggregation — no corpus-vs-corpus shuffle. Real pipelines "
+        "use 13-grams; 5 here because the synthetic docs are short.",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # Spark's sequence(1, n) DESCENDS when n < 1 (it never yields empty),
+    # so docs under 5 tokens need an explicit empty-array branch to match
+    # DuckDB's empty generate_series(1, 0)
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                    F.element_at(toks, i + 4),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ev = (
+        d.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.explode(grams).alias("g"),
+        )
+    )
+    tr = d.filter(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("train_doc_id"), F.explode(grams).alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

@@ -147,6 +147,9 @@ CANONICAL_ORDER: list[str] = [
     "snk_parquet_partitioned",
     "q_multimodal_image_decode",
     "q_sim_threshold_lsh",
+    "q_dedup_cc_lsh",
+    "q_sample_stratified",
+    "q_text_contamination",
 ]
 
 

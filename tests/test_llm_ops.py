@@ -15,7 +15,8 @@ SQL_KEYS = [
     "q_text_tokens", "q_text_fingerprint",
     "q_multimodal_bundle", "q_multimodal_features", "q_pivot_lang_source",
     "q_multimodal_image_decode",
-    "q_sample_hash_split",
+    "q_sample_hash_split", "q_sample_stratified",
+    "q_dedup_cc_lsh", "q_text_contamination",
 ]
 
 
@@ -151,6 +152,16 @@ def test_ivf_ann_recall_vs_exact(check):
     ann = check("q_sim_ivf_ann")
     assert len(ann) == 1
     assert bool(ann.loc[0, "recall_ok"])
+
+
+def test_cc_lsh_is_finer_than_exact(check):
+    """Clustering over the LSH (recall<1) edge subset can only MISS
+    merges, never invent them: every vector's LSH component id must be
+    >= its exact component id (min over a smaller reachable set)."""
+    exact = check("q_dedup_cc_clusters").set_index("vec_id")
+    lsh = check("q_dedup_cc_lsh").set_index("vec_id")
+    j = exact.join(lsh, rsuffix="_lsh")
+    assert (j["component_id_lsh"] >= j["component_id"]).all()
 
 
 def test_cc_is_coarser_than_one_hop(check):

@@ -90,6 +90,14 @@ def test_threshold_lsh_equi_join_no_cartesian(spark):
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
+def test_contamination_broadcasts_eval_side(spark):
+    # decontamination: the eval n-gram side must broadcast (an eval suite
+    # is KBs against a 100 TB corpus) — corpus never shuffles for the join
+    df = build(spark, "q_text_contamination")
+    plans.assert_broadcast_joins(df, at_least=1)
+    plans.assert_no_cartesian(df)
+
+
 def test_range_bucketed_is_equi_join(spark):
     # the banded rewrite's whole point: a large-large range join planned
     # as a shuffled equi-join on the bucket key, never nested-loop
