@@ -150,6 +150,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_cc_lsh",
     "q_sample_stratified",
     "q_text_contamination",
+    "snk_partition_overwrite",
 ]
 
 

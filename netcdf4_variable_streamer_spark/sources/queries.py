@@ -246,6 +246,57 @@ def src_netcdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_partition_overwrite",
+    oracle="""
+SELECT l_returnflag,
+       CASE WHEN l_returnflag = 'A'
+            THEN (SELECT COUNT(*) FROM lineitem
+                  WHERE l_returnflag = 'A' AND l_quantity < 10)
+            ELSE COUNT(*) END AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Dynamic partition overwrite — the idempotent-backfill primitive: "
+        "write lineitem Hive-partitioned by l_returnflag, then overwrite "
+        "with a frame containing ONLY partition 'A' rows (filtered to "
+        "l_quantity < 10) under partitionOverwriteMode=dynamic. Partitions "
+        "absent from the incoming frame must survive untouched; the "
+        "touched partition must be replaced, not appended. The re-read "
+        "per-partition counts are the oracle: 'A' shrinks to the filtered "
+        "count, 'N'/'R' keep their full counts. At 100 TB this is how a "
+        "failed daily backfill re-runs without corrupting neighbors.",
+)
+def snk_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"pq_dynow_{_uuid.uuid4().hex[:8]}")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(dst)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            li.filter((F.col("l_returnflag") == "A") & (F.col("l_quantity") < 10))
+            .write.partitionBy("l_returnflag")
+            .mode("overwrite")
+            .parquet(dst)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(dst)
+    out = (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(out, "l_returnflag string, n_rows long")
+
+
+@register(
     "snk_parquet_partitioned",
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n_rows

@@ -305,6 +305,14 @@ def test_partitioned_parquet_sink(check):
     assert len(pdf) == 3  # l_returnflag in {A, N, R}
 
 
+def test_partition_overwrite_dynamic(check):
+    """Dynamic partition overwrite: only the partition present in the
+    incoming frame is replaced; siblings survive byte-for-byte."""
+    pdf = check("snk_partition_overwrite").set_index("l_returnflag")
+    assert pdf.loc["A", "n_rows"] < pdf.loc["N", "n_rows"]  # A was shrunk
+    assert pdf.loc["N", "n_rows"] > 10000  # N untouched (full count)
+
+
 def test_sink_overwrite_mode(spark):
     """mode('overwrite') must REPLACE the store's chunks, not silently
     append duplicates; the reset happens at job commit so a failed job
