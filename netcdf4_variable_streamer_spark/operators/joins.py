@@ -329,3 +329,44 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         dsum(F.abs(F.col("p1") - F.col("p2"))).alias("gap_total"),
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle=f"""
+WITH dim AS (
+  SELECT event_type, CAST(LENGTH(event_type) AS BIGINT) AS w
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_rows,
+       {SQL_DSUM('e.value * d.w')} AS weighted_sum
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+""",
+    doc="Explicitly-salted skew join (functions/skew.py salted_join as a "
+        "first-class operator): events joins a per-event_type dimension "
+        "on a pathologically skewed key (~5 distinct values for the whole "
+        "fact table). The fact side gets a uniform salt in [0,16); the "
+        "dim side is exploded 16x; the join key becomes (event_type, "
+        "salt), spreading each hot key over 16 shuffle partitions. The "
+        "dim side carries a shuffle_hash hint so the demo exercises the "
+        "shuffle path salting exists for (a broadcastable dim would not "
+        "need salt). Result sets are provably identical to the unsalted "
+        "join — the oracle is the plain join — because the salt matches "
+        "by construction. This is the explicit-control pattern for skew "
+        "AQE cannot observe (SCALE.md B-2).",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        e.groupBy("event_type")
+        .agg(F.length(F.first("event_type")).cast("long").alias("w"))
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(e, dim, on="event_type", n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("value") * F.col("w")).alias("weighted_sum"),
+    )

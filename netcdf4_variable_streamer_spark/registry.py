@@ -151,6 +151,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sample_stratified",
     "q_text_contamination",
     "snk_partition_overwrite",
+    "q_join_skew_salted",
 ]
 
 

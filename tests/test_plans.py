@@ -90,6 +90,18 @@ def test_threshold_lsh_equi_join_no_cartesian(spark):
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
+def test_salted_join_shuffles_not_broadcasts(spark):
+    # the salted skew join must exercise the shuffle path it exists for:
+    # a ShuffledHashJoin on (key, salt) and NO broadcast of the dim side
+    df = build(spark, "q_join_skew_salted")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "BroadcastHashJoin") == 0, plan
+    assert (
+        plans.count_nodes(plan, "ShuffledHashJoin")
+        + plans.count_nodes(plan, "SortMergeJoin")
+    ) >= 1, plan
+
+
 def test_contamination_broadcasts_eval_side(spark):
     # decontamination: the eval n-gram side must broadcast (an eval suite
     # is KBs against a 100 TB corpus) — corpus never shuffles for the join
