@@ -501,3 +501,54 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+@register(
+    "q_text_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
+),
+lm AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS total FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         LN(CAST(lm.c AS DOUBLE) / n.total) AS lp
+  FROM tok t JOIN lm USING (tok) CROSS JOIN n
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(SUM(lp) / COUNT(*), 4) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+    doc="Unigram language-model quality score (the CCNet-style LM filter "
+        "of a training pipeline): corpus unigram frequencies become the "
+        "model; each document scores the mean log-probability of its "
+        "tokens. Low scores flag gibberish / rare-token spam for "
+        "filtering. Shape at 100 TB: one token aggregation (vocabulary-"
+        "sized result), broadcast back over the token stream, one "
+        "per-doc aggregation — the LM table broadcasts because "
+        "vocabulary grows ~log(corpus). SUM of doubles is order-"
+        "dependent in the low bits, so the per-doc mean is rounded to 4 "
+        "decimals, which absorbs it (same convention as tf-idf).",
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # scalar: corpus token count
+    scored = tok.join(F.broadcast(lm), "tok").select(
+        "doc_id",
+        F.log(F.col("c").cast("double") / F.lit(float(total))).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )

@@ -152,6 +152,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_contamination",
     "snk_partition_overwrite",
     "q_join_skew_salted",
+    "q_text_unigram_logprob",
 ]
 
 

@@ -12,7 +12,7 @@ SQL_KEYS = [
     "q_sim_knn_cosine", "q_sim_knn_blocked", "q_sim_threshold_pairs",
     "q_sim_lsh_ann", "q_sim_ivf_ann", "q_sim_threshold_lsh",
     "q_text_stats", "q_text_tfidf_top", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_text_fingerprint",
+    "q_text_tokens", "q_text_fingerprint", "q_text_unigram_logprob",
     "q_multimodal_bundle", "q_multimodal_features", "q_pivot_lang_source",
     "q_multimodal_image_decode",
     "q_sample_hash_split", "q_sample_stratified",
