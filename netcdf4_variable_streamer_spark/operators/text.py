@@ -504,6 +504,235 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_repetition",
+    oracle="""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+g2 AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM d
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+p2 AS (SELECT doc_id, SUM(c) AS tot2, MAX(c) AS max2 FROM c2
+       GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, GREATEST(LEN(ts) - 4, 0)),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' ||
+                                    ts[i+2] || ' ' || ts[i+3] || ' ' ||
+                                    ts[i+4])) AS g
+  FROM d
+),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+p5 AS (SELECT doc_id, SUM(c) AS tot5, SUM(c - 1) AS dup5 FROM c5
+       GROUP BY doc_id)
+SELECT p2.doc_id,
+       CAST(p2.max2 AS BIGINT) AS top2_cnt,
+       (p2.max2 * 10000 // p2.tot2) / 10000.0 AS top2_frac,
+       (p5.dup5 * 10000 // p5.tot5) / 10000.0 AS dup5_frac,
+       ((p2.max2 * 10000 // p2.tot2) > 800
+        OR (p5.dup5 * 10000 // p5.tot5) > 500) AS is_repetitive
+FROM p2 JOIN p5 USING (doc_id)
+""",
+    doc="Gopher-style repetition quality filters: per-document fraction of "
+        "bigrams taken by the single most frequent bigram (top2_frac) and "
+        "fraction of 5-grams that are repeats of an earlier 5-gram in the "
+        "same doc (dup5_frac); docs over either threshold are flagged. "
+        "Shape at 100 TB: n-gram construction is a map-side array "
+        "transform; both counts are per-document aggregations (partial "
+        "agg map-side, one shuffle keyed by doc_id — never by gram), and "
+        "the two profiles join on doc_id. No corpus-global state at all, "
+        "so this scales embarrassingly: every stage is keyed by doc_id.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+
+    def grams(n: int):
+        # identical construction to the oracle: 1-based element_at windows,
+        # no empty-token filtering (both engines see the same raw tokens)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ts) - (n - 1), F.lit(0)))
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    c2 = (
+        d.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p2 = c2.groupBy("doc_id").agg(
+        F.sum("c").alias("tot2"), F.max("c").alias("max2")
+    )
+    c5 = (
+        d.select("doc_id", F.explode(grams(5)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p5 = c5.groupBy("doc_id").agg(
+        F.sum("c").alias("tot5"), F.sum(F.col("c") - 1).alias("dup5")
+    )
+    top2_i = F.floor(F.col("max2") * 10000 / F.col("tot2"))
+    dup5_i = F.floor(F.col("dup5") * 10000 / F.col("tot5"))
+    return p2.join(p5, "doc_id").select(
+        "doc_id",
+        F.col("max2").cast("long").alias("top2_cnt"),
+        (top2_i / 10000.0).alias("top2_frac"),
+        (dup5_i / 10000.0).alias("dup5_frac"),
+        ((top2_i > 800) | (dup5_i > 500)).alias("is_repetitive"),
+    )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             generate_series(1, GREATEST(LEN(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+    FROM d) t
+),
+gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g),
+per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN gd.nd >= 3 THEN 1 ELSE 0 END) AS n_common
+  FROM sh JOIN gd USING (g)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_common,
+       (n_common * 10000 // n_shingles) / 10000.0 AS boiler_frac,
+       (n_common * 10000 // n_shingles) >= 2500 AS is_boilerplate
+FROM per_doc
+""",
+    doc="Boilerplate detection (C4-style 'remove content repeated across "
+        "many pages'): a document's distinct word-3-grams are scored "
+        "against the corpus — a shingle appearing in >= 3 distinct "
+        "documents is 'common'; documents whose common-shingle fraction "
+        "exceeds 25 % are flagged as boilerplate-heavy. Shape at 100 TB: "
+        "shingle->distinct-doc-count is one aggregation keyed by shingle "
+        "(partial agg collapses per-partition repeats), the score-back "
+        "join is a shuffle equi-join on shingle between the per-doc "
+        "shingle stream and the (much smaller, distinct-shingle) count "
+        "table, then one per-doc aggregation. No quadratic stage; the "
+        "shingle key space grows sublinearly in the corpus.",
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    grams = F.when(
+        F.size(ts) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ts, i),
+                    F.element_at(ts, i + 1),
+                    F.element_at(ts, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(grams).alias("g"))
+    gd = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        sh.join(gd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 3, 1).otherwise(0)).alias(
+                "n_common"
+            ),
+        )
+    )
+    frac_i = F.floor(F.col("n_common") * 10000 / F.col("n_shingles"))
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        (frac_i / 10000.0).alias("boiler_frac"),
+        (frac_i >= 2500).alias("is_boilerplate"),
+    )
+
+
+# PII patterns restricted to the regex intersection of Java (Spark) and
+# RE2 (DuckDB): character classes, +, bounded repeats — no lookarounds.
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+_PII_PHONE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or call +1-555-' ||
+         LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(full_text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(full_text, '{_PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE(full_text, '{_PII_EMAIL}',
+             '<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'))
+         AS redacted_md5,
+       CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(full_text, '{_PII_EMAIL}',
+             '<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT)
+         AS redacted_len
+FROM enriched
+""",
+    doc="PII redaction pass (training pipelines scrub emails/phones before "
+        "the data reaches a model): synthetic-but-deterministic PII is "
+        "first appended to each document (both engines build the identical "
+        "string, so the oracle hash-checks the REDACTION, not the "
+        "fixture), then emails and phone numbers are counted and replaced "
+        "with <EMAIL>/<PHONE> tags. Patterns live in the Java-regex ∩ RE2 "
+        "subset so Spark and DuckDB agree byte-for-byte. Pure map-side "
+        "narrow transform — zero shuffles, scales linearly; the plan is "
+        "one whole-stage-codegen project over the scan.",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    full_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(full_text, _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(full_text, F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(full_text, F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@register(
     "q_text_unigram_logprob",
     oracle="""
 WITH tok AS (

@@ -153,6 +153,9 @@ CANONICAL_ORDER: list[str] = [
     "snk_partition_overwrite",
     "q_join_skew_salted",
     "q_text_unigram_logprob",
+    "q_text_repetition",
+    "q_text_boilerplate",
+    "q_text_pii_redact",
 ]
 
 

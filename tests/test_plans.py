@@ -231,3 +231,17 @@ def test_correlated_subqueries_decorrelate(spark):
     plan2 = plans.plan_string(build(spark, "q_subquery_exists"))
     kinds = set(re.findall(r"\bLeftSemi\b|\bLeftAnti\b", plan2))
     assert kinds == {"LeftSemi", "LeftAnti"}, plan2
+
+
+def test_pii_redact_zero_shuffles_codegen(spark):
+    # pure map-side narrow transform: no Exchange at all, fully codegen'd
+    df = build(spark, "q_text_pii_redact")
+    plans.assert_max_shuffles(df, 0)
+    plans.assert_wholestage_codegen(df)
+
+
+def test_repetition_keyed_by_doc_id_not_gram(spark):
+    # both n-gram profiles aggregate per (doc_id, ...); nothing shuffles on
+    # the raw gram key alone, and nothing broadcasts corpus-global state
+    df = build(spark, "q_text_repetition")
+    plans.assert_no_cartesian(df)
