@@ -5,6 +5,7 @@ from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    packing,
     projection,
     scalar_functions,
     setops,

@@ -156,6 +156,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_repetition",
     "q_text_boilerplate",
     "q_text_pii_redact",
+    "q_pack_sequences",
 ]
 
 

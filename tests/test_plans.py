@@ -245,3 +245,11 @@ def test_repetition_keyed_by_doc_id_not_gram(spark):
     # the raw gram key alone, and nothing broadcasts corpus-global state
     df = build(spark, "q_text_repetition")
     plans.assert_no_cartesian(df)
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    # the whole point of the two-phase prefix sum: the global running
+    # token count must NOT materialize as a one-partition global window
+    df = build(spark, "q_pack_sequences")
+    p = plans.executed_plan_string(df)
+    assert "SinglePartition" not in p, "global window collapsed the corpus"
