@@ -303,3 +303,63 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
         F.round(F.max("l_extendedprice"), 4).alias("pmax"),
     )
+
+
+@register(
+    "q_agg_median_mode",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag,
+         ROUND(MEDIAN(l_quantity), 4) AS median_qty,
+         ROUND(MEDIAN(l_extendedprice), 4) AS median_price
+  FROM lineitem GROUP BY l_returnflag
+),
+cnt AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+md AS (
+  SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_cnt
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, l_linestatus) AS rn
+        FROM cnt) t
+  WHERE rn = 1
+)
+SELECT med.l_returnflag, med.median_qty, med.median_price,
+       md.mode_status, md.mode_cnt
+FROM med JOIN md USING (l_returnflag)
+""",
+    doc="Median and mode per group. Median via the native interpolating "
+        "aggregate (Spark `median` == DuckDB `MEDIAN`, both linear-"
+        "interpolate at even counts). Mode is computed EXPLICITLY as "
+        "count + row_number rather than the engines' `mode()` because "
+        "tie-breaking is engine-defined there — the explicit form pins "
+        "'most frequent, smallest value on ties' identically everywhere. "
+        "Shape at scale: median needs the per-group sort (or "
+        "approx_percentile's t-digest at extreme cardinality); mode is "
+        "two hash aggregations + a window over group-cardinality rows.",
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("c"), F.asc("l_linestatus")
+    )
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("c").alias("mode_cnt"),
+        )
+    )
+    return med.join(md, "l_returnflag")
