@@ -68,9 +68,14 @@ _SHINGLES_SQL = """
 """
 
 
-def _shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a space-tokenized text."""
-    toks = F.split(text, " ")
+def _shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a MATERIALIZED token array.
+
+    ``toks`` must be a projected column holding ``split(text, ' ')``, not
+    the split expression itself: Spark re-evaluates an inline expression
+    on every ``element_at`` inside the lambda — O(tokens²) splits per row
+    (measured 7× slower at sf0.1).
+    """
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     return F.array_distinct(
         F.transform(
@@ -131,7 +136,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
-        .select("doc_id", _shingles(F.col("text")).alias("ss"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("ss"))
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
@@ -213,8 +219,10 @@ WHERE CAST(n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - n_inter) >= 0.6
         "stays a 16-byte digest, never the raw minhash tuple.",
 )
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(F.col("text")).alias("ss")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("ss"))
     )
     d = d.filter(F.size("ss") > 0)
     ex = d.select("doc_id", F.explode("ss").alias("sh")).withColumn(

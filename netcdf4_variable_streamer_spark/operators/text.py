@@ -309,8 +309,12 @@ FROM documents d JOIN sh s USING (doc_id)
         "shingle md5 (md5 is portable across engines, unlike xxhash64).",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # materialize the split once — indexing an inline split expression
+    # inside the lambda re-evaluates it per element_at (O(tokens²)/row)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("toks_arr")
+    )
+    toks = F.col("toks_arr")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
     hashes = F.transform(
         idx,
@@ -465,8 +469,12 @@ GROUP BY tr.doc_id, ev.doc_id
         "use 13-grams; 5 here because the synthetic docs are short.",
 )
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # split materialized once per row (inline expression would re-split
+    # per element_at in the lambda — O(tokens²)/row)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks_arr")
+    )
+    toks = F.col("toks_arr")
     # Spark's sequence(1, n) DESCENDS when n < 1 (it never yields empty),
     # so docs under 5 tokens need an explicit empty-array branch to match
     # DuckDB's empty generate_series(1, 0)
@@ -546,8 +554,12 @@ FROM p2 JOIN p5 USING (doc_id)
         "so this scales embarrassingly: every stage is keyed by doc_id.",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
+    # split materialized once per row (inline expression would re-split
+    # per element_at in the lambda — O(tokens²)/row)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ts = F.col("ts")
 
     def grams(n: int):
         # identical construction to the oracle: 1-based element_at windows,
@@ -628,8 +640,12 @@ FROM per_doc
         "shingle key space grows sublinearly in the corpus.",
 )
 def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
+    # split materialized once per row (inline expression would re-split
+    # per element_at in the lambda — O(tokens²)/row)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ts = F.col("ts")
     grams = F.when(
         F.size(ts) >= 3,
         F.array_distinct(
