@@ -594,3 +594,123 @@ def q_dedup_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = lsh_threshold_pairs(spark, sf_dir).select("v1", "v2")
     return _cc_over_pairs(spark, sf_dir, pairs)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-shaped semantic dedup: partition the embedding space into
+# clusters FIRST, then near-dup only WITHIN each cluster. This is how
+# production pipelines (SemDeDup, Abbas et al. 2023) bound the quadratic
+# pair stage: the all-pairs cost drops from |corpus|² to Σ|cluster|², and
+# each cluster's pair join is an equi-join on cluster_id — embarrassingly
+# shuffle-parallel. Centroids here are the 16 lowest-id vectors (fully
+# deterministic, so the WHOLE pipeline — assignment included — is
+# reproducible in the DuckDB oracle; production swaps in k-means
+# centroids, same plan shape).
+# ---------------------------------------------------------------------------
+
+_SEM_NLIST = 16
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding, {_EMB_NORM_SQL} AS nrm
+           FROM embeddings),
+c AS (SELECT vec_id AS c_id, embedding, nrm FROM v
+      WHERE vec_id < {_SEM_NLIST}),
+sc AS (
+  SELECT v.vec_id, c.c_id,
+         ROUND({_EMB_DOT_SQL.format(a='v', b='c')} / (v.nrm * c.nrm), 4)
+           AS cs
+  FROM v CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, c_id AS cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, c_id) AS rn
+    FROM sc) t
+  WHERE rn = 1
+),
+va AS (SELECT v.vec_id, v.embedding, v.nrm, a.cluster_id
+       FROM v JOIN assign a USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM va a JOIN va b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_EMB_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm)
+        >= {TAU_EMB}
+)
+SELECT e.vec_id, e.cluster_id,
+       COALESCE(MIN(p.v1), e.vec_id) AS canonical_id,
+       CAST(CASE WHEN COUNT(p.v1) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_dup
+FROM va e LEFT JOIN p ON p.v2 = e.vec_id
+GROUP BY e.vec_id, e.cluster_id
+""",
+    doc="SemDeDup-shaped semantic dedup: assign every vector to its "
+        "nearest of 16 deterministic centroids (broadcast join — the "
+        "centroid table is tiny), then near-dup detection runs only "
+        "WITHIN clusters via an equi-join on cluster_id, keep-lowest-id "
+        "canonicalization. The cluster stage bounds the quadratic pair "
+        "cost at Σ|cluster|² and removes any global cartesian; at 100 TB "
+        "cluster sizes are capped by recursive sub-clustering, same plan "
+        "shape.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        _dot,
+        _with_norm,
+    )
+
+    v = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    seeds = v.filter(F.col("vec_id") < _SEM_NLIST).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cs = F.round(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / (F.col("nrm") * F.col("c_nrm")),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_id"))
+    assign = (
+        v.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "c_id", cs.alias("cs"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cluster_id"))
+    )
+    va = v.join(assign, "vec_id")
+    a = va.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb1"),
+        F.col("nrm").alias("n1"),
+        "cluster_id",
+    )
+    b = va.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb2"),
+        F.col("nrm").alias("n2"),
+        "cluster_id",
+    )
+    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    p = (
+        a.join(b, "cluster_id")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(cos >= TAU_EMB)
+        .select("v1", "v2")
+    )
+    return (
+        va.select("vec_id", "cluster_id")
+        .join(p, va.vec_id == p.v2, "left")
+        .groupBy("vec_id", "cluster_id")
+        .agg(
+            F.coalesce(F.min("v1"), F.first("vec_id")).alias("canonical_id"),
+            (F.count("v1") > 0).cast("long").alias("is_dup"),
+        )
+    )

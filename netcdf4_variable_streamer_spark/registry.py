@@ -158,6 +158,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_pii_redact",
     "q_pack_sequences",
     "q_agg_median_mode",
+    "q_dedup_semantic",
 ]
 
 

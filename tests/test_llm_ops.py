@@ -18,7 +18,7 @@ SQL_KEYS = [
     "q_sample_hash_split", "q_sample_stratified",
     "q_dedup_cc_lsh", "q_text_contamination",
     "q_text_repetition", "q_text_boilerplate", "q_text_pii_redact",
-    "q_pack_sequences",
+    "q_pack_sequences", "q_dedup_semantic",
 ]
 
 

@@ -253,3 +253,11 @@ def test_pack_sequences_no_single_partition_exchange(spark):
     df = build(spark, "q_pack_sequences")
     p = plans.executed_plan_string(df)
     assert "SinglePartition" not in p, "global window collapsed the corpus"
+
+
+def test_semantic_dedup_broadcast_assign_no_cartesian(spark):
+    # centroid assignment broadcasts the 16-row seed table; the pair stage
+    # is an equi-join on cluster_id — never a global cartesian
+    df = build(spark, "q_dedup_semantic")
+    plans.assert_broadcast_joins(df, at_least=1)
+    plans.assert_no_cartesian(df)
