@@ -159,6 +159,7 @@ CANONICAL_ORDER: list[str] = [
     "q_pack_sequences",
     "q_agg_median_mode",
     "q_dedup_semantic",
+    "snk_compact_small_files",
 ]
 
 

@@ -334,3 +334,56 @@ def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(dst, ignore_errors=True)
     return spark.createDataFrame(out, "l_returnflag string, n_rows long")
+
+
+@register(
+    "snk_compact_small_files",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {SQL_DSUM('l_extendedprice')} AS sum_price,
+       CAST(1 AS BOOLEAN) AS compacted_ok
+FROM lineitem
+""",
+    doc="Small-files compaction — the table-maintenance primitive every "
+        "streaming-ingest table needs: a deliberately fragmented copy of "
+        "lineitem (64 files) is rewritten into <= 4 right-sized files via "
+        "repartition, and the compacted table must (a) really have fewer "
+        "files and (b) preserve every row and every value — the re-read "
+        "count + exact fixed-point price sum are hash-checked against the "
+        "source table, and `compacted_ok` asserts the file-count drop. "
+        "At 100 TB this runs per-partition with a target file size "
+        "(maxRecordsPerFile / AQE coalesce), same plan: one shuffle, "
+        "no data transformation.",
+)
+def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    def _n_files(path: str) -> int:
+        return sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
+    frag = os.path.join(SCRATCH, f"pq_frag_{_uuid.uuid4().hex[:8]}")
+    comp = os.path.join(SCRATCH, f"pq_comp_{_uuid.uuid4().hex[:8]}")
+    li = load_table(spark, sf_dir, "lineitem")
+    try:
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(comp)
+        ok = _n_files(comp) <= 4 < _n_files(frag)
+        back = spark.read.parquet(comp)
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(out["n_rows"], out["sum_price"], bool(ok))],
+            "n_rows long, sum_price double, compacted_ok boolean",
+        )
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(comp, ignore_errors=True)

@@ -431,3 +431,10 @@ def test_compression_passthrough():
             )
         finally:
             shutil.rmtree(path, ignore_errors=True)
+
+
+def test_compact_small_files(check):
+    """Compaction: 64 fragments -> <=4 files, rows and exact value sums
+    preserved (oracle-matched against the source table)."""
+    pdf = check("snk_compact_small_files")
+    assert bool(pdf["compacted_ok"].iloc[0]) is True
