@@ -160,6 +160,7 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_median_mode",
     "q_dedup_semantic",
     "snk_compact_small_files",
+    "q_stream_upsert",
 ]
 
 

@@ -341,3 +341,145 @@ JOIN events v
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, p = _split_views_purchases(load_table(spark, sf_dir, "events"))
     return _interval_join(v, p)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert: the production sink pattern for "keep the latest
+# state per key in a queryable table" (Kafka -> Delta/Iceberg MERGE in the
+# wild; plain parquet state versions here). Each micro-batch reduces to
+# per-user (latest event, count, exact fixed-point value sum) and merges
+# into the previous state — so state size is |keys|, never |events|, and
+# the merge is a keyed shuffle of two |keys|-sized tables.
+# ---------------------------------------------------------------------------
+
+_FP_UPSERT = 1_000_000  # fixed-point scale (matches registry.dsum)
+
+
+def _batch_user_state(batch: DataFrame) -> DataFrame:
+    """Reduce one event frame to per-user upsert state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+    agg = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * _FP_UPSERT).cast("long")).alias(
+            "sum_fp"
+        ),
+    )
+    return latest.join(agg, "user_id")
+
+
+def _merge_user_state(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Upsert-merge two state tables: newest event wins, counts/sums add."""
+    from pyspark.sql import Window
+
+    u = prev.unionByName(cur)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts"), F.desc("last_event_id")
+    )
+    latest = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "last_ts", "last_event_id", "last_type")
+    )
+    sums = u.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_fp").alias("sum_fp"),
+    )
+    return latest.join(sums, "user_id")
+
+
+def _present_user_state(state: DataFrame) -> DataFrame:
+    return state.select(
+        "user_id",
+        ts_str(F.col("last_ts"), _TS_FMT).alias("last_ts"),
+        "last_type",
+        "n_events",
+        (F.col("sum_fp").cast("double") / _FP_UPSERT).alias("sum_value"),
+    )
+
+
+@register(
+    "q_stream_upsert",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+  FROM events
+),
+latest AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) t
+  WHERE rn = 1
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events, {SQL_DSUM('value')} AS sum_value
+  FROM e GROUP BY user_id
+)
+SELECT l.user_id,
+       STRFTIME(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       l.event_type AS last_type,
+       a.n_events, a.sum_value
+FROM latest l JOIN agg a USING (user_id)
+""",
+    doc="foreachBatch upsert (batch twin): latest-event-per-user state "
+        "table — last event time/type + event count + exact value sum. "
+        "The streaming form (run_foreachbatch_upsert) reduces each "
+        "micro-batch to per-key state and MERGEs it into the previous "
+        "state snapshot, the Structured-Streaming analogue of a MERGE "
+        "INTO sink; state stays |keys|-sized regardless of stream "
+        "length. tests/test_streaming.py asserts stream == batch twin "
+        "and exercises the two-batch merge path explicitly.",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _present_user_state(_batch_user_state(ev))
+
+
+def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form: foreachBatch merges each micro-batch into a
+    versioned parquet state snapshot; returns the final state."""
+    import shutil
+
+    run_dir = tempfile.mkdtemp(
+        prefix="upsert_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    ckpt = os.path.join(run_dir, "ckpt")
+    versions: list[str] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _batch_user_state(batch_df)
+        if versions:
+            prev = spark.read.parquet(versions[-1])
+            cur = _merge_user_state(prev, cur)
+        dst = os.path.join(run_dir, f"state_v{batch_id}")
+        cur.write.mode("overwrite").parquet(dst)
+        versions.append(dst)
+
+    q = (
+        load_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    assert versions, "foreachBatch never ran"
+    out = _present_user_state(spark.read.parquet(versions[-1]))
+    # materialize before the scratch dir is removed
+    rows = out.collect()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -195,3 +195,30 @@ def test_transform_with_state_in_pandas(spark, check):
         batch.toPandas() if hasattr(batch, "toPandas") else batch,
         "transform-with-state",
     )
+
+
+def test_foreachbatch_upsert_equals_batch(spark, check):
+    """foreachBatch MERGE sink: final state == the batch twin's state."""
+    batch = check("q_stream_upsert")
+    stream = sq.run_foreachbatch_upsert(spark, SF_DIR).toPandas()
+    oracle_mod.compare_frames(stream, batch, "stream-upsert")
+
+
+def test_upsert_merge_two_batches(spark):
+    """Split events in half, upsert each half as its own 'micro-batch';
+    the merged state must equal the single-pass state (merge is exact:
+    newest-event-wins + additive counts/fixed-point sums)."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sq._present_user_state(
+        sq._merge_user_state(
+            sq._batch_user_state(h1), sq._batch_user_state(h2)
+        )
+    ).toPandas()
+    single = sq._present_user_state(sq._batch_user_state(ev)).toPandas()
+    oracle_mod.compare_frames(merged, single, "upsert-merge-2batch")
