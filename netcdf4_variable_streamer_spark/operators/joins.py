@@ -370,3 +370,76 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("value") * F.col("w")).alias("weighted_sum"),
     )
+
+
+@register(
+    "q_merge_scd1",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey AS k,
+         FLOOR(c_acctbal * 110) / 100.0 AS new_bal,
+         c_mktsegment AS new_seg
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT s_suppkey + 1000000 AS k,
+         FLOOR(s_acctbal * 100) / 100.0 AS new_bal,
+         'NEW' AS new_seg
+  FROM supplier
+)
+SELECT COALESCE(t.c_custkey, s.k) AS c_custkey,
+       COALESCE(s.new_bal, FLOOR(t.c_acctbal * 100) / 100.0) AS acctbal,
+       COALESCE(s.new_seg, t.c_mktsegment) AS mktsegment,
+       CAST(CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                 WHEN s.k IS NULL THEN 'keep'
+                 ELSE 'update' END AS VARCHAR) AS merge_action
+FROM customer t FULL OUTER JOIN changes s ON t.c_custkey = s.k
+""",
+    doc="MERGE INTO (SCD type-1 upsert) expressed relationally: a "
+        "deterministic change-set (updates for custkey%7==0, inserts "
+        "from the supplier keyspace) applied to the customer dimension "
+        "via FULL OUTER JOIN + COALESCE — matched rows take the source's "
+        "values, unmatched-target rows survive, unmatched-source rows "
+        "insert; every row is tagged with its merge action. This is the "
+        "engine-agnostic core of Delta/Iceberg MERGE: one keyed "
+        "shuffle-join of dimension vs change-set. At 100 TB the "
+        "change-set side is usually small → broadcast; file-level "
+        "rewrite minimization is the table format's job, the JOIN is "
+        "the engine's.",
+)
+def q_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            # truncated-cents fixed point: round() tie semantics differ
+            # across engines (registry.py header), floor does not
+            (F.floor(F.col("c_acctbal") * 110) / 100.0).alias("new_bal"),
+            F.col("c_mktsegment").alias("new_seg"),
+        )
+        .unionByName(
+            supp.select(
+                (F.col("s_suppkey") + 1000000).alias("k"),
+                (F.floor(F.col("s_acctbal") * 100) / 100.0).alias("new_bal"),
+                F.lit("NEW").alias("new_seg"),
+            )
+        )
+    )
+    t, s = cust.alias("t"), changes.alias("s")
+    merged = t.join(s, F.col("t.c_custkey") == F.col("s.k"), "full")
+    action = (
+        F.when(F.col("t.c_custkey").isNull(), "insert")
+        .when(F.col("s.k").isNull(), "keep")
+        .otherwise("update")
+    )
+    return merged.select(
+        F.coalesce(F.col("t.c_custkey"), F.col("s.k")).alias("c_custkey"),
+        F.coalesce(
+            F.col("s.new_bal"), F.floor(F.col("t.c_acctbal") * 100) / 100.0
+        ).alias("acctbal"),
+        F.coalesce(F.col("s.new_seg"), F.col("t.c_mktsegment")).alias(
+            "mktsegment"
+        ),
+        action.alias("merge_action"),
+    )

@@ -293,3 +293,46 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' ||
+         CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT doc_id,
+       REGEXP_EXTRACT(url, 'https://([^/]+)/', 1) AS host,
+       REGEXP_EXTRACT(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       REGEXP_EXTRACT(url, '\\?(.*)$', 1) AS query,
+       REGEXP_EXTRACT(url, '[?&]lang=([^&]*)', 1) AS lang_param
+FROM u
+""",
+    doc="URL parsing family: host/path/query/named-param extraction via "
+        "Spark's `parse_url` (JVM java.net.URI-backed) against a "
+        "deterministically constructed URL column; the oracle re-derives "
+        "the same pieces with RE2 regexes — the inputs are constructed, "
+        "so both decompositions provably agree. Pure map-side, "
+        "whole-stage codegen.",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -161,6 +161,8 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_semantic",
     "snk_compact_small_files",
     "q_stream_upsert",
+    "q_merge_scd1",
+    "q_fn_url",
 ]
 
 

@@ -13,7 +13,7 @@ WIN_KEYS = [
 ]
 FN_KEYS = [
     "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_cond", "q_fn_array",
-    "q_fn_map", "q_fn_json", "q_fn_variant",
+    "q_fn_map", "q_fn_json", "q_fn_variant", "q_fn_url",
 ]
 UDF_KEYS = [
     "q_udf_row", "q_udf_pandas", "q_udaf_pandas", "q_udtf_split",
