@@ -222,3 +222,180 @@ def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in langs],
     )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, yy.y, xx.x, cc.c,
+         (d.doc_id * 31 + yy.y * 7 + xx.x * 3 + cc.c * 11) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+),
+rs AS (
+  SELECT doc_id, y // 2 AS ry, x // 2 AS rx, c,
+         SUM(v) // 4 AS r
+  FROM px GROUP BY doc_id, y // 2, x // 2, c
+)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       SUM(r) AS sum_resized,
+       SUM(r * (ry * 12 + rx * 3 + c)) AS weighted_checksum
+FROM rs
+GROUP BY doc_id
+""",
+    doc="REAL image resize, no external libs: closed-form 8x8 RGB images "
+        "round-trip through the pure-NumPy BMP codec as binary payloads, "
+        "then a mapInPandas kernel decodes and 2x block-mean pools to "
+        "4x4 with INTEGER arithmetic (sum//4 — exactly reproducible in "
+        "SQL, unlike float interpolation). The position-weighted "
+        "checksum pins every resized pixel to its location, so a "
+        "transposed or shifted pool hash-mismatches. Same 100 TB shape "
+        "as decode: two chained narrow mapInPandas, zero shuffles until "
+        "the (absent) final agg; Pillow's Image.resize drops into the "
+        "same kernel signature (functions.multimodal.resize_image_batches).",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    H = W = 8
+    C = 3
+    ys, xs, cs = np.indices((H, W, C))
+    ry, rx, rc = np.indices((H // 2, W // 2, C))
+    weights = ry * 12 + rx * 3 + rc
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    ((int(d) * 31 + ys * 7 + xs * 3 + cs * 11) % 256).astype(
+                        np.uint8
+                    )
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w, c = img.shape
+                pooled = (
+                    img.reshape(h // 2, 2, w // 2, 2, c)
+                    .transpose(0, 2, 4, 1, 3)
+                    .reshape(h // 2, w // 2, c, 4)
+                    .sum(axis=3)
+                    // 4
+                )
+                rows.append(
+                    (
+                        d,
+                        w // 2,
+                        h // 2,
+                        c,
+                        int(pooled.sum()),
+                        int((pooled * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sum_resized",
+                    "weighted_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        resize,
+        "doc_id long, width int, height int, n_channels int, "
+        "sum_resized long, weighted_checksum long",
+    )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+WITH frames AS (
+  SELECT d.doc_id, f.f AS frame_idx, b.j,
+         (d.doc_id * 13 + f.f * 17 + b.j * 5) % 256 AS byte_val
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS f) f
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS j) b
+  WHERE d.doc_id < 200 AND f.f % 2 = 0
+)
+SELECT doc_id, frame_idx,
+       SUM(byte_val) AS frame_sum,
+       COUNT(*) AS frame_bytes
+FROM frames
+GROUP BY doc_id, frame_idx
+""",
+    doc="Video frame sampling plumbing with REAL bytes: each document "
+        "carries a synthetic 6-frame 'video' payload (32-byte raw frames "
+        "concatenated — built with the same closed form the oracle "
+        "regenerates), and a mapInPandas sampler slices out every 2nd "
+        "frame and reduces it. Stride sampling over an opaque binary "
+        "column IS the production shape (libav keyframe decode drops "
+        "into functions.multimodal.frame_sample_batches with the same "
+        "signature); narrow map, decode parallelism = scan parallelism, "
+        "sampled-frame rows fan out 3x, never shuffled until aggregated.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    N_FRAMES, FRAME_BYTES, STRIDE = 6, 32, 2
+    fs, js = np.indices((N_FRAMES, FRAME_BYTES))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                ((int(d) * 13 + fs * 17 + js * 5) % 256)
+                .astype(np.uint8)
+                .tobytes()
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    N_FRAMES, FRAME_BYTES
+                )
+                for f in range(0, N_FRAMES, STRIDE):
+                    rows.append(
+                        (d, f, int(buf[f].astype(np.int64).sum()), FRAME_BYTES)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_sum", "frame_bytes"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        sample,
+        "doc_id long, frame_idx long, frame_sum long, frame_bytes long",
+    )

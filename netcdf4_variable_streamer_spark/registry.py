@@ -163,6 +163,8 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_upsert",
     "q_merge_scd1",
     "q_fn_url",
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
 ]
 
 
