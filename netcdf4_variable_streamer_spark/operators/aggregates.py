@@ -363,3 +363,66 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med.join(md, "l_returnflag")
+
+
+@register(
+    "q_agg_sketches",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       CAST(1 AS BOOLEAN) AS hll_merge_ok,
+       CAST(1 AS BOOLEAN) AS kll_median_ok,
+       CAST(1 AS BOOLEAN) AS theta_ok
+FROM events
+GROUP BY event_type
+""",
+    doc="Mergeable DataSketches — the pattern that makes distinct counts "
+        "and quantiles cheap at 100 TB because sketches COMPOSE: distinct "
+        "users are first sketched per (event_type, day) sub-group with "
+        "`hll_sketch_agg`, then the daily sketches are `hll_union_agg`ed "
+        "up to event_type — the two-level rollup never re-touches the "
+        "raw data, which is exactly how a 1000-executor cluster "
+        "maintains daily sketch partitions and unions them at query "
+        "time. A KLL sketch estimates the per-group median of `value` "
+        "and a theta sketch re-estimates distinct users. Sketch "
+        "internals are engine-specific, so each estimate is emitted as "
+        "its |approx − exact| <= 5% bound assertion alongside the exact "
+        "count (same convention as q_agg_approx_distinct) — all three "
+        "booleans are hash-checked against literal TRUE.",
+)
+def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.to_date("ts").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("day_sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("hll_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("kll_median"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
+            "theta_est"
+        ),
+        F.median("value").alias("median_exact"),
+    )
+    j = direct.join(merged, "event_type")
+    exact = F.col("n_users_exact")
+    tol = lambda est: F.abs(est - exact) <= 0.05 * exact  # noqa: E731
+    return j.select(
+        "event_type",
+        "n_users_exact",
+        tol(F.col("hll_est")).alias("hll_merge_ok"),
+        (
+            F.abs(F.col("kll_median") - F.col("median_exact"))
+            <= 0.05 * F.abs(F.col("median_exact"))
+        ).alias("kll_median_ok"),
+        tol(F.col("theta_est")).alias("theta_ok"),
+    )

@@ -165,6 +165,7 @@ CANONICAL_ORDER: list[str] = [
     "q_fn_url",
     "q_multimodal_resize",
     "q_multimodal_frame_sample",
+    "q_agg_sketches",
 ]
 
 

@@ -11,7 +11,7 @@ AGG_KEYS = [
     "q_agg_groupby_sum", "q_agg_having", "q_agg_distinct",
     "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube",
     "q_agg_grouping_sets", "q_agg_stats", "q_agg_collect",
-    "q_agg_percentiles", "q_agg_median_mode",
+    "q_agg_percentiles", "q_agg_median_mode", "q_agg_sketches",
 ]
 SUBQUERY_KEYS = [
     "q_subquery_scalar", "q_subquery_scalar_corr",
