@@ -3,6 +3,7 @@
 from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    graph,
     joins,
     multimodal,
     packing,

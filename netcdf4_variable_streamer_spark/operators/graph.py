@@ -1,0 +1,97 @@
+"""Graph analytics over similarity edges (B-10 adjacent).
+
+PageRank-style score propagation over the embedding near-dup graph —
+the pattern behind quality-signal propagation in web-scale corpus
+curation (a page's quality informs its near-duplicates'). Iterative
+algorithms on Spark are bounded rounds of (join + aggregate); transitive
+connected components live in ``dedup.q_dedup_cc_clusters`` — this adds
+the weighted-propagation variant.
+
+Determinism across engines: every iteration uses INTEGER arithmetic at
+1e-6 scale (`pr // deg`, `(85 * s) // 100`) — integer addition is
+order-independent, so the distributed sum matches DuckDB's sequential
+sum bit-for-bit, and the full 3-iteration pipeline is hash-checked (the
+same reason dedup uses fixed-point: float += is order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.operators.dedup import (
+    _EMB_PAIRS_CTE,
+    _emb_pairs,
+)
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+_N_ITER = 3
+_PR0 = 1_000_000  # 1.0 at 1e-6 fixed point
+_BASE = 150_000  # (1 - d) = 0.15
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT v.vec_id,
+         CAST({_BASE} + (85 * COALESCE(SUM(p.pr // d.deg), 0)) // 100
+              AS BIGINT) AS pr
+  FROM v
+  LEFT JOIN e ON e.dst = v.vec_id
+  LEFT JOIN {prev} p ON p.vec_id = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY v.vec_id
+)"""
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+WITH {_EMB_PAIRS_CTE},
+e AS (SELECT v1 AS src, v2 AS dst FROM p
+      UNION ALL SELECT v2, v1 FROM p),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+pr0 AS (SELECT vec_id, CAST({_PR0} AS BIGINT) AS pr FROM v),
+{_pagerank_iter_sql('pr0', 'pr1')},
+{_pagerank_iter_sql('pr1', 'pr2')},
+{_pagerank_iter_sql('pr2', 'pr3')}
+SELECT vec_id, pr FROM pr3
+""",
+    doc="PageRank (3 power iterations, damping 0.85) over the undirected "
+        "cosine near-dup edge set: each round is one equi-join of the "
+        "score vector with the edge list plus one keyed aggregation — "
+        "the canonical iterative-algorithm shape on Spark (rounds are "
+        "data-parallel; at scale, lineage is cut per round with "
+        "localCheckpoint exactly as q_dedup_cc_clusters does, and the "
+        "edge list comes from the LSH candidate generator instead of "
+        "the exact pair join). Integer fixed-point per iteration makes "
+        "the WHOLE 3-round pipeline engine-portable and hash-checked.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = _emb_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("v1").alias("src"), F.col("v2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.withColumn("pr", F.lit(_PR0).cast("long"))
+    for _ in range(_N_ITER):
+        contrib = (
+            pr.join(edges, pr.vec_id == edges.src)
+            .join(deg, "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = nodes.join(s, nodes.vec_id == s.dst, "left").select(
+            "vec_id",
+            (
+                F.lit(_BASE)
+                + F.expr("(85 * coalesce(s, 0)) div 100")
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    return pr

@@ -443,3 +443,80 @@ def q_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         action.alias("merge_action"),
     )
+
+
+@register(
+    "q_merge_scd2",
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey AS k,
+         FLOOR(c_acctbal * 110) / 100.0 AS new_bal,
+         c_mktsegment AS new_seg
+  FROM customer WHERE c_custkey % 7 = 0
+),
+ins AS (
+  SELECT s_suppkey + 1000000 AS k,
+         FLOOR(s_acctbal * 100) / 100.0 AS new_bal,
+         'NEW' AS new_seg
+  FROM supplier
+)
+SELECT t.c_custkey,
+       FLOOR(t.c_acctbal * 100) / 100.0 AS acctbal,
+       t.c_mktsegment AS mktsegment,
+       CAST(1 AS BIGINT) AS version,
+       (u.k IS NULL) AS is_current
+FROM customer t LEFT JOIN upd u ON t.c_custkey = u.k
+UNION ALL
+SELECT u.k, u.new_bal, u.new_seg, CAST(2 AS BIGINT), CAST(1 AS BOOLEAN)
+FROM upd u
+UNION ALL
+SELECT i.k, i.new_bal, i.new_seg, CAST(1 AS BIGINT), CAST(1 AS BOOLEAN)
+FROM ins i
+""",
+    doc="MERGE with SCD type-2 history: instead of overwriting matched "
+        "rows (SCD-1, q_merge_scd1), every update CLOSES the old version "
+        "(is_current=false) and appends a new one (version=2) — the "
+        "dimension keeps its full change history, the warehouse pattern "
+        "for auditable slowly-changing dimensions. Relationally it is "
+        "one LEFT JOIN (flag closed versions) + two appends; nothing is "
+        "rewritten in place, which is exactly why the pattern scales — "
+        "history tables are append-only. Change-set identical to SCD-1 "
+        "(deterministic updates + inserts), truncated-cents fixed point.",
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        (F.floor(F.col("c_acctbal") * 110) / 100.0).alias("new_bal"),
+        F.col("c_mktsegment").alias("new_seg"),
+    )
+    ins = supp.select(
+        (F.col("s_suppkey") + 1000000).alias("k"),
+        (F.floor(F.col("s_acctbal") * 100) / 100.0).alias("new_bal"),
+        F.lit("NEW").alias("new_seg"),
+    )
+    closed = cust.join(
+        upd.select("k"), cust.c_custkey == F.col("k"), "left"
+    ).select(
+        "c_custkey",
+        (F.floor(F.col("c_acctbal") * 100) / 100.0).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("k").isNull().alias("is_current"),
+    )
+    new_versions = upd.select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_bal").alias("acctbal"),
+        F.col("new_seg").alias("mktsegment"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = ins.select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_bal").alias("acctbal"),
+        F.col("new_seg").alias("mktsegment"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(new_versions).unionByName(inserts)

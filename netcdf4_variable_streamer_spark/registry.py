@@ -166,6 +166,8 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_resize",
     "q_multimodal_frame_sample",
     "q_agg_sketches",
+    "q_merge_scd2",
+    "q_graph_pagerank",
 ]
 
 

@@ -21,7 +21,7 @@ JOIN_KEYS = [
     "q_join_inner_hash", "q_join_left_outer", "q_join_full_outer",
     "q_join_semi", "q_join_anti", "q_join_broadcast_star",
     "q_join_theta_range", "q_join_range_bucketed", "q_join_asof", "q_join_cross",
-    "q_join_skew_salted", "q_merge_scd1",
+    "q_join_skew_salted", "q_merge_scd1", "q_merge_scd2",
 ]
 SET_KEYS = [
     "q_sort_multikey_nulls", "q_topk_global", "q_union_all",
