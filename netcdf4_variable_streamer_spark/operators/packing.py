@@ -113,3 +113,113 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "q_pipeline_pretrain",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 20
+    AND MD5(CAST(doc_id AS VARCHAR)) <
+        CASE lang WHEN 'en' THEN '33333333' WHEN 'zh' THEN 'ffffffff'
+                  ELSE 'cccccccc' END
+),
+deduped AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+                                 ORDER BY doc_id) AS rn
+    FROM kept) t
+  WHERE rn = 1
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM deduped
+),
+assigned AS (
+  SELECT lang, n_tokens,
+         CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS seq_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM assigned
+GROUP BY seq_id
+""",
+    doc="End-to-end pretraining-data pipeline composed from the engine's "
+        "own stages: length filter -> per-language deterministic "
+        "downsampling (md5 keep-rates: en 20 %, zh ~100 %, rest 80 %) -> "
+        "exact dedup (keep lowest doc_id per text) -> token-budget "
+        "sequence packing via the same two-phase distributed prefix sum "
+        "as q_pack_sequences (bucket totals -> offsets -> bucket-local "
+        "windows; no single-partition Exchange). One declarative plan "
+        "end to end — Catalyst fuses the filter+sample into the scan, "
+        "the dedup is one keyed shuffle, packing adds one bounded "
+        "collect + one bucket-keyed window. The oracle replays the "
+        "identical pipeline as chained CTEs.",
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", "33333333")
+        .when(F.col("lang") == "zh", "ffffffff")
+        .otherwise("cccccccc")
+    )
+    kept = d.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.md5(F.col("doc_id").cast("string")) < rate)
+    )
+    w_dedup = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    # two-phase prefix sum over the SURVIVING docs (ids no longer dense —
+    # range buckets only need order preservation, not density)
+    max_id = deduped.agg(F.max("doc_id")).collect()[0][0] or 0
+    width = max_id // _N_BUCKETS + 1
+    dd = deduped.withColumn("bkt", (F.col("doc_id") / width).cast("long"))
+    totals = {
+        r["bkt"]: r["s"]
+        for r in dd.groupBy("bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off = F.lit(0).cast("long")
+    for b, v in offsets.items():
+        off = F.when(F.col("bkt") == b, F.lit(v).cast("long")).otherwise(off)
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w) + off
+    assigned = dd.select(
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / _BUDGET).alias("seq_id"),
+    )
+    return assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

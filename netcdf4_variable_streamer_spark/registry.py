@@ -168,6 +168,7 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_sketches",
     "q_merge_scd2",
     "q_graph_pagerank",
+    "q_pipeline_pretrain",
 ]
 
 

@@ -20,6 +20,7 @@ SQL_KEYS = [
     "q_text_repetition", "q_text_boilerplate", "q_text_pii_redact",
     "q_pack_sequences", "q_dedup_semantic",
     "q_multimodal_resize", "q_multimodal_frame_sample", "q_graph_pagerank",
+    "q_pipeline_pretrain",
 ]
 
 

@@ -261,3 +261,11 @@ def test_semantic_dedup_broadcast_assign_no_cartesian(spark):
     df = build(spark, "q_dedup_semantic")
     plans.assert_broadcast_joins(df, at_least=1)
     plans.assert_no_cartesian(df)
+
+
+def test_pipeline_pretrain_no_single_partition_exchange(spark):
+    # the composed pipeline inherits the packing stage's posture: the
+    # global cumsum must not collapse into a one-partition window
+    df = build(spark, "q_pipeline_pretrain")
+    p = plans.executed_plan_string(df)
+    assert "SinglePartition" not in p, "global window collapsed the corpus"
