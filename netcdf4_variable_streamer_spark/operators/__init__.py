@@ -2,11 +2,14 @@
 
 from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     aggregates,
+    corpus,
     dedup,
+    eventflow,
     graph,
     joins,
     multimodal,
     packing,
+    profiling,
     projection,
     scalar_functions,
     setops,

@@ -1,0 +1,279 @@
+"""Corpus-preparation operators beyond the dedup/text families (B-10
+addendum): exact duplicate-span detection, BPE-style pair statistics,
+context-window chunking, and weighted sampling.
+
+These are the remaining steps of a pretraining-data pipeline that the
+dedup (document-level) and text (quality-filter) modules don't cover:
+*span*-level duplication (the "Deduplicating Training Data Makes
+Language Models Better" operation), tokenizer vocabulary statistics,
+slicing documents into fixed context windows, and importance-weighted
+subsampling. All four follow the repo's hash-match hygiene: md5-derived
+integers, truncated integer ratios, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared n-gram-with-position construction (Spark + DuckDB twins). Unlike
+# the dedup shingles these keep the token position, because span dedup
+# reports WHERE in the document the duplicated span sits.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5  # word n-gram length (real pipelines use ~13; docs here are short)
+
+
+def _positioned_grams(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, g): every n-token window with its 1-based position.
+
+    The split array is materialized as a column BEFORE the lambda indexes
+    it (inline expressions inside HOF lambdas re-evaluate per element —
+    the 7x shingling trap).
+    """
+    ts = F.col("ts")
+    grams = F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+
+
+def _positioned_grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+pg AS (
+  SELECT doc_id, i AS pos, {parts.replace('ts[i+0]', 'ts[i]')} AS g
+  FROM d, UNNEST(generate_series(1, GREATEST(LEN(ts) - {n - 1}, 0))) AS u(i)
+)"""
+
+
+@register(
+    "q_dedup_ngram_spans",
+    oracle=f"""
+WITH {_positioned_grams_sql(_SPAN_N)},
+gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pg GROUP BY g),
+scored AS (
+  SELECT pg.doc_id, pg.pos, (gd.nd >= 2) AS is_dup
+  FROM pg JOIN gd USING (g)
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_spans,
+       (SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // COUNT(*))
+         / 10000.0 AS dup_frac,
+       MIN(CASE WHEN is_dup THEN pos END) AS first_dup_pos
+FROM scored GROUP BY doc_id
+""",
+    doc="Span-level exact duplication scan (the suffix-array-dedup "
+        "semantics of 'Deduplicating Training Data Makes Language Models "
+        "Better', expressed relationally): every word-5-gram occurrence "
+        "that also appears in ANOTHER document is a duplicated span; per "
+        "document we report the span count, duplicated fraction, and the "
+        "first duplicated position (where a trim-the-duplicate pass would "
+        "start cutting). Shape at 100 TB: gram→distinct-doc-count is one "
+        "aggregation keyed by the gram (map-side partial agg collapses "
+        "within-partition repeats), the score-back is a shuffle equi-join "
+        "on the gram, and the roll-up is keyed by doc_id — the same "
+        "3-stage shape as the boilerplate filter, no all-pairs step "
+        "anywhere. Real pipelines key the shuffle by an 8-byte gram hash "
+        "instead of the string; the string is kept here so the oracle is "
+        "byte-identical.",
+)
+def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    pg = _positioned_grams(d, _SPAN_N)
+    gd = pg.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    scored = pg.join(gd, "g").select(
+        "doc_id", "pos", (F.col("nd") >= 2).alias("is_dup")
+    )
+    dup1 = F.when(F.col("is_dup"), 1).otherwise(0)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(dup1).alias("n_dup_spans"),
+        (F.floor(F.sum(dup1) * 10000 / F.count(F.lit(1))) / 10000.0).alias(
+            "dup_frac"
+        ),
+        F.min(F.when(F.col("is_dup"), F.col("pos"))).alias("first_dup_pos"),
+    )
+
+
+@register(
+    "q_text_vocab_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS pair
+  FROM d, UNNEST(generate_series(1, GREATEST(LEN(ts) - 1, 0))) AS u(i)
+),
+c AS (SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair)
+SELECT pair, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+FROM c
+ORDER BY cnt DESC, pair LIMIT 30
+""",
+    doc="Tokenizer-vocabulary pair statistics — the counting step of one "
+        "BPE merge round: global counts of adjacent token pairs, top 30 "
+        "with a deterministic (count DESC, pair ASC) tie-break. Shape at "
+        "100 TB: pair construction is a map-side array transform; the "
+        "count is one aggregation keyed by pair with map-side partial agg "
+        "(the heavy hitters collapse before the shuffle — this is why "
+        "pair counting scales even though pair frequency is zipfian); the "
+        "top-30 is TakeOrderedAndProject, never a global sort. Iterated "
+        "BPE training replays this query on the re-segmented corpus; each "
+        "round is the same single-shuffle plan.",
+)
+def q_text_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ts = F.col("ts")
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+_CHUNK = 32  # context window length in tokens
+_STRIDE = 24  # 8-token overlap between consecutive windows
+
+
+@register(
+    "q_chunk_context_windows",
+    oracle=f"""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+ch AS (
+  SELECT doc_id, i AS chunk_idx, i * {_STRIDE} + 1 AS start_tok,
+         LIST_SLICE(ts, i * {_STRIDE} + 1,
+                    i * {_STRIDE} + {_CHUNK}) AS chunk
+  FROM d,
+       UNNEST(generate_series(0, GREATEST((LEN(ts) - 1) // {_STRIDE}, 0)))
+         AS u(i)
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(LEN(chunk) AS BIGINT) AS n_tokens,
+       MD5(ARRAY_TO_STRING(chunk, ' ')) AS chunk_md5
+FROM ch
+""",
+    doc="Context-window chunking — slicing documents into fixed-length "
+        "overlapping token windows (length 32, stride 24) the way a "
+        "pretraining tokenizer pipeline shards long documents before "
+        "sequence packing (q_pack_sequences consumes windows like these). "
+        "Entirely map-side: split, index-generate, slice — ZERO shuffles "
+        "(plan-asserted), so at 100 TB it runs at scan speed and "
+        "preserves the input partitioning for the packer downstream. "
+        "Each window carries its provenance (doc_id, chunk_idx, "
+        "start_tok) and an md5 for downstream exact-dedup of windows.",
+)
+def q_chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ts = F.col("ts")
+    n_chunks_m1 = F.greatest(
+        F.floor((F.size(ts) - 1) / _STRIDE).cast("int"), F.lit(0)
+    )
+    ch = d.select(
+        "doc_id",
+        F.col("ts"),
+        F.explode(F.sequence(F.lit(0), n_chunks_m1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * _STRIDE + 1).alias("start_tok"),
+        F.slice(
+            F.col("ts"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK
+        ).alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+
+
+# inclusion probability ∝ n_chars, scaled so p = n_chars / 1000 (docs are
+# 48..553 chars → p in ~[0.05, 0.55]); decision = md5-derived 60-bit
+# integer compared against the per-row threshold — deterministic, engine-
+# portable, and stable under corpus growth/partitioning.
+_W_DEN = 1000
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hx
+  FROM documents
+),
+kept AS (
+  SELECT * FROM h
+  WHERE hx % 1000000 < (n_chars * 1000000) // {_W_DEN}
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       SUM(n_chars) AS kept_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM kept GROUP BY lang
+""",
+    doc="Importance-weighted Bernoulli sampling: each document is kept "
+        "with probability proportional to its length (weight = n_chars / "
+        "1000, the 'sample long documents more' heuristic of data-mixture "
+        "tuning), decided by comparing a 60-bit md5 hash of the stable "
+        "doc key against the per-row integer threshold. Pure map-side "
+        "predicate — no shuffle, no RNG state, reproducible across "
+        "engines, corpus size, and partitioning (the same properties as "
+        "q_sample_hash_split, generalized to per-row weights). One "
+        "aggregation for the audit counts.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    thresh = F.floor(F.col("n_chars") * 1000000 / _W_DEN)
+    return (
+        d.filter((hx % 1000000) < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -1,0 +1,233 @@
+"""Event-flow analytics over the `events` table (B-4/B-6 adjacent):
+ordered funnel conversion, cohort retention, and calendar resampling
+with forward fill.
+
+These are the classic event-analytics operators a warehouse engine is
+asked for beyond plain windows: each is expressed as keyed aggregations
+and equi-joins on `user_id` so one hash partitioning serves every stage
+(Spark reuses the exchange), and every stage aggregates BEFORE joining,
+so the shuffled payload is per-user, never per-event, after the first
+aggregation.
+
+Determinism: timestamps compare raw (exact in both engines); elapsed-time
+windows use floored epoch seconds (Spark `unix_timestamp` floors, DuckDB
+mirrors with FLOOR(EPOCH(..))); value sums use 1e-6 fixed point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+_7D = 7 * 86400
+
+
+@register(
+    "q_funnel_conversion",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT COUNT(s1.t1) AS n_view,
+       COUNT(s2.t2) AS n_click_after_view,
+       COUNT(s3.t3) AS n_purchase_after_click,
+       SUM(CASE WHEN s3.t3 IS NOT NULL
+                 AND CAST(FLOOR(EPOCH(s3.t3)) AS BIGINT)
+                     - CAST(FLOOR(EPOCH(s1.t1)) AS BIGINT) <= {_7D}
+                THEN 1 ELSE 0 END) AS n_converted_7d
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+""",
+    doc="Ordered funnel (view -> click -> purchase): a user advances a "
+        "stage only with an event strictly AFTER their previous stage's "
+        "timestamp — the semantics product analytics means by 'funnel', "
+        "not the unordered count-by-type. Three keyed MIN-aggregations "
+        "chained by equi-joins on user_id: every stage aggregates to one "
+        "row per user BEFORE joining, so the join inputs are |users|-"
+        "sized, and all four stages share the user_id hash partitioning "
+        "(one exchange, reused). Conversion window = 7 floored-epoch "
+        "days. At 100 TB this is 3 passes over events with map-side "
+        "partial MIN — no event-by-event state, no window over the raw "
+        "stream.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    j = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    ep = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731  (floored epoch)
+    return j.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+        F.sum(
+            F.when(
+                F.col("t3").isNotNull() & ((ep("t3") - ep("t1")) <= _7D), 1
+            ).otherwise(0)
+        ).alias("n_converted_7d"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+WITH f AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_w
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_w FROM events
+),
+cs AS (SELECT cohort_w, COUNT(*) AS cohort_n FROM f GROUP BY cohort_w),
+r AS (
+  SELECT f.cohort_w,
+         DATE_DIFF('day', f.cohort_w, a.active_w) // 7 AS week_offset,
+         COUNT(*) AS n_active
+  FROM f JOIN a ON a.user_id = f.user_id
+  GROUP BY f.cohort_w, week_offset
+)
+SELECT STRFTIME(r.cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST(r.week_offset AS BIGINT) AS week_offset,
+       r.n_active,
+       (r.n_active * 10000 // cs.cohort_n) / 10000.0 AS retained_frac
+FROM r JOIN cs ON cs.cohort_w = r.cohort_w
+""",
+    doc="Cohort retention matrix: users are cohorted by the ISO week of "
+        "their first event; each (cohort, week-offset) cell counts users "
+        "from that cohort active in that later week, with the retained "
+        "fraction against the cohort size. Both engines truncate weeks "
+        "to ISO Monday, so cells align exactly. Shape at 100 TB: "
+        "first-event and distinct-activity are both single aggregations "
+        "keyed by user_id (sharing one partitioning with the join that "
+        "follows); the matrix roll-up is keyed by (cohort, offset) — "
+        "cardinality |weeks|², tiny — and the cohort-size join "
+        "broadcasts. No step ever shuffles raw events twice.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_w")
+    ).distinct()
+    cs = f.groupBy("cohort_w").agg(F.count(F.lit(1)).alias("cohort_n"))
+    r = (
+        f.join(a, "user_id")
+        .select(
+            "cohort_w",
+            F.expr("datediff(active_w, cohort_w) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_w", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return r.join(F.broadcast(cs), "cohort_w").select(
+        F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("week_offset").cast("long"),
+        "n_active",
+        (F.floor(F.col("n_active") * 10000 / F.col("cohort_n")) / 10000.0)
+        .alias("retained_frac"),
+    )
+
+
+@register(
+    "q_time_resample_ffill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS day_sum_fp
+  FROM events GROUP BY user_id, day
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+  FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(g AS DATE) AS day
+  FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(g)
+)
+SELECT s.user_id,
+       STRFTIME(s.day, '%Y-%m-%d') AS day,
+       d.day_sum_fp IS NOT NULL AS has_events,
+       LAST_VALUE(d.day_sum_fp IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_fp
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+""",
+    doc="Calendar resampling with forward fill — the gap-filling operator "
+        "time-series stores call `time_bucket_gapfill` + `locf`: per user, "
+        "a daily spine spanning their active range is generated, daily "
+        "fixed-point sums are joined on, and missing days carry the last "
+        "observed value forward (LAST_VALUE IGNORE NULLS). Shape at "
+        "100 TB: the daily roll-up collapses events to |user × day| rows "
+        "BEFORE any join; spine generation is a map-side explode of the "
+        "per-user bounds (never a global calendar cross join); the fill "
+        "is one window partitioned by user_id — every stage keyed by "
+        "user_id, one partitioning end-to-end.",
+)
+def q_time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+            "day_sum_fp"
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("day_sum_fp").isNotNull().alias("has_events"),
+            F.last("day_sum_fp", ignorenulls=True).over(w).alias("filled_fp"),
+        )
+    )

@@ -95,3 +95,54 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pr"),
         )
     return pr
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+WITH {_EMB_PAIRS_CTE},
+e AS (SELECT v1 AS a, v2 AS b FROM p),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT COUNT(DISTINCT x) FROM
+          (SELECT a AS x FROM e UNION SELECT b FROM e) u) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       tri.n_triangles
+FROM tri
+""",
+    doc="Triangle counting over the cosine near-dup graph — the "
+        "clustering-coefficient primitive of corpus graph analysis. "
+        "Uses the compact-forward algorithm: edges are kept only in "
+        "canonical (a < b) orientation, so each triangle a<b<c is "
+        "counted exactly once by the 2-path join (a,b)x(b,c) probed "
+        "against the edge set (a,c) — two equi-joins on vertex ids, no "
+        "orientation dedup and 1/6 the join volume of the naive "
+        "all-orientation count. At 100 TB-scale graphs the same plan "
+        "holds with degree-ordered orientation (point the edge from the "
+        "lower-degree endpoint) bounding the 2-path fan-out by sqrt(m); "
+        "skewed hubs then salt like q_join_skew_salted.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_pairs(spark, sf_dir).select(
+        F.col("v1").alias("a"), F.col("v2").alias("b")
+    )
+    two_path = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e2.b").alias("c")
+    )
+    tri = two_path.alias("tp").join(
+        e.alias("e3"),
+        (F.col("tp.a") == F.col("e3.a")) & (F.col("tp.c") == F.col("e3.b")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        e.select(F.col("a").alias("x"))
+        .union(e.select(F.col("b").alias("x")))
+        .agg(F.countDistinct("x").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(edges).crossJoin(tri)

@@ -1,0 +1,302 @@
+"""Data-profiling and distribution operators (B-3 adjacent): equi-width
+histograms, exact heavy hitters, whole-table column profiling, robust
+(MAD) outlier detection, and unpivot/melt.
+
+These are the operators an engine needs to *characterize* 100 TB before
+processing it — the profile step that decides partition counts, skew
+mitigation, and filter thresholds for everything downstream. Each is a
+single-scan aggregation shape (map-side partial agg, one shuffle), and
+every ratio/fraction is a truncated integer so oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+_NBINS = 20
+_WIDTH = 6000  # l_extendedprice spans ~[900, 105k) → 20 bins of 6000
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(l_extendedprice / {_WIDTH}) AS BIGINT),
+               {_NBINS - 1}) AS bucket_id,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY bucket_id
+)
+SELECT bucket_id,
+       bucket_id * {_WIDTH} AS lo,
+       (bucket_id + 1) * {_WIDTH} AS hi,
+       n,
+       n * 1000000 // SUM(n) OVER () AS pct_ppm
+FROM b
+""",
+    doc="Equi-width histogram of l_extendedprice (20 declared buckets, "
+        "overflow clamped to the top bucket): the distribution profile "
+        "that sizes downstream range partitioning. One aggregation keyed "
+        "by bucket id — map-side partial agg collapses each partition to "
+        "<= 20 rows before the shuffle, so at 100 TB the shuffle moves "
+        "KBs. The ppm share is computed by a window over the 20-row "
+        "result, not a second scan. Declared (data-independent) bounds "
+        "keep it one-pass; data-driven bounds would need a min/max "
+        "pre-pass or approx_percentile sketch.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / _WIDTH).cast("long"),
+        F.lit(_NBINS - 1),
+    )
+    b = li.groupBy(bucket.alias("bucket_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return b.select(
+        "bucket_id",
+        (F.col("bucket_id") * _WIDTH).alias("lo"),
+        ((F.col("bucket_id") + 1) * _WIDTH).alias("hi"),
+        "n",
+        F.floor(F.col("n") * 1000000 / F.sum("n").over(Window.partitionBy()))
+        .cast("long")
+        .alias("pct_ppm"),
+    )
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT t.tok FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+  WHERE t.tok <> ''
+),
+c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+SELECT tok, cnt, cnt * 1000000 // SUM(cnt) OVER () AS freq_ppm
+FROM c
+QUALIFY cnt * 50 > SUM(cnt) OVER ()
+""",
+    doc="Exact phi-heavy-hitters: corpus tokens whose global frequency "
+        "share exceeds phi = 2 % (cnt * 50 > total). The exact form is "
+        "one aggregation keyed by token — zipfian skew is absorbed by "
+        "map-side partial agg (the heavy keys, by definition frequent in "
+        "every partition, collapse to one row per partition before the "
+        "shuffle); the phi filter is a window over the aggregated "
+        "result. At vocabularies too large to aggregate exactly, the "
+        "same contract is served by a Misra-Gries/SpaceSaving sketch in "
+        "the q_agg_sketches style — the exact form here doubles as its "
+        "verification oracle.",
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    c = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    return (
+        c.withColumn("total", F.sum("cnt").over(w))
+        .filter(F.col("cnt") * 50 > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000 / F.col("total"))
+            .cast("long")
+            .alias("freq_ppm"),
+        )
+    )
+
+
+# (column, null-count expr pair, distinct expr, min/max string projections)
+# — doubles go through 2-decimal fixed point, dates through ISO strings,
+# so the unified profile row is engine-portable.
+_PROFILE_COLS = [
+    ("l_orderkey", "l_orderkey", "CAST(MIN(l_orderkey) AS VARCHAR)",
+     "CAST(MAX(l_orderkey) AS VARCHAR)"),
+    ("l_quantity", "l_quantity",
+     "CAST(CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS VARCHAR)",
+     "CAST(CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS VARCHAR)"),
+    ("l_extendedprice", "l_extendedprice",
+     "CAST(CAST(FLOOR(MIN(l_extendedprice) * 100) AS BIGINT) AS VARCHAR)",
+     "CAST(CAST(FLOOR(MAX(l_extendedprice) * 100) AS BIGINT) AS VARCHAR)"),
+    ("l_returnflag", "l_returnflag", "MIN(l_returnflag)",
+     "MAX(l_returnflag)"),
+    ("l_shipdate", "l_shipdate",
+     "STRFTIME(MIN(CAST(l_shipdate AS DATE)), '%Y-%m-%d')",
+     "STRFTIME(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d')"),
+]
+
+
+@register(
+    "q_profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_null,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_str, {mx} AS max_str
+FROM lineitem"""
+        for name, col, mn, mx in _PROFILE_COLS
+    ),
+    doc="Whole-table column profile — per column: row count, null count, "
+        "exact distinct count, min/max (doubles in 2-decimal fixed "
+        "point, dates as ISO strings, so one VARCHAR schema fits all "
+        "types). This is the statistics pass an engine runs to plan "
+        "partitioning/skew handling for a new 100 TB table. The Spark "
+        "side is ONE scan: a single multi-distinct aggregate (Catalyst "
+        "expands the distincts into one multi-phase plan) followed by a "
+        "local stack() to pivot the wide row into per-column rows — no "
+        "per-column rescans, no driver loop. At extreme cardinality the "
+        "exact distincts swap for approx_count_distinct (HLL) without "
+        "changing the output contract.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for name, col, _, _ in _PROFILE_COLS:
+        c = F.col(col)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{name}"),
+            F.countDistinct(c).alias(f"nd_{name}"),
+        ]
+        if name in ("l_quantity", "l_extendedprice"):
+            mn = F.floor(F.min(c) * 100).cast("long").cast("string")
+            mx = F.floor(F.max(c) * 100).cast("long").cast("string")
+        elif name == "l_shipdate":
+            mn = F.date_format(F.min(c).cast("date"), "yyyy-MM-dd")
+            mx = F.date_format(F.max(c).cast("date"), "yyyy-MM-dd")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        aggs += [mn.alias(f"mn_{name}"), mx.alias(f"mx_{name}")]
+    wide = li.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name, _, _, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_str, max_str)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_str",
+             "max_str")
+
+
+@register(
+    "q_outlier_mad",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+med AS (
+  SELECT flag, CAST(FLOOR(quantile_cont(2 * cents, 0.5)) AS BIGINT) AS med2
+  FROM c GROUP BY flag
+),
+dev AS (
+  SELECT c.flag, ABS(2 * c.cents - med.med2) AS d
+  FROM c JOIN med USING (flag)
+),
+mad AS (
+  SELECT flag, CAST(FLOOR(quantile_cont(2 * d, 0.5)) AS BIGINT) AS mad2x
+  FROM dev GROUP BY flag
+)
+SELECT dev.flag AS l_returnflag,
+       mad.mad2x,
+       MIN(med.med2) AS med2,
+       COUNT(*) AS n,
+       SUM(CASE WHEN 2 * dev.d > 3 * mad.mad2x THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM dev JOIN mad USING (flag) JOIN med USING (flag)
+GROUP BY dev.flag, mad.mad2x
+""",
+    doc="Robust outlier detection via median absolute deviation: per "
+        "return flag, rows where |x - median| > 3 * MAD are flagged — "
+        "the skew-resistant alternative to z-scores (mean/stddev are "
+        "themselves dragged by the outliers being hunted). All "
+        "arithmetic is integer at cent scale, doubled to keep even-count "
+        "median interpolation exact (median of ints*2 is an integer; "
+        "linear interpolation of integers < 2^53 is exact in IEEE "
+        "double, so Spark percentile == DuckDB quantile_cont bit-for-"
+        "bit). Shape: two exact per-group medians (each needs the "
+        "per-group sort) + broadcast joins of the 3-row group table — "
+        "3 scans total; at extreme group cardinality both medians swap "
+        "for approx_percentile (t-digest) keeping the same contract.",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("flag").agg(
+        F.floor(F.percentile(2 * F.col("cents"), F.lit(0.5)))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = c.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(2 * F.col("cents") - F.col("med2")).alias("d")
+    )
+    mad = dev.groupBy("flag").agg(
+        F.floor(F.percentile(2 * F.col("d"), F.lit(0.5)))
+        .cast("long")
+        .alias("mad2x")
+    )
+    return (
+        dev.join(F.broadcast(mad), "flag")
+        .join(F.broadcast(med), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"), "mad2x")
+        .agg(
+            F.min("med2").alias("med2"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad2x"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("l_returnflag", "mad2x", "med2", "n", "n_outliers")
+    )
+
+
+_MELT = [
+    ("quantity", "l_quantity"),
+    ("extendedprice", "l_extendedprice"),
+    ("discount", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+@register(
+    "q_unpivot_melt",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT l_returnflag, '{m}' AS metric,
+       SUM(CAST(FLOOR({col} * 100) AS BIGINT)) AS sum_fp,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag"""
+        for m, col in _MELT
+    ),
+    doc="Unpivot/melt: the four lineitem measures become (metric, value) "
+        "rows — the wide-to-long reshape feeding generic per-metric "
+        "pipelines — then roll up per (returnflag, metric) in cent "
+        "fixed point. Spark's stack() is a local row generator (no "
+        "shuffle, no rescan: ONE pass emits 4 rows per input row, "
+        "unlike the oracle's 4-scan UNION ALL), and the only shuffle is "
+        "the final keyed aggregation with map-side partials. The "
+        "inverse reshape is q_pivot_lang_source.",
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{m}', CAST(FLOOR({col} * 100) AS BIGINT)" for m, col in _MELT
+    )
+    melted = li.selectExpr(
+        "l_returnflag",
+        f"stack({len(_MELT)}, {stack_args}) AS (metric, v)",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.sum("v").alias("sum_fp"), F.count(F.lit(1)).alias("n")
+    )

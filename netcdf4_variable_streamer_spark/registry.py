@@ -169,6 +169,19 @@ CANONICAL_ORDER: list[str] = [
     "q_merge_scd2",
     "q_graph_pagerank",
     "q_pipeline_pretrain",
+    "q_dedup_ngram_spans",
+    "q_text_vocab_pairs",
+    "q_chunk_context_windows",
+    "q_sample_weighted",
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "q_time_resample_ffill",
+    "q_agg_histogram",
+    "q_agg_heavy_hitters",
+    "q_profile_columns",
+    "q_outlier_mad",
+    "q_unpivot_melt",
+    "q_graph_triangles",
 ]
 
 

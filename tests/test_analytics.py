@@ -1,0 +1,120 @@
+"""Oracle-differential + plan-posture tests for the round-2 analytics
+batch: corpus prep (span dedup, BPE pairs, chunking, weighted sampling),
+event-flow analytics (funnel, cohorts, resample+ffill), profiling
+(histogram, heavy hitters, column profile, MAD outliers, melt), and
+triangle counting."""
+
+from __future__ import annotations
+
+import pytest
+
+from netcdf4_variable_streamer_spark import plans
+from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+from tests.conftest import SF_DIR
+
+NEW_KEYS = [
+    "q_dedup_ngram_spans", "q_text_vocab_pairs",
+    "q_chunk_context_windows", "q_sample_weighted",
+    "q_funnel_conversion", "q_retention_cohort", "q_time_resample_ffill",
+    "q_agg_histogram", "q_agg_heavy_hitters", "q_profile_columns",
+    "q_outlier_mad", "q_unpivot_melt", "q_graph_triangles",
+]
+
+
+@pytest.mark.parametrize("key", NEW_KEYS)
+def test_oracle_match(check, key):
+    assert key in REGISTRY
+    check(key)
+
+
+def test_chunk_windows_zero_shuffle(spark):
+    """Context-window chunking must run at scan speed: no exchange."""
+    df = REGISTRY["q_chunk_context_windows"].builder(spark, SF_DIR)
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_weighted_sample_single_shuffle(spark):
+    """Keep/drop is a map-side predicate; only the audit agg shuffles."""
+    df = REGISTRY["q_sample_weighted"].builder(spark, SF_DIR)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_funnel_no_cartesian(spark):
+    df = REGISTRY["q_funnel_conversion"].builder(spark, SF_DIR)
+    plans.assert_no_cartesian(df)
+
+
+def test_retention_cohort_broadcast(spark):
+    """Cohort-size join must broadcast (|weeks| rows vs the matrix)."""
+    df = REGISTRY["q_retention_cohort"].builder(spark, SF_DIR)
+    plans.assert_broadcast_joins(df, at_least=1)
+    plans.assert_no_cartesian(df)
+
+
+def test_outlier_mad_broadcast_groups(spark):
+    """Both per-group median tables join back via broadcast."""
+    df = REGISTRY["q_outlier_mad"].builder(spark, SF_DIR)
+    plans.assert_broadcast_joins(df, at_least=2)
+    plans.assert_no_cartesian(df)
+
+
+def test_melt_single_shuffle(spark):
+    """stack() is local; the only exchange is the keyed aggregation."""
+    df = REGISTRY["q_unpivot_melt"].builder(spark, SF_DIR)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_funnel_monotone(spark):
+    """Funnel stages can only shrink, and 7d conversions are a subset."""
+    row = (
+        REGISTRY["q_funnel_conversion"].builder(spark, SF_DIR).collect()[0]
+    )
+    assert row.n_view >= row.n_click_after_view >= row.n_purchase_after_click
+    assert row.n_converted_7d <= row.n_purchase_after_click
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Chunks tile each doc: chunk i starts at i*stride+1; every token
+    index is covered; consecutive chunks overlap by chunk-stride."""
+    rows = (
+        REGISTRY["q_chunk_context_windows"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 500  # every doc produced at least one chunk
+    for doc, chunks in list(by_doc.items())[:50]:
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * 24 + 1
+            assert 1 <= c.n_tokens <= 32
+        # full coverage: last chunk must reach the end of the doc
+        last = chunks[-1]
+        if len(chunks) > 1:
+            prev = chunks[-2]
+            assert last.start_tok <= prev.start_tok + prev.n_tokens
+
+
+def test_histogram_totals(spark):
+    rows = REGISTRY["q_agg_histogram"].builder(spark, SF_DIR).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n
+    assert all(0 <= r.bucket_id <= 19 for r in rows)
+    assert all(r.hi - r.lo == 6000 for r in rows)
+
+
+def test_triangles_sane(spark):
+    row = REGISTRY["q_graph_triangles"].builder(spark, SF_DIR).collect()[0]
+    assert row.n_edges > 0 and row.n_nodes > 0
+    # canonical orientation bound: triangles <= edges * max-degree is loose;
+    # the hard invariant is non-negativity + determinism (oracle hash covers
+    # the exact value)
+    assert row.n_triangles >= 0
