@@ -11,6 +11,7 @@ from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     packing,
     profiling,
     projection,
+    quality,
     scalar_functions,
     setops,
     similarity,

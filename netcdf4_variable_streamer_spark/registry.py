@@ -182,6 +182,11 @@ CANONICAL_ORDER: list[str] = [
     "q_outlier_mad",
     "q_unpivot_melt",
     "q_graph_triangles",
+    "q_sessionize_gap",
+    "q_validate_constraints",
+    "q_table_diff",
+    "q_join_fuzzy_levenshtein",
+    "snk_clustered_sort",
 ]
 
 

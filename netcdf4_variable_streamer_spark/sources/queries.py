@@ -387,3 +387,78 @@ def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(frag, ignore_errors=True)
         shutil.rmtree(comp, ignore_errors=True)
+
+
+@register(
+    "snk_clustered_sort",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {SQL_DSUM('l_extendedprice')} AS sum_price,
+       CAST(1 AS BOOLEAN) AS clustered_ok
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+""",
+    doc="Range-clustered sorted write — the data-layout primitive behind "
+        "data skipping: lineitem is laid out with repartitionByRange + "
+        "sortWithinPartitions on l_shipdate, so each parquet file covers "
+        "a disjoint date range and row-group min/max stats are tight. "
+        "clustered_ok asserts the physical property directly: per-file "
+        "footer min/max shipdate ranges must be pairwise disjoint "
+        "(checked from the parquet metadata, no full read). The re-read "
+        "then filters a 6-month window — at 100 TB a time-range query "
+        "over such a layout touches only the files whose range "
+        "intersects, turning a full scan into a few-file read; the "
+        "re-read count + fixed-point sum are hash-checked against the "
+        "source table so the layout provably lost nothing.",
+)
+def snk_clustered_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"pq_clust_{_uuid.uuid4().hex[:8]}")
+    li = load_table(spark, sf_dir, "lineitem")
+    try:
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+        # physical clustering check: file-level [min, max] shipdate
+        # ranges must be pairwise disjoint (footer stats only)
+        ranges = []
+        for fn in sorted(os.listdir(dst)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dst, fn)).metadata
+            idx = md.schema.names.index("l_shipdate")
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                ranges.append((lo, hi))
+        ranges.sort()
+        ok = all(
+            ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1)
+        ) and len(ranges) > 1
+        back = spark.read.parquet(dst).filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(out["n_rows"], out["sum_price"], bool(ok))],
+            "n_rows long, sum_price double, clustered_ok boolean",
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)

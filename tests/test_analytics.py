@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 
+import netcdf4_variable_streamer_spark.sources.queries  # noqa: F401
 from netcdf4_variable_streamer_spark import plans
 from netcdf4_variable_streamer_spark.registry import REGISTRY
 
@@ -19,6 +20,8 @@ NEW_KEYS = [
     "q_funnel_conversion", "q_retention_cohort", "q_time_resample_ffill",
     "q_agg_histogram", "q_agg_heavy_hitters", "q_profile_columns",
     "q_outlier_mad", "q_unpivot_melt", "q_graph_triangles",
+    "q_sessionize_gap", "q_validate_constraints", "q_table_diff",
+    "q_join_fuzzy_levenshtein", "snk_clustered_sort",
 ]
 
 
@@ -118,3 +121,38 @@ def test_triangles_sane(spark):
     # the hard invariant is non-negativity + determinism (oracle hash covers
     # the exact value)
     assert row.n_triangles >= 0
+
+
+def test_sessionize_single_shuffle(spark):
+    """Windows + roll-up all share the user_id partitioning."""
+    df = REGISTRY["q_sessionize_gap"].builder(spark, SF_DIR)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_validate_constraints_all_pass(spark):
+    rows = (
+        REGISTRY["q_validate_constraints"].builder(spark, SF_DIR).collect()
+    )
+    assert len(rows) == 5
+    assert all(r.passed for r in rows), [
+        (r.check_name, r.n_violations) for r in rows if not r.passed
+    ]
+
+
+def test_table_diff_classes(spark):
+    rows = REGISTRY["q_table_diff"].builder(spark, SF_DIR).collect()
+    by = {r.change_type: r for r in rows}
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    assert by["added"].n == 100  # keys < 100 re-inserted shifted
+    assert by["changed"].sum_delta_cents == by["changed"].n * 100
+    assert by["removed"].n > 0
+
+
+def test_fuzzy_join_self_recovery(spark):
+    """Every probe (name with one char dropped) re-finds its own key,
+    and candidate generation is an equi-join (no cartesian)."""
+    df = REGISTRY["q_join_fuzzy_levenshtein"].builder(spark, SF_DIR)
+    plans.assert_no_cartesian(df)
+    rows = df.collect()
+    assert len(rows) == 1500
+    assert all(r.self_found for r in rows)
