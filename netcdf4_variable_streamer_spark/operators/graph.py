@@ -97,11 +97,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr
 
 
-@register(
-    "q_graph_triangles",
-    oracle=f"""
-WITH {_EMB_PAIRS_CTE},
-e AS (SELECT v1 AS a, v2 AS b FROM p),
+def _triangles_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        PLSH_PAIRS_CTE,
+    )
+
+    return f"""
+WITH {PLSH_PAIRS_CTE},
+e AS (SELECT v1 AS a, v2 AS b FROM lsh_pairs),
 tri AS (
   SELECT COUNT(*) AS n_triangles
   FROM e e1
@@ -113,22 +116,39 @@ SELECT (SELECT COUNT(DISTINCT x) FROM
        (SELECT COUNT(*) FROM e) AS n_edges,
        tri.n_triangles
 FROM tri
-""",
+"""
+
+
+@register(
+    "q_graph_triangles",
+    oracle=_triangles_oracle(),
     doc="Triangle counting over the cosine near-dup graph — the "
         "clustering-coefficient primitive of corpus graph analysis. "
-        "Uses the compact-forward algorithm: edges are kept only in "
-        "canonical (a < b) orientation, so each triangle a<b<c is "
-        "counted exactly once by the 2-path join (a,b)x(b,c) probed "
-        "against the edge set (a,c) — two equi-joins on vertex ids, no "
-        "orientation dedup and 1/6 the join volume of the naive "
-        "all-orientation count. At 100 TB-scale graphs the same plan "
-        "holds with degree-ordered orientation (point the edge from the "
-        "lower-degree endpoint) bounding the 2-path fan-out by sqrt(m); "
-        "skewed hubs then salt like q_join_skew_salted.",
+        "Edges come from the LSH-bucketed pair generator (the production "
+        "path — candidates via equi-join, exact-cosine verify, never "
+        "all-pairs; LCG hyperplanes keep the edge set engine-portable so "
+        "the DuckDB oracle reproduces it exactly). Counting uses the "
+        "compact-forward algorithm: edges kept only in canonical (a < b) "
+        "orientation, so each triangle a<b<c is counted exactly once by "
+        "the 2-path join (a,b)x(b,c) probed against the edge set (a,c) — "
+        "two equi-joins on vertex ids, 1/6 the join volume of the naive "
+        "all-orientation count. The materialized edge set is "
+        "localCheckpoint'd once (it feeds five plan branches — without "
+        "the cut, Spark would re-run the LSH pipeline per branch). At "
+        "100 TB-scale graphs the same plan holds with degree-ordered "
+        "orientation (edge points low-degree -> high-degree) bounding "
+        "2-path fan-out by sqrt(m); hub skew salts like "
+        "q_join_skew_salted.",
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_pairs(spark, sf_dir).select(
-        F.col("v1").alias("a"), F.col("v2").alias("b")
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        lsh_threshold_pairs,
+    )
+
+    e = (
+        lsh_threshold_pairs(spark, sf_dir)
+        .select(F.col("v1").alias("a"), F.col("v2").alias("b"))
+        .localCheckpoint()
     )
     two_path = e.alias("e1").join(
         e.alias("e2"), F.col("e1.b") == F.col("e2.a")
