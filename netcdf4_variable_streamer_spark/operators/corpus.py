@@ -277,3 +277,41 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+_PER_GROUP_K = 10
+
+
+@register(
+    "q_sample_per_group",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rnk
+FROM r WHERE rnk <= {_PER_GROUP_K}
+""",
+    doc="Fixed-size per-stratum sample (deterministic reservoir): each "
+        "language keeps its 10 documents with the smallest md5(doc_key) "
+        "— the sample a true reservoir algorithm would converge to under "
+        "this priority order, but stable across engines, partitioning, "
+        "and reruns (classic reservoir sampling is order-dependent and "
+        "thus unreproducible on a cluster). One window shuffle keyed by "
+        "the stratum; at extreme per-stratum cardinality the same "
+        "contract runs as a per-group TakeOrdered (rank pushdown "
+        "filters rnk <= k before the final sort completes).",
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PER_GROUP_K)
+        .select("doc_id", "lang", "n_chars", "rnk")
+    )

@@ -231,3 +231,125 @@ def q_time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_sum_fp", ignorenulls=True).over(w).alias("filled_fp"),
         )
     )
+
+
+@register(
+    "q_win_pattern_burst",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+         CAST(FLOOR(EPOCH(ts::TIMESTAMP)) AS BIGINT) AS es
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_typ
+  FROM e
+),
+bursts AS (
+  SELECT user_id, rn_all - rn_typ AS grp,
+         COUNT(*) AS n_errors,
+         STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS burst_start,
+         MAX(es) - MIN(es) AS duration_s
+  FROM r WHERE event_type = 'error'
+  GROUP BY user_id, grp
+)
+SELECT user_id, burst_start, n_errors, duration_s
+FROM bursts WHERE n_errors >= 3
+""",
+    doc="Sequential pattern detection (the MATCH_RECOGNIZE shape): runs "
+        "of >= 3 CONSECUTIVE error events per user — consecutive in the "
+        "user's event sequence, not merely frequent — found with the "
+        "gaps-and-islands double-row_number trick (rn_all - rn_per_type "
+        "is constant exactly along an unbroken run). Both windows and "
+        "the roll-up share the user_id partitioning: ONE shuffle "
+        "(plan-asserted). This is the relational expression of a "
+        "regex-over-events engine: any fixed 'k consecutive X' pattern "
+        "compiles to this plan, and at 100 TB it scales exactly like "
+        "sessionization (window partition = one user's events).",
+)
+def q_win_pattern_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    r = ev.withColumn("rn_all", F.row_number().over(w_all)).withColumn(
+        "rn_typ", F.row_number().over(w_typ)
+    )
+    return (
+        r.filter(F.col("event_type") == "error")
+        .groupBy("user_id", (F.col("rn_all") - F.col("rn_typ")).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "burst_start"
+            ),
+            (F.max("es") - F.min("es")).alias("duration_s"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .select("user_id", "burst_start", "n_errors", "duration_s")
+    )
+
+
+# incremental maintenance split point: orders before/after this date are
+# the "already aggregated" base and the "newly arrived" delta
+_INC_SPLIT = "2024-01-01"
+
+
+@register(
+    "q_agg_incremental_merge",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Incremental aggregate maintenance: the base partition's partial "
+        "aggregates (computed once, conceptually stored) and the delta "
+        "partition's partial aggregates are MERGED — count+count, "
+        "sum+sum, min(min), max(max) — without ever re-touching base "
+        "rows; the oracle recomputes from scratch and must hash-match, "
+        "proving merge(partial(base), partial(delta)) == full(all). "
+        "This is the algebraic property (commutative-monoid aggregates) "
+        "that makes streaming upserts (q_stream_upsert) and the HLL "
+        "two-level rollup (q_agg_sketches) correct, demonstrated exactly "
+        "with fixed-point sums. At 100 TB the base partials are a stored "
+        "materialized view; each refresh aggregates ONLY the delta — "
+        "shuffle volume |delta|, not |table|.",
+)
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < _INC_SPLIT))
+    delta = partial(o.filter(F.col("o_orderdate") >= _INC_SPLIT))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("min_key").alias("min_key"),
+            F.max("max_key").alias("max_key"),
+        )
+    )

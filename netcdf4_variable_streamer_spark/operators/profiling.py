@@ -300,3 +300,109 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("l_returnflag", "metric").agg(
         F.sum("v").alias("sum_fp"), F.count(F.lit(1)).alias("n")
     )
+
+
+# fixed-point scales for the correlation inputs: quantity/price at 1e2,
+# discount at 1e4 — per-row products stay under 2^63, their DECIMAL(38,0)
+# sums are exact and order-independent, and the final double formula runs
+# on identical inputs with identical IEEE ops in both engines.
+_CORR_PAIRS = [
+    ("quantity_price", "q_fp", "p_fp"),
+    ("quantity_discount", "q_fp", "d_fp"),
+    ("price_discount", "p_fp", "d_fp"),
+]
+
+
+def _corr_sql(x: str, y: str) -> str:
+    n = "CAST(cnt AS DOUBLE)"
+    sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+    sxy = f"CAST(s_{x}_{y} AS DOUBLE)"
+    sxx, syy = f"CAST(s_{x}_{x} AS DOUBLE)", f"CAST(s_{y}_{y} AS DOUBLE)"
+    # CAST .. AS DOUBLE / 10000 (integer literal): Spark parses a `10000.0`
+    # literal as DECIMAL and would produce decimal division
+    return (
+        f"CAST(FLOOR((({n} * {sxy}) - ({sx} * {sy})) / "
+        f"(SQRT(({n} * {sxx}) - ({sx} * {sx})) * "
+        f"SQRT(({n} * {syy}) - ({sy} * {sy}))) * 10000) AS DOUBLE) / 10000"
+    )
+
+
+def _corr_sums_sql() -> str:
+    cols = ["q_fp", "p_fp", "d_fp"]
+    sums = [f"SUM(CAST({c} AS DECIMAL(38,0))) AS s_{c}" for c in cols]
+    prods = []
+    seen = set()
+    for _, x, y in _CORR_PAIRS:
+        for a, b in [(x, x), (y, y), (x, y)]:
+            if (a, b) not in seen:
+                seen.add((a, b))
+                prods.append(
+                    f"SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS s_{a}_{b}"
+                )
+    return ", ".join(["COUNT(*) AS cnt"] + sums + prods)
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle=f"""
+WITH fp AS (
+  SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS q_fp,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p_fp,
+         CAST(FLOOR(l_discount * 10000) AS BIGINT) AS d_fp
+  FROM lineitem
+),
+s AS (SELECT {_corr_sums_sql()} FROM fp)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS pair, cnt AS n, {_corr_sql(x, y)} AS corr_4dp "
+        "FROM s"
+        for name, x, y in _CORR_PAIRS
+    ),
+    doc="Exact Pearson correlation matrix over the lineitem measures in "
+        "ONE scan: all co-moment sums (Σx, Σx², Σxy per pair) accumulate "
+        "as DECIMAL(38,0) over per-row BIGINT fixed-point products — "
+        "exact and order-independent, so the distributed sums equal "
+        "DuckDB's sequential ones bit-for-bit; the closed-form corr "
+        "formula then runs on identical doubles with identical IEEE "
+        "operations (+,-,*,/,sqrt are all correctly rounded — only "
+        "order-dependent float ACCUMULATION diverges cross-engine, and "
+        "that is exactly what the decimal sums eliminate). Shape at "
+        "100 TB: a correlation matrix over k columns is one aggregation "
+        "with k(k+3)/2 sums — map-side partials collapse each partition "
+        "to one row; never k² scans, no covariance shuffle.",
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fp = li.select(
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("q_fp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p_fp"),
+        F.floor(F.col("l_discount") * 10000).cast("long").alias("d_fp"),
+    )
+    s = fp.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}")
+            for c in ["q_fp", "p_fp", "d_fp"]
+        ],
+        *[
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(
+                f"s_{a}_{b}"
+            )
+            for a, b in [
+                ("q_fp", "q_fp"), ("p_fp", "p_fp"), ("d_fp", "d_fp"),
+                ("q_fp", "p_fp"), ("q_fp", "d_fp"), ("p_fp", "d_fp"),
+            ]
+        ],
+    )
+    branches = [
+        s.selectExpr(
+            f"'{name}' AS pair",
+            "cnt AS n",
+            f"{_corr_sql(x, y)} AS corr_4dp",
+        )
+        for name, x, y in _CORR_PAIRS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out

@@ -187,6 +187,10 @@ CANONICAL_ORDER: list[str] = [
     "q_table_diff",
     "q_join_fuzzy_levenshtein",
     "snk_clustered_sort",
+    "q_win_pattern_burst",
+    "q_agg_incremental_merge",
+    "q_sample_per_group",
+    "q_agg_corr_matrix",
 ]
 
 

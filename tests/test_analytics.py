@@ -22,6 +22,8 @@ NEW_KEYS = [
     "q_outlier_mad", "q_unpivot_melt", "q_graph_triangles",
     "q_sessionize_gap", "q_validate_constraints", "q_table_diff",
     "q_join_fuzzy_levenshtein", "snk_clustered_sort",
+    "q_win_pattern_burst", "q_agg_incremental_merge",
+    "q_sample_per_group", "q_agg_corr_matrix",
 ]
 
 
@@ -156,3 +158,53 @@ def test_fuzzy_join_self_recovery(spark):
     rows = df.collect()
     assert len(rows) == 1500
     assert all(r.self_found for r in rows)
+
+
+def test_pattern_burst_single_shuffle(spark):
+    """Both row_number windows + the roll-up share user_id partitioning.
+    (The per-type window adds event_type to the partition key, which
+    Spark satisfies with the same user_id exchange + a local sort.)"""
+    df = REGISTRY["q_win_pattern_burst"].builder(spark, SF_DIR)
+    plans.assert_max_shuffles(df, 2)  # user_id + (user_id, type) exchanges
+    rows = df.collect()
+    assert all(r.n_errors >= 3 for r in rows)
+
+
+def test_incremental_merge_equals_full(spark):
+    """merge(partial(base), partial(delta)) == full recompute, column
+    by column (the oracle hash already proves it; this is the explicit
+    algebraic statement)."""
+    import duckdb
+
+    merged = {
+        r.o_orderstatus: r
+        for r in REGISTRY["q_agg_incremental_merge"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    full = duckdb.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents "
+        f"FROM '{SF_DIR}/orders.parquet' GROUP BY o_orderstatus"
+    ).fetchall()
+    for status, n, cents in full:
+        assert merged[status].n == n
+        assert merged[status].cents == cents
+
+
+def test_per_group_sample_fixed_size(spark):
+    rows = REGISTRY["q_sample_per_group"].builder(spark, SF_DIR).collect()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert all(v == 10 for v in by_lang.values()), by_lang
+
+
+def test_corr_matrix_bounds(spark):
+    rows = REGISTRY["q_agg_corr_matrix"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(-1.0 <= r.corr_4dp <= 1.0 for r in rows)
+    # quantity and extendedprice are independent draws in the fixture;
+    # price_discount likewise — correlations should be near zero, which
+    # also guards against a units/scale bug inflating them
+    assert all(abs(r.corr_4dp) < 0.2 for r in rows), rows
