@@ -78,8 +78,13 @@ def test_contract_canonical_order():
         "q_stream_stateful_custom",
     }  # q_stream_join is addendum (round-1 green), outside the window
     assert committed_b8 <= window
-    for fam in ("q_win_", "q_udf"):
-        assert all(k in window for k in REGISTRY if k.startswith(fam)), fam
+    committed_b4 = {
+        "q_win_rank_topk_group", "q_win_running_sum", "q_win_sliding_frame",
+        "q_win_range_frame", "q_win_lead_lag", "q_win_ntile_pct",
+        "q_win_first_last",
+    }  # q_win_pattern_burst is addendum (round 2), outside the window
+    assert committed_b4 <= window
+    assert all(k in window for k in REGISTRY if k.startswith("q_udf"))
     for k in ("src_netcdf_chunked_scan", "src_netcdf_stream_tail",
               "snk_chunked_write", "q_filter_hyperslab",
               "q_text_stats", "q_text_tfidf_top",
