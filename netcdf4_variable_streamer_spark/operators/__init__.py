@@ -12,6 +12,7 @@ from netcdf4_variable_streamer_spark.operators import (  # noqa: F401
     profiling,
     projection,
     quality,
+    reports,
     scalar_functions,
     setops,
     similarity,

@@ -191,6 +191,9 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_incremental_merge",
     "q_sample_per_group",
     "q_agg_corr_matrix",
+    "q_stream_dim_join",
+    "q_report_top_returns",
+    "q_report_market_share",
 ]
 
 

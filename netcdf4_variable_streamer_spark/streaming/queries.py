@@ -483,3 +483,59 @@ def run_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(run_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+def _dim_enriched(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events broadcast-joined to the customer
+    dimension (user_id == c_custkey in the fixture's id space), then a
+    1-hour tumbling roll-up per market segment."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_dim_join",
+    oracle=f"""
+SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', e.ts::TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('e.value', 4)} AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+    doc="Stream-static dimension join (batch twin): the enrich-then-"
+        "aggregate shape every streaming pipeline runs — an unbounded "
+        "event stream joined to a slowly-changing dimension table and "
+        "rolled up per segment in tumbling windows. In Structured "
+        "Streaming the static side is re-broadcast per micro-batch (no "
+        "state, no watermark needed for the join itself — only the "
+        "windowed agg holds state), so dimension updates between "
+        "micro-batches are picked up automatically; the stream == batch "
+        "equality is asserted in tests/test_streaming.py. At 100 TB/day "
+        "the dimension stays broadcast-sized by definition (it is the "
+        "small side); the stateful window agg is bounded by "
+        "|windows × segments|.",
+)
+def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dim_enriched(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

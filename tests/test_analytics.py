@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 import netcdf4_variable_streamer_spark.sources.queries  # noqa: F401
+import netcdf4_variable_streamer_spark.streaming.queries  # noqa: F401
 from netcdf4_variable_streamer_spark import plans
 from netcdf4_variable_streamer_spark.registry import REGISTRY
 
@@ -24,6 +25,7 @@ NEW_KEYS = [
     "q_join_fuzzy_levenshtein", "snk_clustered_sort",
     "q_win_pattern_burst", "q_agg_incremental_merge",
     "q_sample_per_group", "q_agg_corr_matrix",
+    "q_stream_dim_join", "q_report_top_returns", "q_report_market_share",
 ]
 
 
@@ -208,3 +210,28 @@ def test_corr_matrix_bounds(spark):
     # price_discount likewise — correlations should be near zero, which
     # also guards against a units/scale bug inflating them
     assert all(abs(r.corr_4dp) < 0.2 for r in rows), rows
+
+
+def test_report_top_returns_plan(spark):
+    """Q10 shape: top-20 via TakeOrdered (no global sort), nation
+    broadcast, no cartesian."""
+    df = REGISTRY["q_report_top_returns"].builder(spark, SF_DIR)
+    plan = plans.executed_plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    plans.assert_broadcast_joins(df, at_least=1)
+    plans.assert_no_cartesian(df)
+
+
+def test_report_market_share_shares_sum(spark):
+    """Per-year ppm shares must sum to ~1e6 (floor truncation loses at
+    most |nations| ppm per year)."""
+    rows = (
+        REGISTRY["q_report_market_share"].builder(spark, SF_DIR).collect()
+    )
+    by_year: dict[int, int] = {}
+    n_by_year: dict[int, int] = {}
+    for r in rows:
+        by_year[r.o_year] = by_year.get(r.o_year, 0) + r.share_ppm
+        n_by_year[r.o_year] = n_by_year.get(r.o_year, 0) + 1
+    for y, total in by_year.items():
+        assert 1000000 - n_by_year[y] <= total <= 1000000, (y, total)

@@ -222,3 +222,17 @@ def test_upsert_merge_two_batches(spark):
     ).toPandas()
     single = sq._present_user_state(sq._batch_user_state(ev)).toPandas()
     oracle_mod.compare_frames(merged, single, "upsert-merge-2batch")
+
+
+def test_streaming_dim_join_equals_batch(spark):
+    """Stream-static broadcast join: streaming result == batch twin."""
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    customer = load_table(spark, SF_DIR, "customer")
+    batch = sq._dim_enriched(
+        load_table(spark, SF_DIR, "events"), customer
+    ).toPandas()
+    stream = sq.run_to_completion(
+        sq._dim_enriched(sq.load_events_stream(spark, SF_DIR), customer)
+    ).toPandas()
+    oracle_mod.compare_frames(stream, batch, "stream_dim_join==batch")
