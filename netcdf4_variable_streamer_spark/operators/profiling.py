@@ -406,3 +406,49 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionAll(b)
     return out
+
+
+_NDEPTH = 10
+
+
+@register(
+    "q_agg_histogram_equidepth",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+         NTILE({_NDEPTH}) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS bucket_id
+  FROM lineitem
+)
+SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+       COUNT(*) AS n,
+       MIN(cents) AS lo_cents,
+       MAX(cents) AS hi_cents
+FROM t GROUP BY bucket_id
+""",
+    doc="Equi-depth histogram (the quantile dual of q_agg_histogram): "
+        "NTILE splits l_extendedprice into 10 equal-count buckets whose "
+        "[min, max] boundaries ARE the deciles — the statistic an "
+        "optimizer wants for selectivity and a range-partitioner wants "
+        "for balanced splits. The ntile order carries a total tie-break "
+        "(price, orderkey, linenumber) so bucket assignment is "
+        "deterministic cross-engine. NOTE the honest scale caveat: a "
+        "global NTILE is a single-partition sort — correct as the exact "
+        "baseline, but at 100 TB this statistic is computed by "
+        "approx_percentile (t-digest, one aggregation) or by "
+        "repartitionByRange's sampling, both already exercised elsewhere "
+        "(q_agg_percentiles, snk_clustered_sort); this key is their "
+        "exact verification twin, like q_sim_threshold_pairs is for LSH.",
+)
+def q_agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    t = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.ntile(_NDEPTH).over(w).alias("bucket_id"),
+    )
+    return t.groupBy(F.col("bucket_id").cast("long").alias("bucket_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

@@ -194,6 +194,7 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_dim_join",
     "q_report_top_returns",
     "q_report_market_share",
+    "q_agg_histogram_equidepth",
 ]
 
 

@@ -26,6 +26,7 @@ NEW_KEYS = [
     "q_win_pattern_burst", "q_agg_incremental_merge",
     "q_sample_per_group", "q_agg_corr_matrix",
     "q_stream_dim_join", "q_report_top_returns", "q_report_market_share",
+    "q_agg_histogram_equidepth",
 ]
 
 
