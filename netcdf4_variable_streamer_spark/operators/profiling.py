@@ -452,3 +452,89 @@ def q_agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+_MG_K = 64  # counters per partition sketch; k >= 1/phi (phi = 2%) required
+
+
+def _mg_sketch_partition(batches):
+    """Misra-Gries(k) over one partition's token stream (iterator of
+    Arrow-fed pandas batches; the dict persists across batches, so the
+    sketch covers the whole partition). Emits the surviving candidate
+    tokens. Guarantee: any token with partition count > n_p/k survives;
+    by pigeonhole, every global phi-heavy hitter survives in at least
+    one partition, so the union of sketches is a superset of the truth."""
+    import pandas as pd
+
+    # batched/mergeable form: each Arrow batch collapses to exact counts
+    # (vectorized value_counts, no per-token Python loop), merges into
+    # the sketch, then the standard MG reduction subtracts the (k+1)-th
+    # largest count from everything and drops non-positives. Every
+    # reduction removes >= k+1 units per unit of undercount, so the
+    # total undercount stays <= n_p/(k+1) — the same survival guarantee
+    # as the one-at-a-time form.
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok, c in pdf["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > _MG_K:
+            sub = sorted(counters.values(), reverse=True)[_MG_K]
+            counters = {
+                t: c - sub for t, c in counters.items() if c - sub > 0
+            }
+    yield pd.DataFrame({"tok": list(counters.keys())})
+
+
+@register(
+    "q_agg_heavy_hitters_sketch",
+    # identical output contract to the exact key -> identical oracle
+    oracle="""
+WITH tok AS (
+  SELECT t.tok FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+  WHERE t.tok <> ''
+),
+c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+SELECT tok, cnt, cnt * 1000000 // SUM(cnt) OVER () AS freq_ppm
+FROM c
+QUALIFY cnt * 50 > SUM(cnt) OVER ()
+""",
+    doc="Sketch-based phi-heavy-hitters — the scale path the exact key's "
+        "doc promises: per-partition Misra-Gries(64) sketches (custom "
+        "Python sketch over Arrow batches via mapInPandas, state carried "
+        "across batches within a partition), whose union provably "
+        "contains every global 2%-heavy hitter (pigeonhole over the "
+        "per-partition n_p/k guarantee); the tiny candidate set then "
+        "BROADCASTS into one exact recount pass + a global count for the "
+        "phi filter. Because candidates are a superset and the verify is "
+        "exact, the output is bit-identical to the exact aggregation — "
+        "same oracle, full hash-check, no assertion-row compromise. At "
+        "100 TB the first pass shuffles only |partitions| * k candidate "
+        "rows instead of the vocabulary, which is the entire point when "
+        "the vocabulary itself won't fit an aggregation.",
+)
+def q_agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    cands = tok.mapInPandas(
+        _mg_sketch_partition, schema="tok string"
+    ).distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    counted = (
+        tok.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 50 > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000 / F.col("total"))
+            .cast("long")
+            .alias("freq_ppm"),
+        )
+    )

@@ -26,7 +26,7 @@ NEW_KEYS = [
     "q_win_pattern_burst", "q_agg_incremental_merge",
     "q_sample_per_group", "q_agg_corr_matrix",
     "q_stream_dim_join", "q_report_top_returns", "q_report_market_share",
-    "q_agg_histogram_equidepth",
+    "q_agg_histogram_equidepth", "q_agg_heavy_hitters_sketch",
 ]
 
 
@@ -236,3 +236,36 @@ def test_report_market_share_shares_sum(spark):
         n_by_year[r.o_year] = n_by_year.get(r.o_year, 0) + 1
     for y, total in by_year.items():
         assert 1000000 - n_by_year[y] <= total <= 1000000, (y, total)
+
+
+def test_mg_sketch_candidates_superset(spark):
+    """The MG candidate set must contain every true 2% heavy hitter
+    under an adversarial repartitioning (the pigeonhole guarantee)."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.operators.profiling import (
+        _mg_sketch_partition,
+    )
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    tok = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    # skew the layout: 3 partitions keyed by token hash (worst case for
+    # a per-partition sketch: each heavy token concentrated in one part)
+    skewed = tok.repartition(3, F.crc32("tok"))
+    cands = {
+        r.tok
+        for r in skewed.mapInPandas(
+            _mg_sketch_partition, schema="tok string"
+        ).collect()
+    }
+    truth = {
+        r.tok
+        for r in REGISTRY["q_agg_heavy_hitters"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert truth <= cands, truth - cands
