@@ -391,3 +391,86 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1
         ).alias("self_found"),
     )
+
+
+# deterministic versioned dimension: every customer has a v1 balance;
+# customers with key % 3 == 0 got a +10.00 correction effective 1998-01-01
+_PIT_CUT = "1998-01-01"
+
+
+@register(
+    "q_join_point_in_time",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey AS k, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal,
+         1 AS version,
+         TIMESTAMP '1995-01-01' AS eff_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '{_PIT_CUT}'
+              ELSE TIMESTAMP '9999-01-01' END AS eff_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000,
+         2, TIMESTAMP '{_PIT_CUT}', TIMESTAMP '9999-01-01'
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT CAST(d.version AS BIGINT) AS version,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       SUM(d.bal) AS sum_bal_cents
+FROM orders o
+JOIN dim d ON d.k = o.o_custkey
+          AND o.o_orderdate >= d.eff_from AND o.o_orderdate < d.eff_to
+GROUP BY version, o_year
+""",
+    doc="Point-in-time (temporal) dimension lookup — the consumption "
+        "side of SCD-2 history (q_merge_scd2 builds it, this queries "
+        "it): every fact row joins the dimension VERSION that was valid "
+        "at the fact's own timestamp (eff_from <= ts < eff_to), so 1997 "
+        "orders see the old balance and 1999 orders the corrected one — "
+        "the 'as the business knew it then' semantics reports need for "
+        "restatements. Shape at 100 TB: an EQUI-join on the dimension "
+        "key (co-partitioned with the fact's own key) with the validity "
+        "range as a cheap post-join filter — fan-out bounded by versions "
+        "per key (rarely > a handful); never a range-only join. The "
+        "roll-up is |versions × years|-sized.",
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100).cast("long")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        bal.alias("bal"),
+        F.lit(1).alias("version"),
+        F.lit("1995-01-01").cast("timestamp").alias("eff_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit(_PIT_CUT)
+        )
+        .otherwise(F.lit("9999-01-01"))
+        .cast("timestamp")
+        .alias("eff_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        (bal + 1000).alias("bal"),
+        F.lit(2).alias("version"),
+        F.lit(_PIT_CUT).cast("timestamp").alias("eff_from"),
+        F.lit("9999-01-01").cast("timestamp").alias("eff_to"),
+    )
+    dim = v1.unionAll(v2)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            dim,
+            (o.o_custkey == dim.k)
+            & (o.o_orderdate >= dim.eff_from)
+            & (o.o_orderdate < dim.eff_to),
+        )
+        .groupBy(
+            F.col("version").cast("long").alias("version"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("bal").alias("sum_bal_cents"),
+        )
+    )

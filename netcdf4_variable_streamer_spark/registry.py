@@ -196,6 +196,7 @@ CANONICAL_ORDER: list[str] = [
     "q_report_market_share",
     "q_agg_histogram_equidepth",
     "q_agg_heavy_hitters_sketch",
+    "q_join_point_in_time",
 ]
 
 

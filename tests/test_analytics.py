@@ -27,6 +27,7 @@ NEW_KEYS = [
     "q_sample_per_group", "q_agg_corr_matrix",
     "q_stream_dim_join", "q_report_top_returns", "q_report_market_share",
     "q_agg_histogram_equidepth", "q_agg_heavy_hitters_sketch",
+    "q_join_point_in_time",
 ]
 
 
@@ -269,3 +270,19 @@ def test_mg_sketch_candidates_superset(spark):
         .collect()
     }
     assert truth <= cands, truth - cands
+
+
+def test_point_in_time_versions(spark):
+    """Orders before the cutover must only ever see version 1; v2 rows
+    exist only from the cutover year on, and totals cover all orders."""
+    import duckdb
+
+    rows = (
+        REGISTRY["q_join_point_in_time"].builder(spark, SF_DIR).collect()
+    )
+    assert all(r.o_year >= 1998 for r in rows if r.version == 2)
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n_orders  # exactly one
+    # version matched per fact row — no gaps, no double-matches
