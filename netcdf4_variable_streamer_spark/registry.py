@@ -197,6 +197,7 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_histogram_equidepth",
     "q_agg_heavy_hitters_sketch",
     "q_join_point_in_time",
+    "q_join_bucketed",
 ]
 
 

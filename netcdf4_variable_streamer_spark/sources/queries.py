@@ -462,3 +462,88 @@ def snk_clustered_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY segment
+""",
+    doc="Bucketed co-located fact-dimension join — the storage-layout "
+        "answer to the shuffle problem: both tables are written "
+        "bucketBy(8, custkey) + sortBy into catalog tables (one file per "
+        "bucket), so the subsequent join reads bucket i against bucket i "
+        "with ZERO Exchange on either side — the plan is asserted to "
+        "contain at most the one post-join aggregation shuffle. At 100 TB "
+        "this is THE pattern for a fact table joined repeatedly on the "
+        "same key: pay the partitioned write once at ingest, then every "
+        "downstream join/groupBy on that key runs shuffle-free "
+        "(hashpartitioning from the bucket spec satisfies the join's "
+        "distribution requirement), which also makes it immune to the "
+        "executor-loss recompute cost of a live shuffle. The warehouse "
+        "db lives under .scratch with an explicit LOCATION because "
+        "spark.sql.warehouse.dir is a static conf.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.plans.inspect import (
+        count_nodes,
+        executed_plan_string,
+    )
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    tag = _uuid.uuid4().hex[:8]
+    db = f"bkt_{tag}"
+    loc = os.path.join(SCRATCH, f"bktdb_{tag}")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            (
+                load_table(spark, sf_dir, name)
+                # one shuffle INTO the bucket layout: 8 tasks, each owning
+                # exactly its bucket's rows -> exactly one file per bucket,
+                # which is the precondition for Spark trusting sortBy too
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(loc, f"{name}_b"))
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{name}_b")
+            )
+        o = spark.table(f"{db}.orders_b")
+        c = spark.table(f"{db}.customer_b")
+        out = (
+            # hint("merge"): at fixture scale Spark would broadcast the
+            # tiny customer side, which hides exactly the property this
+            # key demonstrates; at 100 TB both sides exceed the broadcast
+            # threshold and SMJ is what the planner picks anyway
+            o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                ).alias("sum_cents"),
+            )
+        )
+        rows = out.collect()
+        # the executed AdaptiveSparkPlan stringifies BOTH the final plan
+        # and "== Initial Plan ==" — assert on the final section only
+        plan = executed_plan_string(out, run=False).split(
+            "== Initial Plan =="
+        )[0]
+        n_ex = count_nodes(plan, "Exchange")
+        assert n_ex <= 1, (
+            f"bucketed join must not shuffle (only the segment agg may): "
+            f"{n_ex} Exchanges\n{plan}"
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)

@@ -27,7 +27,7 @@ NEW_KEYS = [
     "q_sample_per_group", "q_agg_corr_matrix",
     "q_stream_dim_join", "q_report_top_returns", "q_report_market_share",
     "q_agg_histogram_equidepth", "q_agg_heavy_hitters_sketch",
-    "q_join_point_in_time",
+    "q_join_point_in_time", "q_join_bucketed",
 ]
 
 
