@@ -353,3 +353,88 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_key").alias("max_key"),
         )
     )
+
+
+@register(
+    "q_rollup_time_hierarchy",
+    oracle="""
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS b, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s,
+         MIN(CAST(FLOOR(value * 1000000) AS BIGINT)) AS lo,
+         MAX(CAST(FLOOR(value * 1000000) AS BIGINT)) AS hi
+  FROM events GROUP BY b, event_type
+),
+daily AS (
+  SELECT DATE_TRUNC('day', b) AS b, event_type,
+         SUM(n) AS n, SUM(s) AS s, MIN(lo) AS lo, MAX(hi) AS hi
+  FROM hourly GROUP BY 1, 2
+),
+weekly AS (
+  SELECT DATE_TRUNC('week', b) AS b, event_type,
+         SUM(n) AS n, SUM(s) AS s, MIN(lo) AS lo, MAX(hi) AS hi
+  FROM daily GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, STRFTIME(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, n AS n_events, s AS sum_fp, lo AS min_fp, hi AS max_fp
+FROM hourly
+UNION ALL
+SELECT 'day', STRFTIME(b, '%Y-%m-%d %H:%M:%S'), event_type, n, s, lo, hi
+FROM daily
+UNION ALL
+SELECT 'week', STRFTIME(b, '%Y-%m-%d %H:%M:%S'), event_type, n, s, lo, hi
+FROM weekly
+""",
+    doc="Hypertable-style multi-granularity time rollup (continuous "
+        "aggregate): events are aggregated ONCE to hourly cells, then the "
+        "day and week grains are re-aggregations of those partials — "
+        "count/sum/min/max are all mergeable, so the cascade is exact. "
+        "Shape at 100 TB: the raw table is scanned exactly once and the "
+        "single real shuffle is |hours × types|-sized with map-side "
+        "partial aggregation; every coarser grain shuffles only the "
+        "already-tiny cell table (day from hour = 24x reduction, week "
+        "from day = 7x). This is the materialized-rollup pattern "
+        "(TimescaleDB continuous aggregates, Druid rollup): never "
+        "re-scan raw data to serve a coarser grain. Spark's week "
+        "truncation is ISO Monday-based, matching DuckDB.",
+)
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fp = F.floor(F.col("value") * 1000000).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fp).alias("s"),
+        F.min(fp).alias("lo"),
+        F.max(fp).alias("hi"),
+    )
+
+    def coarsen(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(grain, "b").alias("b"), "event_type"
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+
+    daily = coarsen(hourly, "day")
+    weekly = coarsen(daily, "week")
+
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("s").alias("sum_fp"),
+            F.col("lo").alias("min_fp"),
+            F.col("hi").alias("max_fp"),
+        )
+
+    return tag(hourly, "hour").unionAll(tag(daily, "day")).unionAll(
+        tag(weekly, "week")
+    )

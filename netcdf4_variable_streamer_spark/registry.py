@@ -198,6 +198,7 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_heavy_hitters_sketch",
     "q_join_point_in_time",
     "q_join_bucketed",
+    "q_rollup_time_hierarchy",
 ]
 
 
