@@ -199,6 +199,7 @@ CANONICAL_ORDER: list[str] = [
     "q_join_point_in_time",
     "q_join_bucketed",
     "q_rollup_time_hierarchy",
+    "src_jsonl_ingest",
 ]
 
 

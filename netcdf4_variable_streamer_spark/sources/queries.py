@@ -547,3 +547,75 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "src_jsonl_ingest",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars_meta,
+       SUM(LENGTH(text)) AS sum_chars_text
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_corrupt', 3, 0, 0
+""",
+    doc="JSONL corpus ingestion — the raw-crawl entry point of every "
+        "pretraining pipeline (CommonCrawl WET/WARC post-processing, "
+        "vendor dumps): the documents table is round-tripped through "
+        "newline-delimited JSON, three malformed lines are injected, and "
+        "the read-back uses an EXPLICIT schema (never schema inference, "
+        "which at 100 TB is a full extra pass over the data) in "
+        "PERMISSIVE mode with columnNameOfCorruptRecord, so bad lines "
+        "land in a quarantine column instead of failing the job or being "
+        "silently dropped. Per-lang doc counts and BOTH character sums "
+        "(the metadata column and the re-measured text length) must "
+        "match the parquet originals exactly — proving the JSON "
+        "round-trip preserves every codepoint — and the corrupt count "
+        "surfaces as its own output row. JSONL is line-splittable, so "
+        "the read parallelizes by byte range at any scale.",
+)
+def src_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"jsonl_{_uuid.uuid4().hex[:8]}")
+    try:
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).json(dst)
+        with open(os.path.join(dst, "part-zz-bad.json"), "w") as f:
+            f.write('{"doc_id": 1, "text": "truncated\n')
+            f.write("not json at all\n")
+            f.write('{"doc_id": }\n')
+        schema = (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, _bad string"
+        )
+        parsed = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(dst)
+            # caching is required to filter on the corrupt column
+            # (Spark refuses to resolve it against a raw scan)
+            .cache()
+        )
+        good = parsed.filter(F.col("_bad").isNull())
+        out = good.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars_meta"),
+            F.sum(F.length("text")).alias("sum_chars_text"),
+        )
+        rows = out.collect()
+        n_bad = parsed.filter(F.col("_bad").isNotNull()).count()
+        parsed.unpersist()
+        rows.append(("_corrupt", n_bad, 0, 0))
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "lang string, n_docs long, sum_chars_meta long, "
+            "sum_chars_text long",
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)

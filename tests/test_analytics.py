@@ -28,7 +28,7 @@ NEW_KEYS = [
     "q_stream_dim_join", "q_report_top_returns", "q_report_market_share",
     "q_agg_histogram_equidepth", "q_agg_heavy_hitters_sketch",
     "q_join_point_in_time", "q_join_bucketed",
-    "q_rollup_time_hierarchy",
+    "q_rollup_time_hierarchy", "src_jsonl_ingest",
 ]
 
 
