@@ -11,7 +11,7 @@ table) so BroadcastNestedLoop stays cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register, ts_str
@@ -520,3 +520,98 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(new_versions).unionByName(inserts)
+
+
+@register(
+    "q_join_bloom_pruned",
+    oracle="""
+SELECT o.o_orderstatus AS status, COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY status
+""",
+    doc="Runtime Bloom-filter join pruning — the row-level analogue of "
+        "partition pruning. The qualifying dimension keys (negative-"
+        "balance customers, ~8% of the table) are folded into a genuine "
+        "k=2 Bloom bitmap built DISTRIBUTED: each key explodes to its k "
+        "bit positions, a bit_or aggregate packs them into 64-bit words "
+        "(the shuffle is |words|-sized, never |keys|-sized), and the "
+        "1024-long word array ships to every fact-side task as a "
+        "literal — the same motion Spark's internal bloom_filter_agg "
+        "runtime filter uses (that aggregate is optimizer-private, so "
+        "this key builds the portable equivalent from public "
+        "primitives). might_contain is two xxhash64 probes + shifts, "
+        "all whole-stage-codegen JVM expressions evaluated AT THE SCAN, "
+        "before any shuffle; false positives are then removed by the "
+        "exact broadcast semi join, so the result is bit-identical to "
+        "the plain semi join the oracle runs. Shape at 100 TB: shuffle "
+        "input drops from |orders| to |candidates| (selectivity + FP "
+        "rate) — the difference between shuffling 100 TB and 8 TB — "
+        "while the bitmap is a fixed few KB regardless of fact size.",
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m_bits = 1 << 16  # 8 KiB bitmap -> 1024 packed longs
+    n_words = m_bits // 64
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("c_custkey"), F.lit(i)),
+                        F.lit(m_bits),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("long").alias("w"))
+        # the python shift helpers require a literal numBits; the SQL
+        # forms take expressions
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(p % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    packed = [0] * n_words
+    for r in words:
+        packed[int(r["w"])] = r["bits"]
+    bitmap = F.lit(packed)
+
+    def probe(df: DataFrame, key: Column, seed: int) -> DataFrame:
+        h = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+        return df.withColumn(
+            f"_w{seed}", F.element_at(bitmap, (h / 64).cast("int") + 1)
+        ).withColumn(f"_b{seed}", (h % 64).cast("int"))
+
+    candidates = (
+        probe(probe(o, F.col("o_custkey"), 0), F.col("o_custkey"), 1)
+        .filter(
+            F.expr(
+                "(shiftrightunsigned(_w0, _b0) & 1) = 1 AND "
+                "(shiftrightunsigned(_w1, _b1) & 1) = 1"
+            )
+        )
+        .drop("_w0", "_b0", "_w1", "_b1")
+    )
+    exact = candidates.join(
+        F.broadcast(dim), candidates.o_custkey == dim.c_custkey, "semi"
+    )
+    return exact.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )

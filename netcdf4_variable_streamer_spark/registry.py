@@ -200,6 +200,7 @@ CANONICAL_ORDER: list[str] = [
     "q_join_bucketed",
     "q_rollup_time_hierarchy",
     "src_jsonl_ingest",
+    "q_join_bloom_pruned",
 ]
 
 

@@ -29,6 +29,7 @@ NEW_KEYS = [
     "q_agg_histogram_equidepth", "q_agg_heavy_hitters_sketch",
     "q_join_point_in_time", "q_join_bucketed",
     "q_rollup_time_hierarchy", "src_jsonl_ingest",
+    "q_join_bloom_pruned",
 ]
 
 
@@ -287,3 +288,35 @@ def test_point_in_time_versions(spark):
     ).fetchone()[0]
     assert sum(r.n_orders for r in rows) == n_orders  # exactly one
     # version matched per fact row — no gaps, no double-matches
+
+
+def test_bloom_bitmap_prunes(spark):
+    """The hand-built k=2 Bloom bitmap must admit every true key (no
+    false negatives — guaranteed by construction, checked anyway via the
+    oracle test) and reject the bulk of non-matching fact rows."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    total = o.count()
+    exact = o.join(
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("k")),
+        F.col("o_custkey") == F.col("k"),
+        "semi",
+    ).count()
+    out = REGISTRY["q_join_bloom_pruned"].builder(spark, SF_DIR)
+    n_match = sum(r.n_orders for r in out.collect())
+    assert n_match == exact
+    # pruning power: with 8% selectivity and an 8 KiB bitmap the
+    # candidate set must be far below the full table (FP rate << 1)
+    m_bits = 1 << 16
+    dim_n = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .count()
+    )
+    fp_bound = (1.0 - 2.718281828 ** (-2.0 * dim_n / m_bits)) ** 2
+    assert fp_bound < 0.01
