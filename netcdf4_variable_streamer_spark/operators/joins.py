@@ -615,3 +615,92 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents"
         ),
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT c_custkey AS k, 0 AS seq, 'U' AS op,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents,
+         c_mktsegment AS seg
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 1, 'U', CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 500,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 2, 'D', 0, '' FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'I', 123456, 'REINSERTED'
+  FROM customer WHERE c_custkey % 35 = 0
+),
+fin AS (
+  SELECT k, ARG_MAX(op, seq) AS op, ARG_MAX(cents, seq) AS cents,
+         ARG_MAX(seg, seq) AS seg
+  FROM log GROUP BY k
+)
+SELECT seg AS segment, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+FROM fin WHERE op <> 'D' GROUP BY seg
+""",
+    doc="CDC changelog application (Debezium/binlog compaction): a "
+        "sequenced insert/update/delete log — base snapshot as seq 0, "
+        "then an update wave, a delete wave, and re-inserts of some "
+        "deleted keys — is compacted to last-write-wins per key and "
+        "tombstones are dropped, yielding the current-state snapshot. "
+        "The compaction is max_by(struct(row), seq) in ONE hash "
+        "aggregate with map-side partials — no window sort, no "
+        "per-key shuffle beyond the single groupBy — which is the shape "
+        "that lets a 100 TB table absorb a billion-row changelog in one "
+        "pass (the same algebra Delta/Hudi/Iceberg merge-on-read "
+        "compaction runs). Delete-then-reinsert keys prove ordering: "
+        "seq 3 INSERT must beat the seq 2 DELETE.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+
+    def wave(df, seq, op, cents_col, seg_col):
+        return df.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            cents_col.cast("long").alias("cents"),
+            seg_col.alias("seg"),
+        )
+
+    log = (
+        wave(c, 0, "U", cents, F.col("c_mktsegment"))
+        .unionAll(
+            wave(
+                c.filter(F.col("c_custkey") % 5 == 0),
+                1, "U", cents + 500, F.col("c_mktsegment"),
+            )
+        )
+        .unionAll(
+            wave(
+                c.filter(F.col("c_custkey") % 7 == 0),
+                2, "D", F.lit(0), F.lit(""),
+            )
+        )
+        .unionAll(
+            wave(
+                c.filter(F.col("c_custkey") % 35 == 0),
+                3, "I", F.lit(123456), F.lit("REINSERTED"),
+            )
+        )
+    )
+    fin = (
+        log.groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("op", "cents", "seg"), F.col("seq")
+            ).alias("s")
+        )
+        .select("k", "s.op", "s.cents", "s.seg")
+        .filter(F.col("op") != "D")
+    )
+    return fin.groupBy(F.col("seg").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -201,6 +201,7 @@ CANONICAL_ORDER: list[str] = [
     "q_rollup_time_hierarchy",
     "src_jsonl_ingest",
     "q_join_bloom_pruned",
+    "q_cdc_apply",
 ]
 
 
