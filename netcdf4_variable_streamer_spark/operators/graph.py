@@ -166,3 +166,78 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(edges).crossJoin(tri)
+
+
+@register(
+    "q_graph_bfs_reach",
+    oracle="""
+WITH m AS (SELECT MAX(c_custkey) AS mx FROM customer),
+n AS (SELECT c_custkey AS k FROM customer),
+e AS (SELECT k AS src, (2 * k) % mx AS dst FROM n CROSS JOIN m
+      UNION ALL SELECT k, (2 * k + 1) % mx FROM n CROSS JOIN m),
+f0 AS (SELECT k FROM n WHERE k <= 10),
+f1 AS (SELECT DISTINCT dst AS k FROM e JOIN f0 ON e.src = f0.k
+       WHERE dst NOT IN (SELECT k FROM f0)),
+f2 AS (SELECT DISTINCT dst AS k FROM e JOIN f1 ON e.src = f1.k
+       WHERE dst NOT IN (SELECT k FROM f0 UNION ALL SELECT k FROM f1)),
+f3 AS (SELECT DISTINCT dst AS k FROM e JOIN f2 ON e.src = f2.k
+       WHERE dst NOT IN (SELECT k FROM f0 UNION ALL SELECT k FROM f1
+                         UNION ALL SELECT k FROM f2))
+SELECT 0 AS dist, COUNT(*) AS n_nodes, SUM(k) AS sum_k FROM f0
+UNION ALL SELECT 1, COUNT(*), SUM(k) FROM f1
+UNION ALL SELECT 2, COUNT(*), SUM(k) FROM f2
+UNION ALL SELECT 3, COUNT(*), SUM(k) FROM f3
+""",
+    doc="Multi-hop BFS reachability (bounded-depth traversal — the "
+        "'friends of friends' / dependency-closure primitive): from a "
+        "10-node seed set, three frontier expansions over a closed-form "
+        "binary expander graph (k -> 2k mod M and 2k+1 mod M, so the "
+        "DuckDB oracle regenerates the identical edge set). Each hop is "
+        "ONE equi-join frontier-to-edges plus ONE left-anti join "
+        "against the visited set — the frontier, not the graph, is the "
+        "join's small side, so at 100 TB the per-hop cost tracks "
+        "|frontier| x avg-degree, and the visited set stays "
+        "key-partitioned across hops (same shuffle key every round, so "
+        "AQE reuses the exchange). Depth is bounded and unrolled — no "
+        "driver-side convergence loop; per-distance node counts and key "
+        "sums are exact.",
+)
+def q_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    mx = F.broadcast(n.agg(F.max("k").alias("mx")))
+    e = (
+        n.crossJoin(mx)
+        .select(
+            F.col("k").alias("src"),
+            F.explode(
+                F.array(
+                    (2 * F.col("k")) % F.col("mx"),
+                    (2 * F.col("k") + 1) % F.col("mx"),
+                )
+            ).alias("dst"),
+        )
+    )
+    frontier = n.filter(F.col("k") <= 10)
+    visited = frontier
+    out = frontier.groupBy(F.lit(0).cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("k").alias("sum_k")
+    )
+    for hop in range(1, 4):
+        frontier = (
+            e.join(frontier, e.src == frontier.k, "semi")
+            .select(F.col("dst").alias("k"))
+            .distinct()
+            .join(visited, "k", "left_anti")
+        )
+        visited = visited.unionAll(frontier)
+        out = out.unionAll(
+            frontier.groupBy(
+                F.lit(hop).cast("long").alias("dist")
+            ).agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum("k").alias("sum_k"),
+            )
+        )
+    return out

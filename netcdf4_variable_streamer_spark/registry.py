@@ -202,6 +202,7 @@ CANONICAL_ORDER: list[str] = [
     "src_jsonl_ingest",
     "q_join_bloom_pruned",
     "q_cdc_apply",
+    "q_graph_bfs_reach",
 ]
 
 

@@ -29,7 +29,7 @@ NEW_KEYS = [
     "q_agg_histogram_equidepth", "q_agg_heavy_hitters_sketch",
     "q_join_point_in_time", "q_join_bucketed",
     "q_rollup_time_hierarchy", "src_jsonl_ingest",
-    "q_join_bloom_pruned", "q_cdc_apply",
+    "q_join_bloom_pruned", "q_cdc_apply", "q_graph_bfs_reach",
 ]
 
 
