@@ -585,3 +585,117 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) >= F.lit(0.7 * N_QUERIES * TOP_K)
         ).alias("recall_ok"),
     )
+
+
+# k-means in offset fixed-point: FLOOR(x * 1e6) + 2_000_000 keeps every
+# quantized coordinate positive, so integer division (Spark `div`,
+# DuckDB `//`) agrees across engines (they differ on negative operands)
+_KM_K = 4
+_KM_Q = (
+    "LIST_TRANSFORM(embedding, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 2000000)"
+)
+_KM_DIST = (
+    "LIST_SUM(LIST_TRANSFORM(generate_series(1, 64), "
+    "i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
+)
+_KM_ASSIGN = """
+{out} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, {dist} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN {cents} c) t
+  WHERE rn = 1
+)"""
+
+
+@register(
+    "q_ml_kmeans",
+    oracle=f"""
+WITH q AS (SELECT vec_id, {_KM_Q} AS q FROM embeddings),
+c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {_KM_K}),
+{_KM_ASSIGN.format(out='a1', cents='c0', dist=_KM_DIST)},
+s1 AS (
+  SELECT a1.cid, g.i, SUM(q.q[g.i]) AS s, COUNT(*) AS n
+  FROM a1 JOIN q USING (vec_id)
+  CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, LIST(s // n ORDER BY i) AS c FROM s1 GROUP BY cid),
+{_KM_ASSIGN.format(out='a2', cents='c1', dist=_KM_DIST)}
+SELECT cid, COUNT(*) AS n_points, SUM(vec_id) AS sum_ids,
+       SUM(dist) AS inertia
+FROM a2 GROUP BY cid
+""",
+    doc="K-means clustering (Lloyd), the vector-quantization primitive "
+        "behind IVF index build, SemDeDup cluster assignment, and corpus "
+        "diversity sampling: k=4 centroids seeded from the first k "
+        "vectors, one full assign->update round, final re-assignment, "
+        "reporting per-cluster size, membership checksum, and integer "
+        "inertia. All arithmetic is offset fixed-point (quantized "
+        "coordinates made positive so Spark `div` and DuckDB `//` "
+        "agree), making the ENTIRE iterative pipeline bit-reproducible "
+        "across engines. Shape at 100 TB: assignment is a broadcast "
+        "cross join against k rows (never a shuffle of the points), "
+        "argmin is min(struct(dist, cid)) in one map-side-combinable "
+        "aggregate, and the centroid update shuffles |k x dims| partial "
+        "sums — the same per-round cost profile as Spark MLlib's "
+        "KMeans, expressed declaratively. More Lloyd rounds = repeat "
+        "the same two joins; lineage is cut per round at scale "
+        "(localCheckpoint) exactly as the PageRank key documents.",
+)
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+            + 2000000,
+        ).alias("q"),
+    )
+    cents = pts.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    a1 = assign(cents)
+    sums = (
+        a1.join(pts, "vec_id")
+        .select("cid", F.posexplode("q"))
+        .toDF("cid", "pos", "qv")
+        .groupBy("cid", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cid", "pos", F.expr("s div n").alias("m"))
+    )
+    c1 = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda t: t["m"],
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("vec_id").alias("sum_ids"),
+        F.sum("dist").alias("inertia"),
+    )

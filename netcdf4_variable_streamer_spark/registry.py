@@ -203,6 +203,7 @@ CANONICAL_ORDER: list[str] = [
     "q_join_bloom_pruned",
     "q_cdc_apply",
     "q_graph_bfs_reach",
+    "q_ml_kmeans",
 ]
 
 
