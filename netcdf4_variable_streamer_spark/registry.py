@@ -204,6 +204,7 @@ CANONICAL_ORDER: list[str] = [
     "q_cdc_apply",
     "q_graph_bfs_reach",
     "q_ml_kmeans",
+    "snk_zorder",
 ]
 
 

@@ -619,3 +619,132 @@ def src_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+@register(
+    "snk_zorder",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+       CAST(1 AS BOOLEAN) AS skipping_ok
+FROM orders
+WHERE o_custkey >= (SELECT 0.75 * MAX(o_custkey) FROM orders)
+  AND o_orderdate < (SELECT MIN(o_orderdate)
+                     + CAST(FLOOR(0.25 * DATE_DIFF('day',
+                         MIN(o_orderdate), MAX(o_orderdate))) AS BIGINT)
+                       * INTERVAL 1 DAY
+                     FROM orders)
+""",
+    doc="Z-order (Morton curve) clustered write — 2-D data skipping, the "
+        "layout Delta OPTIMIZE ZORDER BY builds: each row's custkey and "
+        "order date are range-normalized to 4-bit cells, bit-interleaved "
+        "into a z-value, and the table is repartitionByRange + sorted on "
+        "z, so every parquet file covers a small RECTANGLE of the "
+        "(custkey, date) plane and footer min/max stats are tight on "
+        "BOTH columns at once — a single-column sort gives skipping on "
+        "one dimension only. skipping_ok asserts the physical property: "
+        "the fraction of files whose footer boxes intersect a corner "
+        "query (top-quarter custkeys x first-quarter dates) must be "
+        "under 60%, checked from parquet metadata alone. The re-read "
+        "box aggregate is hash-checked against the source, proving the "
+        "curve lost nothing. At 100 TB: z-ordering costs one "
+        "range-shuffle at ingest and turns every 2-D box query from a "
+        "full scan into a few-file read, with AQE-sized range "
+        "partitions keeping files uniform.",
+)
+def snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"pq_zorder_{_uuid.uuid4().hex[:8]}")
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.max("o_custkey").alias("k_max"),
+        F.min("o_orderdate").alias("d_min"),
+        F.max("o_orderdate").alias("d_max"),
+    ).collect()[0]
+    k_max = int(b["k_max"])
+    d_min, d_max = b["d_min"], b["d_max"]
+    try:
+        # 4-bit range-normalized cells in each dimension
+        x = F.least(
+            F.lit(15),
+            (F.col("o_custkey") * 16 / (k_max + 1)).cast("long"),
+        )
+        y = F.least(
+            F.lit(15),
+            (
+                F.datediff("o_orderdate", F.lit(d_min))
+                * 16
+                / (F.datediff(F.lit(d_max), F.lit(d_min)) + 1)
+            ).cast("long"),
+        )
+        z = None
+        for bit in range(4):
+            xb = F.shiftleft(
+                F.shiftrightunsigned(x, bit).bitwiseAND(F.lit(1)),
+                2 * bit + 1,
+            )
+            yb = F.shiftleft(
+                F.shiftrightunsigned(y, bit).bitwiseAND(F.lit(1)),
+                2 * bit,
+            )
+            z = xb + yb if z is None else z + xb + yb
+        (
+            o.withColumn("_z", z)
+            .repartitionByRange(16, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+        # corner box: top-quarter custkeys x first-quarter dates
+        import datetime as _dt
+
+        k_lo = 0.75 * k_max
+        d_cut_days = int(0.25 * (d_max - d_min).days)
+        d_cut = d_min + _dt.timedelta(days=d_cut_days)
+        n_files = n_hit = 0
+        for fn in sorted(os.listdir(dst)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dst, fn)).metadata
+            names = md.schema.names
+            ki, di = names.index("o_custkey"), names.index("o_orderdate")
+            k_hi_f, k_lo_f, d_lo_f = None, None, None
+            for rg in range(md.num_row_groups):
+                ks = md.row_group(rg).column(ki).statistics
+                ds = md.row_group(rg).column(di).statistics
+                k_hi_f = ks.max if k_hi_f is None else max(k_hi_f, ks.max)
+                d_lo_f = ds.min if d_lo_f is None else min(d_lo_f, ds.min)
+            n_files += 1
+            as_date = lambda v: v.date() if isinstance(
+                v, _dt.datetime
+            ) else v
+            if (
+                k_hi_f is not None
+                and k_hi_f >= k_lo
+                and as_date(d_lo_f) < as_date(d_cut)
+            ):
+                n_hit += 1
+        ok = n_files >= 8 and n_hit / n_files < 0.6
+        box = spark.read.parquet(dst).filter(
+            (F.col("o_custkey") >= k_lo)
+            & (F.col("o_orderdate") < F.lit(d_cut))
+        )
+        out = box.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("sum_cents"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(out["n_rows"], out["sum_cents"], bool(ok))],
+            "n_rows long, sum_cents long, skipping_ok boolean",
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
