@@ -205,6 +205,7 @@ CANONICAL_ORDER: list[str] = [
     "q_graph_bfs_reach",
     "q_ml_kmeans",
     "snk_zorder",
+    "q_stream_join_outer",
 ]
 
 

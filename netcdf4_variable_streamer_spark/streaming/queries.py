@@ -539,3 +539,52 @@ def q_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       STRFTIME(p.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       v.event_id IS NULL AS unmatched
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL '1 hour'
+ AND v.ts::TIMESTAMP <= p.ts::TIMESTAMP
+WHERE p.event_type = 'purchase'
+""",
+    doc="Stream-stream LEFT OUTER interval join (batch twin): every "
+        "purchase joined to the same user's preceding-hour views, and "
+        "purchases with NO qualifying view still surface (null view_id, "
+        "unmatched flag) — the attribution query where losing "
+        "view-less conversions silently would corrupt the funnel. In "
+        "the streaming form both sides are watermarked and the outer "
+        "(null-extended) rows are emitted only when the watermark "
+        "passes purchase_ts + interval — i.e. when Spark can PROVE no "
+        "matching view can still arrive — which is exactly the state-"
+        "eviction point, so state stays bounded by the interval width "
+        "on two unbounded inputs. The left-side filter lives OUTSIDE "
+        "the join condition (inside it, a left join would silently "
+        "degrade to preserving non-purchases).",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, p = _split_views_purchases(load_table(spark, sf_dir, "events"))
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        )
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left",
+    )
+    return joined.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        ts_str("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        F.col("view_id").isNull().alias("unmatched"),
+    )

@@ -30,7 +30,7 @@ NEW_KEYS = [
     "q_join_point_in_time", "q_join_bucketed",
     "q_rollup_time_hierarchy", "src_jsonl_ingest",
     "q_join_bloom_pruned", "q_cdc_apply", "q_graph_bfs_reach",
-    "q_ml_kmeans", "snk_zorder",
+    "q_ml_kmeans", "snk_zorder", "q_stream_join_outer",
 ]
 
 
