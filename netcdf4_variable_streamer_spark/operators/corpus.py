@@ -315,3 +315,60 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PER_GROUP_K)
         .select("doc_id", "lang", "n_chars", "rnk")
     )
+
+
+@register(
+    "q_sample_mixture",
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n_src FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n_src) AS n_min FROM c),
+r AS (SELECT lang, n_src, (n_min * 1000000) // n_src AS rate_ppm
+      FROM c CROSS JOIN mn),
+h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hx
+  FROM documents
+),
+kept AS (
+  SELECT h.doc_id, h.lang, h.n_chars, r.n_src, r.rate_ppm
+  FROM h JOIN r USING (lang)
+  WHERE hx % 1000000 < rate_ppm
+)
+SELECT lang, n_src, rate_ppm, COUNT(*) AS n_kept,
+       SUM(n_chars) AS kept_chars, MIN(doc_id) AS min_doc_id
+FROM kept GROUP BY 1, 2, 3
+""",
+    doc="Corpus mixture rebalancing with DATA-DEPENDENT rates — the "
+        "'data mixing' step of pretraining pipelines (downsample "
+        "dominant languages/sources to a target mixture; here: equalize "
+        "every language to the smallest one). Unlike q_sample_stratified "
+        "(hard-coded rates), the per-stratum keep rate is COMPUTED from "
+        "the corpus itself (n_min/n_lang, integer ppm), broadcast back, "
+        "and applied as the same engine-portable md5-threshold "
+        "predicate. Two tiny aggregations (|langs| rows) + one broadcast "
+        "join + a map-side filter — the full pass over the corpus "
+        "happens exactly once, and document membership is stable under "
+        "partitioning, engine, and rerun. Output audits the achieved "
+        "mixture against the rate that produced it.",
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_src",
+        F.expr("(n_min * 1000000) div n_src").alias("rate_ppm"),
+    )
+    hx = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        (hx % 1000000) < F.col("rate_ppm")
+    )
+    return kept.groupBy("lang", "n_src", "rate_ppm").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -206,6 +206,7 @@ CANONICAL_ORDER: list[str] = [
     "q_ml_kmeans",
     "snk_zorder",
     "q_stream_join_outer",
+    "q_sample_mixture",
 ]
 
 
