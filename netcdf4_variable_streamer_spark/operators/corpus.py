@@ -372,3 +372,60 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("kept_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY MD5(text)
+           ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY MD5(text)) AS grp_n
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       SUM(grp_n - 1) AS n_dropped,
+       SUM(n_chars) AS kept_chars,
+       SUM(doc_id) AS kept_id_sum
+FROM ranked WHERE rn = 1 GROUP BY lang
+""",
+    doc="Canonical-copy selection — the step AFTER duplicate detection "
+        "that decides WHICH copy survives: exact-duplicate groups "
+        "(md5(text)) each keep their best representative by an explicit "
+        "quality order (longest text, then lowest doc_id as the "
+        "deterministic tie-break; in production this is the composite "
+        "quality score). Implemented as max_by(struct(...), "
+        "struct(quality...)) in ONE hash aggregate keyed by the content "
+        "hash — no window sort over the corpus, map-side partials do "
+        "most of the elimination since true duplicates collide early. "
+        "Per-language kept/dropped counts, surviving chars, and the "
+        "kept-id checksum make the selection itself hash-verified, not "
+        "just the group count.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    best = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "lang", "n_chars"),
+                F.struct(F.col("n_chars"), -F.col("doc_id")),
+            ).alias("keep"),
+            F.count(F.lit(1)).alias("grp_n"),
+        )
+        .select(
+            F.col("keep.doc_id").alias("doc_id"),
+            F.col("keep.lang").alias("lang"),
+            F.col("keep.n_chars").alias("n_chars"),
+            "grp_n",
+        )
+    )
+    return best.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("grp_n") - 1).alias("n_dropped"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )

@@ -207,6 +207,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_zorder",
     "q_stream_join_outer",
     "q_sample_mixture",
+    "q_dedup_keep_best",
 ]
 
 
