@@ -438,3 +438,66 @@ def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(hourly, "hour").unionAll(tag(daily, "day")).unionAll(
         tag(weekly, "week")
     )
+
+
+@register(
+    "q_ab_experiment",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)
+                   < '8' THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                  ELSE 0 END) AS purchase_fp,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT arm,
+       COUNT(*) AS n_users,
+       SUM(converted) AS n_converted,
+       (SUM(converted) * 1000000) // COUNT(*) AS conv_ppm,
+       SUM(purchase_fp) AS purchase_value_fp,
+       SUM(n_events) AS n_events
+FROM u GROUP BY arm
+""",
+    doc="A/B experiment readout — deterministic hash-based arm "
+        "assignment (md5(user_id) first hex digit < '8' => arm A, the "
+        "~50/50 split every experimentation platform implements so a "
+        "user's arm never changes across sessions, engines, or data "
+        "volume) followed by per-arm conversion and value metrics. Two "
+        "aggregations: user-level rollup (converted flag = MAX over the "
+        "user's events — never a distinct count), then the |arms|-sized "
+        "readout with integer-ppm conversion rate. At 100 TB the "
+        "user-level agg is the only real shuffle and it map-side-"
+        "combines; the arm readout is 2 rows. Downstream significance "
+        "testing consumes exactly these sufficient statistics.",
+)
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        "A",
+    ).otherwise("B")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.max(is_p).alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000000).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("purchase_fp"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("(sum(converted) * 1000000) div count(1)").alias(
+            "conv_ppm"
+        ),
+        F.sum("purchase_fp").alias("purchase_value_fp"),
+        F.sum("n_events").alias("n_events"),
+    )

@@ -208,6 +208,7 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_join_outer",
     "q_sample_mixture",
     "q_dedup_keep_best",
+    "q_ab_experiment",
 ]
 
 

@@ -31,7 +31,7 @@ NEW_KEYS = [
     "q_rollup_time_hierarchy", "src_jsonl_ingest",
     "q_join_bloom_pruned", "q_cdc_apply", "q_graph_bfs_reach",
     "q_ml_kmeans", "snk_zorder", "q_stream_join_outer",
-    "q_sample_mixture", "q_dedup_keep_best",
+    "q_sample_mixture", "q_dedup_keep_best", "q_ab_experiment",
 ]
 
 
