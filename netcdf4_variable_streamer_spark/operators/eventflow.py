@@ -501,3 +501,77 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("purchase_fp").alias("purchase_value_fp"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "q_funnel_attribution",
+    oracle="""
+WITH fp AS (
+  SELECT user_id, MIN(ROW(ts, event_id)) AS p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+prior AS (
+  SELECT e.user_id, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN fp ON fp.user_id = e.user_id
+  WHERE ROW(e.ts, e.event_id) < fp.p
+),
+attributed AS (
+  SELECT fp.user_id, COALESCE(pr.event_type, 'direct') AS channel
+  FROM fp LEFT JOIN (SELECT user_id, event_type FROM prior WHERE rn = 1) pr
+    ON pr.user_id = fp.user_id
+)
+SELECT channel,
+       COUNT(*) AS n_conversions,
+       (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS share_ppm
+FROM attributed GROUP BY channel
+""",
+    doc="First-touch conversion attribution: for each converting user "
+        "(has a 'purchase'), find the earliest event STRICTLY before "
+        "their first purchase — (ts, event_id) tuple order makes both "
+        "endpoints total and deterministic — and credit its event_type "
+        "as the acquisition channel; users whose first event IS the "
+        "purchase attribute to 'direct'. Output is per-channel "
+        "conversion counts with integer-ppm share. Shape at 100 TB: "
+        "the first-purchase rollup, the back-join, and the "
+        "row_number window all hash on user_id — ONE partitioning "
+        "serves all three stages (exchange reuse), the payload after "
+        "the rollup is per-user not per-event, and the channel readout "
+        "is |event_types| rows. The share window runs over that tiny "
+        "readout. Swapping MIN for MAX on the prior-event pick turns "
+        "this into last-touch attribution with the same plan.",
+)
+def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("p"))
+    )
+    prior = (
+        ev.join(fp, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("p"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    attributed = fp.join(prior, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("event_type"), F.lit("direct")).alias("channel"),
+    )
+    counts = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    return counts.select(
+        "channel",
+        "n_conversions",
+        F.expr(
+            "(n_conversions * 1000000) div sum(n_conversions) over ()"
+        ).alias("share_ppm"),
+    )

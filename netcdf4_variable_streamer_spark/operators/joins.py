@@ -704,3 +704,55 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type, LENGTH(event_type) AS wt FROM events
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT) * d.wt)
+         AS weighted_value_fp
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+""",
+    doc="Salted skew join: events.event_type has a handful of distinct "
+        "values, so a plain shuffle join on it sends EVERY row of the "
+        "hottest type to one reducer. The salt cure: the fact side gets "
+        "a deterministic salt pmod(event_id, 16), the dim side is "
+        "exploded 16x (one copy per salt), and the join key becomes "
+        "(event_type, salt) — the hot key now spreads over 16 reducers. "
+        "A shuffle_hash hint keeps the demo honest (broadcast would "
+        "bypass the skew entirely and IS the right first answer for a "
+        "tiny dim; salting is for dims too big to broadcast). The "
+        "post-join agg is unchanged because salt never leaves the join. "
+        "At 100 TB with AQE, skewedJoin handles moderate skew "
+        "automatically; explicit salting remains the cure for extreme "
+        "single-key skew, and this operator is that pattern as a "
+        "reusable query shape. Result is salt-invariant — the oracle is "
+        "the UNSALTED join.",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _N_SALT = 16
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("wt", F.length("event_type"))
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALT)]))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_N_SALT)))
+    joined = fact.hint("shuffle_hash").join(
+        salted_dim, on=["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 1000000).cast("long") * F.col("wt")
+        ).alias("weighted_value_fp"),
+    )

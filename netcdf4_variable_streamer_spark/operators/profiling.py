@@ -538,3 +538,70 @@ def q_agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("freq_ppm"),
         )
     )
+
+
+_OLS_SUMS = (
+    "COUNT(*) AS n, "
+    "SUM(CAST(x AS DECIMAL(38,0))) AS sx, "
+    "SUM(CAST(y AS DECIMAL(38,0))) AS sy, "
+    "SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx, "
+    "SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy"
+)
+
+# slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); intercept = (Sy - slope*Sx)/n.
+# Decimal sums -> DOUBLE once, then identical IEEE ops in both engines.
+_OLS_SLOPE = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))"
+    " - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))"
+    " - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_OLS_OUT = (
+    "n AS n_rows, "
+    f"CAST(FLOOR(({_OLS_SLOPE}) * 1000000) AS BIGINT) AS slope_ppm, "
+    f"CAST(FLOOR(((CAST(sy AS DOUBLE) - ({_OLS_SLOPE}) * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE)) * 100) AS BIGINT) AS intercept_cents_x100"
+)
+
+
+@register(
+    "q_ols_by_group",
+    oracle=f"""
+WITH fp AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (SELECT l_returnflag, {_OLS_SUMS} FROM fp GROUP BY l_returnflag)
+SELECT l_returnflag, {_OLS_OUT} FROM s
+""",
+    doc="Grouped simple OLS regression (extendedprice-cents on "
+        "quantity per returnflag) via the closed-form normal "
+        "equations: one aggregation collects the five sufficient "
+        "statistics (n, Sx, Sy, Sxx, Sxy) as DECIMAL(38,0) over exact "
+        "integer per-row terms — order-independent, so distributed "
+        "partial sums equal DuckDB's serial ones exactly — then slope/ "
+        "intercept are a handful of identical IEEE double ops emitted "
+        "as fixed-point integers. Shape at 100 TB: identical to any "
+        "groupBy-sum — map-side partials reduce each partition to "
+        "|groups| rows, one shuffle, no iteration, no driver math. "
+        "This is the pattern for ANY closed-form estimator (variance, "
+        "covariance, OLS, Welford moments): ship mergeable sufficient "
+        "statistics, never rows.",
+)
+def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fp = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = fp.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    return s.selectExpr("l_returnflag", *_OLS_OUT.split(", "))

@@ -131,3 +131,154 @@ def q_report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, support FROM pairs
+WHERE support >= 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 100
+""",
+    doc="Market-basket pair mining (a-priori candidate generation): "
+        "distinct items per order, intra-order pair expansion via a "
+        "self-equi-join on the order key with `part_a < part_b` "
+        "dedup/orientation, pair-support count, min-support filter, "
+        "deterministic top-k. Shape at 100 TB: both join sides share "
+        "one hash partitioning on l_orderkey, so the pair expansion is "
+        "co-located (one shuffle) and its output is bounded by "
+        "sum(basket_size^2) — basket sizes are small constants in real "
+        "carts, so the blow-up factor is ~k^2/2 per order, not "
+        "quadratic in the table; the support agg map-side-combines and "
+        "the min-support filter kills the long tail before the global "
+        "top-k (TakeOrdered, no full sort).",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        sup.filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+_Q3 = "array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE))"
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+         COUNT(*) AS f,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_dt FROM orders),
+c2 AS (
+  SELECT o_custkey,
+         CAST(DATE_DIFF('day', last_dt, ref_dt) AS BIGINT) AS r_days,
+         f, m_cents
+  FROM cust, ref
+),
+th AS (
+  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS tr,
+         quantile_cont(f, [0.25, 0.5, 0.75]) AS tf,
+         quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS tm
+  FROM c2
+),
+s AS (
+  SELECT CAST(1 + CAST(r_days > tr[1] AS INT) + CAST(r_days > tr[2] AS INT)
+              + CAST(r_days > tr[3] AS INT) AS BIGINT) AS r_score,
+         CAST(1 + CAST(f > tf[1] AS INT) + CAST(f > tf[2] AS INT)
+              + CAST(f > tf[3] AS INT) AS BIGINT) AS f_score,
+         CAST(1 + CAST(m_cents > tm[1] AS INT) + CAST(m_cents > tm[2] AS INT)
+              + CAST(m_cents > tm[3] AS INT) AS BIGINT) AS m_score,
+         m_cents
+  FROM c2, th
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers, SUM(m_cents) AS sum_m_cents
+FROM s GROUP BY 1, 2, 3
+""",
+    doc="RFM customer segmentation: per-customer recency (days since "
+        "last order vs corpus max date), frequency, monetary rollup, "
+        "then quartile scoring of each axis against EXACT interpolated "
+        "quartile thresholds (Spark `percentile` and DuckDB "
+        "quantile_cont share the (n-1)*p linear-interpolation "
+        "definition; inputs are integers so the interpolated doubles "
+        "are bit-identical), and a |4^3|-bounded segment readout. "
+        "Shape at 100 TB: one shuffle for the per-customer rollup "
+        "(map-side combine), the thresholds are ONE 9-number row "
+        "broadcast back (never a global sort — this is why scores are "
+        "threshold-comparisons, not ntile over a single partition), "
+        "and the final agg is 64 rows. The scalar max-date row is also "
+        "a broadcast cross join, not a driver collect.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "m_cents"
+        ),
+    )
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_dt"))
+    c2 = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_dt", "last_dt").cast("long").alias("r_days"),
+        "f",
+        "m_cents",
+    )
+    th = c2.agg(
+        F.expr(f"percentile(r_days, {_Q3})").alias("tr"),
+        F.expr(f"percentile(f, {_Q3})").alias("tf"),
+        F.expr(f"percentile(m_cents, {_Q3})").alias("tm"),
+    )
+
+    def score(col: str, t: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(t)[0]).cast("int")
+            + (F.col(col) > F.col(t)[1]).cast("int")
+            + (F.col(col) > F.col(t)[2]).cast("int")
+        ).cast("long")
+
+    s = c2.crossJoin(F.broadcast(th)).select(
+        score("r_days", "tr").alias("r_score"),
+        score("f", "tf").alias("f_score"),
+        score("m_cents", "tm").alias("m_score"),
+        "m_cents",
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m_cents").alias("sum_m_cents"),
+    )

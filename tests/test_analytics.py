@@ -32,6 +32,8 @@ NEW_KEYS = [
     "q_join_bloom_pruned", "q_cdc_apply", "q_graph_bfs_reach",
     "q_ml_kmeans", "snk_zorder", "q_stream_join_outer",
     "q_sample_mixture", "q_dedup_keep_best", "q_ab_experiment",
+    "q_basket_pairs", "q_rfm_segments", "q_join_salted_skew",
+    "q_ols_by_group", "q_funnel_attribution",
 ]
 
 
