@@ -429,3 +429,45 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("kept_chars"),
         F.sum("doc_id").alias("kept_id_sum"),
     )
+
+
+@register(
+    "q_sample_topk_hash",
+    oracle="""
+WITH sample AS (
+  SELECT doc_id, lang, n_chars
+  FROM documents
+  ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':sample'), doc_id
+  LIMIT 1000
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(doc_id) AS id_checksum, SUM(n_chars) AS sum_chars
+FROM sample GROUP BY lang
+""",
+    doc="Fixed-size uniform corpus sample via smallest-hash top-k: "
+        "order by md5(doc_id || salt) and keep the k smallest — the "
+        "deterministic, engine-portable stand-in for reservoir "
+        "sampling (same marginal uniformity, but stable across "
+        "engines, retries, and partitionings, and composable: the "
+        "k-sample of a union is the k-smallest of the per-shard "
+        "k-samples, i.e. it is MERGEABLE exactly like a sketch). "
+        "Shape at 100 TB: TakeOrdered keeps k rows per partition and "
+        "merges — no global sort, no shuffle of the corpus; the "
+        "readout aggregates 1000 rows. Changing the salt draws an "
+        "independent resample.",
+)
+def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sample = (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+            "doc_id",
+        )
+        .limit(1000)
+    )
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

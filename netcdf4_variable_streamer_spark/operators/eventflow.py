@@ -575,3 +575,141 @@ def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_conversions * 1000000) div sum(n_conversions) over ()"
         ).alias("share_ppm"),
     )
+
+
+@register(
+    "q_interval_merge",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH(ts::TIMESTAMP)) AS BIGINT) AS s,
+         CAST(FLOOR(EPOCH(ts::TIMESTAMP)) AS BIGINT) + 300 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_span) OVER (
+           PARTITION BY user_id ORDER BY s, e, event_id
+           ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, span_id, MAX(e) - MIN(s) AS covered
+  FROM islands GROUP BY user_id, span_id
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_spans, SUM(covered) AS covered_sec
+  FROM spans GROUP BY user_id
+)
+SELECT n_spans, COUNT(*) AS n_users, SUM(covered_sec) AS total_covered_sec
+FROM per_user GROUP BY n_spans
+""",
+    doc="Overlapping-interval consolidation (gaps-and-islands on "
+        "ranges): each event opens a 300 s activity interval; per user, "
+        "intervals that overlap a PRIOR interval's running max-end fuse "
+        "into one span (new-span flag = start beyond max(end) over the "
+        "preceding frame; span id = running sum of flags — the "
+        "standard island trick generalized to ranges, which handles "
+        "intervals NESTED inside earlier longer ones, where "
+        "lag(end) alone fails). Output: span-count distribution with "
+        "covered wall-seconds. Shape at 100 TB: both windows and both "
+        "aggs hash on user_id — one partitioning, per-user sequential "
+        "scan, no self-join (the naive interval-merge is an O(n^2) "
+        "range self-join); the final distribution is tiny. All epoch "
+        "arithmetic is integer-exact.",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prior_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_span",
+        (F.col("s") > F.coalesce(prior_max_e, F.lit(-1))).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy("user_id", "span_id").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    per_user = spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("covered").alias("covered_sec"),
+    )
+    return per_user.groupBy("n_spans").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("covered_sec").alias("total_covered_sec"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       (n * 1000000) // SUM(n) OVER (PARTITION BY event_type) AS prob_ppm
+FROM pairs
+""",
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: lead() within (user_id; ts, event_id total order) "
+        "forms consecutive pairs, pair counts roll up, and the "
+        "row-normalized transition probability is integer ppm over the "
+        "per-source-type window. Output is |event_types|² rows. Shape "
+        "at 100 TB: the lead window and the pair agg are one user_id "
+        "shuffle + one |types²|-sized agg with map-side combine; the "
+        "normalization window runs over the tiny matrix. This is the "
+        "next-event-prediction / clickstream-flow primitive.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").cast("long")
+        .alias("_num"),
+    ).withColumn(
+        "prob_ppm",
+        (F.col("_num") / F.sum("n").over(w)).cast("long"),
+    ).drop("_num")

@@ -605,3 +605,116 @@ def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     return s.selectExpr("l_returnflag", *_OLS_OUT.split(", "))
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty) AS rn
+  FROM counts
+)
+SELECT l_returnflag, qty AS mode_quantity, n AS mode_count
+FROM ranked WHERE rn = 1
+""",
+    doc="Per-group mode (most frequent value) with a deterministic "
+        "tie-break: value-frequency rollup, then rank within group by "
+        "(count DESC, value ASC) — never the engines' native mode() "
+        "whose tie semantics differ. Shape at 100 TB: the frequency "
+        "agg map-side-combines to |groups × distinct values| rows and "
+        "the ranking window runs over that rollup, not the raw table; "
+        "one data-sized shuffle total.",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "qty")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_quantity"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "q_drift_report",
+    oracle="""
+WITH fp AS (
+  SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS v_fp,
+         CAST(FLOOR(EPOCH(ts::TIMESTAMP)) AS BIGINT) AS es
+  FROM events
+),
+bounds AS (
+  SELECT MIN(v_fp) AS v_lo, MAX(v_fp) AS v_hi,
+         (MIN(es) + MAX(es)) // 2 AS mid_es
+  FROM fp
+),
+bucketed AS (
+  SELECT CASE WHEN es < mid_es THEN 'A' ELSE 'B' END AS period,
+         ((v_fp - v_lo) * 10) // (v_hi - v_lo + 1) AS bucket
+  FROM fp, bounds
+),
+counts AS (
+  SELECT period, bucket, COUNT(*) AS n
+  FROM bucketed GROUP BY period, bucket
+)
+SELECT period, bucket, n,
+       (n * 1000000) // SUM(n) OVER (PARTITION BY period) AS share_ppm
+FROM counts
+""",
+    doc="Distribution-drift report (data-quality monitoring): split "
+        "the stream at the epoch midpoint into periods A/B, bucket the "
+        "metric into 10 equi-width bins over the GLOBAL range (shared "
+        "bins are what makes the two periods comparable), and emit "
+        "per-period bin shares in integer ppm — the inputs to any PSI/"
+        "KL drift score, kept in exact integer space (the log lives "
+        "downstream in a scalar context). Shape at 100 TB: one scan "
+        "computes bounds (3-number row, broadcast back), one "
+        "map-side-combined agg to |periods × bins| = 20 rows; the "
+        "share window runs over those 20. All bucket math is integer "
+        "division — engine-exact.",
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fp = ev.select(
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_fp"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    bounds = fp.agg(
+        F.min("v_fp").alias("v_lo"),
+        F.max("v_fp").alias("v_hi"),
+        F.expr("(min(es) + max(es)) div 2").alias("mid_es"),
+    )
+    bucketed = fp.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("es") < F.col("mid_es"), "A")
+        .otherwise("B")
+        .alias("period"),
+        F.expr("((v_fp - v_lo) * 10) div (v_hi - v_lo + 1)").alias(
+            "bucket"
+        ),
+    )
+    counts = bucketed.groupBy("period", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("period")
+    return counts.select(
+        "period",
+        "bucket",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by period)").alias(
+            "share_ppm"
+        ),
+    )

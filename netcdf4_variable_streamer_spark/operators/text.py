@@ -797,3 +797,74 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
     )
+
+
+@register(
+    "q_text_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
+),
+stats AS (
+  SELECT tok, COUNT(*) AS df, SUM(doc_id) AS id_checksum
+  FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT tok, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+  FROM toks
+),
+head AS (
+  SELECT tok, LIST(doc_id ORDER BY doc_id) AS posting_head
+  FROM ranked WHERE rn <= 20 GROUP BY tok
+)
+SELECT s.tok, s.df, s.id_checksum, h.posting_head
+FROM stats s JOIN head h ON h.tok = s.tok
+ORDER BY s.df DESC, s.tok
+LIMIT 200
+""",
+    doc="Inverted-index build (the search / retrieval-corpus "
+        "primitive): distinct (doc, term) postings, per-term document "
+        "frequency + posting checksum over the FULL postings, and a "
+        "rank-limited posting head (first 20 doc_ids) materialized as "
+        "a sorted array. The head is rank-filtered BEFORE collect — "
+        "hot Zipf-head terms never assemble an unbounded list in one "
+        "task, which is how production indexers shard hot postings. "
+        "Shape at 100 TB: explode → distinct → two aggs + the rank "
+        "window all hash on the same keys (dedup on (doc,term), then "
+        "term) with map-side combine; arrays are per-term and bounded; "
+        "no driver collection. sort_array ≡ LIST(... ORDER BY) gives "
+        "engine-identical arrays.",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    head = (
+        toks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("tok").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+    )
+    return (
+        stats.join(head, "tok")
+        .select("tok", "df", "id_checksum", "posting_head")
+        .orderBy(F.desc("df"), "tok")
+        .limit(200)
+    )

@@ -39,10 +39,10 @@ def _canon_value(v):
         return v
     if isinstance(v, bool):
         return int(v)
-    if hasattr(v, "item"):  # numpy scalar
-        return _canon_value(v.item())
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_value(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon_value(v.item())
     if isinstance(v, pd.Timestamp):
         return str(v)
     return v

@@ -34,6 +34,8 @@ NEW_KEYS = [
     "q_sample_mixture", "q_dedup_keep_best", "q_ab_experiment",
     "q_basket_pairs", "q_rfm_segments", "q_join_salted_skew",
     "q_ols_by_group", "q_funnel_attribution",
+    "q_interval_merge", "q_event_transitions", "q_text_inverted_index",
+    "q_agg_mode", "q_drift_report", "q_sample_topk_hash",
 ]
 
 
