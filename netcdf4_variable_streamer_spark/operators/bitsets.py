@@ -1,0 +1,266 @@
+"""Bitwise expression family + bitmap/HLL distinct-counting operators.
+
+Three keys:
+
+- ``q_fn_bitwise`` (B-7 extension): the scalar bit-op family — ``& | ^``,
+  shifts, ``bit_count``, lowest-set-bit isolation — all JVM-codegen
+  expressions with exact DuckDB twins (two's-complement BIGINT semantics
+  match; shifts are kept under 2^62 so neither engine overflows).
+
+- ``q_agg_bitmap_distinct``: EXACT count-distinct as a mergeable bitmap —
+  user ids are packed into 62-bit words (``word = id div 62``,
+  ``bit = id % 62``), ``bit_or`` builds each word's bitmap, and
+  ``sum(bit_count(word))`` reads the cardinality. This is the
+  roaring-bitmap pattern warehouses use to make COUNT(DISTINCT)
+  re-aggregable across rollup levels: the per-(group, word) bitmaps are a
+  commutative monoid under OR, so partial bitmaps from 1000 executors (or
+  from yesterday's materialization) merge without touching raw rows.
+  Self-verified in-row against the direct ``countDistinct``.
+
+- ``q_agg_hll_portable``: a HyperLogLog built from first principles with
+  md5-derived hashes, so the 256 per-bucket registers are BIT-IDENTICAL
+  in Spark and DuckDB — unlike engine-native sketches (q_agg_sketches)
+  whose internals are opaque and only bound-checkable, every register is
+  hash-matched and only the final estimate (a single double division)
+  collapses to a tolerance boolean. rho is the trailing-zero rank
+  ``bit_count((v & -v) - 1) + 1`` — same geometric distribution as the
+  classic leading-zero rank, pure integer ops in both engines.
+
+Scale posture: all three are one keyed aggregation with map-side partial
+combine (class A in SCALE.md's appendix); the bitmap shuffles |groups| ×
+|id-space|/62 words, the HLL shuffles at most 256 registers per partial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.tables import load_table
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       (o_orderkey & 1023) | 4096 AS with_flag,
+       xor(o_orderkey & 1023, 341) AS toggled,
+       (o_orderkey & 1023) << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       bit_count(o_orderkey) AS n_bits,
+       o_orderkey & (-o_orderkey) AS low_bit,
+       (o_orderkey >> 5) & 1 AS bit5
+FROM orders
+""",
+    doc="Scalar bitwise family: AND/OR/XOR, shifts, popcount, lowest-set-"
+        "bit isolation, single-bit probe — all whole-stage-codegen JVM "
+        "expressions (map-only, zero shuffles). Shift operands are masked "
+        "to 10 bits so no value approaches BIGINT overflow in either "
+        "engine (DuckDB raises on shift overflow; Spark wraps — keeping "
+        "the domain small makes the semantics identical).",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("(o_orderkey & 1023) | 4096").alias("with_flag"),
+        F.expr("(o_orderkey & 1023) ^ 341").alias("toggled"),
+        F.expr("shiftleft(o_orderkey & 1023, 3)").alias("shl3"),
+        F.expr("shiftright(o_orderkey, 2)").alias("shr2"),
+        F.expr("bit_count(o_orderkey)").cast("long").alias("n_bits"),
+        F.expr("o_orderkey & (-o_orderkey)").alias("low_bit"),
+        F.expr("(o_orderkey >> 5) & 1").alias("bit5"),
+    )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+WITH words AS (
+  SELECT event_type, user_id // 62 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS bitmap
+  FROM events GROUP BY event_type, word
+),
+bm AS (
+  SELECT event_type,
+         CAST(SUM(bit_count(bitmap)) AS BIGINT) AS n_users_bitmap,
+         COUNT(*) AS n_words
+  FROM words GROUP BY event_type
+),
+direct AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact
+  FROM events GROUP BY event_type
+)
+SELECT d.event_type, b.n_users_bitmap, b.n_words, d.n_users_exact,
+       b.n_users_bitmap = d.n_users_exact AS bitmap_matches
+FROM direct d JOIN bm b ON b.event_type = d.event_type
+""",
+    doc="Exact distinct via mergeable 62-bit bitmap words: id -> (word, "
+        "bit), bit_or per (group, word), popcount-sum per group. The "
+        "bitmap words form a monoid under OR, so distinct counts become "
+        "re-aggregable partials — the production answer when COUNT("
+        "DISTINCT) must roll up across days/partitions without a re-scan "
+        "and HLL's error bars are not acceptable. Shuffle payload is "
+        "|groups| x |id-space|/62 words, independent of row count; "
+        "verified in-row against countDistinct.",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 62").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("bitmap"))
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bitmap)")).alias("n_users_bitmap"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return direct.join(bm, "event_type").select(
+        "event_type",
+        "n_users_bitmap",
+        "n_words",
+        "n_users_exact",
+        (F.col("n_users_bitmap") == F.col("n_users_exact")).alias(
+            "bitmap_matches"
+        ),
+    )
+
+
+_HLL_M = 256  # buckets; 1.04/sqrt(256) ~ 6.5% standard error
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_TOL = 0.20  # ~3 sigma; registers themselves are exact-checked
+
+# rho = trailing-zero rank of the 52-bit post-bucket hash (same geometric
+# law as the classic leading-zero rank); v = 0 has probability 2^-52 and
+# pins to the max rank.
+_RHO_SQL = "CASE WHEN v = 0 THEN 53 ELSE bit_count((v & (-v)) - 1) + 1 END"
+
+
+@register(
+    "q_agg_hll_portable",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h60
+  FROM lineitem
+),
+split AS (SELECT h60 % {_HLL_M} AS bucket, h60 // {_HLL_M} AS v FROM h),
+regs AS (
+  SELECT bucket, MAX({_RHO_SQL}) AS register
+  FROM split GROUP BY bucket
+),
+spine AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+         CAST(COALESCE(g.register, 0) AS BIGINT) AS register
+  FROM range(0, {_HLL_M}) r LEFT JOIN regs g ON g.bucket = r.range
+),
+est AS (
+  SELECT SUM(CAST(1::BIGINT << CAST(60 - register AS INTEGER)
+                  AS DECIMAL(38, 0))) AS s,
+         SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM spine
+),
+exact AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+verdict AS (
+  -- nested CASE so LN(m / n_zero) is never evaluated with n_zero = 0
+  SELECT CASE WHEN e.n_zero > 0
+              THEN (CASE WHEN {_HLL_M}.0 * LN({_HLL_M}.0 / e.n_zero)
+                              < 2.5 * {_HLL_M}
+                         THEN {_HLL_M}.0 * LN({_HLL_M}.0 / e.n_zero)
+                         ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M}.0 * {_HLL_M}.0
+                              * 1152921504606846976.0
+                              / CAST(e.s AS DOUBLE)
+                    END)
+              ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M}.0 * {_HLL_M}.0
+                   * 1152921504606846976.0 / CAST(e.s AS DOUBLE)
+         END AS hll_est, x.n
+  FROM est e, exact x
+)
+SELECT bucket, register FROM spine
+UNION ALL
+SELECT -1 AS bucket,
+       CAST(ABS(hll_est - n) <= {_HLL_TOL!r} * n AS BIGINT) AS register
+FROM verdict
+""",
+    doc="HyperLogLog from first principles, cross-engine portable: "
+        "md5-derived 60-bit hash -> 256 buckets x 52-bit value; register "
+        "= max trailing-zero rank per bucket. Because the hash and the "
+        "rank are pure integer SQL, ALL 256 registers hash-match DuckDB "
+        "exactly (the part engine-native sketches cannot offer); only the "
+        "final estimate division is floating point and is emitted as its "
+        "<=20% |est-exact| bound (linear-counting correction applied when "
+        "empty buckets remain). One aggregation; partial registers merge "
+        "with MAX, so 1000 executors ship 256 longs each — the sketch "
+        "rollup algebra of q_agg_sketches, but fully auditable.",
+)
+def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h60")
+    )
+    split = h.select(
+        F.expr(f"h60 % {_HLL_M}").alias("bucket"),
+        F.expr(f"h60 div {_HLL_M}").alias("v"),
+    )
+    regs = split.groupBy("bucket").agg(
+        F.max(F.expr(_RHO_SQL)).alias("register")
+    )
+    spine = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("long").alias("register"),
+        )
+    )
+    est = spine.agg(
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - register AS INT))"
+                " AS DECIMAL(38, 0))"
+            )
+        ).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    # NULL-out the n_zero = 0 case before dividing (ANSI mode errors on /0);
+    # the surrounding when() then falls through to the raw estimate.
+    nz_safe = F.when(F.col("n_zero") > 0, F.col("n_zero"))
+    lc = _HLL_M * F.log(_HLL_M / nz_safe)
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        * F.lit(float(1 << 60))
+        / F.col("s").cast("double")
+    )
+    verdict = est.crossJoin(exact).select(
+        F.when((F.col("n_zero") > 0) & (lc < 2.5 * _HLL_M), lc)
+        .otherwise(raw)
+        .alias("hll_est"),
+        "n",
+    )
+    assertion = verdict.select(
+        F.lit(-1).cast("long").alias("bucket"),
+        (F.abs(F.col("hll_est") - F.col("n")) <= _HLL_TOL * F.col("n"))
+        .cast("long")
+        .alias("register"),
+    )
+    return spine.unionByName(assertion)

@@ -234,6 +234,109 @@ def q_time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_gap_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id, day
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+  FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(g AS DATE) AS day
+  FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(g)
+),
+nb AS (
+  SELECT s.user_id, s.day, d.cents,
+         LAST_VALUE(d.cents IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(d.day IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(d.cents IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(d.day IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
+       cents IS NOT NULL AS observed,
+       CASE WHEN cents IS NOT NULL THEN cents
+            ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+       END AS cents_interp
+FROM nb
+""",
+    doc="Linear-interpolation gap fill — the sibling of "
+        "q_time_resample_ffill for series where a carried-forward value "
+        "is wrong (meter readings, balances): missing days get the "
+        "distance-weighted average of the bracketing observed days, "
+        "computed as (pv*(nd-d) + nv*(d-pd)) div (nd-pd) — numerator "
+        "kept non-negative so truncating (Spark div) and flooring "
+        "(DuckDB //) division agree, all in integer cents. Same scale "
+        "shape as ffill: per-user daily roll-up, map-side spine "
+        "explode, TWO window passes (backward + forward neighbor) over "
+        "one user_id partitioning.",
+)
+def q_win_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nb = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(back).alias("pv"),
+        F.last(
+            F.when(F.col("cents").isNotNull(), F.col("day")),
+            ignorenulls=True,
+        ).over(back).alias("pd"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(
+            F.when(F.col("cents").isNotNull(), F.col("day")),
+            ignorenulls=True,
+        ).over(fwd).alias("nd"),
+    )
+    interp = F.expr(
+        "(pv * datediff(nd, day) + nv * datediff(day, pd))"
+        " div datediff(nd, pd)"
+    )
+    return nb.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").isNotNull().alias("observed"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .alias("cents_interp"),
+    )
+
+
+@register(
     "q_win_pattern_burst",
     oracle="""
 WITH e AS (

@@ -140,7 +140,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
 def q_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    # parquet ts arrives as TIMESTAMP_NTZ; unix_micros wants LTZ — identity
+    # conversion under the engine's UTC session tz (same shim as q_fn_date).
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     return e.select(
         "event_id",
         "user_id",

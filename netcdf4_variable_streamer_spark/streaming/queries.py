@@ -44,8 +44,13 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # dir source, one table
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks/windows need LTZ event time; identity under the
+        # engine's UTC session tz (same shim as q_fn_date).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

@@ -36,6 +36,8 @@ NEW_KEYS = [
     "q_ols_by_group", "q_funnel_attribution",
     "q_interval_merge", "q_event_transitions", "q_text_inverted_index",
     "q_agg_mode", "q_drift_report", "q_sample_topk_hash",
+    "q_fn_bitwise", "q_agg_bitmap_distinct", "q_agg_hll_portable",
+    "q_geo_grid_knn", "q_win_gap_interpolate",
 ]
 
 

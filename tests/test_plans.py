@@ -90,6 +90,15 @@ def test_threshold_lsh_equi_join_no_cartesian(spark):
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
+def test_geo_grid_knn_equi_join_no_cartesian(spark):
+    # spatial nearest-neighbor: candidates come from the 9-cell equi-join,
+    # never a customer x supplier product
+    df = build(spark, "q_geo_grid_knn")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
 def test_salted_join_shuffles_not_broadcasts(spark):
     # the salted skew join must exercise the shuffle path it exists for:
     # a ShuffledHashJoin on (key, salt) and NO broadcast of the dim side
