@@ -264,3 +264,132 @@ def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("register"),
     )
     return spine.unionByName(assertion)
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # counters per row
+
+
+def _cms_col_sql(row: int, tok_expr: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5('cms{row}:' || {tok_expr}), 1, 12)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "q_agg_cms_portable",
+    oracle=f"""
+WITH tok AS (
+  SELECT t.tok FROM documents,
+       UNNEST(STRING_SPLIT(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+hashed AS (
+  SELECT tok, r.range AS r,
+         CASE r.range
+           WHEN 0 THEN {_cms_col_sql(0, 'tok')}
+           WHEN 1 THEN {_cms_col_sql(1, 'tok')}
+           WHEN 2 THEN {_cms_col_sql(2, 'tok')}
+           ELSE {_cms_col_sql(3, 'tok')}
+         END AS col
+  FROM tok, range(0, {_CMS_D}) r
+),
+cells AS (
+  SELECT r, col, COUNT(*) AS cnt FROM hashed GROUP BY r, col
+),
+n AS (SELECT COUNT(*) AS n_tokens FROM tok),
+exact AS (
+  SELECT tok, COUNT(*) AS true_cnt FROM tok GROUP BY tok
+  ORDER BY true_cnt DESC, tok LIMIT 5
+),
+probes AS (
+  SELECT e.tok, e.true_cnt, MIN(c.cnt) AS est
+  FROM exact e
+  JOIN hashed h ON h.tok = e.tok
+  JOIN cells c ON c.r = h.r AND c.col = h.col
+  GROUP BY e.tok, e.true_cnt
+)
+SELECT 'cell' AS kind, r AS a, col AS b, cnt AS v FROM cells
+UNION ALL
+SELECT 'est ' || p.tok, p.true_cnt, p.est,
+       CAST(p.est >= p.true_cnt
+            AND p.est <= p.true_cnt + n.n_tokens // 8 AS BIGINT)
+FROM probes p, n
+""",
+    doc="Count-Min sketch from first principles, cross-engine portable: "
+        "corpus tokens hashed by 4 md5-derived rows into 64 counters "
+        "each; ALL 256 cells are exact integer counts, so the entire "
+        "sketch hash-matches DuckDB (counts, unlike HLL registers, are "
+        "order-independent sums). The 5 true heaviest tokens are then "
+        "probed: min-over-rows estimate must dominate the true count "
+        "(CMS one-sided guarantee, checked exactly) and stay within the "
+        "epsilon*N additive bound. Shuffle payload is 256 counters per "
+        "partial regardless of corpus size — the mergeable-sketch "
+        "algebra with every intermediate auditable.",
+)
+def q_agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    hashed = tok.select(
+        "tok", F.explode(rows).alias("r")
+    ).withColumn(
+        "col",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("tok"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    cells = hashed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "tok")
+        .limit(5)
+    )
+    # duplicate (tok, r, col) rows from multiple occurrences are harmless
+    # under MIN, so no distinct — the 5-row exact side broadcasts
+    probes = (
+        exact.join(hashed, "tok")
+        .join(cells, ["r", "col"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    cell_rows = cells.select(
+        F.lit("cell").alias("kind"),
+        F.col("r").cast("long").alias("a"),
+        F.col("col").alias("b"),
+        F.col("cnt").alias("v"),
+    )
+    est_rows = probes.crossJoin(n).select(
+        F.concat(F.lit("est "), F.col("tok")).alias("kind"),
+        F.col("true_cnt").alias("a"),
+        F.col("est").alias("b"),
+        (
+            (F.col("est") >= F.col("true_cnt"))
+            & (
+                F.col("est")
+                <= F.col("true_cnt") + F.expr("n_tokens div 8")
+            )
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    return cell_rows.unionByName(est_rows)

@@ -336,6 +336,90 @@ def q_win_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_K = 8  # window depth; weights 2^7 .. 2^0 (alpha = 1/2, truncated)
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """(numerator, denominator) SQL — identical text for both engines."""
+    num = " + ".join(
+        f"COALESCE(LAG(cents, {k}) OVER w, 0) * {1 << (_EWMA_K - 1 - k)}"
+        for k in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(cents, {k}) OVER w IS NULL THEN 0"
+        f" ELSE {1 << (_EWMA_K - 1 - k)} END"
+        for k in range(_EWMA_K)
+    )
+    return num, den
+
+
+@register(
+    "q_win_ewma_dyadic",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       cents,
+       ({num}) // ({den}) AS ewma_cents
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""".format(num=_ewma_terms()[0], den=_ewma_terms()[1]),
+    doc="Exponentially-weighted moving average with DYADIC decay: alpha "
+        "= 1/2 truncated at depth 8, so the weights are exact powers of "
+        "two and the whole computation stays in integer cents — "
+        "numerator and denominator are non-negative BIGINT sums, making "
+        "truncating (Spark div) and flooring (DuckDB //) division "
+        "identical and the full smoothed series hash-checkable (a "
+        "float EWMA is order-stable but its per-row rounding is not "
+        "portable). Early rows renormalize over the lags that exist "
+        "(the CASE denominator), matching pandas ewm(adjust=True). One "
+        "user_id window partitioning, 8 LAG taps resolved in a single "
+        "window pass.",
+)
+def q_win_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    num, den = _ewma_terms()
+    daily = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_num = sum(
+        (
+            F.coalesce(F.lag("cents", k).over(w), F.lit(0))
+            * (1 << (_EWMA_K - 1 - k))
+            for k in range(_EWMA_K)
+        ),
+        start=F.lit(0),
+    )
+    lag_den = sum(
+        (
+            F.when(F.lag("cents", k).over(w).isNull(), 0).otherwise(
+                1 << (_EWMA_K - 1 - k)
+            )
+            for k in range(_EWMA_K)
+        ),
+        start=F.lit(0),
+    )
+    return daily.select(
+        "user_id",
+        "event_id",
+        "cents",
+        (lag_num.cast("long")).alias("_n"),
+        (lag_den.cast("long")).alias("_d"),
+    ).select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.expr("_n div _d").alias("ewma_cents"),
+    )
+
+
 @register(
     "q_win_pattern_burst",
     oracle="""

@@ -97,6 +97,85 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr
 
 
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_EMB_PAIRS_CTE},
+e AS (SELECT v1 AS src, v2 AS dst FROM p
+      UNION ALL SELECT v2, v1 FROM p),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+wedges AS (
+  SELECT e1.src AS a, e2.src AS b, COUNT(*) AS common
+  FROM e e1 JOIN e e2 ON e2.dst = e1.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src
+)
+SELECT p.v1, p.v2,
+       COALESCE(w.common, 0) AS common,
+       d1.deg AS deg1, d2.deg AS deg2,
+       COALESCE(w.common, 0) * 1000000
+         // (d1.deg + d2.deg - COALESCE(w.common, 0)) AS jacc_ppm
+FROM p
+LEFT JOIN wedges w ON w.a = p.v1 AND w.b = p.v2
+JOIN deg d1 ON d1.src = p.v1
+JOIN deg d2 ON d2.src = p.v2
+""",
+    doc="Neighbor-set Jaccard similarity (link prediction / common-"
+        "neighbors scoring) over the cosine near-dup graph: for every "
+        "edge (a, b), |N(a) & N(b)| is counted by self-joining the edge "
+        "list on the SHARED NEIGHBOR (wedge enumeration — join volume "
+        "is sum of deg(w)^2 over nodes, bounded by near-dup cluster "
+        "sizes, never |V|^2), and Jaccard = common / (deg(a) + deg(b) "
+        "- common) is emitted in integer ppm (denominator >= 2 because "
+        "the endpoints are mutual neighbors). At 100 TB the same shape "
+        "runs on LSH-generated edges with hub nodes degree-capped "
+        "before wedge expansion — the standard guard, since one "
+        "degree-d hub contributes d^2 wedges.",
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _emb_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("v1").alias("src"), F.col("v2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e2.dst") == F.col("e1.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.src").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        pairs.join(
+            wedges,
+            (wedges.a == pairs.v1) & (wedges.b == pairs.v2),
+            "left",
+        )
+        .join(deg.withColumnRenamed("src", "v1").withColumnRenamed(
+            "deg", "deg1"), "v1")
+        .join(deg.withColumnRenamed("src", "v2").withColumnRenamed(
+            "deg", "deg2"), "v2")
+    )
+    return j.select(
+        "v1",
+        "v2",
+        F.coalesce("common", F.lit(0)).alias("common"),
+        "deg1",
+        "deg2",
+        F.expr(
+            "coalesce(common, 0) * 1000000"
+            " div (deg1 + deg2 - coalesce(common, 0))"
+        ).alias("jacc_ppm"),
+    )
+
+
 def _triangles_oracle() -> str:
     from netcdf4_variable_streamer_spark.operators.similarity import (
         PLSH_PAIRS_CTE,

@@ -622,6 +622,83 @@ def src_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_csv_ingest",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars_meta,
+       SUM(LENGTH(text)) AS sum_chars_text
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_corrupt', 2, 0, 0
+""",
+    doc="CSV corpus ingestion — the src_jsonl_ingest twin for the other "
+        "ubiquitous interchange format: documents are round-tripped "
+        "through RFC-4180 CSV (quoteAll + doubled-quote escaping so "
+        "free text with commas/quotes/newlines survives), two malformed "
+        "lines are injected, and the read-back uses an EXPLICIT schema "
+        "in PERMISSIVE mode with a corrupt-record quarantine column. "
+        "Both character sums must match the parquet originals exactly "
+        "(codepoint-preserving round-trip) and the corrupt count "
+        "surfaces as a row. The honest scale caveat is encoded, not "
+        "hidden: quoted newlines force multiLine=true, which reads "
+        "whole files per task instead of byte-range splits — so the "
+        "writer shards to many files (maxRecordsPerFile) to recover "
+        "parallelism, the standard mitigation when CSV with embedded "
+        "newlines cannot be avoided upstream (JSONL remains the "
+        "line-splittable format of choice).",
+)
+def src_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"csv_{_uuid.uuid4().hex[:8]}")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .option("maxRecordsPerFile", 2000)
+            .csv(dst)
+        )
+        with open(os.path.join(dst, "part-zz-bad.csv"), "w") as f:
+            f.write("notanumber,sometext,en,web,alsonotanumber\n")
+            f.write("99999,short,xx,web,notanumber\n")
+        schema = (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, _bad string"
+        )
+        parsed = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(dst)
+            .cache()
+        )
+        good = parsed.filter(F.col("_bad").isNull())
+        out = good.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars_meta"),
+            F.sum(F.length("text")).alias("sum_chars_text"),
+        )
+        rows = out.collect()
+        n_bad = parsed.filter(F.col("_bad").isNotNull()).count()
+        parsed.unpersist()
+        rows.append(("_corrupt", n_bad, 0, 0))
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "lang string, n_docs long, sum_chars_meta long, "
+            "sum_chars_text long",
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+@register(
     "snk_zorder",
     oracle="""
 SELECT COUNT(*) AS n_rows,

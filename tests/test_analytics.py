@@ -38,6 +38,8 @@ NEW_KEYS = [
     "q_agg_mode", "q_drift_report", "q_sample_topk_hash",
     "q_fn_bitwise", "q_agg_bitmap_distinct", "q_agg_hll_portable",
     "q_geo_grid_knn", "q_win_gap_interpolate",
+    "q_agg_cms_portable", "q_win_ewma_dyadic", "src_csv_ingest",
+    "q_graph_jaccard_neighbors",
 ]
 
 
