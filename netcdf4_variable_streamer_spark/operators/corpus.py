@@ -164,6 +164,106 @@ def q_text_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIN_SUPPORT = 20  # collocation pairs below this count are noise
+
+
+@register(
+    "q_text_collocation_lift",
+    oracle=f"""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM d, UNNEST(generate_series(1, GREATEST(LEN(ts) - 1, 0))) AS u(i)
+  WHERE ts[i] <> '' AND ts[i+1] <> ''
+),
+uni AS (
+  SELECT t.tok, COUNT(*) AS cnt FROM d,
+       UNNEST(ts) AS t(tok) WHERE t.tok <> '' GROUP BY t.tok
+),
+n AS (SELECT COUNT(*) AS n_tok FROM d, UNNEST(ts) AS t(tok)
+      WHERE t.tok <> ''),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS pair_cnt FROM bg GROUP BY w1, w2
+  HAVING COUNT(*) >= {_MIN_SUPPORT}
+)
+SELECT w1, w2, pair_cnt, u1.cnt AS cnt1, u2.cnt AS cnt2,
+       (pair_cnt * n.n_tok * 10000) // (u1.cnt * u2.cnt) AS lift_x1e4
+FROM pc
+JOIN uni u1 ON u1.tok = pc.w1
+JOIN uni u2 ON u2.tok = pc.w2
+CROSS JOIN n
+ORDER BY lift_x1e4 DESC, w1, w2 LIMIT 30
+""",
+    doc=f"Collocation mining by lift — the association step after "
+        "q_text_vocab_pairs' raw counts: lift = P(w1 w2) / (P(w1)P(w2)) "
+        "computed ENTIRELY in integers as (pair_cnt * N * 1e4) div "
+        "(cnt1 * cnt2), so no log/PMI float leaves the engine (the PMI "
+        f"ranking is monotone in lift). Min-support {_MIN_SUPPORT} "
+        "prunes the zipfian tail BEFORE the unigram joins; the unigram "
+        "table joins are keyed equi-joins on the (small) "
+        "post-support-filter pair set; top-30 is TakeOrdered. One "
+        "token-keyed shuffle + one pair-keyed shuffle regardless of "
+        "corpus size.",
+)
+def q_text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ts = F.col("ts")
+    pair_structs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        d.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    toks = d.select(F.explode(ts).alias("tok")).filter(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    pc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _MIN_SUPPORT)
+    )
+    j = (
+        pc.join(
+            uni.select(
+                F.col("tok").alias("w1"), F.col("cnt").alias("cnt1")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("tok").alias("w2"), F.col("cnt").alias("cnt2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "cnt1",
+            "cnt2",
+            F.expr(
+                "(pair_cnt * n_tok * 10000) div (cnt1 * cnt2)"
+            ).alias("lift_x1e4"),
+        )
+        .orderBy(F.desc("lift_x1e4"), "w1", "w2")
+        .limit(30)
+    )
+
+
 _CHUNK = 32  # context window length in tokens
 _STRIDE = 24  # 8-token overlap between consecutive windows
 

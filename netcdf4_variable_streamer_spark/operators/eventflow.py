@@ -336,6 +336,133 @@ def q_win_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_S = 1800  # session gap, matches q_sessionize_gap
+_BUCKET_S = 3600  # interval-join bucket width (1 h)
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CAST(FLOOR(EPOCH(ts::TIMESTAMP)) AS BIGINT) AS es
+  FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN LAG(es) OVER w IS NULL
+                OR es - LAG(es) OVER w > {_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS s_id
+  FROM m
+),
+sess AS (
+  SELECT user_id, s_id, MIN(es) AS s_start, MAX(es) AS s_end
+  FROM sid GROUP BY user_id, s_id
+),
+bk AS (
+  SELECT s.*, g AS bucket
+  FROM sess s, UNNEST(generate_series(s.s_start // {_BUCKET_S},
+                                      s.s_end // {_BUCKET_S})) AS u(g)
+),
+cand AS (
+  SELECT DISTINCT
+         a.user_id AS user1, a.s_id AS sid1,
+         a.s_start AS a_start, a.s_end AS a_end,
+         b.user_id AS user2, b.s_id AS sid2,
+         b.s_start AS b_start, b.s_end AS b_end
+  FROM bk a JOIN bk b
+    ON b.bucket = a.bucket AND a.user_id < b.user_id
+  WHERE a.s_start <= b.s_end AND b.s_start <= a.s_end
+)
+SELECT user1, user2,
+       COUNT(*) AS n_overlaps,
+       SUM(LEAST(a_end, b_end) - GREATEST(a_start, b_start))
+         AS total_overlap_s
+FROM cand GROUP BY user1, user2
+""",
+    doc="Interval-overlap join via time-bucket expansion — the "
+        "big-to-big range join a broadcast theta join cannot survive: "
+        "per-user activity sessions (30-min gaps-and-islands) are "
+        "exploded onto an hourly bucket grid, candidate session pairs "
+        "form by EQUI-join on the bucket (volume = sessions-per-hour "
+        "squared per bucket, never |sessions|^2 global), duplicates "
+        "from multi-bucket spans collapse with DISTINCT, and the exact "
+        "closed-interval overlap predicate + overlap seconds are "
+        "evaluated only on candidates. Output is the |user-pair| "
+        "co-presence matrix. At 100 TB the bucket width is the knob: "
+        "pick it near the median interval length so each interval "
+        "lands in O(1) buckets while buckets stay thin.",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    es = F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000")
+    e = ev.select("user_id", "event_id", "ts", es.cast("long").alias("es"))
+    prev = F.lag("es").over(w)
+    m = e.withColumn(
+        "new_s",
+        F.when(prev.isNull() | (F.col("es") - prev > _GAP_S), 1).otherwise(
+            0
+        ),
+    )
+    sid = m.withColumn("s_id", F.sum("new_s").over(cum))
+    sess = sid.groupBy("user_id", "s_id").agg(
+        F.min("es").alias("s_start"), F.max("es").alias("s_end")
+    )
+    bk = sess.select(
+        "user_id",
+        "s_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {_BUCKET_S}"),
+                F.expr(f"s_end div {_BUCKET_S}"),
+            )
+        ).alias("bucket"),
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.bucket") == F.col("a.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(
+            (F.col("a.s_start") <= F.col("b.s_end"))
+            & (F.col("b.s_start") <= F.col("a.s_end"))
+        )
+        .select(
+            F.col("a.user_id").alias("user1"),
+            F.col("a.s_id").alias("sid1"),
+            F.col("a.s_start").alias("a_start"),
+            F.col("a.s_end").alias("a_end"),
+            F.col("b.user_id").alias("user2"),
+            F.col("b.s_id").alias("sid2"),
+            F.col("b.s_start").alias("b_start"),
+            F.col("b.s_end").alias("b_end"),
+        )
+        .distinct()
+    )
+    return cand.groupBy("user1", "user2").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).alias("total_overlap_s"),
+    )
+
+
 _EWMA_K = 8  # window depth; weights 2^7 .. 2^0 (alpha = 1/2, truncated)
 
 

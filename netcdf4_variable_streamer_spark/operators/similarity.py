@@ -155,6 +155,98 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ml_knn_classify",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embeddings
+),
+p AS (
+  SELECT q.vec_id AS q_id, q.label AS true_label,
+         e.vec_id AS vec_id, e.label AS n_label,
+         ROUND({_DOT_SQL.format(a='q', b='e')} / (q.nrm * e.nrm), 4) AS cos_sim
+  FROM v q JOIN v e ON e.vec_id >= {N_QUERIES}
+  WHERE q.vec_id < {N_QUERIES}
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM p) t
+  WHERE rn <= {TOP_K}
+),
+votes AS (
+  SELECT q_id, true_label, n_label, COUNT(*) AS n_votes
+  FROM nn GROUP BY q_id, true_label, n_label
+)
+SELECT q_id, true_label, n_label AS pred_label, n_votes,
+       n_label = true_label AS correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY n_votes DESC, n_label) AS vr
+      FROM votes) t
+WHERE vr = 1
+""",
+    doc="k-NN label classification — the supervised consumer of the "
+        "similarity kernel: the 20-vector query block is scored against "
+        "the REST of the corpus (train/test split by vec_id, queries "
+        "never vote for themselves), the top-5 neighbors vote, and the "
+        "majority label wins with a (votes DESC, label ASC) "
+        "deterministic tie-break — never an engine-native mode(). Same "
+        "scale posture as q_sim_knn_cosine: broadcast query block, one "
+        "windowed top-k, then a |queries x labels|-sized vote "
+        "aggregation; at 100 TB the scoring stage swaps in the "
+        "GEMM-blocked kernel (q_sim_knn_blocked) unchanged.",
+)
+def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(q), F.lit(True))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                4,
+            ),
+        )
+        .select(
+            "q_id",
+            "true_label",
+            "vec_id",
+            F.col("label").alias("n_label"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    votes = nn.groupBy("q_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@register(
     "q_sim_threshold_pairs",
     oracle=f"""
 WITH v AS (

@@ -40,6 +40,8 @@ NEW_KEYS = [
     "q_geo_grid_knn", "q_win_gap_interpolate",
     "q_agg_cms_portable", "q_win_ewma_dyadic", "src_csv_ingest",
     "q_graph_jaccard_neighbors",
+    "q_ml_knn_classify", "q_text_collocation_lift",
+    "q_join_interval_overlap",
 ]
 
 
