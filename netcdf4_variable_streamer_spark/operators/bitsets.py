@@ -393,3 +393,131 @@ def q_agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     return cell_rows.unionByName(est_rows)
+
+
+@register(
+    "q_win_sliding_distinct",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_int,
+         user_id
+  FROM events
+),
+bm AS (
+  SELECT day_int, user_id // 62 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS bitmap
+  FROM p GROUP BY day_int, word
+),
+days AS (
+  SELECT g AS day_int
+  FROM (SELECT MIN(day_int) AS d0, MAX(day_int) AS d1 FROM p),
+       UNNEST(generate_series(d0, d1)) AS u(g)
+),
+words AS (SELECT DISTINCT word FROM bm),
+spine AS (
+  SELECT d.day_int, w.word, COALESCE(b.bitmap, 0) AS bitmap
+  FROM days d CROSS JOIN words w
+  LEFT JOIN bm b ON b.day_int = d.day_int AND b.word = w.word
+),
+rolled AS (
+  SELECT day_int, word, bitmap,
+         bit_or(bitmap) OVER (PARTITION BY word ORDER BY day_int
+                              RANGE BETWEEN 6 PRECEDING
+                                AND CURRENT ROW) AS bm7
+  FROM spine
+),
+agg AS (
+  SELECT day_int,
+         CAST(SUM(bit_count(bitmap)) AS BIGINT) AS n_1d,
+         CAST(SUM(bit_count(bm7)) AS BIGINT) AS n_7d
+  FROM rolled GROUP BY day_int
+),
+exact AS (
+  SELECT d.day_int, COUNT(DISTINCT p.user_id) AS n_7d_exact
+  FROM days d JOIN p ON p.day_int BETWEEN d.day_int - 6 AND d.day_int
+  GROUP BY d.day_int
+)
+SELECT a.day_int, a.n_1d, a.n_7d,
+       COALESCE(e.n_7d_exact, 0) AS n_7d_exact,
+       a.n_7d = COALESCE(e.n_7d_exact, 0) AS bitmap_matches
+FROM agg a LEFT JOIN exact e ON e.day_int = a.day_int
+""",
+    doc="Sliding-window distinct count (7-day active users per day) via "
+        "mergeable bitmaps — the operator that makes windowed "
+        "COUNT(DISTINCT) tractable: SQL engines cannot express "
+        "distinct-over-window directly, and re-scanning 7 days of raw "
+        "events per day multiplies read cost 7x. Here each day "
+        "materializes per-word bitmap partials once; the 7-day roll-up "
+        "is bit_or OVER a range frame per word (bitmaps are an OR-"
+        "monoid, so window merging is exact), and popcount reads the "
+        "answer. Self-verified in-row against the direct 7-day distinct "
+        "join. At 100 TB the daily bitmap table is |days| x id-space/62 "
+        "longs — independent of event volume — and yesterday's bitmaps "
+        "never need recomputation (the incremental-maintenance property "
+        "q_agg_incremental_merge proves in general).",
+)
+def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_int"),
+        "user_id",
+    ).distinct()
+    bm = (
+        p.select(
+            "day_int",
+            F.expr("user_id div 62").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day_int", "word")
+        .agg(F.bit_or("mask").alias("bitmap"))
+    )
+    bounds = p.agg(
+        F.min("day_int").alias("d0"), F.max("day_int").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day_int")
+    )
+    words = bm.select("word").distinct()
+    spine = (
+        days.crossJoin(F.broadcast(words))
+        .join(bm, ["day_int", "word"], "left")
+        .select(
+            "day_int",
+            "word",
+            F.coalesce("bitmap", F.lit(0).cast("long")).alias("bitmap"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("word").orderBy("day_int").rangeBetween(-6, 0)
+    )
+    rolled = spine.withColumn("bm7", F.bit_or("bitmap").over(w7))
+    agg = rolled.groupBy("day_int").agg(
+        F.sum(F.expr("bit_count(bitmap)")).alias("n_1d"),
+        F.sum(F.expr("bit_count(bm7)")).alias("n_7d"),
+    )
+    exact = (
+        days.join(
+            p.withColumnRenamed("day_int", "p_day"),
+            F.col("p_day").between(F.col("day_int") - 6, F.col("day_int")),
+        )
+        .groupBy("day_int")
+        .agg(F.countDistinct("user_id").alias("n_7d_exact"))
+    )
+    return agg.join(exact, "day_int", "left").select(
+        "day_int",
+        "n_1d",
+        "n_7d",
+        F.coalesce("n_7d_exact", F.lit(0).cast("long")).alias("n_7d_exact"),
+        (F.col("n_7d") == F.coalesce("n_7d_exact", F.lit(0))).alias(
+            "bitmap_matches"
+        ),
+    )

@@ -154,6 +154,102 @@ def q_sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+_PQ_S = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_C = 4  # codebook size per subspace
+_PQ_FX = 1_000_000  # fixed-point scale for distances
+
+
+@register(
+    "q_sim_pq_codes",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < {_PQ_C}
+),
+d AS (
+  SELECT e.vec_id, s.range AS s, c.c,
+         CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8), i ->
+           (CAST(FLOOR(e.embedding[CAST(s.range * 8 + i AS INTEGER)]
+                       * {_PQ_FX}) AS BIGINT)
+            - CAST(FLOOR(c.embedding[CAST(s.range * 8 + i AS INTEGER)]
+                         * {_PQ_FX}) AS BIGINT))
+           * (CAST(FLOOR(e.embedding[CAST(s.range * 8 + i AS INTEGER)]
+                         * {_PQ_FX}) AS BIGINT)
+              - CAST(FLOOR(c.embedding[CAST(s.range * 8 + i AS INTEGER)]
+                           * {_PQ_FX}) AS BIGINT))))
+         AS BIGINT) AS d2
+  FROM embeddings e, range(0, {_PQ_S}) s, cents c
+),
+codes AS (
+  SELECT vec_id, s, MIN(d2 * {_PQ_C} + c) % {_PQ_C} AS code
+  FROM d GROUP BY vec_id, s
+)
+SELECT vec_id,
+       CAST(SUM(code * (1::BIGINT << CAST(2 * s AS INTEGER))) AS BIGINT)
+         AS pq_code
+FROM codes GROUP BY vec_id
+""",
+    doc="Product-quantization code assignment — the compression step of "
+        "an IVF-PQ vector index: each 64-dim embedding splits into 8 "
+        "subvectors, each assigned to its nearest of 4 codebook entries "
+        "(codebook = the first 4 vectors' subvectors, deterministic), "
+        "packing the vector into a 16-bit code. Distances run in 1e-6 "
+        "fixed point so every argmin is exact cross-engine (packed-MIN "
+        "with centroid-id tie-break, no window). Plan: vectors x 8 "
+        "subspaces x 4 broadcast centroids — map-side expansion plus "
+        "one (vec, subspace)-keyed aggregation; at 100 TB this is the "
+        "shape that turns a 256 GB float corpus into a 4 GB code table "
+        "that fits ANN serving memory, with codebook training = "
+        "q_ml_kmeans per subspace.",
+)
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("c_emb")
+    )
+    sub = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+
+    def _fx(col: Column, idx: Column) -> Column:
+        return F.floor(
+            F.element_at(col, idx.cast("int")).cast("double") * _PQ_FX
+        ).cast("long")
+
+    def _d2() -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (
+                (
+                    _fx(F.col("embedding"), F.col("s") * 8 + i)
+                    - _fx(F.col("c_emb"), F.col("s") * 8 + i)
+                )
+                * (
+                    _fx(F.col("embedding"), F.col("s") * 8 + i)
+                    - _fx(F.col("c_emb"), F.col("s") * 8 + i)
+                )
+            ),
+        )
+
+    d = sub.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "s", "c", _d2().alias("d2")
+    )
+    codes = d.groupBy("vec_id", "s").agg(
+        (F.min(F.col("d2") * _PQ_C + F.col("c")) % _PQ_C).alias("code")
+    )
+    return codes.groupBy("vec_id").agg(
+        F.sum(
+            F.col("code")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(2 * s AS INT))")
+        )
+        .cast("long")
+        .alias("pq_code")
+    )
+
+
 @register(
     "q_ml_knn_classify",
     oracle=f"""

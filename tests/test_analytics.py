@@ -42,6 +42,8 @@ NEW_KEYS = [
     "q_graph_jaccard_neighbors",
     "q_ml_knn_classify", "q_text_collocation_lift",
     "q_join_interval_overlap",
+    "q_hierarchy_flatten", "q_privacy_k_anonymity",
+    "q_win_sliding_distinct", "q_sim_pq_codes",
 ]
 
 
