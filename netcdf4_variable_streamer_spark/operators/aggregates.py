@@ -426,3 +426,85 @@ def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kll_median_ok"),
         tol(F.col("theta_est")).alias("theta_ok"),
     )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+SELECT r_name,
+       COUNT(*) AS n_nations,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+""",
+    doc="Deterministic string aggregation (LISTAGG / STRING_AGG): nation "
+        "names per region concatenated in sorted order — Spark has no "
+        "ordered string_agg, so the portable form is array_join(sort_"
+        "array(collect_list(...))), which pins the concatenation order "
+        "that engines otherwise leave to partial-agg arrival (the same "
+        "determinism rule as q_agg_collect, surfaced as the string type "
+        "reports actually consume). Per-group payload must be bounded "
+        "(here <= 25 names); for unbounded groups the rank-limited "
+        "posting-head pattern of q_text_inverted_index applies.",
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(
+            F.broadcast(r),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+         AS urgent_cents,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+         AS n_big_custs,
+       bool_or(o_totalprice > 400000) AS any_huge,
+       bool_and(o_totalprice > 0) AS all_positive
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Filtered and boolean aggregates — the FILTER (WHERE ...) clause "
+        "that replaces N self-joins or sum(CASE...) towers with one "
+        "scan: per order status, conditional counts/sums/distincts plus "
+        "bool_or/bool_and quantifiers, all computed in a single hash "
+        "aggregation (each FILTER is a predicate on the input row, so "
+        "map-side partials still combine). Money stays in integer "
+        "cents; the empty-filter-group case is pinned with COALESCE in "
+        "both engines.",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("COUNT(*) FILTER (WHERE o_totalprice > 200000)").alias(
+            "n_big"
+        ),
+        F.expr(
+            "COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) "
+            "FILTER (WHERE o_orderpriority = '1-URGENT'), 0)"
+        ).alias("urgent_cents"),
+        F.expr(
+            "COUNT(DISTINCT o_custkey) "
+            "FILTER (WHERE o_totalprice > 200000)"
+        ).alias("n_big_custs"),
+        F.expr("bool_or(o_totalprice > 400000)").alias("any_huge"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+    )

@@ -270,6 +270,117 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof_nearest",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, NULL::BIGINT AS purchase_id,
+         ts::TIMESTAMP AS view_ts, 1 AS kind
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts::TIMESTAMP, event_id, NULL::TIMESTAMP, 0
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         LAST_VALUE(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view,
+         FIRST_VALUE(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view
+  FROM u
+)
+SELECT purchase_id, user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       STRFTIME(CASE
+         WHEN prev_view IS NULL THEN next_view
+         WHEN next_view IS NULL THEN prev_view
+         WHEN EPOCH_US(ts) - EPOCH_US(prev_view)
+              <= EPOCH_US(next_view) - EPOCH_US(ts) THEN prev_view
+         ELSE next_view
+       END, '%Y-%m-%d %H:%M:%S') AS nearest_view_ts,
+       CASE
+         WHEN prev_view IS NULL AND next_view IS NULL THEN NULL
+         WHEN prev_view IS NULL THEN EPOCH_US(next_view) - EPOCH_US(ts)
+         WHEN next_view IS NULL THEN EPOCH_US(ts) - EPOCH_US(prev_view)
+         ELSE LEAST(EPOCH_US(ts) - EPOCH_US(prev_view),
+                    EPOCH_US(next_view) - EPOCH_US(ts))
+       END AS delta_us
+FROM m WHERE kind = 0
+""",
+    doc="Nearest as-of join: each purchase matched to the temporally "
+        "CLOSEST view in either direction (backward strictly earlier, "
+        "forward inclusive; ties prefer the earlier view) — the "
+        "feature-store lookup semantics when staleness cuts both ways. "
+        "Same union-then-window shape as q_join_asof, with BOTH an "
+        "unbounded-preceding and an unbounded-following IGNORE NULLS "
+        "pass resolved in ONE user_id shuffle — still zero joins, still "
+        "no per-user views x purchases product.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(1).alias("kind"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast(v.schema["view_ts"].dataType).alias("view_ts"),
+        F.lit(0).alias("kind"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = v.unionByName(p).select(
+        "*",
+        F.last("view_ts", ignorenulls=True).over(back).alias("prev_view"),
+        F.first("view_ts", ignorenulls=True).over(fwd).alias("next_view"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    d_back = us("ts") - us("prev_view")
+    d_fwd = us("next_view") - us("ts")
+    nearest = (
+        F.when(F.col("prev_view").isNull(), F.col("next_view"))
+        .when(F.col("next_view").isNull(), F.col("prev_view"))
+        .when(d_back <= d_fwd, F.col("prev_view"))
+        .otherwise(F.col("next_view"))
+    )
+    delta = (
+        F.when(
+            F.col("prev_view").isNull() & F.col("next_view").isNull(),
+            F.lit(None).cast("long"),
+        )
+        .when(F.col("prev_view").isNull(), d_fwd)
+        .when(F.col("next_view").isNull(), d_back)
+        .otherwise(F.least(d_back, d_fwd))
+    )
+    return (
+        m.filter(F.col("kind") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str(nearest).alias("nearest_view_ts"),
+            delta.cast("long").alias("delta_us"),
+        )
+    )
+
+
+@register(
     "q_join_cross",
     oracle="""
 SELECT n_name, r_name FROM nation CROSS JOIN region

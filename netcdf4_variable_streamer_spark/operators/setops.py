@@ -174,3 +174,45 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return c.subtract(o)
+
+
+@register(
+    "q_union_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 1
+),
+merged AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+SELECT lang,
+       COUNT(*) AS n_rows,
+       COUNT(text) AS n_with_text,
+       COUNT(source) AS n_with_source,
+       SUM(COALESCE(n_chars, 0)) AS sum_chars_v2
+FROM merged GROUP BY lang
+""",
+    doc="Schema-evolution union — merging two table versions whose "
+        "columns drifted (v1 carries text, v2 carries source/n_chars): "
+        "unionByName(allowMissingColumns=True) aligns by COLUMN NAME "
+        "and nulls what a side lacks, the operation every ingestion "
+        "pipeline performs when a producer adds a field mid-stream "
+        "(DuckDB twin: UNION ALL BY NAME). The audit projects null-"
+        "presence counts per lang so silent column loss is visible. "
+        "Map-side only — schema alignment costs nothing at 100 TB; the "
+        "single aggregation is the audit, not the merge.",
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.expr("doc_id % 2 = 0")).select("doc_id", "lang", "text")
+    v2 = d.filter(F.expr("doc_id % 2 = 1")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("n_with_text"),
+        F.count("source").alias("n_with_source"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars_v2"),
+    )

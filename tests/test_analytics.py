@@ -44,6 +44,8 @@ NEW_KEYS = [
     "q_join_interval_overlap",
     "q_hierarchy_flatten", "q_privacy_k_anonymity",
     "q_win_sliding_distinct", "q_sim_pq_codes",
+    "q_join_asof_nearest", "q_agg_string_agg", "q_agg_filtered",
+    "q_union_schema_evolution",
 ]
 
 
