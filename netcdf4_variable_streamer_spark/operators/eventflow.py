@@ -1027,3 +1027,220 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prob_ppm",
         (F.col("_num") / F.sum("n").over(w)).cast("long"),
     ).drop("_num")
+
+
+@register(
+    "q_funnel_attribution_decay",
+    oracle="""
+WITH fp AS (
+  SELECT user_id, MIN(ROW(ts, event_id)) AS p,
+         MIN(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touches AS (
+  SELECT e.user_id, e.event_type AS channel,
+         1::BIGINT << CAST(20 - LEAST(
+           (CAST(FLOOR(EPOCH(fp.p_ts::TIMESTAMP)) AS BIGINT)
+            - CAST(FLOOR(EPOCH(e.ts::TIMESTAMP)) AS BIGINT)) // 86400,
+           20) AS INTEGER) AS w
+  FROM events e JOIN fp ON fp.user_id = e.user_id
+  WHERE ROW(e.ts, e.event_id) < fp.p
+),
+per_user AS (
+  SELECT user_id, channel, SUM(w) AS w
+  FROM touches GROUP BY user_id, channel
+)
+SELECT channel,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(w) AS BIGINT) AS weight_total,
+       CAST((SUM(w) * 1000000) // SUM(SUM(w)) OVER () AS BIGINT)
+         AS share_ppm
+FROM per_user GROUP BY channel
+""",
+    doc="Time-decay multi-touch attribution — the sibling of first-touch "
+        "(q_funnel_attribution) that credits EVERY pre-purchase touch, "
+        "halving per day of staleness: weight = 2^(20 - days_before), "
+        "clamped at 20 days, so weights are exact powers of two and the "
+        "whole credit assignment stays in BIGINT (the float decay "
+        "exp(-lambda*t) loses cross-engine portability; the dyadic form "
+        "is the same model with lambda = ln 2/day). Per-channel totals "
+        "and integer-ppm shares. Same scale posture as first-touch: "
+        "purchase rollup + back-join + per-user aggregation all on one "
+        "user_id partitioning; readout is |channels| rows.",
+)
+def q_funnel_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("p"),
+            F.min("ts").alias("p_ts"),
+        )
+    )
+    touches = (
+        ev.join(fp, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("p"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(20 - least("
+                "(unix_micros(cast(p_ts as timestamp_ltz)) div 1000000"
+                " - unix_micros(cast(ts as timestamp_ltz)) div 1000000)"
+                " div 86400, 20) AS INT))"
+            ).alias("w"),
+        )
+    )
+    per_user = touches.groupBy("user_id", "channel").agg(
+        F.sum("w").alias("w")
+    )
+    out = per_user.groupBy("channel").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("w").alias("weight_total"),
+    )
+    return out.select(
+        "channel",
+        "n_users",
+        "weight_total",
+        F.expr(
+            "CAST((weight_total * 1000000) div "
+            "(sum(weight_total) over ()) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+_SPC_WIN = 14  # trailing baseline days (current day excluded)
+
+
+@register(
+    "q_time_anomaly_spc",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_int,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT *,
+         COUNT(cnt) OVER w AS n,
+         SUM(cnt) OVER w AS s,
+         SUM(cnt * cnt) OVER w AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_int
+               RANGE BETWEEN {_SPC_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day_int, cnt,
+       CAST(n AS BIGINT) AS n_baseline,
+       CAST(s AS BIGINT) AS baseline_sum,
+       CASE WHEN n >= 7 THEN
+         (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)
+       ELSE FALSE END AS is_anomaly
+FROM win
+""",
+    doc="Statistical-process-control anomaly flags on daily event "
+        "volumes: each (event_type, day) count is tested against its "
+        "own trailing-14-day baseline with the 3-sigma rule — and the "
+        "test runs ENTIRELY in integers by cross-multiplying the "
+        "variance inequality ((n*x - S)^2 > 9*(n*Q - S^2) is |x - mu| "
+        "> 3*sigma with mu = S/n, sigma^2 = (Q - S^2/n)/n, scaled by "
+        "n^2), so no sqrt/float ever appears and the flags hash-match "
+        "cross-engine. Days with under 7 baseline points emit NULL "
+        "(insufficient history). One keyed aggregation to daily cells, "
+        "one range-frame window per event_type — the cells table is "
+        "|types x days|, independent of event volume.",
+)
+def q_time_anomaly_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_int"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_int")
+        .rangeBetween(-_SPC_WIN, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day_int",
+        "cnt",
+        F.count("cnt").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("q"),
+    )
+    lhs = (F.col("n") * F.col("cnt") - F.col("s")) * (
+        F.col("n") * F.col("cnt") - F.col("s")
+    )
+    rhs = 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return win.select(
+        "event_type",
+        "day_int",
+        "cnt",
+        F.col("n").cast("long").alias("n_baseline"),
+        F.col("s").cast("long").alias("baseline_sum"),
+        F.when(F.col("n") >= 7, lhs > rhs)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
+_RM_K = 5  # rolling median frame: current row + 4 preceding
+
+
+@register(
+    "q_win_rolling_median",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+arr AS (
+  SELECT user_id, event_id, cents,
+         LIST_SORT(LIST(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_RM_K - 1} PRECEDING AND CURRENT ROW)) AS frame
+  FROM c
+)
+SELECT user_id, event_id, cents,
+       frame[(LEN(frame) + 1) // 2] AS rolling_median_cents
+FROM arr
+""",
+    doc="Rolling median over the trailing 5 events per user — the "
+        "robust-smoothing window no SQL engine offers natively "
+        "(median is not a frame-mergeable aggregate): the frame's "
+        "values are COLLECTED into an array per row (bounded at 5 — "
+        "this is the contract that makes it scale; an unbounded frame "
+        "would be a per-row sort), sorted, and the lower median "
+        "picked by index, all in integer cents. Series heads use the "
+        "shorter frame they have, matching pandas rolling(min_periods"
+        "=1). One user_id window partitioning; per-row state is O(k).",
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_RM_K - 1), Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    return c.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.element_at(
+            frame, ((F.size(frame) + 1) / 2).cast("int")
+        ).alias("rolling_median_cents"),
+    )

@@ -336,3 +336,47 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "q_fn_datetime_advanced",
+    oracle="""
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+SELECT o_orderkey,
+       STRFTIME(LAST_DAY(d), '%Y-%m-%d') AS month_end,
+       STRFTIME(CAST(d + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d')
+         AS plus_3_months,
+       CAST(QUARTER(d) AS BIGINT) AS qtr,
+       CAST(DAYOFYEAR(d) AS BIGINT) AS doy,
+       CAST(WEEKOFYEAR(d) AS BIGINT) AS iso_week,
+       STRFTIME(d + CAST(
+         CASE WHEN (8 - ISODOW(d)) % 7 = 0 THEN 7
+              ELSE (8 - ISODOW(d)) % 7 END AS INTEGER),
+         '%Y-%m-%d') AS next_monday
+FROM o
+""",
+    doc="Advanced calendar arithmetic beyond q_fn_date: month-end "
+        "(LAST_DAY), clamped month addition (add_months — Jan 31 + 1 "
+        "month = Feb 28 in BOTH engines' interval semantics, verified), "
+        "quarter, ISO day-of-year/week-of-year, and strictly-after "
+        "next-Monday (Spark's next_day builtin vs the oracle's ISODOW "
+        "arithmetic — proving the builtin equals its closed form). "
+        "Map-only codegen expressions; dates emitted as canonical "
+        "strings per the repo's hash-match hygiene.",
+)
+def q_fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_format(F.next_day(d, "Monday"), "yyyy-MM-dd").alias(
+            "next_monday"
+        ),
+    )

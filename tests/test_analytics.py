@@ -46,6 +46,8 @@ NEW_KEYS = [
     "q_win_sliding_distinct", "q_sim_pq_codes",
     "q_join_asof_nearest", "q_agg_string_agg", "q_agg_filtered",
     "q_union_schema_evolution",
+    "q_funnel_attribution_decay", "q_time_anomaly_spc",
+    "q_win_rolling_median", "q_fn_datetime_advanced",
 ]
 
 
