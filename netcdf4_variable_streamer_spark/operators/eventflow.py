@@ -1244,3 +1244,66 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             frame, ((F.size(frame) + 1) / 2).cast("int")
         ).alias("rolling_median_cents"),
     )
+
+
+@register(
+    "q_win_longest_streak",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_int
+  FROM events
+),
+g AS (
+  SELECT user_id, day_int,
+         day_int - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day_int) AS grp
+  FROM d
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len,
+         MIN(day_int) AS start_day
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(MIN(CASE WHEN len = ml THEN start_day END) AS BIGINT)
+         AS streak_start_day
+FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM streaks) t
+GROUP BY user_id
+""",
+    doc="Longest consecutive-day activity streak per user — gaps-and-"
+        "islands on the DAY grain (day_int minus row_number is constant "
+        "within a run of consecutive days): distinct activity days "
+        "collapse first (payload |user x day|, not |events|), one "
+        "user_id window assigns islands, one roll-up measures them; "
+        "ties on length resolve to the earliest streak. The engagement "
+        "metric every product dashboard wants, and the same plan shape "
+        "as q_sessionize_gap — all stages share the user_id "
+        "partitioning.",
+)
+def q_win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_int"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_int")
+    g = d.withColumn(
+        "grp", F.col("day_int") - F.row_number().over(w)
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day_int").alias("start_day")
+    )
+    ml = Window.partitionBy("user_id")
+    t = streaks.withColumn("ml", F.max("len").over(ml))
+    return t.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min(F.when(F.col("len") == F.col("ml"), F.col("start_day")))
+        .cast("long")
+        .alias("streak_start_day"),
+    )

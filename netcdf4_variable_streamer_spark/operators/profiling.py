@@ -718,3 +718,126 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+_STUMP_CUTS = 15  # candidate thresholds (16 equi-width cells)
+
+
+@register(
+    "q_ml_decision_stump",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+),
+cand AS (
+  SELECT r.range AS k,
+         b.lo + (r.range * (b.hi - b.lo)) // {_STUMP_CUTS + 1} AS t
+  FROM range(1, {_STUMP_CUTS + 1}) r, b
+),
+cls AS (
+  SELECT c.k, c.t, d.n_chars <= c.t AS is_left, d.lang,
+         COUNT(*) AS cnt
+  FROM documents d, cand c
+  GROUP BY c.k, c.t, is_left, d.lang
+),
+sides AS (
+  SELECT k, t, is_left,
+         SUM(cnt) AS n_side,
+         SUM(cnt * cnt) AS sumsq
+  FROM cls GROUP BY k, t, is_left
+),
+scored AS (
+  SELECT k, t,
+         CAST(SUM(CASE WHEN n_side > 0 THEN
+           ((n_side * n_side - sumsq) * 1000000) // n_side
+           ELSE 0 END) AS BIGINT) AS gini_x1e6,
+         CAST(SUM(CASE WHEN is_left THEN n_side ELSE 0 END) AS BIGINT)
+           AS n_left,
+         CAST(SUM(CASE WHEN NOT is_left THEN n_side ELSE 0 END) AS BIGINT)
+           AS n_right
+  FROM sides GROUP BY k, t
+),
+best AS (
+  SELECT MIN(gini_x1e6 * {_STUMP_CUTS + 1} + k) AS pack FROM scored
+)
+SELECT s.k, CAST(s.t AS BIGINT) AS threshold, s.gini_x1e6,
+       s.n_left, s.n_right,
+       s.gini_x1e6 * {_STUMP_CUTS + 1} + s.k = b.pack AS is_best
+FROM scored s, best b
+""",
+    doc="Decision-stump training — one round of tree induction: 15 "
+        "equi-width thresholds on n_chars are scored by weighted Gini "
+        "impurity against the lang label, computed ENTIRELY in "
+        "integers (n*gini = (n^2 - sum(c^2))/n, scaled 1e6 and floor-"
+        "divided — no per-class float ratios), and the argmin split is "
+        "picked with a packed-MIN threshold tie-break. The output is "
+        "every candidate's score plus the winner flag, so the whole "
+        "training decision is auditable. Plan: one map-side x15 "
+        "candidate expansion, one (threshold, side, class) aggregation "
+        "whose cardinality is 15 x 2 x |classes| regardless of row "
+        "count — the histogram-split strategy distributed tree "
+        "libraries (XGBoost hist, LightGBM) use at scale.",
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = d.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    cand = (
+        spark.range(1, _STUMP_CUTS + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "k",
+            (
+                F.col("lo")
+                + F.expr(f"(k * (hi - lo)) div {_STUMP_CUTS + 1}")
+            ).alias("t"),
+        )
+    )
+    cls = (
+        d.crossJoin(F.broadcast(cand))
+        .groupBy(
+            "k", "t", (F.col("n_chars") <= F.col("t")).alias("is_left"),
+            "lang",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sides = cls.groupBy("k", "t", "is_left").agg(
+        F.sum("cnt").alias("n_side"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    scored = sides.groupBy("k", "t").agg(
+        F.sum(
+            F.when(
+                F.col("n_side") > 0,
+                F.expr(
+                    "((n_side * n_side - sumsq) * 1000000) div n_side"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("gini_x1e6"),
+        F.sum(F.when(F.col("is_left"), F.col("n_side")).otherwise(0))
+        .cast("long")
+        .alias("n_left"),
+        F.sum(F.when(~F.col("is_left"), F.col("n_side")).otherwise(0))
+        .cast("long")
+        .alias("n_right"),
+    )
+    best = scored.agg(
+        F.min(
+            F.col("gini_x1e6") * (_STUMP_CUTS + 1) + F.col("k")
+        ).alias("pack")
+    )
+    return scored.crossJoin(F.broadcast(best)).select(
+        "k",
+        F.col("t").cast("long").alias("threshold"),
+        "gini_x1e6",
+        "n_left",
+        "n_right",
+        (
+            F.col("gini_x1e6") * (_STUMP_CUTS + 1) + F.col("k")
+            == F.col("pack")
+        ).alias("is_best"),
+    )

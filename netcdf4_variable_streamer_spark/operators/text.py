@@ -868,3 +868,46 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "tok")
         .limit(200)
     )
+
+
+@register(
+    "q_text_sentence_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, s.sent
+  FROM documents,
+       UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '[.!?]+ *')) AS s(sent)
+  WHERE s.sent <> ''
+)
+SELECT doc_id, lang,
+       COUNT(*) AS n_sentences,
+       SUM(LENGTH(sent)) AS sum_sent_chars,
+       (SUM(LENGTH(sent)) * 100) // COUNT(*) AS avg_sent_len_x100,
+       MAX(LENGTH(sent)) AS max_sent_len
+FROM s GROUP BY doc_id, lang
+""",
+    doc="Sentence segmentation + per-document sentence statistics: text "
+        "split on terminal-punctuation runs (a regex in the Java-regex "
+        "INTERSECT RE2 subset, same portability rule as the PII key), "
+        "empty segments dropped identically in both engines, then "
+        "per-doc counts / char sums / x100 fixed-point mean length. "
+        "The sentence grain is what quality classifiers and chunkers "
+        "consume when token windows are too coarse. Map-side split + "
+        "one doc-keyed aggregation; at 100 TB this is scan-speed work "
+        "exactly like q_chunk_context_windows.",
+)
+def q_text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", r"[.!?]+ *")).alias("sent"),
+    ).filter(F.col("sent") != "")
+    return s.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.length("sent")).alias("sum_sent_chars"),
+        F.expr(
+            "(SUM(LENGTH(sent)) * 100) div COUNT(*)"
+        ).alias("avg_sent_len_x100"),
+        F.max(F.length("sent")).alias("max_sent_len"),
+    )

@@ -48,6 +48,8 @@ NEW_KEYS = [
     "q_union_schema_evolution",
     "q_funnel_attribution_decay", "q_time_anomaly_spc",
     "q_win_rolling_median", "q_fn_datetime_advanced",
+    "q_win_longest_streak", "q_text_sentence_split",
+    "q_ml_decision_stump",
 ]
 
 
