@@ -521,3 +521,170 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitmap_matches"
         ),
     )
+
+
+@register(
+    "q_win_running_distinct",
+    oracle="""
+WITH tid AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS bit
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+e AS (
+  SELECT ev.user_id, ev.event_id, ev.ts::TIMESTAMP AS ts,
+         1::BIGINT << CAST(t.bit AS INTEGER) AS mask
+  FROM events ev JOIN tid t ON t.event_type = ev.event_type
+),
+r AS (
+  SELECT user_id, event_id,
+         bit_or(mask) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seen
+  FROM e
+)
+SELECT user_id, event_id,
+       CAST(bit_count(seen) AS BIGINT) AS n_types_seen
+FROM r
+""",
+    doc="Running COUNT(DISTINCT) per user over time — how many distinct "
+        "event types each user has touched as of each event. Distinct-"
+        "over-window is inexpressible in SQL aggregates, but a bounded "
+        "domain becomes a BITMASK: event types map to bit positions "
+        "(deterministic alphabetical assignment, joined as a broadcast "
+        "dim), the running set is bit_or over an unbounded-preceding "
+        "frame, popcount reads the cardinality. One user_id window "
+        "partitioning, O(1) state per row — the same trick "
+        "q_win_sliding_distinct plays with range frames, here as the "
+        "cumulative form (funnel-breadth metrics).",
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            ).alias("bit"),
+        )
+    )
+    e = ev.join(F.broadcast(tid), "event_type").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))").alias(
+            "mask"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.bit_or("mask").over(w).alias("seen"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(bit_count(seen) AS BIGINT)").alias("n_types_seen"),
+    )
+
+
+@register(
+    "q_agg_bitmap_jaccard",
+    oracle="""
+WITH words AS (
+  SELECT event_type, user_id // 62 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS bitmap
+  FROM events GROUP BY event_type, word
+),
+tot AS (
+  SELECT event_type, CAST(SUM(bit_count(bitmap)) AS BIGINT) AS n
+  FROM words GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(SUM(bit_count(a.bitmap & b.bitmap)) AS BIGINT) AS n_inter
+  FROM words a JOIN words b
+    ON b.word = a.word AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_inter,
+       ta.n + tb.n - p.n_inter AS n_union,
+       (p.n_inter * 1000000) // (ta.n + tb.n - p.n_inter) AS jaccard_ppm
+FROM pairs p
+JOIN tot ta ON ta.event_type = p.type_a
+JOIN tot tb ON tb.event_type = p.type_b
+""",
+    doc="Audience overlap between event types via bitmap set ALGEBRA: "
+        "the per-(type, word) bitmaps of q_agg_bitmap_distinct are "
+        "joined word-against-word and intersected/unioned with single "
+        "AND/OR instructions — 62 membership tests per machine op — "
+        "then popcount-summed into exact Jaccard ppm per type pair. "
+        "This is why warehouses keep bitmap indexes: set intersection "
+        "between precomputed audiences costs |id-space|/62 words, "
+        "never a distinct-join over raw events. The inner word join "
+        "computes the intersection exactly (absent words contribute "
+        "0); the union comes from |A| + |B| - |A&B| against the "
+        "|types|-sized per-type totals, so one-sided words are never "
+        "dropped. Word-keyed equi-join, |types|^2-bounded output.",
+)
+def q_agg_bitmap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 62").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("bitmap"))
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    tot = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bitmap)")).cast("long").alias("n")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.word") == F.col("a.word"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.expr("bit_count(a.bitmap & b.bitmap)"))
+            .cast("long")
+            .alias("n_inter"),
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot).withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n", "na"),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tot).withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n", "nb"),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.expr(
+                "(n_inter * 1000000) div (na + nb - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
+    )

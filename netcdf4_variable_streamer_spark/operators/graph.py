@@ -320,3 +320,86 @@ def q_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+_LP_ROUNDS = 2
+_LP_PACK = 1 << 20  # pack = (1e6 - votes) * 2^20 + label
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out}_votes AS (
+  SELECT e.dst AS v, p.lab, COUNT(*) AS votes
+  FROM e JOIN {prev} p ON p.v = e.src
+  GROUP BY e.dst, p.lab
+),
+{out} AS (
+  SELECT n.v,
+         COALESCE(MIN((1000000 - w.votes) * {_LP_PACK} + w.lab)
+                  % {_LP_PACK}, n.lab) AS lab
+  FROM {prev} n
+  LEFT JOIN {out}_votes w ON w.v = n.v
+  GROUP BY n.v, n.lab
+)"""
+
+
+@register(
+    "q_graph_label_prop",
+    oracle=f"""
+WITH {_EMB_PAIRS_CTE},
+e AS (SELECT v1 AS src, v2 AS dst FROM p
+      UNION ALL SELECT v2, v1 FROM p),
+l0 AS (SELECT vec_id AS v, vec_id AS lab FROM v),
+{_lp_round_sql('l0', 'l1')},
+{_lp_round_sql('l1', 'l2')}
+SELECT v AS vec_id, CAST(lab AS BIGINT) AS community
+FROM l2
+""",
+    doc="Community detection by majority-label propagation over the "
+        "cosine near-dup graph: each of 2 rounds, every node adopts the "
+        "label most frequent among its neighbors (votes DESC, label ASC "
+        "tie-break via packed-MIN — deterministic where textbook LPA is "
+        "famously order-dependent), isolated nodes keep their own. "
+        "Unlike q_dedup_cc_clusters' min-label components (which merge "
+        "everything reachable), majority voting respects local density "
+        "— the community structure, not just connectivity. Each round "
+        "is one vote aggregation + one label join, all keyed by node "
+        "id; rounds are the bounded-iterative shape with lineage cut "
+        "per round at scale.",
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = _emb_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("v1").alias("src"), F.col("v2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
+    )
+    lab = nodes.select(
+        F.col("vec_id").alias("v"), F.col("vec_id").alias("lab")
+    )
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            edges.join(lab, edges.src == lab.v)
+            .groupBy(F.col("dst").alias("nv"), "lab")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .groupBy("nv")
+            .agg(
+                (
+                    F.min(
+                        (1000000 - F.col("votes")) * _LP_PACK
+                        + F.col("lab")
+                    )
+                    % _LP_PACK
+                ).alias("new_lab")
+            )
+        )
+        lab = (
+            lab.join(votes, lab.v == votes.nv, "left")
+            .select(
+                "v", F.coalesce("new_lab", "lab").alias("lab")
+            )
+        )
+    return lab.select(
+        F.col("v").alias("vec_id"), F.col("lab").cast("long").alias("community")
+    )

@@ -50,6 +50,8 @@ NEW_KEYS = [
     "q_win_rolling_median", "q_fn_datetime_advanced",
     "q_win_longest_streak", "q_text_sentence_split",
     "q_ml_decision_stump",
+    "q_win_running_distinct", "q_agg_bitmap_jaccard",
+    "q_graph_label_prop",
 ]
 
 
