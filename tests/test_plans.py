@@ -278,3 +278,43 @@ def test_pipeline_pretrain_no_single_partition_exchange(spark):
     df = build(spark, "q_pipeline_pretrain")
     p = plans.executed_plan_string(df)
     assert "SinglePartition" not in p, "global window collapsed the corpus"
+
+
+def test_interval_overlap_bucket_equi_join(spark):
+    # big-to-big overlap join must candidate via the bucket equi-join,
+    # never a session x session product
+    df = build(spark, "q_join_interval_overlap")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_asof_nearest_has_no_join(spark):
+    # union-then-window: both temporal directions resolve in window
+    # passes — zero join nodes of any kind in the plan
+    df = build(spark, "q_join_asof_nearest")
+    plan = plans.plan_string(df)
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert plans.count_nodes(plan, node) == 0, (node, plan)
+
+
+def test_sliding_distinct_shuffle_budget(spark):
+    # daily bitmaps + spine + window + readout + exact-check join: the
+    # whole pipeline must stay within a fixed shuffle budget (the bitmap
+    # table, not the event volume, is what moves)
+    df = build(spark, "q_win_sliding_distinct")
+    plans.assert_no_cartesian(df)
+    plans.assert_max_shuffles(df, 12)
+
+
+def test_ewma_single_window_pass(spark):
+    # 8 LAG taps must resolve in ONE user_id window partitioning: a
+    # single Exchange (plus AQE cosmetics), never one per tap
+    df = build(spark, "q_win_ewma_dyadic")
+    plans.assert_max_shuffles(df, 2)
