@@ -39,6 +39,21 @@ from pyspark.sql import functions as F
 from netcdf4_variable_streamer_spark.registry import register
 from netcdf4_variable_streamer_spark.tables import load_table
 
+# Contract (ADVICE r2): the 62-bit word packing is defined for
+# NON-NEGATIVE ids only — Spark's signed % would feed shiftleft a
+# negative count (undefined) and its truncating div diverges from
+# DuckDB's flooring //, so a negative id would silently produce
+# different bitmaps per engine. The guard makes the contract loud: a
+# negative id raises USER_RAISED_EXCEPTION at scan time instead of
+# diverging. Zero cost on valid data (the branch is codegen'd and never
+# taken); the word expression stays the plain div because the guard in
+# the SAME projection already killed the row.
+_MASK_EXPR = (
+    "CASE WHEN user_id < 0 THEN "
+    "CAST(raise_error('bitmap ops require user_id >= 0') AS BIGINT) "
+    "ELSE shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)) END"
+)
+
 
 @register(
     "q_fn_bitwise",
@@ -113,9 +128,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.expr("user_id div 62").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
-            ).alias("mask"),
+            F.expr(_MASK_EXPR).alias("mask"),
         )
         .groupBy("event_type", "word")
         .agg(F.bit_or("mask").alias("bitmap"))
@@ -473,9 +486,7 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(
             "day_int",
             F.expr("user_id div 62").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
-            ).alias("mask"),
+            F.expr(_MASK_EXPR).alias("mask"),
         )
         .groupBy("day_int", "word")
         .agg(F.bit_or("mask").alias("bitmap"))
@@ -639,9 +650,7 @@ def q_agg_bitmap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.expr("user_id div 62").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
-            ).alias("mask"),
+            F.expr(_MASK_EXPR).alias("mask"),
         )
         .groupBy("event_type", "word")
         .agg(F.bit_or("mask").alias("bitmap"))

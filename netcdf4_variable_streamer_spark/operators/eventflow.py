@@ -276,9 +276,13 @@ FROM nb
         "q_time_resample_ffill for series where a carried-forward value "
         "is wrong (meter readings, balances): missing days get the "
         "distance-weighted average of the bracketing observed days, "
-        "computed as (pv*(nd-d) + nv*(d-pd)) div (nd-pd) — numerator "
-        "kept non-negative so truncating (Spark div) and flooring "
-        "(DuckDB //) division agree, all in integer cents. Same scale "
+        "computed as (pv*(nd-d) + nv*(d-pd)) div (nd-pd) — all in "
+        "integer cents. PRECONDITION (ADVICE r2): event `value` must be "
+        ">= 0 — cents = floor(value*100) goes negative otherwise, and "
+        "truncating (Spark div) vs flooring (DuckDB //) division then "
+        "disagree by one; the events contract guarantees value >= 0 "
+        "(amounts), and a signed-series variant would shift both "
+        "operands by a domain bound to restore the identity. Same scale "
         "shape as ffill: per-user daily roll-up, map-side spine "
         "explode, TWO window passes (backward + forward neighbor) over "
         "one user_id partitioning.",
@@ -497,9 +501,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     doc="Exponentially-weighted moving average with DYADIC decay: alpha "
         "= 1/2 truncated at depth 8, so the weights are exact powers of "
         "two and the whole computation stays in integer cents — "
-        "numerator and denominator are non-negative BIGINT sums, making "
+        "numerator and denominator are BIGINT sums. PRECONDITION "
+        "(ADVICE r2): event `value` must be >= 0 — the div/floor "
+        "identity needs a non-negative numerator, and cents = "
+        "floor(value*100) would go negative for negative values, making "
         "truncating (Spark div) and flooring (DuckDB //) division "
-        "identical and the full smoothed series hash-checkable (a "
+        "disagree by one; the events contract guarantees value >= 0 "
+        "(amounts). With that, the division is identical in both "
+        "engines and the full smoothed series hash-checkable (a "
         "float EWMA is order-stable but its per-row rounding is not "
         "portable). Early rows renormalize over the lags that exist "
         "(the CASE denominator), matching pandas ewm(adjust=True). One "

@@ -97,12 +97,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr
 
 
+_WEDGE_CAP = 16  # per-node neighbor-list cap before wedge expansion
+
+
 @register(
     "q_graph_jaccard_neighbors",
     oracle=f"""
 WITH {_EMB_PAIRS_CTE},
-e AS (SELECT v1 AS src, v2 AS dst FROM p
-      UNION ALL SELECT v2, v1 FROM p),
+e_all AS (SELECT v1 AS src, v2 AS dst FROM p
+          UNION ALL SELECT v2, v1 FROM p),
+e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM e_all) r
+  WHERE rn <= {_WEDGE_CAP}
+),
 deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
 wedges AS (
   SELECT e1.src AS a, e2.src AS b, COUNT(*) AS common
@@ -123,20 +133,35 @@ JOIN deg d2 ON d2.src = p.v2
         "neighbors scoring) over the cosine near-dup graph: for every "
         "edge (a, b), |N(a) & N(b)| is counted by self-joining the edge "
         "list on the SHARED NEIGHBOR (wedge enumeration — join volume "
-        "is sum of deg(w)^2 over nodes, bounded by near-dup cluster "
-        "sizes, never |V|^2), and Jaccard = common / (deg(a) + deg(b) "
-        "- common) is emitted in integer ppm (denominator >= 2 because "
-        "the endpoints are mutual neighbors). At 100 TB the same shape "
-        "runs on LSH-generated edges with hub nodes degree-capped "
-        "before wedge expansion — the standard guard, since one "
-        "degree-d hub contributes d^2 wedges.",
+        f"is sum of deg(w)^2 over nodes), with every node's neighbor "
+        f"list first DEGREE-CAPPED to its {_WEDGE_CAP} smallest "
+        "neighbor ids (one row_number window) — the standard hub guard, "
+        "since one degree-d hub otherwise contributes d^2 wedge rows "
+        "and a single celebrity node dominates the whole shuffle. The "
+        "cap bounds wedge volume at |V| * cap^2 regardless of skew; "
+        "degrees and Jaccard = common / (deg(a) + deg(b) - common) are "
+        "computed on the SAME capped sets (mirrored in the oracle), so "
+        "the statistic is internally consistent and engine-identical. "
+        "Emitted in integer ppm; denominator >= 1 because each endpoint "
+        "keeps at least one neighbor. At 100 TB the same shape runs on "
+        "LSH-generated edges; the cap is the knob that makes wedge "
+        "enumeration skew-immune (plan-asserted in "
+        "tests/test_plans.py::test_jaccard_neighbors_caps_degrees).",
 )
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     pairs = _emb_pairs(spark, sf_dir)
-    edges = pairs.select(
+    edges_all = pairs.select(
         F.col("v1").alias("src"), F.col("v2").alias("dst")
     ).unionAll(
         pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
+    )
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    edges = (
+        edges_all.withColumn("rn", rn)
+        .filter(F.col("rn") <= _WEDGE_CAP)
+        .drop("rn")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e1 = edges.alias("e1")
@@ -386,9 +411,20 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("nv")
             .agg(
                 (
+                    # packed vote-min bound guard (ADVICE r2): a label
+                    # >= 2^20 or a vote count > 1e6 would silently
+                    # corrupt the (votes DESC, label ASC) ordering, so
+                    # the pack fails loudly out-of-bounds instead
                     F.min(
-                        (1000000 - F.col("votes")) * _LP_PACK
-                        + F.col("lab")
+                        F.expr(
+                            f"CASE WHEN lab >= {_LP_PACK} "
+                            "OR votes > 1000000 THEN "
+                            "CAST(raise_error('q_graph_label_prop: "
+                            f"label >= {_LP_PACK} or votes > 1e6 "
+                            "overflows the packed vote-min') AS BIGINT) "
+                            f"ELSE (1000000 - votes) * {_LP_PACK} + lab "
+                            "END"
+                        )
                     )
                     % _LP_PACK
                 ).alias("new_lab")

@@ -318,3 +318,27 @@ def test_ewma_single_window_pass(spark):
     # single Exchange (plus AQE cosmetics), never one per tap
     df = build(spark, "q_win_ewma_dyadic")
     plans.assert_max_shuffles(df, 2)
+
+
+def test_jaccard_neighbors_caps_degrees(spark):
+    # the hub guard: a row_number window over (src -> dst) must cap each
+    # neighbor list BEFORE the wedge self-join, so one degree-d hub can
+    # never contribute d^2 wedge rows; and the wedge join itself must be
+    # an equi-join on the shared neighbor, never a cartesian
+    df = build(spark, "q_graph_jaccard_neighbors")
+    plan = plans.plan_string(df)
+    # Spark plans the rn <= cap filter as WindowGroupLimit: per-partition
+    # top-k maintenance, the rank filter never materializes a full window
+    assert plans.count_nodes(plan, "WindowGroupLimit") >= 1, plan
+    plans.assert_no_cartesian(df)
+
+
+def test_equidepth_approx_no_global_sort(spark):
+    # the scale path's whole point: the only Sort in the plan feeds the
+    # sample-sized NTILE (bounded input); the full-data pass is scan +
+    # hash aggregation with no sort and <= 2 shuffles
+    df = build(spark, "q_agg_histogram_equidepth_approx")
+    plans.assert_max_shuffles(df, 2)
+    plan = plans.plan_string(df)
+    # full pass aggregates by bucket_id via hash, never sort-based
+    assert plans.count_nodes(plan, "SortAggregate") == 0, plan
