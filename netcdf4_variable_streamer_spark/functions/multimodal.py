@@ -278,3 +278,59 @@ def resize_image_batches(
         yield pd.DataFrame(
             rows, columns=["doc_id", "width", "height", "n_channels", "pixels"]
         )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec, pure NumPy: canonical RIFF/WAVE PCM (16-bit mono).
+# Like the BMP/PPM codecs above this is not a stub — files produced here
+# open in any audio tool, and any standard PCM16 WAV decodes here.
+# Compressed audio (MP3/AAC/...) still needs external libraries.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 samples → canonical 44-byte-header mono PCM16 WAV."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav_pcm16 expects 1-D int16")
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes → (1-D int16 samples, sample_rate). Walks the
+    RIFF chunk list (fmt may be followed by LIST/fact/cue chunks before
+    data in real files) instead of assuming a fixed 44-byte header."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from(
+                "<HHI", payload, body
+            )
+            (bits,) = struct.unpack_from("<H", payload, body + 14)
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    f"compressed WAV (fmt tag {fmt_tag}) needs external "
+                    "codecs"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            if bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"{bits}-bit/{channels}-channel WAV unsupported "
+                    "(PCM16 mono only)"
+                )
+            raw = payload[body : body + size]
+            return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk found")

@@ -571,3 +571,152 @@ def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_checksum"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (round 3): crawl dedup's very first stage.
+# ---------------------------------------------------------------------------
+
+_TRACKING_RE = "^(utm_[^=]*|ref|fbclid|gclid)="
+_URL_PACK = 1 << 24  # pack = (2^17 - n_chars) * 2^24 + doc_id
+
+
+@register(
+    "q_dedup_url_canonical",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR)
+                       || '?utm_source=x&ref=abc#frag'
+           WHEN 1 THEN 'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '/'
+           WHEN 2 THEN 'https://www.' || source || '.example.com/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '?v=1'
+           ELSE 'https://' || source || '.example.com:443/docs/'
+                || CAST(doc_id // 4 AS VARCHAR) || '?fbclid=zz&v=1'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, n_chars,
+         REGEXP_REPLACE(REGEXP_REPLACE(
+           LOWER(REGEXP_EXTRACT(url, 'https?://([^/?#]+)', 1)),
+           '^www\\.', ''), ':(443|80)$', '') AS host,
+         REGEXP_REPLACE(
+           REGEXP_EXTRACT(url, 'https?://[^/?#]+([^?#]*)', 1),
+           '/$', '') AS path,
+         ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+           STRING_SPLIT(REGEXP_EXTRACT(url, '\\?([^#]*)', 1), '&'),
+           p -> p <> '' AND NOT REGEXP_MATCHES(p, '{_TRACKING_RE}')
+         )), '&') AS q
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         'https://' || host || path ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url
+  FROM parts
+)
+SELECT canon_url,
+       COUNT(*) AS n_dupes,
+       MIN(({(1 << 17)} - n_chars) * {_URL_PACK} + doc_id) % {_URL_PACK}
+         AS keep_doc_id,
+       MAX(n_chars) AS max_chars
+FROM canon GROUP BY canon_url
+""",
+    doc="URL-canonicalization dedup — the FIRST stage of every crawl "
+        "pipeline, upstream even of MinHash: the same page arrives as "
+        "casing/WWW/port/trailing-slash/tracking-param/fragment "
+        "variants, and canonicalizing before fetch-dedup removes the "
+        "bulk of exact duplicates for the cost of a map expression. "
+        "Synthetic variants (4 per canonical target, built "
+        "deterministically from doc_id) exercise each rule: lowercase "
+        "host, strip www., strip default :443/:80, strip fragment, "
+        "strip trailing slash, drop utm_*/ref/fbclid/gclid params, "
+        "sort surviving params. The canonical form then groups with a "
+        "packed-MIN keep-best (longest n_chars, doc_id tie-break; "
+        "bound-guarded like q_geo_grid_knn). All regex/array ops sit "
+        "in the Java∩RE2 subset so DuckDB recomputes the identical "
+        "canonical string. At 100 TB: map-side canonicalization + ONE "
+        "hash agg keyed by canonical URL — class A, no joins at all.",
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mod4 = F.expr("CAST(doc_id % 4 AS INT)")
+    base = F.expr("CAST(doc_id div 4 AS STRING)")
+    url = (
+        F.when(
+            mod4 == 0,
+            F.concat(
+                F.lit("https://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/docs/"), base,
+                F.lit("?utm_source=x&ref=abc#frag"),
+            ),
+        )
+        .when(
+            mod4 == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/docs/"), base, F.lit("/"),
+            ),
+        )
+        .when(
+            mod4 == 2,
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/docs/"), base, F.lit("?v=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com:443/docs/"), base,
+                F.lit("?fbclid=zz&v=1"),
+            )
+        )
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("url"), r"https?://([^/?#]+)", 1)),
+            r"^www\.", "",
+        ),
+        r":(443|80)$", "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"https?://[^/?#]+([^?#]*)", 1),
+        r"/$", "",
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(
+                    F.regexp_extract(F.col("url"), r"\?([^#]*)", 1), "&"
+                ),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    canon = d.select("doc_id", "n_chars", url.alias("url")).select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
+    pack = F.expr(
+        f"CASE WHEN n_chars >= {1 << 17} OR doc_id >= {_URL_PACK} THEN "
+        "CAST(raise_error('q_dedup_url_canonical: n_chars or doc_id "
+        "overflows the packed keep-best') AS BIGINT) "
+        f"ELSE ({1 << 17} - n_chars) * {_URL_PACK} + doc_id END"
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_dupes"),
+        (F.min(pack) % _URL_PACK).alias("keep_doc_id"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -399,3 +399,96 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         "doc_id long, frame_idx long, frame_sum long, frame_bytes long",
     )
+
+
+@register(
+    "q_multimodal_audio_decode",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 13 + t.i * (3 + d.doc_id % 5)) % 2001) - 1000 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 399 + CAST(d.doc_id % 7 AS INTEGER) * 100))
+         AS t(i)
+),
+lagged AS (
+  SELECT doc_id, i, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       COUNT(*) AS n_samples,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       SUM(ABS(v)) AS sum_abs,
+       SUM(v * v) AS energy,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_cross
+FROM lagged GROUP BY doc_id
+""",
+    doc="REAL audio decode, no external codec: a closed-form int16 "
+        "waveform per document (400-1000 samples, doc-dependent period) "
+        "is encoded to a canonical RIFF/WAVE PCM16 file (pure NumPy, "
+        "functions.multimodal.encode_wav_pcm16 — real WAV bytes any "
+        "audio tool opens), shipped as an opaque binary column, decoded "
+        "back by the chunk-walking WAV parser, and reduced to the "
+        "framing features audio pipelines start from: sample count, "
+        "rate, integer sum|s| and energy Σs², and the zero-crossing "
+        "count (the classic voicing/pitch proxy) — all exact integers, "
+        "so the oracle's SQL regeneration hash-matches bit-for-bit and "
+        "any header mis-parse or byte-order slip fails loudly. Same "
+        "scale shape as the image keys: encode and decode are each one "
+        "mapInPandas, zero shuffles — decode parallelism = scan "
+        "parallelism. Compressed formats remain import-gated stubs; "
+        "PCM WAV (the dominant speech-corpus interchange format) is "
+        "fully real.",
+)
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + (d % 7) * 100
+                i = np.arange(n, dtype=np.int64)
+                v = ((d * 13 + i * (3 + d % 5)) % 2001) - 1000
+                payloads.append(encode_wav_pcm16(v.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_wav_pcm16(bytes(payload))
+                v = s.astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        len(v),
+                        rate,
+                        int(np.abs(v).sum()),
+                        int((v * v).sum()),
+                        int(((v[1:] * v[:-1]) < 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_abs", "energy", "n_zero_cross",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, n_samples long, sample_rate int, sum_abs long, "
+        "energy long, n_zero_cross long",
+    )
