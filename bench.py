@@ -4,8 +4,13 @@
 Keys mirror BASELINE.md's measured shapes: q1 pricing agg, q3 top-k join,
 q5 star join, w1 window rank, s1 sessionize, t1 tumbling, d1 exact dedup,
 v1 knn cosine (declarative), v1b knn (blocked NumPy path), x1 json agg.
-Method matches BASELINE.md: warm-up run, then best of 3, wall-clock to
-collect().
+
+Method (VERDICT r2 "Next round" #6): warm-up pass, then MEDIAN of 5
+timed runs per query with the per-query sample standard deviation
+reported alongside (`sd`), so a real regression is distinguishable from
+shared-box noise — flag only deltas beyond ~2 sd. `value` is the sum of
+medians; `best` (min of the 5) is kept for BASELINE.md comparability
+with rounds 1-2, which reported best-of-3.
 """
 
 from __future__ import annotations
@@ -93,24 +98,33 @@ def main() -> None:
     for builder in builders.values():
         builder(spark, sf_dir).collect()
 
+    import statistics
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    bests: dict[str, float] = {}
     for label, builder in builders.items():
         builder(spark, sf_dir).collect()  # per-key warm-up (plan cache)
-        best = float("inf")
-        for _ in range(3):
+        runs = []
+        for _ in range(5):
             t0 = time.perf_counter()
             builder(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[label] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[label] = round(statistics.median(runs), 4)
+        spreads[label] = round(statistics.stdev(runs), 4)
+        bests[label] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_best_of_3",
+                "metric": "headline_queries_total_median_of_5",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sd": spreads,
+                "best": bests,
+                "total_best": round(sum(bests.values()), 4),
                 "sf": sf,
             }
         )

