@@ -282,3 +282,172 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("m_cents").alias("sum_m_cents"),
     )
+
+
+@register(
+    "q_report_volume_shipping",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST({_REV} AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+    OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="Volume-shipping report (TPC-H Q7 form): bilateral trade revenue "
+        "between a nation pair by ship year — lineitem joined to the "
+        "supplier-side nation AND (through orders/customer) the "
+        "customer-side nation, pair-filtered both directions, grouped "
+        "by (supp_nation, cust_nation, year) in integer cents. Plan "
+        "shape at 100 TB: supplier/nation/customer are broadcast dims "
+        "(customer's nationkey is what's needed — column pruning keeps "
+        "the broadcast thin), orders⋈lineitem is the one big keyed "
+        "shuffle, and BOTH nation filters cut the fact rows before the "
+        "aggregation; six tables, one declarative plan, zero windows.",
+)
+def q_report_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(F.expr(_REV).cast("long")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_report_promo_share",
+    oracle=f"""
+WITH j AS (
+  SELECT p.p_type, CAST({_REV} AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo_cents,
+       SUM(rev) AS total_cents,
+       SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000
+         // SUM(rev) AS promo_ppm
+FROM j
+""",
+    doc="Promotion-revenue share (TPC-H Q14 form): one month of "
+        "lineitem joined to part, promo-typed revenue as an integer-ppm "
+        "share of total — the conditional-aggregate-over-join report. "
+        "Plan at 100 TB: the date filter pushes to the fact scan "
+        "(partition/row-group pruning does the real work), part "
+        "broadcasts (only p_partkey/p_type after pruning), one "
+        "conditional hash agg to a single row; ppm division happens "
+        "once on the aggregated BIGINTs so the share is engine-exact.",
+)
+def q_report_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", F.expr(_REV).cast("long").alias("rev")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0))
+    total = F.sum("rev")
+    return j.agg(
+        promo.alias("promo_cents"),
+        total.alias("total_cents"),
+        F.expr(
+            "sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000"
+            " div sum(rev)"
+        ).alias("promo_ppm"),
+    )
+
+
+@register(
+    "q_report_nation_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS o_year,
+       SUM(CAST({_REV} AS BIGINT)
+           - CAST(FLOOR(p.p_retailprice * 10) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT)) AS profit_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'ECONOMY'
+GROUP BY nation, o_year
+""",
+    doc="Product-line profit by supplier nation and year (TPC-H Q9 "
+        "form, cost modeled as 10% of part retail price per unit — the "
+        "fixture has no partsupp table, documented proxy): revenue "
+        "minus cost in integer cents/deci-cents, part-type filtered, "
+        "grouped by (nation, year). Plan at 100 TB: the p_type filter "
+        "prunes part BEFORE the broadcast (a semi-join pushdown by "
+        "construction), supplier/nation broadcast, lineitem never "
+        "shuffles until the final keyed agg — the canonical "
+        "star-with-selective-dim shape.",
+)
+def q_report_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit = F.expr(_REV).cast("long") - (
+        F.floor(F.col("p_retailprice") * 10).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return j.groupBy(
+        "nation", F.year("l_shipdate").cast("long").alias("o_year")
+    ).agg(F.sum(profit).alias("profit_cents"))

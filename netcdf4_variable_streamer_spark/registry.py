@@ -108,6 +108,10 @@ CANONICAL_ORDER: list[str] = [
     "q_hierarchy_rollup",
     "q_dedup_url_canonical",
     "q_multimodal_audio_decode",
+    "q_multimodal_png_decode",
+    "q_report_volume_shipping",
+    "q_report_promo_share",
+    "q_report_nation_profit",
     "q_subquery_scalar",
     "q_subquery_scalar_corr",
     "q_subquery_exists",

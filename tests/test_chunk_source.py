@@ -438,3 +438,56 @@ def test_compact_small_files(check):
     preserved (oracle-matched against the source table)."""
     pdf = check("snk_compact_small_files")
     assert bool(pdf["compacted_ok"].iloc[0]) is True
+
+
+def test_a10_transposed_axis_roundtrip(tmp_path):
+    """Reference A10: the streamed dim sits at LOGICAL axis 1 of the
+    variable ((y, time, x)); writes arrive in logical order, storage is
+    streamed-first, and reads come back transposed to logical order.
+    Never previously covered by a test — any transpose slip shears the
+    grid and this round-trip catches it."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.chunkstore import (
+        StreamedDataset,
+    )
+
+    path = str(tmp_path / "transposed")
+    T, Y, X = 24, 4, 5
+    ds = StreamedDataset(path, "w")
+    ds.create_dimension("time", None)
+    ds.create_dimension("y", Y)
+    ds.create_dimension("x", X)
+    var = ds.create_streamed_variables(
+        {"v": "float32"}, ("y", "time", "x"), chunk_size_mb=0.0005
+    )
+    rng = np.random.RandomState(11)
+    logical = rng.rand(Y, T, X).astype(np.float32)  # (y, time, x)
+    # stream a block with the streamed dim at its logical axis (1),
+    # deliberately split at a non-chunk-aligned boundary
+    var.stream_block({"v": logical[:, :17, :]})
+    var.stream_block({"v": logical[:, 17:, :]})
+    ds.close()
+
+    back = StreamedDataset(path, "r")
+    rv = back.variable(("y", "time", "x"))
+    got_blocks = []
+    for _start, block in rv.yield_blocks():
+        assert block["v"].shape[0] == Y and block["v"].shape[2] == X
+        got_blocks.append(block["v"])
+    got = np.concatenate(got_blocks, axis=1)  # re-join along time
+    np.testing.assert_array_equal(got, logical)
+
+    # single-line path: streamline takes a logical (y, x) line
+    ds2 = StreamedDataset(path, "a")
+    var2 = ds2.variable(("y", "time", "x"))
+    extra = rng.rand(Y, X).astype(np.float32)
+    var2.streamline({"v": extra})
+    ds2.close()
+    back2 = StreamedDataset(path, "r")
+    rv2 = back2.variable(("y", "time", "x"))
+    total = np.concatenate(
+        [b["v"] for _s, b in rv2.yield_blocks()], axis=1
+    )
+    assert total.shape == (Y, T + 1, X)
+    np.testing.assert_array_equal(total[:, -1, :], extra)

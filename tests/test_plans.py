@@ -342,3 +342,25 @@ def test_equidepth_approx_no_global_sort(spark):
     plan = plans.plan_string(df)
     # full pass aggregates by bucket_id via hash, never sort-based
     assert plans.count_nodes(plan, "SortAggregate") == 0, plan
+
+
+def test_report_volume_shipping_broadcasts_dims(spark):
+    # Q7 form: supplier/customer/nation broadcast; orders-lineitem is the
+    # only big join; never a cartesian
+    df = build(spark, "q_report_volume_shipping")
+    plans.assert_broadcast_joins(df, at_least=3)
+    plans.assert_no_cartesian(df)
+
+
+def test_report_nation_profit_single_shuffle(spark):
+    # Q9 form with a selective broadcast dim: the fact side must reach the
+    # final aggregation without ever shuffling for a join
+    df = build(spark, "q_report_nation_profit")
+    plans.assert_broadcast_joins(df, at_least=3)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_report_promo_share_pushdown(spark):
+    df = build(spark, "q_report_promo_share")
+    plans.assert_pushed_filters(df, "l_shipdate")
+    plans.assert_broadcast_joins(df, at_least=1)
