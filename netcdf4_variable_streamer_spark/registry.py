@@ -109,6 +109,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_url_canonical",
     "q_multimodal_audio_decode",
     "q_multimodal_png_decode",
+    "src_netcdf3_stream_tail",
     "q_report_volume_shipping",
     "q_report_promo_share",
     "q_report_nation_profit",

@@ -305,6 +305,51 @@ def pwrite_records(
         os.close(fd)
 
 
+def append_records(path: str, var_blocks: dict[str, np.ndarray]) -> int:
+    """Append k records to an existing classic file (reference A14:
+    reopen-and-continue along the UNLIMITED dim). The record region is
+    interleaved per record, so appending k records is one contiguous
+    write at the end of the file followed by a 4-byte patch of the
+    header's numrecs field — the classic format's append story, and the
+    reason its record dim can grow without rewriting anything. Returns
+    the new record count."""
+    import os
+
+    nc = NetCDF3File(path)
+    rec_vars = [v for v in nc.variables.values() if v.is_record]
+    if not rec_vars:
+        raise ValueError("no record variables to append to")
+    blocks = {}
+    n = None
+    for v in rec_vars:
+        b = np.ascontiguousarray(
+            var_blocks[v.name], dtype=v.dtype
+        ).reshape((-1, *v.shape))
+        if n is None:
+            n = b.shape[0]
+        elif b.shape[0] != n:
+            raise ValueError("record variables disagree on record count")
+        blocks[v.name] = b
+    pad = len(rec_vars) != 1
+    rec_base = min(v.begin for v in rec_vars)
+    fd = os.open(path, os.O_WRONLY)
+    try:
+        out = bytearray()
+        for r in range(n):
+            for v in rec_vars:
+                raw = blocks[v.name][r].tobytes()
+                if pad:
+                    raw += b"\x00" * (_pad4(len(raw)) - len(raw))
+                out += raw
+        os.pwrite(fd, bytes(out), rec_base + nc.numrecs * nc.recsize)
+        # publish: numrecs patch LAST, so concurrent readers never see
+        # a count that exceeds the data actually on disk
+        os.pwrite(fd, struct.pack(">i", nc.numrecs + n), 4)
+    finally:
+        os.close(fd)
+    return nc.numrecs + n
+
+
 @dataclass
 class NetCDF3File:
     """Parsed classic-file header + range reads (header-only on open)."""

@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -157,6 +158,55 @@ class NetCDF3Reader(DataSourceReader):
         yield from tbl.to_batches(max_chunksize=1 << 20)
 
 
+class NetCDF3StreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow a GROWING .nc file (reference A14 on real files): the
+    offset is the header's numrecs — append_records patches it only
+    after the record bytes are on disk, so every batch reads fully
+    published records."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"rec": 0}
+
+    def _rows_between(self, lo: int, hi: int):
+        if hi <= lo:
+            return []
+        nc = NetCDF3File(self.path)
+        rvs = _record_vars(nc)
+        dim_names = list(nc.dims)
+        fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
+        shape = rvs[0].shape
+        cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        n = hi - lo
+        cols: dict[str, np.ndarray] = {
+            f"{nc.record_dim}_idx": np.repeat(
+                np.arange(lo, hi, dtype=np.int64), cells
+            )
+        }
+        if shape:
+            grids = np.indices(shape).reshape(len(shape), cells)
+            for i, d in enumerate(fixed):
+                cols[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
+        for v in rvs:
+            cols[v.name] = (
+                nc.read_records(v.name, lo, hi)
+                .reshape(-1)
+                .astype(v.dtype.newbyteorder("="), copy=False)
+            )
+        ordered = [cols[c] for c in self.columns]
+        return [tuple(row) for row in zip(*(c.tolist() for c in ordered))]
+
+    def read(self, start: dict):
+        end = {"rec": NetCDF3File(self.path).numrecs}
+        return self._rows_between(start["rec"], end["rec"]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_between(start["rec"], end["rec"])
+
+
 class NetCDF3DataSource(DataSource):
     """spark.read.format("netcdf3").option("path", file).load()"""
 
@@ -172,3 +222,6 @@ class NetCDF3DataSource(DataSource):
         return NetCDF3Reader(
             self.options["path"], schema, int(tp) if tp else None
         )
+
+    def simpleStreamReader(self, schema: StructType):
+        return NetCDF3StreamReader(self.options["path"], schema)

@@ -319,6 +319,50 @@ def src_netcdf3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_netcdf3_stream_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=64)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Tail-follow of a REAL growing .nc file (reference A14 on the "
+        "classic format): the stream offset is the header's numrecs "
+        "field — append_records pwrites the record bytes FIRST and "
+        "patches numrecs LAST, so a concurrent tail never reads a "
+        "half-published record; each microbatch reads exactly the "
+        "records [prev_numrecs, numrecs) by closed-form byte offsets. "
+        "availableNow drains a 64-record grid file into per-line "
+        "aggregates; the oracle regenerates them in SQL. Together with "
+        "src_netcdf3_scan and snk_netcdf3_write this completes the "
+        "real-.nc surface: batch scan, distributed write, append, and "
+        "streaming tail.",
+)
+def src_netcdf3_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc3(
+        path=os.path.join(SCRATCH, "grid_tail_64.nc"), t_total=64
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format(FORMAT3_NAME).option("path", path).load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
 def _nc3_write_partition(path: str):
     """mapInPandas factory: write each partition's COMPLETE records into
     the preallocated .nc at their closed-form offsets (os.pwrite, no

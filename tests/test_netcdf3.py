@@ -224,3 +224,46 @@ def test_snk_netcdf3_write_oracle(check):
     pdf = check("snk_netcdf3_write")
     assert pdf.loc[0, "n_cells"] == 32 * srcq.GRID_Y * srcq.GRID_X
     assert pdf.loc[0, "n_lines"] == 32
+
+
+def test_nc3_append_and_tail(spark, tmp_path):
+    """A14 on a real file: append_records grows the record region and
+    patches numrecs last; a second microbatch sees ONLY the appended
+    records, and offset replay is exactly-once."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        append_records,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+        NetCDF3StreamReader,
+    )
+
+    path = os.path.join(tmp_path, "tail.nc")
+    write_netcdf3(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float32", ("t", "x"))},
+        data={"v": np.arange(6, dtype=np.float32).reshape(3, 2)},
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    schema = spark.read.format(FORMAT3_NAME).option("path", path).load().schema
+    sr = NetCDF3StreamReader(path, schema)
+    rows1, off1 = sr.read(sr.initialOffset())
+    assert off1 == {"rec": 3} and len(list(rows1)) == 6
+    new_total = append_records(
+        path, {"v": np.full((2, 2), 9, dtype=np.float32)}
+    )
+    assert new_total == 5
+    assert NetCDF3File(path).numrecs == 5
+    rows2, off2 = sr.read(off1)
+    rows2 = list(rows2)
+    assert off2 == {"rec": 5} and len(rows2) == 4
+    assert all(r[-1] == 9.0 for r in rows2)
+    replay = list(sr.readBetweenOffsets(off1, off2))
+    assert sorted(replay) == sorted(rows2)
+    # batch rescan sees the grown extent too
+    assert (
+        spark.read.format(FORMAT3_NAME).option("path", path).load().count()
+        == 10
+    )
