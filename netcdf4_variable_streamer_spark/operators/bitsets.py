@@ -697,3 +697,195 @@ def q_agg_bitmap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+_HLL_IE_TOL = 0.30  # inclusion-exclusion error scales with the UNION size
+
+
+def _hll_est_sql(s: str, n_zero: str) -> str:
+    """Closed-form HLL readout (linear counting when zeros remain)."""
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M}.0 * {_HLL_M}.0"
+        f" * 1152921504606846976.0 / CAST({s} AS DOUBLE)"
+    )
+    lc = f"{_HLL_M}.0 * LN({_HLL_M}.0 / ({n_zero}))"
+    return (
+        f"CASE WHEN ({n_zero}) > 0 THEN "
+        f"(CASE WHEN {lc} < 2.5 * {_HLL_M} THEN {lc} ELSE {raw} END) "
+        f"ELSE {raw} END"
+    )
+
+
+@register(
+    "q_agg_hll_setops",
+    oracle=f"""
+WITH h AS (
+  SELECT l_returnflag AS grp,
+         CAST(('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h60
+  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+),
+split AS (
+  SELECT grp, h60 % {_HLL_M} AS bucket, h60 // {_HLL_M} AS v FROM h
+),
+regs AS (
+  SELECT grp, bucket, MAX({_RHO_SQL}) AS register
+  FROM split GROUP BY grp, bucket
+),
+uni AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+         CAST(COALESCE(MAX(g.register), 0) AS BIGINT) AS register
+  FROM range(0, {_HLL_M}) r
+  LEFT JOIN regs g ON g.bucket = r.range
+  GROUP BY r.range
+),
+per_grp AS (
+  SELECT grp,
+         SUM(CAST(1::BIGINT << CAST(60 - register AS INTEGER)
+                  AS DECIMAL(38, 0)))
+           + ({_HLL_M} - COUNT(*)) * CAST(1::BIGINT << 60 AS DECIMAL(38, 0))
+           AS s,
+         {_HLL_M} - COUNT(CASE WHEN register > 0 THEN 1 END) AS n_zero
+  FROM regs GROUP BY grp
+),
+uni_est AS (
+  SELECT SUM(CAST(1::BIGINT << CAST(60 - register AS INTEGER)
+                  AS DECIMAL(38, 0))) AS s,
+         SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM uni
+),
+ex AS (
+  SELECT COUNT(DISTINCT l_orderkey) FILTER (l_returnflag = 'A') AS na,
+         COUNT(DISTINCT l_orderkey) FILTER (l_returnflag = 'N') AS nn,
+         COUNT(DISTINCT CASE WHEN l_returnflag IN ('A', 'N')
+                             THEN l_orderkey END) AS nu
+  FROM lineitem
+),
+ints AS (
+  SELECT COUNT(*) AS ni FROM (
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N') t
+),
+est AS (
+  SELECT ({_hll_est_sql('u.s', 'u.n_zero')}) AS e_uni,
+         ({_hll_est_sql('a.s', 'a.n_zero')}) AS e_a,
+         ({_hll_est_sql('b.s', 'b.n_zero')}) AS e_b
+  FROM uni_est u,
+       (SELECT * FROM per_grp WHERE grp = 'A') a,
+       (SELECT * FROM per_grp WHERE grp = 'N') b
+)
+SELECT bucket, register FROM uni
+UNION ALL
+SELECT -1, CAST(ABS(e.e_uni - x.nu) <= {_HLL_TOL!r} * x.nu AS BIGINT)
+FROM est e, ex x
+UNION ALL
+SELECT -2, CAST(ABS((e.e_a + e.e_b - e.e_uni) - i.ni)
+                <= {_HLL_IE_TOL!r} * x.nu AS BIGINT)
+FROM est e, ex x, ints i
+""",
+    doc="HLL SET ALGEBRA on the portable sketch — the reason sketches "
+        "beat exact bitmaps across datasets: per-group (returnflag A/N) "
+        "register sketches merge into the UNION sketch by per-bucket "
+        "MAX — a lossless operation, so all 256 union registers are "
+        "hash-checked bit-identical cross-engine — and the intersection "
+        "is estimated by inclusion-exclusion est(A)+est(B)-est(A∪B). "
+        "Two assertion rows pin the numerics: the union estimate within "
+        "20% of the exact distinct union, the I-E intersection within "
+        "30% of exact (its error scales with the union — the documented "
+        "weakness that makes theta sketches exist). Per-group partials "
+        "are 256 longs each, mergeable at any rollup level; the exact "
+        "verification side never ships raw keys anywhere at scale — "
+        "it exists only as the fixture-size oracle.",
+)
+def q_agg_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.filter(F.col("l_returnflag").isin("A", "N")).select(
+        F.col("l_returnflag").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long").alias("h60"),
+    )
+    split = h.select(
+        "grp",
+        F.expr(f"h60 % {_HLL_M}").alias("bucket"),
+        F.expr(f"h60 div {_HLL_M}").alias("v"),
+    )
+    regs = split.groupBy("grp", "bucket").agg(
+        F.max(F.expr(_RHO_SQL)).alias("register")
+    )
+    uni = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(regs.groupBy("bucket").agg(F.max("register").alias("r")),
+              "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("r", F.lit(0)).cast("long").alias("register"),
+        )
+    )
+    two60 = "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - register AS INT)) AS DECIMAL(38, 0))"
+    per_grp = regs.groupBy("grp").agg(
+        (
+            F.sum(F.expr(two60))
+            + (_HLL_M - F.count(F.lit(1)))
+            * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60) AS DECIMAL(38, 0))")
+        ).alias("s"),
+        (
+            _HLL_M
+            - F.count(F.when(F.col("register") > 0, 1))
+        ).alias("n_zero"),
+    )
+    uni_est = uni.agg(
+        F.sum(F.expr(two60)).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    ex = li.agg(
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "A", F.col("l_orderkey"))
+        ).alias("na"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "N", F.col("l_orderkey"))
+        ).alias("nn"),
+        F.countDistinct(
+            F.when(
+                F.col("l_returnflag").isin("A", "N"), F.col("l_orderkey")
+            )
+        ).alias("nu"),
+    )
+    ints = (
+        li.filter(F.col("l_returnflag") == "A")
+        .select("l_orderkey")
+        .intersect(
+            li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    est_expr = _hll_est_sql("s", "n_zero")
+    e_uni = uni_est.selectExpr(f"({est_expr}) AS e_uni")
+    e_a = per_grp.filter(F.col("grp") == "A").selectExpr(
+        f"({est_expr}) AS e_a"
+    )
+    e_b = per_grp.filter(F.col("grp") == "N").selectExpr(
+        f"({est_expr}) AS e_b"
+    )
+    joined = (
+        e_uni.crossJoin(e_a).crossJoin(e_b).crossJoin(ex).crossJoin(ints)
+    )
+    a_uni = joined.select(
+        F.lit(-1).cast("long").alias("bucket"),
+        (F.abs(F.col("e_uni") - F.col("nu")) <= _HLL_TOL * F.col("nu"))
+        .cast("long")
+        .alias("register"),
+    )
+    a_int = joined.select(
+        F.lit(-2).cast("long").alias("bucket"),
+        (
+            F.abs((F.col("e_a") + F.col("e_b") - F.col("e_uni")) - F.col("ni"))
+            <= _HLL_IE_TOL * F.col("nu")
+        )
+        .cast("long")
+        .alias("register"),
+    )
+    return uni.unionByName(a_uni).unionByName(a_int)

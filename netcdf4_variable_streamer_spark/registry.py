@@ -113,6 +113,8 @@ CANONICAL_ORDER: list[str] = [
     "q_report_volume_shipping",
     "q_report_promo_share",
     "q_report_nation_profit",
+    "q_agg_hll_setops",
+    "q_geo_heatmap_grid",
     "q_subquery_scalar",
     "q_subquery_scalar_corr",
     "q_subquery_exists",

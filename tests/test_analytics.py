@@ -59,7 +59,7 @@ NEW_KEYS = [
     "q_multimodal_audio_decode", "q_multimodal_png_decode",
     "src_netcdf3_stream_tail",
     "q_report_volume_shipping", "q_report_promo_share",
-    "q_report_nation_profit",
+    "q_report_nation_profit", "q_agg_hll_setops", "q_geo_heatmap_grid",
 ]
 
 
