@@ -100,10 +100,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEDGE_CAP = 16  # per-node neighbor-list cap before wedge expansion
 
 
-@register(
-    "q_graph_jaccard_neighbors",
-    oracle=f"""
-WITH {_EMB_PAIRS_CTE},
+def _jaccard_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        PLSH_PAIRS_CTE,
+    )
+
+    return f"""
+WITH {PLSH_PAIRS_CTE},
+p AS (SELECT v1, v2 FROM lsh_pairs),
 e_all AS (SELECT v1 AS src, v2 AS dst FROM p
           UNION ALL SELECT v2, v1 FROM p),
 e AS (
@@ -128,7 +132,12 @@ FROM p
 LEFT JOIN wedges w ON w.a = p.v1 AND w.b = p.v2
 JOIN deg d1 ON d1.src = p.v1
 JOIN deg d2 ON d2.src = p.v2
-""",
+"""
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=_jaccard_oracle(),
     doc="Neighbor-set Jaccard similarity (link prediction / common-"
         "neighbors scoring) over the cosine near-dup graph: for every "
         "edge (a, b), |N(a) & N(b)| is counted by self-joining the edge "
@@ -143,15 +152,22 @@ JOIN deg d2 ON d2.src = p.v2
         "computed on the SAME capped sets (mirrored in the oracle), so "
         "the statistic is internally consistent and engine-identical. "
         "Emitted in integer ppm; denominator >= 1 because each endpoint "
-        "keeps at least one neighbor. At 100 TB the same shape runs on "
-        "LSH-generated edges; the cap is the knob that makes wedge "
+        "keeps at least one neighbor. The edge set IS the LSH-bucketed "
+        "pair generator (lsh_threshold_pairs, same as q_graph_triangles "
+        "and q_dedup_cc_lsh) — never the exact quadratic pair join, so "
+        "edge generation scales with true near-dup pairs; the cap is "
+        "the knob that makes wedge "
         "enumeration skew-immune (plan-asserted in "
         "tests/test_plans.py::test_jaccard_neighbors_caps_degrees).",
 )
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    pairs = _emb_pairs(spark, sf_dir)
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        lsh_threshold_pairs,
+    )
+
+    pairs = lsh_threshold_pairs(spark, sf_dir).select("v1", "v2").localCheckpoint()
     edges_all = pairs.select(
         F.col("v1").alias("src"), F.col("v2").alias("dst")
     ).unionAll(
