@@ -1,0 +1,137 @@
+"""Property-based round-trip fuzzing for the round-3 pure-NumPy codecs
+(NetCDF-3 classic, WAV PCM16, PNG): encode(decode(x)) == x over random
+shapes, dtypes, record counts, and values — the format spec is exercised
+far beyond the hand-picked cases of tests/test_netcdf3.py, including the
+padding special cases (single-record-var unpadded slabs, odd slab sizes,
+char attrs, fixed+record mixes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from netcdf4_variable_streamer_spark.functions.multimodal import (
+    decode_png,
+    decode_wav_pcm16,
+    encode_png,
+    encode_wav_pcm16,
+)
+from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+    NetCDF3File,
+    append_records,
+    write_netcdf3,
+)
+
+_SETTINGS = settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_NC_DTYPES = ["int8", "int16", "int32", "float32", "float64"]
+
+
+@st.composite
+def _nc_case(draw):
+    numrecs = draw(st.integers(0, 12))
+    fixed_dims = draw(
+        st.lists(st.integers(1, 5), min_size=0, max_size=2)
+    )
+    n_rec_vars = draw(st.integers(1, 3))
+    n_fixed_vars = draw(st.integers(0, 2))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    dims = {"t": None}
+    for i, n in enumerate(fixed_dims):
+        dims[f"d{i}"] = n
+    fixed_names = tuple(f"d{i}" for i in range(len(fixed_dims)))
+    variables, data = {}, {}
+    for i in range(n_rec_vars):
+        dt = draw(st.sampled_from(_NC_DTYPES))
+        variables[f"rv{i}"] = (dt, ("t",) + fixed_names)
+        shape = (numrecs, *fixed_dims)
+        raw = rng.randint(-100, 100, size=shape)
+        data[f"rv{i}"] = raw.astype(dt)
+    for i in range(n_fixed_vars):
+        dt = draw(st.sampled_from(_NC_DTYPES))
+        variables[f"fv{i}"] = (dt, fixed_names)
+        data[f"fv{i}"] = rng.randint(-100, 100, size=tuple(fixed_dims)).astype(dt)
+    return dims, variables, data, numrecs
+
+
+@_SETTINGS
+@given(case=_nc_case())
+def test_netcdf3_roundtrip_fuzz(tmp_path_factory, case):
+    dims, variables, data, numrecs = case
+    path = os.path.join(str(tmp_path_factory.mktemp("ncfuzz")), "f.nc")
+    write_netcdf3(
+        path, dims, variables, data, attrs={"title": "fuzz", "k": 7}
+    )
+    nc = NetCDF3File(path)
+    assert nc.numrecs == numrecs
+    assert nc.attrs["title"] == "fuzz"
+    for name, (dt, vdims) in variables.items():
+        v = nc.variables[name]
+        if vdims and vdims[0] == "t":
+            got = nc.read_records(name)
+        else:
+            got = nc.read_fixed(name)
+        assert got.dtype.newbyteorder("=") == np.dtype(dt)
+        np.testing.assert_array_equal(
+            got.astype(dt), data[name], err_msg=name
+        )
+
+
+@_SETTINGS
+@given(
+    n_extra=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+    fixed=st.integers(1, 4),
+    dt=st.sampled_from(_NC_DTYPES),
+)
+def test_netcdf3_append_fuzz(tmp_path_factory, n_extra, seed, fixed, dt):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(-50, 50, size=(3, fixed)).astype(dt)
+    extra = rng.randint(-50, 50, size=(n_extra, fixed)).astype(dt)
+    path = os.path.join(str(tmp_path_factory.mktemp("ncapp")), "a.nc")
+    write_netcdf3(
+        path,
+        dims={"t": None, "x": fixed},
+        variables={"v": (dt, ("t", "x"))},
+        data={"v": base},
+    )
+    assert append_records(path, {"v": extra}) == 3 + n_extra
+    got = NetCDF3File(path).read_records("v")
+    np.testing.assert_array_equal(
+        got.astype(dt), np.concatenate([base, extra])
+    )
+
+
+@_SETTINGS
+@given(
+    n=st.integers(0, 3000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_fuzz(n, rate, seed):
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    out, got_rate = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(out, s)
+
+
+@_SETTINGS
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_fuzz(h, w, c, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(a)), a)
