@@ -364,3 +364,42 @@ def test_report_promo_share_pushdown(spark):
     df = build(spark, "q_report_promo_share")
     plans.assert_pushed_filters(df, "l_shipdate")
     plans.assert_broadcast_joins(df, at_least=1)
+
+
+def test_url_canonical_single_shuffle_no_joins(spark):
+    # crawl-dedup stage 1 must be class A: map-side canonicalization +
+    # ONE keyed aggregation, zero joins of any kind
+    df = build(spark, "q_dedup_url_canonical")
+    plans.assert_max_shuffles(df, 1)
+    plan = plans.plan_string(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert plans.count_nodes(plan, node) == 0, (node, plan)
+
+
+def test_codec_decode_keys_zero_shuffle(spark):
+    # real-codec round trips are two chained mapInPandas: decode
+    # parallelism = scan parallelism, no exchange anywhere
+    for key in ("q_multimodal_audio_decode", "q_multimodal_png_decode"):
+        df = build(spark, key)
+        plans.assert_max_shuffles(df, 0)
+
+
+def test_hll_setops_no_cartesian(spark):
+    # sketch algebra: register-table aggregations + broadcast 1-row
+    # estimate joins; the raw key sets must never cross-product
+    df = build(spark, "q_agg_hll_setops")
+    plans.assert_no_cartesian(df)
+
+
+def test_heatmap_no_cartesian(spark):
+    # the x9 smear explodes the |cells| aggregate, never the points;
+    # the only nested-loop is the broadcast 16x16 spine construction
+    df = build(spark, "q_geo_heatmap_grid")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_hierarchy_rollup_keyed_joins_only(spark):
+    df = build(spark, "q_hierarchy_rollup")
+    plans.assert_no_cartesian(df)
