@@ -110,6 +110,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_audio_decode",
     "q_multimodal_png_decode",
     "src_netcdf3_stream_tail",
+    "src_netcdf3_multifile_scan",
     "q_report_volume_shipping",
     "q_report_promo_share",
     "q_report_nation_profit",

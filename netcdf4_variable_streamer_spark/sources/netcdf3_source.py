@@ -53,8 +53,9 @@ _NC_SPARK = {1: "byte", 3: "short", 4: "int", 5: "float", 6: "double"}
 @dataclass
 class RecordRangePartition(InputPartition):
     path: str
-    lo: int  # first record (inclusive)
-    hi: int  # last record (exclusive)
+    lo: int  # first record within THIS file (inclusive)
+    hi: int  # last record within this file (exclusive)
+    offset: int = 0  # global index of this file's record 0 (multi-file)
 
 
 def _record_vars(nc: NetCDF3File) -> list:
@@ -79,15 +80,47 @@ def _spark_schema(nc: NetCDF3File) -> str:
     return ", ".join(parts)
 
 
+def _resolve_members(path: str) -> list[tuple[str, int, int]]:
+    """[(file, numrecs, global_offset)] — a single .nc file, or a
+    DIRECTORY of .nc files treated as ONE dataset concatenated along the
+    record dim in filename order (the file-per-day layout netCDF4's
+    MFDataset serves). Only the KB-sized headers are read; cost is
+    O(files) driver metadata work, same class as a file listing."""
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".nc")
+        )
+        if not files:
+            raise ValueError(f"{path}: no .nc files in directory")
+        members, off = [], 0
+        for f in files:
+            p = os.path.join(path, f)
+            n = NetCDF3File(p).numrecs
+            members.append((p, n, off))
+            off += n
+        return members
+    return [(path, NetCDF3File(path).numrecs, 0)]
+
+
 class NetCDF3Reader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, target_partitions=None):
         import os
 
         self.path = path
         self.columns = [f.name for f in schema.fields]
-        nc = NetCDF3File(path)  # header-only parse on the driver
-        self.numrecs = nc.numrecs
-        self._idx_col = f"{nc.record_dim}_idx"
+        self.members = _resolve_members(path)
+        first = NetCDF3File(self.members[0][0])
+        ref_schema = _spark_schema(first)
+        for p, _n, _off in self.members[1:]:
+            got = _spark_schema(NetCDF3File(p))
+            if got != ref_schema:
+                raise ValueError(
+                    f"{p}: schema {got!r} != first member {ref_schema!r}"
+                )
+        self.numrecs = sum(n for _p, n, _off in self.members)
+        self._idx_col = f"{first.record_dim}_idx"
         self.lo = 0
         self.hi = self.numrecs
         self.target_partitions = target_partitions or int(
@@ -114,15 +147,20 @@ class NetCDF3Reader(DataSourceReader):
 
     def partitions(self):
         lo, hi = self.lo, max(self.lo, self.hi)
-        n = hi - lo
-        if n == 0:
-            return [RecordRangePartition(self.path, 0, 0)]
-        n_parts = max(1, min(n, self.target_partitions))
-        per = -(-n // n_parts)  # ceil
-        return [
-            RecordRangePartition(self.path, r, min(r + per, hi))
-            for r in range(lo, hi, per)
-        ]
+        total = hi - lo
+        if total == 0:
+            return [RecordRangePartition(self.members[0][0], 0, 0, 0)]
+        n_parts = max(1, min(total, self.target_partitions))
+        per = -(-total // n_parts)  # ceil
+        out = []
+        for p, n, off in self.members:
+            mlo, mhi = max(lo, off), min(hi, off + n)
+            r = mlo
+            while r < mhi:
+                e = min(r + per, mhi)
+                out.append(RecordRangePartition(p, r - off, e - off, off))
+                r = e
+        return out
 
     def read(self, partition: RecordRangePartition):
         if partition.hi <= partition.lo:
@@ -138,7 +176,9 @@ class NetCDF3Reader(DataSourceReader):
         arrays: dict[str, np.ndarray] = {}
         if f"{nc.record_dim}_idx" in wanted:
             arrays[f"{nc.record_dim}_idx"] = np.repeat(
-                np.arange(partition.lo, partition.hi, dtype=np.int64), cells
+                np.arange(partition.lo, partition.hi, dtype=np.int64)
+                + partition.offset,  # global index across the file set
+                cells,
             )
         if shape:
             grids = np.indices(shape).reshape(len(shape), cells)
@@ -215,7 +255,10 @@ class NetCDF3DataSource(DataSource):
         return FORMAT3_NAME
 
     def schema(self) -> str:
-        return _spark_schema(NetCDF3File(self.options["path"]))
+        # first member carries the schema (multi-file: consistency is
+        # enforced across all members when the reader is built)
+        first = _resolve_members(self.options["path"])[0][0]
+        return _spark_schema(NetCDF3File(first))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")

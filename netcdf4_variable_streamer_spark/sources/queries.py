@@ -319,6 +319,76 @@ def src_netcdf3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_nc3_multifile(path: str | None = None) -> str:
+    """A directory of three .nc files — the file-per-period layout —
+    jointly covering grid records [0, 128): [0,32) [32,80) [80,128)."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import write_netcdf3
+
+    path = path or os.path.join(SCRATCH, "grid_mf")
+    done = os.path.join(path, ".done")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    for i, (t0, n) in enumerate([(0, 32), (32, 48), (80, 48)]):
+        write_netcdf3(
+            os.path.join(path, f"part-{i}.nc"),
+            dims={"time": None, "y": GRID_Y, "x": GRID_X},
+            variables={
+                "temperature": ("float32", ("time", "y", "x")),
+                "humidity": ("float32", ("time", "y", "x")),
+            },
+            data=grid_values(t0, n),
+        )
+    open(done, "w").close()
+    return path
+
+
+@register(
+    "src_netcdf3_multifile_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       MIN(t) AS t_min, MAX(t) AS t_max,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g
+WHERE t >= 40 AND t < 100
+""",
+    doc="MULTI-FILE .nc dataset scan (the netCDF4.MFDataset layout — "
+        "one file per day/period, concatenated along the record dim): "
+        "a directory of three classic files becomes ONE dataset with a "
+        "GLOBAL record index (per-file offsets from the KB-sized "
+        "headers, filename order), and a global streamed-dim range "
+        "prunes whole FILES before any data read — the window [40, 100) "
+        "touches files 2 and 3 only, never opens file 1's data region. "
+        "The oracle regenerates the closed-form slice across the file "
+        "boundary, so any offset mis-assignment between members "
+        "hash-mismatches. At 100 TB this is the layout .nc archives "
+        "actually ship in (decades x daily files); planning stays "
+        "O(files) driver metadata work.",
+)
+def src_netcdf3_multifile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", ensure_nc3_multifile())
+        .load()
+        .filter((F.col("time_idx") >= 40) & (F.col("time_idx") < 100))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("time_idx").alias("n_lines"),
+        F.min("time_idx").alias("t_min"),
+        F.max("time_idx").alias("t_max"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+
+
 @register(
     "src_netcdf3_stream_tail",
     oracle=f"""

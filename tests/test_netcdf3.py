@@ -267,3 +267,26 @@ def test_nc3_append_and_tail(spark, tmp_path):
         spark.read.format(FORMAT3_NAME).option("path", path).load().count()
         == 10
     )
+
+
+def test_multifile_prunes_whole_files(spark):
+    """A global streamed-dim range that misses a member file must prune
+    that file's partitions entirely (it is never opened for data)."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    path = srcq.ensure_nc3_multifile()
+    spark.dataSource.register(NetCDF3DataSource)
+    base = spark.read.format(FORMAT3_NAME).option("path", path).load()
+    assert base.count() == 128 * 32 * 32
+    full = base.rdd.getNumPartitions()
+    pruned = base.filter(
+        (base.time_idx >= 90) & (base.time_idx < 100)
+    ).rdd.getNumPartitions()
+    assert pruned < full, (full, pruned)
+    # cross-boundary global indexing: records 30..40 span files 1 and 2
+    span = base.filter((base.time_idx >= 30) & (base.time_idx < 40))
+    assert span.select("time_idx").distinct().count() == 10
