@@ -64,3 +64,12 @@ def test_doc_key_counts_match_registry():
                 f"{doc} claims {m.group(1)} keys; registry has {n}"
             )
     assert found_any, "no key-count claims found in docs"
+
+
+def test_scale_appendix_covers_every_key():
+    """SCALE.md's per-key class appendix must mention every registry key
+    — a key without a scale classification is an unreviewed key."""
+    text = open(os.path.join(REPO, "SCALE.md")).read()
+    appendix = text[text.index("## Appendix") :]
+    missing = [k for k in REGISTRY if f"`{k}`" not in appendix]
+    assert not missing, f"keys without a scale class: {missing}"
