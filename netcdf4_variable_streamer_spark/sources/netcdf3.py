@@ -195,9 +195,12 @@ def write_netcdf3(
                 out.append(struct.pack(f">{len(v.dimids)}i", *v.dimids))
                 out.append(_pack_att_list(v.attrs))
                 vsize = _pad4(v.slab_bytes)
-                out.append(
-                    struct.pack(">ii", v.nc_type, min(vsize, 2**32 - 1))
-                )
+                # vsize is UNSIGNED 32-bit per the spec (and clamped to
+                # 2^32-1 for larger variables — readers recompute real
+                # sizes from dims, as ours does); a signed pack would
+                # raise on any slab >= 2 GiB
+                out.append(struct.pack(">i", v.nc_type))
+                out.append(struct.pack(">I", min(vsize, 2**32 - 1)))
                 fmt = ">i" if version == 1 else ">q"
                 out.append(struct.pack(fmt, begins.get(v.name, 0)))
         else:
@@ -434,7 +437,9 @@ class NetCDF3File:
                 dimids = struct.unpack_from(f">{ndims}i", header, pos)
                 pos += 4 * ndims
                 vattrs, pos = read_att_list(pos)
-                nc_type, _vsize = struct.unpack_from(">ii", header, pos)
+                # vsize is unsigned (clamped for >= 4 GiB vars); it is
+                # advisory only — real sizes come from dims
+                nc_type, _vsize = struct.unpack_from(">iI", header, pos)
                 pos += 8
                 fmt = ">i" if self.version == 1 else ">q"
                 (begin,) = struct.unpack_from(fmt, header, pos)
