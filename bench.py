@@ -66,6 +66,23 @@ def c1_chunked_scan(spark):
     return _c1_agg(spark.read.format(FORMAT_NAME).option("path", path).load())
 
 
+def c2_netcdf3_scan(spark):
+    """Real .nc classic-file scan through the netcdf3 DataSource (round
+    3 codec): same 4096-line grid as c1, stored as ONE spec-conformant
+    NetCDF-3 file; record-range partitions, strided memmap reads."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    path = srcq.ensure_nc3(t_total=C1_GRID_LINES)
+    spark.dataSource.register(NetCDF3DataSource)
+    return _c1_agg(
+        spark.read.format(FORMAT3_NAME).option("path", path).load()
+    )
+
+
 def c1n_native_scan(spark):
     """Native JVM parquet scan over the same chunk store (the batch-read
     scale path: zero Python crossings, vectorized decode)."""
@@ -91,6 +108,7 @@ def main() -> None:
     builders = {k: REGISTRY[v].builder for k, v in BENCH_KEYS.items()}
     builders["c1"] = lambda s, _sf: c1_chunked_scan(s)
     builders["c1n"] = lambda s, _sf: c1n_native_scan(s)
+    builders["c2"] = lambda s, _sf: c2_netcdf3_scan(s)
 
     # Suite-wide warm-up pass first: JVM JIT (C2) needs several executions
     # of the shared codegen/shuffle paths before timings are steady-state;
