@@ -471,9 +471,9 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        COUNT(*) AS n,
        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
-       COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
-                FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
-         AS urgent_cents,
+       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                     FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+            AS BIGINT) AS urgent_cents,
        COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
          AS n_big_custs,
        bool_or(o_totalprice > 400000) AS any_huge,

@@ -71,7 +71,8 @@ scored AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_spans,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
        (SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // COUNT(*))
          / 10000.0 AS dup_frac,
        MIN(CASE WHEN is_dup THEN pos END) AS first_dup_pos
@@ -346,7 +347,7 @@ kept AS (
 )
 SELECT lang,
        COUNT(*) AS n_kept,
-       SUM(n_chars) AS kept_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id
 FROM kept GROUP BY lang
@@ -436,7 +437,7 @@ kept AS (
   WHERE hx % 1000000 < rate_ppm
 )
 SELECT lang, n_src, rate_ppm, COUNT(*) AS n_kept,
-       SUM(n_chars) AS kept_chars, MIN(doc_id) AS min_doc_id
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars, MIN(doc_id) AS min_doc_id
 FROM kept GROUP BY 1, 2, 3
 """,
     doc="Corpus mixture rebalancing with DATA-DEPENDENT rates — the "
@@ -487,9 +488,9 @@ WITH ranked AS (
 )
 SELECT lang,
        COUNT(*) AS n_kept,
-       SUM(grp_n - 1) AS n_dropped,
-       SUM(n_chars) AS kept_chars,
-       SUM(doc_id) AS kept_id_sum
+       CAST(SUM(grp_n - 1) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
 FROM ranked WHERE rn = 1 GROUP BY lang
 """,
     doc="Canonical-copy selection — the step AFTER duplicate detection "
@@ -541,7 +542,8 @@ WITH sample AS (
   LIMIT 1000
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(doc_id) AS id_checksum, SUM(n_chars) AS sum_chars
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM sample GROUP BY lang
 """,
     doc="Fixed-size uniform corpus sample via smallest-hash top-k: "

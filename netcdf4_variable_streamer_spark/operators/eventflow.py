@@ -47,10 +47,10 @@ s3 AS (
 SELECT COUNT(s1.t1) AS n_view,
        COUNT(s2.t2) AS n_click_after_view,
        COUNT(s3.t3) AS n_purchase_after_click,
-       SUM(CASE WHEN s3.t3 IS NOT NULL
-                 AND CAST(FLOOR(EPOCH(s3.t3)) AS BIGINT)
-                     - CAST(FLOOR(EPOCH(s1.t1)) AS BIGINT) <= {_7D}
-                THEN 1 ELSE 0 END) AS n_converted_7d
+       CAST(SUM(CASE WHEN s3.t3 IS NOT NULL
+                      AND CAST(FLOOR(EPOCH(s3.t3)) AS BIGINT)
+                          - CAST(FLOOR(EPOCH(s1.t1)) AS BIGINT) <= {_7D}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d
 FROM s1
 LEFT JOIN s2 ON s2.user_id = s1.user_id
 LEFT JOIN s3 ON s3.user_id = s1.user_id
@@ -169,7 +169,8 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS day_sum_fp
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS day_sum_fp
   FROM events GROUP BY user_id, day
 ),
 bounds AS (
@@ -267,9 +268,9 @@ nb AS (
 )
 SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
        cents IS NOT NULL AS observed,
-       CASE WHEN cents IS NOT NULL THEN cents
-            ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
-       END AS cents_interp
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+            END AS BIGINT) AS cents_interp
 FROM nb
 """,
     doc="Linear-interpolation gap fill — the sibling of "
@@ -385,8 +386,8 @@ cand AS (
 )
 SELECT user1, user2,
        COUNT(*) AS n_overlaps,
-       SUM(LEAST(a_end, b_end) - GREATEST(a_start, b_start))
-         AS total_overlap_s
+       CAST(SUM(LEAST(a_end, b_end) - GREATEST(a_start, b_start))
+            AS BIGINT) AS total_overlap_s
 FROM cand GROUP BY user1, user2
 """,
     doc="Interval-overlap join via time-bucket expansion — the "
@@ -634,7 +635,8 @@ _INC_SPLIT = "2024-01-01"
     oracle="""
 SELECT o_orderstatus,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
        MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key
 FROM orders GROUP BY o_orderstatus
@@ -684,19 +686,21 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT DATE_TRUNC('hour', ts) AS b, event_type,
          COUNT(*) AS n,
-         SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
          MIN(CAST(FLOOR(value * 1000000) AS BIGINT)) AS lo,
          MAX(CAST(FLOOR(value * 1000000) AS BIGINT)) AS hi
   FROM events GROUP BY b, event_type
 ),
 daily AS (
   SELECT DATE_TRUNC('day', b) AS b, event_type,
-         SUM(n) AS n, SUM(s) AS s, MIN(lo) AS lo, MAX(hi) AS hi
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+         MIN(lo) AS lo, MAX(hi) AS hi
   FROM hourly GROUP BY 1, 2
 ),
 weekly AS (
   SELECT DATE_TRUNC('week', b) AS b, event_type,
-         SUM(n) AS n, SUM(s) AS s, MIN(lo) AS lo, MAX(hi) AS hi
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+         MIN(lo) AS lo, MAX(hi) AS hi
   FROM daily GROUP BY 1, 2
 )
 SELECT 'hour' AS grain, STRFTIME(b, '%Y-%m-%d %H:%M:%S') AS bucket,
@@ -780,10 +784,10 @@ WITH u AS (
 )
 SELECT arm,
        COUNT(*) AS n_users,
-       SUM(converted) AS n_converted,
-       (SUM(converted) * 1000000) // COUNT(*) AS conv_ppm,
-       SUM(purchase_fp) AS purchase_value_fp,
-       SUM(n_events) AS n_events
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm,
+       CAST(SUM(purchase_fp) AS BIGINT) AS purchase_value_fp,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM u GROUP BY arm
 """,
     doc="A/B experiment readout — deterministic hash-based arm "
@@ -847,7 +851,8 @@ attributed AS (
 )
 SELECT channel,
        COUNT(*) AS n_conversions,
-       (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS share_ppm
+       CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS BIGINT)
+         AS share_ppm
 FROM attributed GROUP BY channel
 """,
     doc="First-touch conversion attribution: for each converting user "
@@ -932,7 +937,8 @@ per_user AS (
   SELECT user_id, COUNT(*) AS n_spans, SUM(covered) AS covered_sec
   FROM spans GROUP BY user_id
 )
-SELECT n_spans, COUNT(*) AS n_users, SUM(covered_sec) AS total_covered_sec
+SELECT n_spans, COUNT(*) AS n_users,
+       CAST(SUM(covered_sec) AS BIGINT) AS total_covered_sec
 FROM per_user GROUP BY n_spans
 """,
     doc="Overlapping-interval consolidation (gaps-and-islands on "
@@ -999,7 +1005,8 @@ pairs AS (
   GROUP BY event_type, next_type
 )
 SELECT event_type, next_type, n,
-       (n * 1000000) // SUM(n) OVER (PARTITION BY event_type) AS prob_ppm
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS prob_ppm
 FROM pairs
 """,
     doc="First-order Markov transition matrix over per-user event "

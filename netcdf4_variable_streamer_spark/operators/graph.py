@@ -303,10 +303,11 @@ f2 AS (SELECT DISTINCT dst AS k FROM e JOIN f1 ON e.src = f1.k
 f3 AS (SELECT DISTINCT dst AS k FROM e JOIN f2 ON e.src = f2.k
        WHERE dst NOT IN (SELECT k FROM f0 UNION ALL SELECT k FROM f1
                          UNION ALL SELECT k FROM f2))
-SELECT 0 AS dist, COUNT(*) AS n_nodes, SUM(k) AS sum_k FROM f0
-UNION ALL SELECT 1, COUNT(*), SUM(k) FROM f1
-UNION ALL SELECT 2, COUNT(*), SUM(k) FROM f2
-UNION ALL SELECT 3, COUNT(*), SUM(k) FROM f3
+SELECT 0 AS dist, COUNT(*) AS n_nodes,
+       CAST(SUM(k) AS BIGINT) AS sum_k FROM f0
+UNION ALL SELECT 1, COUNT(*), CAST(SUM(k) AS BIGINT) FROM f1
+UNION ALL SELECT 2, COUNT(*), CAST(SUM(k) AS BIGINT) FROM f2
+UNION ALL SELECT 3, COUNT(*), CAST(SUM(k) AS BIGINT) FROM f3
 """,
     doc="Multi-hop BFS reachability (bounded-depth traversal — the "
         "'friends of friends' / dependency-closure primitive): from a "

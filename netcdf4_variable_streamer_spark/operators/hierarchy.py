@@ -129,7 +129,7 @@ d AS (
 )
 SELECT o.node AS anc,
        COALESCE(d.n_desc, 0) AS n_desc,
-       o.cents + COALESCE(d.desc_cents, 0) AS subtree_cents
+       CAST(o.cents + COALESCE(d.desc_cents, 0) AS BIGINT) AS subtree_cents
 FROM nodes o LEFT JOIN d ON d.anc = o.node
 """,
     doc="Subtree ROLLUP over the ancestor closure — the consumer the "

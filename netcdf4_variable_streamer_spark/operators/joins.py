@@ -637,7 +637,8 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_bloom_pruned",
     oracle="""
 SELECT o.o_orderstatus AS status, COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
 FROM orders o
 WHERE o.o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_acctbal < 0)
@@ -751,7 +752,8 @@ fin AS (
          ARG_MAX(seg, seq) AS seg
   FROM log GROUP BY k
 )
-SELECT seg AS segment, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+SELECT seg AS segment, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM fin WHERE op <> 'D' GROUP BY seg
 """,
     doc="CDC changelog application (Debezium/binlog compaction): a "
@@ -825,8 +827,8 @@ WITH dim AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT) * d.wt)
-         AS weighted_value_fp
+       CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT) * d.wt)
+            AS BIGINT) AS weighted_value_fp
 FROM events e JOIN dim d ON d.event_type = e.event_type
 GROUP BY e.event_type
 """,

@@ -244,8 +244,8 @@ SELECT doc_id,
        CAST(4 AS INTEGER) AS width,
        CAST(4 AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS n_channels,
-       SUM(r) AS sum_resized,
-       SUM(r * (ry * 12 + rx * 3 + c)) AS weighted_checksum
+       CAST(SUM(r) AS BIGINT) AS sum_resized,
+       CAST(SUM(r * (ry * 12 + rx * 3 + c)) AS BIGINT) AS weighted_checksum
 FROM rs
 GROUP BY doc_id
 """,
@@ -342,7 +342,7 @@ WITH frames AS (
   WHERE d.doc_id < 200 AND f.f % 2 = 0
 )
 SELECT doc_id, frame_idx,
-       SUM(byte_val) AS frame_sum,
+       CAST(SUM(byte_val) AS BIGINT) AS frame_sum,
        COUNT(*) AS frame_bytes
 FROM frames
 GROUP BY doc_id, frame_idx
@@ -419,8 +419,8 @@ lagged AS (
 SELECT doc_id,
        COUNT(*) AS n_samples,
        CAST(16000 AS INTEGER) AS sample_rate,
-       SUM(ABS(v)) AS sum_abs,
-       SUM(v * v) AS energy,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
        CAST(SUM(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_zero_cross
 FROM lagged GROUP BY doc_id
@@ -509,7 +509,7 @@ SELECT doc_id,
        CAST(5 AS INTEGER) AS width,
        CAST(6 AS INTEGER) AS height,
        CAST(4 AS INTEGER) AS n_channels,
-       SUM(v) AS pixel_checksum
+       CAST(SUM(v) AS BIGINT) AS pixel_checksum
 FROM px
 GROUP BY doc_id
 """,

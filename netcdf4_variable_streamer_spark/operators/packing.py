@@ -57,7 +57,7 @@ assigned AS (
 )
 SELECT seq_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS seq_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM assigned
@@ -150,7 +150,7 @@ assigned AS (
 )
 SELECT seq_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS seq_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
        COUNT(DISTINCT lang) AS n_langs
 FROM assigned
 GROUP BY seq_id

@@ -34,7 +34,7 @@ SELECT bucket_id,
        bucket_id * {_WIDTH} AS lo,
        (bucket_id + 1) * {_WIDTH} AS hi,
        n,
-       n * 1000000 // SUM(n) OVER () AS pct_ppm
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS pct_ppm
 FROM b
 """,
     doc="Equi-width histogram of l_extendedprice (20 declared buckets, "
@@ -76,7 +76,8 @@ WITH tok AS (
   WHERE t.tok <> ''
 ),
 c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
-SELECT tok, cnt, cnt * 1000000 // SUM(cnt) OVER () AS freq_ppm
+SELECT tok, cnt,
+       CAST(cnt * 1000000 // SUM(cnt) OVER () AS BIGINT) AS freq_ppm
 FROM c
 QUALIFY cnt * 50 > SUM(cnt) OVER ()
 """,
@@ -210,8 +211,8 @@ SELECT dev.flag AS l_returnflag,
        mad.mad2x,
        MIN(med.med2) AS med2,
        COUNT(*) AS n,
-       SUM(CASE WHEN 2 * dev.d > 3 * mad.mad2x THEN 1 ELSE 0 END)
-         AS n_outliers
+       CAST(SUM(CASE WHEN 2 * dev.d > 3 * mad.mad2x THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
 FROM dev JOIN mad USING (flag) JOIN med USING (flag)
 GROUP BY dev.flag, mad.mad2x
 """,
@@ -274,7 +275,7 @@ _MELT = [
     "q_unpivot_melt",
     oracle="\nUNION ALL\n".join(
         f"""SELECT l_returnflag, '{m}' AS metric,
-       SUM(CAST(FLOOR({col} * 100) AS BIGINT)) AS sum_fp,
+       CAST(SUM(CAST(FLOOR({col} * 100) AS BIGINT)) AS BIGINT) AS sum_fp,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag"""
         for m, col in _MELT
@@ -590,7 +591,8 @@ WITH tok AS (
   WHERE t.tok <> ''
 ),
 c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
-SELECT tok, cnt, cnt * 1000000 // SUM(cnt) OVER () AS freq_ppm
+SELECT tok, cnt,
+       CAST(cnt * 1000000 // SUM(cnt) OVER () AS BIGINT) AS freq_ppm
 FROM c
 QUALIFY cnt * 50 > SUM(cnt) OVER ()
 """,
@@ -767,7 +769,8 @@ counts AS (
   FROM bucketed GROUP BY period, bucket
 )
 SELECT period, bucket, n,
-       (n * 1000000) // SUM(n) OVER (PARTITION BY period) AS share_ppm
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY period)
+            AS BIGINT) AS share_ppm
 FROM counts
 """,
     doc="Distribution-drift report (data-quality monitoring): split "

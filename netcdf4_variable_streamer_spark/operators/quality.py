@@ -44,15 +44,16 @@ marked AS (
 ),
 ids AS (
   SELECT *,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
        STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        MAX(es) - MIN(es) AS duration_s,
-       SUM(v_fp) AS sum_value_fp
+       CAST(SUM(v_fp) AS BIGINT) AS sum_value_fp
 FROM ids GROUP BY user_id, session_id
 """,
     doc="Batch sessionization (gaps-and-islands): a new session starts "
@@ -118,15 +119,15 @@ SELECT 'notnull_l_quantity',
 FROM lineitem
 UNION ALL
 SELECT 'range_l_discount',
-       SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
-                THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
                 THEN 1 ELSE 0 END) = 0
 FROM lineitem
 UNION ALL
 SELECT 'enum_o_orderstatus',
-       SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
        SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
                 THEN 1 ELSE 0 END) = 0
 FROM orders
@@ -238,7 +239,8 @@ d AS (
               THEN ABS(new.cents - old.cents) ELSE 0 END AS delta_cents
   FROM old FULL OUTER JOIN new ON new.o_orderkey = old.o_orderkey
 )
-SELECT change_type, COUNT(*) AS n, SUM(delta_cents) AS sum_delta_cents,
+SELECT change_type, COUNT(*) AS n,
+       CAST(SUM(delta_cents) AS BIGINT) AS sum_delta_cents,
        MIN(k) AS min_key, MAX(k) AS max_key
 FROM d GROUP BY change_type
 """,
@@ -416,7 +418,7 @@ WITH dim AS (
 SELECT CAST(d.version AS BIGINT) AS version,
        CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
        COUNT(*) AS n_orders,
-       SUM(d.bal) AS sum_bal_cents
+       CAST(SUM(d.bal) AS BIGINT) AS sum_bal_cents
 FROM orders o
 JOIN dim d ON d.k = o.o_custkey
           AND o.o_orderdate >= d.eff_from AND o.o_orderdate < d.eff_to

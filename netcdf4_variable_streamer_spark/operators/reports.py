@@ -24,7 +24,7 @@ _REV = "FLOOR(l_extendedprice * (1 - l_discount) * 100)"
     oracle=f"""
 WITH r AS (
   SELECT o.o_custkey,
-         SUM(CAST({_REV} AS BIGINT)) AS revenue_cents,
+         CAST(SUM(CAST({_REV} AS BIGINT)) AS BIGINT) AS revenue_cents,
          COUNT(*) AS n_items
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -83,7 +83,7 @@ def q_report_top_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
          n.n_name,
-         SUM(CAST({_REV} AS BIGINT)) AS revenue_cents
+         CAST(SUM(CAST({_REV} AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN customer c ON c.c_custkey = o.o_custkey
@@ -91,7 +91,8 @@ WITH v AS (
   GROUP BY o_year, n.n_name
 )
 SELECT CAST(o_year AS BIGINT) AS o_year, n_name, revenue_cents,
-       revenue_cents * 1000000 // SUM(revenue_cents) OVER (PARTITION BY o_year)
+       CAST(revenue_cents * 1000000
+            // SUM(revenue_cents) OVER (PARTITION BY o_year) AS BIGINT)
          AS share_ppm
 FROM v
 """,
@@ -225,7 +226,8 @@ s AS (
   FROM c2, th
 )
 SELECT r_score, f_score, m_score,
-       COUNT(*) AS n_customers, SUM(m_cents) AS sum_m_cents
+       COUNT(*) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS sum_m_cents
 FROM s GROUP BY 1, 2, 3
 """,
     doc="RFM customer segmentation: per-customer recency (days since "
@@ -290,7 +292,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT ns.n_name AS supp_nation,
        nc.n_name AS cust_nation,
        CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
-       SUM(CAST({_REV} AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST({_REV} AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -365,10 +367,11 @@ WITH j AS (
   WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
     AND l.l_shipdate <  TIMESTAMP '1996-04-01'
 )
-SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS promo_cents,
-       SUM(rev) AS total_cents,
-       SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000
-         // SUM(rev) AS promo_ppm
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 1000000
+            // SUM(rev) AS BIGINT) AS promo_ppm
 FROM j
 """,
     doc="Promotion-revenue share (TPC-H Q14 form): one month of "
@@ -406,9 +409,9 @@ def q_report_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n.n_name AS nation,
        CAST(YEAR(l.l_shipdate) AS BIGINT) AS o_year,
-       SUM(CAST({_REV} AS BIGINT)
-           - CAST(FLOOR(p.p_retailprice * 10) AS BIGINT)
-             * CAST(l.l_quantity AS BIGINT)) AS profit_cents
+       CAST(SUM(CAST({_REV} AS BIGINT)
+                - CAST(FLOOR(p.p_retailprice * 10) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey

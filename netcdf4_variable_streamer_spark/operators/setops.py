@@ -190,7 +190,7 @@ SELECT lang,
        COUNT(*) AS n_rows,
        COUNT(text) AS n_with_text,
        COUNT(source) AS n_with_source,
-       SUM(COALESCE(n_chars, 0)) AS sum_chars_v2
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars_v2
 FROM merged GROUP BY lang
 """,
     doc="Schema-evolution union — merging two table versions whose "

@@ -812,8 +812,9 @@ s1 AS (
 ),
 c1 AS (SELECT cid, LIST(s // n ORDER BY i) AS c FROM s1 GROUP BY cid),
 {_KM_ASSIGN.format(out='a2', cents='c1', dist=_KM_DIST)}
-SELECT cid, COUNT(*) AS n_points, SUM(vec_id) AS sum_ids,
-       SUM(dist) AS inertia
+SELECT cid, COUNT(*) AS n_points,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(dist) AS BIGINT) AS inertia
 FROM a2 GROUP BY cid
 """,
     doc="K-means clustering (Lloyd), the vector-quantization primitive "

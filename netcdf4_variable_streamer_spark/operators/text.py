@@ -618,7 +618,8 @@ gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g),
 per_doc AS (
   SELECT sh.doc_id,
          COUNT(*) AS n_shingles,
-         SUM(CASE WHEN gd.nd >= 3 THEN 1 ELSE 0 END) AS n_common
+         CAST(SUM(CASE WHEN gd.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
   FROM sh JOIN gd USING (g)
   GROUP BY sh.doc_id
 )
@@ -808,7 +809,8 @@ WITH toks AS (
     FROM documents) t WHERE tok <> ''
 ),
 stats AS (
-  SELECT tok, COUNT(*) AS df, SUM(doc_id) AS id_checksum
+  SELECT tok, COUNT(*) AS df,
+         CAST(SUM(doc_id) AS BIGINT) AS id_checksum
   FROM toks GROUP BY tok
 ),
 ranked AS (
@@ -817,7 +819,8 @@ ranked AS (
   FROM toks
 ),
 head AS (
-  SELECT tok, LIST(doc_id ORDER BY doc_id) AS posting_head
+  SELECT tok,
+         ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id), ',') AS posting_head
   FROM ranked WHERE rn <= 20 GROUP BY tok
 )
 SELECT s.tok, s.df, s.id_checksum, h.posting_head
@@ -828,8 +831,10 @@ LIMIT 200
     doc="Inverted-index build (the search / retrieval-corpus "
         "primitive): distinct (doc, term) postings, per-term document "
         "frequency + posting checksum over the FULL postings, and a "
-        "rank-limited posting head (first 20 doc_ids) materialized as "
-        "a sorted array. The head is rank-filtered BEFORE collect — "
+        "rank-limited posting head (first 20 doc_ids) flattened to a "
+        "comma-joined string — the driver's pandas canonicalizer cannot "
+        "hash array cells (r3 err), so the output surface is flat. "
+        "The head is rank-filtered BEFORE collect — "
         "hot Zipf-head terms never assemble an unbounded list in one "
         "task, which is how production indexers shard hot postings. "
         "Shape at 100 TB: explode → distinct → two aggs + the rank "
@@ -860,7 +865,11 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
         .groupBy("tok")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("posting_head")
+        )
     )
     return (
         stats.join(head, "tok")
@@ -881,8 +890,9 @@ WITH s AS (
 )
 SELECT doc_id, lang,
        COUNT(*) AS n_sentences,
-       SUM(LENGTH(sent)) AS sum_sent_chars,
-       (SUM(LENGTH(sent)) * 100) // COUNT(*) AS avg_sent_len_x100,
+       CAST(SUM(LENGTH(sent)) AS BIGINT) AS sum_sent_chars,
+       CAST((SUM(LENGTH(sent)) * 100) // COUNT(*) AS BIGINT)
+         AS avg_sent_len_x100,
        MAX(LENGTH(sent)) AS max_sent_len
 FROM s GROUP BY doc_id, lang
 """,

@@ -36,86 +36,88 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Canonical contract order. The external driver verifies registry keys in
 # iteration order with a bounded per-round window (50 keys/round), so
 # iteration order is part of the contract, not an accident of module
-# import order. Round-3 policy (VERDICT r2 "Next round" #1):
-#   1-50   never-driver-checked keys, prioritized: LLM-pipeline dedup/
-#          text/multimodal/sampling families, sinks + ingest sources, the
-#          two new round-3 keys (src_netcdf3_scan,
-#          q_agg_histogram_equidepth_approx), the keys hardened this round
-#          (jaccard degree cap, unbounded hierarchy flatten, equi-depth
-#          exact twin), then ANN scale paths + corpus ops.
-#   51-119 remaining never-driver-checked keys (round-4 window rotates
-#          here next).
-#   120+   keys with driver-green rows in CORRECTNESS_r01/r02 (verified
-#          history + the local pytest oracle mirror keeps them green).
-# New keys land right after position 50 so the next round's window
-# picks them up. tests/test_registry_contract.py asserts this list is
-# exactly the registry key set (no drift, no dangling names).
+# import order. Round-4 policy (VERDICT r3 "Next round" #4 — this is a
+# CORRECTNESS round):
+#   1-20   the 20 round-3 driver failures (19 oracle-HUGEINT hash
+#          mismatches + the q_text_inverted_index array-cell error), all
+#          root-caused to oracle-side dtype divergence and fixed this
+#          round (CAST ... AS BIGINT / flattened posting_head) — they
+#          MUST be re-verified first.
+#   21-50  30 of the 33 never-driver-checked keys the strict-mirror
+#          audit proved carried the SAME latent bug (now fixed),
+#          prioritizing the seven new round-3 keys (hierarchy rollup,
+#          audio/png decode, the three TPC-H reports, geo heatmap).
+#   51-53  the 3 remaining fixed at-risk keys (rfm_segments,
+#          union_schema_evolution, win_gap_interpolate) — next round's
+#          window picks them up first.
+#   54+    remaining never-driver-checked keys, then the 104 keys with
+#          green driver rows in r01/r02/r03 (verified history + the
+#          now-dtype-strict local mirror keeps them green).
+# tests/test_registry_contract.py asserts this list is exactly the
+# registry key set and that the window re-checks every known failure
+# while wasting no slot on a driver-green key.
 # ---------------------------------------------------------------------------
 
 CANONICAL_ORDER: list[str] = [
-    "q_sim_threshold_lsh",
-    "q_dedup_cc_lsh",
-    "q_dedup_semantic",
     "q_pack_sequences",
     "q_pipeline_pretrain",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_contamination",
-    "q_text_unigram_logprob",
-    "q_text_repetition",
     "q_text_boilerplate",
-    "q_text_pii_redact",
-    "q_multimodal_image_decode",
     "q_multimodal_resize",
     "q_multimodal_frame_sample",
-    "q_sample_hash_split",
-    "q_sample_stratified",
-    "snk_parquet_partitioned",
-    "snk_partition_overwrite",
-    "snk_compact_small_files",
-    "snk_clustered_sort",
     "snk_zorder",
     "src_jsonl_ingest",
     "src_csv_ingest",
     "q_join_bucketed",
-    "src_netcdf3_scan",
-    "q_agg_histogram_equidepth_approx",
-    "q_graph_jaccard_neighbors",
-    "q_hierarchy_flatten",
-    "q_agg_histogram_equidepth",
-    "q_sim_ivf_ann",
-    "q_sim_pq_codes",
-    "q_ml_knn_classify",
     "q_ml_kmeans",
     "q_dedup_ngram_spans",
     "q_dedup_keep_best",
     "q_sample_weighted",
     "q_sample_mixture",
-    "q_sample_per_group",
     "q_sample_topk_hash",
-    "q_chunk_context_windows",
-    "q_text_vocab_pairs",
-    "q_text_collocation_lift",
     "q_text_sentence_split",
     "q_text_inverted_index",
     "q_agg_heavy_hitters_sketch",
     "q_agg_heavy_hitters",
     "q_agg_histogram",
-    # -- 51+: new round-3 keys (next round's window starts here) --
-    "snk_netcdf3_write",
     "q_hierarchy_rollup",
-    "q_dedup_url_canonical",
     "q_multimodal_audio_decode",
     "q_multimodal_png_decode",
-    "src_netcdf3_stream_tail",
-    "src_netcdf3_multifile_scan",
     "q_report_volume_shipping",
     "q_report_promo_share",
     "q_report_nation_profit",
-    "q_agg_hll_setops",
     "q_geo_heatmap_grid",
+    "q_funnel_conversion",
+    "q_time_resample_ffill",
+    "q_outlier_mad",
+    "q_unpivot_melt",
+    "q_sessionize_gap",
+    "q_validate_constraints",
+    "q_table_diff",
+    "q_agg_incremental_merge",
+    "q_report_top_returns",
+    "q_report_market_share",
+    "q_join_point_in_time",
+    "q_rollup_time_hierarchy",
+    "q_join_bloom_pruned",
+    "q_cdc_apply",
+    "q_graph_bfs_reach",
+    "q_ab_experiment",
+    "q_agg_filtered",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_funnel_attribution",
+    "q_interval_merge",
+    "q_join_interval_overlap",
+    "q_join_salted_skew",
+    # -- 51+: deferred fixed at-risk keys, then the never-checked backlog --
+    "q_rfm_segments",
+    "q_union_schema_evolution",
+    "q_win_gap_interpolate",
+    "snk_netcdf3_write",
+    "q_dedup_url_canonical",
+    "src_netcdf3_stream_tail",
+    "src_netcdf3_multifile_scan",
+    "q_agg_hll_setops",
     "q_subquery_scalar",
     "q_subquery_scalar_corr",
     "q_subquery_exists",
@@ -129,62 +131,66 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_sketches",
     "q_merge_scd2",
     "q_graph_pagerank",
-    "q_funnel_conversion",
     "q_retention_cohort",
-    "q_time_resample_ffill",
     "q_profile_columns",
-    "q_outlier_mad",
-    "q_unpivot_melt",
     "q_graph_triangles",
-    "q_sessionize_gap",
-    "q_validate_constraints",
-    "q_table_diff",
     "q_join_fuzzy_levenshtein",
     "q_win_pattern_burst",
-    "q_agg_incremental_merge",
     "q_agg_corr_matrix",
     "q_stream_dim_join",
-    "q_report_top_returns",
-    "q_report_market_share",
-    "q_join_point_in_time",
-    "q_rollup_time_hierarchy",
-    "q_join_bloom_pruned",
-    "q_cdc_apply",
-    "q_graph_bfs_reach",
     "q_stream_join_outer",
-    "q_ab_experiment",
     "q_agg_bitmap_distinct",
     "q_agg_bitmap_jaccard",
     "q_agg_cms_portable",
-    "q_agg_filtered",
     "q_agg_hll_portable",
     "q_agg_mode",
     "q_agg_string_agg",
     "q_basket_pairs",
-    "q_drift_report",
-    "q_event_transitions",
     "q_fn_bitwise",
     "q_fn_datetime_advanced",
-    "q_funnel_attribution",
     "q_funnel_attribution_decay",
     "q_geo_grid_knn",
     "q_graph_label_prop",
-    "q_interval_merge",
     "q_join_asof_nearest",
-    "q_join_interval_overlap",
-    "q_join_salted_skew",
     "q_ml_decision_stump",
     "q_ols_by_group",
     "q_privacy_k_anonymity",
-    "q_rfm_segments",
     "q_time_anomaly_spc",
-    "q_union_schema_evolution",
     "q_win_ewma_dyadic",
-    "q_win_gap_interpolate",
     "q_win_longest_streak",
     "q_win_rolling_median",
     "q_win_running_distinct",
     "q_win_sliding_distinct",
+    "q_sim_threshold_lsh",
+    "q_dedup_cc_lsh",
+    "q_dedup_semantic",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_contamination",
+    "q_text_unigram_logprob",
+    "q_text_repetition",
+    "q_text_pii_redact",
+    "q_multimodal_image_decode",
+    "q_sample_hash_split",
+    "q_sample_stratified",
+    "snk_parquet_partitioned",
+    "snk_partition_overwrite",
+    "snk_compact_small_files",
+    "snk_clustered_sort",
+    "src_netcdf3_scan",
+    "q_agg_histogram_equidepth_approx",
+    "q_graph_jaccard_neighbors",
+    "q_hierarchy_flatten",
+    "q_agg_histogram_equidepth",
+    "q_sim_ivf_ann",
+    "q_sim_pq_codes",
+    "q_ml_knn_classify",
+    "q_sample_per_group",
+    "q_chunk_context_windows",
+    "q_text_vocab_pairs",
+    "q_text_collocation_lift",
     "src_parquet_scan",
     "src_netcdf_chunked_scan",
     "src_netcdf_stream_tail",

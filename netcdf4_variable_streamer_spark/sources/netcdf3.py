@@ -82,6 +82,16 @@ def _pack_attr_value(value) -> tuple[int, bytes, int]:
         arr = arr.astype(">f8")
         nc_type = NC_DOUBLE
     else:
+        # NC_INT is 32-bit: a silent astype would wrap values >= 2^31
+        # (ADVICE r3). Fail loudly instead of corrupting the attribute.
+        if arr.size and (
+            int(arr.max()) > 2**31 - 1 or int(arr.min()) < -(2**31)
+        ):
+            raise ValueError(
+                "integer attribute value out of NC_INT (int32) range: "
+                f"{value!r} — store it as a float attribute (NC_DOUBLE) "
+                "or a string"
+            )
         arr = arr.astype(">i4")
         nc_type = NC_INT
     b = arr.tobytes()
@@ -144,7 +154,10 @@ def write_netcdf3(
     rec_dim = rec_dims[0] if rec_dims else None
 
     infos: list[VarInfo] = []
-    numrecs = 0
+    # None sentinel (not 0): a first record variable with ZERO records
+    # must still arm the consistency check below (ADVICE r3 — 0-vs-N
+    # disagreement otherwise surfaced later as an opaque IndexError)
+    numrecs: int | None = None
     for name, (dt, vdims) in variables.items():
         if dt not in _NP_TO_NC:
             raise ValueError(f"unsupported dtype {dt}")
@@ -156,7 +169,7 @@ def write_netcdf3(
         expect = ((-1,) + shape) if is_rec else shape
         arr = np.asarray(arr).reshape(expect)
         if is_rec:
-            if numrecs and arr.shape[0] != numrecs:
+            if numrecs is not None and arr.shape[0] != numrecs:
                 raise ValueError("record variables disagree on numrecs")
             numrecs = arr.shape[0]
         infos.append(
@@ -170,6 +183,7 @@ def write_netcdf3(
             )
         )
 
+    numrecs = numrecs or 0  # no record variables (or zero records)
     rec_vars = [v for v in infos if v.is_record]
     pad_records = len(rec_vars) != 1  # spec: single record var unpadded
     recsize = sum(
@@ -368,9 +382,29 @@ class NetCDF3File:
 
     def __post_init__(self):
         with open(self.path, "rb") as f:
-            header = f.read(1 << 20)  # classic headers are KB-sized
+            header = f.read(1 << 20)  # classic headers are USUALLY KB-sized
         if header[:3] != b"CDF" or header[3] not in (1, 2):
             raise ValueError(f"{self.path}: not a NetCDF classic file")
+
+        def need(pos: int, nbytes: int) -> None:
+            """Grow the header buffer when parsing approaches its end.
+
+            The classic format allows arbitrarily large headers (many
+            variables / long attribute arrays); a fixed-size read could
+            silently truncate an np.frombuffer slice (ADVICE r3). Re-read
+            double-or-enough and fail loudly if the FILE itself is short.
+            """
+            nonlocal header
+            if pos + nbytes <= len(header):
+                return
+            with open(self.path, "rb") as f:
+                header = f.read(max(len(header) * 2, pos + nbytes))
+            if pos + nbytes > len(header):
+                raise ValueError(
+                    f"{self.path}: header truncated — needed "
+                    f"{pos + nbytes} bytes, file has {len(header)}"
+                )
+
         self.version = header[3]
         pos = 4
         (raw_numrecs,) = struct.unpack_from(">i", header, pos)
@@ -380,12 +414,15 @@ class NetCDF3File:
         pos += 4
 
         def read_name(pos: int) -> tuple[str, int]:
+            need(pos, 4)
             (n,) = struct.unpack_from(">i", header, pos)
             pos += 4
+            need(pos, _pad4(n))
             name = header[pos : pos + n].decode("utf-8")
             return name, pos + _pad4(n)
 
         def read_att_list(pos: int) -> tuple[dict, int]:
+            need(pos, 8)
             tag, nelems = struct.unpack_from(">ii", header, pos)
             pos += 8
             out: dict = {}
@@ -395,10 +432,12 @@ class NetCDF3File:
                 raise ValueError(f"bad attribute tag {tag:#x}")
             for _ in range(nelems):
                 name, pos = read_name(pos)
+                need(pos, 8)
                 nc_type, n = struct.unpack_from(">ii", header, pos)
                 pos += 8
                 dt = _NC_TO_NP[nc_type]
                 nbytes = n * dt.itemsize
+                need(pos, _pad4(nbytes))
                 raw = header[pos : pos + nbytes]
                 pos += _pad4(nbytes)
                 if nc_type == NC_CHAR:
@@ -409,12 +448,14 @@ class NetCDF3File:
             return out, pos
 
         # dim_list
+        need(pos, 8)
         tag, nelems = struct.unpack_from(">ii", header, pos)
         pos += 8
         dim_names: list[str] = []
         if tag == _TAG_DIM:
             for _ in range(nelems):
                 name, pos = read_name(pos)
+                need(pos, 4)
                 (length,) = struct.unpack_from(">i", header, pos)
                 pos += 4
                 self.dims[name] = None if length == 0 else length
@@ -427,18 +468,22 @@ class NetCDF3File:
         self.attrs, pos = read_att_list(pos)
 
         # var_list
+        need(pos, 8)
         tag, nelems = struct.unpack_from(">ii", header, pos)
         pos += 8
         if tag == _TAG_VAR:
             for _ in range(nelems):
                 name, pos = read_name(pos)
+                need(pos, 4)
                 (ndims,) = struct.unpack_from(">i", header, pos)
                 pos += 4
+                need(pos, 4 * ndims)
                 dimids = struct.unpack_from(f">{ndims}i", header, pos)
                 pos += 4 * ndims
                 vattrs, pos = read_att_list(pos)
                 # vsize is unsigned (clamped for >= 4 GiB vars); it is
                 # advisory only — real sizes come from dims
+                need(pos, 8 + (4 if self.version == 1 else 8))
                 nc_type, _vsize = struct.unpack_from(">iI", header, pos)
                 pos += 8
                 fmt = ">i" if self.version == 1 else ">q"

@@ -112,12 +112,28 @@ class NetCDF3Reader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
         self.members = _resolve_members(path)
         first = NetCDF3File(self.members[0][0])
-        ref_schema = _spark_schema(first)
+
+        def member_sig(nc: NetCDF3File):
+            # schema string alone encodes dim NAMES and types, not the
+            # fixed-dim EXTENTS — a directory mixing y=32 and y=16 files
+            # would pass a schema-only check and silently concatenate
+            # inconsistent per-record grids (ADVICE r3). Compare the
+            # per-record shape too.
+            shapes = tuple(
+                (v.name, v.shape)
+                for v in nc.variables.values()
+                if v.is_record
+            )
+            return str(_spark_schema(nc)), shapes
+
+        ref_sig = member_sig(first)
         for p, _n, _off in self.members[1:]:
-            got = _spark_schema(NetCDF3File(p))
-            if got != ref_schema:
+            got = member_sig(NetCDF3File(p))
+            if got != ref_sig:
                 raise ValueError(
-                    f"{p}: schema {got!r} != first member {ref_schema!r}"
+                    f"{p}: member signature {got!r} != first member "
+                    f"{ref_sig!r} (schema AND fixed-dim extents must "
+                    "match across a multi-file dataset)"
                 )
         self.numrecs = sum(n for _p, n, _off in self.members)
         self._idx_col = f"{first.record_dim}_idx"
@@ -205,6 +221,17 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
     published records."""
 
     def __init__(self, path: str, schema: StructType):
+        import os
+
+        if os.path.isdir(path):
+            # the batch reader concatenates directory members; the tail
+            # offset here is a single file's numrecs, so a directory
+            # would fail later with a raw IsADirectoryError (ADVICE r3)
+            raise ValueError(
+                f"{path}: streaming tail supports a single .nc file — "
+                "point the stream at one growing file, or use the batch "
+                "reader for directory datasets"
+            )
         self.path = path
         self.columns = [f.name for f in schema.fields]
 

@@ -769,7 +769,8 @@ def snk_clustered_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS segment,
        COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY segment
 """,
@@ -853,8 +854,8 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_jsonl_ingest",
     oracle="""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars_meta,
-       SUM(LENGTH(text)) AS sum_chars_text
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_meta,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars_text
 FROM documents GROUP BY lang
 UNION ALL
 SELECT '_corrupt', 3, 0, 0
@@ -925,8 +926,8 @@ def src_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_csv_ingest",
     oracle="""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars_meta,
-       SUM(LENGTH(text)) AS sum_chars_text
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_meta,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars_text
 FROM documents GROUP BY lang
 UNION ALL
 SELECT '_corrupt', 2, 0, 0
@@ -1002,7 +1003,8 @@ def src_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snk_zorder",
     oracle="""
 SELECT COUNT(*) AS n_rows,
-       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
        CAST(1 AS BOOLEAN) AS skipping_ok
 FROM orders
 WHERE o_custkey >= (SELECT 0.75 * MAX(o_custkey) FROM orders)

@@ -33,19 +33,29 @@ def test_canonical_order_is_exactly_the_registry():
     assert list(ordered_registry()) == CANONICAL_ORDER
 
 
-def test_round3_window_has_no_previously_checked_keys():
-    """Positions 1-50 must all be keys without a driver row in r01/r02
-    (the round-3 rotation policy)."""
+def test_round4_window_policy():
+    """Round-4 rotation (a CORRECTNESS round): the 50-key window must
+    (a) re-check every key that FAILED a driver round, and (b) waste no
+    slot on a key that is already driver-green (hash_match) in any
+    recorded round."""
     import json
 
-    checked: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(REPO, fname)
-        if os.path.exists(path):
-            with open(path) as f:
-                checked |= set(json.load(f))
+    green: set[str] = set()
+    failed: set[str] = set()
+    for fname in sorted(os.listdir(REPO)):
+        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
+            continue
+        with open(os.path.join(REPO, fname)) as f:
+            for k, v in json.load(f).items():
+                if v.get("hash_match") is True:
+                    green.add(k)
+                    failed.discard(k)
+                else:
+                    failed.add(k)
     window = CANONICAL_ORDER[:50]
-    stale = [k for k in window if k in checked]
+    missing = [k for k in failed if k not in window]
+    assert not missing, f"known driver failures left out of window: {missing}"
+    stale = [k for k in window if k in green]
     assert not stale, f"window wastes slots on driver-green keys: {stale}"
 
 
