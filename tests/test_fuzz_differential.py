@@ -265,10 +265,12 @@ def test_window_differential(win_ctx, part, fn, frame_lo):
         expr = F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # outer CAST: DuckDB window SUM(BIGINT) returns HUGEINT ->
+        # fetchdf float64, which the strict mirror (correctly) rejects
         col = (
-            f"SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER ("
+            f"CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER ("
             f"PARTITION BY {part} {order_sql} "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         )
     else:  # mov_min over a bounded trailing frame
         expr = F.min("event_id").over(w.rowsBetween(-frame_lo, 0))
