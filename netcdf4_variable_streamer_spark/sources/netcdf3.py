@@ -34,6 +34,21 @@ Format rules implemented (per the public spec):
 - vsize is the padded slab size (clamped to 2^32-1 as the spec allows —
   readers must compute real sizes from dims, which this reader does);
 - CDF-1 stores ``begin`` as int32, CDF-2 as int64.
+
+Round 4 adds **CDF-5** (the "64-bit data" variant from the public
+PnetCDF file-format spec, adopted by netcdf-c as NC_64BIT_DATA):
+
+- magic version byte \\x05;
+- every NON_NEG header integer widens from int32 to int64: numrecs,
+  every list ``nelems``, name lengths, dim lengths, attribute counts,
+  variable rank, each dimid, and vsize (so vsize is exact — no 2^32-1
+  clamp); list tags and nc_type stay int32; ABSENT becomes a 4-byte
+  zero tag followed by an 8-byte zero count;
+- ``begin`` is int64 (as in CDF-2);
+- five additional external types: NC_UBYTE=7, NC_USHORT=8, NC_UINT=9,
+  NC_INT64=10, NC_UINT64=11 — writing any of them auto-selects CDF-5;
+- the single-record-variable no-padding special case and all 4-byte
+  data padding rules are unchanged.
 """
 
 from __future__ import annotations
@@ -44,6 +59,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 ("64-bit data") external types — PnetCDF file-format spec
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 
 _NC_TO_NP = {
@@ -53,6 +70,11 @@ _NC_TO_NP = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    NC_UBYTE: np.dtype(">u1"),
+    NC_USHORT: np.dtype(">u2"),
+    NC_UINT: np.dtype(">u4"),
+    NC_INT64: np.dtype(">i8"),
+    NC_UINT64: np.dtype(">u8"),
 }
 _NP_TO_NC = {
     "int8": NC_BYTE,
@@ -60,19 +82,32 @@ _NP_TO_NC = {
     "int32": NC_INT,
     "float32": NC_FLOAT,
     "float64": NC_DOUBLE,
+    "uint8": NC_UBYTE,
+    "uint16": NC_USHORT,
+    "uint32": NC_UINT,
+    "int64": NC_INT64,
+    "uint64": NC_UINT64,
 }
+# types that exist only in the CDF-5 variant — using one forces version 5
+_CDF5_ONLY = {NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64}
 
 
 def _pad4(n: int) -> int:
     return (n + 3) & ~3
 
 
-def _pack_name(name: str) -> bytes:
+def _nn(version: int, *values: int) -> bytes:
+    """Pack NON_NEG header integers: int32 in CDF-1/2, int64 in CDF-5."""
+    fmt = ">q" if version == 5 else ">i"
+    return b"".join(struct.pack(fmt, v) for v in values)
+
+
+def _pack_name(name: str, version: int) -> bytes:
     b = name.encode("utf-8")
-    return struct.pack(">i", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+    return _nn(version, len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
 
 
-def _pack_attr_value(value) -> tuple[int, bytes, int]:
+def _pack_attr_value(value, version: int) -> tuple[int, bytes, int]:
     """-> (nc_type, payload bytes incl. padding, nelems)."""
     if isinstance(value, str):
         b = value.encode("utf-8")
@@ -83,29 +118,35 @@ def _pack_attr_value(value) -> tuple[int, bytes, int]:
         nc_type = NC_DOUBLE
     else:
         # NC_INT is 32-bit: a silent astype would wrap values >= 2^31
-        # (ADVICE r3). Fail loudly instead of corrupting the attribute.
-        if arr.size and (
+        # (ADVICE r3). CDF-5 has NC_INT64 attributes; classic files
+        # must fail loudly instead of corrupting the attribute.
+        wide = arr.size and (
             int(arr.max()) > 2**31 - 1 or int(arr.min()) < -(2**31)
-        ):
+        )
+        if wide and version != 5:
             raise ValueError(
                 "integer attribute value out of NC_INT (int32) range: "
                 f"{value!r} — store it as a float attribute (NC_DOUBLE) "
-                "or a string"
+                "or a string, or write a CDF-5 file (version=5)"
             )
-        arr = arr.astype(">i4")
-        nc_type = NC_INT
+        if wide:
+            arr = arr.astype(">i8")
+            nc_type = NC_INT64
+        else:
+            arr = arr.astype(">i4")
+            nc_type = NC_INT
     b = arr.tobytes()
     return nc_type, b + b"\x00" * (_pad4(len(b)) - len(b)), arr.size
 
 
-def _pack_att_list(attrs: dict) -> bytes:
+def _pack_att_list(attrs: dict, version: int) -> bytes:
     if not attrs:
-        return struct.pack(">ii", 0, 0)
-    out = [struct.pack(">ii", _TAG_ATT, len(attrs))]
+        return struct.pack(">i", 0) + _nn(version, 0)  # ABSENT
+    out = [struct.pack(">i", _TAG_ATT) + _nn(version, len(attrs))]
     for name, value in attrs.items():
-        nc_type, payload, nelems = _pack_attr_value(value)
-        out.append(_pack_name(name))
-        out.append(struct.pack(">ii", nc_type, nelems))
+        nc_type, payload, nelems = _pack_attr_value(value, version)
+        out.append(_pack_name(name, version))
+        out.append(struct.pack(">i", nc_type) + _nn(version, nelems))
         out.append(payload)
     return b"".join(out)
 
@@ -137,13 +178,17 @@ def write_netcdf3(
     data: dict[str, np.ndarray],
     attrs: dict | None = None,
     var_attrs: dict[str, dict] | None = None,
+    version: int | None = None,
 ) -> None:
-    """Write a NetCDF-3 classic file.
+    """Write a NetCDF-3 classic (CDF-1/2) or 64-bit-data (CDF-5) file.
 
     ``dims``: name -> extent (None = the record/UNLIMITED dimension).
     ``variables``: name -> (numpy dtype string, dim-name tuple); record
     variables must list the record dim FIRST (the classic-format rule).
     ``data``: name -> array; record variables shaped (numrecs, *fixed).
+    ``version``: force 1/2/5; default auto — smallest variant that fits
+    (CDF-5 whenever an unsigned/64-bit dtype is used, CDF-2 when any
+    begin offset exceeds int32, else CDF-1).
     """
     attrs = attrs or {}
     var_attrs = var_attrs or {}
@@ -192,33 +237,36 @@ def write_netcdf3(
     )
 
     def header_bytes(version: int, begins: dict[str, int]) -> bytes:
-        out = [b"CDF", bytes([version]), struct.pack(">i", numrecs)]
+        out = [b"CDF", bytes([version]), _nn(version, numrecs)]
         if dims:
-            out.append(struct.pack(">ii", _TAG_DIM, len(dims)))
+            out.append(struct.pack(">i", _TAG_DIM) + _nn(version, len(dims)))
             for d in dim_names:
-                out.append(_pack_name(d))
-                out.append(struct.pack(">i", 0 if dims[d] is None else dims[d]))
+                out.append(_pack_name(d, version))
+                out.append(_nn(version, 0 if dims[d] is None else dims[d]))
         else:
-            out.append(struct.pack(">ii", 0, 0))
-        out.append(_pack_att_list(attrs))
+            out.append(struct.pack(">i", 0) + _nn(version, 0))
+        out.append(_pack_att_list(attrs, version))
         if infos:
-            out.append(struct.pack(">ii", _TAG_VAR, len(infos)))
+            out.append(struct.pack(">i", _TAG_VAR) + _nn(version, len(infos)))
             for v in infos:
-                out.append(_pack_name(v.name))
-                out.append(struct.pack(">i", len(v.dimids)))
-                out.append(struct.pack(f">{len(v.dimids)}i", *v.dimids))
-                out.append(_pack_att_list(v.attrs))
+                out.append(_pack_name(v.name, version))
+                out.append(_nn(version, len(v.dimids), *v.dimids))
+                out.append(_pack_att_list(v.attrs, version))
                 vsize = _pad4(v.slab_bytes)
-                # vsize is UNSIGNED 32-bit per the spec (and clamped to
-                # 2^32-1 for larger variables — readers recompute real
-                # sizes from dims, as ours does); a signed pack would
-                # raise on any slab >= 2 GiB
                 out.append(struct.pack(">i", v.nc_type))
-                out.append(struct.pack(">I", min(vsize, 2**32 - 1)))
+                if version == 5:
+                    # CDF-5 vsize is NON_NEG int64 — exact, no clamp
+                    out.append(struct.pack(">q", vsize))
+                else:
+                    # vsize is UNSIGNED 32-bit per the classic spec (and
+                    # clamped to 2^32-1 for larger variables — readers
+                    # recompute real sizes from dims, as ours does); a
+                    # signed pack would raise on any slab >= 2 GiB
+                    out.append(struct.pack(">I", min(vsize, 2**32 - 1)))
                 fmt = ">i" if version == 1 else ">q"
                 out.append(struct.pack(fmt, begins.get(v.name, 0)))
         else:
-            out.append(struct.pack(">ii", 0, 0))
+            out.append(struct.pack(">i", 0) + _nn(version, 0))
         return b"".join(out)
 
     # two-pass layout: measure the header with zero begins, then place
@@ -237,10 +285,21 @@ def write_netcdf3(
         end = rec_off + numrecs * recsize
         return begins, end
 
-    begins, end = layout(1)
-    version = 1 if end < 2**31 else 2
-    if version == 2:
-        begins, _ = layout(2)
+    needs_cdf5 = any(v.nc_type in _CDF5_ONLY for v in infos)
+    if version is None:
+        if needs_cdf5:
+            version = 5
+        else:
+            begins, end = layout(1)
+            version = 1 if end < 2**31 else 2
+    elif needs_cdf5 and version != 5:
+        raise ValueError(
+            "unsigned/64-bit variable types require a CDF-5 file "
+            "(version=5)"
+        )
+    elif version not in (1, 2, 5):
+        raise ValueError(f"unsupported NetCDF version {version}")
+    begins, _ = layout(version)
 
     with open(path, "wb") as f:
         f.write(header_bytes(version, begins))
@@ -270,6 +329,7 @@ def create_netcdf3(
     numrecs: int,
     attrs: dict | None = None,
     var_attrs: dict[str, dict] | None = None,
+    version: int | None = None,
 ) -> None:
     """Create a classic file with the full header and the data region
     PREALLOCATED (zero-filled) for ``numrecs`` records, but no record
@@ -288,7 +348,7 @@ def create_netcdf3(
         fixed_shape = tuple(dims[d] for d in (vdims[1:] if is_rec else vdims))
         n = (numrecs,) + fixed_shape if is_rec else fixed_shape
         shaped[name] = np.zeros(n, dtype=dt)
-    write_netcdf3(path, dims, variables, shaped, attrs, var_attrs)
+    write_netcdf3(path, dims, variables, shaped, attrs, var_attrs, version)
 
 
 def pwrite_records(
@@ -360,8 +420,10 @@ def append_records(path: str, var_blocks: dict[str, np.ndarray]) -> int:
                 out += raw
         os.pwrite(fd, bytes(out), rec_base + nc.numrecs * nc.recsize)
         # publish: numrecs patch LAST, so concurrent readers never see
-        # a count that exceeds the data actually on disk
-        os.pwrite(fd, struct.pack(">i", nc.numrecs + n), 4)
+        # a count that exceeds the data actually on disk (NON_NEG field:
+        # int32 in CDF-1/2, int64 in CDF-5)
+        fmt = ">q" if nc.version == 5 else ">i"
+        os.pwrite(fd, struct.pack(fmt, nc.numrecs + n), 4)
     finally:
         os.close(fd)
     return nc.numrecs + n
@@ -383,8 +445,11 @@ class NetCDF3File:
     def __post_init__(self):
         with open(self.path, "rb") as f:
             header = f.read(1 << 20)  # classic headers are USUALLY KB-sized
-        if header[:3] != b"CDF" or header[3] not in (1, 2):
-            raise ValueError(f"{self.path}: not a NetCDF classic file")
+        if header[:3] != b"CDF" or header[3] not in (1, 2, 5):
+            raise ValueError(
+                f"{self.path}: not a NetCDF classic/CDF-5 file (NetCDF-4 "
+                "= HDF5 container is out of scope without netCDF4/h5py)"
+            )
 
         def need(pos: int, nbytes: int) -> None:
             """Grow the header buffer when parsing approaches its end.
@@ -406,25 +471,36 @@ class NetCDF3File:
                 )
 
         self.version = header[3]
+        # NON_NEG header integers: int32 in CDF-1/2, int64 in CDF-5
+        nn_fmt = ">q" if self.version == 5 else ">i"
+        nn_w = 8 if self.version == 5 else 4
+
+        def read_nn(pos: int) -> tuple[int, int]:
+            need(pos, nn_w)
+            (v,) = struct.unpack_from(nn_fmt, header, pos)
+            return v, pos + nn_w
+
         pos = 4
-        (raw_numrecs,) = struct.unpack_from(">i", header, pos)
+        raw_numrecs, pos = read_nn(pos)
         if raw_numrecs == -1:
             raise ValueError("STREAMING numrecs not supported")
         self.numrecs = raw_numrecs
-        pos += 4
 
         def read_name(pos: int) -> tuple[str, int]:
-            need(pos, 4)
-            (n,) = struct.unpack_from(">i", header, pos)
-            pos += 4
+            n, pos = read_nn(pos)
             need(pos, _pad4(n))
             name = header[pos : pos + n].decode("utf-8")
             return name, pos + _pad4(n)
 
+        def read_tag(pos: int) -> tuple[int, int, int]:
+            """list header: int32 tag + NON_NEG count."""
+            need(pos, 4)
+            (tag,) = struct.unpack_from(">i", header, pos)
+            nelems, pos = read_nn(pos + 4)
+            return tag, nelems, pos
+
         def read_att_list(pos: int) -> tuple[dict, int]:
-            need(pos, 8)
-            tag, nelems = struct.unpack_from(">ii", header, pos)
-            pos += 8
+            tag, nelems, pos = read_tag(pos)
             out: dict = {}
             if tag == 0:
                 return out, pos
@@ -432,9 +508,9 @@ class NetCDF3File:
                 raise ValueError(f"bad attribute tag {tag:#x}")
             for _ in range(nelems):
                 name, pos = read_name(pos)
-                need(pos, 8)
-                nc_type, n = struct.unpack_from(">ii", header, pos)
-                pos += 8
+                need(pos, 4)
+                (nc_type,) = struct.unpack_from(">i", header, pos)
+                n, pos = read_nn(pos + 4)
                 dt = _NC_TO_NP[nc_type]
                 nbytes = n * dt.itemsize
                 need(pos, _pad4(nbytes))
@@ -448,16 +524,12 @@ class NetCDF3File:
             return out, pos
 
         # dim_list
-        need(pos, 8)
-        tag, nelems = struct.unpack_from(">ii", header, pos)
-        pos += 8
+        tag, nelems, pos = read_tag(pos)
         dim_names: list[str] = []
         if tag == _TAG_DIM:
             for _ in range(nelems):
                 name, pos = read_name(pos)
-                need(pos, 4)
-                (length,) = struct.unpack_from(">i", header, pos)
-                pos += 4
+                length, pos = read_nn(pos)
                 self.dims[name] = None if length == 0 else length
                 dim_names.append(name)
                 if length == 0:
@@ -468,25 +540,33 @@ class NetCDF3File:
         self.attrs, pos = read_att_list(pos)
 
         # var_list
-        need(pos, 8)
-        tag, nelems = struct.unpack_from(">ii", header, pos)
-        pos += 8
+        tag, nelems, pos = read_tag(pos)
         if tag == _TAG_VAR:
             for _ in range(nelems):
                 name, pos = read_name(pos)
-                need(pos, 4)
-                (ndims,) = struct.unpack_from(">i", header, pos)
-                pos += 4
-                need(pos, 4 * ndims)
-                dimids = struct.unpack_from(f">{ndims}i", header, pos)
-                pos += 4 * ndims
+                ndims, pos = read_nn(pos)
+                need(pos, nn_w * ndims)
+                dimids = struct.unpack_from(
+                    f">{ndims}{'q' if self.version == 5 else 'i'}",
+                    header,
+                    pos,
+                )
+                pos += nn_w * ndims
                 vattrs, pos = read_att_list(pos)
-                # vsize is unsigned (clamped for >= 4 GiB vars); it is
-                # advisory only — real sizes come from dims
-                need(pos, 8 + (4 if self.version == 1 else 8))
-                nc_type, _vsize = struct.unpack_from(">iI", header, pos)
-                pos += 8
+                # classic vsize is unsigned int32 (clamped for >= 4 GiB
+                # vars) and advisory only — real sizes come from dims;
+                # CDF-5 vsize is an exact NON_NEG int64
+                need(pos, 4)
+                (nc_type,) = struct.unpack_from(">i", header, pos)
+                pos += 4
+                if self.version == 5:
+                    need(pos, 8)
+                    pos += 8  # vsize (exact, unused — recomputed)
+                else:
+                    need(pos, 4)
+                    pos += 4  # vsize (clamped, unused — recomputed)
                 fmt = ">i" if self.version == 1 else ">q"
+                need(pos, 4 if self.version == 1 else 8)
                 (begin,) = struct.unpack_from(fmt, header, pos)
                 pos += 4 if self.version == 1 else 8
                 is_rec = bool(dimids) and dim_names[dimids[0]] == self._rec_dim

@@ -47,7 +47,21 @@ from netcdf4_variable_streamer_spark.sources.netcdf3 import NetCDF3File
 
 FORMAT3_NAME = "netcdf3"
 
-_NC_SPARK = {1: "byte", 3: "short", 4: "int", 5: "float", 6: "double"}
+# NetCDF external type -> (Spark column type, numpy dtype emitted by
+# read()). CDF-5's unsigned types widen to the next signed Spark type
+# (Spark has no unsigned ints — SURVEY §1.2); NC_UINT64 has no lossless
+# signed container and is rejected at schema time with a clear error.
+_NC_SPARK = {
+    1: ("byte", "i1"),
+    3: ("short", "i2"),
+    4: ("int", "i4"),
+    5: ("float", "f4"),
+    6: ("double", "f8"),
+    7: ("short", "i2"),  # NC_UBYTE
+    8: ("int", "i4"),  # NC_USHORT
+    9: ("long", "i8"),  # NC_UINT
+    10: ("long", "i8"),  # NC_INT64
+}
 
 
 @dataclass
@@ -76,7 +90,14 @@ def _spark_schema(nc: NetCDF3File) -> str:
     fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
     parts = [f"{nc.record_dim}_idx long"]
     parts += [f"{d}_idx int" for d in fixed]
-    parts += [f"{v.name} {_NC_SPARK[v.nc_type]}" for v in rvs]
+    for v in rvs:
+        if v.nc_type not in _NC_SPARK:
+            raise ValueError(
+                f"{nc.path}: variable {v.name} has NetCDF type "
+                f"{v.nc_type} (NC_UINT64?) with no lossless Spark "
+                "integer container — convert at write time"
+            )
+        parts.append(f"{v.name} {_NC_SPARK[v.nc_type][0]}")
     return ", ".join(parts)
 
 
@@ -205,9 +226,10 @@ class NetCDF3Reader(DataSourceReader):
             if v.name not in wanted:
                 continue  # pruned variable: its bytes are never touched
             block = nc.read_records(v.name, partition.lo, partition.hi)
-            # strip the big-endian byte order for Arrow
+            # native byte order + the declared Spark width (unsigned
+            # CDF-5 types widen to the next signed type here)
             arrays[v.name] = block.reshape(-1).astype(
-                v.dtype.newbyteorder("="), copy=False
+                np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
             )
         cols = [pa.array(arrays[c]) for c in self.columns]
         tbl = pa.table(cols, names=self.columns)
@@ -261,7 +283,7 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
             cols[v.name] = (
                 nc.read_records(v.name, lo, hi)
                 .reshape(-1)
-                .astype(v.dtype.newbyteorder("="), copy=False)
+                .astype(np.dtype(_NC_SPARK[v.nc_type][1]), copy=False)
             )
         ordered = [cols[c] for c in self.columns]
         return [tuple(row) for row in zip(*(c.tolist() for c in ordered))]

@@ -33,6 +33,9 @@ _SETTINGS = settings(
 )
 
 _NC_DTYPES = ["int8", "int16", "int32", "float32", "float64"]
+# CDF-5-only dtypes — drawing any of these makes the writer emit a
+# version-5 file, so the fuzz walks the 64-bit header grammar too
+_CDF5_DTYPES = _NC_DTYPES + ["uint8", "uint16", "uint32", "int64", "uint64"]
 
 
 @st.composite
@@ -43,6 +46,7 @@ def _nc_case(draw):
     )
     n_rec_vars = draw(st.integers(1, 3))
     n_fixed_vars = draw(st.integers(0, 2))
+    dtype_pool = _CDF5_DTYPES if draw(st.booleans()) else _NC_DTYPES
     rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
     dims = {"t": None}
     for i, n in enumerate(fixed_dims):
@@ -50,13 +54,13 @@ def _nc_case(draw):
     fixed_names = tuple(f"d{i}" for i in range(len(fixed_dims)))
     variables, data = {}, {}
     for i in range(n_rec_vars):
-        dt = draw(st.sampled_from(_NC_DTYPES))
+        dt = draw(st.sampled_from(dtype_pool))
         variables[f"rv{i}"] = (dt, ("t",) + fixed_names)
         shape = (numrecs, *fixed_dims)
         raw = rng.randint(-100, 100, size=shape)
         data[f"rv{i}"] = raw.astype(dt)
     for i in range(n_fixed_vars):
-        dt = draw(st.sampled_from(_NC_DTYPES))
+        dt = draw(st.sampled_from(dtype_pool))
         variables[f"fv{i}"] = (dt, fixed_names)
         data[f"fv{i}"] = rng.randint(-100, 100, size=tuple(fixed_dims)).astype(dt)
     return dims, variables, data, numrecs
@@ -90,7 +94,7 @@ def test_netcdf3_roundtrip_fuzz(tmp_path_factory, case):
     n_extra=st.integers(1, 6),
     seed=st.integers(0, 2**31 - 1),
     fixed=st.integers(1, 4),
-    dt=st.sampled_from(_NC_DTYPES),
+    dt=st.sampled_from(_CDF5_DTYPES),
 )
 def test_netcdf3_append_fuzz(tmp_path_factory, n_extra, seed, fixed, dt):
     rng = np.random.RandomState(seed)

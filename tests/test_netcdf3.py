@@ -149,6 +149,213 @@ def test_single_record_var_is_unpadded(tmp_path):
     assert os.path.getsize(path) == begin + 4 * 3
 
 
+def _golden_cdf5() -> bytes:
+    """Hand-assembled CDF-5 ("64-bit data", PnetCDF spec) minimal file:
+    dims time(record), x=2; one NC_INT64 record var v(time, x);
+    numrecs=2; data [[1,2],[3,4]]. Every NON_NEG field is int64 (numrecs,
+    nelems, name lengths, dim lengths, ndims, dimids, vsize); tags and
+    nc_type stay int32; ABSENT = int32 0 + int64 0; begin is int64.
+    Header = 156 bytes; begin = 156."""
+    h = b"CDF\x05"
+    h += struct.pack(">q", 2)  # numrecs (int64)
+    h += struct.pack(">iq", 0x0A, 2)  # NC_DIMENSION, 2 dims
+    h += struct.pack(">q", 4) + b"time"  # name 'time'
+    h += struct.pack(">q", 0)  # record dim: length 0
+    h += struct.pack(">q", 1) + b"x\x00\x00\x00"  # name 'x'
+    h += struct.pack(">q", 2)  # x = 2
+    h += struct.pack(">iq", 0, 0)  # gatt ABSENT
+    h += struct.pack(">iq", 0x0B, 1)  # NC_VARIABLE, 1 var
+    h += struct.pack(">q", 1) + b"v\x00\x00\x00"  # name 'v'
+    h += struct.pack(">q", 2)  # ndims (int64)
+    h += struct.pack(">qq", 0, 1)  # dimids (int64 each)
+    h += struct.pack(">iq", 0, 0)  # vatt ABSENT
+    h += struct.pack(">i", 10)  # NC_INT64
+    h += struct.pack(">q", 16)  # vsize (int64, exact)
+    h += struct.pack(">q", 156)  # begin (int64)
+    data = struct.pack(">4q", 1, 2, 3, 4)
+    return h + data
+
+
+def test_cdf5_writer_matches_golden_bytes(tmp_path):
+    path = os.path.join(tmp_path, "g5.nc")
+    write_netcdf3(
+        path,
+        dims={"time": None, "x": 2},
+        variables={"v": ("int64", ("time", "x"))},
+        data={"v": np.array([[1, 2], [3, 4]], dtype=np.int64)},
+    )
+    assert open(path, "rb").read() == _golden_cdf5()
+
+
+def test_cdf5_reader_parses_golden_bytes(tmp_path):
+    path = os.path.join(tmp_path, "g5.nc")
+    with open(path, "wb") as f:
+        f.write(_golden_cdf5())
+    nc = NetCDF3File(path)
+    assert nc.version == 5
+    assert nc.numrecs == 2
+    assert nc.dims == {"time": None, "x": 2}
+    v = nc.variables["v"]
+    assert v.is_record and v.shape == (2,) and v.nc_type == 10
+    np.testing.assert_array_equal(
+        nc.read_records("v"), np.array([[1, 2], [3, 4]], dtype=np.int64)
+    )
+
+
+def test_cdf5_version_selection(tmp_path):
+    # any CDF-5-only dtype auto-bumps; classic dtypes stay CDF-1;
+    # forcing version 1/2 with a CDF-5 dtype is a loud error
+    p1 = os.path.join(tmp_path, "v1.nc")
+    write_netcdf3(
+        p1,
+        dims={"t": None},
+        variables={"v": ("int32", ("t",))},
+        data={"v": np.arange(3, dtype=np.int32)},
+    )
+    assert NetCDF3File(p1).version == 1
+    for dt in ("uint8", "uint16", "uint32", "int64", "uint64"):
+        p5 = os.path.join(tmp_path, f"v5_{dt}.nc")
+        write_netcdf3(
+            p5,
+            dims={"t": None},
+            variables={"v": (dt, ("t",))},
+            data={"v": np.arange(3).astype(dt)},
+        )
+        assert NetCDF3File(p5).version == 5, dt
+    with pytest.raises(ValueError, match="CDF-5"):
+        write_netcdf3(
+            os.path.join(tmp_path, "bad.nc"),
+            dims={"t": None},
+            variables={"v": ("int64", ("t",))},
+            data={"v": np.arange(3, dtype=np.int64)},
+            version=1,
+        )
+
+
+def test_cdf5_roundtrip_attrs_and_append(tmp_path):
+    """CDF-5 round trip with 64-bit attribute promotion (an integer
+    attribute >= 2^31 becomes NC_INT64 instead of the classic loud
+    error), fixed+record mix of unsigned types, and append (numrecs
+    patch is the 8-byte NON_NEG field)."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        append_records,
+    )
+
+    path = os.path.join(tmp_path, "rt5.nc")
+    rec = np.array([[1, 2**40], [3, 4]], dtype=np.int64)
+    cnt = np.array([[250, 251], [252, 253]], dtype=np.uint8)
+    big = np.array([2**63 - 1, 7], dtype=np.uint64)
+    write_netcdf3(
+        path,
+        dims={"t": None, "x": 2},
+        variables={
+            "v": ("int64", ("t", "x")),
+            "c": ("uint8", ("t", "x")),
+            "big": ("uint64", ("x",)),
+        },
+        data={"v": rec, "c": cnt, "big": big},
+        attrs={"huge": 2**40, "small": 3},
+    )
+    nc = NetCDF3File(path)
+    assert nc.version == 5
+    assert int(nc.attrs["huge"]) == 2**40
+    assert int(nc.attrs["small"]) == 3
+    np.testing.assert_array_equal(nc.read_records("v"), rec)
+    np.testing.assert_array_equal(nc.read_records("c"), cnt)
+    np.testing.assert_array_equal(nc.read_fixed("big"), big)
+    assert append_records(
+        path,
+        {
+            "v": np.array([[5, 6]], dtype=np.int64),
+            "c": np.array([[9, 9]], dtype=np.uint8),
+        },
+    ) == 3
+    nc2 = NetCDF3File(path)
+    assert nc2.numrecs == 3
+    np.testing.assert_array_equal(
+        nc2.read_records("v", 2, 3), np.array([[5, 6]], dtype=np.int64)
+    )
+
+
+def test_cdf5_spark_scan_widens_unsigned(spark, tmp_path):
+    """The DataSource scans a CDF-5 file: int64 -> long, uint16 -> int
+    (next signed container), values exact; NC_UINT64 record vars are
+    rejected at schema time with a clear error."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    path = os.path.join(tmp_path, "scan5.nc")
+    v = (np.arange(12, dtype=np.int64) * 2**40).reshape(6, 2)
+    u = (np.arange(12) * 5000).astype(np.uint16).reshape(6, 2)
+    write_netcdf3(
+        path,
+        dims={"t": None, "x": 2},
+        variables={
+            "v": ("int64", ("t", "x")),
+            "u": ("uint16", ("t", "x")),
+        },
+        data={"v": v, "u": u},
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    df = spark.read.format(FORMAT3_NAME).option("path", path).load()
+    dt = dict(df.dtypes)
+    assert dt["v"] == "bigint" and dt["u"] == "int"
+    pdf = df.orderBy("t_idx", "x_idx").toPandas()
+    np.testing.assert_array_equal(pdf["v"].to_numpy(), v.reshape(-1))
+    np.testing.assert_array_equal(pdf["u"].to_numpy(), u.reshape(-1))
+
+    bad = os.path.join(tmp_path, "u64.nc")
+    write_netcdf3(
+        bad,
+        dims={"t": None},
+        variables={"w": ("uint64", ("t",))},
+        data={"w": np.arange(3, dtype=np.uint64)},
+    )
+    with pytest.raises(Exception, match="NC_UINT64"):
+        spark.read.format(FORMAT3_NAME).option("path", bad).load().schema
+
+
+def test_mixed_version_multifile_scan(spark, tmp_path):
+    """A directory may mix CDF-1 and CDF-5 members (an archive that
+    upgraded formats mid-stream): version is per-file, the dataset
+    signature (schema + fixed extents) is what must agree."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    d = os.path.join(tmp_path, "mixed")
+    os.makedirs(d)
+    for i, ver in enumerate([None, 5]):  # auto->CDF-1, forced CDF-5
+        write_netcdf3(
+            os.path.join(d, f"part-{i}.nc"),
+            dims={"t": None, "x": 2},
+            variables={"v": ("float32", ("t", "x"))},
+            data={
+                "v": (np.arange(8, dtype=np.float32) + 100 * i).reshape(
+                    4, 2
+                )
+            },
+            version=ver,
+        )
+    assert NetCDF3File(os.path.join(d, "part-0.nc")).version == 1
+    assert NetCDF3File(os.path.join(d, "part-1.nc")).version == 5
+    spark.dataSource.register(NetCDF3DataSource)
+    df = spark.read.format(FORMAT3_NAME).option("path", d).load()
+    pdf = df.orderBy("t_idx", "x_idx").toPandas()
+    assert len(pdf) == 16
+    # global record index spans the version boundary contiguously
+    assert pdf["t_idx"].tolist() == sorted([i for i in range(8)] * 2)
+    np.testing.assert_array_equal(
+        pdf["v"].to_numpy()[:4], [0.0, 1.0, 2.0, 3.0]
+    )
+    np.testing.assert_array_equal(
+        pdf["v"].to_numpy()[-4:], [104.0, 105.0, 106.0, 107.0]
+    )
+
+
 @pytest.fixture(scope="module")
 def nc3_grid(tmp_path_factory):
     """A 48-record grid .nc written by the codec, plus its arrays."""
