@@ -722,3 +722,185 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(pack) % _URL_PACK).alias("keep_doc_id"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "q_dedup_lines",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id, words,
+         GREATEST(CAST(1 AS BIGINT), (len(words) + 7) // 8) AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, t.cid,
+         array_to_string(
+           list_slice(words, t.cid * 8 + 1, t.cid * 8 + 8), ' ') AS chunk
+  FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(cid)
+),
+keeper AS (
+  SELECT chunk, MIN(doc_id) AS keep_doc FROM chunks GROUP BY chunk
+)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN k.keep_doc < ch.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN k.keep_doc < ch.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS dup_frac
+FROM chunks ch JOIN keeper k ON ch.chunk = k.chunk
+GROUP BY ch.doc_id
+""",
+    doc="Cross-document chunk-level exact dedup — the paragraph/line "
+        "dedup step of C4/RefinedWeb/Dolma (duplicated boilerplate "
+        "paragraphs are removed from LATER documents while the earliest "
+        "occurrence keeps them; document-level dedup misses these "
+        "partial overlaps, span dedup (q_dedup_ngram_spans) reports "
+        "overlap but not the remove-set): documents are segmented into "
+        "deterministic 8-token chunks (the corpus has no newlines, so "
+        "fixed windows stand in for lines), each distinct chunk elects "
+        "its keeper (min doc_id), and every document reports how many "
+        "of its chunks are duplicates of an earlier document. Scale "
+        "shape: chunking is a zero-shuffle map-side explode, the keeper "
+        "election is ONE chunk-keyed agg (map-side combine), the "
+        "score-back is ONE chunk-keyed equi-join, per-doc rollup is one "
+        "keyed agg — no quadratic stage, no window sort; at 100 TB the "
+        "chunk table is the corpus itself re-keyed, exactly the shape "
+        "of the production paragraph-dedup jobs.",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("words"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"), F.expr("(size(words) + 7) div 8")
+    )
+    chunks = (
+        w.select("doc_id", "words", n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias("cid"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    "words", (F.col("cid") * 8 + 1).cast("int"), 8
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    keeper = chunks.groupBy("chunk").agg(F.min("doc_id").alias("keep_doc"))
+    dup = F.when(F.col("keep_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        chunks.join(keeper, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "q_curriculum_order",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
+),
+freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM tok) AS total,
+         (SELECT COUNT(*) FROM freq) AS vsz
+),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN f.c * tot.vsz < tot.total THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
+  FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+staged AS (
+  SELECT doc_id, n_tokens, n_rare,
+         n_tokens + 5 * n_rare AS difficulty,
+         LEAST(CAST(3 AS BIGINT), (n_tokens + 5 * n_rare) // 96) AS stage,
+         SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM per_doc
+)
+SELECT doc_id, difficulty, stage, bucket,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY stage, bucket
+         ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS rank_in_bucket
+FROM staged
+""",
+    doc="Curriculum construction for pretraining: each document gets an "
+        "integer difficulty score (token count + 5x rare-token count; "
+        "rare = below-mean corpus frequency, computed as c*V < total to "
+        "stay division-free), a curriculum stage (easy->hard buckets "
+        "fed to training in order), and a DETERMINISTIC shuffle order "
+        "within its stage. The order is two-level — md5 prefix bucket "
+        "(256 per stage) then rank within (stage, bucket) — because a "
+        "single per-stage ROW_NUMBER is a 4-partition sort that dies at "
+        "100 TB, while (stage, bucket) gives 1024-way parallel windows "
+        "and readers recover the total order by concatenating buckets "
+        "in hex order: the distributed deterministic-shuffle pattern "
+        "production data loaders use. Rare-token model is one "
+        "vocab-sized agg broadcast back (grows ~log corpus); "
+        "everything else is doc-keyed.",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # scalar: corpus token count
+    vsz = freq.count()  # scalar: vocabulary size (bounded)
+    per_doc = (
+        tok.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c") * vsz < total, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    diff = F.col("n_tokens") + 5 * F.col("n_rare")
+    staged = per_doc.select(
+        "doc_id",
+        diff.alias("difficulty"),
+        F.least(
+            F.lit(3).cast("long"), F.expr("(n_tokens + 5 * n_rare) div 96")
+        ).alias("stage"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "bucket"
+        ),
+    )
+    win = Window.partitionBy("stage", "bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return staged.select(
+        "doc_id",
+        "difficulty",
+        "stage",
+        "bucket",
+        F.row_number().over(win).cast("long").alias("rank_in_bucket"),
+    )

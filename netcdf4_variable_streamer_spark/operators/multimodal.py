@@ -572,3 +572,105 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_channels int, "
         "pixel_checksum long",
     )
+
+
+@register(
+    "q_multimodal_audio_vad",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 13 + t.i * (3 + d.doc_id % 5)) % 2001) - 1000 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 399 + CAST(d.doc_id % 7 AS INTEGER) * 100))
+         AS t(i)
+),
+frames AS (
+  SELECT doc_id, i // 160 AS frame,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, i // 160
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN energy > 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_voiced,
+       CAST(SUM(CASE WHEN energy > 50000000 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS voiced_frac,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(MAX(energy) AS BIGINT) AS max_frame_energy
+FROM frames GROUP BY doc_id
+""",
+    doc="Frame-level voice-activity detection over real WAV payloads — "
+        "the first step of every speech-corpus pipeline (silence "
+        "trimming, speech-ratio filtering, segment selection): the "
+        "closed-form int16 waveform of q_multimodal_audio_decode is "
+        "encoded to RIFF/WAVE PCM16 bytes (pure-NumPy codec), shipped "
+        "as an opaque binary column, decoded back, and cut into "
+        "10 ms-at-16 kHz frames (160 samples); each frame's integer "
+        "energy gates a voiced/unvoiced decision and the document "
+        "reports frame counts, voiced fraction, and energy stats — all "
+        "exact integers (plus one exact int/int division), so the SQL "
+        "regeneration hash-matches bit-for-bit. Scale shape: encode "
+        "and decode+frame are each one zero-shuffle mapInPandas (the "
+        "frames of a payload are colocated by construction — framing "
+        "runs INSIDE the decode UDF, no per-frame rows ever shuffle); "
+        "parallelism = scan parallelism at 100 TB.",
+)
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    FRAME = 160
+    THRESH = 50_000_000
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + (d % 7) * 100
+                i = np.arange(n, dtype=np.int64)
+                v = ((d * 13 + i * (3 + d % 5)) % 2001) - 1000
+                payloads.append(encode_wav_pcm16(v.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def vad(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, _rate = decode_wav_pcm16(bytes(payload))
+                v = s.astype(np.int64)
+                n = len(v)
+                n_frames = -(-n // FRAME)
+                pad = np.zeros(n_frames * FRAME, dtype=np.int64)
+                pad[:n] = v
+                energy = (pad * pad).reshape(n_frames, FRAME).sum(axis=1)
+                voiced = int((energy > THRESH).sum())
+                rows.append(
+                    (
+                        d,
+                        n_frames,
+                        voiced,
+                        voiced / n_frames,
+                        int(energy.sum()),
+                        int(energy.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_voiced", "voiced_frac",
+                    "total_energy", "max_frame_energy",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        vad,
+        "doc_id long, n_frames long, n_voiced long, voiced_frac double, "
+        "total_energy long, max_frame_energy long",
+    )

@@ -888,3 +888,80 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").alias("sum_ids"),
         F.sum("dist").alias("inertia"),
     )
+
+
+@register(
+    "q_emb_int8_quantize",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+         list_max(list_transform(embedding, v -> ABS(CAST(v AS DOUBLE))))
+           AS amax
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, x, amax, 127.0 / amax AS scale FROM b
+),
+qq AS (
+  SELECT vec_id, label, x, amax, scale,
+         list_transform(x, v -> GREATEST(CAST(-127 AS BIGINT),
+           LEAST(CAST(127 AS BIGINT),
+                 CAST(FLOOR(v * scale + 0.5) AS BIGINT)))) AS q
+  FROM s
+)
+SELECT vec_id, label,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, v -> ABS(v))) AS BIGINT)
+         AS q_abs_sum,
+       CAST(list_sum(list_transform(generate_series(1, len(x)),
+         i -> CAST(FLOOR(ABS(x[i] - CAST(q[i] AS DOUBLE) / scale)
+                         * 10000000) AS BIGINT))) AS BIGINT) AS err_ppm,
+       CAST(FLOOR(amax * 10000000) AS BIGINT) AS amax_fp
+FROM qq
+""",
+    doc="Symmetric per-vector int8 quantization of the embedding column "
+        "— the compression step ANN serving applies before indexing "
+        "(4x memory cut, SIMD int8 dot products): scale = 127/max|x|, "
+        "q_i = clamp(round-half-up(x_i*scale)), plus the exact "
+        "fixed-point reconstruction error sum per vector. Round-half-up "
+        "is FLOOR(v+0.5) — identical in both engines (no banker's-"
+        "rounding tie drift) — and the error/checksum columns are "
+        "integer-exact, so the whole pipeline hash-matches. Scale "
+        "posture: pure map-side expression over the scan, ZERO "
+        "shuffles (plan-asserted); at 100 TB this runs at scan speed "
+        "and the int8 vectors feed q_sim_pq_codes/q_sim_ivf_ann.",
+)
+def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    b = e.select("vec_id", "label", x.alias("x"), amax.alias("amax"))
+    scale = F.lit(127.0) / F.col("amax")
+    q = F.transform(
+        F.col("x"),
+        lambda v: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"), F.floor(v * scale + 0.5)),
+        ),
+    )
+    qq = b.select("vec_id", "label", "x", "amax", q.alias("q"))
+    lsum = lambda c: F.aggregate(  # noqa: E731  (sequential exact fold)
+        c, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    err = F.zip_with(
+        F.col("x"),
+        F.col("q"),
+        lambda xv, qv: F.floor(
+            F.abs(xv - qv.cast("double") / (F.lit(127.0) / F.col("amax")))
+            * 1e7
+        ),
+    )
+    return qq.select(
+        "vec_id",
+        "label",
+        lsum(F.col("q")).alias("q_sum"),
+        lsum(F.transform(F.col("q"), lambda v: F.abs(v))).alias("q_abs_sum"),
+        lsum(err).alias("err_ppm"),
+        F.floor(F.col("amax") * 1e7).alias("amax_fp"),
+    )

@@ -921,3 +921,94 @@ def q_text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_sent_len_x100"),
         F.max(F.length("sent")).alias("max_sent_len"),
     )
+
+
+@register(
+    "q_text_bigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, UNNEST(w) AS tok FROM toks
+),
+v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bgc AS (
+  SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, COUNT(*) AS c_u FROM bg GROUP BY w1
+),
+lm AS (
+  SELECT bgc.w1, bgc.w2, bgc.c_bg, ctx.c_u
+  FROM bgc JOIN ctx USING (w1)
+),
+scored AS (
+  SELECT b.doc_id,
+         LN(CAST(lm.c_bg + 1 AS DOUBLE) / (lm.c_u + v.vsz)) AS lp
+  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2 CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(SUM(lp) / COUNT(*), 4) AS avg_bigram_logprob
+FROM scored
+GROUP BY doc_id
+""",
+    doc="Bigram language-model quality score with add-1 smoothing — the "
+        "next-order sibling of q_text_unigram_logprob (KenLM-style "
+        "perplexity filters are THE standard quality gate in pretraining "
+        "pipelines; a bigram model catches scrambled word salad that "
+        "unigram frequency cannot): corpus bigram counts become the "
+        "model, P(w2|w1) = (c+1)/(ctx+V), each document scores its mean "
+        "bigram log-probability. Bigrams come from per-doc array "
+        "slicing (zip of the token array with its own shift) — ZERO "
+        "shuffle to form them; the model is two gram-keyed aggs joined "
+        "into one lm table and ONE score-back equi-join on (w1, w2). "
+        "The lm table is vocabulary-squared-bounded (grows ~log corpus), "
+        "never broadcast-forced — the planner picks broadcast at small "
+        "scale, shuffle-hash at 100 TB. Mean rounded to 4 decimals to "
+        "absorb float-sum order drift (house convention).",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("w"),
+    )
+    tok = toks.select(F.explode("w").alias("tok"))
+    vsz = tok.select("tok").distinct().count()  # scalar: vocab size
+    n = F.size("w")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(
+                    "w", 2, F.greatest(n - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_u"))
+    lm = bgc.join(ctx, "w1")
+    scored = bg.join(lm, ["w1", "w2"]).select(
+        "doc_id",
+        F.log(
+            (F.col("c_bg") + 1).cast("double")
+            / (F.col("c_u") + F.lit(vsz))
+        ).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias(
+            "avg_bigram_logprob"
+        ),
+    )

@@ -113,6 +113,12 @@ CANONICAL_ORDER: list[str] = [
     "q_rfm_segments",
     "q_union_schema_evolution",
     "q_win_gap_interpolate",
+    # -- round-4 additions (born dtype-strict; never driver-checked) --
+    "q_emb_int8_quantize",
+    "q_text_bigram_logprob",
+    "q_dedup_lines",
+    "q_curriculum_order",
+    "q_multimodal_audio_vad",
     "snk_netcdf3_write",
     "q_dedup_url_canonical",
     "src_netcdf3_stream_tail",

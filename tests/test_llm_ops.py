@@ -208,3 +208,77 @@ def test_multimodal_resize_plumbing(spark):
     )
     assert len(got) == 2
     assert bytes(got.loc[0, "pixels"]) == bytes(out.loc[0, "pixels"])
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_emb_int8_quantize(check):
+    """Quantized values stay in [-127,127]; reconstruction error per
+    64-dim vector is bounded by 64 * (0.5/scale) — for unit-ish vectors
+    that is well under 0.5 total (5e6 at the 1e7 fixed point)."""
+    pdf = check("q_emb_int8_quantize")
+    assert (pdf["q_abs_sum"] <= 127 * 64).all()
+    assert (pdf["err_ppm"] >= 0).all()
+    assert (pdf["err_ppm"] < 5_000_000).all()
+    # amax really is the max: at least one dim quantizes to +/-127
+    assert (pdf["q_abs_sum"] >= 127).all()
+
+
+def test_text_bigram_logprob(check):
+    """Log-probs are negative; add-1 smoothing bounds them below by
+    ln(1/(max_ctx + V)); bigram count is tokens-1 for non-empty docs."""
+    import numpy as np
+
+    pdf = check("q_text_bigram_logprob")
+    assert (pdf["avg_bigram_logprob"] < 0).all()
+    assert (pdf["n_bigrams"] >= 1).all()
+    assert np.isfinite(pdf["avg_bigram_logprob"]).all()
+
+
+def test_dedup_lines_keeper_semantics(check):
+    """The earliest doc keeps everything: the min doc_id in the corpus
+    must have zero duplicated chunks, and dup_frac = n_dup/n_chunks."""
+    import numpy as np
+
+    pdf = check("q_dedup_lines")
+    first = pdf.loc[pdf["doc_id"].idxmin()]
+    assert first["n_dup"] == 0
+    np.testing.assert_allclose(
+        pdf["dup_frac"], pdf["n_dup"] / pdf["n_chunks"]
+    )
+    assert (pdf["n_dup"] <= pdf["n_chunks"]).all()
+
+
+def test_curriculum_order(check):
+    """Stages are 0..3 and monotone in difficulty; ranks are dense
+    1..n within each (stage, bucket)."""
+    pdf = check("q_curriculum_order")
+    assert set(pdf["stage"]) <= {0, 1, 2, 3}
+    # monotone: every stage-s doc is no harder than any stage-(s+1) doc
+    bounds = pdf.groupby("stage")["difficulty"].agg(["min", "max"])
+    stages = sorted(bounds.index)
+    for lo, hi in zip(stages, stages[1:]):
+        assert bounds.loc[lo, "max"] <= bounds.loc[hi, "min"] + 95
+    for (_s, _b), grp in pdf.groupby(["stage", "bucket"]):
+        assert sorted(grp["rank_in_bucket"]) == list(
+            range(1, len(grp) + 1)
+        )
+
+
+def test_multimodal_audio_vad(check):
+    """Frame accounting: n_frames = ceil(n_samples/160) for the known
+    closed-form waveform lengths; voiced fraction in [0,1]; energy of
+    the max frame bounded by 160 * 1000^2."""
+    pdf = check("q_multimodal_audio_vad").set_index("doc_id")
+    for d in pdf.index[:50]:
+        n = 400 + (d % 7) * 100
+        assert pdf.loc[d, "n_frames"] == -(-n // 160)
+    assert ((pdf["voiced_frac"] >= 0) & (pdf["voiced_frac"] <= 1)).all()
+    assert (pdf["n_voiced"] <= pdf["n_frames"]).all()
+    assert (pdf["max_frame_energy"] <= 160 * 1000 * 1000).all()
+    # the threshold actually separates: both classes occur in-corpus
+    assert pdf["n_voiced"].sum() > 0
+    assert (pdf["n_voiced"] < pdf["n_frames"]).any()

@@ -403,3 +403,39 @@ def test_heatmap_no_cartesian(spark):
 def test_hierarchy_rollup_keyed_joins_only(spark):
     df = build(spark, "q_hierarchy_rollup")
     plans.assert_no_cartesian(df)
+
+
+def test_emb_quantize_zero_shuffles(spark):
+    # per-vector quantization is pure HOF expressions over the scan:
+    # no Exchange at all (SCALE.md [enforced])
+    df = build(spark, "q_emb_int8_quantize")
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_audio_vad_zero_shuffles(spark):
+    # framing runs inside the decode mapInPandas; per-frame rows never
+    # shuffle (SCALE.md [enforced])
+    df = build(spark, "q_multimodal_audio_vad")
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_dedup_lines_no_cartesian_no_global_sort(spark):
+    # keeper election + score-back are chunk-keyed; nothing quadratic,
+    # nothing globally sorted
+    df = build(spark, "q_dedup_lines")
+    plans.assert_no_cartesian(df)
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_curriculum_order_windows_are_bucketed(spark):
+    # the deterministic shuffle order must window on (stage, bucket),
+    # never on stage alone (4-partition sort): the Window node's
+    # partition spec carries both keys
+    import re
+
+    df = build(spark, "q_curriculum_order")
+    plan = plans.plan_string(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all("stage" in s and "bucket" in s for s in specs), specs
