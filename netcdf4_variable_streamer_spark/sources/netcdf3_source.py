@@ -25,7 +25,9 @@ edge, which is also what the reference's single-process writer implies.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from datetime import datetime
 
 import numpy as np
 import pyarrow as pa
@@ -46,6 +48,70 @@ from pyspark.sql.types import StructType
 from netcdf4_variable_streamer_spark.sources.netcdf3 import NetCDF3File
 
 FORMAT3_NAME = "netcdf3"
+
+def _fill_value(v) -> "np.ndarray | None":
+    """The variable's ``_FillValue`` cast to its own dtype, or None.
+
+    netCDF masked-array semantics (the reference inherits them from
+    netCDF4.Dataset): cells equal to ``_FillValue`` are MISSING data,
+    which in a DataFrame is NULL (SURVEY §1.2). The attribute is stored
+    as NC_DOUBLE/NC_INT(64) by the writer; casting to the variable's
+    dtype reproduces the cell bytes exactly, so the equality mask is
+    byte-faithful.
+    """
+    fv = v.attrs.get("_FillValue")
+    if fv is None:
+        return None
+    return np.asarray(fv).astype(v.dtype.newbyteorder("="))
+
+
+_CF_UNIT_US = {
+    "microseconds": 1,
+    "milliseconds": 1_000,
+    "seconds": 1_000_000,
+    "minutes": 60_000_000,
+    "hours": 3_600_000_000,
+    "days": 86_400_000_000,
+}
+_CF_UNITS_RE = re.compile(
+    r"^(microseconds|milliseconds|seconds|minutes|hours|days)\s+since\s+"
+    r"(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}:\d{2}))?$"
+)
+
+
+def _cf_time(v) -> tuple[int, int] | None:
+    """(epoch_base_us, unit_us) if the variable carries a CF time
+    ``units`` attribute ("<unit> since <date>"), else None.
+
+    NetCDF has no native timestamp type — time is numbers + this
+    convention (SURVEY §1.2). Decoding is OPT-IN (option
+    ``decode_cf_time``) because the reference's netCDF4 base class also
+    returns raw numbers and leaves num2date to the caller; dates are
+    proleptic-Gregorian UTC (the CF 'standard' calendar on or after
+    1582 — exotic calendars like 'noleap' are out of scope and the
+    attribute is left undecoded).
+    """
+    units = v.attrs.get("units")
+    if not isinstance(units, str):
+        return None
+    m = _CF_UNITS_RE.match(units.strip())
+    if not m:
+        return None
+    cal = v.attrs.get("calendar")
+    if isinstance(cal, str) and cal not in (
+        "standard",
+        "gregorian",
+        "proleptic_gregorian",
+    ):
+        return None  # exotic calendar: leave raw, caller decodes
+    base = datetime.fromisoformat(
+        m.group(2) + (" " + m.group(3) if m.group(3) else "")
+    )
+    base_us = int(
+        (base - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    return base_us, _CF_UNIT_US[m.group(1)]
+
 
 # NetCDF external type -> (Spark column type, numpy dtype emitted by
 # read()). CDF-5's unsigned types widen to the next signed Spark type
@@ -84,7 +150,7 @@ def _record_vars(nc: NetCDF3File) -> list:
     return rvs
 
 
-def _spark_schema(nc: NetCDF3File) -> str:
+def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
     rvs = _record_vars(nc)
     dim_names = list(nc.dims)
     fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
@@ -97,7 +163,12 @@ def _spark_schema(nc: NetCDF3File) -> str:
                 f"{v.nc_type} (NC_UINT64?) with no lossless Spark "
                 "integer container — convert at write time"
             )
-        parts.append(f"{v.name} {_NC_SPARK[v.nc_type][0]}")
+        if decode_cf_time and _cf_time(v) is not None:
+            # timestamp_ntz: CF times are calendar-naive UTC — no
+            # session-timezone reinterpretation on foreign sessions
+            parts.append(f"{v.name} timestamp_ntz")
+        else:
+            parts.append(f"{v.name} {_NC_SPARK[v.nc_type][0]}")
     return ", ".join(parts)
 
 
@@ -126,11 +197,18 @@ def _resolve_members(path: str) -> list[tuple[str, int, int]]:
 
 
 class NetCDF3Reader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType, target_partitions=None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        target_partitions=None,
+        decode_cf_time: bool = False,
+    ):
         import os
 
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        self.decode_cf_time = decode_cf_time
         self.members = _resolve_members(path)
         first = NetCDF3File(self.members[0][0])
 
@@ -222,16 +300,33 @@ class NetCDF3Reader(DataSourceReader):
             for i, d in enumerate(fixed):
                 if f"{d}_idx" in wanted:
                     arrays[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
+        masks: dict[str, np.ndarray] = {}
         for v in rvs:
             if v.name not in wanted:
                 continue  # pruned variable: its bytes are never touched
             block = nc.read_records(v.name, partition.lo, partition.hi)
-            # native byte order + the declared Spark width (unsigned
-            # CDF-5 types widen to the next signed type here)
-            arrays[v.name] = block.reshape(-1).astype(
-                np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
-            )
-        cols = [pa.array(arrays[c]) for c in self.columns]
+            flat = block.reshape(-1)
+            fv = _fill_value(v)
+            if fv is not None:
+                # _FillValue cells are missing data -> NULL (masked-array
+                # semantics of the reference's netCDF4 base class)
+                masks[v.name] = flat == fv
+            cf = _cf_time(v) if self.decode_cf_time else None
+            if cf is not None:
+                base_us, unit_us = cf
+                us = base_us + np.rint(
+                    flat.astype(np.float64) * unit_us
+                ).astype(np.int64)
+                arrays[v.name] = us.astype("datetime64[us]")
+            else:
+                # native byte order + the declared Spark width (unsigned
+                # CDF-5 types widen to the next signed type here)
+                arrays[v.name] = flat.astype(
+                    np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
+                )
+        cols = [
+            pa.array(arrays[c], mask=masks.get(c)) for c in self.columns
+        ]
         tbl = pa.table(cols, names=self.columns)
         yield from tbl.to_batches(max_chunksize=1 << 20)
 
@@ -280,13 +375,21 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
             for i, d in enumerate(fixed):
                 cols[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
         for v in rvs:
-            cols[v.name] = (
-                nc.read_records(v.name, lo, hi)
-                .reshape(-1)
-                .astype(np.dtype(_NC_SPARK[v.nc_type][1]), copy=False)
-            )
-        ordered = [cols[c] for c in self.columns]
-        return [tuple(row) for row in zip(*(c.tolist() for c in ordered))]
+            flat = nc.read_records(v.name, lo, hi).reshape(-1)
+            fv = _fill_value(v)
+            vals = flat.astype(
+                np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
+            ).tolist()
+            if fv is not None:
+                vals = [
+                    None if m else x for x, m in zip(vals, (flat == fv))
+                ]
+            cols[v.name] = vals
+        ordered = [
+            cols[c] if isinstance(cols[c], list) else cols[c].tolist()
+            for c in self.columns
+        ]
+        return [tuple(row) for row in zip(*ordered)]
 
     def read(self, start: dict):
         end = {"rec": NetCDF3File(self.path).numrecs}
@@ -297,23 +400,46 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
 
 
 class NetCDF3DataSource(DataSource):
-    """spark.read.format("netcdf3").option("path", file).load()"""
+    """spark.read.format("netcdf3").option("path", file).load()
+
+    Options:
+    - ``path``: a ``.nc`` file or a directory of them (one dataset).
+    - ``target_partitions``: record-range partition count override.
+    - ``decode_cf_time``: "true" to decode variables carrying a CF
+      ``units = "<unit> since <date>"`` attribute to ``timestamp_ntz``
+      (standard/proleptic-Gregorian calendars only; batch scans only).
+    """
 
     @classmethod
     def name(cls) -> str:
         return FORMAT3_NAME
 
+    def _cf_opt(self) -> bool:
+        return str(self.options.get("decode_cf_time", "")).lower() in (
+            "true",
+            "1",
+        )
+
     def schema(self) -> str:
         # first member carries the schema (multi-file: consistency is
         # enforced across all members when the reader is built)
         first = _resolve_members(self.options["path"])[0][0]
-        return _spark_schema(NetCDF3File(first))
+        return _spark_schema(NetCDF3File(first), self._cf_opt())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")
         return NetCDF3Reader(
-            self.options["path"], schema, int(tp) if tp else None
+            self.options["path"],
+            schema,
+            int(tp) if tp else None,
+            decode_cf_time=self._cf_opt(),
         )
 
     def simpleStreamReader(self, schema: StructType):
+        if self._cf_opt():
+            raise ValueError(
+                "decode_cf_time is a batch-scan option; the streaming "
+                "tail emits raw CF numbers — decode with "
+                "timestamp_micros() downstream"
+            )
         return NetCDF3StreamReader(self.options["path"], schema)

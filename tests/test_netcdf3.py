@@ -497,3 +497,114 @@ def test_multifile_prunes_whole_files(spark):
     # cross-boundary global indexing: records 30..40 span files 1 and 2
     span = base.filter((base.time_idx >= 30) & (base.time_idx < 40))
     assert span.select("time_idx").distinct().count() == 10
+
+
+def test_fill_value_maps_to_null(spark, tmp_path):
+    """netCDF masked-array semantics (the reference inherits them from
+    netCDF4.Dataset): cells equal to the variable's _FillValue come
+    back as NULL through both the batch scan and the streaming tail;
+    variables without the attribute are untouched."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+        NetCDF3StreamReader,
+    )
+
+    path = os.path.join(tmp_path, "fill.nc")
+    v = np.array(
+        [[1.5, -999.0], [-999.0, 4.5], [5.5, 6.5]], dtype=np.float32
+    )
+    w = np.array([[1, 2], [3, -7], [5, 6]], dtype=np.int32)
+    write_netcdf3(
+        path,
+        dims={"t": None, "x": 2},
+        variables={
+            "v": ("float32", ("t", "x")),
+            "w": ("int32", ("t", "x")),
+        },
+        data={"v": v, "w": w},
+        var_attrs={"v": {"_FillValue": -999.0}},  # w: no fill attr
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    df = spark.read.format(FORMAT3_NAME).option("path", path).load()
+    pdf = df.orderBy("t_idx", "x_idx").toPandas()
+    assert pdf["v"].isna().sum() == 2
+    assert pdf["w"].isna().sum() == 0  # -7 is data, not fill
+    # aggregate semantics: nulls are skipped, exactly like masked cells
+    agg = df.agg(
+        F.count("v").alias("n"), F.min("v").alias("mn")
+    ).collect()[0]
+    assert agg["n"] == 4 and agg["mn"] == 1.5
+
+    # streaming tail honors the mask too
+    sr = NetCDF3StreamReader(path, df.schema)
+    rows, off = sr.read(sr.initialOffset())
+    assert off == {"rec": 3}
+    vcol = [r[2] for r in rows]  # (t_idx, x_idx, v, w)
+    assert vcol.count(None) == 2
+
+
+def test_cf_time_decode_option(spark, tmp_path):
+    """decode_cf_time=true turns a CF 'units = "<unit> since <date>"'
+    variable into timestamp_ntz; default leaves raw numbers (matching
+    the reference's netCDF4 base class, which returns numbers and
+    leaves num2date to the caller); exotic calendars stay raw."""
+    from datetime import datetime
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    path = os.path.join(tmp_path, "cf.nc")
+    t = np.array([0.0, 1.5, 48.25], dtype=np.float64)  # hours
+    v = np.array([10, 20, 30], dtype=np.int32)
+    write_netcdf3(
+        path,
+        dims={"time": None},
+        variables={
+            "t": ("float64", ("time",)),
+            "v": ("int32", ("time",)),
+        },
+        data={"t": t, "v": v},
+        var_attrs={"t": {"units": "hours since 2000-01-01 06:00:00"}},
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    raw = spark.read.format(FORMAT3_NAME).option("path", path).load()
+    assert dict(raw.dtypes)["t"] == "double"
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    assert dict(df.dtypes)["t"] == "timestamp_ntz"
+    got = [r["t"] for r in df.orderBy("time_idx").collect()]
+    assert got == [
+        datetime(2000, 1, 1, 6, 0, 0),
+        datetime(2000, 1, 1, 7, 30, 0),
+        datetime(2000, 1, 3, 6, 15, 0),
+    ]
+    # v (no units attr) is untouched
+    assert dict(df.dtypes)["v"] == "int"
+
+    # exotic calendar: left raw even with the option on
+    path2 = os.path.join(tmp_path, "noleap.nc")
+    write_netcdf3(
+        path2,
+        dims={"time": None},
+        variables={"t": ("float64", ("time",))},
+        data={"t": t},
+        var_attrs={
+            "t": {"units": "days since 2000-01-01", "calendar": "noleap"}
+        },
+    )
+    df2 = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", path2)
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    assert dict(df2.dtypes)["t"] == "double"
