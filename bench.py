@@ -83,6 +83,23 @@ def c2_netcdf3_scan(spark):
     )
 
 
+def c3_netcdf4_scan(spark):
+    """Real NetCDF-4 (= HDF5) scan through the hdf5lite codec (round
+    4): same 4096-line grid, stored as shuffle+deflate 16-record
+    chunks — measures the compressed-container decode path."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = srcq.ensure_nc4(t_total=C1_GRID_LINES)
+    spark.dataSource.register(NetCDF4DataSource)
+    return _c1_agg(
+        spark.read.format(FORMAT4_NAME).option("path", path).load()
+    )
+
+
 def c1n_native_scan(spark):
     """Native JVM parquet scan over the same chunk store (the batch-read
     scale path: zero Python crossings, vectorized decode)."""
@@ -109,6 +126,7 @@ def main() -> None:
     builders["c1"] = lambda s, _sf: c1_chunked_scan(s)
     builders["c1n"] = lambda s, _sf: c1n_native_scan(s)
     builders["c2"] = lambda s, _sf: c2_netcdf3_scan(s)
+    builders["c3"] = lambda s, _sf: c3_netcdf4_scan(s)
 
     # Suite-wide warm-up pass first: JVM JIT (C2) needs several executions
     # of the shared codegen/shuffle paths before timings are steady-state;

@@ -119,6 +119,8 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_lines",
     "q_curriculum_order",
     "q_multimodal_audio_vad",
+    "src_netcdf4_scan",
+    "snk_netcdf4_write",
     "snk_netcdf3_write",
     "q_dedup_url_canonical",
     "src_netcdf3_stream_tail",

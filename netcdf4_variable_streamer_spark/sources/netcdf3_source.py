@@ -21,6 +21,13 @@ the driver; a distributed sink would need record-offset coordination
 (the classic format interleaves records), which the chunk store already
 provides — at scale you write the chunk store and export .nc at the
 edge, which is also what the reference's single-process writer implies.
+
+PUSHDOWN REUSE CAVEAT (round 4): Spark caches Python-source read info
+per loaded table and re-plans only when a query pushes filters, so
+reusing ONE DataFrame object for a filtered query and then a
+filterless one silently reuses the narrowed partitions. Use a fresh
+``load()`` per query (every engine builder does); details and the
+regression test live with the netcdf4 source.
 """
 
 from __future__ import annotations

@@ -1,0 +1,262 @@
+"""Spark DataSource over real NetCDF-4 (= HDF5) files (hdf5lite codec).
+
+Mirrors ``netcdf3_source.py`` — the record (UNLIMITED) dimension is the
+reference's streamed dim, so the plan shape is identical and only the
+container differs:
+
+- ``partitions()`` splits the record range into contiguous runs; the
+  driver parses only the KB-sized HDF5 metadata (superblock, object
+  headers, chunk B-trees), never dataset bytes, so a 100 TB file plans
+  in O(metadata).
+- ``pushFilters`` narrows the record range on ``<recdim>_idx``
+  predicates BEFORE partitioning (hyperslab pushdown, A11).
+- ``read()`` is a chunk-pruned slab read per record variable
+  (``HDF5File.read_slab0`` touches only chunks intersecting the range,
+  inflating shuffle/deflate per covering chunk), exploded to the same
+  long form the netcdf3 source emits — every grid query runs unchanged
+  against a real ``.nc4``/NetCDF-4 file.
+- ``_FillValue`` cells surface as NULL (masked-array semantics), same
+  as the netcdf3 source.
+
+No streaming tail: in-place append to a chunked HDF5 dataset rewrites
+B-trees — out of scope for the minimal codec (the classic/chunk-store
+paths carry the streaming surface). Directory datasets concatenate
+along the record dim in filename order, netCDF4.MFDataset-style.
+
+PUSHDOWN REUSE CAVEAT (applies to every pushFilters DataSource, found
+round 4 via this source's tests): Spark caches the Python-source read
+info per loaded table and only re-plans when a query pushes filters, so
+reusing ONE DataFrame object for a filtered query and then a filterless
+one silently reuses the narrowed partitions (rows go missing). Every
+engine builder calls ``spark.read...load()`` fresh per query, which is
+the safe pattern; users should do the same (fresh ``load()`` per
+query), or disable ``spark.sql.python.filterPushdown.enabled``.
+Asserted in tests/test_hdf5lite.py::test_pushdown_fresh_load_is_safe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from netcdf4_variable_streamer_spark.sources.hdf5lite import NetCDF4View
+
+FORMAT4_NAME = "netcdf4"
+
+# numpy dtype kind+size -> (spark type, emitted numpy dtype); unsigned
+# widens to the next signed container (SURVEY §1.2)
+_NP_SPARK = {
+    "i1": ("byte", "i1"),
+    "i2": ("short", "i2"),
+    "i4": ("int", "i4"),
+    "i8": ("long", "i8"),
+    "u1": ("short", "i2"),
+    "u2": ("int", "i4"),
+    "u4": ("long", "i8"),
+    "f4": ("float", "f4"),
+    "f8": ("double", "f8"),
+}
+
+
+def _np_key(dtype: np.dtype) -> str:
+    return f"{dtype.kind}{dtype.itemsize}"
+
+
+@dataclass
+class NC4RangePartition(InputPartition):
+    path: str
+    lo: int
+    hi: int
+    offset: int = 0  # global index of this file's record 0 (multi-file)
+
+
+def _record_vars(v: NetCDF4View) -> list:
+    rvs = [x for x in v.variables.values() if x.is_record]
+    if not rvs:
+        raise ValueError(f"{v.path}: no record variables to stream")
+    shapes = {x.shape for x in rvs}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"record variables disagree on per-record shape: {shapes}"
+        )
+    return rvs
+
+
+def _spark_schema(v: NetCDF4View) -> str:
+    rvs = _record_vars(v)
+    fixed = rvs[0].dims[1:]
+    parts = [f"{v.record_dim}_idx long"]
+    parts += [f"{d}_idx int" for d in fixed]
+    for x in rvs:
+        key = _np_key(x.dtype)
+        if key not in _NP_SPARK:
+            raise ValueError(
+                f"{v.path}: variable {x.name} dtype {x.dtype} has no "
+                "lossless Spark container (uint64?)"
+            )
+        parts.append(f"{x.name} {_NP_SPARK[key][0]}")
+    return ", ".join(parts)
+
+
+def _resolve_members(path: str) -> list[tuple[str, int, int]]:
+    """[(file, numrecs, global_offset)] — single file or directory
+    dataset (filename order), headers only."""
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith((".nc", ".nc4", ".h5", ".hdf5"))
+        )
+        if not files:
+            raise ValueError(f"{path}: no NetCDF-4 files in directory")
+        members, off = [], 0
+        for f in files:
+            p = os.path.join(path, f)
+            n = NetCDF4View(p).numrecs
+            members.append((p, n, off))
+            off += n
+        return members
+    return [(path, NetCDF4View(path).numrecs, 0)]
+
+
+class NetCDF4Reader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType, target_partitions=None):
+        import os
+
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        self.members = _resolve_members(path)
+        first = NetCDF4View(self.members[0][0])
+
+        def member_sig(v: NetCDF4View):
+            shapes = tuple(
+                (x.name, x.shape)
+                for x in v.variables.values()
+                if x.is_record
+            )
+            return _spark_schema(v), shapes
+
+        ref_sig = member_sig(first)
+        for p, _n, _off in self.members[1:]:
+            got = member_sig(NetCDF4View(p))
+            if got != ref_sig:
+                raise ValueError(
+                    f"{p}: member signature {got!r} != first member "
+                    f"{ref_sig!r}"
+                )
+        self.numrecs = sum(n for _p, n, _off in self.members)
+        self._idx_col = f"{first.record_dim}_idx"
+        self.lo = 0
+        self.hi = self.numrecs
+        self.target_partitions = target_partitions or int(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            if getattr(f, "attribute", None) == (self._idx_col,) and hasattr(
+                f, "value"
+            ):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+            yield f  # Spark re-evaluates row-level
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        total = hi - lo
+        if total == 0:
+            return [NC4RangePartition(self.members[0][0], 0, 0, 0)]
+        n_parts = max(1, min(total, self.target_partitions))
+        per = -(-total // n_parts)
+        out = []
+        for p, n, off in self.members:
+            mlo, mhi = max(lo, off), min(hi, off + n)
+            r = mlo
+            while r < mhi:
+                e = min(r + per, mhi)
+                out.append(NC4RangePartition(p, r - off, e - off, off))
+                r = e
+        return out
+
+    def read(self, partition: NC4RangePartition):
+        if partition.hi <= partition.lo:
+            return
+        v = NetCDF4View(partition.path)
+        rvs = _record_vars(v)
+        fixed = rvs[0].dims[1:]
+        shape = rvs[0].shape
+        cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        n = partition.hi - partition.lo
+        wanted = set(self.columns)
+        arrays: dict[str, np.ndarray] = {}
+        if f"{v.record_dim}_idx" in wanted:
+            arrays[f"{v.record_dim}_idx"] = np.repeat(
+                np.arange(partition.lo, partition.hi, dtype=np.int64)
+                + partition.offset,
+                cells,
+            )
+        if shape:
+            grids = np.indices(shape).reshape(len(shape), cells)
+            for i, d in enumerate(fixed):
+                if f"{d}_idx" in wanted:
+                    arrays[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
+        masks: dict[str, np.ndarray] = {}
+        for x in rvs:
+            if x.name not in wanted:
+                continue  # pruned: its chunks are never read
+            flat = v.read_records(x.name, partition.lo, partition.hi).reshape(
+                -1
+            )
+            fv = x.attrs.get("_FillValue")
+            if fv is not None:
+                masks[x.name] = flat == np.asarray(fv).astype(x.dtype)
+            arrays[x.name] = flat.astype(
+                np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
+            )
+        cols = [pa.array(arrays[c], mask=masks.get(c)) for c in self.columns]
+        yield from pa.table(cols, names=self.columns).to_batches(
+            max_chunksize=1 << 20
+        )
+
+
+class NetCDF4DataSource(DataSource):
+    """spark.read.format("netcdf4").option("path", file).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT4_NAME
+
+    def schema(self) -> str:
+        first = _resolve_members(self.options["path"])[0][0]
+        return _spark_schema(NetCDF4View(first))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        tp = self.options.get("target_partitions")
+        return NetCDF4Reader(
+            self.options["path"], schema, int(tp) if tp else None
+        )

@@ -139,3 +139,46 @@ def test_png_roundtrip_fuzz(h, w, c, seed):
     rng = np.random.RandomState(seed)
     a = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
     np.testing.assert_array_equal(decode_png(encode_png(a)), a)
+
+
+@st.composite
+def _h5_case(draw):
+    ndims = draw(st.integers(1, 3))
+    shape = tuple(draw(st.integers(1, 9)) for _ in range(ndims))
+    dt = draw(st.sampled_from(_CDF5_DTYPES))
+    layout = draw(st.sampled_from(["contiguous", "chunked", "filtered"]))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    arr = rng.randint(-100, 100, size=shape).astype(dt)
+    opts = {}
+    if layout != "contiguous":
+        opts["chunk"] = tuple(
+            draw(st.integers(1, max(1, s))) for s in shape
+        )
+    if layout == "filtered":
+        opts["compress"] = draw(st.integers(0, 9))
+        opts["shuffle"] = draw(st.booleans())
+    if draw(st.booleans()):
+        opts["maxshape"] = (None,) + shape[1:]
+        opts.setdefault("chunk", tuple(max(1, s) for s in shape))
+    return arr, opts
+
+
+@_SETTINGS
+@given(case=_h5_case(), lo=st.integers(0, 10), n=st.integers(0, 10))
+def test_hdf5_roundtrip_fuzz(tmp_path_factory, case, lo, n):
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    arr, opts = case
+    path = os.path.join(str(tmp_path_factory.mktemp("h5fuzz")), "f.h5")
+    write_hdf5(path, {"v": arr}, {"v": opts}, attrs={"k": 7})
+    h = HDF5File(path)
+    assert int(h.attrs["k"]) == 7
+    got = h.read("v")
+    assert got.dtype == arr.dtype
+    np.testing.assert_array_equal(got, arr)
+    np.testing.assert_array_equal(
+        h.read_slab0("v", lo, lo + n), arr[lo : lo + n]
+    )

@@ -1,0 +1,369 @@
+"""hdf5lite (NetCDF-4/HDF5 container) tests — same three layers as
+tests/test_netcdf3.py: (1) GOLDEN BYTES hand-assembled field-by-field
+from the public HDF5 File Format Specification (writer equality +
+reader parse, so the codec is validated against the format, not against
+itself); (2) write→read round trips across layouts, filters, dtypes,
+attrs, and the netCDF-4 dimension conventions; (3) the Spark DataSource:
+long-form scan equality, record-range pushdown, fill-value NULLs, and
+the preallocate+pwrite distributed-write primitive."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+    UNDEF,
+    HDF5File,
+    NetCDF4View,
+    create_netcdf4,
+    pwrite_records_nc4,
+    write_hdf5,
+    write_netcdf4,
+)
+
+
+def _golden_minimal() -> bytes:
+    """One contiguous int32 dataset 'v' = [1,2,3], no attributes.
+
+    Block layout (the writer's append order): superblock (96) | data
+    (96..108) | dataset object header (108, 96 bytes) | local heap
+    (204: 32-byte header + 16-byte segment) | SNOD (252, 48) | group
+    B-tree (300, 48) | root object header (348, 40) | EOF 388."""
+    out = bytearray()
+    # dataset data
+    data = struct.pack("<3i", 1, 2, 3)
+    # dataset object header: dataspace + datatype + layout
+    dataspace = struct.pack("<BBB5xQ", 1, 1, 0, 3)
+    datatype = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
+    datatype += b"\x00" * 4  # pad to 8
+    layout = struct.pack("<BBQQ", 3, 1, 96, 12) + b"\x00" * 6
+    msgs = b""
+    for t, body in ((0x0001, dataspace), (0x0003, datatype), (0x0008, layout)):
+        msgs += struct.pack("<HHB3x", t, len(body), 0) + body
+    ds_header = struct.pack("<BxHII4x", 1, 3, 1, len(msgs)) + msgs
+    # local heap: 8-byte empty string slot + 'v\0' padded
+    heap_seg = b"\x00" * 8 + b"v\x00" + b"\x00" * 6
+    heap = b"HEAP" + struct.pack("<B3xQQQ", 0, 16, UNDEF, 236) + heap_seg
+    snod = b"SNOD" + struct.pack("<BxH", 1, 1)
+    snod += struct.pack("<QQII16x", 8, 108, 0, 0)
+    btree = b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+    btree += struct.pack("<QQQ", 0, 252, 8)
+    symtab = struct.pack("<HHB3x", 0x0011, 16, 0) + struct.pack("<QQ", 300, 204)
+    root = struct.pack("<BxHII4x", 1, 1, 1, 24) + symtab
+    sb = b"\x89HDF\r\n\x1a\n"
+    sb += struct.pack("<BBBxBBBx", 0, 0, 0, 0, 8, 8)
+    sb += struct.pack("<HHI", 4, 16, 0)
+    sb += struct.pack("<QQQQ", 0, UNDEF, 388, UNDEF)
+    sb += struct.pack("<QQII", 0, 348, 1, 0) + struct.pack("<QQ", 300, 204)
+    out += sb + data + ds_header + heap + snod + btree + root
+    assert len(out) == 388, len(out)
+    return bytes(out)
+
+
+def test_writer_matches_golden_bytes(tmp_path):
+    path = os.path.join(tmp_path, "g.h5")
+    write_hdf5(path, {"v": np.array([1, 2, 3], dtype=np.int32)})
+    assert open(path, "rb").read() == _golden_minimal()
+
+
+def test_reader_parses_golden_bytes(tmp_path):
+    path = os.path.join(tmp_path, "g.h5")
+    with open(path, "wb") as f:
+        f.write(_golden_minimal())
+    h = HDF5File(path)
+    assert sorted(h.datasets) == ["v"]
+    d = h.datasets["v"]
+    assert d.shape == (3,) and d.dtype == np.dtype("<i4")
+    assert d.layout == "contiguous"
+    np.testing.assert_array_equal(
+        h.read("v"), np.array([1, 2, 3], dtype=np.int32)
+    )
+
+
+def test_roundtrip_layouts_filters_attrs(tmp_path):
+    path = os.path.join(tmp_path, "rt.h5")
+    rng = np.random.RandomState(3)
+    a = rng.randn(7, 5).astype(np.float64)
+    b = rng.randint(-1000, 1000, size=(13, 4), dtype=np.int16)
+    c = rng.randint(0, 250, size=(9,), dtype=np.uint8)
+    write_hdf5(
+        path,
+        {"a": a, "b": b, "c": c},
+        {
+            "a": {"chunk": (3, 5), "compress": 9, "shuffle": True,
+                  "attrs": {"units": "m/s", "level": 3,
+                            "coeffs": [1.5, -2.5]}},
+            "b": {"chunk": (4, 3)},  # chunked, unfiltered, ragged edge
+            "c": {"maxshape": (None,)},
+        },
+        attrs={"title": "roundtrip", "version": 7},
+    )
+    h = HDF5File(path)
+    assert h.attrs["title"] == "roundtrip" and int(h.attrs["version"]) == 7
+    np.testing.assert_array_equal(h.read("a"), a)
+    np.testing.assert_array_equal(h.read("b"), b)
+    np.testing.assert_array_equal(h.read("c"), c)
+    da = h.datasets["a"]
+    assert da.filters and [f[0] for f in da.filters] == [2, 1]
+    assert da.attrs["units"] == "m/s"
+    np.testing.assert_array_equal(da.attrs["coeffs"], [1.5, -2.5])
+    assert h.datasets["c"].unlimited0
+    # slab reads across chunk boundaries
+    np.testing.assert_array_equal(h.read_slab0("a", 2, 6), a[2:6])
+    np.testing.assert_array_equal(h.read_slab0("b", 3, 12), b[3:12])
+    np.testing.assert_array_equal(h.read_slab0("b", 11, 99), b[11:])
+    assert h.read_slab0("b", 9, 4).shape == (0, 4)
+
+
+def test_slab_read_prunes_chunks(tmp_path):
+    """read_slab0 must inflate ONLY chunks intersecting the range."""
+    path = os.path.join(tmp_path, "prune.h5")
+    data = np.arange(160, dtype=np.int64).reshape(40, 4)
+    write_hdf5(
+        path, {"v": data}, {"v": {"chunk": (8, 4), "compress": 1}}
+    )
+    h = HDF5File(path)
+    calls = []
+    orig = h._decode_chunk
+
+    def counting(info, nbytes, addr):
+        calls.append(addr)
+        return orig(info, nbytes, addr)
+
+    h._decode_chunk = counting
+    np.testing.assert_array_equal(h.read_slab0("v", 9, 15), data[9:15])
+    assert len(calls) == 1  # records 9..15 live in chunk [8, 16) only
+    calls.clear()
+    np.testing.assert_array_equal(h.read_slab0("v", 7, 17), data[7:17])
+    assert len(calls) == 3
+
+
+def test_unknown_messages_are_skipped():
+    """Real netcdf-c files carry messages this reader doesn't model
+    (_NCProperties, fill value v3, DIMENSION_LIST); parsing must step
+    over unknown types by size, not crash."""
+    from netcdf4_variable_streamer_spark.sources import hdf5lite as m
+
+    msgs = [
+        m._msg(0x0001, m._dataspace((2,))),
+        m._msg(0x0077, b"\xde\xad\xbe\xef" * 4),  # unknown type
+        m._msg(0x0003, m._dt_body(np.dtype("<i4"))),
+    ]
+    blob = m._object_header(msgs)
+
+    class FakeFile(HDF5File):
+        def __init__(self, buf):
+            self._buf = buf
+
+    got = FakeFile(blob)._messages(0)
+    assert [t for t, _ in got] == [0x0001, 0x0077, 0x0003]
+
+
+def test_netcdf4_conventions_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "conv.nc4")
+    t = np.arange(5, dtype=np.float64)
+    temp = np.arange(30, dtype=np.float32).reshape(5, 3, 2)
+    write_netcdf4(
+        path,
+        dims={"time": None, "y": 3, "x": 2},
+        variables={
+            "time": ("float64", ("time",)),
+            "temp": ("float32", ("time", "y", "x")),
+        },
+        data={"time": t, "temp": temp},
+        attrs={"Conventions": "CF-1.0"},
+        var_attrs={"temp": {"units": "K", "_FillValue": -9.0}},
+        compress=2,
+        shuffle=True,
+    )
+    v = NetCDF4View(path)
+    assert v.dims == {"time": None, "y": 3, "x": 2}
+    assert v.record_dim == "time" and v.numrecs == 5
+    assert v.attrs["Conventions"] == "CF-1.0"
+    assert set(v.variables) == {"time", "temp"}  # y/x are pure dims
+    tv = v.variables["temp"]
+    assert tv.dims == ("time", "y", "x") and tv.is_record
+    assert float(tv.attrs["_FillValue"]) == -9.0
+    np.testing.assert_array_equal(v.read_records("temp", 1, 4), temp[1:4])
+    np.testing.assert_array_equal(v.read_records("time"), t)
+
+
+def test_dim_resolution_without_coordinates_attr(tmp_path):
+    """Foreign-file fallback: no _Netcdf4Coordinates attr -> dims are
+    matched by extent against the dimension scales."""
+    path = os.path.join(tmp_path, "foreign.h5")
+    write_hdf5(
+        path,
+        {
+            "t": np.zeros(4, np.float32),
+            "y": np.zeros(3, np.float32),
+            "v": np.arange(12, dtype=np.float64).reshape(4, 3),
+        },
+        {
+            "t": {"maxshape": (None,),
+                  "attrs": {"CLASS": "DIMENSION_SCALE", "_Netcdf4Dimid": 0,
+                            "NAME": "This is a netCDF dimension but not a netCDF variable. 4"}},
+            "y": {"attrs": {"CLASS": "DIMENSION_SCALE", "_Netcdf4Dimid": 1,
+                            "NAME": "This is a netCDF dimension but not a netCDF variable. 3"}},
+            "v": {"maxshape": (None, 3), "chunk": (2, 3)},
+        },
+    )
+    v = NetCDF4View(path)
+    assert v.variables["v"].dims == ("t", "y")
+    assert v.variables["v"].is_record
+
+
+def test_clear_errors_for_out_of_scope(tmp_path):
+    p = os.path.join(tmp_path, "bad.h5")
+    with open(p, "wb") as f:
+        f.write(b"\x89HDF\r\n\x1a\n" + bytes([2]) + b"\x00" * 80)
+    with pytest.raises(ValueError, match="superblock v2"):
+        HDF5File(p)
+    with open(p, "wb") as f:
+        f.write(b"nope" + b"\x00" * 90)
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        HDF5File(p)
+
+
+def test_create_pwrite_roundtrip(tmp_path):
+    """Distributed-write primitive: metadata+preallocation on the
+    'driver', records pwritten in disjoint ranges, read back exact."""
+    path = os.path.join(tmp_path, "pre.nc4")
+    create_netcdf4(
+        path,
+        dims={"t": None, "x": 3},
+        variables={
+            "v": ("float32", ("t", "x")),
+            "w": ("int32", ("t", "x")),
+        },
+        numrecs=10,
+    )
+    rng = np.random.RandomState(11)
+    v = rng.randn(10, 3).astype(np.float32)
+    w = rng.randint(-99, 99, size=(10, 3), dtype=np.int32)
+    for lo, hi in ((0, 4), (4, 7), (7, 10)):  # three "tasks"
+        pwrite_records_nc4(
+            path, {"v": v[lo:hi], "w": w[lo:hi]}, lo
+        )
+    view = NetCDF4View(path)
+    np.testing.assert_array_equal(view.read_records("v"), v)
+    np.testing.assert_array_equal(view.read_records("w"), w)
+
+
+def test_spark_scan_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = os.path.join(tmp_path, "scan.nc4")
+    temp = np.arange(48 * 6, dtype=np.float32).reshape(48, 3, 2)
+    write_netcdf4(
+        path,
+        dims={"time": None, "y": 3, "x": 2},
+        variables={"temp": ("float32", ("time", "y", "x"))},
+        data={"temp": temp},
+        compress=3,
+        shuffle=True,
+        chunk0=8,
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    base = spark.read.format(FORMAT4_NAME).option("path", path).load()
+    assert base.count() == 48 * 6
+    got = (
+        base.filter(F.col("time_idx") == 17)
+        .orderBy("y_idx", "x_idx")
+        .select("temp")
+        .toPandas()["temp"]
+        .to_numpy()
+        .astype(np.float32)
+    )
+    np.testing.assert_array_equal(got, temp[17].reshape(-1))
+    # fresh load per query (the safe pattern — see module docstring)
+    load = lambda: (  # noqa: E731
+        spark.read.format(FORMAT4_NAME).option("path", path).load()
+    )
+    full = load().rdd.getNumPartitions()
+    fresh = load()
+    pruned = fresh.filter(
+        (fresh.time_idx >= 40) & (fresh.time_idx < 44)
+    ).rdd.getNumPartitions()
+    assert pruned < full, (full, pruned)
+
+
+def test_pushdown_fresh_load_is_safe(spark, tmp_path):
+    """Regression-documentation for the Spark read-info cache hazard:
+    Spark re-plans a Python source only when a query pushes filters, so
+    a filtered query followed by a filterless one on the SAME DataFrame
+    reuses narrowed partitions. The safe pattern — a fresh load() per
+    query — must always see the full row count."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = os.path.join(tmp_path, "safe.nc4")
+    write_netcdf4(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float32", ("t", "x"))},
+        data={"v": np.arange(96, dtype=np.float32).reshape(48, 2)},
+        chunk0=8,
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    load = lambda: (  # noqa: E731
+        spark.read.format(FORMAT4_NAME).option("path", path).load()
+    )
+    assert load().count() == 96
+    assert load().filter(F.col("t_idx") == 7).count() == 2
+    # fresh load after a filtered query: full count, not the narrowed 2
+    assert load().count() == 96
+
+
+def test_spark_fill_value_null(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = os.path.join(tmp_path, "fill.nc4")
+    v = np.array([[1.5, -999.0], [-999.0, 4.5]], dtype=np.float32)
+    write_netcdf4(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float32", ("t", "x"))},
+        data={"v": v},
+        var_attrs={"v": {"_FillValue": -999.0}},
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", path).load()
+    pdf = df.toPandas()
+    assert pdf["v"].isna().sum() == 2
+    agg = df.agg(F.count("v").alias("n")).collect()[0]
+    assert agg["n"] == 2
+
+
+def test_src_netcdf4_scan_oracle(check):
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+    pdf = check("src_netcdf4_scan")
+    assert pdf.loc[0, "n_cells"] == 96 * srcq.GRID_Y * srcq.GRID_X
+    assert pdf.loc[0, "n_lines"] == 96
+
+
+def test_snk_netcdf4_write_oracle(check):
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+    pdf = check("snk_netcdf4_write")
+    assert pdf.loc[0, "n_cells"] == 32 * srcq.GRID_Y * srcq.GRID_X
+    assert pdf.loc[0, "n_lines"] == 32
