@@ -121,6 +121,8 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_audio_vad",
     "src_netcdf4_scan",
     "snk_netcdf4_write",
+    "src_netcdf3_cdf5_scan",
+    "src_netcdf3_cf_scan",
     "snk_netcdf3_write",
     "q_dedup_url_canonical",
     "src_netcdf3_stream_tail",

@@ -1318,3 +1318,144 @@ def snk_netcdf4_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.remove(dst)
         except OSError:
             pass
+
+
+def ensure_nc3_cdf5(path: str | None = None, t_total: int = 64) -> str:
+    """The closed-form grid forced into a CDF-5 (64-bit data) file."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import write_netcdf3
+
+    path = path or os.path.join(SCRATCH, f"grid_cdf5_{t_total}.nc")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    write_netcdf3(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+        },
+        data=grid_values(0, t_total),
+        version=5,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf3_cdf5_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=64)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g
+WHERE t >= 8 AND t < 56
+""",
+    doc="CDF-5 (64-bit data, PnetCDF spec) variant scan — round 4's "
+        "codec extension under the driver gate: the same closed-form "
+        "grid forced into a version-5 file (every NON_NEG header field "
+        "int64, exact vsize), scanned with the identical record-range "
+        "pushdown plan as the classic key; the oracle regenerates the "
+        "slice, so any 64-bit header mis-parse hash-mismatches.",
+)
+def src_netcdf3_cdf5_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", ensure_nc3_cdf5())
+        .load()
+        .filter((F.col("time_idx") >= 8) & (F.col("time_idx") < 56))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("time_idx").alias("n_lines"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+
+
+def ensure_nc3_cf(path: str | None = None, t_total: int = 96) -> str:
+    """A CF-convention time series: coordinate variable `t` in hours
+    since 2024-01-01, a value series, both closed-form."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import write_netcdf3
+
+    path = path or os.path.join(SCRATCH, f"cf_{t_total}.nc")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    t = np.arange(t_total, dtype=np.float64) * 3.0  # every 3 hours
+    v = ((np.arange(t_total) % 97) * 0.25).astype(np.float32)
+    tmp = path + ".tmp"
+    write_netcdf3(
+        tmp,
+        dims={"time": None},
+        variables={
+            "t": ("float64", ("time",)),
+            "v": ("float32", ("time",)),
+        },
+        data={"t": t, "v": v},
+        var_attrs={
+            "t": {"units": "hours since 2024-01-01", "calendar": "standard"}
+        },
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf3_cf_scan",
+    oracle="""
+WITH s AS (
+  SELECT i,
+         TIMESTAMP '2024-01-01' + to_hours(CAST(i * 3 AS BIGINT)) AS ts,
+         (i % 97) * 0.25 AS v
+  FROM UNNEST(generate_series(0, 95)) AS u(i)
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_recs,
+       CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS sum_v,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM s GROUP BY day
+""",
+    doc="CF time-convention decode under the driver gate (round 4, "
+        "SURVEY §1.2): a coordinate variable carrying units='hours "
+        "since 2024-01-01' decodes to timestamp_ntz via the opt-in "
+        "decode_cf_time scan option, then rolls up per calendar day — "
+        "the oracle rebuilds the same timestamps with SQL interval "
+        "arithmetic, so the epoch base, unit multiplier, and "
+        "ntz-canonical formatting are all hash-checked. The timestamp "
+        "column replaces NetCDF's missing native time type exactly the "
+        "way CF prescribes (the engine's analogue of the reference "
+        "users' num2date step).",
+)
+def src_netcdf3_cf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", ensure_nc3_cf())
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    return df.groupBy(
+        F.date_format("t", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        dsum(F.col("v").cast("double")).alias("sum_v"),
+        F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("t"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

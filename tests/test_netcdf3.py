@@ -608,3 +608,16 @@ def test_cf_time_decode_option(spark, tmp_path):
         .load()
     )
     assert dict(df2.dtypes)["t"] == "double"
+
+
+def test_src_netcdf3_cdf5_scan_oracle(check):
+    pdf = check("src_netcdf3_cdf5_scan")
+    assert pdf.loc[0, "n_lines"] == 48
+
+
+def test_src_netcdf3_cf_scan_oracle(check):
+    pdf = check("src_netcdf3_cf_scan")
+    # 96 x 3-hourly records = 12 full days, 8 records each
+    assert len(pdf) == 12
+    assert (pdf["n_recs"] == 8).all()
+    assert pdf.sort_values("day").iloc[0]["first_ts"] == "2024-01-01 00:00:00"
