@@ -123,6 +123,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write",
     "src_netcdf3_cdf5_scan",
     "src_netcdf3_cf_scan",
+    "src_netcdf4_stream_tail",
     "snk_netcdf3_write",
     "q_dedup_url_canonical",
     "src_netcdf3_stream_tail",

@@ -380,12 +380,14 @@ class HDF5File:
         root_header = struct.unpack_from("<Q", b, 56 + 8)[0]
         self.attrs: dict = {}
         self.datasets: dict[str, DatasetInfo] = {}
+        self._header_addr: dict[str, int] = {}
         msgs = self._messages(root_header)
         for t, body in msgs:
             if t == 0x0011:
                 bt_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
                 for name, haddr in self._walk_group(bt_addr, heap_addr):
                     self.datasets[name] = self._dataset(name, haddr)
+                    self._header_addr[name] = haddr
             elif t == 0x000C:
                 k, v = self._parse_attr(body)
                 self.attrs[k] = v
@@ -397,9 +399,11 @@ class HDF5File:
 
     # -- low-level walkers ------------------------------------------------
 
-    def _messages(self, header_addr: int):
-        """All (type, body) messages of a v1 object header, following
-        continuation blocks."""
+    def _messages_at(self, header_addr: int):
+        """All (type, body, body_file_offset) messages of a v1 object
+        header, following continuation blocks. The file offset enables
+        in-place patches of fixed-position fields (the tail-append
+        dataspace-extent publish)."""
         b = self._buf
         if b[header_addr] != 1:
             raise ValueError(
@@ -414,14 +418,18 @@ class HDF5File:
             while remaining >= 8 and len(out) < nmsgs:
                 mtype, msize, _flags = struct.unpack_from("<HHB", b, pos)
                 body = b[pos + 8 : pos + 8 + msize]
+                body_off = pos + 8
                 pos += 8 + msize
                 remaining -= 8 + msize
                 if mtype == 0x0010:  # continuation
                     off, length = struct.unpack_from("<QQ", body, 0)
                     regions.append((off, length))
                     continue
-                out.append((mtype, body))
+                out.append((mtype, body, body_off))
         return out
+
+    def _messages(self, header_addr: int):
+        return [(t, b) for t, b, _off in self._messages_at(header_addr)]
 
     def _heap_name(self, heap_addr: int, offset: int) -> str:
         b = self._buf
@@ -911,8 +919,13 @@ def pwrite_records_nc4(
             block = np.ascontiguousarray(
                 block, dtype=x.dtype.newbyteorder("<")
             ).reshape((-1, *x.shape))
-            if rec_lo + block.shape[0] > v.numrecs:
-                raise ValueError("record range exceeds preallocated numrecs")
+            # bound = preallocated chunk slots (>= current extent for
+            # tail-mode files whose dims[0] starts at 0)
+            if rec_lo + block.shape[0] > len(addr_of):
+                raise ValueError(
+                    "record range exceeds preallocated capacity "
+                    f"({len(addr_of)} records)"
+                )
             for i in range(block.shape[0]):
                 addr, nbytes = addr_of[rec_lo + i]
                 raw = block[i].tobytes()
@@ -920,3 +933,81 @@ def pwrite_records_nc4(
                 os.pwrite(fd, raw, addr)
     finally:
         os.close(fd)
+
+
+# ---------------------------------------------------------------------------
+# Tail-append within preallocated capacity (A14 on the HDF5 container)
+# ---------------------------------------------------------------------------
+
+
+def _dims0_patch_offset(h: HDF5File, name: str) -> int:
+    """File offset of dims[0] inside the dataset's dataspace message
+    (v1 body: version, ndims, flags, 5 reserved, then 8-byte dims)."""
+    for t, body, off in h._messages_at(h._header_addr[name]):
+        if t == 0x0001:
+            if body[0] != 1:
+                raise ValueError(f"{name}: dataspace v{body[0]} not patchable")
+            return off + 8
+    raise ValueError(f"{name}: no dataspace message")
+
+
+def _patch_extents(path: str, n: int) -> None:
+    import os
+
+    h = HDF5File(path)
+    fd = os.open(path, os.O_WRONLY)
+    try:
+        for name, d in h.datasets.items():
+            if d.unlimited0:
+                os.pwrite(
+                    fd, struct.pack("<Q", n), _dims0_patch_offset(h, name)
+                )
+    finally:
+        os.close(fd)
+
+
+def create_netcdf4_tail(
+    path: str,
+    dims: dict[str, int | None],
+    variables: dict[str, tuple[str, tuple[str, ...]]],
+    capacity: int,
+    attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+) -> None:
+    """Create a NetCDF-4 file whose record datasets are preallocated
+    for ``capacity`` records (one record per chunk, unfiltered) but
+    whose CURRENT extent is 0 — the growable-file primitive: HDF5
+    stores the current shape in each dataspace message at a fixed file
+    offset, so publishing k more records is pwrite(record chunks) then
+    one 8-byte extent patch per record dataset, exactly the classic
+    format's numrecs-patch append (A14) carried to the HDF5 container.
+    Bounded honesty: growth beyond ``capacity`` needs a B-tree rewrite
+    and is refused loudly (chunk the archive into capacity-sized files
+    and use the directory dataset for unbounded growth)."""
+    create_netcdf4(path, dims, variables, capacity, attrs, var_attrs)
+    _patch_extents(path, 0)
+
+
+def append_records_nc4(
+    path: str, var_blocks: dict[str, np.ndarray]
+) -> int:
+    """Append k records to a tail-mode file: data chunks first, the
+    extent patches LAST, so concurrent readers never see a record whose
+    bytes are not fully on disk. Returns the new record count."""
+    v = NetCDF4View(path)
+    rec_vars = [x for x in v.variables.values() if x.is_record]
+    if not rec_vars:
+        raise ValueError("no record variables to append to")
+    n = None
+    for x in rec_vars:
+        if x.name not in var_blocks:
+            raise ValueError(f"append must provide all record vars: {x.name}")
+        b = np.asarray(var_blocks[x.name]).reshape((-1, *x.shape))
+        if n is None:
+            n = b.shape[0]
+        elif b.shape[0] != n:
+            raise ValueError("record variables disagree on record count")
+    cur = v.numrecs
+    pwrite_records_nc4(path, var_blocks, cur)
+    _patch_extents(path, cur + n)
+    return cur + n

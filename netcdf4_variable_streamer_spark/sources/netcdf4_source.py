@@ -18,10 +18,14 @@ container differs:
 - ``_FillValue`` cells surface as NULL (masked-array semantics), same
   as the netcdf3 source.
 
-No streaming tail: in-place append to a chunked HDF5 dataset rewrites
-B-trees — out of scope for the minimal codec (the classic/chunk-store
-paths carry the streaming surface). Directory datasets concatenate
-along the record dim in filename order, netCDF4.MFDataset-style.
+Streaming tail (A14): tail-mode files (``create_netcdf4_tail``) grow
+within a preallocated one-record-per-chunk capacity — append pwrites
+the record chunks and publishes an 8-byte dataspace-extent patch LAST,
+so the tail's offset (the current extent) never exposes half-published
+records. Unbounded growth would rewrite chunk B-trees and is refused
+loudly; unbounded archives chunk into capacity-sized files and use the
+directory dataset (filename-ordered concatenation along the record
+dim, netCDF4.MFDataset-style).
 
 PUSHDOWN REUSE CAVEAT (applies to every pushFilters DataSource, found
 round 4 via this source's tests): Spark caches the Python-source read
@@ -50,6 +54,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -244,6 +249,69 @@ class NetCDF4Reader(DataSourceReader):
         )
 
 
+class NetCDF4StreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow a GROWING tail-mode NetCDF-4 file (reference A14 on
+    the HDF5 container): the offset is the record datasets' current
+    dataspace extent — append_records_nc4 pwrites the record chunks
+    FIRST and patches the extents LAST, so every batch reads fully
+    published records. Growth is bounded by the file's preallocated
+    capacity (create_netcdf4_tail)."""
+
+    def __init__(self, path: str, schema: StructType):
+        import os
+
+        if os.path.isdir(path):
+            raise ValueError(
+                f"{path}: streaming tail supports a single NetCDF-4 "
+                "file — use the batch reader for directory datasets"
+            )
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"rec": 0}
+
+    def _rows_between(self, lo: int, hi: int):
+        if hi <= lo:
+            return []
+        v = NetCDF4View(self.path)
+        rvs = _record_vars(v)
+        fixed = rvs[0].dims[1:]
+        shape = rvs[0].shape
+        cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        n = hi - lo
+        cols: dict = {
+            f"{v.record_dim}_idx": np.repeat(
+                np.arange(lo, hi, dtype=np.int64), cells
+            ).tolist()
+        }
+        if shape:
+            grids = np.indices(shape).reshape(len(shape), cells)
+            for i, d in enumerate(fixed):
+                cols[f"{d}_idx"] = np.tile(
+                    grids[i].astype(np.int32), n
+                ).tolist()
+        for x in rvs:
+            flat = v.read_records(x.name, lo, hi).reshape(-1)
+            fv = x.attrs.get("_FillValue")
+            vals = flat.astype(
+                np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
+            ).tolist()
+            if fv is not None:
+                mask = flat == np.asarray(fv).astype(x.dtype)
+                vals = [None if m else y for y, m in zip(vals, mask)]
+            cols[x.name] = vals
+        ordered = [cols[c] for c in self.columns]
+        return [tuple(row) for row in zip(*ordered)]
+
+    def read(self, start: dict):
+        end = {"rec": NetCDF4View(self.path).numrecs}
+        return self._rows_between(start["rec"], end["rec"]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_between(start["rec"], end["rec"])
+
+
 class NetCDF4DataSource(DataSource):
     """spark.read.format("netcdf4").option("path", file).load()"""
 
@@ -260,3 +328,6 @@ class NetCDF4DataSource(DataSource):
         return NetCDF4Reader(
             self.options["path"], schema, int(tp) if tp else None
         )
+
+    def simpleStreamReader(self, schema: StructType):
+        return NetCDF4StreamReader(self.options["path"], schema)

@@ -367,3 +367,55 @@ def test_snk_netcdf4_write_oracle(check):
     pdf = check("snk_netcdf4_write")
     assert pdf.loc[0, "n_cells"] == 32 * srcq.GRID_Y * srcq.GRID_X
     assert pdf.loc[0, "n_lines"] == 32
+
+
+def test_nc4_tail_append_and_stream(spark, tmp_path):
+    """A14 on the HDF5 container: create at extent 0 with capacity 6,
+    append twice, stream sees exactly the appended records per batch;
+    offset replay is exactly-once; over-capacity append refuses."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        append_records_nc4,
+        create_netcdf4_tail,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+        NetCDF4StreamReader,
+    )
+
+    path = os.path.join(tmp_path, "tail.nc4")
+    create_netcdf4_tail(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float32", ("t", "x"))},
+        capacity=6,
+    )
+    a = np.arange(12, dtype=np.float32).reshape(6, 2)
+    assert append_records_nc4(path, {"v": a[:3]}) == 3
+    spark.dataSource.register(NetCDF4DataSource)
+    schema = (
+        spark.read.format(FORMAT4_NAME).option("path", path).load().schema
+    )
+    sr = NetCDF4StreamReader(path, schema)
+    rows1, off1 = sr.read(sr.initialOffset())
+    assert off1 == {"rec": 3} and len(list(rows1)) == 6
+    assert append_records_nc4(path, {"v": a[3:5]}) == 5
+    rows2, off2 = sr.read(off1)
+    rows2 = list(rows2)
+    assert off2 == {"rec": 5} and len(rows2) == 4
+    assert {r[-1] for r in rows2} == {6.0, 7.0, 8.0, 9.0}
+    replay = list(sr.readBetweenOffsets(off1, off2))
+    assert sorted(replay) == sorted(rows2)
+    # batch rescan sees the grown extent; capacity is a hard wall
+    assert (
+        spark.read.format(FORMAT4_NAME).option("path", path).load().count()
+        == 10
+    )
+    assert append_records_nc4(path, {"v": a[5:6]}) == 6
+    with pytest.raises(ValueError, match="capacity"):
+        append_records_nc4(path, {"v": a[:1]})
+
+
+def test_src_netcdf4_stream_tail_oracle(check):
+    pdf = check("src_netcdf4_stream_tail")
+    assert len(pdf) == 64
