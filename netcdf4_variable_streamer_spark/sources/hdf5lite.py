@@ -37,10 +37,14 @@ Reader (:class:`HDF5File`) parses the same subset and additionally:
   byte-range computation, so a 100 TB file scans by record ranges while
   the driver parses nothing but the (KB-sized) metadata.
 
-Honest scope: no subgroups (netCDF-4 groups), no v2+ superblocks
-("latest" libver files), no fractal-heap "new style" groups, no vlen
-data, no szip. Out-of-scope structures fail with clear errors naming
-the feature.
+Subgroups (the netCDF-4 group hierarchy) are supported with
+'/'-joined names: the writer creates intermediate symbol-table groups
+for pathed dataset names, the reader recurses them back to the same
+flat namespace (groups = catalog namespaces in the engine's mapping).
+
+Honest scope: no v2+ superblocks ("latest" libver files), no
+fractal-heap "new style" groups, no vlen data, no szip. Out-of-scope
+structures fail with clear errors naming the feature.
 """
 
 from __future__ import annotations
@@ -258,40 +262,13 @@ def _write_dataset(
     return haddr
 
 
-def write_hdf5(
-    path: str,
-    datasets: dict[str, np.ndarray],
-    ds_opts: dict[str, dict] | None = None,
-    attrs: dict | None = None,
-) -> None:
-    """Write a minimal HDF5 file: one root group of datasets.
-
-    ``ds_opts[name]`` keys: ``maxshape`` (tuple with None = unlimited),
-    ``chunk`` (tuple), ``compress`` (zlib level), ``shuffle`` (bool),
-    ``attrs`` (dict). Unlimited extents force chunked layout.
-    """
-    ds_opts = ds_opts or {}
-    out = bytearray(b"\x00" * 96)  # superblock patched in last
-    addrs: dict[str, int] = {}
-    for name, arr in datasets.items():
-        o = ds_opts.get(name, {})
-        maxshape = o.get("maxshape")
-        chunk = o.get("chunk")
-        if maxshape and any(m is None for m in maxshape) and chunk is None:
-            # unlimited extents require chunked layout (HDF5 rule)
-            chunk = tuple(max(1, s) for s in np.asarray(arr).shape)
-        addrs[name] = _write_dataset(
-            out,
-            np.asarray(arr),
-            maxshape,
-            chunk,
-            o.get("compress"),
-            o.get("shuffle", False),
-            o.get("attrs", {}),
-        )
-
-    # root group: local heap (names) + SNOD + group B-tree + header
-    names = sorted(addrs)  # SNOD entries must be name-sorted
+def _write_group(
+    out: bytearray, children: dict[str, int], attrs: dict
+) -> tuple[int, int, int]:
+    """Append a symbol-table group (local heap + SNOD + v1 B-tree +
+    object header) linking ``children`` (name -> object header addr);
+    returns (header_addr, btree_addr, heap_addr)."""
+    names = sorted(children)  # SNOD entries must be name-sorted
     heap_data = bytearray(b"\x00" * 8)  # offset 0: the empty string
     name_off: dict[str, int] = {}
     for n in names:
@@ -306,20 +283,81 @@ def write_hdf5(
 
     snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
     for n in names:
-        snod += struct.pack("<QQII16x", name_off[n], addrs[n], 0, 0)
+        snod += struct.pack("<QQII16x", name_off[n], children[n], 0, 0)
     snod_addr = len(out)
     out += snod
 
     bt = b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
-    bt += struct.pack("<QQQ", 0, snod_addr, name_off[names[-1]])
+    bt += struct.pack(
+        "<QQQ", 0, snod_addr, name_off[names[-1]] if names else 0
+    )
     bt_addr = len(out)
     out += bt
 
-    root_msgs = [_msg(0x0011, struct.pack("<QQ", bt_addr, heap_addr))]
-    for k, v in (attrs or {}).items():
-        root_msgs.append(_attr_msg(k, v))
-    root_addr = len(out)
-    out += _object_header(root_msgs)
+    msgs = [_msg(0x0011, struct.pack("<QQ", bt_addr, heap_addr))]
+    for k, v in attrs.items():
+        msgs.append(_attr_msg(k, v))
+    header_addr = len(out)
+    out += _object_header(msgs)
+    return header_addr, bt_addr, heap_addr
+
+
+def write_hdf5(
+    path: str,
+    datasets: dict[str, np.ndarray],
+    ds_opts: dict[str, dict] | None = None,
+    attrs: dict | None = None,
+) -> None:
+    """Write a minimal HDF5 file of datasets under the root group.
+
+    Dataset names may contain ``/`` — intermediate SUBGROUPS (the
+    netCDF-4 group hierarchy) are created automatically. ``ds_opts``
+    keys per dataset: ``maxshape`` (tuple with None = unlimited),
+    ``chunk`` (tuple), ``compress`` (zlib level), ``shuffle`` (bool),
+    ``attrs`` (dict). Unlimited extents force chunked layout.
+    """
+    ds_opts = ds_opts or {}
+    out = bytearray(b"\x00" * 96)  # superblock patched in last
+    # group tree: "" is root; each node maps child name -> header addr
+    tree: dict[str, dict[str, int]] = {"": {}}
+
+    def group_node(gpath: str) -> dict[str, int]:
+        if gpath not in tree:
+            tree[gpath] = {}
+            parent, _, leaf = gpath.rpartition("/")
+            group_node(parent)  # ensure ancestors exist
+        return tree[gpath]
+
+    for name, arr in datasets.items():
+        o = ds_opts.get(name, {})
+        maxshape = o.get("maxshape")
+        chunk = o.get("chunk")
+        if maxshape and any(m is None for m in maxshape) and chunk is None:
+            # unlimited extents require chunked layout (HDF5 rule)
+            chunk = tuple(max(1, s) for s in np.asarray(arr).shape)
+        addr = _write_dataset(
+            out,
+            np.asarray(arr),
+            maxshape,
+            chunk,
+            o.get("compress"),
+            o.get("shuffle", False),
+            o.get("attrs", {}),
+        )
+        gpath, _, leaf = name.rpartition("/")
+        group_node(gpath)[leaf] = addr
+
+    # write groups bottom-up (children before parents)
+    for gpath in sorted(
+        (g for g in tree if g), key=lambda g: -g.count("/")
+    ):
+        haddr, _bt, _hp = _write_group(out, tree[gpath], {})
+        parent, _, leaf = gpath.rpartition("/")
+        group_node(parent)[leaf] = haddr
+
+    root_addr, bt_addr, heap_addr = _write_group(
+        out, tree[""], attrs or {}
+    )
 
     eof = len(out)
     sb = _SIG
@@ -386,8 +424,7 @@ class HDF5File:
             if t == 0x0011:
                 bt_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
                 for name, haddr in self._walk_group(bt_addr, heap_addr):
-                    self.datasets[name] = self._dataset(name, haddr)
-                    self._header_addr[name] = haddr
+                    self._load_object("", name, haddr)
             elif t == 0x000C:
                 k, v = self._parse_attr(body)
                 self.attrs[k] = v
@@ -396,6 +433,23 @@ class HDF5File:
                     f"{path}: 'new style' (link-message) groups not "
                     "supported — write with default libver"
                 )
+
+    def _load_object(self, prefix: str, name: str, haddr: int) -> None:
+        """Register a dataset, or recurse into a subgroup (netCDF-4
+        groups) with '/'-joined names."""
+        full = prefix + name
+        st = [
+            body
+            for t, body in self._messages(haddr)
+            if t == 0x0011
+        ]
+        if st:
+            bt_addr, heap_addr = struct.unpack_from("<QQ", st[0], 0)
+            for child, child_haddr in self._walk_group(bt_addr, heap_addr):
+                self._load_object(full + "/", child, child_haddr)
+            return
+        self.datasets[full] = self._dataset(full, haddr)
+        self._header_addr[full] = haddr
 
     # -- low-level walkers ------------------------------------------------
 

@@ -419,3 +419,65 @@ def test_nc4_tail_append_and_stream(spark, tmp_path):
 def test_src_netcdf4_stream_tail_oracle(check):
     pdf = check("src_netcdf4_stream_tail")
     assert len(pdf) == 64
+
+
+def test_nc4_directory_dataset(spark, tmp_path):
+    """MFDataset layout on the HDF5 container: a directory of NetCDF-4
+    files concatenates along the record dim with a global index."""
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    d = os.path.join(tmp_path, "mf")
+    os.makedirs(d)
+    for i, n in enumerate([4, 6]):
+        write_netcdf4(
+            os.path.join(d, f"part-{i}.nc4"),
+            dims={"t": None, "x": 2},
+            variables={"v": ("float32", ("t", "x"))},
+            data={
+                "v": (np.arange(n * 2, dtype=np.float32) + 100 * i).reshape(
+                    n, 2
+                )
+            },
+            compress=1 if i else None,  # mixed compressed/uncompressed
+        )
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", d).load()
+    pdf = df.orderBy("t_idx", "x_idx").toPandas()
+    assert len(pdf) == 20
+    assert pdf["t_idx"].tolist() == sorted(list(range(10)) * 2)
+    np.testing.assert_array_equal(
+        pdf["v"].to_numpy()[-2:], [110.0, 111.0]
+    )
+
+
+def test_subgroups_roundtrip(tmp_path):
+    """netCDF-4 group hierarchy (A-groups): '/'-pathed dataset names
+    create intermediate groups on write; the reader recurses symbol
+    tables back to the same flat '/'-joined namespace."""
+    path = os.path.join(tmp_path, "grp.h5")
+    a = np.arange(6, dtype=np.int32)
+    b = np.arange(8, dtype=np.float64).reshape(2, 4)
+    c = np.arange(3, dtype=np.int16)
+    write_hdf5(
+        path,
+        {
+            "top": a,
+            "model/forecast/temp": b,
+            "model/station": c,
+        },
+        {"model/forecast/temp": {"chunk": (1, 4), "compress": 5,
+                                 "attrs": {"units": "K"}}},
+        attrs={"title": "grouped"},
+    )
+    h = HDF5File(path)
+    assert sorted(h.datasets) == [
+        "model/forecast/temp", "model/station", "top",
+    ]
+    assert h.attrs["title"] == "grouped"
+    np.testing.assert_array_equal(h.read("top"), a)
+    np.testing.assert_array_equal(h.read("model/forecast/temp"), b)
+    np.testing.assert_array_equal(h.read("model/station"), c)
+    assert h.datasets["model/forecast/temp"].attrs["units"] == "K"
