@@ -904,3 +904,96 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.row_number().over(win).cast("long").alias("rank_in_bucket"),
     )
+
+
+@register(
+    "q_sample_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+s AS (
+  SELECT list_sum(list(SQRT(CAST(n AS DOUBLE)) ORDER BY lang)) AS tot
+  FROM counts
+),
+thr AS (
+  SELECT c.lang, c.n,
+         CAST(FLOOR(1000000 * 300 * SQRT(CAST(c.n AS DOUBLE))
+                    / s.tot / c.n) AS BIGINT) AS thr
+  FROM counts c CROSS JOIN s
+),
+h AS (
+  SELECT d.doc_id, d.lang, t.n, t.thr,
+         CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS hx
+  FROM documents d JOIN thr t USING (lang)
+)
+SELECT lang,
+       MAX(n) AS n_docs,
+       CAST(SUM(CASE WHEN hx < thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN hx < thr THEN 1 ELSE 0 END) AS DOUBLE)
+         / MAX(n) AS kept_frac,
+       MAX(thr) AS thr_ppm
+FROM h GROUP BY lang
+""",
+    doc="Temperature-based language rebalancing — the mC4/NLLB "
+        "p_l^alpha mixture sampler that keeps low-resource languages "
+        "from vanishing in a pretraining mix: per-language keep rates "
+        "proportional to n_l^alpha / n_l with alpha = 0.5, so rare "
+        "languages keep a larger FRACTION while the corpus-wide budget "
+        "(300 docs) holds. alpha = 0.5 is deliberate: SQRT is "
+        "correctly-rounded under IEEE-754 and therefore bit-identical "
+        "across engines, unlike POW(x, 0.3) whose libm drift would "
+        "break the hash check; the normalizer folds the per-language "
+        "sqrts in sorted-lang order (sequential fold both engines — "
+        "no float-sum order drift), and the keep decision is the "
+        "house md5-threshold Bernoulli (reproducible across engines, "
+        "corpus size, partitioning). Scale shape: one |langs|-sized "
+        "agg, a broadcast of the |langs|-row threshold table, one "
+        "map-side keep predicate, one final keyed agg — the corpus "
+        "never shuffles.",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("lang", F.sqrt(F.col("n").cast("double")).alias("s"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("tot")
+    )
+    thr = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(
+            1000000
+            * 300
+            * F.sqrt(F.col("n").cast("double"))
+            / F.col("tot")
+            / F.col("n")
+        ).alias("thr"),
+    )
+    hx = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    h = d.join(F.broadcast(thr), "lang").select(
+        "lang", "n", "thr", hx.alias("hx")
+    )
+    kept = F.when(F.col("hx") < F.col("thr"), 1).otherwise(0)
+    return h.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        (F.sum(kept).cast("double") / F.max("n")).alias("kept_frac"),
+        F.max("thr").alias("thr_ppm"),
+    )

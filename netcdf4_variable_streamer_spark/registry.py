@@ -119,6 +119,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_lines",
     "q_curriculum_order",
     "q_multimodal_audio_vad",
+    "q_sample_temperature",
     "src_netcdf4_scan",
     "snk_netcdf4_write",
     "src_netcdf3_cdf5_scan",

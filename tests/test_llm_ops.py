@@ -282,3 +282,20 @@ def test_multimodal_audio_vad(check):
     # the threshold actually separates: both classes occur in-corpus
     assert pdf["n_voiced"].sum() > 0
     assert (pdf["n_voiced"] < pdf["n_frames"]).any()
+
+
+def test_sample_temperature_rebalances(check):
+    """alpha=0.5 keeps a LARGER fraction of rarer languages: kept_frac
+    must be monotone non-increasing in corpus share, and the total kept
+    stays near the 300-doc budget."""
+    pdf = check("q_sample_temperature").sort_values("n_docs")
+    thr = pdf["thr_ppm"].to_numpy()  # exact keep rates (ppm)
+    assert all(thr[i] >= thr[i + 1] for i in range(len(thr) - 1))
+    assert 150 <= pdf["n_kept"].sum() <= 450  # Bernoulli noise around 300
+    assert (pdf["thr_ppm"] > 0).all()
+    # the realized fractions track the thresholds
+    import numpy as np
+
+    np.testing.assert_allclose(
+        pdf["kept_frac"], pdf["thr_ppm"] / 1e6, atol=0.08
+    )
