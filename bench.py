@@ -4,6 +4,9 @@
 Keys mirror BASELINE.md's measured shapes: q1 pricing agg, q3 top-k join,
 q5 star join, w1 window rank, s1 sessionize, t1 tumbling, d1 exact dedup,
 v1 knn cosine (declarative), v1b knn (blocked NumPy path), x1 json agg.
+Source shapes: c1 chunk-store Python-DS scan, c1n native JVM parquet
+path, c2 real NetCDF-3 classic scan, c3 real NetCDF-4/HDF5 scan
+(shuffle+deflate chunks — round 4).
 
 Method (VERDICT r2 "Next round" #6): warm-up pass, then MEDIAN of 5
 timed runs per query with the per-query sample standard deviation
