@@ -674,3 +674,121 @@ def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, n_voiced long, voiced_frac double, "
         "total_energy long, max_frame_energy long",
     )
+
+
+@register(
+    "q_dedup_image_phash",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 50 AS img, yy.y, xx.x,
+         (d.doc_id % 50 * 37 + yy.y * 17 + xx.x * 29
+          + (xx.x * yy.y) % 13) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS x) xx
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS by, x // 2 AS bx,
+         CAST(SUM(v) AS BIGINT) // 4 AS b
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) // 256 AS t
+  FROM px GROUP BY doc_id
+),
+bits AS (
+  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+         CASE WHEN b.b > t.t THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32
+                       THEN bit * (CAST(1 AS BIGINT) << k)
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN k >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM bits GROUP BY doc_id
+),
+clusters AS (
+  SELECT h_hi, h_lo, MIN(doc_id) AS keep_doc,
+         COUNT(*) AS cluster_n
+  FROM hashes GROUP BY h_hi, h_lo
+)
+SELECT h.doc_id, h.h_hi, h.h_lo, c.keep_doc,
+       CAST(c.cluster_n AS BIGINT) AS cluster_n,
+       h.doc_id <> c.keep_doc AS is_dup
+FROM hashes h JOIN clusters c ON h.h_hi = c.h_hi AND h.h_lo = c.h_lo
+""",
+    doc="Perceptual-hash image dedup — the multimodal sibling of the "
+        "text near-dup family (crawled corpora carry the same image "
+        "under many URLs; byte-level md5 misses re-encodes, a "
+        "perceptual hash catches them): each document's 16x16 grayscale "
+        "image is encoded to a REAL 24-bit BMP (pure-NumPy codec), "
+        "shipped as an opaque binary column, decoded back, and reduced "
+        "to the classic integer average-hash — 2x2 block means "
+        "thresholded at the global mean, 64 bits packed as two int32 "
+        "halves (a single int64 would overflow at bit 63) — entirely "
+        "in floor-exact integer arithmetic, so the SQL regeneration "
+        "hash-matches bit-for-bit. Dedup is then hash-equality cluster "
+        "election (min-doc_id keeper), the exact-dedup shape on the "
+        "64-bit perceptual key; a hamming<=k variant would add the "
+        "SimHash pigeonhole bucketing of q_dedup_simhash on the same "
+        "halves. Scale: encode/decode+hash are zero-shuffle "
+        "mapInPandas; clustering is ONE hash-keyed agg + score-back "
+        "join — no pairwise stage.",
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    ys, xs = np.indices((16, 16))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                img = int(d) % 50
+                gray = (
+                    (img * 37 + ys * 17 + xs * 29 + (xs * ys) % 13) % 256
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_bmp(np.repeat(gray[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def ahash(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                gray = decode_bmp(bytes(payload))[:, :, 0].astype(np.int64)
+                blocks = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3)) >> 2
+                t = int(gray.sum()) >> 8
+                bits = (blocks > t).reshape(-1)
+                h_hi = sum(int(bits[k]) << k for k in range(32))
+                h_lo = sum(int(bits[k + 32]) << k for k in range(32))
+                rows.append((d, h_hi, h_lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "h_hi", "h_lo"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    hashes = payloads.mapInPandas(
+        ahash, "doc_id long, h_hi long, h_lo long"
+    )
+    clusters = hashes.groupBy("h_hi", "h_lo").agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.count(F.lit(1)).cast("long").alias("cluster_n"),
+    )
+    return hashes.join(clusters, ["h_hi", "h_lo"]).select(
+        "doc_id",
+        "h_hi",
+        "h_lo",
+        "keep_doc",
+        "cluster_n",
+        (F.col("doc_id") != F.col("keep_doc")).alias("is_dup"),
+    )

@@ -120,6 +120,7 @@ CANONICAL_ORDER: list[str] = [
     "q_curriculum_order",
     "q_multimodal_audio_vad",
     "q_sample_temperature",
+    "q_dedup_image_phash",
     "src_netcdf4_scan",
     "snk_netcdf4_write",
     "src_netcdf3_cdf5_scan",

@@ -299,3 +299,23 @@ def test_sample_temperature_rebalances(check):
     np.testing.assert_allclose(
         pdf["kept_frac"], pdf["thr_ppm"] / 1e6, atol=0.08
     )
+
+
+def test_image_phash_dedup_clusters(check):
+    """500 docs share 50 distinct images (img = doc_id % 50). Identical
+    images MUST hash together (cluster sizes are multiples of 10); a
+    perceptual hash may additionally merge visually-close DISTINCT
+    images (lossy by design), so the cluster count is <= 50; keepers
+    are exactly one min-doc_id per hash, all among the first 50 docs."""
+    pdf = check("q_dedup_image_phash")
+    assert len(pdf) == 500
+    # same image -> same hash, always
+    img = pdf["doc_id"] % 50
+    per_img = pdf.assign(img=img).groupby("img")[["h_hi", "h_lo"]].nunique()
+    assert (per_img == 1).all().all()
+    n_hashes = pdf.groupby(["h_hi", "h_lo"]).ngroups
+    assert 10 <= n_hashes <= 50, n_hashes
+    assert (pdf["cluster_n"] % 10 == 0).all() and (pdf["cluster_n"] >= 10).all()
+    keep = pdf[~pdf["is_dup"]]
+    assert len(keep) == n_hashes
+    assert (keep["doc_id"] < 50).all()
