@@ -459,6 +459,12 @@ class HDF5File:
         in-place patches of fixed-position fields (the tail-append
         dataspace-extent publish)."""
         b = self._buf
+        if header_addr + 16 > len(b):
+            raise ValueError(
+                f"{getattr(self, 'path', '<buf>')}: object header at "
+                f"offset {header_addr} lies past EOF ({len(b)} bytes) — "
+                "file truncated or corrupt"
+            )
         if b[header_addr] != 1:
             raise ValueError(
                 f"object header v{b[header_addr]} not supported (v1 only)"
@@ -485,9 +491,21 @@ class HDF5File:
     def _messages(self, header_addr: int):
         return [(t, b) for t, b, _off in self._messages_at(header_addr)]
 
+    def _expect_sig(self, addr: int, sig: bytes, what: str) -> None:
+        """Loud structural check: a truncated or corrupt file must name
+        the structure it broke in, not surface a bare struct.error or
+        silently parse garbage addresses (the netcdf3 ADVICE-r3 class)."""
+        got = self._buf[addr : addr + len(sig)]
+        if got != sig:
+            raise ValueError(
+                f"{getattr(self, 'path', '<buf>')}: expected {what} "
+                f"signature {sig!r} at offset {addr}, found {got!r} — "
+                "file truncated or corrupt"
+            )
+
     def _heap_name(self, heap_addr: int, offset: int) -> str:
         b = self._buf
-        assert b[heap_addr : heap_addr + 4] == b"HEAP"
+        self._expect_sig(heap_addr, b"HEAP", "local heap")
         seg = struct.unpack_from("<Q", b, heap_addr + 24)[0]
         end = b.index(b"\x00", seg + offset)
         return b[seg + offset : end].decode()
@@ -495,7 +513,7 @@ class HDF5File:
     def _walk_group(self, bt_addr: int, heap_addr: int):
         """Yield (name, object_header_addr) from a v1 group B-tree."""
         b = self._buf
-        assert b[bt_addr : bt_addr + 4] == b"TREE", "bad group B-tree"
+        self._expect_sig(bt_addr, b"TREE", "group B-tree")
         ntype, level, used = struct.unpack_from("<BBH", b, bt_addr + 4)
         assert ntype == 0, "not a group B-tree"
         pos = bt_addr + 24
@@ -509,7 +527,7 @@ class HDF5File:
             if level > 0:
                 yield from self._walk_group(child, heap_addr)
                 continue
-            assert b[child : child + 4] == b"SNOD", "bad symbol node"
+            self._expect_sig(child, b"SNOD", "symbol node")
             nsyms = struct.unpack_from("<H", b, child + 6)[0]
             p = child + 8
             for _ in range(nsyms):
@@ -620,7 +638,7 @@ class HDF5File:
     def _chunks(self, bt_addr: int, ndims: int):
         """Yield (origin tuple, nbytes, addr) for every stored chunk."""
         b = self._buf
-        assert b[bt_addr : bt_addr + 4] == b"TREE", "bad chunk B-tree"
+        self._expect_sig(bt_addr, b"TREE", "chunk B-tree")
         ntype, level, used = struct.unpack_from("<BBH", b, bt_addr + 4)
         assert ntype == 1, "not a chunk B-tree"
         keysize = 8 + 8 * (ndims + 1)

@@ -481,3 +481,22 @@ def test_subgroups_roundtrip(tmp_path):
     np.testing.assert_array_equal(h.read("model/forecast/temp"), b)
     np.testing.assert_array_equal(h.read("model/station"), c)
     assert h.datasets["model/forecast/temp"].attrs["units"] == "K"
+
+
+def test_truncated_file_fails_loudly(tmp_path):
+    """A file cut mid-structure must raise a ValueError naming the
+    broken structure, not a bare struct.error/IndexError."""
+    path = os.path.join(tmp_path, "ok.h5")
+    write_hdf5(
+        path,
+        {"v": np.arange(40, dtype=np.int32).reshape(10, 4)},
+        {"v": {"chunk": (4, 4), "compress": 1}},
+    )
+    whole = open(path, "rb").read()
+    HDF5File(path)  # intact file parses
+    # cut just past the superblock: group structures are gone
+    cut = os.path.join(tmp_path, "cut.h5")
+    with open(cut, "wb") as f:
+        f.write(whole[:120])
+    with pytest.raises(ValueError, match="signature|truncated|not supported"):
+        HDF5File(cut)
