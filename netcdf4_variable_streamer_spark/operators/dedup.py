@@ -714,3 +714,104 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("v1") > 0).cast("long").alias("is_dup"),
         )
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM d, UNNEST(generate_series(1, GREATEST(LEN(ts) - 2, 0))) AS u(i)
+),
+dfg AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+rare AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN dfg USING (g) WHERE dfg.df <= 20
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+)
+SELECT c.d1, c.d2, c.shared,
+       CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+       FLOOR(CAST(c.shared AS DOUBLE) / LEAST(s1.n, s2.n) * 10000)
+         / 10000 AS containment
+FROM cand c
+JOIN sizes s1 ON c.d1 = s1.doc_id
+JOIN sizes s2 ON c.d2 = s2.doc_id
+WHERE CAST(c.shared AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.2
+""",
+    doc="Containment near-dup detection — the ASYMMETRIC measure "
+        "C(A,B) = |A∩B| / min(|A|,|B|) that catches sub-document "
+        "duplication (a quoted article, a page embedded in a larger "
+        "one) which symmetric Jaccard dilutes toward 0 as the superset "
+        "grows (the RefinedWeb/FineWeb rationale for containment "
+        "passes alongside MinHash): distinct word-3-gram sets, "
+        "posting-list candidate generation (pairs sharing >= 3 "
+        "shingles, formed by a shingle-keyed self-join with a "
+        "document-frequency cap df <= 20 so stopword-like shingles "
+        "never explode the join — the prefix-filtering family's "
+        "scale-bounding knob; at web scale the cap tightens and the "
+        "candidate volume is sum over shingles of df^2, bounded by "
+        "cap x corpus shingle count), then exact containment verify "
+        ">= 0.2. No MinHash approximation anywhere: candidates are "
+        "supported pairs only, so the result is exact over a bounded "
+        "join. All stages gram- or pair-keyed; no window sorts.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ts = F.col("ts")
+    grams = F.when(
+        F.size(ts) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ts, i),
+                F.element_at(ts, i + 1),
+                F.element_at(ts, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    dfg = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(dfg, "g").filter(F.col("df") <= 20).select("doc_id", "g")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("d1"), "g")
+    b = rare.select(F.col("doc_id").alias("d2"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    s1 = sizes.select(
+        F.col("doc_id").alias("d1"), F.col("n").cast("long").alias("n1")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("d2"), F.col("n").cast("long").alias("n2")
+    )
+    cont = F.col("shared").cast("double") / F.least("n1", "n2")
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(cont >= 0.2)
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            "n1",
+            "n2",
+            (F.floor(cont * 10000) / 10000).alias("containment"),
+        )
+    )

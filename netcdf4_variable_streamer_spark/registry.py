@@ -121,6 +121,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_audio_vad",
     "q_sample_temperature",
     "q_dedup_image_phash",
+    "q_dedup_containment",
     "src_netcdf4_scan",
     "snk_netcdf4_write",
     "src_netcdf3_cdf5_scan",

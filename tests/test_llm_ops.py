@@ -319,3 +319,28 @@ def test_image_phash_dedup_clusters(check):
     keep = pdf[~pdf["is_dup"]]
     assert len(keep) == n_hashes
     assert (keep["doc_id"] < 50).all()
+
+
+def test_containment_superset_semantics(check, oracle_con):
+    """Containment >= Jaccard always (min <= union); the reported pairs
+    must include every FULL containment (C = 1.0) pair the exact
+    shingle sets exhibit."""
+    pdf = check("q_dedup_containment")
+    assert len(pdf) > 0
+    assert ((pdf["containment"] >= 0.2) & (pdf["containment"] <= 1.0)).all()
+    assert (pdf["shared"] <= pdf[["n1", "n2"]].min(axis=1)).all()
+    full = oracle_con.execute("""
+        WITH d AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ts FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+               FROM d, UNNEST(generate_series(1, GREATEST(LEN(ts)-2,0))) AS u(i)),
+        sets AS (SELECT doc_id, LIST(g) AS gs FROM sh GROUP BY doc_id)
+        SELECT a.doc_id, b.doc_id
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.gs, b.gs))
+              = LEAST(LEN(a.gs), LEN(b.gs))
+          AND LEN(LIST_INTERSECT(a.gs, b.gs)) >= 3
+    """).fetchall()
+    got = {(int(r.d1), int(r.d2)) for r in pdf.itertuples()}
+    for pair in {(int(a), int(b)) for a, b in full}:
+        assert pair in got, f"missed full-containment pair {pair}"
