@@ -49,6 +49,7 @@ structures fail with clear errors naming the feature.
 
 from __future__ import annotations
 
+import mmap
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -147,6 +148,11 @@ def _attr_msg(name: str, value) -> bytes:
         arr = np.atleast_1d(np.asarray(value))
         if arr.dtype.kind == "f":
             arr = arr.astype("<f8")
+        elif arr.dtype.kind == "u" and int(arr.max(initial=0)) > 2**63 - 1:
+            # astype('<i8') would silently wrap values >= 2^63 to negative
+            # (ADVICE r4) — emit the unsigned 64-bit fixed-point datatype,
+            # which the reader parses via the signed-bit flag.
+            arr = arr.astype("<u8")
         elif arr.dtype.kind in "iu":
             arr = (
                 arr.astype("<i8")
@@ -402,8 +408,16 @@ class HDF5File:
 
     def __init__(self, path: str):
         self.path = path
+        # Memory-map instead of f.read() (ADVICE r4): metadata parsing
+        # touches only the pages it walks (KB for typical headers), and
+        # executor-side chunk reads fault in only the byte ranges of the
+        # chunks that survive pruning — a multi-GB .nc4 never fully
+        # materializes on the driver or in a partition reader.
         with open(path, "rb") as f:
-            self._buf = f.read()
+            try:
+                self._buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            except ValueError:
+                raise ValueError(f"{path}: not an HDF5 file (empty)")
         b = self._buf
         if b[:8] != _SIG:
             raise ValueError(f"{path}: not an HDF5 file")
@@ -507,7 +521,12 @@ class HDF5File:
         b = self._buf
         self._expect_sig(heap_addr, b"HEAP", "local heap")
         seg = struct.unpack_from("<Q", b, heap_addr + 24)[0]
-        end = b.index(b"\x00", seg + offset)
+        end = b.find(b"\x00", seg + offset)  # mmap has find, not index
+        if end < 0:
+            raise ValueError(
+                f"{self.path}: unterminated local-heap name at "
+                f"offset {seg + offset} — file truncated or corrupt"
+            )
         return b[seg + offset : end].decode()
 
     def _walk_group(self, bt_addr: int, heap_addr: int):
@@ -700,6 +719,8 @@ class HDF5File:
         if hi <= lo:
             return np.zeros((0, *info.shape[1:]), dtype=info.dtype)
         if info.layout == "contiguous":
+            if info.data_addr == UNDEF:  # unallocated: zeros, like read()
+                return np.zeros((hi - lo, *info.shape[1:]), dtype=info.dtype)
             row = int(np.prod(info.shape[1:], dtype=np.int64)) or 1
             isz = info.dtype.itemsize
             raw = self._buf[
@@ -710,6 +731,8 @@ class HDF5File:
                 (hi - lo, *info.shape[1:])
             )
         out = np.zeros((hi - lo, *info.shape[1:]), dtype=info.dtype)
+        if info.btree_addr == UNDEF:
+            return out
         c0 = info.chunk[0]
         for origin, nbytes, addr in self._chunks(
             info.btree_addr, len(info.shape)

@@ -130,8 +130,14 @@ def _pack_attr_value(value, version: int) -> tuple[int, bytes, int]:
                 "or a string, or write a CDF-5 file (version=5)"
             )
         if wide:
-            arr = arr.astype(">i8")
-            nc_type = NC_INT64
+            # astype('>i8') on unsigned values >= 2^63 silently wraps to
+            # negative NC_INT64 (ADVICE r4) — emit NC_UINT64 instead.
+            if arr.dtype.kind == "u" and int(arr.max()) > 2**63 - 1:
+                arr = arr.astype(">u8")
+                nc_type = NC_UINT64
+            else:
+                arr = arr.astype(">i8")
+                nc_type = NC_INT64
         else:
             arr = arr.astype(">i4")
             nc_type = NC_INT

@@ -500,3 +500,41 @@ def test_truncated_file_fails_loudly(tmp_path):
         f.write(whole[:120])
     with pytest.raises(ValueError, match="signature|truncated|not supported"):
         HDF5File(cut)
+
+
+def test_uint64_attr_above_int63_not_wrapped(tmp_path):
+    """Unsigned attribute values >= 2^63 must be written with the
+    unsigned fixed-point datatype, not wrapped by astype('<i8')
+    (ADVICE r4)."""
+    path = os.path.join(tmp_path, "u8attr.h5")
+    data = np.arange(4, dtype=np.int32)
+    write_hdf5(
+        path,
+        {"v": data},
+        {"v": {"attrs": {"counter": 2**63 + 5}}},
+        attrs={"total": np.array([2**64 - 1, 9], dtype=np.uint64)},
+    )
+    h = HDF5File(path)
+    assert int(h.datasets["v"].attrs["counter"]) == 2**63 + 5
+    np.testing.assert_array_equal(
+        h.attrs["total"], np.array([2**64 - 1, 9], dtype=np.uint64)
+    )
+
+
+def test_unallocated_contiguous_slab_is_zeros(tmp_path):
+    """read_slab0 on a contiguous dataset whose data address is UNDEF
+    (unallocated — legal in foreign files) must return zeros like
+    read(), not fail with an opaque buffer error (ADVICE r4)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import UNDEF
+
+    path = os.path.join(tmp_path, "undef.h5")
+    data = np.arange(12, dtype=np.float64).reshape(6, 2)
+    write_hdf5(path, {"v": data})
+    h = HDF5File(path)
+    h.datasets["v"].data_addr = UNDEF  # simulate an unallocated dataset
+    np.testing.assert_array_equal(
+        h.read_slab0("v", 1, 4), np.zeros((3, 2), dtype=np.float64)
+    )
+    np.testing.assert_array_equal(
+        h.read("v"), np.zeros((6, 2), dtype=np.float64)
+    )

@@ -621,3 +621,25 @@ def test_src_netcdf3_cf_scan_oracle(check):
     assert len(pdf) == 12
     assert (pdf["n_recs"] == 8).all()
     assert pdf.sort_values("day").iloc[0]["first_ts"] == "2024-01-01 00:00:00"
+
+
+def test_cdf5_uint64_attr_above_int63_not_wrapped(tmp_path):
+    """An unsigned attribute value >= 2^63 must round-trip via NC_UINT64,
+    not wrap negative through a silent astype('>i8') (ADVICE r4)."""
+    path = os.path.join(tmp_path, "u8attr.nc")
+    write_netcdf3(
+        path,
+        dims={"x": 2},
+        variables={"v": ("int32", ("x",))},
+        data={"v": np.array([1, 2], dtype=np.int32)},
+        attrs={"counter": 2**63 + 5, "arr": np.array(
+            [2**64 - 1, 3], dtype=np.uint64
+        )},
+        version=5,
+    )
+    nc = NetCDF3File(path)
+    assert int(nc.attrs["counter"]) == 2**63 + 5
+    np.testing.assert_array_equal(
+        nc.attrs["arr"], np.array([2**64 - 1, 3], dtype=np.uint64)
+    )
+    assert nc.attrs["arr"].dtype == np.dtype(">u8")
