@@ -115,7 +115,8 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_string_agg",
     "q_basket_pairs",
     "q_fn_bitwise",
-    # -- 51-64: remaining never-checked keys (round-6 window head) --
+    # -- 51+: remaining never-checked keys (round-6 window head) --
+    "src_netcdf_uint64_scan",
     "q_fn_datetime_advanced",
     "q_funnel_attribution_decay",
     "q_geo_grid_knn",

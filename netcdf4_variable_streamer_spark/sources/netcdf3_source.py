@@ -123,7 +123,8 @@ def _cf_time(v) -> tuple[int, int] | None:
 # NetCDF external type -> (Spark column type, numpy dtype emitted by
 # read()). CDF-5's unsigned types widen to the next signed Spark type
 # (Spark has no unsigned ints — SURVEY §1.2); NC_UINT64 has no lossless
-# signed container and is rejected at schema time with a clear error.
+# signed *integer* container and maps to DECIMAL(20,0), the narrowest
+# exact container for the full 0..2^64-1 range.
 _NC_SPARK = {
     1: ("byte", "i1"),
     3: ("short", "i2"),
@@ -134,6 +135,7 @@ _NC_SPARK = {
     8: ("int", "i4"),  # NC_USHORT
     9: ("long", "i8"),  # NC_UINT
     10: ("long", "i8"),  # NC_INT64
+    11: ("decimal(20,0)", "u8"),  # NC_UINT64 (exact, SURVEY §1.2)
 }
 
 
@@ -167,8 +169,7 @@ def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
         if v.nc_type not in _NC_SPARK:
             raise ValueError(
                 f"{nc.path}: variable {v.name} has NetCDF type "
-                f"{v.nc_type} (NC_UINT64?) with no lossless Spark "
-                "integer container — convert at write time"
+                f"{v.nc_type} with no Spark mapping"
             )
         if decode_cf_time and _cf_time(v) is not None:
             # timestamp_ntz: CF times are calendar-naive UTC — no
@@ -334,6 +335,12 @@ class NetCDF3Reader(DataSourceReader):
         cols = [
             pa.array(arrays[c], mask=masks.get(c)) for c in self.columns
         ]
+        # NC_UINT64 columns are read as uint64 and delivered as Arrow
+        # decimal128(20,0) — the exact container DECIMAL(20,0) declares
+        cols = [
+            c.cast(pa.decimal128(20, 0)) if c.type == pa.uint64() else c
+            for c in cols
+        ]
         tbl = pa.table(cols, names=self.columns)
         yield from tbl.to_batches(max_chunksize=1 << 20)
 
@@ -387,6 +394,10 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
             vals = flat.astype(
                 np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
             ).tolist()
+            if v.nc_type == 11:  # DECIMAL(20,0) rows need Decimal cells
+                from decimal import Decimal
+
+                vals = [Decimal(x) for x in vals]
             if fv is not None:
                 vals = [
                     None if m else x for x, m in zip(vals, (flat == fv))

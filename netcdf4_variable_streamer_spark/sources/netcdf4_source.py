@@ -63,7 +63,8 @@ from netcdf4_variable_streamer_spark.sources.hdf5lite import NetCDF4View
 FORMAT4_NAME = "netcdf4"
 
 # numpy dtype kind+size -> (spark type, emitted numpy dtype); unsigned
-# widens to the next signed container (SURVEY §1.2)
+# widens to the next signed container; uint64 has no signed integer
+# container and maps to the exact DECIMAL(20,0) (SURVEY §1.2)
 _NP_SPARK = {
     "i1": ("byte", "i1"),
     "i2": ("short", "i2"),
@@ -72,6 +73,7 @@ _NP_SPARK = {
     "u1": ("short", "i2"),
     "u2": ("int", "i4"),
     "u4": ("long", "i8"),
+    "u8": ("decimal(20,0)", "u8"),
     "f4": ("float", "f4"),
     "f8": ("double", "f8"),
 }
@@ -111,7 +113,7 @@ def _spark_schema(v: NetCDF4View) -> str:
         if key not in _NP_SPARK:
             raise ValueError(
                 f"{v.path}: variable {x.name} dtype {x.dtype} has no "
-                "lossless Spark container (uint64?)"
+                "Spark mapping"
             )
         parts.append(f"{x.name} {_NP_SPARK[key][0]}")
     return ", ".join(parts)
@@ -244,6 +246,12 @@ class NetCDF4Reader(DataSourceReader):
                 np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
             )
         cols = [pa.array(arrays[c], mask=masks.get(c)) for c in self.columns]
+        # uint64 variables are delivered as Arrow decimal128(20,0) — the
+        # exact container their DECIMAL(20,0) schema declares
+        cols = [
+            c.cast(pa.decimal128(20, 0)) if c.type == pa.uint64() else c
+            for c in cols
+        ]
         yield from pa.table(cols, names=self.columns).to_batches(
             max_chunksize=1 << 20
         )
@@ -297,6 +305,10 @@ class NetCDF4StreamReader(SimpleDataSourceStreamReader):
             vals = flat.astype(
                 np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
             ).tolist()
+            if x.dtype.kind == "u" and x.dtype.itemsize == 8:
+                from decimal import Decimal
+
+                vals = [Decimal(y) for y in vals]  # DECIMAL(20,0) rows
             if fv is not None:
                 mask = flat == np.asarray(fv).astype(x.dtype)
                 vals = [None if m else y for y, m in zip(vals, mask)]

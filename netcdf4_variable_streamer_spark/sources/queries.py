@@ -1380,6 +1380,102 @@ def src_netcdf3_cdf5_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_uint64_fixture(suffix: str, t_total: int = 64) -> str:
+    """A record variable of uint64 counters ABOVE 2^63 (closed form
+    ``cnt[t] = 2^63 + t*1234567891``) in either container: suffix
+    ``.nc`` → CDF-5, ``.nc4`` → NetCDF-4/HDF5. Exercises the
+    NC_UINT64/uint64 → DECIMAL(20,0) scan mapping end to end."""
+    import numpy as np
+
+    path = os.path.join(SCRATCH, f"u8_{t_total}{suffix}")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    cnt = 2**63 + np.arange(t_total, dtype=np.uint64) * np.uint64(1234567891)
+    tmp = path + ".tmp"
+    if suffix == ".nc":
+        from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+            write_netcdf3,
+        )
+
+        write_netcdf3(
+            tmp,
+            dims={"t": None},
+            variables={"cnt": ("uint64", ("t",))},
+            data={"cnt": cnt},
+            version=5,
+        )
+    else:
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            write_netcdf4,
+        )
+
+        write_netcdf4(
+            tmp,
+            dims={"t": None},
+            variables={"cnt": ("uint64", ("t",))},
+            data={"cnt": cnt},
+        )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf_uint64_scan",
+    oracle="""
+WITH s AS (
+  SELECT i AS t_idx,
+         CAST('9223372036854775808' AS HUGEINT) + i * 1234567891 AS cnt
+  FROM UNNEST(generate_series(0, 63)) AS u(i)
+  WHERE i >= 8 AND i < 56
+)
+SELECT container, t_idx, cnt_str FROM (
+  SELECT 'cdf5' AS container, t_idx, CAST(cnt AS VARCHAR) AS cnt_str FROM s
+  UNION ALL
+  SELECT 'nc4' AS container, t_idx, CAST(cnt AS VARCHAR) AS cnt_str FROM s
+) u
+""",
+    doc="NC_UINT64 → DECIMAL(20,0) scan (SURVEY §1.2, VERDICT r4 "
+        "'Next round' #3): uint64 counters ABOVE 2^63 in BOTH real "
+        "containers (CDF-5 and NetCDF-4/HDF5), read through the "
+        "decimal128(20,0) Arrow path and compared digit-exact as "
+        "strings (DuckDB's pandas bridge degrades DECIMAL to float64, "
+        "so the VARCHAR projection is the lossless comparison); any "
+        "signed-wrap or float rounding in the scan path corrupts the "
+        "high digits and hash-mismatches.",
+)
+def src_netcdf_uint64_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    spark.dataSource.register(NetCDF3DataSource)
+    spark.dataSource.register(NetCDF4DataSource)
+    parts = []
+    for label, fmt, suffix in (
+        ("cdf5", FORMAT3_NAME, ".nc"),
+        ("nc4", FORMAT4_NAME, ".nc4"),
+    ):
+        df = (
+            spark.read.format(fmt)
+            .option("path", ensure_uint64_fixture(suffix))
+            .load()
+            .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+            .select(
+                F.lit(label).alias("container"),
+                F.col("t_idx"),
+                F.col("cnt").cast("string").alias("cnt_str"),
+            )
+        )
+        parts.append(df)
+    return parts[0].unionAll(parts[1])
+
+
 def ensure_nc3_cf(path: str | None = None, t_total: int = 96) -> str:
     """A CF-convention time series: coordinate variable `t` in hours
     since 2024-01-01, a value series, both closed-form."""

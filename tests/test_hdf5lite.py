@@ -538,3 +538,35 @@ def test_unallocated_contiguous_slab_is_zeros(tmp_path):
     np.testing.assert_array_equal(
         h.read("v"), np.zeros((6, 2), dtype=np.float64)
     )
+
+
+def test_nc4_uint64_scan_decimal(spark, tmp_path):
+    """uint64 datasets map to DECIMAL(20,0) on the NetCDF-4 scan, exact
+    across the full 0..2^64-1 range (SURVEY §1.2)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = os.path.join(tmp_path, "u64.nc4")
+    vals = np.array([2**64 - 1, 2**63 + 5, 7, 0], dtype=np.uint64)
+    write_netcdf4(
+        path,
+        dims={"t": None},
+        variables={"w": ("uint64", ("t",))},
+        data={"w": vals},
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", path).load()
+    assert dict(df.dtypes)["w"] == "decimal(20,0)"
+    got = [int(r["w"]) for r in df.orderBy("t_idx").collect()]
+    assert got == [2**64 - 1, 2**63 + 5, 7, 0]
+
+
+def test_src_netcdf_uint64_scan_oracle(check):
+    pdf = check("src_netcdf_uint64_scan")
+    assert len(pdf) == 96  # 48 records x 2 containers
+    assert pdf["cnt_str"].str.len().min() == 19  # all values >= 2^63

@@ -279,8 +279,8 @@ def test_cdf5_roundtrip_attrs_and_append(tmp_path):
 
 def test_cdf5_spark_scan_widens_unsigned(spark, tmp_path):
     """The DataSource scans a CDF-5 file: int64 -> long, uint16 -> int
-    (next signed container), values exact; NC_UINT64 record vars are
-    rejected at schema time with a clear error."""
+    (next signed container), values exact; NC_UINT64 record vars map to
+    the exact DECIMAL(20,0) container (SURVEY §1.2)."""
     from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
         FORMAT3_NAME,
         NetCDF3DataSource,
@@ -306,15 +306,18 @@ def test_cdf5_spark_scan_widens_unsigned(spark, tmp_path):
     np.testing.assert_array_equal(pdf["v"].to_numpy(), v.reshape(-1))
     np.testing.assert_array_equal(pdf["u"].to_numpy(), u.reshape(-1))
 
-    bad = os.path.join(tmp_path, "u64.nc")
+    u8 = os.path.join(tmp_path, "u64.nc")
+    vals = np.array([2**64 - 1, 2**63 + 5, 7], dtype=np.uint64)
     write_netcdf3(
-        bad,
+        u8,
         dims={"t": None},
         variables={"w": ("uint64", ("t",))},
-        data={"w": np.arange(3, dtype=np.uint64)},
+        data={"w": vals},
     )
-    with pytest.raises(Exception, match="NC_UINT64"):
-        spark.read.format(FORMAT3_NAME).option("path", bad).load().schema
+    dfu = spark.read.format(FORMAT3_NAME).option("path", u8).load()
+    assert dict(dfu.dtypes)["w"] == "decimal(20,0)"
+    got = [int(r["w"]) for r in dfu.orderBy("t_idx").collect()]
+    assert got == [2**64 - 1, 2**63 + 5, 7]
 
 
 def test_mixed_version_multifile_scan(spark, tmp_path):
