@@ -8,8 +8,9 @@ File Format Specification, version 2.x; the netCDF-4 dimension
 conventions from the public netcdf-c docs) with nothing but NumPy and
 stdlib zlib:
 
-Writer (:func:`write_netcdf4`) emits the oldest, most compatible
-encodings — the same ones the HDF5 1.8+ library writes by default:
+Writer (:func:`write_netcdf4`) emits by default the oldest, most
+compatible encodings — the same ones the HDF5 1.8+ library writes by
+default:
 
 - superblock version 0 (8-byte offsets/lengths, little-endian);
 - version-1 object headers;
@@ -42,9 +43,22 @@ Subgroups (the netCDF-4 group hierarchy) are supported with
 for pathed dataset names, the reader recurses them back to the same
 flat namespace (groups = catalog namespaces in the engine's mapping).
 
-Honest scope: no v2+ superblocks ("latest" libver files), no
-fractal-heap "new style" groups, no vlen data, no szip. Out-of-scope
-structures fail with clear errors naming the feature.
+"latest" (1.10+) encodings — what h5py's ``libver='latest'`` emits —
+are supported on BOTH sides (``write_hdf5(..., libver="latest")``):
+superblock v2/v3 with Jenkins-lookup3 checksums (verified on read;
+the checksum implementation is validated against lookup3.c's
+published self-test vectors), version-2 ("OHDR") object headers with
+"OCHK" continuations, compact link-message groups (Link Info / Group
+Info / hard-link messages), v3 attribute messages, and version-4 data
+layouts with Single Chunk, Implicit, and Fixed Array ("FAHD"/"FADB",
+paged or unpaged) chunk indexes.
+
+Honest scope (loud refusals naming the feature): dense link storage
+(fractal heap + v2 B-tree name index — groups past the ~8-link
+compact limit under libver='latest'), Extensible Array and v2-B-tree
+chunk indexes (unlimited extents under libver='latest'; unlimited
+datasets written here keep the v3 + v1-B-tree encoding, legal in any
+file), vlen data, szip.
 """
 
 from __future__ import annotations
@@ -137,8 +151,10 @@ def _dataspace(shape: tuple[int, ...], maxshape=None) -> bytes:
     return out
 
 
-def _attr_msg(name: str, value) -> bytes:
-    """Attribute message v1 (scalar/1-D ints and floats, strings)."""
+def _attr_msg(name: str, value, latest: bool = False) -> bytes:
+    """Attribute message (scalar/1-D ints and floats, strings): v1
+    (8-padded fields) by default, v3 (unpadded, charset byte) when
+    ``latest`` — the encodings libhdf5 writes for each libver."""
     nb = name.encode() + b"\x00"
     if isinstance(value, str):
         data = value.encode() + b"\x00"
@@ -165,6 +181,11 @@ def _attr_msg(name: str, value) -> bytes:
         shape = () if np.ndim(value) == 0 else arr.shape
         ds = _dataspace(shape)
         data = arr.tobytes()
+    if latest:
+        # v3: charset byte (0 = ASCII), fields unpadded
+        body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
+        body += nb + dt + ds + data
+        return _msg2(0x000C, body)
     body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
     body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
     return _msg(0x000C, body)
@@ -173,6 +194,89 @@ def _attr_msg(name: str, value) -> bytes:
 def _object_header(messages: list[bytes]) -> bytes:
     blk = b"".join(messages)
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blk)) + blk
+
+
+# ---------------------------------------------------------------------------
+# "latest" (1.10+) encodings: v2 superblock / v2 object headers / link
+# messages / version-4 data layouts. All v2 metadata blocks carry a
+# Jenkins lookup3 checksum (the HDF5 metadata checksum algorithm).
+# ---------------------------------------------------------------------------
+
+_M32 = 0xFFFFFFFF
+
+
+def _rot32(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & _M32
+
+
+def lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle()`` — HDF5's metadata checksum
+    (H5_checksum_metadata). Public-domain algorithm, little-endian
+    word reads; validated against lookup3.c's published self-test
+    vectors in tests/test_hdf5lite.py."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & _M32
+    pos = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[pos : pos + 4], "little")) & _M32
+        b = (b + int.from_bytes(data[pos + 4 : pos + 8], "little")) & _M32
+        c = (c + int.from_bytes(data[pos + 8 : pos + 12], "little")) & _M32
+        a = (a - c) & _M32; a ^= _rot32(c, 4); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot32(a, 6); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot32(b, 8); b = (b + a) & _M32
+        a = (a - c) & _M32; a ^= _rot32(c, 16); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot32(a, 19); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot32(b, 4); b = (b + a) & _M32
+        pos += 12
+        length -= 12
+    if length == 0:
+        return c  # hashlittle: case 0 returns without the final mix
+    tail = bytes(data[pos : pos + length]) + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & _M32
+    b = (b + int.from_bytes(tail[4:8], "little")) & _M32
+    c = (c + int.from_bytes(tail[8:12], "little")) & _M32
+    c ^= b; c = (c - _rot32(b, 14)) & _M32
+    a ^= c; a = (a - _rot32(c, 11)) & _M32
+    b ^= a; b = (b - _rot32(a, 25)) & _M32
+    c ^= b; c = (c - _rot32(b, 16)) & _M32
+    a ^= c; a = (a - _rot32(c, 4)) & _M32
+    b ^= a; b = (b - _rot32(a, 14)) & _M32
+    c ^= b; c = (c - _rot32(b, 24)) & _M32
+    return c
+
+
+def _msg2(mtype: int, body: bytes) -> bytes:
+    """v2 object-header message: 1-byte type, no alignment padding."""
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _object_header2(messages: list[bytes]) -> bytes:
+    """Version-2 ("OHDR") object header: flags 0x02 (4-byte chunk-0
+    size; no times, no attribute creation order), messages unpadded,
+    lookup3 checksum over the whole chunk."""
+    blk = b"".join(messages)
+    hdr = b"OHDR" + struct.pack("<BBI", 2, 0x02, len(blk)) + blk
+    return hdr + struct.pack("<I", lookup3(hdr))
+
+
+def _link_msg(name: str, addr: int) -> bytes:
+    """Hard-link message (type 0x0006) v1: 1-byte name length."""
+    nb = name.encode()
+    if len(nb) > 255:
+        raise ValueError(f"link name too long: {name!r}")
+    body = struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
+    return _msg2(0x0006, body)
+
+
+def _linkinfo_msg() -> bytes:
+    """Link Info (type 0x0002) v0, compact storage: no fractal heap,
+    no name-index v2 B-tree."""
+    return _msg2(0x0002, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF))
+
+
+def _groupinfo_msg() -> bytes:
+    """Group Info (type 0x000A) v0, no optional fields."""
+    return _msg2(0x000A, struct.pack("<BB", 0, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +292,32 @@ def _chunk_grid(shape, chunk):
         yield tuple(int(i * c) for i, c in zip(row, chunk))
 
 
+def _write_fixed_array(
+    out: bytearray, entries: list[tuple[int, int]], filtered: bool
+) -> int:
+    """Append a Fixed Array chunk index (header + unpaged data block)
+    for ``entries`` = [(chunk addr, stored nbytes)] in row-major chunk
+    order; returns the FAHD address."""
+    nelems = len(entries)
+    entry_size = 20 if filtered else 8  # addr + [size(8) + filter mask(4)]
+    page_bits = max(10, (nelems - 1).bit_length() if nelems > 1 else 1)
+    haddr = len(out)
+    dblk_addr = haddr + 28  # header is 28 bytes, data block follows
+    hdr = b"FAHD" + struct.pack(
+        "<BBBBQQ", 0, 1 if filtered else 0, entry_size, page_bits,
+        nelems, dblk_addr,
+    )
+    out += hdr + struct.pack("<I", lookup3(hdr))
+    blk = b"FADB" + struct.pack("<BBQ", 0, 1 if filtered else 0, haddr)
+    for addr, nbytes in entries:
+        if filtered:
+            blk += struct.pack("<QQI", addr, nbytes, 0)
+        else:
+            blk += struct.pack("<Q", addr)
+    out += blk + struct.pack("<I", lookup3(blk))
+    return haddr
+
+
 def _write_dataset(
     out: bytearray,
     arr: np.ndarray,
@@ -196,18 +326,22 @@ def _write_dataset(
     compress,
     shuffle,
     attrs: dict,
+    latest: bool = False,
+    index: str | None = None,
 ) -> int:
     """Append one dataset's data + object header; return header addr."""
     arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+    mk = _msg2 if latest else _msg
     msgs = [
-        _msg(0x0001, _dataspace(arr.shape, maxshape)),
-        _msg(0x0003, _dt_body(arr.dtype)),
+        mk(0x0001, _dataspace(arr.shape, maxshape)),
+        mk(0x0003, _dt_body(arr.dtype)),
     ]
     if chunk is None:
         addr = len(out)
         out += arr.tobytes()
-        body = struct.pack("<BBQQ", 3, 1, addr, arr.nbytes)
-        msgs.append(_msg(0x0008, body))
+        ver = 4 if latest else 3
+        body = struct.pack("<BBQQ", ver, 1, addr, arr.nbytes)
+        msgs.append(mk(0x0008, body))
     else:
         esz = arr.dtype.itemsize
         filters = []
@@ -236,23 +370,56 @@ def _write_dataset(
             out += raw
             children.append(caddr)
             keys.append((len(raw), origin))
-        # v1 raw-data chunk B-tree (single level-0 node)
-        bt = bytearray()
-        bt += b"TREE" + struct.pack("<BBHQQ", 1, 0, len(children), UNDEF, UNDEF)
-        for (csize, origin), caddr in zip(keys, children):
-            bt += struct.pack("<II", csize, 0)
-            bt += b"".join(struct.pack("<Q", o) for o in origin)
-            bt += struct.pack("<Q", 0)  # element-size dimension
-            bt += struct.pack("<Q", caddr)
-        bt += struct.pack("<II", 0, 0)  # final key: past-end
-        bt += b"".join(struct.pack("<Q", s) for s in arr.shape)
-        bt += struct.pack("<Q", esz)
-        btaddr = len(out)
-        out += bytes(bt)
-        body = struct.pack("<BBBQ", 3, 2, len(chunk) + 1, btaddr)
-        body += b"".join(struct.pack("<I", c) for c in chunk)
-        body += struct.pack("<I", esz)
-        msgs.append(_msg(0x0008, body))
+        unlimited = bool(maxshape) and any(m is None for m in maxshape)
+        if latest and not unlimited:
+            # layout v4: Single Chunk (one chunk) or Fixed Array index
+            # — what libhdf5 1.10+ emits for fixed-extent chunked data.
+            # (Unlimited extents would take an Extensible Array; those
+            # stay on the v3 + v1-B-tree encoding, legal in any file.)
+            body = struct.pack("<BBBBB", 4, 2, 0, len(chunk) + 1, 8)
+            body += b"".join(struct.pack("<Q", c) for c in chunk)
+            body += struct.pack("<Q", esz)
+            if index == "implicit":
+                # early-allocated unfiltered dense chunk array
+                if filters:
+                    raise ValueError("implicit chunk index excludes filters")
+                body += struct.pack("<BQ", 2, children[0])
+            elif len(children) == 1:
+                if filters:
+                    # flags bit 1: single chunk carries size+filter mask
+                    body = body[:2] + b"\x02" + body[3:]
+                    body += struct.pack("<BQI", 1, keys[0][0], 0)
+                else:
+                    body += struct.pack("<B", 1)
+                body += struct.pack("<Q", children[0])
+            else:
+                fa_addr = _write_fixed_array(
+                    out,
+                    [(a, k[0]) for a, k in zip(children, keys)],
+                    bool(filters),
+                )
+                body += struct.pack("<BBQ", 3, 10, fa_addr)  # page bits 10
+            msgs.append(mk(0x0008, body))
+        else:
+            # v1 raw-data chunk B-tree (single level-0 node)
+            bt = bytearray()
+            bt += b"TREE" + struct.pack(
+                "<BBHQQ", 1, 0, len(children), UNDEF, UNDEF
+            )
+            for (csize, origin), caddr in zip(keys, children):
+                bt += struct.pack("<II", csize, 0)
+                bt += b"".join(struct.pack("<Q", o) for o in origin)
+                bt += struct.pack("<Q", 0)  # element-size dimension
+                bt += struct.pack("<Q", caddr)
+            bt += struct.pack("<II", 0, 0)  # final key: past-end
+            bt += b"".join(struct.pack("<Q", s) for s in arr.shape)
+            bt += struct.pack("<Q", esz)
+            btaddr = len(out)
+            out += bytes(bt)
+            body = struct.pack("<BBBQ", 3, 2, len(chunk) + 1, btaddr)
+            body += b"".join(struct.pack("<I", c) for c in chunk)
+            body += struct.pack("<I", esz)
+            msgs.append(mk(0x0008, body))
         if filters:
             fb = struct.pack("<BB2x4x", 1, len(filters))
             for fid, cvals in filters:
@@ -260,11 +427,11 @@ def _write_dataset(
                 fb += b"".join(struct.pack("<I", v) for v in cvals)
                 if len(cvals) % 2:
                     fb += b"\x00" * 4
-            msgs.append(_msg(0x000B, fb))
+            msgs.append(mk(0x000B, fb))
     for k, v in attrs.items():
-        msgs.append(_attr_msg(k, v))
+        msgs.append(_attr_msg(k, v, latest=latest))
     haddr = len(out)
-    out += _object_header(msgs)
+    out += _object_header2(msgs) if latest else _object_header(msgs)
     return haddr
 
 
@@ -308,11 +475,29 @@ def _write_group(
     return header_addr, bt_addr, heap_addr
 
 
+def _write_group2(
+    out: bytearray, children: dict[str, int], attrs: dict
+) -> int:
+    """Append a "new style" link-message group (v2 object header:
+    Link Info + Group Info + one hard-link message per child, compact
+    storage — what libhdf5 1.10+ writes for small groups); returns the
+    header address."""
+    msgs = [_linkinfo_msg(), _groupinfo_msg()]
+    for n in sorted(children):
+        msgs.append(_link_msg(n, children[n]))
+    for k, v in attrs.items():
+        msgs.append(_attr_msg(k, v, latest=True))
+    header_addr = len(out)
+    out += _object_header2(msgs)
+    return header_addr
+
+
 def write_hdf5(
     path: str,
     datasets: dict[str, np.ndarray],
     ds_opts: dict[str, dict] | None = None,
     attrs: dict | None = None,
+    libver: str = "earliest",
 ) -> None:
     """Write a minimal HDF5 file of datasets under the root group.
 
@@ -321,9 +506,20 @@ def write_hdf5(
     keys per dataset: ``maxshape`` (tuple with None = unlimited),
     ``chunk`` (tuple), ``compress`` (zlib level), ``shuffle`` (bool),
     ``attrs`` (dict). Unlimited extents force chunked layout.
+
+    ``libver="latest"`` emits the 1.10+ encodings (what h5py's
+    ``libver='latest'`` produces): superblock v2 + lookup3 checksums,
+    version-2 ("OHDR") object headers, link-message groups, v3
+    attribute messages, and version-4 data layouts (Single Chunk /
+    Fixed Array chunk indexes for fixed extents; unlimited extents
+    keep the v3 + v1-B-tree encoding, which is legal in any file).
     """
+    if libver not in ("earliest", "latest"):
+        raise ValueError(f"libver {libver!r} (earliest/latest)")
+    latest = libver == "latest"
     ds_opts = ds_opts or {}
-    out = bytearray(b"\x00" * 96)  # superblock patched in last
+    sb_len = 48 if latest else 96
+    out = bytearray(b"\x00" * sb_len)  # superblock patched in last
     # group tree: "" is root; each node maps child name -> header addr
     tree: dict[str, dict[str, int]] = {"": {}}
 
@@ -349,6 +545,8 @@ def write_hdf5(
             o.get("compress"),
             o.get("shuffle", False),
             o.get("attrs", {}),
+            latest=latest,
+            index=o.get("index"),
         )
         gpath, _, leaf = name.rpartition("/")
         group_node(gpath)[leaf] = addr
@@ -357,24 +555,36 @@ def write_hdf5(
     for gpath in sorted(
         (g for g in tree if g), key=lambda g: -g.count("/")
     ):
-        haddr, _bt, _hp = _write_group(out, tree[gpath], {})
+        if latest:
+            haddr = _write_group2(out, tree[gpath], {})
+        else:
+            haddr, _bt, _hp = _write_group(out, tree[gpath], {})
         parent, _, leaf = gpath.rpartition("/")
         group_node(parent)[leaf] = haddr
 
-    root_addr, bt_addr, heap_addr = _write_group(
-        out, tree[""], attrs or {}
-    )
-
-    eof = len(out)
-    sb = _SIG
-    sb += struct.pack("<BBBxB BBx".replace(" ", ""), 0, 0, 0, 0, 8, 8)
-    sb += struct.pack("<HHI", 4, 16, 0)
-    sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
-    # root symbol table entry
-    sb += struct.pack("<QQII", 0, root_addr, 1, 0)
-    sb += struct.pack("<QQ", bt_addr, heap_addr)
-    assert len(sb) == 96, len(sb)
-    out[:96] = sb
+    if latest:
+        root_addr = _write_group2(out, tree[""], attrs or {})
+        eof = len(out)
+        sb = _SIG + struct.pack(
+            "<BBBBQQQQ", 2, 8, 8, 0, 0, UNDEF, eof, root_addr
+        )
+        sb += struct.pack("<I", lookup3(sb))
+        assert len(sb) == 48, len(sb)
+        out[:48] = sb
+    else:
+        root_addr, bt_addr, heap_addr = _write_group(
+            out, tree[""], attrs or {}
+        )
+        eof = len(out)
+        sb = _SIG
+        sb += struct.pack("<BBBxB BBx".replace(" ", ""), 0, 0, 0, 0, 8, 8)
+        sb += struct.pack("<HHI", 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+        # root symbol table entry
+        sb += struct.pack("<QQII", 0, root_addr, 1, 0)
+        sb += struct.pack("<QQ", bt_addr, heap_addr)
+        assert len(sb) == 96, len(sb)
+        out[:96] = sb
     with open(path, "wb") as f:
         f.write(bytes(out))
 
@@ -394,9 +604,13 @@ class DatasetInfo:
     layout: str = "contiguous"  # or "chunked"
     data_addr: int = UNDEF
     data_size: int = 0
-    btree_addr: int = UNDEF
+    btree_addr: int = UNDEF  # chunk index address (any index type)
     chunk: tuple[int, ...] = ()
     filters: list = field(default_factory=list)  # [(id, client_vals)]
+    # layout v4 (libver-latest) chunk index flavor:
+    # "btree1" (v3 layout), "single", "implicit", or "fa" (Fixed Array)
+    chunk_index: str = "btree1"
+    single_nbytes: int = 0  # stored size of the one filtered chunk
 
     @property
     def unlimited0(self) -> bool:
@@ -421,45 +635,107 @@ class HDF5File:
         b = self._buf
         if b[:8] != _SIG:
             raise ValueError(f"{path}: not an HDF5 file")
-        if b[8] != 0:
+        sb_ver = b[8]
+        if sb_ver == 0:
+            if b[13] != 8 or b[14] != 8:
+                raise ValueError(f"{path}: only 8-byte offsets/lengths")
+            # v0: root symbol table entry at offset 24+32 = 56
+            root_header = struct.unpack_from("<Q", b, 56 + 8)[0]
+        elif sb_ver in (2, 3):
+            # v2/v3 ("latest"): fixed 48-byte superblock, root object
+            # header address at offset 36, lookup3 checksum at 44
+            if b[9] != 8 or b[10] != 8:
+                raise ValueError(f"{path}: only 8-byte offsets/lengths")
+            root_header = struct.unpack_from("<Q", b, 36)[0]
+            stored = struct.unpack_from("<I", b, 44)[0]
+            if stored != lookup3(b[:44]):
+                raise ValueError(
+                    f"{path}: superblock v{sb_ver} checksum mismatch — "
+                    "file truncated or corrupt"
+                )
+        else:
             raise ValueError(
-                f"{path}: superblock v{b[8]} not supported (v0 only — "
-                "files written with libver='latest' are out of scope)"
+                f"{path}: superblock v{sb_ver} not supported "
+                "(v0/v2/v3 only)"
             )
-        if b[13] != 8 or b[14] != 8:
-            raise ValueError(f"{path}: only 8-byte offsets/lengths")
-        # v0: root symbol table entry at offset 24+32 = 56
-        root_header = struct.unpack_from("<Q", b, 56 + 8)[0]
         self.attrs: dict = {}
         self.datasets: dict[str, DatasetInfo] = {}
         self._header_addr: dict[str, int] = {}
         msgs = self._messages(root_header)
+        children = self._group_children(msgs)
+        if children is None:
+            raise ValueError(f"{path}: root object is not a group")
+        for name, haddr in children:
+            self._load_object("", name, haddr)
         for t, body in msgs:
-            if t == 0x0011:
-                bt_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
-                for name, haddr in self._walk_group(bt_addr, heap_addr):
-                    self._load_object("", name, haddr)
-            elif t == 0x000C:
+            if t == 0x000C:
                 k, v = self._parse_attr(body)
                 self.attrs[k] = v
-            elif t == 0x0002:
-                raise ValueError(
-                    f"{path}: 'new style' (link-message) groups not "
-                    "supported — write with default libver"
-                )
+
+    def _group_children(self, msgs) -> list[tuple[str, int]] | None:
+        """(name, object header addr) pairs if the messages describe a
+        GROUP — old-style (symbol table, 0x0011) or new-style compact
+        (link messages, 0x0006 / link info 0x0002) — else None. Dense
+        new-style storage (links in a fractal heap) is refused loudly."""
+        links: list[tuple[str, int]] = []
+        is_group = False
+        for t, body in msgs:
+            if t == 0x0011:  # symbol table: v1 B-tree + local heap
+                is_group = True
+                bt_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
+                links.extend(self._walk_group(bt_addr, heap_addr))
+            elif t == 0x0002:  # link info
+                is_group = True
+                flags = body[1]
+                pos = 2 + (8 if flags & 1 else 0)
+                fheap_addr = struct.unpack_from("<Q", body, pos)[0]
+                if fheap_addr != UNDEF:
+                    raise ValueError(
+                        f"{self.path}: dense link storage (fractal "
+                        "heap) not supported — groups over the compact "
+                        "limit (~8 links with libver='latest') are out "
+                        "of scope"
+                    )
+            elif t == 0x0006:  # link message
+                is_group = True
+                parsed = self._parse_link(body)
+                if parsed is not None:
+                    links.append(parsed)
+            elif t == 0x000A:  # group info
+                is_group = True
+        return links if is_group else None
+
+    def _parse_link(self, body: bytes) -> tuple[str, int] | None:
+        """Hard links -> (name, header addr); soft/external links are
+        not used by netCDF-4 and are skipped (None)."""
+        if body[0] != 1:
+            raise ValueError(f"link message v{body[0]} not supported")
+        flags = body[1]
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        lsz = 1 << (flags & 0x03)
+        nlen = int.from_bytes(body[pos : pos + lsz], "little")
+        pos += lsz
+        name = body[pos : pos + nlen].decode()
+        pos += nlen
+        if ltype != 0:
+            return None  # soft/external link: skip
+        return name, struct.unpack_from("<Q", body, pos)[0]
 
     def _load_object(self, prefix: str, name: str, haddr: int) -> None:
         """Register a dataset, or recurse into a subgroup (netCDF-4
         groups) with '/'-joined names."""
         full = prefix + name
-        st = [
-            body
-            for t, body in self._messages(haddr)
-            if t == 0x0011
-        ]
-        if st:
-            bt_addr, heap_addr = struct.unpack_from("<QQ", st[0], 0)
-            for child, child_haddr in self._walk_group(bt_addr, heap_addr):
+        children = self._group_children(self._messages(haddr))
+        if children is not None:
+            for child, child_haddr in children:
                 self._load_object(full + "/", child, child_haddr)
             return
         self.datasets[full] = self._dataset(full, haddr)
@@ -468,10 +744,10 @@ class HDF5File:
     # -- low-level walkers ------------------------------------------------
 
     def _messages_at(self, header_addr: int):
-        """All (type, body, body_file_offset) messages of a v1 object
-        header, following continuation blocks. The file offset enables
-        in-place patches of fixed-position fields (the tail-append
-        dataspace-extent publish)."""
+        """All (type, body, body_file_offset) messages of a v1 or v2
+        object header, following continuation blocks. The file offset
+        enables in-place patches of fixed-position fields (the
+        tail-append dataspace-extent publish)."""
         b = self._buf
         if header_addr + 16 > len(b):
             raise ValueError(
@@ -479,9 +755,12 @@ class HDF5File:
                 f"offset {header_addr} lies past EOF ({len(b)} bytes) — "
                 "file truncated or corrupt"
             )
+        if b[header_addr : header_addr + 4] == b"OHDR":
+            return self._messages_v2(header_addr)
         if b[header_addr] != 1:
             raise ValueError(
-                f"object header v{b[header_addr]} not supported (v1 only)"
+                f"object header v{b[header_addr]} not supported "
+                "(v1 or OHDR v2)"
             )
         nmsgs = struct.unpack_from("<H", b, header_addr + 2)[0]
         hdrsize = struct.unpack_from("<I", b, header_addr + 8)[0]
@@ -498,6 +777,56 @@ class HDF5File:
                 if mtype == 0x0010:  # continuation
                     off, length = struct.unpack_from("<QQ", body, 0)
                     regions.append((off, length))
+                    continue
+                out.append((mtype, body, body_off))
+        return out
+
+    def _messages_v2(self, header_addr: int):
+        """Version-2 ("OHDR") object header walk: 1-byte message types,
+        no alignment, optional times/phase-change prefix fields, "OCHK"
+        continuation blocks, trailing lookup3 checksums (verified)."""
+        b = self._buf
+        pos = header_addr + 4
+        ver, flags = b[pos], b[pos + 1]
+        if ver != 2:
+            raise ValueError(f"{self.path}: OHDR version {ver} (2 only)")
+        pos += 2
+        if flags & 0x20:
+            pos += 16  # access/mod/change/birth times
+        if flags & 0x10:
+            pos += 4  # max-compact / min-dense phase-change values
+        c0sz = 1 << (flags & 0x03)
+        chunk0 = int.from_bytes(b[pos : pos + c0sz], "little")
+        pos += c0sz
+        stored = struct.unpack_from("<I", b, pos + chunk0)[0]
+        if stored != lookup3(b[header_addr : pos + chunk0]):
+            raise ValueError(
+                f"{self.path}: object header checksum mismatch at "
+                f"offset {header_addr} — file truncated or corrupt"
+            )
+        mh = 6 if flags & 0x04 else 4  # +2 creation-order bytes
+        regions = [(pos, chunk0)]
+        out = []
+        while regions:
+            pos, remaining = regions.pop(0)
+            while remaining >= mh:  # any trailing gap is < one header
+                mtype = b[pos]
+                msize = struct.unpack_from("<H", b, pos + 1)[0]
+                body = b[pos + mh : pos + mh + msize]
+                body_off = pos + mh
+                pos += mh + msize
+                remaining -= mh + msize
+                if mtype == 0x10:  # continuation -> OCHK block
+                    off, length = struct.unpack_from("<QQ", body, 0)
+                    self._expect_sig(off, b"OCHK", "continuation block")
+                    stored = struct.unpack_from("<I", b, off + length - 4)[0]
+                    if stored != lookup3(b[off : off + length - 4]):
+                        raise ValueError(
+                            f"{self.path}: continuation block checksum "
+                            f"mismatch at offset {off}"
+                        )
+                    # length includes the 4-byte sig and 4-byte checksum
+                    regions.append((off + 4, length - 8))
                     continue
                 out.append((mtype, body, body_off))
         return out
@@ -609,30 +938,90 @@ class HDF5File:
                     )
             elif t == 0x0008:
                 ver, cls = body[0], body[1]
-                if ver != 3:
-                    raise ValueError(f"{name}: layout v{ver} (v3 only)")
-                if cls == 1:
-                    info.layout = "contiguous"
-                    info.data_addr, info.data_size = struct.unpack_from(
-                        "<QQ", body, 2
-                    )
-                elif cls == 2:
-                    info.layout = "chunked"
-                    nd = body[2]
-                    info.btree_addr = struct.unpack_from("<Q", body, 3)[0]
-                    dims = struct.unpack_from(f"<{nd}I", body, 11)
-                    info.chunk = tuple(dims[:-1])  # last = element size
+                if ver == 3:
+                    if cls == 1:
+                        info.layout = "contiguous"
+                        info.data_addr, info.data_size = struct.unpack_from(
+                            "<QQ", body, 2
+                        )
+                    elif cls == 2:
+                        info.layout = "chunked"
+                        nd = body[2]
+                        info.btree_addr = struct.unpack_from("<Q", body, 3)[0]
+                        dims = struct.unpack_from(f"<{nd}I", body, 11)
+                        info.chunk = tuple(dims[:-1])  # last = element size
+                    else:
+                        raise ValueError(
+                            f"{name}: layout class {cls} (compact) "
+                            "unsupported"
+                        )
+                elif ver == 4:
+                    self._parse_layout4(name, body, info)
                 else:
-                    raise ValueError(
-                        f"{name}: layout class {cls} (compact) unsupported"
-                    )
+                    raise ValueError(f"{name}: layout v{ver} (v3/v4 only)")
             elif t == 0x000B:
                 info.filters = self._parse_filters(body)
             elif t == 0x000C:
                 k, v = self._parse_attr(body)
                 info.attrs[k] = v
         info.shape, info.maxshape, info.dtype = shape, maxshape, dtype
+        if info.layout == "chunked" and len(info.chunk) == len(shape) + 1:
+            # v4 carries libhdf5's rank+1 chunk dims (last = element
+            # size); tolerate either encoding by reconciling with the
+            # dataspace rank
+            info.chunk = info.chunk[: len(shape)]
         return info
+
+    def _parse_layout4(self, name: str, body, info: DatasetInfo) -> None:
+        """Data layout message version 4 (the libver-latest encoding):
+        contiguous, or chunked with a Single Chunk / Implicit / Fixed
+        Array index. Extensible Array and v2-B-tree indexes (unlimited
+        extents under libver='latest') are refused loudly."""
+        cls = body[1]
+        if cls == 1:
+            info.layout = "contiguous"
+            info.data_addr, info.data_size = struct.unpack_from(
+                "<QQ", body, 2
+            )
+            return
+        if cls != 2:
+            raise ValueError(f"{name}: layout v4 class {cls} unsupported")
+        info.layout = "chunked"
+        flags, nd, enc = body[2], body[3], body[4]
+        pos = 5
+        dims = [
+            int.from_bytes(body[pos + i * enc : pos + (i + 1) * enc],
+                           "little")
+            for i in range(nd)
+        ]
+        pos += nd * enc
+        info.chunk = tuple(dims)  # rank+1 reconciled against dataspace
+        itype = body[pos]
+        pos += 1
+        if itype == 1:  # Single Chunk
+            info.chunk_index = "single"
+            if flags & 0x02:  # filtered: stored size + filter mask
+                info.single_nbytes = int.from_bytes(
+                    body[pos : pos + 8], "little"
+                )
+                pos += 12
+            info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
+        elif itype == 2:  # Implicit: dense unfiltered chunk array
+            info.chunk_index = "implicit"
+            info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
+        elif itype == 3:  # Fixed Array
+            info.chunk_index = "fa"
+            pos += 1  # page bits (re-read from the FA header)
+            info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
+        else:
+            kind = {4: "Extensible Array", 5: "version-2 B-tree"}.get(
+                itype, f"type {itype}"
+            )
+            raise ValueError(
+                f"{name}: chunk index {kind} not supported (unlimited "
+                "extents under libver='latest'); write unlimited "
+                "datasets with the default libver"
+            )
 
     @staticmethod
     def _parse_filters(body: bytes):
@@ -672,6 +1061,86 @@ class HDF5File:
                 yield tuple(origin), csize, child
             pos += keysize + 8
 
+    def _iter_chunks(self, info: DatasetInfo):
+        """Yield (origin, stored nbytes, addr) across all index types:
+        v1 B-tree, Single Chunk, Implicit array, Fixed Array."""
+        if info.btree_addr == UNDEF:
+            return
+        if info.chunk_index == "btree1":
+            yield from self._chunks(info.btree_addr, len(info.shape))
+            return
+        raw_size = (
+            int(np.prod(info.chunk, dtype=np.int64)) * info.dtype.itemsize
+        )
+        if info.chunk_index == "single":
+            nbytes = info.single_nbytes or raw_size
+            yield (0,) * len(info.shape), nbytes, info.btree_addr
+        elif info.chunk_index == "implicit":
+            for i, origin in enumerate(_chunk_grid(info.shape, info.chunk)):
+                yield origin, raw_size, info.btree_addr + i * raw_size
+        elif info.chunk_index == "fa":
+            yield from self._chunks_fa(info, raw_size)
+        else:  # pragma: no cover — guarded at parse time
+            raise ValueError(f"{info.name}: chunk index {info.chunk_index}")
+
+    def _chunks_fa(self, info: DatasetInfo, raw_size: int):
+        """Walk a Fixed Array chunk index (header "FAHD" + data block
+        "FADB", unpaged or paged): elements are chunk addresses
+        (client 0) or address+size+filter-mask (client 1, filtered),
+        in row-major chunk-grid order."""
+        b = self._buf
+        fa = info.btree_addr
+        self._expect_sig(fa, b"FAHD", "fixed-array header")
+        _ver, client, entry_size, page_bits = struct.unpack_from(
+            "<4B", b, fa + 4
+        )
+        nelems = struct.unpack_from("<Q", b, fa + 8)[0]
+        dblk = struct.unpack_from("<Q", b, fa + 16)[0]
+        if struct.unpack_from("<I", b, fa + 24)[0] != lookup3(b[fa : fa + 24]):
+            raise ValueError(
+                f"{info.name}: fixed-array header checksum mismatch"
+            )
+        if dblk == UNDEF:
+            return
+        self._expect_sig(dblk, b"FADB", "fixed-array data block")
+        size_len = entry_size - 12  # client 1: addr(8) + size + mask(4)
+
+        def entry(off: int) -> tuple[int, int]:
+            addr = struct.unpack_from("<Q", b, off)[0]
+            if client == 1:
+                nbytes = int.from_bytes(b[off + 8 : off + 8 + size_len],
+                                        "little")
+                return addr, nbytes
+            return addr, raw_size
+
+        page_nelmts = 1 << page_bits
+        pos = dblk + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        elems: list[tuple[int, int]] = []
+        if nelems > page_nelmts:  # paged: bitmap + per-page checksums
+            npages = -(-nelems // page_nelmts)
+            pos += -(-npages // 8) + 4  # page-init bitmap + block checksum
+            remaining = nelems
+            while remaining:
+                cnt = min(page_nelmts, remaining)
+                for j in range(cnt):
+                    elems.append(entry(pos + j * entry_size))
+                pos += cnt * entry_size + 4  # page checksum
+                remaining -= cnt
+        else:
+            end = pos + nelems * entry_size
+            if struct.unpack_from("<I", b, end)[0] != lookup3(b[dblk:end]):
+                raise ValueError(
+                    f"{info.name}: fixed-array data block checksum mismatch"
+                )
+            for j in range(nelems):
+                elems.append(entry(pos + j * entry_size))
+        for origin, (addr, nbytes) in zip(
+            _chunk_grid(info.shape, info.chunk), elems
+        ):
+            if addr == UNDEF:
+                continue  # unallocated chunk
+            yield origin, nbytes, addr
+
     def _decode_chunk(self, info: DatasetInfo, nbytes: int, addr: int):
         raw = self._buf[addr : addr + nbytes]
         for fid, cvals in reversed(info.filters):
@@ -696,11 +1165,7 @@ class HDF5File:
             raw = self._buf[info.data_addr : info.data_addr + info.data_size]
             return np.frombuffer(raw, dtype=info.dtype).reshape(info.shape)
         out = np.zeros(info.shape, dtype=info.dtype)
-        if info.btree_addr == UNDEF:
-            return out
-        for origin, nbytes, addr in self._chunks(
-            info.btree_addr, len(info.shape)
-        ):
+        for origin, nbytes, addr in self._iter_chunks(info):
             block = self._decode_chunk(info, nbytes, addr)
             sl = tuple(
                 slice(o, min(o + c, s))
@@ -731,12 +1196,8 @@ class HDF5File:
                 (hi - lo, *info.shape[1:])
             )
         out = np.zeros((hi - lo, *info.shape[1:]), dtype=info.dtype)
-        if info.btree_addr == UNDEF:
-            return out
         c0 = info.chunk[0]
-        for origin, nbytes, addr in self._chunks(
-            info.btree_addr, len(info.shape)
-        ):
+        for origin, nbytes, addr in self._iter_chunks(info):
             if origin[0] + c0 <= lo or origin[0] >= hi:
                 continue  # chunk pruned: bytes never touched
             block = self._decode_chunk(info, nbytes, addr)
@@ -774,6 +1235,7 @@ def write_netcdf4(
     compress: int | None = None,
     shuffle: bool = False,
     chunk0: int = 16,
+    libver: str = "earliest",
 ) -> None:
     """Write a NetCDF-4 (= HDF5) file with netcdf-c's dimension
     conventions. Same signature family as :func:`write_netcdf3`; the
@@ -844,7 +1306,7 @@ def write_netcdf4(
         datasets[name] = arr
         opts[name] = o
 
-    write_hdf5(path, datasets, opts, attrs)
+    write_hdf5(path, datasets, opts, attrs, libver=libver)
 
 
 @dataclass

@@ -220,8 +220,15 @@ def test_dim_resolution_without_coordinates_attr(tmp_path):
 def test_clear_errors_for_out_of_scope(tmp_path):
     p = os.path.join(tmp_path, "bad.h5")
     with open(p, "wb") as f:
-        f.write(b"\x89HDF\r\n\x1a\n" + bytes([2]) + b"\x00" * 80)
-    with pytest.raises(ValueError, match="superblock v2"):
+        f.write(b"\x89HDF\r\n\x1a\n" + bytes([1]) + b"\x00" * 80)
+    with pytest.raises(ValueError, match="superblock v1"):
+        HDF5File(p)
+    # v2 superblock with corrupt checksum fails loudly, not garbage-parse
+    with open(p, "wb") as f:
+        f.write(
+            b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]) + b"\x00" * 84
+        )
+    with pytest.raises(ValueError, match="checksum mismatch"):
         HDF5File(p)
     with open(p, "wb") as f:
         f.write(b"nope" + b"\x00" * 90)
@@ -570,3 +577,165 @@ def test_src_netcdf_uint64_scan_oracle(check):
     pdf = check("src_netcdf_uint64_scan")
     assert len(pdf) == 96  # 48 records x 2 containers
     assert pdf["cnt_str"].str.len().min() == 19  # all values >= 2^63
+
+
+def test_lookup3_published_vectors():
+    """The metadata checksum must be the real Jenkins lookup3
+    hashlittle() — asserted against lookup3.c's self-test vectors."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import lookup3
+
+    assert lookup3(b"", 0) == 0xDEADBEEF
+    assert lookup3(b"", 0xDEADBEEF) == 0xBD5B7DDE
+    assert lookup3(b"Four score and seven years ago", 0) == 0x17770551
+    assert lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+def test_latest_roundtrip_layouts_filters_attrs(tmp_path):
+    """libver='latest' emits superblock v2 + OHDR v2 headers +
+    link-message groups + v3 attributes + layout v4 (Single Chunk /
+    Fixed Array); the reader round-trips all of it."""
+    path = os.path.join(tmp_path, "latest.h5")
+    rng = np.random.RandomState(3)
+    a = rng.randn(7, 5)
+    b = rng.randint(-1000, 1000, size=(13, 4), dtype=np.int16)
+    c = rng.randint(0, 250, size=(9,), dtype=np.uint8)
+    d = np.arange(160, dtype=np.int64).reshape(40, 4)
+    write_hdf5(
+        path,
+        {"a": a, "b": b, "c": c, "grp/d": d, "single": a},
+        {
+            "a": {"chunk": (3, 5), "compress": 9, "shuffle": True,
+                  "attrs": {"units": "m/s", "level": 3,
+                            "coeffs": [1.5, -2.5]}},
+            "b": {"chunk": (4, 3)},
+            "grp/d": {"chunk": (8, 4), "compress": 1},
+            "single": {"chunk": (7, 5), "compress": 2},
+        },
+        attrs={"title": "latest", "version": 7},
+        libver="latest",
+    )
+    with open(path, "rb") as f:
+        assert f.read(9)[8] == 2  # superblock version 2 on disk
+    h = HDF5File(path)
+    assert h.attrs["title"] == "latest" and int(h.attrs["version"]) == 7
+    np.testing.assert_array_equal(h.read("a"), a)
+    np.testing.assert_array_equal(h.read("b"), b)
+    np.testing.assert_array_equal(h.read("c"), c)
+    np.testing.assert_array_equal(h.read("grp/d"), d)
+    np.testing.assert_array_equal(h.read("single"), a)
+    assert h.datasets["a"].chunk_index == "fa"
+    assert h.datasets["single"].chunk_index == "single"
+    assert h.datasets["a"].attrs["units"] == "m/s"
+    np.testing.assert_array_equal(
+        h.datasets["a"].attrs["coeffs"], [1.5, -2.5]
+    )
+    # slab reads prune across every index type
+    np.testing.assert_array_equal(h.read_slab0("a", 2, 6), a[2:6])
+    np.testing.assert_array_equal(h.read_slab0("grp/d", 9, 15), d[9:15])
+    np.testing.assert_array_equal(h.read_slab0("single", 1, 5), a[1:5])
+
+
+def test_latest_implicit_index(tmp_path):
+    """Implicit chunk index (early-allocated unfiltered dense array)."""
+    path = os.path.join(tmp_path, "impl.h5")
+    d = np.arange(160, dtype=np.int64).reshape(40, 4)
+    write_hdf5(
+        path, {"v": d}, {"v": {"chunk": (8, 4), "index": "implicit"}},
+        libver="latest",
+    )
+    h = HDF5File(path)
+    assert h.datasets["v"].chunk_index == "implicit"
+    np.testing.assert_array_equal(h.read("v"), d)
+    np.testing.assert_array_equal(h.read_slab0("v", 9, 15), d[9:15])
+
+
+def test_latest_fixed_array_paged(tmp_path):
+    """A paged Fixed Array data block (foreign files with many chunks
+    page at 2^page_bits elements) — hand-crafted with page_bits=1."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import lookup3
+
+    path = os.path.join(tmp_path, "paged.h5")
+    d = np.arange(20, dtype=np.int32).reshape(10, 2)
+    write_hdf5(path, {"v": d}, {"v": {"chunk": (2, 2)}}, libver="latest")
+    h = HDF5File(path)
+    info = h.datasets["v"]
+    assert info.chunk_index == "fa"
+    # rebuild the same 5-chunk index with page_bits=1 (3 pages of <=2)
+    chunks = list(h._iter_chunks(info))
+    assert len(chunks) == 5
+    buf = bytearray(open(path, "rb").read())
+    fa_addr = len(buf)
+    dblk_addr = fa_addr + 28
+    hdr = b"FAHD" + struct.pack("<BBBBQQ", 0, 0, 8, 1, 5, dblk_addr)
+    buf += hdr + struct.pack("<I", lookup3(hdr))
+    blk = b"FADB" + struct.pack("<BBQ", 0, 0, fa_addr)
+    blk += b"\x07"  # page-init bitmap: 3 pages
+    buf += blk + struct.pack("<I", lookup3(blk))
+    for page in ([0, 1], [2, 3], [4]):
+        pg = b"".join(
+            struct.pack("<Q", chunks[i][2]) for i in page
+        )
+        buf += pg + struct.pack("<I", lookup3(pg))
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    h2 = HDF5File(path)
+    h2.datasets["v"].btree_addr = fa_addr  # point at the paged index
+    np.testing.assert_array_equal(h2.read("v"), d)
+    np.testing.assert_array_equal(h2.read_slab0("v", 3, 9), d[3:9])
+
+
+def test_latest_netcdf4_view_and_scan(spark, tmp_path):
+    """write_netcdf4(libver='latest') -> NetCDF4View + Spark scan read
+    the v2-superblock file identically to the v0 encoding."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = os.path.join(tmp_path, "latest.nc4")
+    rec = np.arange(24, dtype=np.float64).reshape(12, 2)
+    write_netcdf4(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float64", ("t", "x"))},
+        data={"v": rec},
+        compress=4,
+        shuffle=True,
+        libver="latest",
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", path).load()
+    pdf = df.orderBy("t_idx", "x_idx").toPandas()
+    np.testing.assert_array_equal(pdf["v"].to_numpy(), rec.reshape(-1))
+
+
+def test_dense_link_storage_refused(tmp_path):
+    """A Link Info message pointing at a fractal heap (dense group
+    storage) must fail loudly, naming the feature."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _linkinfo_msg,
+        _msg2,
+        _object_header2,
+        _SIG,
+        lookup3,
+    )
+
+    out = bytearray(b"\x00" * 48)
+    # link info whose fractal-heap address is allocated (not UNDEF)
+    li = _msg2(0x0002, struct.pack("<BBQQ", 0, 0, 4096, 4096))
+    out += _object_header2([li])
+    sb = _SIG + struct.pack("<BBBBQQQQ", 2, 8, 8, 0, 0, UNDEF, len(out), 48)
+    sb += struct.pack("<I", lookup3(sb))
+    out[:48] = sb
+    path = os.path.join(tmp_path, "dense.h5")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    with pytest.raises(ValueError, match="dense link storage"):
+        HDF5File(path)
