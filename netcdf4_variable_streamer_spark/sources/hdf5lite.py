@@ -29,8 +29,13 @@ Reader (:class:`HDF5File`) parses the same subset and additionally:
 
 - object-header continuation blocks (0x0010) and unknown message types
   (skipped by size) — real netcdf-c files carry extra messages
-  (``_NCProperties``, fill values, DIMENSION_LIST vlen attrs) that a
-  minimal reader must step over, not crash on;
+  (``_NCProperties``, fill values) that a minimal reader must step
+  over, not crash on; unsupported attribute datatype classes
+  (compound ``REFERENCE_LIST``, vlen strings) are likewise skipped;
+- ``DIMENSION_LIST`` vlen-of-object-reference attributes (global heap
+  "GCOL" lookups), so dimension names resolve on files that lack
+  ``_Netcdf4Coordinates`` (older netcdf-c output) — the writer emits
+  them too, like netcdf-c;
 - multi-level group and chunk B-trees (recursive traversal);
 - slab reads along axis 0 (:meth:`HDF5File.read_slab0`) that touch ONLY
   the chunks intersecting the requested record range — the property the
@@ -58,7 +63,8 @@ Honest scope (loud refusals naming the feature): dense link storage
 compact limit under libver='latest'), Extensible Array and v2-B-tree
 chunk indexes (unlimited extents under libver='latest'; unlimited
 datasets written here keep the v3 + v1-B-tree encoding, legal in any
-file), vlen data, szip.
+file), vlen DATASETS (vlen attributes are parsed for DIMENSION_LIST
+and stepped over otherwise), szip.
 """
 
 from __future__ import annotations
@@ -113,8 +119,13 @@ def _dt_string(nbytes: int) -> bytes:
     return struct.pack("<B3BI", 0x13, 0, 0, 0, nbytes)
 
 
-def _parse_dt(body: bytes) -> np.dtype | str:
-    """Datatype body -> numpy dtype ('S<n>' for fixed strings)."""
+def _parse_dt(body: bytes) -> np.dtype | str | tuple:
+    """Datatype body -> numpy dtype, 'S<n>' for fixed strings, or a
+    marker tuple for classes carried only inside attributes:
+    ``("ref", size)`` (class 7 object reference), ``("vlen", base)``
+    (class 9 variable-length), ``("other", cls)`` for everything else
+    (compound REFERENCE_LIST etc. — attributes of these classes are
+    stepped over, datasets refuse loudly)."""
     ver_cls = body[0]
     cls = ver_cls & 0x0F
     size = struct.unpack_from("<I", body, 4)[0]
@@ -128,7 +139,11 @@ def _parse_dt(body: bytes) -> np.dtype | str:
         return np.dtype(f"{'>' if be else '<'}f{size}")
     if cls == 3:  # string
         return f"S{size}"
-    raise ValueError(f"unsupported datatype class {cls}")
+    if cls == 7:  # reference (object reference = file address)
+        return ("ref", size)
+    if cls == 9:  # variable-length of a base datatype
+        return ("vlen", _parse_dt(body[8:]))
+    return ("other", cls)
 
 
 def _pad8(b: bytes) -> bytes:
@@ -149,6 +164,63 @@ def _dataspace(shape: tuple[int, ...], maxshape=None) -> bytes:
             struct.pack("<Q", UNDEF if d is None else d) for d in maxshape
         )
     return out
+
+
+class VlenRef:
+    """Writer marker for a vlen-of-object-reference attribute — the
+    shape netcdf-c's ``DIMENSION_LIST`` takes: one vlen element per
+    dataset axis, each holding references to the attached dimension
+    scale dataset(s), resolved by name at write time."""
+
+    def __init__(self, ref_names: list[list[str]]):
+        self.ref_names = ref_names
+
+
+def _attr_envelope(
+    nb: bytes, dt: bytes, ds: bytes, data: bytes, latest: bool
+) -> bytes:
+    if latest:
+        # v3: charset byte (0 = ASCII), fields unpadded
+        body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
+        body += nb + dt + ds + data
+        return _msg2(0x000C, body)
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
+    body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
+    return _msg(0x000C, body)
+
+
+def _vlen_ref_attr_msg(
+    out: bytearray,
+    name: str,
+    vref: VlenRef,
+    resolve: dict[str, int],
+    latest: bool,
+) -> bytes:
+    """Append a "GCOL" global heap collection holding the reference
+    arrays and return the vlen-of-reference attribute message."""
+    try:
+        addr_lists = [
+            [resolve[n] for n in grp] for grp in vref.ref_names
+        ]
+    except KeyError as e:
+        raise ValueError(
+            f"attribute {name!r} references dataset {e.args[0]!r} which "
+            "is not written yet — order referenced datasets first"
+        )
+    objs = b""
+    for i, addrs in enumerate(addr_lists, 1):
+        p = np.asarray(addrs, "<u8").tobytes()
+        objs += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
+    gaddr = len(out)
+    out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+    base = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)  # class 7 object ref
+    dt = struct.pack("<B3BI", 0x19, 0, 0, 0, 16) + base  # class 9 vlen
+    ds = _dataspace((len(addr_lists),))
+    data = b"".join(
+        struct.pack("<IQI", len(a), gaddr, i + 1)
+        for i, a in enumerate(addr_lists)
+    )
+    return _attr_envelope(name.encode() + b"\x00", dt, ds, data, latest)
 
 
 def _attr_msg(name: str, value, latest: bool = False) -> bytes:
@@ -181,14 +253,7 @@ def _attr_msg(name: str, value, latest: bool = False) -> bytes:
         shape = () if np.ndim(value) == 0 else arr.shape
         ds = _dataspace(shape)
         data = arr.tobytes()
-    if latest:
-        # v3: charset byte (0 = ASCII), fields unpadded
-        body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
-        body += nb + dt + ds + data
-        return _msg2(0x000C, body)
-    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
-    body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
-    return _msg(0x000C, body)
+    return _attr_envelope(nb, dt, ds, data, latest)
 
 
 def _object_header(messages: list[bytes]) -> bytes:
@@ -328,8 +393,11 @@ def _write_dataset(
     attrs: dict,
     latest: bool = False,
     index: str | None = None,
+    resolve: dict[str, int] | None = None,
 ) -> int:
-    """Append one dataset's data + object header; return header addr."""
+    """Append one dataset's data + object header; return header addr.
+    ``resolve`` maps already-written dataset names to header addresses
+    (consumed by :class:`VlenRef` attributes)."""
     arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
     mk = _msg2 if latest else _msg
     msgs = [
@@ -429,7 +497,12 @@ def _write_dataset(
                     fb += b"\x00" * 4
             msgs.append(mk(0x000B, fb))
     for k, v in attrs.items():
-        msgs.append(_attr_msg(k, v, latest=latest))
+        if isinstance(v, VlenRef):
+            msgs.append(
+                _vlen_ref_attr_msg(out, k, v, resolve or {}, latest)
+            )
+        else:
+            msgs.append(_attr_msg(k, v, latest=latest))
     haddr = len(out)
     out += _object_header2(msgs) if latest else _object_header(msgs)
     return haddr
@@ -530,6 +603,7 @@ def write_hdf5(
             group_node(parent)  # ensure ancestors exist
         return tree[gpath]
 
+    written: dict[str, int] = {}  # dataset name -> header addr (VlenRef)
     for name, arr in datasets.items():
         o = ds_opts.get(name, {})
         maxshape = o.get("maxshape")
@@ -547,7 +621,9 @@ def write_hdf5(
             o.get("attrs", {}),
             latest=latest,
             index=o.get("index"),
+            resolve=written,
         )
+        written[name] = addr
         gpath, _, leaf = name.rpartition("/")
         group_node(gpath)[leaf] = addr
 
@@ -669,8 +745,9 @@ class HDF5File:
             self._load_object("", name, haddr)
         for t, body in msgs:
             if t == 0x000C:
-                k, v = self._parse_attr(body)
-                self.attrs[k] = v
+                parsed = self._parse_attr(body)
+                if parsed is not None:
+                    self.attrs[parsed[0]] = parsed[1]
 
     def _group_children(self, msgs) -> list[tuple[str, int]] | None:
         """(name, object header addr) pairs if the messages describe a
@@ -903,12 +980,53 @@ class HDF5File:
             raw = body[pos : pos + n]
             return name, raw.split(b"\x00")[0].decode()
         count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if isinstance(dt, tuple):
+            if dt[0] == "vlen" and dt[1] == ("ref", 8):
+                # vlen of object references — netcdf-c's DIMENSION_LIST.
+                # Each element: length(4) + global-heap id (addr 8 +
+                # object index 4); the heap object holds `length` 8-byte
+                # object-header addresses.
+                refs = []
+                for i in range(count):
+                    n_ref, gaddr, gidx = struct.unpack_from(
+                        "<IQI", body, pos + 16 * i
+                    )
+                    data = self._gheap_object(gaddr, gidx)
+                    refs.append(
+                        np.frombuffer(data, "<u8", count=n_ref).copy()
+                    )
+                return name, refs
+            # other vlen / reference / compound attribute (netcdf-c's
+            # REFERENCE_LIST, vlen string attrs, ...): step over, the
+            # netCDF mapping does not need them
+            return None
         vals = np.frombuffer(
             body, dtype=dt, count=count, offset=pos
         )
         if shape == ():
             return name, vals[0]
         return name, vals.reshape(shape)
+
+    def _gheap_object(self, addr: int, idx: int) -> bytes:
+        """Object ``idx`` from the "GCOL" global heap collection at
+        ``addr`` (the storage vlen attribute values point into)."""
+        b = self._buf
+        self._expect_sig(addr, b"GCOL", "global heap collection")
+        total = struct.unpack_from("<Q", b, addr + 8)[0]
+        pos = addr + 16
+        end = addr + total
+        while pos + 16 <= end:
+            oidx = struct.unpack_from("<H", b, pos)[0]
+            osize = struct.unpack_from("<Q", b, pos + 8)[0]
+            if oidx == idx:
+                return b[pos + 16 : pos + 16 + osize]
+            if oidx == 0:
+                break  # free-space object: no further entries
+            pos += 16 + (-(-osize // 8) * 8)
+        raise ValueError(
+            f"{self.path}: global heap object {idx} not found in "
+            f"collection at offset {addr}"
+        )
 
     @staticmethod
     def _parse_dataspace(body: bytes):
@@ -932,9 +1050,10 @@ class HDF5File:
                 shape, maxshape = self._parse_dataspace(body)
             elif t == 0x0003:
                 dtype = _parse_dt(body)
-                if isinstance(dtype, str):
+                if not isinstance(dtype, np.dtype):
                     raise ValueError(
-                        f"{name}: string datasets not supported"
+                        f"{name}: string/vlen/reference datasets not "
+                        "supported"
                     )
             elif t == 0x0008:
                 ver, cls = body[0], body[1]
@@ -962,8 +1081,9 @@ class HDF5File:
             elif t == 0x000B:
                 info.filters = self._parse_filters(body)
             elif t == 0x000C:
-                k, v = self._parse_attr(body)
-                info.attrs[k] = v
+                parsed = self._parse_attr(body)
+                if parsed is not None:
+                    info.attrs[parsed[0]] = parsed[1]
         info.shape, info.maxshape, info.dtype = shape, maxshape, dtype
         if info.layout == "chunked" and len(info.chunk) == len(shape) + 1:
             # v4 carries libhdf5's rank+1 chunk dims (last = element
@@ -1290,6 +1410,10 @@ def write_netcdf4(
         a["_Netcdf4Coordinates"] = np.array(
             [dim_names.index(d) for d in vdims], dtype=np.int32
         )
+        # netcdf-c also attaches the HDF5 dimension-scale DIMENSION_LIST
+        # (vlen object refs, one per axis); readers without the netCDF
+        # attr resolve dims through it
+        a["DIMENSION_LIST"] = VlenRef([[d] for d in vdims])
         o = {"attrs": a}
         if is_rec:
             o["maxshape"] = (None,) + shape[1:]
@@ -1376,6 +1500,20 @@ class NetCDF4View:
             return tuple(self._dim_order[i] for i in ids)
         if d.name in self.dims:  # a coordinate variable IS its dim
             return (d.name,)
+        dl = d.attrs.get("DIMENSION_LIST")
+        if dl is not None:
+            # HDF5 dimension-scale references (older netcdf-c output
+            # without _Netcdf4Coordinates): each axis's first reference
+            # names its dimension dataset
+            addr_to_name = {
+                a: n for n, a in self.h5._header_addr.items()
+            }
+            try:
+                return tuple(
+                    addr_to_name[int(refs[0])] for refs in dl
+                )
+            except (KeyError, IndexError):
+                pass  # unattached axis / foreign ref: fall through
         # foreign file without the attr: match extents positionally
         out = []
         for ax, extent in enumerate(d.shape):

@@ -739,3 +739,77 @@ def test_dense_link_storage_refused(tmp_path):
         f.write(bytes(out))
     with pytest.raises(ValueError, match="dense link storage"):
         HDF5File(path)
+
+
+def test_dimension_list_resolves_dims(tmp_path):
+    """A file WITHOUT _Netcdf4Coordinates (older netcdf-c output) must
+    resolve variable dims through the DIMENSION_LIST vlen-of-reference
+    attribute — including when positional extent matching would guess
+    wrong (two dims of equal extent, reversed order)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import VlenRef
+
+    path = os.path.join(tmp_path, "dl.h5")
+    d = np.arange(16.0).reshape(4, 4)  # both axes extent 4
+    write_hdf5(
+        path,
+        {"a": np.arange(4.0), "b": np.arange(4.0), "v": d},
+        {
+            "a": {"attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "a",
+                            "_Netcdf4Dimid": 0}},
+            "b": {"attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "b",
+                            "_Netcdf4Dimid": 1}},
+            # axis 0 attached to 'b', axis 1 to 'a' — only the
+            # references can know this
+            "v": {"attrs": {"DIMENSION_LIST": VlenRef([["b"], ["a"]])}},
+        },
+    )
+    v = NetCDF4View(path)
+    assert v.variables["v"].dims == ("b", "a")
+    h = HDF5File(path)
+    dl = h.datasets["v"].attrs["DIMENSION_LIST"]
+    assert len(dl) == 2 and all(len(r) == 1 for r in dl)
+
+
+def test_netcdf4_writer_emits_dimension_list(tmp_path):
+    """write_netcdf4 attaches DIMENSION_LIST like netcdf-c; stripping
+    _Netcdf4Coordinates from the parsed attrs still resolves dims."""
+    path = os.path.join(tmp_path, "dl.nc4")
+    rec = np.arange(24, dtype=np.float64).reshape(12, 2)
+    write_netcdf4(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float64", ("t", "x"))},
+        data={"v": rec},
+    )
+    v = NetCDF4View(path)
+    del v.h5.datasets["v"].attrs["_Netcdf4Coordinates"]
+    assert v._resolve_dims(v.h5.datasets["v"]) == ("t", "x")
+
+
+def test_unsupported_attr_classes_step_over(tmp_path):
+    """Compound attributes (netcdf-c's REFERENCE_LIST) and vlen strings
+    must be skipped, not crash the header parse."""
+    from netcdf4_variable_streamer_spark.sources import hdf5lite as m
+
+    # compound attr message: class 6 datatype, one int field
+    dt = struct.pack("<B3BI", 0x16, 1, 0, 0, 12)  # compound, 1 member
+    ds = m._dataspace(())
+    nb = b"REFERENCE_LIST\x00"
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
+    body += m._pad8(nb) + m._pad8(dt) + m._pad8(ds) + b"\x00" * 12
+    msgs = [
+        m._msg(0x0001, m._dataspace((2,))),
+        m._msg(0x0003, m._dt_body(np.dtype("<i4"))),
+        m._msg(0x000C, body),
+        m._attr_msg("ok", 5),
+    ]
+    blob = m._object_header(msgs)
+
+    class FakeFile(HDF5File):
+        def __init__(self, buf):
+            self._buf = buf
+            self.path = "<buf>"
+
+    info = FakeFile(blob)._dataset("v", 0)
+    assert "REFERENCE_LIST" not in info.attrs
+    assert int(info.attrs["ok"]) == 5
