@@ -86,17 +86,36 @@ _CF_UNITS_RE = re.compile(
 )
 
 
-def _cf_time(v) -> tuple[int, int] | None:
-    """(epoch_base_us, unit_us) if the variable carries a CF time
-    ``units`` attribute ("<unit> since <date>"), else None.
+# Fixed-length CF calendars: every year has the same month lengths.
+_CAL_MONTH_DAYS = {
+    "noleap": [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "365_day": [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "all_leap": [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "366_day": [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "360_day": [30] * 12,
+}
+
+_US_DAY = 86_400_000_000
+
+
+def _cf_time(v):
+    """CF time decode spec if the variable carries a CF ``units``
+    attribute ("<unit> since <date>"), else None:
+
+    - ``("std", base_us, unit_us)`` — standard / gregorian /
+      proleptic_gregorian calendars (epoch-microsecond arithmetic);
+    - ``("cal", name, (y, m, d, second_of_day_us), unit_us)`` — the
+      fixed-length calendars (noleap/365_day, all_leap/366_day,
+      360_day): day counts advance in the SOURCE calendar, then each
+      (y, m, d) renders field-wise as a timestamp_ntz; dates with no
+      proleptic-Gregorian rendering (Feb 30, Feb 29 of a non-leap
+      year) become NULL, the missing-data convention.
 
     NetCDF has no native timestamp type — time is numbers + this
     convention (SURVEY §1.2). Decoding is OPT-IN (option
     ``decode_cf_time``) because the reference's netCDF4 base class also
-    returns raw numbers and leaves num2date to the caller; dates are
-    proleptic-Gregorian UTC (the CF 'standard' calendar on or after
-    1582 — exotic calendars like 'noleap' are out of scope and the
-    attribute is left undecoded).
+    returns raw numbers and leaves num2date to the caller. Calendars
+    outside this set are left raw.
     """
     units = v.attrs.get("units")
     if not isinstance(units, str):
@@ -104,20 +123,72 @@ def _cf_time(v) -> tuple[int, int] | None:
     m = _CF_UNITS_RE.match(units.strip())
     if not m:
         return None
+    unit_us = _CF_UNIT_US[m.group(1)]
     cal = v.attrs.get("calendar")
-    if isinstance(cal, str) and cal not in (
-        "standard",
-        "gregorian",
-        "proleptic_gregorian",
-    ):
-        return None  # exotic calendar: leave raw, caller decodes
-    base = datetime.fromisoformat(
-        m.group(2) + (" " + m.group(3) if m.group(3) else "")
+    cal = cal if isinstance(cal, str) else "standard"
+    if cal in ("standard", "gregorian", "proleptic_gregorian"):
+        base = datetime.fromisoformat(
+            m.group(2) + (" " + m.group(3) if m.group(3) else "")
+        )
+        base_us = int(
+            (base - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        return "std", base_us, unit_us
+    if cal in _CAL_MONTH_DAYS:
+        y, mo, d = (int(x) for x in m.group(2).split("-"))
+        sod = 0
+        if m.group(3):
+            hh, mm, ss = (int(x) for x in m.group(3).split(":"))
+            sod = (hh * 3600 + mm * 60 + ss) * 1_000_000
+        return "cal", cal, (y, mo, d, sod), unit_us
+    return None  # unknown calendar: leave raw, caller decodes
+
+
+def _days_from_civil(y, m, d):
+    """Proleptic-Gregorian days since 1970-01-01 from field vectors
+    (Howard Hinnant's public `days_from_civil` algorithm, floor-division
+    form, vectorized)."""
+    y = y.astype(np.int64) - (m <= 2)
+    era = y // 400
+    yoe = y - era * 400
+    doy = (153 * ((m + 9) % 12) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _greg_days_in_month(y, m):
+    dim = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])[m - 1]
+    leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    return np.where((m == 2) & leap, 29, dim)
+
+
+def _decode_cf_values(cf, flat: np.ndarray):
+    """(datetime64[us] values, null mask or None) for raw CF numbers."""
+    if cf[0] == "std":
+        _, base_us, unit_us = cf
+        us = base_us + np.rint(
+            flat.astype(np.float64) * unit_us
+        ).astype(np.int64)
+        return us.astype("datetime64[us]"), None
+    _, cal, (y0, m0, d0, sod_us), unit_us = cf
+    month_days = np.asarray(_CAL_MONTH_DAYS[cal], dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(month_days)))
+    ylen = int(month_days.sum())
+    total_us = (
+        np.rint(flat.astype(np.float64) * unit_us).astype(np.int64) + sod_us
     )
-    base_us = int(
-        (base - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    base_day = y0 * ylen + cum[m0 - 1] + (d0 - 1)
+    abs_day = base_day + total_us // _US_DAY  # floor: negatives correct
+    us_in_day = total_us % _US_DAY
+    y = abs_day // ylen
+    doy = abs_day % ylen
+    m = np.searchsorted(cum, doy, side="right").astype(np.int64)
+    d = doy - cum[m - 1] + 1
+    us = _days_from_civil(y, m, d) * _US_DAY + us_in_day
+    invalid = d > _greg_days_in_month(y, m)
+    return us.astype("datetime64[us]"), (
+        invalid if bool(invalid.any()) else None
     )
-    return base_us, _CF_UNIT_US[m.group(1)]
 
 
 # NetCDF external type -> (Spark column type, numpy dtype emitted by
@@ -321,11 +392,13 @@ class NetCDF3Reader(DataSourceReader):
                 masks[v.name] = flat == fv
             cf = _cf_time(v) if self.decode_cf_time else None
             if cf is not None:
-                base_us, unit_us = cf
-                us = base_us + np.rint(
-                    flat.astype(np.float64) * unit_us
-                ).astype(np.int64)
-                arrays[v.name] = us.astype("datetime64[us]")
+                vals, invalid = _decode_cf_values(cf, flat)
+                arrays[v.name] = vals
+                if invalid is not None:  # e.g. 360_day Feb 30 -> NULL
+                    prev = masks.get(v.name)
+                    masks[v.name] = (
+                        invalid if prev is None else (prev | invalid)
+                    )
             else:
                 # native byte order + the declared Spark width (unsigned
                 # CDF-5 types widen to the next signed type here)

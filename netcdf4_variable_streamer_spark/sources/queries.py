@@ -1557,6 +1557,96 @@ def src_netcdf3_cf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_nc3_cf_cal(t_total: int = 120) -> str:
+    """A noleap-calendar daily series crossing a real Gregorian leap
+    day: `t` counts days since 2004-01-01 06:00 in the noleap calendar
+    (so day 59 is Mar 1, skipping 2004's actual Feb 29)."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import write_netcdf3
+
+    path = os.path.join(SCRATCH, f"cf_noleap_{t_total}.nc")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    t = np.arange(t_total, dtype=np.float64)
+    v = ((np.arange(t_total) % 97) * 0.25).astype(np.float32)
+    tmp = path + ".tmp"
+    write_netcdf3(
+        tmp,
+        dims={"time": None},
+        variables={
+            "t": ("float64", ("time",)),
+            "v": ("float32", ("time",)),
+        },
+        data={"t": t, "v": v},
+        var_attrs={
+            "t": {
+                "units": "days since 2004-01-01 06:00:00",
+                "calendar": "noleap",
+            }
+        },
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf3_cf_cal_scan",
+    oracle="""
+WITH md(mon, cum) AS (
+  VALUES (1,0),(2,31),(3,59),(4,90),(5,120),(6,151),(7,181),(8,212),
+         (9,243),(10,273),(11,304),(12,334)
+),
+s AS (
+  SELECT i,
+         make_timestamp(2004, mon, i - cum + 1, 6, 0, 0.0) AS ts,
+         (i % 97) * 0.25 AS v
+  FROM UNNEST(generate_series(0, 119)) AS u(i)
+  JOIN md ON i >= cum AND i < cum + CASE mon
+    WHEN 2 THEN 28 WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30
+    WHEN 11 THEN 30 ELSE 31 END
+)
+SELECT strftime(ts, '%Y-%m') AS month,
+       COUNT(*) AS n_recs,
+       CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS sum_v,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM s GROUP BY month
+""",
+    doc="Exotic CF calendar decode (VERDICT r4 'Next round' #9, SURVEY "
+        "§1.2): a noleap-calendar day counter based in leap year 2004 "
+        "decodes via the fixed-length-calendar field arithmetic — day "
+        "59 must land on Mar 1 (the noleap calendar has no Feb 29 even "
+        "though Gregorian 2004 does), so any fallback to epoch "
+        "arithmetic shifts every post-February timestamp and "
+        "hash-mismatches. The oracle rebuilds the calendar with a "
+        "month-offset join in SQL.",
+)
+def src_netcdf3_cf_cal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", ensure_nc3_cf_cal())
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    return df.groupBy(
+        F.date_format("t", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        dsum(F.col("v").cast("double")).alias("sum_v"),
+        F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("t"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
 def ensure_nc4_tail(path: str | None = None, t_total: int = 64) -> str:
     """A tail-mode NetCDF-4 file grown to t_total records through the
     append path (create at extent 0, then two appends)."""

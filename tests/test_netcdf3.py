@@ -593,15 +593,17 @@ def test_cf_time_decode_option(spark, tmp_path):
     # v (no units attr) is untouched
     assert dict(df.dtypes)["v"] == "int"
 
-    # exotic calendar: left raw even with the option on
-    path2 = os.path.join(tmp_path, "noleap.nc")
+    # unknown calendar: left raw even with the option on (fixed-length
+    # calendars like noleap/360_day DO decode — see
+    # test_cf_exotic_calendar_scan)
+    path2 = os.path.join(tmp_path, "julian.nc")
     write_netcdf3(
         path2,
         dims={"time": None},
         variables={"t": ("float64", ("time",))},
         data={"t": t},
         var_attrs={
-            "t": {"units": "days since 2000-01-01", "calendar": "noleap"}
+            "t": {"units": "days since 2000-01-01", "calendar": "julian"}
         },
     )
     df2 = (
@@ -646,3 +648,69 @@ def test_cdf5_uint64_attr_above_int63_not_wrapped(tmp_path):
         nc.attrs["arr"], np.array([2**64 - 1, 3], dtype=np.uint64)
     )
     assert nc.attrs["arr"].dtype == np.dtype(">u8")
+
+
+def test_cf_exotic_calendar_scan(spark, tmp_path):
+    """decode_cf_time handles fixed-length CF calendars: noleap day 59
+    of a Gregorian leap year lands on Mar 1, and a 360_day Feb 30 (no
+    proleptic-Gregorian rendering) becomes NULL."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    spark.dataSource.register(NetCDF3DataSource)
+    p = os.path.join(tmp_path, "noleap.nc")
+    write_netcdf3(
+        p,
+        dims={"time": None},
+        variables={"t": ("float64", ("time",))},
+        data={"t": np.array([0.0, 58.0, 59.0, 365.0])},
+        var_attrs={
+            "t": {"units": "days since 2004-01-01", "calendar": "noleap"}
+        },
+    )
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", p)
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    got = [
+        str(r["t"])
+        for r in df.orderBy("time_idx").collect()
+    ]
+    assert got == [
+        "2004-01-01 00:00:00",
+        "2004-02-28 00:00:00",
+        "2004-03-01 00:00:00",  # noleap: no Feb 29 even in 2004
+        "2005-01-01 00:00:00",
+    ]
+
+    p2 = os.path.join(tmp_path, "360day.nc")
+    write_netcdf3(
+        p2,
+        dims={"time": None},
+        variables={"t": ("float64", ("time",))},
+        data={"t": np.array([58.0, 59.0, 60.0])},
+        var_attrs={
+            "t": {"units": "days since 2000-01-01", "calendar": "360_day"}
+        },
+    )
+    df2 = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", p2)
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    rows = df2.orderBy("time_idx").collect()
+    assert str(rows[0]["t"]) == "2000-02-29 00:00:00"  # valid: leap year
+    assert rows[1]["t"] is None  # Feb 30: unrepresentable -> NULL
+    assert str(rows[2]["t"]) == "2000-03-01 00:00:00"
+
+
+def test_src_netcdf3_cf_cal_scan_oracle(check):
+    pdf = check("src_netcdf3_cf_cal_scan")
+    assert len(pdf) == 4  # Jan..Apr 2004 (120 noleap days)
+    row = pdf.set_index("month").loc["2004-03"]
+    assert row["first_ts"] == "2004-03-01 06:00:00"
