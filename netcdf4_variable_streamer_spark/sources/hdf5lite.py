@@ -55,16 +55,18 @@ the checksum implementation is validated against lookup3.c's
 published self-test vectors), version-2 ("OHDR") object headers with
 "OCHK" continuations, compact link-message groups (Link Info / Group
 Info / hard-link messages), v3 attribute messages, and version-4 data
-layouts with Single Chunk, Implicit, and Fixed Array ("FAHD"/"FADB",
-paged or unpaged) chunk indexes.
+layouts with Single Chunk, Implicit, Fixed Array ("FAHD"/"FADB",
+paged or unpaged), and Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB",
+the unlimited-extent index — reader walks direct elements,
+index-block data blocks, and secondary blocks; writer covers the
+directly-addressable range) chunk indexes.
 
 Honest scope (loud refusals naming the feature): dense link storage
 (fractal heap + v2 B-tree name index — groups past the ~8-link
-compact limit under libver='latest'), Extensible Array and v2-B-tree
-chunk indexes (unlimited extents under libver='latest'; unlimited
-datasets written here keep the v3 + v1-B-tree encoding, legal in any
-file), vlen DATASETS (vlen attributes are parsed for DIMENSION_LIST
-and stepped over otherwise), szip.
+compact limit under libver='latest'), v2-B-tree chunk indexes and
+paged Extensible-Array data blocks (>2^10-element blocks, reached
+past ~100k chunks), vlen DATASETS (vlen attributes are parsed for
+DIMENSION_LIST and stepped over otherwise), szip.
 """
 
 from __future__ import annotations
@@ -383,6 +385,117 @@ def _write_fixed_array(
     return haddr
 
 
+# Extensible Array creation parameters — libhdf5's defaults for chunk
+# indexes (H5Dearray): 32-bit max element count, 4 direct elements in
+# the index block, superblocks of >=4 data-block pointers, data blocks
+# of >=16 elements, 2^10-element data block pages.
+_EA_MAX_BITS = 32
+_EA_IDX_ELMTS = 4
+_EA_MIN_PTRS = 4
+_EA_MIN_DBLK = 16
+_EA_PAGE_BITS = 10
+
+
+def _ea_sblk_info(nsblks: int, min_dblk: int):
+    """Per-superblock geometry (ndblks, dblk_nelmts, start_idx,
+    start_dblk): superblock u holds 2^(u//2) data blocks of
+    min_dblk * 2^((u+1)//2) elements each — the doubling pattern that
+    keeps lookup O(1) while growing capacity exponentially."""
+    out, start_idx, start_dblk = [], 0, 0
+    for u in range(nsblks):
+        nd = 1 << (u // 2)
+        ne = (1 << ((u + 1) // 2)) * min_dblk
+        out.append((nd, ne, start_idx, start_dblk))
+        start_idx += nd * ne
+        start_dblk += nd
+    return out
+
+
+def _write_extensible_array(
+    out: bytearray, entries: list[tuple[int, int]], filtered: bool
+) -> int:
+    """Append an Extensible Array chunk index for ``entries`` (linear
+    chunk order); returns the EAHD address. Scope: the directly
+    addressable range (index-block elements + index-block data-block
+    pointers = 4 + 240 chunks at the default parameters) — enough for
+    any fixture; the READER additionally walks secondary blocks."""
+    client = 1 if filtered else 0
+    esz = 20 if filtered else 8
+    arr_off_size = (_EA_MAX_BITS + 7) // 8
+    nsblks_total = 1 + (_EA_MAX_BITS - (_EA_MIN_DBLK.bit_length() - 1))
+    sblks = _ea_sblk_info(nsblks_total, _EA_MIN_DBLK)
+    nsblks_direct = 2 * (_EA_MIN_PTRS.bit_length() - 1)
+    ndblk_addrs = sum(nd for nd, _, _, _ in sblks[:nsblks_direct])
+    direct_cap = _EA_IDX_ELMTS + sum(
+        nd * ne for nd, ne, _, _ in sblks[:nsblks_direct]
+    )
+    if len(entries) > direct_cap:
+        raise ValueError(
+            f"extensible-array writer covers <= {direct_cap} chunks "
+            "(index-block range); split the dataset or grow the chunk"
+        )
+
+    def enc(e: tuple[int, int] | None) -> bytes:
+        if e is None:
+            e = (UNDEF, 0)
+        if filtered:
+            return struct.pack("<QQI", e[0], e[1], 0)
+        return struct.pack("<Q", e[0])
+
+    # header first (fixed 72 bytes), index block follows; data blocks
+    # after that — addresses are all computable up front
+    ea_addr = len(out)
+    iblk_addr = ea_addr + 72
+    iblk_size = (
+        14 + _EA_IDX_ELMTS * esz
+        + (ndblk_addrs + (nsblks_total - nsblks_direct)) * 8 + 4
+    )
+    # lay out data blocks for elements past the direct ones
+    dblk_addrs: list[int] = []
+    dblk_imgs: list[bytes] = []
+    next_addr = iblk_addr + iblk_size
+    pos_elem = _EA_IDX_ELMTS
+    for nd, ne, sidx, _sdblk in sblks[:nsblks_direct]:
+        for j in range(nd):
+            if pos_elem >= len(entries):
+                dblk_addrs.append(UNDEF)
+                continue
+            blk = b"EADB" + struct.pack("<BBQ", 0, client, ea_addr)
+            blk += (_EA_IDX_ELMTS + sidx + j * ne).to_bytes(
+                arr_off_size, "little"
+            )
+            for i in range(ne):
+                k = pos_elem + i
+                blk += enc(entries[k] if k < len(entries) else None)
+            pos_elem += ne
+            dblk_addrs.append(next_addr)
+            dblk_imgs.append(blk + struct.pack("<I", lookup3(blk)))
+            next_addr += len(dblk_imgs[-1])
+    hdr = b"EAHD" + struct.pack(
+        "<BB6B", 0, client, esz, _EA_MAX_BITS, _EA_IDX_ELMTS,
+        _EA_MIN_DBLK, _EA_MIN_PTRS, _EA_PAGE_BITS,
+    )
+    ndblks_created = sum(1 for a in dblk_addrs if a != UNDEF)
+    hdr += struct.pack(
+        "<6Q", 0, 0, ndblks_created, sum(len(i) for i in dblk_imgs),
+        len(entries), len(entries),
+    )
+    hdr += struct.pack("<Q", iblk_addr)
+    out += hdr + struct.pack("<I", lookup3(hdr))
+    iblk = b"EAIB" + struct.pack("<BBQ", 0, client, ea_addr)
+    for i in range(_EA_IDX_ELMTS):
+        iblk += enc(entries[i] if i < len(entries) else None)
+    for a in dblk_addrs:
+        iblk += struct.pack("<Q", a)
+    for _ in range(nsblks_total - nsblks_direct):
+        iblk += struct.pack("<Q", UNDEF)  # no secondary blocks written
+    out += iblk + struct.pack("<I", lookup3(iblk))
+    assert len(out) == iblk_addr + iblk_size, "EAIB size mismatch"
+    for img in dblk_imgs:
+        out += img
+    return ea_addr
+
+
 def _write_dataset(
     out: bytearray,
     arr: np.ndarray,
@@ -439,11 +552,10 @@ def _write_dataset(
             children.append(caddr)
             keys.append((len(raw), origin))
         unlimited = bool(maxshape) and any(m is None for m in maxshape)
-        if latest and not unlimited:
-            # layout v4: Single Chunk (one chunk) or Fixed Array index
-            # — what libhdf5 1.10+ emits for fixed-extent chunked data.
-            # (Unlimited extents would take an Extensible Array; those
-            # stay on the v3 + v1-B-tree encoding, legal in any file.)
+        if latest:
+            # layout v4 — what libhdf5 1.10+ emits: Single Chunk (one
+            # chunk), Fixed Array (fixed extents), or Extensible Array
+            # (unlimited extents)
             body = struct.pack("<BBBBB", 4, 2, 0, len(chunk) + 1, 8)
             body += b"".join(struct.pack("<Q", c) for c in chunk)
             body += struct.pack("<Q", esz)
@@ -452,6 +564,16 @@ def _write_dataset(
                 if filters:
                     raise ValueError("implicit chunk index excludes filters")
                 body += struct.pack("<BQ", 2, children[0])
+            elif unlimited:
+                ea_addr = _write_extensible_array(
+                    out,
+                    [(a, k[0]) for a, k in zip(children, keys)],
+                    bool(filters),
+                )
+                body += struct.pack(
+                    "<B5BQ", 4, _EA_MAX_BITS, _EA_IDX_ELMTS,
+                    _EA_MIN_PTRS, _EA_MIN_DBLK, _EA_PAGE_BITS, ea_addr,
+                )
             elif len(children) == 1:
                 if filters:
                     # flags bit 1: single chunk carries size+filter mask
@@ -1133,14 +1255,14 @@ class HDF5File:
             info.chunk_index = "fa"
             pos += 1  # page bits (re-read from the FA header)
             info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
+        elif itype == 4:  # Extensible Array
+            info.chunk_index = "ea"
+            pos += 5  # creation params (re-read from the EA header)
+            info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
         else:
-            kind = {4: "Extensible Array", 5: "version-2 B-tree"}.get(
-                itype, f"type {itype}"
-            )
+            kind = {5: "version-2 B-tree"}.get(itype, f"type {itype}")
             raise ValueError(
-                f"{name}: chunk index {kind} not supported (unlimited "
-                "extents under libver='latest'); write unlimited "
-                "datasets with the default libver"
+                f"{name}: chunk index {kind} not supported"
             )
 
     @staticmethod
@@ -1200,6 +1322,8 @@ class HDF5File:
                 yield origin, raw_size, info.btree_addr + i * raw_size
         elif info.chunk_index == "fa":
             yield from self._chunks_fa(info, raw_size)
+        elif info.chunk_index == "ea":
+            yield from self._chunks_ea(info, raw_size)
         else:  # pragma: no cover — guarded at parse time
             raise ValueError(f"{info.name}: chunk index {info.chunk_index}")
 
@@ -1254,6 +1378,130 @@ class HDF5File:
                 )
             for j in range(nelems):
                 elems.append(entry(pos + j * entry_size))
+        for origin, (addr, nbytes) in zip(
+            _chunk_grid(info.shape, info.chunk), elems
+        ):
+            if addr == UNDEF:
+                continue  # unallocated chunk
+            yield origin, nbytes, addr
+
+    def _chunks_ea(self, info: DatasetInfo, raw_size: int):
+        """Walk an Extensible Array chunk index: header "EAHD", index
+        block "EAIB" (direct elements + direct data-block pointers),
+        secondary blocks "EASB", data blocks "EADB" — the
+        superblock-doubling geometry libhdf5 uses for unlimited-extent
+        chunked datasets under libver='latest'. Paged data blocks
+        (very deep superblocks) are refused loudly."""
+        b = self._buf
+        ea = info.btree_addr
+        self._expect_sig(ea, b"EAHD", "extensible-array header")
+        (_ver, client, esz, max_bits, idx_elmts, min_dblk, min_ptrs,
+         page_bits) = struct.unpack_from("<8B", b, ea + 4)
+        iblk_addr = struct.unpack_from("<Q", b, ea + 60)[0]
+        if struct.unpack_from("<I", b, ea + 68)[0] != lookup3(
+            b[ea : ea + 68]
+        ):
+            raise ValueError(
+                f"{info.name}: extensible-array header checksum mismatch"
+            )
+        nchunks = 1
+        for s, c in zip(info.shape, info.chunk):
+            nchunks *= -(-s // c)
+        if iblk_addr == UNDEF or nchunks == 0:
+            return
+        arr_off_size = (max_bits + 7) // 8
+        size_len = esz - 12  # client 1: addr(8) + size + mask(4)
+
+        def entry(off: int) -> tuple[int, int]:
+            addr = struct.unpack_from("<Q", b, off)[0]
+            if client == 1:
+                nbytes = int.from_bytes(
+                    b[off + 8 : off + 8 + size_len], "little"
+                )
+                return addr, nbytes
+            return addr, raw_size
+
+        nsblks_total = 1 + (max_bits - (min_dblk.bit_length() - 1))
+        sblks = _ea_sblk_info(nsblks_total, min_dblk)
+        nsblks_direct = 2 * (min_ptrs.bit_length() - 1)
+        ndblk_addrs = sum(nd for nd, _, _, _ in sblks[:nsblks_direct])
+        nsblk_addrs = nsblks_total - nsblks_direct
+        self._expect_sig(iblk_addr, b"EAIB", "extensible-array index block")
+        iblk_size = 14 + idx_elmts * esz + (ndblk_addrs + nsblk_addrs) * 8
+        if struct.unpack_from("<I", b, iblk_addr + iblk_size)[0] != lookup3(
+            b[iblk_addr : iblk_addr + iblk_size]
+        ):
+            raise ValueError(
+                f"{info.name}: extensible-array index block checksum "
+                "mismatch"
+            )
+        pos = iblk_addr + 14
+        elems: list[tuple[int, int]] = []
+        for i in range(min(idx_elmts, nchunks)):
+            elems.append(entry(pos + i * esz))
+        pos += idx_elmts * esz
+        dblk_addrs = [
+            struct.unpack_from("<Q", b, pos + 8 * j)[0]
+            for j in range(ndblk_addrs)
+        ]
+        pos += 8 * ndblk_addrs
+        sblk_addrs = [
+            struct.unpack_from("<Q", b, pos + 8 * j)[0]
+            for j in range(nsblk_addrs)
+        ]
+
+        def read_dblock(addr: int, ne: int):
+            """ne elements of one data block (or UNDEF-fill)."""
+            if addr == UNDEF:
+                return [(UNDEF, 0)] * ne
+            if ne > (1 << page_bits):
+                raise ValueError(
+                    f"{info.name}: paged extensible-array data block "
+                    f"({ne} elements > 2^{page_bits}) not supported"
+                )
+            self._expect_sig(addr, b"EADB", "extensible-array data block")
+            base = addr + 14 + arr_off_size
+            end = base + ne * esz
+            if struct.unpack_from("<I", b, end)[0] != lookup3(b[addr:end]):
+                raise ValueError(
+                    f"{info.name}: extensible-array data block checksum "
+                    "mismatch"
+                )
+            return [entry(base + i * esz) for i in range(ne)]
+
+        # superblocks 0..nsblks_direct-1: data blocks pointed from the
+        # index block, in geometry order
+        slot = 0
+        for nd, ne, _sidx, _sdblk in sblks[:nsblks_direct]:
+            for _ in range(nd):
+                if len(elems) >= nchunks:
+                    break
+                elems.extend(read_dblock(dblk_addrs[slot], ne))
+                slot += 1
+        # deeper superblocks: one EASB per superblock, holding its
+        # data-block addresses
+        for u in range(nsblks_direct, nsblks_total):
+            if len(elems) >= nchunks:
+                break
+            nd, ne, _sidx, _sdblk = sblks[u]
+            saddr = sblk_addrs[u - nsblks_direct]
+            if saddr == UNDEF:
+                elems.extend([(UNDEF, 0)] * (nd * ne))
+                continue
+            self._expect_sig(
+                saddr, b"EASB", "extensible-array secondary block"
+            )
+            if ne > (1 << page_bits):
+                raise ValueError(
+                    f"{info.name}: paged extensible-array data blocks "
+                    "not supported"
+                )
+            spos = saddr + 14 + arr_off_size
+            for j in range(nd):
+                if len(elems) >= nchunks:
+                    break
+                daddr = struct.unpack_from("<Q", b, spos + 8 * j)[0]
+                elems.extend(read_dblock(daddr, ne))
         for origin, (addr, nbytes) in zip(
             _chunk_grid(info.shape, info.chunk), elems
         ):

@@ -813,3 +813,130 @@ def test_unsupported_attr_classes_step_over(tmp_path):
     info = FakeFile(blob)._dataset("v", 0)
     assert "REFERENCE_LIST" not in info.attrs
     assert int(info.attrs["ok"]) == 5
+
+
+def test_latest_extensible_array_roundtrip(tmp_path):
+    """Unlimited extents under libver='latest' take the Extensible
+    Array index (EAHD/EAIB/EADB): direct index-block elements, then
+    data blocks of doubling sizes, filtered and unfiltered."""
+    for compress, n in [(None, 3), (4, 50), (6, 200)]:
+        path = os.path.join(tmp_path, f"ea_{compress}_{n}.h5")
+        d = np.arange(n * 4, dtype=np.int64).reshape(n, 4)
+        write_hdf5(
+            path,
+            {"v": d},
+            {"v": {"chunk": (1, 4), "maxshape": (None, 4),
+                   "compress": compress}},
+            libver="latest",
+        )
+        h = HDF5File(path)
+        assert h.datasets["v"].chunk_index == "ea"
+        np.testing.assert_array_equal(h.read("v"), d)
+        np.testing.assert_array_equal(
+            h.read_slab0("v", n // 3, n // 2 + 3), d[n // 3 : n // 2 + 3]
+        )
+
+
+def test_latest_netcdf4_unlimited_uses_ea(tmp_path):
+    """write_netcdf4(libver='latest') indexes the unlimited record
+    variable with an Extensible Array, and the view reads it."""
+    path = os.path.join(tmp_path, "ea.nc4")
+    rec = np.arange(240, dtype=np.float64).reshape(120, 2)
+    write_netcdf4(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float64", ("t", "x"))},
+        data={"v": rec},
+        compress=4,
+        shuffle=True,
+        chunk0=4,
+        libver="latest",
+    )
+    v = NetCDF4View(path)
+    assert v.h5.datasets["v"].chunk_index == "ea"
+    np.testing.assert_array_equal(v.read_records("v", 17, 93), rec[17:93])
+
+
+def test_extensible_array_secondary_blocks(tmp_path):
+    """The reader walks EASB secondary blocks (superblocks past the
+    index block's direct pointers) — crafted with small creation
+    params (idx=2, min_dblk=2, min_ptrs=2) so secondaries appear at
+    element 8 instead of 244."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _ea_sblk_info,
+        lookup3,
+    )
+
+    path = os.path.join(tmp_path, "easb.h5")
+    n = 14  # chunks: 2 direct + u0(1x2) + u1(1x4) + u2 via EASB (2x4)
+    d = np.arange(n * 2, dtype=np.int32).reshape(n, 2)
+    write_hdf5(
+        path, {"v": d},
+        {"v": {"chunk": (1, 2), "maxshape": (None, 2)}},
+        libver="latest",
+    )
+    h = HDF5File(path)
+    chunks = list(h._iter_chunks(h.datasets["v"]))
+    assert len(chunks) == n
+    addrs = [c[2] for c in chunks]
+    buf = bytearray(open(path, "rb").read())
+    max_bits, idx_elmts, min_dblk, min_ptrs, page_bits = 16, 2, 2, 2, 10
+    arr_off = 2
+    nsblks_total = 1 + (max_bits - (min_dblk.bit_length() - 1))
+    sblks = _ea_sblk_info(nsblks_total, min_dblk)
+    nsblks_direct = 2 * (min_ptrs.bit_length() - 1)  # = 2 (u0, u1)
+    ndblk_addrs = sum(x[0] for x in sblks[:nsblks_direct])  # = 2
+
+    def dblock(ea_addr, off, elems):
+        blk = b"EADB" + struct.pack("<BBQ", 0, 0, ea_addr)
+        blk += off.to_bytes(arr_off, "little")
+        blk += b"".join(struct.pack("<Q", a) for a in elems)
+        return blk + struct.pack("<I", lookup3(blk))
+
+    ea = len(buf)
+    iblk = ea + 72
+    iblk_size = (
+        14 + idx_elmts * 8
+        + (ndblk_addrs + (nsblks_total - nsblks_direct)) * 8 + 4
+    )
+    pos = iblk + iblk_size
+    # u0: one dblock of 2; u1: one dblock of 4 (elements 2..7)
+    d0 = dblock(ea, 2, addrs[2:4])
+    d1 = dblock(ea, 4, addrs[4:8])
+    d0_addr, d1_addr = pos, pos + len(d0)
+    pos += len(d0) + len(d1)
+    # u2: EASB holding two dblocks of 4 (elements 8..13, second padded)
+    d2 = dblock(ea, 8, addrs[8:12])
+    d3 = dblock(ea, 12, addrs[12:14] + [0xFFFFFFFFFFFFFFFF] * 2)
+    sb_addr = pos
+    sb = b"EASB" + struct.pack("<BBQ", 0, 0, ea)
+    sb += (8).to_bytes(arr_off, "little")
+    sb += struct.pack("<QQ", sb_addr + 14 + arr_off + 16 + 4,
+                      sb_addr + 14 + arr_off + 16 + 4 + len(d2))
+    sb += struct.pack("<I", lookup3(sb))
+    d2_addr = sb_addr + len(sb)
+    assert d2_addr == sb_addr + 14 + arr_off + 16 + 4
+    hdr = b"EAHD" + struct.pack(
+        "<BB6B", 0, 0, 8, max_bits, idx_elmts, min_dblk, min_ptrs,
+        page_bits,
+    )
+    hdr += struct.pack("<6Q", 0, 0, 4, 0, n, n)
+    hdr += struct.pack("<Q", iblk)
+    buf += hdr + struct.pack("<I", lookup3(hdr))
+    ib = b"EAIB" + struct.pack("<BBQ", 0, 0, ea)
+    ib += struct.pack("<QQ", addrs[0], addrs[1])  # direct elements
+    ib += struct.pack("<QQ", d0_addr, d1_addr)  # u0, u1 dblock addrs
+    ib += struct.pack("<Q", sb_addr)  # u2 secondary block
+    ib += b"".join(
+        struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+        for _ in range(nsblks_total - nsblks_direct - 1)
+    )
+    buf += ib + struct.pack("<I", lookup3(ib))
+    assert len(buf) == iblk + iblk_size
+    buf += d0 + d1 + sb + d2 + d3
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    h2 = HDF5File(path)
+    h2.datasets["v"].btree_addr = ea  # point at the crafted EA
+    np.testing.assert_array_equal(h2.read("v"), d)
+    np.testing.assert_array_equal(h2.read_slab0("v", 7, 13), d[7:13])
