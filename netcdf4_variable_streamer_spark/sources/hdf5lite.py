@@ -1924,11 +1924,92 @@ def create_netcdf4_tail(
     offset, so publishing k more records is pwrite(record chunks) then
     one 8-byte extent patch per record dataset, exactly the classic
     format's numrecs-patch append (A14) carried to the HDF5 container.
-    Bounded honesty: growth beyond ``capacity`` needs a B-tree rewrite
-    and is refused loudly (chunk the archive into capacity-sized files
-    and use the directory dataset for unbounded growth)."""
+    Growth beyond ``capacity`` is handled by :func:`append_records_nc4`
+    via an append-only B-tree rewrite with amortized doubling, up to a
+    single v1 node's 65000 records per file (beyond that, chunk the
+    archive into capacity-sized files and use the directory
+    dataset)."""
     create_netcdf4(path, dims, variables, capacity, attrs, var_attrs)
     _patch_extents(path, 0)
+
+
+def _grow_capacity_nc4(path: str, new_cap: int) -> None:
+    """Grow every record dataset's preallocated chunk capacity to
+    ``new_cap`` records by APPENDING: zero-filled chunk slots at EOF,
+    a fresh single-node v1 chunk B-tree listing old + new chunks, then
+    an 8-byte patch of each layout message's B-tree address. Crash
+    ordering: a reader that interleaves sees either the old B-tree
+    (old capacity) or the new one — both list every published record,
+    and extents are patched by the caller afterwards. The superseded
+    B-tree node's bytes are leaked (append-only growth, the same
+    trade netcdf-c makes); a v1 node holds <=65000 entries, beyond
+    which growth refuses loudly (chunk the archive into files)."""
+    import os
+
+    if new_cap > 65000:
+        raise ValueError(
+            f"capacity {new_cap} exceeds a single v1 B-tree node "
+            "(65000 records) — chunk the archive into capacity-sized "
+            "files and use the directory dataset"
+        )
+    v = NetCDF4View(path)
+    h = v.h5
+    eof = os.path.getsize(path)
+    out = bytearray()
+    patches: list[tuple[int, bytes]] = []
+    for name, info in h.datasets.items():
+        if not info.unlimited0:
+            continue
+        if info.filters or info.chunk[:1] != (1,):
+            raise ValueError(
+                f"{name}: tail growth needs the create_netcdf4 layout "
+                "(one record per chunk, no filters)"
+            )
+        slots = {
+            origin[0]: (addr, nbytes)
+            for origin, nbytes, addr in h._iter_chunks(info)
+        }
+        if len(slots) >= new_cap:
+            continue
+        rec_bytes = (
+            int(np.prod(info.chunk, dtype=np.int64)) * info.dtype.itemsize
+        )
+        for r in range(len(slots), new_cap):
+            slots[r] = (eof + len(out), rec_bytes)
+            out += b"\x00" * rec_bytes
+        rest = tuple(0 for _ in info.chunk[1:])
+        bt = bytearray()
+        bt += b"TREE" + struct.pack("<BBHQQ", 1, 0, new_cap, UNDEF, UNDEF)
+        for r in range(new_cap):
+            addr, nbytes = slots[r]
+            bt += struct.pack("<II", nbytes, 0)
+            bt += b"".join(struct.pack("<Q", o) for o in (r, *rest))
+            bt += struct.pack("<Q", 0)  # element-size dimension
+            bt += struct.pack("<Q", addr)
+        bt += struct.pack("<II", 0, 0)  # final key: past-end
+        bt += b"".join(
+            struct.pack("<Q", s) for s in (new_cap, *info.shape[1:])
+        )
+        bt += struct.pack("<Q", info.dtype.itemsize)
+        btaddr = eof + len(out)
+        out += bt
+        # layout v3 chunked body: version, class, ndims, B-tree addr
+        for t, body, body_off in h._messages_at(h._header_addr[name]):
+            if t == 0x0008:
+                if body[0] != 3 or body[1] != 2:
+                    raise ValueError(
+                        f"{name}: only the v3/v1-B-tree layout grows "
+                        "in place"
+                    )
+                patches.append((body_off + 3, struct.pack("<Q", btaddr)))
+                break
+    fd = os.open(path, os.O_WRONLY)
+    try:
+        os.pwrite(fd, bytes(out), eof)  # chunks + B-trees first
+        for off, data in patches:  # then publish the new B-trees
+            os.pwrite(fd, data, off)
+    finally:
+        os.close(fd)
 
 
 def append_records_nc4(
@@ -1936,7 +2017,9 @@ def append_records_nc4(
 ) -> int:
     """Append k records to a tail-mode file: data chunks first, the
     extent patches LAST, so concurrent readers never see a record whose
-    bytes are not fully on disk. Returns the new record count."""
+    bytes are not fully on disk. Growth past the preallocated capacity
+    rewrites the chunk B-trees append-only (amortized doubling), so a
+    stream can run unbounded. Returns the new record count."""
     v = NetCDF4View(path)
     rec_vars = [x for x in v.variables.values() if x.is_record]
     if not rec_vars:
@@ -1951,6 +2034,12 @@ def append_records_nc4(
         elif b.shape[0] != n:
             raise ValueError("record variables disagree on record count")
     cur = v.numrecs
+    first = next(x for x in rec_vars)
+    cap = sum(
+        1 for _ in v.h5._iter_chunks(v.h5.datasets[first.name])
+    )
+    if cur + n > cap:
+        _grow_capacity_nc4(path, max(cur + n, 2 * cap))
     pwrite_records_nc4(path, var_blocks, cur)
     _patch_extents(path, cur + n)
     return cur + n

@@ -262,8 +262,10 @@ class NetCDF4StreamReader(SimpleDataSourceStreamReader):
     the HDF5 container): the offset is the record datasets' current
     dataspace extent — append_records_nc4 pwrites the record chunks
     FIRST and patches the extents LAST, so every batch reads fully
-    published records. Growth is bounded by the file's preallocated
-    capacity (create_netcdf4_tail)."""
+    published records. Growth past the preallocated capacity triggers
+    an append-only B-tree rewrite with amortized doubling
+    (append_records_nc4), so the stream is unbounded within a single
+    file."""
 
     def __init__(self, path: str, schema: StructType):
         import os

@@ -379,7 +379,7 @@ def test_snk_netcdf4_write_oracle(check):
 def test_nc4_tail_append_and_stream(spark, tmp_path):
     """A14 on the HDF5 container: create at extent 0 with capacity 6,
     append twice, stream sees exactly the appended records per batch;
-    offset replay is exactly-once; over-capacity append refuses."""
+    offset replay is exactly-once; over-capacity append grows."""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         append_records_nc4,
         create_netcdf4_tail,
@@ -413,14 +413,15 @@ def test_nc4_tail_append_and_stream(spark, tmp_path):
     assert {r[-1] for r in rows2} == {6.0, 7.0, 8.0, 9.0}
     replay = list(sr.readBetweenOffsets(off1, off2))
     assert sorted(replay) == sorted(rows2)
-    # batch rescan sees the grown extent; capacity is a hard wall
+    # batch rescan sees the grown extent
     assert (
         spark.read.format(FORMAT4_NAME).option("path", path).load().count()
         == 10
     )
     assert append_records_nc4(path, {"v": a[5:6]}) == 6
-    with pytest.raises(ValueError, match="capacity"):
-        append_records_nc4(path, {"v": a[:1]})
+    # past capacity: the B-tree rewrite grows the file transparently
+    # (test_nc4_tail_grows_past_capacity covers the data round trip)
+    assert append_records_nc4(path, {"v": a[:1]}) == 7
 
 
 def test_src_netcdf4_stream_tail_oracle(check):
@@ -940,3 +941,41 @@ def test_extensible_array_secondary_blocks(tmp_path):
     h2.datasets["v"].btree_addr = ea  # point at the crafted EA
     np.testing.assert_array_equal(h2.read("v"), d)
     np.testing.assert_array_equal(h2.read_slab0("v", 7, 13), d[7:13])
+
+
+def test_nc4_tail_grows_past_capacity(tmp_path):
+    """Appending past the preallocated capacity rewrites the chunk
+    B-trees append-only (amortized doubling) — the stream is unbounded
+    within a single file, not capacity-capped."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        append_records_nc4,
+        create_netcdf4_tail,
+    )
+
+    path = os.path.join(tmp_path, "grow.nc4")
+    create_netcdf4_tail(
+        path,
+        dims={"t": None, "x": 3},
+        variables={
+            "v": ("float64", ("t", "x")),
+            "w": ("int32", ("t", "x")),
+        },
+        capacity=4,
+    )
+    rng = np.random.RandomState(0)
+    all_v, all_w = [], []
+    for k in (3, 3, 10, 37):  # crosses capacity at every append
+        bv, bw = rng.randn(k, 3), rng.randint(
+            0, 100, size=(k, 3), dtype=np.int32
+        )
+        all_v.append(bv)
+        all_w.append(bw)
+        total = append_records_nc4(path, {"v": bv, "w": bw})
+    assert total == 53
+    v = NetCDF4View(path)
+    assert v.numrecs == 53
+    np.testing.assert_array_equal(v.read_records("v"), np.vstack(all_v))
+    np.testing.assert_array_equal(v.read_records("w"), np.vstack(all_w))
+    np.testing.assert_array_equal(
+        v.read_records("v", 5, 20), np.vstack(all_v)[5:20]
+    )
