@@ -20,6 +20,9 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from netcdf4_variable_streamer_spark.session import (
+    apply_runtime_confs,
+)
 from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register
 from netcdf4_variable_streamer_spark.sources.chunkstore import StreamedDataset
 from netcdf4_variable_streamer_spark.sources.netcdf_source import (
@@ -99,6 +102,7 @@ def ensure_grid(path: str | None = None, t_total: int = GRID_T) -> str:
 
 
 def _register_and_load(spark: SparkSession, path: str) -> DataFrame:
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDFChunkDataSource)
     return spark.read.format(FORMAT_NAME).option("path", path).load()
 
@@ -191,6 +195,7 @@ def snk_chunked_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         {"temperature": "float32", "humidity": "float32"},
     )
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDFChunkDataSource)
     df = spark.read.format(FORMAT_NAME).option("path", src).load()
     slice_df = (
@@ -234,6 +239,7 @@ def src_netcdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = ensure_grid()
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDFChunkDataSource)
     stream = (
         spark.readStream.format(FORMAT_NAME).option("path", path).load()
@@ -304,6 +310,7 @@ def src_netcdf3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF3DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     df = (
         spark.read.format(FORMAT3_NAME)
@@ -373,6 +380,7 @@ def src_netcdf3_multifile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF3DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     df = (
         spark.read.format(FORMAT3_NAME)
@@ -422,6 +430,7 @@ def src_netcdf3_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_nc3(
         path=os.path.join(SCRATCH, "grid_tail_64.nc"), t_total=64
     )
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     stream = (
         spark.readStream.format(FORMAT3_NAME).option("path", path).load()
@@ -528,6 +537,7 @@ def snk_netcdf3_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_written = audits.agg(F.sum("n_records")).first()[0]
         assert n_written == 32, f"wrote {n_written} records, expected 32"
+        apply_runtime_confs(spark)
         spark.dataSource.register(NetCDF3DataSource)
         back = spark.read.format(FORMAT3_NAME).option("path", dst).load()
         out = back.agg(
@@ -1201,6 +1211,7 @@ def src_netcdf4_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF4DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF4DataSource)
     df = (
         spark.read.format(FORMAT4_NAME)
@@ -1303,6 +1314,7 @@ def snk_netcdf4_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_written = audits.agg(F.sum("n_records")).first()[0]
         assert n_written == 32, f"wrote {n_written} records, expected 32"
+        apply_runtime_confs(spark)
         spark.dataSource.register(NetCDF4DataSource)
         back = spark.read.format(FORMAT4_NAME).option("path", dst).load()
         out = back.agg(
@@ -1366,6 +1378,7 @@ def src_netcdf3_cdf5_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF3DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     df = (
         spark.read.format(FORMAT3_NAME)
@@ -1454,7 +1467,9 @@ def src_netcdf_uint64_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF4DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF4DataSource)
     parts = []
     for label, fmt, suffix in (
@@ -1540,6 +1555,7 @@ def src_netcdf3_cf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF3DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     df = (
         spark.read.format(FORMAT3_NAME)
@@ -1630,6 +1646,7 @@ def src_netcdf3_cf_cal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         NetCDF3DataSource,
     )
 
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     df = (
         spark.read.format(FORMAT3_NAME)
@@ -1715,6 +1732,7 @@ def src_netcdf4_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = ensure_nc4_tail()
+    apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF4DataSource)
     stream = (
         spark.readStream.format(FORMAT4_NAME).option("path", path).load()

@@ -108,3 +108,28 @@ def test_scale_appendix_covers_every_key():
     appendix = text[text.index("## Appendix") :]
     missing = [k for k in REGISTRY if f"`{k}`" not in appendix]
     assert not missing, f"keys without a scale class: {missing}"
+
+
+def test_datasource_builders_apply_runtime_confs():
+    """Every Python-DataSource registration must be immediately
+    preceded by apply_runtime_confs(spark): the driver hands builders
+    a PLAIN session, and pushFilters-implementing sources hard-fail
+    unless spark.sql.python.filterPushdown.enabled is set at runtime.
+    Round 5's exhaustive drive caught 4 window keys failing exactly
+    this way when a netcdf key ran FIRST on a fresh session."""
+    pkg = os.path.join(REPO, "netcdf4_variable_streamer_spark")
+    bad = []
+    for rel in ("sources/queries.py", "streaming/queries.py"):
+        lines = open(os.path.join(pkg, rel)).read().split("\n")
+        for i, line in enumerate(lines):
+            if "spark.dataSource.register(" not in line:
+                continue
+            prev = [x for x in lines[:i] if x.strip()][-1]
+            if (
+                "apply_runtime_confs" not in prev
+                and "dataSource.register" not in prev
+            ):
+                bad.append(f"{rel}:{i + 1}")
+    assert not bad, (
+        f"dataSource.register without apply_runtime_confs before it: {bad}"
+    )
