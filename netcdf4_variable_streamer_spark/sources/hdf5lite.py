@@ -53,20 +53,23 @@ are supported on BOTH sides (``write_hdf5(..., libver="latest")``):
 superblock v2/v3 with Jenkins-lookup3 checksums (verified on read;
 the checksum implementation is validated against lookup3.c's
 published self-test vectors), version-2 ("OHDR") object headers with
-"OCHK" continuations, compact link-message groups (Link Info / Group
-Info / hard-link messages), v3 attribute messages, and version-4 data
+"OCHK" continuations, link-message groups — compact (Link Info /
+Group Info / hard-link messages) AND dense (fractal heap
+"FRHP"/"FHIB"/"FHDB" + v2 B-tree "BTHD"/"BTIN"/"BTLF" name index,
+the storage groups take past the 8-link compact limit; the writer
+mirrors that threshold) — v3 attribute messages, and version-4 data
 layouts with Single Chunk, Implicit, Fixed Array ("FAHD"/"FADB",
 paged or unpaged), and Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB",
 the unlimited-extent index — reader walks direct elements,
 index-block data blocks, and secondary blocks; writer covers the
 directly-addressable range) chunk indexes.
 
-Honest scope (loud refusals naming the feature): dense link storage
-(fractal heap + v2 B-tree name index — groups past the ~8-link
-compact limit under libver='latest'), v2-B-tree chunk indexes and
-paged Extensible-Array data blocks (>2^10-element blocks, reached
-past ~100k chunks), vlen DATASETS (vlen attributes are parsed for
-DIMENSION_LIST and stepped over otherwise), szip.
+Honest scope (loud refusals naming the feature): v2-B-tree chunk
+indexes and paged Extensible-Array data blocks (>2^10-element blocks,
+reached past ~100k chunks), v2 B-trees deeper than 1 level and nested
+fractal-heap indirect rows (tens of thousands of links), filtered
+fractal heaps, huge/tiny heap objects, vlen DATASETS (vlen attributes
+are parsed for DIMENSION_LIST and stepped over otherwise), szip.
 """
 
 from __future__ import annotations
@@ -670,16 +673,123 @@ def _write_group(
     return header_addr, bt_addr, heap_addr
 
 
+# Fractal-heap doubling-table parameters — libhdf5's defaults for
+# dense group link storage (H5Gpkg): width 4, 512-byte starting
+# blocks, 64 KiB max direct blocks, 32-bit heap offset space.
+_FH_WIDTH = 4
+_FH_START = 512
+_FH_MAX_DIRECT = 64 * 1024
+_FH_MAX_BITS = 32
+_DENSE_LINK_MAX_COMPACT = 8  # libhdf5 max_compact default
+
+
+def _link_body(name: str, addr: int) -> bytes:
+    """Hard-link message BODY (shared by compact messages and dense
+    fractal-heap objects — the heap stores the same encoding)."""
+    nb = name.encode()
+    if len(nb) > 255:
+        raise ValueError(f"link name too long: {name!r}")
+    return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
+
+
+def _write_dense_links(
+    out: bytearray, children: dict[str, int]
+) -> tuple[int, int]:
+    """Append dense link storage — a fractal heap (FRHP + one root
+    direct block) holding the link-message bodies, and a v2 B-tree
+    name index (BTHD + one leaf) of (name-hash, heap id) records —
+    what libhdf5 writes for groups past the compact limit under
+    libver='latest'. Returns (fheap_addr, name_bt2_addr)."""
+    off_size = _FH_MAX_BITS // 8  # 4
+    len_size = (_FH_MAX_DIRECT - 1).bit_length() // 8  # 2
+    id_len = 1 + off_size + len_size  # 7
+    hdr_size = 17  # FHDB prefix: sig+version+heap addr+block offset
+    bodies = {n: _link_body(n, a) for n, a in children.items()}
+    need = hdr_size + sum(len(b) for b in bodies.values())
+    blk_size = _FH_START
+    while blk_size < need:
+        blk_size *= 2
+    if blk_size > _FH_MAX_DIRECT:
+        raise ValueError(
+            "dense link storage writer covers one root direct block "
+            f"({_FH_MAX_DIRECT} bytes of links)"
+        )
+    fheap_addr = len(out)
+    dblk_addr = fheap_addr + 146  # FRHP header is 146 bytes
+    # lay out objects in the direct block; heap offsets include the
+    # block prefix (H5HF reserves it in the offset space)
+    obj_ids: dict[str, bytes] = {}
+    pos = hdr_size
+    payload = bytearray()
+    for n in sorted(children):
+        b = bodies[n]
+        obj_ids[n] = (
+            b"\x00"  # managed object, version 0
+            + pos.to_bytes(off_size, "little")
+            + len(b).to_bytes(len_size, "little")
+        )
+        payload += b
+        pos += len(b)
+    frhp = b"FRHP" + struct.pack(
+        "<BHHBI", 0, id_len, 0, 0, _FH_MAX_DIRECT // 2
+    )
+    frhp += struct.pack("<Q", 0)  # next huge id
+    frhp += struct.pack("<Q", UNDEF)  # huge-object v2 B-tree
+    frhp += struct.pack("<Q", blk_size - pos)  # free space
+    frhp += struct.pack("<Q", UNDEF)  # free-space manager
+    frhp += struct.pack("<Q", blk_size)  # managed space
+    frhp += struct.pack("<Q", blk_size)  # allocated managed space
+    frhp += struct.pack("<Q", pos)  # managed-space iterator offset
+    frhp += struct.pack("<Q", len(children))  # managed object count
+    frhp += struct.pack("<4Q", 0, 0, 0, 0)  # huge/tiny sizes + counts
+    frhp += struct.pack(
+        "<HQQHH", _FH_WIDTH, _FH_START, _FH_MAX_DIRECT, _FH_MAX_BITS, 1
+    )
+    frhp += struct.pack("<QH", dblk_addr, 0)  # root = direct block
+    out += frhp + struct.pack("<I", lookup3(frhp))
+    assert len(out) == dblk_addr
+    db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+    db += (0).to_bytes(off_size, "little")  # block offset 0
+    db += bytes(payload)
+    db += b"\x00" * (blk_size - len(db))
+    out += db
+    # name index: records (lookup3(name), heap id) sorted by hash
+    recs = sorted(
+        (lookup3(n.encode()), obj_ids[n]) for n in children
+    )
+    rec_size = 4 + id_len
+    bt2_addr = len(out)
+    leaf_addr = bt2_addr + 38  # BTHD header is 38 bytes
+    bthd = b"BTHD" + struct.pack(
+        "<BBIHHBB", 0, 5, 2048, rec_size, 0, 100, 40
+    )
+    bthd += struct.pack("<QHQ", leaf_addr, len(recs), len(recs))
+    out += bthd + struct.pack("<I", lookup3(bthd))
+    leaf = b"BTLF" + struct.pack("<BB", 0, 5)
+    for h, hid in recs:
+        leaf += struct.pack("<I", h) + hid
+    out += leaf + struct.pack("<I", lookup3(leaf))
+    return fheap_addr, bt2_addr
+
+
 def _write_group2(
     out: bytearray, children: dict[str, int], attrs: dict
 ) -> int:
-    """Append a "new style" link-message group (v2 object header:
-    Link Info + Group Info + one hard-link message per child, compact
-    storage — what libhdf5 1.10+ writes for small groups); returns the
+    """Append a "new style" link-message group (v2 object header):
+    compact storage (one hard-link message per child) up to libhdf5's
+    8-link threshold, dense storage (fractal heap + v2 B-tree name
+    index) past it — mirroring what libhdf5 1.10+ writes. Returns the
     header address."""
-    msgs = [_linkinfo_msg(), _groupinfo_msg()]
-    for n in sorted(children):
-        msgs.append(_link_msg(n, children[n]))
+    if len(children) > _DENSE_LINK_MAX_COMPACT:
+        fheap_addr, bt2_addr = _write_dense_links(out, children)
+        li = _msg2(
+            0x0002, struct.pack("<BBQQ", 0, 0, fheap_addr, bt2_addr)
+        )
+        msgs = [li, _groupinfo_msg()]
+    else:
+        msgs = [_linkinfo_msg(), _groupinfo_msg()]
+        for n in sorted(children):
+            msgs.append(_link_msg(n, children[n]))
     for k, v in attrs.items():
         msgs.append(_attr_msg(k, v, latest=True))
     header_addr = len(out)
@@ -887,13 +997,14 @@ class HDF5File:
                 is_group = True
                 flags = body[1]
                 pos = 2 + (8 if flags & 1 else 0)
-                fheap_addr = struct.unpack_from("<Q", body, pos)[0]
+                fheap_addr, bt2_addr = struct.unpack_from(
+                    "<QQ", body, pos
+                )
                 if fheap_addr != UNDEF:
-                    raise ValueError(
-                        f"{self.path}: dense link storage (fractal "
-                        "heap) not supported — groups over the compact "
-                        "limit (~8 links with libver='latest') are out "
-                        "of scope"
+                    # dense storage: links live in a fractal heap,
+                    # enumerated through the v2 B-tree name index
+                    links.extend(
+                        self._dense_links(fheap_addr, bt2_addr)
                     )
             elif t == 0x0006:  # link message
                 is_group = True
@@ -903,6 +1014,192 @@ class HDF5File:
             elif t == 0x000A:  # group info
                 is_group = True
         return links if is_group else None
+
+    def _dense_links(
+        self, fheap_addr: int, bt2_addr: int
+    ) -> list[tuple[str, int]]:
+        """Enumerate a dense group's links: v2 B-tree (BTHD/BTIN/BTLF)
+        records are (name hash, heap id); each heap id is a managed
+        fractal-heap object holding a link-message body."""
+        b = self._buf
+        heap = self._fractal_heap(fheap_addr)
+        self._expect_sig(bt2_addr, b"BTHD", "v2 B-tree header")
+        _ver, btype = b[bt2_addr + 4], b[bt2_addr + 5]
+        if btype != 5:
+            raise ValueError(
+                f"{self.path}: v2 B-tree type {btype} (link-name "
+                "index expected)"
+            )
+        node_size = struct.unpack_from("<I", b, bt2_addr + 6)[0]
+        rec_size = struct.unpack_from("<H", b, bt2_addr + 10)[0]
+        depth = struct.unpack_from("<H", b, bt2_addr + 12)[0]
+        root_addr = struct.unpack_from("<Q", b, bt2_addr + 16)[0]
+        root_nrec = struct.unpack_from("<H", b, bt2_addr + 24)[0]
+        if struct.unpack_from("<I", b, bt2_addr + 34)[0] != lookup3(
+            b[bt2_addr : bt2_addr + 34]
+        ):
+            raise ValueError(
+                f"{self.path}: v2 B-tree header checksum mismatch"
+            )
+        out: list[tuple[str, int]] = []
+        if root_addr == UNDEF:
+            return out
+        # max records a leaf can hold -> child-pointer nrec field width
+        leaf_max = (node_size - 10) // rec_size
+        nrec_size = -(-(leaf_max.bit_length()) // 8)
+
+        def leaf(addr: int, nrec: int) -> None:
+            self._expect_sig(addr, b"BTLF", "v2 B-tree leaf")
+            end = addr + 6 + nrec * rec_size
+            if struct.unpack_from("<I", b, end)[0] != lookup3(
+                b[addr:end]
+            ):
+                raise ValueError(
+                    f"{self.path}: v2 B-tree leaf checksum mismatch"
+                )
+            for i in range(nrec):
+                hid = b[
+                    addr + 6 + i * rec_size + 4 : addr + 6 + (i + 1)
+                    * rec_size
+                ]
+                body = self._fheap_object(heap, hid)
+                parsed = self._parse_link(body)
+                if parsed is not None:
+                    out.append(parsed)
+
+        def record(off: int) -> None:
+            """One (hash, heap id) record — internal nodes hold REAL
+            records between their child pointers, not separators."""
+            hid = b[off + 4 : off + rec_size]
+            parsed = self._parse_link(self._fheap_object(heap, hid))
+            if parsed is not None:
+                out.append(parsed)
+
+        if depth == 0:
+            leaf(root_addr, root_nrec)
+        elif depth == 1:
+            self._expect_sig(root_addr, b"BTIN", "v2 B-tree internal")
+            # nrec records interleaved with nrec+1 (addr, child nrec)
+            # child pointers
+            pos = root_addr + 6
+            children = []
+            a = struct.unpack_from("<Q", b, pos)[0]
+            n = int.from_bytes(b[pos + 8 : pos + 8 + nrec_size], "little")
+            children.append((a, n))
+            pos += 8 + nrec_size
+            for _ in range(root_nrec):
+                record(pos)
+                pos += rec_size
+                a = struct.unpack_from("<Q", b, pos)[0]
+                n = int.from_bytes(
+                    b[pos + 8 : pos + 8 + nrec_size], "little"
+                )
+                children.append((a, n))
+                pos += 8 + nrec_size
+            for a, n in children:
+                leaf(a, n)
+        else:
+            raise ValueError(
+                f"{self.path}: v2 B-tree depth {depth} not supported "
+                "(tens of thousands of links)"
+            )
+        return out
+
+    def _fractal_heap(self, addr: int) -> dict:
+        """Parse a fractal-heap header (FRHP) into the fields object
+        reads need: doubling-table geometry + root block location."""
+        b = self._buf
+        self._expect_sig(addr, b"FRHP", "fractal heap header")
+        id_len = struct.unpack_from("<H", b, addr + 5)[0]
+        filter_len = struct.unpack_from("<H", b, addr + 7)[0]
+        if filter_len:
+            raise ValueError(
+                f"{self.path}: filtered fractal heap not supported"
+            )
+        flags = b[addr + 9]
+        (width,) = struct.unpack_from("<H", b, addr + 110)
+        start_size, max_direct = struct.unpack_from("<QQ", b, addr + 112)
+        max_bits = struct.unpack_from("<H", b, addr + 128)[0]
+        root_addr = struct.unpack_from("<Q", b, addr + 132)[0]
+        cur_rows = struct.unpack_from("<H", b, addr + 140)[0]
+        if struct.unpack_from("<I", b, addr + 142)[0] != lookup3(
+            b[addr : addr + 142]
+        ):
+            raise ValueError(
+                f"{self.path}: fractal heap header checksum mismatch"
+            )
+        off_size = -(-max_bits // 8)
+        return {
+            "addr": addr,
+            "id_len": id_len,
+            "off_size": off_size,
+            "len_size": id_len - 1 - off_size,
+            "checksum_dblocks": bool(flags & 0x02),
+            "width": width,
+            "start_size": start_size,
+            "max_direct": max_direct,
+            "root_addr": root_addr,
+            "cur_rows": cur_rows,
+        }
+
+    def _fheap_object(self, heap: dict, hid) -> bytes:
+        """Managed fractal-heap object bytes for a heap id (flags byte
+        + heap offset + length). Heap offsets span the whole block
+        space including block prefixes, so a direct block at offset
+        ``o0`` serves offset ``o`` at file address ``addr + (o-o0)``."""
+        b = self._buf
+        flags = hid[0]
+        if (flags >> 6) & 0x3 != 0:
+            raise ValueError(
+                f"{self.path}: huge/tiny fractal-heap objects not "
+                "supported (managed links only)"
+            )
+        off = int.from_bytes(hid[1 : 1 + heap["off_size"]], "little")
+        length = int.from_bytes(
+            hid[1 + heap["off_size"] : heap["id_len"]], "little"
+        )
+        daddr, dsize, doff = self._fheap_direct_block(heap, off)
+        return b[daddr + (off - doff) : daddr + (off - doff) + length]
+
+    def _fheap_direct_block(
+        self, heap: dict, off: int
+    ) -> tuple[int, int, int]:
+        """(file addr, size, heap offset) of the direct block covering
+        heap offset ``off`` — root direct block, or a child of the root
+        indirect block (FHIB; nested indirect blocks refuse loudly)."""
+        b = self._buf
+        width, start = heap["width"], heap["start_size"]
+        if heap["cur_rows"] == 0:  # root IS a direct block
+            self._expect_sig(heap["root_addr"], b"FHDB", "heap direct block")
+            return heap["root_addr"], start, 0
+        iaddr = heap["root_addr"]
+        self._expect_sig(iaddr, b"FHIB", "heap indirect block")
+        pos = iaddr + 4 + 1 + 8 + heap["off_size"]
+        # rows 0 and 1 use the starting size; each later row doubles
+        blk_off = 0
+        for row in range(heap["cur_rows"]):
+            size = start if row < 2 else start << (row - 1)
+            if size > heap["max_direct"]:
+                raise ValueError(
+                    f"{self.path}: nested indirect fractal-heap rows "
+                    "not supported"
+                )
+            for _ in range(width):
+                if blk_off <= off < blk_off + size:
+                    daddr = struct.unpack_from("<Q", b, pos)[0]
+                    if daddr == UNDEF:
+                        raise ValueError(
+                            f"{self.path}: heap offset {off} in an "
+                            "unallocated direct block"
+                        )
+                    self._expect_sig(daddr, b"FHDB", "heap direct block")
+                    return daddr, size, blk_off
+                blk_off += size
+                pos += 8
+        raise ValueError(
+            f"{self.path}: heap offset {off} beyond the root indirect "
+            "block's rows"
+        )
 
     def _parse_link(self, body: bytes) -> tuple[str, int] | None:
         """Hard links -> (name, header addr); soft/external links are

@@ -715,9 +715,10 @@ def test_latest_netcdf4_view_and_scan(spark, tmp_path):
     np.testing.assert_array_equal(pdf["v"].to_numpy(), rec.reshape(-1))
 
 
-def test_dense_link_storage_refused(tmp_path):
-    """A Link Info message pointing at a fractal heap (dense group
-    storage) must fail loudly, naming the feature."""
+def test_dense_link_storage_bad_heap_fails_loudly(tmp_path):
+    """A Link Info message pointing at a garbage fractal-heap address
+    must fail with a structural error naming the broken structure
+    (dense storage itself is supported since round 5)."""
     import struct
 
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
@@ -738,7 +739,7 @@ def test_dense_link_storage_refused(tmp_path):
     path = os.path.join(tmp_path, "dense.h5")
     with open(path, "wb") as f:
         f.write(bytes(out))
-    with pytest.raises(ValueError, match="dense link storage"):
+    with pytest.raises(ValueError, match="fractal heap header"):
         HDF5File(path)
 
 
@@ -979,3 +980,139 @@ def test_nc4_tail_grows_past_capacity(tmp_path):
     np.testing.assert_array_equal(
         v.read_records("v", 5, 20), np.vstack(all_v)[5:20]
     )
+
+
+def test_dense_link_group_roundtrip(tmp_path):
+    """Groups past libhdf5's 8-link compact threshold store links
+    densely (fractal heap FRHP/FHDB + v2 B-tree BTHD/BTLF name index)
+    under libver='latest'; the reader enumerates them through the
+    B-tree and heap."""
+    path = os.path.join(tmp_path, "dense.h5")
+    data = {
+        f"v{i:02d}": np.arange(6, dtype=np.int32) + i for i in range(20)
+    }
+    write_hdf5(path, data, attrs={"title": "dense"}, libver="latest")
+    h = HDF5File(path)
+    assert sorted(h.datasets) == sorted(data)
+    for k, v in data.items():
+        np.testing.assert_array_equal(h.read(k), v)
+    assert h.attrs["title"] == "dense"
+    # a dense netCDF-4 file (>8 objects in root) resolves dims too
+    path2 = os.path.join(tmp_path, "dense.nc4")
+    rec = np.arange(48, dtype=np.float64).reshape(12, 4)
+    variables = {f"m{i}": ("float64", ("t", "x")) for i in range(9)}
+    write_netcdf4(
+        path2,
+        dims={"t": None, "x": 4},
+        variables=variables,
+        data={k: rec + i for i, k in enumerate(variables)},
+        libver="latest",
+    )
+    v = NetCDF4View(path2)
+    assert len(v.variables) == 9
+    np.testing.assert_array_equal(v.read_records("m3", 2, 7), rec[2:7] + 3)
+
+
+def test_dense_links_indirect_heap_and_deep_btree(tmp_path):
+    """Foreign-file shapes the writer doesn't emit: a fractal heap
+    whose root is an INDIRECT block (FHIB) spanning two direct blocks,
+    and a depth-1 v2 B-tree whose internal node carries a REAL record
+    between its child pointers."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _link_body,
+        lookup3,
+    )
+
+    path = os.path.join(tmp_path, "indirect.h5")
+    names = [f"d{i:02d}" for i in range(12)]
+    data = {n: np.arange(3, dtype=np.int16) + i for i, n in enumerate(names)}
+    write_hdf5(path, data, libver="latest")  # dense already (12 links)
+    h = HDF5File(path)
+    addrs = {n: h._header_addr[n] for n in names}
+    buf = bytearray(open(path, "rb").read())
+
+    off_size, len_size, id_len = 4, 2, 7
+    width, start = 4, 512
+    bodies = {n: _link_body(n, addrs[n]) for n in names}
+    # two direct blocks, links split across them
+    fheap_addr = len(buf)
+    iblk_addr = fheap_addr + 146
+    iblk_size = 4 + 1 + 8 + off_size + width * 8 + 4
+    d0_addr = iblk_addr + iblk_size
+    ids = {}
+
+    def direct(block_off, members, file_addr):
+        blk = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+        blk += block_off.to_bytes(off_size, "little")
+        pos = block_off + len(blk)
+        for n in members:
+            ids[n] = (
+                b"\x00"
+                + pos.to_bytes(off_size, "little")
+                + len(bodies[n]).to_bytes(len_size, "little")
+            )
+            blk += bodies[n]
+            pos += len(bodies[n])
+        return blk + b"\x00" * (start - len(blk))
+
+    b0 = direct(0, names[:6], d0_addr)
+    d1_addr = d0_addr + start
+    b1 = direct(start, names[6:], d1_addr)
+    frhp = b"FRHP" + struct.pack("<BHHBI", 0, id_len, 0, 0, 32768)
+    frhp += struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)
+    frhp += struct.pack("<QQQQ", 2 * start, 2 * start, 0, len(names))
+    frhp += struct.pack("<4Q", 0, 0, 0, 0)
+    frhp += struct.pack("<HQQHH", width, start, 64 * 1024, 32, 1)
+    frhp += struct.pack("<QH", iblk_addr, 1)  # root indirect, 1 row
+    buf += frhp + struct.pack("<I", lookup3(frhp))
+    iblk = b"FHIB" + struct.pack("<BQ", 0, fheap_addr)
+    iblk += (0).to_bytes(off_size, "little")
+    iblk += struct.pack("<QQQQ", d0_addr, d1_addr, UNDEF, UNDEF)
+    buf += iblk + struct.pack("<I", lookup3(iblk))
+    assert len(buf) == d0_addr
+    buf += b0 + b1
+    # depth-1 v2 B-tree: 2 leaves + internal node holding one record
+    recs = sorted((lookup3(n.encode()), ids[n]) for n in names)
+    rec_size = 4 + id_len
+    node_size, leaf_max = 2048, (2048 - 10) // (4 + id_len)
+    nrec_size = -(-leaf_max.bit_length() // 8)
+
+    def leaf(rr):
+        blk = b"BTLF" + struct.pack("<BB", 0, 5)
+        for hsh, hid in rr:
+            blk += struct.pack("<I", hsh) + hid
+        return blk + struct.pack("<I", lookup3(blk))
+
+    l0, mid, l1 = recs[:5], recs[5], recs[6:]
+    bt2_addr = len(buf)
+    int_addr = bt2_addr + 38
+    int_size = 6 + rec_size + 2 * (8 + nrec_size) + 4
+    l0_addr = int_addr + int_size
+    bthd = b"BTHD" + struct.pack(
+        "<BBIHHBB", 0, 5, node_size, rec_size, 1, 100, 40
+    )
+    bthd += struct.pack("<QHQ", int_addr, 1, len(recs))
+    buf += bthd + struct.pack("<I", lookup3(bthd))
+    inode = b"BTIN" + struct.pack("<BB", 0, 5)
+    inode += struct.pack("<Q", l0_addr) + len(l0).to_bytes(
+        nrec_size, "little"
+    )
+    inode += struct.pack("<I", mid[0]) + mid[1]
+    b_l0 = leaf(l0)
+    l1_addr = l0_addr + len(b_l0)
+    inode += struct.pack("<Q", l1_addr) + len(l1).to_bytes(
+        nrec_size, "little"
+    )
+    buf += inode + struct.pack("<I", lookup3(inode))
+    assert len(buf) == l0_addr
+    buf += b_l0 + leaf(l1)
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    h2 = HDF5File.__new__(HDF5File)
+    h2.path = path
+    with open(path, "rb") as f:
+        import mmap as _mmap
+
+        h2._buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    got = dict(h2._dense_links(fheap_addr, bt2_addr))
+    assert got == addrs
