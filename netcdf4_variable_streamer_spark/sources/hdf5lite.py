@@ -621,6 +621,36 @@ def _write_dataset(
                 if len(cvals) % 2:
                     fb += b"\x00" * 4
             msgs.append(mk(0x000B, fb))
+    msgs.extend(_attr_msgs(out, attrs, latest, resolve))
+    haddr = len(out)
+    out += _object_header2(msgs) if latest else _object_header(msgs)
+    return haddr
+
+
+def _attr_msgs(
+    out: bytearray,
+    attrs: dict,
+    latest: bool,
+    resolve: dict[str, int] | None = None,
+) -> list[bytes]:
+    """Attribute messages for an object header: compact message per
+    attribute, or — past libhdf5's 8-attribute threshold under
+    libver='latest' — one Attribute Info message pointing at dense
+    storage. VlenRef attrs keep the whole set compact (legal; dense
+    heap objects are built through _attr_msg which cannot resolve
+    references)."""
+    if (
+        latest
+        and len(attrs) > _DENSE_ATTR_MAX_COMPACT
+        and not any(isinstance(v, VlenRef) for v in attrs.values())
+    ):
+        fheap_addr, bt2_addr = _write_dense_attrs(out, attrs)
+        return [
+            _msg2(
+                0x0015, struct.pack("<BBQQ", 0, 0, fheap_addr, bt2_addr)
+            )
+        ]
+    msgs = []
     for k, v in attrs.items():
         if isinstance(v, VlenRef):
             msgs.append(
@@ -628,9 +658,7 @@ def _write_dataset(
             )
         else:
             msgs.append(_attr_msg(k, v, latest=latest))
-    haddr = len(out)
-    out += _object_header2(msgs) if latest else _object_header(msgs)
-    return haddr
+    return msgs
 
 
 def _write_group(
@@ -681,6 +709,7 @@ _FH_START = 512
 _FH_MAX_DIRECT = 64 * 1024
 _FH_MAX_BITS = 32
 _DENSE_LINK_MAX_COMPACT = 8  # libhdf5 max_compact default
+_DENSE_ATTR_MAX_COMPACT = 8  # libhdf5 attribute max_compact default
 
 
 def _link_body(name: str, addr: int) -> bytes:
@@ -692,37 +721,32 @@ def _link_body(name: str, addr: int) -> bytes:
     return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
 
 
-def _write_dense_links(
-    out: bytearray, children: dict[str, int]
-) -> tuple[int, int]:
-    """Append dense link storage — a fractal heap (FRHP + one root
-    direct block) holding the link-message bodies, and a v2 B-tree
-    name index (BTHD + one leaf) of (name-hash, heap id) records —
-    what libhdf5 writes for groups past the compact limit under
-    libver='latest'. Returns (fheap_addr, name_bt2_addr)."""
+def _write_fractal_heap(
+    out: bytearray, objects: dict[str, bytes], id_len: int
+) -> tuple[int, dict[str, bytes]]:
+    """Append a fractal heap (FRHP + one root direct block) holding
+    ``objects``; returns (fheap_addr, name -> heap id of ``id_len``
+    bytes). Heap offsets include the block prefix (H5HF reserves it in
+    the offset space)."""
     off_size = _FH_MAX_BITS // 8  # 4
-    len_size = (_FH_MAX_DIRECT - 1).bit_length() // 8  # 2
-    id_len = 1 + off_size + len_size  # 7
+    len_size = id_len - 1 - off_size
     hdr_size = 17  # FHDB prefix: sig+version+heap addr+block offset
-    bodies = {n: _link_body(n, a) for n, a in children.items()}
-    need = hdr_size + sum(len(b) for b in bodies.values())
+    need = hdr_size + sum(len(b) for b in objects.values())
     blk_size = _FH_START
     while blk_size < need:
         blk_size *= 2
     if blk_size > _FH_MAX_DIRECT:
         raise ValueError(
-            "dense link storage writer covers one root direct block "
-            f"({_FH_MAX_DIRECT} bytes of links)"
+            "dense storage writer covers one root direct block "
+            f"({_FH_MAX_DIRECT} bytes of objects)"
         )
     fheap_addr = len(out)
     dblk_addr = fheap_addr + 146  # FRHP header is 146 bytes
-    # lay out objects in the direct block; heap offsets include the
-    # block prefix (H5HF reserves it in the offset space)
     obj_ids: dict[str, bytes] = {}
     pos = hdr_size
     payload = bytearray()
-    for n in sorted(children):
-        b = bodies[n]
+    for n in sorted(objects):
+        b = objects[n]
         obj_ids[n] = (
             b"\x00"  # managed object, version 0
             + pos.to_bytes(off_size, "little")
@@ -740,7 +764,7 @@ def _write_dense_links(
     frhp += struct.pack("<Q", blk_size)  # managed space
     frhp += struct.pack("<Q", blk_size)  # allocated managed space
     frhp += struct.pack("<Q", pos)  # managed-space iterator offset
-    frhp += struct.pack("<Q", len(children))  # managed object count
+    frhp += struct.pack("<Q", len(objects))  # managed object count
     frhp += struct.pack("<4Q", 0, 0, 0, 0)  # huge/tiny sizes + counts
     frhp += struct.pack(
         "<HQQHH", _FH_WIDTH, _FH_START, _FH_MAX_DIRECT, _FH_MAX_BITS, 1
@@ -753,23 +777,66 @@ def _write_dense_links(
     db += bytes(payload)
     db += b"\x00" * (blk_size - len(db))
     out += db
-    # name index: records (lookup3(name), heap id) sorted by hash
-    recs = sorted(
-        (lookup3(n.encode()), obj_ids[n]) for n in children
-    )
-    rec_size = 4 + id_len
+    return fheap_addr, obj_ids
+
+
+def _write_bt2(
+    out: bytearray, records: list[bytes], rtype: int
+) -> int:
+    """Append a one-leaf v2 B-tree (BTHD + BTLF) of fixed-size
+    ``records`` (pre-sorted); returns the header address."""
+    rec_size = len(records[0])
     bt2_addr = len(out)
     leaf_addr = bt2_addr + 38  # BTHD header is 38 bytes
     bthd = b"BTHD" + struct.pack(
-        "<BBIHHBB", 0, 5, 2048, rec_size, 0, 100, 40
+        "<BBIHHBB", 0, rtype, 2048, rec_size, 0, 100, 40
     )
-    bthd += struct.pack("<QHQ", leaf_addr, len(recs), len(recs))
+    bthd += struct.pack("<QHQ", leaf_addr, len(records), len(records))
     out += bthd + struct.pack("<I", lookup3(bthd))
-    leaf = b"BTLF" + struct.pack("<BB", 0, 5)
-    for h, hid in recs:
-        leaf += struct.pack("<I", h) + hid
+    leaf = b"BTLF" + struct.pack("<BB", 0, rtype) + b"".join(records)
     out += leaf + struct.pack("<I", lookup3(leaf))
-    return fheap_addr, bt2_addr
+    return bt2_addr
+
+
+def _write_dense_links(
+    out: bytearray, children: dict[str, int]
+) -> tuple[int, int]:
+    """Append dense link storage — a fractal heap holding the
+    link-message bodies and a v2 B-tree name index of (name-hash,
+    heap id) type-5 records — what libhdf5 writes for groups past the
+    compact limit under libver='latest'. Returns
+    (fheap_addr, name_bt2_addr)."""
+    id_len = 1 + _FH_MAX_BITS // 8 + (_FH_MAX_DIRECT - 1).bit_length() // 8
+    bodies = {n: _link_body(n, a) for n, a in children.items()}
+    fheap_addr, obj_ids = _write_fractal_heap(out, bodies, id_len)
+    recs = sorted(
+        struct.pack("<I", lookup3(n.encode())) + obj_ids[n]
+        for n in children
+    )
+    return fheap_addr, _write_bt2(out, recs, 5)
+
+
+def _write_dense_attrs(
+    out: bytearray, attrs: dict
+) -> tuple[int, int]:
+    """Append dense attribute storage — a fractal heap of v3 attribute
+    message bodies and a v2 B-tree name index of type-8 records
+    (8-byte heap id, message flags, creation order, name hash) — what
+    libhdf5 writes for objects past 8 attributes under
+    libver='latest'. Returns (fheap_addr, name_bt2_addr)."""
+    bodies = {}
+    for k, v in attrs.items():
+        msg = _attr_msg(k, v, latest=True)
+        bodies[k] = msg[4:]  # strip the 4-byte v2 message header
+    fheap_addr, obj_ids = _write_fractal_heap(out, bodies, 8)
+    keyed = sorted(
+        (lookup3(k.encode()), i, k)
+        for i, k in enumerate(sorted(attrs))
+    )  # B-tree name-index order is by hash
+    recs = [
+        obj_ids[k] + struct.pack("<BII", 0, i, h) for h, i, k in keyed
+    ]
+    return fheap_addr, _write_bt2(out, recs, 8)
 
 
 def _write_group2(
@@ -790,8 +857,7 @@ def _write_group2(
         msgs = [_linkinfo_msg(), _groupinfo_msg()]
         for n in sorted(children):
             msgs.append(_link_msg(n, children[n]))
-    for k, v in attrs.items():
-        msgs.append(_attr_msg(k, v, latest=True))
+    msgs.extend(_attr_msgs(out, attrs, latest=True))
     header_addr = len(out)
     out += _object_header2(msgs)
     return header_addr
@@ -980,6 +1046,8 @@ class HDF5File:
                 parsed = self._parse_attr(body)
                 if parsed is not None:
                     self.attrs[parsed[0]] = parsed[1]
+            elif t == 0x0015:  # dense attribute storage
+                self.attrs.update(dict(self._attr_info(body)))
 
     def _group_children(self, msgs) -> list[tuple[str, int]] | None:
         """(name, object header addr) pairs if the messages describe a
@@ -1015,20 +1083,18 @@ class HDF5File:
                 is_group = True
         return links if is_group else None
 
-    def _dense_links(
-        self, fheap_addr: int, bt2_addr: int
-    ) -> list[tuple[str, int]]:
-        """Enumerate a dense group's links: v2 B-tree (BTHD/BTIN/BTLF)
-        records are (name hash, heap id); each heap id is a managed
-        fractal-heap object holding a link-message body."""
+    def _bt2_records(self, bt2_addr: int, expect_type: int) -> list:
+        """All fixed-size records of a v2 B-tree (BTHD/BTIN/BTLF, depth
+        0 or 1, checksums verified). Internal nodes hold REAL records
+        between their child pointers, not separators — both are
+        collected."""
         b = self._buf
-        heap = self._fractal_heap(fheap_addr)
         self._expect_sig(bt2_addr, b"BTHD", "v2 B-tree header")
-        _ver, btype = b[bt2_addr + 4], b[bt2_addr + 5]
-        if btype != 5:
+        btype = b[bt2_addr + 5]
+        if btype != expect_type:
             raise ValueError(
-                f"{self.path}: v2 B-tree type {btype} (link-name "
-                "index expected)"
+                f"{self.path}: v2 B-tree type {btype} "
+                f"(expected {expect_type})"
             )
         node_size = struct.unpack_from("<I", b, bt2_addr + 6)[0]
         rec_size = struct.unpack_from("<H", b, bt2_addr + 10)[0]
@@ -1041,7 +1107,7 @@ class HDF5File:
             raise ValueError(
                 f"{self.path}: v2 B-tree header checksum mismatch"
             )
-        out: list[tuple[str, int]] = []
+        out: list[bytes] = []
         if root_addr == UNDEF:
             return out
         # max records a leaf can hold -> child-pointer nrec field width
@@ -1058,22 +1124,10 @@ class HDF5File:
                     f"{self.path}: v2 B-tree leaf checksum mismatch"
                 )
             for i in range(nrec):
-                hid = b[
-                    addr + 6 + i * rec_size + 4 : addr + 6 + (i + 1)
-                    * rec_size
-                ]
-                body = self._fheap_object(heap, hid)
-                parsed = self._parse_link(body)
-                if parsed is not None:
-                    out.append(parsed)
-
-        def record(off: int) -> None:
-            """One (hash, heap id) record — internal nodes hold REAL
-            records between their child pointers, not separators."""
-            hid = b[off + 4 : off + rec_size]
-            parsed = self._parse_link(self._fheap_object(heap, hid))
-            if parsed is not None:
-                out.append(parsed)
+                out.append(
+                    b[addr + 6 + i * rec_size : addr + 6 + (i + 1)
+                      * rec_size]
+                )
 
         if depth == 0:
             leaf(root_addr, root_nrec)
@@ -1088,7 +1142,7 @@ class HDF5File:
             children.append((a, n))
             pos += 8 + nrec_size
             for _ in range(root_nrec):
-                record(pos)
+                out.append(b[pos : pos + rec_size])
                 pos += rec_size
                 a = struct.unpack_from("<Q", b, pos)[0]
                 n = int.from_bytes(
@@ -1101,9 +1155,45 @@ class HDF5File:
         else:
             raise ValueError(
                 f"{self.path}: v2 B-tree depth {depth} not supported "
-                "(tens of thousands of links)"
+                "(tens of thousands of entries)"
             )
         return out
+
+    def _dense_links(
+        self, fheap_addr: int, bt2_addr: int
+    ) -> list[tuple[str, int]]:
+        """Enumerate a dense group's links: type-5 records are (name
+        hash, heap id); each heap id is a managed fractal-heap object
+        holding a link-message body."""
+        heap = self._fractal_heap(fheap_addr)
+        out = []
+        for rec in self._bt2_records(bt2_addr, 5):
+            parsed = self._parse_link(self._fheap_object(heap, rec[4:]))
+            if parsed is not None:
+                out.append(parsed)
+        return out
+
+    def _dense_attrs(self, fheap_addr: int, bt2_addr: int) -> list:
+        """Enumerate dense attribute storage (Attribute Info, 0x0015):
+        type-8 records lead with an 8-byte heap id whose object is an
+        attribute-message body."""
+        heap = self._fractal_heap(fheap_addr)
+        out = []
+        for rec in self._bt2_records(bt2_addr, 8):
+            parsed = self._parse_attr(self._fheap_object(heap, rec[:8]))
+            if parsed is not None:
+                out.append(parsed)
+        return out
+
+    def _attr_info(self, body: bytes) -> list:
+        """Parse an Attribute Info message -> dense attrs (or [] when
+        the storage is still compact and the heap is unallocated)."""
+        flags = body[1]
+        pos = 2 + (2 if flags & 1 else 0)
+        fheap_addr, bt2_addr = struct.unpack_from("<QQ", body, pos)
+        if fheap_addr == UNDEF:
+            return []
+        return self._dense_attrs(fheap_addr, bt2_addr)
 
     def _fractal_heap(self, addr: int) -> dict:
         """Parse a fractal-heap header (FRHP) into the fields object
@@ -1503,6 +1593,8 @@ class HDF5File:
                 parsed = self._parse_attr(body)
                 if parsed is not None:
                     info.attrs[parsed[0]] = parsed[1]
+            elif t == 0x0015:  # dense attribute storage
+                info.attrs.update(dict(self._attr_info(body)))
         info.shape, info.maxshape, info.dtype = shape, maxshape, dtype
         if info.layout == "chunked" and len(info.chunk) == len(shape) + 1:
             # v4 carries libhdf5's rank+1 chunk dims (last = element

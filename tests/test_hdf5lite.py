@@ -1116,3 +1116,48 @@ def test_dense_links_indirect_heap_and_deep_btree(tmp_path):
         h2._buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
     got = dict(h2._dense_links(fheap_addr, bt2_addr))
     assert got == addrs
+
+
+def test_dense_attribute_storage(tmp_path):
+    """Objects past libhdf5's 8-attribute threshold under
+    libver='latest' store attributes densely (Attribute Info 0x0015 ->
+    fractal heap of attribute-message bodies + v2 B-tree type-8 name
+    index); previously these attrs were silently dropped as an unknown
+    message."""
+    path = os.path.join(tmp_path, "dense_attrs.h5")
+    many = {f"attr{i:02d}": i * 1.5 for i in range(12)}
+    many["name"] = "hello"
+    many["arr"] = np.array([1, 2, 3], dtype=np.int64)
+    write_hdf5(
+        path,
+        {"v": np.arange(5, dtype=np.int32)},
+        {"v": {"attrs": many}},
+        attrs=dict(many, root=7),
+        libver="latest",
+    )
+    h = HDF5File(path)
+    a = h.datasets["v"].attrs
+    assert len(a) == 14
+    assert a["name"] == "hello" and float(a["attr07"]) == 10.5
+    np.testing.assert_array_equal(a["arr"], [1, 2, 3])
+    assert int(h.attrs["root"]) == 7 and len(h.attrs) == 15
+    # netCDF view over a variable with many attrs still resolves
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path2 = os.path.join(tmp_path, "dense_attrs.nc4")
+    rec = np.arange(12, dtype=np.float64).reshape(6, 2)
+    write_netcdf4(
+        path2,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float64", ("t", "x"))},
+        data={"v": rec},
+        var_attrs={"v": {f"meta{i}": i for i in range(10)}},
+        libver="latest",
+    )
+    v = NetCDF4View(path2)
+    # VlenRef (DIMENSION_LIST) keeps the set compact — still all there
+    assert v.variables["v"].dims == ("t", "x")
+    assert int(v.variables["v"].attrs["meta9"]) == 9
+    np.testing.assert_array_equal(v.read_records("v"), rec)
