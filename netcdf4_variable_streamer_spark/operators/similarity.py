@@ -965,3 +965,71 @@ def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsum(err).alias("err_ppm"),
         F.floor(F.col("amax") * 1e7).alias("amax_fp"),
     )
+
+
+@register(
+    "q_emb_matryoshka",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                           * 10000000) AS BIGINT)) AS sq_fp
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label,
+         CAST(list_sum(sq_fp) AS BIGINT) AS norm2_full_fp,
+         CAST(list_sum(sq_fp[1:16]) AS BIGINT) AS norm2_k_fp
+  FROM b
+)
+SELECT vec_id, label, norm2_full_fp, norm2_k_fp,
+       CAST(FLOOR(norm2_k_fp * 10000.0 / norm2_full_fp) AS BIGINT)
+         AS energy_bp,
+       CAST(FLOOR(SQRT(CAST(norm2_k_fp AS DOUBLE) / norm2_full_fp)
+                  * 1000000) AS BIGINT) AS cos_fp
+FROM s
+""",
+    doc="Matryoshka-style prefix truncation quality (k=16 of 64 dims): "
+        "per-vector energy retained by the prefix and the exact cosine "
+        "between the truncated and full vector (= trunc_norm/full_norm "
+        "for a prefix). The deployment question MRL embeddings answer — "
+        "how much recall survives a 4x dimensionality cut — computed "
+        "entirely in fixed-point integers + one IEEE-exact sqrt so both "
+        "engines produce bit-identical values. Pure map over the "
+        "embedding column, zero shuffles; at 100 TB this is a "
+        "scan-bound pass like q_emb_int8_quantize.",
+)
+def q_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_fp = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * v.cast("double") * 1e7).cast(
+            "long"
+        ),
+    )
+    lsum = lambda c: F.aggregate(  # noqa: E731  (sequential exact fold)
+        c, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    s = e.select(
+        "vec_id",
+        "label",
+        lsum(sq_fp).alias("norm2_full_fp"),
+        lsum(F.slice(sq_fp, 1, 16)).alias("norm2_k_fp"),
+    )
+    return s.select(
+        "vec_id",
+        "label",
+        "norm2_full_fp",
+        "norm2_k_fp",
+        F.floor(
+            F.col("norm2_k_fp") * 10000.0 / F.col("norm2_full_fp")
+        ).cast("long").alias("energy_bp"),
+        F.floor(
+            F.sqrt(
+                F.col("norm2_k_fp").cast("double")
+                / F.col("norm2_full_fp")
+            )
+            * 1e6
+        ).cast("long").alias("cos_fp"),
+    )

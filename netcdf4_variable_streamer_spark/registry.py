@@ -118,6 +118,7 @@ CANONICAL_ORDER: list[str] = [
     # -- 51+: remaining never-checked keys (round-6 window head) --
     "src_netcdf_uint64_scan",
     "src_netcdf3_cf_cal_scan",
+    "q_emb_matryoshka",
     "q_fn_datetime_advanced",
     "q_funnel_attribution_decay",
     "q_geo_grid_knn",

@@ -344,3 +344,16 @@ def test_containment_superset_semantics(check, oracle_con):
     got = {(int(r.d1), int(r.d2)) for r in pdf.itertuples()}
     for pair in {(int(a), int(b)) for a, b in full}:
         assert pair in got, f"missed full-containment pair {pair}"
+
+
+def test_emb_matryoshka(check):
+    """Prefix energy/cosine invariants: energy fraction in (0, 10000],
+    cos_fp = floor(sqrt(energy)) * 1e6 consistent with energy_bp, and
+    the 16-dim prefix of a random-ish 64-dim vector keeps roughly a
+    quarter of the energy on average."""
+    pdf = check("q_emb_matryoshka")
+    assert (pdf["norm2_k_fp"] <= pdf["norm2_full_fp"]).all()
+    assert (pdf["energy_bp"] > 0).all() and (pdf["energy_bp"] <= 10000).all()
+    assert (pdf["cos_fp"] <= 1_000_000).all()
+    frac = pdf["energy_bp"].mean() / 10000
+    assert 0.1 < frac < 0.5  # 16/64 dims of isotropic-ish vectors
