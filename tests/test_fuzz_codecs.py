@@ -164,8 +164,18 @@ def _h5_case(draw):
 
 
 @_SETTINGS
-@given(case=_h5_case(), lo=st.integers(0, 10), n=st.integers(0, 10))
-def test_hdf5_roundtrip_fuzz(tmp_path_factory, case, lo, n):
+@given(
+    case=_h5_case(),
+    lo=st.integers(0, 10),
+    n=st.integers(0, 10),
+    libver=st.sampled_from(["earliest", "latest"]),
+)
+def test_hdf5_roundtrip_fuzz(tmp_path_factory, case, lo, n, libver):
+    """Roundtrip across both encoding families: v0 superblock + v1
+    headers + v1 B-trees, and the latest encodings (v2 superblock,
+    OHDR, layout v4 with Single Chunk / Fixed Array / Extensible
+    Array indexes picked by the same shape/maxshape the library
+    would)."""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         HDF5File,
         write_hdf5,
@@ -173,7 +183,7 @@ def test_hdf5_roundtrip_fuzz(tmp_path_factory, case, lo, n):
 
     arr, opts = case
     path = os.path.join(str(tmp_path_factory.mktemp("h5fuzz")), "f.h5")
-    write_hdf5(path, {"v": arr}, {"v": opts}, attrs={"k": 7})
+    write_hdf5(path, {"v": arr}, {"v": opts}, attrs={"k": 7}, libver=libver)
     h = HDF5File(path)
     assert int(h.attrs["k"]) == 7
     got = h.read("v")
@@ -182,3 +192,41 @@ def test_hdf5_roundtrip_fuzz(tmp_path_factory, case, lo, n):
     np.testing.assert_array_equal(
         h.read_slab0("v", lo, lo + n), arr[lo : lo + n]
     )
+
+
+@_SETTINGS
+@given(
+    n_objs=st.integers(9, 24),
+    n_attrs=st.integers(9, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hdf5_dense_storage_fuzz(tmp_path_factory, n_objs, n_attrs, seed):
+    """Dense links (>8 children) and dense attributes (>8 attrs) under
+    libver='latest' round-trip for arbitrary counts and names."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.RandomState(seed)
+    data = {
+        f"ds_{rng.randint(1 << 30)}_{i}": rng.randint(
+            -50, 50, size=rng.randint(1, 9), dtype=np.int32
+        )
+        for i in range(n_objs)
+    }
+    attrs = {f"a{i}": float(i) * 0.5 for i in range(n_attrs)}
+    path = os.path.join(str(tmp_path_factory.mktemp("dense")), "f.h5")
+    write_hdf5(
+        path,
+        data,
+        {next(iter(data)): {"attrs": attrs}},
+        attrs=attrs,
+        libver="latest",
+    )
+    h = HDF5File(path)
+    assert sorted(h.datasets) == sorted(data)
+    for k, v in data.items():
+        np.testing.assert_array_equal(h.read(k), v)
+    assert len(h.attrs) == n_attrs
+    assert len(h.datasets[next(iter(data))].attrs) == n_attrs

@@ -412,6 +412,13 @@ def test_emb_quantize_zero_shuffles(spark):
     plans.assert_max_shuffles(df, 0)
 
 
+def test_emb_matryoshka_zero_shuffles(spark):
+    # prefix energy/cosine are pure HOF expressions over the scan:
+    # no Exchange at all (SCALE.md [enforced])
+    df = build(spark, "q_emb_matryoshka")
+    plans.assert_max_shuffles(df, 0)
+
+
 def test_audio_vad_zero_shuffles(spark):
     # framing runs inside the decode mapInPandas; per-frame rows never
     # shuffle (SCALE.md [enforced])
