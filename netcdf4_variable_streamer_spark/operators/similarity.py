@@ -1033,3 +1033,51 @@ def q_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1e6
         ).cast("long").alias("cos_fp"),
     )
+
+
+@register(
+    "q_emb_centroids",
+    oracle="""
+WITH u AS (
+  SELECT label, g.i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 10000000) AS BIGINT)
+           AS v_fp
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT label, pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(v_fp) AS BIGINT) AS sum_fp,
+       CAST(FLOOR(CAST(SUM(v_fp) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_fp
+FROM u GROUP BY label, pos
+""",
+    doc="Per-label embedding centroids (class means / cluster centers "
+        "— the k-means M-step and the SemDeDup cluster-center primer): "
+        "posexplode the vector to (label, dim) cells, fixed-point "
+        "integer sums with map-side partial aggregation, mean by exact "
+        "long/long -> double division. One shuffle keyed on "
+        "(label, dim) whose cardinality is labels x 64 regardless of "
+        "row count — at 100 TB the combine reduces each partition to "
+        "at most that many cells before the exchange. Output is the "
+        "flattened (label, dim) long form: array-valued result "
+        "columns cannot be driver-hashed.",
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1e7).cast("long"),
+            )
+        ).alias("pos", "v_fp"),
+    )
+    return cells.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("v_fp").alias("sum_fp"),
+        F.floor(
+            F.sum("v_fp").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("mean_fp"),
+    )

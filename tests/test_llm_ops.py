@@ -357,3 +357,18 @@ def test_emb_matryoshka(check):
     assert (pdf["cos_fp"] <= 1_000_000).all()
     frac = pdf["energy_bp"].mean() / 10000
     assert 0.1 < frac < 0.5  # 16/64 dims of isotropic-ish vectors
+
+
+def test_emb_centroids(check):
+    """64 dims per label, n_vecs constant within a label, and the
+    centroid component equals floor(sum/n) exactly."""
+    pdf = check("q_emb_centroids")
+    per_label = pdf.groupby("label")["pos"].count()
+    assert (per_label == 64).all()
+    assert (pdf.groupby("label")["n_vecs"].nunique() == 1).all()
+    import numpy as np
+
+    expect = np.floor(
+        pdf["sum_fp"].astype(float) / pdf["n_vecs"]
+    ).astype("int64")
+    assert (pdf["mean_fp"] == expect).all()

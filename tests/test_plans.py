@@ -446,3 +446,12 @@ def test_curriculum_order_windows_are_bucketed(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
     assert all("stage" in s and "bucket" in s for s in specs), specs
+
+
+def test_emb_centroids_single_bounded_shuffle(spark):
+    # one Exchange on (label, dim); partial aggregation bounds its
+    # input at labels x 64 cells per partition (SCALE.md [enforced])
+    df = build(spark, "q_emb_centroids")
+    plans.assert_max_shuffles(df, 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
