@@ -65,11 +65,12 @@ index-block data blocks, and secondary blocks; writer covers the
 directly-addressable range) chunk indexes.
 
 Honest scope (loud refusals naming the feature): v2-B-tree chunk
-indexes and paged Extensible-Array data blocks (>2^10-element blocks,
-reached past ~100k chunks), v2 B-trees deeper than 1 level and nested
-fractal-heap indirect rows (tens of thousands of links), filtered
-fractal heaps, huge/tiny heap objects, vlen DATASETS (vlen attributes
-are parsed for DIMENSION_LIST and stepped over otherwise), szip.
+indexes, paged Extensible-Array data blocks OUTSIDE a secondary block
+(secondary-block pages read fine, bitmap and per-page checksums
+included), v2 B-trees deeper than 1 level and nested fractal-heap
+indirect rows (tens of thousands of links), filtered fractal heaps,
+huge/tiny heap objects, vlen DATASETS (vlen attributes are parsed for
+DIMENSION_LIST and stepped over otherwise), szip.
 """
 
 from __future__ import annotations
@@ -1779,8 +1780,9 @@ class HDF5File:
         block "EAIB" (direct elements + direct data-block pointers),
         secondary blocks "EASB", data blocks "EADB" — the
         superblock-doubling geometry libhdf5 uses for unlimited-extent
-        chunked datasets under libver='latest'. Paged data blocks
-        (very deep superblocks) are refused loudly."""
+        chunked datasets under libver='latest'. Secondary-block data
+        blocks past the page size read by pages (per-page checksums,
+        page-init bitmap in the secondary block)."""
         b = self._buf
         ea = info.btree_addr
         self._expect_sig(ea, b"EAHD", "extensible-array header")
@@ -1839,24 +1841,52 @@ class HDF5File:
             for j in range(nsblk_addrs)
         ]
 
-        def read_dblock(addr: int, ne: int):
-            """ne elements of one data block (or UNDEF-fill)."""
+        page_nelmts = 1 << page_bits
+
+        def read_dblock(addr: int, ne: int, page_ok=None):
+            """ne elements of one data block (or UNDEF-fill). When the
+            block exceeds the page size it stores no elements itself —
+            element PAGES (each with its own checksum) follow it, and
+            the parent secondary block's bitmap (``page_ok``) says
+            which pages were ever initialized."""
             if addr == UNDEF:
                 return [(UNDEF, 0)] * ne
-            if ne > (1 << page_bits):
-                raise ValueError(
-                    f"{info.name}: paged extensible-array data block "
-                    f"({ne} elements > 2^{page_bits}) not supported"
-                )
             self._expect_sig(addr, b"EADB", "extensible-array data block")
             base = addr + 14 + arr_off_size
-            end = base + ne * esz
-            if struct.unpack_from("<I", b, end)[0] != lookup3(b[addr:end]):
+            if ne <= page_nelmts:
+                end = base + ne * esz
+                if struct.unpack_from("<I", b, end)[0] != lookup3(
+                    b[addr:end]
+                ):
+                    raise ValueError(
+                        f"{info.name}: extensible-array data block "
+                        "checksum mismatch"
+                    )
+                return [entry(base + i * esz) for i in range(ne)]
+            if page_ok is None:
                 raise ValueError(
-                    f"{info.name}: extensible-array data block checksum "
-                    "mismatch"
+                    f"{info.name}: paged extensible-array data block "
+                    "outside a secondary block not supported"
                 )
-            return [entry(base + i * esz) for i in range(ne)]
+            out = []
+            pos = base + 4  # block checksum, then the pages
+            for p in range(ne // page_nelmts):
+                if not page_ok(p):
+                    out.extend([(UNDEF, 0)] * page_nelmts)
+                else:
+                    end = pos + page_nelmts * esz
+                    if struct.unpack_from("<I", b, end)[0] != lookup3(
+                        b[pos:end]
+                    ):
+                        raise ValueError(
+                            f"{info.name}: extensible-array data block "
+                            "page checksum mismatch"
+                        )
+                    out.extend(
+                        entry(pos + i * esz) for i in range(page_nelmts)
+                    )
+                pos += page_nelmts * esz + 4
+            return out
 
         # superblocks 0..nsblks_direct-1: data blocks pointed from the
         # index block, in geometry order
@@ -1868,7 +1898,8 @@ class HDF5File:
                 elems.extend(read_dblock(dblk_addrs[slot], ne))
                 slot += 1
         # deeper superblocks: one EASB per superblock, holding its
-        # data-block addresses
+        # data-block addresses (and, when its data blocks page, the
+        # page-init bitmap for all of them)
         for u in range(nsblks_direct, nsblks_total):
             if len(elems) >= nchunks:
                 break
@@ -1880,17 +1911,26 @@ class HDF5File:
             self._expect_sig(
                 saddr, b"EASB", "extensible-array secondary block"
             )
-            if ne > (1 << page_bits):
-                raise ValueError(
-                    f"{info.name}: paged extensible-array data blocks "
-                    "not supported"
-                )
             spos = saddr + 14 + arr_off_size
+            dblk_npages = ne // page_nelmts if ne > page_nelmts else 0
+            bitmap_off = spos
+            if dblk_npages:
+                spos += -(-(nd * dblk_npages) // 8)  # page-init bitmap
             for j in range(nd):
                 if len(elems) >= nchunks:
                     break
                 daddr = struct.unpack_from("<Q", b, spos + 8 * j)[0]
-                elems.extend(read_dblock(daddr, ne))
+                page_ok = None
+                if dblk_npages:
+                    base_bit = j * dblk_npages
+
+                    def page_ok(p, base_bit=base_bit):
+                        bit = base_bit + p
+                        return bool(
+                            b[bitmap_off + bit // 8] & (1 << (bit % 8))
+                        )
+
+                elems.extend(read_dblock(daddr, ne, page_ok))
         for origin, (addr, nbytes) in zip(
             _chunk_grid(info.shape, info.chunk), elems
         ):

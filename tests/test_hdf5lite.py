@@ -1161,3 +1161,102 @@ def test_dense_attribute_storage(tmp_path):
     assert v.variables["v"].dims == ("t", "x")
     assert int(v.variables["v"].attrs["meta9"]) == 9
     np.testing.assert_array_equal(v.read_records("v"), rec)
+
+
+def test_extensible_array_paged_data_blocks(tmp_path):
+    """Secondary-block EA data blocks past the page size store their
+    elements in PAGES (each with its own checksum) with a page-init
+    bitmap in the secondary block — crafted with page_bits=2 so
+    superblock u3's 8-element data block pages at 2x4."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        lookup3,
+    )
+
+    path = os.path.join(tmp_path, "ea_paged.h5")
+    n = 24  # 2 direct + u0(1x2) + u1(1x4) + u2(2x4 via EASB) + u3(8, paged)
+    d = np.arange(n * 2, dtype=np.int32).reshape(n, 2)
+    write_hdf5(
+        path, {"v": d},
+        {"v": {"chunk": (1, 2), "maxshape": (None, 2)}},
+        libver="latest",
+    )
+    h = HDF5File(path)
+    addrs = [c[2] for c in h._iter_chunks(h.datasets["v"])]
+    assert len(addrs) == n
+    buf = bytearray(open(path, "rb").read())
+    max_bits, idx_elmts, min_dblk, min_ptrs, page_bits = 16, 2, 2, 2, 2
+    arr_off = 2
+
+    def dblock(ea_addr, off, elems):  # unpaged
+        blk = b"EADB" + struct.pack("<BBQ", 0, 0, ea_addr)
+        blk += off.to_bytes(arr_off, "little")
+        blk += b"".join(struct.pack("<Q", a) for a in elems)
+        return blk + struct.pack("<I", lookup3(blk))
+
+    def dblock_paged(ea_addr, off, elems, page_nelmts):
+        prefix = b"EADB" + struct.pack("<BBQ", 0, 0, ea_addr)
+        prefix += off.to_bytes(arr_off, "little")
+        blk = prefix + struct.pack("<I", lookup3(prefix))
+        for p in range(0, len(elems), page_nelmts):
+            pg = b"".join(
+                struct.pack("<Q", a) for a in elems[p : p + page_nelmts]
+            )
+            blk += pg + struct.pack("<I", lookup3(pg))
+        return blk
+
+    ea = len(buf)
+    iblk = ea + 72
+    nsblks_total = 1 + (max_bits - (min_dblk.bit_length() - 1))  # 16
+    ndblk_addrs = 2  # u0 (1) + u1 (1)
+    iblk_size = 14 + idx_elmts * 8 + (ndblk_addrs + nsblks_total - 2) * 8 + 4
+    pos = iblk + iblk_size
+    d_u0 = dblock(ea, 2, addrs[2:4])  # ne=2
+    d_u1 = dblock(ea, 4, addrs[4:8])  # ne=4
+    u0_addr, u1_addr = pos, pos + len(d_u0)
+    pos += len(d_u0) + len(d_u1)
+    # u2: EASB, 2 unpaged dblocks of 4 (elements 8..15)
+    sb2_addr = pos
+    sb2 = b"EASB" + struct.pack("<BBQ", 0, 0, ea)
+    sb2 += (8).to_bytes(arr_off, "little")
+    d2a = dblock(ea, 8, addrs[8:12])
+    d2b = dblock(ea, 12, addrs[12:16])
+    d2a_addr = sb2_addr + 14 + arr_off + 16 + 4
+    sb2 += struct.pack("<QQ", d2a_addr, d2a_addr + len(d2a))
+    sb2 += struct.pack("<I", lookup3(sb2))
+    assert sb2_addr + len(sb2) == d2a_addr
+    pos = d2a_addr + len(d2a) + len(d2b)
+    # u3: EASB with page-init bitmap (2 dblocks x 2 pages), first
+    # dblock paged-allocated (elements 16..23), second UNDEF
+    sb3_addr = pos
+    sb3 = b"EASB" + struct.pack("<BBQ", 0, 0, ea)
+    sb3 += (16).to_bytes(arr_off, "little")
+    sb3 += bytes([0b0011])  # dblock 0 pages 0,1 init; dblock 1 none
+    d3_addr = sb3_addr + 14 + arr_off + 1 + 16 + 4
+    sb3 += struct.pack("<QQ", d3_addr, 0xFFFFFFFFFFFFFFFF)
+    sb3 += struct.pack("<I", lookup3(sb3))
+    assert sb3_addr + len(sb3) == d3_addr
+    d3 = dblock_paged(ea, 16, addrs[16:24], 4)
+    hdr = b"EAHD" + struct.pack(
+        "<BB6B", 0, 0, 8, max_bits, idx_elmts, min_dblk, min_ptrs,
+        page_bits,
+    )
+    hdr += struct.pack("<6Q", 0, 0, 5, 0, n, n)
+    hdr += struct.pack("<Q", iblk)
+    buf += hdr + struct.pack("<I", lookup3(hdr))
+    ib = b"EAIB" + struct.pack("<BBQ", 0, 0, ea)
+    ib += struct.pack("<QQ", addrs[0], addrs[1])  # direct elements
+    ib += struct.pack("<QQ", u0_addr, u1_addr)
+    ib += struct.pack("<QQ", sb2_addr, sb3_addr)
+    ib += b"".join(
+        struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+        for _ in range(nsblks_total - 2 - 2)
+    )
+    buf += ib + struct.pack("<I", lookup3(ib))
+    assert len(buf) == iblk + iblk_size
+    buf += d_u0 + d_u1 + sb2 + d2a + d2b + sb3 + d3
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    h2 = HDF5File(path)
+    h2.datasets["v"].btree_addr = ea
+    np.testing.assert_array_equal(h2.read("v"), d)
+    np.testing.assert_array_equal(h2.read_slab0("v", 15, 23), d[15:23])
