@@ -59,13 +59,15 @@ Group Info / hard-link messages) AND dense (fractal heap
 the storage groups take past the 8-link compact limit; the writer
 mirrors that threshold) — v3 attribute messages, and version-4 data
 layouts with Single Chunk, Implicit, Fixed Array ("FAHD"/"FADB",
-paged or unpaged), and Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB",
-the unlimited-extent index — reader walks direct elements,
-index-block data blocks, and secondary blocks; writer covers the
-directly-addressable range) chunk indexes.
+paged or unpaged), Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB",
+the single-unlimited-extent index — reader walks direct elements,
+index-block data blocks, and secondary blocks incl. paged ones;
+writer covers the directly-addressable range), and v2-B-tree
+(type-10/11 chunk records, the >=2-unlimited-dimension index) chunk
+indexes.
 
-Honest scope (loud refusals naming the feature): v2-B-tree chunk
-indexes, paged Extensible-Array data blocks OUTSIDE a secondary block
+Honest scope (loud refusals naming the feature): paged
+Extensible-Array data blocks OUTSIDE a secondary block
 (secondary-block pages read fine, bitmap and per-page checksums
 included), v2 B-trees deeper than 1 level and nested fractal-heap
 indirect rows (tens of thousands of links), filtered fractal heaps,
@@ -568,6 +570,24 @@ def _write_dataset(
                 if filters:
                     raise ValueError("implicit chunk index excludes filters")
                 body += struct.pack("<BQ", 2, children[0])
+            elif unlimited and sum(
+                1 for m in maxshape if m is None
+            ) >= 2:
+                # >=2 unlimited dimensions: libhdf5 indexes chunks with
+                # a v2 B-tree of type-10/11 records (address [+ size +
+                # filter mask] + scaled per-dimension offsets)
+                recs = []
+                for (csize, origin), caddr in zip(keys, children):
+                    r = struct.pack("<Q", caddr)
+                    if filters:
+                        r += struct.pack("<QI", csize, 0)
+                    r += b"".join(
+                        struct.pack("<Q", o // c)
+                        for o, c in zip(origin, chunk)
+                    )
+                    recs.append(r)
+                bt2_addr = _write_bt2(out, recs, 11 if filters else 10)
+                body += struct.pack("<BIBBQ", 5, 2048, 100, 40, bt2_addr)
             elif unlimited:
                 ea_addr = _write_extensible_array(
                     out,
@@ -787,6 +807,11 @@ def _write_bt2(
     """Append a one-leaf v2 B-tree (BTHD + BTLF) of fixed-size
     ``records`` (pre-sorted); returns the header address."""
     rec_size = len(records[0])
+    if len(records) * rec_size > 2048 - 10:
+        raise ValueError(
+            "one-leaf v2 B-tree writer holds at most "
+            f"{(2048 - 10) // rec_size} records of {rec_size} bytes"
+        )
     bt2_addr = len(out)
     leaf_addr = bt2_addr + 38  # BTHD header is 38 bytes
     bthd = b"BTHD" + struct.pack(
@@ -1649,10 +1674,13 @@ class HDF5File:
             info.chunk_index = "ea"
             pos += 5  # creation params (re-read from the EA header)
             info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
+        elif itype == 5:  # v2 B-tree (>= 2 unlimited dimensions)
+            info.chunk_index = "bt2"
+            pos += 6  # node size(4) + split/merge percents
+            info.btree_addr = struct.unpack_from("<Q", body, pos)[0]
         else:
-            kind = {5: "version-2 B-tree"}.get(itype, f"type {itype}")
             raise ValueError(
-                f"{name}: chunk index {kind} not supported"
+                f"{name}: chunk index type {itype} not supported"
             )
 
     @staticmethod
@@ -1714,8 +1742,33 @@ class HDF5File:
             yield from self._chunks_fa(info, raw_size)
         elif info.chunk_index == "ea":
             yield from self._chunks_ea(info, raw_size)
+        elif info.chunk_index == "bt2":
+            yield from self._chunks_bt2(info, raw_size)
         else:  # pragma: no cover — guarded at parse time
             raise ValueError(f"{info.name}: chunk index {info.chunk_index}")
+
+    def _chunks_bt2(self, info: DatasetInfo, raw_size: int):
+        """Walk a v2 B-tree chunk index (>= 2 unlimited dimensions
+        under libver='latest'): type-10 records are (address, scaled
+        offsets); type-11 adds (chunk size, filter mask) after the
+        address."""
+        rtype = self._buf[info.btree_addr + 5]
+        if rtype not in (10, 11):
+            raise ValueError(
+                f"{info.name}: v2 B-tree record type {rtype} "
+                "(chunk records are 10/11)"
+            )
+        nd = len(info.chunk)
+        for rec in self._bt2_records(info.btree_addr, rtype):
+            addr = struct.unpack_from("<Q", rec, 0)[0]
+            pos, nbytes = 8, raw_size
+            if rtype == 11:
+                size_len = len(rec) - 8 - 4 - 8 * nd
+                nbytes = int.from_bytes(rec[8 : 8 + size_len], "little")
+                pos = 8 + size_len + 4
+            scaled = struct.unpack_from(f"<{nd}Q", rec, pos)
+            origin = tuple(s * c for s, c in zip(scaled, info.chunk))
+            yield origin, nbytes, addr
 
     def _chunks_fa(self, info: DatasetInfo, raw_size: int):
         """Walk a Fixed Array chunk index (header "FAHD" + data block

@@ -1260,3 +1260,23 @@ def test_extensible_array_paged_data_blocks(tmp_path):
     h2.datasets["v"].btree_addr = ea
     np.testing.assert_array_equal(h2.read("v"), d)
     np.testing.assert_array_equal(h2.read_slab0("v", 15, 23), d[15:23])
+
+
+def test_latest_v2_btree_chunk_index(tmp_path):
+    """Datasets with >= 2 unlimited dimensions under libver='latest'
+    index chunks with a v2 B-tree of type-10/11 records (address
+    [+ size + filter mask] + scaled offsets)."""
+    for compress in (None, 4):
+        path = os.path.join(tmp_path, f"bt2_{compress}.h5")
+        d = np.arange(30 * 6, dtype=np.int64).reshape(30, 6)
+        write_hdf5(
+            path,
+            {"v": d},
+            {"v": {"chunk": (4, 3), "maxshape": (None, None),
+                   "compress": compress}},
+            libver="latest",
+        )
+        h = HDF5File(path)
+        assert h.datasets["v"].chunk_index == "bt2"
+        np.testing.assert_array_equal(h.read("v"), d)
+        np.testing.assert_array_equal(h.read_slab0("v", 7, 21), d[7:21])
