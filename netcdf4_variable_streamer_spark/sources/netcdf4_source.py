@@ -22,10 +22,17 @@ Streaming tail (A14): tail-mode files (``create_netcdf4_tail``) grow
 within a preallocated one-record-per-chunk capacity — append pwrites
 the record chunks and publishes an 8-byte dataspace-extent patch LAST,
 so the tail's offset (the current extent) never exposes half-published
-records. Unbounded growth would rewrite chunk B-trees and is refused
-loudly; unbounded archives chunk into capacity-sized files and use the
-directory dataset (filename-ordered concatenation along the record
-dim, netCDF4.MFDataset-style).
+records. Growth past the preallocation rewrites the chunk B-trees
+append-only with amortized doubling (up to 65000 records per file on a
+single v1 node); beyond that, archives chunk into capacity-sized files
+and use the directory dataset (filename-ordered concatenation along
+the record dim, netCDF4.MFDataset-style).
+
+``decode_cf_time`` option ("true"): record variables carrying a CF
+``units = "<unit> since <date>"`` attribute decode to timestamp_ntz at
+scan time, including the fixed-length calendars (noleap/all_leap/
+360_day) — identical semantics to the NetCDF-3 source (batch scans
+only).
 
 PUSHDOWN REUSE CAVEAT (applies to every pushFilters DataSource, found
 round 4 via this source's tests): Spark caches the Python-source read
@@ -59,6 +66,10 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from netcdf4_variable_streamer_spark.sources.hdf5lite import NetCDF4View
+from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+    _cf_time,
+    _decode_cf_values,
+)
 
 FORMAT4_NAME = "netcdf4"
 
@@ -103,7 +114,7 @@ def _record_vars(v: NetCDF4View) -> list:
     return rvs
 
 
-def _spark_schema(v: NetCDF4View) -> str:
+def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
     rvs = _record_vars(v)
     fixed = rvs[0].dims[1:]
     parts = [f"{v.record_dim}_idx long"]
@@ -115,7 +126,12 @@ def _spark_schema(v: NetCDF4View) -> str:
                 f"{v.path}: variable {x.name} dtype {x.dtype} has no "
                 "Spark mapping"
             )
-        parts.append(f"{x.name} {_NP_SPARK[key][0]}")
+        if decode_cf_time and _cf_time(x) is not None:
+            # timestamp_ntz: CF times are calendar-naive UTC (same
+            # opt-in semantics as the NetCDF-3 source)
+            parts.append(f"{x.name} timestamp_ntz")
+        else:
+            parts.append(f"{x.name} {_NP_SPARK[key][0]}")
     return ", ".join(parts)
 
 
@@ -143,10 +159,17 @@ def _resolve_members(path: str) -> list[tuple[str, int, int]]:
 
 
 class NetCDF4Reader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType, target_partitions=None):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        target_partitions=None,
+        decode_cf_time: bool = False,
+    ):
         import os
 
         self.path = path
+        self.decode_cf_time = decode_cf_time
         self.columns = [f.name for f in schema.fields]
         self.members = _resolve_members(path)
         first = NetCDF4View(self.members[0][0])
@@ -157,7 +180,7 @@ class NetCDF4Reader(DataSourceReader):
                 for x in v.variables.values()
                 if x.is_record
             )
-            return _spark_schema(v), shapes
+            return _spark_schema(v, decode_cf_time), shapes
 
         ref_sig = member_sig(first)
         for p, _n, _off in self.members[1:]:
@@ -242,9 +265,19 @@ class NetCDF4Reader(DataSourceReader):
             fv = x.attrs.get("_FillValue")
             if fv is not None:
                 masks[x.name] = flat == np.asarray(fv).astype(x.dtype)
-            arrays[x.name] = flat.astype(
-                np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
-            )
+            cf = _cf_time(x) if self.decode_cf_time else None
+            if cf is not None:
+                vals, invalid = _decode_cf_values(cf, flat)
+                arrays[x.name] = vals
+                if invalid is not None:  # e.g. 360_day Feb 30 -> NULL
+                    prev = masks.get(x.name)
+                    masks[x.name] = (
+                        invalid if prev is None else (prev | invalid)
+                    )
+            else:
+                arrays[x.name] = flat.astype(
+                    np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
+                )
         cols = [pa.array(arrays[c], mask=masks.get(c)) for c in self.columns]
         # uint64 variables are delivered as Arrow decimal128(20,0) — the
         # exact container their DECIMAL(20,0) schema declares
@@ -333,14 +366,22 @@ class NetCDF4DataSource(DataSource):
     def name(cls) -> str:
         return FORMAT4_NAME
 
+    def _decode_cf(self) -> bool:
+        return str(
+            self.options.get("decode_cf_time", "false")
+        ).lower() == "true"
+
     def schema(self) -> str:
         first = _resolve_members(self.options["path"])[0][0]
-        return _spark_schema(NetCDF4View(first))
+        return _spark_schema(NetCDF4View(first), self._decode_cf())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")
         return NetCDF4Reader(
-            self.options["path"], schema, int(tp) if tp else None
+            self.options["path"],
+            schema,
+            int(tp) if tp else None,
+            decode_cf_time=self._decode_cf(),
         )
 
     def simpleStreamReader(self, schema: StructType):

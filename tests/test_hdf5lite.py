@@ -1280,3 +1280,47 @@ def test_latest_v2_btree_chunk_index(tmp_path):
         assert h.datasets["v"].chunk_index == "bt2"
         np.testing.assert_array_equal(h.read("v"), d)
         np.testing.assert_array_equal(h.read_slab0("v", 7, 21), d[7:21])
+
+
+def test_nc4_decode_cf_time(spark, tmp_path):
+    """The NetCDF-4 source decodes CF time coordinates to
+    timestamp_ntz behind the same decode_cf_time option as the
+    NetCDF-3 source, including fixed-length calendars."""
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = os.path.join(tmp_path, "cf.nc4")
+    write_netcdf4(
+        path,
+        dims={"time": None},
+        variables={
+            "t": ("float64", ("time",)),
+            "v": ("float32", ("time",)),
+        },
+        data={
+            "t": np.array([0.0, 58.0, 59.0]),
+            "v": np.ones(3, dtype=np.float32),
+        },
+        var_attrs={
+            "t": {"units": "days since 2004-01-01", "calendar": "noleap"}
+        },
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    assert dict(df.dtypes)["t"] == "timestamp_ntz"
+    got = [str(r["t"]) for r in df.orderBy("time_idx").collect()]
+    assert got == [
+        "2004-01-01 00:00:00",
+        "2004-02-28 00:00:00",
+        "2004-03-01 00:00:00",  # noleap skips 2004's real Feb 29
+    ]
+    # without the option the raw numbers come through
+    df2 = spark.read.format(FORMAT4_NAME).option("path", path).load()
+    assert dict(df2.dtypes)["t"] == "double"
