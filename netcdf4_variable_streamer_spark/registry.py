@@ -120,6 +120,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf3_cf_cal_scan",
     "q_emb_matryoshka",
     "q_emb_centroids",
+    "src_netcdf4_multifile_scan",
     "q_fn_datetime_advanced",
     "q_funnel_attribution_decay",
     "q_geo_grid_knn",

@@ -1177,6 +1177,84 @@ def ensure_nc4(path: str | None = None, t_total: int = GRID_T) -> str:
     return path
 
 
+def ensure_nc4_multifile(path: str | None = None) -> str:
+    """A directory of three .nc4 files jointly covering grid records
+    [0, 128): [0,32) [32,48) [80,48) — with the MIDDLE member written
+    in libver='latest' (v2 superblock, OHDR headers, Extensible Array
+    chunk index) so the directory dataset proves the two encoding
+    families interoperate record-for-record."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_mf4")
+    done = os.path.join(path, ".done")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    libvers = ["earliest", "latest", "earliest"]
+    for i, (t0, n) in enumerate([(0, 32), (32, 48), (80, 48)]):
+        write_netcdf4(
+            os.path.join(path, f"part-{i}.nc4"),
+            dims={"time": None, "y": GRID_Y, "x": GRID_X},
+            variables={
+                "temperature": ("float32", ("time", "y", "x")),
+                "humidity": ("float32", ("time", "y", "x")),
+            },
+            data=grid_values(t0, n),
+            compress=4,
+            shuffle=True,
+            chunk0=16,
+            libver=libvers[i],
+        )
+    open(done, "w").close()
+    return path
+
+
+@register(
+    "src_netcdf4_multifile_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       MIN(t) AS t_min, MAX(t) AS t_max,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g
+WHERE t >= 24 AND t < 104
+""",
+    doc="MULTI-FILE NetCDF-4 dataset scan (round 5): a directory of "
+        "three .nc4 files becomes ONE dataset with a global record "
+        "index, and the MIDDLE member is written libver='latest' (v2 "
+        "superblock, OHDR headers, Extensible Array chunk index) while "
+        "its neighbors are v0/v1-B-tree — the [24, 104) window spans "
+        "all three members and both encoding families, so any "
+        "divergence between the two read paths (offsets, chunk "
+        "enumeration, inflation) hash-mismatches against the "
+        "closed-form oracle. Planning stays O(files) driver metadata.",
+)
+def src_netcdf4_multifile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_multifile())
+        .load()
+        .filter((F.col("time_idx") >= 24) & (F.col("time_idx") < 104))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("time_idx").alias("n_lines"),
+        F.min("time_idx").alias("t_min"),
+        F.max("time_idx").alias("t_max"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+
+
 @register(
     "src_netcdf4_scan",
     oracle=f"""

@@ -1324,3 +1324,9 @@ def test_nc4_decode_cf_time(spark, tmp_path):
     # without the option the raw numbers come through
     df2 = spark.read.format(FORMAT4_NAME).option("path", path).load()
     assert dict(df2.dtypes)["t"] == "double"
+
+
+def test_src_netcdf4_multifile_scan_oracle(check):
+    pdf = check("src_netcdf4_multifile_scan")
+    assert pdf.loc[0, "n_lines"] == 80
+    assert pdf.loc[0, "t_min"] == 24 and pdf.loc[0, "t_max"] == 103
