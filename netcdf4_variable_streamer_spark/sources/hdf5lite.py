@@ -163,9 +163,18 @@ def _msg(mtype: int, body: bytes) -> bytes:
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
 
 
-def _dataspace(shape: tuple[int, ...], maxshape=None) -> bytes:
+def _dataspace(
+    shape: tuple[int, ...], maxshape=None, latest: bool = False
+) -> bytes:
+    """Dataspace message body: v1 (8-byte header) by default, v2
+    (4-byte header with an explicit scalar/simple type byte) when
+    ``latest`` — the encodings libhdf5 writes for each libver."""
     flags = 1 if maxshape is not None else 0
-    out = struct.pack("<BBB5x", 1, len(shape), flags)
+    if latest:
+        stype = 0 if len(shape) == 0 else 1  # scalar vs simple
+        out = struct.pack("<BBBB", 2, len(shape), flags, stype)
+    else:
+        out = struct.pack("<BBB5x", 1, len(shape), flags)
     out += b"".join(struct.pack("<Q", d) for d in shape)
     if maxshape is not None:
         out += b"".join(
@@ -223,7 +232,7 @@ def _vlen_ref_attr_msg(
     out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
     base = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)  # class 7 object ref
     dt = struct.pack("<B3BI", 0x19, 0, 0, 0, 16) + base  # class 9 vlen
-    ds = _dataspace((len(addr_lists),))
+    ds = _dataspace((len(addr_lists),), latest=latest)
     data = b"".join(
         struct.pack("<IQI", len(a), gaddr, i + 1)
         for i, a in enumerate(addr_lists)
@@ -239,7 +248,7 @@ def _attr_msg(name: str, value, latest: bool = False) -> bytes:
     if isinstance(value, str):
         data = value.encode() + b"\x00"
         dt = _dt_string(len(data))
-        ds = _dataspace(())
+        ds = _dataspace((), latest=latest)
     else:
         arr = np.atleast_1d(np.asarray(value))
         if arr.dtype.kind == "f":
@@ -259,7 +268,7 @@ def _attr_msg(name: str, value, latest: bool = False) -> bytes:
             raise ValueError(f"unsupported attribute {value!r}")
         dt = _dt_body(arr.dtype.newbyteorder("="))
         shape = () if np.ndim(value) == 0 else arr.shape
-        ds = _dataspace(shape)
+        ds = _dataspace(shape, latest=latest)
         data = arr.tobytes()
     return _attr_envelope(nb, dt, ds, data, latest)
 
@@ -520,7 +529,7 @@ def _write_dataset(
     arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
     mk = _msg2 if latest else _msg
     msgs = [
-        mk(0x0001, _dataspace(arr.shape, maxshape)),
+        mk(0x0001, _dataspace(arr.shape, maxshape, latest=latest)),
         mk(0x0003, _dt_body(arr.dtype)),
     ]
     if chunk is None:
