@@ -1026,11 +1026,44 @@ class DatasetInfo:
         return bool(self.maxshape) and self.maxshape[0] is None
 
 
+# Exception classes a CORRUPT foreign file can surface from the parse
+# layer (struct unpacks past EOF, garbage dtype sizes, impossible
+# shapes, ...). Readers convert them to contextual ValueErrors so an
+# executor reports "file X is corrupt", never a bare struct.error —
+# and never attempts a petabyte allocation from a corrupted shape
+# (the _check_alloc budget below).
+_PARSE_ERRORS = (
+    struct.error,
+    IndexError,
+    TypeError,
+    AssertionError,
+    OverflowError,
+    UnicodeDecodeError,
+    ZeroDivisionError,
+    zlib.error,
+)
+
+
+def _corrupt_guard(path: str, fn):
+    try:
+        return fn()
+    except ValueError:
+        raise  # already a loud, contextual refusal
+    except _PARSE_ERRORS as e:
+        raise ValueError(
+            f"{path}: corrupt or out-of-scope HDF5 structure "
+            f"({type(e).__name__}: {e})"
+        ) from e
+
+
 class HDF5File:
     """Minimal-subset HDF5 reader (module docstring for scope)."""
 
     def __init__(self, path: str):
         self.path = path
+        _corrupt_guard(path, lambda: self._open(path))
+
+    def _open(self, path: str) -> None:
         # Memory-map instead of f.read() (ADVICE r4): metadata parsing
         # touches only the pages it walks (KB for typical headers), and
         # executor-side chunk reads fault in only the byte ranges of the
@@ -2016,8 +2049,31 @@ class HDF5File:
                 raise ValueError(f"{info.name}: filter id {fid} unsupported")
         return np.frombuffer(raw, dtype=info.dtype).reshape(info.chunk)
 
+    def _check_alloc(self, name: str, shape, dtype) -> None:
+        """Refuse allocations a corrupted shape implies: a dataset
+        cannot outgrow 64x the file (zlib's practical ceiling) or a
+        1 GiB floor — without this, a flipped shape byte asks numpy
+        for petabytes and OOMs the executor instead of failing loudly."""
+        nbytes = 1
+        for s in shape:
+            nbytes *= int(s)
+        nbytes *= np.dtype(dtype).itemsize
+        budget = max(1 << 30, 64 * len(self._buf))
+        if nbytes > budget:
+            raise ValueError(
+                f"{self.path}: {name}: shape {tuple(shape)} implies "
+                f"{nbytes} bytes (> {budget} budget) — file corrupt or "
+                "dataset too large to materialize"
+            )
+
     def read(self, name: str) -> np.ndarray:
+        return _corrupt_guard(self.path, lambda: self._read_impl(name))
+
+    def _read_impl(self, name: str) -> np.ndarray:
         info = self.datasets[name]
+        self._check_alloc(name, info.shape, info.dtype)
+        if info.chunk:
+            self._check_alloc(name, info.chunk, info.dtype)
         if info.layout == "contiguous":
             if info.data_addr == UNDEF:
                 return np.zeros(info.shape, dtype=info.dtype)
@@ -2037,7 +2093,19 @@ class HDF5File:
 
     def read_slab0(self, name: str, lo: int, hi: int) -> np.ndarray:
         """Records [lo, hi) along axis 0, touching ONLY covering chunks."""
+        return _corrupt_guard(
+            self.path, lambda: self._read_slab0_impl(name, lo, hi)
+        )
+
+    def _read_slab0_impl(self, name: str, lo: int, hi: int) -> np.ndarray:
         info = self.datasets[name]
+        if info.shape:
+            self._check_alloc(
+                name, (min(hi, info.shape[0]) - max(0, lo),
+                       *info.shape[1:]), info.dtype
+            )
+        if info.chunk:
+            self._check_alloc(name, info.chunk, info.dtype)
         hi = min(hi, info.shape[0] if info.shape else 0)
         lo = max(0, lo)
         if hi <= lo:

@@ -435,6 +435,35 @@ def append_records(path: str, var_blocks: dict[str, np.ndarray]) -> int:
     return nc.numrecs + n
 
 
+# Exception classes a CORRUPT foreign file can surface from the parse
+# layer; readers convert them to contextual ValueErrors (the same
+# policy as hdf5lite) so an executor reports "file X is corrupt",
+# never a bare struct.error — and never a SIGBUS from a memmap view
+# stretched past EOF by a corrupted begin offset (_check_span below).
+_PARSE_ERRORS = (
+    struct.error,
+    IndexError,
+    TypeError,
+    AssertionError,
+    OverflowError,
+    UnicodeDecodeError,
+    ZeroDivisionError,
+    KeyError,
+)
+
+
+def _corrupt_guard(path: str, fn):
+    try:
+        return fn()
+    except ValueError:
+        raise  # already a loud, contextual refusal
+    except _PARSE_ERRORS as e:
+        raise ValueError(
+            f"{path}: corrupt NetCDF classic structure "
+            f"({type(e).__name__}: {e})"
+        ) from e
+
+
 @dataclass
 class NetCDF3File:
     """Parsed classic-file header + range reads (header-only on open)."""
@@ -449,6 +478,9 @@ class NetCDF3File:
     _rec_dim: str | None = None
 
     def __post_init__(self):
+        _corrupt_guard(self.path, self._parse_header)
+
+    def _parse_header(self):
         with open(self.path, "rb") as f:
             header = f.read(1 << 20)  # classic headers are USUALLY KB-sized
         if header[:3] != b"CDF" or header[3] not in (1, 2, 5):
@@ -580,6 +612,11 @@ class NetCDF3File:
                     self.dims[dim_names[d]]
                     for d in (dimids[1:] if is_rec else dimids)
                 )
+                if nc_type not in _NC_TO_NP:
+                    raise ValueError(
+                        f"{self.path}: variable {name!r} has invalid "
+                        f"nc_type {nc_type} — header corrupt"
+                    )
                 self.variables[name] = VarInfo(
                     name, dimids, nc_type, vattrs, begin, is_rec, shape
                 )
@@ -596,14 +633,32 @@ class NetCDF3File:
     def record_dim(self) -> str | None:
         return self._rec_dim
 
+    def _check_span(self, name: str, end: int) -> None:
+        """Refuse byte spans past EOF — a corrupted begin/vsize would
+        otherwise stretch the memmap view off the file and SIGBUS the
+        whole process (found by corruption fuzzing, round 5)."""
+        import os
+
+        size = os.path.getsize(self.path)
+        if end > size:
+            raise ValueError(
+                f"{self.path}: {name}: data span ends at byte {end} "
+                f"but the file is {size} bytes — header corrupt or "
+                "file truncated"
+            )
+
     def read_fixed(self, name: str) -> np.ndarray:
         v = self.variables[name]
         if v.is_record:
             raise ValueError(f"{name} is a record variable")
+        self._check_span(name, v.begin + v.slab_bytes)
         with open(self.path, "rb") as f:
             f.seek(v.begin)
             raw = f.read(v.slab_bytes)
-        return np.frombuffer(raw, dtype=v.dtype).reshape(v.shape)
+        return _corrupt_guard(
+            self.path,
+            lambda: np.frombuffer(raw, dtype=v.dtype).reshape(v.shape),
+        )
 
     def read_records(self, name: str, lo: int = 0, hi: int | None = None):
         """Record-range read [lo, hi) of one record variable — the
@@ -616,6 +671,10 @@ class NetCDF3File:
         lo = max(0, lo)
         if hi <= lo:
             return np.empty((0, *v.shape), dtype=v.dtype)
+        self._check_span(
+            name,
+            v.begin + (hi - 1) * self.recsize + v.slab_bytes,
+        )
         mm = np.memmap(self.path, dtype=np.uint8, mode="r")
         n = hi - lo
         view = np.lib.stride_tricks.as_strided(

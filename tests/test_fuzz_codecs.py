@@ -230,3 +230,89 @@ def test_hdf5_dense_storage_fuzz(tmp_path_factory, n_objs, n_attrs, seed):
         np.testing.assert_array_equal(h.read(k), v)
     assert len(h.attrs) == n_attrs
     assert len(h.datasets[next(iter(data))].attrs) == n_attrs
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1), nflips=st.integers(1, 6))
+def test_hdf5_corruption_fails_controlled(tmp_path_factory, seed, nflips):
+    """Random byte flips in a valid file must surface as ValueError
+    (or parse clean when the flip hits data bytes) — never a bare
+    struct.error/IndexError/TypeError, and never a petabyte
+    allocation from a corrupted shape (round-5 corruption fuzzing
+    found all of those classes leaking)."""
+    import random
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    d = np.arange(160, dtype=np.int64).reshape(40, 4)
+    root = str(tmp_path_factory.mktemp("h5corrupt"))
+    base_path = os.path.join(root, "base.h5")
+    write_hdf5(
+        base_path,
+        {"v": d, "grp/w": d[:5]},
+        {"v": {"chunk": (8, 4), "compress": 4, "shuffle": True,
+               "attrs": {"units": "m"}}},
+        attrs={"title": "x"},
+    )
+    buf = bytearray(open(base_path, "rb").read())
+    rng = random.Random(seed)
+    for _ in range(nflips):
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+    path = os.path.join(root, "t.h5")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    try:
+        h = HDF5File(path)
+        for n in list(h.datasets):
+            h.read(n)
+    except ValueError:
+        pass  # loud, contextual refusal — the contract
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1), nflips=st.integers(1, 6))
+def test_netcdf3_corruption_fails_controlled(
+    tmp_path_factory, seed, nflips
+):
+    """Same contract for the classic codec — in particular a corrupted
+    begin offset must raise, not stretch the memmap view past EOF and
+    SIGBUS the executor process (found by round-5 corruption fuzzing)."""
+    import random
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        write_netcdf3,
+    )
+
+    root = str(tmp_path_factory.mktemp("nc3corrupt"))
+    base_path = os.path.join(root, "base.nc")
+    write_netcdf3(
+        base_path,
+        dims={"t": None, "x": 4},
+        variables={
+            "v": ("int32", ("t", "x")),
+            "w": ("float64", ("t", "x")),
+        },
+        data={
+            "v": np.arange(40, dtype=np.int32).reshape(10, 4),
+            "w": np.arange(40, dtype=np.float64).reshape(10, 4),
+        },
+        attrs={"title": "x"},
+    )
+    buf = bytearray(open(base_path, "rb").read())
+    rng = random.Random(seed)
+    for _ in range(nflips):
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+    path = os.path.join(root, "t.nc")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    try:
+        nc = NetCDF3File(path)
+        for n in list(nc.variables):
+            var = nc.variables[n]
+            (nc.read_records(n) if var.is_record else nc.read_fixed(n))
+    except ValueError:
+        pass  # loud, contextual refusal — the contract
