@@ -121,6 +121,7 @@ CANONICAL_ORDER: list[str] = [
     "q_emb_matryoshka",
     "q_emb_centroids",
     "src_netcdf4_multifile_scan",
+    "src_netcdf3_dir_tail",
     "q_fn_datetime_advanced",
     "q_funnel_attribution_decay",
     "q_geo_grid_knn",

@@ -443,44 +443,7 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
         return {"rec": 0}
 
     def _rows_between(self, lo: int, hi: int):
-        if hi <= lo:
-            return []
-        nc = NetCDF3File(self.path)
-        rvs = _record_vars(nc)
-        dim_names = list(nc.dims)
-        fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
-        shape = rvs[0].shape
-        cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        n = hi - lo
-        cols: dict[str, np.ndarray] = {
-            f"{nc.record_dim}_idx": np.repeat(
-                np.arange(lo, hi, dtype=np.int64), cells
-            )
-        }
-        if shape:
-            grids = np.indices(shape).reshape(len(shape), cells)
-            for i, d in enumerate(fixed):
-                cols[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
-        for v in rvs:
-            flat = nc.read_records(v.name, lo, hi).reshape(-1)
-            fv = _fill_value(v)
-            vals = flat.astype(
-                np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
-            ).tolist()
-            if v.nc_type == 11:  # DECIMAL(20,0) rows need Decimal cells
-                from decimal import Decimal
-
-                vals = [Decimal(x) for x in vals]
-            if fv is not None:
-                vals = [
-                    None if m else x for x, m in zip(vals, (flat == fv))
-                ]
-            cols[v.name] = vals
-        ordered = [
-            cols[c] if isinstance(cols[c], list) else cols[c].tolist()
-            for c in self.columns
-        ]
-        return [tuple(row) for row in zip(*ordered)]
+        return _stream_rows(self.path, self.columns, lo, hi)
 
     def read(self, start: dict):
         end = {"rec": NetCDF3File(self.path).numrecs}
@@ -488,6 +451,104 @@ class NetCDF3StreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows_between(start["rec"], end["rec"])
+
+
+def _stream_rows(path: str, columns, lo: int, hi: int, base: int = 0):
+    """Long-form row tuples for records [lo, hi) of one .nc file; the
+    record index column is globalized by ``base`` (directory tails)."""
+    if hi <= lo:
+        return []
+    nc = NetCDF3File(path)
+    rvs = _record_vars(nc)
+    dim_names = list(nc.dims)
+    fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
+    shape = rvs[0].shape
+    cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    n = hi - lo
+    cols: dict[str, np.ndarray] = {
+        f"{nc.record_dim}_idx": np.repeat(
+            np.arange(base + lo, base + hi, dtype=np.int64), cells
+        )
+    }
+    if shape:
+        grids = np.indices(shape).reshape(len(shape), cells)
+        for i, d in enumerate(fixed):
+            cols[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
+    for v in rvs:
+        flat = nc.read_records(v.name, lo, hi).reshape(-1)
+        fv = _fill_value(v)
+        vals = flat.astype(
+            np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
+        ).tolist()
+        if v.nc_type == 11:  # DECIMAL(20,0) rows need Decimal cells
+            from decimal import Decimal
+
+            vals = [Decimal(x) for x in vals]
+        if fv is not None:
+            vals = [
+                None if m else x for x, m in zip(vals, (flat == fv))
+            ]
+        cols[v.name] = vals
+    ordered = [
+        cols[c] if isinstance(cols[c], list) else cols[c].tolist()
+        for c in columns
+    ]
+    return [tuple(row) for row in zip(*ordered)]
+
+
+class NetCDF3DirStreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow a GROWING DIRECTORY of .nc archive files — the
+    capacity-chunked pattern the single-file tail's docs point to:
+    writers freeze a member once a later member exists, and only the
+    newest (sort-last) member grows. The offset pins every member's
+    record count at snapshot time, so readBetweenOffsets replays the
+    exact same rows even after further growth; global record indexes
+    come from the frozen members' prefix sums."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def _members(self) -> list[str]:
+        import os
+
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith(".nc")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": [], "counts": []}
+
+    def read(self, start: dict):
+        import os
+
+        files = self._members()
+        if files[: len(start["files"])] != start["files"]:
+            raise ValueError(
+                f"{self.path}: archive members renamed or removed — "
+                f"offset had {start['files']}, directory has {files}"
+            )
+        rows, counts, base = [], [], 0
+        for i, f in enumerate(files):
+            p = os.path.join(self.path, f)
+            n = NetCDF3File(p).numrecs
+            lo = start["counts"][i] if i < len(start["counts"]) else 0
+            rows.extend(_stream_rows(p, self.columns, lo, n, base))
+            counts.append(n)
+            base += n
+        return rows, {"files": files, "counts": counts}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import os
+
+        rows, base = [], 0
+        for i, f in enumerate(end["files"]):
+            p = os.path.join(self.path, f)
+            lo = start["counts"][i] if i < len(start["counts"]) else 0
+            hi = end["counts"][i]
+            rows.extend(_stream_rows(p, self.columns, lo, hi, base))
+            base += hi
+        return rows
 
 
 class NetCDF3DataSource(DataSource):
@@ -527,10 +588,15 @@ class NetCDF3DataSource(DataSource):
         )
 
     def simpleStreamReader(self, schema: StructType):
+        import os
+
         if self._cf_opt():
             raise ValueError(
                 "decode_cf_time is a batch-scan option; the streaming "
                 "tail emits raw CF numbers — decode with "
                 "timestamp_micros() downstream"
             )
-        return NetCDF3StreamReader(self.options["path"], schema)
+        path = self.options["path"]
+        if os.path.isdir(path):
+            return NetCDF3DirStreamReader(path, schema)
+        return NetCDF3StreamReader(path, schema)

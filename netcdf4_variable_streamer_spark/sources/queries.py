@@ -442,6 +442,47 @@ def src_netcdf3_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+@register(
+    "src_netcdf3_dir_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Tail-follow of a GROWING DIRECTORY of .nc archive files "
+        "(round 5) — the capacity-chunked pattern for unbounded "
+        "streams: members freeze once a later member exists, only the "
+        "sort-last member grows, and the stream offset pins every "
+        "member's record count so replays are exact; global record "
+        "indexes come from frozen-member prefix sums. availableNow "
+        "drains the three-member grid directory (the same members the "
+        "batch multifile scan reads) into per-line aggregates the "
+        "oracle regenerates in SQL.",
+)
+def src_netcdf3_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc3_multifile()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format(FORMAT3_NAME).option("path", path).load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
 def _nc3_write_partition(path: str):
     """mapInPandas factory: write each partition's COMPLETE records into
     the preallocated .nc at their closed-form offsets (os.pwrite, no

@@ -714,3 +714,66 @@ def test_src_netcdf3_cf_cal_scan_oracle(check):
     assert len(pdf) == 4  # Jan..Apr 2004 (120 noleap days)
     row = pdf.set_index("month").loc["2004-03"]
     assert row["first_ts"] == "2004-03-01 06:00:00"
+
+
+def test_dir_tail_stream_protocol(tmp_path):
+    """Directory-tail offset protocol: growth of the newest member and
+    NEW members between batches; global indexes continue across the
+    member boundary; readBetweenOffsets replays exactly."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        append_records,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        NetCDF3DirStreamReader,
+    )
+
+    d = os.path.join(tmp_path, "arch")
+    os.makedirs(d)
+
+    def mk(i, n):
+        write_netcdf3(
+            os.path.join(d, f"part-{i}.nc"),
+            dims={"t": None, "x": 2},
+            variables={"v": ("int32", ("t", "x"))},
+            data={"v": np.arange(n * 2, dtype=np.int32).reshape(n, 2)},
+        )
+
+    mk(0, 3)
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("x_idx", IntegerType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    sr = NetCDF3DirStreamReader(d, schema)
+    off0 = sr.initialOffset()
+    rows1, off1 = sr.read(off0)
+    assert off1 == {"files": ["part-0.nc"], "counts": [3]}
+    append_records(
+        os.path.join(d, "part-0.nc"),
+        {"v": np.array([[7, 8]], dtype=np.int32)},
+    )
+    mk(1, 2)
+    rows2, off2 = sr.read(off1)
+    assert off2 == {
+        "files": ["part-0.nc", "part-1.nc"],
+        "counts": [4, 2],
+    }
+    assert sorted(set(r[0] for r in rows2)) == [3, 4, 5]
+    assert sorted(sr.readBetweenOffsets(off1, off2)) == sorted(rows2)
+    assert sorted(sr.readBetweenOffsets(off0, off1)) == sorted(rows1)
+    rows3, off3 = sr.read(off2)
+    assert rows3 == [] and off3 == off2  # idle batch: no rows, same offset
+
+
+def test_src_netcdf3_dir_tail_oracle(check):
+    pdf = check("src_netcdf3_dir_tail")
+    assert len(pdf) == 128  # all three members drained
