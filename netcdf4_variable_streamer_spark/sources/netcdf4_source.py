@@ -301,13 +301,6 @@ class NetCDF4StreamReader(SimpleDataSourceStreamReader):
     file."""
 
     def __init__(self, path: str, schema: StructType):
-        import os
-
-        if os.path.isdir(path):
-            raise ValueError(
-                f"{path}: streaming tail supports a single NetCDF-4 "
-                "file — use the batch reader for directory datasets"
-            )
         self.path = path
         self.columns = [f.name for f in schema.fields]
 
@@ -315,41 +308,7 @@ class NetCDF4StreamReader(SimpleDataSourceStreamReader):
         return {"rec": 0}
 
     def _rows_between(self, lo: int, hi: int):
-        if hi <= lo:
-            return []
-        v = NetCDF4View(self.path)
-        rvs = _record_vars(v)
-        fixed = rvs[0].dims[1:]
-        shape = rvs[0].shape
-        cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        n = hi - lo
-        cols: dict = {
-            f"{v.record_dim}_idx": np.repeat(
-                np.arange(lo, hi, dtype=np.int64), cells
-            ).tolist()
-        }
-        if shape:
-            grids = np.indices(shape).reshape(len(shape), cells)
-            for i, d in enumerate(fixed):
-                cols[f"{d}_idx"] = np.tile(
-                    grids[i].astype(np.int32), n
-                ).tolist()
-        for x in rvs:
-            flat = v.read_records(x.name, lo, hi).reshape(-1)
-            fv = x.attrs.get("_FillValue")
-            vals = flat.astype(
-                np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
-            ).tolist()
-            if x.dtype.kind == "u" and x.dtype.itemsize == 8:
-                from decimal import Decimal
-
-                vals = [Decimal(y) for y in vals]  # DECIMAL(20,0) rows
-            if fv is not None:
-                mask = flat == np.asarray(fv).astype(x.dtype)
-                vals = [None if m else y for y, m in zip(vals, mask)]
-            cols[x.name] = vals
-        ordered = [cols[c] for c in self.columns]
-        return [tuple(row) for row in zip(*ordered)]
+        return _stream_rows4(self.path, self.columns, lo, hi)
 
     def read(self, start: dict):
         end = {"rec": NetCDF4View(self.path).numrecs}
@@ -357,6 +316,101 @@ class NetCDF4StreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows_between(start["rec"], end["rec"])
+
+
+def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
+    """Long-form row tuples for records [lo, hi) of one NetCDF-4 file;
+    the record index column is globalized by ``base``."""
+    if hi <= lo:
+        return []
+    v = NetCDF4View(path)
+    rvs = _record_vars(v)
+    fixed = rvs[0].dims[1:]
+    shape = rvs[0].shape
+    cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    n = hi - lo
+    cols: dict = {
+        f"{v.record_dim}_idx": np.repeat(
+            np.arange(base + lo, base + hi, dtype=np.int64), cells
+        ).tolist()
+    }
+    if shape:
+        grids = np.indices(shape).reshape(len(shape), cells)
+        for i, d in enumerate(fixed):
+            cols[f"{d}_idx"] = np.tile(
+                grids[i].astype(np.int32), n
+            ).tolist()
+    for x in rvs:
+        flat = v.read_records(x.name, lo, hi).reshape(-1)
+        fv = x.attrs.get("_FillValue")
+        vals = flat.astype(
+            np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
+        ).tolist()
+        if x.dtype.kind == "u" and x.dtype.itemsize == 8:
+            from decimal import Decimal
+
+            vals = [Decimal(y) for y in vals]  # DECIMAL(20,0) rows
+        if fv is not None:
+            mask = flat == np.asarray(fv).astype(x.dtype)
+            vals = [None if m else y for y, m in zip(vals, mask)]
+        cols[x.name] = vals
+    ordered = [cols[c] for c in columns]
+    return [tuple(row) for row in zip(*ordered)]
+
+
+class NetCDF4DirStreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow a GROWING DIRECTORY of NetCDF-4 archive files —
+    same freeze-invariant protocol as the classic directory tail
+    (netcdf3_source.NetCDF3DirStreamReader): offsets pin per-member
+    record counts for exact replay; global indexes from frozen-member
+    prefix sums."""
+
+    _EXTS = (".nc", ".nc4", ".h5", ".hdf5")
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def _members(self) -> list[str]:
+        import os
+
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith(self._EXTS)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": [], "counts": []}
+
+    def read(self, start: dict):
+        import os
+
+        files = self._members()
+        if files[: len(start["files"])] != start["files"]:
+            raise ValueError(
+                f"{self.path}: archive members renamed or removed — "
+                f"offset had {start['files']}, directory has {files}"
+            )
+        rows, counts, base = [], [], 0
+        for i, f in enumerate(files):
+            p = os.path.join(self.path, f)
+            n = NetCDF4View(p).numrecs
+            lo = start["counts"][i] if i < len(start["counts"]) else 0
+            rows.extend(_stream_rows4(p, self.columns, lo, n, base))
+            counts.append(n)
+            base += n
+        return rows, {"files": files, "counts": counts}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import os
+
+        rows, base = [], 0
+        for i, f in enumerate(end["files"]):
+            p = os.path.join(self.path, f)
+            lo = start["counts"][i] if i < len(start["counts"]) else 0
+            hi = end["counts"][i]
+            rows.extend(_stream_rows4(p, self.columns, lo, hi, base))
+            base += hi
+        return rows
 
 
 class NetCDF4DataSource(DataSource):
@@ -385,4 +439,9 @@ class NetCDF4DataSource(DataSource):
         )
 
     def simpleStreamReader(self, schema: StructType):
-        return NetCDF4StreamReader(self.options["path"], schema)
+        import os
+
+        path = self.options["path"]
+        if os.path.isdir(path):
+            return NetCDF4DirStreamReader(path, schema)
+        return NetCDF4StreamReader(path, schema)

@@ -1330,3 +1330,64 @@ def test_src_netcdf4_multifile_scan_oracle(check):
     pdf = check("src_netcdf4_multifile_scan")
     assert pdf.loc[0, "n_lines"] == 80
     assert pdf.loc[0, "t_min"] == 24 and pdf.loc[0, "t_max"] == 103
+
+
+def test_nc4_dir_tail_stream_protocol(tmp_path):
+    """NetCDF-4 directory tail: same freeze-invariant protocol as the
+    classic one — growth of the newest member plus new members between
+    batches, continuing global indexes, exact replay."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        append_records_nc4,
+        create_netcdf4_tail,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        NetCDF4DirStreamReader,
+    )
+
+    d = os.path.join(tmp_path, "arch4")
+    os.makedirs(d)
+
+    def mk(i, n):
+        p = os.path.join(d, f"part-{i}.nc4")
+        create_netcdf4_tail(
+            p,
+            dims={"t": None, "x": 2},
+            variables={"v": ("float64", ("t", "x"))},
+            capacity=4,
+        )
+        append_records_nc4(
+            p, {"v": np.arange(n * 2, dtype=np.float64).reshape(n, 2)}
+        )
+        return p
+
+    p0 = mk(0, 3)
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("x_idx", IntegerType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    sr = NetCDF4DirStreamReader(d, schema)
+    rows1, off1 = sr.read(sr.initialOffset())
+    assert off1 == {"files": ["part-0.nc4"], "counts": [3]}
+    append_records_nc4(p0, {"v": np.array([[7.0, 8.0]])})
+    mk(1, 2)
+    rows2, off2 = sr.read(off1)
+    assert off2 == {
+        "files": ["part-0.nc4", "part-1.nc4"],
+        "counts": [4, 2],
+    }
+    assert sorted(set(r[0] for r in rows2)) == [3, 4, 5]
+    assert sorted(sr.readBetweenOffsets(off1, off2)) == sorted(rows2)
+    assert sorted(sr.readBetweenOffsets(sr.initialOffset(), off1)) == sorted(
+        rows1
+    )
