@@ -47,75 +47,27 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-5 rotation (VERDICT r4 "Next round" #1/#4): r4 went 50/50 green,
-# leaving 0 failed and 64 never-driver-checked keys. Slots 1-50 take the
-# newest-first 50 of those (the 13 round-4 keys — NetCDF-4 family and new
-# LLM ops — then the real-file netcdf3 keys, the 3 deferred at-risk keys,
-# and the r2 long tail); slots 51-64 hold the remaining 14 never-checked
-# keys so round 6 closes the board; the 154 driver-green keys follow.
+# Round-6 rotation (VERDICT r5 "Next round" #1): r5 went 50/50 green,
+# leaving 0 failed and exactly 20 never-driver-checked keys (the 6
+# round-5 additions + 14 r2-era keys). Slots 1-20 take all 20, closing
+# the board — after this window EVERY registry key has a driver row.
+# New round-6 keys are inserted right after them (still inside the
+# window); the green remainder of the window re-proves the
+# longest-unchecked r1-era q_fn_*/setops block, and the rest of the
+# order is green keys oldest-check-first so future rotations keep
+# cycling stale proofs back through.
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 5
+WINDOW_ROUND = 6
 
 CANONICAL_ORDER: list[str] = [
-    # -- 1-13: round-4 additions (newest code, never driver-checked) --
-    "src_netcdf4_scan",
-    "snk_netcdf4_write",
-    "src_netcdf4_stream_tail",
-    "src_netcdf3_cdf5_scan",
-    "src_netcdf3_cf_scan",
-    "q_dedup_containment",
-    "q_dedup_image_phash",
-    "q_emb_int8_quantize",
-    "q_text_bigram_logprob",
-    "q_dedup_lines",
-    "q_curriculum_order",
-    "q_multimodal_audio_vad",
-    "q_sample_temperature",
-    # -- 14-17: real-file netcdf3 keys without driver rows --
-    "snk_netcdf3_write",
-    "src_netcdf3_stream_tail",
-    "src_netcdf3_multifile_scan",
-    "q_dedup_url_canonical",
-    # -- 18-20: deferred at-risk keys from the r4 rotation --
-    "q_rfm_segments",
-    "q_union_schema_evolution",
-    "q_win_gap_interpolate",
-    # -- 21-50: the r2 never-checked long tail (first 30) --
-    "q_agg_hll_setops",
-    "q_subquery_scalar",
-    "q_subquery_scalar_corr",
-    "q_subquery_exists",
-    "q_subquery_in",
-    "q_stream_join",
-    "q_join_skew_salted",
-    "q_agg_median_mode",
-    "q_stream_upsert",
-    "q_merge_scd1",
-    "q_fn_url",
-    "q_agg_sketches",
-    "q_merge_scd2",
-    "q_graph_pagerank",
-    "q_retention_cohort",
-    "q_profile_columns",
-    "q_graph_triangles",
-    "q_join_fuzzy_levenshtein",
-    "q_win_pattern_burst",
-    "q_agg_corr_matrix",
-    "q_stream_dim_join",
-    "q_stream_join_outer",
-    "q_agg_bitmap_distinct",
-    "q_agg_bitmap_jaccard",
-    "q_agg_cms_portable",
-    "q_agg_hll_portable",
-    "q_agg_mode",
-    "q_agg_string_agg",
-    "q_basket_pairs",
-    "q_fn_bitwise",
-    # -- 51+: remaining never-checked keys (round-6 window head) --
+    # -- 1-20: the 20 never-driver-checked keys (VERDICT r5 next-round #1:
+    #    6 round-5 additions + 14 r2-era keys; judge-verified MATCH locally,
+    #    rotated in for hard driver evidence). New round-6 keys are inserted
+    #    immediately after this block so they enter the same window. --
     "src_netcdf_uint64_scan",
     "src_netcdf3_cf_cal_scan",
     "q_emb_matryoshka",
@@ -136,87 +88,35 @@ CANONICAL_ORDER: list[str] = [
     "q_win_rolling_median",
     "q_win_running_distinct",
     "q_win_sliding_distinct",
-    # -- 65+: driver-green keys (most recent rounds first) --
-    "q_pack_sequences",
-    "q_pipeline_pretrain",
-    "q_text_boilerplate",
-    "q_multimodal_resize",
-    "q_multimodal_frame_sample",
-    "snk_zorder",
-    "src_jsonl_ingest",
-    "src_csv_ingest",
-    "q_join_bucketed",
-    "q_ml_kmeans",
-    "q_dedup_ngram_spans",
-    "q_dedup_keep_best",
-    "q_sample_weighted",
-    "q_sample_mixture",
-    "q_sample_topk_hash",
-    "q_text_sentence_split",
-    "q_text_inverted_index",
-    "q_agg_heavy_hitters_sketch",
-    "q_agg_heavy_hitters",
-    "q_agg_histogram",
-    "q_hierarchy_rollup",
-    "q_multimodal_audio_decode",
-    "q_multimodal_png_decode",
-    "q_report_volume_shipping",
-    "q_report_promo_share",
-    "q_report_nation_profit",
-    "q_geo_heatmap_grid",
-    "q_funnel_conversion",
-    "q_time_resample_ffill",
-    "q_outlier_mad",
-    "q_unpivot_melt",
-    "q_sessionize_gap",
-    "q_validate_constraints",
-    "q_table_diff",
-    "q_agg_incremental_merge",
-    "q_report_top_returns",
-    "q_report_market_share",
-    "q_join_point_in_time",
-    "q_rollup_time_hierarchy",
-    "q_join_bloom_pruned",
-    "q_cdc_apply",
-    "q_graph_bfs_reach",
-    "q_ab_experiment",
-    "q_agg_filtered",
-    "q_drift_report",
-    "q_event_transitions",
-    "q_funnel_attribution",
-    "q_interval_merge",
-    "q_join_interval_overlap",
-    "q_join_salted_skew",
-    "q_sim_threshold_lsh",
-    "q_dedup_cc_lsh",
-    "q_dedup_semantic",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_contamination",
-    "q_text_unigram_logprob",
-    "q_text_repetition",
-    "q_text_pii_redact",
-    "q_multimodal_image_decode",
-    "q_sample_hash_split",
-    "q_sample_stratified",
-    "snk_parquet_partitioned",
-    "snk_partition_overwrite",
-    "snk_compact_small_files",
-    "snk_clustered_sort",
-    "src_netcdf3_scan",
-    "q_agg_histogram_equidepth_approx",
-    "q_graph_jaccard_neighbors",
-    "q_hierarchy_flatten",
-    "q_agg_histogram_equidepth",
-    "q_sim_ivf_ann",
-    "q_sim_pq_codes",
-    "q_ml_knn_classify",
-    "q_sample_per_group",
-    "q_chunk_context_windows",
-    "q_text_vocab_pairs",
-    "q_text_collocation_lift",
+    # -- 21+: driver-green keys, oldest driver check first (r1-era
+    #    q_fn_*/setops block re-enters the window for a freshness re-proof;
+    #    later-round greens follow in check-recency order). --
+    # last driver check: r1
+    "q_join_cross",
+    "q_sort_multikey_nulls",
+    "q_topk_global",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_map",
+    "q_fn_json",
+    "q_multimodal_bundle",
+    "q_pivot_lang_source",
+    "q_agg_percentiles",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embed_cosine",
+    "q_dedup_cc_clusters",
+    "q_join_range_bucketed",
+    "q_sim_knn_blocked",
+    "q_fn_variant",
+    "q_multimodal_features",
+    # last driver check: r2
     "src_parquet_scan",
     "src_netcdf_chunked_scan",
     "src_netcdf_stream_tail",
@@ -267,30 +167,139 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_exact",
     "q_sim_knn_cosine",
     "q_sim_threshold_pairs",
-    "q_join_cross",
-    "q_sort_multikey_nulls",
-    "q_topk_global",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    "q_fn_map",
-    "q_fn_json",
-    "q_multimodal_bundle",
-    "q_pivot_lang_source",
-    "q_agg_percentiles",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embed_cosine",
-    "q_dedup_cc_clusters",
-    "q_join_range_bucketed",
-    "q_sim_knn_blocked",
-    "q_fn_variant",
-    "q_multimodal_features",
+    # last driver check: r3
+    "q_sim_threshold_lsh",
+    "q_dedup_cc_lsh",
+    "q_dedup_semantic",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_contamination",
+    "q_text_unigram_logprob",
+    "q_text_repetition",
+    "q_text_pii_redact",
+    "q_multimodal_image_decode",
+    "q_sample_hash_split",
+    "q_sample_stratified",
+    "snk_parquet_partitioned",
+    "snk_partition_overwrite",
+    "snk_compact_small_files",
+    "snk_clustered_sort",
+    "src_netcdf3_scan",
+    "q_agg_histogram_equidepth_approx",
+    "q_graph_jaccard_neighbors",
+    "q_hierarchy_flatten",
+    "q_agg_histogram_equidepth",
+    "q_sim_ivf_ann",
+    "q_sim_pq_codes",
+    "q_ml_knn_classify",
+    "q_sample_per_group",
+    "q_chunk_context_windows",
+    "q_text_vocab_pairs",
+    "q_text_collocation_lift",
+    # last driver check: r4
+    "q_pack_sequences",
+    "q_pipeline_pretrain",
+    "q_text_boilerplate",
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
+    "snk_zorder",
+    "src_jsonl_ingest",
+    "src_csv_ingest",
+    "q_join_bucketed",
+    "q_ml_kmeans",
+    "q_dedup_ngram_spans",
+    "q_dedup_keep_best",
+    "q_sample_weighted",
+    "q_sample_mixture",
+    "q_sample_topk_hash",
+    "q_text_sentence_split",
+    "q_text_inverted_index",
+    "q_agg_heavy_hitters_sketch",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram",
+    "q_hierarchy_rollup",
+    "q_multimodal_audio_decode",
+    "q_multimodal_png_decode",
+    "q_report_volume_shipping",
+    "q_report_promo_share",
+    "q_report_nation_profit",
+    "q_geo_heatmap_grid",
+    "q_funnel_conversion",
+    "q_time_resample_ffill",
+    "q_outlier_mad",
+    "q_unpivot_melt",
+    "q_sessionize_gap",
+    "q_validate_constraints",
+    "q_table_diff",
+    "q_agg_incremental_merge",
+    "q_report_top_returns",
+    "q_report_market_share",
+    "q_join_point_in_time",
+    "q_rollup_time_hierarchy",
+    "q_join_bloom_pruned",
+    "q_cdc_apply",
+    "q_graph_bfs_reach",
+    "q_ab_experiment",
+    "q_agg_filtered",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_funnel_attribution",
+    "q_interval_merge",
+    "q_join_interval_overlap",
+    "q_join_salted_skew",
+    # last driver check: r5
+    "src_netcdf4_scan",
+    "snk_netcdf4_write",
+    "src_netcdf4_stream_tail",
+    "src_netcdf3_cdf5_scan",
+    "src_netcdf3_cf_scan",
+    "q_dedup_containment",
+    "q_dedup_image_phash",
+    "q_emb_int8_quantize",
+    "q_text_bigram_logprob",
+    "q_dedup_lines",
+    "q_curriculum_order",
+    "q_multimodal_audio_vad",
+    "q_sample_temperature",
+    "snk_netcdf3_write",
+    "src_netcdf3_stream_tail",
+    "src_netcdf3_multifile_scan",
+    "q_dedup_url_canonical",
+    "q_rfm_segments",
+    "q_union_schema_evolution",
+    "q_win_gap_interpolate",
+    "q_agg_hll_setops",
+    "q_subquery_scalar",
+    "q_subquery_scalar_corr",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_stream_join",
+    "q_join_skew_salted",
+    "q_agg_median_mode",
+    "q_stream_upsert",
+    "q_merge_scd1",
+    "q_fn_url",
+    "q_agg_sketches",
+    "q_merge_scd2",
+    "q_graph_pagerank",
+    "q_retention_cohort",
+    "q_profile_columns",
+    "q_graph_triangles",
+    "q_join_fuzzy_levenshtein",
+    "q_win_pattern_burst",
+    "q_agg_corr_matrix",
+    "q_stream_dim_join",
+    "q_stream_join_outer",
+    "q_agg_bitmap_distinct",
+    "q_agg_bitmap_jaccard",
+    "q_agg_cms_portable",
+    "q_agg_hll_portable",
+    "q_agg_mode",
+    "q_agg_string_agg",
+    "q_basket_pairs",
+    "q_fn_bitwise",
 ]
 
 
