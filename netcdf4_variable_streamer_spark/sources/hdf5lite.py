@@ -844,10 +844,14 @@ def _write_dense_links(
     id_len = 1 + _FH_MAX_BITS // 8 + (_FH_MAX_DIRECT - 1).bit_length() // 8
     bodies = {n: _link_body(n, a) for n, a in children.items()}
     fheap_addr, obj_ids = _write_fractal_heap(out, bodies, id_len)
-    recs = sorted(
-        struct.pack("<I", lookup3(n.encode())) + obj_ids[n]
-        for n in children
-    )
+    # type-5 records are ordered by NUMERIC hash value (the v2 B-tree
+    # comparator), not by the lexicographic order of the packed
+    # little-endian bytes — a binary-searching libhdf5 reader misses
+    # links otherwise (our own reader enumerates, masking it)
+    recs = [
+        struct.pack("<I", h) + obj_ids[n]
+        for h, n in sorted((lookup3(n.encode()), n) for n in children)
+    ]
     return fheap_addr, _write_bt2(out, recs, 5)
 
 
@@ -2562,13 +2566,38 @@ def _grow_capacity_nc4(path: str, new_cap: int) -> None:
                     )
                 patches.append((body_off + 3, struct.pack("<Q", btaddr)))
                 break
-    fd = os.open(path, os.O_WRONLY)
+    fd = os.open(path, os.O_RDWR)  # RDWR: the EOF patch preads the sb
     try:
         os.pwrite(fd, bytes(out), eof)  # chunks + B-trees first
         for off, data in patches:  # then publish the new B-trees
             os.pwrite(fd, data, off)
+        # libhdf5/h5py validate the superblock end-of-file address and
+        # refuse to read past it — keep it equal to the real size so
+        # grown files stay readable by real HDF5 tooling.
+        _patch_superblock_eof(fd, eof + len(out))
     finally:
         os.close(fd)
+
+
+def _patch_superblock_eof(fd: int, new_eof: int) -> None:
+    """pwrite the superblock's end-of-file address field. v0 stores it
+    at byte 40 (plain field); v2/v3 store it at byte 28 inside the
+    checksummed 48-byte superblock, so those also need the trailing
+    lookup3 recomputed over bytes 0..43."""
+    import os
+
+    head = bytearray(os.pread(fd, 48, 0))
+    if bytes(head[:8]) != _SIG:
+        raise ValueError("superblock signature missing — refusing to patch")
+    sb_ver = head[8]
+    if sb_ver == 0:
+        os.pwrite(fd, struct.pack("<Q", new_eof), 40)
+    elif sb_ver in (2, 3):
+        struct.pack_into("<Q", head, 28, new_eof)
+        struct.pack_into("<I", head, 44, lookup3(bytes(head[:44])))
+        os.pwrite(fd, bytes(head[28:48]), 28)
+    else:
+        raise ValueError(f"superblock v{sb_ver} not supported")
 
 
 def append_records_nc4(

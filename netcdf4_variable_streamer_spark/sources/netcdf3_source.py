@@ -533,6 +533,16 @@ class NetCDF3DirStreamReader(SimpleDataSourceStreamReader):
             p = os.path.join(self.path, f)
             n = NetCDF3File(p).numrecs
             lo = start["counts"][i] if i < len(start["counts"]) else 0
+            if i < len(start["files"]) - 1 and n != lo:
+                # enforce, not just assume, the freeze invariant: a
+                # member that already had a successor at pin time has
+                # its final count pinned — growth now would re-issue
+                # global indexes already assigned to later members
+                raise ValueError(
+                    f"{self.path}/{f}: frozen member grew "
+                    f"({lo} -> {n} records) — the freeze invariant is "
+                    "violated; only the newest archive member may grow"
+                )
             rows.extend(_stream_rows(p, self.columns, lo, n, base))
             counts.append(n)
             base += n

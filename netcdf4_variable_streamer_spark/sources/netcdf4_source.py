@@ -395,6 +395,15 @@ class NetCDF4DirStreamReader(SimpleDataSourceStreamReader):
             p = os.path.join(self.path, f)
             n = NetCDF4View(p).numrecs
             lo = start["counts"][i] if i < len(start["counts"]) else 0
+            if i < len(start["files"]) - 1 and n != lo:
+                # enforce the freeze invariant (see the classic dir
+                # reader): a member with a pinned successor must not
+                # change its record count
+                raise ValueError(
+                    f"{self.path}/{f}: frozen member grew "
+                    f"({lo} -> {n} records) — the freeze invariant is "
+                    "violated; only the newest archive member may grow"
+                )
             rows.extend(_stream_rows4(p, self.columns, lo, n, base))
             counts.append(n)
             base += n

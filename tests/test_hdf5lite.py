@@ -980,6 +980,73 @@ def test_nc4_tail_grows_past_capacity(tmp_path):
     np.testing.assert_array_equal(
         v.read_records("v", 5, 20), np.vstack(all_v)[5:20]
     )
+    # the superblock end-of-file address must track growth — libhdf5
+    # validates it and refuses reads past the stored EOA, so a stale
+    # value makes grown files unreadable by real HDF5 tools
+    with open(path, "rb") as f:
+        sb = f.read(48)
+    stored_eof = struct.unpack_from("<Q", sb, 40)[0]
+    assert stored_eof == os.path.getsize(path)
+
+
+def test_patch_superblock_eof_latest(tmp_path):
+    """_patch_superblock_eof on a v2/v3 superblock rewrites the EOF
+    field AND the trailing lookup3 checksum (the reader validates it)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _patch_superblock_eof,
+    )
+
+    path = os.path.join(tmp_path, "latest.h5")
+    write_hdf5(path, {"v": np.arange(4, dtype=np.int32)}, libver="latest")
+    size = os.path.getsize(path)
+    fd = os.open(path, os.O_RDWR)
+    try:
+        _patch_superblock_eof(fd, size + 128)
+    finally:
+        os.close(fd)
+    with open(path, "ab") as f:
+        f.write(b"\x00" * 128)
+    with open(path, "rb") as f:
+        sb = f.read(48)
+    assert struct.unpack_from("<Q", sb, 28)[0] == size + 128
+    # checksum must still validate — HDF5File re-verifies it on open
+    h = HDF5File(path)
+    np.testing.assert_array_equal(
+        h.read("v"), np.arange(4, dtype=np.int32)
+    )
+
+
+def test_dense_links_sorted_by_numeric_hash(tmp_path):
+    """The v2 B-tree name index orders type-5 link records by NUMERIC
+    lookup3 hash (libhdf5's comparator for binary search), not by the
+    lexicographic order of the packed little-endian hash bytes."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _write_dense_links,
+        lookup3,
+    )
+
+    names = [f"v{i:02d}" for i in range(20)]
+    # precondition: byte-lexicographic and numeric orders genuinely
+    # differ for this name set, else the assertion below is vacuous
+    packed = sorted(struct.pack("<I", lookup3(n.encode())) for n in names)
+    numeric = sorted(lookup3(n.encode()) for n in names)
+    assert [struct.unpack("<I", p)[0] for p in packed] != numeric
+
+    out = bytearray()
+    children = {n: 64 + 16 * i for i, n in enumerate(names)}
+    _fh, bt2_addr = _write_dense_links(out, children)
+    # parse the one-leaf BTLF: header at bt2_addr is 38-byte BTHD,
+    # leaf = "BTLF" + ver + rtype + records
+    rec_size = struct.unpack_from("<H", out, bt2_addr + 10)[0]
+    nrec = struct.unpack_from("<H", out, bt2_addr + 24)[0]
+    leaf = bt2_addr + 38  # BTHD is 34 bytes + 4-byte checksum
+    assert bytes(out[leaf : leaf + 4]) == b"BTLF"
+    base = leaf + 6  # skip BTLF sig(4)+ver(1)+rtype(1)
+    hashes = [
+        struct.unpack_from("<I", out, base + i * rec_size)[0]
+        for i in range(nrec)
+    ]
+    assert hashes == sorted(hashes) == numeric
 
 
 def test_dense_link_group_roundtrip(tmp_path):
@@ -1391,3 +1458,8 @@ def test_nc4_dir_tail_stream_protocol(tmp_path):
     assert sorted(sr.readBetweenOffsets(sr.initialOffset(), off1)) == sorted(
         rows1
     )
+    # freeze invariant is ENFORCED: a pinned non-last member must not
+    # grow (its new records would collide with part-1's global indexes)
+    append_records_nc4(p0, {"v": np.array([[9.0, 9.0]])})
+    with pytest.raises(ValueError, match="frozen member grew"):
+        sr.read(off2)

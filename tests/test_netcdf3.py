@@ -772,6 +772,15 @@ def test_dir_tail_stream_protocol(tmp_path):
     assert sorted(sr.readBetweenOffsets(off0, off1)) == sorted(rows1)
     rows3, off3 = sr.read(off2)
     assert rows3 == [] and off3 == off2  # idle batch: no rows, same offset
+    # freeze invariant is ENFORCED, not assumed: a member that already
+    # had a pinned successor must not grow — its new records would be
+    # assigned global indexes that collide with part-1's
+    append_records(
+        os.path.join(d, "part-0.nc"),
+        {"v": np.array([[9, 9]], dtype=np.int32)},
+    )
+    with pytest.raises(ValueError, match="frozen member grew"):
+        sr.read(off2)
 
 
 def test_src_netcdf3_dir_tail_oracle(check):
