@@ -88,6 +88,8 @@ CANONICAL_ORDER: list[str] = [
     "q_win_rolling_median",
     "q_win_running_distinct",
     "q_win_sliding_distinct",
+    # -- round-6 additions (never driver-checked — inside the window) --
+    "src_netcdf_char_scan",
     # -- 21+: driver-green keys, oldest driver check first (r1-era
     #    q_fn_*/setops block re-enters the window for a freshness re-proof;
     #    later-round greens follow in check-recency order). --

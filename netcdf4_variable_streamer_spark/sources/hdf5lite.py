@@ -103,7 +103,13 @@ _FLOAT = {  # np dtype name -> (size, sign_pos, exp_pos, exp_sz, mant_sz, bias)
 
 
 def _dt_body(dtype: np.dtype) -> bytes:
-    """Datatype message body for a numeric numpy dtype (unpadded)."""
+    """Datatype message body for a numeric or fixed-string numpy
+    dtype (unpadded)."""
+    if dtype.kind == "S":
+        # NC_CHAR convention (netcdf-c): H5T_C_S1-style fixed string;
+        # S1 per cell with the char dim explicit, or Sn for plain HDF5
+        # fixed-string datasets
+        return _dt_string(dtype.itemsize)
     name = dtype.name
     if name in _FIXED:
         size, signed = _FIXED[name]
@@ -1631,10 +1637,11 @@ class HDF5File:
                 shape, maxshape = self._parse_dataspace(body)
             elif t == 0x0003:
                 dtype = _parse_dt(body)
+                if isinstance(dtype, str):  # fixed string "S<n>"
+                    dtype = np.dtype(dtype)
                 if not isinstance(dtype, np.dtype):
                     raise ValueError(
-                        f"{name}: string/vlen/reference datasets not "
-                        "supported"
+                        f"{name}: vlen/reference datasets not supported"
                     )
             elif t == 0x0008:
                 ver, cls = body[0], body[1]

@@ -77,6 +77,7 @@ _NC_TO_NP = {
     NC_UINT64: np.dtype(">u8"),
 }
 _NP_TO_NC = {
+    "S1": NC_CHAR,  # text: one char per cell, last dim = string length
     "int8": NC_BYTE,
     "int16": NC_SHORT,
     "int32": NC_INT,

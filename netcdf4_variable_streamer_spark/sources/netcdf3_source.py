@@ -208,6 +208,46 @@ _NC_SPARK = {
     10: ("long", "i8"),  # NC_INT64
     11: ("decimal(20,0)", "u8"),  # NC_UINT64 (exact, SURVEY §1.2)
 }
+_NC_SPARK[2] = ("string", "S1")  # NC_CHAR: trailing char dim -> string
+
+NC_CHAR = 2
+
+
+def _eff_shape(v) -> tuple:
+    """Per-record cell shape with a char variable's trailing
+    string-length dimension collapsed (SURVEY §1.2 row S1: char arrays
+    surface as StringType; the last char dim becomes the string
+    length — the netCDF convention for text data)."""
+    if v.nc_type == NC_CHAR and v.shape:
+        return v.shape[:-1]
+    return v.shape
+
+
+def _eff_fixed_dimids(v) -> tuple:
+    """Fixed (non-record) dimids that survive the char collapse."""
+    ids = v.dimids[1:]
+    if v.nc_type == NC_CHAR and ids:
+        return ids[:-1]
+    return ids
+
+
+def _char_strings(block: np.ndarray, strlen: int) -> list:
+    """An S1 block whose last axis is the char dim -> python strings.
+    Trailing NULs are the classic format's text padding; the S-dtype
+    tolist conversion strips them (netCDF4-python's chartostring
+    semantics)."""
+    n_cells = (
+        int(block.size // strlen)
+        if strlen
+        else int(np.prod(block.shape[:-1], dtype=np.int64))
+    )
+    if strlen == 0:
+        return [""] * n_cells
+    flat = np.ascontiguousarray(block).reshape(n_cells, strlen)
+    return [
+        b.decode("utf-8", "replace")
+        for b in flat.view(f"S{strlen}").ravel().tolist()
+    ]
 
 
 @dataclass
@@ -222,7 +262,9 @@ def _record_vars(nc: NetCDF3File) -> list:
     rvs = [v for v in nc.variables.values() if v.is_record]
     if not rvs:
         raise ValueError(f"{nc.path}: no record variables to stream")
-    shapes = {v.shape for v in rvs}
+    # char variables' trailing string-length dim collapses into the
+    # string value, so only the EFFECTIVE per-record shapes must agree
+    shapes = {_eff_shape(v) for v in rvs}
     if len(shapes) > 1:
         raise ValueError(
             f"record variables disagree on per-record shape: {shapes}"
@@ -233,7 +275,7 @@ def _record_vars(nc: NetCDF3File) -> list:
 def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
     rvs = _record_vars(nc)
     dim_names = list(nc.dims)
-    fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
+    fixed = [dim_names[d] for d in _eff_fixed_dimids(rvs[0])]
     parts = [f"{nc.record_dim}_idx long"]
     parts += [f"{d}_idx int" for d in fixed]
     for v in rvs:
@@ -242,7 +284,11 @@ def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
                 f"{nc.path}: variable {v.name} has NetCDF type "
                 f"{v.nc_type} with no Spark mapping"
             )
-        if decode_cf_time and _cf_time(v) is not None:
+        if (
+            decode_cf_time
+            and v.nc_type != NC_CHAR
+            and _cf_time(v) is not None
+        ):
             # timestamp_ntz: CF times are calendar-naive UTC — no
             # session-timezone reinterpretation on foreign sessions
             parts.append(f"{v.name} timestamp_ntz")
@@ -362,8 +408,8 @@ class NetCDF3Reader(DataSourceReader):
         nc = NetCDF3File(partition.path)
         rvs = _record_vars(nc)
         dim_names = list(nc.dims)
-        fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
-        shape = rvs[0].shape
+        fixed = [dim_names[d] for d in _eff_fixed_dimids(rvs[0])]
+        shape = _eff_shape(rvs[0])
         cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
         n = partition.hi - partition.lo
         wanted = set(self.columns)  # column pruning: build only read schema
@@ -384,6 +430,13 @@ class NetCDF3Reader(DataSourceReader):
             if v.name not in wanted:
                 continue  # pruned variable: its bytes are never touched
             block = nc.read_records(v.name, partition.lo, partition.hi)
+            if v.nc_type == NC_CHAR:
+                # char matrix -> strings (no _FillValue masking: the
+                # padding convention for text is trailing NULs, already
+                # stripped by the conversion)
+                strlen = v.shape[-1] if v.shape else 1
+                arrays[v.name] = _char_strings(block, strlen)
+                continue
             flat = block.reshape(-1)
             fv = _fill_value(v)
             if fv is not None:
@@ -461,8 +514,8 @@ def _stream_rows(path: str, columns, lo: int, hi: int, base: int = 0):
     nc = NetCDF3File(path)
     rvs = _record_vars(nc)
     dim_names = list(nc.dims)
-    fixed = [dim_names[d] for d in rvs[0].dimids[1:]]
-    shape = rvs[0].shape
+    fixed = [dim_names[d] for d in _eff_fixed_dimids(rvs[0])]
+    shape = _eff_shape(rvs[0])
     cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
     n = hi - lo
     cols: dict[str, np.ndarray] = {
@@ -475,6 +528,12 @@ def _stream_rows(path: str, columns, lo: int, hi: int, base: int = 0):
         for i, d in enumerate(fixed):
             cols[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
     for v in rvs:
+        if v.nc_type == NC_CHAR:
+            cols[v.name] = _char_strings(
+                nc.read_records(v.name, lo, hi),
+                v.shape[-1] if v.shape else 1,
+            )
+            continue
         flat = nc.read_records(v.name, lo, hi).reshape(-1)
         fv = _fill_value(v)
         vals = flat.astype(

@@ -94,6 +94,37 @@ def _np_key(dtype: np.dtype) -> str:
     return f"{dtype.kind}{dtype.itemsize}"
 
 
+def _eff_shape4(x) -> tuple:
+    """Per-record cell shape with the char collapse applied: an S1
+    variable's trailing explicit char dim (netcdf-c's NC_CHAR layout)
+    folds into the string value; an S<n> fixed-string dataset already
+    carries its length in the dtype."""
+    if x.dtype.kind == "S" and x.dtype.itemsize == 1 and x.shape:
+        return x.shape[:-1]
+    return x.shape
+
+
+def _eff_fixed_dims4(x) -> tuple:
+    dims = x.dims[1:]
+    if x.dtype.kind == "S" and x.dtype.itemsize == 1 and dims:
+        return dims[:-1]
+    return dims
+
+
+def _nc4_strings(block: np.ndarray, x) -> list:
+    """A fixed-string block -> python strings (both encodings: S1 with
+    an explicit char dim, or S<n> element dtype)."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _char_strings,
+    )
+
+    if x.dtype.itemsize == 1:
+        return _char_strings(block, x.shape[-1] if x.shape else 1)
+    return [
+        b.decode("utf-8", "replace") for b in block.reshape(-1).tolist()
+    ]
+
+
 @dataclass
 class NC4RangePartition(InputPartition):
     path: str
@@ -106,7 +137,9 @@ def _record_vars(v: NetCDF4View) -> list:
     rvs = [x for x in v.variables.values() if x.is_record]
     if not rvs:
         raise ValueError(f"{v.path}: no record variables to stream")
-    shapes = {x.shape for x in rvs}
+    # only EFFECTIVE per-record shapes must agree — a char variable's
+    # trailing string-length dim collapses into the string value
+    shapes = {_eff_shape4(x) for x in rvs}
     if len(shapes) > 1:
         raise ValueError(
             f"record variables disagree on per-record shape: {shapes}"
@@ -116,10 +149,13 @@ def _record_vars(v: NetCDF4View) -> list:
 
 def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
     rvs = _record_vars(v)
-    fixed = rvs[0].dims[1:]
+    fixed = _eff_fixed_dims4(rvs[0])
     parts = [f"{v.record_dim}_idx long"]
     parts += [f"{d}_idx int" for d in fixed]
     for x in rvs:
+        if x.dtype.kind == "S":
+            parts.append(f"{x.name} string")
+            continue
         key = _np_key(x.dtype)
         if key not in _NP_SPARK:
             raise ValueError(
@@ -238,8 +274,8 @@ class NetCDF4Reader(DataSourceReader):
             return
         v = NetCDF4View(partition.path)
         rvs = _record_vars(v)
-        fixed = rvs[0].dims[1:]
-        shape = rvs[0].shape
+        fixed = _eff_fixed_dims4(rvs[0])
+        shape = _eff_shape4(rvs[0])
         cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
         n = partition.hi - partition.lo
         wanted = set(self.columns)
@@ -259,6 +295,11 @@ class NetCDF4Reader(DataSourceReader):
         for x in rvs:
             if x.name not in wanted:
                 continue  # pruned: its chunks are never read
+            if x.dtype.kind == "S":
+                arrays[x.name] = _nc4_strings(
+                    v.read_records(x.name, partition.lo, partition.hi), x
+                )
+                continue
             flat = v.read_records(x.name, partition.lo, partition.hi).reshape(
                 -1
             )
@@ -325,8 +366,8 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
         return []
     v = NetCDF4View(path)
     rvs = _record_vars(v)
-    fixed = rvs[0].dims[1:]
-    shape = rvs[0].shape
+    fixed = _eff_fixed_dims4(rvs[0])
+    shape = _eff_shape4(rvs[0])
     cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
     n = hi - lo
     cols: dict = {
@@ -341,6 +382,9 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
                 grids[i].astype(np.int32), n
             ).tolist()
     for x in rvs:
+        if x.dtype.kind == "S":
+            cols[x.name] = _nc4_strings(v.read_records(x.name, lo, hi), x)
+            continue
         flat = v.read_records(x.name, lo, hi).reshape(-1)
         fv = x.attrs.get("_FillValue")
         vals = flat.astype(

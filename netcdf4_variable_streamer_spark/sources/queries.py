@@ -1861,3 +1861,127 @@ def src_netcdf4_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("temperature").cast("double")).alias("sum_temp"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+def ensure_char_fixture(suffix: str, t_total: int = 64) -> str:
+    """A text (NC_CHAR) record variable next to a numeric one, in
+    either container: ``label(t, y, s)`` is an S1 char matrix whose
+    trailing 8-char dim collapses into a StringType column (SURVEY
+    §1.2 row S1 — the station-name pattern ubiquitous in real .nc
+    files). Content is closed-form ``'g{t%%7}-{y:02d}' + 'x'*(t%%3)``
+    (variable lengths exercise the trailing-NUL padding), value
+    ``v = ((t*3)%%17)*0.5 + y*0.25`` is dyadic-exact in float32."""
+    import numpy as np
+
+    path = os.path.join(SCRATCH, f"chars_{t_total}{suffix}")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_y, n_s = 8, 8
+    lab = np.zeros((t_total, n_y, n_s), dtype="S1")
+    for t in range(t_total):
+        for y in range(n_y):
+            b = (f"g{t % 7}-{y:02d}" + "x" * (t % 3)).encode()
+            lab[t, y, : len(b)] = np.frombuffer(b, dtype="S1")
+    v = (
+        ((np.arange(t_total) * 3) % 17)[:, None] * 0.5
+        + np.arange(n_y)[None, :] * 0.25
+    ).astype(np.float32)
+    dims = {"t": None, "y": n_y, "s": n_s}
+    variables = {
+        "v": ("float32", ("t", "y")),
+        "label": ("S1", ("t", "y", "s")),
+    }
+    data = {"v": v, "label": lab}
+    tmp = path + ".tmp"
+    if suffix == ".nc":
+        from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+            write_netcdf3,
+        )
+
+        write_netcdf3(tmp, dims, variables, data)
+    else:
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            write_netcdf4,
+        )
+
+        # netcdf-c's NC_CHAR layout: H5T_C_S1 elements with the char
+        # dim explicit in the dataspace (the scan collapses it)
+        write_netcdf4(tmp, dims, variables, data)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf_char_scan",
+    oracle=f"""
+WITH s AS (
+  SELECT tt.t AS t, yy.y AS y,
+         CAST(CAST(((tt.t * 3) % 17) * 0.5
+                   + yy.y * 0.25 AS FLOAT) AS DOUBLE) AS v,
+         printf('g%d-%02d', tt.t % 7, yy.y)
+           || repeat('x', CAST(tt.t % 3 AS INT)) AS label
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS y) yy
+  WHERE tt.t >= 8 AND tt.t < 56
+),
+a AS (
+  SELECT label, COUNT(*) AS n_cells, {SQL_DSUM('v')} AS sum_v
+  FROM s GROUP BY label
+)
+SELECT container, label, n_cells, sum_v FROM (
+  SELECT 'classic' AS container, label, n_cells, sum_v FROM a
+  UNION ALL
+  SELECT 'nc4' AS container, label, n_cells, sum_v FROM a
+) u
+ORDER BY container, label
+""",
+    doc="NC_CHAR → StringType scan (SURVEY §1.2 row S1, VERDICT r5 "
+        "'Next round' #2 — the last open type row): a char matrix "
+        "variable label(t, y, s8) in BOTH real containers (classic "
+        "and NetCDF-4/HDF5, the latter in netcdf-c's S1-with-explicit-"
+        "char-dim layout) scans as a string column — the trailing "
+        "char dim collapses into the value, trailing-NUL padding "
+        "stripped (chartostring semantics). Grouping BY the decoded "
+        "strings makes any padding slip, offset error, or dim "
+        "mis-collapse change the group count and hash-mismatch; the "
+        "record-range pushdown on t_idx still applies (the string "
+        "column rides the same record-range partitions).",
+)
+def src_netcdf_char_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    spark.dataSource.register(NetCDF4DataSource)
+    parts = []
+    for container, fmt, suffix in (
+        ("classic", FORMAT3_NAME, ".nc"),
+        ("nc4", FORMAT4_NAME, ".nc4"),
+    ):
+        df = (
+            spark.read.format(fmt)
+            .option("path", ensure_char_fixture(suffix))
+            .load()
+            .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                dsum(F.col("v").cast("double")).alias("sum_v"),
+            )
+            .select(
+                F.lit(container).alias("container"),
+                "label",
+                "n_cells",
+                "sum_v",
+            )
+        )
+        parts.append(df)
+    return parts[0].unionAll(parts[1]).orderBy("container", "label")

@@ -1463,3 +1463,58 @@ def test_nc4_dir_tail_stream_protocol(tmp_path):
     append_records_nc4(p0, {"v": np.array([[9.0, 9.0]])})
     with pytest.raises(ValueError, match="frozen member grew"):
         sr.read(off2)
+
+
+def test_fixed_string_dataset_roundtrip(tmp_path):
+    """Fixed-length string (class 3) datasets round-trip in both
+    libvers: S<n> element dtype — the plain-HDF5 encoding a foreign
+    tool writes."""
+    names = np.array(
+        [b"alpha", b"bee", b"c", b"delta-xx"], dtype="S8"
+    )
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"str_{libver}.h5")
+        write_hdf5(p, {"names": names}, libver=libver)
+        h = HDF5File(p)
+        assert h.datasets["names"].dtype == np.dtype("S8")
+        np.testing.assert_array_equal(h.read("names"), names)
+
+
+def test_nc4_char_variable_scan(tmp_path):
+    """netcdf-c's NC_CHAR layout (S1 elements + explicit char dim)
+    surfaces as a StringType column through the NetCDF-4 scan helpers;
+    the char dim does not become an index column."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        _spark_schema,
+        _stream_rows4,
+    )
+
+    p = os.path.join(tmp_path, "chars.nc4")
+    lab = np.zeros((3, 2, 6), dtype="S1")
+    texts = {}
+    for t in range(3):
+        for y in range(2):
+            s = f"n{t}{y}" + "q" * t
+            texts[(t, y)] = s
+            lab[t, y, : len(s)] = np.frombuffer(s.encode(), dtype="S1")
+    v = np.arange(6, dtype=np.float64).reshape(3, 2)
+    write_netcdf4(
+        p,
+        dims={"t": None, "y": 2, "s": 6},
+        variables={
+            "v": ("float64", ("t", "y")),
+            "label": ("S1", ("t", "y", "s")),
+        },
+        data={"v": v, "label": lab},
+    )
+    view = NetCDF4View(p)
+    schema = _spark_schema(view)
+    assert "label string" in schema and "s_idx" not in schema
+    rows = _stream_rows4(p, ["t_idx", "y_idx", "v", "label"], 0, 3)
+    assert len(rows) == 6
+    for t_idx, y_idx, vv, label in rows:
+        assert label == texts[(t_idx, y_idx)]
+        assert vv == v[t_idx, y_idx]

@@ -786,3 +786,79 @@ def test_dir_tail_stream_protocol(tmp_path):
 def test_src_netcdf3_dir_tail_oracle(check):
     pdf = check("src_netcdf3_dir_tail")
     assert len(pdf) == 128  # all three members drained
+
+
+def test_char_variable_roundtrip(tmp_path):
+    """NC_CHAR record variable (SURVEY §1.2 row S1): the trailing char
+    dim collapses into a StringType value, trailing-NUL padding
+    stripped; the numeric sibling is unaffected."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _spark_schema,
+        _stream_rows,
+    )
+
+    p = os.path.join(tmp_path, "chars.nc")
+    lab = np.zeros((4, 2, 6), dtype="S1")
+    texts = {}
+    for t in range(4):
+        for y in range(2):
+            s = f"r{t}c{y}" + "z" * (t % 3)  # lengths 4..6
+            texts[(t, y)] = s
+            lab[t, y, : len(s)] = np.frombuffer(s.encode(), dtype="S1")
+    v = np.arange(8, dtype=np.float32).reshape(4, 2)
+    write_netcdf3(
+        p,
+        dims={"t": None, "y": 2, "s": 6},
+        variables={
+            "v": ("float32", ("t", "y")),
+            "label": ("S1", ("t", "y", "s")),
+        },
+        data={"v": v, "label": lab},
+    )
+    nc = NetCDF3File(p)
+    assert nc.variables["label"].nc_type == 2
+    # schema: the char dim does NOT surface as an s_idx column
+    assert _spark_schema(nc) == (
+        "t_idx long, y_idx int, v float, label string"
+    )
+    rows = _stream_rows(p, ["t_idx", "y_idx", "v", "label"], 0, 4)
+    assert len(rows) == 8
+    for t_idx, y_idx, vv, label in rows:
+        assert label == texts[(t_idx, y_idx)]
+        assert vv == v[t_idx, y_idx]
+
+
+def test_char_only_record_variable(tmp_path):
+    """A char-only record variable msg(t, s): effective per-record
+    shape is scalar — one string per record, no index columns beyond
+    t_idx."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _spark_schema,
+        _stream_rows,
+    )
+
+    p = os.path.join(tmp_path, "msgs.nc")
+    msgs = ["alpha", "b", "ccc"]
+    lab = np.zeros((3, 8), dtype="S1")
+    for i, s in enumerate(msgs):
+        lab[i, : len(s)] = np.frombuffer(s.encode(), dtype="S1")
+    write_netcdf3(
+        p,
+        dims={"t": None, "s": 8},
+        variables={"msg": ("S1", ("t", "s"))},
+        data={"msg": lab},
+    )
+    nc = NetCDF3File(p)
+    assert _spark_schema(nc) == "t_idx long, msg string"
+    rows = _stream_rows(p, ["t_idx", "msg"], 0, 3)
+    assert rows == [(0, "alpha"), (1, "b"), (2, "ccc")]
+
+
+def test_src_netcdf_char_scan_oracle(check):
+    pdf = check("src_netcdf_char_scan")
+    # both containers agree group-for-group
+    assert len(pdf) % 2 == 0
+    half = len(pdf) // 2
+    classic = pdf[pdf.container == "classic"].drop(columns="container")
+    nc4 = pdf[pdf.container == "nc4"].drop(columns="container")
+    assert len(classic) == len(nc4) == half
