@@ -47,83 +47,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-6 rotation (VERDICT r5 "Next round" #1): r5 went 50/50 green,
-# leaving 0 failed and exactly 20 never-driver-checked keys (the 6
-# round-5 additions + 14 r2-era keys). Slots 1-20 take all 20, closing
-# the board — after this window EVERY registry key has a driver row.
-# New round-6 keys are inserted right after them (still inside the
-# window); the green remainder of the window re-proves the
-# longest-unchecked r1-era q_fn_*/setops block, and the rest of the
-# order is green keys oldest-check-first so future rotations keep
-# cycling stale proofs back through.
+# Round-7 rotation (VERDICT r6 "Next round" #2): all 225 keys now have
+# a driver row and all are green at latest check, so there are no
+# failures and no never-checked keys. The whole order is simply green
+# keys stalest-proof-first: the 45 keys whose latest driver evidence is
+# r02 (the q_win_*/q_udf_*/q_stream_*/q_join_*/q_agg_* block) fill
+# slots 1-45, the first five r03 keys complete the window, and the rest
+# follow in latest-check order (r03, r04, r05, r06). New round-7 keys
+# are inserted at the very top as they land so they enter the window.
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 6
+WINDOW_ROUND = 7
 
 CANONICAL_ORDER: list[str] = [
-    # -- 1-20: the 20 never-driver-checked keys (VERDICT r5 next-round #1:
-    #    6 round-5 additions + 14 r2-era keys; judge-verified MATCH locally,
-    #    rotated in for hard driver evidence). New round-6 keys are inserted
-    #    immediately after this block so they enter the same window. --
-    "src_netcdf_uint64_scan",
-    "src_netcdf3_cf_cal_scan",
-    "q_emb_matryoshka",
-    "q_emb_centroids",
-    "src_netcdf4_multifile_scan",
-    "src_netcdf3_dir_tail",
-    "q_fn_datetime_advanced",
-    "q_funnel_attribution_decay",
-    "q_geo_grid_knn",
-    "q_graph_label_prop",
-    "q_join_asof_nearest",
-    "q_ml_decision_stump",
-    "q_ols_by_group",
-    "q_privacy_k_anonymity",
-    "q_time_anomaly_spc",
-    "q_win_ewma_dyadic",
-    "q_win_longest_streak",
-    "q_win_rolling_median",
-    "q_win_running_distinct",
-    "q_win_sliding_distinct",
-    # -- round-6 additions (never driver-checked — inside the window) --
-    "src_netcdf_char_scan",
-    # -- 21+: driver-green keys, oldest driver check first (r1-era
-    #    q_fn_*/setops block re-enters the window for a freshness re-proof;
-    #    later-round greens follow in check-recency order). --
-    # last driver check: r1
-    "q_join_cross",
-    "q_sort_multikey_nulls",
-    "q_topk_global",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    "q_fn_map",
-    "q_fn_json",
-    "q_multimodal_bundle",
-    "q_pivot_lang_source",
-    "q_agg_percentiles",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embed_cosine",
-    "q_dedup_cc_clusters",
-    "q_join_range_bucketed",
-    "q_sim_knn_blocked",
-    "q_fn_variant",
-    "q_multimodal_features",
+    # -- round-7 additions (never driver-checked) are inserted at the
+    #    very top as they land, so they enter the window first. --
+    # -- window: the 45 keys whose latest driver evidence is r02 (the
+    #    oldest proof in the fleet — VERDICT r6 next-round #2), then the
+    #    first r03 keys to fill 50. --
     # last driver check: r2
-    "src_parquet_scan",
-    "src_netcdf_chunked_scan",
-    "src_netcdf_stream_tail",
-    "snk_chunked_write",
-    "q_filter_hyperslab",
     "q_win_rank_topk_group",
     "q_win_running_sum",
     "q_win_sliding_frame",
@@ -302,6 +247,57 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_string_agg",
     "q_basket_pairs",
     "q_fn_bitwise",
+    # last driver check: r6
+    "src_netcdf_uint64_scan",
+    "src_netcdf3_cf_cal_scan",
+    "q_emb_matryoshka",
+    "q_emb_centroids",
+    "src_netcdf4_multifile_scan",
+    "src_netcdf3_dir_tail",
+    "q_fn_datetime_advanced",
+    "q_funnel_attribution_decay",
+    "q_geo_grid_knn",
+    "q_graph_label_prop",
+    "q_join_asof_nearest",
+    "q_ml_decision_stump",
+    "q_ols_by_group",
+    "q_privacy_k_anonymity",
+    "q_time_anomaly_spc",
+    "q_win_ewma_dyadic",
+    "q_win_longest_streak",
+    "q_win_rolling_median",
+    "q_win_running_distinct",
+    "q_win_sliding_distinct",
+    "src_netcdf_char_scan",
+    "q_join_cross",
+    "q_sort_multikey_nulls",
+    "q_topk_global",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_map",
+    "q_fn_json",
+    "q_multimodal_bundle",
+    "q_pivot_lang_source",
+    "q_agg_percentiles",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embed_cosine",
+    "q_dedup_cc_clusters",
+    "q_join_range_bucketed",
+    "q_sim_knn_blocked",
+    "q_fn_variant",
+    "q_multimodal_features",
+    "src_parquet_scan",
+    "src_netcdf_chunked_scan",
+    "src_netcdf_stream_tail",
+    "snk_chunked_write",
+    "q_filter_hyperslab",
 ]
 
 

@@ -597,10 +597,19 @@ class NetCDF3DirStreamReader(SimpleDataSourceStreamReader):
                 # member that already had a successor at pin time has
                 # its final count pinned — growth now would re-issue
                 # global indexes already assigned to later members
+                verb = "grew" if n > lo else "shrank"
                 raise ValueError(
-                    f"{self.path}/{f}: frozen member grew "
+                    f"{self.path}/{f}: frozen member {verb} "
                     f"({lo} -> {n} records) — the freeze invariant is "
                     "violated; only the newest archive member may grow"
+                )
+            if n < lo:
+                # the newest pinned member may grow but never shrink:
+                # lo > hi would silently replay an empty/invalid range
+                raise ValueError(
+                    f"{self.path}/{f}: pinned member shrank "
+                    f"({lo} -> {n} records) — records already issued "
+                    "to the stream were truncated or replaced"
                 )
             rows.extend(_stream_rows(p, self.columns, lo, n, base))
             counts.append(n)

@@ -443,10 +443,19 @@ class NetCDF4DirStreamReader(SimpleDataSourceStreamReader):
                 # enforce the freeze invariant (see the classic dir
                 # reader): a member with a pinned successor must not
                 # change its record count
+                verb = "grew" if n > lo else "shrank"
                 raise ValueError(
-                    f"{self.path}/{f}: frozen member grew "
+                    f"{self.path}/{f}: frozen member {verb} "
                     f"({lo} -> {n} records) — the freeze invariant is "
                     "violated; only the newest archive member may grow"
+                )
+            if n < lo:
+                # the newest pinned member may grow but never shrink:
+                # lo > hi would silently replay an empty/invalid range
+                raise ValueError(
+                    f"{self.path}/{f}: pinned member shrank "
+                    f"({lo} -> {n} records) — records already issued "
+                    "to the stream were truncated or replaced"
                 )
             rows.extend(_stream_rows4(p, self.columns, lo, n, base))
             counts.append(n)

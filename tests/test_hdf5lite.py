@@ -1463,6 +1463,15 @@ def test_nc4_dir_tail_stream_protocol(tmp_path):
     append_records_nc4(p0, {"v": np.array([[9.0, 9.0]])})
     with pytest.raises(ValueError, match="frozen member grew"):
         sr.read(off2)
+    # shrink of a frozen member is named as such, and a shrink of the
+    # newest pinned member is rejected rather than streaming lo > hi
+    mk(0, 2)
+    with pytest.raises(ValueError, match="frozen member shrank"):
+        sr.read(off2)
+    mk(0, 4)
+    mk(1, 1)
+    with pytest.raises(ValueError, match="pinned member shrank"):
+        sr.read(off2)
 
 
 def test_fixed_string_dataset_roundtrip(tmp_path):

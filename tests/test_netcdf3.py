@@ -781,6 +781,17 @@ def test_dir_tail_stream_protocol(tmp_path):
     )
     with pytest.raises(ValueError, match="frozen member grew"):
         sr.read(off2)
+    # ...and must not SHRINK either (truncation/replacement): the
+    # error names the actual direction, not a misleading "grew"
+    mk(0, 2)
+    with pytest.raises(ValueError, match="frozen member shrank"):
+        sr.read(off2)
+    # the newest pinned member may grow but a shrink below its pinned
+    # count is rejected instead of silently streaming lo > hi
+    mk(0, 4)
+    mk(1, 1)
+    with pytest.raises(ValueError, match="pinned member shrank"):
+        sr.read(off2)
 
 
 def test_src_netcdf3_dir_tail_oracle(check):
