@@ -65,6 +65,7 @@ WINDOW_ROUND = 7
 CANONICAL_ORDER: list[str] = [
     # -- round-7 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
+    "src_netcdf_string_scan",
     # -- window: the 45 keys whose latest driver evidence is r02 (the
     #    oldest proof in the fleet — VERDICT r6 next-round #2), then the
     #    first r03 keys to fill 50. --

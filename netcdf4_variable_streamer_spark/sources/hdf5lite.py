@@ -133,6 +133,25 @@ def _dt_string(nbytes: int) -> bytes:
     return struct.pack("<B3BI", 0x13, 0, 0, 0, nbytes)
 
 
+# On-disk element of a variable-length dataset: 4-byte payload length +
+# 8-byte global heap collection ("GCOL") address + 4-byte object index.
+# Carrying vlen-string datasets through the layout machinery as this
+# 16-byte record dtype means every existing path (contiguous reads,
+# chunk B-trees/Fixed/Extensible Array indexes, shuffle+deflate on the
+# descriptor stream, slab pruning) works unchanged; only the final
+# descriptor -> str decode is vlen-specific.
+_VLEN_DESC_DT = np.dtype(
+    [("len", "<u4"), ("gaddr", "<u8"), ("gidx", "<u4")]
+)
+
+
+def _dt_vlen_str() -> bytes:
+    """Variable-length string datatype body (class 9, type variant 1 =
+    string, null-terminated ASCII/UTF-8 — netcdf-c's NC_STRING
+    encoding), base type a 1-byte string."""
+    return struct.pack("<B3BI", 0x19, 0x01, 0, 0, 16) + _dt_string(1)
+
+
 def _parse_dt(body: bytes) -> np.dtype | str | tuple:
     """Datatype body -> numpy dtype, 'S<n>' for fixed strings, or a
     marker tuple for classes carried only inside attributes:
@@ -156,7 +175,13 @@ def _parse_dt(body: bytes) -> np.dtype | str | tuple:
     if cls == 7:  # reference (object reference = file address)
         return ("ref", size)
     if cls == 9:  # variable-length of a base datatype
-        return ("vlen", _parse_dt(body[8:]))
+        base = _parse_dt(body[8:])
+        if (body[1] & 0x0F) == 1 or base == "S1":
+            # type variant 1 = vlen STRING (netcdf-c's NC_STRING);
+            # vlen-sequence-of-char is the same thing spelled by older
+            # writers
+            return ("vlen_str",)
+        return ("vlen", base)
     return ("other", cls)
 
 
@@ -532,11 +557,32 @@ def _write_dataset(
     """Append one dataset's data + object header; return header addr.
     ``resolve`` maps already-written dataset names to header addresses
     (consumed by :class:`VlenRef` attributes)."""
-    arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+    if arr.dtype == object or arr.dtype.kind == "U":
+        # vlen string dataset (NC_STRING): payload bytes live in one
+        # appended "GCOL" global heap collection; the dataset's raw
+        # data (contiguous or chunked, filtered or not) is the 16-byte
+        # descriptor stream pointing into it
+        payloads = [
+            ("" if s is None else str(s)).encode("utf-8")
+            for s in arr.reshape(-1).tolist()
+        ]
+        objs = b""
+        for i, p in enumerate(payloads, 1):
+            objs += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
+        gaddr = len(out)
+        out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+        desc = np.zeros(arr.shape, dtype=_VLEN_DESC_DT)
+        flat = desc.reshape(-1)
+        for i, p in enumerate(payloads):
+            flat[i] = (len(p), gaddr, i + 1)
+        arr, dt_body = desc, _dt_vlen_str()
+    else:
+        arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+        dt_body = _dt_body(arr.dtype)
     mk = _msg2 if latest else _msg
     msgs = [
         mk(0x0001, _dataspace(arr.shape, maxshape, latest=latest)),
-        mk(0x0003, _dt_body(arr.dtype)),
+        mk(0x0003, dt_body),
     ]
     if chunk is None:
         addr = len(out)
@@ -1030,6 +1076,9 @@ class DatasetInfo:
     # "btree1" (v3 layout), "single", "implicit", or "fa" (Fixed Array)
     chunk_index: str = "btree1"
     single_nbytes: int = 0  # stored size of the one filtered chunk
+    # vlen string dataset: dtype is the 16-byte _VLEN_DESC_DT and reads
+    # decode descriptors to python str via the global heap
+    vlen_str: bool = False
 
     @property
     def unlimited0(self) -> bool:
@@ -1071,6 +1120,7 @@ class HDF5File:
 
     def __init__(self, path: str):
         self.path = path
+        self._gheap_cache: dict[int, dict[int, bytes]] = {}
         _corrupt_guard(path, lambda: self._open(path))
 
     def _open(self, path: str) -> None:
@@ -1568,6 +1618,23 @@ class HDF5File:
             return name, raw.split(b"\x00")[0].decode()
         count = int(np.prod(shape, dtype=np.int64)) if shape else 1
         if isinstance(dt, tuple):
+            if dt == ("vlen_str",):
+                # vlen string attribute (netcdf-c NC_STRING attrs):
+                # same 16-byte descriptor per element as vlen datasets
+                vals = []
+                for i in range(count):
+                    n, gaddr, gidx = struct.unpack_from(
+                        "<IQI", body, pos + 16 * i
+                    )
+                    if gaddr in (0, UNDEF) or gidx == 0:
+                        vals.append("")
+                        continue
+                    vals.append(
+                        self._gheap_object(gaddr, gidx)[:n].decode(
+                            "utf-8", "replace"
+                        )
+                    )
+                return name, (vals[0] if shape == () else vals)
             if dt[0] == "vlen" and dt[1] == ("ref", 8):
                 # vlen of object references — netcdf-c's DIMENSION_LIST.
                 # Each element: length(4) + global-heap id (addr 8 +
@@ -1594,26 +1661,59 @@ class HDF5File:
             return name, vals[0]
         return name, vals.reshape(shape)
 
-    def _gheap_object(self, addr: int, idx: int) -> bytes:
-        """Object ``idx`` from the "GCOL" global heap collection at
-        ``addr`` (the storage vlen attribute values point into)."""
+    def _gheap_collection(self, addr: int) -> dict[int, bytes]:
+        """All objects of the "GCOL" global heap collection at ``addr``
+        as ``{index: payload}`` — parsed once per collection and cached
+        (a vlen-string dataset resolves every element through a handful
+        of collections, not one walk per cell)."""
+        hit = self._gheap_cache.get(addr)
+        if hit is not None:
+            return hit
         b = self._buf
         self._expect_sig(addr, b"GCOL", "global heap collection")
         total = struct.unpack_from("<Q", b, addr + 8)[0]
         pos = addr + 16
         end = addr + total
+        objs: dict[int, bytes] = {}
         while pos + 16 <= end:
             oidx = struct.unpack_from("<H", b, pos)[0]
             osize = struct.unpack_from("<Q", b, pos + 8)[0]
-            if oidx == idx:
-                return b[pos + 16 : pos + 16 + osize]
             if oidx == 0:
                 break  # free-space object: no further entries
+            objs[oidx] = b[pos + 16 : pos + 16 + osize]
             pos += 16 + (-(-osize // 8) * 8)
-        raise ValueError(
-            f"{self.path}: global heap object {idx} not found in "
-            f"collection at offset {addr}"
-        )
+        self._gheap_cache[addr] = objs
+        return objs
+
+    def _gheap_object(self, addr: int, idx: int) -> bytes:
+        """Object ``idx`` from the "GCOL" global heap collection at
+        ``addr`` (the storage vlen attribute values point into)."""
+        try:
+            return self._gheap_collection(addr)[idx]
+        except KeyError:
+            raise ValueError(
+                f"{self.path}: global heap object {idx} not found in "
+                f"collection at offset {addr}"
+            ) from None
+
+    def _vlen_str_decode(self, desc: np.ndarray) -> np.ndarray:
+        """Descriptor records -> object array of python str. Zeroed
+        descriptors (unallocated chunks / fill) decode to ""
+        (netcdf-c's NC_STRING fill)."""
+        flat = desc.reshape(-1)
+        lens, gaddrs, gidxs = flat["len"], flat["gaddr"], flat["gidx"]
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            ga, gi = int(gaddrs[i]), int(gidxs[i])
+            if ga in (0, UNDEF) or gi == 0:
+                out[i] = ""
+                continue
+            out[i] = (
+                self._gheap_collection(ga)
+                .get(gi, b"")[: int(lens[i])]
+                .decode("utf-8", "replace")
+            )
+        return out.reshape(desc.shape)
 
     @staticmethod
     def _parse_dataspace(body: bytes):
@@ -1639,6 +1739,12 @@ class HDF5File:
                 dtype = _parse_dt(body)
                 if isinstance(dtype, str):  # fixed string "S<n>"
                     dtype = np.dtype(dtype)
+                if dtype == ("vlen_str",):
+                    # NC_STRING: scan the 16-byte descriptor stream
+                    # through the normal layout machinery, decode via
+                    # the global heap at read time
+                    info.vlen_str = True
+                    dtype = _VLEN_DESC_DT
                 if not isinstance(dtype, np.dtype):
                     raise ValueError(
                         f"{name}: vlen/reference datasets not supported"
@@ -2078,7 +2184,13 @@ class HDF5File:
             )
 
     def read(self, name: str) -> np.ndarray:
-        return _corrupt_guard(self.path, lambda: self._read_impl(name))
+        def impl():
+            a = self._read_impl(name)
+            if self.datasets[name].vlen_str:
+                return self._vlen_str_decode(a)
+            return a
+
+        return _corrupt_guard(self.path, impl)
 
     def _read_impl(self, name: str) -> np.ndarray:
         info = self.datasets[name]
@@ -2104,9 +2216,14 @@ class HDF5File:
 
     def read_slab0(self, name: str, lo: int, hi: int) -> np.ndarray:
         """Records [lo, hi) along axis 0, touching ONLY covering chunks."""
-        return _corrupt_guard(
-            self.path, lambda: self._read_slab0_impl(name, lo, hi)
-        )
+
+        def impl():
+            a = self._read_slab0_impl(name, lo, hi)
+            if self.datasets[name].vlen_str:
+                return self._vlen_str_decode(a)
+            return a
+
+        return _corrupt_guard(self.path, impl)
 
     def _read_slab0_impl(self, name: str, lo: int, hi: int) -> np.ndarray:
         info = self.datasets[name]
@@ -2305,7 +2422,8 @@ class NetCDF4View:
             self.variables[n] = NC4Var(
                 n,
                 vdims,
-                d.dtype,
+                # vlen strings surface as object arrays of python str
+                np.dtype(object) if d.vlen_str else d.dtype,
                 d.attrs,
                 is_rec,
                 d.shape[1:] if is_rec else d.shape,

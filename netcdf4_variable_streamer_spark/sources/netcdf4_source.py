@@ -112,12 +112,15 @@ def _eff_fixed_dims4(x) -> tuple:
 
 
 def _nc4_strings(block: np.ndarray, x) -> list:
-    """A fixed-string block -> python strings (both encodings: S1 with
-    an explicit char dim, or S<n> element dtype)."""
+    """A string block -> python strings (all three encodings: S1 with
+    an explicit char dim, S<n> element dtype, or vlen NC_STRING —
+    already decoded to str by hdf5lite)."""
     from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
         _char_strings,
     )
 
+    if x.dtype.kind == "O":
+        return list(block.reshape(-1))
     if x.dtype.itemsize == 1:
         return _char_strings(block, x.shape[-1] if x.shape else 1)
     return [
@@ -153,7 +156,7 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
     parts = [f"{v.record_dim}_idx long"]
     parts += [f"{d}_idx int" for d in fixed]
     for x in rvs:
-        if x.dtype.kind == "S":
+        if x.dtype.kind in ("S", "O"):
             parts.append(f"{x.name} string")
             continue
         key = _np_key(x.dtype)
@@ -295,7 +298,7 @@ class NetCDF4Reader(DataSourceReader):
         for x in rvs:
             if x.name not in wanted:
                 continue  # pruned: its chunks are never read
-            if x.dtype.kind == "S":
+            if x.dtype.kind in ("S", "O"):
                 arrays[x.name] = _nc4_strings(
                     v.read_records(x.name, partition.lo, partition.hi), x
                 )
@@ -382,7 +385,7 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
                 grids[i].astype(np.int32), n
             ).tolist()
     for x in rvs:
-        if x.dtype.kind == "S":
+        if x.dtype.kind in ("S", "O"):
             cols[x.name] = _nc4_strings(v.read_records(x.name, lo, hi), x)
             continue
         flat = v.read_records(x.name, lo, hi).reshape(-1)

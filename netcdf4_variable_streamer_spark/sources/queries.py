@@ -1985,3 +1985,101 @@ def src_netcdf_char_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(df)
     return parts[0].unionAll(parts[1]).orderBy("container", "label")
+
+
+def ensure_string_fixture(t_total: int = 64) -> str:
+    """A vlen NC_STRING record variable next to a numeric one in a
+    REAL NetCDF-4 file (SURVEY §1.2 row S1, vlen encoding — what
+    netcdf-c emits for ``NC_STRING`` variables): ``name(t, y)`` holds
+    variable-length UTF-8 strings (including empties and multi-byte
+    chars) as class-9 vlen descriptors pointing into a "GCOL" global
+    heap; the descriptor stream itself is chunked+deflated. Content is
+    closed-form: empty when ``(t*4 + y) %% 13 == 0``, else
+    ``'s{t%%5}-{y}' + 'é'*(t%%3)``; ``v = ((t*5)%%19)*0.25 + y*0.125``
+    is dyadic-exact in float32."""
+    import numpy as np
+
+    path = os.path.join(SCRATCH, f"strings_{t_total}.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_y = 4
+    lab = np.empty((t_total, n_y), dtype=object)
+    for t in range(t_total):
+        for y in range(n_y):
+            if (t * n_y + y) % 13 == 0:
+                lab[t, y] = ""
+            else:
+                lab[t, y] = f"s{t % 5}-{y}" + "é" * (t % 3)
+    v = (
+        ((np.arange(t_total) * 5) % 19)[:, None] * 0.25
+        + np.arange(n_y)[None, :] * 0.125
+    ).astype(np.float32)
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"t": None, "y": n_y},
+        variables={
+            "v": ("float32", ("t", "y")),
+            "name": ("object", ("t", "y")),
+        },
+        data={"v": v, "name": lab},
+        compress=6,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf_string_scan",
+    oracle=f"""
+WITH s AS (
+  SELECT tt.t AS t, yy.y AS y,
+         CAST(CAST(((tt.t * 5) % 19) * 0.25
+                   + yy.y * 0.125 AS FLOAT) AS DOUBLE) AS v,
+         CASE WHEN (tt.t * 4 + yy.y) % 13 = 0 THEN ''
+              ELSE printf('s%d-%d', tt.t % 5, yy.y)
+                   || repeat('é', CAST(tt.t % 3 AS INT))
+         END AS name
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS y) yy
+  WHERE tt.t >= 8 AND tt.t < 56
+)
+SELECT name, COUNT(*) AS n_cells, {SQL_DSUM('v')} AS sum_v
+FROM s GROUP BY name
+ORDER BY name
+""",
+    doc="vlen NC_STRING → StringType scan (SURVEY §1.2 row S1 vlen "
+        "encoding, VERDICT r6 'Next round' #3): a class-9 vlen string "
+        "record variable name(t, y) in a REAL NetCDF-4/HDF5 file — "
+        "16-byte descriptors (chunked + deflated) resolved through "
+        "cached 'GCOL' global heap collections, UTF-8 decoded, empty "
+        "strings and multi-byte chars included. Grouping BY the "
+        "decoded strings makes any heap-offset, length, or encoding "
+        "slip change the group count and hash-mismatch; record-range "
+        "pushdown on t_idx prunes descriptor chunks (and therefore "
+        "heap reads) exactly like every other record variable.",
+)
+def src_netcdf_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    return (
+        spark.read.format("netcdf4")
+        .option("path", ensure_string_fixture())
+        .load()
+        .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            dsum(F.col("v").cast("double")).alias("sum_v"),
+        )
+        .orderBy("name")
+    )
