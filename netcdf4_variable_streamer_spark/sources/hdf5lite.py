@@ -189,6 +189,34 @@ def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
 
 
+# Global heap object indexes are 16-bit on disk, so one "GCOL" global
+# heap collection can hold at most 65535 payloads; larger vlen datasets
+# split across collections (libhdf5 similarly emits many collections).
+_GCOL_MAX_OBJS = 65535
+
+
+def _gcol_append(
+    out: bytearray, payloads: list[bytes]
+) -> list[tuple[int, int]]:
+    """Append one or more "GCOL" global heap collections holding
+    ``payloads``; return one ``(collection_addr, object_index)`` per
+    payload. Indexes restart at 1 per collection and are capped at
+    65535 (the u2 on-disk width), and every collection ends with the
+    spec's index-0 free-space terminator object (size 16 = exactly its
+    own header, i.e. no free space follows)."""
+    refs: list[tuple[int, int]] = []
+    for start in range(0, len(payloads), _GCOL_MAX_OBJS):
+        block = payloads[start : start + _GCOL_MAX_OBJS]
+        objs = b""
+        for i, p in enumerate(block, 1):
+            objs += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
+        objs += struct.pack("<HH4xQ", 0, 0, 16)  # free-space terminator
+        gaddr = len(out)
+        out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+        refs += [(gaddr, i) for i in range(1, len(block) + 1)]
+    return refs
+
+
 def _msg(mtype: int, body: bytes) -> bytes:
     body = _pad8(body)
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
@@ -255,18 +283,15 @@ def _vlen_ref_attr_msg(
             f"attribute {name!r} references dataset {e.args[0]!r} which "
             "is not written yet — order referenced datasets first"
         )
-    objs = b""
-    for i, addrs in enumerate(addr_lists, 1):
-        p = np.asarray(addrs, "<u8").tobytes()
-        objs += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
-    gaddr = len(out)
-    out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+    refs = _gcol_append(
+        out, [np.asarray(a, "<u8").tobytes() for a in addr_lists]
+    )
     base = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)  # class 7 object ref
     dt = struct.pack("<B3BI", 0x19, 0, 0, 0, 16) + base  # class 9 vlen
     ds = _dataspace((len(addr_lists),), latest=latest)
     data = b"".join(
-        struct.pack("<IQI", len(a), gaddr, i + 1)
-        for i, a in enumerate(addr_lists)
+        struct.pack("<IQI", len(a), ga, gi)
+        for a, (ga, gi) in zip(addr_lists, refs)
     )
     return _attr_envelope(name.encode() + b"\x00", dt, ds, data, latest)
 
@@ -558,23 +583,20 @@ def _write_dataset(
     ``resolve`` maps already-written dataset names to header addresses
     (consumed by :class:`VlenRef` attributes)."""
     if arr.dtype == object or arr.dtype.kind == "U":
-        # vlen string dataset (NC_STRING): payload bytes live in one
-        # appended "GCOL" global heap collection; the dataset's raw
-        # data (contiguous or chunked, filtered or not) is the 16-byte
-        # descriptor stream pointing into it
+        # vlen string dataset (NC_STRING): payload bytes live in
+        # appended "GCOL" global heap collections (split at 65535
+        # objects per collection — the u2 index width); the dataset's
+        # raw data (contiguous or chunked, filtered or not) is the
+        # 16-byte descriptor stream pointing into them
         payloads = [
             ("" if s is None else str(s)).encode("utf-8")
             for s in arr.reshape(-1).tolist()
         ]
-        objs = b""
-        for i, p in enumerate(payloads, 1):
-            objs += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
-        gaddr = len(out)
-        out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+        refs = _gcol_append(out, payloads)
         desc = np.zeros(arr.shape, dtype=_VLEN_DESC_DT)
         flat = desc.reshape(-1)
-        for i, p in enumerate(payloads):
-            flat[i] = (len(p), gaddr, i + 1)
+        for i, (p, (ga, gi)) in enumerate(zip(payloads, refs)):
+            flat[i] = (len(p), ga, gi)
         arr, dt_body = desc, _dt_vlen_str()
     else:
         arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
@@ -1674,6 +1696,12 @@ class HDF5File:
         total = struct.unpack_from("<Q", b, addr + 8)[0]
         pos = addr + 16
         end = addr + total
+        if total < 16 or end > len(b):
+            raise ValueError(
+                f"{self.path}: global heap collection at offset {addr} "
+                f"declares {total} bytes but the file ends at "
+                f"{len(b)} — file truncated or corrupt"
+            )
         objs: dict[int, bytes] = {}
         while pos + 16 <= end:
             oidx = struct.unpack_from("<H", b, pos)[0]
@@ -1699,20 +1727,40 @@ class HDF5File:
     def _vlen_str_decode(self, desc: np.ndarray) -> np.ndarray:
         """Descriptor records -> object array of python str. Zeroed
         descriptors (unallocated chunks / fill) decode to ""
-        (netcdf-c's NC_STRING fill)."""
+        (netcdf-c's NC_STRING fill). Descriptors are grouped by
+        collection address (``np.unique``) so each "GCOL" is resolved
+        once per call even cache-cold, and the per-cell work is a dict
+        lookup + slice. A live descriptor whose object is missing from
+        its collection, or whose declared length exceeds the stored
+        payload, raises the codec's corrupt-file error (matching the
+        attribute path's :meth:`_gheap_object` behavior) instead of
+        silently reading as empty/truncated strings."""
         flat = desc.reshape(-1)
         lens, gaddrs, gidxs = flat["len"], flat["gaddr"], flat["gidx"]
         out = np.empty(flat.shape[0], dtype=object)
-        for i in range(flat.shape[0]):
-            ga, gi = int(gaddrs[i]), int(gidxs[i])
-            if ga in (0, UNDEF) or gi == 0:
-                out[i] = ""
-                continue
-            out[i] = (
-                self._gheap_collection(ga)
-                .get(gi, b"")[: int(lens[i])]
-                .decode("utf-8", "replace")
-            )
+        out[:] = ""
+        live = (gaddrs != 0) & (gaddrs != UNDEF) & (gidxs != 0)
+        live_idx = np.nonzero(live)[0]
+        if live_idx.size:
+            uniq, inv = np.unique(gaddrs[live_idx], return_inverse=True)
+            for u, ga in enumerate(uniq):
+                coll = self._gheap_collection(int(ga))
+                for i in live_idx[inv == u]:
+                    gi, ln = int(gidxs[i]), int(lens[i])
+                    payload = coll.get(gi)
+                    if payload is None or len(payload) < ln:
+                        why = (
+                            "missing from"
+                            if payload is None
+                            else f"only {len(payload)} bytes (descriptor"
+                            f" declares {ln}) in"
+                        )
+                        raise ValueError(
+                            f"{self.path}: corrupt vlen string data — "
+                            f"global heap object {gi} {why} collection "
+                            f"at offset {int(ga)}"
+                        )
+                    out[i] = payload[:ln].decode("utf-8", "replace")
         return out.reshape(desc.shape)
 
     @staticmethod
