@@ -47,79 +47,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-7 rotation (VERDICT r6 "Next round" #2): all 225 keys now have
-# a driver row and all are green at latest check, so there are no
-# failures and no never-checked keys. The whole order is simply green
-# keys stalest-proof-first: the 45 keys whose latest driver evidence is
-# r02 (the q_win_*/q_udf_*/q_stream_*/q_join_*/q_agg_* block) fill
-# slots 1-45, the first five r03 keys complete the window, and the rest
-# follow in latest-check order (r03, r04, r05, r06). New round-7 keys
-# are inserted at the very top as they land so they enter the window.
+# Round-8 rotation (VERDICT r7 "Next round" #2): all 226 keys have a
+# driver row and all are green at latest check — no failures, no
+# never-checked keys. The order is green keys stalest-proof-first: the
+# 26 keys whose latest driver evidence is r03 (the oldest proof in the
+# fleet) fill slots 1-26, the oldest r04 keys complete the window, and
+# the rest follow in latest-check order (r04, r05, r06, r07). New
+# round-8 keys are inserted at the very top as they land so they enter
+# the window.
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 7
+WINDOW_ROUND = 8
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-7 additions (never driver-checked) are inserted at the
+    # -- round-8 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
-    "src_netcdf_string_scan",
-    # -- window: the 45 keys whose latest driver evidence is r02 (the
-    #    oldest proof in the fleet — VERDICT r6 next-round #2), then the
-    #    first r03 keys to fill 50. --
-    # last driver check: r2
-    "q_win_rank_topk_group",
-    "q_win_running_sum",
-    "q_win_sliding_frame",
-    "q_win_range_frame",
-    "q_win_lead_lag",
-    "q_win_ntile_pct",
-    "q_win_first_last",
-    "q_udf_row",
-    "q_udf_pandas",
-    "q_udaf_pandas",
-    "q_udtf_split",
-    "q_map_in_arrow",
-    "q_text_stats",
-    "q_text_tfidf_top",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_watermark_late",
-    "q_stream_stateful_custom",
-    "q_agg_approx_distinct",
-    "q_dedup_near_minhash",
-    "q_dedup_simhash",
-    "q_sim_lsh_ann",
-    "q_project_rename_cast",
-    "q_filter_predicates",
-    "q_join_inner_hash",
-    "q_join_left_outer",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast_star",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_agg_groupby_sum",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_collect",
-    "q_dedup_exact",
-    "q_sim_knn_cosine",
-    "q_sim_threshold_pairs",
     # last driver check: r3
-    "q_sim_threshold_lsh",
-    "q_dedup_cc_lsh",
-    "q_dedup_semantic",
-    "q_text_langid",
     "q_text_quality",
     "q_text_tokens",
     "q_text_fingerprint",
@@ -299,6 +245,57 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf_stream_tail",
     "snk_chunked_write",
     "q_filter_hyperslab",
+    # last driver check: r7
+    "src_netcdf_string_scan",
+    "q_win_rank_topk_group",
+    "q_win_running_sum",
+    "q_win_sliding_frame",
+    "q_win_range_frame",
+    "q_win_lead_lag",
+    "q_win_ntile_pct",
+    "q_win_first_last",
+    "q_udf_row",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_split",
+    "q_map_in_arrow",
+    "q_text_stats",
+    "q_text_tfidf_top",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_watermark_late",
+    "q_stream_stateful_custom",
+    "q_agg_approx_distinct",
+    "q_dedup_near_minhash",
+    "q_dedup_simhash",
+    "q_sim_lsh_ann",
+    "q_project_rename_cast",
+    "q_filter_predicates",
+    "q_join_inner_hash",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast_star",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_agg_groupby_sum",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_collect",
+    "q_dedup_exact",
+    "q_sim_knn_cosine",
+    "q_sim_threshold_pairs",
+    "q_sim_threshold_lsh",
+    "q_dedup_cc_lsh",
+    "q_dedup_semantic",
+    "q_text_langid",
 ]
 
 
