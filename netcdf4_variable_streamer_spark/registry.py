@@ -65,6 +65,8 @@ WINDOW_ROUND = 8
 CANONICAL_ORDER: list[str] = [
     # -- round-8 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
+    "src_netcdf3_arrow_tail",
+    "src_netcdf4_arrow_tail",
     # last driver check: r3
     "q_text_quality",
     "q_text_tokens",

