@@ -67,6 +67,7 @@ CANONICAL_ORDER: list[str] = [
     #    very top as they land, so they enter the window first. --
     "src_netcdf3_arrow_tail",
     "src_netcdf4_arrow_tail",
+    "snk_netcdf4_write_deflate",
     # last driver check: r3
     "q_text_quality",
     "q_text_tokens",

@@ -190,9 +190,13 @@ def _pad8(b: bytes) -> bytes:
 
 
 # Global heap object indexes are 16-bit on disk, so one "GCOL" global
-# heap collection can hold at most 65535 payloads; larger vlen datasets
-# split across collections (libhdf5 similarly emits many collections).
+# heap collection can hold at most 65535 payloads. The writer also
+# splits at the spec's suggested 4096-byte collection size — the
+# many-small-collections layout libhdf5 emits — which is what makes
+# slab pruning on a vlen dataset also prune heap PARSES: a pruned
+# record range's descriptors never touch the other collections.
 _GCOL_MAX_OBJS = 65535
+_GCOL_BYTE_BUDGET = 4096
 
 
 def _gcol_append(
@@ -200,20 +204,30 @@ def _gcol_append(
 ) -> list[tuple[int, int]]:
     """Append one or more "GCOL" global heap collections holding
     ``payloads``; return one ``(collection_addr, object_index)`` per
-    payload. Indexes restart at 1 per collection and are capped at
-    65535 (the u2 on-disk width), and every collection ends with the
-    spec's index-0 free-space terminator object (size 16 = exactly its
-    own header, i.e. no free space follows)."""
+    payload. Indexes restart at 1 per collection; a collection closes
+    at 4096 bytes (libhdf5's sizing; an oversized payload gets its own
+    collection) or 65535 objects (the u2 index width), and every
+    collection ends with the spec's index-0 free-space terminator
+    object (size 16 = exactly its own header, no free space
+    follows)."""
     refs: list[tuple[int, int]] = []
-    for start in range(0, len(payloads), _GCOL_MAX_OBJS):
-        block = payloads[start : start + _GCOL_MAX_OBJS]
+    pos = 0
+    while pos < len(payloads):
         objs = b""
-        for i, p in enumerate(block, 1):
-            objs += struct.pack("<HH4xQ", i, 1, len(p)) + _pad8(p)
+        idx = 0
+        # 16-byte collection header + objects + 16-byte terminator
+        while pos < len(payloads) and idx < _GCOL_MAX_OBJS:
+            p = payloads[pos]
+            entry = struct.pack("<HH4xQ", idx + 1, 1, len(p)) + _pad8(p)
+            if objs and 32 + len(objs) + len(entry) > _GCOL_BYTE_BUDGET:
+                break
+            objs += entry
+            idx += 1
+            pos += 1
         objs += struct.pack("<HH4xQ", 0, 0, 16)  # free-space terminator
         gaddr = len(out)
         out += b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
-        refs += [(gaddr, i) for i in range(1, len(block) + 1)]
+        refs += [(gaddr, i) for i in range(1, idx + 1)]
     return refs
 
 
@@ -578,10 +592,18 @@ def _write_dataset(
     latest: bool = False,
     index: str | None = None,
     resolve: dict[str, int] | None = None,
+    presized: list[int] | None = None,
 ) -> int:
     """Append one dataset's data + object header; return header addr.
     ``resolve`` maps already-written dataset names to header addresses
-    (consumed by :class:`VlenRef` attributes)."""
+    (consumed by :class:`VlenRef` attributes). ``presized`` is the
+    two-phase distributed compressed write's phase-2a hook: a
+    per-chunk list of COMPRESSED byte sizes (gathered from executors)
+    — the chunk B-tree/index is built with each chunk's assigned
+    (address, nbytes) and a zero placeholder reserves its span, which
+    :func:`pwrite_compressed_records_nc4` later overwrites; ``arr``
+    then only supplies shape/dtype and its data is never read (pass a
+    broadcast view, no materialization)."""
     if arr.dtype == object or arr.dtype.kind == "U":
         # vlen string dataset (NC_STRING): payload bytes live in
         # appended "GCOL" global heap collections (split at 65535
@@ -598,6 +620,14 @@ def _write_dataset(
         for i, (p, (ga, gi)) in enumerate(zip(payloads, refs)):
             flat[i] = (len(p), ga, gi)
         arr, dt_body = desc, _dt_vlen_str()
+    elif presized is not None:
+        if chunk is None:
+            raise ValueError("presized write requires a chunked layout")
+        # shape/dtype only — data comes later via positional writes
+        arr = arr.view() if arr.dtype.byteorder in "<|" else arr.astype(
+            arr.dtype.newbyteorder("<"), copy=False
+        )
+        dt_body = _dt_body(arr.dtype)
     else:
         arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
         dt_body = _dt_body(arr.dtype)
@@ -620,7 +650,20 @@ def _write_dataset(
         if compress is not None:
             filters.append((1, [compress]))
         children, keys = [], []
-        for origin in _chunk_grid(arr.shape, chunk):
+        grid = list(_chunk_grid(arr.shape, chunk))
+        if presized is not None:
+            if len(presized) != len(grid):
+                raise ValueError(
+                    f"presized write: {len(presized)} chunk sizes for "
+                    f"{len(grid)} chunks"
+                )
+            for origin, nb in zip(grid, presized):
+                caddr = len(out)
+                out += b"\x00" * nb  # span reserved; executors pwrite
+                children.append(caddr)
+                keys.append((nb, origin))
+            grid = []
+        for origin in grid:
             sl = tuple(
                 slice(o, min(o + c, s))
                 for o, c, s in zip(origin, chunk, arr.shape)
@@ -1033,6 +1076,7 @@ def write_hdf5(
             latest=latest,
             index=o.get("index"),
             resolve=written,
+            presized=o.get("presized"),
         )
         written[name] = addr
         gpath, _, leaf = name.rpartition("/")
@@ -2339,24 +2383,39 @@ def write_netcdf4(
     shuffle: bool = False,
     chunk0: int = 16,
     libver: str = "earliest",
+    presized: dict[str, list[int]] | None = None,
 ) -> None:
     """Write a NetCDF-4 (= HDF5) file with netcdf-c's dimension
     conventions. Same signature family as :func:`write_netcdf3`; the
     UNLIMITED dim (extent None) becomes ``maxdims[0]=H5S_UNLIMITED`` and
     its variables are chunked ``chunk0`` records at a time (+ optional
     shuffle/deflate — the A15 compression passthrough netCDF-3 classic
-    cannot express)."""
+    cannot express). ``presized`` maps variable names to per-chunk
+    compressed-size lists (see :func:`create_netcdf4_compressed`) —
+    those variables' data is NOT written here (``data`` may omit
+    them); their chunk spans are reserved for a later positional-write
+    pass."""
     var_attrs = var_attrs or {}
+    presized = presized or {}
     dim_names = list(dims)
     rec_dims = [d for d, n in dims.items() if n is None]
     if len(rec_dims) > 1:
         raise ValueError("one UNLIMITED dimension supported")
     rec_dim = rec_dims[0] if rec_dims else None
 
+    if presized and chunk0 != 1:
+        raise ValueError(
+            "presized record variables need chunk0=1 (one chunk per "
+            "record — the unit executors compress and pwrite)"
+        )
     numrecs = 0
     for name, (dt, vdims) in variables.items():
         if vdims and vdims[0] == rec_dim and rec_dim is not None:
-            numrecs = int(np.asarray(data[name]).shape[0])
+            numrecs = (
+                len(presized[name])
+                if name in presized
+                else int(np.asarray(data[name]).shape[0])
+            )
             break
 
     datasets: dict[str, np.ndarray] = {}
@@ -2388,7 +2447,14 @@ def write_netcdf4(
         shape = tuple(
             (numrecs if dims[d] is None else dims[d]) for d in vdims
         )
-        arr = np.asarray(data[name]).reshape(shape).astype(dt)
+        if name in presized:
+            # shape/dtype carrier only — zero bytes materialized, the
+            # data arrives via pwrite_compressed_records_nc4
+            arr = np.broadcast_to(
+                np.zeros((), dtype=np.dtype(dt).newbyteorder("<")), shape
+            )
+        else:
+            arr = np.asarray(data[name]).reshape(shape).astype(dt)
         a = dict(var_attrs.get(name, {}))
         a["_Netcdf4Coordinates"] = np.array(
             [dim_names.index(d) for d in vdims], dtype=np.int32
@@ -2410,6 +2476,8 @@ def write_netcdf4(
             )
             o["compress"] = compress
             o["shuffle"] = shuffle
+        if name in presized:
+            o["presized"] = presized[name]
         datasets[name] = arr
         opts[name] = o
 
@@ -2555,7 +2623,9 @@ def create_netcdf4(
     executor can pwrite its own record range with zero coordination —
     the same disjoint-byte-range pattern as create_netcdf3. (Compressed
     chunks have data-dependent sizes and CANNOT be pwritten this way;
-    compression is the single-writer/export path, write_netcdf4.)"""
+    compression goes through the two-phase distributed protocol,
+    :func:`create_netcdf4_compressed`, or the single-process export
+    path, :func:`write_netcdf4`.)"""
     shaped = {}
     for name, (dt, vdims) in variables.items():
         is_rec = bool(vdims) and dims.get(vdims[0], 1) is None
@@ -2609,6 +2679,161 @@ def pwrite_records_nc4(
                 addr, nbytes = addr_of[rec_lo + i]
                 raw = block[i].tobytes()
                 assert len(raw) == nbytes, (len(raw), nbytes)
+                os.pwrite(fd, raw, addr)
+    finally:
+        os.close(fd)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase DISTRIBUTED COMPRESSED write (VERDICT r7 "Next round" #6).
+# Compressed chunks have data-dependent sizes, so they cannot be
+# preallocated like create_netcdf4's fixed-size chunks. The two-phase
+# protocol removes the single-writer bottleneck anyway:
+#   phase 1 (executors): compressed_chunk_sizes_nc4 on each record
+#     range — compress, REPORT SIZES ONLY (ints; the bytes are
+#     discarded — zlib is deterministic, so recompressing in phase 2
+#     reproduces them exactly);
+#   phase 2a (driver):  create_netcdf4_compressed — gather the size
+#     lists (O(records) ints, not data), assign every chunk its file
+#     offset, write the COMPLETE metadata (filter pipeline, chunk
+#     B-tree with per-chunk address+nbytes) + zero placeholder spans;
+#   phase 2b (executors): pwrite_compressed_records_nc4 — recompress
+#     and positionally write each record's chunk into its assigned
+#     disjoint span, zero coordination.
+# Data bytes cross the cluster zero times; the driver handles only
+# metadata and size lists.
+# ---------------------------------------------------------------------------
+
+
+def compressed_chunk_sizes_nc4(
+    block: np.ndarray, compress: int = 6, shuffle: bool = True
+) -> list[int]:
+    """Phase 1: per-record compressed chunk sizes for a contiguous
+    block of records, using EXACTLY the transform chain the writer and
+    phase 2b apply (byte-shuffle then zlib at the given level) — zlib
+    output is deterministic for fixed input+level, so these sizes are
+    exact, not estimates."""
+    block = np.ascontiguousarray(
+        block, dtype=block.dtype.newbyteorder("<")
+    )
+    esz = block.dtype.itemsize
+    sizes = []
+    for i in range(block.shape[0]):
+        raw = block[i : i + 1].tobytes()
+        if shuffle:
+            raw = (
+                np.frombuffer(raw, np.uint8).reshape(-1, esz).T.tobytes()
+            )
+        sizes.append(len(zlib.compress(raw, compress)))
+    return sizes
+
+
+def create_netcdf4_compressed(
+    path: str,
+    dims: dict[str, int | None],
+    variables: dict[str, tuple[str, tuple[str, ...]]],
+    chunk_sizes: dict[str, list[int]],
+    attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+    compress: int = 6,
+    shuffle: bool = True,
+) -> None:
+    """Phase 2a: write the complete NetCDF-4 metadata for a
+    shuffle+deflate compressed file whose record-variable chunk SIZES
+    were gathered from executors (``chunk_sizes[name][r]`` = record
+    r's compressed chunk size). Every chunk's (address, nbytes) lands
+    in the B-tree now; the chunk spans are zero placeholders until
+    :func:`pwrite_compressed_records_nc4` overwrites them."""
+    numrecs = {len(s) for s in chunk_sizes.values()}
+    if len(numrecs) != 1:
+        raise ValueError(
+            f"chunk size lists disagree on record count: "
+            f"{ {k: len(v) for k, v in chunk_sizes.items()} }"
+        )
+    rec_vars = {
+        name
+        for name, (_dt, vdims) in variables.items()
+        if vdims and dims.get(vdims[0], 1) is None
+    }
+    if set(chunk_sizes) != rec_vars:
+        raise ValueError(
+            f"chunk_sizes must cover exactly the record variables "
+            f"{sorted(rec_vars)}, got {sorted(chunk_sizes)}"
+        )
+    write_netcdf4(
+        path,
+        dims,
+        variables,
+        data={},
+        attrs=attrs,
+        var_attrs=var_attrs,
+        compress=compress,
+        shuffle=shuffle,
+        chunk0=1,
+        presized=chunk_sizes,
+    )
+
+
+def pwrite_compressed_records_nc4(
+    path: str,
+    var_blocks: dict[str, np.ndarray],
+    rec_lo: int,
+    compress: int = 6,
+    shuffle: bool = True,
+) -> None:
+    """Phase 2b: recompress records [rec_lo, rec_lo + n) and
+    positionally write each chunk into the span the B-tree assigned it
+    — concurrent-safe for disjoint record ranges, like
+    :func:`pwrite_records_nc4`. The recompressed size must equal the
+    phase-1 size byte-for-byte (zlib determinism); a mismatch means
+    phase 1 and 2 saw different data or levels and fails loudly."""
+    import os
+
+    v = NetCDF4View(path)
+    fd = os.open(path, os.O_WRONLY)
+    try:
+        for name, block in var_blocks.items():
+            x = v.variables[name]
+            if not x.is_record:
+                raise ValueError(f"{name} is not a record variable")
+            info = v.h5.datasets[name]
+            if not info.filters or info.chunk[:1] != (1,):
+                raise ValueError(
+                    f"{name}: needs the create_netcdf4_compressed "
+                    "layout (one record per chunk, shuffle+deflate)"
+                )
+            addr_of = {
+                origin[0]: (addr, nbytes)
+                for origin, nbytes, addr in v.h5._chunks(
+                    info.btree_addr, len(info.shape)
+                )
+            }
+            block = np.ascontiguousarray(
+                block, dtype=x.dtype.newbyteorder("<")
+            ).reshape((-1, *x.shape))
+            esz = block.dtype.itemsize
+            for i in range(block.shape[0]):
+                if rec_lo + i not in addr_of:
+                    raise ValueError(
+                        f"{name}: record {rec_lo + i} beyond the "
+                        "created extent"
+                    )
+                addr, nbytes = addr_of[rec_lo + i]
+                raw = block[i : i + 1].tobytes()
+                if shuffle:
+                    raw = (
+                        np.frombuffer(raw, np.uint8)
+                        .reshape(-1, esz)
+                        .T.tobytes()
+                    )
+                raw = zlib.compress(raw, compress)
+                if len(raw) != nbytes:
+                    raise ValueError(
+                        f"{name}: record {rec_lo + i} recompressed to "
+                        f"{len(raw)} bytes but the B-tree reserved "
+                        f"{nbytes} — phase 1 and phase 2 must see the "
+                        "same data and compression settings"
+                    )
                 os.pwrite(fd, raw, addr)
     finally:
         os.close(fd)

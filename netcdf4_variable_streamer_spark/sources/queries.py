@@ -1440,8 +1440,8 @@ FROM g
         "pwrite their record ranges with zero coordination — the "
         "netcdf3 disjoint-byte-range pattern carried to the HDF5 "
         "container (compressed chunks have data-dependent sizes and "
-        "are honestly single-writer: that is write_netcdf4, the "
-        "export path). Round trip read back through the netcdf4 "
+        "need the two-phase protocol instead — see "
+        "snk_netcdf4_write_deflate). Round trip read back through the netcdf4 "
         "DataSource against the closed-form oracle.",
 )
 def snk_netcdf4_write(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1478,163 @@ def snk_netcdf4_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         audits = src.mapInPandas(
             _nc4_write_partition(dst), schema="n_records long"
+        )
+        n_written = audits.agg(F.sum("n_records")).first()[0]
+        assert n_written == 32, f"wrote {n_written} records, expected 32"
+        apply_runtime_confs(spark)
+        spark.dataSource.register(NetCDF4DataSource)
+        back = spark.read.format(FORMAT4_NAME).option("path", dst).load()
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("time_idx").alias("n_lines"),
+            dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [tuple(out)], "n_cells long, n_lines long, sum_temp double"
+        )
+    finally:
+        try:
+            os.remove(dst)
+        except OSError:
+            pass
+
+
+def _nc4_sizes_partition():
+    """mapInPandas kernel, phase 1 of the two-phase compressed export:
+    compress each record's chunk, report (time_idx, var, nbytes) — the
+    bytes are discarded (zlib determinism makes phase 2b reproduce
+    them exactly); only O(records) ints travel to the driver."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            compressed_chunk_sizes_nc4,
+        )
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        rows = []
+        if len(pdf):
+            pdf = pdf.sort_values(["time_idx", "y_idx", "x_idx"])
+            for t, g in pdf.groupby("time_idx"):
+                for var in ("temperature", "humidity"):
+                    block = (
+                        g[var].to_numpy().reshape(1, GRID_Y, GRID_X)
+                    )
+                    (nb,) = compressed_chunk_sizes_nc4(block)
+                    rows.append((int(t), var, nb))
+        yield pd.DataFrame(
+            rows, columns=["time_idx", "var", "nbytes"]
+        )
+
+    return fn
+
+
+def _nc4_cwrite_partition(path: str):
+    """mapInPandas kernel, phase 2b: recompress each record's chunk
+    and pwrite it into the span the B-tree assigned (disjoint ranges,
+    zero coordination — the compressed mirror of
+    _nc4_write_partition)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            pwrite_compressed_records_nc4,
+        )
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        n_written = 0
+        if len(pdf):
+            pdf = pdf.sort_values(["time_idx", "y_idx", "x_idx"])
+            for t, g in pdf.groupby("time_idx"):
+                pwrite_compressed_records_nc4(
+                    path,
+                    {
+                        "temperature": g["temperature"].to_numpy(),
+                        "humidity": g["humidity"].to_numpy(),
+                    },
+                    int(t),
+                )
+                n_written += 1
+        yield pd.DataFrame({"n_records": [n_written]})
+
+    return fn
+
+
+@register(
+    "snk_netcdf4_write_deflate",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=32)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g
+""",
+    doc="TWO-PHASE DISTRIBUTED COMPRESSED export to a REAL NetCDF-4 "
+        "file (VERDICT r7 'Next round' #6 — compressed chunks have "
+        "data-dependent sizes, so they cannot be preallocated like "
+        "snk_netcdf4_write's fixed-size chunks): phase 1, executors "
+        "shuffle+deflate their record chunks and report SIZES only "
+        "(O(records) ints to the driver — zlib determinism means the "
+        "bytes are reproducible); phase 2a, the driver writes the "
+        "complete metadata with every chunk's assigned address+nbytes "
+        "in the B-tree; phase 2b, executors recompress and pwrite "
+        "their disjoint spans with zero coordination. Data bytes "
+        "cross the cluster zero times. Round trip read back through "
+        "the compressed netcdf4 scan (chunks inflate through the "
+        "shuffle+deflate pipeline) against the closed-form oracle.",
+)
+def snk_netcdf4_write_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        create_netcdf4_compressed,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+        read_native,
+    )
+
+    dst = os.path.join(SCRATCH, f"export_z_{_uuid.uuid4().hex[:8]}.nc4")
+    os.makedirs(SCRATCH, exist_ok=True)
+    try:
+        src = (
+            read_native(spark, ensure_grid())
+            .filter(F.col("time_idx") < 32)
+            .repartition(4, "time_idx")
+        )
+        # phase 1: sizes only
+        sizes = (
+            src.mapInPandas(
+                _nc4_sizes_partition(),
+                schema="time_idx long, var string, nbytes long",
+            )
+            .collect()
+        )
+        by_var: dict[str, dict[int, int]] = {}
+        for r in sizes:
+            by_var.setdefault(r["var"], {})[r["time_idx"]] = r["nbytes"]
+        chunk_sizes = {
+            var: [m[t] for t in range(32)] for var, m in by_var.items()
+        }
+        # phase 2a: driver writes metadata + assigned chunk spans
+        create_netcdf4_compressed(
+            dst,
+            dims={"time": None, "y": GRID_Y, "x": GRID_X},
+            variables={
+                "temperature": ("float32", ("time", "y", "x")),
+                "humidity": ("float32", ("time", "y", "x")),
+            },
+            chunk_sizes=chunk_sizes,
+            attrs={"source": "two-phase compressed export"},
+        )
+        # phase 2b: executors pwrite disjoint compressed spans
+        audits = src.mapInPandas(
+            _nc4_cwrite_partition(dst), schema="n_records long"
         )
         n_written = audits.agg(F.sum("n_records")).first()[0]
         assert n_written == 32, f"wrote {n_written} records, expected 32"

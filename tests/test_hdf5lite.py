@@ -1654,35 +1654,31 @@ def test_vlen_string_unlimited_append_scan(tmp_path):
 
 def test_vlen_slab_read_prunes_heap_collections(tmp_path):
     """Record-range pruning on the descriptor chunks also prunes heap
-    I/O: a slab that only touches descriptors of the first collection
-    never parses the second (observable via _gheap_cache, which holds
-    exactly the collections resolved so far)."""
-    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
-        _GCOL_MAX_OBJS,
-    )
-
-    n = _GCOL_MAX_OBJS + 64  # spills into a second collection
+    I/O: with the writer's libhdf5-style 4 KiB collections, a slab
+    touches only the few collections its surviving descriptors point
+    into — observable via _gheap_cache, which holds exactly the
+    collections parsed so far."""
+    n = 20_000
     vals = np.array([f"r{i % 97}" for i in range(n)], dtype=object)
-    p = os.path.join(tmp_path, "two_colls.h5")
-    write_hdf5(p, {"s": vals}, {"s": {"chunk": (4096,)}})
+    p = os.path.join(tmp_path, "many_colls.h5")
+    write_hdf5(p, {"s": vals}, {"s": {"chunk": (1024,)}})
     h = HDF5File(p)
-    lo, hi = 100, 4000  # all inside collection 1
+    lo, hi = 1024, 3072  # two of ~20 chunks survive pruning
     assert h.read_slab0("s", lo, hi).tolist() == vals[lo:hi].tolist()
-    assert len(h._gheap_cache) == 1
-    # the full read then resolves the second collection too
+    touched = len(h._gheap_cache)
+    # the full read then resolves every collection
     assert h.read("s").tolist() == vals.tolist()
-    assert len(h._gheap_cache) == 2
+    total = len(h._gheap_cache)
+    assert total > 20  # the 4 KiB budget really split the heap
+    assert touched <= -(-total * (hi - lo) // n) + 2, (touched, total)
 
 
 def test_vlen_multi_collection_writer_split(tmp_path):
-    """>65535 strings exceed the u2 object-index width; the writer
-    splits payloads across collections (indexes restart at 1) instead
-    of dying in struct.pack, and the reader stitches them back."""
-    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
-        _GCOL_MAX_OBJS,
-    )
-
-    n = _GCOL_MAX_OBJS + 3
+    """The writer closes a collection at 4 KiB (libhdf5's sizing) or
+    65535 objects (the u2 index width): indexes restart at 1 per
+    collection, descriptors point into the right one, and the reader
+    stitches everything back."""
+    n = 1000
     vals = np.array([f"v{i % 89}" for i in range(n)], dtype=object)
     p = os.path.join(tmp_path, "split.h5")
     write_hdf5(p, {"s": vals})
@@ -1693,10 +1689,19 @@ def test_vlen_multi_collection_writer_split(tmp_path):
         dtype=np.dtype([("len", "<u4"), ("gaddr", "<u8"),
                         ("gidx", "<u4")]),
     )
-    assert len(np.unique(raw_desc["gaddr"])) == 2
-    assert raw_desc["gidx"].max() == _GCOL_MAX_OBJS
-    assert raw_desc["gidx"][_GCOL_MAX_OBJS] == 1  # restarts per coll
+    colls = np.unique(raw_desc["gaddr"])
+    assert len(colls) > 4  # 1000 short strings >> one 4 KiB collection
+    assert raw_desc["gidx"].max() <= 4096 // 16  # budget bounds index
+    # indexes restart at 1 inside every collection
+    for ga in colls:
+        sel = raw_desc["gidx"][raw_desc["gaddr"] == ga]
+        assert sel.min() == 1 and sel.max() == len(sel)
     assert h.read("s").tolist() == vals.tolist()
+    # an oversized payload (> the 4 KiB budget) gets its own collection
+    big = np.array(["x" * 9000, "tiny"], dtype=object)
+    p2 = os.path.join(tmp_path, "big.h5")
+    write_hdf5(p2, {"s": big})
+    assert HDF5File(p2).read("s").tolist() == big.tolist()
 
 
 def test_vlen_corrupt_heap_fails_loudly(tmp_path):
@@ -1845,3 +1850,118 @@ def test_src_netcdf4_arrow_tail_oracle(check):
     pdf = check("src_netcdf4_arrow_tail")
     assert len(pdf) == 64
     assert int(pdf["n_cells"].sum()) == 64 * 32 * 32
+
+
+# ---------------------------------------------------------------------------
+# two-phase distributed compressed write (VERDICT r7 "Next round" #6)
+# ---------------------------------------------------------------------------
+
+
+def test_two_phase_compressed_write_roundtrip(tmp_path):
+    """sizes-gather → metadata+offset-assign → disjoint recompress/
+    pwrite: the full two-phase protocol, with phase 1 and phase 2b
+    run over DIFFERENT record splits (as distinct executors would),
+    reads back exactly through the compressed chunk pipeline."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        compressed_chunk_sizes_nc4,
+        create_netcdf4_compressed,
+        pwrite_compressed_records_nc4,
+    )
+
+    p = os.path.join(tmp_path, "z.nc4")
+    rng = np.random.RandomState(1)
+    t, y, x = 12, 4, 5
+    temp = (rng.randint(0, 50, size=(t, y, x)) * 0.25).astype(np.float32)
+    hum = (rng.randint(0, 100, size=(t, y, x)) * 0.5).astype(np.float32)
+    sizes_t = (
+        compressed_chunk_sizes_nc4(temp[:7])
+        + compressed_chunk_sizes_nc4(temp[7:])
+    )
+    sizes_h = (
+        compressed_chunk_sizes_nc4(hum[:5])
+        + compressed_chunk_sizes_nc4(hum[5:])
+    )
+    create_netcdf4_compressed(
+        p,
+        dims={"time": None, "y": y, "x": x},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+        },
+        chunk_sizes={"temperature": sizes_t, "humidity": sizes_h},
+        attrs={"source": "two-phase"},
+    )
+    # the metadata is complete BEFORE any data lands: filter pipeline
+    # + per-chunk (addr, nbytes) in the B-tree
+    h = HDF5File(p)
+    info = h.datasets["temperature"]
+    assert info.filters == [(2, [4]), (1, [6])]
+    assert len(list(h._chunks(info.btree_addr, 4))) == t
+    # phase 2b over splits that differ from phase 1's
+    pwrite_compressed_records_nc4(
+        p, {"temperature": temp[:4], "humidity": hum[:4]}, 0
+    )
+    pwrite_compressed_records_nc4(
+        p, {"temperature": temp[4:], "humidity": hum[4:]}, 4
+    )
+    v = NetCDF4View(p)
+    np.testing.assert_array_equal(v.read_records("temperature"), temp)
+    np.testing.assert_array_equal(v.read_records("humidity"), hum)
+    # slab pruning works on the assigned-offset chunks too
+    np.testing.assert_array_equal(
+        v.read_records("temperature", 3, 9), temp[3:9]
+    )
+
+
+def test_two_phase_compressed_write_fails_loudly(tmp_path):
+    """Protocol violations raise named errors: size-list/variable
+    mismatch at create time; data or level drift between phases at
+    pwrite time (the B-tree span would not fit)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        compressed_chunk_sizes_nc4,
+        create_netcdf4_compressed,
+        pwrite_compressed_records_nc4,
+    )
+
+    y = 3
+    data = np.arange(18, dtype=np.float32).reshape(6, y)
+    dims = {"t": None, "y": y}
+    variables = {"v": ("float32", ("t", "y"))}
+    sizes = compressed_chunk_sizes_nc4(data)
+
+    with pytest.raises(ValueError, match="record variables"):
+        create_netcdf4_compressed(
+            os.path.join(tmp_path, "bad1.nc4"),
+            dims,
+            variables,
+            chunk_sizes={"v": sizes, "ghost": sizes},
+        )
+    with pytest.raises(ValueError, match="disagree on record count"):
+        create_netcdf4_compressed(
+            os.path.join(tmp_path, "bad2.nc4"),
+            {"t": None, "y": y, "x": 2},
+            {
+                "v": ("float32", ("t", "y")),
+                "w": ("float32", ("t", "x")),
+            },
+            chunk_sizes={"v": sizes, "w": sizes[:-1]},
+        )
+
+    p = os.path.join(tmp_path, "drift.nc4")
+    create_netcdf4_compressed(p, dims, variables, chunk_sizes={"v": sizes})
+    with pytest.raises(ValueError, match="same data and compression"):
+        pwrite_compressed_records_nc4(p, {"v": data + 1000.0}, 0)
+    with pytest.raises(ValueError, match="beyond the created extent"):
+        pwrite_compressed_records_nc4(
+            p, {"v": np.vstack([data, data])}, 0
+        )
+    # the happy path still lands after the failed attempts
+    pwrite_compressed_records_nc4(p, {"v": data}, 0)
+    np.testing.assert_array_equal(NetCDF4View(p).read_records("v"), data)
+
+
+def test_snk_netcdf4_write_deflate_oracle(check):
+    """Per-key driver-contract mirror for the two-phase compressed
+    distributed export."""
+    pdf = check("snk_netcdf4_write_deflate")
+    assert len(pdf) == 1 and int(pdf["n_lines"][0]) == 32
