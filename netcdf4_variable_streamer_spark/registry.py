@@ -68,6 +68,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf3_arrow_tail",
     "src_netcdf4_arrow_tail",
     "snk_netcdf4_write_deflate",
+    "src_netcdf_vlen_scan",
     # last driver check: r3
     "q_text_quality",
     "q_text_tokens",

@@ -605,21 +605,55 @@ def _write_dataset(
     then only supplies shape/dtype and its data is never read (pass a
     broadcast view, no materialization)."""
     if arr.dtype == object or arr.dtype.kind == "U":
-        # vlen string dataset (NC_STRING): payload bytes live in
-        # appended "GCOL" global heap collections (split at 65535
-        # objects per collection — the u2 index width); the dataset's
-        # raw data (contiguous or chunked, filtered or not) is the
-        # 16-byte descriptor stream pointing into them
-        payloads = [
-            ("" if s is None else str(s)).encode("utf-8")
-            for s in arr.reshape(-1).tolist()
+        # vlen dataset: payload bytes live in appended "GCOL" global
+        # heap collections; the dataset's raw data (contiguous or
+        # chunked, filtered or not) is the 16-byte descriptor stream
+        # pointing into them. str/None cells -> vlen STRING
+        # (NC_STRING, descriptor length = bytes); list/array cells ->
+        # vlen SEQUENCE (NC_VLEN, descriptor length = base-type
+        # element count).
+        cells = arr.reshape(-1).tolist() if arr.dtype == object else [
+            str(s) for s in arr.reshape(-1).tolist()
         ]
+        seq_cells = [
+            c for c in cells if c is not None and not isinstance(c, str)
+        ]
+        if seq_cells:
+            # base from NON-EMPTY cells only (np.asarray([]) defaults
+            # to float64 and must not pollute an integer sequence)
+            sized = [
+                np.asarray(c).dtype
+                for c in seq_cells
+                if np.asarray(c).size
+            ]
+            base = (
+                np.result_type(*sized) if sized else np.dtype("f8")
+            ).newbyteorder("<")
+            vecs = [
+                np.ascontiguousarray(
+                    [] if c is None else c, dtype=base
+                ).reshape(-1)
+                for c in cells
+            ]
+            payloads = [v.tobytes() for v in vecs]
+            lens = [len(v) for v in vecs]  # element counts, not bytes
+            dt_body = (
+                struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16)
+                + _dt_body(base)
+            )
+        else:
+            payloads = [
+                ("" if s is None else str(s)).encode("utf-8")
+                for s in cells
+            ]
+            lens = [len(p) for p in payloads]
+            dt_body = _dt_vlen_str()
         refs = _gcol_append(out, payloads)
         desc = np.zeros(arr.shape, dtype=_VLEN_DESC_DT)
         flat = desc.reshape(-1)
-        for i, (p, (ga, gi)) in enumerate(zip(payloads, refs)):
-            flat[i] = (len(p), ga, gi)
-        arr, dt_body = desc, _dt_vlen_str()
+        for i, (ln, (ga, gi)) in enumerate(zip(lens, refs)):
+            flat[i] = (ln, ga, gi)
+        arr = desc
     elif presized is not None:
         if chunk is None:
             raise ValueError("presized write requires a chunked layout")
@@ -1145,6 +1179,10 @@ class DatasetInfo:
     # vlen string dataset: dtype is the 16-byte _VLEN_DESC_DT and reads
     # decode descriptors to python str via the global heap
     vlen_str: bool = False
+    # vlen SEQUENCE dataset (netcdf-c NC_VLEN of a numeric base): same
+    # descriptor machinery; reads decode to object arrays of
+    # variable-length numpy arrays of this base dtype
+    vlen_seq: "np.dtype | None" = None
 
     @property
     def unlimited0(self) -> bool:
@@ -1807,6 +1845,44 @@ class HDF5File:
                     out[i] = payload[:ln].decode("utf-8", "replace")
         return out.reshape(desc.shape)
 
+    def _vlen_seq_decode(
+        self, desc: np.ndarray, base: np.dtype
+    ) -> np.ndarray:
+        """Descriptor records -> object array of variable-length numpy
+        arrays of ``base`` (netcdf-c NC_VLEN semantics: the descriptor
+        length counts BASE ELEMENTS, not bytes). Zeroed descriptors
+        (unallocated chunks / fill) decode to empty arrays; corruption
+        behavior mirrors :meth:`_vlen_str_decode`."""
+        flat = desc.reshape(-1)
+        lens, gaddrs, gidxs = flat["len"], flat["gaddr"], flat["gidx"]
+        out = np.empty(flat.shape[0], dtype=object)
+        empty = np.empty(0, dtype=base)
+        out.fill(empty)  # object fill: every cell -> the empty array
+        live = (gaddrs != 0) & (gaddrs != UNDEF) & (gidxs != 0)
+        live_idx = np.nonzero(live)[0]
+        if live_idx.size:
+            uniq, inv = np.unique(gaddrs[live_idx], return_inverse=True)
+            for u, ga in enumerate(uniq):
+                coll = self._gheap_collection(int(ga))
+                for i in live_idx[inv == u]:
+                    gi, ln = int(gidxs[i]), int(lens[i])
+                    nb = ln * base.itemsize
+                    payload = coll.get(gi)
+                    if payload is None or len(payload) < nb:
+                        why = (
+                            "missing from"
+                            if payload is None
+                            else f"only {len(payload)} bytes (descriptor"
+                            f" declares {ln} x {base.itemsize}) in"
+                        )
+                        raise ValueError(
+                            f"{self.path}: corrupt vlen sequence data — "
+                            f"global heap object {gi} {why} collection "
+                            f"at offset {int(ga)}"
+                        )
+                    out[i] = np.frombuffer(payload[:nb], dtype=base)
+        return out.reshape(desc.shape)
+
     @staticmethod
     def _parse_dataspace(body: bytes):
         ver = body[0]
@@ -1837,9 +1913,19 @@ class HDF5File:
                     # the global heap at read time
                     info.vlen_str = True
                     dtype = _VLEN_DESC_DT
+                elif (
+                    isinstance(dtype, tuple)
+                    and dtype[0] == "vlen"
+                    and isinstance(dtype[1], np.dtype)
+                ):
+                    # NC_VLEN of a numeric base: same descriptor
+                    # machinery, payloads decode to per-cell arrays
+                    info.vlen_seq = dtype[1].newbyteorder("<")
+                    dtype = _VLEN_DESC_DT
                 if not isinstance(dtype, np.dtype):
                     raise ValueError(
-                        f"{name}: vlen/reference datasets not supported"
+                        f"{name}: vlen-of-reference/compound and "
+                        "reference datasets not supported"
                     )
             elif t == 0x0008:
                 ver, cls = body[0], body[1]
@@ -2278,8 +2364,11 @@ class HDF5File:
     def read(self, name: str) -> np.ndarray:
         def impl():
             a = self._read_impl(name)
-            if self.datasets[name].vlen_str:
+            info = self.datasets[name]
+            if info.vlen_str:
                 return self._vlen_str_decode(a)
+            if info.vlen_seq is not None:
+                return self._vlen_seq_decode(a, info.vlen_seq)
             return a
 
         return _corrupt_guard(self.path, impl)
@@ -2311,8 +2400,11 @@ class HDF5File:
 
         def impl():
             a = self._read_slab0_impl(name, lo, hi)
-            if self.datasets[name].vlen_str:
+            info = self.datasets[name]
+            if info.vlen_str:
                 return self._vlen_str_decode(a)
+            if info.vlen_seq is not None:
+                return self._vlen_seq_decode(a, info.vlen_seq)
             return a
 
         return _corrupt_guard(self.path, impl)
@@ -2494,6 +2586,9 @@ class NC4Var:
     attrs: dict
     is_record: bool
     shape: tuple[int, ...]  # per-record shape for record vars
+    # vlen SEQUENCE variables: the numeric base dtype (cells read as
+    # variable-length numpy arrays; dtype above is object)
+    vlen_base: "np.dtype | None" = None
 
 
 class NetCDF4View:
@@ -2538,11 +2633,14 @@ class NetCDF4View:
             self.variables[n] = NC4Var(
                 n,
                 vdims,
-                # vlen strings surface as object arrays of python str
-                np.dtype(object) if d.vlen_str else d.dtype,
+                # vlen strings/sequences surface as object arrays
+                np.dtype(object)
+                if (d.vlen_str or d.vlen_seq is not None)
+                else d.dtype,
                 d.attrs,
                 is_rec,
                 d.shape[1:] if is_rec else d.shape,
+                vlen_base=d.vlen_seq,
             )
 
     def _resolve_dims(self, d: DatasetInfo) -> tuple[str, ...]:

@@ -157,6 +157,19 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
     parts = [f"{v.record_dim}_idx long"]
     parts += [f"{d}_idx int" for d in fixed]
     for x in rvs:
+        if x.vlen_base is not None:
+            # NC_VLEN of a numeric base -> ArrayType column (cells are
+            # variable-length vectors); unsigned bases widen like
+            # their scalar columns, except u8 (no exact array-of-
+            # decimal path) which refuses loudly
+            bkey = _np_key(x.vlen_base)
+            if bkey not in _NP_SPARK or bkey == "u8":
+                raise ValueError(
+                    f"{v.path}: vlen variable {x.name} base "
+                    f"{x.vlen_base} has no Spark array mapping"
+                )
+            parts.append(f"{x.name} array<{_NP_SPARK[bkey][0]}>")
+            continue
         if x.dtype.kind in ("S", "O"):
             parts.append(f"{x.name} string")
             continue
@@ -321,6 +334,15 @@ def _arrow_batches4(
     for x in rvs:
         if x.name not in wanted:
             continue  # pruned: its chunks are never read
+        if x.vlen_base is not None:
+            # variable-length vectors -> Arrow list column (each cell
+            # a numpy array, widened like the scalar mapping)
+            wdt = np.dtype(_NP_SPARK[_np_key(x.vlen_base)][1])
+            arrays[x.name] = [
+                c.astype(wdt, copy=False)
+                for c in v.read_records(x.name, lo, hi).reshape(-1)
+            ]
+            continue
         if x.dtype.kind in ("S", "O"):
             arrays[x.name] = _nc4_strings(
                 v.read_records(x.name, lo, hi), x
@@ -458,6 +480,13 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
                 grids[i].astype(np.int32), n
             ).tolist()
     for x in rvs:
+        if x.vlen_base is not None:
+            wdt = np.dtype(_NP_SPARK[_np_key(x.vlen_base)][1])
+            cols[x.name] = [
+                c.astype(wdt, copy=False).tolist()
+                for c in v.read_records(x.name, lo, hi).reshape(-1)
+            ]
+            continue
         if x.dtype.kind in ("S", "O"):
             cols[x.name] = _nc4_strings(v.read_records(x.name, lo, hi), x)
             continue

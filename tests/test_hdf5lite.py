@@ -1965,3 +1965,109 @@ def test_snk_netcdf4_write_deflate_oracle(check):
     distributed export."""
     pdf = check("snk_netcdf4_write_deflate")
     assert len(pdf) == 1 and int(pdf["n_lines"][0]) == 32
+
+
+# ---------------------------------------------------------------------------
+# vlen SEQUENCE datasets — NC_VLEN of a numeric base (VERDICT r7
+# "What's missing" #3)
+# ---------------------------------------------------------------------------
+
+
+def test_vlen_sequence_roundtrip_layouts(tmp_path):
+    """NC_VLEN-of-numeric round-trips across contiguous,
+    chunked+shuffle+deflate, and libver-latest; integer bases stay
+    integer (an empty cell must not float64-pollute the base), empty
+    cells read back as empty arrays, slab reads prune."""
+    n = 30
+    f_cells = np.empty((n,), dtype=object)
+    i_cells = np.empty((n,), dtype=object)
+    for i in range(n):
+        k = i % 6
+        f_cells[i] = (np.arange(k) * 0.25 + i).astype(np.float32)
+        i_cells[i] = np.arange(k, dtype=np.int16) - 3
+    for name, opts, libver in [
+        ("contig", {}, "earliest"),
+        ("deflate", {"chunk": (7,), "compress": 6, "shuffle": True},
+         "earliest"),
+        ("latest", {"chunk": (7,), "compress": 4}, "latest"),
+    ]:
+        p = os.path.join(tmp_path, f"{name}.h5")
+        write_hdf5(
+            p,
+            {"f": f_cells, "i": i_cells},
+            {k: dict(opts) for k in ("f", "i")} if opts else None,
+            libver=libver,
+        )
+        h = HDF5File(p)
+        assert h.datasets["f"].vlen_seq == np.dtype("<f4")
+        assert h.datasets["i"].vlen_seq == np.dtype("<i2")
+        for col, want in (("f", f_cells), ("i", i_cells)):
+            got = h.read(col)
+            for i in range(n):
+                np.testing.assert_array_equal(got[i], want[i])
+                assert got[i].dtype == want[i].dtype
+            slab = h.read_slab0(col, 9, 23)
+            for j, i in enumerate(range(9, 23)):
+                np.testing.assert_array_equal(slab[j], want[i])
+
+
+def test_vlen_sequence_corrupt_fails_loudly(tmp_path):
+    """A live sequence descriptor whose payload is shorter than
+    count x itemsize raises the codec's corrupt-file error."""
+    cells = np.empty((3,), dtype=object)
+    cells[0] = np.arange(4, dtype=np.float32)
+    cells[1] = np.arange(2, dtype=np.float32)
+    cells[2] = np.arange(1, dtype=np.float32)
+    p = os.path.join(tmp_path, "seq.h5")
+    write_hdf5(p, {"s": cells})
+    ds = HDF5File(p).datasets["s"]
+    with open(p, "r+b") as f:
+        f.seek(ds.data_addr)  # cell 0's element count: 4 -> 1000
+        f.write(struct.pack("<I", 1000))
+    with pytest.raises(ValueError, match="corrupt vlen sequence"):
+        HDF5File(p).read("s")
+
+
+def test_vlen_sequence_spark_scan(spark, tmp_path):
+    """NC_VLEN record variables surface as ArrayType columns through
+    the netcdf4 DataSource, with pushdown and exact cell values."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    t = 24
+    cells = np.empty((t,), dtype=object)
+    for i in range(t):
+        cells[i] = (np.arange(i % 5) * 0.25 + i).astype(np.float32)
+    p = os.path.join(tmp_path, "vlen.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None},
+        variables={"samples": ("object", ("t",)),
+                   "v": ("float32", ("t",))},
+        data={"samples": cells, "v": np.arange(t, dtype=np.float32)},
+        compress=6,
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", p).load()
+    assert dict(df.dtypes)["samples"] == "array<float>"
+    rows = (
+        df.filter((F.col("t_idx") >= 4) & (F.col("t_idx") < 20))
+        .orderBy("t_idx")
+        .collect()
+    )
+    assert len(rows) == 16
+    for r in rows:
+        i = r["t_idx"]
+        want = [float(np.float32(j * 0.25 + i)) for j in range(i % 5)]
+        assert r["samples"] == want, (i, r["samples"])
+
+
+def test_src_netcdf_vlen_scan_oracle(check):
+    """Per-key driver-contract mirror for the NC_VLEN sequence scan."""
+    pdf = check("src_netcdf_vlen_scan")
+    assert list(pdf["n_elems"]) == [0, 1, 2, 3, 4]
+    assert int(pdf["n_rec"].sum()) == 48
