@@ -69,6 +69,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_arrow_tail",
     "snk_netcdf4_write_deflate",
     "src_netcdf_vlen_scan",
+    "src_netcdf3_arrow_dir_tail",
     # last driver check: r3
     "q_text_quality",
     "q_text_tokens",

@@ -457,6 +457,100 @@ class NetCDF4ArrowStreamReader(DataSourceStreamReader):
         )
 
 
+class NetCDF4ArrowDirStreamReader(DataSourceStreamReader):
+    """Partition-planned Arrow tail over a GROWING DIRECTORY of
+    NetCDF-4 archive files — the Arrow twin of
+    :class:`NetCDF4DirStreamReader` (same pinned-count offsets, same
+    freeze-invariant enforcement, see the classic-format
+    ``NetCDF3ArrowDirStreamReader`` for the design notes); microbatch
+    deltas split into executor-read Arrow RecordBatches with
+    globalized record indexes."""
+
+    _EXTS = (".nc", ".nc4", ".h5", ".hdf5")
+
+    def __init__(
+        self, path: str, schema: StructType, target_partitions=None
+    ):
+        import os
+
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        self.target_partitions = target_partitions or int(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": [], "counts": []}
+
+    def latestOffset(self) -> dict:
+        import os
+
+        files = sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(self._EXTS)
+        )
+        counts = [
+            NetCDF4View(os.path.join(self.path, f)).numrecs
+            for f in files
+        ]
+        return {"files": files, "counts": counts}
+
+    def _check_invariants(self, start: dict, end: dict) -> None:
+        if end["files"][: len(start["files"])] != start["files"]:
+            raise ValueError(
+                f"{self.path}: archive members renamed or removed — "
+                f"offset had {start['files']}, directory has "
+                f"{end['files']}"
+            )
+        for i, f in enumerate(start["files"]):
+            lo, hi = start["counts"][i], end["counts"][i]
+            if i < len(start["files"]) - 1 and hi != lo:
+                verb = "grew" if hi > lo else "shrank"
+                raise ValueError(
+                    f"{self.path}/{f}: frozen member {verb} "
+                    f"({lo} -> {hi} records) — the freeze invariant "
+                    "is violated; only the newest archive member may "
+                    "grow"
+                )
+            if hi < lo:
+                raise ValueError(
+                    f"{self.path}/{f}: pinned member shrank "
+                    f"({lo} -> {hi} records) — records already issued "
+                    "to the stream were truncated or replaced"
+                )
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        self._check_invariants(start, end)
+        total = sum(end["counts"]) - sum(start["counts"])
+        if total <= 0:
+            return []
+        per = -(-total // max(1, min(total, self.target_partitions)))
+        out, base = [], 0
+        for i, f in enumerate(end["files"]):
+            p = os.path.join(self.path, f)
+            lo = start["counts"][i] if i < len(start["counts"]) else 0
+            hi = end["counts"][i]
+            r = lo
+            while r < hi:
+                e = min(r + per, hi)
+                out.append(NC4RangePartition(p, r, e, base))
+                r = e
+            base += hi
+        return out
+
+    def read(self, partition: NC4RangePartition):
+        yield from _arrow_batches4(
+            partition.path,
+            self.columns,
+            partition.lo,
+            partition.hi,
+            partition.offset,
+        )
+
+
 def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
     """Long-form row tuples for records [lo, hi) of one NetCDF-4 file;
     the record index column is globalized by ``base``."""
@@ -616,10 +710,14 @@ class NetCDF4DataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader"},
             )
+        import os
+
         tp = self.options.get("tail_partitions")
-        return NetCDF4ArrowStreamReader(
-            self.options["path"], schema, int(tp) if tp else None
-        )
+        tp = int(tp) if tp else None
+        path = self.options["path"]
+        if os.path.isdir(path):
+            return NetCDF4ArrowDirStreamReader(path, schema, tp)
+        return NetCDF4ArrowStreamReader(path, schema, tp)
 
     def simpleStreamReader(self, schema: StructType):
         import os

@@ -531,6 +531,50 @@ def src_netcdf3_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+@register(
+    "src_netcdf3_arrow_dir_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Partition-planned Arrow tail over the GROWING archive "
+        "DIRECTORY (round 8): tail_reader=arrow on a directory selects "
+        "a DataSourceStreamReader with the Simple dir tail's exact "
+        "offset shape (pinned per-member record counts, freeze "
+        "invariant enforced at plan time) whose per-member deltas "
+        "split into executor-read Arrow RecordBatches with globalized "
+        "record indexes — fixing the linear-in-rows driver drain the "
+        "round-8 SCALE measurements flagged on the Simple dir reader. "
+        "Same members, same oracle as src_netcdf3_dir_tail.",
+)
+def src_netcdf3_arrow_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc3_multifile()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("tail_reader", "arrow")
+        .load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
 def _nc3_write_partition(path: str):
     """mapInPandas factory: write each partition's COMPLETE records into
     the preallocated .nc at their closed-form offsets (os.pwrite, no

@@ -2071,3 +2071,75 @@ def test_src_netcdf_vlen_scan_oracle(check):
     pdf = check("src_netcdf_vlen_scan")
     assert list(pdf["n_elems"]) == [0, 1, 2, 3, 4]
     assert int(pdf["n_rec"].sum()) == 48
+
+
+def test_nc4_arrow_dir_tail_protocol(tmp_path):
+    """The NetCDF-4 Arrow directory tail mirrors the classic one:
+    pinned-count offsets, freeze enforcement at plan time, globalized
+    record indexes, row parity with the Simple dir reader."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        append_records_nc4,
+        create_netcdf4_tail,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        NetCDF4ArrowDirStreamReader,
+        NetCDF4DirStreamReader,
+        _spark_schema,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    d = os.path.join(tmp_path, "arch4")
+    os.makedirs(d)
+
+    def mk(i, n):
+        p = os.path.join(d, f"part-{i}.nc4")
+        create_netcdf4_tail(
+            p,
+            dims={"t": None, "x": 2},
+            variables={"v": ("float32", ("t", "x"))},
+            capacity=8,
+        )
+        append_records_nc4(
+            p, {"v": np.arange(n * 2, dtype=np.float32).reshape(n, 2)}
+        )
+        return p
+
+    mk(0, 3)
+    mk(1, 2)
+    schema = _parse_datatype_string(
+        _spark_schema(NetCDF4View(os.path.join(d, "part-0.nc4")))
+    )
+    ar = NetCDF4ArrowDirStreamReader(d, schema, target_partitions=3)
+    off1 = ar.latestOffset()
+    assert off1["counts"] == [3, 2]
+
+    def rows(start, end):
+        out = []
+        for p in ar.partitions(start, end):
+            for rb in ar.read(p):
+                out.extend(
+                    tuple(r[c] for c in ar.columns)
+                    for r in rb.to_pylist()
+                )
+        return out
+
+    got = rows(ar.initialOffset(), off1)
+    sr = NetCDF4DirStreamReader(d, schema)
+    want, off_s = sr.read(ar.initialOffset())
+    assert off_s == off1
+    assert sorted(got) == sorted(list(want))
+    assert {r[0] for r in got} == set(range(5))
+
+    append_records_nc4(
+        os.path.join(d, "part-1.nc4"),
+        {"v": np.full((2, 2), 9, dtype=np.float32)},
+    )
+    off2 = ar.latestOffset()
+    got2 = rows(off1, off2)
+    assert {r[0] for r in got2} == {5, 6}
+    append_records_nc4(
+        os.path.join(d, "part-0.nc4"),
+        {"v": np.full((1, 2), 1, dtype=np.float32)},
+    )
+    with pytest.raises(ValueError, match="frozen member grew"):
+        ar.partitions(off2, ar.latestOffset())

@@ -951,3 +951,94 @@ def test_src_netcdf3_arrow_tail_oracle(check):
     pdf = check("src_netcdf3_arrow_tail")
     assert len(pdf) == 64
     assert int(pdf["n_cells"].sum()) == 64 * 32 * 32
+
+
+def test_arrow_dir_tail_protocol(tmp_path):
+    """Arrow directory tail: same pinned-count offsets and freeze
+    enforcement as the Simple dir reader, with microbatch deltas split
+    into executor partitions whose Arrow rows carry GLOBAL record
+    indexes across member boundaries."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        append_records,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        NetCDF3ArrowDirStreamReader,
+        NetCDF3DirStreamReader,
+    )
+
+    d = os.path.join(tmp_path, "arch")
+    os.makedirs(d)
+
+    def mk(i, n):
+        write_netcdf3(
+            os.path.join(d, f"part-{i}.nc"),
+            dims={"t": None, "x": 2},
+            variables={"v": ("int32", ("t", "x"))},
+            data={"v": np.arange(n * 2, dtype=np.int32).reshape(n, 2)},
+        )
+
+    mk(0, 3)
+    mk(1, 2)
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("x_idx", IntegerType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+    ar = NetCDF3ArrowDirStreamReader(d, schema, target_partitions=3)
+    off0 = ar.initialOffset()
+    off1 = ar.latestOffset()
+    assert off1 == {
+        "files": ["part-0.nc", "part-1.nc"],
+        "counts": [3, 2],
+    }
+
+    def rows(start, end):
+        out = []
+        for p in ar.partitions(start, end):
+            for rb in ar.read(p):
+                out.extend(
+                    tuple(r[c] for c in ar.columns)
+                    for r in rb.to_pylist()
+                )
+        return out
+
+    got = rows(off0, off1)
+    sr = NetCDF3DirStreamReader(d, schema)
+    want, off_s = sr.read(off0)
+    assert off_s == off1
+    assert sorted(got) == sorted(list(want))
+    assert {r[0] for r in got} == set(range(5))  # global indexes
+
+    # newest member grows + a new member appears: delta only
+    append_records(
+        os.path.join(d, "part-1.nc"),
+        {"v": np.array([[7, 8]], dtype=np.int32)},
+    )
+    mk(2, 2)
+    off2 = ar.latestOffset()
+    assert off2["counts"] == [3, 3, 2]
+    got2 = rows(off1, off2)
+    assert {r[0] for r in got2} == {5, 6, 7}
+    assert ar.partitions(off2, off2) == []
+
+    # freeze invariant enforced at plan time
+    append_records(
+        os.path.join(d, "part-0.nc"),
+        {"v": np.array([[9, 9]], dtype=np.int32)},
+    )
+    with pytest.raises(ValueError, match="frozen member grew"):
+        ar.partitions(off2, ar.latestOffset())
+
+
+def test_src_netcdf3_arrow_dir_tail_oracle(check):
+    pdf = check("src_netcdf3_arrow_dir_tail")
+    assert len(pdf) == 128  # all three members drained
