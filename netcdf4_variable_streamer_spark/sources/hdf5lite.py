@@ -619,12 +619,14 @@ def _write_dataset(
             c for c in cells if c is not None and not isinstance(c, str)
         ]
         if seq_cells:
-            # base from NON-EMPTY cells only (np.asarray([]) defaults
-            # to float64 and must not pollute an integer sequence)
+            # base from cells that actually carry one: any ndarray
+            # keeps its dtype even when empty, but an empty bare list
+            # (np.asarray([]) defaults to float64) must not pollute an
+            # integer sequence
             sized = [
                 np.asarray(c).dtype
                 for c in seq_cells
-                if np.asarray(c).size
+                if isinstance(c, np.ndarray) or np.asarray(c).size
             ]
             base = (
                 np.result_type(*sized) if sized else np.dtype("f8")

@@ -316,3 +316,64 @@ def test_netcdf3_corruption_fails_controlled(
             (nc.read_records(n) if var.is_record else nc.read_fixed(n))
     except ValueError:
         pass  # loud, contextual refusal — the contract
+
+
+@st.composite
+def _vlen_case(draw):
+    n = draw(st.integers(1, 40))
+    kind = draw(st.sampled_from(["str", "f4", "i2", "i8"]))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    cells = np.empty((n,), dtype=object)
+    for i in range(n):
+        k = int(rng.randint(0, 7))
+        if kind == "str":
+            cells[i] = "".join(
+                rng.choice(list("abĉ日-𝄞"), size=k)
+            )
+        else:
+            cells[i] = rng.randint(-1000, 1000, size=k).astype(kind)
+    opts = {}
+    if draw(st.booleans()):
+        opts["chunk"] = (draw(st.integers(1, n)),)
+        if draw(st.booleans()):
+            opts["compress"] = draw(st.integers(0, 9))
+            opts["shuffle"] = draw(st.booleans())
+    return cells, kind, opts
+
+
+@_SETTINGS
+@given(
+    case=_vlen_case(),
+    lo=st.integers(0, 10),
+    m=st.integers(0, 10),
+    libver=st.sampled_from(["earliest", "latest"]),
+)
+def test_vlen_roundtrip_fuzz(tmp_path_factory, case, lo, m, libver):
+    """vlen strings AND vlen numeric sequences round-trip across
+    layouts, filters, and both encoding families — including slab
+    reads, multi-byte UTF-8 (astral plane), empties, and the 4 KiB
+    multi-collection heap split."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    cells, kind, opts = case
+    path = os.path.join(str(tmp_path_factory.mktemp("vlfuzz")), "f.h5")
+    write_hdf5(path, {"v": cells}, {"v": opts} if opts else None,
+               libver=libver)
+    h = HDF5File(path)
+    got = h.read("v")
+    slab = h.read_slab0("v", lo, lo + m)
+    n = len(cells)
+    for i in range(n):
+        if kind == "str":
+            assert got[i] == cells[i]
+        else:
+            np.testing.assert_array_equal(got[i], cells[i])
+            assert got[i].dtype == np.dtype(kind)
+    for j, i in enumerate(range(lo, min(lo + m, n))):
+        if kind == "str":
+            assert slab[j] == cells[i]
+        else:
+            np.testing.assert_array_equal(slab[j], cells[i])
