@@ -11,6 +11,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import netcdf4_variable_streamer_spark.operators  # noqa: F401  (fills REGISTRY)
+import netcdf4_variable_streamer_spark.sources  # noqa: F401  (src_*/snk_* keys)
+import netcdf4_variable_streamer_spark.streaming  # noqa: F401  (q_stream_* keys)
 from netcdf4_variable_streamer_spark import oracle as oracle_mod
 from netcdf4_variable_streamer_spark.registry import REGISTRY
 from netcdf4_variable_streamer_spark.session import get_spark

@@ -2143,3 +2143,46 @@ def test_nc4_arrow_dir_tail_protocol(tmp_path):
     )
     with pytest.raises(ValueError, match="frozen member grew"):
         ar.partitions(off2, ar.latestOffset())
+
+
+def test_vlen_sequence_stream_tail(spark, tmp_path):
+    """NC_VLEN record variables flow through BOTH tail readers: the
+    Simple reader's row tuples carry python lists, the Arrow reader's
+    RecordBatches carry list cells — identical values."""
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4ArrowStreamReader,
+        NetCDF4DataSource,
+        NetCDF4StreamReader,
+    )
+
+    t = 10
+    cells = np.empty((t,), dtype=object)
+    for i in range(t):
+        cells[i] = (np.arange(i % 4) * 0.5 + i).astype(np.float32)
+    p = os.path.join(tmp_path, "vtail.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None},
+        variables={"samples": ("object", ("t",)),
+                   "v": ("float32", ("t",))},
+        data={"samples": cells, "v": np.arange(t, dtype=np.float32)},
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    schema = (
+        spark.read.format(FORMAT4_NAME).option("path", p).load().schema
+    )
+    sr = NetCDF4StreamReader(p, schema)
+    rows, off = sr.read(sr.initialOffset())
+    rows = list(rows)
+    assert off == {"rec": t} and len(rows) == t
+    for r in rows:
+        assert r[1] == cells[r[0]].tolist()
+    ar = NetCDF4ArrowStreamReader(p, schema, target_partitions=2)
+    got = []
+    for part in ar.partitions(ar.initialOffset(), ar.latestOffset()):
+        for rb in ar.read(part):
+            got.extend(
+                tuple(x[c] for c in ar.columns) for x in rb.to_pylist()
+            )
+    assert sorted(got) == sorted(rows)

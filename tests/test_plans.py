@@ -455,3 +455,15 @@ def test_emb_centroids_single_bounded_shuffle(spark):
     plans.assert_max_shuffles(df, 1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_vlen_scan_single_shuffle_no_python_row_path(spark):
+    # the NC_VLEN array column is sized/summed with JVM higher-order
+    # functions: one groupBy Exchange plus the ORDER BY range exchange,
+    # and no row-at-a-time Python eval node anywhere (the Python
+    # DataSource scan is the Arrow-batched source, not BatchEvalPython)
+    df = build(spark, "src_netcdf_vlen_scan")
+    plans.assert_max_shuffles(df, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "aggregate(samples" in plan  # HOF ran JVM-side, pre-shuffle
