@@ -70,6 +70,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write_deflate",
     "src_netcdf_vlen_scan",
     "src_netcdf3_arrow_dir_tail",
+    "src_netcdf_arrow_tail",
     # last driver check: r3
     "q_text_quality",
     "q_text_tokens",

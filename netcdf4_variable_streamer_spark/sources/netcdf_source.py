@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -351,6 +352,97 @@ class NetCDFChunkStreamReader(SimpleDataSourceStreamReader):
         return self._rows_between(start["line"], end["line"])
 
 
+@dataclass
+class ChunkTailPartition(InputPartition):
+    """One Arrow-tail task: a bundled run of chunk files plus the
+    microbatch's [lo, hi) line window (edge chunks are masked to the
+    window executor-side)."""
+
+    path: str
+    files: list
+    lo: int
+    hi: int
+
+
+class NetCDFChunkArrowStreamReader(DataSourceStreamReader):
+    """Partition-planned Arrow tail of a growing chunk store —
+    ``option("tail_reader", "arrow")``, completing the Arrow-tail
+    family across all stream sources (netcdf3/netcdf4 files and
+    directories, and the chunk store). Offset = UNLIMITED-dim extent
+    exactly like the Simple reader; each microbatch's surviving chunks
+    bundle into ~equal-line tasks (the batch scan's one-wave policy)
+    that executors read as Arrow RecordBatches, masked to the offset
+    window. Driver work per trigger is the chunk LISTING — metadata,
+    not data."""
+
+    def __init__(
+        self, path: str, schema: StructType, target_partitions=None
+    ):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        store = ChunkStore.open(path)
+        self._idx_col = f"{store.streamed_dim}_idx"
+        self.target_partitions = target_partitions or int(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def latestOffset(self) -> dict:
+        return {"line": ChunkStore.open(self.path).extent}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["line"], end["line"]
+        if hi <= lo:
+            return []
+        store = ChunkStore.open(self.path)
+        survivors = [
+            c
+            for c in store.list_chunks()
+            if c.start + c.n_lines > lo and c.start < hi
+        ]
+        if not survivors:
+            return []
+        n_bundles = max(1, min(len(survivors), self.target_partitions))
+        total = sum(c.n_lines for c in survivors)
+        per_bundle = -(-total // n_bundles)
+        out, run, run_lines = [], [], 0
+        for c in survivors:
+            run.append(c)
+            run_lines += c.n_lines
+            if run_lines >= per_bundle:
+                out.append(
+                    ChunkTailPartition(
+                        self.path, [r.file for r in run], lo, hi
+                    )
+                )
+                run, run_lines = [], 0
+        if run:
+            out.append(
+                ChunkTailPartition(
+                    self.path, [r.file for r in run], lo, hi
+                )
+            )
+        return out
+
+    def read(self, partition: ChunkTailPartition):
+        tables = [
+            pq.read_table(
+                os.path.join(partition.path, fname), columns=self.columns
+            )
+            for fname in partition.files
+        ]
+        if not tables:
+            return
+        combined = pa.concat_tables(tables).combine_chunks()
+        idx = combined.column(self._idx_col).to_numpy()
+        mask = (idx >= partition.lo) & (idx < partition.hi)
+        if not mask.all():
+            combined = combined.filter(pa.array(mask))
+        yield from combined.to_batches(max_chunksize=1 << 20)
+
+
 class NetCDFChunkDataSource(DataSource):
     """spark.read.format("netcdf_chunks").option("path", dir).load()"""
 
@@ -369,6 +461,22 @@ class NetCDFChunkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return NetCDFChunkWriter(self.options["path"], schema, overwrite)
+
+    def streamReader(self, schema: StructType):
+        # opt-in partition-planned Arrow tail; anything else falls back
+        # to simpleStreamReader via PySparkNotImplementedError (the
+        # documented pyspark dispatch in datasource_internal)
+        if str(self.options.get("tail_reader", "")).lower() != "arrow":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        tp = self.options.get("tail_partitions")
+        return NetCDFChunkArrowStreamReader(
+            self.options["path"], schema, int(tp) if tp else None
+        )
 
     def simpleStreamReader(self, schema: StructType):
         return NetCDFChunkStreamReader(self.options["path"], schema)

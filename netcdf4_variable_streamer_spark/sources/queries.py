@@ -251,6 +251,45 @@ def src_netcdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+@register(
+    "src_netcdf_arrow_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Partition-planned Arrow tail of the growing CHUNK STORE "
+        "(round 8, completing the Arrow-tail family across all four "
+        "stream sources): tail_reader=arrow keeps the Simple reader's "
+        "extent offset but bundles each microbatch's surviving chunks "
+        "into ~equal-line executor tasks (the batch scan's one-wave "
+        "policy) read as Arrow RecordBatches masked to the offset "
+        "window. Same fixture, same oracle as src_netcdf_stream_tail "
+        "— the parity this key proves.",
+)
+def src_netcdf_arrow_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_grid()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDFChunkDataSource)
+    stream = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("tail_reader", "arrow")
+        .load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
 def ensure_nc3(path: str | None = None, t_total: int = GRID_T) -> str:
     """Materialize the closed-form grid as a REAL NetCDF-3 classic file
     through the pure-NumPy codec (sources/netcdf3.py)."""

@@ -491,3 +491,71 @@ def test_a10_transposed_axis_roundtrip(tmp_path):
     )
     assert total.shape == (Y, T + 1, X)
     np.testing.assert_array_equal(total[:, -1, :], extra)
+
+
+def test_arrow_stream_tail_protocol(spark):
+    """Chunk-store Arrow tail (tail_reader=arrow): extent offsets,
+    chunk-bundled partitions, Arrow rows masked to the offset window —
+    value-identical to the Simple reader, including a microbatch whose
+    window splits a chunk."""
+    path = _tmp()
+    try:
+        ChunkStore.create(
+            path, {"time": None, "y": 2, "x": 2}, "time", 4,
+            {"temperature": "float32", "humidity": "float32"},
+        )
+        store = ChunkStore.open(path)
+        store.append_block(
+            {"temperature": np.ones((6, 2, 2), np.float32),
+             "humidity": np.zeros((6, 2, 2), np.float32)}
+        )
+        spark.dataSource.register(NetCDFChunkDataSource)
+        schema = (
+            spark.read.format(FORMAT_NAME).option("path", path).load().schema
+        )
+        from netcdf4_variable_streamer_spark.sources.netcdf_source import (
+            NetCDFChunkArrowStreamReader,
+            NetCDFChunkStreamReader,
+        )
+
+        ar = NetCDFChunkArrowStreamReader(path, schema, target_partitions=2)
+        assert ar.initialOffset() == {"line": 0}
+        off1 = ar.latestOffset()
+        assert off1 == {"line": 6}
+
+        def rows(start, end):
+            out = []
+            for p in ar.partitions(start, end):
+                for rb in ar.read(p):
+                    out.extend(
+                        tuple(r[c] for c in ar.columns)
+                        for r in rb.to_pylist()
+                    )
+            return out
+
+        got = rows(ar.initialOffset(), off1)
+        sr = NetCDFChunkStreamReader(path, schema)
+        want, off_s = sr.read(sr.initialOffset())
+        assert off_s == off1
+        assert sorted(got) == sorted(list(want))
+        assert ar.partitions(off1, off1) == []
+
+        # append 3 more lines: the delta window [6, 9) splits the
+        # chunk holding lines 4..7 — masking must trim it exactly
+        ChunkStore.open(path).append_block(
+            {"temperature": np.full((3, 2, 2), 2, np.float32),
+             "humidity": np.ones((3, 2, 2), np.float32)}
+        )
+        off2 = ar.latestOffset()
+        assert off2 == {"line": 9}
+        got2 = rows(off1, off2)
+        assert len(got2) == 12  # 3 lines x 4 cells
+        assert {r[0] for r in got2} == {6, 7, 8}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_src_netcdf_arrow_tail_oracle(check):
+    pdf = check("src_netcdf_arrow_tail")
+    assert len(pdf) == srcq.GRID_T
+    assert (pdf["n_cells"] == srcq.GRID_Y * srcq.GRID_X).all()
