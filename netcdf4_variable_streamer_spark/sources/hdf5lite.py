@@ -266,6 +266,16 @@ class VlenRef:
         self.ref_names = ref_names
 
 
+class VlenSeq:
+    """Writer marker for a vlen-of-numeric attribute (netcdf-c NC_VLEN
+    attribute values): one variable-length numeric vector per element,
+    payloads in the global heap, descriptor lengths counting base
+    elements."""
+
+    def __init__(self, seqs: list):
+        self.seqs = seqs
+
+
 def _attr_envelope(
     nb: bytes, dt: bytes, ds: bytes, data: bytes, latest: bool
 ) -> bytes:
@@ -306,6 +316,34 @@ def _vlen_ref_attr_msg(
     data = b"".join(
         struct.pack("<IQI", len(a), ga, gi)
         for a, (ga, gi) in zip(addr_lists, refs)
+    )
+    return _attr_envelope(name.encode() + b"\x00", dt, ds, data, latest)
+
+
+def _vlen_seq_attr_msg(
+    out: bytearray, name: str, vseq: VlenSeq, latest: bool
+) -> bytes:
+    """Append the payload "GCOL" collection(s) and return the
+    vlen-of-numeric attribute message (class 9 variant 0 over the
+    inferred base — same inference rules as vlen datasets)."""
+    vecs0 = [np.asarray(s) for s in vseq.seqs]
+    sized = [
+        v.dtype
+        for s, v in zip(vseq.seqs, vecs0)
+        if isinstance(s, np.ndarray) or v.size
+    ]
+    base = (
+        np.result_type(*sized) if sized else np.dtype("f8")
+    ).newbyteorder("<")
+    vecs = [
+        np.ascontiguousarray(v, dtype=base).reshape(-1) for v in vecs0
+    ]
+    refs = _gcol_append(out, [v.tobytes() for v in vecs])
+    dt = struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16) + _dt_body(base)
+    ds = _dataspace((len(vecs),), latest=latest)
+    data = b"".join(
+        struct.pack("<IQI", len(v), ga, gi)
+        for v, (ga, gi) in zip(vecs, refs)
     )
     return _attr_envelope(name.encode() + b"\x00", dt, ds, data, latest)
 
@@ -825,7 +863,9 @@ def _attr_msgs(
     if (
         latest
         and len(attrs) > _DENSE_ATTR_MAX_COMPACT
-        and not any(isinstance(v, VlenRef) for v in attrs.values())
+        and not any(
+            isinstance(v, (VlenRef, VlenSeq)) for v in attrs.values()
+        )
     ):
         fheap_addr, bt2_addr = _write_dense_attrs(out, attrs)
         return [
@@ -839,6 +879,8 @@ def _attr_msgs(
             msgs.append(
                 _vlen_ref_attr_msg(out, k, v, resolve or {}, latest)
             )
+        elif isinstance(v, VlenSeq):
+            msgs.append(_vlen_seq_attr_msg(out, k, v, latest))
         else:
             msgs.append(_attr_msg(k, v, latest=latest))
     return msgs
@@ -1756,8 +1798,31 @@ class HDF5File:
                         np.frombuffer(data, "<u8", count=n_ref).copy()
                     )
                 return name, refs
+            if (
+                dt[0] == "vlen"
+                and isinstance(dt[1], np.dtype)
+            ):
+                # vlen of a numeric base (netcdf-c NC_VLEN attribute
+                # values): length counts BASE ELEMENTS; payloads live
+                # in the global heap like vlen datasets
+                base = dt[1].newbyteorder("<")
+                vals = []
+                for i in range(count):
+                    n_el, gaddr, gidx = struct.unpack_from(
+                        "<IQI", body, pos + 16 * i
+                    )
+                    if gaddr in (0, UNDEF) or gidx == 0:
+                        vals.append(np.empty(0, dtype=base))
+                        continue
+                    data = self._gheap_object(gaddr, gidx)
+                    vals.append(
+                        np.frombuffer(
+                            data, base, count=n_el
+                        ).copy()
+                    )
+                return name, (vals[0] if shape == () else vals)
             # other vlen / reference / compound attribute (netcdf-c's
-            # REFERENCE_LIST, vlen string attrs, ...): step over, the
+            # REFERENCE_LIST, compound attrs, ...): step over, the
             # netCDF mapping does not need them
             return None
         vals = np.frombuffer(

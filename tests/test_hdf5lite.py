@@ -2186,3 +2186,63 @@ def test_vlen_sequence_stream_tail(spark, tmp_path):
                 tuple(x[c] for c in ar.columns) for x in rb.to_pylist()
             )
     assert sorted(got) == sorted(rows)
+
+
+def test_vlen_numeric_attribute_roundtrip(tmp_path):
+    """NC_VLEN attribute values (vlen-of-numeric) round-trip via the
+    VlenSeq writer marker in both libvers: per-element variable-length
+    vectors through the global heap, base dtype preserved, empties
+    included; the v1/v3 attribute parsers decode them instead of
+    stepping over."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import VlenSeq
+
+    seqs = [
+        np.array([1, 2, 3], np.int32),
+        np.array([], np.int32),
+        np.array([9, -4], np.int32),
+    ]
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"va_{libver}.h5")
+        write_hdf5(
+            p,
+            {"v": np.arange(4.0)},
+            {"v": {"attrs": {"ragged": VlenSeq(seqs), "plain": 7}}},
+            libver=libver,
+        )
+        h = HDF5File(p)
+        got = h.datasets["v"].attrs["ragged"]
+        assert len(got) == 3
+        for g, w in zip(got, seqs):
+            np.testing.assert_array_equal(g, w)
+            assert g.dtype == np.dtype("<i4")
+        assert int(h.datasets["v"].attrs["plain"]) == 7
+
+
+def test_vlen_u8_base_refuses_spark_mapping(tmp_path):
+    """A vlen dataset over a uint64 base has no exact Spark array
+    mapping (no array-of-decimal path) — the scan refuses loudly
+    instead of overflowing."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        _spark_schema,
+    )
+
+    cells = np.empty((3,), dtype=object)
+    for i in range(3):
+        cells[i] = np.arange(i + 1, dtype=np.uint64) + 2**63
+    p = os.path.join(tmp_path, "u8v.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None},
+        variables={"samples": ("object", ("t",))},
+        data={"samples": cells},
+    )
+    # codec-level read works (exact numpy uint64)...
+    got = NetCDF4View(p).read_records("samples", 0, 3)
+    assert got[2].dtype == np.dtype("<u8")
+    assert int(got[2][0]) == 2**63
+    # ...but the Spark schema refuses the lossy mapping
+    with pytest.raises(ValueError, match="no Spark array mapping"):
+        _spark_schema(NetCDF4View(p))
