@@ -2826,9 +2826,7 @@ def pwrite_records_nc4(
                 )
             addr_of = {
                 origin[0]: (addr, nbytes)
-                for origin, nbytes, addr in v.h5._chunks(
-                    info.btree_addr, len(info.shape)
-                )
+                for origin, nbytes, addr in v.h5._iter_chunks(info)
             }
             block = np.ascontiguousarray(
                 block, dtype=x.dtype.newbyteorder("<")
@@ -2902,12 +2900,14 @@ def create_netcdf4_compressed(
     var_attrs: dict[str, dict] | None = None,
     compress: int = 6,
     shuffle: bool = True,
+    libver: str = "earliest",
 ) -> None:
     """Phase 2a: write the complete NetCDF-4 metadata for a
     shuffle+deflate compressed file whose record-variable chunk SIZES
     were gathered from executors (``chunk_sizes[name][r]`` = record
     r's compressed chunk size). Every chunk's (address, nbytes) lands
-    in the B-tree now; the chunk spans are zero placeholders until
+    in the chunk index now (v1 B-tree, or Extensible Array under
+    ``libver='latest'``); the chunk spans are zero placeholders until
     :func:`pwrite_compressed_records_nc4` overwrites them."""
     numrecs = {len(s) for s in chunk_sizes.values()}
     if len(numrecs) != 1:
@@ -2936,6 +2936,7 @@ def create_netcdf4_compressed(
         shuffle=shuffle,
         chunk0=1,
         presized=chunk_sizes,
+        libver=libver,
     )
 
 
@@ -2969,9 +2970,7 @@ def pwrite_compressed_records_nc4(
                 )
             addr_of = {
                 origin[0]: (addr, nbytes)
-                for origin, nbytes, addr in v.h5._chunks(
-                    info.btree_addr, len(info.shape)
-                )
+                for origin, nbytes, addr in v.h5._iter_chunks(info)
             }
             block = np.ascontiguousarray(
                 block, dtype=x.dtype.newbyteorder("<")

@@ -2246,3 +2246,34 @@ def test_vlen_u8_base_refuses_spark_mapping(tmp_path):
     # ...but the Spark schema refuses the lossy mapping
     with pytest.raises(ValueError, match="no Spark array mapping"):
         _spark_schema(NetCDF4View(p))
+
+
+def test_two_phase_compressed_write_libver_latest(tmp_path):
+    """The two-phase compressed write also works under libver='latest'
+    (Extensible Array chunk index instead of the v1 B-tree): phase 2a
+    records every chunk's assigned (addr, nbytes) in the EA, and the
+    pwrite pass resolves spans through the generic chunk iterator."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        compressed_chunk_sizes_nc4,
+        create_netcdf4_compressed,
+        pwrite_compressed_records_nc4,
+    )
+
+    rng = np.random.RandomState(2)
+    t, y = 12, 6
+    v = rng.randn(t, y).astype(np.float32)
+    p = os.path.join(tmp_path, "zl.nc4")
+    create_netcdf4_compressed(
+        p,
+        dims={"t": None, "y": y},
+        variables={"v": ("float32", ("t", "y"))},
+        chunk_sizes={"v": compressed_chunk_sizes_nc4(v)},
+        libver="latest",
+    )
+    view = NetCDF4View(p)
+    assert view.h5.datasets["v"].chunk_index == "ea"
+    pwrite_compressed_records_nc4(p, {"v": v[:5]}, 0)
+    pwrite_compressed_records_nc4(p, {"v": v[5:]}, 5)
+    view = NetCDF4View(p)
+    np.testing.assert_array_equal(view.read_records("v"), v)
+    np.testing.assert_array_equal(view.read_records("v", 3, 9), v[3:9])
