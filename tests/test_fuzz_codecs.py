@@ -377,3 +377,49 @@ def test_vlen_roundtrip_fuzz(tmp_path_factory, case, lo, m, libver):
             assert slab[j] == cells[i]
         else:
             np.testing.assert_array_equal(slab[j], cells[i])
+
+
+@_SETTINGS
+@given(
+    t=st.integers(1, 24),
+    y=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+    cut=st.integers(0, 24),
+    libver=st.sampled_from(["earliest", "latest"]),
+)
+def test_two_phase_compressed_write_fuzz(
+    tmp_path_factory, t, y, seed, cut, libver
+):
+    """The two-phase compressed write round-trips for arbitrary record
+    counts, per-record shapes, split points (phase 1 and phase 2b may
+    split differently), and both chunk-index families."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+        compressed_chunk_sizes_nc4,
+        create_netcdf4_compressed,
+        pwrite_compressed_records_nc4,
+    )
+
+    rng = np.random.RandomState(seed)
+    v = rng.randn(t, y).astype(np.float32)
+    k = min(cut, t)
+    sizes = (
+        compressed_chunk_sizes_nc4(v[:k])
+        + compressed_chunk_sizes_nc4(v[k:])
+    )
+    p = os.path.join(
+        str(tmp_path_factory.mktemp("tpz")), "z.nc4"
+    )
+    create_netcdf4_compressed(
+        p,
+        dims={"t": None, "y": y},
+        variables={"v": ("float32", ("t", "y"))},
+        chunk_sizes={"v": sizes},
+        libver=libver,
+    )
+    m = (t * 2) // 3
+    pwrite_compressed_records_nc4(p, {"v": v[:m]}, 0)
+    if m < t:
+        pwrite_compressed_records_nc4(p, {"v": v[m:]}, m)
+    view = NetCDF4View(p)
+    np.testing.assert_array_equal(view.read_records("v"), v)
