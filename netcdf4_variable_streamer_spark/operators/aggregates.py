@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 from netcdf4_variable_streamer_spark.registry import (
     SQL_DAVG,
     SQL_DSUM,
+    SQL_DSUM_WIDE,
     davg,
     dsum,
+    dsum_wide,
     register,
 )
 from netcdf4_variable_streamer_spark.tables import load_table
@@ -63,6 +65,45 @@ def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@register(
+    "q_agg_sum_wide",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {SQL_DSUM_WIDE('(l_extendedprice * 100000)')} AS sum_scaled
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Overflow-safe exact SUM (closes SCALE.md known-limits #3 on "
+        "demand): dsum's int64 fixed-point accumulator overflows past "
+        "~9.2e18 per group (~2e7 rows at |value| < 4e5 and 6 decimals) "
+        "— this key sums l_extendedprice x 100000 (per-row fixed-point "
+        "~4e15, per-group totals ~1e20 even at sf0.01, PAST the int64 "
+        "envelope) through dsum_wide's DECIMAL(38,0) accumulation, "
+        "mirrored by HUGEINT in the oracle. Both engines compute the "
+        "identical float64 products (DOUBLE columns, same IEEE ops), "
+        "so they floor identical doubles, and the final "
+        "decimal->double conversion is the single correctly-rounded "
+        "step. At 100 TB "
+        "group cardinalities this is the accumulator to swap in — "
+        "same call shape, one partial->final hash agg, map-side "
+        "combine intact.",
+)
+def q_agg_sum_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum_wide(F.col("l_extendedprice") * 100000).alias(
+                "sum_scaled"
+            ),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -377,3 +377,28 @@ def test_equidepth_approx_tracks_exact_twin(spark):
         assert abs(r["n"] - target) <= 0.25 * target, (
             f"bucket {r['bucket_id']}: {r['n']} vs target {target}"
         )
+
+
+def test_q_agg_sum_wide_oracle(check):
+    """dsum_wide: per-group fixed-point totals ~1e20 — an order of
+    magnitude past int64 — accumulate exactly in DECIMAL(38,0) and
+    hash-match DuckDB's HUGEINT mirror."""
+    pdf = check("q_agg_sum_wide")
+    assert len(pdf) == 3
+    # the demonstration is real: every group's fixed-point sum
+    # overflows an int64 accumulator
+    assert (pdf["sum_scaled"] * 1e6 > 2**63).all()
+
+
+def test_dsum_wide_exact_where_dsum_overflows(spark):
+    """Direct overflow demonstration: two rows whose fixed-point values
+    sum past 2^63 — dsum's int64 accumulator throws Spark's ANSI
+    ARITHMETIC_OVERFLOW while dsum_wide returns the exact total."""
+    from netcdf4_variable_streamer_spark.registry import dsum, dsum_wide
+
+    v = 6.0e12  # floor(v * 1e6) = 6e18; two rows -> 1.2e19 > 2^63-1
+    df = spark.createDataFrame([(v,), (v,)], "x double")
+    wide = df.agg(dsum_wide("x").alias("s")).first()["s"]
+    assert wide == 2 * v
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(dsum("x").alias("s")).first()
