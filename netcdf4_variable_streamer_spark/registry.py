@@ -47,76 +47,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-8 rotation (VERDICT r7 "Next round" #2): all 226 keys have a
+# Round-9 rotation (VERDICT r8 "Next round" #1): all 233 keys have a
 # driver row and all are green at latest check — no failures, no
 # never-checked keys. The order is green keys stalest-proof-first: the
-# 26 keys whose latest driver evidence is r03 (the oldest proof in the
-# fleet) fill slots 1-26, the oldest r04 keys complete the window, and
-# the rest follow in latest-check order (r04, r05, r06, r07). New
-# round-8 keys are inserted at the very top as they land so they enter
+# 33 keys whose latest driver evidence is r04 (the oldest proof in the
+# fleet) fill slots 1-33, the oldest r05 keys complete the window, and
+# the rest follow in latest-check order (r05, r06, r07, r08). New
+# round-9 keys are inserted at the very top as they land so they enter
 # the window.
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 8
+WINDOW_ROUND = 9
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-8 additions (never driver-checked) are inserted at the
+    # -- round-9 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
-    "src_netcdf3_arrow_tail",
-    "src_netcdf4_arrow_tail",
-    "snk_netcdf4_write_deflate",
-    "src_netcdf_vlen_scan",
-    "src_netcdf3_arrow_dir_tail",
-    "src_netcdf_arrow_tail",
-    "q_agg_sum_wide",
-    # last driver check: r3
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_contamination",
-    "q_text_unigram_logprob",
-    "q_text_repetition",
-    "q_text_pii_redact",
-    "q_multimodal_image_decode",
-    "q_sample_hash_split",
-    "q_sample_stratified",
-    "snk_parquet_partitioned",
-    "snk_partition_overwrite",
-    "snk_compact_small_files",
-    "snk_clustered_sort",
-    "src_netcdf3_scan",
-    "q_agg_histogram_equidepth_approx",
-    "q_graph_jaccard_neighbors",
-    "q_hierarchy_flatten",
-    "q_agg_histogram_equidepth",
-    "q_sim_ivf_ann",
-    "q_sim_pq_codes",
-    "q_ml_knn_classify",
-    "q_sample_per_group",
-    "q_chunk_context_windows",
-    "q_text_vocab_pairs",
-    "q_text_collocation_lift",
     # last driver check: r4
-    "q_pack_sequences",
-    "q_pipeline_pretrain",
-    "q_text_boilerplate",
-    "q_multimodal_resize",
-    "q_multimodal_frame_sample",
-    "snk_zorder",
-    "src_jsonl_ingest",
-    "src_csv_ingest",
-    "q_join_bucketed",
-    "q_ml_kmeans",
-    "q_dedup_ngram_spans",
-    "q_dedup_keep_best",
-    "q_sample_weighted",
-    "q_sample_mixture",
-    "q_sample_topk_hash",
-    "q_text_sentence_split",
-    "q_text_inverted_index",
     "q_agg_heavy_hitters_sketch",
     "q_agg_heavy_hitters",
     "q_agg_histogram",
@@ -303,6 +252,57 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_cc_lsh",
     "q_dedup_semantic",
     "q_text_langid",
+    # last driver check: r8
+    "src_netcdf3_arrow_tail",
+    "src_netcdf4_arrow_tail",
+    "snk_netcdf4_write_deflate",
+    "src_netcdf_vlen_scan",
+    "src_netcdf3_arrow_dir_tail",
+    "src_netcdf_arrow_tail",
+    "q_agg_sum_wide",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_contamination",
+    "q_text_unigram_logprob",
+    "q_text_repetition",
+    "q_text_pii_redact",
+    "q_multimodal_image_decode",
+    "q_sample_hash_split",
+    "q_sample_stratified",
+    "snk_parquet_partitioned",
+    "snk_partition_overwrite",
+    "snk_compact_small_files",
+    "snk_clustered_sort",
+    "src_netcdf3_scan",
+    "q_agg_histogram_equidepth_approx",
+    "q_graph_jaccard_neighbors",
+    "q_hierarchy_flatten",
+    "q_agg_histogram_equidepth",
+    "q_sim_ivf_ann",
+    "q_sim_pq_codes",
+    "q_ml_knn_classify",
+    "q_sample_per_group",
+    "q_chunk_context_windows",
+    "q_text_vocab_pairs",
+    "q_text_collocation_lift",
+    "q_pack_sequences",
+    "q_pipeline_pretrain",
+    "q_text_boilerplate",
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
+    "snk_zorder",
+    "src_jsonl_ingest",
+    "src_csv_ingest",
+    "q_join_bucketed",
+    "q_ml_kmeans",
+    "q_dedup_ngram_spans",
+    "q_dedup_keep_best",
+    "q_sample_weighted",
+    "q_sample_mixture",
+    "q_sample_topk_hash",
+    "q_text_sentence_split",
+    "q_text_inverted_index",
 ]
 
 
