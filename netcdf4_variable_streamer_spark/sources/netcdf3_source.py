@@ -54,6 +54,9 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from netcdf4_variable_streamer_spark.sources.netcdf3 import NetCDF3File
+from netcdf4_variable_streamer_spark.sources.tailcache import (
+    FrozenMemberCounts,
+)
 
 FORMAT3_NAME = "netcdf3"
 
@@ -593,8 +596,9 @@ class NetCDF3ArrowDirStreamReader(DataSourceStreamReader):
     per-member deltas split into record ranges that EXECUTORS read as
     Arrow RecordBatches with globalized record indexes. Fixes the
     drain-throughput class the Simple dir reader is linear-in-rows on
-    (SCALE.md round-8 addendum): driver work per trigger is O(members)
-    KB-sized header reads."""
+    (SCALE.md round-8 addendum): driver work per trigger is ONE header
+    read (the growing newest member) — frozen members' counts carry
+    forward through the stat-guarded ``FrozenMemberCounts`` cache."""
 
     def __init__(
         self, path: str, schema: StructType, target_partitions=None
@@ -606,6 +610,9 @@ class NetCDF3ArrowDirStreamReader(DataSourceStreamReader):
         self.target_partitions = target_partitions or int(
             os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
+        self._pinned = FrozenMemberCounts(
+            lambda p: NetCDF3File(p).numrecs
+        )
 
     def initialOffset(self) -> dict:
         return {"files": [], "counts": []}
@@ -616,11 +623,10 @@ class NetCDF3ArrowDirStreamReader(DataSourceStreamReader):
         files = sorted(
             f for f in os.listdir(self.path) if f.endswith(".nc")
         )
-        counts = [
-            NetCDF3File(os.path.join(self.path, f)).numrecs
-            for f in files
-        ]
-        return {"files": files, "counts": counts}
+        return {
+            "files": files,
+            "counts": self._pinned.counts(self.path, files),
+        }
 
     def _check_invariants(self, start: dict, end: dict) -> None:
         if end["files"][: len(start["files"])] != start["files"]:
@@ -738,6 +744,11 @@ class NetCDF3DirStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # frozen members' counts carry forward across triggers —
+        # O(1) header reads per trigger (see tailcache module docs)
+        self._pinned = FrozenMemberCounts(
+            lambda p: NetCDF3File(p).numrecs
+        )
 
     def _members(self) -> list[str]:
         import os
@@ -758,10 +769,11 @@ class NetCDF3DirStreamReader(SimpleDataSourceStreamReader):
                 f"{self.path}: archive members renamed or removed — "
                 f"offset had {start['files']}, directory has {files}"
             )
+        fresh = self._pinned.counts(self.path, files)
         rows, counts, base = [], [], 0
         for i, f in enumerate(files):
             p = os.path.join(self.path, f)
-            n = NetCDF3File(p).numrecs
+            n = fresh[i]
             lo = start["counts"][i] if i < len(start["counts"]) else 0
             if i < len(start["files"]) - 1 and n != lo:
                 # enforce, not just assume, the freeze invariant: a

@@ -71,6 +71,9 @@ from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
     _cf_time,
     _decode_cf_values,
 )
+from netcdf4_variable_streamer_spark.sources.tailcache import (
+    FrozenMemberCounts,
+)
 
 FORMAT4_NAME = "netcdf4"
 
@@ -478,6 +481,11 @@ class NetCDF4ArrowDirStreamReader(DataSourceStreamReader):
         self.target_partitions = target_partitions or int(
             os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
+        # frozen members' counts carry forward across triggers —
+        # O(1) header reads per trigger (see tailcache module docs)
+        self._pinned = FrozenMemberCounts(
+            lambda p: NetCDF4View(p).numrecs
+        )
 
     def initialOffset(self) -> dict:
         return {"files": [], "counts": []}
@@ -490,11 +498,10 @@ class NetCDF4ArrowDirStreamReader(DataSourceStreamReader):
             for f in os.listdir(self.path)
             if f.endswith(self._EXTS)
         )
-        counts = [
-            NetCDF4View(os.path.join(self.path, f)).numrecs
-            for f in files
-        ]
-        return {"files": files, "counts": counts}
+        return {
+            "files": files,
+            "counts": self._pinned.counts(self.path, files),
+        }
 
     def _check_invariants(self, start: dict, end: dict) -> None:
         if end["files"][: len(start["files"])] != start["files"]:
@@ -613,6 +620,11 @@ class NetCDF4DirStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # frozen members' counts carry forward across triggers —
+        # O(1) header reads per trigger (see tailcache module docs)
+        self._pinned = FrozenMemberCounts(
+            lambda p: NetCDF4View(p).numrecs
+        )
 
     def _members(self) -> list[str]:
         import os
@@ -633,10 +645,11 @@ class NetCDF4DirStreamReader(SimpleDataSourceStreamReader):
                 f"{self.path}: archive members renamed or removed — "
                 f"offset had {start['files']}, directory has {files}"
             )
+        fresh = self._pinned.counts(self.path, files)
         rows, counts, base = [], [], 0
         for i, f in enumerate(files):
             p = os.path.join(self.path, f)
-            n = NetCDF4View(p).numrecs
+            n = fresh[i]
             lo = start["counts"][i] if i < len(start["counts"]) else 0
             if i < len(start["files"]) - 1 and n != lo:
                 # enforce the freeze invariant (see the classic dir

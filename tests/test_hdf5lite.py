@@ -2073,10 +2073,13 @@ def test_src_netcdf_vlen_scan_oracle(check):
     assert int(pdf["n_rec"].sum()) == 48
 
 
-def test_nc4_arrow_dir_tail_protocol(tmp_path):
+def test_nc4_arrow_dir_tail_protocol(spark, tmp_path):
     """The NetCDF-4 Arrow directory tail mirrors the classic one:
     pinned-count offsets, freeze enforcement at plan time, globalized
-    record indexes, row parity with the Simple dir reader."""
+    record indexes, row parity with the Simple dir reader.
+
+    (The ``spark`` fixture is load-bearing even though unreferenced:
+    ``_parse_datatype_string`` needs an active SparkContext.)"""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         append_records_nc4,
         create_netcdf4_tail,

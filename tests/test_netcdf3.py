@@ -1042,3 +1042,95 @@ def test_arrow_dir_tail_protocol(tmp_path):
 def test_src_netcdf3_arrow_dir_tail_oracle(check):
     pdf = check("src_netcdf3_arrow_dir_tail")
     assert len(pdf) == 128  # all three members drained
+
+
+def test_dir_tail_header_reads_flat(tmp_path):
+    """O(1) header reads per trigger (VERDICT r8 #2): frozen members'
+    record counts carry forward across triggers through the
+    stat-guarded cache, so driver header reads per trigger stay
+    CONSTANT (exactly 1: the growing newest member) as the archive
+    grows 3 -> 30 members — while the freeze invariant stays enforced
+    (a mutated frozen member is re-read and rejected)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        append_records,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        NetCDF3ArrowDirStreamReader,
+        NetCDF3DirStreamReader,
+    )
+
+    d = os.path.join(tmp_path, "arch")
+    os.makedirs(d)
+
+    def mk(i, n):
+        write_netcdf3(
+            os.path.join(d, f"part-{i:02d}.nc"),
+            dims={"t": None, "x": 2},
+            variables={"v": ("int32", ("t", "x"))},
+            data={"v": np.arange(n * 2, dtype=np.int32).reshape(n, 2)},
+        )
+
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("x_idx", IntegerType()),
+            StructField("v", IntegerType()),
+        ]
+    )
+
+    for cls in (NetCDF3DirStreamReader, NetCDF3ArrowDirStreamReader):
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        mk(0, 2)
+        mk(1, 2)
+        mk(2, 2)
+        sr = cls(d, schema)
+        reads = []
+        inner = sr._pinned._read_count
+        sr._pinned._read_count = lambda p: (
+            reads.append(p),
+            inner(p),
+        )[1]
+
+        def trigger(start):
+            if hasattr(sr, "latestOffset"):
+                end = sr.latestOffset()
+                list(sr.partitions(start, end))
+            else:
+                _, end = sr.read(start)
+            return end
+
+        off = trigger(sr.initialOffset())
+        first_reads = len(reads)
+        assert first_reads == 3  # cold cache: one read per member
+        per_trigger = []
+        for i in range(3, 30):
+            mk(i, 2)
+            n0 = len(reads)
+            off = trigger(off)
+            per_trigger.append(len(reads) - n0)
+        assert off["counts"] == [2] * 30
+        # each trigger reads the NEW member (freezing the previous
+        # newest, one read) plus the current newest: constant 2, never
+        # growing with member count
+        assert per_trigger == [2] * 27, per_trigger
+        assert sr._pinned.header_reads(off["files"]) == 1
+        # quiet trigger (no growth at all): exactly ONE header read
+        n0 = len(reads)
+        trigger(off)
+        assert len(reads) - n0 == 1
+        # the invariant is still enforced, not assumed: mutate a
+        # frozen member and the stat guard forces a re-read + reject
+        append_records(
+            os.path.join(d, "part-00.nc"),
+            {"v": np.array([[9, 9]], dtype=np.int32)},
+        )
+        with pytest.raises(ValueError, match="frozen member grew"):
+            trigger(off)
