@@ -2195,6 +2195,98 @@ def src_netcdf4_arrow_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+@register(
+    "src_netcdf4_dir_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Tail-follow of a GROWING DIRECTORY of NetCDF-4 archive files "
+        "(round 9; HDF5-container twin of src_netcdf3_dir_tail): "
+        "members freeze once a later member exists, only the sort-last "
+        "member grows, offsets pin every member's record count for "
+        "exact replay, and frozen members' counts carry forward across "
+        "triggers through the stat-guarded FrozenMemberCounts cache — "
+        "O(1) header reads per trigger however many members the "
+        "archive has accumulated. availableNow drains the three-member "
+        "mixed-libver .nc4 directory (the same members the batch "
+        "multifile scan reads, middle one libver='latest') into "
+        "per-line aggregates the oracle regenerates in SQL.",
+)
+def src_netcdf4_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc4_multifile()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    stream = (
+        spark.readStream.format(FORMAT4_NAME).option("path", path).load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "src_netcdf4_arrow_dir_tail",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT t AS time_idx,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp
+FROM g GROUP BY t
+""",
+    doc="Partition-planned Arrow tail over the GROWING NetCDF-4 "
+        "archive DIRECTORY (VERDICT r8 'Next round' #3; HDF5 twin of "
+        "src_netcdf3_arrow_dir_tail): tail_reader=arrow on a directory "
+        "selects a DataSourceStreamReader with the Simple dir tail's "
+        "exact offset shape (pinned per-member counts, freeze "
+        "invariant enforced at plan time, O(1) header reads per "
+        "trigger via the frozen-member cache) whose per-member deltas "
+        "split into executor-read Arrow RecordBatches with globalized "
+        "record indexes — the high-ingest-rate posture for unbounded "
+        "HDF5 archives. Same mixed-libver members, same oracle as "
+        "src_netcdf4_dir_tail, proving the two readers "
+        "result-identical.",
+)
+def src_netcdf4_arrow_dir_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc4_multifile()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    stream = (
+        spark.readStream.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("tail_reader", "arrow")
+        .load()
+    )
+    agg = stream.groupBy("time_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
 def ensure_char_fixture(suffix: str, t_total: int = 64) -> str:
     """A text (NC_CHAR) record variable next to a numeric one, in
     either container: ``label(t, y, s)`` is an S1 char matrix whose

@@ -2280,3 +2280,13 @@ def test_two_phase_compressed_write_libver_latest(tmp_path):
     view = NetCDF4View(p)
     np.testing.assert_array_equal(view.read_records("v"), v)
     np.testing.assert_array_equal(view.read_records("v", 3, 9), v[3:9])
+
+
+def test_src_netcdf4_dir_tail_oracle(check):
+    pdf = check("src_netcdf4_dir_tail")
+    assert len(pdf) == 128  # all three mixed-libver members drained
+
+
+def test_src_netcdf4_arrow_dir_tail_oracle(check):
+    pdf = check("src_netcdf4_arrow_dir_tail")
+    assert len(pdf) == 128
