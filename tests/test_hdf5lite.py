@@ -1600,11 +1600,18 @@ def test_vlen_string_golden_bytes(tmp_path):
         assert (oidx, orefs, osize) == (i, 1, len(b))
         assert raw[pos + 16 : pos + 16 + osize] == b
         pos += 16 + (-(-osize // 8) * 8)
-    # index-0 free-space terminator closes the collection exactly
+    # index-0 free-space object pads the collection to the spec's
+    # 4096-byte MINIMUM (its size includes its own 16-byte header) —
+    # libhdf5 allocates H5HG_MINSIZE=4096 and speculatively reads that
+    # much on load, so every emitted collection is exactly 4096 bytes
+    # unless an oversized payload forces a bigger one (ADVICE r8)
     oidx, orefs = struct.unpack_from("<HH", raw, pos)
     osize = struct.unpack_from("<Q", raw, pos + 8)[0]
-    assert (oidx, orefs, osize) == (0, 0, 16)
-    assert gaddr + total == pos + 16
+    assert (oidx, orefs) == (0, 0)
+    assert osize == 16 + (4096 - (pos - gaddr) - 16)
+    assert total == 4096
+    assert gaddr + total == pos + osize
+    assert raw[pos + 16 : gaddr + total] == b"\x00" * (osize - 16)
     # and the reader decodes it all back
     assert h.read("s").tolist() == vals.tolist()
 
@@ -1697,11 +1704,32 @@ def test_vlen_multi_collection_writer_split(tmp_path):
         sel = raw_desc["gidx"][raw_desc["gaddr"] == ga]
         assert sel.min() == 1 and sel.max() == len(sel)
     assert h.read("s").tolist() == vals.tolist()
-    # an oversized payload (> the 4 KiB budget) gets its own collection
+    # every collection is padded to EXACTLY the spec's 4096-byte
+    # minimum via its index-0 free-space object — libhdf5 speculatively
+    # reads H5HG_MINSIZE=4096 on load, so smaller collections may fail
+    # to open in libhdf5/h5py/netcdf-c (ADVICE r8)
+    raw = open(p, "rb").read()
+    for ga in (int(a) for a in colls):
+        assert raw[ga : ga + 4] == b"GCOL"
+        assert struct.unpack_from("<Q", raw, ga + 8)[0] == 4096
+    # an oversized payload (> the 4 KiB budget) gets its own collection,
+    # sized exactly like libhdf5's MAX(H5HG_MINSIZE, needed)
     big = np.array(["x" * 9000, "tiny"], dtype=object)
     p2 = os.path.join(tmp_path, "big.h5")
     write_hdf5(p2, {"s": big})
-    assert HDF5File(p2).read("s").tolist() == big.tolist()
+    h2 = HDF5File(p2)
+    raw2 = open(p2, "rb").read()
+    d2 = np.frombuffer(
+        raw2[h2.datasets["s"].data_addr :][: 16 * 2],
+        dtype=np.dtype([("len", "<u4"), ("gaddr", "<u8"),
+                        ("gidx", "<u4")]),
+    )
+    sizes = sorted(
+        struct.unpack_from("<Q", raw2, int(ga) + 8)[0]
+        for ga in np.unique(d2["gaddr"])
+    )
+    assert sizes[0] == 4096 and sizes[1] > 9000  # tiny padded, big exact
+    assert h2.read("s").tolist() == big.tolist()
 
 
 def test_vlen_corrupt_heap_fails_loudly(tmp_path):
@@ -2009,6 +2037,16 @@ def test_vlen_sequence_roundtrip_layouts(tmp_path):
             slab = h.read_slab0(col, 9, 23)
             for j, i in enumerate(range(9, 23)):
                 np.testing.assert_array_equal(slab[j], want[i])
+        # decoded cells are WRITABLE and independent (ADVICE r8 #3:
+        # no read-only frombuffer views pinning the mmap) — mutating
+        # one cell must not raise nor leak into its neighbors
+        got = h.read("f")
+        got[1][0] = -99.0
+        assert got[1][0] == -99.0
+        np.testing.assert_array_equal(got[7], f_cells[7])
+        np.testing.assert_array_equal(
+            HDF5File(p).read("f")[1], f_cells[1]
+        )
 
 
 def test_vlen_sequence_corrupt_fails_loudly(tmp_path):
