@@ -374,36 +374,10 @@ def davg(col: Column | str, scale: int | None = None) -> Column:
     )
 
 
-def dsum_wide(col: Column | str, scale: int | None = None) -> Column:
-    """Order-independent SUM for magnitudes beyond :func:`dsum`'s int64
-    envelope (documented in SCALE.md known-limits #3: int64 overflows
-    past ~2e7 rows/group at 6-decimal scale × |value| < 4e5 — Spark's
-    ANSI mode then throws ARITHMETIC_OVERFLOW, loud but fatal): the
-    same 6-decimal fixed-point integers accumulate in DECIMAL(38,0) —
-    overflow-safe to ~1e31 row·values — and convert to double ONCE at
-    the end (one correctly-rounded conversion both engines perform
-    identically). Same call shape as ``dsum``; swap per call site when
-    a group's fixed-point sum can exceed ~9.2e18."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(F.floor(c * _FP).cast("decimal(38,0)"))
-        .cast("double") / _FP
-    )
-
-
 def SQL_DSUM(expr: str, scale: int | None = None) -> str:
     return (
         f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
         " / 1000000"
-    )
-
-
-def SQL_DSUM_WIDE(expr: str, scale: int | None = None) -> str:
-    """DuckDB mirror of :func:`dsum_wide` — HUGEINT accumulation of the
-    same fixed-point integers, one final double conversion."""
-    return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000) AS HUGEINT)) "
-        "AS DOUBLE) / 1000000"
     )
 
 

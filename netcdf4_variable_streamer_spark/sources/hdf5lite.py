@@ -2964,27 +2964,54 @@ def pwrite_records_nc4(
 # ---------------------------------------------------------------------------
 
 
-def compressed_chunk_sizes_nc4(
-    block: np.ndarray, compress: int = 6, shuffle: bool = True
-) -> list[int]:
-    """Phase 1: per-record compressed chunk sizes for a contiguous
-    block of records, using EXACTLY the transform chain the writer and
-    phase 2b apply (byte-shuffle then zlib at the given level) — zlib
-    output is deterministic for fixed input+level, so these sizes are
-    exact, not estimates."""
+def _deflate_record_chunks(
+    block: np.ndarray,
+    dtype: np.dtype,
+    compress: int,
+    shuffle: bool,
+):
+    """One compressed chunk per leading-axis record — the writer's
+    exact transform chain: cast to the on-disk little-endian ``dtype``,
+    optional byte-shuffle, zlib at ``compress``. Phase 1 and phase 2b
+    BOTH call this, so they share the chain by construction (ADVICE r8
+    #2: a phase-1 size computed on a differently-typed block can no
+    longer diverge from what phase 2b writes)."""
     block = np.ascontiguousarray(
-        block, dtype=block.dtype.newbyteorder("<")
+        block, dtype=np.dtype(dtype).newbyteorder("<")
     )
     esz = block.dtype.itemsize
-    sizes = []
     for i in range(block.shape[0]):
         raw = block[i : i + 1].tobytes()
         if shuffle:
             raw = (
                 np.frombuffer(raw, np.uint8).reshape(-1, esz).T.tobytes()
             )
-        sizes.append(len(zlib.compress(raw, compress)))
-    return sizes
+        yield zlib.compress(raw, compress)
+
+
+def compressed_chunk_sizes_nc4(
+    block: np.ndarray,
+    compress: int = 6,
+    shuffle: bool = True,
+    dtype: np.dtype | str | None = None,
+) -> list[int]:
+    """Phase 1: per-record compressed chunk sizes for a contiguous
+    block of records, using EXACTLY the transform chain the writer and
+    phase 2b apply (cast to the variable's on-disk ``dtype``,
+    byte-shuffle, then zlib at the given level) — zlib output is
+    deterministic for fixed input+level, so these sizes are exact, not
+    estimates. Pass ``dtype`` = the target variable's declared dtype
+    whenever the in-memory block might be wider (e.g. a float64 pandas
+    column headed for a float32 variable): phase 2b always casts, so
+    phase 1 must too or the sizes only fail later with a misleading
+    'same data and compression settings' error."""
+    block = np.asarray(block)
+    return [
+        len(c)
+        for c in _deflate_record_chunks(
+            block, dtype or block.dtype, compress, shuffle
+        )
+    ]
 
 
 def create_netcdf4_compressed(
@@ -3068,25 +3095,17 @@ def pwrite_compressed_records_nc4(
                 origin[0]: (addr, nbytes)
                 for origin, nbytes, addr in v.h5._iter_chunks(info)
             }
-            block = np.ascontiguousarray(
-                block, dtype=x.dtype.newbyteorder("<")
-            ).reshape((-1, *x.shape))
-            esz = block.dtype.itemsize
-            for i in range(block.shape[0]):
+            block = np.asarray(block).reshape((-1, *x.shape))
+            chunks = _deflate_record_chunks(
+                block, x.dtype, compress, shuffle
+            )
+            for i, raw in enumerate(chunks):
                 if rec_lo + i not in addr_of:
                     raise ValueError(
                         f"{name}: record {rec_lo + i} beyond the "
                         "created extent"
                     )
                 addr, nbytes = addr_of[rec_lo + i]
-                raw = block[i : i + 1].tobytes()
-                if shuffle:
-                    raw = (
-                        np.frombuffer(raw, np.uint8)
-                        .reshape(-1, esz)
-                        .T.tobytes()
-                    )
-                raw = zlib.compress(raw, compress)
                 if len(raw) != nbytes:
                     raise ValueError(
                         f"{name}: record {rec_lo + i} recompressed to "

@@ -1604,7 +1604,13 @@ def _nc4_sizes_partition():
                     block = (
                         g[var].to_numpy().reshape(1, GRID_Y, GRID_X)
                     )
-                    (nb,) = compressed_chunk_sizes_nc4(block)
+                    # dtype pins the variable's on-disk type: the
+                    # pandas column is float64, the variable float32 —
+                    # phase 2b casts, so phase 1 must size the SAME
+                    # bytes (ADVICE r8 #2)
+                    (nb,) = compressed_chunk_sizes_nc4(
+                        block, dtype="float32"
+                    )
                     rows.append((int(t), var, nb))
         yield pd.DataFrame(
             rows, columns=["time_idx", "var", "nbytes"]

@@ -394,7 +394,10 @@ def test_dsum_wide_exact_where_dsum_overflows(spark):
     """Direct overflow demonstration: two rows whose fixed-point values
     sum past 2^63 — dsum's int64 accumulator throws Spark's ANSI
     ARITHMETIC_OVERFLOW while dsum_wide returns the exact total."""
-    from netcdf4_variable_streamer_spark.registry import dsum, dsum_wide
+    from netcdf4_variable_streamer_spark.operators.aggregates import (
+        dsum_wide,
+    )
+    from netcdf4_variable_streamer_spark.registry import dsum
 
     v = 6.0e12  # floor(v * 1e6) = 6e18; two rows -> 1.2e19 > 2^63-1
     df = spark.createDataFrame([(v,), (v,)], "x double")
@@ -402,3 +405,45 @@ def test_dsum_wide_exact_where_dsum_overflows(spark):
     assert wide == 2 * v
     with pytest.raises(Exception, match="(?i)overflow"):
         df.agg(dsum("x").alias("s")).first()
+
+
+def test_sharded_fixed_agg_exact_where_dsum_overflows(spark):
+    """sharded_fixed_agg: int64 partials per (keys, input partition),
+    DECIMAL(38,0) merge — a group total past 2^63 split across
+    partitions aggregates exactly (dsum on the same frame throws
+    ANSI ARITHMETIC_OVERFLOW), avgs and counts come along, and the
+    per-row hot path never touches decimal."""
+    from netcdf4_variable_streamer_spark.operators.aggregates import (
+        sharded_fixed_agg,
+    )
+    from netcdf4_variable_streamer_spark.registry import dsum
+
+    v = 6.0e12  # floor(v * 1e6) = 6e18 per row; 2 rows/group > 2^63
+    df = spark.createDataFrame(
+        [("a", v), ("a", v), ("b", 1.5)], "k string, x double"
+    ).repartition(2)  # split the hot group across input partitions
+    got = {
+        r["k"]: r
+        for r in sharded_fixed_agg(
+            df,
+            ["k"],
+            sums={"s": "x"},
+            avgs={"m": "x"},
+            count_alias="n",
+        ).collect()
+    }
+    assert got["a"]["s"] == 2 * v and got["a"]["n"] == 2
+    assert got["a"]["m"] == v
+    assert got["b"]["s"] == 1.5 and got["b"]["m"] == 1.5
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(dsum("x").alias("s")).collect()
+    # two-level shape is in the plan: level 1 groups by the input
+    # partition id (int64 per-row path), level 2 merges the partials
+    plan = sharded_fixed_agg(
+        df, ["k"], sums={"s": "x"}
+    )._jdf.queryExecution().executedPlan().toString()
+    # the decimal appears only as the merge of the int64 partial
+    # column (sum(cast(__s_s as decimal(38,0)))) — the per-row path
+    # stays int64 (toString truncates long lines, so match the final
+    # aggregate's function text, not the whole tree)
+    assert "sum(cast(__s_s" in plan and "decimal(38,0)" in plan

@@ -2328,3 +2328,40 @@ def test_src_netcdf4_dir_tail_oracle(check):
 def test_src_netcdf4_arrow_dir_tail_oracle(check):
     pdf = check("src_netcdf4_arrow_dir_tail")
     assert len(pdf) == 128
+
+
+def test_two_phase_compressed_write_wide_dtype(tmp_path):
+    """ADVICE r8 #2: phase 1 sizes a float64 in-memory block for a
+    float32 variable correctly when given the target dtype — both
+    phases share the cast+shuffle+deflate chain by construction, so
+    the full float64-fed pipeline round-trips instead of failing in
+    phase 2b with a misleading 'same data and compression settings'
+    error."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+        compressed_chunk_sizes_nc4,
+        create_netcdf4_compressed,
+        pwrite_compressed_records_nc4,
+    )
+
+    y = 4
+    wide = (np.arange(24, dtype=np.float64) * 0.25).reshape(6, y)
+    # dtype pins the on-disk type: identical sizes to a float32 block
+    assert compressed_chunk_sizes_nc4(wide, dtype="float32") == (
+        compressed_chunk_sizes_nc4(wide.astype(np.float32))
+    )
+    p = os.path.join(tmp_path, "wide.nc4")
+    create_netcdf4_compressed(
+        p,
+        {"t": None, "y": y},
+        {"v": ("float32", ("t", "y"))},
+        chunk_sizes={
+            "v": compressed_chunk_sizes_nc4(wide, dtype="float32")
+        },
+    )
+    pwrite_compressed_records_nc4(p, {"v": wide[:3]}, 0)
+    pwrite_compressed_records_nc4(p, {"v": wide[3:]}, 3)
+    np.testing.assert_array_equal(
+        NetCDF4View(p).read_records("v", 0, 6),
+        wide.astype(np.float32),
+    )
