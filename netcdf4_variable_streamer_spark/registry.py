@@ -67,6 +67,7 @@ CANONICAL_ORDER: list[str] = [
     #    very top as they land, so they enter the window first. --
     "src_netcdf4_dir_tail",
     "src_netcdf4_arrow_dir_tail",
+    "src_netcdf_compound_scan",
     # last driver check: r4
     "q_agg_heavy_hitters_sketch",
     "q_agg_heavy_hitters",

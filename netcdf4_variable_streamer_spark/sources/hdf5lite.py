@@ -105,6 +105,9 @@ _FLOAT = {  # np dtype name -> (size, sign_pos, exp_pos, exp_sz, mant_sz, bias)
 def _dt_body(dtype: np.dtype) -> bytes:
     """Datatype message body for a numeric or fixed-string numpy
     dtype (unpadded)."""
+    if dtype.names:
+        # NC_COMPOUND (class 6) — structured numpy dtypes round-trip
+        return _dt_compound(dtype)
     if dtype.kind == "S":
         # NC_CHAR convention (netcdf-c): H5T_C_S1-style fixed string;
         # S1 per cell with the char dim explicit, or Sn for plain HDF5
@@ -131,6 +134,45 @@ def _dt_body(dtype: np.dtype) -> bytes:
 def _dt_string(nbytes: int) -> bytes:
     """Fixed-length null-terminated ASCII string datatype body."""
     return struct.pack("<B3BI", 0x13, 0, 0, 0, nbytes)
+
+
+def _dt_array(base: np.dtype, shape: tuple[int, ...]) -> bytes:
+    """Array datatype body (class 10, version 2 — the encoding libhdf5
+    emits for compound members with dimensions): ndims, reserved,
+    dims, zeroed permutations, then the base datatype."""
+    total = int(np.prod(shape, dtype=np.int64)) * base.itemsize
+    body = struct.pack("<B3BI", 0x2A, 0, 0, 0, total)
+    body += struct.pack("<B3x", len(shape))
+    body += b"".join(struct.pack("<I", d) for d in shape)
+    body += b"\x00" * (4 * len(shape))  # permutations (unused, zero)
+    return body + _dt_body(base)
+
+
+def _dt_compound(dtype: np.dtype) -> bytes:
+    """Compound datatype body (class 6, version 1 — what libhdf5
+    writes under libver='earliest' and what netcdf-c emits for
+    NC_COMPOUND): per member, an 8-padded null-terminated name, byte
+    offset, the v1 dimensionality block (zeroed — array members are
+    encoded as class-10 array member datatypes instead, libhdf5's
+    modern layout), then the member datatype message body."""
+    names = dtype.names or ()
+    body = b""
+    for n in names:
+        fdt, off = dtype.fields[n][0], dtype.fields[n][1]
+        nb = n.encode() + b"\x00"
+        body += nb + b"\x00" * (-len(nb) % 8)
+        body += struct.pack("<IB3xI4x", off, 0, 0)
+        body += struct.pack("<4I", 0, 0, 0, 0)  # v1 dim sizes (unused)
+        if fdt.subdtype is not None:
+            base, shape = fdt.subdtype
+            body += _dt_array(base, shape)
+        else:
+            body += _dt_body(fdt)
+    head = struct.pack(
+        "<BBBBI", 0x16, len(names) & 0xFF, (len(names) >> 8) & 0xFF,
+        0, dtype.itemsize,
+    )
+    return head + body
 
 
 # On-disk element of a variable-length dataset: 4-byte payload length +
@@ -172,6 +214,8 @@ def _parse_dt(body: bytes) -> np.dtype | str | tuple:
         return np.dtype(f"{'>' if be else '<'}f{size}")
     if cls == 3:  # string
         return f"S{size}"
+    if cls == 6:  # compound (NC_COMPOUND) -> numpy structured dtype
+        return _parse_dt_compound(body)
     if cls == 7:  # reference (object reference = file address)
         return ("ref", size)
     if cls == 9:  # variable-length of a base datatype
@@ -182,7 +226,150 @@ def _parse_dt(body: bytes) -> np.dtype | str | tuple:
             # writers
             return ("vlen_str",)
         return ("vlen", base)
+    if cls == 10:  # array datatype (compound members with dims)
+        parsed, _ = _parse_dt_sized(body)
+        return parsed
     return ("other", cls)
+
+
+# encoded property-block length per datatype class (versions 1-3),
+# used to step over member datatypes inside a compound
+_DT_PROP_LEN = {0: 4, 1: 12, 3: 0, 4: 4, 7: 0}
+
+
+def _parse_dt_sized(body: bytes):
+    """Parse a datatype message body AND return its encoded length —
+    needed to walk the member list of a compound. Returns
+    ``(parsed, nbytes)`` where ``parsed`` follows :func:`_parse_dt`'s
+    conventions plus ``(np.dtype, shape)`` for class-10 array types
+    (numpy subarray format)."""
+    ver = body[0] >> 4
+    cls = body[0] & 0x0F
+    if cls in _DT_PROP_LEN:
+        return _parse_dt(body), 8 + _DT_PROP_LEN[cls]
+    if cls == 9:  # vlen: 8-byte header + base datatype
+        _, blen = _parse_dt_sized(body[8:])
+        return _parse_dt(body), 8 + blen
+    if cls == 10:  # array: dims block + base datatype
+        nd = body[8]
+        if ver >= 3:
+            pos = 9  # v3: ndims, then dims (no reserved, no perms)
+        else:
+            pos = 12  # v1/v2: ndims + 3 reserved
+        shape = struct.unpack_from(f"<{nd}I", body, pos)
+        pos += 4 * nd
+        if ver < 3:
+            pos += 4 * nd  # v1/v2 permutation indices
+        base, blen = _parse_dt_sized(body[pos:])
+        if not isinstance(base, np.dtype):
+            return ("other", 10), pos + blen
+        return (base, tuple(int(d) for d in shape)), pos + blen
+    if cls == 6:
+        walked, total = _walk_compound(body)
+        return _compound_dtype(walked), total
+    return ("other", cls), len(body)
+
+
+def _walk_compound(body: bytes):
+    """Walk a compound datatype body (class 6, message versions 1-3:
+    8-padded names + v1 dimension block / 8-padded names + 4-byte
+    offset / compact names + minimal-width offset). Returns
+    ``((names, formats, offsets, itemsize) | ("unsupported", why),
+    nbytes_consumed)``."""
+    try:
+        return _walk_compound_impl(body)
+    except (ValueError, IndexError, struct.error) as e:
+        # malformed member list (foreign/corrupt writer): attributes
+        # step over the marker, datasets refuse loudly with it
+        return ("unsupported", f"malformed compound datatype ({e})"), len(
+            body
+        )
+
+
+def _walk_compound_impl(body: bytes):
+    ver = body[0] >> 4
+    nmembers = body[1] | (body[2] << 8)
+    size = struct.unpack_from("<I", body, 4)[0]
+    off_w = (
+        1 if size < 1 << 8 else 2 if size < 1 << 16
+        else 4 if size < 1 << 32 else 8
+    )
+    pos = 8
+    names: list[str] = []
+    formats: list = []
+    offsets: list[int] = []
+    why = None
+    for _ in range(nmembers):
+        end = body.index(b"\x00", pos)
+        name = body[pos:end].decode("utf-8", "replace")
+        nlen = end - pos + 1
+        pos += nlen + (0 if ver >= 3 else -nlen % 8)
+        shape: tuple[int, ...] = ()
+        if ver == 1:
+            off = struct.unpack_from("<I", body, pos)[0]
+            ndims = body[pos + 4]
+            dims = struct.unpack_from("<4I", body, pos + 16)
+            shape = tuple(int(d) for d in dims[:ndims])
+            pos += 32
+        elif ver == 2:
+            off = struct.unpack_from("<I", body, pos)[0]
+            pos += 4
+        else:
+            off = int.from_bytes(body[pos : pos + off_w], "little")
+            pos += off_w
+        parsed, dlen = _parse_dt_sized(body[pos:])
+        pos += dlen
+        if (
+            isinstance(parsed, tuple)
+            and len(parsed) == 2
+            and isinstance(parsed[0], np.dtype)
+            and isinstance(parsed[1], tuple)
+        ):
+            # class-10 array member: numpy subarray format (the v1 dim
+            # block is zeroed by writers that use class 10)
+            parsed, shape = parsed
+        if not isinstance(parsed, (np.dtype, str)):
+            kind = (
+                f"class {parsed[1]}"
+                if isinstance(parsed, tuple) and parsed[0] == "other"
+                else str(parsed[0] if isinstance(parsed, tuple) else parsed)
+            )
+            why = why or (
+                f"compound member {name!r} has unsupported datatype "
+                f"({kind})"
+            )
+            continue
+        names.append(name)
+        formats.append((parsed, shape) if shape else parsed)
+        offsets.append(off)
+    if why is not None:
+        return ("unsupported", why), pos
+    return (names, formats, offsets, size), pos
+
+
+def _compound_dtype(walked):
+    """A :func:`_walk_compound` result -> numpy structured dtype with
+    explicit offsets, or the ``("compound_unsupported", why)`` marker
+    the dataset path raises on."""
+    if walked and walked[0] == "unsupported":
+        return ("compound_unsupported", walked[1])
+    names, formats, offsets, size = walked
+    try:
+        return np.dtype(
+            {
+                "names": names,
+                "formats": formats,
+                "offsets": offsets,
+                "itemsize": size,
+            }
+        )
+    except Exception as e:  # overlapping/oversized members etc.
+        return ("compound_unsupported", str(e))
+
+
+def _parse_dt_compound(body: bytes):
+    walked, _ = _walk_compound(body)
+    return _compound_dtype(walked)
 
 
 def _pad8(b: bytes) -> bytes:
@@ -2085,6 +2272,11 @@ class HDF5File:
                     # machinery, payloads decode to per-cell arrays
                     info.vlen_seq = dtype[1].newbyteorder("<")
                     dtype = _VLEN_DESC_DT
+                if (
+                    isinstance(dtype, tuple)
+                    and dtype[0] == "compound_unsupported"
+                ):
+                    raise ValueError(f"{name}: {dtype[1]}")
                 if not isinstance(dtype, np.dtype):
                     raise ValueError(
                         f"{name}: vlen-of-reference/compound and "

@@ -98,6 +98,65 @@ def _np_key(dtype: np.dtype) -> str:
     return f"{dtype.kind}{dtype.itemsize}"
 
 
+def _compound_spark(var_name: str, dtype: np.dtype) -> str:
+    """Structured (NC_COMPOUND) dtype -> Spark struct<...> DDL. Member
+    mapping mirrors the scalar columns: numerics widen unsigned the
+    same way, fixed strings (S<n>) decode to string, 1-D array members
+    become array<...>; anything else refuses loudly."""
+    parts = []
+    for m in dtype.names:
+        fdt = dtype.fields[m][0]
+        if fdt.subdtype is not None:
+            base, shape = fdt.subdtype
+            bkey = _np_key(base)
+            if len(shape) != 1 or bkey not in _NP_SPARK:
+                raise ValueError(
+                    f"compound member {var_name}.{m}: array member "
+                    f"{base}{shape} has no Spark mapping"
+                )
+            parts.append(f"{m}:array<{_NP_SPARK[bkey][0]}>")
+        elif fdt.kind == "S":
+            parts.append(f"{m}:string")
+        else:
+            key = _np_key(fdt)
+            if key not in _NP_SPARK:
+                raise ValueError(
+                    f"compound member {var_name}.{m}: dtype {fdt} has "
+                    "no Spark mapping"
+                )
+            parts.append(f"{m}:{_NP_SPARK[key][0]}")
+    return f"struct<{','.join(parts)}>"
+
+
+def _compound_arrow(flat: np.ndarray) -> "pa.StructArray":
+    """A flat structured-record array -> Arrow StructArray with the
+    same member conversions as scalar columns (unsigned widening,
+    uint64 -> decimal128(20,0), S<n> -> str, subarray -> list)."""
+    children, names = [], []
+    for m in flat.dtype.names:
+        fdt = flat.dtype.fields[m][0]
+        col = flat[m]
+        if fdt.subdtype is not None:
+            base = fdt.subdtype[0]
+            wdt = np.dtype(_NP_SPARK[_np_key(base)][1])
+            child = pa.array(list(col.astype(wdt, copy=False)))
+        elif fdt.kind == "S":
+            child = pa.array(
+                [b.decode("utf-8", "replace") for b in col.tolist()]
+            )
+        else:
+            child = pa.array(
+                np.ascontiguousarray(col).astype(
+                    np.dtype(_NP_SPARK[_np_key(fdt)][1]), copy=False
+                )
+            )
+            if child.type == pa.uint64():
+                child = child.cast(pa.decimal128(20, 0))
+        children.append(child)
+        names.append(m)
+    return pa.StructArray.from_arrays(children, names=names)
+
+
 def _eff_shape4(x) -> tuple:
     """Per-record cell shape with the char collapse applied: an S1
     variable's trailing explicit char dim (netcdf-c's NC_CHAR layout)
@@ -172,6 +231,10 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
                     f"{x.vlen_base} has no Spark array mapping"
                 )
             parts.append(f"{x.name} array<{_NP_SPARK[bkey][0]}>")
+            continue
+        if x.dtype.names:
+            # NC_COMPOUND record variable -> StructType column
+            parts.append(f"{x.name} {_compound_spark(x.name, x.dtype)}")
             continue
         if x.dtype.kind in ("S", "O"):
             parts.append(f"{x.name} string")
@@ -346,6 +409,13 @@ def _arrow_batches4(
                 for c in v.read_records(x.name, lo, hi).reshape(-1)
             ]
             continue
+        if x.dtype.names:
+            # compound records -> Arrow StructArray (no masks: netcdf
+            # compound variables carry no scalar _FillValue semantics)
+            arrays[x.name] = _compound_arrow(
+                v.read_records(x.name, lo, hi).reshape(-1)
+            )
+            continue
         if x.dtype.kind in ("S", "O"):
             arrays[x.name] = _nc4_strings(
                 v.read_records(x.name, lo, hi), x
@@ -368,7 +438,12 @@ def _arrow_batches4(
             arrays[x.name] = flat.astype(
                 np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
             )
-    cols = [pa.array(arrays[c], mask=masks.get(c)) for c in columns]
+    cols = [
+        arrays[c]
+        if isinstance(arrays[c], pa.Array)
+        else pa.array(arrays[c], mask=masks.get(c))
+        for c in columns
+    ]
     # uint64 variables are delivered as Arrow decimal128(20,0) — the
     # exact container their DECIMAL(20,0) schema declares
     cols = [
@@ -587,6 +662,14 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
                 c.astype(wdt, copy=False).tolist()
                 for c in v.read_records(x.name, lo, hi).reshape(-1)
             ]
+            continue
+        if x.dtype.names:
+            # struct cells as python dicts — pyspark converts dicts to
+            # Row values for StructType columns
+            sa = _compound_arrow(
+                v.read_records(x.name, lo, hi).reshape(-1)
+            )
+            cols[x.name] = sa.to_pylist()
             continue
         if x.dtype.kind in ("S", "O"):
             cols[x.name] = _nc4_strings(v.read_records(x.name, lo, hi), x)
