@@ -543,9 +543,10 @@ class NetCDF3ArrowStreamReader(DataSourceStreamReader):
     work per trigger is O(1) (one KB-sized header read + range
     arithmetic), data bytes move memmap→NumPy→Arrow with no per-row
     Python objects, and a burst of millions of records becomes a
-    normal parallel scan instead of a driver bottleneck. The Simple
-    reader stays the default — at tail rates its prefetch cache gives
-    lower per-trigger latency."""
+    normal parallel scan instead of a driver bottleneck. This reader is
+    the DEFAULT since round 9 (measured: flat drain latency at any
+    delta vs the Simple reader's linear-in-rows — SCALE.md crossover
+    table); ``tail_reader=simple`` opts back into the Simple reader."""
 
     def __init__(
         self, path: str, schema: StructType, target_partitions=None
@@ -554,9 +555,8 @@ class NetCDF3ArrowStreamReader(DataSourceStreamReader):
 
         if os.path.isdir(path):
             raise ValueError(
-                f"{path}: tail_reader=arrow supports a single .nc "
-                "file — directory archives tail through the default "
-                "simple reader (their offsets pin per-member counts)"
+                f"{path}: this reader tails a single .nc file — "
+                "directory archives dispatch to the Arrow dir reader"
             )
         self.path = path
         self.columns = [f.name for f in schema.fields]
@@ -857,10 +857,14 @@ class NetCDF3DataSource(DataSource):
             )
 
     def streamReader(self, schema: StructType):
-        # opt-in partition-planned Arrow tail; anything else falls back
-        # to simpleStreamReader via PySparkNotImplementedError (the
+        # the partition-planned Arrow tail is the DEFAULT (round 9:
+        # measured ~constant drain latency at any tail delta while the
+        # Simple reader is linear-in-rows — crossover ~1e5 rows per
+        # trigger, and below it the difference is trigger-overhead
+        # noise); tail_reader=simple opts back into the Simple reader
+        # via PySparkNotImplementedError -> simpleStreamReader (the
         # documented pyspark dispatch in datasource_internal)
-        if str(self.options.get("tail_reader", "")).lower() != "arrow":
+        if str(self.options.get("tail_reader", "arrow")).lower() == "simple":
             from pyspark.errors import PySparkNotImplementedError
 
             raise PySparkNotImplementedError(

@@ -501,9 +501,8 @@ class NetCDF4ArrowStreamReader(DataSourceStreamReader):
 
         if os.path.isdir(path):
             raise ValueError(
-                f"{path}: tail_reader=arrow supports a single NetCDF-4 "
-                "file — directory archives tail through the default "
-                "simple reader (their offsets pin per-member counts)"
+                f"{path}: this reader tails a single NetCDF-4 file — "
+                "directory archives dispatch to the Arrow dir reader"
             )
         self.path = path
         self.columns = [f.name for f in schema.fields]
@@ -796,10 +795,14 @@ class NetCDF4DataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType):
-        # opt-in partition-planned Arrow tail; anything else falls back
-        # to simpleStreamReader via PySparkNotImplementedError (the
+        # the partition-planned Arrow tail is the DEFAULT (round 9:
+        # measured ~constant drain latency at any tail delta while the
+        # Simple reader is linear-in-rows — crossover ~1e5 rows per
+        # trigger, and below it the difference is trigger-overhead
+        # noise); tail_reader=simple opts back into the Simple reader
+        # via PySparkNotImplementedError -> simpleStreamReader (the
         # documented pyspark dispatch in datasource_internal)
-        if str(self.options.get("tail_reader", "")).lower() != "arrow":
+        if str(self.options.get("tail_reader", "arrow")).lower() == "simple":
             from pyspark.errors import PySparkNotImplementedError
 
             raise PySparkNotImplementedError(

@@ -242,7 +242,11 @@ def src_netcdf_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     spark.dataSource.register(NetCDFChunkDataSource)
     stream = (
-        spark.readStream.format(FORMAT_NAME).option("path", path).load()
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("tail_reader", "simple")  # this key PROVES the Simple
+        # reader (arrow is the default since round 9)
+        .load()
     )
     agg = stream.groupBy("time_idx").agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -472,7 +476,11 @@ def src_netcdf3_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     stream = (
-        spark.readStream.format(FORMAT3_NAME).option("path", path).load()
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("tail_reader", "simple")  # this key PROVES the Simple
+        # reader (arrow is the default since round 9)
+        .load()
     )
     agg = stream.groupBy("time_idx").agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -561,7 +569,11 @@ def src_netcdf3_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF3DataSource)
     stream = (
-        spark.readStream.format(FORMAT3_NAME).option("path", path).load()
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("tail_reader", "simple")  # this key PROVES the Simple
+        # reader (arrow is the default since round 9)
+        .load()
     )
     agg = stream.groupBy("time_idx").agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -2148,7 +2160,11 @@ def src_netcdf4_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF4DataSource)
     stream = (
-        spark.readStream.format(FORMAT4_NAME).option("path", path).load()
+        spark.readStream.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("tail_reader", "simple")  # this key PROVES the Simple
+        # reader (arrow is the default since round 9)
+        .load()
     )
     agg = stream.groupBy("time_idx").agg(
         F.count(F.lit(1)).alias("n_cells"),
@@ -2235,7 +2251,11 @@ def src_netcdf4_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     spark.dataSource.register(NetCDF4DataSource)
     stream = (
-        spark.readStream.format(FORMAT4_NAME).option("path", path).load()
+        spark.readStream.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("tail_reader", "simple")  # this key PROVES the Simple
+        # reader (arrow is the default since round 9)
+        .load()
     )
     agg = stream.groupBy("time_idx").agg(
         F.count(F.lit(1)).alias("n_cells"),

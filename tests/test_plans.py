@@ -25,7 +25,17 @@ def test_q1_pushdown_pruning_single_shuffle(spark):
     plans.assert_read_schema_excludes(
         df, "l_orderkey", "l_partkey", "l_suppkey", "l_comment", "l_shipmode"
     )
-    plans.assert_max_shuffles(df, 1)  # one partial->final agg exchange
+    # sharded_fixed_agg's two-level shape (round 9): level 1 shuffles
+    # on (keys, spark_partition_id) AFTER map-side partial combine (so
+    # the exchange carries <= groups rows per mapper), level 2 merges
+    # the int64 partials in decimal on the keys alone — BOTH exchanges
+    # are O(groups x partitions) rows, never data-sized
+    plans.assert_max_shuffles(df, 2)
+    plan = plans.plan_string(df)
+    assert "spark_partition_id" in plan.lower() or "__pid" in plan
+    # the decimal appears only on the partial columns — per-row work
+    # stays int64 inside whole-stage codegen
+    assert "partial_sum(cast(__s_" in plan
     plans.assert_wholestage_codegen(df)
 
 
