@@ -2079,7 +2079,18 @@ class HDF5File:
             oidx = struct.unpack_from("<H", b, pos)[0]
             osize = struct.unpack_from("<Q", b, pos + 8)[0]
             if oidx == 0:
-                break  # free-space object: no further entries
+                # index-0 FREE-SPACE object. Its size INCLUDES its own
+                # 16-byte header. libhdf5 leaves these in the MIDDLE of
+                # a collection when heap objects are deleted, so the
+                # walk must skip the span and continue — a trailing
+                # terminator is just the special case that reaches
+                # `end`. size < 16 would not cover the header (corrupt
+                # — stop rather than loop forever); libhdf5 writes
+                # size 0 only for a terminator consuming the rest.
+                if osize < 16:
+                    break
+                pos += osize
+                continue
             objs[oidx] = (pos + 16, min(osize, len(b) - pos - 16))
             pos += 16 + (-(-osize // 8) * 8)
         self._gheap_cache[addr] = objs
