@@ -68,6 +68,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_dir_tail",
     "src_netcdf4_arrow_dir_tail",
     "src_netcdf_compound_scan",
+    "snk_netcdf4_write_compound",
     # last driver check: r4
     "q_agg_heavy_hitters_sketch",
     "q_agg_heavy_hitters",

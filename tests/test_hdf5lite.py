@@ -2527,3 +2527,66 @@ def test_src_netcdf_compound_scan_oracle(check):
     assert list(pdf["station_idx"]) == [0, 1, 2, 3]
     assert (pdf["n_rec"] == 48).all()
     assert (pdf["n_codes"] == 10).all()
+
+
+def test_snk_netcdf4_write_compound_oracle(check):
+    """Per-key driver-contract mirror for the distributed compound
+    export."""
+    pdf = check("snk_netcdf4_write_compound")
+    assert pdf.loc[0, "n_cells"] == 128 and pdf.loc[0, "n_lines"] == 32
+
+
+def test_compound_stream_tails(spark, tmp_path):
+    """NC_COMPOUND record variables flow through BOTH tail readers —
+    the Arrow reader (the default) delivers struct cells in
+    RecordBatches, the Simple reader delivers python dicts pyspark
+    converts to Rows — with identical values."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        append_records_nc4,
+        create_netcdf4_tail,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        NetCDF4ArrowStreamReader,
+        NetCDF4StreamReader,
+        _spark_schema,
+    )
+
+    dt = np.dtype([("a", "<f4"), ("k", "<i2"), ("tag", "S3")])
+    p = os.path.join(tmp_path, "ctail.nc4")
+    create_netcdf4_tail(
+        p,
+        dims={"t": None, "s": 2},
+        variables={"obs": (dt, ("t", "s"))},
+        capacity=8,
+    )
+    blk = np.zeros((5, 2), dtype=dt)
+    for t in range(5):
+        for s in range(2):
+            blk[t, s] = (t + s * 0.5, t * 3 - s, b"x%d" % ((t + s) % 4))
+    append_records_nc4(p, {"obs": blk})
+
+    schema = _parse_datatype_string(_spark_schema(NetCDF4View(p)))
+    assert "obs" in [f.name for f in schema.fields]
+
+    ar = NetCDF4ArrowStreamReader(p, schema, target_partitions=2)
+    got_a = []
+    end = ar.latestOffset()
+    assert end == {"rec": 5}
+    for part in ar.partitions(ar.initialOffset(), end):
+        for rb in ar.read(part):
+            got_a.extend(
+                (r["t_idx"], r["s_idx"], r["obs"]["a"], r["obs"]["k"],
+                 r["obs"]["tag"])
+                for r in rb.to_pylist()
+            )
+    sr = NetCDF4StreamReader(p, schema)
+    rows_s, off_s = sr.read(sr.initialOffset())
+    assert off_s == {"rec": 5}
+    got_s = [
+        (r[0], r[1], r[2]["a"], r[2]["k"], r[2]["tag"]) for r in rows_s
+    ]
+    assert sorted(got_a) == sorted(got_s)
+    assert len(got_a) == 10
+    assert (0, 1, 0.5, -1, "x1") in got_a
