@@ -69,6 +69,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_arrow_dir_tail",
     "src_netcdf_compound_scan",
     "snk_netcdf4_write_compound",
+    "src_netcdf_vlen_compound_scan",
     # last driver check: r4
     "q_agg_heavy_hitters_sketch",
     "q_agg_heavy_hitters",

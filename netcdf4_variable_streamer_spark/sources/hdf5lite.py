@@ -861,9 +861,20 @@ def _write_dataset(
                 for c in seq_cells
                 if isinstance(c, np.ndarray) or np.asarray(c).size
             ]
-            base = (
-                np.result_type(*sized) if sized else np.dtype("f8")
-            ).newbyteorder("<")
+            if any(d.names for d in sized):
+                # vlen-of-COMPOUND: every sized cell must agree on the
+                # structured base (no numeric promotion across structs)
+                bases = {d for d in sized if d.names}
+                if len(bases) > 1 or any(not d.names for d in sized):
+                    raise ValueError(
+                        "vlen-of-compound cells disagree on the "
+                        f"member layout: { {str(d) for d in sized} }"
+                    )
+                base = bases.pop().newbyteorder("<")
+            else:
+                base = (
+                    np.result_type(*sized) if sized else np.dtype("f8")
+                ).newbyteorder("<")
             vecs = [
                 np.ascontiguousarray(
                     [] if c is None else c, dtype=base

@@ -157,6 +157,28 @@ def _compound_arrow(flat: np.ndarray) -> "pa.StructArray":
     return pa.StructArray.from_arrays(children, names=names)
 
 
+def _vlen_compound_arrow(
+    cells: np.ndarray, base: np.dtype
+) -> "pa.ListArray":
+    """NC_VLEN-of-compound cells (object array of structured arrays)
+    -> Arrow list<struct<...>>: one concatenation + one StructArray
+    build for the whole batch, no per-cell Arrow calls."""
+    lens = np.fromiter(
+        (len(c) for c in cells), dtype=np.int64, count=cells.shape[0]
+    )
+    total = int(lens.sum())
+    flat = (
+        np.concatenate([np.asarray(c, dtype=base) for c in cells])
+        if total
+        else np.empty(0, dtype=base)
+    )
+    offsets = np.zeros(cells.shape[0] + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), _compound_arrow(flat)
+    )
+
+
 def _eff_shape4(x) -> tuple:
     """Per-record cell shape with the char collapse applied: an S1
     variable's trailing explicit char dim (netcdf-c's NC_CHAR layout)
@@ -220,6 +242,14 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
     parts += [f"{d}_idx int" for d in fixed]
     for x in rvs:
         if x.vlen_base is not None:
+            if x.vlen_base.names:
+                # NC_VLEN of NC_COMPOUND -> array<struct<...>> (round
+                # 9): cells are variable-length record sequences
+                parts.append(
+                    f"{x.name} array<"
+                    f"{_compound_spark(x.name, x.vlen_base)}>"
+                )
+                continue
             # NC_VLEN of a numeric base -> ArrayType column (cells are
             # variable-length vectors); unsigned bases widen like
             # their scalar columns, except u8 (no exact array-of-
@@ -401,6 +431,12 @@ def _arrow_batches4(
         if x.name not in wanted:
             continue  # pruned: its chunks are never read
         if x.vlen_base is not None:
+            if x.vlen_base.names:
+                arrays[x.name] = _vlen_compound_arrow(
+                    v.read_records(x.name, lo, hi).reshape(-1),
+                    x.vlen_base,
+                )
+                continue
             # variable-length vectors -> Arrow list column (each cell
             # a numpy array, widened like the scalar mapping)
             wdt = np.dtype(_NP_SPARK[_np_key(x.vlen_base)][1])
@@ -656,6 +692,12 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
             ).tolist()
     for x in rvs:
         if x.vlen_base is not None:
+            if x.vlen_base.names:
+                cols[x.name] = _vlen_compound_arrow(
+                    v.read_records(x.name, lo, hi).reshape(-1),
+                    x.vlen_base,
+                ).to_pylist()
+                continue
             wdt = np.dtype(_NP_SPARK[_np_key(x.vlen_base)][1])
             cols[x.name] = [
                 c.astype(wdt, copy=False).tolist()

@@ -2590,3 +2590,48 @@ def test_compound_stream_tails(spark, tmp_path):
     assert sorted(got_a) == sorted(got_s)
     assert len(got_a) == 10
     assert (0, 1, 0.5, -1, "x1") in got_a
+
+
+def test_vlen_compound_roundtrip(tmp_path):
+    """NC_VLEN of NC_COMPOUND round-trips through the codec in both
+    layouts: cells are variable-length structured arrays (class-9
+    descriptors, class-6 base), empty cells stay empty with the right
+    structured dtype, slab reads prune."""
+    dt = np.dtype([("x", "<f4"), ("n", "<i2")])
+    cells = np.empty(12, dtype=object)
+    for i in range(12):
+        k = i % 4
+        a = np.zeros(k, dtype=dt)
+        for j in range(k):
+            a[j] = (i + j * 0.5, i * 10 + j)
+        cells[i] = a
+    for name, opts in [
+        ("contig", None),
+        ("deflate", {"v": {"chunk": (5,), "compress": 5,
+                           "shuffle": True}}),
+    ]:
+        p = os.path.join(tmp_path, f"{name}.h5")
+        write_hdf5(p, {"v": cells}, opts)
+        h = HDF5File(p)
+        assert h.datasets["v"].vlen_seq.names == ("x", "n")
+        got = h.read("v")
+        for i in range(12):
+            assert got[i].dtype.names == ("x", "n")
+            np.testing.assert_array_equal(
+                got[i], cells[i].astype(got[i].dtype)
+            )
+        slab = h.read_slab0("v", 3, 9)
+        assert len(slab) == 6 and len(slab[0]) == 3
+    # cells disagreeing on the member layout refuse at write time
+    bad = np.empty(2, dtype=object)
+    bad[0] = np.zeros(1, dtype=dt)
+    bad[1] = np.zeros(1, dtype=np.dtype([("y", "<f8")]))
+    with pytest.raises(ValueError, match="disagree on the member"):
+        write_hdf5(os.path.join(tmp_path, "bad.h5"), {"v": bad})
+
+
+def test_src_netcdf_vlen_compound_scan_oracle(check):
+    """Per-key driver-contract mirror for the vlen-of-compound scan."""
+    pdf = check("src_netcdf_vlen_compound_scan")
+    assert list(pdf["n_elems"]) == [0, 1, 2, 3, 4]
+    assert int(pdf["n_rec"].sum()) == 48
