@@ -734,9 +734,12 @@ def _write_extensible_array(
 ) -> int:
     """Append an Extensible Array chunk index for ``entries`` (linear
     chunk order); returns the EAHD address. Scope: the directly
-    addressable range (index-block elements + index-block data-block
-    pointers = 4 + 240 chunks at the default parameters) — enough for
-    any fixture; the READER additionally walks secondary blocks."""
+    addressable range (4 index-block elements + 240 chunks behind the
+    index block's data-block pointers) PLUS unpaged secondary blocks
+    ("EASB", round 9) — ~131k chunks at the default parameters; data
+    blocks large enough to PAGE (> 2^page_bits elements) remain a loud
+    refusal (the reader walks those too, via the sblock page-init
+    bitmaps, but no fixture needs them)."""
     client = 1 if filtered else 0
     esz = 20 if filtered else 8
     arr_off_size = (_EA_MAX_BITS + 7) // 8
@@ -744,13 +747,17 @@ def _write_extensible_array(
     sblks = _ea_sblk_info(nsblks_total, _EA_MIN_DBLK)
     nsblks_direct = 2 * (_EA_MIN_PTRS.bit_length() - 1)
     ndblk_addrs = sum(nd for nd, _, _, _ in sblks[:nsblks_direct])
-    direct_cap = _EA_IDX_ELMTS + sum(
-        nd * ne for nd, ne, _, _ in sblks[:nsblks_direct]
+    page_nelmts = 1 << _EA_PAGE_BITS
+    unpaged_cap = _EA_IDX_ELMTS + sum(
+        nd * ne
+        for u, (nd, ne, _, _) in enumerate(sblks)
+        if u < nsblks_direct or ne <= page_nelmts
     )
-    if len(entries) > direct_cap:
+    if len(entries) > unpaged_cap:
         raise ValueError(
-            f"extensible-array writer covers <= {direct_cap} chunks "
-            "(index-block range); split the dataset or grow the chunk"
+            f"extensible-array writer covers <= {unpaged_cap} chunks "
+            "(unpaged range); grow the chunk so data blocks stay "
+            f"<= {page_nelmts} elements"
         )
 
     def enc(e: tuple[int, int] | None) -> bytes:
@@ -760,43 +767,77 @@ def _write_extensible_array(
             return struct.pack("<QQI", e[0], e[1], 0)
         return struct.pack("<Q", e[0])
 
-    # header first (fixed 72 bytes), index block follows; data blocks
-    # after that — addresses are all computable up front
+    # header first (fixed 72 bytes), index block follows; direct data
+    # blocks after that, then per-superblock "EASB" + its data blocks —
+    # addresses are all computable up front
     ea_addr = len(out)
     iblk_addr = ea_addr + 72
     iblk_size = (
         14 + _EA_IDX_ELMTS * esz
         + (ndblk_addrs + (nsblks_total - nsblks_direct)) * 8 + 4
     )
-    # lay out data blocks for elements past the direct ones
-    dblk_addrs: list[int] = []
-    dblk_imgs: list[bytes] = []
     next_addr = iblk_addr + iblk_size
     pos_elem = _EA_IDX_ELMTS
-    for nd, ne, sidx, _sdblk in sblks[:nsblks_direct]:
-        for j in range(nd):
-            if pos_elem >= len(entries):
-                dblk_addrs.append(UNDEF)
-                continue
-            blk = b"EADB" + struct.pack("<BBQ", 0, client, ea_addr)
-            blk += (_EA_IDX_ELMTS + sidx + j * ne).to_bytes(
-                arr_off_size, "little"
-            )
-            for i in range(ne):
-                k = pos_elem + i
-                blk += enc(entries[k] if k < len(entries) else None)
-            pos_elem += ne
-            dblk_addrs.append(next_addr)
-            dblk_imgs.append(blk + struct.pack("<I", lookup3(blk)))
-            next_addr += len(dblk_imgs[-1])
+    tail_imgs: list[bytes] = []
+
+    def dblock(elem0: int, ne: int) -> int:
+        """Append one unpaged EADB image; returns its address (UNDEF
+        when no entries fall in it)."""
+        nonlocal next_addr, pos_elem
+        if pos_elem >= len(entries):
+            return UNDEF
+        blk = b"EADB" + struct.pack("<BBQ", 0, client, ea_addr)
+        blk += elem0.to_bytes(arr_off_size, "little")
+        for i in range(ne):
+            k = pos_elem + i
+            blk += enc(entries[k] if k < len(entries) else None)
+        pos_elem += ne
+        addr = next_addr
+        tail_imgs.append(blk + struct.pack("<I", lookup3(blk)))
+        next_addr += len(tail_imgs[-1])
+        return addr
+
+    dblk_addrs = [
+        dblock(_EA_IDX_ELMTS + sidx + j * ne, ne)
+        for nd, ne, sidx, _ in sblks[:nsblks_direct]
+        for j in range(nd)
+    ]
+    sblk_addrs: list[int] = []
+    for u in range(nsblks_direct, nsblks_total):
+        nd, ne, sidx, _ = sblks[u]
+        if pos_elem >= len(entries) or ne > page_nelmts:
+            sblk_addrs.append(UNDEF)
+            continue
+        # the EASB precedes its data blocks; its size is fixed, so the
+        # data-block addresses are known before the image is built
+        sb_addr = next_addr
+        sb_size = 14 + arr_off_size + nd * 8 + 4
+        next_addr += sb_size
+        sb_slot = len(tail_imgs)
+        tail_imgs.append(b"")  # placeholder, filled below
+        addrs = [
+            dblock(_EA_IDX_ELMTS + sidx + j * ne, ne) for j in range(nd)
+        ]
+        sb = b"EASB" + struct.pack("<BBQ", 0, client, ea_addr)
+        sb += (_EA_IDX_ELMTS + sidx).to_bytes(arr_off_size, "little")
+        sb += b"".join(struct.pack("<Q", a) for a in addrs)
+        tail_imgs[sb_slot] = sb + struct.pack("<I", lookup3(sb))
+        sblk_addrs.append(sb_addr)
     hdr = b"EAHD" + struct.pack(
         "<BB6B", 0, client, esz, _EA_MAX_BITS, _EA_IDX_ELMTS,
         _EA_MIN_DBLK, _EA_MIN_PTRS, _EA_PAGE_BITS,
     )
-    ndblks_created = sum(1 for a in dblk_addrs if a != UNDEF)
+    ndblks_created = sum(
+        1 for i in tail_imgs if i[:4] == b"EADB"
+    )
     hdr += struct.pack(
-        "<6Q", 0, 0, ndblks_created, sum(len(i) for i in dblk_imgs),
-        len(entries), len(entries),
+        "<6Q",
+        sum(1 for a in sblk_addrs if a != UNDEF),
+        sum(len(i) for i in tail_imgs if i[:4] == b"EASB"),
+        ndblks_created,
+        sum(len(i) for i in tail_imgs if i[:4] == b"EADB"),
+        len(entries),
+        len(entries),
     )
     hdr += struct.pack("<Q", iblk_addr)
     out += hdr + struct.pack("<I", lookup3(hdr))
@@ -805,12 +846,13 @@ def _write_extensible_array(
         iblk += enc(entries[i] if i < len(entries) else None)
     for a in dblk_addrs:
         iblk += struct.pack("<Q", a)
-    for _ in range(nsblks_total - nsblks_direct):
-        iblk += struct.pack("<Q", UNDEF)  # no secondary blocks written
+    for a in sblk_addrs:
+        iblk += struct.pack("<Q", a)
     out += iblk + struct.pack("<I", lookup3(iblk))
     assert len(out) == iblk_addr + iblk_size, "EAIB size mismatch"
-    for img in dblk_imgs:
+    for img in tail_imgs:
         out += img
+    assert len(out) == next_addr, "EA layout size mismatch"
     return ea_addr
 
 

@@ -558,29 +558,47 @@ def test_ea_chunk_count_boundaries_fuzz(tmp_path_factory, n, cap, seed):
     np.testing.assert_array_equal(h.read_slab0("v", lo, hi), v[lo:hi])
 
 
-def test_ea_writer_capacity_boundary(tmp_path):
-    """The EA writer's 244-chunk index-block ceiling is exact: 244
-    chunks round-trip, 245 refuses loudly with guidance (beyond the
-    index block lies the paged-EA territory the codec documents as a
-    refusal)."""
+def test_ea_writer_secondary_blocks(tmp_path):
+    """The EA writer emits unpaged "EASB" secondary blocks past the
+    244-chunk direct range (round 9): chunk counts crossing the direct
+    boundary and several superblock boundaries round-trip (including
+    filtered chunks, whose sizes ride the 20-byte client-1 elements),
+    slab reads across the boundary prune correctly, and the unpaged
+    ceiling (131060 chunks — data blocks that would PAGE) refuses
+    loudly with guidance."""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         HDF5File,
         write_hdf5,
     )
 
-    v = np.arange(244 * 2, dtype=np.int16).reshape(244, 2)
-    p = os.path.join(tmp_path, "ea244.h5")
+    for n in (244, 245, 500, 2500):
+        v = (np.arange(n * 2, dtype=np.int32) % 10007).reshape(n, 2)
+        p = os.path.join(tmp_path, f"ea{n}.h5")
+        write_hdf5(
+            p, {"v": v}, {"v": {"chunk": (1, 2), "maxshape": (None, 2)}},
+            libver="latest",
+        )
+        h = HDF5File(p)
+        assert h.datasets["v"].chunk_index == "ea"
+        np.testing.assert_array_equal(h.read("v"), v)
+        np.testing.assert_array_equal(h.read_slab0("v", n - 3, n), v[n - 3:])
+        np.testing.assert_array_equal(
+            h.read_slab0("v", 240, 250), v[240:250]
+        )
+    # filtered chunks across the direct boundary
+    v = (np.arange(600 * 3, dtype=np.float32) * 0.25).reshape(600, 3)
+    p = os.path.join(tmp_path, "ea_filt.h5")
     write_hdf5(
-        p, {"v": v}, {"v": {"chunk": (1, 2), "maxshape": (None, 2)}},
+        p, {"v": v},
+        {"v": {"chunk": (1, 3), "maxshape": (None, 3), "compress": 5,
+               "shuffle": True}},
         libver="latest",
     )
-    h = HDF5File(p)
-    np.testing.assert_array_equal(h.read("v"), v)
-    np.testing.assert_array_equal(h.read_slab0("v", 243, 244), v[243:])
-    with pytest.raises(ValueError, match="244 chunks"):
+    np.testing.assert_array_equal(HDF5File(p).read("v"), v)
+    with pytest.raises(ValueError, match="131060 chunks"):
         write_hdf5(
-            os.path.join(tmp_path, "ea245.h5"),
-            {"v": np.zeros((245, 2), np.int16)},
-            {"v": {"chunk": (1, 2), "maxshape": (None, 2)}},
+            os.path.join(tmp_path, "ea_too_big.h5"),
+            {"v": np.zeros((131061, 1), np.int8)},
+            {"v": {"chunk": (1, 1), "maxshape": (None, 1)}},
             libver="latest",
         )
