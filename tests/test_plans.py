@@ -477,3 +477,27 @@ def test_vlen_scan_single_shuffle_no_python_row_path(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, plan
     assert "aggregate(samples" in plan  # HOF ran JVM-side, pre-shuffle
+
+
+def test_compound_scan_struct_fields_jvm_side(spark):
+    # struct-field access (obs.lat) and aggregation run JVM-side: one
+    # groupBy Exchange plus the ORDER BY range exchange, no
+    # row-at-a-time Python eval node (the Python DataSource scan is
+    # the Arrow StructArray source, not BatchEvalPython)
+    df = build(spark, "src_netcdf_compound_scan")
+    # 3 = groupBy + COUNT(DISTINCT)'s second agg phase + ORDER BY range
+    # exchange — all keyed on the 4-value station_idx, never data-sized
+    plans.assert_max_shuffles(df, 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "obs" in plan and "lat" in plan
+
+
+def test_vlen_compound_scan_hof_jvm_side(spark):
+    # array<struct> cells fold with JVM higher-order functions over
+    # struct fields — no Python row path, bounded shuffles
+    df = build(spark, "src_netcdf_vlen_compound_scan")
+    plans.assert_max_shuffles(df, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "aggregate(events" in plan  # HOF ran JVM-side, pre-shuffle
