@@ -70,6 +70,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf_compound_scan",
     "snk_netcdf4_write_compound",
     "src_netcdf_vlen_compound_scan",
+    "q_stream_dedup_minhash",
     # last driver check: r4
     "q_agg_heavy_hitters_sketch",
     "q_agg_heavy_hitters",

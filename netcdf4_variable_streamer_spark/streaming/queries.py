@@ -593,3 +593,168 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("purchase_ts", _TS_FMT).alias("purchase_ts"),
         F.col("view_id").isNull().alias("unmatched"),
     )
+
+
+def load_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an unbounded stream (file source stands in for a
+    doc-ingest feed)."""
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _stream_minhash_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        BANDS,
+        MH_A,
+        MH_B,
+        MINHASH_P,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _SHINGLES_SQL,
+        _md5_int_sql,
+    )
+
+    mh_cols = ",\n         ".join(
+        f"MIN(({MH_A[p]} * h + {MH_B[p]}) % {MINHASH_P}) AS mh{p}"
+        for p in range(NUM_PERM)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(CONCAT_WS(',', {cols})) AS sig FROM mh".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {_md5_int_sql('s', 7)} AS h FROM sh),
+mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+buckets AS (
+  SELECT band, sig, COUNT(*) AS n_docs, MIN(doc_id) AS rep
+  FROM bands GROUP BY band, sig
+)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_buckets,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+         AS n_docs_in_multi,
+       MIN(CASE WHEN n_docs > 1 THEN rep END) AS first_rep
+FROM buckets GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "q_stream_dedup_minhash",
+    oracle=_stream_minhash_oracle(),
+    doc="STREAMING near-dup candidate detection (round 9): documents "
+        "stream in, and the full MinHash pipeline runs INSIDE the "
+        "stream with zero pre-aggregations — shingles, the 28-bit md5 "
+        "base hash, and all 32 universal-hash minima are higher-order "
+        "array expressions per row (Structured Streaming allows one "
+        "aggregation level, so the per-doc groupBy minhash of the "
+        "batch twin q_dedup_near_minhash becomes F.array_min over a "
+        "transform — same constants, same arithmetic, hash-identical "
+        "signatures), leaving the single streaming aggregation for the "
+        "LSH band buckets: groupBy(band, sig) counting members and "
+        "electing min(doc_id) as the deterministic cluster "
+        "representative (arrival-order independent — exactly-once "
+        "replayable). The drained bucket table compacts to per-band "
+        "collision stats. At 100 TB the state is one row per occupied "
+        "band bucket (bounded by corpus near-dup structure, the same "
+        "Σ|bucket| the batch LSH bounds); production would add state "
+        "TTL/watermark eviction for unbounded feeds.",
+)
+def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        BANDS,
+        MH_A,
+        MH_B,
+        MINHASH_P,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _md5_int,
+        _shingles,
+    )
+
+    docs = load_docs_stream(spark, sf_dir)
+    d = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("ss"))
+        .filter(F.size("ss") > 0)
+        .select(
+            "doc_id",
+            F.transform("ss", lambda s: _md5_int(s, 7)).alias("hs"),
+        )
+    )
+    def _mh(p: int):
+        # one-arg lambda on purpose: a two-arg transform lambda would
+        # receive the array INDEX as its second argument
+        return F.array_min(
+            F.transform(
+                "hs",
+                lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p]))
+                % MINHASH_P,
+            )
+        ).alias(f"mh{p}")
+
+    mh = d.select("doc_id", *[_mh(p) for p in range(NUM_PERM)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    agg = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep"),
+    )
+    buckets = run_to_completion(agg, output_mode="complete")
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias(
+                "n_multi_buckets"
+            ),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("n_docs_in_multi"),
+            F.min(F.when(F.col("n_docs") > 1, F.col("rep"))).alias(
+                "first_rep"
+            ),
+        )
+        .orderBy("band")
+    )

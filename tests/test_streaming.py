@@ -244,3 +244,14 @@ def test_streaming_dim_join_equals_batch(spark):
         sq._dim_enriched(sq.load_events_stream(spark, SF_DIR), customer)
     ).toPandas()
     oracle_mod.compare_frames(stream, batch, "stream_dim_join==batch")
+
+
+def test_q_stream_dedup_minhash_oracle(check):
+    """Per-key driver-contract mirror: the streaming LSH bucket stats
+    hash-match the batch SQL mirror (same constants, same arithmetic,
+    arrival-order-independent representatives)."""
+    pdf = check("q_stream_dedup_minhash")
+    assert list(pdf["band"]) == list(range(8))
+    # the sf0.01 documents table contains true near-dups, so at least
+    # one band must show multi-doc buckets
+    assert int(pdf["n_multi_buckets"].sum()) > 0
