@@ -62,17 +62,21 @@ layouts with Single Chunk, Implicit, Fixed Array ("FAHD"/"FADB",
 paged or unpaged), Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB",
 the single-unlimited-extent index — reader walks direct elements,
 index-block data blocks, and secondary blocks incl. paged ones;
-writer covers the directly-addressable range), and v2-B-tree
-(type-10/11 chunk records, the >=2-unlimited-dimension index) chunk
-indexes.
+writer emits unpaged secondary blocks up to the paged-data-block
+threshold at 131,060 chunks), and v2-B-tree (type-10/11 chunk
+records, the >=2-unlimited-dimension index) chunk indexes — reader
+and writer both handle multi-level trees of any depth
+(records-then-pointers node serialization, per-depth pointer widths
+from libhdf5's capacity table).
+
+NC_VLEN datasets and attributes over string, numeric, and compound
+bases decode from the global heap (vlen-of-reference refuses).
 
 Honest scope (loud refusals naming the feature): paged
 Extensible-Array data blocks OUTSIDE a secondary block
 (secondary-block pages read fine, bitmap and per-page checksums
-included), v2 B-trees deeper than 1 level and nested fractal-heap
-indirect rows (tens of thousands of links), filtered fractal heaps,
-huge/tiny heap objects, vlen DATASETS (vlen attributes are parsed for
-DIMENSION_LIST and stepped over otherwise), szip.
+included), nested fractal-heap indirect rows (direct blocks past
+max_direct), filtered fractal heaps, huge/tiny heap objects, szip.
 """
 
 from __future__ import annotations
@@ -1253,26 +1257,112 @@ def _write_fractal_heap(
     return fheap_addr, obj_ids
 
 
-def _write_bt2(
-    out: bytearray, records: list[bytes], rtype: int
-) -> int:
-    """Append a one-leaf v2 B-tree (BTHD + BTLF) of fixed-size
-    ``records`` (pre-sorted); returns the header address."""
-    rec_size = len(records[0])
-    if len(records) * rec_size > 2048 - 10:
+def _bt2_node_info(
+    node_size: int, rec_size: int, depth: int
+) -> tuple[int, int, list[int], list[int], list[int]]:
+    """libhdf5's per-depth v2 B-tree capacity table (H5B2__hdr_init),
+    which fixes the child-pointer field widths both sides must agree
+    on. Returns ``(leaf_max, max_nrec_size, int_max, cum_max,
+    cum_size)`` — the list entries are indexed by node depth (0 =
+    leaf): ``int_max[d]`` is the record capacity of one node at depth
+    d, ``cum_max[d]`` the capacity of a whole subtree rooted there,
+    and ``cum_size[d]`` the byte width of the "records in child
+    subtree" pointer field (0 for leaves — leaf pointers carry no
+    subtree total). ``max_nrec_size`` (the "records in child" field)
+    is sized for the LEAF maximum, the largest any node can hold."""
+    leaf_max = (node_size - 10) // rec_size
+    if leaf_max <= 0:
         raise ValueError(
-            "one-leaf v2 B-tree writer holds at most "
-            f"{(2048 - 10) // rec_size} records of {rec_size} bytes"
+            f"v2 B-tree node size {node_size} cannot hold a "
+            f"{rec_size}-byte record"
         )
+    max_nrec_size = -(-leaf_max.bit_length() // 8)
+    int_max = [leaf_max]
+    cum_max = [leaf_max]
+    cum_size = [0]
+    for d in range(1, depth + 1):
+        ptr = 8 + max_nrec_size + cum_size[d - 1]
+        m = (node_size - 10 - ptr) // (rec_size + ptr)
+        if m <= 0:
+            raise ValueError(
+                f"v2 B-tree node size {node_size} cannot hold an "
+                f"internal node of {rec_size}-byte records"
+            )
+        int_max.append(m)
+        cum_max.append((m + 1) * cum_max[d - 1] + m)
+        cum_size.append(-(-cum_max[d].bit_length() // 8))
+    return leaf_max, max_nrec_size, int_max, cum_max, cum_size
+
+
+def _write_bt2(
+    out: bytearray, records: list[bytes], rtype: int,
+    node_size: int = 2048,
+) -> int:
+    """Append a v2 B-tree (BTLF/BTIN nodes + BTHD header) of
+    fixed-size ``records`` (pre-sorted by the type's comparator);
+    returns the header address.
+
+    Bulk-loads an ARBITRARY record count (round 9 — previously one
+    leaf, which capped dense groups at ~170 links and v2-B-tree chunk
+    indexes at ~85 chunks): the minimal depth whose subtree capacity
+    fits is chosen, leaves are packed near capacity with real records
+    promoted as level separators, and every node serializes its
+    records first, THEN the child-pointer block — H5B2cache.c's order,
+    with pointer field widths from the shared capacity table so
+    libhdf5 would read the same tree back."""
+    rec_size = len(records[0])
+    depth = 0
+    while True:
+        leaf_max, mns, _imax, cum_max, cum_size = _bt2_node_info(
+            node_size, rec_size, depth
+        )
+        if cum_max[depth] >= len(records):
+            break
+        depth += 1
+        if depth > 16:
+            raise ValueError(
+                "v2 B-tree bulk load beyond depth 16 — records do not "
+                "fit a plausible tree"
+            )
+
+    def build(recs: list[bytes], d: int) -> tuple[int, int, int]:
+        if d == 0:
+            addr = len(out)
+            node = b"BTLF" + struct.pack("<BB", 0, rtype) + b"".join(
+                recs
+            )
+            out.extend(node + struct.pack("<I", lookup3(node)))
+            return addr, len(recs), len(recs)
+        cap = cum_max[d - 1]
+        k = -(-(len(recs) + 1) // (cap + 1))  # children; k-1 separators
+        base, extra = divmod(len(recs) - (k - 1), k)
+        parts: list[list[bytes]] = []
+        seps: list[bytes] = []
+        i = 0
+        for c in range(k):
+            take = base + (1 if c < extra else 0)
+            parts.append(recs[i : i + take])
+            i += take
+            if c < k - 1:
+                seps.append(recs[i])
+                i += 1
+        kids = [build(p, d - 1) for p in parts]
+        addr = len(out)
+        node = b"BTIN" + struct.pack("<BB", 0, rtype) + b"".join(seps)
+        for a, nr, tot in kids:
+            node += struct.pack("<Q", a) + nr.to_bytes(mns, "little")
+            if d >= 2:  # leaf pointers carry no subtree total
+                node += tot.to_bytes(cum_size[d - 1], "little")
+        out.extend(node + struct.pack("<I", lookup3(node)))
+        return addr, len(seps), len(recs)
+
+    root_addr, root_nrec, total = build(list(records), depth)
     bt2_addr = len(out)
-    leaf_addr = bt2_addr + 38  # BTHD header is 38 bytes
     bthd = b"BTHD" + struct.pack(
-        "<BBIHHBB", 0, rtype, 2048, rec_size, 0, 100, 40
+        "<BBIHHBB", 0, rtype, node_size, rec_size, depth, 100, 40
     )
-    bthd += struct.pack("<QHQ", leaf_addr, len(records), len(records))
+    bthd += struct.pack("<QHQ", root_addr, root_nrec, total)
     out += bthd + struct.pack("<I", lookup3(bthd))
-    leaf = b"BTLF" + struct.pack("<BB", 0, rtype) + b"".join(records)
-    out += leaf + struct.pack("<I", lookup3(leaf))
     return bt2_addr
 
 
@@ -1613,10 +1703,19 @@ class HDF5File:
         return links if is_group else None
 
     def _bt2_records(self, bt2_addr: int, expect_type: int) -> list:
-        """All fixed-size records of a v2 B-tree (BTHD/BTIN/BTLF, depth
-        0 or 1, checksums verified). Internal nodes hold REAL records
-        between their child pointers, not separators — both are
-        collected."""
+        """All fixed-size records of a v2 B-tree (BTHD/BTIN/BTLF, ANY
+        depth, every node checksum verified), in key order.
+
+        Child-pointer field widths follow libhdf5's per-depth capacity
+        table (H5B2__hdr_init): the "records in child" field is sized
+        for the LEAF maximum, and the "records in child subtree" field
+        — present only when the child is itself internal — for the
+        cumulative maximum at the child's depth. Internal nodes
+        serialize ALL their records first, THEN the child-pointer
+        block (H5B2cache.c order); a round-9 fix — the previous walk
+        read them interleaved, which only ever matched our own
+        hand-crafted test bytes and would mis-read any real
+        libhdf5-written multi-node tree."""
         b = self._buf
         self._expect_sig(bt2_addr, b"BTHD", "v2 B-tree header")
         btype = b[bt2_addr + 5]
@@ -1639,9 +1738,17 @@ class HDF5File:
         out: list[bytes] = []
         if root_addr == UNDEF:
             return out
-        # max records a leaf can hold -> child-pointer nrec field width
-        leaf_max = (node_size - 10) // rec_size
-        nrec_size = -(-(leaf_max.bit_length()) // 8)
+        if depth > 32:
+            raise ValueError(
+                f"{self.path}: v2 B-tree depth {depth} is not a "
+                "plausible tree (corrupt header)"
+            )
+        try:
+            _leaf_max, max_nrec_size, _imax, _cum, cum_size = (
+                _bt2_node_info(node_size, rec_size, depth)
+            )
+        except ValueError as e:
+            raise ValueError(f"{self.path}: {e}") from None
 
         def leaf(addr: int, nrec: int) -> None:
             self._expect_sig(addr, b"BTLF", "v2 B-tree leaf")
@@ -1658,34 +1765,41 @@ class HDF5File:
                       * rec_size]
                 )
 
-        if depth == 0:
-            leaf(root_addr, root_nrec)
-        elif depth == 1:
-            self._expect_sig(root_addr, b"BTIN", "v2 B-tree internal")
-            # nrec records interleaved with nrec+1 (addr, child nrec)
-            # child pointers
-            pos = root_addr + 6
-            children = []
-            a = struct.unpack_from("<Q", b, pos)[0]
-            n = int.from_bytes(b[pos + 8 : pos + 8 + nrec_size], "little")
-            children.append((a, n))
-            pos += 8 + nrec_size
-            for _ in range(root_nrec):
-                out.append(b[pos : pos + rec_size])
-                pos += rec_size
+        def internal(addr: int, nrec: int, d: int) -> None:
+            self._expect_sig(addr, b"BTIN", "v2 B-tree internal")
+            ptr_size = 8 + max_nrec_size + cum_size[d - 1]
+            pos = addr + 6
+            recs = [
+                b[pos + i * rec_size : pos + (i + 1) * rec_size]
+                for i in range(nrec)
+            ]
+            pos += nrec * rec_size
+            kids = []
+            for _ in range(nrec + 1):
                 a = struct.unpack_from("<Q", b, pos)[0]
                 n = int.from_bytes(
-                    b[pos + 8 : pos + 8 + nrec_size], "little"
+                    b[pos + 8 : pos + 8 + max_nrec_size], "little"
                 )
-                children.append((a, n))
-                pos += 8 + nrec_size
-            for a, n in children:
-                leaf(a, n)
+                kids.append((a, n))
+                pos += ptr_size
+            if struct.unpack_from("<I", b, pos)[0] != lookup3(
+                b[addr:pos]
+            ):
+                raise ValueError(
+                    f"{self.path}: v2 B-tree internal checksum mismatch"
+                )
+            for i, (a, n) in enumerate(kids):
+                if d == 1:
+                    leaf(a, n)
+                else:
+                    internal(a, n, d - 1)
+                if i < nrec:
+                    out.append(recs[i])
+
+        if depth == 0:
+            leaf(root_addr, root_nrec)
         else:
-            raise ValueError(
-                f"{self.path}: v2 B-tree depth {depth} not supported "
-                "(tens of thousands of entries)"
-            )
+            internal(root_addr, root_nrec, depth)
         return out
 
     def _dense_links(

@@ -678,3 +678,49 @@ def test_compound_roundtrip_fuzz(
     np.testing.assert_array_equal(
         h.read_slab0("v", lo, lo + m), arr[lo : lo + m]
     )
+
+
+@_SETTINGS
+@given(
+    n=st.integers(1, 4000),
+    node_size=st.sampled_from([128, 256, 512]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bt2_bulk_load_depth_fuzz(tmp_path_factory, n, node_size, seed):
+    """The v2 B-tree bulk loader and the any-depth walker agree for
+    every depth these record counts force (0 through 4 at a 128-byte
+    node): records come back exactly and in key order through
+    spec-layout nodes (records block then child-pointer block,
+    per-depth pointer field widths from the shared capacity table),
+    and the header's depth field is the minimal depth that fits."""
+    import mmap as _mmap
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        _bt2_node_info,
+        _write_bt2,
+    )
+
+    rng = np.random.RandomState(seed)
+    rec_size = 12
+    recs = [
+        struct.pack("<I", i) + rng.bytes(rec_size - 4) for i in range(n)
+    ]
+    out = bytearray(b"\x00" * 48)  # B-tree need not start at offset 0
+    bt2_addr = _write_bt2(out, recs, 5, node_size=node_size)
+    depth = struct.unpack_from("<H", out, bt2_addr + 12)[0]
+    want_depth = 0
+    while _bt2_node_info(node_size, rec_size, want_depth)[3][
+        want_depth
+    ] < n:
+        want_depth += 1
+    assert depth == want_depth
+    path = os.path.join(str(tmp_path_factory.mktemp("bt2")), "t.bin")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    h = HDF5File.__new__(HDF5File)
+    h.path = path
+    with open(path, "rb") as f:
+        h._buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    assert h._bt2_records(bt2_addr, 5) == recs

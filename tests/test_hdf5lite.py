@@ -1035,11 +1035,11 @@ def test_dense_links_sorted_by_numeric_hash(tmp_path):
     out = bytearray()
     children = {n: 64 + 16 * i for i, n in enumerate(names)}
     _fh, bt2_addr = _write_dense_links(out, children)
-    # parse the one-leaf BTLF: header at bt2_addr is 38-byte BTHD,
-    # leaf = "BTLF" + ver + rtype + records
+    # parse the one-leaf BTLF through the BTHD header's root pointer
+    # (nodes precede the header in the bulk-load layout)
     rec_size = struct.unpack_from("<H", out, bt2_addr + 10)[0]
     nrec = struct.unpack_from("<H", out, bt2_addr + 24)[0]
-    leaf = bt2_addr + 38  # BTHD is 34 bytes + 4-byte checksum
+    leaf = struct.unpack_from("<Q", out, bt2_addr + 16)[0]
     assert bytes(out[leaf : leaf + 4]) == b"BTLF"
     base = leaf + 6  # skip BTLF sig(4)+ver(1)+rtype(1)
     hashes = [
@@ -1160,13 +1160,15 @@ def test_dense_links_indirect_heap_and_deep_btree(tmp_path):
     )
     bthd += struct.pack("<QHQ", int_addr, 1, len(recs))
     buf += bthd + struct.pack("<I", lookup3(bthd))
+    # spec layout (H5B2cache.c): ALL records first, THEN the
+    # child-pointer block — not interleaved
+    b_l0 = leaf(l0)
+    l1_addr = l0_addr + len(b_l0)
     inode = b"BTIN" + struct.pack("<BB", 0, 5)
+    inode += struct.pack("<I", mid[0]) + mid[1]
     inode += struct.pack("<Q", l0_addr) + len(l0).to_bytes(
         nrec_size, "little"
     )
-    inode += struct.pack("<I", mid[0]) + mid[1]
-    b_l0 = leaf(l0)
-    l1_addr = l0_addr + len(b_l0)
     inode += struct.pack("<Q", l1_addr) + len(l1).to_bytes(
         nrec_size, "little"
     )
@@ -1347,6 +1349,51 @@ def test_latest_v2_btree_chunk_index(tmp_path):
         assert h.datasets["v"].chunk_index == "bt2"
         np.testing.assert_array_equal(h.read("v"), d)
         np.testing.assert_array_equal(h.read_slab0("v", 7, 21), d[7:21])
+
+
+def test_v2_btree_chunk_index_past_one_leaf(tmp_path):
+    """288 chunks with two unlimited dimensions overflow a single
+    2048-byte leaf (84 type-10 / 56 type-11 records), forcing a
+    depth-1 chunk-index tree — where the pre-round-9 one-leaf writer
+    refused and the walker mis-ordered internal-node fields."""
+    for compress in (None, 4):
+        path = os.path.join(tmp_path, f"deep_{compress}.h5")
+        d = np.arange(48 * 24, dtype=np.int32).reshape(48, 24)
+        write_hdf5(
+            path,
+            {"v": d},
+            {"v": {"chunk": (2, 2), "maxshape": (None, None),
+                   "compress": compress}},
+            libver="latest",
+        )
+        h = HDF5File(path)
+        assert h.datasets["v"].chunk_index == "bt2"
+        np.testing.assert_array_equal(h.read("v"), d)
+        np.testing.assert_array_equal(
+            h.read_slab0("v", 17, 31), d[17:31]
+        )
+
+
+def test_dense_group_and_attrs_past_one_leaf(tmp_path):
+    """A group with 260 links (> the 185 type-5 records one leaf
+    holds) and an object with 130 attributes (> the 119 type-8
+    records one leaf holds) round-trip through depth-1 v2 B-tree name
+    indexes — both refused under the pre-round-9 one-leaf writer."""
+    path = os.path.join(tmp_path, "wide.h5")
+    data = {
+        f"v{i:03d}": np.arange(4, dtype=np.int32) + i for i in range(260)
+    }
+    attrs = {f"a{i:03d}": float(i) * 0.25 for i in range(130)}
+    write_hdf5(
+        path, data, {"v000": {"attrs": attrs}}, libver="latest"
+    )
+    h = HDF5File(path)
+    assert sorted(h.datasets) == sorted(data)
+    np.testing.assert_array_equal(
+        h.read("v259"), np.arange(4, dtype=np.int32) + 259
+    )
+    got = h.datasets["v000"].attrs
+    assert len(got) == 130 and float(got["a129"]) == 32.25
 
 
 def test_nc4_decode_cf_time(spark, tmp_path):
