@@ -1201,59 +1201,167 @@ def _link_body(name: str, addr: int) -> bytes:
 def _write_fractal_heap(
     out: bytearray, objects: dict[str, bytes], id_len: int
 ) -> tuple[int, dict[str, bytes]]:
-    """Append a fractal heap (FRHP + one root direct block) holding
-    ``objects``; returns (fheap_addr, name -> heap id of ``id_len``
-    bytes). Heap offsets include the block prefix (H5HF reserves it in
-    the offset space)."""
+    """Append a fractal heap holding ``objects``; returns
+    (fheap_addr, name -> heap id of ``id_len`` bytes). Heap offsets
+    include the block prefix (H5HF reserves it in the offset space).
+
+    Layout scales with the payload (round 9 — previously one root
+    direct block, 64 KiB ceiling): bodies that fit one block keep the
+    root-direct layout byte-for-byte; larger sets pack greedily into
+    the doubling table's direct blocks under a root indirect block
+    (512 KiB of bodies at the default geometry — nested indirect rows
+    are read but not written); bodies past the managed ceiling
+    (max_direct/2) are written as HUGE objects — raw spans plus a
+    type-1 v2 B-tree of (address, length, id) records, libhdf5's
+    layout when ids are too narrow to carry (address, length)
+    inline."""
     off_size = _FH_MAX_BITS // 8  # 4
     len_size = id_len - 1 - off_size
     hdr_size = 17  # FHDB prefix: sig+version+heap addr+block offset
-    need = hdr_size + sum(len(b) for b in objects.values())
-    blk_size = _FH_START
-    while blk_size < need:
-        blk_size *= 2
-    if blk_size > _FH_MAX_DIRECT:
-        raise ValueError(
-            "dense storage writer covers one root direct block "
-            f"({_FH_MAX_DIRECT} bytes of objects)"
-        )
-    fheap_addr = len(out)
-    dblk_addr = fheap_addr + 146  # FRHP header is 146 bytes
+    max_man = _FH_MAX_DIRECT // 2
+    man_names = [n for n in sorted(objects) if len(objects[n]) <= max_man]
+    huge_names = [n for n in sorted(objects) if len(objects[n]) > max_man]
     obj_ids: dict[str, bytes] = {}
-    pos = hdr_size
-    payload = bytearray()
-    for n in sorted(objects):
-        b = objects[n]
-        obj_ids[n] = (
-            b"\x00"  # managed object, version 0
-            + pos.to_bytes(off_size, "little")
-            + len(b).to_bytes(len_size, "little")
+    huge_bt2_addr, huge_bytes = UNDEF, 0
+    if huge_names:
+        recs = []
+        for i, nm in enumerate(huge_names):
+            a = len(out)
+            out += objects[nm]
+            recs.append(
+                struct.pack("<QQQ", a, len(objects[nm]), i + 1)
+            )
+            # id: version 0, type huge (bits 4-5 = 1), then the
+            # B-tree key
+            obj_ids[nm] = b"\x10" + (i + 1).to_bytes(
+                id_len - 1, "little"
+            )
+            huge_bytes += len(objects[nm])
+        huge_bt2_addr = _write_bt2(out, recs, 1)
+    need = hdr_size + sum(len(objects[nm]) for nm in man_names)
+    fheap_addr = len(out)
+
+    def frhp_fields(
+        free: int, man_space: int, it_off: int, root_addr: int,
+        cur_rows: int,
+    ) -> bytes:
+        h = b"FRHP" + struct.pack("<BHHBI", 0, id_len, 0, 0, max_man)
+        h += struct.pack("<Q", len(huge_names))  # next huge id
+        h += struct.pack("<Q", huge_bt2_addr)
+        h += struct.pack("<Q", free)
+        h += struct.pack("<Q", UNDEF)  # free-space manager
+        h += struct.pack("<Q", man_space)
+        h += struct.pack("<Q", man_space)  # allocated managed space
+        h += struct.pack("<Q", it_off)  # managed-space iterator
+        h += struct.pack("<Q", len(man_names))
+        h += struct.pack(
+            "<4Q", huge_bytes, len(huge_names), 0, 0
+        )  # huge/tiny sizes + counts
+        h += struct.pack(
+            "<HQQHH", _FH_WIDTH, _FH_START, _FH_MAX_DIRECT,
+            _FH_MAX_BITS, 1,
         )
-        payload += b
-        pos += len(b)
-    frhp = b"FRHP" + struct.pack(
-        "<BHHBI", 0, id_len, 0, 0, _FH_MAX_DIRECT // 2
+        h += struct.pack("<QH", root_addr, cur_rows)
+        return h
+
+    if need <= _FH_MAX_DIRECT:
+        # single root direct block, doubled to fit
+        blk_size = _FH_START
+        while blk_size < need:
+            blk_size *= 2
+        dblk_addr = fheap_addr + 146  # FRHP header is 146 bytes
+        pos = hdr_size
+        payload = bytearray()
+        for n in man_names:
+            b = objects[n]
+            obj_ids[n] = (
+                b"\x00"  # managed object, version 0
+                + pos.to_bytes(off_size, "little")
+                + len(b).to_bytes(len_size, "little")
+            )
+            payload += b
+            pos += len(b)
+        frhp = frhp_fields(
+            blk_size - pos, blk_size, pos, dblk_addr, 0
+        )
+        out += frhp + struct.pack("<I", lookup3(frhp))
+        assert len(out) == dblk_addr
+        db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+        db += (0).to_bytes(off_size, "little")  # block offset 0
+        db += bytes(payload)
+        db += b"\x00" * (blk_size - len(db))
+        out += db
+        return fheap_addr, obj_ids
+
+    # greedy packing into the doubling table's direct blocks (objects
+    # never span a block boundary), row-major under a root indirect
+    # block
+    blocks: list[list] = []  # [heap_off, size, row, payload]
+    heap_off = row = ent = 0
+
+    def push_block() -> None:
+        nonlocal heap_off, row, ent
+        size = _FH_START if row < 2 else _FH_START << (row - 1)
+        if size > _FH_MAX_DIRECT:
+            raise ValueError(
+                "fractal-heap writer covers the root indirect "
+                "block's direct rows "
+                f"({_FH_WIDTH * _FH_MAX_DIRECT * 2} bytes of "
+                "objects); nested indirect rows are read but not "
+                "written"
+            )
+        blocks.append([heap_off, size, row, bytearray()])
+        heap_off += size
+        ent += 1
+        if ent == _FH_WIDTH:
+            ent, row = 0, row + 1
+
+    for nm in man_names:
+        body = objects[nm]
+        if (
+            not blocks
+            or hdr_size + len(blocks[-1][3]) + len(body)
+            > blocks[-1][1]
+        ):
+            push_block()
+        boff, bsize, _brow, pay = blocks[-1]
+        pos = boff + hdr_size + len(pay)
+        obj_ids[nm] = (
+            b"\x00"
+            + pos.to_bytes(off_size, "little")
+            + len(body).to_bytes(len_size, "little")
+        )
+        pay += body
+    iblk_addr = fheap_addr + 146
+    nrows = blocks[-1][2] + 1
+    nentries = nrows * _FH_WIDTH
+    iblk_size = 4 + 1 + 8 + off_size + nentries * 8 + 4
+    dblk_addrs = []
+    a = iblk_addr + iblk_size
+    for _boff, bsize, _brow, _pay in blocks:
+        dblk_addrs.append(a)
+        a += bsize
+    man_space = blocks[-1][0] + blocks[-1][1]
+    free = sum(
+        bsize - hdr_size - len(pay) for _o, bsize, _r, pay in blocks
     )
-    frhp += struct.pack("<Q", 0)  # next huge id
-    frhp += struct.pack("<Q", UNDEF)  # huge-object v2 B-tree
-    frhp += struct.pack("<Q", blk_size - pos)  # free space
-    frhp += struct.pack("<Q", UNDEF)  # free-space manager
-    frhp += struct.pack("<Q", blk_size)  # managed space
-    frhp += struct.pack("<Q", blk_size)  # allocated managed space
-    frhp += struct.pack("<Q", pos)  # managed-space iterator offset
-    frhp += struct.pack("<Q", len(objects))  # managed object count
-    frhp += struct.pack("<4Q", 0, 0, 0, 0)  # huge/tiny sizes + counts
-    frhp += struct.pack(
-        "<HQQHH", _FH_WIDTH, _FH_START, _FH_MAX_DIRECT, _FH_MAX_BITS, 1
-    )
-    frhp += struct.pack("<QH", dblk_addr, 0)  # root = direct block
+    it_off = blocks[-1][0] + hdr_size + len(blocks[-1][3])
+    frhp = frhp_fields(free, man_space, it_off, iblk_addr, nrows)
     out += frhp + struct.pack("<I", lookup3(frhp))
-    assert len(out) == dblk_addr
-    db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
-    db += (0).to_bytes(off_size, "little")  # block offset 0
-    db += bytes(payload)
-    db += b"\x00" * (blk_size - len(db))
-    out += db
+    iblk = b"FHIB" + struct.pack("<BQ", 0, fheap_addr)
+    iblk += (0).to_bytes(off_size, "little")
+    for e in range(nentries):
+        iblk += struct.pack(
+            "<Q", dblk_addrs[e] if e < len(dblk_addrs) else UNDEF
+        )
+    out += iblk + struct.pack("<I", lookup3(iblk))
+    assert len(out) == dblk_addrs[0]
+    for (boff, bsize, _brow, pay), daddr in zip(blocks, dblk_addrs):
+        db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+        db += boff.to_bytes(off_size, "little")
+        db += bytes(pay)
+        db += b"\x00" * (bsize - len(db))
+        out += db
     return fheap_addr, obj_ids
 
 
@@ -1850,6 +1958,7 @@ class HDF5File:
                 f"{self.path}: filtered fractal heap not supported"
             )
         flags = b[addr + 9]
+        huge_bt2_addr = struct.unpack_from("<Q", b, addr + 22)[0]
         (width,) = struct.unpack_from("<H", b, addr + 110)
         start_size, max_direct = struct.unpack_from("<QQ", b, addr + 112)
         max_bits = struct.unpack_from("<H", b, addr + 128)[0]
@@ -1873,19 +1982,69 @@ class HDF5File:
             "max_direct": max_direct,
             "root_addr": root_addr,
             "cur_rows": cur_rows,
+            "huge_bt2_addr": huge_bt2_addr,
+            "huge_map": None,  # huge-id -> (addr, len), parsed lazily
         }
 
     def _fheap_object(self, heap: dict, hid) -> bytes:
-        """Managed fractal-heap object bytes for a heap id (flags byte
-        + heap offset + length). Heap offsets span the whole block
-        space including block prefixes, so a direct block at offset
-        ``o0`` serves offset ``o`` at file address ``addr + (o-o0)``."""
+        """Fractal-heap object bytes for a heap id. Byte 0 carries the
+        id version in bits 6-7 and the id TYPE in bits 4-5
+        (H5HF_ID_TYPE_MASK 0x30) — managed (0), huge (1), or tiny (2);
+        a round-9 fix: the old gate tested the version bits and
+        mis-decoded real huge/tiny ids as managed offsets. Managed
+        offsets span the whole block space including block prefixes,
+        so a direct block at offset ``o0`` serves offset ``o`` at file
+        address ``addr + (o-o0)``. Tiny objects live in the id bytes
+        themselves; huge objects resolve through the header's type-1
+        v2 B-tree of (address, length, id) records, or carry
+        (address, length) directly when the id is wide enough."""
         b = self._buf
         flags = hid[0]
         if (flags >> 6) & 0x3 != 0:
             raise ValueError(
-                f"{self.path}: huge/tiny fractal-heap objects not "
-                "supported (managed links only)"
+                f"{self.path}: fractal-heap id version "
+                f"{(flags >> 6) & 0x3} not supported"
+            )
+        typ = (flags >> 4) & 0x3
+        if typ == 2:  # tiny: payload packed into the id itself
+            if heap["id_len"] > 18:
+                raise ValueError(
+                    f"{self.path}: extended tiny fractal-heap ids "
+                    "(id length > 18) not supported"
+                )
+            length = (flags & 0x0F) + 1
+            return bytes(hid[1 : 1 + length])
+        if typ == 1:  # huge
+            if heap["id_len"] - 1 >= 16:
+                # direct: (address, length) packed into the id
+                addr, length = struct.unpack_from("<QQ", hid, 1)
+            else:
+                if heap["huge_map"] is None:
+                    if heap["huge_bt2_addr"] == UNDEF:
+                        raise ValueError(
+                            f"{self.path}: huge fractal-heap id with "
+                            "no huge-object B-tree"
+                        )
+                    heap["huge_map"] = {
+                        struct.unpack_from("<Q", r, 16)[0]:
+                            struct.unpack_from("<QQ", r, 0)
+                        for r in self._bt2_records(
+                            heap["huge_bt2_addr"], 1
+                        )
+                    }
+                huge_id = int.from_bytes(
+                    hid[1 : heap["id_len"]], "little"
+                )
+                if huge_id not in heap["huge_map"]:
+                    raise ValueError(
+                        f"{self.path}: huge fractal-heap id {huge_id} "
+                        "missing from the huge-object B-tree"
+                    )
+                addr, length = heap["huge_map"][huge_id]
+            return bytes(b[addr : addr + length])
+        if typ != 0:
+            raise ValueError(
+                f"{self.path}: fractal-heap id type {typ} not supported"
             )
         off = int.from_bytes(hid[1 : 1 + heap["off_size"]], "little")
         length = int.from_bytes(
@@ -1898,40 +2057,56 @@ class HDF5File:
         self, heap: dict, off: int
     ) -> tuple[int, int, int]:
         """(file addr, size, heap offset) of the direct block covering
-        heap offset ``off`` — root direct block, or a child of the root
-        indirect block (FHIB; nested indirect blocks refuse loudly)."""
+        heap offset ``off`` — the root direct block, a child of the
+        root indirect block (FHIB), or (round 9) any depth of NESTED
+        indirect blocks: rows past max_direct hold child indirect
+        blocks, each spanning its row's block size and subdividing it
+        with the same doubling table (child row count =
+        log2(span / (width*start)) + 1, H5HF's geometry)."""
         b = self._buf
         width, start = heap["width"], heap["start_size"]
         if heap["cur_rows"] == 0:  # root IS a direct block
             self._expect_sig(heap["root_addr"], b"FHDB", "heap direct block")
             return heap["root_addr"], start, 0
-        iaddr = heap["root_addr"]
+        return self._fheap_iblock_find(
+            heap, heap["root_addr"], heap["cur_rows"], 0, off
+        )
+
+    def _fheap_iblock_find(
+        self, heap: dict, iaddr: int, nrows: int, blk_off0: int,
+        off: int,
+    ) -> tuple[int, int, int]:
+        b = self._buf
+        width, start = heap["width"], heap["start_size"]
         self._expect_sig(iaddr, b"FHIB", "heap indirect block")
         pos = iaddr + 4 + 1 + 8 + heap["off_size"]
         # rows 0 and 1 use the starting size; each later row doubles
-        blk_off = 0
-        for row in range(heap["cur_rows"]):
+        blk_off = blk_off0
+        for row in range(nrows):
             size = start if row < 2 else start << (row - 1)
-            if size > heap["max_direct"]:
-                raise ValueError(
-                    f"{self.path}: nested indirect fractal-heap rows "
-                    "not supported"
-                )
             for _ in range(width):
                 if blk_off <= off < blk_off + size:
                     daddr = struct.unpack_from("<Q", b, pos)[0]
                     if daddr == UNDEF:
                         raise ValueError(
                             f"{self.path}: heap offset {off} in an "
-                            "unallocated direct block"
+                            "unallocated block"
                         )
-                    self._expect_sig(daddr, b"FHDB", "heap direct block")
-                    return daddr, size, blk_off
+                    if size <= heap["max_direct"]:
+                        self._expect_sig(
+                            daddr, b"FHDB", "heap direct block"
+                        )
+                        return daddr, size, blk_off
+                    # indirect row: the child subdivides this span
+                    child_rows = (size // (width * start)).bit_length()
+                    return self._fheap_iblock_find(
+                        heap, daddr, child_rows, blk_off, off
+                    )
                 blk_off += size
                 pos += 8
         raise ValueError(
-            f"{self.path}: heap offset {off} beyond the root indirect "
-            "block's rows"
+            f"{self.path}: heap offset {off} beyond indirect block "
+            "rows"
         )
 
     def _parse_link(self, body: bytes) -> tuple[str, int] | None:

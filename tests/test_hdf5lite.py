@@ -1396,6 +1396,116 @@ def test_dense_group_and_attrs_past_one_leaf(tmp_path):
     assert len(got) == 130 and float(got["a129"]) == 32.25
 
 
+def test_dense_attrs_multiblock_heap_and_huge_object(tmp_path):
+    """Attribute bodies past one 64 KiB direct block pack into
+    multiple direct blocks under a root indirect fractal-heap block,
+    and a body past the managed ceiling (max_direct/2) is written as
+    a HUGE object — raw span plus a type-1 v2 B-tree record — then
+    read back through the huge-id path (whose type bits the round-9
+    fix started honoring)."""
+    path = os.path.join(tmp_path, "hugeattr.h5")
+    attrs = {
+        f"a{i:03d}": np.full(75, i, dtype=np.int32) for i in range(300)
+    }
+    attrs["big"] = np.arange(6000, dtype=np.float64)
+    write_hdf5(
+        path,
+        {"v": np.arange(4, dtype=np.int32)},
+        {"v": {"attrs": attrs}},
+        libver="latest",
+    )
+    h = HDF5File(path)
+    got = h.datasets["v"].attrs
+    assert len(got) == 301
+    np.testing.assert_array_equal(
+        got["a299"], np.full(75, 299, dtype=np.int32)
+    )
+    np.testing.assert_array_equal(
+        got["big"], np.arange(6000, dtype=np.float64)
+    )
+
+
+def test_fheap_tiny_id_decodes_from_id_bytes(tmp_path):
+    """A tiny fractal-heap id (type bits 4-5 == 2) carries its payload
+    in the id itself — length is low-nibble + 1; the pre-round-9 gate
+    read the VERSION bits instead and would have treated this id as a
+    managed offset."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+    )
+
+    h = HDF5File.__new__(HDF5File)
+    h.path = "<mem>"
+    h._buf = b""
+    heap = {"id_len": 8, "off_size": 4, "len_size": 3,
+            "huge_bt2_addr": 0, "huge_map": None}
+    hid = b"\x24hello\x00\x00"  # version 0, type tiny, len nibble 4
+    assert h._fheap_object(heap, hid) == b"hello"
+    with pytest.raises(ValueError, match="version"):
+        h._fheap_object(heap, b"\x64hello\x00\x00")
+
+
+def test_fheap_nested_indirect_blocks(tmp_path):
+    """A heap offset past the root indirect block's direct rows
+    resolves through a NESTED indirect block (row 9's 128 KiB span,
+    subdivided by a 7-row child FHIB) — refused before round 9."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        lookup3,
+    )
+
+    width, start, max_direct, off_size = 4, 512, 64 * 1024, 4
+    buf = bytearray(b"\x00" * 32)
+    fheap_addr = len(buf)  # only geometry fields are read here
+    root_rows = 10
+    root_addr = len(buf)
+    root_entries = root_rows * width
+    root_size = 4 + 1 + 8 + off_size + root_entries * 8 + 4
+    child_addr = root_addr + root_size
+    child_rows = 7  # (131072 // (4*512)).bit_length()
+    child_entries = child_rows * width
+    child_size = 4 + 1 + 8 + off_size + child_entries * 8 + 4
+    dblk_addr = child_addr + child_size
+    root = b"FHIB" + struct.pack("<BQ", 0, fheap_addr)
+    root += (0).to_bytes(off_size, "little")
+    for e in range(root_entries):
+        root += struct.pack(
+            "<Q", child_addr if e == 36 else UNDEF
+        )  # row 9 entry 0
+    buf += root + struct.pack("<I", lookup3(root))
+    child = b"FHIB" + struct.pack("<BQ", 0, fheap_addr)
+    child += (524288).to_bytes(off_size, "little")
+    for e in range(child_entries):
+        child += struct.pack("<Q", dblk_addr if e == 0 else UNDEF)
+    buf += child + struct.pack("<I", lookup3(child))
+    assert len(buf) == dblk_addr
+    db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+    db += (524288).to_bytes(off_size, "little")
+    db += b"hello"
+    db += b"\x00" * (start - len(db))
+    buf += db
+    path = os.path.join(tmp_path, "nested.bin")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    h = HDF5File.__new__(HDF5File)
+    h.path = path
+    with open(path, "rb") as f:
+        import mmap as _mmap
+
+        h._buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    heap = {
+        "id_len": 7, "off_size": off_size, "len_size": 2,
+        "width": width, "start_size": start, "max_direct": max_direct,
+        "root_addr": root_addr, "cur_rows": root_rows,
+        "huge_bt2_addr": UNDEF, "huge_map": None,
+    }
+    hid = (
+        b"\x00" + (524288 + 17).to_bytes(off_size, "little")
+        + (5).to_bytes(2, "little")
+    )
+    assert h._fheap_object(heap, hid) == b"hello"
+
+
 def test_nc4_decode_cf_time(spark, tmp_path):
     """The NetCDF-4 source decodes CF time coordinates to
     timestamp_ntz behind the same decode_cf_time option as the
