@@ -2792,3 +2792,32 @@ def test_src_netcdf_vlen_compound_scan_oracle(check):
     pdf = check("src_netcdf_vlen_compound_scan")
     assert list(pdf["n_elems"]) == [0, 1, 2, 3, 4]
     assert int(pdf["n_rec"].sum()) == 48
+
+
+def test_src_netcdf4_dense_wide_scan_oracle(check):
+    """Per-key driver-contract mirror for the wide dense-group scan —
+    220 links resolve through a depth-1 v2 B-tree name index."""
+    pdf = check("src_netcdf4_dense_wide_scan")
+    assert list(pdf["bucket"]) == [0, 1, 2, 3]
+    assert int(pdf["n_rec"].sum()) == 48
+
+
+def test_dense_wide_fixture_has_deep_name_index():
+    """The fixture really exercises the multi-node B-tree walk: its
+    root group's link index is depth >= 1 (220 > one 185-record
+    leaf)."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.sources.queries import (
+        ensure_dense_wide_fixture,
+    )
+
+    path = ensure_dense_wide_fixture()
+    raw = open(path, "rb").read()
+    # find every BTHD and confirm at least one has depth >= 1
+    depths = []
+    i = raw.find(b"BTHD")
+    while i != -1:
+        depths.append(_struct.unpack_from("<H", raw, i + 12)[0])
+        i = raw.find(b"BTHD", i + 4)
+    assert depths and max(depths) >= 1, depths
