@@ -501,3 +501,14 @@ def test_vlen_compound_scan_hof_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, plan
     assert "aggregate(events" in plan  # HOF ran JVM-side, pre-shuffle
+
+
+def test_dense_wide_scan_bounded_shuffles_no_python_rows(spark):
+    # a 220-variable dense group changes METADATA shape only: the plan
+    # is the same one-keyed-agg shape as any narrow scan — one groupBy
+    # Exchange plus the ORDER BY range exchange, Arrow-batched source,
+    # no row-at-a-time Python eval node
+    df = build(spark, "src_netcdf4_dense_wide_scan")
+    plans.assert_max_shuffles(df, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
