@@ -724,3 +724,45 @@ def test_bt2_bulk_load_depth_fuzz(tmp_path_factory, n, node_size, seed):
     with open(path, "rb") as f:
         h._buf = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
     assert h._bt2_records(bt2_addr, 5) == recs
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1), nflips=st.integers(1, 8))
+def test_deep_btree_corruption_fails_controlled(
+    tmp_path_factory, seed, nflips
+):
+    """Byte flips in a file whose metadata includes a MULTI-NODE v2
+    B-tree (dense 220-link group, depth-1 name index) and a
+    multi-block fractal heap must fail as ValueError or parse clean —
+    the new deep walks must not leak struct errors, infinite
+    recursions, or huge allocations."""
+    import random
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    root = str(tmp_path_factory.mktemp("deepcorrupt"))
+    base_path = os.path.join(root, "base.h5")
+    data = {
+        f"v{i:03d}": np.arange(3, dtype=np.int32) + i
+        for i in range(220)
+    }
+    write_hdf5(base_path, data, libver="latest")
+    buf = bytearray(open(base_path, "rb").read())
+    rng = random.Random(seed)
+    # bias half the flips into the first 64 KiB, where the group
+    # metadata (heap blocks + B-tree nodes) lives
+    for i in range(nflips):
+        hi = min(len(buf), 65536) if i % 2 == 0 else len(buf)
+        buf[rng.randrange(hi)] = rng.randrange(256)
+    path = os.path.join(root, "t.h5")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    try:
+        h = HDF5File(path)
+        for n in list(h.datasets)[:8]:
+            h.read(n)
+    except ValueError:
+        pass  # loud, contextual refusal — the contract
