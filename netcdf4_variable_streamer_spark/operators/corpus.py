@@ -997,3 +997,123 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(kept).cast("double") / F.max("n")).alias("kept_frac"),
         F.max("thr").alias("thr_ppm"),
     )
+
+
+def _bpe_oracle_round(n: int, prev: str) -> str:
+    """One BPE merge round of the DuckDB oracle: pair counts over the
+    double-space token strings, the (count DESC, pair ASC) winner, and
+    the non-overlapping left-to-right merge via replace() — the shared
+    double-space gap lets replace() catch consecutive occurrences
+    exactly like the greedy fold."""
+    return f"""
+p{n} AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, ts[i] AS l, ts[i+1] AS r
+    FROM (SELECT STRING_SPLIT(ws, '  ') AS ts, freq FROM {prev}) x,
+         UNNEST(generate_series(1, GREATEST(LEN(ts) - 1, 0))) AS u(i)
+  ) WHERE l <> '' AND r <> '' GROUP BY l, r
+),
+m{n} AS (SELECT {n} AS round, l, r, cnt FROM p{n}
+         ORDER BY cnt DESC, l, r LIMIT 1),
+w{n} AS (
+  SELECT replace(ws,
+           ' ' || (SELECT l FROM m{n}) || '  '
+               || (SELECT r FROM m{n}) || ' ',
+           ' ' || (SELECT l FROM m{n})
+               || (SELECT r FROM m{n}) || ' ') AS ws,
+         freq FROM {prev}
+)"""
+
+
+@register(
+    "q_text_bpe_merges",
+    oracle=f"""
+WITH w0 AS (
+  SELECT '  ' || regexp_replace(t.tok, '(.)', '\\1  ', 'g') AS ws,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT STRING_SPLIT(text, ' ') AS ts FROM documents) d,
+       UNNEST(ts) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY t.tok
+),{_bpe_oracle_round(1, "w0")},{_bpe_oracle_round(2, "w1")},{_bpe_oracle_round(3, "w2")}
+SELECT CAST(round AS BIGINT) AS round, l AS left_tok, r AS right_tok,
+       cnt AS pair_count
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+      UNION ALL SELECT * FROM m3)
+ORDER BY round
+""",
+    doc="BPE merge TRAINING (3 rounds) — the iterative step "
+        "q_text_vocab_pairs only counts: learn the top merge, apply it "
+        "to the corpus, repeat. Runs on the word-TYPE table (one "
+        "up-front word-frequency aggregation — at 100 TB the type "
+        "table is millions of rows regardless of corpus size, the "
+        "standard Sennrich-style compression), then each round is one "
+        "pair-count shuffle over the compact type table plus a "
+        "broadcast of the single winning pair; the merge itself is a "
+        "non-overlapping replace() on double-space token strings whose "
+        "shared-gap encoding makes consecutive occurrences merge "
+        "exactly like the greedy left-to-right fold. Fully declarative "
+        "— no driver collect anywhere; the winner reaches the merge "
+        "step as a 1-row broadcast crossJoin. Deterministic "
+        "(count DESC, pair ASC) tie-break in both engines.",
+)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cur = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit("  "), F.regexp_replace("tok", "(.)", "$1  ")
+            ).alias("ws"),
+            "freq",
+        )
+    )
+    merges = []
+    for rnd in (1, 2, 3):
+        ts = F.split("ws", "  ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("l"),
+                F.element_at(ts, i + 1).alias("r"),
+            ),
+        )
+        top = (
+            cur.select("freq", F.explode(pairs).alias("p"))
+            .filter((F.col("p.l") != "") & (F.col("p.r") != ""))
+            .groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        merges.append(top)
+        cur = cur.crossJoin(
+            F.broadcast(top.select("left_tok", "right_tok"))
+        ).select(
+            F.replace(
+                F.col("ws"),
+                F.concat(
+                    F.lit(" "), F.col("left_tok"), F.lit("  "),
+                    F.col("right_tok"), F.lit(" "),
+                ),
+                F.concat(
+                    F.lit(" "), F.col("left_tok"),
+                    F.col("right_tok"), F.lit(" "),
+                ),
+            ).alias("ws"),
+            "freq",
+        )
+    return merges[0].unionAll(merges[1]).unionAll(merges[2]).orderBy(
+        "round"
+    )

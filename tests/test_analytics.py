@@ -60,6 +60,8 @@ NEW_KEYS = [
     "src_netcdf3_stream_tail", "src_netcdf3_multifile_scan",
     "q_report_volume_shipping", "q_report_promo_share",
     "q_report_nation_profit", "q_agg_hll_setops", "q_geo_heatmap_grid",
+    # round 9
+    "q_text_bpe_merges",
 ]
 
 
