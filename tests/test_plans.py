@@ -512,3 +512,14 @@ def test_dense_wide_scan_bounded_shuffles_no_python_rows(spark):
     plans.assert_max_shuffles(df, 2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bpe_merges_broadcast_winners_no_python(spark):
+    # each round's 1-row winner reaches the merge step as a BROADCAST
+    # nested-loop crossJoin (never a CartesianProduct), and the whole
+    # 3-round training plan has no Python row path
+    df = build(spark, "q_text_bpe_merges")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
