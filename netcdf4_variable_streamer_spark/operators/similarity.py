@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from netcdf4_variable_streamer_spark.registry import register
+from netcdf4_variable_streamer_spark.registry import (
+    SQL_DSUM,
+    dsum,
+    register,
+)
 from netcdf4_variable_streamer_spark.tables import load_table
 
 N_QUERIES = 20
@@ -1080,4 +1084,141 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.sum("v_fp").cast("double") / F.count(F.lit(1))
         ).cast("long").alias("mean_fp"),
+    )
+
+
+def _pca_oracle_round(r: int) -> str:
+    """One power-iteration round of the DuckDB oracle: per-row dot with
+    the current vector (sequential list fold — the knn-proven
+    bit-identical idiom), per-dim fixed-point weighted sums, and a
+    quantized-norm renormalization."""
+    return f"""
+d{r} AS (
+  SELECT c, LIST_SUM(LIST_TRANSFORM(generate_series(1, LEN(c)),
+         i -> c[i] * vp.v[i])) AS dot
+  FROM cent, v{r - 1} vp
+),
+w{r} AS (
+  SELECT dim, {SQL_DSUM('cj * dot')} AS w FROM (
+    SELECT generate_subscripts(c, 1) AS dim, UNNEST(c) AS cj, dot
+    FROM d{r})
+  GROUP BY dim
+),
+n{r} AS (
+  SELECT SQRT(CAST(SUM(CAST(FLOOR(w * w * 10000) AS BIGINT)) AS DOUBLE)
+              / 10000) AS nrm,
+         LIST(w ORDER BY dim) AS warr
+  FROM w{r}
+),
+v{r} AS (SELECT LIST_TRANSFORM(warr, x -> x / nrm) AS v, nrm AS lam
+         FROM n{r})"""
+
+
+@register(
+    "q_emb_pca_power",
+    oracle=f"""
+WITH mu AS (
+  SELECT LIST(m ORDER BY dim) AS mu FROM (
+    SELECT dim, {SQL_DSUM('x')} AS m FROM (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings)
+    GROUP BY dim)
+),
+cent AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(generate_series(1, LEN(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE) - mu.mu[i]) AS c
+  FROM embeddings, mu
+),
+v0 AS (SELECT LIST_TRANSFORM(generate_series(1, 64),
+                             i -> 0.125) AS v),{_pca_oracle_round(1)},{_pca_oracle_round(2)},{_pca_oracle_round(3)}
+SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       FLOOR(comp * 1000000) / 1000000 AS component,
+       FLOOR(lam * 1000000) / 1000000 AS eigval
+FROM (SELECT generate_subscripts(v, 1) AS dim, UNNEST(v) AS comp, lam
+      FROM v3)
+ORDER BY dim
+""",
+    doc="Top principal component by POWER ITERATION (3 rounds) — the "
+        "dimensionality-reduction / whitening step an embedding "
+        "pipeline runs before ANN indexing. The covariance matrix is "
+        "NEVER materialized: each round computes C·v directly as "
+        "per-row dots (sequential JVM fold, bit-identical to the "
+        "oracle's list fold) followed by ONE per-dim aggregation whose "
+        "output is d=64 rows regardless of corpus size, renormalized "
+        "and broadcast back as a 1-row array. Cross-engine exactness: "
+        "per-dim sums are fixed-point (dsum), the norm squares are "
+        "quantized before summing (order-independent), so all three "
+        "rounds produce bit-identical doubles in both engines. At "
+        "100 TB: 3 linear passes, shuffle cardinality d per pass, no "
+        "driver collect anywhere.",
+)
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mu = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(dsum(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("mu")
+        )
+    )
+    cent = e.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding", "mu", lambda x, m: x.cast("double") - m
+        ).alias("c"),
+    )
+    vdf = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)), lambda _: F.lit(0.125)
+        ).alias("v"),
+        F.lit(0.0).alias("lam"),
+    )
+    for _ in range(3):
+        cd = cent.crossJoin(F.broadcast(vdf.select("v")))
+        dot = F.aggregate(
+            F.zip_with("c", "v", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = (
+            cd.select("c", dot.alias("dot"))
+            .select(F.posexplode("c").alias("dim", "cj"), "dot")
+            .groupBy("dim")
+            .agg(dsum(F.col("cj") * F.col("dot")).alias("w"))
+        )
+        vdf = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(F.col("w") * F.col("w") * 1e4).cast("long")
+                ).cast("double")
+                / 1e4
+            ).alias("nrm"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "w"))),
+                lambda s: s.getField("w"),
+            ).alias("warr"),
+        ).select(
+            F.transform(
+                "warr", lambda x: x / F.col("nrm")
+            ).alias("v"),
+            F.col("nrm").alias("lam"),
+        )
+    return (
+        vdf.select(
+            F.posexplode("v").alias("dim", "comp"), F.col("lam")
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            (F.floor(F.col("comp") * 1e6) / 1e6).alias("component"),
+            (F.floor(F.col("lam") * 1e6) / 1e6).alias("eigval"),
+        )
+        .orderBy("dim")
     )

@@ -523,3 +523,14 @@ def test_bpe_merges_broadcast_winners_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     plans.assert_no_cartesian(df)
     assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
+
+
+def test_pca_power_broadcast_vectors_no_python(spark):
+    # every iteration's d=64-row vector reaches the centered matrix as
+    # a broadcast (no CartesianProduct), and the 3-round plan has no
+    # Python row path — C.v without materializing C
+    df = build(spark, "q_emb_pca_power")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
