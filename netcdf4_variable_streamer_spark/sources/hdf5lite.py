@@ -1318,7 +1318,11 @@ def _write_fractal_heap(
 
     for nm in man_names:
         body = objects[nm]
-        if (
+        # advance until a block can hold this body whole (objects never
+        # span blocks); early small rows may need skipping entirely for
+        # a large body — the doubling rows guarantee a fit before the
+        # max_direct refusal because max_man = max_direct/2
+        while (
             not blocks
             or hdr_size + len(blocks[-1][3]) + len(body)
             > blocks[-1][1]

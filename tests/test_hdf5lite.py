@@ -1425,6 +1425,38 @@ def test_dense_attrs_multiblock_heap_and_huge_object(tmp_path):
     )
 
 
+def test_fheap_large_bodies_skip_small_blocks(tmp_path):
+    """A managed body larger than the greedy cursor's current direct
+    block must SKIP forward to a row whose block can hold it whole —
+    the first multi-block writer placed it anyway, overrunning the
+    block and corrupting every later block address (round-9 session
+    regression, caught before release)."""
+    path = os.path.join(tmp_path, "bigbodies.h5")
+    attrs = {
+        f"s{i:03d}": np.full(40, i, dtype=np.int32) for i in range(340)
+    }
+    # 5 KiB bodies: bigger than rows 0-3's blocks (512..2048), small
+    # enough to stay managed — with the small attrs they force the
+    # multi-block path AND the skip-forward placement
+    for i in range(8):
+        attrs[f"big{i}"] = np.arange(1280, dtype=np.float64) + i
+    write_hdf5(
+        path,
+        {"v": np.arange(4, dtype=np.int32)},
+        {"v": {"attrs": attrs}},
+        libver="latest",
+    )
+    h = HDF5File(path)
+    got = h.datasets["v"].attrs
+    assert len(got) == 348
+    np.testing.assert_array_equal(
+        got["big7"], np.arange(1280, dtype=np.float64) + 7
+    )
+    np.testing.assert_array_equal(
+        got["s339"], np.full(40, 339, dtype=np.int32)
+    )
+
+
 def test_fheap_tiny_id_decodes_from_id_bytes(tmp_path):
     """A tiny fractal-heap id (type bits 4-5 == 2) carries its payload
     in the id itself — length is low-nibble + 1; the pre-round-9 gate
