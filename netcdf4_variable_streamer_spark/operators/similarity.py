@@ -26,7 +26,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from netcdf4_variable_streamer_spark.registry import (
+    SQL_DAVG,
     SQL_DSUM,
+    davg,
     dsum,
     register,
 )
@@ -1119,7 +1121,7 @@ v{r} AS (SELECT LIST_TRANSFORM(warr, x -> x / nrm) AS v, nrm AS lam
     oracle=f"""
 WITH mu AS (
   SELECT LIST(m ORDER BY dim) AS mu FROM (
-    SELECT dim, {SQL_DSUM('x')} AS m FROM (
+    SELECT dim, {SQL_DAVG('x')} AS m FROM (
       SELECT generate_subscripts(embedding, 1) AS dim,
              CAST(UNNEST(embedding) AS DOUBLE) AS x
       FROM embeddings)
@@ -1148,7 +1150,8 @@ ORDER BY dim
         "oracle's list fold) followed by ONE per-dim aggregation whose "
         "output is d=64 rows regardless of corpus size, renormalized "
         "and broadcast back as a 1-row array. Cross-engine exactness: "
-        "per-dim sums are fixed-point (dsum), the norm squares are "
+        "the per-dim centering means and iteration sums are "
+        "fixed-point (davg/dsum), the norm squares are "
         "quantized before summing (order-independent), so all three "
         "rounds produce bit-identical doubles in both engines. At "
         "100 TB: 3 linear passes, shuffle cardinality d per pass, no "
@@ -1161,7 +1164,7 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = (
         e.select(F.posexplode("embedding").alias("dim", "x"))
         .groupBy("dim")
-        .agg(dsum(F.col("x").cast("double")).alias("m"))
+        .agg(davg(F.col("x").cast("double")).alias("m"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),

@@ -190,6 +190,11 @@ _VLEN_DESC_DT = np.dtype(
     [("len", "<u4"), ("gaddr", "<u8"), ("gidx", "<u4")]
 )
 
+# vlen-seq byte gathers run in segments of at most this many payload
+# bytes so the transient int64 index arrays (~24 bytes per payload
+# byte) stay bounded regardless of how large a foreign collection is
+_VLEN_GATHER_SEG = 4 << 20
+
 
 def _dt_vlen_str() -> bytes:
     """Variable-length string datatype body (class 9, type variant 1 =
@@ -1221,6 +1226,15 @@ def _write_fractal_heap(
     max_man = _FH_MAX_DIRECT // 2
     man_names = [n for n in sorted(objects) if len(objects[n]) <= max_man]
     huge_names = [n for n in sorted(objects) if len(objects[n]) > max_man]
+    if huge_names and id_len - 1 >= 16:
+        # readers (this one at _fheap_object, and libhdf5) decode huge
+        # ids as DIRECT (address, length) packed in the id once it is
+        # wide enough to carry them; the indirect B-tree-keyed ids
+        # written below would decode as garbage addresses
+        raise ValueError(
+            f"fractal heap writer: huge objects with id_len {id_len} "
+            ">= 17 require direct ids, which this writer does not emit"
+        )
     obj_ids: dict[str, bytes] = {}
     huge_bt2_addr, huge_bytes = UNDEF, 0
     if huge_names:
@@ -2577,13 +2591,31 @@ class HDF5File:
             # so mutating one cell never touches another.
             tot = int(nb.sum())
             ends = np.cumsum(nb)
-            flat_idx = np.repeat(st, nb) + (
-                np.arange(tot, dtype=np.int64)
-                - np.repeat(ends - nb, nb)
-            )
-            vals = np.frombuffer(buf, dtype=np.uint8)[flat_idx].view(
-                base
-            )
+            u8 = np.frombuffer(buf, dtype=np.uint8)
+            vals8 = np.empty(tot, dtype=np.uint8)
+            # gather in bounded segments: the int64 index arrays cost
+            # ~24 bytes per payload byte, so one group-wide gather
+            # over hundreds of MB of vlen payload (a foreign file
+            # with giant collections) would transiently need GBs;
+            # 4 MiB segments bound the transient at ~100 MB while the
+            # per-segment Python overhead stays negligible
+            seg, lo, n_desc = _VLEN_GATHER_SEG, 0, nb.shape[0]
+            while lo < n_desc:
+                base0 = int(ends[lo] - nb[lo])
+                hi = int(
+                    np.searchsorted(ends, base0 + seg, side="right")
+                )
+                hi = max(hi, lo + 1)
+                snb = nb[lo:hi]
+                sends = ends[lo:hi] - base0
+                stot = int(sends[-1])
+                idx = np.repeat(st[lo:hi], snb) + (
+                    np.arange(stot, dtype=np.int64)
+                    - np.repeat(sends - snb, snb)
+                )
+                vals8[base0 : base0 + stot] = u8[idx]
+                lo = hi
+            vals = vals8.view(base)
             cells = np.split(vals, np.cumsum(ln)[:-1])
             out[sel] = np.fromiter(
                 cells, dtype=object, count=sel.shape[0]

@@ -98,6 +98,14 @@ def _np_key(dtype: np.dtype) -> str:
     return f"{dtype.kind}{dtype.itemsize}"
 
 
+def _ddl_name(name: str) -> str:
+    """Backtick-quote a field name for Spark DDL. HDF5 names may
+    legally contain characters Spark's schema parser treats as
+    syntax (spaces, ':', ',', '<'); unquoted they fail with a bare
+    ParseException naming neither the variable nor the member."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _compound_spark(var_name: str, dtype: np.dtype) -> str:
     """Structured (NC_COMPOUND) dtype -> Spark struct<...> DDL. Member
     mapping mirrors the scalar columns: numerics widen unsigned the
@@ -114,9 +122,9 @@ def _compound_spark(var_name: str, dtype: np.dtype) -> str:
                     f"compound member {var_name}.{m}: array member "
                     f"{base}{shape} has no Spark mapping"
                 )
-            parts.append(f"{m}:array<{_NP_SPARK[bkey][0]}>")
+            parts.append(f"{_ddl_name(m)}:array<{_NP_SPARK[bkey][0]}>")
         elif fdt.kind == "S":
-            parts.append(f"{m}:string")
+            parts.append(f"{_ddl_name(m)}:string")
         else:
             key = _np_key(fdt)
             if key not in _NP_SPARK:
@@ -124,7 +132,7 @@ def _compound_spark(var_name: str, dtype: np.dtype) -> str:
                     f"compound member {var_name}.{m}: dtype {fdt} has "
                     "no Spark mapping"
                 )
-            parts.append(f"{m}:{_NP_SPARK[key][0]}")
+            parts.append(f"{_ddl_name(m)}:{_NP_SPARK[key][0]}")
     return f"struct<{','.join(parts)}>"
 
 
@@ -140,6 +148,10 @@ def _compound_arrow(flat: np.ndarray) -> "pa.StructArray":
             base = fdt.subdtype[0]
             wdt = np.dtype(_NP_SPARK[_np_key(base)][1])
             child = pa.array(list(col.astype(wdt, copy=False)))
+            if wdt == np.dtype("u8"):
+                # match the declared array<decimal(20,0)> (scalar u8
+                # members widen the same way below)
+                child = child.cast(pa.list_(pa.decimal128(20, 0)))
         elif fdt.kind == "S":
             child = pa.array(
                 [b.decode("utf-8", "replace") for b in col.tolist()]
@@ -246,7 +258,7 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
                 # NC_VLEN of NC_COMPOUND -> array<struct<...>> (round
                 # 9): cells are variable-length record sequences
                 parts.append(
-                    f"{x.name} array<"
+                    f"{_ddl_name(x.name)} array<"
                     f"{_compound_spark(x.name, x.vlen_base)}>"
                 )
                 continue
@@ -260,14 +272,14 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
                     f"{v.path}: vlen variable {x.name} base "
                     f"{x.vlen_base} has no Spark array mapping"
                 )
-            parts.append(f"{x.name} array<{_NP_SPARK[bkey][0]}>")
+            parts.append(f"{_ddl_name(x.name)} array<{_NP_SPARK[bkey][0]}>")
             continue
         if x.dtype.names:
             # NC_COMPOUND record variable -> StructType column
-            parts.append(f"{x.name} {_compound_spark(x.name, x.dtype)}")
+            parts.append(f"{_ddl_name(x.name)} {_compound_spark(x.name, x.dtype)}")
             continue
         if x.dtype.kind in ("S", "O"):
-            parts.append(f"{x.name} string")
+            parts.append(f"{_ddl_name(x.name)} string")
             continue
         key = _np_key(x.dtype)
         if key not in _NP_SPARK:
@@ -278,9 +290,9 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
         if decode_cf_time and _cf_time(x) is not None:
             # timestamp_ntz: CF times are calendar-naive UTC (same
             # opt-in semantics as the NetCDF-3 source)
-            parts.append(f"{x.name} timestamp_ntz")
+            parts.append(f"{_ddl_name(x.name)} timestamp_ntz")
         else:
-            parts.append(f"{x.name} {_NP_SPARK[key][0]}")
+            parts.append(f"{_ddl_name(x.name)} {_NP_SPARK[key][0]}")
     return ", ".join(parts)
 
 

@@ -449,3 +449,43 @@ def test_sharded_fixed_agg_exact_where_dsum_overflows(spark):
     # stays int64 (toString truncates long lines, so match the final
     # aggregate's function text, not the whole tree)
     assert "sum(cast(__s_s" in plan and "decimal(38,0)" in plan
+
+
+def test_pca_centers_by_mean_not_sum(spark):
+    """Power iteration must center by the per-dim MEAN: centering by
+    the per-dim SUM (a round-9 self-review finding — both engines
+    mirrored it, so the oracle hash could not catch it) leaves a
+    rank-one (1-N)^2·mu·mu^T term that dominates X'^T X', and the
+    'component' converges to the mean DIRECTION instead of the top
+    covariance eigenvector (cos ≈ 1.0 with the mean on this data).
+    Replicate the pipeline in numpy with true mean-centering and
+    assert near-exact alignment — and non-alignment with the mean."""
+    import numpy as np
+
+    got = (
+        REGISTRY["q_emb_pca_power"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .sort_values("dim")
+    )
+    comp = got["component"].to_numpy(dtype=np.float64)
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    X = np.stack(emb.to_numpy()).astype(np.float64)
+    C = X - X.mean(axis=0)
+    v = np.full(X.shape[1], 0.125)
+    for _ in range(3):
+        w = C.T @ (C @ v)
+        v = w / np.linalg.norm(w)
+    cos = abs(comp @ v) / (
+        np.linalg.norm(comp) * np.linalg.norm(v)
+    )
+    assert cos > 0.999  # engine quantization is 1e-6 fixed point
+    mu = X.mean(axis=0)
+    cos_mu = abs(comp @ mu) / (
+        np.linalg.norm(comp) * np.linalg.norm(mu)
+    )
+    assert cos_mu < 0.9  # the sum-centering bug sits at ~0.99999997

@@ -2853,3 +2853,137 @@ def test_dense_wide_fixture_has_deep_name_index():
         depths.append(_struct.unpack_from("<H", raw, i + 12)[0])
         i = raw.find(b"BTHD", i + 4)
     assert depths and max(depths) >= 1, depths
+
+
+def test_compound_u8_array_member_scan(spark, tmp_path):
+    """A compound member that is a 1-D uint64 SUBARRAY must arrive as
+    array<decimal(20,0)> with exact values — round-9 self-review
+    finding: the declared DDL said decimal but the Arrow child was
+    list<uint64>, so the scan died with a type mismatch mid-batch."""
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+        _compound_arrow,
+        _compound_spark,
+    )
+
+    dt = np.dtype([("a", "<i4"), ("counts", "<u8", (3,))])
+    arr = np.zeros((6,), dtype=dt)
+    for i in range(6):
+        arr[i] = (i, [i, (1 << 63) + i * 10, i + 7])
+    # unit level: the declared DDL and the emitted Arrow type agree
+    assert "array<decimal(20,0)>" in _compound_spark("v", dt)
+    import pyarrow as pa
+
+    sa = _compound_arrow(arr)
+    assert sa.type.field("counts").type == pa.list_(
+        pa.decimal128(20, 0)
+    )
+    # end to end through the Spark source
+    p = os.path.join(tmp_path, "u8sub.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None},
+        variables={"v": (dt, ("t",))},
+        data={"v": arr},
+        chunk0=4,
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    rows = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", p)
+        .load()
+        .orderBy("t_idx")
+        .collect()
+    )
+    assert len(rows) == 6
+    got = [int(x) for x in rows[3]["v"]["counts"]]
+    assert got == [3, (1 << 63) + 30, 10]
+
+
+def test_compound_member_name_quoting(spark, tmp_path):
+    """HDF5 legally allows member/variable names Spark's DDL parser
+    treats as syntax (spaces, ':', '<'); the schema must backtick-
+    quote them so the scan works — or at worst fails naming the
+    field — instead of a bare ParseException (round-9 self-review)."""
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+        _ddl_name,
+    )
+
+    assert _ddl_name("sea level") == "`sea level`"
+    assert _ddl_name("a`b") == "`a``b`"
+    dt = np.dtype([("sea level", "<f4"), ("k", "<i2")])
+    arr = np.zeros((5,), dtype=dt)
+    for i in range(5):
+        arr[i] = (i * 0.5, i - 2)
+    p = os.path.join(tmp_path, "names.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None},
+        variables={"obs": (dt, ("t",))},
+        data={"obs": arr},
+        chunk0=4,
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    rows = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", p)
+        .load()
+        .orderBy("t_idx")
+        .collect()
+    )
+    assert len(rows) == 5
+    assert rows[3]["obs"]["sea level"] == 1.5
+    assert rows[3]["obs"]["k"] == 1
+
+
+def test_fheap_writer_refuses_wide_huge_ids(tmp_path):
+    """With id_len >= 17 readers (this codec and libhdf5) decode huge
+    ids as DIRECT (address, length) packed in the id; the writer only
+    emits indirect B-tree-keyed ids, so it must refuse rather than
+    write heaps whose huge objects decode as garbage addresses
+    (round-9 self-review; latent — no current call site passes
+    id_len >= 17)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _write_fractal_heap,
+    )
+
+    out = bytearray(b"\x00" * 48)
+    big = {"big": b"x" * (128 * 1024)}  # > max_man = 32 KiB
+    with pytest.raises(ValueError, match="direct ids"):
+        _write_fractal_heap(out, big, 17)
+    # narrow ids still work (the shipping geometry)
+    addr, ids = _write_fractal_heap(bytearray(b"\x00" * 48), big, 8)
+    assert ids["big"][0] == 0x10
+
+
+def test_vlen_seq_gather_segmented(tmp_path, monkeypatch):
+    """The vlen-seq byte gather runs in bounded segments so its int64
+    index arrays stay ~24 bytes per SEGMENT byte instead of per
+    payload byte; segmentation must be invisible: force a tiny
+    segment so every group spans many segments and compare against
+    the unsegmented read."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    rng = np.random.default_rng(7)
+    n = 40
+    cells = np.empty((n,), dtype=object)
+    for i in range(n):
+        k = int(rng.integers(0, 30))  # includes empties
+        cells[i] = rng.integers(-100, 100, size=k).astype("<i4")
+    p = os.path.join(tmp_path, "seg.h5")
+    write_hdf5(p, {"s": cells})
+    want = HDF5File(p).read("s")
+    monkeypatch.setattr(hl, "_VLEN_GATHER_SEG", 16)
+    got = HDF5File(p).read("s")
+    assert len(got) == n
+    for i in range(n):
+        np.testing.assert_array_equal(got[i], want[i])
+        np.testing.assert_array_equal(got[i], cells[i])
+    # segmented cells stay writable and independent
+    if len(got[0]) == 0:
+        got[0] = np.array([1], dtype="<i4")
+    got[0][0] = -9
+    np.testing.assert_array_equal(HDF5File(p).read("s")[1], cells[1])
