@@ -72,11 +72,18 @@ from libhdf5's capacity table).
 NC_VLEN datasets and attributes over string, numeric, and compound
 bases decode from the global heap (vlen-of-reference refuses).
 
+Fractal heaps: managed objects in root-direct, root-indirect, and
+nested-indirect layouts (reader); huge objects (type-1 v2 B-tree of
+(address, length, id) records) and tiny objects (payload packed in
+the id) read too. The writer emits root-direct, greedy
+root-indirect, and huge layouts.
+
 Honest scope (loud refusals naming the feature): paged
 Extensible-Array data blocks OUTSIDE a secondary block
 (secondary-block pages read fine, bitmap and per-page checksums
-included), nested fractal-heap indirect rows (direct blocks past
-max_direct), filtered fractal heaps, huge/tiny heap objects, szip.
+included), filtered fractal heaps, extended tiny heap ids,
+huge heap ids at id_len >= 17 (writer side), vlen-of-reference
+datasets, unknown filter ids (szip et al).
 """
 
 from __future__ import annotations
@@ -1092,13 +1099,7 @@ def _write_dataset(
             body += struct.pack("<I", esz)
             msgs.append(mk(0x0008, body))
         if filters:
-            fb = struct.pack("<BB2x4x", 1, len(filters))
-            for fid, cvals in filters:
-                fb += struct.pack("<HHHH", fid, 0, 0, len(cvals))
-                fb += b"".join(struct.pack("<I", v) for v in cvals)
-                if len(cvals) % 2:
-                    fb += b"\x00" * 4
-            msgs.append(mk(0x000B, fb))
+            msgs.append(mk(0x000B, _filter_pipeline_body(filters)))
     msgs.extend(_attr_msgs(out, attrs, latest, resolve))
     haddr = len(out)
     out += _object_header2(msgs) if latest else _object_header(msgs)
@@ -1203,8 +1204,22 @@ def _link_body(name: str, addr: int) -> bytes:
     return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addr)
 
 
+def _filter_pipeline_body(filters) -> bytes:
+    """Filter-pipeline (0x000B) message body, version 1 — shared by
+    the dataset writer and the filtered fractal-heap writer (the FRHP
+    embeds the same encoding as its I/O Filter Information field)."""
+    fb = struct.pack("<BB2x4x", 1, len(filters))
+    for fid, cvals in filters:
+        fb += struct.pack("<HHHH", fid, 0, 0, len(cvals))
+        fb += b"".join(struct.pack("<I", v) for v in cvals)
+        if len(cvals) % 2:
+            fb += b"\x00" * 4
+    return fb
+
+
 def _write_fractal_heap(
-    out: bytearray, objects: dict[str, bytes], id_len: int
+    out: bytearray, objects: dict[str, bytes], id_len: int,
+    deflate: int | None = None,
 ) -> tuple[int, dict[str, bytes]]:
     """Append a fractal heap holding ``objects``; returns
     (fheap_addr, name -> heap id of ``id_len`` bytes). Heap offsets
@@ -1222,10 +1237,20 @@ def _write_fractal_heap(
     inline."""
     off_size = _FH_MAX_BITS // 8  # 4
     len_size = id_len - 1 - off_size
-    hdr_size = 17  # FHDB prefix: sig+version+heap addr+block offset
+    filt = [(1, [deflate])] if deflate is not None else None
+    filt_body = _filter_pipeline_body(filt) if filt else b""
+    # FHDB prefix: sig+version+heap addr+block offset, plus a
+    # checksum when the heap is filtered (libhdf5 checksums filtered
+    # direct blocks; flags bit 1 below)
+    hdr_size = 17 + (4 if filt else 0)
     max_man = _FH_MAX_DIRECT // 2
     man_names = [n for n in sorted(objects) if len(objects[n]) <= max_man]
     huge_names = [n for n in sorted(objects) if len(objects[n]) > max_man]
+    if huge_names and filt:
+        raise ValueError(
+            "fractal heap writer: filtered huge objects are not "
+            "supported (they need type-2/3 huge B-trees)"
+        )
     if huge_names and id_len - 1 >= 16:
         # readers (this one at _fheap_object, and libhdf5) decode huge
         # ids as DIRECT (address, length) packed in the id once it is
@@ -1257,9 +1282,12 @@ def _write_fractal_heap(
 
     def frhp_fields(
         free: int, man_space: int, it_off: int, root_addr: int,
-        cur_rows: int,
+        cur_rows: int, root_fsize: int = 0,
     ) -> bytes:
-        h = b"FRHP" + struct.pack("<BHHBI", 0, id_len, 0, 0, max_man)
+        h = b"FRHP" + struct.pack(
+            "<BHHBI", 0, id_len, len(filt_body),
+            0x02 if filt else 0, max_man,
+        )
         h += struct.pack("<Q", len(huge_names))  # next huge id
         h += struct.pack("<Q", huge_bt2_addr)
         h += struct.pack("<Q", free)
@@ -1276,14 +1304,23 @@ def _write_fractal_heap(
             _FH_MAX_BITS, 1,
         )
         h += struct.pack("<QH", root_addr, cur_rows)
+        if filt:
+            if cur_rows == 0:
+                # stored (compressed) root block size + filter mask
+                h += struct.pack("<QI", root_fsize, 0)
+            h += filt_body
         return h
 
     if need <= _FH_MAX_DIRECT:
-        # single root direct block, doubled to fit
+        # single root direct block, doubled to fit; header is 146
+        # bytes, +12 (root stored size + mask) +filter info when
+        # filtered
         blk_size = _FH_START
         while blk_size < need:
             blk_size *= 2
-        dblk_addr = fheap_addr + 146  # FRHP header is 146 bytes
+        dblk_addr = fheap_addr + 146 + (
+            12 + len(filt_body) if filt else 0
+        )
         pos = hdr_size
         payload = bytearray()
         for n in man_names:
@@ -1295,15 +1332,24 @@ def _write_fractal_heap(
             )
             payload += b
             pos += len(b)
+        db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+        db += (0).to_bytes(off_size, "little")  # block offset 0
+        if filt:
+            db += b"\x00" * 4  # checksum, patched below
+        db += bytes(payload)
+        db += b"\x00" * (blk_size - len(db))
+        if filt:
+            dbb = bytearray(db)
+            struct.pack_into(
+                "<I", dbb, 13 + off_size, lookup3(bytes(dbb))
+            )
+            db = zlib.compress(bytes(dbb), deflate)
         frhp = frhp_fields(
-            blk_size - pos, blk_size, pos, dblk_addr, 0
+            blk_size - pos, blk_size, pos, dblk_addr, 0,
+            root_fsize=len(db) if filt else 0,
         )
         out += frhp + struct.pack("<I", lookup3(frhp))
         assert len(out) == dblk_addr
-        db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
-        db += (0).to_bytes(off_size, "little")  # block offset 0
-        db += bytes(payload)
-        db += b"\x00" * (blk_size - len(db))
         out += db
         return fheap_addr, obj_ids
 
@@ -1350,15 +1396,33 @@ def _write_fractal_heap(
             + len(body).to_bytes(len_size, "little")
         )
         pay += body
-    iblk_addr = fheap_addr + 146
+    iblk_addr = fheap_addr + 146 + (len(filt_body) if filt else 0)
     nrows = blocks[-1][2] + 1
     nentries = nrows * _FH_WIDTH
-    iblk_size = 4 + 1 + 8 + off_size + nentries * 8 + 4
+    # filtered heaps store (addr, stored size, filter mask) per
+    # direct-block entry (all greedy-path rows are direct rows)
+    ent_sz = 20 if filt else 8
+    iblk_size = 4 + 1 + 8 + off_size + nentries * ent_sz + 4
+    blobs = []
+    for boff, bsize, _brow, pay in blocks:
+        db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
+        db += boff.to_bytes(off_size, "little")
+        if filt:
+            db += b"\x00" * 4  # checksum, patched below
+        db += bytes(pay)
+        db += b"\x00" * (bsize - len(db))
+        if filt:
+            dbb = bytearray(db)
+            struct.pack_into(
+                "<I", dbb, 13 + off_size, lookup3(bytes(dbb))
+            )
+            db = zlib.compress(bytes(dbb), deflate)
+        blobs.append(db)
     dblk_addrs = []
     a = iblk_addr + iblk_size
-    for _boff, bsize, _brow, _pay in blocks:
+    for blob in blobs:
         dblk_addrs.append(a)
-        a += bsize
+        a += len(blob)
     man_space = blocks[-1][0] + blocks[-1][1]
     free = sum(
         bsize - hdr_size - len(pay) for _o, bsize, _r, pay in blocks
@@ -1369,17 +1433,16 @@ def _write_fractal_heap(
     iblk = b"FHIB" + struct.pack("<BQ", 0, fheap_addr)
     iblk += (0).to_bytes(off_size, "little")
     for e in range(nentries):
-        iblk += struct.pack(
-            "<Q", dblk_addrs[e] if e < len(dblk_addrs) else UNDEF
-        )
+        alloc = e < len(dblk_addrs)
+        iblk += struct.pack("<Q", dblk_addrs[e] if alloc else UNDEF)
+        if filt:
+            iblk += struct.pack(
+                "<QI", len(blobs[e]) if alloc else 0, 0
+            )
     out += iblk + struct.pack("<I", lookup3(iblk))
     assert len(out) == dblk_addrs[0]
-    for (boff, bsize, _brow, pay), daddr in zip(blocks, dblk_addrs):
-        db = b"FHDB" + struct.pack("<BQ", 0, fheap_addr)
-        db += boff.to_bytes(off_size, "little")
-        db += bytes(pay)
-        db += b"\x00" * (bsize - len(db))
-        out += db
+    for blob in blobs:
+        out += blob
     return fheap_addr, obj_ids
 
 
@@ -1971,19 +2034,31 @@ class HDF5File:
         self._expect_sig(addr, b"FRHP", "fractal heap header")
         id_len = struct.unpack_from("<H", b, addr + 5)[0]
         filter_len = struct.unpack_from("<H", b, addr + 7)[0]
-        if filter_len:
-            raise ValueError(
-                f"{self.path}: filtered fractal heap not supported"
-            )
         flags = b[addr + 9]
         huge_bt2_addr = struct.unpack_from("<Q", b, addr + 22)[0]
+        man_space = struct.unpack_from("<Q", b, addr + 46)[0]
         (width,) = struct.unpack_from("<H", b, addr + 110)
         start_size, max_direct = struct.unpack_from("<QQ", b, addr + 112)
         max_bits = struct.unpack_from("<H", b, addr + 128)[0]
         root_addr = struct.unpack_from("<Q", b, addr + 132)[0]
         cur_rows = struct.unpack_from("<H", b, addr + 140)[0]
-        if struct.unpack_from("<I", b, addr + 142)[0] != lookup3(
-            b[addr : addr + 142]
+        pos = addr + 142
+        filters, root_fsize, root_mask = None, None, 0
+        if filter_len:
+            # FILTERED heap: when the root is a direct block its
+            # stored (compressed) size and filter mask live in the
+            # header, followed by a filter-pipeline message body
+            if cur_rows == 0:
+                root_fsize, root_mask = struct.unpack_from(
+                    "<QI", b, pos
+                )
+                pos += 12
+            filters = self._parse_filters(
+                bytes(b[pos : pos + filter_len])
+            )
+            pos += filter_len
+        if struct.unpack_from("<I", b, pos)[0] != lookup3(
+            b[addr:pos]
         ):
             raise ValueError(
                 f"{self.path}: fractal heap header checksum mismatch"
@@ -2002,6 +2077,11 @@ class HDF5File:
             "cur_rows": cur_rows,
             "huge_bt2_addr": huge_bt2_addr,
             "huge_map": None,  # huge-id -> (addr, len), parsed lazily
+            "man_space": man_space,
+            "filters": filters,  # None when the heap is unfiltered
+            "root_fsize": root_fsize,
+            "root_mask": root_mask,
+            "dblk_cache": {},  # daddr -> decompressed block bytes
         }
 
     def _fheap_object(self, heap: dict, hid) -> bytes:
@@ -2068,40 +2148,118 @@ class HDF5File:
         length = int.from_bytes(
             hid[1 + heap["off_size"] : heap["id_len"]], "little"
         )
-        daddr, dsize, doff = self._fheap_direct_block(heap, off)
-        return b[daddr + (off - doff) : daddr + (off - doff) + length]
+        buf2, base, _dsize, doff = self._fheap_direct_block(heap, off)
+        s = base + (off - doff)
+        return bytes(buf2[s : s + length])
 
     def _fheap_direct_block(
         self, heap: dict, off: int
-    ) -> tuple[int, int, int]:
-        """(file addr, size, heap offset) of the direct block covering
-        heap offset ``off`` — the root direct block, a child of the
-        root indirect block (FHIB), or (round 9) any depth of NESTED
-        indirect blocks: rows past max_direct hold child indirect
-        blocks, each spanning its row's block size and subdividing it
-        with the same doubling table (child row count =
-        log2(span / (width*start)) + 1, H5HF's geometry)."""
+    ) -> tuple:
+        """(buffer, base, size, heap offset) of the direct block
+        covering heap offset ``off`` — the root direct block, a child
+        of the root indirect block (FHIB), or (round 9) any depth of
+        NESTED indirect blocks: rows past max_direct hold child
+        indirect blocks, each spanning its row's block size and
+        subdividing it with the same doubling table (child row count =
+        log2(span / (width*start)) + 1, H5HF's geometry). For
+        unfiltered heaps the buffer is the file mmap and ``base`` the
+        block's file address; for FILTERED heaps it is the cached
+        decompressed block and ``base`` 0."""
         b = self._buf
         width, start = heap["width"], heap["start_size"]
         if heap["cur_rows"] == 0:  # root IS a direct block
+            # the root direct block doubles up to max_direct; its true
+            # size is the header's managed-space field, NOT start_size
+            rsize = heap.get("man_space") or start
+            if heap.get("filters"):
+                blk = self._fheap_dblock_bytes(
+                    heap, heap["root_addr"], rsize,
+                    heap["root_fsize"], heap["root_mask"],
+                )
+                return blk, 0, rsize, 0
             self._expect_sig(heap["root_addr"], b"FHDB", "heap direct block")
-            return heap["root_addr"], start, 0
+            return b, heap["root_addr"], rsize, 0
         return self._fheap_iblock_find(
             heap, heap["root_addr"], heap["cur_rows"], 0, off
         )
 
+    def _fheap_dblock_bytes(
+        self, heap: dict, daddr: int, size: int, fsize: int, mask: int
+    ) -> bytes:
+        """Decompressed bytes of a FILTERED fractal-heap direct block:
+        the ENTIRE block (prefix included) passes through the heap's
+        I/O pipeline; the stored size and per-block filter mask come
+        from the parent (the FHIB entry, or the FRHP for a direct
+        root). Cached per heap — dense-name lookups hit the same few
+        blocks repeatedly."""
+        got = heap["dblk_cache"].get(daddr)
+        if got is not None:
+            return got
+        raw = bytes(self._buf[daddr : daddr + fsize])
+        filters = heap["filters"]
+        for i in range(len(filters) - 1, -1, -1):
+            if mask & (1 << i):
+                continue  # filter skipped for this block
+            fid, cvals = filters[i]
+            if fid == 1:
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"{self.path}: filtered heap direct block "
+                        f"at {daddr}: {e}"
+                    ) from None
+            elif fid == 2:
+                esz = cvals[0] if cvals else 1
+                raw = (
+                    np.frombuffer(raw, np.uint8)
+                    .reshape(esz, -1)
+                    .T.tobytes()
+                )
+            else:
+                raise ValueError(
+                    f"{self.path}: fractal-heap filter id {fid} "
+                    "unsupported"
+                )
+        if len(raw) != size:
+            raise ValueError(
+                f"{self.path}: filtered heap direct block at {daddr} "
+                f"inflates to {len(raw)} bytes, expected {size}"
+            )
+        if raw[:4] != b"FHDB":
+            raise ValueError(
+                f"{self.path}: bad filtered heap direct block "
+                "signature"
+            )
+        if heap["checksum_dblocks"]:
+            cpos = 4 + 1 + 8 + heap["off_size"]
+            want = struct.unpack_from("<I", raw, cpos)[0]
+            zeroed = raw[:cpos] + b"\x00\x00\x00\x00" + raw[cpos + 4 :]
+            if lookup3(zeroed) != want:
+                raise ValueError(
+                    f"{self.path}: heap direct block checksum "
+                    "mismatch"
+                )
+        heap["dblk_cache"][daddr] = raw
+        return raw
+
     def _fheap_iblock_find(
         self, heap: dict, iaddr: int, nrows: int, blk_off0: int,
         off: int,
-    ) -> tuple[int, int, int]:
+    ) -> tuple:
         b = self._buf
         width, start = heap["width"], heap["start_size"]
+        filtered = bool(heap.get("filters"))
         self._expect_sig(iaddr, b"FHIB", "heap indirect block")
         pos = iaddr + 4 + 1 + 8 + heap["off_size"]
         # rows 0 and 1 use the starting size; each later row doubles
         blk_off = blk_off0
         for row in range(nrows):
             size = start if row < 2 else start << (row - 1)
+            is_direct_row = size <= heap["max_direct"]
+            # filtered heaps store (addr, stored size, filter mask)
+            # per DIRECT-block entry; indirect entries stay addr-only
+            esz = 20 if (filtered and is_direct_row) else 8
             for _ in range(width):
                 if blk_off <= off < blk_off + size:
                     daddr = struct.unpack_from("<Q", b, pos)[0]
@@ -2110,18 +2268,26 @@ class HDF5File:
                             f"{self.path}: heap offset {off} in an "
                             "unallocated block"
                         )
-                    if size <= heap["max_direct"]:
+                    if is_direct_row:
+                        if filtered:
+                            fsize, fmask = struct.unpack_from(
+                                "<QI", b, pos + 8
+                            )
+                            blk = self._fheap_dblock_bytes(
+                                heap, daddr, size, fsize, fmask
+                            )
+                            return blk, 0, size, blk_off
                         self._expect_sig(
                             daddr, b"FHDB", "heap direct block"
                         )
-                        return daddr, size, blk_off
+                        return b, daddr, size, blk_off
                     # indirect row: the child subdivides this span
                     child_rows = (size // (width * start)).bit_length()
                     return self._fheap_iblock_find(
                         heap, daddr, child_rows, blk_off, off
                     )
                 blk_off += size
-                pos += 8
+                pos += esz
         raise ValueError(
             f"{self.path}: heap offset {off} beyond indirect block "
             "rows"
