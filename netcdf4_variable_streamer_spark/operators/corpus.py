@@ -1025,9 +1025,7 @@ w{n} AS (
 )"""
 
 
-@register(
-    "q_text_bpe_merges",
-    oracle=f"""
+_BPE_ORACLE_W0 = """
 WITH w0 AS (
   SELECT '  ' || regexp_replace(t.tok, '(.)', '\\1  ', 'g') AS ws,
          CAST(COUNT(*) AS BIGINT) AS freq
@@ -1035,7 +1033,13 @@ WITH w0 AS (
        UNNEST(ts) AS t(tok)
   WHERE t.tok <> ''
   GROUP BY t.tok
-),{_bpe_oracle_round(1, "w0")},{_bpe_oracle_round(2, "w1")},{_bpe_oracle_round(3, "w2")}
+)"""
+
+
+@register(
+    "q_text_bpe_merges",
+    oracle=f"""
+{_BPE_ORACLE_W0},{_bpe_oracle_round(1, "w0")},{_bpe_oracle_round(2, "w1")},{_bpe_oracle_round(3, "w2")}
 SELECT CAST(round AS BIGINT) AS round, l AS left_tok, r AS right_tok,
        cnt AS pair_count
 FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
@@ -1058,7 +1062,17 @@ ORDER BY round
         "(count DESC, pair ASC) tie-break in both engines.",
 )
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    merges, _cur = _bpe_train(load_table(spark, sf_dir, "documents"))
+    return merges[0].unionAll(merges[1]).unionAll(merges[2]).orderBy(
+        "round"
+    )
+
+
+def _bpe_train(d: DataFrame) -> tuple[list, DataFrame]:
+    """Shared BPE training chain: word-type table -> 3 merge rounds.
+    Returns (the 1-row winner DataFrames, the final merged type
+    table) — `q_text_bpe_merges` reports the winners,
+    `q_text_bpe_apply` tokenizes with the final types."""
     cur = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -1114,6 +1128,44 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ws"),
             "freq",
         )
-    return merges[0].unionAll(merges[1]).unionAll(merges[2]).orderBy(
-        "round"
+    return merges, cur
+
+
+@register(
+    "q_text_bpe_apply",
+    oracle=f"""
+{_BPE_ORACLE_W0},{_bpe_oracle_round(1, "w0")},{_bpe_oracle_round(2, "w1")},{_bpe_oracle_round(3, "w2")}
+SELECT tok AS token, CAST(SUM(freq) AS BIGINT) AS n_occ
+FROM (SELECT UNNEST(STRING_SPLIT(ws, '  ')) AS tok, freq FROM w3)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n_occ DESC, token
+LIMIT 25
+""",
+    doc="BPE TOKENIZATION — the other half of the q_text_bpe_merges "
+        "story: train the 3 merges, then ENCODE the corpus with them "
+        "and report the resulting token vocabulary histogram (top 25 "
+        "by occurrence count, the sanity readout a tokenizer pipeline "
+        "prints after training). Tokenization happens on the word-TYPE "
+        "table — each distinct word is encoded once and its token "
+        "counts weighted by the word frequency, so the cost is "
+        "type-table-sized regardless of corpus size (the same reason "
+        "real BPE trainers count types, not tokens). Shuffle shape: "
+        "one corpus-wide type agg, 3 pair-count shuffles + 1-row "
+        "broadcast merges (shared with training), one final token agg "
+        "whose cardinality is the vocabulary. Exact integer counts, "
+        "deterministic (count DESC, token ASC) ordering in both "
+        "engines.",
+)
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, cur = _bpe_train(load_table(spark, sf_dir, "documents"))
+    return (
+        cur.select(
+            F.explode(F.split("ws", "  ")).alias("token"), "freq"
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(25)
     )

@@ -523,6 +523,13 @@ def test_bpe_merges_broadcast_winners_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     plans.assert_no_cartesian(df)
     assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
+    # the tokenize-apply twin inherits the same posture (shared
+    # training chain + one vocabulary-sized final agg)
+    df = build(spark, "q_text_bpe_apply")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
 
 
 def test_pca_power_broadcast_vectors_no_python(spark):
