@@ -81,9 +81,8 @@ root-indirect, and huge layouts.
 Honest scope (loud refusals naming the feature): paged
 Extensible-Array data blocks OUTSIDE a secondary block
 (secondary-block pages read fine, bitmap and per-page checksums
-included), filtered fractal heaps, extended tiny heap ids,
-huge heap ids at id_len >= 17 (writer side), vlen-of-reference
-datasets, unknown filter ids (szip et al).
+included), huge heap ids at id_len >= 17 (writer side),
+vlen-of-reference datasets, unknown filter ids (szip et al).
 """
 
 from __future__ import annotations
@@ -2105,11 +2104,13 @@ class HDF5File:
             )
         typ = (flags >> 4) & 0x3
         if typ == 2:  # tiny: payload packed into the id itself
-            if heap["id_len"] > 18:
-                raise ValueError(
-                    f"{self.path}: extended tiny fractal-heap ids "
-                    "(id length > 18) not supported"
-                )
+            if heap["id_len"] >= 18:
+                # EXTENDED tiny ids (H5HF_TINY_LEN_SHORT: payload
+                # capacity id_len-1 > 16): 12-bit length-1, high 4
+                # bits in the flag byte's low nibble, low 8 in the
+                # second byte; payload starts at byte 2
+                length = ((flags & 0x0F) << 8 | hid[1]) + 1
+                return bytes(hid[2 : 2 + length])
             length = (flags & 0x0F) + 1
             return bytes(hid[1 : 1 + length])
         if typ == 1:  # huge

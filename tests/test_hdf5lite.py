@@ -3067,3 +3067,29 @@ def test_filtered_fractal_heap_roundtrip(tmp_path, monkeypatch):
     got = HDF5File(p).datasets["v"].attrs
     assert len(got) == 20
     np.testing.assert_array_equal(got["s19"], np.arange(20, dtype=np.int32))
+
+
+def test_fheap_extended_tiny_ids():
+    """EXTENDED tiny fractal-heap ids (heaps with id_len >= 18, per
+    libhdf5's H5HF_TINY_LEN_SHORT = 16 payload-capacity switch) carry
+    a 12-bit length-1 split across the flag byte's low nibble and the
+    second id byte — refused before round 9, and id_len == 18 was
+    previously mis-decoded as a NORMAL tiny id (off-by-one against
+    libhdf5's id_len - 1 > 16 condition)."""
+    h = HDF5File.__new__(HDF5File)
+    h.path = "<mem>"
+    h._buf = b""
+    heap = {"id_len": 20, "off_size": 4, "len_size": 15,
+            "huge_bt2_addr": 0, "huge_map": None}
+    body = bytes(range(200)) * 2  # 400 bytes: needs the 12-bit length
+    n = len(body) - 1  # stored as length - 1
+    hid = bytes([0x20 | (n >> 8), n & 0xFF]) + body
+    assert h._fheap_object(heap, hid) == body
+    # 1-byte payload via the extended encoding
+    hid1 = bytes([0x20, 0x00]) + b"Q" + b"\x00" * 17
+    assert h._fheap_object(heap, hid1) == b"Q"
+    # id_len == 18 is ALSO extended (the off-by-one): a normal-tiny
+    # decode of this id would return the length byte as payload
+    heap18 = dict(heap, id_len=18)
+    hid18 = bytes([0x20, 0x04]) + b"hello" + b"\x00" * 11
+    assert h._fheap_object(heap18, hid18) == b"hello"
