@@ -1116,9 +1116,7 @@ v{r} AS (SELECT LIST_TRANSFORM(warr, x -> x / nrm) AS v, nrm AS lam
          FROM n{r})"""
 
 
-@register(
-    "q_emb_pca_power",
-    oracle=f"""
+_PCA_ORACLE_CHAIN = f"""
 WITH mu AS (
   SELECT LIST(m ORDER BY dim) AS mu FROM (
     SELECT dim, {SQL_DAVG('x')} AS m FROM (
@@ -1134,30 +1132,19 @@ cent AS (
   FROM embeddings, mu
 ),
 v0 AS (SELECT LIST_TRANSFORM(generate_series(1, 64),
-                             i -> 0.125) AS v),{_pca_oracle_round(1)},{_pca_oracle_round(2)},{_pca_oracle_round(3)}
-SELECT CAST(dim - 1 AS BIGINT) AS dim,
-       FLOOR(comp * 1000000) / 1000000 AS component,
-       FLOOR(lam * 1000000) / 1000000 AS eigval
-FROM (SELECT generate_subscripts(v, 1) AS dim, UNNEST(v) AS comp, lam
-      FROM v3)
-ORDER BY dim
-""",
-    doc="Top principal component by POWER ITERATION (3 rounds) — the "
-        "dimensionality-reduction / whitening step an embedding "
-        "pipeline runs before ANN indexing. The covariance matrix is "
-        "NEVER materialized: each round computes C·v directly as "
-        "per-row dots (sequential JVM fold, bit-identical to the "
-        "oracle's list fold) followed by ONE per-dim aggregation whose "
-        "output is d=64 rows regardless of corpus size, renormalized "
-        "and broadcast back as a 1-row array. Cross-engine exactness: "
-        "the per-dim centering means and iteration sums are "
-        "fixed-point (davg/dsum), the norm squares are "
-        "quantized before summing (order-independent), so all three "
-        "rounds produce bit-identical doubles in both engines. At "
-        "100 TB: 3 linear passes, shuffle cardinality d per pass, no "
-        "driver collect anywhere.",
-)
-def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+                             i -> 0.125) AS v),{_pca_oracle_round(1)},{_pca_oracle_round(2)},{_pca_oracle_round(3)}"""
+
+
+def _pca_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PCA power-iteration chain: mean-centering + 3 rounds of
+    v <- normalize(C^T (C v)) with the fixed-point quantizations that
+    make both engines bit-identical. Returns (cent, vdf):
+    ``cent(vec_id, c)`` the centered vectors, ``vdf(v, lam)`` the
+    1-row component + eigenvalue estimate. `q_emb_pca_power` reports
+    the component; `q_emb_pca_project` transforms the corpus with
+    it."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -1214,6 +1201,37 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
             F.col("nrm").alias("lam"),
         )
+    return cent, vdf
+
+
+@register(
+    "q_emb_pca_power",
+    oracle=f"""
+{_PCA_ORACLE_CHAIN}
+SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       FLOOR(comp * 1000000) / 1000000 AS component,
+       FLOOR(lam * 1000000) / 1000000 AS eigval
+FROM (SELECT generate_subscripts(v, 1) AS dim, UNNEST(v) AS comp, lam
+      FROM v3)
+ORDER BY dim
+""",
+    doc="Top principal component by POWER ITERATION (3 rounds) — the "
+        "dimensionality-reduction / whitening step an embedding "
+        "pipeline runs before ANN indexing. The covariance matrix is "
+        "NEVER materialized: each round computes C·v directly as "
+        "per-row dots (sequential JVM fold, bit-identical to the "
+        "oracle's list fold) followed by ONE per-dim aggregation whose "
+        "output is d=64 rows regardless of corpus size, renormalized "
+        "and broadcast back as a 1-row array. Cross-engine exactness: "
+        "the per-dim centering means and iteration sums are "
+        "fixed-point (davg/dsum), the norm squares are "
+        "quantized before summing (order-independent), so all three "
+        "rounds produce bit-identical doubles in both engines. At "
+        "100 TB: 3 linear passes, shuffle cardinality d per pass, no "
+        "driver collect anywhere.",
+)
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cent, vdf = _pca_chain(spark, sf_dir)
     return (
         vdf.select(
             F.posexplode("v").alias("dim", "comp"), F.col("lam")
@@ -1224,4 +1242,53 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("lam") * 1e6) / 1e6).alias("eigval"),
         )
         .orderBy("dim")
+    )
+
+
+@register(
+    "q_emb_pca_project",
+    oracle=f"""
+{_PCA_ORACLE_CHAIN},
+proj AS (
+  SELECT c.vec_id,
+         LIST_SUM(LIST_TRANSFORM(generate_series(1, LEN(c.c)),
+                  i -> c.c[i] * v.v[i])) AS p
+  FROM cent c, v3 v
+)
+SELECT CAST(FLOOR(p / 0.5) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {SQL_DSUM('p')} AS sum_proj
+FROM proj GROUP BY bucket ORDER BY bucket
+""",
+    doc="PCA TRANSFORM — the other half of the q_emb_pca_power story: "
+        "train the component (shared 3-round chain), then PROJECT "
+        "every centered embedding onto it and report the projection "
+        "distribution (0.5-wide buckets: count + fixed-point sum per "
+        "bucket) — the whitening/coordinate step an embedding "
+        "pipeline runs before bucketed ANN or curriculum binning. "
+        "The component reaches the corpus as a 1-row broadcast; the "
+        "projection is the same sequential JVM fold as the training "
+        "dots (bit-identical cross-engine, so the bucket floors "
+        "agree exactly); output cardinality is the bucket count "
+        "regardless of corpus size. At 100 TB: the 3 training passes "
+        "+ ONE projection pass, shuffle cardinality = |buckets|.",
+)
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent, vdf = _pca_chain(spark, sf_dir)
+    p = F.aggregate(
+        F.zip_with("c", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cent.crossJoin(F.broadcast(vdf.select("v")))
+        .select(p.alias("p"))
+        .groupBy(
+            F.floor(F.col("p") / 0.5).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            dsum(F.col("p")).alias("sum_proj"),
+        )
+        .orderBy("bucket")
     )

@@ -540,4 +540,10 @@ def test_pca_power_broadcast_vectors_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, plan
     plans.assert_no_cartesian(df)
+    # the projection twin inherits the posture (shared chain + one
+    # broadcast projection pass)
+    df = build(spark, "q_emb_pca_project")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
     assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
