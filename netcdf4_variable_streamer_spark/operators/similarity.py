@@ -165,30 +165,94 @@ _PQ_C = 4  # codebook size per subspace
 _PQ_FX = 1_000_000  # fixed-point scale for distances
 
 
-@register(
-    "q_sim_pq_codes",
-    oracle=f"""
-WITH cents AS (
+def _pq_d2_sql(tbl: str) -> str:
+    """Fixed-point squared distance between ``tbl``'s subvector s and
+    centroid c's — the shared arithmetic of code assignment and the
+    ADC lookup tables."""
+    ix = "CAST(s.range * 8 + i AS INTEGER)"
+    # the DOUBLE cast BEFORE the multiply matters: float32 * int runs
+    # in float32 and its floors drift from Spark's double path (the
+    # argmin in the codes key masked it; ADC's raw sums do not)
+    fa = (
+        f"CAST(FLOOR(CAST({tbl}.embedding[{ix}] AS DOUBLE)"
+        f" * {_PQ_FX}) AS BIGINT)"
+    )
+    fc = (
+        f"CAST(FLOOR(CAST(c.embedding[{ix}] AS DOUBLE)"
+        f" * {_PQ_FX}) AS BIGINT)"
+    )
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8), i ->\n"
+        f"           ({fa}\n            - {fc})\n"
+        f"           * ({fa}\n              - {fc})))\n"
+        f"         AS BIGINT)"
+    )
+
+
+_PQ_ORACLE_CODES = f"""cents AS (
   SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < {_PQ_C}
 ),
 d AS (
   SELECT e.vec_id, s.range AS s, c.c,
-         CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8), i ->
-           (CAST(FLOOR(e.embedding[CAST(s.range * 8 + i AS INTEGER)]
-                       * {_PQ_FX}) AS BIGINT)
-            - CAST(FLOOR(c.embedding[CAST(s.range * 8 + i AS INTEGER)]
-                         * {_PQ_FX}) AS BIGINT))
-           * (CAST(FLOOR(e.embedding[CAST(s.range * 8 + i AS INTEGER)]
-                         * {_PQ_FX}) AS BIGINT)
-              - CAST(FLOOR(c.embedding[CAST(s.range * 8 + i AS INTEGER)]
-                           * {_PQ_FX}) AS BIGINT))))
-         AS BIGINT) AS d2
+         {_pq_d2_sql('e')} AS d2
   FROM embeddings e, range(0, {_PQ_S}) s, cents c
 ),
 codes AS (
   SELECT vec_id, s, MIN(d2 * {_PQ_C} + c) % {_PQ_C} AS code
   FROM d GROUP BY vec_id, s
-)
+)"""
+
+
+def _pq_fx(col: Column, idx: Column) -> Column:
+    return F.floor(
+        F.element_at(col, idx.cast("int")).cast("double") * _PQ_FX
+    ).cast("long")
+
+
+def _pq_d2(vec: str) -> Column:
+    """Fixed-point squared distance between ``vec``'s subvector
+    ``s`` and the broadcast centroid's — mirrors :func:`_pq_d2_sql`."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(8)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (
+            (
+                _pq_fx(F.col(vec), F.col("s") * 8 + i)
+                - _pq_fx(F.col("c_emb"), F.col("s") * 8 + i)
+            )
+            * (
+                _pq_fx(F.col(vec), F.col("s") * 8 + i)
+                - _pq_fx(F.col("c_emb"), F.col("s") * 8 + i)
+            )
+        ),
+    )
+
+
+def _pq_subcodes(e: DataFrame) -> DataFrame:
+    """(vec_id, s, code): nearest-centroid assignment per subspace —
+    shared by the packing key (`q_sim_pq_codes`) and the ADC search
+    key (`q_sim_pq_adc`)."""
+    cents = e.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("c_emb")
+    )
+    sub = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+    d = sub.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "s", "c", _pq_d2("embedding").alias("d2")
+    )
+    return d.groupBy("vec_id", "s").agg(
+        (F.min(F.col("d2") * _PQ_C + F.col("c")) % _PQ_C).alias("code")
+    )
+
+
+@register(
+    "q_sim_pq_codes",
+    oracle=f"""
+WITH {_PQ_ORACLE_CODES}
 SELECT vec_id,
        CAST(SUM(code * (1::BIGINT << CAST(2 * s AS INTEGER))) AS BIGINT)
          AS pq_code
@@ -208,43 +272,10 @@ FROM codes GROUP BY vec_id
         "q_ml_kmeans per subspace.",
 )
 def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") < _PQ_C).select(
-        F.col("vec_id").alias("c"), F.col("embedding").alias("c_emb")
-    )
-    sub = e.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
-    )
-
-    def _fx(col: Column, idx: Column) -> Column:
-        return F.floor(
-            F.element_at(col, idx.cast("int")).cast("double") * _PQ_FX
-        ).cast("long")
-
-    def _d2() -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(8)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + (
-                (
-                    _fx(F.col("embedding"), F.col("s") * 8 + i)
-                    - _fx(F.col("c_emb"), F.col("s") * 8 + i)
-                )
-                * (
-                    _fx(F.col("embedding"), F.col("s") * 8 + i)
-                    - _fx(F.col("c_emb"), F.col("s") * 8 + i)
-                )
-            ),
+    codes = _pq_subcodes(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
         )
-
-    d = sub.join(F.broadcast(cents), F.lit(True)).select(
-        "vec_id", "s", "c", _d2().alias("d2")
-    )
-    codes = d.groupBy("vec_id", "s").agg(
-        (F.min(F.col("d2") * _PQ_C + F.col("c")) % _PQ_C).alias("code")
     )
     return codes.groupBy("vec_id").agg(
         F.sum(
@@ -253,6 +284,113 @@ def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("pq_code")
+    )
+
+
+@register(
+    "q_sim_pq_adc",
+    oracle=f"""
+WITH {_PQ_ORACLE_CODES},
+q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.q_id, s.range AS s, c.c,
+         {_pq_d2_sql('q')} AS d2
+  FROM q, range(0, {_PQ_S}) s, cents c
+),
+scored AS (
+  SELECT l.q_id, cd.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc2
+  FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.code
+  WHERE cd.vec_id <> l.q_id
+  GROUP BY l.q_id, cd.vec_id
+)
+SELECT q_id, vec_id, adc2, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc2, vec_id) AS rn
+      FROM scored) t
+WHERE rn <= {TOP_K}
+""",
+    doc="PQ ASYMMETRIC-DISTANCE search — the SERVING half of "
+        "q_sim_pq_codes: each of the 20 queries precomputes an 8x4 "
+        "lookup table of fixed-point subspace distances to the "
+        "codebook (the ADC trick: query stays full-precision, base "
+        "vectors stay 2-bit codes), broadcast as 20 rows of 32-entry "
+        "arrays; every vector's distance is then 8 array lookups + "
+        "integer adds over its code array — NO float math and NO "
+        "original embedding touched at scan time. Exact integer "
+        "distances make the top-k total-ordered cross-engine. At "
+        "100 TB: the code table is ~64x smaller than the corpus, the "
+        "LUT build is O(queries x 32), scoring is one map-side pass "
+        "over codes + a per-query top-k — the plan IVF-PQ serving "
+        "engines (FAISS-style) run, expressed declaratively.",
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    codes8 = (
+        _pq_subcodes(e)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x.getField("code"),
+            ).alias("codes8")
+        )
+    )
+    cents = e.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("c_emb")
+    )
+    qsub = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias(
+            "s"
+        ),
+    )
+    lut32 = (
+        qsub.join(F.broadcast(cents), F.lit(True))
+        .select(
+            "q_id",
+            (F.col("s") * _PQ_C + F.col("c")).alias("idx"),
+            _pq_d2("q_emb").alias("d2"),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "d2"))),
+                lambda x: x.getField("d2"),
+            ).alias("lut32")
+        )
+    )
+    adc2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_S - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut32"),
+            (
+                s * _PQ_C + F.element_at(F.col("codes8"), (s + 1).cast("int")) + 1
+            ).cast("int"),
+        ),
+    )
+    scored = (
+        codes8.crossJoin(F.broadcast(lut32))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc2.alias("adc2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc2"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "adc2",
+            F.col("rn").cast("long").alias("rn"),
+        )
     )
 
 

@@ -62,7 +62,7 @@ NEW_KEYS = [
     "q_report_nation_profit", "q_agg_hll_setops", "q_geo_heatmap_grid",
     # round 9
     "q_text_bpe_merges", "q_text_bpe_apply", "q_emb_pca_power",
-    "q_emb_pca_project",
+    "q_emb_pca_project", "q_sim_pq_adc",
 ]
 
 

@@ -547,3 +547,14 @@ def test_pca_power_broadcast_vectors_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     plans.assert_no_cartesian(df)
     assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
+
+
+def test_pq_adc_broadcast_lut_no_python(spark):
+    # the 20x32-entry LUT reaches the code table as a BROADCAST
+    # nested-loop join (never a CartesianProduct) and scoring is
+    # pure JVM array lookups — no Python row path anywhere
+    df = build(spark, "q_sim_pq_adc")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
