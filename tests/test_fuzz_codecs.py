@@ -766,3 +766,47 @@ def test_deep_btree_corruption_fails_controlled(
             h.read(n)
     except ValueError:
         pass  # loud, contextual refusal — the contract
+
+
+@_SETTINGS
+@given(
+    n_objs=st.integers(1, 160),
+    size_hi=st.integers(1, 6000),
+    level=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_filtered_fractal_heap_fuzz(n_objs, size_hi, level, seed):
+    """FILTERED fractal heaps round-trip for arbitrary object sets and
+    deflate levels across both layouts (root-direct when the bodies
+    fit one doubled block, multi-block root-indirect past it);
+    incompressible payloads (random bytes) and highly-compressible
+    ones both honor the stored-size/mask entries."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        _write_fractal_heap,
+    )
+
+    rng = np.random.RandomState(seed)
+    objs, total = {}, 0
+    for i in range(n_objs):
+        sz = int(rng.randint(1, size_hi + 1))
+        total += sz
+        if total > 200_000:  # stay inside the writer's managed span
+            break
+        body = (
+            rng.bytes(sz)
+            if rng.rand() < 0.5
+            else bytes([i % 251 or 1]) * sz
+        )
+        objs[f"o{i:03d}"] = body
+    if not objs:
+        objs["o000"] = b"x"
+    out = bytearray(b"\x00" * 40)
+    addr, ids = _write_fractal_heap(out, objs, 8, deflate=level)
+    h = HDF5File.__new__(HDF5File)
+    h.path = "<mem>"
+    h._buf = bytes(out)
+    heap = h._fractal_heap(addr)
+    assert heap["filters"] == [(1, [level])]
+    for nm, body in objs.items():
+        assert h._fheap_object(heap, ids[nm]) == body
