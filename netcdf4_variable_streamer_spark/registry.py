@@ -65,6 +65,7 @@ WINDOW_ROUND = 9
 CANONICAL_ORDER: list[str] = [
     # -- round-9 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
+    "snk_netcdf4_write_vlen",
     "q_sim_pq_adc",
     "q_emb_pca_project",
     "q_text_bpe_apply",

@@ -3457,7 +3457,13 @@ def write_netcdf4(
                 np.zeros((), dtype=np.dtype(dt).newbyteorder("<")), shape
             )
         else:
-            arr = np.asarray(data[name]).reshape(shape).astype(dt)
+            src_arr = np.asarray(data[name])
+            if src_arr.dtype == object:
+                # vlen cells (object arrays) carry their own base
+                # dtype; ``dt`` is the ("vlen", base) marker
+                arr = src_arr.reshape(shape)
+            else:
+                arr = src_arr.reshape(shape).astype(dt)
         a = dict(var_attrs.get(name, {}))
         a["_Netcdf4Coordinates"] = np.array(
             [dim_names.index(d) for d in vdims], dtype=np.int32
@@ -3640,6 +3646,21 @@ def create_netcdf4(
         is_rec = bool(vdims) and dims.get(vdims[0], 1) is None
         fixed = tuple(dims[d] for d in (vdims[1:] if is_rec else vdims))
         n = (numrecs,) + fixed if is_rec else fixed
+        if isinstance(dt, tuple) and dt and dt[0] == "vlen":
+            # NC_VLEN variable: preallocate the 16-byte-per-cell
+            # DESCRIPTOR chunks (fixed-size, so addresses are
+            # closed-form like any scalar variable) as empty cells of
+            # the declared base; payloads arrive later through the
+            # two-phase vlen export (pwrite_vlen_records_nc4)
+            cells = np.empty(n, dtype=object)
+            if dt[1] in ("str", str):
+                cells.reshape(-1).fill("")  # NC_STRING fill
+            else:
+                cells.reshape(-1).fill(
+                    np.empty(0, dtype=np.dtype(dt[1]))
+                )
+            shaped[name] = cells
+            continue
         shaped[name] = np.zeros(n, dtype=dt)
     write_netcdf4(
         path, dims, variables, shaped, attrs, var_attrs, chunk0=1
@@ -3687,6 +3708,178 @@ def pwrite_records_nc4(
                 raw = block[i].tobytes()
                 assert len(raw) == nbytes, (len(raw), nbytes)
                 os.pwrite(fd, raw, addr)
+    finally:
+        os.close(fd)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase DISTRIBUTED VLEN export (round 9). NC_VLEN / NC_STRING
+# variables split into two on-disk parts with opposite scaling
+# behavior: the DESCRIPTOR stream is fixed-size (16 bytes per cell),
+# so create_netcdf4 preallocates its one-record-per-chunk layout with
+# closed-form addresses exactly like a scalar variable — but the
+# GLOBAL HEAP payloads are data-dependent, so each executor's heap
+# region needs a file offset only the driver can assign:
+#   phase 1 (executors): vlen_export_sizes_nc4 — report the heap
+#     REGION SIZE for this partition's records (pure arithmetic over
+#     cell byte lengths; no payload bytes cross the cluster);
+#   phase 2a (driver):   cumulative offsets over the (partition_key,
+#     nbytes) rows — O(partitions) ints;
+#   phase 2b (executors): pwrite_vlen_records_nc4 — materialize the
+#     partition's GCOL collections at its assigned base, pwrite the
+#     region plus each record's descriptor chunk. Collections are
+#     self-contained (indexes restart at 1 per collection), so
+#     disjoint regions compose into one valid global heap, and
+#     records need not be contiguous within a partition — only the
+#     heap regions need coordination.
+# ---------------------------------------------------------------------------
+
+
+def _vlen_payload_sizes(cells, base) -> list[int]:
+    """Per-cell payload byte counts for one vlen variable: base
+    elements x itemsize for sequences, utf-8 bytes for strings
+    (``base`` None)."""
+    if base is None:
+        return [
+            len(("" if c is None else str(c)).encode("utf-8"))
+            for c in cells
+        ]
+    return [
+        (0 if c is None else len(np.asarray(c).reshape(-1)))
+        * base.itemsize
+        for c in cells
+    ]
+
+
+def _gcol_region_size(nbytes_list: list[int]) -> int:
+    """Byte size of the GCOL region :func:`_gcol_append` would emit
+    for payloads of these sizes — the arithmetic mirror phase 1 uses
+    so no payload bytes need materializing (phase 2b asserts the
+    materialized region matches, so the two can never drift
+    silently)."""
+    total = pos = 0
+    n = len(nbytes_list)
+    while pos < n:
+        objs = idx = 0
+        while pos < n and idx < _GCOL_MAX_OBJS:
+            e = 16 + (-(-nbytes_list[pos] // 8)) * 8
+            if objs and 32 + objs + e > _GCOL_BYTE_BUDGET:
+                break
+            objs += e
+            idx += 1
+            pos += 1
+        total += max(_GCOL_BYTE_BUDGET, 32 + objs)
+    return total
+
+
+def _vlen_var_check(v: "NetCDF4View", name: str):
+    x = v.variables[name]
+    info = v.h5.datasets[name]
+    if not x.is_record:
+        raise ValueError(f"{name} is not a record variable")
+    if not (info.vlen_str or info.vlen_seq is not None):
+        raise ValueError(f"{name} is not a vlen variable")
+    if info.filters or info.chunk[:1] != (1,):
+        raise ValueError(
+            f"{name}: vlen export needs the create_netcdf4 layout "
+            "(one record per chunk, no filters)"
+        )
+    return x, info
+
+
+def vlen_export_sizes_nc4(
+    path: str, var_cells: dict[str, list], rec_ids: list[int]
+) -> int:
+    """Phase 1: heap-region bytes this partition's records need.
+    ``var_cells[name]`` holds ONE CELL LIST PER RECORD in ``rec_ids``
+    order (each record's cells flattened in C order for
+    multi-cell-per-record variables); variables lay out their
+    regions back-to-back in sorted-name order, matching phase 2b."""
+    v = NetCDF4View(path)
+    total = 0
+    for name in sorted(var_cells):
+        _x, info = _vlen_var_check(v, name)
+        sizes = _vlen_payload_sizes(
+            var_cells[name], info.vlen_seq
+        )
+        total += _gcol_region_size(sizes)
+    return total
+
+
+def pwrite_vlen_records_nc4(
+    path: str,
+    var_cells: dict[str, list],
+    rec_ids: list[int],
+    heap_base: int,
+) -> None:
+    """Phase 2b: write this partition's vlen records — materialize
+    its GCOL collections at ``heap_base`` (assigned by the driver
+    from phase-1 sizes), then pwrite the heap region and each
+    record's 16-byte-per-cell descriptor chunk. Concurrent-safe for
+    disjoint heap regions + record sets."""
+    import os
+
+    v = NetCDF4View(path)
+    buf = bytearray()
+    desc_writes: list[tuple[int, bytes]] = []  # (addr, chunk bytes)
+    for name in sorted(var_cells):
+        x, info = _vlen_var_check(v, name)
+        cells = var_cells[name]
+        n_per_rec = 1
+        for s in x.shape:
+            n_per_rec *= s
+        if len(cells) != len(rec_ids) * n_per_rec:
+            raise ValueError(
+                f"{name}: {len(cells)} cells for {len(rec_ids)} "
+                f"records x {n_per_rec} cells/record"
+            )
+        base = info.vlen_seq
+        if base is None:
+            payloads = [
+                ("" if c is None else str(c)).encode("utf-8")
+                for c in cells
+            ]
+            lens = [len(p) for p in payloads]  # bytes for NC_STRING
+        else:
+            vecs = [
+                np.ascontiguousarray(
+                    [] if c is None else c, dtype=base
+                ).reshape(-1)
+                for c in cells
+            ]
+            payloads = [vec.tobytes() for vec in vecs]
+            lens = [len(vec) for vec in vecs]  # base ELEMENT counts
+        predicted = _gcol_region_size([len(p) for p in payloads])
+        start = len(buf)
+        refs = _gcol_append(buf, payloads)
+        if len(buf) - start != predicted:
+            raise AssertionError(
+                f"{name}: phase-1 size {predicted} != materialized "
+                f"{len(buf) - start} — layout drift"
+            )
+        desc = np.zeros(len(cells), dtype=_VLEN_DESC_DT)
+        for i, (ln, (ga, gi)) in enumerate(zip(lens, refs)):
+            desc[i] = (ln, heap_base + ga, gi)
+        desc = desc.reshape((len(rec_ids), n_per_rec))
+        addr_of = {
+            origin[0]: (addr, nbytes)
+            for origin, nbytes, addr in v.h5._iter_chunks(info)
+        }
+        for i, rec in enumerate(rec_ids):
+            if rec not in addr_of:
+                raise ValueError(
+                    f"{name}: record {rec} beyond preallocated "
+                    f"capacity ({len(addr_of)} records)"
+                )
+            addr, nbytes = addr_of[rec]
+            raw = desc[i].tobytes()
+            assert len(raw) == nbytes, (len(raw), nbytes)
+            desc_writes.append((addr, raw))
+    fd = os.open(path, os.O_WRONLY)
+    try:
+        os.pwrite(fd, bytes(buf), heap_base)
+        for addr, raw in desc_writes:
+            os.pwrite(fd, raw, addr)
     finally:
         os.close(fd)
 

@@ -2887,6 +2887,177 @@ def snk_netcdf4_write_compound(
             pass
 
 
+def _vlen_cells_for(ts):
+    """Closed-form vlen cells: record t holds t %% 5 float32 values
+    ``t + j*0.25`` (dyadic-exact) — empty every 5th record."""
+    import numpy as np
+
+    return [
+        (np.arange(int(t) % 5, dtype=np.float32) * np.float32(0.25)
+         + np.float32(t))
+        for t in ts
+    ]
+
+
+def _nc4_vlen_sizes_partition(path: str):
+    """mapInPandas kernel, phase 1: report (partition key, heap-region
+    bytes, record count) — ONE row per partition, pure arithmetic
+    over cell lengths; no payload bytes leave the executor."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            vlen_export_sizes_nc4,
+        )
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf):
+            recs = sorted(int(t) for t in pdf["t"])
+            nb = vlen_export_sizes_nc4(
+                path, {"v": _vlen_cells_for(recs)}, recs
+            )
+            yield pd.DataFrame(
+                {"part_key": [recs[0]], "nbytes": [nb],
+                 "n": [len(recs)]}
+            )
+
+    return fn
+
+
+def _nc4_vlen_write_partition(path: str, offsets: dict):
+    """mapInPandas kernel, phase 2: materialize this partition's GCOL
+    collections at its driver-assigned base and pwrite heap region +
+    descriptor chunks (disjoint ranges, zero coordination)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            pwrite_vlen_records_nc4,
+        )
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf):
+            recs = sorted(int(t) for t in pdf["t"])
+            pwrite_vlen_records_nc4(
+                path,
+                {"v": _vlen_cells_for(recs)},
+                recs,
+                offsets[recs[0]],
+            )
+            yield pd.DataFrame({"n_records": [len(recs)]})
+
+    return fn
+
+
+@register(
+    "snk_netcdf4_write_vlen",
+    oracle=f"""
+WITH recs AS (SELECT UNNEST(generate_series(0, 47)) AS t),
+cells AS (SELECT t, t % 5 AS k FROM recs),
+vals AS (
+  SELECT c.t,
+         CAST(CAST(u.j * 0.25 + c.t AS FLOAT) AS DOUBLE) AS x
+  FROM cells c, UNNEST(generate_series(0, c.k - 1)) AS u(j)
+  WHERE c.k > 0
+)
+SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_rec,
+       CAST((SELECT SUM(k) FROM cells) AS BIGINT) AS n_vals,
+       CAST((SELECT COUNT(*) FROM cells WHERE k = 0) AS BIGINT)
+         AS n_empty,
+       (SELECT {SQL_DSUM('x')} FROM vals) AS sum_vals
+""",
+    doc="DISTRIBUTED export of NC_VLEN records (round 9 — the write "
+        "half of the vlen story): the 16-byte-per-cell DESCRIPTOR "
+        "chunks are fixed-size, so create_netcdf4 preallocates them "
+        "with closed-form addresses like any scalar variable; only "
+        "the data-dependent GLOBAL HEAP payloads need coordination — "
+        "phase 1 reports each partition's heap-region size by pure "
+        "arithmetic (O(partitions) ints to the driver, never data), "
+        "the driver assigns cumulative offsets, phase 2 materializes "
+        "each partition's self-contained GCOL collections at its "
+        "base and pwrites region + descriptor chunks. Partitions are "
+        "hash-partitioned (records NOT contiguous) to prove only "
+        "heap regions need coordination. Round-tripped through the "
+        "vlen scan against the closed-form oracle.",
+)
+def snk_netcdf4_write_vlen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        create_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    n_rec = 48
+    dst = os.path.join(
+        SCRATCH, f"export_vlen_{_uuid.uuid4().hex[:8]}.nc4"
+    )
+    os.makedirs(SCRATCH, exist_ok=True)
+    create_netcdf4(
+        dst,
+        dims={"time": None},
+        variables={"v": (("vlen", "<f4"), ("time",))},
+        numrecs=n_rec,
+    )
+    try:
+        src = spark.range(n_rec).select(
+            F.col("id").cast("int").alias("t")
+        ).repartition(4, "t")
+        sizes = src.mapInPandas(
+            _nc4_vlen_sizes_partition(dst),
+            schema="part_key long, nbytes long, n long",
+        ).collect()
+        assert sum(r["n"] for r in sizes) == n_rec
+        base = os.path.getsize(dst)
+        offsets = {}
+        for r in sorted(sizes, key=lambda r: r["part_key"]):
+            offsets[int(r["part_key"])] = base
+            base += int(r["nbytes"])
+        audits = src.mapInPandas(
+            _nc4_vlen_write_partition(dst, offsets),
+            schema="n_records long",
+        )
+        n_written = audits.agg(F.sum("n_records")).first()[0]
+        assert n_written == n_rec, f"wrote {n_written}/{n_rec}"
+        apply_runtime_confs(spark)
+        spark.dataSource.register(NetCDF4DataSource)
+        back = spark.read.format(FORMAT4_NAME).option("path", dst).load()
+        row_fp = F.aggregate(
+            F.transform(
+                "v",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1000000.0)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rec"),
+            F.sum(F.size("v")).cast("long").alias("n_vals"),
+            F.sum(
+                F.when(F.size("v") == 0, 1).otherwise(0)
+            ).cast("long").alias("n_empty"),
+            (F.sum(row_fp).cast("double") / 1e6).alias("sum_vals"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [tuple(out)],
+            "n_rec long, n_vals long, n_empty long, sum_vals double",
+        )
+    finally:
+        try:
+            os.remove(dst)
+        except OSError:
+            pass
+
+
 def ensure_vlen_compound_fixture(t_total: int = 64) -> str:
     """An NC_VLEN-of-NC_COMPOUND record variable in a REAL NetCDF-4
     file (round 9): ``events(t)`` holds ``t %% 5`` structs

@@ -3093,3 +3093,83 @@ def test_fheap_extended_tiny_ids():
     heap18 = dict(heap, id_len=18)
     hid18 = bytes([0x20, 0x04]) + b"hello" + b"\x00" * 11
     assert h._fheap_object(heap18, hid18) == b"hello"
+
+
+def test_vlen_two_phase_export_roundtrip(tmp_path):
+    """The two-phase DISTRIBUTED vlen export: create_netcdf4
+    preallocates the fixed-size descriptor chunks (("vlen", base)
+    spec), phase 1 reports per-partition heap-region sizes by PURE
+    ARITHMETIC, the driver assigns offsets, phase 2 materializes each
+    partition's self-contained GCOL collections at its base and
+    pwrites region + descriptor chunks. Partitions here are
+    interleaved (non-contiguous records) to prove only the heap
+    regions need coordination; numeric AND string variables, empties
+    included."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        create_netcdf4,
+        pwrite_vlen_records_nc4,
+        vlen_export_sizes_nc4,
+    )
+
+    p = os.path.join(tmp_path, "vexp.nc4")
+    n = 24
+    create_netcdf4(
+        p,
+        dims={"t": None},
+        variables={
+            "v": (("vlen", "<f4"), ("t",)),
+            "s": (("vlen", "str"), ("t",)),
+        },
+        numrecs=n,
+    )
+
+    def mkcell(t):
+        k = t % 5
+        return (np.arange(k, dtype=np.float32) * 0.25 + t).astype(
+            np.float32
+        )
+
+    def mkstr(t):
+        return "" if t % 7 == 0 else f"doc-{t}" + "x" * (t % 11)
+
+    parts = [list(range(0, n, 2)), list(range(1, n, 2))]  # interleaved
+    sizes = [
+        vlen_export_sizes_nc4(
+            p,
+            {"v": [mkcell(t) for t in recs],
+             "s": [mkstr(t) for t in recs]},
+            recs,
+        )
+        for recs in parts
+    ]
+    base = os.path.getsize(p)
+    offs = [base, base + sizes[0]]
+    for recs, off in zip(parts, offs):
+        pwrite_vlen_records_nc4(
+            p,
+            {"v": [mkcell(t) for t in recs],
+             "s": [mkstr(t) for t in recs]},
+            recs,
+            off,
+        )
+    assert os.path.getsize(p) == base + sum(sizes)
+
+    view = NetCDF4View(p)
+    got_v = view.read_records("v")
+    got_s = view.read_records("s")
+    for t in range(n):
+        np.testing.assert_array_equal(got_v[t], mkcell(t))
+        assert got_v[t].dtype == np.dtype("<f4")
+        assert got_s[t] == mkstr(t)
+    # slab read prunes and still resolves both partitions' heaps
+    slab = view.h5.read_slab0("v", 5, 17)
+    for j, t in enumerate(range(5, 17)):
+        np.testing.assert_array_equal(slab[j], mkcell(t))
+
+
+def test_snk_netcdf4_write_vlen_oracle(check):
+    """Per-key driver-contract mirror for the distributed vlen
+    export."""
+    pdf = check("snk_netcdf4_write_vlen")
+    assert int(pdf["n_rec"].iloc[0]) == 48
+    assert int(pdf["n_empty"].iloc[0]) == 10
