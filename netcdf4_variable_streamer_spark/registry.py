@@ -47,76 +47,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-9 rotation (VERDICT r8 "Next round" #1): all 233 keys have a
+# Round-10 rotation (VERDICT r9 "Next round" #1): all 246 keys have a
 # driver row and all are green at latest check — no failures, no
 # never-checked keys. The order is green keys stalest-proof-first: the
-# 33 keys whose latest driver evidence is r04 (the oldest proof in the
-# fleet) fill slots 1-33, the oldest r05 keys complete the window, and
-# the rest follow in latest-check order (r05, r06, r07, r08). New
-# round-9 keys are inserted at the very top as they land so they enter
+# 46 keys whose latest driver evidence is r05 (the oldest proof in the
+# fleet) fill slots 1-46, the oldest r06 keys complete the window, and
+# the rest follow in latest-check order (r06, r07, r08, r09). New
+# round-10 keys are inserted at the very top as they land so they enter
 # the window.
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-9 additions (never driver-checked) are inserted at the
+    # -- round-10 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
-    "snk_netcdf4_write_vlen",
-    "q_sim_pq_adc",
-    "q_emb_pca_project",
-    "q_text_bpe_apply",
-    "q_emb_pca_power",
-    "q_text_bpe_merges",
-    "src_netcdf4_dense_wide_scan",
-    "src_netcdf4_dir_tail",
-    "src_netcdf4_arrow_dir_tail",
-    "src_netcdf_compound_scan",
-    "snk_netcdf4_write_compound",
-    "src_netcdf_vlen_compound_scan",
-    "q_stream_dedup_minhash",
-    # last driver check: r4
-    "q_agg_heavy_hitters_sketch",
-    "q_agg_heavy_hitters",
-    "q_agg_histogram",
-    "q_hierarchy_rollup",
-    "q_multimodal_audio_decode",
-    "q_multimodal_png_decode",
-    "q_report_volume_shipping",
-    "q_report_promo_share",
-    "q_report_nation_profit",
-    "q_geo_heatmap_grid",
-    "q_funnel_conversion",
-    "q_time_resample_ffill",
-    "q_outlier_mad",
-    "q_unpivot_melt",
-    "q_sessionize_gap",
-    "q_validate_constraints",
-    "q_table_diff",
-    "q_agg_incremental_merge",
-    "q_report_top_returns",
-    "q_report_market_share",
-    "q_join_point_in_time",
-    "q_rollup_time_hierarchy",
-    "q_join_bloom_pruned",
-    "q_cdc_apply",
-    "q_graph_bfs_reach",
-    "q_ab_experiment",
-    "q_agg_filtered",
-    "q_drift_report",
-    "q_event_transitions",
-    "q_funnel_attribution",
-    "q_interval_merge",
-    "q_join_interval_overlap",
-    "q_join_salted_skew",
     # last driver check: r5
-    "src_netcdf4_scan",
-    "snk_netcdf4_write",
-    "src_netcdf4_stream_tail",
-    "src_netcdf3_cdf5_scan",
     "src_netcdf3_cf_scan",
     "q_dedup_containment",
     "q_dedup_image_phash",
@@ -316,6 +265,57 @@ CANONICAL_ORDER: list[str] = [
     "q_sample_topk_hash",
     "q_text_sentence_split",
     "q_text_inverted_index",
+    # last driver check: r9
+    "snk_netcdf4_write_vlen",
+    "q_sim_pq_adc",
+    "q_emb_pca_project",
+    "q_text_bpe_apply",
+    "q_emb_pca_power",
+    "q_text_bpe_merges",
+    "src_netcdf4_dense_wide_scan",
+    "src_netcdf4_dir_tail",
+    "src_netcdf4_arrow_dir_tail",
+    "src_netcdf_compound_scan",
+    "snk_netcdf4_write_compound",
+    "src_netcdf_vlen_compound_scan",
+    "q_stream_dedup_minhash",
+    "q_agg_heavy_hitters_sketch",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram",
+    "q_hierarchy_rollup",
+    "q_multimodal_audio_decode",
+    "q_multimodal_png_decode",
+    "q_report_volume_shipping",
+    "q_report_promo_share",
+    "q_report_nation_profit",
+    "q_geo_heatmap_grid",
+    "q_funnel_conversion",
+    "q_time_resample_ffill",
+    "q_outlier_mad",
+    "q_unpivot_melt",
+    "q_sessionize_gap",
+    "q_validate_constraints",
+    "q_table_diff",
+    "q_agg_incremental_merge",
+    "q_report_top_returns",
+    "q_report_market_share",
+    "q_join_point_in_time",
+    "q_rollup_time_hierarchy",
+    "q_join_bloom_pruned",
+    "q_cdc_apply",
+    "q_graph_bfs_reach",
+    "q_ab_experiment",
+    "q_agg_filtered",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_funnel_attribution",
+    "q_interval_merge",
+    "q_join_interval_overlap",
+    "q_join_salted_skew",
+    "src_netcdf4_scan",
+    "snk_netcdf4_write",
+    "src_netcdf4_stream_tail",
+    "src_netcdf3_cdf5_scan",
 ]
 
 
