@@ -159,13 +159,13 @@ _Q1_CUTOFF = "2000-12-01"
     "q_agg_groupby_sum",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {SQL_DSUM_WIDE('l_quantity')} AS sum_qty,
-       {SQL_DSUM_WIDE('l_extendedprice')} AS sum_base_price,
-       {SQL_DSUM_WIDE('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {SQL_DSUM_WIDE('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       {SQL_DAVG_WIDE('l_quantity')} AS avg_qty,
-       {SQL_DAVG_WIDE('l_extendedprice')} AS avg_price,
-       {SQL_DAVG_WIDE('l_discount')} AS avg_disc,
+       {SQL_DSUM('l_quantity')} AS sum_qty,
+       {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {SQL_DAVG('l_quantity')} AS avg_qty,
+       {SQL_DAVG('l_extendedprice')} AS avg_price,
+       {SQL_DAVG('l_discount')} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
@@ -175,29 +175,35 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # 6 groups over the whole fact table — the canonical 100 TB
-    # overflow envelope (VERDICT r8 #6 sweep): two-level sharded
-    # accumulation keeps the per-row path int64 while the per-group
-    # merge is decimal-wide. Totals are bit-identical to the
-    # single-level oracle (integer partial sums are associative).
+    # Single-level dsum hash agg — one shuffle, map-side combine, the
+    # whole per-row path int64 in whole-stage codegen. Round-10 A/B
+    # (BASELINE.md BENCH_NOTES: alternating fresh-plan runs, same
+    # session) measured the two-level :func:`sharded_fixed_agg` shape
+    # at +40% over this (0.525 s vs 0.370 s median-of-9 at sf0.1) —
+    # the second aggregation STAGE costs real wall-clock at sub-second
+    # query times, so dsum stays the headline shape. Its int64 group
+    # accumulator is the documented envelope (SCALE.md known-limits
+    # #3, ~2e7 rows/group x |value|<4e5 at 6-decimal scale, ANSI-loud
+    # on overflow); past it, swap `sharded_fixed_agg` in — same keys /
+    # sums / avgs call shape, wide-merge safety, and its extra cost is
+    # a fixed per-QUERY stage, not per-row, so it amortizes to noise
+    # exactly at the scales that need it.
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return sharded_fixed_agg(
+    return (
         li.filter(
             F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")
-        ),
-        ["l_returnflag", "l_linestatus"],
-        sums={
-            "sum_qty": "l_quantity",
-            "sum_base_price": "l_extendedprice",
-            "sum_disc_price": disc,
-            "sum_charge": disc * (1 + F.col("l_tax")),
-        },
-        avgs={
-            "avg_qty": "l_quantity",
-            "avg_price": "l_extendedprice",
-            "avg_disc": "l_discount",
-        },
-        count_alias="count_order",
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
     )
 
 

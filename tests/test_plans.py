@@ -25,17 +25,13 @@ def test_q1_pushdown_pruning_single_shuffle(spark):
     plans.assert_read_schema_excludes(
         df, "l_orderkey", "l_partkey", "l_suppkey", "l_comment", "l_shipmode"
     )
-    # sharded_fixed_agg's two-level shape (round 9): level 1 shuffles
-    # on (keys, spark_partition_id) AFTER map-side partial combine (so
-    # the exchange carries <= groups rows per mapper), level 2 merges
-    # the int64 partials in decimal on the keys alone — BOTH exchanges
-    # are O(groups x partitions) rows, never data-sized
-    plans.assert_max_shuffles(df, 2)
-    plan = plans.plan_string(df)
-    assert "spark_partition_id" in plan.lower() or "__pid" in plan
-    # the decimal appears only on the partial columns — per-row work
-    # stays int64 inside whole-stage codegen
-    assert "partial_sum(cast(__s_" in plan
+    # single-level dsum hash agg (round 10: the A/B in BENCH_NOTES
+    # measured sharded_fixed_agg's extra stage at +40% wall-clock at
+    # sf0.1, so q1 keeps the one-shuffle shape; sharded_fixed_agg is
+    # the documented past-int64-envelope swap-in, plan-asserted in
+    # test_analytics.py): map-side partial combine, ONE exchange on
+    # the group keys, int64 per-row path in whole-stage codegen.
+    plans.assert_max_shuffles(df, 1)
     plans.assert_wholestage_codegen(df)
 
 
