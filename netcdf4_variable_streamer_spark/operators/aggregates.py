@@ -41,12 +41,18 @@ def dsum_wide(col: Column | str, scale: int | None = None) -> Column:
     floors through a BIGINT (Spark ``floor(double)`` returns
     LongType), so a SINGLE row with |value| > ~9.2e12 (fixed-point
     |value·1e6| > ~9.2e18) overflows at the row level before the wide
-    accumulator ever sees it. Only the per-group SUM is widened. No
-    engine call site carries per-row magnitudes near that bound (they
-    are prices/quantities/scaled products ≤ ~4e15); if one ever does,
-    compute the fixed-point product in decimal before flooring —
+    accumulator ever sees it — and that overflow is **SILENT**:
+    measured round 10 (``tests/test_analytics.py::
+    test_floor_double_saturates_silently``), ``floor(double)``
+    SATURATES to ±(2^63−1) even under ANSI mode (unlike an explicit
+    ``cast(double as long)``, which throws CAST_OVERFLOW). Only the
+    per-group SUM is widened AND loud. No engine call site carries
+    per-row magnitudes near that bound (they are prices/quantities/
+    scaled products ≤ ~4e15); if one ever does, compute the
+    fixed-point product in decimal before flooring —
     ``F.floor((c * _FP).cast("decimal(38,6)"))`` — at ~6× the
-    aggregation cost."""
+    aggregation cost, which also restores loudness (decimal overflow
+    throws)."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.sum(F.floor(c * _FP).cast("decimal(38,0)"))

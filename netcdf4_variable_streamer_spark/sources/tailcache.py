@@ -13,12 +13,18 @@ for (VERDICT r8 "What's wrong" #1).
 across triggers so each trigger performs exactly ONE header read (the
 growing newest member) plus one ``os.stat`` per frozen member. The
 invariant stays ENFORCED, not assumed: each cached count is guarded by
-the member's ``(st_size, st_mtime_ns)`` stat signature, so any on-disk
-change — append, truncate, or whole-file rewrite even at identical
-size (preallocated tail files keep their size when recreated with a
-different record count; mtime_ns still flips) — invalidates the entry
-and forces a fresh header read, which the caller's existing
-frozen-member grew/shrank checks then reject.
+the member's ``(st_size, st_mtime_ns, st_ino)`` stat signature, so any
+on-disk change — append, truncate, whole-file rewrite even at
+identical size (preallocated tail files keep their size when recreated
+with a different record count; mtime_ns still flips), or an
+atomic-rename replacement at identical size on a filesystem with
+coarse whole-second mtimes (network/FAT mounts — the rename lands a
+new inode even when mtime cannot move, ADVICE r9 #1) — invalidates the
+entry and forces a fresh header read, which the caller's existing
+frozen-member grew/shrank checks then reject. The one mutation no stat
+signature can see is an in-place same-inode rewrite at identical size
+within one mtime tick on such a coarse-mtime filesystem; that is also
+a mutation the freeze invariant already declares out of contract.
 
 The cache lives on the stream-reader instance, which pyspark keeps on
 the driver for the lifetime of the streaming query; a query restart
@@ -43,8 +49,8 @@ class FrozenMemberCounts:
 
     def __init__(self, read_count: Callable[[str], int]):
         self._read_count = read_count
-        # member name -> (count, st_size, st_mtime_ns)
-        self._cache: dict[str, tuple[int, int, int]] = {}
+        # member name -> (count, (st_size, st_mtime_ns, st_ino))
+        self._cache: dict[str, tuple[int, tuple[int, int, int]]] = {}
 
     def counts(self, dirpath: str, files: list[str]) -> list[int]:
         out: list[int] = []
@@ -61,23 +67,39 @@ class FrozenMemberCounts:
             # between, the cached signature is pre-write, so the next
             # trigger's stat mismatches and forces a re-read — the
             # race errs toward re-reading, never toward stale counts
-            st = os.stat(p)
-            sig = (st.st_size, st.st_mtime_ns)
+            sig = self._sig(p)
             hit = self._cache.get(f)
-            if hit is not None and (hit[1], hit[2]) == sig:
+            if hit is not None and hit[1] == sig:
                 out.append(hit[0])
                 continue
             n = self._read_count(p)
-            self._cache[f] = (n, sig[0], sig[1])
+            self._cache[f] = (n, sig)
             out.append(n)
         return out
 
-    def header_reads(self, files: list[str]) -> int:
+    @staticmethod
+    def _sig(path: str) -> tuple[int, int, int]:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns, st.st_ino)
+
+    def header_reads(self, dirpath: str, files: list[str]) -> int:
         """How many header reads :meth:`counts` would do for this
-        listing right now (observability for tests/SCALE.md)."""
-        hot = sum(
-            1
-            for f in files[:-1]
-            if f in self._cache
-        )
+        listing RIGHT NOW (observability for tests/SCALE.md) — it
+        performs the same per-member stat comparison ``counts`` does
+        (ADVICE r9 #2: a cached member whose signature flipped WILL be
+        re-read, and must be counted), so the prediction tracks real
+        behavior, not cache occupancy. A member that vanished between
+        listing and stat counts as a read: ``counts`` would raise on
+        it, and over-reporting errs the same way the race rule in
+        ``counts`` does — toward claiming more work, never less."""
+        hot = 0
+        for f in files[:-1]:
+            hit = self._cache.get(f)
+            if hit is None:
+                continue
+            try:
+                if hit[1] == self._sig(os.path.join(dirpath, f)):
+                    hot += 1
+            except OSError:
+                pass
         return len(files) - hot

@@ -410,6 +410,46 @@ def test_dsum_wide_exact_where_dsum_overflows(spark):
         df.agg(dsum("x").alias("s")).first()
 
 
+def test_floor_double_saturates_silently(spark):
+    """Round-10 measured behavior pin: Spark's floor(double) -> BIGINT
+    SATURATES to Long.MAX silently even under ANSI mode (an explicit
+    cast throws CAST_OVERFLOW). This is the reason the per-row
+    ~9.2e12 bound on dsum/dsum_wide/davg_wide/sharded_fixed_agg is a
+    documented CALLER obligation, not an ANSI-enforced one — if this
+    pin ever fails (Spark makes floor loud), the docstrings can drop
+    the silent-saturation warning."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame([(1.8e19,)], "x double")
+    assert (
+        df.select(F.floor("x").alias("f")).first()["f"]
+        == (1 << 63) - 1
+    )
+    with pytest.raises(Exception, match="CAST_OVERFLOW"):
+        df.select(F.col("x").cast("long")).first()
+
+
+def test_davg_wide_exact_where_davg_overflows(spark):
+    """ADVICE r9 #3: davg_wide's divide-after-widened-sum shape stays
+    verified — the same two past-int64 rows that overflow davg's int64
+    sum average exactly through the DECIMAL(38,0) accumulator."""
+    from netcdf4_variable_streamer_spark.operators.aggregates import (
+        davg_wide,
+    )
+    from netcdf4_variable_streamer_spark.registry import davg
+
+    # per-row values stay inside dsum_wide's documented per-row
+    # ~9.2e12 bound (floor(double) -> long); the two-row SUM is what
+    # exceeds int64
+    v = 6.0e12  # floor(v * 1e6) = 6e18; two rows -> 1.2e19 > 2^63-1
+    df = spark.createDataFrame([(v,), (v,)], "x double")
+    wide = df.agg(davg_wide("x").alias("m")).first()["m"]
+    assert wide == v
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(davg("x").alias("m")).first()
+
+
 def test_sharded_fixed_agg_exact_where_dsum_overflows(spark):
     """sharded_fixed_agg: int64 partials per (keys, input partition),
     DECIMAL(38,0) merge — a group total past 2^63 split across

@@ -1121,7 +1121,7 @@ def test_dir_tail_header_reads_flat(tmp_path):
         # newest, one read) plus the current newest: constant 2, never
         # growing with member count
         assert per_trigger == [2] * 27, per_trigger
-        assert sr._pinned.header_reads(off["files"]) == 1
+        assert sr._pinned.header_reads(d, off["files"]) == 1
         # quiet trigger (no growth at all): exactly ONE header read
         n0 = len(reads)
         trigger(off)
@@ -1132,5 +1132,49 @@ def test_dir_tail_header_reads_flat(tmp_path):
             os.path.join(d, "part-00.nc"),
             {"v": np.array([[9, 9]], dtype=np.int32)},
         )
+        # header_reads must PREDICT that re-read (ADVICE r9 #2): the
+        # member is cached but its stat signature flipped, so the
+        # observability number counts it as a read, not a hit
+        assert sr._pinned.header_reads(d, off["files"]) == 2
         with pytest.raises(ValueError, match="frozen member grew"):
             trigger(off)
+
+
+def test_frozen_cache_invalidates_on_inode_flip(tmp_path):
+    """ADVICE r9 #1: a frozen member replaced by atomic rename at
+    IDENTICAL size and IDENTICAL mtime_ns (coarse-mtime filesystems
+    report whole seconds — simulated here with os.utime) must still
+    invalidate the cache entry: the replacement file is a new inode,
+    and st_ino is part of the signature."""
+    from netcdf4_variable_streamer_spark.sources.tailcache import (
+        FrozenMemberCounts,
+    )
+
+    d = str(tmp_path)
+    p = os.path.join(d, "m0")
+    with open(p, "wb") as f:
+        f.write(b"A" * 64)
+    os.utime(p, ns=(1_000_000_000, 1_000_000_000))
+
+    reads = []
+
+    def rc(path):
+        reads.append(path)
+        return 7
+
+    cache = FrozenMemberCounts(rc)
+    assert cache.counts(d, ["m0", "tail"]) == [7, 7]
+    assert len(reads) == 2
+    # warm: frozen member served from cache
+    assert cache.counts(d, ["m0", "tail"]) == [7, 7]
+    assert len(reads) == 3  # only the tail
+    # atomic-rename replacement: same size, same (coarse) mtime,
+    # NEW inode
+    tmp = os.path.join(d, ".m0.tmp")
+    with open(tmp, "wb") as f:
+        f.write(b"B" * 64)
+    os.replace(tmp, p)
+    os.utime(p, ns=(1_000_000_000, 1_000_000_000))
+    assert cache.header_reads(d, ["m0", "tail"]) == 2
+    cache.counts(d, ["m0", "tail"])
+    assert reads[-2] == p  # the frozen member was re-read
