@@ -609,6 +609,75 @@ def load_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_bands(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Shared streaming MinHash→LSH band pipeline: per-row higher-order
+    expressions (no pre-aggregation — Structured Streaming allows one
+    aggregation level) mapping (doc_id, text) to one row per
+    (doc_id, band, sig), hash-identical to the batch twin
+    q_dedup_near_minhash. ``carry`` columns (e.g. an event-time column
+    for the watermarked variant) pass through untouched."""
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        BANDS,
+        MH_A,
+        MH_B,
+        MINHASH_P,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _md5_int,
+        _shingles,
+    )
+
+    carry_cols = list(carry)
+    d = (
+        docs.select("doc_id", *carry_cols, F.split("text", " ").alias("toks"))
+        .select("doc_id", *carry_cols, _shingles(F.col("toks")).alias("ss"))
+        .filter(F.size("ss") > 0)
+        .select(
+            "doc_id",
+            *carry_cols,
+            F.transform("ss", lambda s: _md5_int(s, 7)).alias("hs"),
+        )
+    )
+
+    def _mh(p: int):
+        # one-arg lambda on purpose: a two-arg transform lambda would
+        # receive the array INDEX as its second argument
+        return F.array_min(
+            F.transform(
+                "hs",
+                lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p]))
+                % MINHASH_P,
+            )
+        ).alias(f"mh{p}")
+
+    mh = d.select("doc_id", *carry_cols, *[_mh(p) for p in range(NUM_PERM)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return mh.select(
+        "doc_id", *carry_cols, F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id",
+        *carry_cols,
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+
+
 def _stream_minhash_oracle() -> str:
     from netcdf4_variable_streamer_spark.operators.dedup import (
         BANDS,
@@ -678,63 +747,7 @@ FROM buckets GROUP BY band ORDER BY band
         "TTL/watermark eviction for unbounded feeds.",
 )
 def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from netcdf4_variable_streamer_spark.operators.dedup import (
-        BANDS,
-        MH_A,
-        MH_B,
-        MINHASH_P,
-        NUM_PERM,
-        ROWS_PER_BAND,
-        _md5_int,
-        _shingles,
-    )
-
-    docs = load_docs_stream(spark, sf_dir)
-    d = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", _shingles(F.col("toks")).alias("ss"))
-        .filter(F.size("ss") > 0)
-        .select(
-            "doc_id",
-            F.transform("ss", lambda s: _md5_int(s, 7)).alias("hs"),
-        )
-    )
-    def _mh(p: int):
-        # one-arg lambda on purpose: a two-arg transform lambda would
-        # receive the array INDEX as its second argument
-        return F.array_min(
-            F.transform(
-                "hs",
-                lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p]))
-                % MINHASH_P,
-            )
-        ).alias(f"mh{p}")
-
-    mh = d.select("doc_id", *[_mh(p) for p in range(NUM_PERM)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("sig"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = mh.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select(
-        "doc_id",
-        F.col("bs.band").alias("band"),
-        F.col("bs.sig").alias("sig"),
-    )
+    bands = _minhash_bands(load_docs_stream(spark, sf_dir))
     agg = bands.groupBy("band", "sig").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("rep"),
@@ -757,4 +770,151 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermarked MinHash LSH dedup — bounded state (VERDICT r9 "Next round" #3)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic event time for the documents table (which has
+# no timestamp column): doc_id maps onto a 4-hour ingest span, minute
+# granularity. Every sf has >= 240 docs, so all 240 residues — and all
+# four 1-hour windows — are occupied and max(ev_ts) is the same
+# 03:59:00 at every scale.
+_MH_TTL_BASE = 1_704_067_200  # 2024-01-01T00:00:00Z
+_MH_TTL_SPAN_MIN = 240
+_MH_TTL_DELAY_MIN = 30
+
+
+def _mh_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked streaming aggregation (shared by the contract key
+    and the state-eviction test): band buckets keyed by a 1-hour
+    event-time window, 30-minute watermark, APPEND mode — a window's
+    bucket state is emitted once finalized and then DROPPED from the
+    store, so state is bounded by the buckets of the open windows, not
+    the whole feed (the TTL posture q_stream_dedup_minhash's doc
+    promises for production)."""
+    docs = load_docs_stream(spark, sf_dir).withColumn(
+        "ev_ts",
+        F.timestamp_seconds(
+            F.lit(_MH_TTL_BASE)
+            + (F.col("doc_id") % _MH_TTL_SPAN_MIN) * 60
+        ),
+    ).withWatermark("ev_ts", f"{_MH_TTL_DELAY_MIN} minutes")
+    bands = _minhash_bands(docs, carry=("ev_ts",))
+    return bands.groupBy(
+        F.window("ev_ts", "1 hour").alias("w"), "band", "sig"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep"),
+    )
+
+
+def _stream_minhash_ttl_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        BANDS,
+        MH_A,
+        MH_B,
+        MINHASH_P,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _SHINGLES_SQL,
+        _md5_int_sql,
+    )
+
+    mh_cols = ",\n         ".join(
+        f"MIN(({MH_A[p]} * h + {MH_B[p]}) % {MINHASH_P}) AS mh{p}"
+        for p in range(NUM_PERM)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(CONCAT_WS(',', {cols})) AS sig FROM mh".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH ts_docs AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % {_MH_TTL_SPAN_MIN}) * INTERVAL 1 MINUTE AS ev_ts
+  FROM documents
+),
+wm AS (
+  SELECT MAX(ev_ts) - INTERVAL {_MH_TTL_DELAY_MIN} MINUTE AS w FROM ts_docs
+),
+sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {_md5_int_sql('s', 7)} AS h FROM sh),
+mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+buckets AS (
+  SELECT TIME_BUCKET(INTERVAL '1 hour', t.ev_ts) AS w_start,
+         b.band, b.sig, COUNT(*) AS n_docs, MIN(b.doc_id) AS rep
+  FROM bands b JOIN ts_docs t ON t.doc_id = b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       band,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_buckets,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+         AS n_docs_in_multi,
+       MIN(CASE WHEN n_docs > 1 THEN rep END) AS first_rep
+FROM buckets
+WHERE w_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_stream_dedup_minhash_ttl",
+    oracle=_stream_minhash_ttl_oracle(),
+    doc="STREAMING MinHash LSH dedup WITH state eviction (VERDICT r9 "
+        "#3, closing q_stream_dedup_minhash's production caveat): band "
+        "buckets are keyed by a 1-hour event-time window over a "
+        "deterministic doc_id-derived event time, a 30-minute "
+        "watermark bounds lateness, and APPEND output mode means a "
+        "window's buckets are emitted exactly once — when the "
+        "watermark passes window end — and their state rows are "
+        "REMOVED from the store (asserted against the state-operator "
+        "metrics in tests/test_streaming.py::"
+        "test_minhash_ttl_state_evicts: numRowsRemoved > 0 and final "
+        "state = open-window buckets only). State is therefore bounded "
+        "by the bucket count of the windows inside the watermark "
+        "horizon — O(near-dup structure per window), independent of "
+        "total feed length: the 100 TB unbounded-ingest posture. The "
+        "last (never-finalized) window stays in state and is NOT "
+        "emitted; the oracle applies the same rule declaratively "
+        "(w_end <= max(ev_ts) - 30 min), so in-window results are "
+        "verified identical to the batch computation.",
+)
+def q_stream_dedup_minhash_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _mh_ttl_stream(spark, sf_dir)
+    buckets = run_to_completion(agg, output_mode="append")
+    return (
+        buckets.groupBy(
+            ts_str(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "band",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias(
+                "n_multi_buckets"
+            ),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("n_docs_in_multi"),
+            F.min(F.when(F.col("n_docs") > 1, F.col("rep"))).alias(
+                "first_rep"
+            ),
+        )
+        .orderBy("window_start", "band")
     )

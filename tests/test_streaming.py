@@ -255,3 +255,77 @@ def test_q_stream_dedup_minhash_oracle(check):
     # the sf0.01 documents table contains true near-dups, so at least
     # one band must show multi-doc buckets
     assert int(pdf["n_multi_buckets"].sum()) > 0
+
+
+def test_q_stream_dedup_minhash_ttl_oracle(check):
+    """Per-key driver-contract mirror: finalized-window LSH bucket
+    stats hash-match the batch SQL with the identical finalization
+    rule (w_end <= max(ev_ts) - 30 min)."""
+    pdf = check("q_stream_dedup_minhash_ttl")
+    # 4 occupied 1-hour windows, 3 finalized (hour 3 stays open) x 8
+    # bands
+    assert sorted(pdf["window_start"].unique()) == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 01:00:00",
+        "2024-01-01 02:00:00",
+    ]
+    assert len(pdf) == 24
+
+
+def test_minhash_ttl_state_evicts(spark):
+    """The watermark actually DROPS state (VERDICT r9 #3 'done'
+    criterion): after the availableNow run, the state-operator metrics
+    must show rows removed, and the rows remaining must be exactly the
+    open (hour-3) window's buckets — not the whole feed's."""
+    import os
+    import tempfile
+    import uuid
+
+    agg = sq._mh_ttl_stream(spark, SF_DIR)
+    name = f"nvss_ttl_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(
+        prefix="ckpt_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [
+        p for p in q.recentProgress if p.get("stateOperators")
+    ]
+    assert progresses, "no state-operator progress recorded"
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in progresses
+        for so in p["stateOperators"]
+    )
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    emitted = spark.table(name).count()
+    # every finalized-window bucket was emitted AND removed from state
+    assert removed == emitted > 0
+    # remaining state = open-window buckets only; per-band bucket count
+    # is bounded by docs-per-window, so the open hour-3 window (60 of
+    # 240 doc_id residues) holds well under a quarter... compute it
+    # exactly instead: total buckets across all four windows minus the
+    # emitted (finalized) ones.
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "ev_ts",
+        F.timestamp_seconds(
+            F.lit(sq._MH_TTL_BASE)
+            + (F.col("doc_id") % sq._MH_TTL_SPAN_MIN) * 60
+        ),
+    )
+    all_buckets = (
+        sq._minhash_bands(docs, carry=("ev_ts",))
+        .groupBy(F.window("ev_ts", "1 hour"), "band", "sig")
+        .count()
+        .count()
+    )
+    assert final_total == all_buckets - emitted > 0
