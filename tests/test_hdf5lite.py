@@ -944,6 +944,96 @@ def test_extensible_array_secondary_blocks(tmp_path):
     np.testing.assert_array_equal(h2.read_slab0("v", 7, 13), d[7:13])
 
 
+def test_extensible_array_direct_paged_dblock(tmp_path):
+    """Round 10 (VERDICT r9 #4): a PAGED data block addressed DIRECTLY
+    from the index block — possible only under non-default creation
+    params (page size <= direct-block size; crafted here with
+    min_dblk=8, page_bits=1) — reads via per-page checksums with all
+    pages treated initialized (the index block persists no page-init
+    bitmap), and a corrupted page byte fails that page's checksum
+    loudly."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _ea_sblk_info,
+        lookup3,
+    )
+
+    path = os.path.join(tmp_path, "eadp.h5")
+    n = 10  # 2 index-block elements + one direct dblock of 8
+    d = np.arange(n * 2, dtype=np.int32).reshape(n, 2)
+    write_hdf5(
+        path, {"v": d},
+        {"v": {"chunk": (1, 2), "maxshape": (None, 2)}},
+        libver="latest",
+    )
+    h = HDF5File(path)
+    chunks = list(h._iter_chunks(h.datasets["v"]))
+    assert len(chunks) == n
+    addrs = [c[2] for c in chunks]
+    buf = bytearray(open(path, "rb").read())
+    max_bits, idx_elmts, min_dblk, min_ptrs, page_bits = 16, 2, 8, 2, 1
+    arr_off = 2
+    page_nelmts = 1 << page_bits  # 2 — every 8-element dblock pages
+    nsblks_total = 1 + (max_bits - (min_dblk.bit_length() - 1))
+    sblks = _ea_sblk_info(nsblks_total, min_dblk)
+    nsblks_direct = 2 * (min_ptrs.bit_length() - 1)  # = 2 (u0, u1)
+    ndblk_addrs = sum(x[0] for x in sblks[:nsblks_direct])  # = 2
+    assert sblks[0][1] == 8 > page_nelmts  # direct blocks really page
+
+    ea = len(buf)
+    iblk = ea + 72
+    iblk_size = (
+        14 + idx_elmts * 8
+        + (ndblk_addrs + (nsblks_total - nsblks_direct)) * 8 + 4
+    )
+    # u0's paged dblock: prefix + prefix checksum, then 4 two-element
+    # pages each with its own checksum
+    blk = b"EADB" + struct.pack("<BBQ", 0, 0, ea)
+    blk += (2).to_bytes(arr_off, "little")
+    img = bytearray(blk + struct.pack("<I", lookup3(blk)))
+    elems = addrs[2:] + [0xFFFFFFFFFFFFFFFF] * (8 - len(addrs[2:]))
+    page_offsets = []
+    for p in range(4):
+        page = b"".join(
+            struct.pack("<Q", a)
+            for a in elems[p * page_nelmts : (p + 1) * page_nelmts]
+        )
+        page_offsets.append(len(img))
+        img += page + struct.pack("<I", lookup3(page))
+    d0_addr = iblk + iblk_size
+    hdr = b"EAHD" + struct.pack(
+        "<BB6B", 0, 0, 8, max_bits, idx_elmts, min_dblk, min_ptrs,
+        page_bits,
+    )
+    hdr += struct.pack("<6Q", 0, 0, 1, 0, n, n)
+    hdr += struct.pack("<Q", iblk)
+    buf += hdr + struct.pack("<I", lookup3(hdr))
+    ib = b"EAIB" + struct.pack("<BBQ", 0, 0, ea)
+    ib += struct.pack("<QQ", addrs[0], addrs[1])  # direct elements
+    ib += struct.pack("<QQ", d0_addr, 0xFFFFFFFFFFFFFFFF)  # u0, u1
+    ib += b"".join(
+        struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+        for _ in range(nsblks_total - nsblks_direct)
+    )
+    buf += ib + struct.pack("<I", lookup3(ib))
+    assert len(buf) == d0_addr
+    buf += img
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    h2 = HDF5File(path)
+    h2.datasets["v"].btree_addr = ea  # point at the crafted EA
+    np.testing.assert_array_equal(h2.read("v"), d)
+    np.testing.assert_array_equal(h2.read_slab0("v", 3, 9), d[3:9])
+    # flip one byte inside page 2's elements: loud page-checksum error
+    buf2 = bytearray(buf)
+    buf2[d0_addr + page_offsets[2] + 3] ^= 0x10
+    with open(path, "wb") as f:
+        f.write(bytes(buf2))
+    h3 = HDF5File(path)
+    h3.datasets["v"].btree_addr = ea
+    with pytest.raises(ValueError, match="page checksum mismatch"):
+        h3.read("v")
+
+
 def test_nc4_tail_grows_past_capacity(tmp_path):
     """Appending past the preallocated capacity rewrites the chunk
     B-trees append-only (amortized doubling) — the stream is unbounded
