@@ -12,12 +12,19 @@ Writer (:func:`write_netcdf4`) emits by default the oldest, most
 compatible encodings — the same ones the HDF5 1.8+ library writes by
 default:
 
-- superblock version 0 (8-byte offsets/lengths, little-endian);
+- superblock version 0 or 1 (8-byte offsets/lengths, little-endian;
+  v1 carries the non-default chunk-B-tree K fields — ignored on read,
+  every B-tree node self-describes its entry count), at offset 0 or
+  behind a 512<<n userblock (round 10: signature scan + base-shifted
+  zero-copy view);
 - version-1 object headers;
 - the symbol-table root group (v1 group B-tree + local heap + SNOD);
 - dataspace v1 / datatype v1 (fixed-point, IEEE float, fixed string) /
   layout v3 (contiguous, or chunked with a v1 raw-data B-tree);
 - filter pipeline v1 with shuffle (id 2) + deflate (id 1, stdlib zlib);
+- fill-value messages 0x0005 v1/v2/v3 and old-style 0x0004 (round 10):
+  a DEFINED fill surfaces from unallocated chunks/contiguous storage
+  instead of zeros — the netcdf-c _FillValue posture;
 - attribute messages v1 (scalar/1-D numeric + string);
 - netCDF-4 dimension conventions: every dimension is a 1-D dataset
   tagged ``CLASS="DIMENSION_SCALE"`` (+ ``_Netcdf4Dimid``); variables
@@ -612,6 +619,19 @@ def _rot32(x: int, k: int) -> int:
     return ((x << k) | (x >> (32 - k))) & _M32
 
 
+def _find_nul(b, start: int) -> int:
+    """Index of the first NUL at/after ``start`` in a bytes-like
+    buffer, or -1. mmap has ``find`` but the userblock-shifted
+    memoryview does not; bounded chunk scans keep this O(name)."""
+    pos, n = start, len(b)
+    while pos < n:
+        i = bytes(b[pos : pos + 256]).find(0)
+        if i >= 0:
+            return pos + i
+        pos += 256
+    return -1
+
+
 def lookup3(data: bytes, initval: int = 0) -> int:
     """Bob Jenkins' lookup3 ``hashlittle()`` — HDF5's metadata checksum
     (H5_checksum_metadata). Public-domain algorithm, little-endian
@@ -916,6 +936,7 @@ def _write_dataset(
     index: str | None = None,
     resolve: dict[str, int] | None = None,
     presized: list[int] | None = None,
+    fillvalue=None,
 ) -> int:
     """Append one dataset's data + object header; return header addr.
     ``resolve`` maps already-written dataset names to header addresses
@@ -1006,6 +1027,19 @@ def _write_dataset(
         mk(0x0001, _dataspace(arr.shape, maxshape, latest=latest)),
         mk(0x0003, dt_body),
     ]
+    if fillvalue is not None:
+        # fill value message, version 3 (round 10): flags bit 5 =
+        # "fill value defined", IFSET alloc time (2 = incremental),
+        # late write time; libhdf5 writes one of these on every
+        # dataset — emitting it lets the reader's fill path be
+        # exercised against real message bytes
+        fb = np.asarray(fillvalue, dtype=arr.dtype).tobytes()
+        msgs.append(
+            mk(
+                0x0005,
+                struct.pack("<BBI", 3, 0x20 | 0x02, len(fb)) + fb,
+            )
+        )
     if chunk is None:
         addr = len(out)
         out += arr.tobytes()
@@ -1714,6 +1748,7 @@ def write_hdf5(
             index=o.get("index"),
             resolve=written,
             presized=o.get("presized"),
+            fillvalue=o.get("fillvalue"),
         )
         written[name] = addr
         gpath, _, leaf = name.rpartition("/")
@@ -1786,6 +1821,12 @@ class DatasetInfo:
     # descriptor machinery; reads decode to object arrays of
     # variable-length numpy arrays of this base dtype
     vlen_seq: "np.dtype | None" = None
+    # raw fill-value bytes from a 0x0005 (v1/v2/v3) or 0x0004 message
+    # (round 10): unallocated chunks / contiguous storage read as this
+    # value instead of zeros — libhdf5 and netcdf-c write these
+    # messages on every dataset; our writer never does, so this is
+    # reader-side interop only. None = no defined fill (zeros).
+    fill: bytes | None = None
 
     @property
     def unlimited0(self) -> bool:
@@ -1848,13 +1889,30 @@ class HDF5File:
                 raise ValueError(f"{path}: not an HDF5 file (empty)")
         b = self._buf
         if b[:8] != _SIG:
-            raise ValueError(f"{path}: not an HDF5 file")
+            # userblock (round 10 interop): libhdf5 places the
+            # signature at 512 << n when the file carries a userblock,
+            # and every stored address is relative to that base — a
+            # shifted zero-copy view makes the rest of the reader
+            # base-unaware. Our writers never emit userblocks.
+            off = 512
+            while off < len(b) and b[off : off + 8] != _SIG:
+                off *= 2
+            if off >= len(b):
+                raise ValueError(f"{path}: not an HDF5 file")
+            self._mmap = self._buf  # keep the mapping alive
+            self._buf = b = memoryview(self._buf)[off:]
         sb_ver = b[8]
-        if sb_ver == 0:
+        if sb_ver in (0, 1):
             if b[13] != 8 or b[14] != 8:
                 raise ValueError(f"{path}: only 8-byte offsets/lengths")
-            # v0: root symbol table entry at offset 24+32 = 56
-            root_header = struct.unpack_from("<Q", b, 56 + 8)[0]
+            # root symbol table entry at 24+32 = 56; superblock v1
+            # (emitted for non-default chunk-B-tree K — "Indexed
+            # Storage Internal Node K" + 2 reserved bytes after the
+            # consistency flags) shifts it to 60. The K values
+            # themselves never matter on read: every v1 B-tree node
+            # self-describes its entry count.
+            root_entry = 56 if sb_ver == 0 else 60
+            root_header = struct.unpack_from("<Q", b, root_entry + 8)[0]
         elif sb_ver in (2, 3):
             # v2/v3 ("latest"): fixed 48-byte superblock, root object
             # header address at offset 36, lookup3 checksum at 44
@@ -1870,7 +1928,7 @@ class HDF5File:
         else:
             raise ValueError(
                 f"{path}: superblock v{sb_ver} not supported "
-                "(v0/v2/v3 only)"
+                "(v0/v1/v2/v3 only)"
             )
         self.attrs: dict = {}
         self.datasets: dict[str, DatasetInfo] = {}
@@ -2392,7 +2450,10 @@ class HDF5File:
             pos, remaining = regions.pop(0)
             while remaining >= 8 and len(out) < nmsgs:
                 mtype, msize, _flags = struct.unpack_from("<HHB", b, pos)
-                body = b[pos + 8 : pos + 8 + msize]
+                # bytes() copy: mmap slices copy already; the
+                # userblock-shifted memoryview would hand parsers a
+                # view lacking bytes methods
+                body = bytes(b[pos + 8 : pos + 8 + msize])
                 body_off = pos + 8
                 pos += 8 + msize
                 remaining -= 8 + msize
@@ -2434,7 +2495,7 @@ class HDF5File:
             while remaining >= mh:  # any trailing gap is < one header
                 mtype = b[pos]
                 msize = struct.unpack_from("<H", b, pos + 1)[0]
-                body = b[pos + mh : pos + mh + msize]
+                body = bytes(b[pos + mh : pos + mh + msize])
                 body_off = pos + mh
                 pos += mh + msize
                 remaining -= mh + msize
@@ -2472,13 +2533,13 @@ class HDF5File:
         b = self._buf
         self._expect_sig(heap_addr, b"HEAP", "local heap")
         seg = struct.unpack_from("<Q", b, heap_addr + 24)[0]
-        end = b.find(b"\x00", seg + offset)  # mmap has find, not index
+        end = _find_nul(b, seg + offset)
         if end < 0:
             raise ValueError(
                 f"{self.path}: unterminated local-heap name at "
                 f"offset {seg + offset} — file truncated or corrupt"
             )
-        return b[seg + offset : end].decode()
+        return bytes(b[seg + offset : end]).decode()
 
     def _walk_group(self, bt_addr: int, heap_addr: int):
         """Yield (name, object_header_addr) from a v1 group B-tree."""
@@ -2720,7 +2781,9 @@ class HDF5File:
                 )
             st = starts[gi]
             out[sel] = [
-                buf[s : s + n].decode("utf-8", "replace")
+                # bytes() is a no-op for mmap slices (already bytes)
+                # and materializes userblock-shifted memoryview slices
+                bytes(buf[s : s + n]).decode("utf-8", "replace")
                 for s, n in zip(st.tolist(), ln.tolist())
             ]
         return out.reshape(desc.shape)
@@ -2894,6 +2957,31 @@ class HDF5File:
                     self._parse_layout4(name, body, info)
                 else:
                     raise ValueError(f"{name}: layout v{ver} (v3/v4 only)")
+            elif t == 0x0005:
+                # fill value (new): v1/v2 carry explicit alloc/write
+                # time + "defined" bytes; v3 packs them into a flags
+                # byte (bit 5 = defined, bit 4 = undefined)
+                ver = body[0]
+                if ver in (1, 2):
+                    defined = body[3]
+                    if ver == 1 or defined == 1:
+                        size = struct.unpack_from("<I", body, 4)[0]
+                        if size:
+                            info.fill = bytes(body[8 : 8 + size])
+                elif ver == 3:
+                    if body[1] & 0x20:  # fill value defined
+                        size = struct.unpack_from("<I", body, 2)[0]
+                        if size:
+                            info.fill = bytes(body[6 : 6 + size])
+                else:
+                    raise ValueError(
+                        f"{name}: fill-value message v{ver} (v1-v3 only)"
+                    )
+            elif t == 0x0004:
+                # fill value (old): just size + bytes
+                size = struct.unpack_from("<I", body, 0)[0]
+                if size:
+                    info.fill = bytes(body[4 : 4 + size])
             elif t == 0x000B:
                 info.filters = self._parse_filters(body)
             elif t == 0x000C:
@@ -3324,6 +3412,32 @@ class HDF5File:
 
         return _corrupt_guard(self.path, impl)
 
+    def _fill_alloc(self, info: DatasetInfo, shape) -> np.ndarray:
+        """Allocate an output array pre-set to the dataset's DEFINED
+        fill value (round 10 — libhdf5/netcdf-c write fill messages our
+        writer never emits): unallocated chunks and unallocated
+        contiguous storage must surface the file's fill, not zeros.
+        Vlen datasets keep zeroed descriptors (they decode to ""/empty
+        — netcdf-c's vlen fill — and a raw descriptor fill would point
+        into a heap this reader has no element for); a fill whose size
+        disagrees with the element size is rejected loudly."""
+        if (
+            info.fill is None
+            or info.vlen_str
+            or info.vlen_seq is not None
+            or not any(info.fill)  # all-zero fill == default
+        ):
+            return np.zeros(shape, dtype=info.dtype)
+        if len(info.fill) != info.dtype.itemsize:
+            raise ValueError(
+                f"{info.name}: fill value is {len(info.fill)} bytes "
+                f"but elements are {info.dtype.itemsize} — corrupt "
+                "fill-value message"
+            )
+        out = np.empty(shape, dtype=info.dtype)
+        out[...] = np.frombuffer(info.fill, dtype=info.dtype)[0]
+        return out
+
     def _read_impl(self, name: str) -> np.ndarray:
         info = self.datasets[name]
         self._check_alloc(name, info.shape, info.dtype)
@@ -3331,10 +3445,10 @@ class HDF5File:
             self._check_alloc(name, info.chunk, info.dtype)
         if info.layout == "contiguous":
             if info.data_addr == UNDEF:
-                return np.zeros(info.shape, dtype=info.dtype)
+                return self._fill_alloc(info, info.shape)
             raw = self._buf[info.data_addr : info.data_addr + info.data_size]
             return np.frombuffer(raw, dtype=info.dtype).reshape(info.shape)
-        out = np.zeros(info.shape, dtype=info.dtype)
+        out = self._fill_alloc(info, info.shape)
         for origin, nbytes, addr in self._iter_chunks(info):
             block = self._decode_chunk(info, nbytes, addr)
             sl = tuple(
@@ -3374,8 +3488,10 @@ class HDF5File:
         if hi <= lo:
             return np.zeros((0, *info.shape[1:]), dtype=info.dtype)
         if info.layout == "contiguous":
-            if info.data_addr == UNDEF:  # unallocated: zeros, like read()
-                return np.zeros((hi - lo, *info.shape[1:]), dtype=info.dtype)
+            if info.data_addr == UNDEF:  # unallocated: fill, like read()
+                return self._fill_alloc(
+                    info, (hi - lo, *info.shape[1:])
+                )
             row = int(np.prod(info.shape[1:], dtype=np.int64)) or 1
             isz = info.dtype.itemsize
             raw = self._buf[
@@ -3385,7 +3501,7 @@ class HDF5File:
             return np.frombuffer(raw, dtype=info.dtype).reshape(
                 (hi - lo, *info.shape[1:])
             )
-        out = np.zeros((hi - lo, *info.shape[1:]), dtype=info.dtype)
+        out = self._fill_alloc(info, (hi - lo, *info.shape[1:]))
         c0 = info.chunk[0]
         for origin, nbytes, addr in self._iter_chunks(info):
             if origin[0] + c0 <= lo or origin[0] >= hi:

@@ -857,3 +857,326 @@ def test_filtered_fractal_heap_fuzz(n_objs, size_hi, level, seed):
     assert heap["filters"] == [(1, [level])]
     for nm, body in objs.items():
         assert h._fheap_object(heap, ids[nm]) == body
+
+
+# ---------------------------------------------------------------------------
+# Interop fuzz round 3 (VERDICT r9 "Next round" #6): reader-side layouts
+# libhdf5 emits that our writer never does.
+# ---------------------------------------------------------------------------
+
+
+def test_userblock_offset_files(tmp_path):
+    """libhdf5 places the signature at 512 << n when the file carries a
+    userblock, with every stored address relative to that base. The
+    reader must find the shifted superblock and read identically for
+    several userblock sizes — including a userblock whose bytes are
+    arbitrary (only the signature scan positions matter)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    v = (np.arange(60, dtype=np.int32) * 3).reshape(20, 3)
+    base = os.path.join(tmp_path, "plain.h5")
+    write_hdf5(
+        base, {"v": v},
+        {"v": {"chunk": (4, 3), "compress": 3, "shuffle": True}},
+        attrs={"k": 7},
+    )
+    orig = open(base, "rb").read()
+    rng = np.random.RandomState(7)
+    for ub in (512, 1024, 4096):
+        blob = rng.bytes(ub)
+        # a userblock must not itself start with the signature
+        assert blob[:8] != b"\x89HDF\r\n\x1a\n"
+        p = os.path.join(tmp_path, f"ub{ub}.h5")
+        with open(p, "wb") as f:
+            f.write(blob + orig)
+        h = HDF5File(p)
+        assert int(h.attrs["k"]) == 7
+        np.testing.assert_array_equal(h.read("v"), v)
+        np.testing.assert_array_equal(h.read_slab0("v", 5, 13), v[5:13])
+    # the latest-encoding family through the shifted view too: v2
+    # superblock, OHDR headers, dense attributes (fractal heap + v2
+    # B-tree), vlen strings via the global heap, EA chunk index
+    vs = np.array(["alpha", "", "useriblock", None, "z"], dtype=object)
+    base2 = os.path.join(tmp_path, "latest.h5")
+    write_hdf5(
+        base2,
+        {"v": v, "s": vs},
+        {
+            "v": {
+                "chunk": (4, 3),
+                "maxshape": (None, 3),
+                "attrs": {f"a{i}": i for i in range(10)},
+            }
+        },
+        libver="latest",
+    )
+    orig2 = open(base2, "rb").read()
+    p = os.path.join(tmp_path, "ub_latest.h5")
+    with open(p, "wb") as f:
+        f.write(rng.bytes(1024) + orig2)
+    h = HDF5File(p)
+    np.testing.assert_array_equal(h.read("v"), v)
+    assert list(h.read("s")) == ["alpha", "", "useriblock", "", "z"]
+    assert int(h.datasets["v"].attrs["a9"]) == 9
+
+    # garbage of userblock-looking length with no signature anywhere
+    p = os.path.join(tmp_path, "junk.h5")
+    with open(p, "wb") as f:
+        f.write(rng.bytes(2048))
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        HDF5File(p)
+
+
+def test_superblock_v1_nondefault_btree_k(tmp_path):
+    """Superblock VERSION 1 — what libhdf5 emits when the chunk
+    B-tree's internal-node K is non-default (H5Pset_istore_k): the 4
+    extra bytes (indexed-storage K + reserved) shift the root symbol
+    entry from 56 to 60. Crafted by rewriting a v0 file's superblock
+    in place — the v1 superblock's trailing scratch bytes overlap the
+    first object header's first 4 bytes, which is legal because
+    cache-type-0 scratch is ignored. The K values themselves (leaf 3,
+    internal 11, istore 17 — all non-default) must not perturb the
+    walk: every v1 B-tree node self-describes its entry count."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    v = (np.arange(210, dtype=np.int16) % 101).reshape(70, 3)
+    p0 = os.path.join(tmp_path, "v0.h5")
+    # chunk (4, 3) -> 18 chunks: the v1 B-tree chunk index is exercised
+    write_hdf5(p0, {"v": v}, {"v": {"chunk": (4, 3)}}, attrs={"q": 2.5})
+    orig = bytearray(open(p0, "rb").read())
+    root_header = struct.unpack_from("<Q", orig, 56 + 8)[0]
+    sb = bytearray(100)
+    sb[0:8] = b"\x89HDF\r\n\x1a\n"
+    sb[8] = 1  # superblock version 1
+    sb[13] = 8  # sizeof offsets
+    sb[14] = 8  # sizeof lengths
+    struct.pack_into("<HH", sb, 16, 3, 11)  # non-default group K's
+    struct.pack_into("<HH", sb, 24, 17, 0)  # non-default istore K
+    struct.pack_into("<QQQQ", sb, 28, 0, 0xFFFFFFFFFFFFFFFF,
+                     len(orig), 0xFFFFFFFFFFFFFFFF)
+    # root symbol table entry at 60: name offset 0, header address,
+    # cache type 0 (scratch ignored -> may overlap orig[96:100])
+    struct.pack_into("<QQII", sb, 60, 0, root_header, 0, 0)
+    sb[96:100] = orig[96:100]
+    p1 = os.path.join(tmp_path, "v1.h5")
+    with open(p1, "wb") as f:
+        f.write(bytes(sb) + bytes(orig[100:]))
+    h = HDF5File(p1)
+    assert float(h.attrs["q"]) == 2.5
+    np.testing.assert_array_equal(h.read("v"), v)
+    np.testing.assert_array_equal(h.read_slab0("v", 60, 70), v[60:70])
+
+
+def test_fill_value_messages_all_versions(tmp_path):
+    """Fill-value messages (libhdf5 writes one per dataset; our writer
+    only under the explicit fillvalue opt): a defined fill must
+    surface from UNALLOCATED storage instead of zeros, across message
+    versions 3 (as written), 1, and 2 (patched over the v3 body in
+    place — v1 headers carry no checksums)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    v = np.full((6, 2), 4.0, dtype=np.float32)
+    p = os.path.join(tmp_path, "fill.h5")
+    write_hdf5(p, {"v": v}, {"v": {"fillvalue": np.float32(-9.5)}})
+    # allocated storage: fill value irrelevant
+    np.testing.assert_array_equal(HDF5File(p).read("v"), v)
+
+    # patch the contiguous layout's data address to UNDEF -> the
+    # dataset reads as pure fill
+    h = HDF5File(p)
+    buf = bytearray(open(p, "rb").read())
+    msgs = h._messages_at(h._header_addr["v"])
+    layout_off = next(off for t, b, off in msgs if t == 0x0008)
+    fill_off = next(off for t, b, off in msgs if t == 0x0005)
+    struct.pack_into("<Q", buf, layout_off + 2, 0xFFFFFFFFFFFFFFFF)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    got = HDF5File(p).read("v")
+    np.testing.assert_array_equal(
+        got, np.full((6, 2), -9.5, dtype=np.float32)
+    )
+    np.testing.assert_array_equal(
+        HDF5File(p).read_slab0("v", 2, 5),
+        np.full((3, 2), -9.5, dtype=np.float32),
+    )
+
+    # v1 body over the same bytes: ver, alloc, write time, defined,
+    # size, data (v1 always carries size+data)
+    fb = np.float32(2.25).tobytes()
+    buf[fill_off : fill_off + 8 + 4] = (
+        struct.pack("<BBBBI", 1, 2, 0, 1, 4) + fb
+    )
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    np.testing.assert_array_equal(
+        HDF5File(p).read("v"), np.full((6, 2), 2.25, dtype=np.float32)
+    )
+
+    # v2 body, defined=1: same layout as v1
+    buf[fill_off] = 2
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    np.testing.assert_array_equal(
+        HDF5File(p).read("v"), np.full((6, 2), 2.25, dtype=np.float32)
+    )
+
+    # v2 with defined=0: no fill -> zeros
+    buf[fill_off + 3] = 0
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    np.testing.assert_array_equal(
+        HDF5File(p).read("v"), np.zeros((6, 2), dtype=np.float32)
+    )
+
+    # corrupt size: loud, names the defect
+    buf[fill_off : fill_off + 8 + 4] = (
+        struct.pack("<BBBBI", 1, 2, 0, 1, 3) + fb[:3] + b"\0"
+    )
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="fill value is 3 bytes"):
+        HDF5File(p).read("v")
+
+
+def test_fill_value_chunked_unallocated(tmp_path):
+    """Chunked dataset with a defined fill: chunks the index never
+    allocated read as the FILL value, allocated chunks as data — the
+    the netcdf-c _FillValue-at-HDF5-level posture (libhdf5's v1-B-tree
+    chunk index simply carries NO entry for an unallocated chunk).
+    Crafted by deleting the middle leaf entry in place — decrement
+    "entries used", shift the rest left; v1 B-trees carry no
+    checksums."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    v = (np.arange(24, dtype=np.int32) + 1).reshape(12, 2)
+    p = os.path.join(tmp_path, "cfill.h5")
+    write_hdf5(
+        p, {"v": v},
+        {"v": {"chunk": (4, 2), "fillvalue": np.int32(-7)}},
+    )
+    h = HDF5File(p)
+    info = h.datasets["v"]
+    assert info.fill is not None
+    chunks = list(h._iter_chunks(info))
+    assert len(chunks) == 3
+    bt = info.btree_addr
+    buf = bytearray(open(p, "rb").read())
+    used = struct.unpack_from("<H", buf, bt + 6)[0]
+    assert used == 3
+    keysize = 8 + 8 * (2 + 1)  # ndims=2 (+1 element-size key slot)
+    entry = keysize + 8
+    e1 = bt + 24 + entry  # middle entry start
+    # delete entry 1: shift entry 2 over it, decrement "entries used"
+    buf[e1 : e1 + entry] = buf[e1 + entry : e1 + 2 * entry]
+    struct.pack_into("<H", buf, bt + 6, used - 1)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    got = HDF5File(p).read("v")
+    exp = v.copy()
+    exp[4:8] = -7
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_creation_order_tracked_dense_storage(tmp_path):
+    """Attribute-info and link-info messages with creation-order
+    TRACKING (flags bit 0: +max-creation-index field) and INDEXING
+    (flags bit 1: +creation-order B-tree address after the name
+    B-tree) — libhdf5 emits these under H5Pset_attr/link_creation_
+    order; our writer never tracks. The parsers must step over both
+    optional fields and land on the same heap/B-tree addresses."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    # dense attributes (>8) force the fractal-heap + v2-B-tree path
+    attrs = {f"a{i}": np.float64(i) / 4 for i in range(12)}
+    p = os.path.join(tmp_path, "dense.h5")
+    write_hdf5(
+        p,
+        {"v": np.arange(4, dtype=np.int32)},
+        {"v": {"attrs": attrs}},
+        libver="latest",
+    )
+    h = HDF5File(p)
+    ai = next(
+        b
+        for t, b in h._messages(h._header_addr["v"])
+        if t == 0x0015
+    )
+    assert ai[1] == 0  # writer emits untracked
+    fheap, bt2 = struct.unpack_from("<QQ", ai, 2)
+    base = dict(h._attr_info(ai))
+    assert {k: float(v) for k, v in base.items()} == {
+        k: float(v) for k, v in attrs.items()
+    }
+    # tracked: version, flags=1, max creation index (2), addrs
+    tracked = bytes([ai[0], 1]) + struct.pack("<H", 12) + ai[2:]
+    assert dict(h._attr_info(tracked)) == base
+    # tracked + indexed: creation-order B-tree address appended AFTER
+    # the name B-tree address (the parser must not read past it)
+    both = (
+        bytes([ai[0], 3])
+        + struct.pack("<H", 12)
+        + struct.pack("<QQ", fheap, bt2)
+        + struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+    )
+    assert dict(h._attr_info(both)) == base
+
+    # link info: same flag grammar on the group side — dense links
+    # (>8 children) force the fractal-heap group storage
+    data = {
+        f"g/ds{i:02d}": np.arange(3, dtype=np.int32) + i
+        for i in range(10)
+    }
+    p2 = os.path.join(tmp_path, "dlinks.h5")
+    write_hdf5(p2, data, libver="latest")
+    h2 = HDF5File(p2)
+    gaddr = next(
+        a for n, a in h2._header_addr.items() if n.startswith("g/")
+    )
+    # rebuild the group's own header address via the root walk: craft
+    # link-info bodies directly instead (the group header is not kept)
+    root_msgs = None
+    # find the subgroup header by scanning any dataset's parent: use
+    # the root group object header from the superblock
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    b = h2._buf
+    root_header = struct.unpack_from("<Q", b, 36)[0]
+    sub = dict(h2._group_children(h2._messages(root_header)))["g"]
+    li = next(
+        bb for t, bb in h2._messages(sub) if t == 0x0002
+    )
+    assert li[1] == 0
+    fheap2, bt22 = struct.unpack_from("<QQ", li, 2)
+    expect = sorted(data)
+    got_base = sorted(
+        "g/" + n for n, _ in h2._dense_links(fheap2, bt22)
+    )
+    assert got_base == expect
+    tracked_li = bytes([li[0], 1]) + struct.pack("<Q", 10) + li[2:]
+    both_li = (
+        bytes([li[0], 3])
+        + struct.pack("<Q", 10)
+        + struct.pack("<QQ", fheap2, bt22)
+        + struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+    )
+    for crafted in (tracked_li, both_li):
+        msgs = [(0x0002, crafted)]
+        links = h2._group_children(msgs)
+        assert sorted(n for n, _ in links) == [
+            f"ds{i:02d}" for i in range(10)
+        ]

@@ -220,8 +220,8 @@ def test_dim_resolution_without_coordinates_attr(tmp_path):
 def test_clear_errors_for_out_of_scope(tmp_path):
     p = os.path.join(tmp_path, "bad.h5")
     with open(p, "wb") as f:
-        f.write(b"\x89HDF\r\n\x1a\n" + bytes([1]) + b"\x00" * 80)
-    with pytest.raises(ValueError, match="superblock v1"):
+        f.write(b"\x89HDF\r\n\x1a\n" + bytes([4]) + b"\x00" * 80)
+    with pytest.raises(ValueError, match="superblock v4"):
         HDF5File(p)
     # v2 superblock with corrupt checksum fails loudly, not garbage-parse
     with open(p, "wb") as f:
