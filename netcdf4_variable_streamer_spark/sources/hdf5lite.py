@@ -81,14 +81,18 @@ NC_VLEN datasets and attributes over string, numeric, and compound
 bases decode from the global heap (vlen-of-reference refuses).
 
 Fractal heaps: managed objects in root-direct, root-indirect, and
-nested-indirect layouts (reader); huge objects (type-1 v2 B-tree of
-(address, length, id) records) and tiny objects (payload packed in
-the id) read too. The writer emits root-direct, greedy
-root-indirect, and huge layouts.
+nested-indirect layouts (reader); huge objects — unfiltered
+(type-1 v2 B-tree of (address, length, id) records, or direct wide
+ids) AND, since round 10, FILTERED (type-2 records with
+(address, stored length, filter mask, memory size, id), and the
+directly-accessed wide-id variant) — and tiny objects (payload
+packed in the id) read too. The writer emits root-direct, greedy
+root-indirect, and unfiltered huge layouts.
 
-Honest scope (loud refusals naming the feature): huge heap ids at
-id_len >= 17 (writer side), vlen-of-reference datasets, unknown
-filter ids (szip et al). Documented assumption rather than refusal:
+Honest scope (loud refusals naming the feature): filtered huge
+objects and huge heap ids at id_len >= 17 (writer side; the reader
+handles both), vlen-of-reference datasets, unknown filter ids
+(szip et al). Documented assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own
@@ -2205,7 +2209,25 @@ class HDF5File:
             length = (flags & 0x0F) + 1
             return bytes(hid[1 : 1 + length])
         if typ == 1:  # huge
+            filtered = heap["filters"] is not None
             if heap["id_len"] - 1 >= 16:
+                if filtered:
+                    # directly accessed, FILTERED (round 10): the id
+                    # carries (address, stored length, filter mask,
+                    # memory size) — v2-B-tree record type 4's fields,
+                    # no B-tree lookup
+                    if heap["id_len"] - 1 < 28:
+                        raise ValueError(
+                            f"{self.path}: filtered huge fractal-heap "
+                            f"id of {heap['id_len']} bytes cannot hold "
+                            "(address, length, mask, memory size)"
+                        )
+                    addr, length, mask, memsize = struct.unpack_from(
+                        "<QQIQ", hid, 1
+                    )
+                    return self._defilter_huge(
+                        heap, addr, length, mask, memsize
+                    )
                 # direct: (address, length) packed into the id
                 addr, length = struct.unpack_from("<QQ", hid, 1)
             else:
@@ -2215,13 +2237,25 @@ class HDF5File:
                             f"{self.path}: huge fractal-heap id with "
                             "no huge-object B-tree"
                         )
-                    heap["huge_map"] = {
-                        struct.unpack_from("<Q", r, 16)[0]:
-                            struct.unpack_from("<QQ", r, 0)
-                        for r in self._bt2_records(
-                            heap["huge_bt2_addr"], 1
-                        )
-                    }
+                    if filtered:
+                        # indirectly accessed, FILTERED (round 10):
+                        # type-2 records — (address, stored length,
+                        # filter mask, memory size, id)
+                        heap["huge_map"] = {
+                            struct.unpack_from("<Q", r, 28)[0]:
+                                struct.unpack_from("<QQIQ", r, 0)
+                            for r in self._bt2_records(
+                                heap["huge_bt2_addr"], 2
+                            )
+                        }
+                    else:
+                        heap["huge_map"] = {
+                            struct.unpack_from("<Q", r, 16)[0]:
+                                struct.unpack_from("<QQ", r, 0)
+                            for r in self._bt2_records(
+                                heap["huge_bt2_addr"], 1
+                            )
+                        }
                 huge_id = int.from_bytes(
                     hid[1 : heap["id_len"]], "little"
                 )
@@ -2229,6 +2263,13 @@ class HDF5File:
                     raise ValueError(
                         f"{self.path}: huge fractal-heap id {huge_id} "
                         "missing from the huge-object B-tree"
+                    )
+                if filtered:
+                    addr, length, mask, memsize = heap["huge_map"][
+                        huge_id
+                    ]
+                    return self._defilter_huge(
+                        heap, addr, length, mask, memsize
                     )
                 addr, length = heap["huge_map"][huge_id]
             return bytes(b[addr : addr + length])
@@ -2243,6 +2284,40 @@ class HDF5File:
         buf2, base, _dsize, doff = self._fheap_direct_block(heap, off)
         s = base + (off - doff)
         return bytes(buf2[s : s + length])
+
+    def _defilter_huge(
+        self, heap: dict, addr: int, length: int, mask: int,
+        memsize: int,
+    ) -> bytes:
+        """Decode one FILTERED huge object (round 10): apply the
+        heap's I/O pipeline in reverse — skipping filters whose mask
+        bit says they were not applied — and verify the decoded size
+        against the record's memory size (a silent truncation would
+        otherwise parse as a garbage message)."""
+        raw = bytes(self._buf[addr : addr + length])
+        for i, (fid, cvals) in enumerate(reversed(heap["filters"])):
+            if mask & (1 << (len(heap["filters"]) - 1 - i)):
+                continue  # filter skipped for this object
+            if fid == 1:
+                raw = zlib.decompress(raw)
+            elif fid == 2:
+                esz = cvals[0] if cvals else 1
+                raw = (
+                    np.frombuffer(raw, np.uint8)
+                    .reshape(esz, -1)
+                    .T.tobytes()
+                )
+            else:
+                raise ValueError(
+                    f"{self.path}: fractal-heap filter id {fid} "
+                    "unsupported"
+                )
+        if len(raw) != memsize:
+            raise ValueError(
+                f"{self.path}: filtered huge object decoded to "
+                f"{len(raw)} bytes, record says {memsize} — corrupt"
+            )
+        return raw
 
     def _fheap_direct_block(
         self, heap: dict, off: int
