@@ -3618,6 +3618,7 @@ def write_netcdf4(
     chunk0: int = 16,
     libver: str = "earliest",
     presized: dict[str, list[int]] | None = None,
+    fillvalues: dict | None = None,
 ) -> None:
     """Write a NetCDF-4 (= HDF5) file with netcdf-c's dimension
     conventions. Same signature family as :func:`write_netcdf3`; the
@@ -3628,8 +3629,11 @@ def write_netcdf4(
     compressed-size lists (see :func:`create_netcdf4_compressed`) —
     those variables' data is NOT written here (``data`` may omit
     them); their chunk spans are reserved for a later positional-write
-    pass."""
+    pass. ``fillvalues`` maps variable names to a defined fill — the
+    HDF5-level half of netcdf-c's _FillValue (a v3 fill-value message;
+    unallocated chunks read back as the fill)."""
     var_attrs = var_attrs or {}
+    fillvalues = fillvalues or {}
     presized = presized or {}
     dim_names = list(dims)
     rec_dims = [d for d, n in dims.items() if n is None]
@@ -3718,6 +3722,8 @@ def write_netcdf4(
             o["shuffle"] = shuffle
         if name in presized:
             o["presized"] = presized[name]
+        if name in fillvalues:
+            o["fillvalue"] = np.asarray(fillvalues[name], dtype=dt)
         datasets[name] = arr
         opts[name] = o
 

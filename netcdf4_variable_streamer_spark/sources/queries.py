@@ -3264,3 +3264,173 @@ def src_netcdf4_dense_wide_scan(
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 interop scan keys: userblock-offset containers and defined
+# fill values surfacing from unallocated chunks — the codec features
+# driven end-to-end through the Spark DataSource.
+# ---------------------------------------------------------------------------
+
+
+def ensure_nc4_userblock(path: str | None = None) -> str:
+    """The grid .nc4 behind a 1024-byte userblock: libhdf5 files may
+    reserve a leading userblock (512 << n bytes) with the HDF5
+    signature — and the base for every stored address — shifted past
+    it. Deterministic non-signature prefix bytes."""
+    src = ensure_nc4()
+    path = path or os.path.join(SCRATCH, "grid_ub.nc4")
+    if os.path.exists(path):
+        return path
+    prefix = (b"NVSS userblock fixture\x00" * 48)[:1024]
+    assert prefix[:8] != b"\x89HDF\r\n\x1a\n"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(prefix + open(src, "rb").read())
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_userblock_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       {SQL_DSUM('humidity')} AS sum_hum
+FROM g
+WHERE t >= 8 AND t < 72
+""",
+    doc="NetCDF-4 container behind a 1024-byte USERBLOCK (round 10 "
+        "interop): the reader scans for the signature at 512 << n and "
+        "reads through a base-shifted zero-copy view, so chunk "
+        "addresses, heaps, and B-trees all resolve against the "
+        "shifted base — scanned through the Spark DataSource with "
+        "record-range partitions and pushdown pruning exactly like "
+        "the plain container (window [8, 72); closed-form oracle "
+        "hash-checks the shifted round trip).",
+)
+def src_netcdf4_userblock_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_userblock())
+        .load()
+        .filter((F.col("time_idx") >= 8) & (F.col("time_idx") < 72))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("time_idx").alias("n_lines"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+    )
+
+
+_FILL_T0, _FILL_T1 = 16, 32  # records served by the deleted chunk
+_FILL_VAL = -999.0
+
+
+def ensure_nc4_fill(path: str | None = None) -> str:
+    """A .nc4 whose temperature variable has a DEFINED fill value
+    (-999, a v3 fill-value message — the HDF5 half of netcdf-c's
+    _FillValue) and one UNALLOCATED chunk: after writing, the chunk
+    covering records [16, 32) is deleted from the v1 B-tree in place
+    (libhdf5's index simply has no entry for never-written chunks).
+    Reads must surface the fill for those records, real data
+    elsewhere; humidity keeps all its chunks."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_fill.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+        },
+        data=grid_values(0, GRID_T),
+        chunk0=16,
+        fillvalues={"temperature": _FILL_VAL},
+    )
+    h = HDF5File(tmp)
+    info = h.datasets["temperature"]
+    assert info.fill is not None
+    chunks = list(h._iter_chunks(info))
+    j = next(
+        i for i, (o, _n, _a) in enumerate(chunks) if o[0] == _FILL_T0
+    )
+    buf = bytearray(open(tmp, "rb").read())
+    bt = info.btree_addr
+    used = _struct.unpack_from("<H", buf, bt + 6)[0]
+    assert used == len(chunks)  # single leaf at this chunk count
+    entry = (8 + 8 * (3 + 1)) + 8  # key(ndims=3) + child address
+    e = bt + 24 + j * entry
+    end = bt + 24 + used * entry
+    buf[e : end - entry] = buf[e + entry : end]
+    _struct.pack_into("<H", buf, bt + 6, used - 1)
+    with open(tmp, "wb") as f:
+        f.write(bytes(buf))
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_fill_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(CASE WHEN t >= {_FILL_T0} AND t < {_FILL_T1}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       {SQL_DSUM(f'''CASE WHEN t >= {_FILL_T0} AND t < {_FILL_T1}
+                     THEN CAST(CAST({_FILL_VAL} AS FLOAT) AS DOUBLE)
+                     ELSE temperature END''')} AS sum_temp,
+       {SQL_DSUM('humidity')} AS sum_hum
+FROM g
+""",
+    doc="Defined FILL VALUES from unallocated chunks (round 10 "
+        "interop): temperature carries a v3 fill-value message "
+        "(-999) and the chunk covering records [16, 32) has no "
+        "B-tree entry — exactly how libhdf5/netcdf-c represent "
+        "never-written chunks under _FillValue. The scan surfaces "
+        "the fill for those records and real data elsewhere; "
+        "humidity (all chunks present) is unaffected. n_filled "
+        "counts the fill cells so a zeros-instead-of-fill regression "
+        "hash-mismatches loudly.",
+)
+def src_netcdf4_fill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_fill())
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(
+            (F.col("temperature") == F.lit(_FILL_VAL)).cast("long")
+        ).alias("n_filled"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+    )

@@ -3263,3 +3263,20 @@ def test_snk_netcdf4_write_vlen_oracle(check):
     pdf = check("snk_netcdf4_write_vlen")
     assert int(pdf["n_rec"].iloc[0]) == 48
     assert int(pdf["n_empty"].iloc[0]) == 10
+
+
+def test_src_netcdf4_userblock_scan_oracle(check):
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+    pdf = check("src_netcdf4_userblock_scan")
+    assert pdf.loc[0, "n_cells"] == 64 * srcq.GRID_Y * srcq.GRID_X
+    assert pdf.loc[0, "n_lines"] == 64
+
+
+def test_src_netcdf4_fill_scan_oracle(check):
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+    pdf = check("src_netcdf4_fill_scan")
+    assert pdf.loc[0, "n_cells"] == srcq.GRID_T * srcq.GRID_Y * srcq.GRID_X
+    # exactly the deleted chunk's records read as the fill
+    assert pdf.loc[0, "n_filled"] == 16 * srcq.GRID_Y * srcq.GRID_X
