@@ -394,6 +394,292 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_NLIST = 4  # coarse (IVF) centroids
+_IVFPQ_NPROBE = 2  # coarse lists probed per query
+
+
+def _fx64(col: Column) -> Column:
+    """ARRAY<long> 1e-6 fixed-point image of a float-array column —
+    the shared exact-arithmetic representation of the IVF-PQ chain."""
+    return F.transform(
+        col,
+        lambda x: F.floor(x.cast("double") * _PQ_FX).cast("long"),
+    )
+
+
+def _d2_span(a: Column, b: Column, lo: Column, n: int) -> Column:
+    """Integer squared L2 between ``n`` elements of two ARRAY<long>
+    columns starting at 1-based offset ``lo`` — subspace distance when
+    (lo, n) = (s*8+1, 8), full-vector when (1, 64)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (
+            (
+                F.element_at(a, (lo + i).cast("int"))
+                - F.element_at(b, (lo + i).cast("int"))
+            )
+            * (
+                F.element_at(a, (lo + i).cast("int"))
+                - F.element_at(b, (lo + i).cast("int"))
+            )
+        ),
+    )
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB mirror of the full IVF-PQ chain — every stage is integer
+    fixed-point (or exact double subtraction), so the composition
+    hash-matches end to end."""
+    FX = _PQ_FX
+
+    def fx_list(tbl: str) -> str:
+        return (
+            f"LIST_TRANSFORM(generate_series(1, 64), i -> "
+            f"CAST(FLOOR(CAST({tbl}.embedding[CAST(i AS INTEGER)] "
+            f"AS DOUBLE) * {FX}) AS BIGINT))"
+        )
+
+    def d2(a: str, b: str, lo: str, n: int) -> str:
+        ix = f"CAST({lo} + i AS INTEGER)"
+        return (
+            f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(0, {n - 1}),"
+            f" i -> ({a}[{ix}] - {b}[{ix}]) * ({a}[{ix}] - {b}[{ix}])))"
+            f" AS BIGINT)"
+        )
+
+    return f"""
+fxe AS (
+  SELECT vec_id, embedding, {fx_list('embeddings')} AS fxv
+  FROM embeddings
+),
+ccents AS (
+  SELECT vec_id AS cl, embedding AS c_emb, fxv AS c_fx
+  FROM fxe WHERE vec_id < {_IVFPQ_NLIST}
+),
+ad AS (
+  SELECT f.vec_id, c.cl, {d2('f.fxv', 'c.c_fx', '1', 64)} AS d2
+  FROM fxe f, ccents c
+),
+a AS (
+  SELECT vec_id, MIN(d2 * {_IVFPQ_NLIST} + cl) % {_IVFPQ_NLIST} AS cl
+  FROM ad GROUP BY vec_id
+),
+res AS (
+  SELECT f.vec_id, a.cl,
+         LIST_TRANSFORM(generate_series(1, 64), i ->
+           CAST(FLOOR((CAST(f.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                       - CAST(c.c_emb[CAST(i AS INTEGER)] AS DOUBLE))
+                      * {FX}) AS BIGINT)) AS rfx
+  FROM fxe f JOIN a USING (vec_id) JOIN ccents c USING (cl)
+),
+cb AS (
+  SELECT vec_id AS c, rfx AS cb_rfx FROM res WHERE vec_id < {_PQ_C}
+),
+cd AS (
+  SELECT r.vec_id, r.cl, s.range AS s, b.c,
+         {d2('r.rfx', 'b.cb_rfx', 's.range * 8 + 1', 8)} AS d2
+  FROM res r, range(0, {_PQ_S}) s, cb b
+),
+codes AS (
+  SELECT vec_id, cl, s, MIN(d2 * {_PQ_C} + c) % {_PQ_C} AS code
+  FROM cd GROUP BY vec_id, cl, s
+),
+probes AS (
+  SELECT vec_id AS q_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cl) AS prn
+    FROM ad WHERE vec_id < {N_QUERIES}) t
+  WHERE prn <= {_IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT p.q_id, p.cl,
+         LIST_TRANSFORM(generate_series(1, 64), i ->
+           CAST(FLOOR((CAST(f.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                       - CAST(c.c_emb[CAST(i AS INTEGER)] AS DOUBLE))
+                      * {FX}) AS BIGINT)) AS qrfx
+  FROM probes p
+  JOIN fxe f ON f.vec_id = p.q_id
+  JOIN ccents c USING (cl)
+),
+lut AS (
+  SELECT q.q_id, q.cl, s.range AS s, b.c,
+         {d2('q.qrfx', 'b.cb_rfx', 's.range * 8 + 1', 8)} AS d2
+  FROM qres q, range(0, {_PQ_S}) s, cb b
+),
+scored AS (
+  SELECT l.q_id, cd2.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc2
+  FROM codes cd2
+  JOIN lut l ON l.cl = cd2.cl AND l.s = cd2.s AND l.c = cd2.code
+  WHERE cd2.vec_id <> l.q_id
+  GROUP BY l.q_id, cd2.vec_id
+)
+SELECT q_id, vec_id, adc2, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc2, vec_id) AS rn
+      FROM scored) t
+WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "q_sim_ivfpq_adc",
+    oracle=f"""
+WITH {_ivfpq_sql().strip().lstrip()}
+""",
+    doc="IVF-PQ serving composition (round 10) — the full FAISS-style "
+        "index expressed declaratively and EXACTLY: (1) coarse "
+        "quantizer = 4 deterministic centroids, every vector assigned "
+        "by integer fixed-point argmin (packed-MIN tie-break); (2) "
+        "RESIDUAL product quantization — each vector's residual "
+        "against its coarse centroid is fixed-pointed once and "
+        "PQ-coded against a residual codebook (first 4 vectors' "
+        "residuals), so codes capture within-list structure, the "
+        "refinement plain PQ lacks; (3) serving — each query probes "
+        "its 2 nearest coarse lists, builds one 8x4 integer LUT per "
+        "probed list from ITS residual (the per-list ADC trick), and "
+        "every vector in a probed list scores as 8 array lookups + "
+        "integer adds on its code array. All-integer distances make "
+        "the whole approximate pipeline bit-identical cross-engine — "
+        "full-hash oracle, no recall-assertion compromise. 100 TB "
+        "posture: centroids/codebook/LUTs are KB-scale broadcasts, "
+        "codes are ~64x smaller than the corpus, scoring touches only "
+        "probed lists (nprobe/nlist of the space), and no original "
+        "embedding is read at serving time.",
+)
+def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _fx64(F.col("embedding")).alias("fxv")
+    )
+    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
+        F.col("vec_id").alias("cl"),
+        F.col("embedding").alias("c_emb"),
+        F.col("fxv").alias("c_fx"),
+    )
+    ad = e.join(F.broadcast(ccents), F.lit(True)).select(
+        "vec_id",
+        "cl",
+        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
+    )
+    assign = ad.groupBy("vec_id").agg(
+        (
+            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
+            % _IVFPQ_NLIST
+        ).alias("cl")
+    )
+    rfx = F.zip_with(
+        F.col("embedding"),
+        F.col("c_emb"),
+        lambda x, c: F.floor(
+            (x.cast("double") - c.cast("double")) * _PQ_FX
+        ).cast("long"),
+    )
+    res = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(ccents.select("cl", "c_emb")), "cl")
+        .select("vec_id", "cl", rfx.alias("rfx"))
+    )
+    cb = res.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("rfx").alias("cb_rfx")
+    )
+    sub = res.select(
+        "vec_id",
+        "cl",
+        "rfx",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+    cd = sub.join(F.broadcast(cb), F.lit(True)).select(
+        "vec_id",
+        "cl",
+        "s",
+        "c",
+        _d2_span(
+            F.col("rfx"), F.col("cb_rfx"), F.col("s") * 8 + 1, 8
+        ).alias("d2"),
+    )
+    codes8 = (
+        cd.groupBy("vec_id", "cl", "s")
+        .agg((F.min(F.col("d2") * _PQ_C + F.col("c")) % _PQ_C).alias("code"))
+        .groupBy("vec_id", "cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x.getField("code"),
+            ).alias("codes8")
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
+    probes = (
+        ad.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _IVFPQ_NPROBE)
+        .select("q_id", "cl")
+    )
+    qres = (
+        probes.join(
+            e.select(F.col("vec_id").alias("q_id"), "embedding"), "q_id"
+        )
+        .join(F.broadcast(ccents.select("cl", "c_emb")), "cl")
+        .select("q_id", "cl", rfx.alias("qrfx"))
+    )
+    qsub = qres.select(
+        "q_id",
+        "cl",
+        "qrfx",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s"),
+    )
+    lut32 = (
+        qsub.join(F.broadcast(cb), F.lit(True))
+        .select(
+            "q_id",
+            "cl",
+            (F.col("s") * _PQ_C + F.col("c")).alias("idx"),
+            _d2_span(
+                F.col("qrfx"), F.col("cb_rfx"), F.col("s") * 8 + 1, 8
+            ).alias("d2"),
+        )
+        .groupBy("q_id", "cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "d2"))),
+                lambda x: x.getField("d2"),
+            ).alias("lut32")
+        )
+    )
+    adc2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_S - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut32"),
+            (
+                s * _PQ_C
+                + F.element_at(F.col("codes8"), (s + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    scored = (
+        codes8.join(F.broadcast(lut32), "cl")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc2.alias("adc2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "adc2",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 @register(
     "q_ml_knn_classify",
     oracle=f"""

@@ -63,6 +63,8 @@ NEW_KEYS = [
     # round 9
     "q_text_bpe_merges", "q_text_bpe_apply", "q_emb_pca_power",
     "q_emb_pca_project", "q_sim_pq_adc",
+    # round 10
+    "q_sim_ivfpq_adc",
 ]
 
 

@@ -554,3 +554,17 @@ def test_pq_adc_broadcast_lut_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     plans.assert_no_cartesian(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ivfpq_adc_broadcast_no_python(spark):
+    # the IVF-PQ chain (round 10): coarse centroids, residual
+    # codebook, and per-(query, probed-list) LUTs all travel as
+    # broadcasts; scoring joins codes to LUTs on the LIST key and is
+    # pure JVM integer array arithmetic — no Python row path, no
+    # cartesian product anywhere in the composition
+    df = build(spark, "q_sim_ivfpq_adc")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
