@@ -3434,3 +3434,77 @@ def src_netcdf4_fill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("temperature").cast("double")).alias("sum_temp"),
         dsum(F.col("humidity").cast("double")).alias("sum_hum"),
     )
+
+
+def ensure_nc4_fletcher(path: str | None = None) -> str:
+    """The grid as a NetCDF-4 file whose chunks carry the full
+    netcdf-c filter stack: Fletcher-32 checksum FIRST (so decode
+    verifies the decompressed bytes), then shuffle, then deflate —
+    nc_def_var_fletcher32 + nc_def_var_deflate(shuffle=1)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_f32.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+        },
+        data=grid_values(0, GRID_T),
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+        fletcher=True,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_fletcher_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       {SQL_DSUM('humidity')} AS sum_hum
+FROM g
+WHERE t >= 24 AND t < 104
+""",
+    doc="FLETCHER-32-checksummed NetCDF-4 scan (round 10): chunks "
+        "carry netcdf-c's full nc_def_var_fletcher32 + shuffle + "
+        "deflate stack — the checksum filter sits FIRST in the "
+        "pipeline, so decode inflates, unshuffles (the 4 checksum "
+        "bytes ride the H5Zshuffle leftover rule, unshuffled in "
+        "place), then verifies and strips the Fletcher-32 before any "
+        "value surfaces; a corrupt chunk fails loudly instead of "
+        "producing silent garbage. Same record-range partition "
+        "pruning as the plain scan (window [24, 104)).",
+)
+def src_netcdf4_fletcher_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_fletcher())
+        .load()
+        .filter((F.col("time_idx") >= 24) & (F.col("time_idx") < 104))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("time_idx").alias("n_lines"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+    )

@@ -64,7 +64,7 @@ NEW_KEYS = [
     "q_text_bpe_merges", "q_text_bpe_apply", "q_emb_pca_power",
     "q_emb_pca_project", "q_sim_pq_adc",
     # round 10
-    "q_sim_ivfpq_adc",
+    "q_sim_ivfpq_adc", "src_netcdf4_fletcher_scan",
 ]
 
 

@@ -1285,3 +1285,119 @@ def test_filtered_huge_objects_crafted(size, level, compressible, seed):
     heap20 = h._fractal_heap(heap_addr)
     with pytest.raises(ValueError, match="cannot hold"):
         h._fheap_object(heap20, bytes([0x10]) + b"\x00" * 19)
+
+
+def _fletcher32_reference(data: bytes) -> int:
+    """Literal transcription of HDF5's H5_checksum_fletcher32 C loop
+    (public algorithm) — the differential oracle for the vectorized
+    implementation."""
+    n = len(data) // 2
+    sum1 = sum2 = 0
+    pos = 0
+    left = n
+    while left:
+        tlen = min(left, 360)
+        left -= tlen
+        for _ in range(tlen):
+            sum1 += (data[pos] << 8) | data[pos + 1]
+            pos += 2
+            sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
+
+
+@_SETTINGS
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_fletcher32_matches_c_reference(data):
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        hdf5_fletcher32,
+    )
+
+    assert hdf5_fletcher32(data) == _fletcher32_reference(data)
+
+
+def test_fletcher32_zero_and_fold_edges():
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        hdf5_fletcher32,
+    )
+
+    assert hdf5_fletcher32(b"") == 0
+    assert hdf5_fletcher32(b"\x00" * 64) == 0
+    # a word sum congruent to 0 mod 65535 but nonzero must fold to
+    # 65535, not 0 (the C reduction never zeroes a nonzero sum)
+    data = b"\xff\xff"  # one word 0xFFFF == 65535
+    assert hdf5_fletcher32(data) == _fletcher32_reference(data)
+    assert hdf5_fletcher32(data) & 0xFFFF == 65535
+
+
+@_SETTINGS
+@given(
+    shape0=st.integers(1, 40),
+    shuffle=st.booleans(),
+    level=st.sampled_from([None, 1, 6]),
+    dt=st.sampled_from(["int16", "int32", "float64"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fletcher32_roundtrip_fuzz(
+    tmp_path_factory, shape0, shuffle, level, dt, seed
+):
+    """Fletcher-32 filter (netcdf-c nc_def_var_fletcher32) round-trips
+    alone and composed with shuffle/deflate — the composed case
+    exercises the H5Zshuffle leftover rule (the 4 checksum bytes do
+    not fill an element and stay unshuffled in place)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.RandomState(seed)
+    v = rng.randint(-1000, 1000, size=(shape0, 3)).astype(dt)
+    p = os.path.join(str(tmp_path_factory.mktemp("f32")), "f.h5")
+    write_hdf5(
+        p,
+        {"v": v},
+        {
+            "v": {
+                "chunk": (4, 3),
+                "fletcher": True,
+                "shuffle": shuffle,
+                "compress": level,
+            }
+        },
+    )
+    h = HDF5File(p)
+    assert any(fid == 3 for fid, _ in h.datasets["v"].filters)
+    np.testing.assert_array_equal(h.read("v"), v)
+    np.testing.assert_array_equal(
+        h.read_slab0("v", 1, shape0), v[1:shape0]
+    )
+
+
+def test_fletcher32_detects_corruption(tmp_path):
+    """A flipped chunk byte fails the checksum loudly — the exact
+    failure mode the filter exists for (deflate would also notice
+    most flips, so the fletcher-only layout is the probe)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    v = (np.arange(36, dtype=np.int32) + 1).reshape(12, 3)
+    p = os.path.join(tmp_path, "f.h5")
+    write_hdf5(p, {"v": v}, {"v": {"chunk": (4, 3), "fletcher": True}})
+    h = HDF5File(p)
+    chunks = list(h._iter_chunks(h.datasets["v"]))
+    buf = bytearray(open(p, "rb").read())
+    buf[chunks[1][2] + 5] ^= 0x04  # flip a data byte of chunk 1
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
+        HDF5File(p).read("v")
