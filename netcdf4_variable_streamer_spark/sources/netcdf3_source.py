@@ -301,6 +301,82 @@ def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
     return ", ".join(parts)
 
 
+def _spark_schema_union(
+    members: list[tuple[str, int, int]], decode_cf_time: bool = False
+) -> str:
+    """UNION schema across a directory's members (round 10 —
+    ``schema_evolution=union``): archives evolve, later files gain
+    variables (a sensor added mid-archive). Variables align by NAME in
+    first-appearance order; a variable present in several members must
+    agree on type and per-record shape; fixed dims must agree
+    everywhere. Members missing a variable surface NULLs for it."""
+    seen: dict[str, tuple] = {}
+    order: list[str] = []
+    ref_fixed = None
+    parts: list[str] = []
+    for i, (path, _n, _off) in enumerate(members):
+        nc = NetCDF3File(path)
+        rvs = _record_vars(nc)
+        dim_names = list(nc.dims)
+        fixed = tuple(
+            (dim_names[d], nc.dims[dim_names[d]])
+            for d in _eff_fixed_dimids(rvs[0])
+        )
+        if i == 0:
+            ref_fixed = fixed
+            parts.append(f"{nc.record_dim}_idx long")
+            parts += [f"{d}_idx int" for d, _e in fixed]
+        elif fixed != ref_fixed:
+            raise ValueError(
+                f"{path}: fixed dims {fixed!r} != first member "
+                f"{ref_fixed!r} (schema_evolution=union aligns "
+                "VARIABLES; dims and extents must still match)"
+            )
+        for v in rvs:
+            if (
+                decode_cf_time
+                and v.nc_type != NC_CHAR
+                and _cf_time(v) is not None
+            ):
+                st = "timestamp_ntz"
+            else:
+                st = _NC_SPARK[v.nc_type][0]
+            sig = (st, _eff_shape(v))
+            if v.name in seen:
+                if seen[v.name] != sig:
+                    raise ValueError(
+                        f"{path}: variable {v.name} signature {sig!r} "
+                        f"conflicts with {seen[v.name]!r} from an "
+                        "earlier member (union aligns by name; types "
+                        "and shapes must agree)"
+                    )
+            else:
+                seen[v.name] = sig
+                order.append(v.name)
+    return ", ".join(parts + [f"{n} {seen[n][0]}" for n in order])
+
+
+_PA_BY_SPARK = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "timestamp_ntz": None,  # filled below (needs pa)
+    "decimal(20,0)": None,
+}
+
+
+def _pa_type(spark_type: str):
+    if spark_type == "timestamp_ntz":
+        return pa.timestamp("us")
+    if spark_type == "decimal(20,0)":
+        return pa.decimal128(20, 0)
+    return pa.type_for_alias(_PA_BY_SPARK[spark_type])
+
+
 def _resolve_members(path: str) -> list[tuple[str, int, int]]:
     """[(file, numrecs, global_offset)] — a single .nc file, or a
     DIRECTORY of .nc files treated as ONE dataset concatenated along the
@@ -332,11 +408,18 @@ class NetCDF3Reader(DataSourceReader):
         schema: StructType,
         target_partitions=None,
         decode_cf_time: bool = False,
+        union_schema: bool = False,
     ):
         import os
 
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # declared Spark type per column — the union path materializes
+        # typed NULL arrays for variables a member predates
+        self.col_types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        self.union_schema = union_schema
         self.decode_cf_time = decode_cf_time
         self.members = _resolve_members(path)
         first = NetCDF3File(self.members[0][0])
@@ -354,15 +437,22 @@ class NetCDF3Reader(DataSourceReader):
             )
             return str(_spark_schema(nc)), shapes
 
-        ref_sig = member_sig(first)
-        for p, _n, _off in self.members[1:]:
-            got = member_sig(NetCDF3File(p))
-            if got != ref_sig:
-                raise ValueError(
-                    f"{p}: member signature {got!r} != first member "
-                    f"{ref_sig!r} (schema AND fixed-dim extents must "
-                    "match across a multi-file dataset)"
-                )
+        if union_schema:
+            # name-aligned union: per-variable signature + fixed-dim
+            # agreement enforced by _spark_schema_union (raises there)
+            _spark_schema_union(self.members, decode_cf_time)
+        else:
+            ref_sig = member_sig(first)
+            for p, _n, _off in self.members[1:]:
+                got = member_sig(NetCDF3File(p))
+                if got != ref_sig:
+                    raise ValueError(
+                        f"{p}: member signature {got!r} != first member "
+                        f"{ref_sig!r} (schema AND fixed-dim extents must "
+                        "match across a multi-file dataset; pass "
+                        "schema_evolution=union to align evolving "
+                        "variable sets by name)"
+                    )
         self.numrecs = sum(n for _p, n, _off in self.members)
         self._idx_col = f"{first.record_dim}_idx"
         self.lo = 0
@@ -414,6 +504,7 @@ class NetCDF3Reader(DataSourceReader):
             partition.hi,
             partition.offset,
             self.decode_cf_time,
+            col_types=self.col_types if self.union_schema else None,
         )
 
 
@@ -424,6 +515,7 @@ def _arrow_batches(
     hi: int,
     offset: int = 0,
     decode_cf_time: bool = False,
+    col_types: dict[str, str] | None = None,
 ):
     """Arrow RecordBatches for records ``[lo, hi)`` of one .nc file —
     the shared executor-side column builder of the batch scan
@@ -486,7 +578,18 @@ def _arrow_batches(
             arrays[v.name] = flat.astype(
                 np.dtype(_NC_SPARK[v.nc_type][1]), copy=False
             )
-    cols = [pa.array(arrays[c], mask=masks.get(c)) for c in columns]
+    if col_types is not None:
+        # union-schema mode: a variable this member predates surfaces
+        # as a typed all-NULL column (name-aligned null fill)
+        n_rows = n * cells
+        for c in columns:
+            if c not in arrays:
+                arrays[c] = pa.nulls(n_rows, type=_pa_type(col_types[c]))
+    cols = [
+        a if isinstance(a := arrays[c], pa.Array)
+        else pa.array(a, mask=masks.get(c))
+        for c in columns
+    ]
     # NC_UINT64 columns are read as uint64 and delivered as Arrow
     # decimal128(20,0) — the exact container DECIMAL(20,0) declares
     cols = [
@@ -833,11 +936,20 @@ class NetCDF3DataSource(DataSource):
             "1",
         )
 
+    def _union_opt(self) -> bool:
+        return str(
+            self.options.get("schema_evolution", "")
+        ).lower() in ("union", "true", "1")
+
     def schema(self) -> str:
+        members = _resolve_members(self.options["path"])
+        if self._union_opt():
+            # round 10: name-aligned UNION of the members' variable
+            # sets (evolving archives — later files gain variables)
+            return _spark_schema_union(members, self._cf_opt())
         # first member carries the schema (multi-file: consistency is
         # enforced across all members when the reader is built)
-        first = _resolve_members(self.options["path"])[0][0]
-        return _spark_schema(NetCDF3File(first), self._cf_opt())
+        return _spark_schema(NetCDF3File(members[0][0]), self._cf_opt())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")
@@ -846,6 +958,7 @@ class NetCDF3DataSource(DataSource):
             schema,
             int(tp) if tp else None,
             decode_cf_time=self._cf_opt(),
+            union_schema=self._union_opt(),
         )
 
     def _no_cf_tail(self) -> None:

@@ -3508,3 +3508,85 @@ def src_netcdf4_fletcher_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("temperature").cast("double")).alias("sum_temp"),
         dsum(F.col("humidity").cast("double")).alias("sum_hum"),
     )
+
+
+def ensure_nc3_evolving(path: str | None = None) -> str:
+    """An archive whose schema EVOLVED: the first member predates the
+    humidity sensor (temperature only, records [0, 32)); later members
+    carry both variables — the layout schema_evolution=union exists
+    for."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import write_netcdf3
+
+    path = path or os.path.join(SCRATCH, "grid_mf_evolving")
+    done = os.path.join(path, ".done")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    for i, (t0, n) in enumerate([(0, 32), (32, 48), (80, 48)]):
+        vals = grid_values(t0, n)
+        variables = {"temperature": ("float32", ("time", "y", "x"))}
+        if i > 0:
+            variables["humidity"] = ("float32", ("time", "y", "x"))
+        else:
+            vals = {"temperature": vals["temperature"]}
+        write_netcdf3(
+            os.path.join(path, f"part-{i}.nc"),
+            dims={"time": None, "y": GRID_Y, "x": GRID_X},
+            variables=variables,
+            data=vals,
+        )
+    open(done, "w").close()
+    return path
+
+
+@register(
+    "src_netcdf3_union_schema_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       {SQL_DSUM('CASE WHEN t >= 32 THEN humidity END')} AS sum_hum,
+       CAST(SUM(CASE WHEN t < 32 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hum_null
+FROM g
+WHERE t >= 16 AND t < 112
+""",
+    doc="SCHEMA-EVOLUTION directory scan (round 10, "
+        "schema_evolution=union): the first archive member predates "
+        "the humidity variable — the dataset schema is the "
+        "name-aligned UNION of the members' variable sets, and "
+        "members missing a variable surface typed NULLs for it (the "
+        "evolving-archive layout: decades of daily files, sensors "
+        "added mid-archive). Fixed dims/extents and shared-variable "
+        "signatures are still enforced; the default strict mode "
+        "refuses the same directory loudly, naming the union option. "
+        "Record-range pruning across members is unchanged. The "
+        "window [16, 112) spans the evolution boundary; sum_hum and "
+        "the NULL count pin exactly which records carry NULL "
+        "humidity.",
+)
+def src_netcdf3_union_schema_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", ensure_nc3_evolving())
+        .option("schema_evolution", "union")
+        .load()
+        .filter((F.col("time_idx") >= 16) & (F.col("time_idx") < 112))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+        F.sum(F.col("humidity").isNull().cast("long")).alias(
+            "n_hum_null"
+        ),
+    )

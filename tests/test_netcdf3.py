@@ -1178,3 +1178,100 @@ def test_frozen_cache_invalidates_on_inode_flip(tmp_path):
     assert cache.header_reads(d, ["m0", "tail"]) == 2
     cache.counts(d, ["m0", "tail"])
     assert reads[-2] == p  # the frozen member was re-read
+
+
+def test_union_schema_scan_oracle(check):
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+    pdf = check("src_netcdf3_union_schema_scan")
+    assert (
+        pdf.loc[0, "n_cells"] == 96 * srcq.GRID_Y * srcq.GRID_X
+    )
+    # exactly the pre-evolution records carry NULL humidity
+    assert (
+        pdf.loc[0, "n_hum_null"] == 16 * srcq.GRID_Y * srcq.GRID_X
+    )
+
+
+def test_union_schema_strict_mode_refuses(spark):
+    """The default strict mode must refuse the evolving directory
+    loudly, naming the union option; union mode must read it with
+    name-aligned NULL fill."""
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    path = srcq.ensure_nc3_evolving()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    with _pytest.raises(Exception, match="schema_evolution=union"):
+        (
+            spark.read.format(FORMAT3_NAME)
+            .option("path", path)
+            .load()
+            .count()
+        )
+    df = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("schema_evolution", "union")
+        .load()
+    )
+    assert "humidity" in df.columns
+    from pyspark.sql import functions as F
+
+    row = (
+        df.filter(F.col("time_idx") < 32)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("humidity").alias("n_hum"),
+            F.count("temperature").alias("n_temp"),
+        )
+        .collect()[0]
+    )
+    assert row.n > 0 and row.n_hum == 0 and row.n_temp == row.n
+
+
+def test_union_schema_conflicting_signature_refuses(tmp_path, spark):
+    """A variable whose TYPE changed across members must refuse —
+    union aligns by name, it does not cast."""
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        write_netcdf3 as _w,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    d = os.path.join(tmp_path, "conflict")
+    os.makedirs(d)
+    for i, dt in enumerate(["float32", "int32"]):
+        _w(
+            os.path.join(d, f"p{i}.nc"),
+            dims={"t": None, "x": 2},
+            variables={"v": (dt, ("t", "x"))},
+            data={"v": np.zeros((2, 2), dtype=dt)},
+        )
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    with _pytest.raises(Exception, match="conflicts with"):
+        (
+            spark.read.format(FORMAT3_NAME)
+            .option("path", d)
+            .option("schema_evolution", "union")
+            .load()
+            .count()
+        )
