@@ -69,6 +69,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sim_ivfpq_adc",
     "src_netcdf4_fletcher_scan",
     "src_netcdf3_union_schema_scan",
+    "src_netcdf4_union_schema_scan",
     "src_netcdf4_userblock_scan",
     "src_netcdf4_fill_scan",
     # last driver check: r5

@@ -319,6 +319,80 @@ def _resolve_members(path: str) -> list[tuple[str, int, int]]:
     return [(path, NetCDF4View(path).numrecs, 0)]
 
 
+def _spark_schema_union(
+    members: list[tuple[str, int, int]], decode_cf_time: bool = False
+) -> str:
+    """UNION schema across a directory's members (round 10,
+    ``schema_evolution=union`` — HDF5 twin of the NetCDF-3 source's):
+    record variables align by NAME in first-appearance order, shared
+    variables must agree on declared type and per-record shape, fixed
+    dims must agree everywhere; members missing a variable surface
+    typed NULLs."""
+    seen: dict[str, tuple] = {}
+    order: list[str] = []
+    decls: dict[str, str] = {}
+    ref_fixed = None
+    head: list[str] = []
+    for i, (path, _n, _off) in enumerate(members):
+        v = NetCDF4View(path)
+        rvs = _record_vars(v)
+        fixed = tuple(
+            (d, v.dims[d]) for d in _eff_fixed_dims4(rvs[0])
+        )
+        if i == 0:
+            ref_fixed = fixed
+            head.append(f"{v.record_dim}_idx long")
+            head += [f"{d}_idx int" for d, _e in fixed]
+        elif fixed != ref_fixed:
+            raise ValueError(
+                f"{path}: fixed dims {fixed!r} != first member "
+                f"{ref_fixed!r} (schema_evolution=union aligns "
+                "VARIABLES; dims and extents must still match)"
+            )
+        # reuse the single-file schema builder for the member's own
+        # declarations, then merge by name
+        member_ddl = _spark_schema(v, decode_cf_time)
+        own = dict(
+            d.strip().split(" ", 1)
+            for d in _split_top_level(member_ddl)
+        )
+        for x in rvs:
+            nm = _ddl_name(x.name)
+            sig = (own[nm], _eff_shape4(x))
+            if nm in seen:
+                if seen[nm] != sig:
+                    raise ValueError(
+                        f"{path}: variable {x.name} signature {sig!r} "
+                        f"conflicts with {seen[nm]!r} from an earlier "
+                        "member (union aligns by name; types and "
+                        "shapes must agree)"
+                    )
+            else:
+                seen[nm] = sig
+                order.append(nm)
+                decls[nm] = own[nm]
+    return ", ".join(head + [f"{nm} {decls[nm]}" for nm in order])
+
+
+def _split_top_level(ddl: str) -> list[str]:
+    """Split a DDL column list on commas OUTSIDE angle brackets (the
+    struct/array declarations the nc4 schema can contain)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 class NetCDF4Reader(DataSourceReader):
     def __init__(
         self,
@@ -326,12 +400,27 @@ class NetCDF4Reader(DataSourceReader):
         schema: StructType,
         target_partitions=None,
         decode_cf_time: bool = False,
+        union_schema: bool = False,
     ):
         import os
 
         self.path = path
         self.decode_cf_time = decode_cf_time
         self.columns = [f.name for f in schema.fields]
+        self.union_schema = union_schema
+        if union_schema:
+            # per-column Arrow types, computed driver-side (executors
+            # cannot parse Spark DDL without a session): the union
+            # path materializes typed NULL arrays for variables a
+            # member predates
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            self.col_pa = {
+                f.name: to_arrow_type(f.dataType)
+                for f in schema.fields
+            }
+        else:
+            self.col_pa = None
         self.members = _resolve_members(path)
         first = NetCDF4View(self.members[0][0])
 
@@ -343,14 +432,20 @@ class NetCDF4Reader(DataSourceReader):
             )
             return _spark_schema(v, decode_cf_time), shapes
 
-        ref_sig = member_sig(first)
-        for p, _n, _off in self.members[1:]:
-            got = member_sig(NetCDF4View(p))
-            if got != ref_sig:
-                raise ValueError(
-                    f"{p}: member signature {got!r} != first member "
-                    f"{ref_sig!r}"
-                )
+        if union_schema:
+            # per-variable signature + fixed-dim agreement enforced by
+            # _spark_schema_union (raises there)
+            _spark_schema_union(self.members, decode_cf_time)
+        else:
+            ref_sig = member_sig(first)
+            for p, _n, _off in self.members[1:]:
+                got = member_sig(NetCDF4View(p))
+                if got != ref_sig:
+                    raise ValueError(
+                        f"{p}: member signature {got!r} != first member "
+                        f"{ref_sig!r} (pass schema_evolution=union to "
+                        "align evolving variable sets by name)"
+                    )
         self.numrecs = sum(n for _p, n, _off in self.members)
         self._idx_col = f"{first.record_dim}_idx"
         self.lo = 0
@@ -402,6 +497,7 @@ class NetCDF4Reader(DataSourceReader):
             partition.hi,
             partition.offset,
             self.decode_cf_time,
+            col_pa=self.col_pa,
         )
 
 
@@ -412,6 +508,7 @@ def _arrow_batches4(
     hi: int,
     offset: int = 0,
     decode_cf_time: bool = False,
+    col_pa: dict | None = None,
 ):
     """Arrow RecordBatches for records ``[lo, hi)`` of one NetCDF-4
     file — the shared executor-side column builder of the batch scan
@@ -486,6 +583,13 @@ def _arrow_batches4(
             arrays[x.name] = flat.astype(
                 np.dtype(_NP_SPARK[_np_key(x.dtype)][1]), copy=False
             )
+    if col_pa is not None:
+        # union-schema mode: a variable this member predates surfaces
+        # as a typed all-NULL column (name-aligned null fill)
+        n_rows = n * cells
+        for c in columns:
+            if c not in arrays:
+                arrays[c] = pa.nulls(n_rows, type=col_pa[c])
     cols = [
         arrays[c]
         if isinstance(arrays[c], pa.Array)
@@ -835,9 +939,18 @@ class NetCDF4DataSource(DataSource):
             self.options.get("decode_cf_time", "false")
         ).lower() == "true"
 
+    def _union_opt(self) -> bool:
+        return str(
+            self.options.get("schema_evolution", "")
+        ).lower() in ("union", "true", "1")
+
     def schema(self) -> str:
-        first = _resolve_members(self.options["path"])[0][0]
-        return _spark_schema(NetCDF4View(first), self._decode_cf())
+        members = _resolve_members(self.options["path"])
+        if self._union_opt():
+            # round 10: name-aligned UNION of the members' variable
+            # sets (evolving archives — later files gain variables)
+            return _spark_schema_union(members, self._decode_cf())
+        return _spark_schema(NetCDF4View(members[0][0]), self._decode_cf())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")
@@ -845,6 +958,7 @@ class NetCDF4DataSource(DataSource):
             self.options["path"],
             schema,
             int(tp) if tp else None,
+            union_schema=self._union_opt(),
             decode_cf_time=self._decode_cf(),
         )
 

@@ -3590,3 +3590,114 @@ def src_netcdf3_union_schema_scan(
             "n_hum_null"
         ),
     )
+
+
+def ensure_nc4_evolving(path: str | None = None) -> str:
+    """An evolving NetCDF-4 archive: the first member predates the
+    vlen-string ``name`` variable (numeric ``v`` only, records
+    [0, 24)); later members carry both — and the middle member is
+    libver='latest', so the union walk also spans both encoding
+    families. Values are the string-fixture closed forms."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_mf4_evolving")
+    done = os.path.join(path, ".done")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    n_y = 4
+    spans = [(0, 24, "earliest", False), (24, 20, "latest", True),
+             (44, 20, "earliest", True)]
+    for i, (t0, n, libver, has_name) in enumerate(spans):
+        t = np.arange(t0, t0 + n)
+        v = (
+            ((t * 5) % 19)[:, None] * 0.25
+            + np.arange(n_y)[None, :] * 0.125
+        ).astype(np.float32)
+        variables = {"v": ("float32", ("t", "y"))}
+        data = {"v": v}
+        if has_name:
+            lab = np.empty((n, n_y), dtype=object)
+            for k, tt in enumerate(t):
+                for y in range(n_y):
+                    lab[k, y] = (
+                        ""
+                        if (tt * n_y + y) % 13 == 0
+                        else f"s{tt % 5}-{y}" + "é" * (tt % 3)
+                    )
+            variables["name"] = ("object", ("t", "y"))
+            data["name"] = lab
+        write_netcdf4(
+            os.path.join(path, f"part-{i}.nc4"),
+            dims={"t": None, "y": n_y},
+            variables=variables,
+            data=data,
+            compress=4,
+            shuffle=True,
+            chunk0=8,
+            libver=libver,
+        )
+    open(done, "w").close()
+    return path
+
+
+@register(
+    "src_netcdf4_union_schema_scan",
+    oracle=f"""
+WITH s AS (
+  SELECT tt.t AS t, yy.y AS y,
+         CAST(CAST(((tt.t * 5) % 19) * 0.25
+                   + yy.y * 0.125 AS FLOAT) AS DOUBLE) AS v,
+         CASE WHEN tt.t < 24 THEN NULL
+              WHEN (tt.t * 4 + yy.y) % 13 = 0 THEN ''
+              ELSE printf('s%d-%d', tt.t % 5, yy.y)
+                   || repeat('é', CAST(tt.t % 3 AS INT))
+         END AS name
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS y) yy
+  WHERE tt.t >= 8 AND tt.t < 56
+)
+SELECT COUNT(*) AS n_cells,
+       {SQL_DSUM('v')} AS sum_v,
+       CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_name_null,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names
+FROM s
+""",
+    doc="SCHEMA-EVOLUTION NetCDF-4 directory scan (round 10, "
+        "schema_evolution=union — HDF5 twin of the NetCDF-3 key): the "
+        "first member predates the vlen-string name variable, so its "
+        "records surface typed NULL strings while later members — one "
+        "libver='latest', so the union also spans both encoding "
+        "families — resolve real class-9 vlen descriptors through the "
+        "global heap. The window [8, 56) crosses both the evolution "
+        "boundary and the encoding-family boundary; the NULL count "
+        "and distinct-name count pin the alignment exactly.",
+)
+def src_netcdf4_union_schema_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_evolving())
+        .option("schema_evolution", "union")
+        .load()
+        .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("v").cast("double")).alias("sum_v"),
+        F.sum(F.col("name").isNull().cast("long")).alias("n_name_null"),
+        F.countDistinct("name").alias("n_names"),
+    )

@@ -65,6 +65,7 @@ NEW_KEYS = [
     "q_emb_pca_project", "q_sim_pq_adc",
     # round 10
     "q_sim_ivfpq_adc", "src_netcdf4_fletcher_scan",
+    "src_netcdf3_union_schema_scan", "src_netcdf4_union_schema_scan",
 ]
 
 

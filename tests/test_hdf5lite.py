@@ -3280,3 +3280,45 @@ def test_src_netcdf4_fill_scan_oracle(check):
     assert pdf.loc[0, "n_cells"] == srcq.GRID_T * srcq.GRID_Y * srcq.GRID_X
     # exactly the deleted chunk's records read as the fill
     assert pdf.loc[0, "n_filled"] == 16 * srcq.GRID_Y * srcq.GRID_X
+
+
+def test_nc4_union_schema_strict_refuses_and_union_reads(spark):
+    """NC4 directory union mode: strict refuses the evolving archive
+    naming the option; union surfaces typed NULL strings for the
+    pre-evolution member."""
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = srcq.ensure_nc4_evolving()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    with pytest.raises(Exception, match="schema_evolution=union"):
+        (
+            spark.read.format(FORMAT4_NAME)
+            .option("path", path)
+            .load()
+            .count()
+        )
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("schema_evolution", "union")
+        .load()
+    )
+    row = (
+        df.filter(F.col("t_idx") < 24)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("name").alias("n_name"),
+        )
+        .collect()[0]
+    )
+    assert row.n == 24 * 4 and row.n_name == 0
