@@ -81,7 +81,11 @@ and writer both handle multi-level trees of any depth
 from libhdf5's capacity table).
 
 NC_VLEN datasets and attributes over string, numeric, and compound
-bases decode from the global heap (vlen-of-reference refuses).
+bases decode from the global heap. Class-7 OBJECT-REFERENCE
+datasets — plain and vlen-of-reference (round 10) — read as the
+referenced objects' paths (None/[] for null refs; dangling
+addresses loud), and both shapes write via the ObjRefs/VlenObjRefs
+wrappers.
 
 Fractal heaps: managed objects in root-direct, root-indirect, and
 nested-indirect layouts (reader); huge objects — unfiltered
@@ -94,7 +98,8 @@ root-indirect, and unfiltered huge layouts.
 
 Honest scope (loud refusals naming the feature): filtered huge
 objects and huge heap ids at id_len >= 17 (writer side; the reader
-handles both), vlen-of-reference datasets, unknown filter ids
+handles both), region references (class 7 with type 1 dataspace
+selections — object references read fine), unknown filter ids
 (szip et al). Documented assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
@@ -979,6 +984,49 @@ def _write_extensible_array(
     return ea_addr
 
 
+class ObjRefs:
+    """Dataset-value wrapper: an array of object PATHS (dataset or
+    group names as written) to encode as a class-7 OBJECT-REFERENCE
+    dataset — cells become the referenced objects' header addresses.
+    ``None`` cells encode the null reference (address 0)."""
+
+    def __init__(self, names, shape=None):
+        self.names = np.asarray(names, dtype=object)
+        if shape is not None:
+            self.names = self.names.reshape(shape)
+
+
+class VlenObjRefs:
+    """Dataset-value wrapper: cells are LISTS of object paths — a
+    vlen-of-object-reference dataset (class 9 over class 7), the
+    dataset-level shape of netcdf-c's DIMENSION_LIST attribute."""
+
+    def __init__(self, cells, shape=None):
+        self.cells = np.asarray(
+            [None] * len(cells), dtype=object
+        )
+        for i, c in enumerate(cells):
+            self.cells[i] = list(c)
+        if shape is not None:
+            self.cells = self.cells.reshape(shape)
+
+
+def _resolve_ref_addrs(names, resolve: dict[str, int]):
+    out = np.zeros(len(names), dtype="<u8")
+    for i, nm in enumerate(names):
+        if nm is None:
+            continue  # null reference
+        try:
+            out[i] = resolve[nm]
+        except KeyError:
+            raise ValueError(
+                f"object reference to {nm!r}: no object of that name "
+                "written yet (references resolve against already-"
+                "written datasets/groups)"
+            )
+    return out
+
+
 def _write_dataset(
     out: bytearray,
     arr: np.ndarray,
@@ -1004,7 +1052,33 @@ def _write_dataset(
     :func:`pwrite_compressed_records_nc4` later overwrites; ``arr``
     then only supplies shape/dtype and its data is never read (pass a
     broadcast view, no materialization)."""
-    if arr.dtype == object or arr.dtype.kind == "U":
+    if isinstance(arr, ObjRefs):
+        # class-7 object-reference dataset (round 10): cells are the
+        # referenced objects' 8-byte header addresses
+        names = arr.names
+        arr = _resolve_ref_addrs(
+            names.reshape(-1), resolve or {}
+        ).reshape(names.shape)
+        dt_body = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+    elif isinstance(arr, VlenObjRefs):
+        # vlen-of-object-reference dataset: descriptors count
+        # REFERENCES; heap payloads are the 8-byte address runs
+        cells_arr = arr.cells
+        vecs = [
+            _resolve_ref_addrs(c or [], resolve or {})
+            for c in cells_arr.reshape(-1)
+        ]
+        refs = _gcol_append(out, [v.tobytes() for v in vecs])
+        desc = np.zeros(cells_arr.shape, dtype=_VLEN_DESC_DT)
+        flat = desc.reshape(-1)
+        for i, (v, (ga, gi)) in enumerate(zip(vecs, refs)):
+            flat[i] = (len(v), ga, gi)
+        arr = desc
+        dt_body = (
+            struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16)
+            + struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+        )
+    elif arr.dtype == object or arr.dtype.kind == "U":
         # vlen dataset: payload bytes live in appended "GCOL" global
         # heap collections; the dataset's raw data (contiguous or
         # chunked, filtered or not) is the 16-byte descriptor stream
@@ -1797,7 +1871,9 @@ def write_hdf5(
             chunk = tuple(max(1, s) for s in np.asarray(arr).shape)
         addr = _write_dataset(
             out,
-            np.asarray(arr),
+            arr
+            if isinstance(arr, (ObjRefs, VlenObjRefs))
+            else np.asarray(arr),
             maxshape,
             chunk,
             o.get("compress"),
@@ -1881,6 +1957,13 @@ class DatasetInfo:
     # descriptor machinery; reads decode to object arrays of
     # variable-length numpy arrays of this base dtype
     vlen_seq: "np.dtype | None" = None
+    # class-7 OBJECT-REFERENCE dataset: cells are 8-byte header
+    # addresses; reads decode to the referenced objects' PATHS
+    # (round 10)
+    obj_ref: bool = False
+    # vlen of object references: descriptor machinery, cells decode
+    # to lists of referenced paths
+    vlen_ref: bool = False
     # raw fill-value bytes from a 0x0005 (v1/v2/v3) or 0x0004 message
     # (round 10): unallocated chunks / contiguous storage read as this
     # value instead of zeros — libhdf5 and netcdf-c write these
@@ -1993,6 +2076,7 @@ class HDF5File:
         self.attrs: dict = {}
         self.datasets: dict[str, DatasetInfo] = {}
         self._header_addr: dict[str, int] = {}
+        self._group_addr: dict[str, int] = {"/": root_header}
         msgs = self._messages(root_header)
         children = self._group_children(msgs)
         if children is None:
@@ -2546,6 +2630,7 @@ class HDF5File:
         full = prefix + name
         children = self._group_children(self._messages(haddr))
         if children is not None:
+            self._group_addr[full] = haddr
             for child, child_haddr in children:
                 self._load_object(full + "/", child, child_haddr)
             return
@@ -3060,10 +3145,22 @@ class HDF5File:
                     and dtype[0] == "compound_unsupported"
                 ):
                     raise ValueError(f"{name}: {dtype[1]}")
+                if dtype == ("ref", 8):
+                    # class-7 object references (round 10): scan the
+                    # 8-byte addresses, decode to object paths at read
+                    info.obj_ref = True
+                    dtype = np.dtype("<u8")
+                elif (
+                    isinstance(dtype, tuple)
+                    and dtype[0] == "vlen"
+                    and dtype[1] == ("ref", 8)
+                ):
+                    info.vlen_ref = True
+                    dtype = _VLEN_DESC_DT
                 if not isinstance(dtype, np.dtype):
                     raise ValueError(
-                        f"{name}: vlen-of-reference/compound and "
-                        "reference datasets not supported"
+                        f"{name}: datasets of this datatype class "
+                        f"({dtype!r}) not supported"
                     )
             elif t == 0x0008:
                 ver, cls = body[0], body[1]
@@ -3542,6 +3639,10 @@ class HDF5File:
         def impl():
             a = self._read_impl(name)
             info = self.datasets[name]
+            if info.obj_ref:
+                return self._ref_decode(a)
+            if info.vlen_ref:
+                return self._vlen_ref_decode(a)
             if info.vlen_str:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
@@ -3549,6 +3650,62 @@ class HDF5File:
             return a
 
         return _corrupt_guard(self.path, impl)
+
+    def _object_paths(self) -> dict[int, str]:
+        """header address -> object path, for decoding class-7 object
+        references (datasets and groups; root is "/")."""
+        m = {a: n for n, a in self._group_addr.items()}
+        m.update({a: n for n, a in self._header_addr.items()})
+        return m
+
+    def _ref_decode(self, a: np.ndarray) -> np.ndarray:
+        """class-7 OBJECT-REFERENCE cells (8-byte header addresses) ->
+        object paths; the null reference (0/UNDEF) decodes to None; an
+        address naming no object in this file is corruption, loud."""
+        paths = self._object_paths()
+        out = np.empty(a.shape, dtype=object)
+        flat_in = a.reshape(-1)
+        flat = out.reshape(-1)
+        for i, addr in enumerate(flat_in.tolist()):
+            if addr in (0, UNDEF):
+                flat[i] = None
+            elif addr in paths:
+                flat[i] = paths[addr]
+            else:
+                raise ValueError(
+                    f"{self.path}: object reference to header address "
+                    f"{addr} which is no object in this file — "
+                    "corrupt reference"
+                )
+        return out
+
+    def _vlen_ref_decode(self, desc: np.ndarray) -> np.ndarray:
+        """vlen-of-object-reference cells: each descriptor's heap
+        payload is a run of 8-byte header addresses -> list of
+        paths."""
+        paths = self._object_paths()
+        out = np.empty(desc.shape, dtype=object)
+        flat = out.reshape(-1)
+        for i, (n_ref, gaddr, gidx) in enumerate(
+            desc.reshape(-1).tolist()
+        ):
+            if gaddr in (0, UNDEF) or gidx == 0:
+                flat[i] = []
+                continue
+            addrs = np.frombuffer(
+                self._gheap_object(gaddr, gidx), "<u8", count=n_ref
+            )
+            cell = []
+            for addr in addrs.tolist():
+                if addr not in paths:
+                    raise ValueError(
+                        f"{self.path}: object reference to header "
+                        f"address {addr} which is no object in this "
+                        "file — corrupt reference"
+                    )
+                cell.append(paths[addr])
+            flat[i] = cell
+        return out
 
     def _fill_alloc(self, info: DatasetInfo, shape) -> np.ndarray:
         """Allocate an output array pre-set to the dataset's DEFINED
@@ -3604,6 +3761,10 @@ class HDF5File:
         def impl():
             a = self._read_slab0_impl(name, lo, hi)
             info = self.datasets[name]
+            if info.obj_ref:
+                return self._ref_decode(a)
+            if info.vlen_ref:
+                return self._vlen_ref_decode(a)
             if info.vlen_str:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:

@@ -3322,3 +3322,70 @@ def test_nc4_union_schema_strict_refuses_and_union_reads(spark):
         .collect()[0]
     )
     assert row.n == 24 * 4 and row.n_name == 0
+
+
+def test_object_reference_dataset_roundtrip(tmp_path):
+    """Class-7 OBJECT-REFERENCE datasets (round 10, closing the
+    vlen-of-reference refusal's plain half): cells round-trip as the
+    referenced objects' paths, the null reference decodes to None,
+    and a dangling address fails loudly."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        ObjRefs,
+        write_hdf5,
+    )
+
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"refs_{libver}.h5")
+        write_hdf5(
+            p,
+            {
+                "a": np.arange(3, dtype=np.int32),
+                "g/b": np.arange(2, dtype=np.float32),
+                "ptr": ObjRefs(["a", "g/b", None, "a"]),
+            },
+            {"ptr": {"chunk": (2,)}},
+            libver=libver,
+        )
+        h = HDF5File(p)
+        got = h.read("ptr")
+        assert list(got) == ["a", "g/b", None, "a"]
+        assert list(h.read_slab0("ptr", 1, 3)) == ["g/b", None]
+    # dangling reference: patch a stored address to garbage
+    h = HDF5File(p)
+    info = h.datasets["ptr"]
+    chunks = list(h._iter_chunks(info))
+    buf = bytearray(open(p, "rb").read())
+    struct.pack_into("<Q", buf, chunks[0][2], 12345)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="no object in this file"):
+        HDF5File(p).read("ptr")
+
+
+def test_vlen_object_reference_dataset_roundtrip(tmp_path):
+    """Vlen-of-object-reference datasets (the dataset-level shape of
+    netcdf-c's DIMENSION_LIST): cells are LISTS of paths, empties
+    included."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        VlenObjRefs,
+        write_hdf5,
+    )
+
+    cells = [["a", "g/b"], [], ["g/b"], ["a", "a", "g/b"]]
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"vrefs_{libver}.h5")
+        write_hdf5(
+            p,
+            {
+                "a": np.arange(3, dtype=np.int32),
+                "g/b": np.arange(2, dtype=np.float32),
+                "links": VlenObjRefs(cells),
+            },
+            libver=libver,
+        )
+        h = HDF5File(p)
+        got = h.read("links")
+        assert [list(c) for c in got] == cells
+        assert [list(c) for c in h.read_slab0("links", 1, 3)] == cells[1:3]
