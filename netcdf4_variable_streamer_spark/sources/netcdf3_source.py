@@ -704,12 +704,26 @@ class NetCDF3ArrowDirStreamReader(DataSourceStreamReader):
     forward through the stat-guarded ``FrozenMemberCounts`` cache."""
 
     def __init__(
-        self, path: str, schema: StructType, target_partitions=None
+        self,
+        path: str,
+        schema: StructType,
+        target_partitions=None,
+        union_schema: bool = False,
     ):
         import os
 
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # union mode (round 10): the tail follows an EVOLVING archive —
+        # new members may carry variables old ones predate; deltas
+        # from old members NULL-fill them (same machinery as the batch
+        # union scan). The freeze invariant is untouched: evolution
+        # only ever happens in NEW members.
+        self.col_types = (
+            {f.name: f.dataType.simpleString() for f in schema.fields}
+            if union_schema
+            else None
+        )
         self.target_partitions = target_partitions or int(
             os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
@@ -783,6 +797,7 @@ class NetCDF3ArrowDirStreamReader(DataSourceStreamReader):
             partition.lo,
             partition.hi,
             partition.offset,
+            col_types=self.col_types,
         )
 
 
@@ -991,7 +1006,14 @@ class NetCDF3DataSource(DataSource):
         tp = int(tp) if tp else None
         path = self.options["path"]
         if os.path.isdir(path):
-            return NetCDF3ArrowDirStreamReader(path, schema, tp)
+            return NetCDF3ArrowDirStreamReader(
+                path, schema, tp, union_schema=self._union_opt()
+            )
+        if self._union_opt():
+            raise ValueError(
+                "schema_evolution=union applies to directory "
+                "datasets; a single file has one schema"
+            )
         return NetCDF3ArrowStreamReader(path, schema, tp)
 
     def simpleStreamReader(self, schema: StructType):

@@ -3701,3 +3701,91 @@ def src_netcdf4_union_schema_scan(
         F.sum(F.col("name").isNull().cast("long")).alias("n_name_null"),
         F.countDistinct("name").alias("n_names"),
     )
+
+
+@register(
+    "src_netcdf3_union_dir_tail",
+    oracle="""
+WITH s AS (
+  SELECT tt.t AS t, yy.y AS y,
+         CAST(CAST(tt.t * 2 + yy.y AS INTEGER) AS INTEGER) AS v,
+         CASE WHEN tt.t < 6 THEN NULL
+              ELSE CAST(CAST(tt.t * 10 - yy.y AS INTEGER) AS INTEGER)
+         END AS w
+  FROM (SELECT UNNEST(generate_series(0, 15)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS y) yy
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_w_null
+FROM s
+""",
+    doc="STREAMING tail of an EVOLVING archive directory (round 10: "
+        "schema_evolution=union on the Arrow dir tail): the oldest "
+        "member predates variable w, so its drained records NULL-fill "
+        "it while later members carry both — exactly how a watched "
+        "archive grows when a sensor is added mid-stream. The offset "
+        "shape (pinned per-member counts, freeze invariant, O(1) "
+        "header reads via the stat-guarded cache) is untouched: "
+        "evolution only ever happens in NEW members, which the "
+        "invariant already allows. Values are closed-form "
+        "(v = 2t + y; w = 10t - y from t >= 6) so the oracle "
+        "reproduces the drain exactly, NULL count included.",
+)
+def src_netcdf3_union_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        write_netcdf3,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = os.path.join(SCRATCH, "tail_union_dir")
+    done = os.path.join(path, ".done")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        for i, (t0, n, has_w) in enumerate(
+            [(0, 6, False), (6, 4, True), (10, 6, True)]
+        ):
+            t = np.arange(t0, t0 + n)
+            y = np.arange(2)
+            variables = {"v": ("int32", ("t", "y"))}
+            data = {
+                "v": (t[:, None] * 2 + y[None, :]).astype(np.int32)
+            }
+            if has_w:
+                variables["w"] = ("int32", ("t", "y"))
+                data["w"] = (
+                    t[:, None] * 10 - y[None, :]
+                ).astype(np.int32)
+            write_netcdf3(
+                os.path.join(path, f"part-{i}.nc"),
+                dims={"t": None, "y": 2},
+                variables=variables,
+                data=data,
+            )
+        open(done, "w").close()
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", path)
+        .option("schema_evolution", "union")
+        .load()
+    )
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("v").alias("sum_v"),
+        F.sum("w").alias("sum_w"),
+        F.sum(F.col("w").isNull().cast("long")).alias("n_w_null"),
+    )
+    return run_to_completion(agg, output_mode="complete")
