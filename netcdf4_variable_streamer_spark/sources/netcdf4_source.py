@@ -698,12 +698,27 @@ class NetCDF4ArrowDirStreamReader(DataSourceStreamReader):
     _EXTS = (".nc", ".nc4", ".h5", ".hdf5")
 
     def __init__(
-        self, path: str, schema: StructType, target_partitions=None
+        self,
+        path: str,
+        schema: StructType,
+        target_partitions=None,
+        union_schema: bool = False,
     ):
         import os
 
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # union mode (round 10): evolving archives — see the classic
+        # twin's notes; Arrow types computed driver-side
+        if union_schema:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            self.col_pa = {
+                f.name: to_arrow_type(f.dataType)
+                for f in schema.fields
+            }
+        else:
+            self.col_pa = None
         self.target_partitions = target_partitions or int(
             os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
@@ -781,6 +796,7 @@ class NetCDF4ArrowDirStreamReader(DataSourceStreamReader):
             partition.lo,
             partition.hi,
             partition.offset,
+            col_pa=self.col_pa,
         )
 
 
@@ -983,7 +999,14 @@ class NetCDF4DataSource(DataSource):
         tp = int(tp) if tp else None
         path = self.options["path"]
         if os.path.isdir(path):
-            return NetCDF4ArrowDirStreamReader(path, schema, tp)
+            return NetCDF4ArrowDirStreamReader(
+                path, schema, tp, union_schema=self._union_opt()
+            )
+        if self._union_opt():
+            raise ValueError(
+                "schema_evolution=union applies to directory "
+                "datasets; a single file has one schema"
+            )
         return NetCDF4ArrowStreamReader(path, schema, tp)
 
     def simpleStreamReader(self, schema: StructType):

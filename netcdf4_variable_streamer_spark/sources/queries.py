@@ -3789,3 +3789,60 @@ def src_netcdf3_union_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w").isNull().cast("long")).alias("n_w_null"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "src_netcdf4_union_dir_tail",
+    oracle=f"""
+WITH s AS (
+  SELECT tt.t AS t, yy.y AS y,
+         CAST(CAST(((tt.t * 5) % 19) * 0.25
+                   + yy.y * 0.125 AS FLOAT) AS DOUBLE) AS v,
+         CASE WHEN tt.t < 24 THEN NULL
+              WHEN (tt.t * 4 + yy.y) % 13 = 0 THEN ''
+              ELSE printf('s%d-%d', tt.t % 5, yy.y)
+                   || repeat('é', CAST(tt.t % 3 AS INT))
+         END AS name
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS y) yy
+)
+SELECT COUNT(*) AS n_cells,
+       {SQL_DSUM('v')} AS sum_v,
+       CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_name_null,
+       CAST(SUM(LENGTH(name)) AS BIGINT) AS sum_name_chars
+FROM s
+""",
+    doc="STREAMING tail of the evolving NetCDF-4 archive (round 10; "
+        "HDF5 twin of src_netcdf3_union_dir_tail): the Arrow dir tail "
+        "drains the same mixed-libver evolving fixture as the batch "
+        "union scan — the oldest member's records NULL-fill the "
+        "vlen-string name variable while later members resolve real "
+        "global-heap strings, all inside a streaming microbatch. "
+        "Offset shape and freeze invariant unchanged.",
+)
+def src_netcdf4_union_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+    from netcdf4_variable_streamer_spark.streaming.queries import (
+        run_to_completion,
+    )
+
+    path = ensure_nc4_evolving()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    stream = (
+        spark.readStream.format(FORMAT4_NAME)
+        .option("path", path)
+        .option("schema_evolution", "union")
+        .load()
+    )
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        dsum(F.col("v").cast("double")).alias("sum_v"),
+        F.sum(F.col("name").isNull().cast("long")).alias("n_name_null"),
+        F.sum(F.length("name")).alias("sum_name_chars"),
+    )
+    return run_to_completion(agg, output_mode="complete")
