@@ -1021,6 +1021,16 @@ class NetCDF3DataSource(DataSource):
 
         self._no_cf_tail()
         path = self.options["path"]
+        if self._union_opt():
+            # the Simple dir reader drains rows member-by-member with
+            # no typed-NULL machinery; union tails are the Arrow
+            # reader's job (the default) — refuse rather than KeyError
+            # mid-drain
+            raise ValueError(
+                "schema_evolution=union requires the Arrow tail "
+                "(the default tail_reader); the Simple reader does "
+                "not NULL-fill evolving schemas"
+            )
         if os.path.isdir(path):
             return NetCDF3DirStreamReader(path, schema)
         return NetCDF3StreamReader(path, schema)

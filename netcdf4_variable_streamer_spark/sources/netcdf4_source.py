@@ -1013,6 +1013,16 @@ class NetCDF4DataSource(DataSource):
         import os
 
         path = self.options["path"]
+        if self._union_opt():
+            # the Simple dir reader drains rows member-by-member with
+            # no typed-NULL machinery; union tails are the Arrow
+            # reader's job (the default) — refuse rather than KeyError
+            # mid-drain
+            raise ValueError(
+                "schema_evolution=union requires the Arrow tail "
+                "(the default tail_reader); the Simple reader does "
+                "not NULL-fill evolving schemas"
+            )
         if os.path.isdir(path):
             return NetCDF4DirStreamReader(path, schema)
         return NetCDF4StreamReader(path, schema)

@@ -1275,3 +1275,42 @@ def test_union_schema_conflicting_signature_refuses(tmp_path, spark):
             .load()
             .count()
         )
+
+
+def test_union_simple_tail_refuses(spark):
+    """schema_evolution=union with tail_reader=simple must refuse
+    loudly — the Simple dir reader has no typed-NULL machinery."""
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    stream = (
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", srcq.ensure_nc3_evolving())
+        .option("schema_evolution", "union")
+        .option("tail_reader", "simple")
+        .load()
+    )
+    with pytest.raises(Exception, match="Arrow tail"):
+        import tempfile
+        import uuid
+
+        (
+            stream.writeStream.format("memory")
+            .queryName(f"u{uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt_"),
+            )
+            .start()
+            .awaitTermination()
+        )
