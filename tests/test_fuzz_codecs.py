@@ -1529,3 +1529,45 @@ def test_combined_interop_layout(tmp_path):
         f.write(bytes(buf))
     with pytest.raises(Exception):
         HDF5File(p1).read("v")
+
+
+def test_ohdr_message_creation_order_bytes(tmp_path):
+    """OHDR v2 headers with flag 0x04 — libhdf5 writes 2 creation-order
+    bytes per MESSAGE header when attribute creation order is tracked;
+    the walker must step the 6-byte message-header stride (our writer
+    always emits the 4-byte untracked form). Crafted header, real
+    checksum."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        lookup3,
+    )
+
+    # two NIL-ish messages with distinct types and bodies
+    msgs = [
+        (0x0C, b"\x01" + b"\x00" * 7),  # pseudo attribute body
+        (0x00, b"\x00" * 4),  # NIL
+    ]
+    body = b""
+    for order, (mt, mb) in enumerate(msgs):
+        body += (
+            bytes([mt])
+            + struct.pack("<H", len(mb))
+            + b"\x00"  # msg flags
+            + struct.pack("<H", order)  # creation order (flag 0x04)
+            + mb
+        )
+    flags = 0x04 | 0x00  # tracked creation order, 1-byte chunk0 size
+    hdr = b"OHDR" + bytes([2, flags]) + bytes([len(body)])
+    img = hdr + body
+    img += struct.pack("<I", lookup3(img))
+    h = HDF5File.__new__(HDF5File)
+    h.path = "<mem>"
+    h._buf = img
+    out = h._messages_at(0)
+    assert [(t, bytes(b)) for t, b, _off in out] == msgs
+    # corrupt checksum: loud
+    bad = bytearray(img)
+    bad[-1] ^= 0xFF
+    h._buf = bytes(bad)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        h._messages_at(0)
