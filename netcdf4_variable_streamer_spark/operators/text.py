@@ -1012,3 +1012,64 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_logprob"
         ),
     )
+
+
+@register(
+    "q_text_hashed_ngram_features",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents WHERE LENGTH(text) > 0
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 1024
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS l2sq,
+       CAST(MAX(cnt * 1024 + bucket) % 1024 AS BIGINT) AS top_bucket,
+       CAST(MAX(cnt * 1024 + bucket) // 1024 AS BIGINT) AS top_count
+FROM feats GROUP BY doc_id
+""",
+    doc="Feature HASHING (the hashing trick — fastText/Vowpal-Wabbit "
+        "style featurization for quality/topic classifiers over a "
+        "corpus): tokens hash into 1024 buckets via the portable "
+        "28-bit md5 hash, per-(doc, bucket) counts form the sparse "
+        "feature vector, and the emitted per-doc summary (feature "
+        "count, token count, exact integer squared L2 norm, and the "
+        "packed-MAX top bucket with deterministic tie-break) pins the "
+        "whole vector's content cross-engine. 100 TB posture: "
+        "explode + two keyed aggregations, both keyed by doc_id (and "
+        "bucket), map-side combined — no vocabulary table, no "
+        "broadcast, no collect; the fixed 1024-dim space is the "
+        "point of the hashing trick: featurization cost is "
+        "corpus-linear and memory is O(1) per doc regardless of "
+        "vocabulary growth.",
+)
+def q_text_hashed_ngram_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    feats = toks.groupBy(
+        "doc_id", (_md5_int(F.col("tok"), 7) % 1024).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    packed = F.max(F.col("cnt") * 1024 + F.col("bucket"))
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("l2sq"),
+        (packed % 1024).alias("top_bucket"),
+        (packed / F.lit(1024)).cast("long").alias("top_count"),
+    )

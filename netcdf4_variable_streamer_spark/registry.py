@@ -72,6 +72,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_union_schema_scan",
     "src_netcdf3_union_dir_tail",
     "src_netcdf4_union_dir_tail",
+    "q_text_hashed_ngram_features",
     "src_netcdf4_userblock_scan",
     "src_netcdf4_fill_scan",
     # last driver check: r5

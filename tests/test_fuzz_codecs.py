@@ -1571,3 +1571,35 @@ def test_ohdr_message_creation_order_bytes(tmp_path):
     h._buf = bytes(bad)
     with pytest.raises(ValueError, match="checksum mismatch"):
         h._messages_at(0)
+
+
+def test_fill_value_compound_dataset(tmp_path):
+    """A compound dataset's defined fill (whole-struct bytes) must
+    surface from unallocated storage — _fill_alloc's structured-dtype
+    broadcast path."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype([("a", "<i4"), ("b", "<f8")])
+    v = np.zeros(4, dtype=dt)
+    v["a"] = [1, 2, 3, 4]
+    v["b"] = [0.5, 1.5, 2.5, 3.5]
+    fill = np.zeros((), dtype=dt)
+    fill["a"] = -7
+    fill["b"] = -0.25
+    p = os.path.join(tmp_path, "cf.h5")
+    write_hdf5(p, {"v": v}, {"v": {"fillvalue": fill}})
+    h = HDF5File(p)
+    np.testing.assert_array_equal(h.read("v"), v)
+    # UNDEF the contiguous data address -> pure fill
+    msgs = h._messages_at(h._header_addr["v"])
+    layout_off = next(off for t, b, off in msgs if t == 0x0008)
+    buf = bytearray(open(p, "rb").read())
+    struct.pack_into("<Q", buf, layout_off + 2, 0xFFFFFFFFFFFFFFFF)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    got = HDF5File(p).read("v")
+    assert got.dtype == dt
+    assert all(got["a"] == -7) and all(got["b"] == -0.25)
