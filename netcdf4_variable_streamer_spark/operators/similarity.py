@@ -1716,3 +1716,93 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_sim_binary_hamming",
+    oracle=f"""
+WITH raw AS (
+  SELECT vec_id,
+         LIST_SUM(LIST_TRANSFORM(generate_series(1, 64), i ->
+           CASE WHEN embedding[CAST(i AS INTEGER)] > 0
+                THEN CAST(1 AS HUGEINT) << CAST(i - 1 AS INTEGER)
+                ELSE CAST(0 AS HUGEINT) END)) AS s
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         CAST(CASE WHEN s >= CAST(1 AS HUGEINT) << 63
+                   THEN s - (CAST(1 AS HUGEINT) << 64)
+                   ELSE s END AS BIGINT) AS sig
+  FROM raw
+),
+scored AS (
+  SELECT q.vec_id AS q_id, s.vec_id,
+         BIT_COUNT(xor(q.sig, s.sig)) AS hamming
+  FROM sig q JOIN sig s ON s.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, vec_id) AS rn
+      FROM scored) t
+WHERE rn <= {TOP_K}
+""",
+    doc="BINARY-embedding retrieval (round 10): each 64-dim vector "
+        "binarizes to ONE 64-bit sign word (bit i set iff dim i > 0 — "
+        "the simplest sign-random-projection with identity "
+        "projection), and search is Hamming distance = "
+        "bit_count(xor(words)) — one JVM instruction pair per "
+        "candidate, the 64x-compression retrieval trick binary "
+        "embedding indexes (BinaryVectorSearch / Hamming-ANN) serve "
+        "from RAM. The 20 query words broadcast; scoring is a "
+        "map-side xor+popcount over the sign-word table (64x smaller "
+        "than the corpus, like the PQ code table) and a per-query "
+        "top-k window. Exact integer distances, fully SQL-mirrored — "
+        "cross-engine bit-identical.",
+)
+def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # 64 unrolled terms (shiftleft needs a literal shift): each dim's
+    # sign contributes its power-of-two bit; stays whole-stage codegen
+    terms = [
+        F.when(
+            F.element_at(F.col("embedding"), i) > 0,
+            F.lit(
+                (1 << (i - 1)) if i < 64 else -(1 << 63)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(1, 65)
+    ]
+    sig_col = sum(terms[1:], terms[0])
+    sig = e.select("vec_id", sig_col.alias("sig"))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("sig").alias("q_sig")
+    )
+    scored = (
+        sig.join(F.broadcast(q), F.lit(True))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.bit_count(
+                F.col("q_sig").bitwiseXOR(F.col("sig"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -67,7 +67,7 @@ NEW_KEYS = [
     "q_sim_ivfpq_adc", "src_netcdf4_fletcher_scan",
     "src_netcdf3_union_schema_scan", "src_netcdf4_union_schema_scan",
     "src_netcdf3_union_dir_tail", "src_netcdf4_union_dir_tail",
-    "q_text_hashed_ngram_features",
+    "q_text_hashed_ngram_features", "q_sim_binary_hamming",
 ]
 
 
