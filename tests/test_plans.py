@@ -621,3 +621,22 @@ def test_round10_source_keys_prune_partitions(spark):
             .rdd.getNumPartitions()
         )
         assert pruned < full, (path, full, pruned)
+
+
+def test_binary_hamming_broadcast_no_python(spark):
+    # sign words computed in codegen, query words broadcast, scoring
+    # map-side xor+popcount: no Python row path, no cartesian
+    df = build(spark, "q_sim_binary_hamming")
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_hashed_features_two_keyed_aggs(spark):
+    # hashing-trick featurization: explode + two keyed aggregations,
+    # nothing else — no joins, no broadcast, bounded shuffles
+    df = build(spark, "q_text_hashed_ngram_features")
+    plans.assert_max_shuffles(df, 2)
+    plan = plans.plan_string(df)
+    assert "Join" not in plan, plan
