@@ -74,6 +74,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_union_dir_tail",
     "q_text_hashed_ngram_features",
     "q_sim_binary_hamming",
+    "src_netcdf4_cf_scan",
     "src_netcdf4_userblock_scan",
     "src_netcdf4_fill_scan",
     # last driver check: r5

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from netcdf4_variable_streamer_spark.session import (
     apply_runtime_confs,
 )
-from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register
+from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register, ts_str
 from netcdf4_variable_streamer_spark.sources.chunkstore import StreamedDataset
 from netcdf4_variable_streamer_spark.sources.netcdf_source import (
     FORMAT_NAME,
@@ -3846,3 +3846,94 @@ def src_netcdf4_union_dir_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("name")).alias("sum_name_chars"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+def ensure_nc4_cf(path: str | None = None, t_total: int = 96) -> str:
+    """The CF time series in the HDF5 container, with a DIFFERENT unit
+    and epoch base than the classic fixture ('minutes since
+    2024-03-01 06:30:00', 45-minute cadence) so the nc4 decode path is
+    proven on its own arithmetic, not by twinning."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, f"cf4_{t_total}.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    t = np.arange(t_total, dtype=np.float64) * 45.0  # every 45 min
+    v = ((np.arange(t_total) % 89) * 0.125).astype(np.float32)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"time": None},
+        variables={
+            "t": ("float64", ("time",)),
+            "v": ("float32", ("time",)),
+        },
+        data={"t": t, "v": v},
+        var_attrs={
+            "t": {
+                "units": "minutes since 2024-03-01 06:30:00",
+                "calendar": "standard",
+            }
+        },
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_cf_scan",
+    oracle="""
+WITH s AS (
+  SELECT i,
+         TIMESTAMP '2024-03-01 06:30:00'
+           + to_minutes(CAST(i * 45 AS BIGINT)) AS ts,
+         (i % 89) * 0.125 AS v
+  FROM UNNEST(generate_series(0, 95)) AS u(i)
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_recs,
+       CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS sum_v,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM s GROUP BY day
+""",
+    doc="CF time decode on the NetCDF-4 container (round 10: the nc4 "
+        "source's decode_cf_time path finally gets its own "
+        "driver-proof key — it shared code but not evidence with the "
+        "classic twin): a coordinate in 'minutes since 2024-03-01 "
+        "06:30:00' (different unit multiplier AND a non-midnight "
+        "epoch base than the nc3 key, so the arithmetic is proven, "
+        "not twinned) decodes to timestamp_ntz at scan time over "
+        "shuffle+deflate chunks, then rolls up per calendar day.",
+)
+def src_netcdf4_cf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_cf())
+        .option("decode_cf_time", "true")
+        .load()
+    )
+    return df.groupBy(
+        F.date_format("t", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        dsum(F.col("v").cast("double")).alias("sum_v"),
+        ts_str(F.min("t")).alias("first_ts"),
+        ts_str(F.max("t")).alias("last_ts"),
+    )
