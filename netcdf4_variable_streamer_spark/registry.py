@@ -47,14 +47,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-10 rotation (VERDICT r9 "Next round" #1): all 246 keys have a
-# driver row and all are green at latest check — no failures, no
-# never-checked keys. The order is green keys stalest-proof-first: the
-# 46 keys whose latest driver evidence is r05 (the oldest proof in the
-# fleet) fill slots 1-46, the oldest r06 keys complete the window, and
-# the rest follow in latest-check order (r06, r07, r08, r09). New
-# round-10 keys are inserted at the very top as they land so they enter
-# the window.
+# Round-10 rotation (VERDICT r9 "Next round" #1): at rotation time all
+# 246 pre-existing keys had a driver row, all green at latest check —
+# no failures. The order is never-checked-first, then green keys
+# stalest-proof-first: the 12 new round-10 keys (inserted at the very
+# top as they landed, per the policy — unchecked keys outrank
+# stale-green ones) take the first window slots, the 46 keys whose
+# latest driver evidence is r05 (the oldest proof in the fleet) fill
+# the rest of the window, and the remainder follows in latest-check
+# order (r05, r06, r07, r08, r09).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
