@@ -815,3 +815,212 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cont * 10000) / 10000).alias("containment"),
         )
     )
+
+
+_INC_SPLIT = 400  # doc_id < split = the standing index; >= split = new crawl
+
+
+def _inc_minhash_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"MIN(({MH_A[p]} * h + {MH_B[p]}) % {MINHASH_P}) AS mh{p}"
+        for p in range(NUM_PERM)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(CONCAT_WS(',', {cols})) AS sig FROM mh".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {_md5_int_sql('s', 7)} AS h FROM sh),
+mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+idx AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           COUNT(*) OVER (PARTITION BY band, sig) AS w
+    FROM bands WHERE doc_id < {_INC_SPLIT}) WHERE w <= {MAX_BUCKET}
+),
+probe AS (
+  SELECT doc_id, band, sig FROM bands WHERE doc_id >= {_INC_SPLIT}
+),
+cands AS (
+  SELECT DISTINCT p.doc_id AS d_new, i.doc_id AS d_idx
+  FROM probe p JOIN idx i ON i.band = p.band AND i.sig = p.sig
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d_new, c.d_idx, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.d_new
+  JOIN sh s2 ON s2.doc_id = c.d_idx AND s2.s = s1.s
+  GROUP BY c.d_new, c.d_idx
+),
+verified AS (
+  SELECT i.d_new, i.d_idx,
+         ROUND(CAST(i.n_inter AS DOUBLE)
+               / (z1.n_sh + z2.n_sh - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes z1 ON z1.doc_id = i.d_new
+  JOIN sizes z2 ON z2.doc_id = i.d_idx
+),
+best AS (
+  SELECT d_new,
+         MAX(CAST(jaccard * 10000 AS BIGINT) * 1000000
+             + (999999 - d_idx)) AS pk
+  FROM verified WHERE jaccard >= 0.6 GROUP BY d_new
+)
+SELECT n.doc_id,
+       (b.d_new IS NOT NULL) AS is_dup,
+       CASE WHEN b.d_new IS NOT NULL
+            THEN 999999 - (b.pk % 1000000) END AS best_match,
+       CASE WHEN b.d_new IS NOT NULL
+            THEN CAST(b.pk // 1000000 AS DOUBLE) / 10000 END
+         AS best_jaccard
+FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= {_INC_SPLIT}) n
+LEFT JOIN best b ON b.d_new = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+@register(
+    "q_dedup_minhash_incremental",
+    oracle=_inc_minhash_oracle(),
+    doc="INCREMENTAL near-dedup (round 10) — the production 'dedupe "
+        "the new crawl against the standing index' shape: the index "
+        "corpus's LSH band buckets (doc_id < 400, bucket-capped "
+        "against boilerplate signatures) are PROBED by the new "
+        "batch's bands with a plain equi-join — new-vs-new and "
+        "index-vs-index pairs are never generated, so each crawl's "
+        "cost is proportional to the BATCH, not the corpus. "
+        "Candidates verify by exact Jaccard >= 0.6; every new doc "
+        "gets a decision row (is_dup, best matching index doc by "
+        "packed-MAX jaccard with lowest-id tie-break). At 100 TB the "
+        "index bucket table is computed once and amortized across "
+        "crawls — the incremental twin of q_dedup_near_minhash.",
+)
+def q_dedup_minhash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("ss"))
+        .filter(F.size("ss") > 0)
+    )
+    ex = d.select("doc_id", F.explode("ss").alias("sh")).withColumn(
+        "h", _md5_int(F.col("sh"), 7)
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MH_A[p]) * F.col("h") + F.lit(MH_B[p])) % MINHASH_P
+            ).alias(f"mh{p}")
+            for p in range(NUM_PERM)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    wb = Window.partitionBy("band", "sig")
+    idx = (
+        bands.filter(F.col("doc_id") < _INC_SPLIT)
+        .withColumn("w", F.count(F.lit(1)).over(wb))
+        .filter(F.col("w") <= MAX_BUCKET)
+        .select(F.col("doc_id").alias("d_idx"), "band", "sig")
+    )
+    probe = bands.filter(F.col("doc_id") >= _INC_SPLIT).select(
+        F.col("doc_id").alias("d_new"), "band", "sig"
+    )
+    cands = probe.join(idx, ["band", "sig"]).select(
+        "d_new", "d_idx"
+    ).distinct()
+    sizes = d.select("doc_id", F.size("ss").alias("n_sh"))
+    sh = d.select("doc_id", F.explode("ss").alias("sh"))
+    inter = (
+        cands.join(sh.alias("s1"), F.col("d_new") == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("d_idx") == F.col("s2.doc_id"))
+            & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("d_new", "d_idx")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        inter.join(
+            sizes.alias("z1"), F.col("d_new") == F.col("z1.doc_id")
+        )
+        .join(sizes.alias("z2"), F.col("d_idx") == F.col("z2.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("z1.n_sh")
+                    + F.col("z2.n_sh")
+                    - F.col("n_inter")
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("d_new", "d_idx", "jaccard")
+    )
+    best = verified.groupBy("d_new").agg(
+        F.max(
+            (F.col("jaccard") * 10000).cast("long") * 1000000
+            + (F.lit(999999) - F.col("d_idx"))
+        ).alias("pk")
+    )
+    new_docs = d.filter(F.col("doc_id") >= _INC_SPLIT).select("doc_id")
+    return (
+        new_docs.join(
+            best, F.col("doc_id") == F.col("d_new"), "left"
+        )
+        .select(
+            "doc_id",
+            F.col("d_new").isNotNull().alias("is_dup"),
+            F.when(
+                F.col("d_new").isNotNull(),
+                F.lit(999999) - (F.col("pk") % 1000000),
+            ).alias("best_match"),
+            F.when(
+                F.col("d_new").isNotNull(),
+                (F.col("pk") / F.lit(1000000)).cast("long").cast("double")
+                / 10000,
+            ).alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )

@@ -76,6 +76,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_hashed_ngram_features",
     "q_sim_binary_hamming",
     "src_netcdf4_cf_scan",
+    "q_dedup_minhash_incremental",
     "src_netcdf4_userblock_scan",
     "src_netcdf4_fill_scan",
     # last driver check: r5
