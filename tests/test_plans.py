@@ -640,3 +640,12 @@ def test_hashed_features_two_keyed_aggs(spark):
     plans.assert_max_shuffles(df, 2)
     plan = plans.plan_string(df)
     assert "Join" not in plan, plan
+
+
+def test_incremental_dedup_equi_join_no_cartesian(spark):
+    # the incremental probe must stay an equi-join on (band, sig):
+    # no quadratic stage anywhere in the crawl-vs-index plan
+    df = build(spark, "q_dedup_minhash_incremental")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
