@@ -1314,3 +1314,76 @@ def test_union_simple_tail_refuses(spark):
             .start()
             .awaitTermination()
         )
+
+
+def test_union_dir_tail_follows_evolution_live(tmp_path, spark):
+    """The union dir tail must follow an archive EVOLVING between
+    triggers: batch 1 drains a v-only member; a new member carrying
+    (v, w) then appears, and batch 2 drains it — with w NULL for
+    batch-1 rows and real for batch-2 rows, across one streaming
+    query's offsets."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        write_netcdf3 as _w,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        NetCDF3ArrowDirStreamReader,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    d = os.path.join(tmp_path, "arch")
+    os.makedirs(d)
+    _w(
+        os.path.join(d, "p0.nc"),
+        dims={"t": None, "x": 1},
+        variables={"v": ("int32", ("t", "x"))},
+        data={"v": np.array([[1], [2]], dtype=np.int32)},
+    )
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("x_idx", IntegerType()),
+            StructField("v", IntegerType()),
+            StructField("w", IntegerType()),
+        ]
+    )
+    sr = NetCDF3ArrowDirStreamReader(d, schema, union_schema=True)
+    start = sr.initialOffset()
+    end1 = sr.latestOffset()
+    rows1 = [
+        r
+        for p in sr.partitions(start, end1)
+        for b in sr.read(p)
+        for r in b.to_pylist()
+    ]
+    assert [(r["t_idx"], r["v"], r["w"]) for r in rows1] == [
+        (0, 1, None),
+        (1, 2, None),
+    ]
+    # evolution: the NEW member carries w
+    _w(
+        os.path.join(d, "p1.nc"),
+        dims={"t": None, "x": 1},
+        variables={"v": ("int32", ("t", "x")), "w": ("int32", ("t", "x"))},
+        data={
+            "v": np.array([[3]], dtype=np.int32),
+            "w": np.array([[30]], dtype=np.int32),
+        },
+    )
+    end2 = sr.latestOffset()
+    rows2 = [
+        r
+        for p in sr.partitions(end1, end2)
+        for b in sr.read(p)
+        for r in b.to_pylist()
+    ]
+    assert [(r["t_idx"], r["v"], r["w"]) for r in rows2] == [(2, 3, 30)]
