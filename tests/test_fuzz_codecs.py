@@ -1603,3 +1603,44 @@ def test_fill_value_compound_dataset(tmp_path):
     got = HDF5File(p).read("v")
     assert got.dtype == dt
     assert all(got["a"] == -7) and all(got["b"] == -0.25)
+
+
+def test_fletcher32_over_vlen_and_compound(tmp_path):
+    """The checksum filter composes with non-scalar datatypes: vlen
+    string DESCRIPTOR streams and compound records ride the same
+    chunk filter chain — verify both round-trip and fail loudly on a
+    flipped descriptor byte."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    cells = np.empty(6, dtype=object)
+    for i, s in enumerate(["a", "", "hello", None, "éé", "x"]):
+        cells[i] = s
+    dt = np.dtype([("k", "<i4"), ("x", "<f8")])
+    cv = np.zeros(5, dtype=dt)
+    cv["k"] = np.arange(5)
+    cv["x"] = np.arange(5) * 0.25
+    p = os.path.join(tmp_path, "vf.h5")
+    write_hdf5(
+        p,
+        {"s": cells, "c": cv},
+        {
+            "s": {"chunk": (3,), "fletcher": True, "compress": 3},
+            "c": {"chunk": (2,), "fletcher": True, "shuffle": True},
+        },
+    )
+    h = HDF5File(p)
+    assert [fid for fid, _ in h.datasets["s"].filters] == [3, 1]
+    assert [fid for fid, _ in h.datasets["c"].filters] == [3, 2]
+    assert list(h.read("s")) == ["a", "", "hello", "", "éé", "x"]
+    np.testing.assert_array_equal(h.read("c"), cv)
+    # flip a byte inside a compound chunk: loud fletcher failure
+    chunks = list(h._iter_chunks(h.datasets["c"]))
+    buf = bytearray(open(p, "rb").read())
+    buf[chunks[0][2] + 7] ^= 0x08
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
+        HDF5File(p).read("c")
