@@ -4375,6 +4375,7 @@ def _deflate_record_chunks(
     dtype: np.dtype,
     compress: int,
     shuffle: bool,
+    fletcher: bool = False,
 ):
     """One compressed chunk per leading-axis record — the writer's
     exact transform chain: cast to the on-disk little-endian ``dtype``,
@@ -4388,10 +4389,12 @@ def _deflate_record_chunks(
     esz = block.dtype.itemsize
     for i in range(block.shape[0]):
         raw = block[i : i + 1].tobytes()
+        if fletcher:
+            # checksum FIRST (netcdf-c pipeline order): the 4 trailing
+            # bytes ride the H5Zshuffle leftover rule downstream
+            raw += struct.pack("<I", hdf5_fletcher32(raw))
         if shuffle:
-            raw = (
-                np.frombuffer(raw, np.uint8).reshape(-1, esz).T.tobytes()
-            )
+            raw = _shuffle_bytes(raw, esz)
         yield zlib.compress(raw, compress)
 
 
@@ -4400,6 +4403,7 @@ def compressed_chunk_sizes_nc4(
     compress: int = 6,
     shuffle: bool = True,
     dtype: np.dtype | str | None = None,
+    fletcher: bool = False,
 ) -> list[int]:
     """Phase 1: per-record compressed chunk sizes for a contiguous
     block of records, using EXACTLY the transform chain the writer and
@@ -4415,7 +4419,8 @@ def compressed_chunk_sizes_nc4(
     return [
         len(c)
         for c in _deflate_record_chunks(
-            block, dtype or block.dtype, compress, shuffle
+            block, dtype or block.dtype, compress, shuffle,
+            fletcher=fletcher,
         )
     ]
 
@@ -4430,6 +4435,7 @@ def create_netcdf4_compressed(
     compress: int = 6,
     shuffle: bool = True,
     libver: str = "earliest",
+    fletcher: bool = False,
 ) -> None:
     """Phase 2a: write the complete NetCDF-4 metadata for a
     shuffle+deflate compressed file whose record-variable chunk SIZES
@@ -4466,6 +4472,7 @@ def create_netcdf4_compressed(
         chunk0=1,
         presized=chunk_sizes,
         libver=libver,
+        fletcher=fletcher,
     )
 
 
@@ -4475,6 +4482,7 @@ def pwrite_compressed_records_nc4(
     rec_lo: int,
     compress: int = 6,
     shuffle: bool = True,
+    fletcher: bool = False,
 ) -> None:
     """Phase 2b: recompress records [rec_lo, rec_lo + n) and
     positionally write each chunk into the span the B-tree assigned it
@@ -4503,7 +4511,7 @@ def pwrite_compressed_records_nc4(
             }
             block = np.asarray(block).reshape((-1, *x.shape))
             chunks = _deflate_record_chunks(
-                block, x.dtype, compress, shuffle
+                block, x.dtype, compress, shuffle, fletcher=fletcher
             )
             for i, raw in enumerate(chunks):
                 if rec_lo + i not in addr_of:

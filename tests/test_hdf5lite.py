@@ -3389,3 +3389,47 @@ def test_vlen_object_reference_dataset_roundtrip(tmp_path):
         got = h.read("links")
         assert [list(c) for c in got] == cells
         assert [list(c) for c in h.read_slab0("links", 1, 3)] == cells[1:3]
+
+
+def test_distributed_compressed_write_with_fletcher(tmp_path):
+    """The two-phase distributed compressed export composes with the
+    Fletcher-32 filter: phase-1 sizes, phase-2a metadata (pipeline
+    [fletcher, shuffle, deflate]), and phase-2b pwrites all agree, and
+    the file reads back checksummed."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        compressed_chunk_sizes_nc4,
+        create_netcdf4_compressed,
+        pwrite_compressed_records_nc4,
+    )
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(10, 4).astype(np.float32)
+    sizes = compressed_chunk_sizes_nc4(
+        v, compress=5, shuffle=True, fletcher=True
+    )
+    p = os.path.join(tmp_path, "dist_f32.nc4")
+    create_netcdf4_compressed(
+        p,
+        dims={"t": None, "x": 4},
+        variables={"v": ("float32", ("t", "x"))},
+        chunk_sizes={"v": sizes},
+        compress=5,
+        shuffle=True,
+        fletcher=True,
+    )
+    # two disjoint "executors"
+    pwrite_compressed_records_nc4(
+        p, {"v": v[:6]}, 0, compress=5, shuffle=True, fletcher=True
+    )
+    pwrite_compressed_records_nc4(
+        p, {"v": v[6:]}, 6, compress=5, shuffle=True, fletcher=True
+    )
+    h = HDF5File(p)
+    assert [fid for fid, _ in h.datasets["v"].filters] == [3, 2, 1]
+    np.testing.assert_array_equal(h.read("v"), v)
+    # a mismatched phase-2 fletcher setting changes sizes -> loud
+    with pytest.raises(ValueError, match="reserved"):
+        pwrite_compressed_records_nc4(
+            p, {"v": v[:6]}, 0, compress=5, shuffle=True, fletcher=False
+        )
