@@ -85,7 +85,12 @@ bases decode from the global heap. Class-7 OBJECT-REFERENCE
 datasets — plain and vlen-of-reference (round 10) — read as the
 referenced objects' paths (None/[] for null refs; dangling
 addresses loud), and both shapes write via the ObjRefs/VlenObjRefs
-wrappers.
+wrappers. Class-7 DATASET-REGION references (reference type 1,
+round 10) read as RegionRef values carrying the referenced path
+plus the version-1 serialized selection (hyperslab / points / all
+/ none), write via the RegionRefs wrapper, and dereference through
+``read_region`` (leading-axis full-extent slabs take the
+chunk-pruned ``read_slab0`` path).
 
 Fractal heaps: managed objects in root-direct, root-indirect, and
 nested-indirect layouts (reader); huge objects — unfiltered
@@ -98,9 +103,9 @@ root-indirect, and unfiltered huge layouts.
 
 Honest scope (loud refusals naming the feature): filtered huge
 objects and huge heap ids at id_len >= 17 (writer side; the reader
-handles both), region references (class 7 with type 1 dataspace
-selections — object references read fine), unknown filter ids
-(szip et al). Documented assumption rather than refusal:
+handles both), region-reference selection encodings other than
+version 1 (libhdf5 1.10.7+'s version-2 "irregular" hyperslab
+serialization), unknown filter ids (szip et al). Documented assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own
@@ -218,6 +223,15 @@ _VLEN_DESC_DT = np.dtype(
     [("len", "<u4"), ("gaddr", "<u8"), ("gidx", "<u4")]
 )
 
+# On-disk element of a DATASET-REGION reference dataset (class 7,
+# reference type 1): 8-byte global heap collection address + 4-byte
+# object index. The heap object holds the referenced dataset's header
+# address followed by a version-1 serialized dataspace selection.
+# Carrying region-reference datasets as this 12-byte record dtype
+# reuses every layout path unchanged, like _VLEN_DESC_DT does for
+# vlen.
+_REGREF_DT = np.dtype([("gaddr", "<u8"), ("gidx", "<u4")])
+
 # vlen-seq byte gathers run in segments of at most this many payload
 # bytes so the transient int64 index arrays (~24 bytes per payload
 # byte) stay bounded regardless of how large a foreign collection is
@@ -253,8 +267,10 @@ def _parse_dt(body: bytes) -> np.dtype | str | tuple:
         return f"S{size}"
     if cls == 6:  # compound (NC_COMPOUND) -> numpy structured dtype
         return _parse_dt_compound(body)
-    if cls == 7:  # reference (object reference = file address)
-        return ("ref", size)
+    if cls == 7:  # reference: bit-field bits 0-3 = reference type
+        if body[1] & 0x0F == 1:  # dataset-region reference
+            return ("regref", size)
+        return ("ref", size)  # object reference = file address
     if cls == 9:  # variable-length of a base datatype
         base = _parse_dt(body[8:])
         if (body[1] & 0x0F) == 1 or base == "S1":
@@ -1011,6 +1027,108 @@ class VlenObjRefs:
             self.cells = self.cells.reshape(shape)
 
 
+class RegionRefs:
+    """Dataset-value wrapper: cells encode as class-7 DATASET-REGION
+    references (reference type 1, 12-byte cells pointing at global
+    heap objects holding the referenced dataset's header address plus
+    a version-1 serialized dataspace selection). Each cell is ``None``
+    (the null reference) or ``(path, sel)`` where ``sel`` is
+
+    - ``"all"`` — the H5S_SEL_ALL selection,
+    - ``"none"`` — the empty H5S_SEL_NONE selection,
+    - a list of hyperslab BLOCKS, each a tuple of per-dimension
+      ``(start, stop)`` pairs with ``stop`` EXCLUSIVE (the on-disk
+      encoding stores inclusive opposite corners; the API keeps
+      Python range semantics), or
+    - ``("points", [(c0, c1, ...), ...])`` — an element-point list.
+    """
+
+    def __init__(self, cells, shape=None):
+        self.cells = np.asarray([None] * len(cells), dtype=object)
+        for i, c in enumerate(cells):
+            self.cells[i] = c
+        if shape is not None:
+            self.cells = self.cells.reshape(shape)
+
+
+@dataclass(frozen=True)
+class RegionRef:
+    """A decoded DATASET-REGION reference: the referenced object's
+    path plus its dataspace selection. ``kind`` is ``"hyperslab"``
+    (``blocks`` = per-block tuples of per-dim ``(start, stop)``, stop
+    exclusive), ``"points"`` (``points`` = coordinate tuples),
+    ``"all"``, or ``"none"``. Dereference with
+    :meth:`HDF5File.read_region`."""
+
+    path: str
+    kind: str
+    blocks: tuple = ()
+    points: tuple = ()
+
+    def __str__(self) -> str:
+        if self.kind == "all":
+            return f"{self.path}[...]"
+        if self.kind == "none":
+            return f"{self.path}[]"
+        if self.kind == "points":
+            return self.path + "@" + ";".join(
+                "(" + ",".join(str(c) for c in p) + ")"
+                for p in self.points
+            )
+        return self.path + " | ".join(
+            "[" + ",".join(f"{s}:{e}" for s, e in blk) + "]"
+            for blk in self.blocks
+        )
+
+
+def _serialize_selection(sel) -> bytes:
+    """Version-1 serialized dataspace selection (the encoding libhdf5
+    1.8 writes into region-reference heap payloads): a 16-byte
+    preamble ``<u4 type><u4 version=1><u4 pad><u4 length>`` then the
+    type-specific body; hyperslab/point coordinates are 4-byte."""
+    if sel == "all":
+        return struct.pack("<4I", 3, 1, 0, 0)
+    if sel == "none":
+        return struct.pack("<4I", 0, 1, 0, 0)
+    if isinstance(sel, tuple) and len(sel) == 2 and sel[0] == "points":
+        pts = [tuple(int(c) for c in p) for p in sel[1]]
+        if not pts:
+            raise ValueError("region reference: empty point list")
+        rank = len(pts[0])
+        if any(len(p) != rank for p in pts):
+            raise ValueError(
+                "region reference: point ranks disagree "
+                f"({sorted({len(p) for p in pts})})"
+            )
+        body = struct.pack("<2I", rank, len(pts))
+        for p in pts:
+            body += struct.pack(f"<{rank}I", *p)
+        return struct.pack("<4I", 1, 1, 0, len(body)) + body
+    blocks = [
+        tuple((int(s), int(e)) for s, e in blk) for blk in sel
+    ]
+    if not blocks:
+        raise ValueError("region reference: empty hyperslab block list")
+    rank = len(blocks[0])
+    if any(len(b) != rank for b in blocks):
+        raise ValueError(
+            "region reference: hyperslab block ranks disagree "
+            f"({sorted({len(b) for b in blocks})})"
+        )
+    for blk in blocks:
+        if any(e <= s for s, e in blk):
+            raise ValueError(
+                f"region reference: empty hyperslab extent in {blk} "
+                "(stop must exceed start; use sel='none' for the "
+                "empty selection)"
+            )
+    body = struct.pack("<2I", rank, len(blocks))
+    for blk in blocks:
+        body += struct.pack(f"<{rank}I", *(s for s, _ in blk))
+        body += struct.pack(f"<{rank}I", *(e - 1 for _, e in blk))
+    return struct.pack("<4I", 2, 1, 0, len(body)) + body
+
+
 def _resolve_ref_addrs(names, resolve: dict[str, int]):
     out = np.zeros(len(names), dtype="<u8")
     for i, nm in enumerate(names):
@@ -1060,6 +1178,29 @@ def _write_dataset(
             names.reshape(-1), resolve or {}
         ).reshape(names.shape)
         dt_body = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+    elif isinstance(arr, RegionRefs):
+        # class-7 DATASET-REGION references: each live cell's heap
+        # payload is the referenced dataset's header address + a v1
+        # serialized selection; the 12-byte dataset cell points at it
+        cells_arr = arr.cells
+        flat_cells = cells_arr.reshape(-1)
+        payloads = []
+        for c in flat_cells:
+            if c is None:
+                continue
+            nm, sel = c
+            addr = _resolve_ref_addrs([nm], resolve or {})[0]
+            payloads.append(
+                struct.pack("<Q", addr) + _serialize_selection(sel)
+            )
+        refs = iter(_gcol_append(out, payloads))
+        cells12 = np.zeros(cells_arr.shape, dtype=_REGREF_DT)
+        flat12 = cells12.reshape(-1)
+        for i, c in enumerate(flat_cells):
+            if c is not None:
+                flat12[i] = next(refs)
+        arr = cells12
+        dt_body = struct.pack("<B3BI", 0x17, 1, 0, 0, 12)
     elif isinstance(arr, VlenObjRefs):
         # vlen-of-object-reference dataset: descriptors count
         # REFERENCES; heap payloads are the 8-byte address runs
@@ -1872,7 +2013,7 @@ def write_hdf5(
         addr = _write_dataset(
             out,
             arr
-            if isinstance(arr, (ObjRefs, VlenObjRefs))
+            if isinstance(arr, (ObjRefs, VlenObjRefs, RegionRefs))
             else np.asarray(arr),
             maxshape,
             chunk,
@@ -1964,6 +2105,11 @@ class DatasetInfo:
     # vlen of object references: descriptor machinery, cells decode
     # to lists of referenced paths
     vlen_ref: bool = False
+    # class-7 DATASET-REGION reference dataset (reference type 1):
+    # 12-byte cells point at heap objects holding (referenced header
+    # address, v1 serialized selection); reads decode to RegionRef
+    # values (round 10, closing the region-reference refusal)
+    region_ref: bool = False
     # raw fill-value bytes from a 0x0005 (v1/v2/v3) or 0x0004 message
     # (round 10): unallocated chunks / contiguous storage read as this
     # value instead of zeros — libhdf5 and netcdf-c write these
@@ -3151,6 +3297,20 @@ class HDF5File:
                     info.obj_ref = True
                     dtype = np.dtype("<u8")
                 elif (
+                    isinstance(dtype, tuple) and dtype[0] == "regref"
+                ):
+                    # class-7 DATASET-REGION references (round 10):
+                    # 12-byte (heap address, index) cells, decoded to
+                    # RegionRef values at read
+                    if dtype[1] != 12:
+                        raise ValueError(
+                            f"{name}: region-reference elements of "
+                            f"{dtype[1]} bytes (the 8+4 heap-pointer "
+                            "encoding is 12)"
+                        )
+                    info.region_ref = True
+                    dtype = _REGREF_DT
+                elif (
                     isinstance(dtype, tuple)
                     and dtype[0] == "vlen"
                     and dtype[1] == ("ref", 8)
@@ -3641,6 +3801,8 @@ class HDF5File:
             info = self.datasets[name]
             if info.obj_ref:
                 return self._ref_decode(a)
+            if info.region_ref:
+                return self._regref_decode(a)
             if info.vlen_ref:
                 return self._vlen_ref_decode(a)
             if info.vlen_str:
@@ -3707,6 +3869,139 @@ class HDF5File:
             flat[i] = cell
         return out
 
+    def _regref_decode(self, a: np.ndarray) -> np.ndarray:
+        """class-7 DATASET-REGION reference cells -> RegionRef values;
+        the null reference (zeroed cell) decodes to None. The heap
+        payload is the referenced header address + a v1 serialized
+        selection; an address naming no object, a selection version
+        other than 1, or a length field disagreeing with the body is
+        corruption, loud."""
+        paths = self._object_paths()
+        out = np.empty(a.shape, dtype=object)
+        flat_in = a.reshape(-1)
+        flat = out.reshape(-1)
+        for i, (gaddr, gidx) in enumerate(flat_in.tolist()):
+            if gaddr in (0, UNDEF) or gidx == 0:
+                flat[i] = None
+                continue
+            flat[i] = self._parse_region_ref(
+                self._gheap_object(gaddr, gidx), paths
+            )
+        return out
+
+    def _parse_region_ref(
+        self, payload: bytes, paths: dict[int, str]
+    ) -> RegionRef:
+        if len(payload) < 24:
+            raise ValueError(
+                f"{self.path}: region-reference heap object of "
+                f"{len(payload)} bytes cannot hold an address + "
+                "selection preamble"
+            )
+        addr = struct.unpack_from("<Q", payload, 0)[0]
+        if addr not in paths:
+            raise ValueError(
+                f"{self.path}: region reference to header address "
+                f"{addr} which is no object in this file — corrupt "
+                "reference"
+            )
+        path = paths[addr]
+        sel_type, version, _pad, length = struct.unpack_from(
+            "<4I", payload, 8
+        )
+        if version != 1:
+            raise ValueError(
+                f"{self.path}: region-reference selection version "
+                f"{version} (only the version-1 encoding is supported)"
+            )
+        body = payload[24:]
+        if len(body) < length:
+            raise ValueError(
+                f"{self.path}: region-reference selection declares "
+                f"{length} body bytes but only {len(body)} are stored"
+            )
+        if sel_type == 3:
+            return RegionRef(path, "all")
+        if sel_type == 0:
+            return RegionRef(path, "none")
+        if sel_type == 2:
+            rank, nblocks = struct.unpack_from("<2I", body, 0)
+            if length != 8 + nblocks * rank * 8:
+                raise ValueError(
+                    f"{self.path}: hyperslab selection length "
+                    f"{length} disagrees with rank {rank} x "
+                    f"{nblocks} blocks"
+                )
+            blocks = []
+            pos = 8
+            for _ in range(nblocks):
+                starts = struct.unpack_from(f"<{rank}I", body, pos)
+                ends = struct.unpack_from(
+                    f"<{rank}I", body, pos + 4 * rank
+                )
+                pos += 8 * rank
+                blocks.append(tuple(
+                    (s, e + 1) for s, e in zip(starts, ends)
+                ))
+            return RegionRef(path, "hyperslab", blocks=tuple(blocks))
+        if sel_type == 1:
+            rank, npts = struct.unpack_from("<2I", body, 0)
+            if length != 8 + npts * rank * 4:
+                raise ValueError(
+                    f"{self.path}: point selection length {length} "
+                    f"disagrees with rank {rank} x {npts} points"
+                )
+            pts = tuple(
+                struct.unpack_from(f"<{rank}I", body, 8 + 4 * rank * i)
+                for i in range(npts)
+            )
+            return RegionRef(path, "points", points=pts)
+        raise ValueError(
+            f"{self.path}: region-reference selection type "
+            f"{sel_type} (none/points/hyperslab/all only)"
+        )
+
+    def read_region(self, ref: RegionRef) -> np.ndarray:
+        """Dereference a :class:`RegionRef`: the selected elements of
+        the referenced dataset. ``"all"`` and single-block hyperslabs
+        return the SHAPED region; multi-block hyperslabs and point
+        selections return the elements FLATTENED in block/point order
+        (row-major within a block). A hyperslab block that spans a
+        leading-axis window at full trailing extent — the archive
+        time-window shape — reads through :meth:`read_slab0`, so only
+        covering chunks are touched; other shapes slice a full
+        :meth:`read` (fine for the small index datasets region
+        references live in; not a bulk-scan path)."""
+        name = ref.path
+        if name not in self.datasets:
+            raise ValueError(
+                f"{self.path}: region reference to {ref.path!r} which "
+                "is no dataset in this file"
+            )
+        info = self.datasets[name]
+        if ref.kind == "all":
+            return self.read(name)
+        if ref.kind == "none":
+            return np.zeros(0, dtype=info.dtype)
+        if ref.kind == "points":
+            a = self.read(name)
+            return np.stack([a[tuple(p)] for p in ref.points])
+
+        def block_read(blk):
+            full_tail = len(blk) == len(info.shape) and all(
+                s == 0 and e == ext
+                for (s, e), ext in zip(blk[1:], info.shape[1:])
+            )
+            if full_tail:
+                return self.read_slab0(name, blk[0][0], blk[0][1])
+            return self.read(name)[tuple(slice(s, e) for s, e in blk)]
+
+        if len(ref.blocks) == 1:
+            return block_read(ref.blocks[0])
+        return np.concatenate(
+            [block_read(b).reshape(-1) for b in ref.blocks]
+        )
+
     def _fill_alloc(self, info: DatasetInfo, shape) -> np.ndarray:
         """Allocate an output array pre-set to the dataset's DEFINED
         fill value (round 10 — libhdf5/netcdf-c write fill messages our
@@ -3763,6 +4058,8 @@ class HDF5File:
             info = self.datasets[name]
             if info.obj_ref:
                 return self._ref_decode(a)
+            if info.region_ref:
+                return self._regref_decode(a)
             if info.vlen_ref:
                 return self._vlen_ref_decode(a)
             if info.vlen_str:
@@ -3919,13 +4216,20 @@ def write_netcdf4(
                 np.zeros((), dtype=np.dtype(dt).newbyteorder("<")), shape
             )
         else:
-            src_arr = np.asarray(data[name])
-            if src_arr.dtype == object:
-                # vlen cells (object arrays) carry their own base
-                # dtype; ``dt`` is the ("vlen", base) marker
-                arr = src_arr.reshape(shape)
+            src = data[name]
+            if isinstance(src, RegionRefs):
+                # dt == "regionref": an index variable of dataset-
+                # region references (order `variables` so referenced
+                # datasets are written first)
+                arr = RegionRefs(list(src.cells.reshape(-1)), shape)
             else:
-                arr = src_arr.reshape(shape).astype(dt)
+                src_arr = np.asarray(src)
+                if src_arr.dtype == object:
+                    # vlen cells (object arrays) carry their own base
+                    # dtype; ``dt`` is the ("vlen", base) marker
+                    arr = src_arr.reshape(shape)
+                else:
+                    arr = src_arr.reshape(shape).astype(dt)
         a = dict(var_attrs.get(name, {}))
         a["_Netcdf4Coordinates"] = np.array(
             [dim_names.index(d) for d in vdims], dtype=np.int32
@@ -4015,9 +4319,11 @@ class NetCDF4View:
             self.variables[n] = NC4Var(
                 n,
                 vdims,
-                # vlen strings/sequences surface as object arrays
+                # vlen strings/sequences and region references
+                # surface as object arrays (reads decode them)
                 np.dtype(object)
-                if (d.vlen_str or d.vlen_seq is not None)
+                if (d.vlen_str or d.vlen_seq is not None
+                    or d.region_ref)
                 else d.dtype,
                 d.attrs,
                 is_rec,

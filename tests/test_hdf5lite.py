@@ -3433,3 +3433,114 @@ def test_distributed_compressed_write_with_fletcher(tmp_path):
         pwrite_compressed_records_nc4(
             p, {"v": v[:6]}, 0, compress=5, shuffle=True, fletcher=False
         )
+
+
+def test_region_reference_dataset_roundtrip(tmp_path):
+    """Class-7 DATASET-REGION references (round 10, closing the
+    region-reference refusal): hyperslab / points / all / none
+    selections and the null reference round-trip through the v1
+    serialized-selection encoding in both encoding families, and
+    read_region dereferences each to the referenced elements."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRef,
+        RegionRefs,
+        write_hdf5,
+    )
+
+    a = np.arange(24, dtype=np.int32).reshape(6, 4)
+    b = np.arange(10, dtype=np.float32) * 0.5
+    cells = [
+        ("a", [((1, 3), (0, 4))]),                 # one axis-0 slab
+        ("a", [((0, 2), (1, 3)), ((4, 6), (0, 2))]),  # two blocks
+        ("b", ("points", [(7,), (0,), (3,)])),
+        ("b", "all"),
+        None,
+        ("a", "none"),
+    ]
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"reg_{libver}.h5")
+        write_hdf5(
+            p,
+            {"a": a, "b": b, "regions": RegionRefs(cells)},
+            {"regions": {"chunk": (4,)}},
+            libver=libver,
+        )
+        h = HDF5File(p)
+        got = h.read("regions")
+        assert got[4] is None
+        r0 = got[0]
+        assert isinstance(r0, RegionRef)
+        assert (r0.path, r0.kind) == ("a", "hyperslab")
+        assert r0.blocks == (((1, 3), (0, 4)),)
+        assert str(r0) == "a[1:3,0:4]"
+        np.testing.assert_array_equal(h.read_region(r0), a[1:3, 0:4])
+        r1 = got[1]
+        assert r1.blocks == (((0, 2), (1, 3)), ((4, 6), (0, 2)))
+        np.testing.assert_array_equal(
+            h.read_region(r1),
+            np.concatenate(
+                [a[0:2, 1:3].reshape(-1), a[4:6, 0:2].reshape(-1)]
+            ),
+        )
+        r2 = got[2]
+        assert (r2.kind, r2.points) == ("points", ((7,), (0,), (3,)))
+        assert str(r2) == "b@(7);(0);(3)"
+        np.testing.assert_array_equal(h.read_region(r2), b[[7, 0, 3]])
+        assert got[3].kind == "all"
+        np.testing.assert_array_equal(h.read_region(got[3]), b)
+        assert got[5].kind == "none"
+        assert h.read_region(got[5]).size == 0
+        # slab pruning: records [1, 3) of the chunked regions dataset
+        sl = h.read_slab0("regions", 1, 3)
+        assert sl[0].blocks == r1.blocks and isinstance(
+            sl[1], RegionRef
+        )
+
+
+def test_region_reference_loud_failures(tmp_path):
+    """Region-reference failure modes are loud and named: a write
+    referencing an unwritten dataset, an empty hyperslab extent, a
+    foreign selection version, and a dangling referenced address."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRefs,
+        write_hdf5,
+    )
+
+    a = np.arange(8, dtype=np.int16)
+    with pytest.raises(ValueError, match="written yet"):
+        write_hdf5(
+            os.path.join(tmp_path, "x.h5"),
+            {"r": RegionRefs([("ghost", "all")]), "a": a},
+        )
+    with pytest.raises(ValueError, match="empty hyperslab extent"):
+        write_hdf5(
+            os.path.join(tmp_path, "y.h5"),
+            {"a": a, "r": RegionRefs([("a", [((3, 3),)])])},
+        )
+    p = os.path.join(tmp_path, "v.h5")
+    write_hdf5(p, {"a": a, "r": RegionRefs([("a", [((1, 5),)])])})
+    h = HDF5File(p)
+    np.testing.assert_array_equal(
+        h.read_region(h.read("r")[0]), a[1:5]
+    )
+    # patch the heap payload's selection version 1 -> 9
+    info = h.datasets["r"]
+    cell = h._read_impl("r")[0]
+    pos, _size = h._gheap_collection(int(cell["gaddr"]))[
+        int(cell["gidx"])
+    ]
+    buf = bytearray(open(p, "rb").read())
+    struct.pack_into("<I", buf, pos + 12, 9)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="selection version 9"):
+        HDF5File(p).read("r")
+    # dangling referenced header address
+    buf = bytearray(open(p, "rb").read())
+    struct.pack_into("<Q", buf, pos, 99999)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="no object in this file"):
+        HDF5File(p).read("r")
