@@ -50,9 +50,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Round-10 rotation (VERDICT r9 "Next round" #1): at rotation time all
 # 246 pre-existing keys had a driver row, all green at latest check —
 # no failures. The order is never-checked-first, then green keys
-# stalest-proof-first: the 12 new round-10 keys (inserted at the very
+# stalest-proof-first: the new round-10 keys (inserted at the very
 # top as they landed, per the policy — unchecked keys outrank
-# stale-green ones) take the first window slots, the 46 keys whose
+# stale-green ones; 14 by session end) take the first window slots, the 46 keys whose
 # latest driver evidence is r05 (the oldest proof in the fleet) fill
 # the rest of the window, and the remainder follows in latest-check
 # order (r05, r06, r07, r08, r09).
@@ -66,6 +66,7 @@ WINDOW_ROUND = 10
 CANONICAL_ORDER: list[str] = [
     # -- round-10 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
+    "src_netcdf4_regionref_scan",
     "q_stream_dedup_minhash_ttl",
     "q_sim_ivfpq_adc",
     "src_netcdf4_fletcher_scan",

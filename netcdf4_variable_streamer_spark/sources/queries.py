@@ -3937,3 +3937,121 @@ def src_netcdf4_cf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.min("t")).alias("first_ts"),
         ts_str(F.max("t")).alias("last_ts"),
     )
+
+
+_REGREF_WINDOWS = [(8, 24), (40, 48), (64, 80)]  # disjoint record windows
+
+
+def ensure_nc4_regionref(path: str | None = None) -> str:
+    """The grid as a NetCDF-4 file carrying a 'windows' INDEX variable
+    of class-7 DATASET-REGION references (round 10, the refusal the
+    honest-scope list closed this round): each cell references a
+    leading-axis slab of ``temperature`` at full y/x extent — the
+    shape curators use to bookmark events inside a 100 TB archive
+    without copying data."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        RegionRefs,
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_regref.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X,
+              "window": len(_REGREF_WINDOWS)},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+            "windows": ("regionref", ("window",)),
+        },
+        data={
+            **grid_values(0, GRID_T),
+            "windows": RegionRefs([
+                ("temperature",
+                 [((lo, hi), (0, GRID_Y), (0, GRID_X))])
+                for lo, hi in _REGREF_WINDOWS
+            ]),
+        },
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_regionref_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)},
+w(window_id, lo, hi) AS (VALUES {", ".join(
+    f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_REGREF_WINDOWS)
+)})
+SELECT CAST(w.window_id AS INT) AS window_id,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('g.temperature')} AS sum_temp
+FROM g JOIN w ON g.t >= w.lo AND g.t < w.hi
+GROUP BY w.window_id
+ORDER BY window_id
+""",
+    doc="Region-reference-driven pruned scan (round 10): the driver "
+        "dereferences the file's own 'windows' dataset — class-7 "
+        "DATASET-REGION references, the HDF5 bookmark type netcdf-c "
+        "tooling writes for event catalogs — into leading-axis record "
+        "windows (a bounded index read: one tiny fixed variable, "
+        "never the data), then scans ONLY those windows through the "
+        "DataSource's record-range partitions: the union-of-ranges "
+        "filter prunes non-covering chunks exactly like any pushed "
+        "time_idx predicate, so at archive scale the scan touches the "
+        "referenced slabs and nothing else. Per-window rollup keyed "
+        "by the reference cell's position; the oracle hardcodes the "
+        "same windows closed-form.",
+)
+def src_netcdf4_regionref_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = ensure_nc4_regionref()
+    refs = list(HDF5File(path).read("windows"))
+    assert all(
+        r is not None and r.path == "temperature"
+        and r.kind == "hyperslab" and len(r.blocks) == 1
+        for r in refs
+    ), "windows index must hold single-block temperature slabs"
+    wins = [r.blocks[0][0] for r in refs]
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .load()
+    )
+    cond = None
+    wid = None
+    for i, (lo, hi) in enumerate(wins):
+        c = (F.col("time_idx") >= lo) & (F.col("time_idx") < hi)
+        cond = c if cond is None else (cond | c)
+        wid = (
+            F.when(c, F.lit(i)) if wid is None else wid.when(c, F.lit(i))
+        )
+    return (
+        df.filter(cond)
+        .withColumn("window_id", wid)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        )
+        .orderBy("window_id")
+    )

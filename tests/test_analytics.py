@@ -69,6 +69,7 @@ NEW_KEYS = [
     "src_netcdf3_union_dir_tail", "src_netcdf4_union_dir_tail",
     "q_text_hashed_ngram_features", "q_sim_binary_hamming",
     "src_netcdf4_cf_scan", "q_dedup_minhash_incremental",
+    "src_netcdf4_regionref_scan",
 ]
 
 

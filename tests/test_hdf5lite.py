@@ -3544,3 +3544,17 @@ def test_region_reference_loud_failures(tmp_path):
         f.write(bytes(buf))
     with pytest.raises(ValueError, match="no object in this file"):
         HDF5File(p).read("r")
+
+
+def test_src_netcdf4_regionref_scan_oracle(check):
+    """Per-key driver-contract mirror for the region-reference-driven
+    pruned scan: three bookmarked windows, each row counts exactly its
+    window's cells."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+
+    pdf = check("src_netcdf4_regionref_scan")
+    assert list(pdf["window_id"]) == [0, 1, 2]
+    assert list(pdf["n_cells"]) == [
+        (hi - lo) * srcq.GRID_Y * srcq.GRID_X
+        for lo, hi in srcq._REGREF_WINDOWS
+    ]
