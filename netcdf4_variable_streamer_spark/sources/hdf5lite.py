@@ -99,13 +99,16 @@ ids) AND, since round 10, FILTERED (type-2 records with
 (address, stored length, filter mask, memory size, id), and the
 directly-accessed wide-id variant) — and tiny objects (payload
 packed in the id) read too. The writer emits root-direct, greedy
-root-indirect, and unfiltered huge layouts.
+root-indirect, and (round 10) every huge variant the reader
+handles: unfiltered and filtered, B-tree-keyed (type-1/type-2
+records) and directly-accessed wide ids.
 
 Honest scope (loud refusals naming the feature): filtered huge
-objects and huge heap ids at id_len >= 17 (writer side; the reader
-handles both), region-reference selection encodings other than
-version 1 (libhdf5 1.10.7+'s version-2 "irregular" hyperslab
-serialization), unknown filter ids (szip et al). Documented assumption rather than refusal:
+ids at 17 <= id_len <= 28 (too wide for a B-tree key, too narrow
+to carry (address, length, mask, memory size) — both sides),
+region-reference selection encodings other than version 1 (libhdf5
+1.10.7+'s version-2 "irregular" hyperslab serialization), unknown
+filter ids (szip et al). Documented assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own
@@ -524,16 +527,41 @@ class VlenSeq:
         self.seqs = seqs
 
 
+def _attr_body3(
+    nb: bytes, dt: bytes, ds: bytes, data: bytes
+) -> bytes:
+    """Version-3 attribute message BODY (charset byte, unpadded
+    fields) without the object-header envelope — what dense attribute
+    storage puts in the fractal heap, free of the envelope's 16-bit
+    size field (a >64 KiB attribute is legal there; round 10)."""
+    return (
+        struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
+        + nb + dt + ds + data
+    )
+
+
 def _attr_envelope(
     nb: bytes, dt: bytes, ds: bytes, data: bytes, latest: bool
 ) -> bytes:
     if latest:
-        # v3: charset byte (0 = ASCII), fields unpadded
-        body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0)
-        body += nb + dt + ds + data
+        body = _attr_body3(nb, dt, ds, data)
+        if len(body) > 0xFFFF:
+            raise ValueError(
+                f"attribute {nb[:-1].decode()!r}: {len(body)}-byte "
+                "message exceeds a compact header message's 16-bit "
+                "size — dense attribute storage (libver='latest', "
+                "> 8 attributes on the object) is required"
+            )
         return _msg2(0x000C, body)
     body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
     body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
+    if len(body) > 0xFFFF:
+        raise ValueError(
+            f"attribute {nb[:-1].decode()!r}: {len(body)}-byte "
+            "message exceeds a compact header message's 16-bit size "
+            "— use libver='latest' with > 8 attributes on the object "
+            "(dense storage)"
+        )
     return _msg(0x000C, body)
 
 
@@ -596,10 +624,14 @@ def _vlen_seq_attr_msg(
     return _attr_envelope(name.encode() + b"\x00", dt, ds, data, latest)
 
 
-def _attr_msg(name: str, value, latest: bool = False) -> bytes:
+def _attr_msg(
+    name: str, value, latest: bool = False, dense: bool = False
+) -> bytes:
     """Attribute message (scalar/1-D ints and floats, strings): v1
     (8-padded fields) by default, v3 (unpadded, charset byte) when
-    ``latest`` — the encodings libhdf5 writes for each libver."""
+    ``latest`` — the encodings libhdf5 writes for each libver.
+    ``dense`` returns the bare v3 BODY for fractal-heap storage
+    (no envelope, so no 16-bit size ceiling)."""
     nb = name.encode() + b"\x00"
     if isinstance(value, str):
         data = value.encode() + b"\x00"
@@ -626,6 +658,8 @@ def _attr_msg(name: str, value, latest: bool = False) -> bytes:
         shape = () if np.ndim(value) == 0 else arr.shape
         ds = _dataspace(shape, latest=latest)
         data = arr.tobytes()
+    if dense:
+        return _attr_body3(nb, dt, ds, data)
     return _attr_envelope(nb, dt, ds, data, latest)
 
 
@@ -1571,10 +1605,12 @@ def _write_fractal_heap(
     the doubling table's direct blocks under a root indirect block
     (512 KiB of bodies at the default geometry — nested indirect rows
     are read but not written); bodies past the managed ceiling
-    (max_direct/2) are written as HUGE objects — raw spans plus a
-    type-1 v2 B-tree of (address, length, id) records, libhdf5's
-    layout when ids are too narrow to carry (address, length)
-    inline."""
+    (max_direct/2) are written as HUGE objects in the encoding the id
+    width dictates (round 10): narrow ids key a v2 B-tree of type-1
+    (address, length, id) records — type-2 (+ filter mask, memory
+    size) when the heap is filtered, the object span then holding the
+    pipeline output — while ids wide enough pack the same fields
+    directly into the id, no B-tree."""
     off_size = _FH_MAX_BITS // 8  # 4
     len_size = id_len - 1 - off_size
     filt = [(1, [deflate])] if deflate is not None else None
@@ -1586,37 +1622,53 @@ def _write_fractal_heap(
     max_man = _FH_MAX_DIRECT // 2
     man_names = [n for n in sorted(objects) if len(objects[n]) <= max_man]
     huge_names = [n for n in sorted(objects) if len(objects[n]) > max_man]
-    if huge_names and filt:
+    # readers (this one at _fheap_object, and libhdf5) decode huge ids
+    # as DIRECT once the id is wide enough to carry the fields inline:
+    # (address, length) at id_len - 1 >= 16, plus (filter mask, memory
+    # size) at id_len - 1 >= 28 when the heap is filtered — so the
+    # writer picks the same encoding the id width dictates (round 10,
+    # closing the filtered-huge/wide-id writer refusals)
+    wide = id_len - 1 >= 16
+    if huge_names and filt and wide and id_len - 1 < 28:
         raise ValueError(
-            "fractal heap writer: filtered huge objects are not "
-            "supported (they need type-2/3 huge B-trees)"
-        )
-    if huge_names and id_len - 1 >= 16:
-        # readers (this one at _fheap_object, and libhdf5) decode huge
-        # ids as DIRECT (address, length) packed in the id once it is
-        # wide enough to carry them; the indirect B-tree-keyed ids
-        # written below would decode as garbage addresses
-        raise ValueError(
-            f"fractal heap writer: huge objects with id_len {id_len} "
-            ">= 17 require direct ids, which this writer does not emit"
+            f"fractal heap writer: filtered huge ids of {id_len} "
+            "bytes cannot carry (address, length, mask, memory size) "
+            "directly — use id_len >= 29 or id_len <= 16"
         )
     obj_ids: dict[str, bytes] = {}
     huge_bt2_addr, huge_bytes = UNDEF, 0
     if huge_names:
         recs = []
         for i, nm in enumerate(huge_names):
+            body = objects[nm]
+            stored = zlib.compress(body, deflate) if filt else body
             a = len(out)
-            out += objects[nm]
+            out += stored
+            huge_bytes += len(stored)
+            if wide:
+                # id: version 0, type huge (bits 4-5 = 1), fields
+                # packed directly, zero-padded to id_len
+                fields = (
+                    struct.pack("<QQIQ", a, len(stored), 0, len(body))
+                    if filt
+                    else struct.pack("<QQ", a, len(stored))
+                )
+                obj_ids[nm] = (b"\x10" + fields).ljust(id_len, b"\x00")
+                continue
+            # indirect: B-tree-keyed id; type-2 records carry the
+            # filter mask + memory size, type-1 just (addr, length)
             recs.append(
-                struct.pack("<QQQ", a, len(objects[nm]), i + 1)
+                struct.pack(
+                    "<QQIQQ", a, len(stored), 0, len(body), i + 1
+                )
+                if filt
+                else struct.pack("<QQQ", a, len(stored), i + 1)
             )
-            # id: version 0, type huge (bits 4-5 = 1), then the
-            # B-tree key
             obj_ids[nm] = b"\x10" + (i + 1).to_bytes(
                 id_len - 1, "little"
             )
-            huge_bytes += len(objects[nm])
-        huge_bt2_addr = _write_bt2(out, recs, 1)
+        if recs:
+            huge_bt2_addr = _write_bt2(out, recs, 2 if filt else 1)
     need = hdr_size + sum(len(objects[nm]) for nm in man_names)
     fheap_addr = len(out)
 
@@ -1927,8 +1979,9 @@ def _write_dense_attrs(
     libver='latest'. Returns (fheap_addr, name_bt2_addr)."""
     bodies = {}
     for k, v in attrs.items():
-        msg = _attr_msg(k, v, latest=True)
-        bodies[k] = msg[4:]  # strip the 4-byte v2 message header
+        # bare v3 bodies: heap-stored attributes have no 16-bit
+        # envelope ceiling (a > 64 KiB attribute goes HUGE)
+        bodies[k] = _attr_msg(k, v, latest=True, dense=True)
     fheap_addr, obj_ids = _write_fractal_heap(out, bodies, 8)
     keyed = sorted(
         (lookup3(k.encode()), i, k)

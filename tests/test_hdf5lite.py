@@ -3029,23 +3029,44 @@ def test_compound_member_name_quoting(spark, tmp_path):
     assert rows[3]["obs"]["k"] == 1
 
 
-def test_fheap_writer_refuses_wide_huge_ids(tmp_path):
+def test_fheap_writer_wide_huge_ids_roundtrip(tmp_path):
     """With id_len >= 17 readers (this codec and libhdf5) decode huge
-    ids as DIRECT (address, length) packed in the id; the writer only
-    emits indirect B-tree-keyed ids, so it must refuse rather than
-    write heaps whose huge objects decode as garbage addresses
-    (round-9 self-review; latent — no current call site passes
-    id_len >= 17)."""
-    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
-        _write_fractal_heap,
-    )
+    ids as DIRECT (address, length) packed in the id — since round 10
+    the writer emits exactly that (it refused before), and the
+    filtered twin packs (address, length, mask, memory size) once the
+    id is wide enough (id_len >= 29). The unrepresentable middle — a
+    filtered heap with 17 <= id_len <= 28 — refuses loudly on BOTH
+    sides."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
 
+    big = {"big": b"x" * (128 * 1024), "also": b"yz" * (40 * 1024)}
+
+    def read_back(out, addr, ids, objs):
+        h = hl.HDF5File.__new__(hl.HDF5File)
+        h.path = "<mem>"
+        h._buf = bytes(out)
+        heap = h._fractal_heap(addr)
+        for n, body in objs.items():
+            assert h._fheap_object(heap, ids[n]) == body
+        return heap
+
+    # unfiltered direct wide ids
     out = bytearray(b"\x00" * 48)
-    big = {"big": b"x" * (128 * 1024)}  # > max_man = 32 KiB
-    with pytest.raises(ValueError, match="direct ids"):
-        _write_fractal_heap(out, big, 17)
+    addr, ids = hl._write_fractal_heap(out, dict(big), 17)
+    assert all(ids[n][0] == 0x10 and len(ids[n]) == 17 for n in big)
+    heap = read_back(out, addr, ids, big)
+    assert heap["huge_bt2_addr"] == hl.UNDEF  # no B-tree: ids direct
+    # filtered direct wide ids (address, length, mask, memory size)
+    out = bytearray(b"\x00" * 48)
+    addr, ids = hl._write_fractal_heap(out, dict(big), 29, deflate=6)
+    read_back(out, addr, ids, big)
+    # the unrepresentable middle refuses loudly
+    with pytest.raises(ValueError, match="id_len >= 29"):
+        hl._write_fractal_heap(
+            bytearray(b"\x00" * 48), dict(big), 17, deflate=6
+        )
     # narrow ids still work (the shipping geometry)
-    addr, ids = _write_fractal_heap(bytearray(b"\x00" * 48), big, 8)
+    addr, ids = hl._write_fractal_heap(bytearray(b"\x00" * 48), big, 8)
     assert ids["big"][0] == 0x10
 
 
@@ -3129,14 +3150,21 @@ def test_filtered_fractal_heap_roundtrip(tmp_path, monkeypatch):
         except ValueError:
             continue
         raise AssertionError(f"flip at -{flip} read silently")
-    # filtered huge objects refuse at write time
-    with pytest.raises(ValueError, match="filtered huge"):
-        hl._write_fractal_heap(
-            bytearray(b"\x00" * 32),
-            {"big": b"x" * (64 * 1024)},
-            8,
-            deflate=6,
-        )
+    # filtered HUGE objects (round 10, previously a writer refusal):
+    # compressed spans + a type-2 B-tree of (address, stored length,
+    # mask, memory size, id) records, read back through the inverse
+    # pipeline — and a truncated stored span fails the memory-size
+    # check loudly rather than yielding a short body
+    hobjs = {"big": b"x" * (64 * 1024), "two": bytes(range(256)) * 300}
+    out = bytearray(b"\x00" * 32)
+    addr, ids = hl._write_fractal_heap(out, dict(hobjs), 8, deflate=6)
+    h = HDF5File.__new__(HDF5File)
+    h.path = "<mem>"
+    h._buf = bytes(out)
+    heap = h._fractal_heap(addr)
+    assert heap["huge_bt2_addr"] != hl.UNDEF
+    for n, body in hobjs.items():
+        assert h._fheap_object(heap, ids[n]) == body
     # END TO END: a libver-latest file whose dense-attribute heap is
     # filtered reads through the normal HDF5File path
     orig = hl._write_fractal_heap
@@ -3146,6 +3174,9 @@ def test_filtered_fractal_heap_roundtrip(tmp_path, monkeypatch):
     attrs = {
         f"s{i:02d}": np.arange(i + 1, dtype=np.int32) for i in range(20)
     }
+    # one attribute body past max_man (32 KiB): a filtered HUGE heap
+    # object inside a real file (round 10)
+    attrs["lut"] = np.arange(12000, dtype=np.int64)
     p = os.path.join(tmp_path, "filtheap.h5")
     write_hdf5(
         p,
@@ -3155,8 +3186,11 @@ def test_filtered_fractal_heap_roundtrip(tmp_path, monkeypatch):
     )
     monkeypatch.undo()
     got = HDF5File(p).datasets["v"].attrs
-    assert len(got) == 20
+    assert len(got) == 21
     np.testing.assert_array_equal(got["s19"], np.arange(20, dtype=np.int32))
+    np.testing.assert_array_equal(
+        got["lut"], np.arange(12000, dtype=np.int64)
+    )
 
 
 def test_fheap_extended_tiny_ids():
@@ -3558,3 +3592,18 @@ def test_src_netcdf4_regionref_scan_oracle(check):
         (hi - lo) * srcq.GRID_Y * srcq.GRID_X
         for lo, hi in srcq._REGREF_WINDOWS
     ]
+
+
+def test_compact_attribute_size_refusal(tmp_path):
+    """An attribute too large for a compact header message's 16-bit
+    size field refuses LOUDLY in both libvers, naming the dense
+    escape hatch (before round 10 this died in struct.pack)."""
+    big = {"lut": np.arange(12000, dtype=np.int64)}
+    for libver in ("earliest", "latest"):
+        with pytest.raises(ValueError, match="16-bit size"):
+            write_hdf5(
+                os.path.join(tmp_path, f"c_{libver}.h5"),
+                {"v": np.arange(4, dtype=np.int32)},
+                {"v": {"attrs": big}},
+                libver=libver,
+            )
