@@ -2864,7 +2864,7 @@ class HDF5File:
         while regions and len(out) < nmsgs:
             pos, remaining = regions.pop(0)
             while remaining >= 8 and len(out) < nmsgs:
-                mtype, msize, _flags = struct.unpack_from("<HHB", b, pos)
+                mtype, msize, mflags = struct.unpack_from("<HHB", b, pos)
                 # bytes() copy: mmap slices copy already; the
                 # userblock-shifted memoryview would hand parsers a
                 # view lacking bytes methods
@@ -2876,6 +2876,11 @@ class HDF5File:
                     off, length = struct.unpack_from("<QQ", body, 0)
                     regions.append((off, length))
                     continue
+                if mflags & 0x02:
+                    # SHARED message: the body is a pointer to the
+                    # real one (committed datatypes — what netcdf-c
+                    # emits for its user types)
+                    body = self._shared_body(mtype, body)
                 out.append((mtype, body, body_off))
         return out
 
@@ -2910,10 +2915,13 @@ class HDF5File:
             while remaining >= mh:  # any trailing gap is < one header
                 mtype = b[pos]
                 msize = struct.unpack_from("<H", b, pos + 1)[0]
+                mflags = b[pos + 3]
                 body = bytes(b[pos + mh : pos + mh + msize])
                 body_off = pos + mh
                 pos += mh + msize
                 remaining -= mh + msize
+                if mtype != 0x10 and mflags & 0x02:
+                    body = self._shared_body(mtype, body)
                 if mtype == 0x10:  # continuation -> OCHK block
                     off, length = struct.unpack_from("<QQ", body, 0)
                     self._expect_sig(off, b"OCHK", "continuation block")
@@ -2931,6 +2939,64 @@ class HDF5File:
 
     def _messages(self, header_addr: int):
         return [(t, b) for t, b, _off in self._messages_at(header_addr)]
+
+    def _shared_body(self, mtype: int, body: bytes) -> bytes:
+        """Resolve a SHARED message (header flag bit 1, round 10): the
+        stored body is a pointer to the real message. The 'committed'
+        variants — versions 1/2, and version 3 with location type 2 —
+        point at another object header (libhdf5's named datatypes;
+        netcdf-c commits every NC_COMPOUND/NC_VLEN user type this
+        way); version-3 type 1 (the SOHM shared-message heap) is
+        refused loudly. Shared-to-shared chains are cycle-guarded."""
+        if len(body) < 10:
+            raise ValueError(
+                f"{self.path}: shared message of {len(body)} bytes "
+                "cannot hold a version + type + address"
+            )
+        ver = body[0]
+        if ver == 1:
+            addr = struct.unpack_from("<Q", body, 8)[0]
+        elif ver == 2:
+            addr = struct.unpack_from("<Q", body, 2)[0]
+        elif ver == 3:
+            styp = body[1]
+            if styp == 1:
+                raise ValueError(
+                    f"{self.path}: shared message stored in the SOHM "
+                    "shared-message heap is not supported (committed "
+                    "object-header messages only)"
+                )
+            if styp != 2:
+                raise ValueError(
+                    f"{self.path}: version-3 shared message location "
+                    f"type {styp} (1 = SOHM heap, 2 = committed)"
+                )
+            addr = struct.unpack_from("<Q", body, 2)[0]
+        else:
+            raise ValueError(
+                f"{self.path}: shared-message version {ver} (1-3 only)"
+            )
+        chain = getattr(self, "_shared_chain", None)
+        if chain is None:
+            chain = self._shared_chain = set()
+        if addr in chain:
+            raise ValueError(
+                f"{self.path}: shared message at header address "
+                f"{addr} points into a shared-message cycle — file "
+                "corrupt"
+            )
+        chain.add(addr)
+        try:
+            for t, b2, _off in self._messages_at(addr):
+                if t == mtype:
+                    return b2
+        finally:
+            chain.discard(addr)
+        raise ValueError(
+            f"{self.path}: shared message points at object header "
+            f"{addr} which holds no message of type {mtype} — "
+            "corrupt share"
+        )
 
     def _expect_sig(self, addr: int, sig: bytes, what: str) -> None:
         """Loud structural check: a truncated or corrupt file must name
