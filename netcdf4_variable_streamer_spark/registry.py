@@ -47,76 +47,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 # not this one — that keeps the policy test stable when the driver drops
 # a fresh CORRECTNESS file mid-round.
 #
-# Round-10 rotation (VERDICT r9 "Next round" #1): at rotation time all
-# 246 pre-existing keys had a driver row, all green at latest check —
-# no failures. The order is never-checked-first, then green keys
-# stalest-proof-first: the new round-10 keys (inserted at the very
-# top as they landed, per the policy — unchecked keys outrank
-# stale-green ones; 14 by session end) take the first window slots, the 46 keys whose
-# latest driver evidence is r05 (the oldest proof in the fleet) fill
-# the rest of the window, and the remainder follows in latest-check
-# order (r05, r06, r07, r08, r09).
+# Rotation arithmetic (VERDICT r10 "What's wrong" #2): the window is
+# 50 slots and recent rounds add ~14 new keys each, so a stale block
+# larger than ~36 keys cannot be fully retired in one round — expect a
+# small remainder to carry one extra round (r10 left 10 r05 keys for
+# r11). That is the policy working, not a rotation bug.
+#
+# Round-11 rotation (VERDICT r10 "Next round" #1): at rotation time
+# all 260 keys had a driver row, all green at latest check — no
+# failures. The order is never-checked-first, then green keys
+# stalest-proof-first: new round-11 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 10
+# keys whose latest evidence is still r05, then the r06 block fills
+# the remaining window slots; the remainder follows in latest-check
+# order (r06, r07, r08, r09, r10).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-10 additions (never driver-checked) are inserted at the
+    # -- round-11 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
-    "src_netcdf4_regionref_scan",
-    "q_stream_dedup_minhash_ttl",
-    "q_sim_ivfpq_adc",
-    "src_netcdf4_fletcher_scan",
-    "src_netcdf3_union_schema_scan",
-    "src_netcdf4_union_schema_scan",
-    "src_netcdf3_union_dir_tail",
-    "src_netcdf4_union_dir_tail",
-    "q_text_hashed_ngram_features",
-    "q_sim_binary_hamming",
-    "src_netcdf4_cf_scan",
-    "q_dedup_minhash_incremental",
-    "src_netcdf4_userblock_scan",
-    "src_netcdf4_fill_scan",
-    # last driver check: r5
-    "src_netcdf3_cf_scan",
-    "q_dedup_containment",
-    "q_dedup_image_phash",
-    "q_emb_int8_quantize",
-    "q_text_bigram_logprob",
-    "q_dedup_lines",
-    "q_curriculum_order",
-    "q_multimodal_audio_vad",
-    "q_sample_temperature",
-    "snk_netcdf3_write",
-    "src_netcdf3_stream_tail",
-    "src_netcdf3_multifile_scan",
-    "q_dedup_url_canonical",
-    "q_rfm_segments",
-    "q_union_schema_evolution",
-    "q_win_gap_interpolate",
-    "q_agg_hll_setops",
-    "q_subquery_scalar",
-    "q_subquery_scalar_corr",
-    "q_subquery_exists",
-    "q_subquery_in",
-    "q_stream_join",
-    "q_join_skew_salted",
-    "q_agg_median_mode",
-    "q_stream_upsert",
-    "q_merge_scd1",
-    "q_fn_url",
-    "q_agg_sketches",
-    "q_merge_scd2",
-    "q_graph_pagerank",
-    "q_retention_cohort",
-    "q_profile_columns",
-    "q_graph_triangles",
-    "q_join_fuzzy_levenshtein",
-    "q_win_pattern_burst",
-    "q_agg_corr_matrix",
+    # last driver check: r5 (the 10 keys the r10 window could not fit;
+    # see rotation-arithmetic note above)
     "q_stream_dim_join",
     "q_stream_join_outer",
     "q_agg_bitmap_distinct",
@@ -331,6 +287,58 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write",
     "src_netcdf4_stream_tail",
     "src_netcdf3_cdf5_scan",
+    # last driver check: r10 (the 36 former-r05 keys re-proven in the
+    # r10 window, then the 14 keys added in round 10)
+    "src_netcdf3_cf_scan",
+    "q_dedup_containment",
+    "q_dedup_image_phash",
+    "q_emb_int8_quantize",
+    "q_text_bigram_logprob",
+    "q_dedup_lines",
+    "q_curriculum_order",
+    "q_multimodal_audio_vad",
+    "q_sample_temperature",
+    "snk_netcdf3_write",
+    "src_netcdf3_stream_tail",
+    "src_netcdf3_multifile_scan",
+    "q_dedup_url_canonical",
+    "q_rfm_segments",
+    "q_union_schema_evolution",
+    "q_win_gap_interpolate",
+    "q_agg_hll_setops",
+    "q_subquery_scalar",
+    "q_subquery_scalar_corr",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_stream_join",
+    "q_join_skew_salted",
+    "q_agg_median_mode",
+    "q_stream_upsert",
+    "q_merge_scd1",
+    "q_fn_url",
+    "q_agg_sketches",
+    "q_merge_scd2",
+    "q_graph_pagerank",
+    "q_retention_cohort",
+    "q_profile_columns",
+    "q_graph_triangles",
+    "q_join_fuzzy_levenshtein",
+    "q_win_pattern_burst",
+    "q_agg_corr_matrix",
+    "src_netcdf4_regionref_scan",
+    "q_stream_dedup_minhash_ttl",
+    "q_sim_ivfpq_adc",
+    "src_netcdf4_fletcher_scan",
+    "src_netcdf3_union_schema_scan",
+    "src_netcdf4_union_schema_scan",
+    "src_netcdf3_union_dir_tail",
+    "src_netcdf4_union_dir_tail",
+    "q_text_hashed_ngram_features",
+    "q_sim_binary_hamming",
+    "src_netcdf4_cf_scan",
+    "q_dedup_minhash_incremental",
+    "src_netcdf4_userblock_scan",
+    "src_netcdf4_fill_scan",
 ]
 
 
