@@ -1806,3 +1806,142 @@ def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# Multi-word binary Hamming (VERDICT r10 "Next round" #7): the 64-dim
+# fixture expands to a DETERMINISTIC 192-dim feature vector — block 0 is
+# the embedding itself, block 1 the cyclic first difference e[i]-e[i+1],
+# block 2 the cyclic lag-7 product e[i]*e[i+7] — so the binary code is
+# 3×64 = 192 bits and the signature is an ARRAY of sign words, the real
+# multi-word posture (a production 768-dim encoder would fill 12 words
+# the same way). Every block op (subtract, multiply, >0) is a single
+# exact IEEE operation, so both engines binarize identically.
+_HAM_BLOCKS_SPARK = [
+    lambda e, i: F.element_at(e, i),
+    lambda e, i: F.element_at(e, i) - F.element_at(e, (i % 64) + 1),
+    lambda e, i: F.element_at(e, i) * F.element_at(e, ((i + 6) % 64) + 1),
+]
+_HAM_BLOCKS_SQL = [
+    "embedding[CAST(i AS INTEGER)]",
+    "embedding[CAST(i AS INTEGER)]"
+    " - embedding[CAST((i % 64) + 1 AS INTEGER)]",
+    "embedding[CAST(i AS INTEGER)]"
+    " * embedding[CAST(((i + 6) % 64) + 1 AS INTEGER)]",
+]
+
+
+def _ham_sum_sql(block_expr: str) -> str:
+    """One 64-bit sign word as an unsigned HUGEINT bit sum."""
+    return f"""LIST_SUM(LIST_TRANSFORM(generate_series(1, 64), i ->
+            CASE WHEN {block_expr} > 0
+                 THEN CAST(1 AS HUGEINT) << CAST(i - 1 AS INTEGER)
+                 ELSE CAST(0 AS HUGEINT) END))"""
+
+
+def _ham_fold_sql(s: str) -> str:
+    """HUGEINT bit sum -> BIGINT two's complement (same fold as
+    q_sim_binary_hamming's oracle)."""
+    return f"""CAST(CASE WHEN {s} >= CAST(1 AS HUGEINT) << 63
+                THEN {s} - (CAST(1 AS HUGEINT) << 64)
+                ELSE {s} END AS BIGINT)"""
+
+
+def _ham_word_spark(e: Column, block: int) -> Column:
+    terms = [
+        F.when(
+            _HAM_BLOCKS_SPARK[block](e, i) > 0,
+            F.lit((1 << (i - 1)) if i < 64 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(1, 65)
+    ]
+    return sum(terms[1:], terms[0])
+
+
+@register(
+    "q_sim_binary_hamming_multiword",
+    oracle=f"""
+WITH raw AS (
+  SELECT vec_id,
+         {_ham_sum_sql(_HAM_BLOCKS_SQL[0])} AS s0,
+         {_ham_sum_sql(_HAM_BLOCKS_SQL[1])} AS s1,
+         {_ham_sum_sql(_HAM_BLOCKS_SQL[2])} AS s2
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         {_ham_fold_sql('s0')} AS w0,
+         {_ham_fold_sql('s1')} AS w1,
+         {_ham_fold_sql('s2')} AS w2
+  FROM raw
+),
+scored AS (
+  SELECT q.vec_id AS q_id, s.vec_id,
+         BIT_COUNT(xor(q.w0, s.w0)) + BIT_COUNT(xor(q.w1, s.w1))
+           + BIT_COUNT(xor(q.w2, s.w2)) AS hamming
+  FROM sig q JOIN sig s ON s.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, vec_id) AS rn
+      FROM scored) t
+WHERE rn <= {TOP_K}
+""",
+    doc="MULTI-WORD binary Hamming retrieval (VERDICT r10 #7, the "
+        "d > 64 generalization of q_sim_binary_hamming): a "
+        "deterministic 192-dim expansion of the embedding (identity / "
+        "cyclic first-difference / cyclic lag-7 product blocks) "
+        "binarizes to an ARRAY of three 64-bit sign words, and Hamming "
+        "distance is the popcount of xor SUMMED over the zipped word "
+        "arrays — exactly how a 768-dim binary index packs 12 words. "
+        "The 20 query word-arrays broadcast; scoring stays map-side "
+        "JVM (zip_with + bit_count, no Python), distances are exact "
+        "integers, and the per-query top-k is a bounded window. The "
+        "code table is 24 bytes/vector — 21x smaller than the float "
+        "corpus — which is the entire point at 100 TB: the xor scan "
+        "reads ONLY the packed words.",
+)
+def q_sim_binary_hamming_multiword(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb = F.col("embedding")
+    sig = e.select(
+        "vec_id",
+        F.array(
+            *[_ham_word_spark(emb, b) for b in range(3)]
+        ).alias("sig"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("sig").alias("q_sig")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "q_sig",
+            "sig",
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        sig.join(F.broadcast(q), F.lit(True))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -71,6 +71,8 @@ WINDOW_ROUND = 11
 CANONICAL_ORDER: list[str] = [
     # -- round-11 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
+    "q_stream_dedup_incremental",
+    "q_sim_binary_hamming_multiword",
     # last driver check: r5 (the 10 keys the r10 window could not fit;
     # see rotation-arithmetic note above)
     "q_stream_dim_join",

@@ -918,3 +918,144 @@ def q_stream_dedup_minhash_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "band")
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch incremental near-dedup — the production crawl loop
+# (VERDICT r10 "Next round" #4): each micro-batch PROBES the standing
+# LSH index built from every previous batch, emits its decision rows,
+# then MERGEs its own bands/shingles into the index state. Composes the
+# two-table API (operators.dedup.incremental_near_dedup) with the
+# foreachBatch upsert pattern above — end-to-end, this is the recurring
+# crawl pipeline whose per-batch cost is proportional to the batch.
+# ---------------------------------------------------------------------------
+
+
+def _docs_two_batch_stream_dir(spark: SparkSession, sf_dir: str, split: int) -> str:
+    """Materialize documents as a TWO-file stream directory: doc_id <
+    ``split`` in the older file (the first crawl = the standing index),
+    the rest in the newer one. With maxFilesPerTrigger=1 the file source
+    turns each file into its own micro-batch, oldest first (mtimes are
+    forced 1000 s apart and the name prefix tie-breaks the same way)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(
+        prefix="crawl_feed_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mask = pc.less(t["doc_id"], split)
+    f0 = os.path.join(stream_dir, "0_index.parquet")
+    f1 = os.path.join(stream_dir, "1_crawl.parquet")
+    pq.write_table(t.filter(mask), f0)
+    pq.write_table(t.filter(pc.invert(mask)), f1)
+    now = os.stat(f1).st_mtime
+    os.utime(f0, (now - 2000, now - 2000))
+    os.utime(f1, (now - 1000, now - 1000))
+    return stream_dir
+
+
+def run_foreachbatch_incremental_dedup(
+    spark: SparkSession, sf_dir: str, split: int | None = None
+) -> DataFrame:
+    """Run the crawl loop over a 2-micro-batch documents stream and
+    return the decision rows of every batch that probed existing state
+    (i.e. batch 2's crawl-vs-index decisions). State between batches is
+    the PREPARED index — parquet band + shingle tables — so no text is
+    ever re-shingled; the probe itself is _incremental_decisions, the
+    same core the batch two-table API uses."""
+    import shutil
+
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _INC_SPLIT,
+        MAX_BUCKET,
+        _incremental_decisions,
+        _minhash_band_table,
+        _shingled,
+    )
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    split = _INC_SPLIT if split is None else split
+    stream_dir = _docs_two_batch_stream_dir(spark, sf_dir, split)
+    run_dir = tempfile.mkdtemp(
+        prefix="crawl_state_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    dec_dir = os.path.join(run_dir, "decisions")
+    state: dict[str, str] = {}
+    n_batches = [0]
+
+    def crawl(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        b = batch_df.select("doc_id", "text")
+        new_sh = _shingled(b, "doc_id", "text")
+        new_bands = _minhash_band_table(new_sh)
+        if state:
+            idx_bands = spark.read.parquet(state["bands"])
+            idx_sh = spark.read.parquet(state["sh"])
+            _incremental_decisions(
+                idx_bands, idx_sh, new_sh, b.select("doc_id"),
+                qthr=6000, max_bucket=MAX_BUCKET,
+            ).write.mode("append").parquet(dec_dir)
+            new_bands = idx_bands.unionByName(new_bands)
+            new_sh = idx_sh.unionByName(new_sh)
+        bands_dst = os.path.join(run_dir, f"bands_v{batch_id}")
+        sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
+        new_bands.write.mode("overwrite").parquet(bands_dst)
+        new_sh.write.mode("overwrite").parquet(sh_dst)
+        state["bands"], state["sh"] = bands_dst, sh_dst
+
+    schema = spark.read.parquet(stream_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(crawl)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(run_dir, "ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] == 2, f"expected 2 micro-batches, got {n_batches[0]}"
+    out = spark.read.parquet(dec_dir).orderBy("doc_id")
+    rows = out.collect()  # materialize before the scratch dirs are removed
+    schema_out = out.schema
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+def _stream_inc_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _inc_minhash_oracle,
+    )
+
+    return _inc_minhash_oracle()
+
+
+@register(
+    "q_stream_dedup_incremental",
+    oracle=_stream_inc_oracle(),
+    doc="STREAMING incremental near-dedup (VERDICT r10 #4) — the "
+        "production crawl pipeline end-to-end: a 2-micro-batch "
+        "documents stream (batch 1 = the standing corpus, batch 2 = "
+        "the new crawl) drives a foreachBatch loop in which every "
+        "batch probes the PERSISTED index state (parquet band + "
+        "shingle tables merged by all prior batches) through the same "
+        "_incremental_decisions core as the batch two-table API, then "
+        "merges its own bands in. Batch 2's decisions must therefore "
+        "equal the batch twin q_dedup_minhash_incremental exactly — "
+        "the oracle IS that query's SQL. State grows with the corpus "
+        "(the standing index), but per-batch compute is proportional "
+        "to the batch: the 100 TB recurring-crawl posture, where the "
+        "index is amortized across crawls and never recomputed. "
+        "tests/test_streaming.py::test_incremental_dedup_crawl_loop "
+        "additionally asserts batch-2-vs-batch-1 dedup decisions and "
+        "stream == batch-twin equality.",
+)
+def q_stream_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_foreachbatch_incremental_dedup(spark, sf_dir)

@@ -70,6 +70,8 @@ NEW_KEYS = [
     "q_text_hashed_ngram_features", "q_sim_binary_hamming",
     "src_netcdf4_cf_scan", "q_dedup_minhash_incremental",
     "src_netcdf4_regionref_scan",
+    # round 11
+    "q_stream_dedup_incremental", "q_sim_binary_hamming_multiword",
 ]
 
 

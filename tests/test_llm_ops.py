@@ -372,3 +372,50 @@ def test_emb_centroids(check):
         pdf["sum_fp"].astype(float) / pdf["n_vecs"]
     ).astype("int64")
     assert (pdf["mean_fp"] == expect).all()
+
+
+def test_incremental_near_dedup_two_table_api(spark):
+    """incremental_near_dedup (VERDICT r10 next #3) on two ad-hoc
+    DataFrames: arbitrary 64-bit ids (beyond the old packed-id bound),
+    custom column names, exact dups flagged with the right best match,
+    unique and too-short-to-shingle batch docs get decision rows with
+    is_dup = false."""
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    index_df = spark.createDataFrame(
+        [
+            (10**12 + 1, base),
+            (10**12 + 2, base + " today"),          # near-dup of +1
+            (10**12 + 3, "completely different words about spark engines"
+                         " running large scale batch analytics pipelines"),
+        ],
+        "page_id long, body string",
+    )
+    batch_df = spark.createDataFrame(
+        [
+            (5_000_000_001, base),                  # exact dup of +1
+            (5_000_000_002, "unrelated fresh crawl content mentioning"
+                            " satellites weather models and ocean currents"
+                            " in long sentences"),
+            (5_000_000_003, "too short"),           # < 3 tokens: no shingle
+        ],
+        "page_id long, body string",
+    )
+    rows = {
+        r["page_id"]: r
+        for r in incremental_near_dedup(
+            index_df, batch_df, id_col="page_id", text_col="body"
+        ).collect()
+    }
+    assert set(rows) == {5_000_000_001, 5_000_000_002, 5_000_000_003}
+    dup = rows[5_000_000_001]
+    assert dup["is_dup"] is True
+    assert dup["best_match"] == 10**12 + 1  # exact match beats the near-dup
+    assert dup["best_jaccard"] == 1.0
+    for pid in (5_000_000_002, 5_000_000_003):
+        r = rows[pid]
+        assert r["is_dup"] is False
+        assert r["best_match"] is None and r["best_jaccard"] is None

@@ -649,3 +649,13 @@ def test_incremental_dedup_equi_join_no_cartesian(spark):
     plan = plans.plan_string(df)
     assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_multiword_hamming_broadcast_no_python(spark):
+    # multi-word posture: word arrays in codegen, query words broadcast,
+    # zip_with xor+popcount map-side — no Python row path, no cartesian
+    df = build(spark, "q_sim_binary_hamming_multiword")
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
