@@ -1279,12 +1279,15 @@ def test_filtered_huge_objects_crafted(size, level, compressible, seed):
     )
     assert h._fheap_object(heap29, did_raw) == payload
 
-    # filtered + wide id but too narrow for the four fields: loud
+    # filtered id in the 17-28 band: too narrow for the four inline
+    # fields, so per H5HFhuge.c it stays INDIRECT — the zero-padded
+    # counter resolves through the type-2 B-tree (round 11, closing
+    # the old loud refusal here)
     patch_header(5, struct.pack("<H", 20))
     h._buf = bytes(out)
     heap20 = h._fractal_heap(heap_addr)
-    with pytest.raises(ValueError, match="cannot hold"):
-        h._fheap_object(heap20, bytes([0x10]) + b"\x00" * 19)
+    wide_hid = bytes([0x10]) + (0).to_bytes(19, "little")
+    assert h._fheap_object(heap20, wide_hid) == payload
 
 
 def _fletcher32_reference(data: bytes) -> int:

@@ -3034,9 +3034,11 @@ def test_fheap_writer_wide_huge_ids_roundtrip(tmp_path):
     ids as DIRECT (address, length) packed in the id — since round 10
     the writer emits exactly that (it refused before), and the
     filtered twin packs (address, length, mask, memory size) once the
-    id is wide enough (id_len >= 29). The unrepresentable middle — a
-    filtered heap with 17 <= id_len <= 28 — refuses loudly on BOTH
-    sides."""
+    id is wide enough (id_len >= 29). The middle band — a filtered
+    heap with 17 <= id_len <= 28 — follows H5HFhuge.c since round 11
+    (VERDICT r10 #5): too narrow for the four inline fields, those ids
+    stay INDIRECT, B-tree-keyed counters zero-padded to id_len - 1,
+    on both sides."""
     import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
 
     big = {"big": b"x" * (128 * 1024), "also": b"yz" * (40 * 1024)}
@@ -3060,11 +3062,18 @@ def test_fheap_writer_wide_huge_ids_roundtrip(tmp_path):
     out = bytearray(b"\x00" * 48)
     addr, ids = hl._write_fractal_heap(out, dict(big), 29, deflate=6)
     read_back(out, addr, ids, big)
-    # the unrepresentable middle refuses loudly
-    with pytest.raises(ValueError, match="id_len >= 29"):
-        hl._write_fractal_heap(
-            bytearray(b"\x00" * 48), dict(big), 17, deflate=6
+    # the filtered middle band (17 <= id_len <= 28): indirect B-tree
+    # ids zero-padded to id_len - 1, round-tripping on both sides
+    for mid_len in (17, 20, 28):
+        out = bytearray(b"\x00" * 48)
+        addr, ids = hl._write_fractal_heap(
+            out, dict(big), mid_len, deflate=6
         )
+        assert all(
+            ids[n][0] == 0x10 and len(ids[n]) == mid_len for n in big
+        )
+        heap = read_back(out, addr, ids, big)
+        assert heap["huge_bt2_addr"] != hl.UNDEF  # indirect: B-tree
     # narrow ids still work (the shipping geometry)
     addr, ids = hl._write_fractal_heap(bytearray(b"\x00" * 48), big, 8)
     assert ids["big"][0] == 0x10
@@ -3607,3 +3616,180 @@ def test_compact_attribute_size_refusal(tmp_path):
                 {"v": {"attrs": big}},
                 libver=libver,
             )
+
+
+def test_region_reference_v2_regular_roundtrip(tmp_path):
+    """VERSION-2 regular-hyperslab selection encoding (VERDICT r10 #2,
+    what libhdf5 1.10+ writes for regular selections): ("regular",
+    (start, stride, count, block) per dim) cells serialize as v2 and
+    read back as the expanded explicit block list; count > 1 expands
+    in row-major run order; dereference goes through the same
+    read_region path as v1 blocks."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRefs,
+        write_hdf5,
+    )
+
+    a = np.arange(60, dtype=np.int32).reshape(12, 5)
+    cells = [
+        # single block: count=1 per dim
+        ("a", ("regular", ((2, 3, 1, 3), (0, 5, 1, 5)))),
+        # 2x2 runs on axis 0 (starts 0, 4; block 2), one axis-1 run
+        ("a", ("regular", ((0, 4, 2, 2), (1, 2, 2, 1)))),
+    ]
+    p = os.path.join(tmp_path, "v2.h5")
+    write_hdf5(p, {"a": a, "r": RegionRefs(cells)})
+    h = HDF5File(p)
+    r0, r1 = h.read("r")
+    assert r0.blocks == (((2, 5), (0, 5)),)
+    np.testing.assert_array_equal(h.read_region(r0), a[2:5, 0:5])
+    assert r1.blocks == (
+        ((0, 2), (1, 2)),
+        ((0, 2), (3, 4)),
+        ((4, 6), (1, 2)),
+        ((4, 6), (3, 4)),
+    )
+    np.testing.assert_array_equal(
+        h.read_region(r1),
+        np.concatenate([
+            a[t0:t1, y0:y1].reshape(-1) for (t0, t1), (y0, y1) in r1.blocks
+        ]),
+    )
+
+
+def _patch_region_payload(path, new_sel: bytes) -> None:
+    """Overwrite the single region-reference heap payload's selection
+    bytes in-place (golden-byte harness: the payload keeps its 8-byte
+    header address, the selection after it becomes ``new_sel``)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import HDF5File
+
+    h = HDF5File(path)
+    cell = h._read_impl("r")[0]
+    pos, size = h._gheap_collection(int(cell["gaddr"]))[int(cell["gidx"])]
+    assert 8 + len(new_sel) <= size, "golden selection larger than slot"
+    buf = bytearray(open(path, "rb").read())
+    buf[pos + 8 : pos + 8 + len(new_sel)] = new_sel
+    open(path, "wb").write(bytes(buf))
+
+
+def _regref_golden_file(tmp_path, name: str):
+    """A one-cell region-reference file whose selection bytes the
+    golden tests overwrite; returns (path, the referenced array). The
+    as-written v1 selection spans a[1:5] and is larger than any golden
+    replacement (slack for patching)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        RegionRefs,
+        write_hdf5,
+    )
+
+    a = np.arange(96, dtype=np.int16).reshape(24, 4)
+    p = os.path.join(tmp_path, name)
+    write_hdf5(
+        p,
+        {"a": a, "r": RegionRefs(
+            # 4-block v1 payload: 8 + 16 + 8 + 4*16 = 96 bytes of slack
+            [("a", [((1, 5), (0, 4)), ((6, 9), (0, 4)),
+                    ((10, 12), (0, 4)), ((13, 15), (0, 4))])]
+        )},
+    )
+    return p, a
+
+
+def test_region_reference_v3_golden_bytes(tmp_path):
+    """VERSION-3 hyperslab selections (libhdf5 1.10.7+, variable
+    encode width, no length field) parse from hand-crafted golden
+    bytes: regular form at 2-byte width, irregular form at 1-byte
+    width, and the loud refusals (bad encode size, zero blocks,
+    truncated coordinates, version-2 points)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import HDF5File
+
+    # regular, enc=2: dims (start=3, stride=4, count=2, block=2) x
+    # (start=0, stride=4, count=1, block=4)
+    p, a = _regref_golden_file(tmp_path, "v3reg.h5")
+    sel = struct.pack("<2I", 2, 3) + bytes([0x01, 2])
+    sel += struct.pack("<I", 2)
+    sel += struct.pack("<8H", 3, 4, 2, 2, 0, 4, 1, 4)
+    _patch_region_payload(p, sel)
+    r = HDF5File(p).read("r")[0]
+    assert r.blocks == (((3, 5), (0, 4)), ((7, 9), (0, 4)))
+    h = HDF5File(p)
+    np.testing.assert_array_equal(
+        h.read_region(r),
+        np.concatenate([a[3:5].reshape(-1), a[7:9].reshape(-1)]),
+    )
+
+    # irregular, enc=1: two explicit blocks (inclusive corners)
+    p2, a2 = _regref_golden_file(tmp_path, "v3irr.h5")
+    sel = struct.pack("<2I", 2, 3) + bytes([0x00, 1])
+    sel += struct.pack("<I", 2)
+    sel += bytes([2])                 # nblocks
+    sel += bytes([1, 0, 2, 3])        # block 0: start (1,0) end (2,3)
+    sel += bytes([10, 1, 11, 2])      # block 1: start (10,1) end (11,2)
+    _patch_region_payload(p2, sel)
+    r2 = HDF5File(p2).read("r")[0]
+    assert r2.blocks == (((1, 3), (0, 4)), ((10, 12), (1, 3)))
+    h2 = HDF5File(p2)
+    np.testing.assert_array_equal(
+        h2.read_region(r2),
+        np.concatenate(
+            [a2[1:3, 0:4].reshape(-1), a2[10:12, 1:3].reshape(-1)]
+        ),
+    )
+
+    # refusals, each loud and named
+    cases = [
+        (struct.pack("<2I", 2, 3) + bytes([0x01, 3])
+         + struct.pack("<I", 1) + b"\0" * 12, "encode size 3"),
+        (struct.pack("<2I", 2, 3) + bytes([0x00, 1])
+         + struct.pack("<I", 2) + bytes([0]), "zero blocks"),
+        (struct.pack("<2I", 2, 3) + bytes([0x00, 1])
+         + struct.pack("<I", 2) + bytes([200]), "truncates"),
+        (struct.pack("<2I", 1, 2) + bytes([4])
+         + struct.pack("<I", 1), "version 2 for selection type 1"),
+    ]
+    for sel, msg in cases:
+        pc, _ = _regref_golden_file(tmp_path, f"bad_{msg[:4]}.h5")
+        _patch_region_payload(pc, sel)
+        with pytest.raises(ValueError, match=msg):
+            HDF5File(pc).read("r")
+
+
+def test_region_reference_v2_golden_refusals(tmp_path):
+    """Version-2 hyperslab loud refusals: irregular flags (version 2
+    only defines the regular form), a length field disagreeing with
+    the rank, and an expansion past the block cap; plus the writer's
+    overlap refusal (stride < block with count > 1)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRefs,
+        write_hdf5,
+    )
+
+    cases = [
+        (struct.pack("<2I", 2, 2) + bytes([0x00])
+         + struct.pack("<2I", 36, 1) + struct.pack("<4Q", 0, 1, 1, 1),
+         "only defines the regular form"),
+        (struct.pack("<2I", 2, 2) + bytes([0x01])
+         + struct.pack("<2I", 99, 1) + struct.pack("<4Q", 0, 1, 1, 1),
+         "length 99 disagrees"),
+        (struct.pack("<2I", 2, 2) + bytes([0x01])
+         + struct.pack("<2I", 68, 2)
+         + struct.pack("<4Q", 0, 1, 1000, 1)
+         + struct.pack("<4Q", 0, 1, 1000, 1),
+         "expands to 1000000 blocks"),
+    ]
+    for sel, msg in cases:
+        p, _ = _regref_golden_file(tmp_path, f"v2bad_{msg[:6]}.h5")
+        _patch_region_payload(p, sel)
+        with pytest.raises(ValueError, match=msg):
+            HDF5File(p).read("r")
+
+    a = np.arange(8, dtype=np.int16)
+    with pytest.raises(ValueError, match="cannot self-overlap"):
+        write_hdf5(
+            os.path.join(tmp_path, "ovl.h5"),
+            {"a": a, "r": RegionRefs(
+                [("a", ("regular", ((0, 1, 3, 2),)))]
+            )},
+        )
