@@ -1647,3 +1647,199 @@ def test_fletcher32_over_vlen_and_compound(tmp_path):
         f.write(bytes(buf))
     with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
         HDF5File(p).read("c")
+
+
+# ---------------------------------------------------------------------------
+# Interop fuzz round 4 (VERDICT r10 "Next round" #6): v2 B-tree
+# non-default split ratios, SOHM refusal loudness, attribute
+# phase-change prefixes and single-attribute dense storage, userblocks
+# composed with the other superblock families.
+# ---------------------------------------------------------------------------
+
+
+def _mem_h5(buf: bytes):
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    h = hl.HDF5File.__new__(hl.HDF5File)
+    h.path = "<mem>"
+    h._buf = bytes(buf)
+    return h
+
+
+def test_bt2_nondefault_split_merge_ratios():
+    """The BTHD split/merge percentages are WRITER policy (when to
+    split or merge nodes); a reader must walk the same tree whatever
+    they say. libhdf5 writes (100, 40) by default and anything the
+    application set via H5Pset_btree_ratios otherwise — patch several
+    non-default pairs over a multi-node tree and require identical
+    records (checksum refreshed: the header is checksummed, so the
+    patch must be legitimate bytes, not silent corruption)."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    recs = [struct.pack("<QQQ", 4096 + 32 * i, 32, i) for i in range(600)]
+    out = bytearray(b"\x00" * 48)
+    addr = hl._write_bt2(out, recs, 1, node_size=512)
+    baseline = _mem_h5(out)._bt2_records(addr, 1)
+    assert baseline == recs
+    for split, merge in ((50, 20), (90, 10), (1, 1), (255, 255)):
+        buf = bytearray(out)
+        buf[addr + 14], buf[addr + 15] = split, merge
+        struct.pack_into(
+            "<I", buf, addr + 34, hl.lookup3(bytes(buf[addr:addr + 34]))
+        )
+        assert _mem_h5(buf)._bt2_records(addr, 1) == recs
+    # a patch WITHOUT the checksum refresh stays loud
+    buf = bytearray(out)
+    buf[addr + 14] = 50
+    with pytest.raises(ValueError, match="header checksum"):
+        _mem_h5(buf)._bt2_records(addr, 1)
+
+
+def test_sohm_shared_message_refusals_loud(tmp_path):
+    """Shared-message bodies that point into a SOHM heap (version 3,
+    location type 1) — what H5Pset_shared_mesg_nregions-enabled files
+    carry — refuse LOUDLY naming SOHM; unknown shared versions and
+    location types are named too. (netcdf-c never enables SOHM, so
+    this is a documented permanent refusal, not a gap a NetCDF-4 file
+    can hit.)"""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    p = os.path.join(tmp_path, "base.h5")
+    write_hdf5(p, {"a": np.arange(4, dtype=np.int32)})
+    h = HDF5File(p)
+    with pytest.raises(ValueError, match="SOHM"):
+        h._shared_body(0x03, bytes([3, 1]) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="location"):
+        h._shared_body(0x03, bytes([3, 7]) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="shared-message version 9"):
+        h._shared_body(0x03, bytes([9, 2]) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="cannot hold"):
+        h._shared_body(0x03, bytes([3, 2]))
+
+
+def test_ohdr_phase_change_prefix_fields():
+    """OHDR v2 headers carrying the optional prefixes libhdf5 writes
+    when attribute phase-change values are non-default (flag 0x10:
+    max-compact/min-dense u16 pair) and/or times are tracked (flag
+    0x20: four u32 stamps) must offset the message walk correctly —
+    crafted headers with each flag combination carry one attribute
+    message whose value must survive."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    attr_body = hl._attr_msg("k", np.int32(7), latest=True)[4:]
+    # _attr_msg(latest) returns the 2-byte-type envelope; rebuild the
+    # v2 message by hand so the test controls the header layout fully
+    for flags_extra, prefix in [
+        (0x10, struct.pack("<HH", 2, 2)),            # phase change
+        (0x20, struct.pack("<4I", 1, 2, 3, 4)),      # times
+        (0x30, struct.pack("<4I", 1, 2, 3, 4)
+               + struct.pack("<HH", 100, 1)),        # both
+    ]:
+        msg = bytes([0x0C]) + struct.pack("<H", len(attr_body)) \
+            + bytes([0]) + attr_body
+        blk = msg
+        hdr = b"OHDR" + bytes([2, 0x02 | flags_extra]) + prefix
+        hdr += struct.pack("<I", len(blk)) + blk
+        buf = bytearray(b"\x00" * 64) + hdr
+        buf += struct.pack("<I", hl.lookup3(bytes(hdr)))
+        msgs = _mem_h5(buf)._messages(64)
+        got = dict(
+            m for m in (
+                _mem_h5(buf)._parse_attr(b)
+                for t, b in msgs if t == 0x0C
+            ) if m
+        )
+        assert int(got["k"]) == 7, hex(flags_extra)
+
+
+def test_dense_attribute_storage_single_attr():
+    """Dense attribute storage holding exactly ONE attribute — the
+    min_dense=0 phase-change boundary a file hits when the application
+    forces dense storage (H5Pset_attr_phase_change(0, 0)). The
+    fractal heap + name B-tree machinery must not assume the >8
+    population our writer uses it for."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    out = bytearray(b"\x00" * 48)
+    fheap_addr, bt2_addr = hl._write_dense_attrs(out, {"only": 41})
+    h = _mem_h5(out)
+    got = dict(h._dense_attrs(fheap_addr, bt2_addr))
+    assert int(got["only"]) == 41
+
+
+def test_userblock_composed_with_other_families(tmp_path):
+    """Userblocks compose with the OTHER superblock families and
+    sizes beyond round 10's set: 2048/8192/16384-byte blocks on a
+    classic file, and a 2048-byte block in front of a crafted
+    superblock-v1 file (every stored address is base-relative, so the
+    shift must be invisible)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.RandomState(11)
+    v = (np.arange(120, dtype=np.int32) * 7).reshape(40, 3)
+    base = os.path.join(tmp_path, "plain.h5")
+    write_hdf5(base, {"v": v}, {"v": {"chunk": (8, 3)}}, attrs={"k": 3})
+    orig = open(base, "rb").read()
+    for ub in (2048, 8192, 16384):
+        p = os.path.join(tmp_path, f"ub{ub}.h5")
+        blob = rng.bytes(ub)
+        assert blob[:8] != b"\x89HDF\r\n\x1a\n"
+        with open(p, "wb") as f:
+            f.write(blob + orig)
+        h = HDF5File(p)
+        assert int(h.attrs["k"]) == 3
+        np.testing.assert_array_equal(h.read("v"), v)
+
+    # superblock v1 (non-default K's, same craft as
+    # test_superblock_v1_nondefault_btree_k) behind a userblock
+    root_header = struct.unpack_from("<Q", orig, 56 + 8)[0]
+    sb = bytearray(100)
+    sb[0:8] = b"\x89HDF\r\n\x1a\n"
+    sb[8] = 1
+    sb[13] = 8
+    sb[14] = 8
+    struct.pack_into("<HH", sb, 16, 3, 11)
+    struct.pack_into("<HH", sb, 24, 17, 0)
+    struct.pack_into("<QQQQ", sb, 28, 0, 0xFFFFFFFFFFFFFFFF,
+                     len(orig), 0xFFFFFFFFFFFFFFFF)
+    struct.pack_into("<QQII", sb, 60, 0, root_header, 0, 0)
+    sb[96:100] = orig[96:100]
+    p = os.path.join(tmp_path, "ub_v1.h5")
+    with open(p, "wb") as f:
+        f.write(rng.bytes(2048) + bytes(sb) + orig[100:])
+    h = HDF5File(p)
+    assert int(h.attrs["k"]) == 3
+    np.testing.assert_array_equal(h.read("v"), v)
+    np.testing.assert_array_equal(h.read_slab0("v", 30, 40), v[30:40])
+
+
+def test_ohdr_chunk0_size_codes():
+    """OHDR v2 stores the chunk-0 length at 1, 2, 4 or 8 bytes (flag
+    bits 0-1); our writer always emits the 4-byte code, libhdf5 picks
+    the smallest that fits — every code must walk, including combined
+    with the phase-change prefix."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    attr_body = hl._attr_msg("k", np.int32(9), latest=True)[4:]
+    msg = bytes([0x0C]) + struct.pack("<H", len(attr_body)) \
+        + bytes([0]) + attr_body
+    for code in (0, 1, 2, 3):
+        for extra, prefix in ((0, b""), (0x10, struct.pack("<HH", 5, 3))):
+            hdr = b"OHDR" + bytes([2, code | extra]) + prefix
+            hdr += len(msg).to_bytes(1 << code, "little") + msg
+            buf = bytearray(b"\x00" * 32) + hdr
+            buf += struct.pack("<I", hl.lookup3(bytes(hdr)))
+            msgs = _mem_h5(buf)._messages(32)
+            got = dict(
+                m for m in (
+                    _mem_h5(buf)._parse_attr(b)
+                    for t, b in msgs if t == 0x0C
+                ) if m
+            )
+            assert int(got["k"]) == 9, (code, extra)
