@@ -1323,3 +1323,104 @@ def q_win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("streak_start_day"),
     )
+
+
+@register(
+    "q_time_downsample_m4",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value, event_id,
+         TIME_BUCKET(INTERVAL '1 day', ts::TIMESTAMP) AS b
+  FROM events WHERE user_id < 50
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, b
+                       ORDER BY ts ASC, event_id ASC)  AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY user_id, b
+                       ORDER BY ts DESC, event_id DESC) AS rn_last,
+    ROW_NUMBER() OVER (PARTITION BY user_id, b
+                       ORDER BY value ASC, ts ASC, event_id ASC)
+                                                        AS rn_min,
+    ROW_NUMBER() OVER (PARTITION BY user_id, b
+                       ORDER BY value DESC, ts ASC, event_id ASC)
+                                                        AS rn_max
+  FROM e
+)
+SELECT user_id, STRFTIME(b, '%Y-%m-%d') AS bucket, role,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts, value, event_id
+FROM (
+  SELECT *, 'first' AS role FROM r WHERE rn_first = 1
+  UNION ALL SELECT *, 'last'  AS role FROM r WHERE rn_last = 1
+  UNION ALL SELECT *, 'min'   AS role FROM r WHERE rn_min = 1
+  UNION ALL SELECT *, 'max'   AS role FROM r WHERE rn_max = 1
+) t
+ORDER BY user_id, bucket, role, event_id
+""",
+    doc="M4 time-series downsampling (round 11) — the standard "
+        "dashboard-rendering reduction (Jugel et al., VLDB 2014; what "
+        "Grafana-class frontends push into the engine): per series "
+        "(user_id) and per 1-day bucket keep exactly the FIRST, LAST, "
+        "MIN and MAX points, the four points that make a width-w "
+        "line rendering pixel-exact while shrinking N points to at "
+        "most 4 per bucket. Unlike sequential LTTB, M4 is "
+        "embarrassingly parallel: one (user_id, bucket) hash "
+        "partitioning serves all four extrema (Spark reuses the "
+        "exchange; the four orderings are per-partition sorts, not "
+        "extra shuffles), which is why it is the 100 TB choice. All "
+        "four selectors use total deterministic orderings (value/ts/"
+        "event_id tie-breaks), so both engines pick identical points; "
+        "values are emitted raw (no arithmetic), timestamps as "
+        "canonical strings.",
+)
+def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.registry import ts_str
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id", "ts", "value", "event_id",
+            F.date_trunc("day", F.col("ts")).alias("b"),
+        )
+    )
+    pb = ["user_id", "b"]
+    rn = {
+        "first": Window.partitionBy(*pb).orderBy(
+            F.asc("ts"), F.asc("event_id")),
+        "last": Window.partitionBy(*pb).orderBy(
+            F.desc("ts"), F.desc("event_id")),
+        "min": Window.partitionBy(*pb).orderBy(
+            F.asc("value"), F.asc("ts"), F.asc("event_id")),
+        "max": Window.partitionBy(*pb).orderBy(
+            F.desc("value"), F.asc("ts"), F.asc("event_id")),
+    }
+    for role, w in rn.items():
+        e = e.withColumn(f"rn_{role}", F.row_number().over(w))
+    # one computed frame, roles derived by exploding the matching
+    # selectors — a 4-branch union of filters would plan 4 identical
+    # Exchanges (ReuseExchange does not collapse them across the
+    # union); this shape has exactly ONE by construction
+    role_arr = F.array(*[
+        F.struct(
+            F.lit(role).alias("role"), F.col(f"rn_{role}").alias("rn")
+        )
+        for role in rn
+    ])
+    out = e.withColumn(
+        "role",
+        F.explode(
+            F.transform(
+                F.filter(role_arr, lambda x: x["rn"] == 1),
+                lambda x: x["role"],
+            )
+        ),
+    )
+    return out.select(
+        "user_id",
+        ts_str(F.col("b"), "yyyy-MM-dd").alias("bucket"),
+        "role",
+        ts_str(F.col("ts")).alias("ts"),
+        "value",
+        "event_id",
+    ).orderBy("user_id", "bucket", "role", "event_id")

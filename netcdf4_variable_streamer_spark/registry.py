@@ -73,6 +73,9 @@ CANONICAL_ORDER: list[str] = [
     #    very top as they land, so they enter the window first. --
     "q_stream_dedup_incremental",
     "q_sim_binary_hamming_multiword",
+    "src_netcdf4_regionref_v3_scan",
+    "q_stream_topk_windowed",
+    "q_time_downsample_m4",
     # last driver check: r5 (the 10 keys the r10 window could not fit;
     # see rotation-arithmetic note above)
     "q_stream_dim_join",

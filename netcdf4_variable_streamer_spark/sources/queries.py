@@ -4069,3 +4069,143 @@ def src_netcdf4_regionref_scan(
         )
         .orderBy("window_id")
     )
+
+
+def ensure_nc4_regionref_v3(path: str | None = None) -> str:
+    """The grid with a 'windows' index whose SECOND cell carries a
+    VERSION-3 irregular hyperslab selection (libhdf5 1.10.7+'s
+    variable-encode-width serialization, round 11) holding TWO
+    bookmarked time windows in one reference. Written as version 1,
+    then the heap payload's selection bytes are re-encoded to v3 in
+    place (the writer deliberately never emits v3 — this is the
+    reader-accepts-what-the-writer-never-writes posture, inside a
+    contract fixture instead of a unit test)."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRefs,
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_regref_v3.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    w0, w1, w2 = _REGREF_WINDOWS
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X, "window": 2},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+            "windows": ("regionref", ("window",)),
+        },
+        data={
+            **grid_values(0, GRID_T),
+            "windows": RegionRefs([
+                ("temperature",
+                 [((w0[0], w0[1]), (0, GRID_Y), (0, GRID_X))]),
+                # placeholder v1 cell with two blocks: 72 selection
+                # bytes of slack, re-encoded to v3 below
+                ("temperature",
+                 [((w1[0], w1[1]), (0, GRID_Y), (0, GRID_X)),
+                  ((w2[0], w2[1]), (0, GRID_Y), (0, GRID_X))]),
+            ]),
+        },
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    # re-encode cell 1's selection as v3 irregular, enc size 2:
+    # <u4 type=2><u4 ver=3><u1 flags=0><u1 enc=2><u4 rank=3>
+    # <u2 nblocks=2> then per block u16 start/end (inclusive) corners
+    h = HDF5File(tmp)
+    cell = h._read_impl("windows")[1]
+    pos, size = h._gheap_collection(int(cell["gaddr"]))[int(cell["gidx"])]
+    sel = _struct.pack("<2I", 2, 3) + bytes([0x00, 2])
+    sel += _struct.pack("<I", 3) + _struct.pack("<H", 2)
+    for lo, hi in (w1, w2):
+        sel += _struct.pack("<3H", lo, 0, 0)
+        sel += _struct.pack("<3H", hi - 1, GRID_Y - 1, GRID_X - 1)
+    assert 8 + len(sel) <= size, "v3 selection larger than the slot"
+    buf = bytearray(open(tmp, "rb").read())
+    buf[pos + 8 : pos + 8 + len(sel)] = sel
+    with open(tmp, "wb") as f:
+        f.write(bytes(buf))
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_regionref_v3_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)},
+w(window_id, lo, hi) AS (VALUES {", ".join(
+    f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_REGREF_WINDOWS)
+)})
+SELECT CAST(w.window_id AS INT) AS window_id,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('g.temperature')} AS sum_temp
+FROM g JOIN w ON g.t >= w.lo AND g.t < w.hi
+GROUP BY w.window_id
+ORDER BY window_id
+""",
+    doc="Region-reference pruned scan through the VERSION-3 selection "
+        "encoding (round 11, closing VERDICT r10 #2 at the contract "
+        "level): the file's second 'windows' cell is a v3 IRREGULAR "
+        "hyperslab (variable encode width, two blocks in one "
+        "reference — the multi-event bookmark shape libhdf5 1.10.7+ "
+        "serializes with this encoding); dereference expands every "
+        "cell into leading-axis record windows and the scan prunes to "
+        "their union exactly as the v1/v2 key does. Same plan, same "
+        "closed-form oracle — only the on-disk selection encoding "
+        "differs, which is the point: encoding version must be "
+        "invisible past the codec boundary.",
+)
+def src_netcdf4_regionref_v3_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = ensure_nc4_regionref_v3()
+    refs = list(HDF5File(path).read("windows"))
+    assert all(
+        r is not None and r.path == "temperature"
+        and r.kind == "hyperslab"
+        for r in refs
+    ), "windows index must hold temperature hyperslabs"
+    wins = [blk[0] for r in refs for blk in r.blocks]
+    assert len(wins) == 3, "v1 cell + 2-block v3 cell = 3 windows"
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .load()
+    )
+    cond = None
+    wid = None
+    for i, (lo, hi) in enumerate(wins):
+        c = (F.col("time_idx") >= lo) & (F.col("time_idx") < hi)
+        cond = c if cond is None else (cond | c)
+        wid = (
+            F.when(c, F.lit(i)) if wid is None else wid.when(c, F.lit(i))
+        )
+    return (
+        df.filter(cond)
+        .withColumn("window_id", wid)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        )
+        .orderBy("window_id")
+    )

@@ -24,7 +24,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from netcdf4_variable_streamer_spark.registry import SQL_DSUM, dsum, register, ts_str
@@ -1059,3 +1059,87 @@ def q_stream_dedup_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return run_foreachbatch_incremental_dedup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked per-window top-k heavy hitters (round 11) — the streaming
+# "trending now" shape: APPEND-mode windowed counts whose state is
+# dropped as windows finalize, ranked top-k AFTER the stream (ranking
+# is not a streaming aggregation; it runs over the bounded emitted
+# window table, |windows| x |event types| rows).
+# ---------------------------------------------------------------------------
+
+_TOPK_WIN_DELAY_MIN = 30
+_TOPK_WIN_K = 3
+
+
+@register(
+    "q_stream_topk_windowed",
+    oracle=f"""
+WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+wm AS (
+  SELECT MAX(ts) - INTERVAL {_TOPK_WIN_DELAY_MIN} MINUTE AS w FROM e
+),
+agg AS (
+  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS w_start,
+         event_type,
+         COUNT(*) AS n_events,
+         {SQL_DSUM('value')} AS sum_value
+  FROM e GROUP BY 1, 2
+),
+fin AS (
+  SELECT * FROM agg
+  WHERE w_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
+            ORDER BY n_events DESC, event_type ASC) AS rn
+  FROM fin
+)
+SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n_events, sum_value, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK_WIN_K}
+ORDER BY window_start, rn
+""",
+    doc="STREAMING per-window top-k heavy hitters (round 11): 1-hour "
+        "event-time windows over the events feed with a 30-minute "
+        "watermark in APPEND mode — a window's (event_type, count, "
+        "exact fixed-point value sum) rows are emitted exactly once "
+        "when the watermark passes window end and their state rows "
+        "are dropped, so state is bounded by |event types| x open "
+        "windows regardless of feed length. The top-3-per-window rank "
+        "runs AFTER the stream over the emitted window table (ranking "
+        "is not a legal streaming aggregation; the emitted table is "
+        "|windows| x |types|, bounded). The last never-finalized "
+        "window is withheld by the watermark; the oracle applies the "
+        "same rule declaratively (w_end <= max(ts) - 30 min), so "
+        "in-window results verify identical to the batch computation "
+        "— the q_stream_dedup_minhash_ttl discipline on the classic "
+        "trending-topics query.",
+)
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir).withWatermark(
+        "ts", f"{_TOPK_WIN_DELAY_MIN} minutes"
+    )
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    emitted = run_to_completion(agg, output_mode="append")
+    wr = Window.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _TOPK_WIN_K)
+        .select(
+            ts_str(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("window_start", "rn")
+    )

@@ -72,6 +72,8 @@ NEW_KEYS = [
     "src_netcdf4_regionref_scan",
     # round 11
     "q_stream_dedup_incremental", "q_sim_binary_hamming_multiword",
+    "src_netcdf4_regionref_v3_scan", "q_stream_topk_windowed",
+    "q_time_downsample_m4",
 ]
 
 

@@ -659,3 +659,16 @@ def test_multiword_hamming_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     plans.assert_no_cartesian(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_m4_downsample_single_exchange(spark):
+    # all four extremum selectors share ONE (user_id, bucket) hash
+    # partitioning — the orderings are per-partition sorts; the only
+    # other exchange is the final presentation orderBy's range partition
+    df = build(spark, "q_time_downsample_m4")
+    plans.assert_max_shuffles(df, 2)
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "Exchange") == 2, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
