@@ -1073,3 +1073,119 @@ def q_text_hashed_ngram_features(
         (packed % 1024).alias("top_bucket"),
         (packed / F.lit(1024)).cast("long").alias("top_count"),
     )
+
+
+@register(
+    "q_text_perplexity_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(w) AS tok FROM toks),
+v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+bg AS (
+  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c_u FROM bg GROUP BY w1),
+lm AS (
+  SELECT bgc.w1, bgc.w2, bgc.c_bg, ctx.c_u
+  FROM bgc JOIN ctx USING (w1)
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(ROUND(SUM(LN(CAST(lm.c_bg + 1 AS DOUBLE)
+                           / (lm.c_u + v.vsz))) * 10000
+                    / COUNT(*)) AS BIGINT) AS q
+  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2 CROSS JOIN v
+  GROUP BY b.doc_id, b.lang
+),
+cut AS (
+  SELECT lang, SUM(q) AS sum_q, COUNT(*) AS n_docs
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang,
+       CAST(s.q AS DOUBLE) / 10000 AS avg_bigram_logprob,
+       (s.q * c.n_docs >= c.sum_q) AS keep
+FROM scored s JOIN cut c USING (lang)
+ORDER BY s.doc_id
+""",
+    doc="PERPLEXITY FILTERING (round 11) — the CCNet/Gopher-style "
+        "quality gate pretraining pipelines run after dedup: score "
+        "every document under the corpus bigram LM (add-1 smoothing, "
+        "the q_text_bigram_logprob model) and KEEP docs at or above "
+        "their OWN LANGUAGE's mean score — per-domain cutoffs, not a "
+        "global constant, exactly because perplexity distributions "
+        "differ by language. The decision is computed with integer "
+        "cross-multiplication (q * n_docs >= sum_q on the 1e-4 "
+        "fixed-point scores), so the keep/drop boundary is "
+        "bit-identical cross-engine — no float division at the "
+        "threshold. Plan: the LM is two gram-keyed aggs + one "
+        "score-back equi-join (corpus-linear); the per-lang cutoff "
+        "table is |langs| rows broadcast back. At 100 TB nothing "
+        "here is corpus-quadratic and the only global stage is the "
+        "|langs|-row aggregate.",
+)
+def q_text_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("w"),
+    )
+    tok = toks.select(F.explode("w").alias("tok"))
+    vsz = tok.select("tok").distinct().count()  # scalar: vocab size
+    n = F.size("w")
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_u"))
+    lm = bgc.join(ctx, "w1")
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .select(
+            "doc_id",
+            "lang",
+            F.log(
+                (F.col("c_bg") + 1).cast("double")
+                / (F.col("c_u") + F.lit(vsz))
+            ).alias("lp"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum("lp") * 10000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("q")
+        )
+    )
+    cut = scored.groupBy("lang").agg(
+        F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        scored.join(F.broadcast(cut), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("q").cast("double") / 10000).alias(
+                "avg_bigram_logprob"
+            ),
+            (F.col("q") * F.col("n_docs") >= F.col("sum_q")).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -76,6 +76,8 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_regionref_v3_scan",
     "q_stream_topk_windowed",
     "q_time_downsample_m4",
+    "q_text_perplexity_filter",
+    "snk_netcdf4_write_regionref",
     # last driver check: r5 (the 10 keys the r10 window could not fit;
     # see rotation-arithmetic note above)
     "q_stream_dim_join",

@@ -3939,7 +3939,16 @@ class HDF5File:
                     )
                 raw = body
             else:
-                raise ValueError(f"{info.name}: filter id {fid} unsupported")
+                known = {4: "szip", 5: "nbit", 6: "scaleoffset"}
+                name = known.get(fid, "unknown/registered filter")
+                raise ValueError(
+                    f"{info.name}: filter id {fid} ({name}) "
+                    "unsupported (supported: 1 deflate, 2 shuffle, "
+                    "3 fletcher32 — the set reachable through the "
+                    "netCDF-4 variable API the reference wraps; nbit/"
+                    "scaleoffset are HDF5-only, szip needs the szip "
+                    "codec)"
+                )
         return np.frombuffer(raw, dtype=info.dtype).reshape(info.chunk)
 
     def _check_alloc(self, name: str, shape, dtype) -> None:

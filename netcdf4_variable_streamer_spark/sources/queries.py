@@ -4209,3 +4209,119 @@ def src_netcdf4_regionref_v3_scan(
         )
         .orderBy("window_id")
     )
+
+
+@register(
+    "snk_netcdf4_write_regionref",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)},
+w(window_id, lo, hi) AS (VALUES {", ".join(
+    f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_REGREF_WINDOWS)
+)})
+SELECT CAST(w.window_id AS INT) AS window_id,
+       COUNT(*) AS n_cells,
+       {SQL_DSUM('g.temperature')} AS sum_temp
+FROM g JOIN w ON g.t >= w.lo AND g.t < w.hi
+GROUP BY w.window_id
+ORDER BY window_id
+""",
+    doc="Region-reference WRITE path as a sink key (round 11): the "
+        "builder writes a FRESH NetCDF-4 file per run — the grid plus "
+        "a 'windows' dataset whose cells mix the version-1 explicit-"
+        "block encoding and the version-2 regular (start, stride, "
+        "count, block) encoding the RegionRefs ('regular', dims) API "
+        "emits — then dereferences its own output and runs the "
+        "region-pruned rollup through the DataSource. Proves the "
+        "bookmark-curation story is WRITABLE, not just readable: a "
+        "curator can emit an event catalog into the archive file "
+        "itself and any HDF5 reader (or this engine) can scan just "
+        "the referenced slabs. Same closed-form oracle as the scan "
+        "twins; the write is exercised fresh every run (no cached "
+        "fixture).",
+)
+def snk_netcdf4_write_regionref(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRefs,
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(
+        SCRATCH, f"snk_regref_{_uuid.uuid4().hex[:8]}.nc4"
+    )
+    w0 = _REGREF_WINDOWS[0]
+    cells = [
+        ("temperature",
+         [((w0[0], w0[1]), (0, GRID_Y), (0, GRID_X))]),
+    ] + [
+        ("temperature",
+         ("regular", ((lo, hi - lo, 1, hi - lo),
+                      (0, GRID_Y, 1, GRID_Y),
+                      (0, GRID_X, 1, GRID_X))))
+        for lo, hi in _REGREF_WINDOWS[1:]
+    ]
+    try:
+        write_netcdf4(
+            path,
+            dims={"time": None, "y": GRID_Y, "x": GRID_X,
+                  "window": len(_REGREF_WINDOWS)},
+            variables={
+                "temperature": ("float32", ("time", "y", "x")),
+                "windows": ("regionref", ("window",)),
+            },
+            data={
+                "temperature": grid_values(0, GRID_T)["temperature"],
+                "windows": RegionRefs(cells),
+            },
+            compress=4,
+            shuffle=True,
+            chunk0=16,
+        )
+        refs = list(HDF5File(path).read("windows"))
+        wins = [r.blocks[0][0] for r in refs]
+        assert wins == [tuple(w) for w in _REGREF_WINDOWS], wins
+        apply_runtime_confs(spark)
+        spark.dataSource.register(NetCDF4DataSource)
+        df = (
+            spark.read.format(FORMAT4_NAME)
+            .option("path", path)
+            .load()
+        )
+        cond = None
+        wid = None
+        for i, (lo, hi) in enumerate(wins):
+            c = (F.col("time_idx") >= lo) & (F.col("time_idx") < hi)
+            cond = c if cond is None else (cond | c)
+            wid = (
+                F.when(c, F.lit(i))
+                if wid is None
+                else wid.when(c, F.lit(i))
+            )
+        out = (
+            df.filter(cond)
+            .withColumn("window_id", wid)
+            .groupBy("window_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                dsum(F.col("temperature").cast("double")).alias(
+                    "sum_temp"
+                ),
+            )
+            .orderBy("window_id")
+        )
+        rows = out.collect()  # materialize before the file is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass

@@ -1843,3 +1843,36 @@ def test_ohdr_chunk0_size_codes():
                 ) if m
             )
             assert int(got["k"]) == 9, (code, extra)
+
+
+def test_unsupported_filter_ids_named(tmp_path):
+    """Unsupported pipeline filters refuse LOUDLY naming the filter:
+    szip (4), nbit (5), scaleoffset (6) — the HDF5-only filters a
+    netCDF-4 variable cannot carry (nc_def_var_* exposes only
+    deflate/shuffle/fletcher32/szip) — plus truly unknown ids. Crafted
+    by patching a deflate pipeline message's filter id in place."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    v = np.arange(64, dtype=np.int32).reshape(16, 4)
+    for fid, name in ((4, "szip"), (5, "nbit"), (6, "scaleoffset"),
+                      (305, "unknown/registered filter")):
+        p = os.path.join(tmp_path, f"f{fid}.h5")
+        write_hdf5(p, {"v": v}, {"v": {"chunk": (4, 4), "compress": 1}})
+        buf = bytearray(open(p, "rb").read())
+        # the filter-pipeline message stores the deflate id (1) as a
+        # u16 followed by name length 0 and flags 0; locate it via the
+        # message body offset recorded by the reader
+        h = HDF5File(p)
+        hits = 0
+        for t, body, off in h._messages_at(h._header_addr["v"]):
+            if t == 0x000B:
+                assert struct.unpack_from("<H", body, 8)[0] == 1
+                struct.pack_into("<H", buf, off + 8, fid)
+                hits += 1
+        assert hits == 1
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match=f"filter id {fid} .{name}"):
+            HDF5File(p).read("v")
