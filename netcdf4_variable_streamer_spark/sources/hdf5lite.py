@@ -159,19 +159,25 @@ def _dt_body(dtype: np.dtype) -> bytes:
         # fixed-string datasets
         return _dt_string(dtype.itemsize)
     name = dtype.name
+    # bit 0 of the class bit field is the byte order: an explicitly
+    # big-endian numpy dtype writes a big-endian variable (the
+    # nc_def_var_endian(NC_ENDIAN_BIG) surface, round 11) — data bytes
+    # are emitted from the same array, so order stays consistent
+    be = 0x01 if dtype.byteorder == ">" else 0x00
     if name in _FIXED:
         size, signed = _FIXED[name]
-        bits = 0x08 if signed else 0x00  # bit 3: signed; bit 0: LE
+        bits = (0x08 if signed else 0x00) | be  # bit 3: signed
         return struct.pack(
             "<B3BIHH", 0x10, bits, 0, 0, size, 0, size * 8
         )
     if name in _FLOAT:
         size, sign, exp, esz, msz, bias = _FLOAT[name]
-        # class 1 v1; bitfield: LE, implied-msb mantissa norm (bits 4-5
-        # = 2), sign position in byte 1
+        # class 1 v1; bitfield: byte order bit 0, implied-msb mantissa
+        # norm (bits 4-5 = 2), sign position in byte 1
         return struct.pack(
             "<B3BIHHBBBBI",
-            0x11, 0x20, sign, 0, size, 0, size * 8, exp, esz, 0, msz, bias,
+            0x11, 0x20 | be, sign, 0, size, 0, size * 8,
+            exp, esz, 0, msz, bias,
         )
     raise ValueError(f"unsupported dtype {name}")
 
@@ -1370,7 +1376,13 @@ def _write_dataset(
         )
         dt_body = _dt_body(arr.dtype)
     else:
-        arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+        # native/LE input normalizes to little-endian; an EXPLICITLY
+        # big-endian dtype is preserved (nc_def_var_endian surface) —
+        # _dt_body sets the datatype's order bit from the same dtype
+        order = ">" if arr.dtype.byteorder == ">" else "<"
+        arr = np.ascontiguousarray(
+            arr, dtype=arr.dtype.newbyteorder(order)
+        )
         dt_body = _dt_body(arr.dtype)
     mk = _msg2 if latest else _msg
     msgs = [

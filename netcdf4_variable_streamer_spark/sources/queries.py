@@ -4325,3 +4325,91 @@ def snk_netcdf4_write_regionref(
             os.remove(path)
         except OSError:
             pass
+
+
+def ensure_nc4_bigendian(path: str | None = None) -> str:
+    """The grid with BIG-ENDIAN variables (round 11 — the
+    nc_def_var_endian(NC_ENDIAN_BIG) surface): temperature stored as
+    >f4 and humidity as >f4 behind shuffle+deflate, exactly the bytes
+    a BE-producing writer emits. VALUES are identical to the standard
+    grid — only the storage order differs, which must be invisible
+    past the codec boundary."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_bigendian.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    vals = grid_values(0, GRID_T)
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X},
+        variables={
+            "temperature": (">f4", ("time", "y", "x")),
+            "humidity": (">f4", ("time", "y", "x")),
+        },
+        data={
+            "temperature": vals["temperature"].astype(">f4"),
+            "humidity": vals["humidity"].astype(">f4"),
+        },
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_bigendian_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       {SQL_DSUM('humidity')} AS sum_hum
+FROM g
+WHERE t >= 16 AND t < 112
+""",
+    doc="BIG-ENDIAN NetCDF-4 scan (round 11, the "
+        "nc_def_var_endian(NC_ENDIAN_BIG) surface): the grid's "
+        "variables are stored >f4 behind shuffle+deflate — the shuffle "
+        "filter de-interleaves BYTES, so its output differs completely "
+        "between orders and any order confusion garbles every value — "
+        "and the scan result must be bit-identical to the "
+        "little-endian twin src_netcdf4_scan (same closed-form "
+        "oracle, same [16, 112) pushdown window). The datatype "
+        "message's order bit drives np.dtype('>f4') through "
+        "decode, and the Arrow handoff converts to native by VALUE "
+        "(astype), never by reinterpretation. Writer side is "
+        "exercised too: the fixture is written by this engine with "
+        "explicitly big-endian dtypes.",
+)
+def src_netcdf4_bigendian_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = ensure_nc4_bigendian()
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .load()
+    )
+    return (
+        df.filter((F.col("time_idx") >= 16) & (F.col("time_idx") < 112))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("time_idx").alias("n_lines"),
+            dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+            dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+        )
+    )

@@ -74,7 +74,7 @@ NEW_KEYS = [
     "q_stream_dedup_incremental", "q_sim_binary_hamming_multiword",
     "src_netcdf4_regionref_v3_scan", "q_stream_topk_windowed",
     "q_time_downsample_m4", "q_text_perplexity_filter",
-    "snk_netcdf4_write_regionref",
+    "snk_netcdf4_write_regionref", "src_netcdf4_bigendian_scan",
 ]
 
 

@@ -3793,3 +3793,34 @@ def test_region_reference_v2_golden_refusals(tmp_path):
                 [("a", ("regular", ((0, 1, 3, 2),)))]
             )},
         )
+
+
+def test_bigendian_write_read_roundtrip(tmp_path):
+    """Explicitly big-endian numpy dtypes write BIG-ENDIAN variables
+    (the nc_def_var_endian(NC_ENDIAN_BIG) surface, round 11): the
+    datatype message's order bit is set, data bytes are stored BE, and
+    reads come back value-exact with the BE dtype — contiguous AND
+    chunked+shuffle+deflate (shuffle de-interleaves bytes, so an order
+    confusion would garble every value). Native/LE inputs still
+    normalize to little-endian."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    f = (np.arange(48) * 0.25).astype(">f8").reshape(12, 4)
+    v = (np.arange(48) % 7).astype(">i4").reshape(12, 4)
+    n = np.arange(8, dtype="<i8")
+    p = os.path.join(tmp_path, "be.h5")
+    write_hdf5(
+        p,
+        {"f": f, "v": v, "n": n},
+        {"v": {"chunk": (4, 4), "compress": 4, "shuffle": True}},
+    )
+    h = HDF5File(p)
+    assert h.datasets["f"].dtype == np.dtype(">f8")
+    assert h.datasets["v"].dtype == np.dtype(">i4")
+    assert h.datasets["n"].dtype == np.dtype("<i8")
+    np.testing.assert_array_equal(h.read("f"), f)
+    np.testing.assert_array_equal(h.read("v"), v)
+    np.testing.assert_array_equal(h.read_slab0("v", 5, 9), v[5:9])
