@@ -1169,3 +1169,72 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("token"))
         .limit(25)
     )
+
+
+@register(
+    "q_sample_dedup_aware",
+    oracle="""
+WITH cl AS (
+  SELECT doc_id, lang, MD5(text) AS text_md5,
+         COUNT(*) OVER (PARTITION BY MD5(text)) AS n_copies
+  FROM documents
+),
+dec AS (
+  SELECT *,
+         (CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) * n_copies < 1000000 AS keep
+  FROM cl
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_clusters,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep AND n_copies > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept_from_dups,
+       MIN(CASE WHEN keep THEN doc_id END) AS first_kept
+FROM dec GROUP BY lang ORDER BY lang
+""",
+    doc="DEDUP-AWARE sampling (round 11) — the soft alternative to "
+        "hard dedup when unbiasedness matters: every document is kept "
+        "with probability 1 / |its exact-duplicate cluster| (decided "
+        "by the portable 60-bit md5 hash against the integer "
+        "threshold hx % 1e6 * n_copies < 1e6 — cross-multiplied, so "
+        "no float division at the boundary), which makes the EXPECTED "
+        "number of survivors per cluster exactly one while every copy "
+        "retains equal chance — the inverse-frequency downweighting "
+        "data-mixture work applies to crawl duplicates instead of "
+        "dropping all-but-min. Plan: one window over md5(text) for "
+        "cluster sizes (16-byte shuffle key, never the text), then a "
+        "map-side keep predicate and one |langs| audit agg. At 100 TB "
+        "this is the same single-shuffle posture as q_dedup_exact "
+        "with the decision fused in.",
+)
+def q_sample_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("text_md5")
+    )
+    wc = Window.partitionBy("text_md5")
+    hx = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    dec = d.withColumn(
+        "n_copies", F.count(F.lit(1)).over(wc)
+    ).withColumn("keep", (hx % 1000000) * F.col("n_copies") < 1000000)
+    return (
+        dec.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias(
+                "n_in_dup_clusters"
+            ),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(
+                (F.col("keep") & (F.col("n_copies") > 1)).cast("long")
+            ).alias("n_kept_from_dups"),
+            F.min(F.when(F.col("keep"), F.col("doc_id"))).alias(
+                "first_kept"
+            ),
+        )
+        .orderBy("lang")
+    )

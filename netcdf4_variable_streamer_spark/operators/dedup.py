@@ -1108,3 +1108,99 @@ def q_dedup_minhash_incremental(
         index_df=docs.filter(F.col("doc_id") < _INC_SPLIT),
         batch_df=docs.filter(F.col("doc_id") >= _INC_SPLIT),
     ).orderBy("doc_id")
+
+
+# Truncation-duplicate detection (round 11): crawls routinely carry the
+# same page at several truncation lengths (feed snippets, AMP variants,
+# re-crawls with different byte budgets). Near-dup shingling often
+# misses extreme truncations (Jaccard of a 10%-prefix vs the full doc
+# is ~0.1), so the dedicated detector buckets on the md5 of a fixed
+# PREFIX WINDOW and verifies true prefix containment.
+_PFX_K = 64          # prefix-window chars: bucket key = md5(first 64)
+_PFX_MAX_BUCKET = 64  # boilerplate cap, same rationale as LSH buckets
+
+
+@register(
+    "q_dedup_prefix_truncation",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars,
+         MD5(SUBSTR(text, 1, {_PFX_K})) AS pfx
+  FROM documents WHERE n_chars >= {_PFX_K}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, text, n_chars, pfx,
+           COUNT(*) OVER (PARTITION BY pfx) AS w
+    FROM d) t WHERE w <= {_PFX_MAX_BUCKET}
+),
+pairs AS (
+  SELECT a.doc_id AS d_short, b.doc_id AS d_long,
+         a.n_chars AS n_short, b.n_chars AS n_long
+  FROM capped a JOIN capped b ON a.pfx = b.pfx
+  WHERE (a.n_chars < b.n_chars
+         OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+    AND SUBSTR(b.text, 1, a.n_chars) = a.text
+)
+SELECT d_short, d_long, n_short, n_long,
+       (n_short = n_long) AS exact_dup
+FROM pairs
+ORDER BY d_short, d_long
+""",
+    doc="TRUNCATION-duplicate detection (round 11): the crawl-dedup "
+        "case shingled near-dedup misses by construction — the same "
+        "page stored at different truncation lengths has tiny Jaccard "
+        "when the cut is deep. Candidates bucket on md5 of the first "
+        "64 chars (a 16-byte shuffle key, bucket-capped against "
+        "boilerplate openings), then verify TRUE prefix containment: "
+        "the shorter text must equal the longer one's prefix exactly "
+        "(equal lengths degrade to exact duplicates, flagged). At "
+        "100 TB the verify compares only within capped buckets — "
+        "candidate cardinality is bounded by bucket caps, never "
+        "corpus² — and production would replace the full-text equality "
+        "with chained per-segment hashes to keep the shuffle payload "
+        "at 16 bytes per segment; the fixture-scale key carries the "
+        "text to keep the oracle exact.",
+)
+def q_dedup_prefix_truncation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= _PFX_K)
+        .select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.md5(F.substring("text", 1, _PFX_K)).alias("pfx"),
+        )
+    )
+    wb = Window.partitionBy("pfx")
+    capped = (
+        d.withColumn("w", F.count(F.lit(1)).over(wb))
+        .filter(F.col("w") <= _PFX_MAX_BUCKET)
+        .drop("w")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, F.col("a.pfx") == F.col("b.pfx"))
+        .filter(
+            (F.col("a.n_chars") < F.col("b.n_chars"))
+            | (
+                (F.col("a.n_chars") == F.col("b.n_chars"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+        )
+        .filter(
+            F.col("b.text").substr(F.lit(1), F.col("a.n_chars"))
+            == F.col("a.text")
+        )
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("d_short"),
+        F.col("b.doc_id").alias("d_long"),
+        F.col("a.n_chars").alias("n_short"),
+        F.col("b.n_chars").alias("n_long"),
+        (F.col("a.n_chars") == F.col("b.n_chars")).alias("exact_dup"),
+    ).orderBy("d_short", "d_long")

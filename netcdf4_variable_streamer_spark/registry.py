@@ -79,6 +79,8 @@ CANONICAL_ORDER: list[str] = [
     "q_text_perplexity_filter",
     "snk_netcdf4_write_regionref",
     "src_netcdf4_bigendian_scan",
+    "q_sample_dedup_aware",
+    "q_dedup_prefix_truncation",
     # last driver check: r5 (the 10 keys the r10 window could not fit;
     # see rotation-arithmetic note above)
     "q_stream_dim_join",

@@ -75,6 +75,7 @@ NEW_KEYS = [
     "src_netcdf4_regionref_v3_scan", "q_stream_topk_windowed",
     "q_time_downsample_m4", "q_text_perplexity_filter",
     "snk_netcdf4_write_regionref", "src_netcdf4_bigendian_scan",
+    "q_sample_dedup_aware", "q_dedup_prefix_truncation",
 ]
 
 

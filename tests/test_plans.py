@@ -672,3 +672,12 @@ def test_m4_downsample_single_exchange(spark):
     assert "hashpartitioning(user_id" in plan, plan
     plan = plans.plan_string(df)
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_prefix_truncation_bucket_join(spark):
+    # candidates come from the md5-prefix bucket equi-join: no
+    # cartesian or nested-loop stage anywhere
+    df = build(spark, "q_dedup_prefix_truncation")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
