@@ -53,77 +53,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 # small remainder to carry one extra round (r10 left 10 r05 keys for
 # r11). That is the policy working, not a rotation bug.
 #
-# Round-11 rotation (VERDICT r10 "Next round" #1): at rotation time
-# all 260 keys had a driver row, all green at latest check — no
-# failures. The order is never-checked-first, then green keys
-# stalest-proof-first: new round-11 keys are inserted at the very top
-# as they land (unchecked keys outrank stale-green ones), then the 10
-# keys whose latest evidence is still r05, then the r06 block fills
-# the remaining window slots; the remainder follows in latest-check
-# order (r06, r07, r08, r09, r10).
+# Round-12 rotation (VERDICT r11 "Next round" #1): at rotation time
+# all 270 keys had a driver row, all green at latest check — no
+# failures, none never-checked. The order is green keys
+# stalest-proof-first: new round-12 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 20
+# keys whose latest evidence is r06, then the r07 block fills the
+# remaining window slots; the remainder follows in latest-check order
+# (r07, r08, r09, r10, r11).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-11 additions (never driver-checked) are inserted at the
-    #    very top as they land, so they enter the window first. --
-    "q_stream_dedup_incremental",
-    "q_sim_binary_hamming_multiword",
-    "src_netcdf4_regionref_v3_scan",
-    "q_stream_topk_windowed",
-    "q_time_downsample_m4",
-    "q_text_perplexity_filter",
-    "snk_netcdf4_write_regionref",
-    "src_netcdf4_bigendian_scan",
-    "q_sample_dedup_aware",
-    "q_dedup_prefix_truncation",
-    # last driver check: r5 (the 10 keys the r10 window could not fit;
-    # see rotation-arithmetic note above)
-    "q_stream_dim_join",
-    "q_stream_join_outer",
-    "q_agg_bitmap_distinct",
-    "q_agg_bitmap_jaccard",
-    "q_agg_cms_portable",
-    "q_agg_hll_portable",
-    "q_agg_mode",
-    "q_agg_string_agg",
-    "q_basket_pairs",
-    "q_fn_bitwise",
     # last driver check: r6
-    "src_netcdf_uint64_scan",
-    "src_netcdf3_cf_cal_scan",
-    "q_emb_matryoshka",
-    "q_emb_centroids",
-    "src_netcdf4_multifile_scan",
-    "src_netcdf3_dir_tail",
-    "q_fn_datetime_advanced",
-    "q_funnel_attribution_decay",
-    "q_geo_grid_knn",
-    "q_graph_label_prop",
-    "q_join_asof_nearest",
-    "q_ml_decision_stump",
-    "q_ols_by_group",
-    "q_privacy_k_anonymity",
-    "q_time_anomaly_spc",
-    "q_win_ewma_dyadic",
-    "q_win_longest_streak",
-    "q_win_rolling_median",
-    "q_win_running_distinct",
-    "q_win_sliding_distinct",
-    "src_netcdf_char_scan",
-    "q_join_cross",
-    "q_sort_multikey_nulls",
-    "q_topk_global",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_fn_string",
-    "q_fn_date",
     "q_fn_math",
     "q_fn_cond",
     "q_fn_array",
@@ -297,8 +243,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write",
     "src_netcdf4_stream_tail",
     "src_netcdf3_cdf5_scan",
-    # last driver check: r10 (the 36 former-r05 keys re-proven in the
-    # r10 window, then the 14 keys added in round 10)
+    # last driver check: r10
     "src_netcdf3_cf_scan",
     "q_dedup_containment",
     "q_dedup_image_phash",
@@ -349,6 +294,57 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_minhash_incremental",
     "src_netcdf4_userblock_scan",
     "src_netcdf4_fill_scan",
+    # last driver check: r11
+    "q_stream_dedup_incremental",
+    "q_sim_binary_hamming_multiword",
+    "src_netcdf4_regionref_v3_scan",
+    "q_stream_topk_windowed",
+    "q_time_downsample_m4",
+    "q_text_perplexity_filter",
+    "snk_netcdf4_write_regionref",
+    "src_netcdf4_bigendian_scan",
+    "q_sample_dedup_aware",
+    "q_dedup_prefix_truncation",
+    "q_stream_dim_join",
+    "q_stream_join_outer",
+    "q_agg_bitmap_distinct",
+    "q_agg_bitmap_jaccard",
+    "q_agg_cms_portable",
+    "q_agg_hll_portable",
+    "q_agg_mode",
+    "q_agg_string_agg",
+    "q_basket_pairs",
+    "q_fn_bitwise",
+    "src_netcdf_uint64_scan",
+    "src_netcdf3_cf_cal_scan",
+    "q_emb_matryoshka",
+    "q_emb_centroids",
+    "src_netcdf4_multifile_scan",
+    "src_netcdf3_dir_tail",
+    "q_fn_datetime_advanced",
+    "q_funnel_attribution_decay",
+    "q_geo_grid_knn",
+    "q_graph_label_prop",
+    "q_join_asof_nearest",
+    "q_ml_decision_stump",
+    "q_ols_by_group",
+    "q_privacy_k_anonymity",
+    "q_time_anomaly_spc",
+    "q_win_ewma_dyadic",
+    "q_win_longest_streak",
+    "q_win_rolling_median",
+    "q_win_running_distinct",
+    "q_win_sliding_distinct",
+    "src_netcdf_char_scan",
+    "q_join_cross",
+    "q_sort_multikey_nulls",
+    "q_topk_global",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_fn_string",
+    "q_fn_date",
 ]
 
 
