@@ -1200,8 +1200,9 @@ FROM dec GROUP BY lang ORDER BY lang
         "with probability 1 / |its exact-duplicate cluster| (decided "
         "by the portable 60-bit md5 hash against the integer "
         "threshold hx % 1e6 * n_copies < 1e6 — cross-multiplied, so "
-        "no float division at the boundary), which makes the EXPECTED "
-        "number of survivors per cluster exactly one while every copy "
+        "no float division at the boundary; keep probability is "
+        "ceil(1e6/n)/1e6, so the EXPECTED survivors per cluster is "
+        "approximately one — exact when n divides 1e6) while every copy "
         "retains equal chance — the inverse-frequency downweighting "
         "data-mixture work applies to crawl duplicates instead of "
         "dropping all-but-min. Plan: one window over md5(text) for "

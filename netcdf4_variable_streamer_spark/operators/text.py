@@ -1075,75 +1075,16 @@ def q_text_hashed_ngram_features(
     )
 
 
-@register(
-    "q_text_perplexity_filter",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_filter(string_split(text, ' '), t -> t <> '') AS w
-  FROM documents
-),
-tok AS (SELECT doc_id, UNNEST(w) AS tok FROM toks),
-v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
-bg AS (
-  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
-  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
-),
-bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
-ctx AS (SELECT w1, COUNT(*) AS c_u FROM bg GROUP BY w1),
-lm AS (
-  SELECT bgc.w1, bgc.w2, bgc.c_bg, ctx.c_u
-  FROM bgc JOIN ctx USING (w1)
-),
-scored AS (
-  SELECT b.doc_id, b.lang,
-         CAST(ROUND(SUM(LN(CAST(lm.c_bg + 1 AS DOUBLE)
-                           / (lm.c_u + v.vsz))) * 10000
-                    / COUNT(*)) AS BIGINT) AS q
-  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2 CROSS JOIN v
-  GROUP BY b.doc_id, b.lang
-),
-cut AS (
-  SELECT lang, SUM(q) AS sum_q, COUNT(*) AS n_docs
-  FROM scored GROUP BY lang
-)
-SELECT s.doc_id, s.lang,
-       CAST(s.q AS DOUBLE) / 10000 AS avg_bigram_logprob,
-       (s.q * c.n_docs >= c.sum_q) AS keep
-FROM scored s JOIN cut c USING (lang)
-ORDER BY s.doc_id
-""",
-    doc="PERPLEXITY FILTERING (round 11) — the CCNet/Gopher-style "
-        "quality gate pretraining pipelines run after dedup: score "
-        "every document under the corpus bigram LM (add-1 smoothing, "
-        "the q_text_bigram_logprob model) and KEEP docs at or above "
-        "their OWN LANGUAGE's mean score — per-domain cutoffs, not a "
-        "global constant, exactly because perplexity distributions "
-        "differ by language. The decision is computed with integer "
-        "cross-multiplication (q * n_docs >= sum_q on the 1e-4 "
-        "fixed-point scores), so the keep/drop boundary is "
-        "bit-identical cross-engine — no float division at the "
-        "threshold. Plan: the LM is two gram-keyed aggs + one "
-        "score-back equi-join (corpus-linear); the per-lang cutoff "
-        "table is |langs| rows broadcast back. At 100 TB nothing "
-        "here is corpus-quadratic and the only global stage is the "
-        "|langs|-row aggregate.",
-)
-def q_text_perplexity_filter(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
+def _doc_bigrams(docs: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Adjacent-token pairs per document (whitespace tokens, empties
+    dropped), one row per bigram occurrence, carrying ``id_cols``."""
+    toks = docs.select(
+        *id_cols,
         F.filter(F.split("text", " "), lambda t: t != "").alias("w"),
     )
-    tok = toks.select(F.explode("w").alias("tok"))
-    vsz = tok.select("tok").distinct().count()  # scalar: vocab size
     n = F.size("w")
-    bg = toks.select(
-        "doc_id",
-        "lang",
+    return toks.select(
+        *id_cols,
         F.explode(
             F.zip_with(
                 F.slice("w", 1, F.greatest(n - 1, F.lit(0))),
@@ -1151,41 +1092,200 @@ def q_text_perplexity_filter(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p"),
-    ).select("doc_id", "lang", "p.w1", "p.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_u"))
-    lm = bgc.join(ctx, "w1")
+    ).select(*id_cols, "p.w1", "p.w2")
+
+
+def perplexity_filter(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-table CCNet-shape perplexity gate (VERDICT r11 #7): train
+    an add-1-smoothed bigram LM on ``train_df`` (the reference corpus
+    — CCNet uses Wikipedia) and gate ``score_df`` (the NEW crawl) by
+    each document's average bigram log-probability against its OWN
+    language's mean over the scored set. Returns one decision row per
+    scored document that has at least one bigram:
+    ``(id_col, lang_col, avg_bigram_logprob, keep)``.
+
+    Unseen-in-train events back off through the same smoothing with
+    zero counts: matched bigram → ln((c_bg+1)/(c_u+|V|)); unseen
+    bigram under a seen context → ln(1/(c_u+|V|)); unseen context →
+    ln(1/|V|) — implemented as two LEFT joins with COALESCE(0), no
+    special cases. |V| is the TRAIN vocabulary.
+
+    Cross-engine exactness (ADVICE r11): float addition is
+    order-dependent, so per-bigram log-probs are floor-quantized to
+    1e-6 fixed point BEFORE summing — the per-doc score is an exact
+    integer sum, the per-doc mean is positive-operand integer
+    division (``-((-s) DIV cnt)``), and the keep boundary is integer
+    cross-multiplication (q * n_docs >= sum_q). No float operation
+    after the per-row quantize, so the decision is bit-identical
+    across partitionings and engines. Capacity: |lpq| < 3e7 per
+    bigram ⇒ ~3e11 bigrams/doc to overflow int64.
+
+    100 TB: the LM is two gram-keyed aggs over TRAIN (train-linear);
+    scoring is two equi-joins + one doc-keyed agg over SCORE
+    (score-linear); the cutoff table is |langs| rows broadcast back.
+    Train once, persist bgc/ctx, gate every crawl increment at
+    batch-proportional cost — the `incremental_near_dedup` posture
+    applied to quality filtering."""
+    train = train_df.select(F.col(text_col).alias("text"))
+    score = score_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+    )
+    vsz = (  # scalar: train vocab size (one O(1) driver value)
+        train.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tok")
+        )
+        .distinct()
+        .count()
+    )
+    tbg = _doc_bigrams(train, [])
+    bgc = tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = tbg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_u"))
+    bg = _doc_bigrams(score, ["doc_id", "lang"])
+    lpq = F.floor(
+        F.log(
+            (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c_u"), F.lit(0)) + F.lit(int(vsz)))
+        )
+        * 1000000
+    ).cast("long")
     scored = (
-        bg.join(lm, ["w1", "w2"])
+        bg.join(ctx, "w1", "left")
+        .join(bgc, ["w1", "w2"], "left")
+        .select("doc_id", "lang", lpq.alias("lpq"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("lpq").alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
         .select(
             "doc_id",
             "lang",
-            F.log(
-                (F.col("c_bg") + 1).cast("double")
-                / (F.col("c_u") + F.lit(vsz))
-            ).alias("lp"),
-        )
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(F.sum("lp") * 10000 / F.count(F.lit(1)))
-            .cast("long")
-            .alias("q")
+            F.expr("-((-s) DIV cnt)").alias("q"),
         )
     )
     cut = scored.groupBy("lang").agg(
         F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n_docs")
     )
-    return (
-        scored.join(F.broadcast(cut), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("q").cast("double") / 10000).alias(
-                "avg_bigram_logprob"
-            ),
-            (F.col("q") * F.col("n_docs") >= F.col("sum_q")).alias(
-                "keep"
-            ),
-        )
-        .orderBy("doc_id")
+    return scored.join(F.broadcast(cut), "lang").select(
+        F.col("doc_id").alias(id_col),
+        F.col("lang").alias(lang_col),
+        (F.col("q").cast("double") / 1000000).alias(
+            "avg_bigram_logprob"
+        ),
+        (F.col("q") * F.col("n_docs") >= F.col("sum_q")).alias("keep"),
     )
+
+
+_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+ttoks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents {train_where}
+),
+tok AS (SELECT UNNEST(w) AS tok FROM ttoks),
+v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+bg AS (
+  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+tbg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ttoks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM tbg GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c_u FROM tbg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(SUM(CAST(FLOOR(LN(
+             CAST(COALESCE(bgc.c_bg, 0) + 1 AS DOUBLE)
+             / (COALESCE(ctx.c_u, 0) + v.vsz)) * 1000000)
+           AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS cnt
+  FROM bg b
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.lang
+),
+qd AS (SELECT doc_id, lang, -((-s) // cnt) AS q FROM scored),
+cut AS (
+  SELECT lang, CAST(SUM(q) AS BIGINT) AS sum_q,
+         COUNT(*) AS n_docs
+  FROM qd GROUP BY lang
+)
+SELECT s.doc_id, s.lang,
+       CAST(s.q AS DOUBLE) / 1000000 AS avg_bigram_logprob,
+       (s.q * c.n_docs >= c.sum_q) AS keep
+FROM qd s JOIN cut c USING (lang)
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "q_text_perplexity_filter",
+    oracle=_PPL_ORACLE.format(train_where=""),
+    doc="PERPLEXITY FILTERING (round 11; re-based on the two-table "
+        "perplexity_filter core in round 12) — the CCNet/Gopher-style "
+        "quality gate pretraining pipelines run after dedup: score "
+        "every document under the corpus bigram LM (add-1 smoothing, "
+        "the q_text_bigram_logprob model) and KEEP docs at or above "
+        "their OWN LANGUAGE's mean score — per-domain cutoffs, not a "
+        "global constant, exactly because perplexity distributions "
+        "differ by language. Per-bigram log-probs are floor-quantized "
+        "to 1e-6 fixed point BEFORE summing (ADVICE r11: float "
+        "addition is order-dependent), so the per-doc score, the "
+        "per-doc integer-division mean, and the cross-multiplied keep "
+        "boundary (q * n_docs >= sum_q) are all bit-identical "
+        "cross-engine and cross-partitioning. Plan: the LM is two "
+        "gram-keyed aggs + two score-back LEFT equi-joins "
+        "(corpus-linear); the per-lang cutoff table is |langs| rows "
+        "broadcast back. At 100 TB nothing here is corpus-quadratic "
+        "and the only global stage is the |langs|-row aggregate.",
+)
+def q_text_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_filter(d, d).orderBy("doc_id")
+
+
+@register(
+    "q_text_perplexity_crosstrain",
+    oracle=_PPL_ORACLE.format(train_where="WHERE doc_id % 2 = 0"),
+    doc="CROSS-TRAINED PERPLEXITY GATE (round 12, VERDICT r11 #7) — "
+        "the actual CCNet deployment shape: the bigram LM trains on a "
+        "REFERENCE corpus (here the even-doc_id half, standing in for "
+        "Wikipedia) and gates the FULL crawl, so scored documents "
+        "carry bigrams and whole contexts the LM never saw. Backoff "
+        "is uniform add-1 smoothing with zero counts via two LEFT "
+        "joins + COALESCE: seen bigram ln((c+1)/(c_u+|V|)), unseen "
+        "bigram ln(1/(c_u+|V|)), unseen context ln(1/|V|), |V| the "
+        "TRAIN vocabulary. Same 1e-6 fixed-point integer decision "
+        "pipeline as q_text_perplexity_filter. 100 TB: train once "
+        "and persist bgc/ctx; every crawl increment is gated at "
+        "batch-proportional cost (two equi-joins + one doc agg) — "
+        "the incremental_near_dedup posture applied to quality "
+        "filtering.",
+)
+def q_text_perplexity_crosstrain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_filter(
+        d.filter(F.col("doc_id") % 2 == 0), d
+    ).orderBy("doc_id")

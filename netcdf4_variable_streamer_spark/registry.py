@@ -69,6 +69,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 WINDOW_ROUND = 12
 
 CANONICAL_ORDER: list[str] = [
+    # -- round-12 additions (never driver-checked) are inserted at the
+    #    very top as they land, so they enter the window first. --
+    "q_text_perplexity_crosstrain",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -4210,6 +4210,12 @@ class HDF5File:
         dereference (`read_region`, chunk-pruned slab reads) is
         unchanged."""
         if version == 2:
+            if len(payload) < 25:
+                raise ValueError(
+                    f"{self.path}: version-2 hyperslab selection "
+                    f"payload of {len(payload)} bytes truncates the "
+                    "25-byte fixed header"
+                )
             flags = payload[16]
             length, rank = struct.unpack_from("<2I", payload, 17)
             if not flags & 1:
@@ -4237,6 +4243,12 @@ class HDF5File:
                 path,
                 "hyperslab",
                 blocks=self._expand_regular_hyperslab(dims),
+            )
+        if len(payload) < 22:
+            raise ValueError(
+                f"{self.path}: version-3 hyperslab selection payload "
+                f"of {len(payload)} bytes truncates the 22-byte fixed "
+                "header"
             )
         flags, enc = payload[16], payload[17]
         rank = struct.unpack_from("<I", payload, 18)[0]

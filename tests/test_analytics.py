@@ -76,6 +76,8 @@ NEW_KEYS = [
     "q_time_downsample_m4", "q_text_perplexity_filter",
     "snk_netcdf4_write_regionref", "src_netcdf4_bigendian_scan",
     "q_sample_dedup_aware", "q_dedup_prefix_truncation",
+    # round 12
+    "q_text_perplexity_crosstrain",
 ]
 
 

@@ -3754,6 +3754,15 @@ def test_region_reference_v3_golden_bytes(tmp_path):
         with pytest.raises(ValueError, match=msg):
             HDF5File(pc).read("r")
 
+    # fixed header truncated mid-rank (ADVICE r11: must be the loud
+    # named ValueError, not a raw IndexError/struct.error). The heap
+    # slot always carries its full size, so a short payload can only
+    # reach the parser from a corrupt length field — drive it direct.
+    with pytest.raises(ValueError, match="truncates the 22-byte"):
+        HDF5File(p)._parse_hyperslab_v23(
+            b"\0" * 16 + bytes([0x01]), "a", 3
+        )
+
 
 def test_region_reference_v2_golden_refusals(tmp_path):
     """Version-2 hyperslab loud refusals: irregular flags (version 2
@@ -3784,6 +3793,14 @@ def test_region_reference_v2_golden_refusals(tmp_path):
         _patch_region_payload(p, sel)
         with pytest.raises(ValueError, match=msg):
             HDF5File(p).read("r")
+
+    # fixed header truncated before rank (ADVICE r11: loud named
+    # ValueError, not a raw struct.error); short payloads only reach
+    # the parser from a corrupt heap length, so drive it direct
+    with pytest.raises(ValueError, match="truncates the 25-byte"):
+        HDF5File(p)._parse_hyperslab_v23(
+            b"\0" * 16 + bytes([0x01]) + struct.pack("<I", 36), "a", 2
+        )
 
     a = np.arange(8, dtype=np.int16)
     with pytest.raises(ValueError, match="cannot self-overlap"):

@@ -419,3 +419,48 @@ def test_incremental_near_dedup_two_table_api(spark):
         r = rows[pid]
         assert r["is_dup"] is False
         assert r["best_match"] is None and r["best_jaccard"] is None
+
+
+def test_perplexity_filter_two_table_api(spark):
+    """perplexity_filter (VERDICT r11 #7) on two ad-hoc DataFrames
+    with custom column names: the LM trains on the reference corpus
+    only, and the three backoff tiers score exactly as hand-computed —
+    seen bigram ln((c+1)/(c_u+|V|)), unseen bigram under a seen
+    context ln(1/(c_u+|V|)), unseen context ln(1/|V|) — through the
+    1e-6 floor quantization; a one-token doc emits no decision row."""
+    import math
+
+    from netcdf4_variable_streamer_spark.operators.text import (
+        perplexity_filter,
+    )
+
+    # train vocab {a,b,c} (|V|=3); bgc (a,b)=2 (b,a)=1 (a,c)=1; ctx a=3 b=1
+    train = spark.createDataFrame(
+        [("a b a b",), ("a c",)], "body string"
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "en", "a b"),   # seen bigram: ln(3/6)
+            (2, "en", "a z"),   # unseen bigram, seen ctx: ln(1/6)
+            (3, "en", "z z"),   # unseen ctx: ln(1/3)
+            (4, "en", "w"),     # no bigram: no row
+        ],
+        "pid long, lg string, body string",
+    )
+    rows = {
+        r["pid"]: r
+        for r in perplexity_filter(
+            train, score, id_col="pid", lang_col="lg", text_col="body"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    q = {
+        p: math.floor(math.log(x) * 1e6)
+        for p, x in {1: 3 / 6, 2: 1 / 6, 3: 1 / 3}.items()
+    }
+    for p in (1, 2, 3):
+        assert rows[p]["avg_bigram_logprob"] == q[p] / 1e6
+    sum_q = sum(q.values())
+    for p in (1, 2, 3):
+        assert rows[p]["keep"] == (q[p] * 3 >= sum_q)
+    assert [rows[p]["keep"] for p in (1, 2, 3)] == [True, False, True]
