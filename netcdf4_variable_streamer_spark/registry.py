@@ -72,6 +72,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-12 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
     "q_text_perplexity_crosstrain",
+    "src_netcdf4_szip_scan",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

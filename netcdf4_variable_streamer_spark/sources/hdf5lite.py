@@ -129,6 +129,15 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from netcdf4_variable_streamer_spark.sources.szip import (
+    SZ_EC_OPTION,
+    SZ_LSB_OPTION,
+    SZ_MSB_OPTION,
+    SZ_NN_OPTION,
+    szip_h5_decode,
+    szip_h5_encode,
+)
+
 UNDEF = 0xFFFFFFFFFFFFFFFF
 _SIG = b"\x89HDF\r\n\x1a\n"
 
@@ -1230,6 +1239,38 @@ def _resolve_ref_addrs(names, resolve: dict[str, int]):
     return out
 
 
+def _szip_cd_values(opts: dict, dtype: np.dtype, chunk) -> list[int]:
+    """H5Zszip.c's client-data layout [options_mask, bits_per_pixel,
+    pixels_per_block, pixels_per_scanline] for this writer: NN or EC
+    mode, byte order following the dtype (LSB for little-endian —
+    exactly how H5Z_szip_set_local picks it), scanline the largest
+    <=128-block multiple of the block size (every interval is whole
+    blocks by construction, so the codec's no-padding rule holds)."""
+    if chunk is None:
+        raise ValueError("szip requires chunked layout")
+    if dtype.itemsize not in (1, 2, 4):
+        raise ValueError(
+            f"szip: {dtype} unsupported ({dtype.itemsize * 8}-bit "
+            "samples; the HDF5 szip filter takes 8/16/32-bit types)"
+        )
+    ppb = int(opts.get("pixels_per_block", 16))
+    npoints = 1
+    for c in chunk:
+        npoints *= int(c)
+    if npoints % ppb:
+        raise ValueError(
+            f"szip: chunk of {npoints} samples is not whole "
+            f"{ppb}-sample blocks — pick a dividing pixels_per_block"
+        )
+    mode = opts.get("mode", "nn")
+    if mode not in ("nn", "ec"):
+        raise ValueError(f"szip mode {mode!r} (nn/ec)")
+    mask = SZ_NN_OPTION if mode == "nn" else SZ_EC_OPTION
+    mask |= SZ_MSB_OPTION if dtype.byteorder == ">" else SZ_LSB_OPTION
+    pps = ppb * min(128, npoints // ppb)
+    return [mask, dtype.itemsize * 8, ppb, pps]
+
+
 def _write_dataset(
     out: bytearray,
     arr: np.ndarray,
@@ -1244,6 +1285,7 @@ def _write_dataset(
     presized: list[int] | None = None,
     fillvalue=None,
     fletcher: bool = False,
+    szip: dict | None = None,
 ) -> int:
     """Append one dataset's data + object header; return header addr.
     ``resolve`` maps already-written dataset names to header addresses
@@ -1420,6 +1462,16 @@ def _write_dataset(
             filters.append((2, [esz]))
         if compress is not None:
             filters.append((1, [compress]))
+        szip_cd = None
+        if szip is not None:
+            if compress is not None:
+                raise ValueError(
+                    "szip and deflate stacked on one dataset is "
+                    "never produced by this writer (netcdf-c allows "
+                    "one compressor per variable)"
+                )
+            szip_cd = _szip_cd_values(szip, arr.dtype, chunk)
+            filters.append((4, szip_cd))
         children, keys = [], []
         grid = list(_chunk_grid(arr.shape, chunk))
         if presized is not None:
@@ -1448,6 +1500,8 @@ def _write_dataset(
                 raw = _shuffle_bytes(raw, esz)
             if compress is not None:
                 raw = zlib.compress(raw, compress)
+            if szip_cd is not None:
+                raw = szip_h5_encode(raw, szip_cd)
             caddr = len(out)
             out += raw
             children.append(caddr)
@@ -2133,6 +2187,7 @@ def write_hdf5(
             presized=o.get("presized"),
             fillvalue=o.get("fillvalue"),
             fletcher=o.get("fletcher", False),
+            szip=o.get("szip"),
         )
         written[name] = addr
         gpath, _, leaf = name.rpartition("/")
@@ -3950,16 +4005,21 @@ class HDF5File:
                         "chunk corrupt"
                     )
                 raw = body
+            elif fid == 4:
+                # szip (round 12): extended-Rice decode from the
+                # public CCSDS 121.0-B-2 spec — the last filter
+                # netcdf-c's variable API (nc_def_var_szip) could
+                # hand this reader
+                raw = szip_h5_decode(bytes(raw), cvals)
             else:
-                known = {4: "szip", 5: "nbit", 6: "scaleoffset"}
+                known = {5: "nbit", 6: "scaleoffset"}
                 name = known.get(fid, "unknown/registered filter")
                 raise ValueError(
                     f"{info.name}: filter id {fid} ({name}) "
                     "unsupported (supported: 1 deflate, 2 shuffle, "
-                    "3 fletcher32 — the set reachable through the "
-                    "netCDF-4 variable API the reference wraps; nbit/"
-                    "scaleoffset are HDF5-only, szip needs the szip "
-                    "codec)"
+                    "3 fletcher32, 4 szip — the set reachable through "
+                    "the netCDF-4 variable API the reference wraps; "
+                    "nbit/scaleoffset are HDF5-only)"
                 )
         return np.frombuffer(raw, dtype=info.dtype).reshape(info.chunk)
 
@@ -4475,6 +4535,7 @@ def write_netcdf4(
     presized: dict[str, list[int]] | None = None,
     fillvalues: dict | None = None,
     fletcher: bool = False,
+    szip: dict | None = None,
 ) -> None:
     """Write a NetCDF-4 (= HDF5) file with netcdf-c's dimension
     conventions. Same signature family as :func:`write_netcdf3`; the
@@ -4578,7 +4639,7 @@ def write_netcdf4(
             o["chunk"] = (max(1, min(chunk0, numrecs or chunk0)),) + tuple(
                 max(1, s) for s in shape[1:]
             )
-        if compress is not None or shuffle or fletcher:
+        if compress is not None or shuffle or fletcher or szip:
             o.setdefault(
                 "chunk",
                 tuple(max(1, s) for s in shape) or (1,),
@@ -4586,6 +4647,7 @@ def write_netcdf4(
             o["compress"] = compress
             o["shuffle"] = shuffle
             o["fletcher"] = fletcher
+            o["szip"] = szip  # nc_def_var_szip (round 12)
         if name in presized:
             o["presized"] = presized[name]
         if name in fillvalues:

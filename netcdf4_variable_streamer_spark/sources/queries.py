@@ -3510,6 +3510,80 @@ def src_netcdf4_fletcher_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_nc4_szip(path: str | None = None) -> str:
+    """The grid as a NetCDF-4 file whose chunks are szip-compressed
+    (nc_def_var_szip: NN mode, 32 pixels per block) — the extended-
+    Rice CCSDS 121.0 codec implemented in sources/szip.py."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_szip.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+        },
+        data=grid_values(0, GRID_T),
+        chunk0=16,
+        szip={"pixels_per_block": 32},
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_szip_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)}
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_lines,
+       {SQL_DSUM('temperature')} AS sum_temp,
+       {SQL_DSUM('humidity')} AS sum_hum
+FROM g
+WHERE t >= 40 AND t < 88
+""",
+    doc="SZIP-compressed NetCDF-4 scan (round 12, VERDICT r11 #2 — "
+        "the last filter a real netcdf-c-written file could hit): "
+        "chunks carry HDF5 filter 4, decoded by the from-scratch "
+        "extended-Rice CCSDS 121.0-B-2 codec (sources/szip.py — "
+        "MSB-first bitstream, FS/sample-split/second-extension/"
+        "zero-block options, NN reference-sample preprocessing, "
+        "H5Zszip's 4-byte stored-size framing and cd_values layout). "
+        "Float32 samples ride as their IEEE bit patterns, exactly as "
+        "the HDF5 filter treats them — lossless. Same record-range "
+        "partition pruning as the plain scan (window [40, 88) "
+        "touches only covering chunks); chunks decode independently "
+        "in parallel across executor tasks.",
+)
+def src_netcdf4_szip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_nc4_szip())
+        .load()
+        .filter((F.col("time_idx") >= 40) & (F.col("time_idx") < 88))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("time_idx").alias("n_lines"),
+        dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        dsum(F.col("humidity").cast("double")).alias("sum_hum"),
+    )
+
+
 def ensure_nc3_evolving(path: str | None = None) -> str:
     """An archive whose schema EVOLVED: the first member predates the
     humidity sensor (temperature only, records [0, 32)); later members

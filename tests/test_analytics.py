@@ -77,7 +77,7 @@ NEW_KEYS = [
     "snk_netcdf4_write_regionref", "src_netcdf4_bigendian_scan",
     "q_sample_dedup_aware", "q_dedup_prefix_truncation",
     # round 12
-    "q_text_perplexity_crosstrain",
+    "q_text_perplexity_crosstrain", "src_netcdf4_szip_scan",
 ]
 
 

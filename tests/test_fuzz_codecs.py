@@ -1847,17 +1847,18 @@ def test_ohdr_chunk0_size_codes():
 
 def test_unsupported_filter_ids_named(tmp_path):
     """Unsupported pipeline filters refuse LOUDLY naming the filter:
-    szip (4), nbit (5), scaleoffset (6) — the HDF5-only filters a
-    netCDF-4 variable cannot carry (nc_def_var_* exposes only
-    deflate/shuffle/fletcher32/szip) — plus truly unknown ids. Crafted
-    by patching a deflate pipeline message's filter id in place."""
+    nbit (5), scaleoffset (6) — the HDF5-only filters a netCDF-4
+    variable cannot carry (nc_def_var_* exposes only deflate/shuffle/
+    fletcher32/szip; szip itself decodes since round 12) — plus truly
+    unknown ids. Crafted by patching a deflate pipeline message's
+    filter id in place."""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         HDF5File,
         write_hdf5,
     )
 
     v = np.arange(64, dtype=np.int32).reshape(16, 4)
-    for fid, name in ((4, "szip"), (5, "nbit"), (6, "scaleoffset"),
+    for fid, name in ((5, "nbit"), (6, "scaleoffset"),
                       (305, "unknown/registered filter")):
         p = os.path.join(tmp_path, f"f{fid}.h5")
         write_hdf5(p, {"v": v}, {"v": {"chunk": (4, 4), "compress": 1}})
@@ -1876,3 +1877,284 @@ def test_unsupported_filter_ids_named(tmp_path):
         open(p, "wb").write(bytes(buf))
         with pytest.raises(ValueError, match=f"filter id {fid} .{name}"):
             HDF5File(p).read("v")
+
+
+# ---------------------------------------------------------------------------
+# szip / CCSDS 121.0-B-2 extended-Rice (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _bits(s: str) -> bytes:
+    """Independent golden-byte assembler: '0'/'1' string (spaces
+    ignored) -> MSB-first padded bytes, built with none of the
+    codec's own machinery."""
+    s = s.replace(" ", "")
+    s += "0" * (-len(s) % 8)
+    return bytes(
+        int(s[i : i + 8], 2) for i in range(0, len(s), 8)
+    )
+
+
+def _fs(v: int) -> str:
+    return "0" * v + "1"
+
+
+def test_szip_golden_fs_block():
+    """Format pinning, FS option (ID 1, k=0): hand-assembled per the
+    spec — 3-bit ID for 8-bit data, then one unary codeword per
+    sample. The encoder must produce these exact bytes."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    samples = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.uint8)
+    want = _bits("001" + "".join(_fs(int(v)) for v in samples))
+    got = szip_encode(
+        samples, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=False,
+    )
+    assert got == want
+    assert szip_decode(
+        want, 8, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=False,
+    ) == list(samples)
+
+
+def test_szip_golden_uncompressed_block():
+    """High-entropy block falls back to the all-ones ID and raw
+    samples (8 x 8 bits here)."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    samples = np.array([255, 0, 255, 0, 255, 0, 255, 0], dtype=np.uint8)
+    want = _bits("111" + "".join(format(int(v), "08b") for v in samples))
+    got = szip_encode(
+        samples, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=False,
+    )
+    assert got == want
+    assert szip_decode(
+        want, 8, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=False,
+    ) == list(samples)
+
+
+def test_szip_golden_zero_blocks_and_ros():
+    """Zero-block runs: an all-zero 64-sample scanline (8 blocks)
+    emits ID 0 + selector 0 + the '00001' remainder-of-segment
+    codeword from the standard; a 3-block zero run before data emits
+    FS(run-1)."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    allz = np.zeros(64, dtype=np.uint8)
+    want = _bits("000" + "0" + _fs(4))
+    got = szip_encode(
+        allz, nbits=8, pixels_per_block=8, pixels_per_scanline=64,
+        nn=False,
+    )
+    assert got == want
+    assert szip_decode(
+        want, 64, nbits=8, pixels_per_block=8, pixels_per_scanline=64,
+        nn=False,
+    ) == [0] * 64
+
+    mixed = np.zeros(32, dtype=np.uint8)
+    mixed[24:32] = [0, 1, 2, 3, 0, 1, 2, 3]
+    want = _bits(
+        "000" + "0" + _fs(2)  # 3 zero blocks, run coded as FS(2)
+        + "001" + "".join(_fs(int(v)) for v in mixed[24:])
+    )
+    got = szip_encode(
+        mixed, nbits=8, pixels_per_block=8, pixels_per_scanline=32,
+        nn=False,
+    )
+    assert got == want
+    assert szip_decode(
+        want, 32, nbits=8, pixels_per_block=8, pixels_per_scanline=32,
+        nn=False,
+    ) == list(mixed)
+
+
+def test_szip_golden_second_extension():
+    """SE option (ID 0 + selector 1): pairs code as FS of
+    gamma = (d0+d1)(d0+d1+1)/2 + d1."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    samples = np.array([0, 1, 0, 0, 0, 0, 0, 0], dtype=np.uint8)
+    # gammas: (0,1)->2, (0,0)->0 x3; SE cost 3+1+2+4 beats FS 3+1+8
+    want = _bits("000" + "1" + _fs(2) + _fs(0) + _fs(0) + _fs(0))
+    got = szip_encode(
+        samples, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=False,
+    )
+    assert got == want
+    assert szip_decode(
+        want, 8, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=False,
+    ) == list(samples)
+
+
+def test_szip_golden_nn_reference_block():
+    """NN preprocessing: the raw reference sample rides between the
+    first block's ID and its J-1 coded differences, mapped by the
+    theta-clamped CCSDS mapper."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    samples = np.array([10, 11, 12, 11, 10, 10, 10, 10], dtype=np.uint8)
+    # deltas (d: +1 +1 -1 -1 0 0 0) -> mapped 2 2 1 1 0 0 0
+    want = _bits(
+        "001" + format(10, "08b")
+        + "".join(_fs(v) for v in (2, 2, 1, 1, 0, 0, 0))
+    )
+    got = szip_encode(
+        samples, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=True,
+    )
+    assert got == want
+    assert szip_decode(
+        want, 8, nbits=8, pixels_per_block=8, pixels_per_scanline=8,
+        nn=True,
+    ) == list(samples)
+
+
+def test_szip_roundtrip_fuzz():
+    """Encoder/decoder round-trip across widths, modes, block and
+    scanline geometries, smooth and adversarial data — including
+    multi-scanline streams, short final intervals, zero runs crossing
+    scanlines, and 16/32-bit splits."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    rng = np.random.default_rng(12)
+    for nbits, dt in ((8, "u1"), (16, "u2"), (32, "u4")):
+        hi = 2 ** min(nbits, 31)
+        arrays = [
+            (np.cumsum(rng.integers(-3, 4, 512)) % (2**nbits - 1)).astype(dt),
+            rng.integers(0, hi, 512).astype(dt),
+            np.zeros(512, dt),
+            np.full(512, (1 << nbits) - 1, dt),
+        ]
+        z = np.zeros(512, dt)
+        z[130:140] = 7
+        arrays.append(z)
+        for arr in arrays:
+            for nn in (True, False):
+                for ppb, pps in ((8, 64), (16, 256), (32, 32), (8, 8)):
+                    s = szip_encode(
+                        arr, nbits=nbits, pixels_per_block=ppb,
+                        pixels_per_scanline=pps, nn=nn,
+                    )
+                    assert szip_decode(
+                        s, len(arr), nbits=nbits, pixels_per_block=ppb,
+                        pixels_per_scanline=pps, nn=nn,
+                    ) == list(arr)
+
+
+def test_szip_refusals_loud():
+    """Every malformed input refuses with a named ValueError: partial
+    blocks, bad geometry, the raw-option mask, low-entropy IDs in a
+    reference block (never written, pairing ambiguous), truncation,
+    and an NN unmap that leaves the sample range."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+        szip_h5_decode,
+    )
+
+    a = np.arange(12, dtype=np.uint8)
+    with pytest.raises(ValueError, match="not whole 8-sample blocks"):
+        szip_encode(a, nbits=8, pixels_per_block=8,
+                    pixels_per_scanline=8)
+    with pytest.raises(ValueError, match="bits_per_pixel 12"):
+        szip_encode(a, nbits=12, pixels_per_block=4,
+                    pixels_per_scanline=4)
+    with pytest.raises(ValueError, match="pixels_per_block 7"):
+        szip_encode(a, nbits=8, pixels_per_block=7,
+                    pixels_per_scanline=7)
+    with pytest.raises(ValueError, match="pixels_per_scanline 12"):
+        szip_encode(a, nbits=8, pixels_per_block=8,
+                    pixels_per_scanline=12)
+    with pytest.raises(ValueError, match="raw-option"):
+        szip_h5_decode(b"\x00" * 8, (128 | 8, 8, 8, 8))
+    with pytest.raises(ValueError, match="stored-size prefix"):
+        szip_h5_decode(b"\x00", (32 | 8, 8, 8, 8))
+    with pytest.raises(ValueError, match="not whole 2-byte samples"):
+        szip_h5_decode(struct.pack("<I", 7) + b"\x00" * 8,
+                       (32 | 8, 16, 8, 8))
+    # low-entropy ID in a reference block
+    with pytest.raises(ValueError, match="reference block"):
+        szip_decode(
+            _bits("000" + "0" + _fs(4)), 8, nbits=8,
+            pixels_per_block=8, pixels_per_scanline=8, nn=True,
+        )
+    # truncated mid-codeword
+    with pytest.raises(ValueError, match="truncated"):
+        szip_decode(
+            _bits("001" + format(10, "08b") + "00"), 8, nbits=8,
+            pixels_per_block=8, pixels_per_scanline=8, nn=True,
+        )
+    # NN unmap escapes [0, 255]: ref 200, mapped delta 305 -> d -250
+    with pytest.raises(ValueError, match="left the sample range"):
+        szip_decode(
+            _bits("001" + format(200, "08b") + _fs(305)), 2, nbits=8,
+            pixels_per_block=2, pixels_per_scanline=2, nn=True,
+        )
+
+
+def test_szip_hdf5_roundtrip_and_writer_refusals(tmp_path):
+    """szip as HDF5 filter 4 end to end (both libvers, NN and EC,
+    8/16/32-bit and float32, chunk-pruned slab reads), plus the
+    writer-side refusals: 64-bit samples, non-dividing chunks, and
+    stacking szip with deflate."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.default_rng(5)
+    a = (np.cumsum(rng.integers(-9, 10, (40, 32)), axis=1)
+         % 100000).astype("<i4")
+    b = rng.integers(0, 5000, (24, 16)).astype("<u2")
+    f = (rng.standard_normal((16, 32)) * 10).astype("<f4")
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"sz_{libver}.h5")
+        write_hdf5(p, {"a": a, "b": b, "f": f}, {
+            "a": {"chunk": (8, 32), "szip": {"pixels_per_block": 16}},
+            "b": {"chunk": (8, 16),
+                  "szip": {"pixels_per_block": 8, "mode": "ec"}},
+            "f": {"chunk": (4, 32), "szip": {"pixels_per_block": 32}},
+        }, libver=libver)
+        h = HDF5File(p)
+        assert [fl[0] for fl in h.datasets["a"].filters] == [4]
+        np.testing.assert_array_equal(h.read("a"), a)
+        np.testing.assert_array_equal(h.read("b"), b)
+        np.testing.assert_array_equal(h.read("f"), f)
+        np.testing.assert_array_equal(h.read_slab0("a", 10, 30),
+                                      a[10:30])
+
+    with pytest.raises(ValueError, match="64-bit samples"):
+        write_hdf5(os.path.join(tmp_path, "r1.h5"),
+                   {"v": np.arange(64, dtype=np.int64)},
+                   {"v": {"chunk": (16,), "szip": {}}})
+    with pytest.raises(ValueError, match="not whole 16-sample"):
+        write_hdf5(os.path.join(tmp_path, "r2.h5"),
+                   {"v": np.arange(24, dtype=np.int32)},
+                   {"v": {"chunk": (24,), "szip": {}}})
+    with pytest.raises(ValueError, match="never produced"):
+        write_hdf5(os.path.join(tmp_path, "r3.h5"),
+                   {"v": np.arange(32, dtype=np.int32)},
+                   {"v": {"chunk": (16,), "szip": {}, "compress": 4}})
