@@ -73,6 +73,7 @@ CANONICAL_ORDER: list[str] = [
     #    very top as they land, so they enter the window first. --
     "q_text_perplexity_crosstrain",
     "src_netcdf4_szip_scan",
+    "src_netcdf4_compound_string_scan",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

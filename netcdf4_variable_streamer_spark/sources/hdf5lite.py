@@ -214,8 +214,12 @@ def _dt_compound(dtype: np.dtype) -> bytes:
     NC_COMPOUND): per member, an 8-padded null-terminated name, byte
     offset, the v1 dimensionality block (zeroed — array members are
     encoded as class-10 array member datatypes instead, libhdf5's
-    modern layout), then the member datatype message body."""
+    modern layout), then the member datatype message body. Members
+    named in the dtype's ``metadata["vlen_str_members"]`` (round 12 —
+    NC_COMPOUND with NC_STRING members) hold 16-byte heap descriptors
+    and emit the class-9 variable-length string member datatype."""
     names = dtype.names or ()
+    vlens = (dtype.metadata or {}).get("vlen_str_members", ())
     body = b""
     for n in names:
         fdt, off = dtype.fields[n][0], dtype.fields[n][1]
@@ -223,7 +227,9 @@ def _dt_compound(dtype: np.dtype) -> bytes:
         body += nb + b"\x00" * (-len(nb) % 8)
         body += struct.pack("<IB3xI4x", off, 0, 0)
         body += struct.pack("<4I", 0, 0, 0, 0)  # v1 dim sizes (unused)
-        if fdt.subdtype is not None:
+        if n in vlens:
+            body += _dt_vlen_str()
+        elif fdt.subdtype is not None:
             base, shape = fdt.subdtype
             body += _dt_array(base, shape)
         else:
@@ -374,6 +380,7 @@ def _walk_compound_impl(body: bytes):
     names: list[str] = []
     formats: list = []
     offsets: list[int] = []
+    vlen_strs: list[str] = []
     why = None
     for _ in range(nmembers):
         end = body.index(b"\x00", pos)
@@ -404,6 +411,13 @@ def _walk_compound_impl(body: bytes):
             # class-10 array member: numpy subarray format (the v1 dim
             # block is zeroed by writers that use class 10)
             parsed, shape = parsed
+        if parsed == ("vlen_str",) and not shape:
+            # NC_STRING member (round 12, VERDICT r11 #3): the cell
+            # carries the 16-byte heap descriptor at the member
+            # offset; resolution to str happens at dataset read
+            # through the same global-heap path as vlen-str datasets
+            vlen_strs.append(name)
+            parsed = _VLEN_DESC_DT
         if not isinstance(parsed, (np.dtype, str)):
             kind = (
                 f"class {parsed[1]}"
@@ -420,25 +434,33 @@ def _walk_compound_impl(body: bytes):
         offsets.append(off)
     if why is not None:
         return ("unsupported", why), pos
-    return (names, formats, offsets, size), pos
+    return (names, formats, offsets, size, vlen_strs), pos
 
 
 def _compound_dtype(walked):
     """A :func:`_walk_compound` result -> numpy structured dtype with
     explicit offsets, or the ``("compound_unsupported", why)`` marker
-    the dataset path raises on."""
+    the dataset path raises on. Members that are NC_STRING carry the
+    raw 16-byte heap-descriptor record type and are named in the
+    dtype's ``metadata["vlen_str_members"]`` (the read path resolves
+    them; the writer's :func:`_dt_compound` emits them back as class-9
+    string members — the marker round-trips)."""
     if walked and walked[0] == "unsupported":
         return ("compound_unsupported", walked[1])
-    names, formats, offsets, size = walked
+    names, formats, offsets, size, vlen_strs = walked
     try:
-        return np.dtype(
-            {
-                "names": names,
-                "formats": formats,
-                "offsets": offsets,
-                "itemsize": size,
-            }
-        )
+        spec = {
+            "names": names,
+            "formats": formats,
+            "offsets": offsets,
+            "itemsize": size,
+        }
+        if vlen_strs:
+            return np.dtype(
+                spec,
+                metadata={"vlen_str_members": tuple(vlen_strs)},
+            )
+        return np.dtype(spec)
     except Exception as e:  # overlapping/oversized members etc.
         return ("compound_unsupported", str(e))
 
@@ -1271,6 +1293,51 @@ def _szip_cd_values(opts: dict, dtype: np.dtype, chunk) -> list[int]:
     return [mask, dtype.itemsize * 8, ppb, pps]
 
 
+def _materialize_compound_strings(
+    out: bytearray, arr: np.ndarray
+) -> np.ndarray:
+    """Structured records with object (str) members -> the on-disk
+    compound layout (round 12, VERDICT r11 #3 — NC_COMPOUND with
+    NC_STRING members, e.g. netcdf-c station records with a name
+    field): utf-8 payloads append as "GCOL" global heap collections
+    and the member cells become 16-byte descriptors; the returned
+    dtype carries the ``vlen_str_members`` metadata that drives
+    :func:`_dt_compound` to emit class-9 string member datatypes.
+    None cells write as "" (netcdf-c's NC_STRING fill)."""
+    dt = arr.dtype
+    vlens = tuple(
+        m for m in dt.names if dt.fields[m][0].kind == "O"
+    )
+    disk_dt = np.dtype(
+        [
+            (
+                m,
+                _VLEN_DESC_DT
+                if m in vlens
+                else dt.fields[m][0],
+            )
+            for m in dt.names
+        ],
+        metadata={"vlen_str_members": vlens},
+    )
+    res = np.zeros(arr.shape, disk_dt)
+    flat = arr.reshape(-1)
+    for m in dt.names:
+        if m in vlens:
+            payloads = [
+                ("" if c is None else str(c)).encode("utf-8")
+                for c in flat[m].tolist()
+            ]
+            refs = _gcol_append(out, payloads)
+            desc = np.zeros(len(payloads), dtype=_VLEN_DESC_DT)
+            for i, (p, (ga, gi)) in enumerate(zip(payloads, refs)):
+                desc[i] = (len(p), ga, gi)
+            res[m] = desc.reshape(arr.shape)
+        else:
+            res[m] = arr[m]
+    return res
+
+
 def _write_dataset(
     out: bytearray,
     arr: np.ndarray,
@@ -1409,6 +1476,14 @@ def _write_dataset(
         for i, (ln, (ga, gi)) in enumerate(zip(lens, refs)):
             flat[i] = (ln, ga, gi)
         arr = desc
+    elif arr.dtype.names and any(
+        arr.dtype.fields[m][0].kind == "O" for m in arr.dtype.names
+    ):
+        # NC_COMPOUND with NC_STRING members (round 12): object (str)
+        # fields become 16-byte heap descriptors; the metadata marker
+        # makes _dt_compound emit class-9 string member datatypes
+        arr = _materialize_compound_strings(out, arr)
+        dt_body = _dt_body(arr.dtype)
     elif presized is not None:
         if chunk is None:
             raise ValueError("presized write requires a chunked layout")
@@ -1607,7 +1682,9 @@ def _attr_msgs(
         latest
         and len(attrs) > _DENSE_ATTR_MAX_COMPACT
         and not any(
-            isinstance(v, (VlenRef, VlenSeq)) for v in attrs.values()
+            isinstance(v, (VlenRef, VlenSeq))
+            or (isinstance(v, np.ndarray) and v.dtype.names)
+            for v in attrs.values()
         )
     ):
         fheap_addr, bt2_addr = _write_dense_attrs(out, attrs)
@@ -1624,9 +1701,33 @@ def _attr_msgs(
             )
         elif isinstance(v, VlenSeq):
             msgs.append(_vlen_seq_attr_msg(out, k, v, latest))
+        elif isinstance(v, np.ndarray) and v.dtype.names:
+            # NC_COMPOUND attribute (round 12) — object (str) member
+            # fields materialize as heap payloads, same as datasets
+            msgs.append(_compound_attr_msg(out, k, v, latest))
         else:
             msgs.append(_attr_msg(k, v, latest=latest))
     return msgs
+
+
+def _compound_attr_msg(
+    out: bytearray, name: str, arr: np.ndarray, latest: bool
+) -> bytes:
+    """Compound attribute message; structured arrays with object
+    (str) members ride :func:`_materialize_compound_strings` so their
+    string fields live in the global heap (class-9 string member
+    datatypes), like compound datasets."""
+    if any(
+        arr.dtype.fields[m][0].kind == "O" for m in arr.dtype.names
+    ):
+        arr = _materialize_compound_strings(out, arr)
+    else:
+        arr = np.ascontiguousarray(arr)
+    dt = _dt_compound(arr.dtype)
+    ds = _dataspace(arr.shape, latest=latest)
+    return _attr_envelope(
+        name.encode() + b"\x00", dt, ds, arr.tobytes(), latest
+    )
 
 
 def _write_group(
@@ -2272,6 +2373,11 @@ class DatasetInfo:
     # address, v1 serialized selection); reads decode to RegionRef
     # values (round 10, closing the region-reference refusal)
     region_ref: bool = False
+    # NC_COMPOUND with NC_STRING members (round 12): names of the
+    # members whose on-disk cells are 16-byte heap descriptors; reads
+    # resolve them to str through the global heap, surfacing a
+    # structured array with object (str) fields
+    compound_vlen: tuple = ()
     # raw fill-value bytes from a 0x0005 (v1/v2/v3) or 0x0004 message
     # (round 10): unallocated chunks / contiguous storage read as this
     # value instead of zeros — libhdf5 and netcdf-c write these
@@ -3242,9 +3348,53 @@ class HDF5File:
         vals = np.frombuffer(
             body, dtype=dt, count=count, offset=pos
         )
+        if (
+            dt.names
+            and dt.metadata
+            and dt.metadata.get("vlen_str_members")
+        ):
+            # compound attribute with NC_STRING members (round 12):
+            # resolve the descriptor fields through the global heap,
+            # like the dataset path does
+            vals = self._attr_compound_resolve(
+                vals, dt.metadata["vlen_str_members"]
+            )
         if shape == ():
             return name, vals[0]
         return name, vals.reshape(shape)
+
+    def _attr_compound_resolve(
+        self, vals: np.ndarray, vlens
+    ) -> np.ndarray:
+        """Compound attribute values whose NC_STRING members are raw
+        heap descriptors -> packed records with object (str) fields
+        (zeroed descriptors decode to "")."""
+        dt = vals.dtype
+        out_dt = np.dtype(
+            [
+                (m, object if m in vlens else dt.fields[m][0])
+                for m in dt.names
+            ]
+        )
+        out = np.empty(vals.shape, out_dt)
+        for m in dt.names:
+            if m in vlens:
+                cells = []
+                for n, ga, gi in vals[m].reshape(-1).tolist():
+                    if ga in (0, UNDEF) or gi == 0:
+                        cells.append("")
+                    else:
+                        cells.append(
+                            self._gheap_object(ga, gi)[:n].decode(
+                                "utf-8", "replace"
+                            )
+                        )
+                cell_arr = np.empty(len(cells), dtype=object)
+                cell_arr[:] = cells
+                out[m] = cell_arr.reshape(vals.shape)
+            else:
+                out[m] = vals[m]
+        return out
 
     @staticmethod
     def _group_by_collection_impl(gaddrs, gidxs):
@@ -3522,6 +3672,17 @@ class HDF5File:
                     and dtype[0] == "compound_unsupported"
                 ):
                     raise ValueError(f"{name}: {dtype[1]}")
+                if (
+                    isinstance(dtype, np.dtype)
+                    and dtype.metadata
+                    and dtype.metadata.get("vlen_str_members")
+                ):
+                    # compound with NC_STRING members (round 12):
+                    # descriptor fields scan through the normal layout
+                    # machinery; read resolves them via the heap
+                    info.compound_vlen = tuple(
+                        dtype.metadata["vlen_str_members"]
+                    )
                 if dtype == ("ref", 8):
                     # class-7 object references (round 10): scan the
                     # 8-byte addresses, decode to object paths at read
@@ -4054,9 +4215,35 @@ class HDF5File:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
+            if info.compound_vlen:
+                return self._compound_vlen_resolve(a, info)
             return a
 
         return _corrupt_guard(self.path, impl)
+
+    def _compound_vlen_resolve(
+        self, a: np.ndarray, info: DatasetInfo
+    ) -> np.ndarray:
+        """Structured records whose NC_STRING members are raw heap
+        descriptors -> a packed structured array with those members
+        as object (str) fields, each resolved through the same
+        grouped-by-collection path as whole vlen-str datasets (zeroed
+        descriptors — fill / unallocated chunks — decode to ""). The
+        other members copy through unchanged."""
+        dt = a.dtype
+        fmts = [
+            object if m in info.compound_vlen else dt.fields[m][0]
+            for m in dt.names
+        ]
+        out = np.empty(a.shape, np.dtype(list(zip(dt.names, fmts))))
+        for m in dt.names:
+            if m in info.compound_vlen:
+                out[m] = self._vlen_str_decode(
+                    np.ascontiguousarray(a[m])
+                )
+            else:
+                out[m] = a[m]
+        return out
 
     def _object_paths(self) -> dict[int, str]:
         """header address -> object path, for decoding class-7 object
@@ -4460,6 +4647,8 @@ class HDF5File:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
+            if info.compound_vlen:
+                return self._compound_vlen_resolve(a, info)
             return a
 
         return _corrupt_guard(self.path, impl)
@@ -4712,6 +4901,23 @@ class NetCDF4View:
                     continue  # pure dimension, not a coordinate var
             vdims = self._resolve_dims(d)
             is_rec = bool(vdims) and vdims[0] == self._rec_dim
+            if d.compound_vlen:
+                # compound with NC_STRING members: the netCDF view
+                # (and Spark schema) sees the RESOLVED record layout —
+                # object (str) fields where the disk holds descriptors
+                var_dt = np.dtype(
+                    [
+                        (
+                            m,
+                            object
+                            if m in d.compound_vlen
+                            else d.dtype.fields[m][0],
+                        )
+                        for m in d.dtype.names
+                    ]
+                )
+            else:
+                var_dt = d.dtype
             self.variables[n] = NC4Var(
                 n,
                 vdims,
@@ -4720,7 +4926,7 @@ class NetCDF4View:
                 np.dtype(object)
                 if (d.vlen_str or d.vlen_seq is not None
                     or d.region_ref)
-                else d.dtype,
+                else var_dt,
                 d.attrs,
                 is_rec,
                 d.shape[1:] if is_rec else d.shape,

@@ -123,7 +123,10 @@ def _compound_spark(var_name: str, dtype: np.dtype) -> str:
                     f"{base}{shape} has no Spark mapping"
                 )
             parts.append(f"{_ddl_name(m)}:array<{_NP_SPARK[bkey][0]}>")
-        elif fdt.kind == "S":
+        elif fdt.kind in "SO":
+            # S<n> fixed strings and NC_STRING members (object str
+            # fields resolved through the global heap, round 12) both
+            # surface as Spark strings
             parts.append(f"{_ddl_name(m)}:string")
         else:
             key = _np_key(fdt)
@@ -156,6 +159,9 @@ def _compound_arrow(flat: np.ndarray) -> "pa.StructArray":
             child = pa.array(
                 [b.decode("utf-8", "replace") for b in col.tolist()]
             )
+        elif fdt.kind == "O":
+            # NC_STRING member: already python str from the heap
+            child = pa.array(col.tolist(), pa.string())
         else:
             child = pa.array(
                 np.ascontiguousarray(col).astype(

@@ -2680,6 +2680,125 @@ def ensure_compound_fixture(t_total: int = 64) -> str:
     return path
 
 
+def ensure_compound_string_fixture(t_total: int = 64) -> str:
+    """An NC_COMPOUND record variable whose struct carries an
+    NC_STRING member (round 12, VERDICT r11 #3 — the type netcdf-c
+    emits for a station record with a name field): cells are
+    ``{sensor i4, name string, temp f4}``; names live in the global
+    heap as vlen payloads, the struct cell holds the 16-byte
+    descriptor at the member offset. Written shuffle+deflate chunked
+    so the descriptor stream rides the full filter pipeline. Values
+    closed-form: ``sensor = t*10 + s``, ``name = 'st-%d' % ((t+s)%5)``
+    (with one empty name per 11th record exercising the "" path),
+    ``temp = t*0.5 + s*0.25`` (dyadic-exact in float32)."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = os.path.join(SCRATCH, f"compound_str_{t_total}.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_s = 4
+    dt = np.dtype(
+        [("sensor", "<i4"), ("name", object), ("temp", "<f4")]
+    )
+    obs = np.zeros((t_total, n_s), dtype=dt)
+    for t in range(t_total):
+        for s in range(n_s):
+            name = "" if (t * n_s + s) % 11 == 0 else (
+                "st-%d" % ((t + s) % 5)
+            )
+            obs[t, s] = (t * 10 + s, name, t * 0.5 + s * 0.25)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"t": None, "station": n_s},
+        variables={"obs": (dt, ("t", "station"))},
+        data={"obs": obs},
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_compound_string_scan",
+    oracle=f"""
+WITH g AS (
+  SELECT tt.t AS t, ss.s AS s,
+         tt.t * 10 + ss.s AS sensor,
+         CASE WHEN (tt.t * 4 + ss.s) % 11 = 0 THEN ''
+              ELSE printf('st-%d', (tt.t + ss.s) % 5) END AS name,
+         CAST(CAST(tt.t * 0.5 + ss.s * 0.25 AS FLOAT) AS DOUBLE)
+           AS temp
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS s) ss
+  WHERE tt.t >= 8 AND tt.t < 56
+)
+SELECT s AS station_idx,
+       COUNT(*) AS n_rec,
+       CAST(SUM(sensor) AS BIGINT) AS sum_sensor,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names,
+       MIN(name) AS min_name,
+       MAX(name) AS max_name,
+       CAST(SUM(CASE WHEN name = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       {SQL_DSUM('temp')} AS sum_temp
+FROM g GROUP BY s ORDER BY station_idx
+""",
+    doc="NC_COMPOUND with an NC_STRING member → struct<...,string> "
+        "scan (round 12, VERDICT r11 #3 — the last compound-member "
+        "refusal a real netcdf-c file commonly triggers): the class-6 "
+        "datatype's class-9 string member parses to a 16-byte heap "
+        "descriptor field, the descriptor stream rides the normal "
+        "chunk/filter machinery (shuffle+deflate here, chunk-pruned "
+        "by the record window [8, 56)), and the read resolves member "
+        "descriptors to str through the SAME grouped-by-collection "
+        "global-heap path as whole vlen-str datasets — zeroed "
+        "descriptors (fill) decode to ''. Members surface in one "
+        "Arrow StructArray; refusal is now narrowed to reference-"
+        "typed and vlen-of-numeric members. The marker round-trips: "
+        "this fixture is WRITTEN by the engine's own writer (object "
+        "fields -> heap payloads + class-9 string member datatype).",
+)
+def src_netcdf4_compound_string_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_compound_string_fixture())
+        .load()
+        .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+    )
+    return (
+        df.groupBy(F.col("station_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rec"),
+            F.sum(F.col("obs.sensor")).cast("long").alias("sum_sensor"),
+            F.countDistinct(F.col("obs.name")).alias("n_names"),
+            F.min(F.col("obs.name")).alias("min_name"),
+            F.max(F.col("obs.name")).alias("max_name"),
+            F.sum(
+                (F.col("obs.name") == "").cast("long")
+            ).alias("n_empty"),
+            dsum(F.col("obs.temp").cast("double")).alias("sum_temp"),
+        )
+        .orderBy("station_idx")
+    )
+
+
 @register(
     "src_netcdf_compound_scan",
     oracle=f"""

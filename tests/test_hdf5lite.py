@@ -3841,3 +3841,127 @@ def test_bigendian_write_read_roundtrip(tmp_path):
     np.testing.assert_array_equal(h.read("f"), f)
     np.testing.assert_array_equal(h.read("v"), v)
     np.testing.assert_array_equal(h.read_slab0("v", 5, 9), v[5:9])
+
+
+def test_compound_string_member_roundtrip(tmp_path):
+    """NC_COMPOUND with NC_STRING members (round 12, VERDICT r11 #3):
+    object (str) fields write as class-9 string member datatypes with
+    heap-descriptor cells, and read back resolved — contiguous,
+    chunked+shuffle+deflate, and slab-pruned; None and '' both decode
+    to ''; utf-8 survives."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("sensor_id", "<i4"), ("name", object), ("temp", "<f4")]
+    )
+    a = np.zeros(6, dt)
+    a["sensor_id"] = [1, 2, 3, 4, 5, 6]
+    a["name"] = ["alpha", "beta", "", "delta with spaces", None,
+                 "ζeta-utf8"]
+    a["temp"] = [1.5, 2.5, 3.5, 4.5, 5.5, 6.5]
+    want = ["alpha", "beta", "", "delta with spaces", "", "ζeta-utf8"]
+
+    p = os.path.join(tmp_path, "plain.h5")
+    write_hdf5(p, {"obs": a})
+    r = HDF5File(p).read("obs")
+    assert r.dtype["name"].kind == "O"
+    assert list(r["name"]) == want
+    np.testing.assert_array_equal(r["sensor_id"], a["sensor_id"])
+    np.testing.assert_allclose(r["temp"], a["temp"].astype("f4"))
+
+    p2 = os.path.join(tmp_path, "filt.h5")
+    write_hdf5(
+        p2, {"obs": a},
+        {"obs": {"chunk": (2,), "compress": 4, "shuffle": True}},
+    )
+    h2 = HDF5File(p2)
+    assert list(h2.read("obs")["name"]) == want
+    sl = h2.read_slab0("obs", 2, 5)
+    assert list(sl["name"]) == want[2:5]
+    assert list(sl["sensor_id"]) == [3, 4, 5]
+
+
+def test_compound_string_two_members_and_2d(tmp_path):
+    """Two string members in one compound, 2-D extent, libver
+    latest: each member resolves independently through its own
+    descriptors."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype([("a", object), ("k", "<i2"), ("b", object)])
+    arr = np.zeros((3, 2), dt)
+    for i in range(3):
+        for j in range(2):
+            arr[i, j] = (f"a{i}{j}", i * 10 + j, f"b{i}{j}" * (j + 1))
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"two_{libver}.h5")
+        write_hdf5(p, {"v": arr}, libver=libver)
+        r = HDF5File(p).read("v")
+        assert r["a"][2, 1] == "a21"
+        assert r["b"][1, 1] == "b11b11"
+        np.testing.assert_array_equal(r["k"], arr["k"])
+
+
+def test_compound_string_attribute_resolves(tmp_path):
+    """A compound ATTRIBUTE with an NC_STRING member resolves its
+    string fields through the heap too (round 12 — before, compound
+    attrs with string members were stepped over)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype([("code", "<i4"), ("label", object)])
+    val = np.zeros(2, dt)
+    val[0] = (7, "seven")
+    val[1] = (8, "eight")
+    p = os.path.join(tmp_path, "cattr.h5")
+    write_hdf5(
+        p,
+        {"v": np.arange(4, dtype=np.int32)},
+        {"v": {"attrs": {"cal": val}}},
+    )
+    got = HDF5File(p).datasets["v"].attrs["cal"]
+    assert list(got["code"]) == [7, 8]
+    assert list(got["label"]) == ["seven", "eight"]
+
+
+def test_compound_refusal_narrowed_to_references(tmp_path):
+    """The compound-member refusal is now only for reference-typed
+    (and other unmappable) members — an NC_STRING member no longer
+    trips it, an object-reference member still does, loudly by
+    name."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _parse_dt,
+        _dt_vlen_str,
+    )
+
+    i4body = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
+    refbody = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+
+    def member(name, off, dtbody):
+        nb = name.encode() + b"\x00"
+        return (
+            nb + b"\x00" * (-len(nb) % 8)
+            + struct.pack("<IB3xI4x4I", off, 0, 0, 0, 0, 0, 0)
+            + dtbody
+        )
+
+    # {ok i4 @0, label vlen-str @4}: parses to a dtype with metadata
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 20)
+    body += member("ok", 0, i4body) + member("label", 4, _dt_vlen_str())
+    dt = _parse_dt(body)
+    assert isinstance(dt, np.dtype)
+    assert dt.metadata["vlen_str_members"] == ("label",)
+    assert dt.fields["label"][0].itemsize == 16
+
+    # {ok i4 @0, bad objref @4}: still the loud named refusal
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
+    body += member("ok", 0, i4body) + member("bad", 4, refbody)
+    marker = _parse_dt(body)
+    assert marker[0] == "compound_unsupported" and "bad" in marker[1]
