@@ -1120,9 +1120,7 @@ _PFX_K = 64          # prefix-window chars: bucket key = md5(first 64)
 _PFX_MAX_BUCKET = 64  # boilerplate cap, same rationale as LSH buckets
 
 
-@register(
-    "q_dedup_prefix_truncation",
-    oracle=f"""
+_PFX_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, text, n_chars,
          MD5(SUBSTR(text, 1, {_PFX_K})) AS pfx
@@ -1146,7 +1144,12 @@ SELECT d_short, d_long, n_short, n_long,
        (n_short = n_long) AS exact_dup
 FROM pairs
 ORDER BY d_short, d_long
-""",
+"""
+
+
+@register(
+    "q_dedup_prefix_truncation",
+    oracle=_PFX_ORACLE,
     doc="TRUNCATION-duplicate detection (round 11): the crawl-dedup "
         "case shingled near-dedup misses by construction — the same "
         "page stored at different truncation lengths has tiny Jaccard "
@@ -1204,3 +1207,114 @@ def q_dedup_prefix_truncation(
         F.col("b.n_chars").alias("n_long"),
         (F.col("a.n_chars") == F.col("b.n_chars")).alias("exact_dup"),
     ).orderBy("d_short", "d_long")
+
+
+@register(
+    "q_dedup_prefix_segmented",
+    oracle=_PFX_ORACLE,
+    doc="SEGMENT-HASH truncation dedup (round 12, VERDICT r11 #8 — "
+        "the production variant q_dedup_prefix_truncation's docstring "
+        "promised): the verify join carries NO text. Each doc ships "
+        "(pfx, n_chars, ch, tail) where ch[k] = md5 of the first "
+        "k*64 chars (one 16-byte-equivalent hash per segment — "
+        "computed here as direct prefix hashes; at 100 TB a rolling "
+        "chained hash gives the same equality semantics in one pass) "
+        "and tail is the <64-char residual. A shorter doc is a prefix "
+        "of a longer one iff their hashes agree at the shorter's last "
+        "full segment AND the shorter's tail equals the longer's "
+        "bytes at that offset. The bucket join (md5-prefix buckets, "
+        "bucket-capped) decides the full-segment part hash-to-hash; "
+        "only pairs with a non-empty residual touch text again — via "
+        "a BROADCAST of the surviving candidate ids against the "
+        "documents scan, so full text never enters a shuffle. Output "
+        "is identical to q_dedup_prefix_truncation (same oracle); "
+        "only the plan differs: shuffle payload is 16 B/segment + "
+        "<=63 chars, never the document.",
+)
+def q_dedup_prefix_segmented(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    S = _PFX_K
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= S)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.substring("text", 1, S)).alias("pfx"),
+            F.expr(
+                f"transform(sequence(1, int(n_chars div {S})), "
+                f"k -> md5(substr(text, 1, k * {S})))"
+            ).alias("ch"),
+            F.expr(
+                f"substr(text, int(n_chars div {S}) * {S} + 1, "
+                f"int(n_chars % {S}))"
+            ).alias("tail"),
+            F.expr(f"int(n_chars div {S})").alias("fa"),
+            F.expr(f"int(n_chars % {S})").alias("ra"),
+        )
+    )
+    wb = Window.partitionBy("pfx")
+    capped = (
+        d.withColumn("w", F.count(F.lit(1)).over(wb))
+        .filter(F.col("w") <= _PFX_MAX_BUCKET)
+        .drop("w")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(b, F.col("a.pfx") == F.col("b.pfx"))
+        .filter(
+            (F.col("a.n_chars") < F.col("b.n_chars"))
+            | (
+                (F.col("a.n_chars") == F.col("b.n_chars"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+        )
+        # full-segment part: hashes agree at a's last full segment
+        # (n_chars >= 64 so fa >= 1; try_element_at because Catalyst
+        # may evaluate this conjunct BEFORE the n_chars ordering
+        # filter — an OOB index then means a is longer, i.e. no pair)
+        .filter(
+            F.try_element_at(F.col("a.ch"), F.col("a.fa"))
+            == F.try_element_at(F.col("b.ch"), F.col("a.fa"))
+        )
+        .select(
+            F.col("a.doc_id").alias("d_short"),
+            F.col("b.doc_id").alias("d_long"),
+            F.col("a.n_chars").alias("n_short"),
+            F.col("b.n_chars").alias("n_long"),
+            F.col("a.fa").alias("fa"),
+            F.col("a.ra").alias("ra"),
+            F.col("a.tail").alias("tail"),
+        )
+    )
+    whole = cand.filter(F.col("ra") == 0).select(
+        "d_short", "d_long", "n_short", "n_long"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("d_long"), "text"
+    )
+    # residual check: broadcast the surviving candidates against the
+    # documents scan — text stays map-side, never shuffled
+    tails = (
+        docs.join(
+            F.broadcast(cand.filter(F.col("ra") > 0)), "d_long"
+        )
+        .filter(
+            F.expr(f"substr(text, fa * {S} + 1, ra)")
+            == F.col("tail")
+        )
+        .select("d_short", "d_long", "n_short", "n_long")
+    )
+    return (
+        whole.unionByName(tails)
+        .select(
+            "d_short",
+            "d_long",
+            "n_short",
+            "n_long",
+            (F.col("n_short") == F.col("n_long")).alias("exact_dup"),
+        )
+        .orderBy("d_short", "d_long")
+    )

@@ -74,6 +74,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_perplexity_crosstrain",
     "src_netcdf4_szip_scan",
     "src_netcdf4_compound_string_scan",
+    "q_dedup_prefix_segmented",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -78,7 +78,7 @@ NEW_KEYS = [
     "q_sample_dedup_aware", "q_dedup_prefix_truncation",
     # round 12
     "q_text_perplexity_crosstrain", "src_netcdf4_szip_scan",
-    "src_netcdf4_compound_string_scan",
+    "src_netcdf4_compound_string_scan", "q_dedup_prefix_segmented",
 ]
 
 

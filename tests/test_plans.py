@@ -681,3 +681,28 @@ def test_prefix_truncation_bucket_join(spark):
     plan = plans.plan_string(df)
     assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_prefix_segmented_no_text_in_shuffle(spark):
+    """q_dedup_prefix_segmented (round 12): the bucket/verify join
+    shuffles hashes + the <64-char tail, never the document text —
+    every Exchange's output column set excludes `text` — and the
+    residual re-check against the documents scan is a BROADCAST of
+    the candidate ids (text stays map-side). No cartesian."""
+    import re
+
+    df = build(spark, "q_dedup_prefix_segmented")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    checked = 0
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange\b", block.strip()):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), (
+                f"text in shuffle input: {block}"
+            )
+            checked += 1
+    assert checked >= 4, plan  # both sides of both window/bucket stages
