@@ -981,29 +981,7 @@ def run_foreachbatch_incremental_dedup(
     run_dir = tempfile.mkdtemp(
         prefix="crawl_state_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
     )
-    dec_dir = os.path.join(run_dir, "decisions")
-    state: dict[str, str] = {}
-    n_batches = [0]
-
-    def crawl(batch_df: DataFrame, batch_id: int) -> None:
-        n_batches[0] += 1
-        b = batch_df.select("doc_id", "text")
-        new_sh = _shingled(b, "doc_id", "text")
-        new_bands = _minhash_band_table(new_sh)
-        if state:
-            idx_bands = spark.read.parquet(state["bands"])
-            idx_sh = spark.read.parquet(state["sh"])
-            _incremental_decisions(
-                idx_bands, idx_sh, new_sh, b.select("doc_id"),
-                qthr=6000, max_bucket=MAX_BUCKET,
-            ).write.mode("append").parquet(dec_dir)
-            new_bands = idx_bands.unionByName(new_bands)
-            new_sh = idx_sh.unionByName(new_sh)
-        bands_dst = os.path.join(run_dir, f"bands_v{batch_id}")
-        sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
-        new_bands.write.mode("overwrite").parquet(bands_dst)
-        new_sh.write.mode("overwrite").parquet(sh_dst)
-        state["bands"], state["sh"] = bands_dst, sh_dst
+    crawl, n_batches = make_crawl_loop(spark, run_dir)
 
     schema = spark.read.parquet(stream_dir).schema
     q = (
@@ -1019,12 +997,83 @@ def run_foreachbatch_incremental_dedup(
     )
     q.awaitTermination()
     assert n_batches[0] == 2, f"expected 2 micro-batches, got {n_batches[0]}"
-    out = spark.read.parquet(dec_dir).orderBy("doc_id")
+    out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
     rows = out.collect()  # materialize before the scratch dirs are removed
     schema_out = out.schema
     shutil.rmtree(run_dir, ignore_errors=True)
     shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema_out)
+
+
+def make_crawl_loop(spark: SparkSession, run_dir: str):
+    """The foreachBatch crawl closure + its batch counter. RESTART-SAFE
+    (VERDICT r11 #4): the in-memory ``state`` dict is only a cache — on
+    its first call (fresh process OR restart-from-checkpoint) the
+    closure recovers the newest committed index version STRICTLY OLDER
+    than the current batch from the versioned parquet paths on disk,
+    so a driver restart resumes with exactly the state the failed run
+    had committed. Decisions write to a PER-BATCH versioned directory
+    with overwrite, so a replayed micro-batch (failure after the state
+    write but before the checkpoint commit) is idempotent — the
+    exactly-once story is (versioned paths + overwrite), not the
+    checkpoint alone."""
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        MAX_BUCKET,
+        _incremental_decisions,
+        _minhash_band_table,
+        _shingled,
+    )
+
+    state: dict[str, str] = {}
+    n_batches = [0]
+
+    def crawl(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        if not state:
+            prior = sorted(
+                int(p.split("_v")[1])
+                for p in os.listdir(run_dir)
+                if p.startswith("bands_v")
+                and int(p.split("_v")[1]) < batch_id
+            )
+            if prior:
+                v = prior[-1]
+                state["bands"] = os.path.join(run_dir, f"bands_v{v}")
+                state["sh"] = os.path.join(run_dir, f"sh_v{v}")
+        b = batch_df.select("doc_id", "text")
+        new_sh = _shingled(b, "doc_id", "text")
+        new_bands = _minhash_band_table(new_sh)
+        if state:
+            idx_bands = spark.read.parquet(state["bands"])
+            idx_sh = spark.read.parquet(state["sh"])
+            _incremental_decisions(
+                idx_bands, idx_sh, new_sh, b.select("doc_id"),
+                qthr=6000, max_bucket=MAX_BUCKET,
+            ).write.mode("overwrite").parquet(
+                os.path.join(run_dir, f"dec_v{batch_id}")
+            )
+            new_bands = idx_bands.unionByName(new_bands)
+            new_sh = idx_sh.unionByName(new_sh)
+        bands_dst = os.path.join(run_dir, f"bands_v{batch_id}")
+        sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
+        new_bands.write.mode("overwrite").parquet(bands_dst)
+        new_sh.write.mode("overwrite").parquet(sh_dst)
+        state["bands"], state["sh"] = bands_dst, sh_dst
+
+    return crawl, n_batches
+
+
+def read_crawl_decisions(spark: SparkSession, run_dir: str) -> DataFrame:
+    """Union of every versioned decision directory the crawl loop
+    committed under ``run_dir``."""
+    dec_dirs = sorted(
+        os.path.join(run_dir, p)
+        for p in os.listdir(run_dir)
+        if p.startswith("dec_v")
+    )
+    if not dec_dirs:
+        raise ValueError(f"no crawl decisions under {run_dir}")
+    return spark.read.parquet(*dec_dirs)
 
 
 def _stream_inc_oracle() -> str:
