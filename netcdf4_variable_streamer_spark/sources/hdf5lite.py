@@ -1572,6 +1572,14 @@ def _write_dataset(
                     "never produced by this writer (netcdf-c allows "
                     "one compressor per variable)"
                 )
+            if fletcher:
+                raise ValueError(
+                    "szip with fletcher32 is never produced by this "
+                    "writer: the 4 checksum bytes would ride the szip "
+                    "stream as misaligned extra samples (the partial-"
+                    "block padding rule is unverifiable without the "
+                    "szip library)"
+                )
             szip_cd = _szip_cd_values(szip, arr.dtype, chunk)
             filters.append((4, szip_cd))
         children, keys = [], []

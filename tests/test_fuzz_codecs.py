@@ -2158,3 +2158,122 @@ def test_szip_hdf5_roundtrip_and_writer_refusals(tmp_path):
         write_hdf5(os.path.join(tmp_path, "r3.h5"),
                    {"v": np.arange(32, dtype=np.int32)},
                    {"v": {"chunk": (16,), "szip": {}, "compress": 4}})
+
+
+# ---------------------------------------------------------------------------
+# Interop fuzz round 5 (VERDICT r11 "Next round" #6): fractal heaps at
+# non-default doubling-table geometry (incl. checksummed/filtered
+# direct blocks), szip composed with shuffle, and the szip+fletcher
+# writer refusal.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "width,start,max_direct,level",
+    [
+        (8, 256, 8 * 1024, None),    # wide table, small blocks
+        (2, 1024, 16 * 1024, None),  # narrow table
+        (4, 128, 4 * 1024, 6),       # filtered -> checksummed FHDBs
+        (8, 256, 2 * 1024, 4),       # filtered + wide + small blocks
+    ],
+)
+def test_fractal_heap_nondefault_geometry(
+    monkeypatch, width, start, max_direct, level
+):
+    """A fractal heap's doubling-table geometry (table width, starting
+    block size, max direct size) is an application choice recorded in
+    the FRHP header — a reader must honor whatever the header says,
+    including checksummed direct blocks at NON-default sizes (filtered
+    heaps set flags bit 1). Patch the writer's defaults, write objects
+    that span several doubling rows, and round-trip every one."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    monkeypatch.setattr(hl, "_FH_WIDTH", width)
+    monkeypatch.setattr(hl, "_FH_START", start)
+    monkeypatch.setattr(hl, "_FH_MAX_DIRECT", max_direct)
+    rng = np.random.RandomState(width * start % 997)
+    objs = {}
+    total = 0
+    for i in range(200):
+        sz = int(rng.randint(1, max_direct // 3))
+        if total + sz > width * max_direct:
+            break
+        total += sz
+        objs[f"o{i:03d}"] = (
+            rng.bytes(sz) if rng.rand() < 0.5 else b"\x07" * sz
+        )
+    out = bytearray(b"\x00" * 48)
+    addr, ids = hl._write_fractal_heap(out, objs, 8, deflate=level)
+    h = _mem_h5(out)
+    heap = h._fractal_heap(addr)
+    assert heap["width"] == width
+    assert heap["start_size"] == start
+    assert heap["max_direct"] == max_direct
+    assert heap["checksum_dblocks"] == (level is not None)
+    for nm, body in objs.items():
+        assert h._fheap_object(heap, ids[nm]) == body
+    if level is not None:
+        # checksummed direct blocks are the point of flags bit 1:
+        # corrupt every allocated direct block's STORED (compressed)
+        # bytes — located via the header/root-iblock entries, not the
+        # FHDB signature (it is compressed too) — and any read fails
+        # loudly
+        buf = bytearray(out)
+        if heap["cur_rows"] == 0:
+            db_addrs = [heap["root_addr"]]
+        else:
+            base = heap["root_addr"] + 4 + 1 + 8 + heap["off_size"]
+            db_addrs = []
+            for e in range(heap["cur_rows"] * width):
+                a_e = struct.unpack_from("<Q", buf, base + 20 * e)[0]
+                if a_e != hl.UNDEF:
+                    db_addrs.append(a_e)
+        for a_e in db_addrs:
+            buf[a_e + 10] ^= 0xFF
+        hb = _mem_h5(buf)
+        heap_bad = hb._fractal_heap(addr)
+        with pytest.raises(ValueError, match="checksum|corrupt|rror"):
+            for nm in objs:
+                hb._fheap_object(heap_bad, ids[nm])
+
+
+def test_szip_composes_with_shuffle(tmp_path):
+    """shuffle -> szip (both legal HDF5 pipeline stages) round-trips:
+    szip entropy-codes the SHUFFLED byte stream as opaque samples —
+    lossless regardless of the transposed layout — and decode reverses
+    the stages in pipeline order."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.default_rng(9)
+    a = (np.cumsum(rng.integers(-4, 5, (32, 16)), axis=0) % 30000).astype(
+        "<i4"
+    )
+    p = os.path.join(tmp_path, "szsh.h5")
+    write_hdf5(
+        p,
+        {"v": a},
+        {"v": {"chunk": (8, 16), "shuffle": True,
+               "szip": {"pixels_per_block": 16}}},
+    )
+    h = HDF5File(p)
+    assert [f[0] for f in h.datasets["v"].filters] == [2, 4]
+    np.testing.assert_array_equal(h.read("v"), a)
+    np.testing.assert_array_equal(h.read_slab0("v", 8, 24), a[8:24])
+
+
+def test_szip_fletcher_refused(tmp_path):
+    """szip + fletcher32 on one dataset refuses loudly at write time:
+    the 4 checksum bytes would ride the szip stream as misaligned
+    extra samples, and the partial-block padding convention is
+    unverifiable without the szip library."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import write_hdf5
+
+    with pytest.raises(ValueError, match="szip with fletcher32"):
+        write_hdf5(
+            os.path.join(tmp_path, "szf.h5"),
+            {"v": np.arange(64, dtype=np.int32)},
+            {"v": {"chunk": (16,), "szip": {}, "fletcher": True}},
+        )
