@@ -75,6 +75,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_szip_scan",
     "src_netcdf4_compound_string_scan",
     "q_dedup_prefix_segmented",
+    "snk_netcdf4_write_szip",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

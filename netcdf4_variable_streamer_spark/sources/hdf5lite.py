@@ -5375,17 +5375,26 @@ def _deflate_record_chunks(
     compress: int,
     shuffle: bool,
     fletcher: bool = False,
+    szip: dict | None = None,
 ):
     """One compressed chunk per leading-axis record — the writer's
     exact transform chain: cast to the on-disk little-endian ``dtype``,
-    optional byte-shuffle, zlib at ``compress``. Phase 1 and phase 2b
-    BOTH call this, so they share the chain by construction (ADVICE r8
-    #2: a phase-1 size computed on a differently-typed block can no
-    longer diverge from what phase 2b writes)."""
+    optional byte-shuffle, then zlib at ``compress`` OR szip (round
+    12; the CCSDS encoder is deterministic by construction — cheapest
+    option per block, ties to the smallest ID — so the two-phase
+    size/pwrite contract holds for it exactly like zlib). Phase 1 and
+    phase 2b BOTH call this, so they share the chain by construction
+    (ADVICE r8 #2: a phase-1 size computed on a differently-typed
+    block can no longer diverge from what phase 2b writes)."""
     block = np.ascontiguousarray(
         block, dtype=np.dtype(dtype).newbyteorder("<")
     )
     esz = block.dtype.itemsize
+    szip_cd = (
+        _szip_cd_values(szip, block.dtype, (1,) + block.shape[1:])
+        if szip is not None
+        else None
+    )
     for i in range(block.shape[0]):
         raw = block[i : i + 1].tobytes()
         if fletcher:
@@ -5394,7 +5403,10 @@ def _deflate_record_chunks(
             raw += struct.pack("<I", hdf5_fletcher32(raw))
         if shuffle:
             raw = _shuffle_bytes(raw, esz)
-        yield zlib.compress(raw, compress)
+        if szip_cd is not None:
+            yield szip_h5_encode(raw, szip_cd)
+        else:
+            yield zlib.compress(raw, compress)
 
 
 def compressed_chunk_sizes_nc4(
@@ -5403,6 +5415,7 @@ def compressed_chunk_sizes_nc4(
     shuffle: bool = True,
     dtype: np.dtype | str | None = None,
     fletcher: bool = False,
+    szip: dict | None = None,
 ) -> list[int]:
     """Phase 1: per-record compressed chunk sizes for a contiguous
     block of records, using EXACTLY the transform chain the writer and
@@ -5419,7 +5432,7 @@ def compressed_chunk_sizes_nc4(
         len(c)
         for c in _deflate_record_chunks(
             block, dtype or block.dtype, compress, shuffle,
-            fletcher=fletcher,
+            fletcher=fletcher, szip=szip,
         )
     ]
 
@@ -5435,9 +5448,11 @@ def create_netcdf4_compressed(
     shuffle: bool = True,
     libver: str = "earliest",
     fletcher: bool = False,
+    szip: dict | None = None,
 ) -> None:
     """Phase 2a: write the complete NetCDF-4 metadata for a
-    shuffle+deflate compressed file whose record-variable chunk SIZES
+    shuffle+deflate (or szip, round 12) compressed file whose
+    record-variable chunk SIZES
     were gathered from executors (``chunk_sizes[name][r]`` = record
     r's compressed chunk size). Every chunk's (address, nbytes) lands
     in the chunk index now (v1 B-tree, or Extensible Array under
@@ -5466,12 +5481,13 @@ def create_netcdf4_compressed(
         data={},
         attrs=attrs,
         var_attrs=var_attrs,
-        compress=compress,
+        compress=None if szip is not None else compress,
         shuffle=shuffle,
         chunk0=1,
         presized=chunk_sizes,
         libver=libver,
         fletcher=fletcher,
+        szip=szip,
     )
 
 
@@ -5482,6 +5498,7 @@ def pwrite_compressed_records_nc4(
     compress: int = 6,
     shuffle: bool = True,
     fletcher: bool = False,
+    szip: dict | None = None,
 ) -> None:
     """Phase 2b: recompress records [rec_lo, rec_lo + n) and
     positionally write each chunk into the span the B-tree assigned it
@@ -5510,7 +5527,8 @@ def pwrite_compressed_records_nc4(
             }
             block = np.asarray(block).reshape((-1, *x.shape))
             chunks = _deflate_record_chunks(
-                block, x.dtype, compress, shuffle, fletcher=fletcher
+                block, x.dtype, compress, shuffle, fletcher=fletcher,
+                szip=szip,
             )
             for i, raw in enumerate(chunks):
                 if rec_lo + i not in addr_of:
