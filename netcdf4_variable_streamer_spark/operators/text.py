@@ -1289,3 +1289,101 @@ def q_text_perplexity_crosstrain(
     return perplexity_filter(
         d.filter(F.col("doc_id") % 2 == 0), d
     ).orderBy("doc_id")
+
+
+@register(
+    "q_text_classifier_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents WHERE LENGTH(text) > 0
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 4096
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY doc_id, lang, bucket
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * (CAST(('0x' || SUBSTR(MD5('w:' || bucket), 1, 7))
+                              AS BIGINT) % 2001 - 1000)) AS BIGINT)
+           AS score_q
+  FROM feats GROUP BY doc_id, lang
+),
+cut AS (
+  SELECT lang,
+         CAST(SUM(score_q) AS BIGINT) AS sum_q,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_n
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_tokens, s.score_q,
+       (s.score_q * c.sum_n >= c.sum_q * s.n_tokens) AS keep
+FROM scored s JOIN cut c USING (lang)
+ORDER BY s.doc_id
+""",
+    doc="LINEAR QUALITY-CLASSIFIER scoring (round 12) — the "
+        "fastText-style gate DCLM / FineWeb-Edu pipelines apply "
+        "after dedup: hash every token into a fixed 4096-bucket "
+        "space (the q_text_hashed_ngram_features hashing trick), "
+        "dot the sparse count vector with a broadcast-free weight "
+        "vector (weights derived per bucket from the portable md5 "
+        "hash — the deterministic stand-in for trained classifier "
+        "weights; swapping in real weights is a 1-line change to the "
+        "w() expression or a 4096-row broadcast join), and KEEP docs "
+        "whose length-normalized score clears their language's mean "
+        "— decided entirely in int64 by cross-multiplication "
+        "(score_q * sum_n >= sum_q * n_tokens ⟺ score/n >= "
+        "sum_q/sum_n), no float anywhere. Capacity: |w| <= 1000, "
+        "cnt*|w| summed over a doc < 1e9 per 1e6 tokens; the "
+        "cross-product terms stay < 2^62 for corpora to ~4e14 "
+        "weighted tokens per language. 100 TB: explode + two keyed "
+        "aggs (doc, then |langs|-row cutoff broadcast back) — "
+        "corpus-linear, no vocabulary table, no collect.",
+)
+def q_text_classifier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    feats = toks.groupBy(
+        "doc_id", "lang", (_md5_int(F.col("tok"), 7) % 4096).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+        - 1000
+    )
+    scored = feats.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * w).alias("score_q"),
+    )
+    cut = scored.groupBy("lang").agg(
+        F.sum("score_q").alias("sum_q"),
+        F.sum("n_tokens").alias("sum_n"),
+    )
+    return (
+        scored.join(F.broadcast(cut), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "score_q",
+            (
+                F.col("score_q") * F.col("sum_n")
+                >= F.col("sum_q") * F.col("n_tokens")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -76,6 +76,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_compound_string_scan",
     "q_dedup_prefix_segmented",
     "snk_netcdf4_write_szip",
+    "q_text_classifier_score",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -79,7 +79,7 @@ NEW_KEYS = [
     # round 12
     "q_text_perplexity_crosstrain", "src_netcdf4_szip_scan",
     "src_netcdf4_compound_string_scan", "q_dedup_prefix_segmented",
-    "snk_netcdf4_write_szip",
+    "snk_netcdf4_write_szip", "q_text_classifier_score",
 ]
 
 
