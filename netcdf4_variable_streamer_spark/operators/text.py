@@ -1130,15 +1130,27 @@ def perplexity_filter(
     100 TB: the LM is two gram-keyed aggs over TRAIN (train-linear);
     scoring is two equi-joins + one doc-keyed agg over SCORE
     (score-linear); the cutoff table is |langs| rows broadcast back.
-    Train once, persist bgc/ctx, gate every crawl increment at
+    Train once via :func:`perplexity_lm`, persist bgc/ctx, gate every
+    crawl increment through :func:`perplexity_decisions` at
     batch-proportional cost — the `incremental_near_dedup` posture
-    applied to quality filtering."""
-    train = train_df.select(F.col(text_col).alias("text"))
-    score = score_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(lang_col).alias("lang"),
-        F.col(text_col).alias("text"),
+    applied to quality filtering (the streaming gate
+    q_stream_quality_gate does exactly that)."""
+    bgc, ctx, vsz = perplexity_lm(train_df, text_col=text_col)
+    return perplexity_decisions(
+        bgc, ctx, vsz, score_df,
+        id_col=id_col, lang_col=lang_col, text_col=text_col,
     )
+
+
+def perplexity_lm(
+    train_df: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """The bigram LM :func:`perplexity_filter` trains: returns
+    ``(bgc, ctx, vsz)`` — bigram counts, context counts, and the
+    train vocabulary size. The two frames are plain keyed tables:
+    persist them as parquet and the LM is reusable across crawls and
+    process restarts without touching the train text again."""
+    train = train_df.select(F.col(text_col).alias("text"))
     vsz = (  # scalar: train vocab size (one O(1) driver value)
         train.select(
             F.explode(
@@ -1151,6 +1163,28 @@ def perplexity_filter(
     tbg = _doc_bigrams(train, [])
     bgc = tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = tbg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_u"))
+    return bgc, ctx, int(vsz)
+
+
+def perplexity_decisions(
+    bgc: DataFrame,
+    ctx: DataFrame,
+    vsz: int,
+    score_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``score_df`` under a prepared :func:`perplexity_lm` and
+    decide keep/drop against each language's mean over the scored set
+    — the batch-proportional half of :func:`perplexity_filter` (see
+    there for the backoff and fixed-point exactness story)."""
+    score = score_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+    )
     bg = _doc_bigrams(score, ["doc_id", "lang"])
     lpq = F.floor(
         F.log(
@@ -1191,7 +1225,7 @@ _PPL_ORACLE = """
 WITH toks AS (
   SELECT doc_id, lang,
          list_filter(string_split(text, ' '), t -> t <> '') AS w
-  FROM documents
+  FROM documents {score_where}
 ),
 ttoks AS (
   SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
@@ -1238,7 +1272,7 @@ ORDER BY s.doc_id
 
 @register(
     "q_text_perplexity_filter",
-    oracle=_PPL_ORACLE.format(train_where=""),
+    oracle=_PPL_ORACLE.format(train_where="", score_where=""),
     doc="PERPLEXITY FILTERING (round 11; re-based on the two-table "
         "perplexity_filter core in round 12) — the CCNet/Gopher-style "
         "quality gate pretraining pipelines run after dedup: score "
@@ -1266,7 +1300,9 @@ def q_text_perplexity_filter(
 
 @register(
     "q_text_perplexity_crosstrain",
-    oracle=_PPL_ORACLE.format(train_where="WHERE doc_id % 2 = 0"),
+    oracle=_PPL_ORACLE.format(
+        train_where="WHERE doc_id % 2 = 0", score_where=""
+    ),
     doc="CROSS-TRAINED PERPLEXITY GATE (round 12, VERDICT r11 #7) — "
         "the actual CCNet deployment shape: the bigram LM trains on a "
         "REFERENCE corpus (here the even-doc_id half, standing in for "

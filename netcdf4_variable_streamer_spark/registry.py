@@ -77,6 +77,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_prefix_segmented",
     "snk_netcdf4_write_szip",
     "q_text_classifier_score",
+    "q_stream_quality_gate",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
