@@ -78,6 +78,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write_szip",
     "q_text_classifier_score",
     "q_stream_quality_gate",
+    "src_netcdf4_points_v2_scan",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -466,7 +466,17 @@ class NetCDF3Reader(DataSourceReader):
             if getattr(f, "attribute", None) == (self._idx_col,) and hasattr(
                 f, "value"
             ):
-                v = int(f.value)
+                v = f.value
+                if isinstance(v, (list, tuple, set)):
+                    # In filter (time_idx.isin(...)): prune to the
+                    # value envelope; Spark re-checks membership
+                    vals = [int(x) for x in v if x is not None]
+                    if vals:
+                        self.lo = max(self.lo, min(vals))
+                        self.hi = min(self.hi, max(vals) + 1)
+                    yield f
+                    continue
+                v = int(v)
                 if isinstance(f, EqualTo):
                     self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
                 elif isinstance(f, GreaterThan):

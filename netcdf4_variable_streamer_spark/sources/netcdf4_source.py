@@ -465,7 +465,18 @@ class NetCDF4Reader(DataSourceReader):
             if getattr(f, "attribute", None) == (self._idx_col,) and hasattr(
                 f, "value"
             ):
-                v = int(f.value)
+                v = f.value
+                if isinstance(v, (list, tuple, set)):
+                    # In filter (round 12 — what time_idx.isin(...)
+                    # pushes): prune the record range to the value
+                    # envelope; Spark re-evaluates the exact membership
+                    vals = [int(x) for x in v if x is not None]
+                    if vals:
+                        self.lo = max(self.lo, min(vals))
+                        self.hi = min(self.hi, max(vals) + 1)
+                    yield f
+                    continue
+                v = int(v)
                 if isinstance(f, EqualTo):
                     self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
                 elif isinstance(f, GreaterThan):

@@ -4503,6 +4503,123 @@ def src_netcdf4_regionref_v3_scan(
     )
 
 
+_POINTS_V1 = [(2, 1, 3), (9, 0, 0), (17, 31, 31)]
+_POINTS_V2 = [(33, 5, 7), (54, 20, 2), (77, 10, 10), (100, 0, 31)]
+
+
+def ensure_nc4_points_v2(path: str | None = None) -> str:
+    """The grid with a 'samples' index of POINT-selection region
+    references: cell 0 serialized as version 1, cell 1 as VERSION 2
+    (round 12 — the encode width the writer picks natively via
+    ("points_v2", pts) cells, matching libhdf5 1.10.7+'s element-
+    selection serialization). The annotated-sample-cells shape: a QA
+    pass bookmarks individual grid cells, and the references
+    round-trip through the engine's own writer."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        RegionRefs,
+        write_netcdf4,
+    )
+
+    path = path or os.path.join(SCRATCH, "grid_points_v2.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"time": None, "y": GRID_Y, "x": GRID_X, "cell": 2},
+        variables={
+            "temperature": ("float32", ("time", "y", "x")),
+            "humidity": ("float32", ("time", "y", "x")),
+            "samples": ("regionref", ("cell",)),
+        },
+        data={
+            **grid_values(0, GRID_T),
+            "samples": RegionRefs([
+                ("temperature", ("points", _POINTS_V1)),
+                ("temperature", ("points_v2", _POINTS_V2)),
+            ]),
+        },
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_points_v2_scan",
+    oracle=f"""
+WITH {_GRID_CTE.format(T=GRID_T)},
+p(cell_id, t, y, x) AS (VALUES {", ".join(
+    f"(0, {t}, {y}, {x})" for t, y, x in _POINTS_V1) + ", " + ", ".join(
+    f"(1, {t}, {y}, {x})" for t, y, x in _POINTS_V2)})
+SELECT CAST(p.cell_id AS INT) AS cell_id,
+       COUNT(*) AS n_points,
+       {SQL_DSUM('g.temperature')} AS sum_temp
+FROM g JOIN p ON g.t = p.t AND g.y = p.y AND g.x = p.x
+GROUP BY p.cell_id
+ORDER BY cell_id
+""",
+    doc="POINT-selection region references driving a sampled-cell "
+        "scan (round 12, VERDICT r11 #5 at the contract level): the "
+        "'samples' index holds element selections serialized as "
+        "version 1 AND version 2 (the 2/4/8-byte encode-width form "
+        "libhdf5 1.10.7+ writes — produced here by the engine's OWN "
+        "writer, read back through _parse_points_v2). Dereference "
+        "yields O(cells) point coordinates driver-side (KB-scale "
+        "metadata); the scan then filters time_idx to the referenced "
+        "records (record-range chunk pruning) and a BROADCAST join "
+        "on (t, y, x) picks the exact cells — at 100 TB only the "
+        "chunks containing bookmarked records are read, and the "
+        "point table never exceeds the index variable's size. Same "
+        "posture as the hyperslab keys with point granularity.",
+)
+def src_netcdf4_points_v2_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = ensure_nc4_points_v2()
+    refs = list(HDF5File(path).read("samples"))
+    assert all(
+        r is not None and r.path == "temperature" and r.kind == "points"
+        for r in refs
+    ), "samples index must hold temperature point selections"
+    pts = [
+        (cell_id, *map(int, p))
+        for cell_id, r in enumerate(refs)
+        for p in r.points
+    ]
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    pdf = spark.createDataFrame(
+        pts, "cell_id int, time_idx long, y_idx long, x_idx long"
+    )
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .load()
+        .filter(F.col("time_idx").isin([p[1] for p in pts]))
+    )
+    return (
+        df.join(F.broadcast(pdf), ["time_idx", "y_idx", "x_idx"])
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            dsum(F.col("temperature").cast("double")).alias("sum_temp"),
+        )
+        .orderBy("cell_id")
+    )
+
+
 @register(
     "snk_netcdf4_write_regionref",
     oracle=f"""

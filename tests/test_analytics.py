@@ -80,7 +80,7 @@ NEW_KEYS = [
     "q_text_perplexity_crosstrain", "src_netcdf4_szip_scan",
     "src_netcdf4_compound_string_scan", "q_dedup_prefix_segmented",
     "snk_netcdf4_write_szip", "q_text_classifier_score",
-    "q_stream_quality_gate",
+    "q_stream_quality_gate", "src_netcdf4_points_v2_scan",
 ]
 
 

@@ -559,3 +559,52 @@ def test_src_netcdf_arrow_tail_oracle(check):
     pdf = check("src_netcdf_arrow_tail")
     assert len(pdf) == srcq.GRID_T
     assert (pdf["n_cells"] == srcq.GRID_Y * srcq.GRID_X).all()
+
+
+def test_in_filter_prunes_record_range(spark):
+    """time_idx.isin(...) pushes an In filter whose value is a LIST —
+    the readers must prune the record range to the value envelope
+    instead of crashing on int(list) (round 12, found by the
+    points-v2 scan key), and the full plan stays row-correct."""
+    from pyspark.sql.datasource import In
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        NetCDF3Reader,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+        NetCDF4Reader,
+    )
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    p4 = srcq.ensure_nc4()
+    schema4 = (
+        spark.read.format(FORMAT4_NAME).option("path", p4).load().schema
+    )
+    r = NetCDF4Reader(p4, schema4)
+    out = list(r.pushFilters([In(("time_idx",), (9, 4, 30))]))
+    assert len(out) == 1  # returned for row-level re-check
+    assert (r.lo, r.hi) == (4, 31)
+
+    p3 = srcq.ensure_nc3()
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    schema3 = (
+        spark.read.format(FORMAT3_NAME).option("path", p3).load().schema
+    )
+    r3 = NetCDF3Reader(p3, schema3)
+    assert len(list(r3.pushFilters([In(("time_idx",), (12, 7))]))) == 1
+    assert (r3.lo, r3.hi) == (7, 13)
+
+    df = spark.read.format(FORMAT4_NAME).option("path", p4).load()
+    got = df.filter(df.time_idx.isin([4, 9, 30])).count()
+    assert got == 3 * srcq.GRID_Y * srcq.GRID_X
