@@ -1945,3 +1945,77 @@ def q_sim_binary_hamming_multiword(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+_MIPS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings
+),
+m AS (SELECT MAX(nrm) AS mx FROM v),
+p AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         ROUND({_DOT_SQL.format(a='q', b='e')}, 4) AS ip,
+         ROUND({_DOT_SQL.format(a='q', b='e')} / (q.nrm * m.mx), 4)
+           AS aug_cos
+  FROM v q JOIN v e ON e.vec_id <> q.vec_id CROSS JOIN m
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, vec_id, ip, aug_cos, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY ip DESC, vec_id) AS rn
+      FROM p) t
+WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "q_sim_mips_topk",
+    oracle=_MIPS_ORACLE,
+    doc="MAXIMUM INNER-PRODUCT top-k (round 12) — the retrieval "
+        "objective recommender and reranker embeddings actually use "
+        "(unnormalized dot product rewards both alignment AND "
+        "magnitude, unlike cosine): brute-force exact ip top-5 per "
+        "query (broadcast 20-row query block, JVM sequential-fold "
+        "dots, windowed top-k — the q_sim_knn_cosine posture), PLUS "
+        "the published MIPS→cosine reduction emitted per row: with "
+        "M = max corpus norm, augmenting x to [x, sqrt(M²-|x|²)] and "
+        "q to [q, 0] makes cos(q', x') = ip(q,x)/(|q|·M) — monotone "
+        "in ip for each query, so ANY cosine/L2 ANN index (the LSH "
+        "and IVF-PQ keys here) serves MIPS after this one transform. "
+        "aug_cos is that equivalent cosine, computed without "
+        "materializing the augmented vectors (the identity makes the "
+        "extra dimension algebraically unnecessary for exact "
+        "scoring). 100 TB: M is one global MAX aggregate (8 bytes "
+        "broadcast); everything else is the same corpus-linear "
+        "scan+broadcast shape as the cosine keys.",
+)
+def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    mx = e.agg(F.max("nrm").alias("mx"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(mx))
+        .withColumn("ip_raw", _dot(F.col("q_emb"), F.col("embedding")))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("ip_raw", 4).alias("ip"),
+            F.round(
+                F.col("ip_raw") / (F.col("q_nrm") * F.col("mx")), 4
+            ).alias("aug_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id", "vec_id", "ip", "aug_cos",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

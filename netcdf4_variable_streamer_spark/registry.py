@@ -79,6 +79,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_classifier_score",
     "q_stream_quality_gate",
     "src_netcdf4_points_v2_scan",
+    "q_sim_mips_topk",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
