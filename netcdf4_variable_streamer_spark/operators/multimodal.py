@@ -792,3 +792,109 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_n",
         (F.col("doc_id") != F.col("keep_doc")).alias("is_dup"),
     )
+
+
+@register(
+    "q_multimodal_patchify",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, yy.y, xx.x, cc.c,
+         (d.doc_id * 31 + yy.y * 7 + xx.x * 3 + cc.c * 11) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+)
+SELECT doc_id,
+       CAST((y // 4) * 2 + (x // 4) AS INTEGER) AS patch_id,
+       CAST(y // 4 AS INTEGER) AS py,
+       CAST(x // 4 AS INTEGER) AS px,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_patch,
+       CAST(SUM(v * ((y % 4) * 12 + (x % 4) * 3 + c)) AS BIGINT)
+         AS weighted_checksum
+FROM px
+GROUP BY doc_id, y // 4, x // 4
+ORDER BY doc_id, patch_id
+""",
+    doc="ViT-style PATCHIFY (round 12) — the tokenization step every "
+        "vision-language pretraining pipeline runs before the "
+        "encoder: closed-form 8x8 RGB images round-trip through the "
+        "pure-NumPy BMP codec as binary payloads, then a mapInPandas "
+        "kernel decodes and cuts each image into non-overlapping 4x4 "
+        "patches in raster order (patch_id = py*grid_w + px, exactly "
+        "ViT's flattening), emitting one row per patch with an "
+        "integer sum and a position-in-patch weighted checksum — a "
+        "transposed, shifted, or column-major patch cut "
+        "hash-mismatches. Same 100 TB shape as decode/resize: two "
+        "chained narrow mapInPandas stages, rows = docs x patches, "
+        "zero shuffles (the ORDER BY is the driver-compare "
+        "convention, not a plan stage); a real ViT preprocessor "
+        "(patch + linear projection) drops into the same kernel "
+        "signature with the weights broadcast.",
+)
+def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    H = W = 8
+    C = 3
+    P = 4
+    ys, xs, cs = np.indices((H, W, C))
+    pos_w = (ys % P) * (P * C) + (xs % P) * C + cs  # weight per pixel
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    ((int(d) * 31 + ys * 7 + xs * 3 + cs * 11) % 256).astype(
+                        np.uint8
+                    )
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def patchify(batches):
+        gw = W // P
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload)).astype(np.int64)
+                wimg = img * pos_w
+                for py in range(H // P):
+                    for px_ in range(gw):
+                        sl = (
+                            slice(py * P, (py + 1) * P),
+                            slice(px_ * P, (px_ + 1) * P),
+                        )
+                        rows.append(
+                            (
+                                d,
+                                py * gw + px_,
+                                py,
+                                px_,
+                                P * P * C,
+                                int(img[sl].sum()),
+                                int(wimg[sl].sum()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "patch_id", "py", "px",
+                    "n_values", "sum_patch", "weighted_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        patchify,
+        "doc_id long, patch_id int, py int, px int, n_values long, "
+        "sum_patch long, weighted_checksum long",
+    ).orderBy("doc_id", "patch_id")

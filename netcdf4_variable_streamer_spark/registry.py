@@ -80,6 +80,7 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_quality_gate",
     "src_netcdf4_points_v2_scan",
     "q_sim_mips_topk",
+    "q_multimodal_patchify",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

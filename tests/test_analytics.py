@@ -81,7 +81,7 @@ NEW_KEYS = [
     "src_netcdf4_compound_string_scan", "q_dedup_prefix_segmented",
     "snk_netcdf4_write_szip", "q_text_classifier_score",
     "q_stream_quality_gate", "src_netcdf4_points_v2_scan",
-    "q_sim_mips_topk",
+    "q_sim_mips_topk", "q_multimodal_patchify",
 ]
 
 
