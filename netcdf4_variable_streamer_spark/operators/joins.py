@@ -878,3 +878,79 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1000000).cast("long") * F.col("wt")
         ).alias("weighted_value_fp"),
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, NULL::BIGINT AS purchase_id,
+         ts::TIMESTAMP AS view_ts, 1 AS kind
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts::TIMESTAMP, event_id, NULL::TIMESTAMP, 0
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         LAST_VALUE(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view
+  FROM u
+)
+SELECT purchase_id, user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       STRFTIME(CASE WHEN prev_view >= ts - INTERVAL 2 HOUR
+                     THEN prev_view END,
+                '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+       (prev_view IS NOT NULL
+        AND prev_view >= ts - INTERVAL 2 HOUR) AS matched
+FROM m WHERE kind = 0
+""",
+    doc="AS-OF join with a STALENESS TOLERANCE (round 12) — the "
+        "feature-store point-in-time rule: each purchase takes the "
+        "user's latest strictly-earlier view ONLY if it is at most "
+        "2 hours old; staler matches are rejected to NULL exactly as "
+        "a PIT feature join rejects stale feature rows (training-"
+        "serving skew guard). Every purchase emits a row (matched "
+        "boolean), unlike q_join_asof which drops unmatched ones. "
+        "Same 100 TB shape as the asof family: union-then-window, "
+        "ONE user_id shuffle, O(events) state, zero joins — the "
+        "tolerance is a map-side predicate over the carried "
+        "timestamp, so it adds no stage.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(1).alias("kind"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("kind").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = v.unionByName(p).withColumn(
+        "prev_view", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    fresh = F.col("prev_view") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    return (
+        merged.filter(F.col("kind") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            F.when(fresh, ts_str("prev_view")).alias("last_view_ts"),
+            (F.col("prev_view").isNotNull() & fresh).alias("matched"),
+        )
+    )

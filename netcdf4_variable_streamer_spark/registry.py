@@ -81,6 +81,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_points_v2_scan",
     "q_sim_mips_topk",
     "q_multimodal_patchify",
+    "q_join_asof_tolerance",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

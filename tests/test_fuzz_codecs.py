@@ -2277,3 +2277,48 @@ def test_szip_fletcher_refused(tmp_path):
             {"v": np.arange(64, dtype=np.int32)},
             {"v": {"chunk": (16,), "szip": {}, "fletcher": True}},
         )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nbits=st.sampled_from([8, 16, 32]),
+    nn=st.booleans(),
+    ppb=st.sampled_from([2, 4, 8, 16, 32]),
+    blocks_per_rsi=st.integers(1, 6),
+    n_blocks=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    shape=st.sampled_from(["smooth", "random", "zeros", "spiky"]),
+)
+def test_szip_roundtrip_hypothesis(
+    nbits, nn, ppb, blocks_per_rsi, n_blocks, seed, shape
+):
+    """Property: szip_decode(szip_encode(x)) == x for arbitrary
+    geometry (block size, scanline length, short final interval) and
+    data shapes across all sample widths and both modes."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = n_blocks * ppb
+    dt = {8: "u1", 16: "u2", 32: "u4"}[nbits]
+    hi = 2 ** min(nbits, 31)
+    if shape == "smooth":
+        arr = (np.cumsum(rng.randint(-3, 4, n)) % (2**nbits - 1)).astype(dt)
+    elif shape == "random":
+        arr = rng.randint(0, hi, n).astype(dt)
+    elif shape == "zeros":
+        arr = np.zeros(n, dt)
+    else:
+        arr = np.zeros(n, dt)
+        arr[:: max(1, n // 7)] = (1 << nbits) - 1
+    pps = ppb * blocks_per_rsi
+    s = szip_encode(
+        arr, nbits=nbits, pixels_per_block=ppb,
+        pixels_per_scanline=pps, nn=nn,
+    )
+    assert szip_decode(
+        s, n, nbits=nbits, pixels_per_block=ppb,
+        pixels_per_scanline=pps, nn=nn,
+    ) == list(arr)
