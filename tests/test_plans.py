@@ -706,3 +706,48 @@ def test_prefix_segmented_no_text_in_shuffle(spark):
             )
             checked += 1
     assert checked >= 4, plan  # both sides of both window/bucket stages
+
+
+def test_classifier_score_posture(spark):
+    """q_text_classifier_score: corpus-linear — keyed aggs plus the
+    |langs|-row cutoff BROADCAST back; no cartesian, no Python in the
+    scoring path (weights are md5 expressions, not a UDF)."""
+    df = build(spark, "q_text_classifier_score")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mips_topk_posture(spark):
+    """q_sim_mips_topk: the 20-row query block AND the 1-row max-norm
+    table both broadcast; scoring is JVM fold expressions."""
+    df = build(spark, "q_sim_mips_topk")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert (
+        plans.count_nodes(plan, "BroadcastHashJoin")
+        + plans.count_nodes(plan, "BroadcastNestedLoopJoin")
+        >= 2
+    ), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_perplexity_crosstrain_posture(spark):
+    """q_text_perplexity_crosstrain: LM score-back is equi-joins (no
+    cartesian), the |langs| cutoff broadcasts, and the whole decision
+    pipeline is JVM expressions."""
+    df = build(spark, "q_text_perplexity_crosstrain")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_asof_tolerance_single_shuffle(spark):
+    """q_join_asof_tolerance keeps the asof family's shape: ONE
+    user_id window exchange, zero joins."""
+    df = build(spark, "q_join_asof_tolerance")
+    plans.assert_max_shuffles(df, 1)
+    plan = plans.plan_string(df)
+    assert "Join" not in plan, plan
