@@ -115,8 +115,8 @@ refused, since round 11).
 Honest scope (loud refusals naming the feature):
 nbit/scaleoffset and truly unknown filter ids (szip decodes AND
 encodes from the public CCSDS 121.0 spec since round 12 —
-sources/szip.py), reference-typed and vlen-of-numeric compound
-members (NC_STRING members read and write since round 12), and
+sources/szip.py), reference-typed compound members (NC_STRING AND
+NC_VLEN-of-numeric members read and write since round 12), and
 low-entropy szip option IDs in a reference block (this writer
 never emits them; the pairing convention is unverifiable without
 the external library). Documented assumption rather than refusal:
@@ -226,6 +226,7 @@ def _dt_compound(dtype: np.dtype) -> bytes:
     and emit the class-9 variable-length string member datatype."""
     names = dtype.names or ()
     vlens = (dtype.metadata or {}).get("vlen_str_members", ())
+    seqs = dict((dtype.metadata or {}).get("vlen_seq_members", ()))
     body = b""
     for n in names:
         fdt, off = dtype.fields[n][0], dtype.fields[n][1]
@@ -235,6 +236,11 @@ def _dt_compound(dtype: np.dtype) -> bytes:
         body += struct.pack("<4I", 0, 0, 0, 0)  # v1 dim sizes (unused)
         if n in vlens:
             body += _dt_vlen_str()
+        elif n in seqs:
+            # class-9 variant 0 (sequence) of the numeric base
+            body += struct.pack(
+                "<B3BI", 0x19, 0x00, 0, 0, 16
+            ) + _dt_body(np.dtype(seqs[n]))
         elif fdt.subdtype is not None:
             base, shape = fdt.subdtype
             body += _dt_array(base, shape)
@@ -387,6 +393,7 @@ def _walk_compound_impl(body: bytes):
     formats: list = []
     offsets: list[int] = []
     vlen_strs: list[str] = []
+    vlen_seqs: dict[str, str] = {}
     why = None
     for _ in range(nmembers):
         end = body.index(b"\x00", pos)
@@ -424,6 +431,18 @@ def _walk_compound_impl(body: bytes):
             # through the same global-heap path as vlen-str datasets
             vlen_strs.append(name)
             parsed = _VLEN_DESC_DT
+        elif (
+            isinstance(parsed, tuple)
+            and len(parsed) == 2
+            and parsed[0] == "vlen"
+            and isinstance(parsed[1], np.dtype)
+            and not shape
+        ):
+            # NC_VLEN-of-numeric member (round 12): same descriptor
+            # machinery; the base dtype travels in the metadata so
+            # the read resolves cells to variable-length arrays
+            vlen_seqs[name] = parsed[1].newbyteorder("<").str
+            parsed = _VLEN_DESC_DT
         if not isinstance(parsed, (np.dtype, str)):
             kind = (
                 f"class {parsed[1]}"
@@ -440,7 +459,7 @@ def _walk_compound_impl(body: bytes):
         offsets.append(off)
     if why is not None:
         return ("unsupported", why), pos
-    return (names, formats, offsets, size, vlen_strs), pos
+    return (names, formats, offsets, size, vlen_strs, vlen_seqs), pos
 
 
 def _compound_dtype(walked):
@@ -453,7 +472,7 @@ def _compound_dtype(walked):
     string members — the marker round-trips)."""
     if walked and walked[0] == "unsupported":
         return ("compound_unsupported", walked[1])
-    names, formats, offsets, size, vlen_strs = walked
+    names, formats, offsets, size, vlen_strs, vlen_seqs = walked
     try:
         spec = {
             "names": names,
@@ -461,11 +480,13 @@ def _compound_dtype(walked):
             "offsets": offsets,
             "itemsize": size,
         }
+        meta = {}
         if vlen_strs:
-            return np.dtype(
-                spec,
-                metadata={"vlen_str_members": tuple(vlen_strs)},
-            )
+            meta["vlen_str_members"] = tuple(vlen_strs)
+        if vlen_seqs:
+            meta["vlen_seq_members"] = tuple(sorted(vlen_seqs.items()))
+        if meta:
+            return np.dtype(spec, metadata=meta)
         return np.dtype(spec)
     except Exception as e:  # overlapping/oversized members etc.
         return ("compound_unsupported", str(e))
@@ -1320,6 +1341,26 @@ def _szip_cd_values(opts: dict, dtype: np.dtype, chunk) -> list[int]:
     return [mask, dtype.itemsize * 8, ppb, pps]
 
 
+def _resolved_compound_dtype(dt: np.dtype, info) -> np.dtype:
+    """The packed structured dtype a compound-with-vlen-members read
+    RESOLVES to: descriptor members become object fields; the
+    vlen_str/vlen_seq metadata markers are preserved so downstream
+    layers (netCDF view, Spark schema, Arrow conversion) can tell a
+    str member from an array member."""
+    vlens = set(info.compound_vlen)
+    seqs = dict(info.compound_vlen_seq)
+    fmts = [
+        (m, object if (m in vlens or m in seqs) else dt.fields[m][0])
+        for m in dt.names
+    ]
+    meta = {}
+    if info.compound_vlen:
+        meta["vlen_str_members"] = tuple(info.compound_vlen)
+    if info.compound_vlen_seq:
+        meta["vlen_seq_members"] = tuple(info.compound_vlen_seq)
+    return np.dtype(fmts, metadata=meta) if meta else np.dtype(fmts)
+
+
 def _materialize_compound_strings(
     out: bytearray, arr: np.ndarray
 ) -> np.ndarray:
@@ -1332,36 +1373,74 @@ def _materialize_compound_strings(
     :func:`_dt_compound` to emit class-9 string member datatypes.
     None cells write as "" (netcdf-c's NC_STRING fill)."""
     dt = arr.dtype
-    vlens = tuple(
-        m for m in dt.names if dt.fields[m][0].kind == "O"
-    )
+    flat = arr.reshape(-1)
+    str_members: list[str] = []
+    seq_members: list[tuple[str, str]] = []
+    for m in dt.names:
+        if dt.fields[m][0].kind != "O":
+            continue
+        cells = flat[m].tolist()
+        if all(c is None or isinstance(c, str) for c in cells):
+            str_members.append(m)
+        else:
+            # NC_VLEN-of-numeric member: base inferred like vlen
+            # datasets (sized cells only — an empty bare list must
+            # not pull the base to float64)
+            sized = [
+                np.asarray(c).dtype
+                for c in cells
+                if c is not None
+                and not isinstance(c, str)
+                and (isinstance(c, np.ndarray) or np.asarray(c).size)
+            ]
+            base = (
+                np.result_type(*sized) if sized else np.dtype("f8")
+            ).newbyteorder("<")
+            seq_members.append((m, base.str))
+    seq_bases = dict(seq_members)
+    meta = {}
+    if str_members:
+        meta["vlen_str_members"] = tuple(str_members)
+    if seq_members:
+        meta["vlen_seq_members"] = tuple(seq_members)
     disk_dt = np.dtype(
         [
             (
                 m,
                 _VLEN_DESC_DT
-                if m in vlens
+                if dt.fields[m][0].kind == "O"
                 else dt.fields[m][0],
             )
             for m in dt.names
         ],
-        metadata={"vlen_str_members": vlens},
+        metadata=meta,
     )
     res = np.zeros(arr.shape, disk_dt)
-    flat = arr.reshape(-1)
     for m in dt.names:
-        if m in vlens:
+        if m in str_members:
             payloads = [
                 ("" if c is None else str(c)).encode("utf-8")
                 for c in flat[m].tolist()
             ]
-            refs = _gcol_append(out, payloads)
-            desc = np.zeros(len(payloads), dtype=_VLEN_DESC_DT)
-            for i, (p, (ga, gi)) in enumerate(zip(payloads, refs)):
-                desc[i] = (len(p), ga, gi)
-            res[m] = desc.reshape(arr.shape)
+            lens = [len(p) for p in payloads]
+        elif m in seq_bases:
+            base = np.dtype(seq_bases[m])
+            vecs = [
+                np.ascontiguousarray(
+                    [] if c is None else c, dtype=base
+                ).reshape(-1)
+                for c in flat[m].tolist()
+            ]
+            payloads = [v.tobytes() for v in vecs]
+            lens = [len(v) for v in vecs]  # element counts, not bytes
         else:
             res[m] = arr[m]
+            continue
+        refs = _gcol_append(out, payloads)
+        desc = np.zeros(len(payloads), dtype=_VLEN_DESC_DT)
+        for i, (n, (ga, gi)) in enumerate(zip(lens, refs)):
+            desc[i] = (n, ga, gi)
+        res[m] = desc.reshape(arr.shape)
     return res
 
 
@@ -2413,6 +2492,10 @@ class DatasetInfo:
     # resolve them to str through the global heap, surfacing a
     # structured array with object (str) fields
     compound_vlen: tuple = ()
+    # NC_COMPOUND with NC_VLEN-of-numeric members (round 12):
+    # ((name, base_dtype_str), ...) — same descriptor machinery,
+    # cells resolve to variable-length numpy arrays of the base
+    compound_vlen_seq: tuple = ()
     # raw fill-value bytes from a 0x0005 (v1/v2/v3) or 0x0004 message
     # (round 10): unallocated chunks / contiguous storage read as this
     # value instead of zeros — libhdf5 and netcdf-c write these
@@ -3710,13 +3793,15 @@ class HDF5File:
                 if (
                     isinstance(dtype, np.dtype)
                     and dtype.metadata
-                    and dtype.metadata.get("vlen_str_members")
                 ):
-                    # compound with NC_STRING members (round 12):
-                    # descriptor fields scan through the normal layout
-                    # machinery; read resolves them via the heap
+                    # compound with NC_STRING / NC_VLEN members
+                    # (round 12): descriptor fields scan through the
+                    # normal layout machinery; read resolves via heap
                     info.compound_vlen = tuple(
-                        dtype.metadata["vlen_str_members"]
+                        dtype.metadata.get("vlen_str_members", ())
+                    )
+                    info.compound_vlen_seq = tuple(
+                        dtype.metadata.get("vlen_seq_members", ())
                     )
                 if dtype == ("ref", 8):
                     # class-7 object references (round 10): scan the
@@ -4250,7 +4335,7 @@ class HDF5File:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
-            if info.compound_vlen:
+            if info.compound_vlen or info.compound_vlen_seq:
                 return self._compound_vlen_resolve(a, info)
             return a
 
@@ -4259,22 +4344,26 @@ class HDF5File:
     def _compound_vlen_resolve(
         self, a: np.ndarray, info: DatasetInfo
     ) -> np.ndarray:
-        """Structured records whose NC_STRING members are raw heap
-        descriptors -> a packed structured array with those members
-        as object (str) fields, each resolved through the same
-        grouped-by-collection path as whole vlen-str datasets (zeroed
-        descriptors — fill / unallocated chunks — decode to ""). The
-        other members copy through unchanged."""
+        """Structured records whose NC_STRING / NC_VLEN members are
+        raw heap descriptors -> a packed structured array with those
+        members as object fields (str / variable-length numpy array),
+        each resolved through the same grouped-by-collection path as
+        whole vlen datasets (zeroed descriptors — fill / unallocated
+        chunks — decode to "" / empty). The other members copy
+        through unchanged; the metadata marker is preserved so the
+        netCDF/Spark layer can tell the two object kinds apart."""
         dt = a.dtype
-        fmts = [
-            object if m in info.compound_vlen else dt.fields[m][0]
-            for m in dt.names
-        ]
-        out = np.empty(a.shape, np.dtype(list(zip(dt.names, fmts))))
+        seq_bases = dict(info.compound_vlen_seq)
+        out = np.empty(a.shape, _resolved_compound_dtype(dt, info))
         for m in dt.names:
             if m in info.compound_vlen:
                 out[m] = self._vlen_str_decode(
                     np.ascontiguousarray(a[m])
+                )
+            elif m in seq_bases:
+                out[m] = self._vlen_seq_decode(
+                    np.ascontiguousarray(a[m]),
+                    np.dtype(seq_bases[m]),
                 )
             else:
                 out[m] = a[m]
@@ -4738,7 +4827,7 @@ class HDF5File:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
-            if info.compound_vlen:
+            if info.compound_vlen or info.compound_vlen_seq:
                 return self._compound_vlen_resolve(a, info)
             return a
 
@@ -4992,21 +5081,12 @@ class NetCDF4View:
                     continue  # pure dimension, not a coordinate var
             vdims = self._resolve_dims(d)
             is_rec = bool(vdims) and vdims[0] == self._rec_dim
-            if d.compound_vlen:
-                # compound with NC_STRING members: the netCDF view
-                # (and Spark schema) sees the RESOLVED record layout —
-                # object (str) fields where the disk holds descriptors
-                var_dt = np.dtype(
-                    [
-                        (
-                            m,
-                            object
-                            if m in d.compound_vlen
-                            else d.dtype.fields[m][0],
-                        )
-                        for m in d.dtype.names
-                    ]
-                )
+            if d.compound_vlen or d.compound_vlen_seq:
+                # compound with NC_STRING / NC_VLEN members: the
+                # netCDF view (and Spark schema) sees the RESOLVED
+                # record layout — object fields where the disk holds
+                # descriptors, kinds distinguished by the metadata
+                var_dt = _resolved_compound_dtype(d.dtype, d)
             else:
                 var_dt = d.dtype
             self.variables[n] = NC4Var(

@@ -123,10 +123,20 @@ def _compound_spark(var_name: str, dtype: np.dtype) -> str:
                     f"{base}{shape} has no Spark mapping"
                 )
             parts.append(f"{_ddl_name(m)}:array<{_NP_SPARK[bkey][0]}>")
-        elif fdt.kind in "SO":
-            # S<n> fixed strings and NC_STRING members (object str
-            # fields resolved through the global heap, round 12) both
-            # surface as Spark strings
+        elif fdt.kind == "O":
+            seqs = dict(
+                (dtype.metadata or {}).get("vlen_seq_members", ())
+            )
+            if m in seqs:
+                # NC_VLEN-of-numeric member -> array<T> (round 12)
+                bkey = _np_key(np.dtype(seqs[m]))
+                parts.append(
+                    f"{_ddl_name(m)}:array<{_NP_SPARK[bkey][0]}>"
+                )
+            else:
+                # NC_STRING member (resolved through the global heap)
+                parts.append(f"{_ddl_name(m)}:string")
+        elif fdt.kind == "S":
             parts.append(f"{_ddl_name(m)}:string")
         else:
             key = _np_key(fdt)
@@ -160,8 +170,36 @@ def _compound_arrow(flat: np.ndarray) -> "pa.StructArray":
                 [b.decode("utf-8", "replace") for b in col.tolist()]
             )
         elif fdt.kind == "O":
-            # NC_STRING member: already python str from the heap
-            child = pa.array(col.tolist(), pa.string())
+            seqs = dict(
+                (flat.dtype.metadata or {}).get("vlen_seq_members", ())
+            )
+            if m in seqs:
+                # NC_VLEN-of-numeric member: object cells of
+                # variable-length arrays -> one list<...> build
+                base = np.dtype(seqs[m])
+                wdt = np.dtype(_NP_SPARK[_np_key(base)][1])
+                lens = np.fromiter(
+                    (len(c) for c in col), dtype=np.int64,
+                    count=col.shape[0],
+                )
+                flatv = (
+                    np.concatenate(
+                        [np.asarray(c, dtype=base) for c in col]
+                    )
+                    if int(lens.sum())
+                    else np.empty(0, dtype=base)
+                )
+                offsets = np.zeros(col.shape[0] + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                child = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(flatv.astype(wdt, copy=False)),
+                )
+                if child.type == pa.list_(pa.uint64()):
+                    child = child.cast(pa.list_(pa.decimal128(20, 0)))
+            else:
+                # NC_STRING member: already python str from the heap
+                child = pa.array(col.tolist(), pa.string())
         else:
             child = pa.array(
                 np.ascontiguousarray(col).astype(

@@ -2860,8 +2860,10 @@ FROM g GROUP BY s ORDER BY station_idx
         "descriptors to str through the SAME grouped-by-collection "
         "global-heap path as whole vlen-str datasets — zeroed "
         "descriptors (fill) decode to ''. Members surface in one "
-        "Arrow StructArray; refusal is now narrowed to reference-"
-        "typed and vlen-of-numeric members. The marker round-trips: "
+        "Arrow StructArray; NC_VLEN-of-numeric members resolve the "
+        "same way to array<T> struct fields, so compound refusal is "
+        "now narrowed to reference-typed members only. The marker "
+        "round-trips: "
         "this fixture is WRITTEN by the engine's own writer (object "
         "fields -> heap payloads + class-9 string member datatype).",
 )

@@ -4022,3 +4022,77 @@ def test_region_reference_points_v2(tmp_path):
             b"\0" * 8 + struct.pack("<2I", 1, 2) + bytes([2])
             + struct.pack("<I", 2) + struct.pack("<H", 1), "a"
         )
+
+
+def test_compound_vlen_seq_member_roundtrip(tmp_path):
+    """NC_COMPOUND with an NC_VLEN-of-numeric member (round 12 — the
+    second compound-member refusal closed): object array cells write
+    as class-9 sequence member datatypes (element-count descriptors),
+    read back as variable-length numpy arrays; None and [] both
+    decode to empty; slab reads prune as usual."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype([("sid", "<i4"), ("name", object), ("readings", object)])
+    a = np.zeros(5, dt)
+    a["sid"] = [1, 2, 3, 4, 5]
+    a["name"] = ["a", "b", None, "dd", "e"]
+    a["readings"] = [
+        np.array([1, 2, 3], "<i4"), np.array([], "<i4"), None,
+        np.array([9], "<i4"), np.array([5, 6], "<i4"),
+    ]
+    p = os.path.join(tmp_path, "cseq.h5")
+    write_hdf5(p, {"obs": a}, {"obs": {"chunk": (2,), "compress": 4}})
+    h = HDF5File(p)
+    r = h.read("obs")
+    assert r.dtype.metadata["vlen_str_members"] == ("name",)
+    assert r.dtype.metadata["vlen_seq_members"] == (("readings", "<i4"),)
+    assert list(r["name"]) == ["a", "b", "", "dd", "e"]
+    assert [list(x) for x in r["readings"]] == [[1, 2, 3], [], [], [9], [5, 6]]
+    sl = h.read_slab0("obs", 1, 4)
+    assert [list(x) for x in sl["readings"]] == [[], [], [9]]
+
+
+def test_compound_vlen_seq_member_spark_scan(spark, tmp_path):
+    """The NC_VLEN member surfaces as array<int> inside the struct
+    column through the netcdf4 DataSource (schema from the metadata
+    marker, values through the ListArray build)."""
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    dt = np.dtype([("sid", "<i4"), ("readings", object)])
+    obs = np.zeros((6, 2), dtype=dt)
+    for t in range(6):
+        for s in range(2):
+            obs[t, s] = (
+                t * 10 + s,
+                np.arange(t % 3 + 1, dtype="<i4") + t * 100 + s * 10,
+            )
+    p = os.path.join(tmp_path, "cseq.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None, "station": 2},
+        variables={"obs": (dt, ("t", "station"))},
+        data={"obs": obs},
+        compress=4,
+        chunk0=2,
+    )
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", p).load()
+    assert dict(df.dtypes)["obs"] == "struct<sid:int,readings:array<int>>"
+    rows = {
+        (r["t_idx"], r["station_idx"]): r["obs"]
+        for r in df.collect()
+    }
+    assert rows[(4, 1)]["sid"] == 41
+    assert rows[(4, 1)]["readings"] == [410, 411]
+    assert rows[(0, 0)]["readings"] == [0]
