@@ -1235,6 +1235,44 @@ def run_foreachbatch_quality_gate(
     run_dir = tempfile.mkdtemp(
         prefix="gate_state_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
     )
+    gate, n_batches = make_quality_gate(spark, run_dir)
+
+    schema = spark.read.parquet(stream_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(gate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] == 2, f"expected 2 micro-batches, got {n_batches[0]}"
+    out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
+    rows = out.collect()
+    schema_out = out.schema
+    import shutil as _sh
+
+    _sh.rmtree(run_dir, ignore_errors=True)
+    _sh.rmtree(stream_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+def make_quality_gate(spark: SparkSession, run_dir: str):
+    """The foreachBatch gate closure + its batch counter. The restart
+    contract is on DISK by construction: the first micro-batch a
+    run_dir ever sees trains + persists the LM (atomic lm.json
+    publish last), and every batch after — in this process or a
+    restarted one — loads the persisted LM and writes decisions to a
+    versioned per-batch path with overwrite (idempotent replay)."""
+    import json
+
+    from netcdf4_variable_streamer_spark.operators.text import (
+        perplexity_decisions,
+        perplexity_lm,
+    )
+
     n_batches = [0]
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -1265,26 +1303,7 @@ def run_foreachbatch_quality_gate(
             os.path.join(run_dir, f"dec_v{batch_id}")
         )
 
-    schema = spark.read.parquet(stream_dir).schema
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-        .writeStream.foreachBatch(gate)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
-    assert n_batches[0] == 2, f"expected 2 micro-batches, got {n_batches[0]}"
-    out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
-    rows = out.collect()
-    schema_out = out.schema
-    import shutil as _sh
-
-    _sh.rmtree(run_dir, ignore_errors=True)
-    _sh.rmtree(stream_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema_out)
+    return gate, n_batches
 
 
 def _gate_oracle() -> str:

@@ -424,3 +424,68 @@ def test_crawl_loop_restart_from_checkpoint(spark, tmp_path):
     )
     assert stream["is_dup"].any()  # cross-restart matches actually found
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_quality_gate_restart_from_checkpoint(spark, tmp_path):
+    """RESTART proof for the streaming quality gate: train the LM in
+    run 1 (reference file only), STOP, restart a brand-new query —
+    fresh closure, same checkpoint — after the crawl file arrives.
+    The restarted run must not replay batch 0, must load the
+    PERSISTED LM instead of retraining, and its decisions must equal
+    the two-corpus oracle exactly."""
+    import os
+    import shutil
+
+    from netcdf4_variable_streamer_spark import oracle as oracle_mod
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_two_batch_stream_dir(
+        spark, SF_DIR, sq._GATE_SPLIT, columns=("doc_id", "text", "lang")
+    )
+    crawl_file = os.path.join(feed, "1_crawl.parquet")
+    held_back = str(tmp_path / "held.parquet")
+    shutil.move(crawl_file, held_back)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    ckpt = os.path.join(run_dir, "ckpt")
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        gate, n = sq.make_quality_gate(spark, run_dir)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return n[0]
+
+    assert run_once() == 1
+    assert os.path.exists(os.path.join(run_dir, "lm.json"))
+    assert not any(p.startswith("dec_v") for p in os.listdir(run_dir))
+    lm_mtime = os.path.getmtime(os.path.join(run_dir, "lm.json"))
+
+    shutil.move(held_back, crawl_file)
+    assert run_once() == 1  # exactly one new batch from the checkpoint
+    # the LM was NOT retrained on restart
+    assert os.path.getmtime(os.path.join(run_dir, "lm.json")) == lm_mtime
+
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._gate_oracle()).df()
+    assert len(got) == len(want)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["keep"]) == list(want["keep"])
+    assert list(got["avg_bigram_logprob"]) == list(
+        want["avg_bigram_logprob"]
+    )
+    shutil.rmtree(feed, ignore_errors=True)
