@@ -82,6 +82,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sim_mips_topk",
     "q_multimodal_patchify",
     "q_join_asof_tolerance",
+    "q_pipeline_curation",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -82,7 +82,7 @@ NEW_KEYS = [
     "snk_netcdf4_write_szip", "q_text_classifier_score",
     "q_stream_quality_gate", "src_netcdf4_points_v2_scan",
     "q_sim_mips_topk", "q_multimodal_patchify",
-    "q_join_asof_tolerance",
+    "q_join_asof_tolerance", "q_pipeline_curation",
 ]
 
 
