@@ -1215,8 +1215,9 @@ def q_dedup_prefix_truncation(
     doc="SEGMENT-HASH truncation dedup (round 12, VERDICT r11 #8 — "
         "the production variant q_dedup_prefix_truncation's docstring "
         "promised): the verify join carries NO text. Each doc ships "
-        "(pfx, n_chars, ch, tail) where ch[k] = md5 of the first "
-        "k*64 chars (one 16-byte-equivalent hash per segment — "
+        "(pfx, n_chars, ch, tail) where ch[k] = the BINARY 16-byte "
+        "md5 of the first k*64 chars (exactly 16 B/segment in the "
+        "shuffle — "
         "computed here as direct prefix hashes; at 100 TB a rolling "
         "chained hash gives the same equality semantics in one pass) "
         "and tail is the <64-char residual. A shorter doc is a prefix "
