@@ -119,6 +119,17 @@ class NetCDFChunkReader(DataSourceReader):
                 f, "value"
             ):
                 v = f.value
+                if isinstance(v, (list, tuple, set)):
+                    # In filter (round 12): prune chunks to the value
+                    # envelope; Spark re-checks exact membership
+                    vals = [int(x) for x in v if x is not None]
+                    if vals:
+                        self.lo = max(self.lo, min(vals))
+                        self.hi = min(
+                            self.hi or max(vals) + 1, max(vals) + 1
+                        )
+                    yield f
+                    continue
                 if isinstance(f, EqualTo):
                     self.lo = max(self.lo, int(v))
                     self.hi = min(self.hi or int(v) + 1, int(v) + 1)
