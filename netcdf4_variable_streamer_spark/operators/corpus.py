@@ -1433,3 +1433,96 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BUDGET_TOKENS = 2000  # per-language token budget for the fixture
+
+
+@register(
+    "q_sample_token_budget",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents WHERE LENGTH(text) > 0
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 4096
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY doc_id, lang, bucket
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * (CAST(('0x' || SUBSTR(MD5('w:' || bucket), 1, 7))
+                              AS BIGINT) % 2001 - 1000)) AS BIGINT)
+           AS score_q
+  FROM feats GROUP BY doc_id, lang
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens, score_q,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY score_q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, score_q, cum_tokens,
+       (cum_tokens <= {_BUDGET_TOKENS}) AS kept
+FROM cum
+ORDER BY doc_id
+""",
+    doc="TOKEN-BUDGET sampling (round 12) — the data-mixture step "
+        "after quality scoring: fill each language's token budget "
+        "greedily BEST-FIRST (the hashed-classifier score from "
+        "q_text_classifier_score as the priority, doc_id as the "
+        "total tie-break), cutting at the running token sum — how a "
+        "pretraining mix caps each source/language at N tokens while "
+        "keeping its highest-quality documents. All-integer: the "
+        "priority is the raw int64 score (no normalization division "
+        "anywhere near the ORDER BY, so the cut is bit-identical "
+        "cross-engine), the budget test is a running SUM window. "
+        "100 TB: two keyed aggs for scoring + ONE lang-partitioned "
+        "window — per-language sort parallelism is the lang "
+        "cardinality; for a skewed single-language corpus, "
+        "pre-bucket by score range (the q_curriculum_order two-level "
+        "pattern) before the window.",
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id", "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    feats = toks.groupBy(
+        "doc_id", "lang",
+        (_md5_int(F.col("tok"), 7) % 4096).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wgt = (
+        _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+        - 1000
+    )
+    scored = feats.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * wgt).alias("score_q"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "lang", "n_tokens", "score_q", "cum_tokens",
+            (F.col("cum_tokens") <= _BUDGET_TOKENS).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

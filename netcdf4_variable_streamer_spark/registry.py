@@ -83,6 +83,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_patchify",
     "q_join_asof_tolerance",
     "q_pipeline_curation",
+    "q_sample_token_budget",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
