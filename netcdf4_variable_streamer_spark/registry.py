@@ -84,6 +84,7 @@ CANONICAL_ORDER: list[str] = [
     "q_join_asof_tolerance",
     "q_pipeline_curation",
     "q_sample_token_budget",
+    "src_hdf5_foreign_scan",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

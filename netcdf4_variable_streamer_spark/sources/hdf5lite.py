@@ -5055,6 +5055,7 @@ class NetCDF4View:
         self.dims: dict[str, int | None] = {}
         self._dim_order: list[str] = []
         self._rec_dim: str | None = None
+        self._phony_dims: dict[int, str] = {}  # extent -> phony name
         scales = {
             n: d
             for n, d in self.h5.datasets.items()
@@ -5103,6 +5104,48 @@ class NetCDF4View:
                 d.shape[1:] if is_rec else d.shape,
                 vlen_base=d.vlen_seq,
             )
+        if self._rec_dim is None and self._phony_dims and self.variables:
+            # FOREIGN plain-HDF5 file (round 12): no unlimited dim, no
+            # (or not only) netCDF dimension scales. netcdf-c opens
+            # such files with phony dimensions; for the Spark source's
+            # record-range partitioning, promote the axis-0 phony dim
+            # shared by the most datasets (ties to the largest extent)
+            # to the scan's record axis — its variables become record
+            # variables, everything else stays fixed.
+            from collections import Counter
+
+            groups = Counter(
+                (x.dims[0], x.shape[1:])
+                for x in self.variables.values()
+                if x.dims and x.dims[0] in self._phony_dims.values()
+            )
+            if groups:
+                # the dominant (axis-0 dim, per-record shape) family
+                # becomes the record group — plain HDF5 files mix
+                # heterogeneous datasets, and the long-form scan needs
+                # agreeing per-record shapes; the rest stay fixed
+                (best, rshape), _cnt = max(
+                    groups.items(),
+                    key=lambda kv: (
+                        kv[1],                      # most datasets
+                        self.dims[kv[0][0]],        # longest axis
+                        int(np.prod(kv[0][1], dtype=np.int64)
+                            if kv[0][1] else 1),    # widest records
+                        kv[0],                      # total tie-break
+                    ),
+                )
+                self._rec_dim = best
+                self.numrecs = int(self.dims[best])
+                for n, x in list(self.variables.items()):
+                    if (
+                        x.dims
+                        and x.dims[0] == best
+                        and x.shape[1:] == rshape
+                    ):
+                        self.variables[n] = NC4Var(
+                            x.name, x.dims, x.dtype, x.attrs, True,
+                            x.shape[1:], vlen_base=x.vlen_base,
+                        )
 
     def _resolve_dims(self, d: DatasetInfo) -> tuple[str, ...]:
         coords = d.attrs.get("_Netcdf4Coordinates")
@@ -5137,12 +5180,23 @@ class NetCDF4View:
                 if e == extent and n not in out
             ]
             if not cand:
-                raise ValueError(
-                    f"{d.name}: axis {ax} extent {extent} matches no "
-                    "dimension scale (and no _Netcdf4Coordinates attr)"
-                )
+                # FOREIGN axis with no matching scale: netcdf-c opens
+                # plain HDF5 files by synthesizing phony dimensions
+                # (one per distinct extent) — mirror that instead of
+                # refusing (round 12)
+                out.append(self._phony_dim(extent))
+                continue
             out.append(cand[0])
         return tuple(out)
+
+    def _phony_dim(self, extent: int) -> str:
+        name = self._phony_dims.get(extent)
+        if name is None:
+            name = f"phony_dim_{len(self._phony_dims)}"
+            self._phony_dims[extent] = name
+            self.dims[name] = extent
+            self._dim_order.append(name)
+        return name
 
     @property
     def record_dim(self) -> str | None:

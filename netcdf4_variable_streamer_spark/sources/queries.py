@@ -3804,6 +3804,100 @@ def src_netcdf4_szip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_h5_foreign(path: str | None = None) -> str:
+    """A FOREIGN plain-HDF5 file: no netCDF dimension scales, no
+    _Netcdf4Coordinates, no unlimited dim — just datasets, the shape
+    h5py users write every day. grid/quality share (96, 16) (the
+    dominant record family), labels(5) is an unrelated fixed LUT.
+    Chunked shuffle+deflate so the scan exercises the filter stack."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_hdf5,
+    )
+
+    path = path or os.path.join(SCRATCH, "foreign_plain.h5")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    t = np.arange(96, dtype=np.float64)[:, None]
+    x = np.arange(16, dtype=np.float64)[None, :]
+    grid = (50 + ((t * 5) % 30) * 0.25 + x * 0.0625).astype("<f4")
+    quality = ((t * 7 + x * 3) % 100).astype("<i2")
+    tmp = path + ".tmp"
+    write_hdf5(
+        tmp,
+        {
+            "grid": grid,
+            "quality": quality,
+            "labels": np.arange(5, dtype="<i8"),
+        },
+        {
+            "grid": {"chunk": (16, 16), "compress": 4, "shuffle": True},
+            "quality": {"chunk": (16, 16), "compress": 4},
+        },
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_hdf5_foreign_scan",
+    oracle=f"""
+WITH g AS (
+  SELECT tt.t AS t, xx.x AS x,
+         CAST(CAST(50 + ((tt.t * 5) % 30) * 0.25 + xx.x * 0.0625
+                   AS FLOAT) AS DOUBLE) AS grid,
+         (tt.t * 7 + xx.x * 3) % 100 AS quality
+  FROM (SELECT UNNEST(generate_series(0, 95)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS x) xx
+  WHERE tt.t >= 16 AND tt.t < 80
+)
+SELECT COUNT(*) AS n_cells,
+       COUNT(DISTINCT t) AS n_rows,
+       {SQL_DSUM('grid')} AS sum_grid,
+       CAST(SUM(quality) AS BIGINT) AS sum_quality
+FROM g
+""",
+    doc="FOREIGN plain-HDF5 scan (round 12) — the file h5py users "
+        "write every day: NO netCDF dimension scales, coordinates, "
+        "or unlimited dim. The view synthesizes netcdf-c-style PHONY "
+        "dimensions (one per distinct extent) and promotes the "
+        "dominant (axis-0, per-record-shape) dataset family to the "
+        "scan's record axis — grid+quality stream as records over "
+        "phony_dim_0 with record-range partitions and chunk-pruned "
+        "pushdown (window [16, 80) touches only covering "
+        "shuffle+deflate chunks), while the unrelated labels LUT "
+        "stays a fixed variable. Opens the engine to the plain-HDF5 "
+        "archive world with zero ceremony; heterogeneous secondary "
+        "families read via read_fixed / a second load targeting "
+        "their axis.",
+)
+def src_hdf5_foreign_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_h5_foreign())
+        .load()
+        .filter(
+            (F.col("phony_dim_0_idx") >= 16)
+            & (F.col("phony_dim_0_idx") < 80)
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("phony_dim_0_idx").alias("n_rows"),
+        dsum(F.col("grid").cast("double")).alias("sum_grid"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+    )
+
+
 def ensure_nc3_evolving(path: str | None = None) -> str:
     """An archive whose schema EVOLVED: the first member predates the
     humidity sensor (temperature only, records [0, 32)); later members

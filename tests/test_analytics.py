@@ -83,7 +83,7 @@ NEW_KEYS = [
     "q_stream_quality_gate", "src_netcdf4_points_v2_scan",
     "q_sim_mips_topk", "q_multimodal_patchify",
     "q_join_asof_tolerance", "q_pipeline_curation",
-    "q_sample_token_budget",
+    "q_sample_token_budget", "src_hdf5_foreign_scan",
 ]
 
 

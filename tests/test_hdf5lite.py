@@ -4096,3 +4096,35 @@ def test_compound_vlen_seq_member_spark_scan(spark, tmp_path):
     assert rows[(4, 1)]["sid"] == 41
     assert rows[(4, 1)]["readings"] == [410, 411]
     assert rows[(0, 0)]["readings"] == [0]
+
+
+def test_foreign_plain_hdf5_phony_dims(tmp_path):
+    """FOREIGN plain-HDF5 files (round 12): no dimension scales, no
+    coordinates, no unlimited dim — the view synthesizes netcdf-c
+    phony dimensions (one per distinct extent) and promotes the
+    dominant (axis-0, per-record-shape) dataset family to the record
+    axis; heterogeneous datasets stay fixed and readable."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+        write_hdf5,
+    )
+
+    a = np.arange(48, dtype="<f4").reshape(12, 4)
+    b = np.arange(12, dtype="<i4")          # shares axis 0, shape ()
+    lut = np.arange(7, dtype="<i8")         # unrelated fixed LUT
+    p = os.path.join(tmp_path, "plain.h5")
+    write_hdf5(p, {"grid": a, "ids": b, "lut": lut})
+    v = NetCDF4View(p)
+    assert v.dims == {
+        "phony_dim_0": 12, "phony_dim_1": 4, "phony_dim_2": 7
+    }
+    assert v.record_dim == "phony_dim_0" and v.numrecs == 12
+    # dominant family: grid's (8-wide) records beat ids' scalars only
+    # via the widest-records tie-break — both share axis 0
+    assert v.variables["grid"].is_record
+    assert v.variables["grid"].shape == (4,)
+    assert not v.variables["lut"].is_record
+    np.testing.assert_array_equal(
+        v.read_records("grid", 3, 6), a[3:6]
+    )
+    np.testing.assert_array_equal(v.read_fixed("lut"), lut)
