@@ -1346,9 +1346,14 @@ ORDER BY d.lang
         "DataFrame lazily: Catalyst sees the WHOLE pipeline and "
         "prunes columns across stage boundaries — the composability "
         "argument for declarative curation over imperative scripts. "
-        "100 TB: every stage is the corpus-linear posture its "
-        "standalone key documents; the funnel audit joins are id-"
-        "keyed (16-byte keys) and the final output is |langs| rows.",
+        "100 TB: every stage is corpus-linear; the one difference "
+        "from the standalone q_dedup_exact posture is that the dedup "
+        "window here moves each document ONCE on its md5 key (the "
+        "text must continue down the pipeline, so one text shuffle "
+        "is the minimum possible — the standalone key's agg emits "
+        "only hashes because nothing downstream needs the text); "
+        "the funnel audit joins are id-keyed and the final output "
+        "is |langs| rows.",
 )
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
