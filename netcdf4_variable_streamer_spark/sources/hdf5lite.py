@@ -4298,9 +4298,10 @@ class HDF5File:
                 raise ValueError(
                     f"{info.name}: filter id {fid} ({name}) "
                     "unsupported (supported: 1 deflate, 2 shuffle, "
-                    "3 fletcher32, 4 szip — the set reachable through "
-                    "the netCDF-4 variable API the reference wraps; "
-                    "nbit/scaleoffset are HDF5-only)"
+                    "3 fletcher32, 4 szip; nbit/scaleoffset payloads "
+                    "are defined only by libhdf5's own filter "
+                    "implementation — no independent spec to build a "
+                    "verifiable decoder from, so they refuse loudly)"
                 )
         return np.frombuffer(raw, dtype=info.dtype).reshape(info.chunk)
 
