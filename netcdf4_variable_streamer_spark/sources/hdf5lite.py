@@ -3466,46 +3466,62 @@ class HDF5File:
         vals = np.frombuffer(
             body, dtype=dt, count=count, offset=pos
         )
-        if (
-            dt.names
-            and dt.metadata
-            and dt.metadata.get("vlen_str_members")
-        ):
-            # compound attribute with NC_STRING members (round 12):
-            # resolve the descriptor fields through the global heap,
-            # like the dataset path does
+        if dt.names and dt.metadata:
+            # compound attribute with NC_STRING / NC_VLEN members
+            # (round 12): resolve the descriptor fields through the
+            # global heap, like the dataset path does
             vals = self._attr_compound_resolve(
-                vals, dt.metadata["vlen_str_members"]
+                vals,
+                dt.metadata.get("vlen_str_members", ()),
+                dict(dt.metadata.get("vlen_seq_members", ())),
             )
         if shape == ():
             return name, vals[0]
         return name, vals.reshape(shape)
 
     def _attr_compound_resolve(
-        self, vals: np.ndarray, vlens
+        self, vals: np.ndarray, vlens, seqs=None
     ) -> np.ndarray:
-        """Compound attribute values whose NC_STRING members are raw
-        heap descriptors -> packed records with object (str) fields
-        (zeroed descriptors decode to "")."""
+        """Compound attribute values whose NC_STRING / NC_VLEN members
+        are raw heap descriptors -> packed records with object fields
+        (str / variable-length numpy array; zeroed descriptors decode
+        to "" / empty)."""
+        seqs = seqs or {}
         dt = vals.dtype
         out_dt = np.dtype(
             [
-                (m, object if m in vlens else dt.fields[m][0])
+                (
+                    m,
+                    object
+                    if (m in vlens or m in seqs)
+                    else dt.fields[m][0],
+                )
                 for m in dt.names
             ]
         )
         out = np.empty(vals.shape, out_dt)
         for m in dt.names:
-            if m in vlens:
+            if m in vlens or m in seqs:
+                base = np.dtype(seqs[m]) if m in seqs else None
                 cells = []
                 for n, ga, gi in vals[m].reshape(-1).tolist():
                     if ga in (0, UNDEF) or gi == 0:
-                        cells.append("")
-                    else:
+                        cells.append(
+                            "" if base is None
+                            else np.empty(0, dtype=base)
+                        )
+                    elif base is None:
                         cells.append(
                             self._gheap_object(ga, gi)[:n].decode(
                                 "utf-8", "replace"
                             )
+                        )
+                    else:
+                        cells.append(
+                            np.frombuffer(
+                                self._gheap_object(ga, gi),
+                                dtype=base, count=n,
+                            ).copy()
                         )
                 cell_arr = np.empty(len(cells), dtype=object)
                 cell_arr[:] = cells

@@ -4128,3 +4128,29 @@ def test_foreign_plain_hdf5_phony_dims(tmp_path):
         v.read_records("grid", 3, 6), a[3:6]
     )
     np.testing.assert_array_equal(v.read_fixed("lut"), lut)
+
+
+def test_compound_attr_with_seq_member_resolves(tmp_path):
+    """A compound ATTRIBUTE mixing NC_STRING and NC_VLEN members
+    resolves both through the heap (round 12 follow-up: the str-only
+    gate previously left seq members as raw descriptors)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype([("code", "<i4"), ("label", object), ("cal", object)])
+    val = np.zeros(2, dt)
+    val[0] = (7, "seven", np.array([1.5, 2.5], "<f8"))
+    val[1] = (8, "eight", np.array([], "<f8"))
+    p = os.path.join(tmp_path, "ca.h5")
+    write_hdf5(
+        p,
+        {"v": np.arange(4, dtype=np.int32)},
+        {"v": {"attrs": {"cal": val}}},
+    )
+    got = HDF5File(p).datasets["v"].attrs["cal"]
+    assert list(got["code"]) == [7, 8]
+    assert list(got["label"]) == ["seven", "eight"]
+    assert list(got["cal"][0]) == [1.5, 2.5]
+    assert len(got["cal"][1]) == 0
