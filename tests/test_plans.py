@@ -751,3 +751,22 @@ def test_asof_tolerance_single_shuffle(spark):
     plans.assert_max_shuffles(df, 1)
     plan = plans.plan_string(df)
     assert "Join" not in plan, plan
+
+
+def test_pipeline_curation_posture(spark):
+    """q_pipeline_curation: three chained gates stay equi-join/
+    broadcast-shaped end to end — no cartesian anywhere in the
+    composed plan, and the per-language cutoff tables broadcast."""
+    df = build(spark, "q_pipeline_curation")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 2, plan
+
+
+def test_token_budget_single_window(spark):
+    """q_sample_token_budget: scoring aggs + exactly one
+    lang-partitioned running-sum window; no joins at all."""
+    df = build(spark, "q_sample_token_budget")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
