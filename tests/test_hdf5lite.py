@@ -4154,3 +4154,44 @@ def test_compound_attr_with_seq_member_resolves(tmp_path):
     assert list(got["label"]) == ["seven", "eight"]
     assert list(got["cal"][0]) == [1.5, 2.5]
     assert len(got["cal"][1]) == 0
+
+
+def test_foreign_plain_hdf5_directory_scan(spark, tmp_path):
+    """A DIRECTORY of foreign plain-HDF5 files scans as one dataset:
+    phony-dim promotion per member + the existing global record
+    index; pruning and member signatures work unchanged."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_hdf5,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    d = str(tmp_path / "farch")
+    os.makedirs(d)
+    for i, (lo, n) in enumerate([(0, 10), (10, 6)]):
+        t = np.arange(lo, lo + n, dtype=np.float64)[:, None]
+        x = np.arange(4, dtype=np.float64)[None, :]
+        write_hdf5(
+            os.path.join(d, f"part-{i}.h5"),
+            {"grid": (t * 2 + x * 0.5).astype("<f4")},
+        )
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = spark.read.format(FORMAT4_NAME).option("path", d).load()
+    r = df.agg(
+        F.count("*").alias("n"), F.sum("grid").alias("s")
+    ).collect()[0]
+    assert r["n"] == 64
+    assert abs(r["s"] - sum(
+        t * 2 + x * 0.5 for t in range(16) for x in range(4)
+    )) < 1e-3
+    # global-index pruning reaches member files
+    got = df.filter(
+        (df.phony_dim_0_idx >= 8) & (df.phony_dim_0_idx < 12)
+    ).count()
+    assert got == 4 * 4
