@@ -1218,13 +1218,8 @@ def run_foreachbatch_quality_gate(
     DISK is the restart contract, exactly like the crawl-dedup loop:
     a restarted driver finds the persisted LM and gates without
     retraining."""
-    import json
     import shutil
 
-    from netcdf4_variable_streamer_spark.operators.text import (
-        perplexity_decisions,
-        perplexity_lm,
-    )
     from netcdf4_variable_streamer_spark.session import apply_runtime_confs
 
     apply_runtime_confs(spark)
@@ -1252,10 +1247,8 @@ def run_foreachbatch_quality_gate(
     out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
     rows = out.collect()
     schema_out = out.schema
-    import shutil as _sh
-
-    _sh.rmtree(run_dir, ignore_errors=True)
-    _sh.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema_out)
 
 
