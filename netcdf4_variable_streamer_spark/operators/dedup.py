@@ -1319,3 +1319,79 @@ def q_dedup_prefix_segmented(
         )
         .orderBy("d_short", "d_long")
     )
+
+
+_XC_SPLIT = 500  # doc_id < split = reference corpus; >= split = new batch
+
+
+@register(
+    "q_dedup_cross_corpus",
+    oracle=f"""
+WITH ref AS (
+  SELECT DISTINCT MD5(text) AS h FROM documents
+  WHERE doc_id < {_XC_SPLIT}
+),
+new_docs AS (
+  SELECT doc_id, lang, MD5(text) AS h FROM documents
+  WHERE doc_id >= {_XC_SPLIT}
+),
+dec AS (
+  SELECT n.doc_id, n.lang,
+         (r.h IS NOT NULL) AS in_reference
+  FROM new_docs n LEFT JOIN ref r ON n.h = r.h
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN in_reference THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collisions,
+       CAST(SUM(CASE WHEN NOT in_reference THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       MIN(CASE WHEN in_reference THEN doc_id END) AS first_collision
+FROM dec GROUP BY lang ORDER BY lang
+""",
+    doc="CROSS-CORPUS exact dedup (round 12) — the asymmetric "
+        "dedup-against-reference posture: drop NEW documents whose "
+        "exact text already exists in the STANDING corpus, without "
+        "deduplicating within either side (train-vs-train stays "
+        "untouched; the cross direction is what prevents re-crawled "
+        "pages re-entering an already-curated corpus, and it is the "
+        "document-level sibling of n-gram eval decontamination "
+        "q_text_contamination). Both sides shuffle ONLY 16-byte "
+        "md5 keys (never text) into one hash anti/left join; the "
+        "reference side is DISTINCT hashes — at 100 TB persist that "
+        "hash set once and every crawl joins against it at "
+        "batch-proportional cost, the exact-dedup twin of "
+        "incremental_near_dedup's posture.",
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    ref = (
+        d.filter(F.col("doc_id") < _XC_SPLIT)
+        .select("h")
+        .distinct()
+        .withColumn("in_ref", F.lit(1))
+    )
+    new_docs = d.filter(F.col("doc_id") >= _XC_SPLIT)
+    dec = new_docs.join(ref, "h", "left").select(
+        "doc_id",
+        "lang",
+        F.col("in_ref").isNotNull().alias("in_reference"),
+    )
+    return (
+        dec.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("in_reference").cast("long")).alias(
+                "n_collisions"
+            ),
+            F.sum((~F.col("in_reference")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.min(
+                F.when(F.col("in_reference"), F.col("doc_id"))
+            ).alias("first_collision"),
+        )
+        .orderBy("lang")
+    )

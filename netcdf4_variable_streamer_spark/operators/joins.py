@@ -954,3 +954,78 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prev_view").isNotNull() & fresh).alias("matched"),
         )
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, NULL::BIGINT AS purchase_id,
+         ts::TIMESTAMP AS view_ts, 1 AS kind
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts::TIMESTAMP, event_id, NULL::TIMESTAMP, 0
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         FIRST_VALUE(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_view
+  FROM u
+)
+SELECT purchase_id, user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       STRFTIME(next_view, '%Y-%m-%d %H:%M:%S') AS next_view_ts,
+       (next_view IS NOT NULL) AS matched
+FROM m WHERE kind = 0
+""",
+    doc="FORWARD as-of join (round 12, completing the asof family's "
+        "direction coverage: backward / nearest / tolerance / "
+        "FORWARD): each purchase takes the user's EARLIEST view at or "
+        "after it — the 'what happened next' attribution direction "
+        "(post-purchase engagement, next-session analysis). Same-ts "
+        "views count (kind orders purchases BEFORE same-ts views, so "
+        "CURRENT ROW→FOLLOWING sees them) — the standard >= forward "
+        "convention, mirrored exactly in the oracle. Every purchase "
+        "emits a row with a matched flag. Same 100 TB shape as the "
+        "whole family: union-then-window with a FOLLOWING frame, ONE "
+        "user_id shuffle, O(events) state, zero joins.",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(1).alias("kind"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("kind").asc()
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = v.unionByName(p).withColumn(
+        "next_view", F.first("view_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("kind") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            F.when(
+                F.col("next_view").isNotNull(), ts_str("next_view")
+            ).alias("next_view_ts"),
+            F.col("next_view").isNotNull().alias("matched"),
+        )
+    )

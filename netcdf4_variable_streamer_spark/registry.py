@@ -85,6 +85,8 @@ CANONICAL_ORDER: list[str] = [
     "q_pipeline_curation",
     "q_sample_token_budget",
     "src_hdf5_foreign_scan",
+    "q_dedup_cross_corpus",
+    "q_join_asof_forward",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
