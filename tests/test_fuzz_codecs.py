@@ -2322,3 +2322,71 @@ def test_szip_roundtrip_hypothesis(
         s, n, nbits=nbits, pixels_per_block=ppb,
         pixels_per_scanline=pps, nn=nn,
     ) == list(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rows=st.integers(1, 12),
+    members=st.lists(
+        st.sampled_from(["i4", "f8", "i2", "str", "seq_i4", "seq_f8"]),
+        min_size=1, max_size=5,
+    ),
+    chunked=st.booleans(),
+    level=st.sampled_from([None, 1, 6]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_compound_vlen_members_roundtrip_hypothesis(
+    tmp_path_factory, n_rows, members, chunked, level, seed
+):
+    """Property: NC_COMPOUND datasets with arbitrary mixes of fixed,
+    NC_STRING, and NC_VLEN-of-numeric members round-trip through the
+    writer/reader pair across layouts and filters (round 12)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.RandomState(seed)
+    tmp = tmp_path_factory.mktemp("cvh")
+    fields, fills = [], []
+    for i, kind in enumerate(members):
+        name = f"m{i}"
+        if kind in ("str", "seq_i4", "seq_f8"):
+            fields.append((name, object))
+        else:
+            fields.append((name, f"<{kind}"))
+        fills.append(kind)
+    arr = np.zeros(n_rows, np.dtype(fields))
+    for (name, _fmt), kind in zip(fields, fills):
+        if kind == "str":
+            arr[name] = [
+                "" if rng.rand() < 0.2
+                else "s%d-%s" % (j, "x" * int(rng.randint(0, 20)))
+                for j in range(n_rows)
+            ]
+        elif kind.startswith("seq_"):
+            base = "<" + kind[4:]
+            arr[name] = [
+                rng.randint(-50, 50, int(rng.randint(0, 6))).astype(base)
+                for _ in range(n_rows)
+            ]
+        elif kind == "f8":
+            arr[name] = rng.randint(-1000, 1000, n_rows) * 0.25
+        else:
+            arr[name] = rng.randint(-30000, 30000, n_rows)
+    opts = {}
+    if chunked:
+        opts = {"obs": {"chunk": (max(1, n_rows // 3),)}}
+        if level is not None:
+            opts["obs"]["compress"] = level
+    p = os.path.join(str(tmp), "c.h5")
+    write_hdf5(p, {"obs": arr}, opts)
+    r = HDF5File(p).read("obs")
+    for (name, _fmt), kind in zip(fields, fills):
+        if kind == "str":
+            assert list(r[name]) == list(arr[name])
+        elif kind.startswith("seq_"):
+            for got, want in zip(r[name], arr[name]):
+                np.testing.assert_array_equal(got, want)
+        else:
+            np.testing.assert_array_equal(r[name], arr[name])
