@@ -1029,3 +1029,55 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_view").isNotNull().alias("matched"),
         )
     )
+
+
+@register(
+    "q_join_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(o.rn AS BIGINT) AS rn
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS rn
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_custkey < 100
+ORDER BY c.c_custkey, rn
+""",
+    doc="LATERAL correlated top-N join (round 12, completing the "
+        "subquery API surface alongside scalar/EXISTS/IN "
+        "decorrelation): each customer joined to its OWN top-2 "
+        "orders by price — the classic 'top N per entity via "
+        "LATERAL' formulation users port from Postgres/DuckDB. "
+        "Expressed through Spark SQL's LATERAL subquery; Catalyst "
+        "decorrelates it into the same window-then-filter plan the "
+        "hand-written q_win_rank_topk_group uses — which is the "
+        "point: the convenient correlated form costs the same ONE "
+        "keyed shuffle as the explicit window, not a per-customer "
+        "re-scan. 100 TB: one o_custkey window partition + one "
+        "customer join (broadcast after the <100 prune).",
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"lat_{t}"
+        )
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+               CAST(o.rn AS LONG) AS rn
+        FROM lat_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, rn
+    """)

@@ -87,6 +87,7 @@ CANONICAL_ORDER: list[str] = [
     "src_hdf5_foreign_scan",
     "q_dedup_cross_corpus",
     "q_join_asof_forward",
+    "q_join_lateral_topn",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
