@@ -770,3 +770,14 @@ def test_token_budget_single_window(spark):
     plan = plans.plan_string(df)
     assert plans.count_nodes(plan, "Window") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_lateral_topn_decorrelates(spark):
+    """q_join_lateral_topn: the LATERAL subquery must decorrelate to
+    a window + join — one Window node, no nested-loop/cartesian
+    per-customer re-scan."""
+    df = build(spark, "q_join_lateral_topn")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert plans.count_nodes(plan, "Window") >= 1, plan
