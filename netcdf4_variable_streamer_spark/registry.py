@@ -88,6 +88,8 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_cross_corpus",
     "q_join_asof_forward",
     "q_join_lateral_topn",
+    "src_netcdf4_enum_scan",
+    "src_netcdf4_opaque_scan",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -164,7 +164,17 @@ _FLOAT = {  # np dtype name -> (size, sign_pos, exp_pos, exp_sz, mant_sz, bias)
 
 def _dt_body(dtype: np.dtype) -> bytes:
     """Datatype message body for a numeric or fixed-string numpy
-    dtype (unpadded)."""
+    dtype (unpadded). Dtypes carrying ``metadata["opaque_tag"]``
+    (any void dtype) emit the class-5 OPAQUE datatype; integer
+    dtypes carrying ``metadata["enum_members"]`` (a tuple of
+    (name, value) pairs) emit the class-8 ENUMERATION datatype over
+    that integer base — the netcdf-c NC_OPAQUE / NC_ENUM encodings
+    (round 12)."""
+    meta = dtype.metadata or {}
+    if dtype.kind == "V" and not dtype.names:
+        return _dt_opaque(dtype.itemsize, str(meta.get("opaque_tag", "")))
+    if "enum_members" in meta:
+        return _dt_enum(dtype, tuple(meta["enum_members"]))
     if dtype.names:
         # NC_COMPOUND (class 6) — structured numpy dtypes round-trip
         return _dt_compound(dtype)
@@ -200,6 +210,42 @@ def _dt_body(dtype: np.dtype) -> bytes:
 def _dt_string(nbytes: int) -> bytes:
     """Fixed-length null-terminated ASCII string datatype body."""
     return struct.pack("<B3BI", 0x13, 0, 0, 0, nbytes)
+
+
+def _dt_opaque(nbytes: int, tag: str) -> bytes:
+    """Opaque datatype body (class 5, version 1 — netcdf-c's
+    NC_OPAQUE): bits 0-7 of the class bit field hold the PADDED tag
+    length (H5Odtype.c stores the null-padded-to-8 size and reads
+    back that many bytes, stripping trailing nulls); the property
+    block is the ASCII tag itself."""
+    tb = tag.encode("ascii", "replace")
+    if tb:
+        tb += b"\x00"
+        tb += b"\x00" * (-len(tb) % 8)
+    if len(tb) > 255:
+        raise ValueError(f"opaque tag longer than 255 bytes: {tag!r}")
+    return struct.pack("<B3BI", 0x15, len(tb), 0, 0, nbytes) + tb
+
+
+def _dt_enum(dtype: np.dtype, members: tuple) -> bytes:
+    """Enumeration datatype body (class 8, version 1 — netcdf-c's
+    NC_ENUM): bytes 1-2 of the header hold the member count, the
+    property block is the full integer base datatype followed by
+    8-padded null-terminated member names and the member values
+    (one base-sized integer each)."""
+    base = np.dtype(dtype.str)  # strip the metadata marker
+    if base.kind not in ("i", "u"):
+        raise ValueError(f"enum base must be an integer dtype, not {base}")
+    n = len(members)
+    body = struct.pack(
+        "<BBBBI", 0x18, n & 0xFF, (n >> 8) & 0xFF, 0, base.itemsize
+    )
+    body += _dt_body(base)
+    for name, _v in members:
+        nb = str(name).encode() + b"\x00"
+        body += nb + b"\x00" * (-len(nb) % 8)
+    body += np.asarray([v for _n, v in members], dtype=base).tobytes()
+    return body
 
 
 def _dt_array(base: np.dtype, shape: tuple[int, ...]) -> bytes:
@@ -306,8 +352,16 @@ def _parse_dt(body: bytes) -> np.dtype | str | tuple:
         return np.dtype(f"{'>' if be else '<'}f{size}")
     if cls == 3:  # string
         return f"S{size}"
+    if cls == 5:  # opaque (NC_OPAQUE): fixed-size raw bytes + tag
+        tlen = body[1]
+        tag = body[8 : 8 + tlen].split(b"\x00")[0].decode(
+            "ascii", "replace"
+        )
+        return ("opaque", size, tag)
     if cls == 6:  # compound (NC_COMPOUND) -> numpy structured dtype
         return _parse_dt_compound(body)
+    if cls == 8:  # enumeration (NC_ENUM) over an integer base
+        return _parse_dt_enum(body)[0]
     if cls == 7:  # reference: bit-field bits 0-3 = reference type
         if body[1] & 0x0F == 1:  # dataset-region reference
             return ("regref", size)
@@ -326,6 +380,39 @@ def _parse_dt(body: bytes) -> np.dtype | str | tuple:
     return ("other", cls)
 
 
+def _parse_dt_enum(body: bytes):
+    """Enumeration datatype body (class 8, versions 1-3) ->
+    ``(("enum", base_dtype, names, values), nbytes_consumed)``.
+    v1/v2 pad member names to 8 bytes, v3 does not (mirroring the
+    compound member-name rule); values are base-sized integers in the
+    base's byte order. A non-integer or unsupported base degrades to
+    the ``("other", 8)`` marker (attributes step over it, datasets
+    refuse loudly)."""
+    ver = body[0] >> 4
+    n = body[1] | (body[2] << 8)
+    base, blen = _parse_dt_sized(body[8:])
+    pos = 8 + blen
+    if not isinstance(base, np.dtype) or base.kind not in ("i", "u"):
+        return ("other", 8), len(body)
+    names: list[str] = []
+    for _ in range(n):
+        end = body.index(b"\x00", pos)
+        names.append(body[pos:end].decode("utf-8", "replace"))
+        nlen = end - pos + 1
+        pos += nlen + (0 if ver >= 3 else -nlen % 8)
+    if pos + n * base.itemsize > len(body):
+        raise ValueError(
+            f"enum datatype truncated: {n} member values need "
+            f"{n * base.itemsize} bytes, {len(body) - pos} remain"
+        )
+    vals = np.frombuffer(body, dtype=base, count=n, offset=pos)
+    pos += n * base.itemsize
+    return (
+        ("enum", base, tuple(names), tuple(int(v) for v in vals)),
+        pos,
+    )
+
+
 # encoded property-block length per datatype class (versions 1-3),
 # used to step over member datatypes inside a compound
 _DT_PROP_LEN = {0: 4, 1: 12, 3: 0, 4: 4, 7: 0}
@@ -341,6 +428,10 @@ def _parse_dt_sized(body: bytes):
     cls = body[0] & 0x0F
     if cls in _DT_PROP_LEN:
         return _parse_dt(body), 8 + _DT_PROP_LEN[cls]
+    if cls == 5:  # opaque: property is the padded tag (length in byte 1)
+        return _parse_dt(body), 8 + body[1]
+    if cls == 8:  # enum: base datatype + names + values
+        return _parse_dt_enum(body)
     if cls == 9:  # vlen: 8-byte header + base datatype
         _, blen = _parse_dt_sized(body[8:])
         return _parse_dt(body), 8 + blen
@@ -443,6 +534,16 @@ def _walk_compound_impl(body: bytes):
             # the read resolves cells to variable-length arrays
             vlen_seqs[name] = parsed[1].newbyteorder("<").str
             parsed = _VLEN_DESC_DT
+        elif (
+            isinstance(parsed, tuple)
+            and parsed
+            and parsed[0] == "enum"
+        ):
+            # enum member (round 12): cells ARE the base integers —
+            # the member reads as its base dtype (labels live on the
+            # datatype, not the data; netCDF4-python surfaces ints
+            # for enum compound members the same way)
+            parsed = parsed[1]
         if not isinstance(parsed, (np.dtype, str)):
             kind = (
                 f"class {parsed[1]}"
@@ -2496,6 +2597,12 @@ class DatasetInfo:
     # ((name, base_dtype_str), ...) — same descriptor machinery,
     # cells resolve to variable-length numpy arrays of the base
     compound_vlen_seq: tuple = ()
+    # NC_ENUM dataset (round 12): ((name, value), ...) member pairs
+    # from the class-8 datatype; cells read as the integer base dtype
+    enum_members: tuple = ()
+    # NC_OPAQUE dataset (round 12): the class-5 datatype's ASCII tag;
+    # cells read as numpy void (raw bytes), surfacing binary columns
+    opaque_tag: "str | None" = None
     # raw fill-value bytes from a 0x0005 (v1/v2/v3) or 0x0004 message
     # (round 10): unallocated chunks / contiguous storage read as this
     # value instead of zeros — libhdf5 and netcdf-c write these
@@ -3845,6 +3952,18 @@ class HDF5File:
                 ):
                     info.vlen_ref = True
                     dtype = _VLEN_DESC_DT
+                elif isinstance(dtype, tuple) and dtype[0] == "enum":
+                    # NC_ENUM (round 12): cells are base integers; the
+                    # (name, value) members ride on the DatasetInfo so
+                    # the netCDF view can expose the mapping
+                    info.enum_members = tuple(zip(dtype[2], dtype[3]))
+                    dtype = dtype[1]
+                elif isinstance(dtype, tuple) and dtype[0] == "opaque":
+                    # NC_OPAQUE (round 12): fixed-size raw bytes per
+                    # cell — numpy void rides every layout/filter path
+                    # unchanged (itemsize-only machinery)
+                    info.opaque_tag = dtype[2]
+                    dtype = np.dtype(f"V{dtype[1]}")
                 if not isinstance(dtype, np.dtype):
                     raise ValueError(
                         f"{name}: datasets of this datatype class "
@@ -5057,6 +5176,11 @@ class NC4Var:
     # vlen SEQUENCE variables: the numeric base dtype (cells read as
     # variable-length numpy arrays; dtype above is object)
     vlen_base: "np.dtype | None" = None
+    # NC_ENUM variables: ((name, value), ...) — dtype above is the
+    # integer base; the label mapping is datatype metadata (round 12)
+    enum_members: tuple = ()
+    # NC_OPAQUE variables: the datatype's ASCII tag (dtype is V<n>)
+    opaque_tag: "str | None" = None
 
 
 class NetCDF4View:
@@ -5120,6 +5244,8 @@ class NetCDF4View:
                 is_rec,
                 d.shape[1:] if is_rec else d.shape,
                 vlen_base=d.vlen_seq,
+                enum_members=d.enum_members,
+                opaque_tag=d.opaque_tag,
             )
         if self._rec_dim is None and self._phony_dims and self.variables:
             # FOREIGN plain-HDF5 file (round 12): no unlimited dim, no
@@ -5162,6 +5288,8 @@ class NetCDF4View:
                         self.variables[n] = NC4Var(
                             x.name, x.dims, x.dtype, x.attrs, True,
                             x.shape[1:], vlen_base=x.vlen_base,
+                            enum_members=x.enum_members,
+                            opaque_tag=x.opaque_tag,
                         )
 
     def _resolve_dims(self, d: DatasetInfo) -> tuple[str, ...]:

@@ -322,6 +322,10 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
             # NC_COMPOUND record variable -> StructType column
             parts.append(f"{_ddl_name(x.name)} {_compound_spark(x.name, x.dtype)}")
             continue
+        if x.dtype.kind == "V" and not x.dtype.names:
+            # NC_OPAQUE: fixed-size raw bytes per cell -> binary
+            parts.append(f"{_ddl_name(x.name)} binary")
+            continue
         if x.dtype.kind in ("S", "O"):
             parts.append(f"{_ddl_name(x.name)} string")
             continue
@@ -615,6 +619,20 @@ def _arrow_batches4(
             arrays[x.name] = _compound_arrow(
                 v.read_records(x.name, lo, hi).reshape(-1)
             )
+            continue
+        if x.dtype.kind == "V" and not x.dtype.names:
+            # NC_OPAQUE -> binary: one zero-copy fixed-size-binary
+            # build over the raw cell bytes, cast to the schema's
+            # variable binary — no per-cell Python
+            flat = np.ascontiguousarray(
+                v.read_records(x.name, lo, hi).reshape(-1)
+            )
+            fsb = pa.Array.from_buffers(
+                pa.binary(x.dtype.itemsize),
+                flat.shape[0],
+                [None, pa.py_buffer(flat.tobytes())],
+            )
+            arrays[x.name] = fsb.cast(pa.binary())
             continue
         if x.dtype.kind in ("S", "O"):
             arrays[x.name] = _nc4_strings(

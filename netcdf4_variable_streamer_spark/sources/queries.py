@@ -2900,6 +2900,248 @@ def src_netcdf4_compound_string_scan(
     )
 
 
+def ensure_enum_fixture(t_total: int = 64) -> str:
+    """An NC_ENUM record variable ``flag(t, cell)`` (round 12): the
+    class-8 enumeration datatype over a u1 base with members
+    {clear=0, cloud=1, snow=2, missing=255} — the cloud-mask pattern
+    netcdf-c emits for ``nc_def_enum``. Cells are the base integers;
+    the (name, value) members live on the datatype and round-trip
+    through the writer's ``metadata["enum_members"]`` marker. Values
+    closed-form: ``flag = [0,1,2,255][(t + 2*s) % 4]``,
+    ``rad = t*0.25 + s*0.125`` (dyadic-exact in float32). Written
+    shuffle+deflate chunked so enum cells ride the filter pipeline."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = os.path.join(SCRATCH, f"enum_{t_total}.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_s = 4
+    members = (("clear", 0), ("cloud", 1), ("snow", 2), ("missing", 255))
+    edt = np.dtype("u1", metadata={"enum_members": members})
+    lut = np.array([0, 1, 2, 255], dtype="u1")
+    t = np.arange(t_total)[:, None]
+    s = np.arange(n_s)[None, :]
+    flag = lut[(t + 2 * s) % 4].astype(edt)
+    rad = (t * 0.25 + s * 0.125).astype("<f4")
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"t": None, "cell": n_s},
+        variables={
+            "flag": (edt, ("t", "cell")),
+            "rad": ("<f4", ("t", "cell")),
+        },
+        data={"flag": flag, "rad": rad},
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_enum_scan",
+    oracle=f"""
+WITH g AS (
+  SELECT tt.t AS t, ss.s AS s,
+         CASE (tt.t + 2*ss.s) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+              WHEN 2 THEN 2 ELSE 255 END AS code,
+         CASE (tt.t + 2*ss.s) % 4 WHEN 0 THEN 'clear'
+              WHEN 1 THEN 'cloud' WHEN 2 THEN 'snow'
+              ELSE 'missing' END AS label,
+         CAST(CAST(tt.t * 0.25 + ss.s * 0.125 AS FLOAT) AS DOUBLE)
+           AS rad
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS s) ss
+  WHERE tt.t >= 8 AND tt.t < 56
+)
+SELECT label,
+       COUNT(*) AS n_rec,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       CAST(MIN(code) AS BIGINT) AS min_code,
+       {SQL_DSUM('rad')} AS sum_rad
+FROM g GROUP BY label ORDER BY label
+""",
+    doc="NC_ENUM scan (round 12): the class-8 enumeration datatype "
+        "over a u1 base parses to (name, value) members on the "
+        "DatasetInfo; cells scan as the base integers through the "
+        "normal chunk/filter machinery (shuffle+deflate here, "
+        "chunk-pruned by the record window [8, 56)), and the QUERY "
+        "decodes labels JVM-side via a literal map built from the "
+        "file's own datatype members — one O(KB) driver header read, "
+        "no Python in the row path. The u1 base widens to short like "
+        "every unsigned scalar; the 255='missing' member proves "
+        "values beyond the contiguous range round-trip. The fixture "
+        "is WRITTEN by the engine's own writer (metadata marker -> "
+        "class-8 datatype body).",
+)
+def src_netcdf4_enum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = ensure_enum_fixture()
+    # label mapping from the file's own class-8 datatype (driver-side
+    # O(KB) header read — same cost class as schema inference)
+    members = NetCDF4View(path).variables["flag"].enum_members
+    label_map = F.create_map(
+        *[x for v_n in members for x in (F.lit(int(v_n[1])), F.lit(v_n[0]))]
+    )
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .load()
+        .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+    )
+    return (
+        df.select(
+            F.element_at(label_map, F.col("flag").cast("int")).alias(
+                "label"
+            ),
+            F.col("flag").cast("long").alias("code"),
+            F.col("rad").cast("double").alias("rad"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rec"),
+            F.sum("code").alias("sum_code"),
+            F.min("code").alias("min_code"),
+            dsum(F.col("rad")).alias("sum_rad"),
+        )
+        .orderBy("label")
+    )
+
+
+def ensure_opaque_fixture(t_total: int = 64) -> str:
+    """An NC_OPAQUE record variable ``blob(t, cell)`` (round 12): the
+    class-5 opaque datatype — 8 raw bytes per cell under the ASCII
+    tag 'sensor-packet' (``nc_def_opaque``'s shape). Cells are numpy
+    void, so every layout/filter path works on itemsize alone; bytes
+    closed-form ``blob[k] = (t*5 + s*3 + k) % 256``. Written
+    shuffle+deflate chunked."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = os.path.join(SCRATCH, f"opaque_{t_total}.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_s = 4
+    odt = np.dtype("V8", metadata={"opaque_tag": "sensor-packet"})
+    blobs = np.zeros((t_total, n_s), dtype=odt)
+    view = blobs.view("u1").reshape(t_total, n_s, 8)
+    t = np.arange(t_total)[:, None, None]
+    s = np.arange(n_s)[None, :, None]
+    k = np.arange(8)[None, None, :]
+    view[:] = (t * 5 + s * 3 + k) % 256
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"t": None, "cell": n_s},
+        variables={"blob": (odt, ("t", "cell"))},
+        data={"blob": blobs},
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_opaque_scan",
+    oracle="""
+WITH g AS (
+  SELECT tt.t AS t, ss.s AS s,
+         (tt.t * 5 + ss.s * 3) % 256 AS b0,
+         printf('%02X%02X%02X%02X%02X%02X%02X%02X',
+                (tt.t * 5 + ss.s * 3) % 256,
+                (tt.t * 5 + ss.s * 3 + 1) % 256,
+                (tt.t * 5 + ss.s * 3 + 2) % 256,
+                (tt.t * 5 + ss.s * 3 + 3) % 256,
+                (tt.t * 5 + ss.s * 3 + 4) % 256,
+                (tt.t * 5 + ss.s * 3 + 5) % 256,
+                (tt.t * 5 + ss.s * 3 + 6) % 256,
+                (tt.t * 5 + ss.s * 3 + 7) % 256) AS hx
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS s) ss
+  WHERE tt.t >= 8 AND tt.t < 56
+)
+SELECT CAST(b0 % 8 AS BIGINT) AS bucket,
+       'sensor-packet' AS tag,
+       COUNT(*) AS n_rec,
+       CAST(COUNT(DISTINCT hx) AS BIGINT) AS n_blobs,
+       MIN(hx) AS min_hx,
+       MAX(hx) AS max_hx,
+       CAST(SUM(b0) AS BIGINT) AS sum_b0
+FROM g GROUP BY b0 % 8 ORDER BY bucket
+""",
+    doc="NC_OPAQUE scan (round 12): class-5 opaque cells (8 raw "
+        "bytes under an ASCII tag) scan as numpy void through the "
+        "full chunk/filter machinery — shuffle operates on itemsize, "
+        "deflate on the byte stream, pruning on the record window — "
+        "and surface as ONE zero-copy Arrow fixed-size-binary build "
+        "cast to the schema's binary column (no per-cell Python). "
+        "The query buckets by the first byte (JVM-side hex/conv), "
+        "and the 'tag' column is read from the file's own class-5 "
+        "datatype on the driver, proving the tag round-trips through "
+        "the writer's metadata marker.",
+)
+def src_netcdf4_opaque_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    path = ensure_opaque_fixture()
+    tag = NetCDF4View(path).variables["blob"].opaque_tag
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", path)
+        .load()
+        .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+    )
+    hx = F.upper(F.hex(F.col("blob")))
+    b0 = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    return (
+        df.select(
+            hx.alias("hx"),
+            b0.alias("b0"),
+            (b0 % 8).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.lit(tag).alias("tag"),
+            F.count(F.lit(1)).alias("n_rec"),
+            F.countDistinct("hx").alias("n_blobs"),
+            F.min("hx").alias("min_hx"),
+            F.max("hx").alias("max_hx"),
+            F.sum("b0").alias("sum_b0"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @register(
     "src_netcdf_compound_scan",
     oracle=f"""

@@ -85,7 +85,8 @@ NEW_KEYS = [
     "q_join_asof_tolerance", "q_pipeline_curation",
     "q_sample_token_budget", "src_hdf5_foreign_scan",
     "q_dedup_cross_corpus", "q_join_asof_forward",
-    "q_join_lateral_topn",
+    "q_join_lateral_topn", "src_netcdf4_enum_scan",
+    "src_netcdf4_opaque_scan",
 ]
 
 

@@ -4195,3 +4195,173 @@ def test_foreign_plain_hdf5_directory_scan(spark, tmp_path):
         (df.phony_dim_0_idx >= 8) & (df.phony_dim_0_idx < 12)
     ).count()
     assert got == 4 * 4
+
+
+def test_enum_datatype_golden_bytes():
+    """Class-8 ENUM datatype body (round 12): the writer's encoding is
+    checked field-by-field against an independently assembled byte
+    string from the public format spec (v1 header, full base datatype,
+    8-padded names, base-sized values) — and a v3-style body (names
+    NOT padded), which our writer never emits, parses too."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_body,
+        _parse_dt,
+    )
+
+    members = (("lo", 1), ("hi", 300))
+    dt = np.dtype("<i2", metadata={"enum_members": members})
+    got = _dt_body(dt)
+
+    # independent assembly: version-1 class-8 header
+    exp = bytes([0x18, 2, 0, 0]) + struct.pack("<I", 2)
+    # base: class-0 fixed-point v1, signed little-endian i2
+    exp += bytes([0x10, 0x08, 0, 0]) + struct.pack("<IHH", 2, 0, 16)
+    exp += b"lo\x00" + b"\x00" * 5        # name padded to 8
+    exp += b"hi\x00" + b"\x00" * 5
+    exp += struct.pack("<hh", 1, 300)     # values, base-sized
+    assert got == exp
+    assert _parse_dt(got) == (
+        "enum", np.dtype("<i2"), ("lo", "hi"), (1, 300)
+    )
+
+    # v3 body (compact names, no padding) — reader-accepts-what-the-
+    # writer-never-emits
+    v3 = bytes([0x38, 2, 0, 0]) + struct.pack("<I", 2)
+    v3 += bytes([0x10, 0x08, 0, 0]) + struct.pack("<IHH", 2, 0, 16)
+    v3 += b"lo\x00" + b"hi\x00"
+    v3 += struct.pack("<hh", 1, 300)
+    assert _parse_dt(v3) == (
+        "enum", np.dtype("<i2"), ("lo", "hi"), (1, 300)
+    )
+
+
+def test_opaque_datatype_golden_bytes():
+    """Class-5 OPAQUE datatype body: padded tag length in the class
+    bit field (H5Odtype.c convention), null-padded ASCII tag
+    property."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_body,
+        _parse_dt,
+        _parse_dt_sized,
+    )
+
+    dt = np.dtype("V6", metadata={"opaque_tag": "pix"})
+    got = _dt_body(dt)
+    exp = bytes([0x15, 8, 0, 0]) + struct.pack("<I", 6)
+    exp += b"pix\x00\x00\x00\x00\x00"
+    assert got == exp
+    assert _parse_dt(got) == ("opaque", 6, "pix")
+    assert _parse_dt_sized(got)[1] == len(got)
+    # untagged void still writes a valid (empty-tag) opaque
+    assert _parse_dt(_dt_body(np.dtype("V4"))) == ("opaque", 4, "")
+
+
+def test_enum_truncated_values_loud():
+    """An enum body cut before its value table raises a named
+    ValueError, not a bare struct/frombuffer error."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_body,
+        _parse_dt,
+    )
+
+    dt = np.dtype("u1", metadata={"enum_members": (("a", 0), ("b", 9))})
+    body = _dt_body(dt)
+    with pytest.raises(ValueError, match="enum datatype truncated"):
+        _parse_dt(body[:-2])
+
+
+def test_enum_opaque_dataset_roundtrip(tmp_path):
+    """NC_ENUM and NC_OPAQUE datasets round-trip contiguous AND
+    chunked+shuffle+deflate, with members/tag surfaced on the dataset
+    and slab pruning intact."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    members = (("clear", 0), ("cloud", 1), ("missing", 255))
+    edt = np.dtype("u1", metadata={"enum_members": members})
+    odt = np.dtype("V5", metadata={"opaque_tag": "raw5"})
+    flags = np.array([0, 1, 255, 1, 0, 255, 1, 0], dtype=edt)
+    blobs = np.zeros(8, dtype=odt)
+    bview = blobs.view("u1").reshape(8, 5)
+    bview[:] = (np.arange(8)[:, None] * 7 + np.arange(5)[None, :]) % 256
+
+    for opts in ({}, {"chunk": (3,), "compress": 4, "shuffle": True}):
+        p = os.path.join(tmp_path, f"eo_{bool(opts)}.h5")
+        write_hdf5(
+            p, {"flag": flags, "blob": blobs},
+            {k: dict(opts) for k in ("flag", "blob")} if opts else None,
+        )
+        h = HDF5File(p)
+        assert h.datasets["flag"].enum_members == members
+        assert h.datasets["blob"].opaque_tag == "raw5"
+        rf = h.read("flag")
+        assert rf.dtype == np.dtype("u1")
+        np.testing.assert_array_equal(rf, flags.view("u1"))
+        rb = h.read("blob")
+        assert rb.dtype.itemsize == 5 and rb.dtype.kind == "V"
+        assert rb.tobytes() == blobs.tobytes()
+        if opts:
+            sl = h.read_slab0("blob", 2, 6)
+            assert sl.tobytes() == blobs[2:6].tobytes()
+            np.testing.assert_array_equal(
+                h.read_slab0("flag", 5, 8), flags.view("u1")[5:8]
+            )
+
+
+def test_compound_enum_member_reads_as_base():
+    """A compound member of enum type (never emitted by our writer)
+    walks as its integer base — labels live on the datatype, ints on
+    the data (netCDF4-python's surface for enum members)."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_body,
+        _walk_compound,
+    )
+
+    edt = np.dtype("<i2", metadata={"enum_members": (("x", 3),)})
+    ebody = _dt_body(edt)
+    # hand-assembled compound v1: one member 'st' at offset 0
+    body = bytes([0x16, 1, 0, 0]) + struct.pack("<I", 2)
+    body += b"st\x00" + b"\x00" * 5          # name padded to 8
+    body += struct.pack("<IB3xI4x", 0, 0, 0)  # offset + v1 dim block
+    body += struct.pack("<4I", 0, 0, 0, 0)
+    body += ebody
+    walked, total = _walk_compound(body)
+    assert total == len(body)
+    names, formats, offsets, itemsize, vlen_strs, vlen_seqs = walked
+    assert names == ["st"]
+    assert formats == [np.dtype("<i2")]
+    assert not vlen_strs and not vlen_seqs
+
+
+def test_enum_attribute_steps_over(tmp_path):
+    """An attribute with an enum datatype is stepped over (netcdf-c
+    files don't need it for the variable mapping), never a crash."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        _dt_body,
+        write_hdf5,
+    )
+
+    p = os.path.join(tmp_path, "ea.h5")
+    write_hdf5(p, {"v": np.arange(4, dtype="<i4")})
+    h = HDF5File(p)
+    edt = np.dtype("u1", metadata={"enum_members": (("a", 0), ("b", 1))})
+    ebody = _dt_body(edt)
+    ds = struct.pack("<BBB5x", 1, 0, 0)  # scalar v1 dataspace
+    name = b"eattr\x00"
+    body = struct.pack("<BxHHH", 1, len(name), len(ebody), len(ds))
+    body += name + b"\x00" * (-len(name) % 8)
+    body += ebody + b"\x00" * (-len(ebody) % 8)
+    body += ds + b"\x00" * (-len(ds) % 8)
+    body += b"\x01"  # one u1 value
+    assert h._parse_attr(body) is None  # stepped over, no crash
