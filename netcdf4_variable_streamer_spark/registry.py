@@ -90,6 +90,7 @@ CANONICAL_ORDER: list[str] = [
     "q_join_lateral_topn",
     "src_netcdf4_enum_scan",
     "src_netcdf4_opaque_scan",
+    "src_netcdf_packed_scan",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

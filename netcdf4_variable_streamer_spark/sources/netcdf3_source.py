@@ -76,6 +76,58 @@ def _fill_value(v) -> "np.ndarray | None":
     return np.asarray(fv).astype(v.dtype.newbyteorder("="))
 
 
+def _mask_scale(v):
+    """CF packing spec -> ``(scale, offset)`` floats, or None if the
+    variable carries neither ``scale_factor`` nor ``add_offset``.
+    Unpacking is ``packed * scale + offset`` (the NUG convention;
+    netCDF4-python's ``set_auto_maskandscale`` applies it by default,
+    so the reference's users see UNPACKED values unless they opt
+    out)."""
+    sf = v.attrs.get("scale_factor")
+    ao = v.attrs.get("add_offset")
+    if sf is None and ao is None:
+        return None
+    scale = float(np.asarray(sf).reshape(())) if sf is not None else 1.0
+    off = float(np.asarray(ao).reshape(())) if ao is not None else 0.0
+    return scale, off
+
+
+def _invalid_mask(v, flat) -> "np.ndarray | None":
+    """netCDF auto-mask semantics beyond ``_FillValue``: cells equal
+    to ``missing_value`` (scalar or list) or outside
+    ``valid_range`` / ``valid_min`` / ``valid_max`` are missing data.
+    All comparisons happen on the PACKED values cast to the
+    variable's dtype (the NUG rule: validity is judged before
+    unpacking)."""
+    m = None
+
+    def _or(mm):
+        nonlocal m
+        m = mm if m is None else (m | mm)
+
+    mv = v.attrs.get("missing_value")
+    if mv is not None:
+        for x in np.atleast_1d(np.asarray(mv)).astype(
+            flat.dtype.newbyteorder("=")
+        ):
+            _or(flat == x)
+    vmin = vmax = None
+    vr = v.attrs.get("valid_range")
+    if vr is not None:
+        a = np.asarray(vr).reshape(-1)
+        vmin, vmax = a[0], a[-1]
+    if v.attrs.get("valid_min") is not None:
+        vmin = np.asarray(v.attrs["valid_min"]).reshape(())
+    if v.attrs.get("valid_max") is not None:
+        vmax = np.asarray(v.attrs["valid_max"]).reshape(())
+    dt = flat.dtype.newbyteorder("=")
+    if vmin is not None:
+        _or(flat < np.asarray(vmin).astype(dt))
+    if vmax is not None:
+        _or(flat > np.asarray(vmax).astype(dt))
+    return m
+
+
 _CF_UNIT_US = {
     "microseconds": 1,
     "milliseconds": 1_000,
@@ -276,7 +328,11 @@ def _record_vars(nc: NetCDF3File) -> list:
     return rvs
 
 
-def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
+def _spark_schema(
+    nc: NetCDF3File,
+    decode_cf_time: bool = False,
+    mask_and_scale: bool = False,
+) -> str:
     rvs = _record_vars(nc)
     dim_names = list(nc.dims)
     fixed = [dim_names[d] for d in _eff_fixed_dimids(rvs[0])]
@@ -296,13 +352,22 @@ def _spark_schema(nc: NetCDF3File, decode_cf_time: bool = False) -> str:
             # timestamp_ntz: CF times are calendar-naive UTC — no
             # session-timezone reinterpretation on foreign sessions
             parts.append(f"{v.name} timestamp_ntz")
+        elif (
+            mask_and_scale
+            and v.nc_type != NC_CHAR
+            and _mask_scale(v) is not None
+        ):
+            # CF-packed variable: unpacks to double at scan time
+            parts.append(f"{v.name} double")
         else:
             parts.append(f"{v.name} {_NC_SPARK[v.nc_type][0]}")
     return ", ".join(parts)
 
 
 def _spark_schema_union(
-    members: list[tuple[str, int, int]], decode_cf_time: bool = False
+    members: list[tuple[str, int, int]],
+    decode_cf_time: bool = False,
+    mask_and_scale: bool = False,
 ) -> str:
     """UNION schema across a directory's members (round 10 —
     ``schema_evolution=union``): archives evolve, later files gain
@@ -339,6 +404,12 @@ def _spark_schema_union(
                 and _cf_time(v) is not None
             ):
                 st = "timestamp_ntz"
+            elif (
+                mask_and_scale
+                and v.nc_type != NC_CHAR
+                and _mask_scale(v) is not None
+            ):
+                st = "double"
             else:
                 st = _NC_SPARK[v.nc_type][0]
             sig = (st, _eff_shape(v))
@@ -409,10 +480,12 @@ class NetCDF3Reader(DataSourceReader):
         target_partitions=None,
         decode_cf_time: bool = False,
         union_schema: bool = False,
+        mask_and_scale: bool = False,
     ):
         import os
 
         self.path = path
+        self.mask_and_scale = mask_and_scale
         self.columns = [f.name for f in schema.fields]
         # declared Spark type per column — the union path materializes
         # typed NULL arrays for variables a member predates
@@ -440,7 +513,7 @@ class NetCDF3Reader(DataSourceReader):
         if union_schema:
             # name-aligned union: per-variable signature + fixed-dim
             # agreement enforced by _spark_schema_union (raises there)
-            _spark_schema_union(self.members, decode_cf_time)
+            _spark_schema_union(self.members, decode_cf_time, mask_and_scale)
         else:
             ref_sig = member_sig(first)
             for p, _n, _off in self.members[1:]:
@@ -515,6 +588,7 @@ class NetCDF3Reader(DataSourceReader):
             partition.offset,
             self.decode_cf_time,
             col_types=self.col_types if self.union_schema else None,
+            mask_and_scale=self.mask_and_scale,
         )
 
 
@@ -526,6 +600,7 @@ def _arrow_batches(
     offset: int = 0,
     decode_cf_time: bool = False,
     col_types: dict[str, str] | None = None,
+    mask_and_scale: bool = False,
 ):
     """Arrow RecordBatches for records ``[lo, hi)`` of one .nc file —
     the shared executor-side column builder of the batch scan
@@ -573,7 +648,15 @@ def _arrow_batches(
             # _FillValue cells are missing data -> NULL (masked-array
             # semantics of the reference's netCDF4 base class)
             masks[v.name] = flat == fv
+        if mask_and_scale:
+            # netCDF auto-mask: missing_value / valid_range cells are
+            # NULL too (judged on the packed values, NUG rule)
+            inv = _invalid_mask(v, flat)
+            if inv is not None:
+                prev = masks.get(v.name)
+                masks[v.name] = inv if prev is None else (prev | inv)
         cf = _cf_time(v) if decode_cf_time else None
+        ms = _mask_scale(v) if mask_and_scale else None
         if cf is not None:
             vals, invalid = _decode_cf_values(cf, flat)
             arrays[v.name] = vals
@@ -582,6 +665,11 @@ def _arrow_batches(
                 masks[v.name] = (
                     invalid if prev is None else (prev | invalid)
                 )
+        elif ms is not None:
+            # CF unpack: packed * scale + add_offset, in float64 (one
+            # vectorized expression; masked cells' garbage values are
+            # nulled by the mask, never surfaced)
+            arrays[v.name] = flat.astype(np.float64) * ms[0] + ms[1]
         else:
             # native byte order + the declared Spark width (unsigned
             # CDF-5 types widen to the next signed type here)
@@ -949,6 +1037,13 @@ class NetCDF3DataSource(DataSource):
     - ``decode_cf_time``: "true" to decode variables carrying a CF
       ``units = "<unit> since <date>"`` attribute to ``timestamp_ntz``
       (standard/proleptic-Gregorian calendars only; batch scans only).
+    - ``mask_and_scale``: "true" for netCDF4-python's default
+      ``set_auto_maskandscale`` semantics — variables carrying
+      ``scale_factor``/``add_offset`` unpack to double at scan time,
+      and cells equal to ``missing_value`` or outside
+      ``valid_range``/``valid_min``/``valid_max`` are NULL (judged on
+      the packed values; batch scans only). CF time decode wins when
+      a variable carries both conventions.
     """
 
     @classmethod
@@ -957,6 +1052,12 @@ class NetCDF3DataSource(DataSource):
 
     def _cf_opt(self) -> bool:
         return str(self.options.get("decode_cf_time", "")).lower() in (
+            "true",
+            "1",
+        )
+
+    def _ms_opt(self) -> bool:
+        return str(self.options.get("mask_and_scale", "")).lower() in (
             "true",
             "1",
         )
@@ -971,10 +1072,14 @@ class NetCDF3DataSource(DataSource):
         if self._union_opt():
             # round 10: name-aligned UNION of the members' variable
             # sets (evolving archives — later files gain variables)
-            return _spark_schema_union(members, self._cf_opt())
+            return _spark_schema_union(
+                members, self._cf_opt(), self._ms_opt()
+            )
         # first member carries the schema (multi-file: consistency is
         # enforced across all members when the reader is built)
-        return _spark_schema(NetCDF3File(members[0][0]), self._cf_opt())
+        return _spark_schema(
+            NetCDF3File(members[0][0]), self._cf_opt(), self._ms_opt()
+        )
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")
@@ -984,6 +1089,7 @@ class NetCDF3DataSource(DataSource):
             int(tp) if tp else None,
             decode_cf_time=self._cf_opt(),
             union_schema=self._union_opt(),
+            mask_and_scale=self._ms_opt(),
         )
 
     def _no_cf_tail(self) -> None:
@@ -992,6 +1098,12 @@ class NetCDF3DataSource(DataSource):
                 "decode_cf_time is a batch-scan option; the streaming "
                 "tail emits raw CF numbers — decode with "
                 "timestamp_micros() downstream"
+            )
+        if self._ms_opt():
+            raise ValueError(
+                "mask_and_scale is a batch-scan option; the streaming "
+                "tail emits raw packed numbers — unpack with "
+                "value * scale + offset downstream"
             )
 
     def streamReader(self, schema: StructType):

@@ -70,6 +70,8 @@ from netcdf4_variable_streamer_spark.sources.hdf5lite import NetCDF4View
 from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
     _cf_time,
     _decode_cf_values,
+    _invalid_mask,
+    _mask_scale,
 )
 from netcdf4_variable_streamer_spark.sources.tailcache import (
     FrozenMemberCounts,
@@ -291,7 +293,11 @@ def _record_vars(v: NetCDF4View) -> list:
     return rvs
 
 
-def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
+def _spark_schema(
+    v: NetCDF4View,
+    decode_cf_time: bool = False,
+    mask_and_scale: bool = False,
+) -> str:
     rvs = _record_vars(v)
     fixed = _eff_fixed_dims4(rvs[0])
     parts = [f"{v.record_dim}_idx long"]
@@ -339,6 +345,10 @@ def _spark_schema(v: NetCDF4View, decode_cf_time: bool = False) -> str:
             # timestamp_ntz: CF times are calendar-naive UTC (same
             # opt-in semantics as the NetCDF-3 source)
             parts.append(f"{_ddl_name(x.name)} timestamp_ntz")
+        elif mask_and_scale and _mask_scale(x) is not None:
+            # CF-packed variable: unpacks to double at scan time
+            # (same opt-in semantics as the NetCDF-3 source)
+            parts.append(f"{_ddl_name(x.name)} double")
         else:
             parts.append(f"{_ddl_name(x.name)} {_NP_SPARK[key][0]}")
     return ", ".join(parts)
@@ -368,7 +378,9 @@ def _resolve_members(path: str) -> list[tuple[str, int, int]]:
 
 
 def _spark_schema_union(
-    members: list[tuple[str, int, int]], decode_cf_time: bool = False
+    members: list[tuple[str, int, int]],
+    decode_cf_time: bool = False,
+    mask_and_scale: bool = False,
 ) -> str:
     """UNION schema across a directory's members (round 10,
     ``schema_evolution=union`` — HDF5 twin of the NetCDF-3 source's):
@@ -399,7 +411,7 @@ def _spark_schema_union(
             )
         # reuse the single-file schema builder for the member's own
         # declarations, then merge by name
-        member_ddl = _spark_schema(v, decode_cf_time)
+        member_ddl = _spark_schema(v, decode_cf_time, mask_and_scale)
         own = dict(
             d.strip().split(" ", 1)
             for d in _split_top_level(member_ddl)
@@ -449,11 +461,13 @@ class NetCDF4Reader(DataSourceReader):
         target_partitions=None,
         decode_cf_time: bool = False,
         union_schema: bool = False,
+        mask_and_scale: bool = False,
     ):
         import os
 
         self.path = path
         self.decode_cf_time = decode_cf_time
+        self.mask_and_scale = mask_and_scale
         self.columns = [f.name for f in schema.fields]
         self.union_schema = union_schema
         if union_schema:
@@ -483,7 +497,7 @@ class NetCDF4Reader(DataSourceReader):
         if union_schema:
             # per-variable signature + fixed-dim agreement enforced by
             # _spark_schema_union (raises there)
-            _spark_schema_union(self.members, decode_cf_time)
+            _spark_schema_union(self.members, decode_cf_time, mask_and_scale)
         else:
             ref_sig = member_sig(first)
             for p, _n, _off in self.members[1:]:
@@ -557,6 +571,7 @@ class NetCDF4Reader(DataSourceReader):
             partition.offset,
             self.decode_cf_time,
             col_pa=self.col_pa,
+            mask_and_scale=self.mask_and_scale,
         )
 
 
@@ -568,6 +583,7 @@ def _arrow_batches4(
     offset: int = 0,
     decode_cf_time: bool = False,
     col_pa: dict | None = None,
+    mask_and_scale: bool = False,
 ):
     """Arrow RecordBatches for records ``[lo, hi)`` of one NetCDF-4
     file — the shared executor-side column builder of the batch scan
@@ -643,7 +659,20 @@ def _arrow_batches4(
         fv = x.attrs.get("_FillValue")
         if fv is not None:
             masks[x.name] = flat == np.asarray(fv).astype(x.dtype)
+        if mask_and_scale:
+            # netCDF auto-mask: missing_value / valid_range cells are
+            # NULL too (judged on the packed values, NUG rule)
+            inv = _invalid_mask(x, flat)
+            if inv is not None:
+                prev = masks.get(x.name)
+                masks[x.name] = inv if prev is None else (prev | inv)
+        ms = _mask_scale(x) if mask_and_scale else None
         cf = _cf_time(x) if decode_cf_time else None
+        if cf is None and ms is not None:
+            # CF unpack: packed * scale + add_offset in float64 (one
+            # vectorized expression; masked cells never surface)
+            arrays[x.name] = flat.astype(np.float64) * ms[0] + ms[1]
+            continue
         if cf is not None:
             vals, invalid = _decode_cf_values(cf, flat)
             arrays[x.name] = vals
@@ -1033,13 +1062,22 @@ class NetCDF4DataSource(DataSource):
             self.options.get("schema_evolution", "")
         ).lower() in ("union", "true", "1")
 
+    def _ms_opt(self) -> bool:
+        return str(
+            self.options.get("mask_and_scale", "")
+        ).lower() in ("true", "1")
+
     def schema(self) -> str:
         members = _resolve_members(self.options["path"])
         if self._union_opt():
             # round 10: name-aligned UNION of the members' variable
             # sets (evolving archives — later files gain variables)
-            return _spark_schema_union(members, self._decode_cf())
-        return _spark_schema(NetCDF4View(members[0][0]), self._decode_cf())
+            return _spark_schema_union(
+                members, self._decode_cf(), self._ms_opt()
+            )
+        return _spark_schema(
+            NetCDF4View(members[0][0]), self._decode_cf(), self._ms_opt()
+        )
 
     def reader(self, schema: StructType) -> DataSourceReader:
         tp = self.options.get("target_partitions")
@@ -1049,6 +1087,7 @@ class NetCDF4DataSource(DataSource):
             int(tp) if tp else None,
             union_schema=self._union_opt(),
             decode_cf_time=self._decode_cf(),
+            mask_and_scale=self._ms_opt(),
         )
 
     def streamReader(self, schema: StructType):
@@ -1065,6 +1104,12 @@ class NetCDF4DataSource(DataSource):
             raise PySparkNotImplementedError(
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "streamReader"},
+            )
+        if self._ms_opt():
+            raise ValueError(
+                "mask_and_scale is a batch-scan option; the streaming "
+                "tail emits raw packed numbers — unpack with "
+                "value * scale + offset downstream"
             )
         import os
 
@@ -1085,6 +1130,12 @@ class NetCDF4DataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         import os
 
+        if self._ms_opt():
+            raise ValueError(
+                "mask_and_scale is a batch-scan option; the streaming "
+                "tail emits raw packed numbers — unpack with "
+                "value * scale + offset downstream"
+            )
         path = self.options["path"]
         if self._union_opt():
             # the Simple dir reader drains rows member-by-member with

@@ -2015,6 +2015,163 @@ def src_netcdf_uint64_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionAll(parts[1])
 
 
+def ensure_packed_fixture(suffix: str, t_total: int = 64) -> str:
+    """A CF-PACKED record variable in either container (round 12):
+    ``.nc`` → classic file with i2 ``ptemp(t, cell)``, attrs
+    scale_factor=0.25 / add_offset=100.5 / missing_value=-9999
+    (missing where (t+s)%13==0); ``.nc4`` → HDF5 container with i2
+    ``prad(t, cell)`` shuffle+deflate, scale_factor=0.125 /
+    add_offset=-20.25 / valid_range=[0, 500] (packed values outside
+    the range are invalid by construction). Packed values closed-form
+    ``(t*7 + s*11) % 400 - 50`` / ``(t*13 + s*5) % 600 - 40``;
+    scale/offset dyadic so unpacking is float-exact."""
+    import numpy as np
+
+    path = os.path.join(SCRATCH, f"packed_{t_total}{suffix}")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_s = 4
+    t = np.arange(t_total)[:, None]
+    s = np.arange(n_s)[None, :]
+    tmp = path + ".tmp"
+    if suffix == ".nc":
+        from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+            write_netcdf3,
+        )
+
+        packed = ((t * 7 + s * 11) % 400 - 50).astype("<i2")
+        packed[(t + s) % 13 == 0] = -9999
+        write_netcdf3(
+            tmp,
+            dims={"t": None, "cell": n_s},
+            variables={"ptemp": ("int16", ("t", "cell"))},
+            data={"ptemp": packed},
+            var_attrs={
+                "ptemp": {
+                    "scale_factor": 0.25,
+                    "add_offset": 100.5,
+                    "missing_value": np.int16(-9999),
+                }
+            },
+        )
+    else:
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            write_netcdf4,
+        )
+
+        packed = ((t * 13 + s * 5) % 600 - 40).astype("<i2")
+        write_netcdf4(
+            tmp,
+            dims={"t": None, "cell": n_s},
+            variables={"prad": ("<i2", ("t", "cell"))},
+            data={"prad": packed},
+            var_attrs={
+                "prad": {
+                    "scale_factor": 0.125,
+                    "add_offset": -20.25,
+                    "valid_range": np.array([0, 500], dtype="<i2"),
+                }
+            },
+            compress=4,
+            shuffle=True,
+            chunk0=16,
+        )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf_packed_scan",
+    oracle=f"""
+WITH cells AS (
+  SELECT tt.t AS t, ss.s AS s
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS s) ss
+  WHERE tt.t >= 8 AND tt.t < 56
+),
+u AS (
+  SELECT 'classic' AS container,
+         CASE WHEN (t + s) % 13 = 0 THEN NULL
+              ELSE ((t*7 + s*11) % 400 - 50) * 0.25 + 100.5
+         END AS val
+  FROM cells
+  UNION ALL
+  SELECT 'nc4' AS container,
+         CASE WHEN ((t*13 + s*5) % 600 - 40) < 0
+                OR ((t*13 + s*5) % 600 - 40) > 500 THEN NULL
+              ELSE ((t*13 + s*5) % 600 - 40) * 0.125 - 20.25
+         END AS val
+  FROM cells
+)
+SELECT container,
+       COUNT(*) AS n_rec,
+       CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_missing,
+       {SQL_DSUM('val')} AS sum_val,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM u GROUP BY container ORDER BY container
+""",
+    doc="CF mask-and-scale scan in BOTH real containers (round 12): "
+        "netCDF4-python applies scale_factor/add_offset unpacking and "
+        "missing_value/valid_range masking BY DEFAULT "
+        "(set_auto_maskandscale), so the reference's users see "
+        "unpacked floats with missing cells — option "
+        "mask_and_scale=true reproduces that surface: packed i2 "
+        "unpacks to double as packed*scale+offset in one vectorized "
+        "expression, missing_value cells (classic) and "
+        "outside-valid_range cells (HDF5, judged on PACKED values per "
+        "the NUG rule) surface as NULL. Dyadic scale/offset makes the "
+        "unpacking float-exact; record-range pushdown and chunk "
+        "pruning are unchanged (the nc4 side decodes shuffle+deflate "
+        "chunks first).",
+)
+def src_netcdf_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF3DataSource)
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    parts = []
+    for label, fmt, suffix, var in (
+        ("classic", FORMAT3_NAME, ".nc", "ptemp"),
+        ("nc4", FORMAT4_NAME, ".nc4", "prad"),
+    ):
+        df = (
+            spark.read.format(fmt)
+            .option("path", ensure_packed_fixture(suffix))
+            .option("mask_and_scale", "true")
+            .load()
+            .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+            .select(
+                F.lit(label).alias("container"),
+                F.col(var).alias("val"),
+            )
+        )
+        parts.append(df)
+    return (
+        parts[0]
+        .unionAll(parts[1])
+        .groupBy("container")
+        .agg(
+            F.count(F.lit(1)).alias("n_rec"),
+            (F.count(F.lit(1)) - F.count("val")).alias("n_missing"),
+            dsum(F.col("val")).alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("container")
+    )
+
+
 def ensure_nc3_cf(path: str | None = None, t_total: int = 96) -> str:
     """A CF-convention time series: coordinate variable `t` in hours
     since 2024-01-01, a value series, both closed-form."""

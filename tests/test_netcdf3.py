@@ -1387,3 +1387,187 @@ def test_union_dir_tail_follows_evolution_live(tmp_path, spark):
         for r in b.to_pylist()
     ]
     assert [(r["t_idx"], r["v"], r["w"]) for r in rows2] == [(2, 3, 30)]
+
+
+# ---------------------------------------------------------------------------
+# CF mask-and-scale (round 12): netCDF4-python's default
+# set_auto_maskandscale surface behind option mask_and_scale=true.
+# ---------------------------------------------------------------------------
+
+
+def test_mask_scale_helpers():
+    """_mask_scale / _invalid_mask unit semantics: defaults for a
+    missing attr, scalar-or-list missing_value, valid_range vs the
+    separate valid_min/valid_max spellings (which override the
+    range's endpoints per the NUG)."""
+    from types import SimpleNamespace
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _invalid_mask,
+        _mask_scale,
+    )
+
+    v = SimpleNamespace(attrs={})
+    assert _mask_scale(v) is None
+    assert _invalid_mask(v, np.arange(4, dtype="<i2")) is None
+
+    v = SimpleNamespace(attrs={"scale_factor": 0.5})
+    assert _mask_scale(v) == (0.5, 0.0)
+    v = SimpleNamespace(attrs={"add_offset": 7.0})
+    assert _mask_scale(v) == (1.0, 7.0)
+
+    flat = np.array([-5, 0, 3, 9, 11], dtype="<i2")
+    v = SimpleNamespace(attrs={"missing_value": np.int16(9)})
+    np.testing.assert_array_equal(
+        _invalid_mask(v, flat), [False, False, False, True, False]
+    )
+    # list-valued missing_value (the NUG allows several)
+    v = SimpleNamespace(
+        attrs={"missing_value": np.array([9, -5], dtype="<i2")}
+    )
+    np.testing.assert_array_equal(
+        _invalid_mask(v, flat), [True, False, False, True, False]
+    )
+    v = SimpleNamespace(attrs={"valid_range": np.array([0, 10], "<i2")})
+    np.testing.assert_array_equal(
+        _invalid_mask(v, flat), [True, False, False, False, True]
+    )
+    # valid_min/valid_max spellings override the range endpoints
+    v = SimpleNamespace(
+        attrs={
+            "valid_range": np.array([0, 10], "<i2"),
+            "valid_min": np.int16(1),
+        }
+    )
+    np.testing.assert_array_equal(
+        _invalid_mask(v, flat), [True, True, False, False, True]
+    )
+    v = SimpleNamespace(attrs={"valid_max": np.int16(3)})
+    np.testing.assert_array_equal(
+        _invalid_mask(v, flat), [False, False, False, True, True]
+    )
+
+
+def test_mask_scale_cf_time_precedence(tmp_path):
+    """A variable carrying BOTH a CF units attribute and
+    scale_factor decodes as time when both options are on — CF time
+    wins (packed time axes unpack with num2date in the wild, not
+    mask-and-scale)."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        write_netcdf3,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _spark_schema,
+    )
+
+    p = os.path.join(tmp_path, "both.nc")
+    write_netcdf3(
+        p,
+        dims={"t": None},
+        variables={"when": ("float64", ("t",))},
+        data={"when": np.arange(4, dtype="f8")},
+        var_attrs={
+            "when": {
+                "units": "hours since 2024-01-01",
+                "scale_factor": 2.0,
+            }
+        },
+    )
+    nc = NetCDF3File(p)
+    ddl = _spark_schema(nc, decode_cf_time=True, mask_and_scale=True)
+    assert "when timestamp_ntz" in ddl
+    # without CF decode, the packing applies
+    ddl2 = _spark_schema(nc, decode_cf_time=False, mask_and_scale=True)
+    assert "when double" in ddl2
+
+
+def test_mask_scale_tail_refusal(spark, tmp_path):
+    """mask_and_scale is a batch option: both containers' streaming
+    tails refuse loudly naming the fix."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        write_netcdf3,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    p = os.path.join(tmp_path, "pk.nc")
+    write_netcdf3(
+        p,
+        dims={"t": None},
+        variables={"x": ("int16", ("t",))},
+        data={"x": np.arange(4, dtype="<i2")},
+        var_attrs={"x": {"scale_factor": 0.5}},
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    st = (
+        spark.readStream.format(FORMAT3_NAME)
+        .option("path", p)
+        .option("mask_and_scale", "true")
+        .load()
+    )
+    q = None
+    with pytest.raises(Exception, match="mask_and_scale is a batch-scan"):
+        try:
+            q = (
+                st.writeStream.format("memory")
+                .queryName("ms_refusal")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(30)
+            raise AssertionError("tail did not refuse")
+        finally:
+            if q is not None:
+                q.stop()
+
+
+def test_mask_scale_unpacked_values(spark, tmp_path):
+    """End-to-end Spark scan: packed i2 with scale/offset surfaces
+    unpacked doubles with NULLs at missing_value cells; the raw scan
+    (option off) still returns the packed shorts."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        write_netcdf3,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        FORMAT3_NAME,
+        NetCDF3DataSource,
+    )
+
+    p = os.path.join(tmp_path, "pk2.nc")
+    packed = np.array([4, -9999, 12, -8], dtype="<i2")
+    write_netcdf3(
+        p,
+        dims={"t": None},
+        variables={"x": ("int16", ("t",))},
+        data={"x": packed},
+        var_attrs={
+            "x": {
+                "scale_factor": 0.25,
+                "add_offset": 10.0,
+                "missing_value": np.int16(-9999),
+            }
+        },
+    )
+    spark.dataSource.register(NetCDF3DataSource)
+    got = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", p)
+        .option("mask_and_scale", "true")
+        .load()
+        .orderBy("t_idx")
+        .select("x")
+        .collect()
+    )
+    assert [r.x for r in got] == [11.0, None, 13.0, 8.0]
+    raw = (
+        spark.read.format(FORMAT3_NAME)
+        .option("path", p)
+        .load()
+        .orderBy("t_idx")
+        .select("x")
+        .collect()
+    )
+    assert [r.x for r in raw] == [4, -9999, 12, -8]
