@@ -1423,3 +1423,87 @@ def q_text_classifier_score(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_text_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+""",
+    doc="Per-document n-gram NOVELTY — the corpus-redundancy metric "
+        "behind dedup-threshold tuning and memorization studies (Lee "
+        "et al.'s dedup work measures exactly this): a word trigram "
+        "is novel for the doc with the smallest doc_id containing it; "
+        "each doc reports its distinct-trigram count, novel count, "
+        "and ppm novelty ratio (integer division — bit-exact). A "
+        "low-novelty doc is mostly assembled from text seen earlier "
+        "in the corpus (boilerplate, mirrors, templates). Trigrams "
+        "form map-side (one zip of the token array with two shifts, "
+        "array_distinct per doc — short docs guarded against "
+        "sequence() descending); then ONE gram-keyed min-agg and ONE "
+        "gram-keyed score-back join, the q_text_bigram_logprob "
+        "posture. At 100 TB the gram table is the big shuffle and it "
+        "is keyed, combinable, and skew-tolerant (grams are near-"
+        "unique); per-doc output rows = |docs|.",
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("w"),
+    )
+    n = F.size("w")
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i),
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+        ),
+    )
+    g = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                # sequence(1, n-2) DESCENDS when n < 3 — guard first
+                F.when(n >= 3, F.array_distinct(tri)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("gram"),
+        )
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+            F.expr(
+                "(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000) div COUNT(*)"
+            ).alias("novelty_ppm"),
+        )
+    )
