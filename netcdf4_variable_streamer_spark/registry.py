@@ -92,6 +92,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_opaque_scan",
     "src_netcdf_packed_scan",
     "q_text_ngram_novelty",
+    "snk_netcdf4_write_enum_opaque",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -1594,6 +1594,182 @@ def snk_netcdf4_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
 
+def _nc4_enum_opaque_write_partition(path: str):
+    """mapInPandas kernel: pwrite enum (base-integer) and opaque
+    (void-byte) record chunks — same disjoint-range protocol as
+    _nc4_write_partition; the binary column's bytes become V8 cells
+    with one frombuffer per record."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+            pwrite_records_nc4,
+        )
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        n_written = 0
+        if len(pdf):
+            pdf = pdf.sort_values(["time_idx", "cell_idx"])
+            for t, g in pdf.groupby("time_idx"):
+                blob = np.frombuffer(
+                    b"".join(g["blob"].tolist()), dtype="V8"
+                )
+                pwrite_records_nc4(
+                    path,
+                    {
+                        "flag": g["flag"].to_numpy().astype("u1"),
+                        "blob": blob,
+                    },
+                    int(t),
+                )
+                n_written += 1
+        yield pd.DataFrame({"n_records": [n_written]})
+
+    return fn
+
+
+@register(
+    "snk_netcdf4_write_enum_opaque",
+    oracle="""
+WITH g AS (
+  SELECT tt.t AS t, ss.s AS s,
+         CASE (tt.t + 2*ss.s) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+              WHEN 2 THEN 2 ELSE 255 END AS code,
+         (tt.t * 5 + ss.s * 3) % 256 AS b0
+  FROM (SELECT UNNEST(generate_series(0, 31)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS s) ss
+)
+SELECT CAST(code AS BIGINT) AS code,
+       CASE code WHEN 0 THEN 'clear' WHEN 1 THEN 'cloud'
+            WHEN 2 THEN 'snow' ELSE 'missing' END AS label,
+       COUNT(*) AS n_rec,
+       CAST(SUM(b0) AS BIGINT) AS sum_b0
+FROM g GROUP BY code ORDER BY code
+""",
+    doc="DISTRIBUTED export of NC_ENUM + NC_OPAQUE variables "
+        "(round 12): create_netcdf4 lays down the class-8/class-5 "
+        "datatype messages from the metadata markers with the chunk "
+        "region preallocated one-record-per-chunk, then executors "
+        "pwrite their record ranges with zero coordination — enum "
+        "cells are base integers and opaque cells fixed-size raw "
+        "bytes, so both ride the same disjoint-byte-range protocol "
+        "as scalar variables (no heap, no two-phase). The round-trip "
+        "scan decodes labels from the DISTRIBUTED-created file's own "
+        "datatype members, proving the metadata survives the "
+        "preallocate-then-pwrite path.",
+)
+def snk_netcdf4_write_enum_opaque(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+        create_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    n_t, n_s = 32, 4
+    members = (("clear", 0), ("cloud", 1), ("snow", 2), ("missing", 255))
+    edt = np.dtype("u1", metadata={"enum_members": members})
+    odt = np.dtype("V8", metadata={"opaque_tag": "sensor-packet"})
+    dst = os.path.join(SCRATCH, f"enumopq_{_uuid.uuid4().hex[:8]}.nc4")
+    os.makedirs(SCRATCH, exist_ok=True)
+    create_netcdf4(
+        dst,
+        dims={"time": None, "cell": n_s},
+        variables={
+            "flag": (edt, ("time", "cell")),
+            "blob": (odt, ("time", "cell")),
+        },
+        numrecs=n_t,
+    )
+    try:
+        t = F.floor(F.col("id") / n_s).cast("long")
+        s = F.col("id") % n_s
+        src = (
+            spark.range(n_t * n_s)
+            .select(
+                t.alias("time_idx"),
+                s.cast("int").alias("cell_idx"),
+                F.element_at(
+                    F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(255)),
+                    ((t + 2 * s) % 4 + 1).cast("int"),
+                ).cast("int").alias("flag"),
+                F.unhex(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(7)),
+                            lambda k: F.lpad(
+                                F.hex((t * 5 + s * 3 + k) % 256), 2, "0"
+                            ),
+                        ),
+                    )
+                ).alias("blob"),
+            )
+            .repartition(4, "time_idx")
+        )
+        audits = src.mapInPandas(
+            _nc4_enum_opaque_write_partition(dst), schema="n_records long"
+        )
+        n_written = audits.agg(F.sum("n_records")).first()[0]
+        assert n_written == n_t, f"wrote {n_written} records"
+        # label map read from the DISTRIBUTED-created file itself
+        got_members = NetCDF4View(dst).variables["flag"].enum_members
+        assert got_members == members, got_members
+        assert NetCDF4View(dst).variables["blob"].opaque_tag == (
+            "sensor-packet"
+        )
+        label_map = F.create_map(
+            *[
+                x
+                for nm_v in got_members
+                for x in (F.lit(int(nm_v[1])), F.lit(nm_v[0]))
+            ]
+        )
+        apply_runtime_confs(spark)
+        spark.dataSource.register(NetCDF4DataSource)
+        back = spark.read.format(FORMAT4_NAME).option("path", dst).load()
+        hx = F.upper(F.hex(F.col("blob")))
+        out = (
+            back.select(
+                F.col("flag").cast("long").alias("code"),
+                F.conv(F.substring(hx, 1, 2), 16, 10)
+                .cast("long")
+                .alias("b0"),
+            )
+            .groupBy("code")
+            .agg(
+                F.count(F.lit(1)).alias("n_rec"),
+                F.sum("b0").alias("sum_b0"),
+            )
+            .select(
+                "code",
+                F.element_at(label_map, F.col("code").cast("int")).alias(
+                    "label"
+                ),
+                "n_rec",
+                "sum_b0",
+            )
+            .orderBy("code")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in out],
+            "code long, label string, n_rec long, sum_b0 long",
+        )
+    finally:
+        try:
+            os.remove(dst)
+        except OSError:
+            pass
+
+
 def _nc4_sizes_partition(szip: dict | None = None):
     """mapInPandas kernel, phase 1 of the two-phase compressed export:
     compress each record's chunk, report (time_idx, var, nbytes) — the

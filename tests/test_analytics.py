@@ -87,7 +87,7 @@ NEW_KEYS = [
     "q_dedup_cross_corpus", "q_join_asof_forward",
     "q_join_lateral_topn", "src_netcdf4_enum_scan",
     "src_netcdf4_opaque_scan", "src_netcdf_packed_scan",
-    "q_text_ngram_novelty",
+    "q_text_ngram_novelty", "snk_netcdf4_write_enum_opaque",
 ]
 
 
