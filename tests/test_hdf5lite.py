@@ -4365,3 +4365,73 @@ def test_enum_attribute_steps_over(tmp_path):
     body += ds + b"\x00" * (-len(ds) % 8)
     body += b"\x01"  # one u1 value
     assert h._parse_attr(body) is None  # stepped over, no crash
+
+
+def test_enum_foreign_encodings():
+    """Foreign enum flavors the writer never emits: version-2 header
+    (names still 8-padded), big-endian base (values decode in the
+    base's byte order), and a vlen-of-enum DATASET refusing loudly."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _parse_dt,
+    )
+
+    # v2 class-8, BE i2 base, values big-endian
+    v2 = bytes([0x28, 1, 0, 0]) + struct.pack("<I", 2)
+    v2 += bytes([0x10, 0x09, 0, 0]) + struct.pack("<IHH", 2, 0, 16)
+    v2 += b"neg\x00" + b"\x00" * 4
+    v2 += struct.pack(">h", -7)
+    assert _parse_dt(v2) == ("enum", np.dtype(">i2"), ("neg",), (-7,))
+
+    # enum over a FLOAT base is not an enum per spec — degrade to the
+    # stepped-over marker, never a crash
+    fbody = bytes([0x18, 1, 0, 0]) + struct.pack("<I", 4)
+    fbody += bytes([0x11, 0x20, 31, 0]) + struct.pack(
+        "<IHHBBBBI", 4, 0, 32, 23, 8, 0, 23, 127
+    )
+    fbody += b"x\x00" + b"\x00" * 6 + b"\x00" * 4
+    assert _parse_dt(fbody) == ("other", 8)
+
+
+def test_opaque_unpadded_foreign_tag():
+    """A foreign opaque body whose stored tag length is NOT a
+    multiple of 8 still parses (the parser trusts the stored length,
+    strips trailing NULs)."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _parse_dt,
+        _parse_dt_sized,
+    )
+
+    body = bytes([0x15, 3, 0, 0]) + struct.pack("<I", 2) + b"ab\x00"
+    assert _parse_dt(body) == ("opaque", 2, "ab")
+    assert _parse_dt_sized(body)[1] == len(body)
+
+
+def test_vlen_of_enum_dataset_refuses(tmp_path, monkeypatch):
+    """A vlen-of-enum dataset (constructible with h5py, outside the
+    netCDF model) refuses loudly at the dataset gate instead of
+    corrupting cells: the parse layer is made to yield the
+    vlen-of-enum marker for the file's one datatype message and the
+    gate must raise the named ValueError."""
+    import struct
+
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    p = os.path.join(tmp_path, "ve.h5")
+    hl.write_hdf5(p, {"v": np.arange(6, dtype="<i4")})
+
+    edt = np.dtype("u1", metadata={"enum_members": (("a", 0),)})
+    vlen = struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16) + hl._dt_body(edt)
+    marker = hl._parse_dt(vlen)
+    assert isinstance(marker, tuple) and marker[0] == "vlen"
+    assert marker[1] == ("enum", np.dtype("u1"), ("a",), (0,))
+
+    real = hl._parse_dt
+    monkeypatch.setattr(hl, "_parse_dt", lambda body: marker)
+    with pytest.raises(ValueError, match="datasets of this datatype"):
+        hl.HDF5File(p)
+    monkeypatch.setattr(hl, "_parse_dt", real)
+    assert hl.HDF5File(p).read("v").tolist() == list(range(6))
