@@ -781,3 +781,17 @@ def test_lateral_topn_decorrelates(spark):
     assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert plans.count_nodes(plan, "Window") >= 1, plan
+
+
+def test_ngram_novelty_posture(spark):
+    """q_text_ngram_novelty: trigrams form map-side (no shuffle to
+    build them), then ONE gram-keyed agg + ONE gram equi-join — no
+    cartesian, no Python anywhere in the path."""
+    df = build(spark, "q_text_ngram_novelty")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    # wide operators: the gram-keyed agg and the final doc_id agg
+    # (the |grams|-sized min table broadcasts at fixture scale)
+    plans.assert_max_shuffles(df, 3)
