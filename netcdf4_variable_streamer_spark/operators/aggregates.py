@@ -696,3 +696,82 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_or(o_totalprice > 400000)").alias("any_huge"),
         F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
     )
+
+
+@register(
+    "q_agg_weighted_percentile",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM g
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN 2 * cumw >= total THEN v END) AS wmedian,
+       MIN(CASE WHEN 4 * cumw >= total THEN v END) AS wp25,
+       MIN(CASE WHEN 10 * cumw >= 9 * total THEN v END) AS wp90,
+       CAST(MAX(total) AS BIGINT) AS total_w
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="EXACT weighted percentiles (round 12 — the quantity-weighted "
+        "price distribution question percentile_approx cannot answer "
+        "exactly and plain percentiles answer WRONGLY when rows carry "
+        "weights): the weighted p-quantile is the smallest value "
+        "whose cumulative weight reaches p of the total, decided by "
+        "integer cross-multiplication (2*cumw >= total etc. — no "
+        "float division, bit-exact, tie-deterministic because "
+        "cumulative weight is per DISTINCT value). Shape: ONE "
+        "(key, value) pre-aggregation collapses rows to distinct "
+        "values BEFORE the window — the window input is "
+        "|distinct values| per key, never |rows| — then one window "
+        "pass and a |keys|-row final agg. At 100 TB the "
+        "pre-aggregation is the only row-proportional stage and it "
+        "is map-side combinable.",
+)
+def q_agg_weighted_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(cum).alias("cumw"),
+        F.sum("w").over(full).alias("total"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("total"), F.col("v"))
+            ).alias("wmedian"),
+            F.min(
+                F.when(4 * F.col("cumw") >= F.col("total"), F.col("v"))
+            ).alias("wp25"),
+            F.min(
+                F.when(
+                    10 * F.col("cumw") >= 9 * F.col("total"), F.col("v")
+                )
+            ).alias("wp90"),
+            F.max("total").alias("total_w"),
+        )
+        .orderBy("l_returnflag")
+    )

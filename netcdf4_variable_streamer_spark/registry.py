@@ -93,6 +93,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf_packed_scan",
     "q_text_ngram_novelty",
     "snk_netcdf4_write_enum_opaque",
+    "q_agg_weighted_percentile",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
