@@ -476,3 +476,87 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").alias("sum_bal_cents"),
         )
     )
+
+
+@register(
+    "q_validate_referential",
+    oracle="""
+WITH ck AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+ok AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+cu AS (SELECT c_custkey AS k FROM customer),
+oc AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1)
+SELECT relation, n_child_rows, n_child_keys, n_orphan_keys,
+       n_parent_keys, n_childless_parents FROM (
+  SELECT 'lineitem->orders' AS relation,
+         CAST((SELECT SUM(n) FROM ck) AS BIGINT) AS n_child_rows,
+         (SELECT COUNT(*) FROM ck) AS n_child_keys,
+         (SELECT COUNT(*) FROM ck
+          WHERE k NOT IN (SELECT k FROM ok)) AS n_orphan_keys,
+         (SELECT COUNT(*) FROM ok) AS n_parent_keys,
+         (SELECT COUNT(*) FROM ok
+          WHERE k NOT IN (SELECT k FROM ck)) AS n_childless_parents
+  UNION ALL
+  SELECT 'orders->customer',
+         CAST((SELECT SUM(n) FROM oc) AS BIGINT),
+         (SELECT COUNT(*) FROM oc),
+         (SELECT COUNT(*) FROM oc
+          WHERE k NOT IN (SELECT k FROM cu)),
+         (SELECT COUNT(*) FROM cu),
+         (SELECT COUNT(*) FROM cu
+          WHERE k NOT IN (SELECT k FROM oc))
+) u ORDER BY relation
+""",
+    doc="REFERENTIAL-integrity audit (round 12 — the FK sibling of "
+        "q_validate_constraints; every warehouse load and every "
+        "multi-table training-data join needs this before trusting a "
+        "join): for each declared child->parent relation, count child "
+        "rows/keys, ORPHAN child keys (no parent — broken joins drop "
+        "these rows silently), parent keys, and CHILDLESS parents "
+        "(expected in TPC-H: ~a third of customers have no orders — "
+        "a nonzero here is signal, not failure). Shape: each side "
+        "collapses to its KEY table map-side combinably first; the "
+        "orphan/childless checks are key-table anti-joins — shuffle "
+        "volume is |distinct keys|, never |rows|, and the audit "
+        "output is O(relations).",
+)
+def q_validate_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    def relation(name, child_keys, parent_keys):
+        ck = child_keys.groupBy(F.col("k")).agg(F.sum("one").alias("n"))
+        pk = parent_keys.groupBy(F.col("k")).count().select("k")
+        orphans = ck.join(pk, "k", "left_anti")
+        childless = pk.join(ck.select("k"), "k", "left_anti")
+        stats = ck.agg(
+            F.sum("n").alias("n_child_rows"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphan_keys")))
+        stats = stats.crossJoin(
+            pk.agg(F.count(F.lit(1)).alias("n_parent_keys"))
+        ).crossJoin(
+            childless.agg(
+                F.count(F.lit(1)).alias("n_childless_parents")
+            )
+        )
+        return stats.select(
+            F.lit(name).alias("relation"),
+            "n_child_rows",
+            "n_child_keys",
+            "n_orphan_keys",
+            "n_parent_keys",
+            "n_childless_parents",
+        )
+
+    r1 = relation(
+        "lineitem->orders",
+        li.select(F.col("l_orderkey").alias("k"), F.lit(1).cast("long").alias("one")),
+        od.select(F.col("o_orderkey").alias("k")),
+    )
+    r2 = relation(
+        "orders->customer",
+        od.select(F.col("o_custkey").alias("k"), F.lit(1).cast("long").alias("one")),
+        cu.select(F.col("c_custkey").alias("k")),
+    )
+    return r1.unionAll(r2).orderBy("relation")

@@ -94,6 +94,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_ngram_novelty",
     "snk_netcdf4_write_enum_opaque",
     "q_agg_weighted_percentile",
+    "q_validate_referential",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
