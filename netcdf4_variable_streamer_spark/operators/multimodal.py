@@ -898,3 +898,113 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, patch_id int, py int, px int, n_values long, "
         "sum_patch long, weighted_checksum long",
     ).orderBy("doc_id", "patch_id")
+
+
+@register(
+    "q_multimodal_audio_resample",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 13 + t.i * (3 + d.doc_id % 5)) % 2001) - 1000 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 399 + CAST(d.doc_id % 7 AS INTEGER) * 100))
+         AS t(i)
+),
+y AS (
+  -- FLOOR division (numpy's // semantics): DuckDB's integer //
+  -- truncates toward zero on negatives, so floor via double
+  -- (|sum| <= 2000, exact in float64)
+  SELECT doc_id, i // 2 AS j,
+         CAST(FLOOR(SUM(v) / 2.0) AS BIGINT) AS w
+  FROM s GROUP BY doc_id, i // 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_out,
+       CAST(8000 AS INTEGER) AS rate_out,
+       CAST(SUM(ABS(w)) AS BIGINT) AS sum_abs_out,
+       CAST(SUM(w * w) AS BIGINT) AS energy_out,
+       TRUE AS roundtrip_ok
+FROM y GROUP BY doc_id
+""",
+    doc="Audio RESAMPLE (round 12 — the 16 kHz -> 8 kHz decimation "
+        "every speech pipeline runs before feature extraction): the "
+        "closed-form PCM16 waveform decodes through the real WAV "
+        "parser, a 2-tap boxcar decimator halves the rate in integer "
+        "arithmetic (floor((s[2j]+s[2j+1])/2) — numpy floor-division "
+        "matches DuckDB's //, no float filter), and the result "
+        "RE-ENCODES to a real 8 kHz WAV that is decoded AGAIN and "
+        "asserted sample-identical before stats are emitted — the "
+        "codec round-trips its own resampled output. Same scale "
+        "shape as the other audio keys: one mapInPandas encode + one "
+        "decode-resample-reencode kernel, zero shuffles, decode "
+        "parallelism = scan parallelism.",
+)
+def q_multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + (d % 7) * 100
+                i = np.arange(n, dtype=np.int64)
+                v = ((d * 13 + i * (3 + d % 5)) % 2001) - 1000
+                payloads.append(
+                    encode_wav_pcm16(v.astype(np.int16))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def resample(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_wav_pcm16(bytes(payload))
+                v = s.astype(np.int64)
+                w = (v[0::2] + v[1::2]) // 2  # floor, matches SQL //
+                out_rate = rate // 2
+                # re-encode at the halved rate, decode again, assert
+                # the codec round-trips its own resampled output
+                back, back_rate = decode_wav_pcm16(
+                    encode_wav_pcm16(
+                        w.astype(np.int16), sample_rate=out_rate
+                    )
+                )
+                ok = bool(
+                    back_rate == out_rate
+                    and np.array_equal(back.astype(np.int64), w)
+                )
+                rows.append(
+                    (
+                        d,
+                        len(w),
+                        out_rate,
+                        int(np.abs(w).sum()),
+                        int((w * w).sum()),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_out", "rate_out",
+                    "sum_abs_out", "energy_out", "roundtrip_ok",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        resample,
+        "doc_id long, n_out long, rate_out int, sum_abs_out long, "
+        "energy_out long, roundtrip_ok boolean",
+    )

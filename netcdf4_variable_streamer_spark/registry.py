@@ -95,6 +95,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write_enum_opaque",
     "q_agg_weighted_percentile",
     "q_validate_referential",
+    "q_multimodal_audio_resample",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
