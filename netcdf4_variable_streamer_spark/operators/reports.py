@@ -454,3 +454,89 @@ def q_report_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "nation", F.year("l_shipdate").cast("long").alias("o_year")
     ).agg(F.sum(profit).alias("profit_cents"))
+
+
+@register(
+    "q_report_waiting_orders",
+    oracle="""
+WITH lo AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+st AS (
+  SELECT ok,
+         COUNT(DISTINCT sk) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN sk END) AS n_late
+  FROM lo GROUP BY ok
+),
+blamed AS (
+  SELECT lo.sk
+  FROM lo JOIN st USING (ok)
+  WHERE lo.late AND st.n_supp >= 2 AND st.n_late = 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM blamed b
+JOIN supplier s ON s.s_suppkey = b.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_nationkey < 5
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 50
+""",
+    doc="WAITING-ORDERS report (round 12 — the TPC-H Q21 shape "
+        "rewritten scalably; the dataset carries no "
+        "receipt/commit dates, so 'late' = shipped more than 90 days "
+        "after the order date): suppliers who were the SOLE late "
+        "supplier on a multi-supplier order, counted per late line. "
+        "The classic EXISTS / NOT-EXISTS pair over lineitem is "
+        "rewritten as ONE per-order aggregation (distinct suppliers, "
+        "distinct late suppliers) joined back to the late lines — the "
+        "decorrelated form that needs one orderkey shuffle instead of "
+        "two correlated re-scans of the fact. Supplier and nation "
+        "broadcast thin; top-50 by (numwait DESC, name) is a total "
+        "order via TakeOrderedAndProject, never a global sort.",
+)
+def q_report_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            od.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+            ).alias("late"),
+        )
+    )
+    st = lo.groupBy("ok").agg(
+        F.countDistinct("sk").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("sk"))).alias(
+            "n_late"
+        ),
+    )
+    blamed = (
+        lo.filter(F.col("late"))
+        .join(st, "ok")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    dim = F.broadcast(
+        su.join(na, su.s_nationkey == na.n_nationkey).filter(
+            F.col("n_nationkey") < 5
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        blamed.join(dim, blamed.sk == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )

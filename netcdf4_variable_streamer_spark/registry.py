@@ -96,6 +96,7 @@ CANONICAL_ORDER: list[str] = [
     "q_agg_weighted_percentile",
     "q_validate_referential",
     "q_multimodal_audio_resample",
+    "q_report_waiting_orders",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

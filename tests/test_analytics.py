@@ -89,7 +89,7 @@ NEW_KEYS = [
     "src_netcdf4_opaque_scan", "src_netcdf_packed_scan",
     "q_text_ngram_novelty", "snk_netcdf4_write_enum_opaque",
     "q_agg_weighted_percentile", "q_validate_referential",
-    "q_multimodal_audio_resample",
+    "q_multimodal_audio_resample", "q_report_waiting_orders",
 ]
 
 

@@ -795,3 +795,15 @@ def test_ngram_novelty_posture(spark):
     # wide operators: the gram-keyed agg and the final doc_id agg
     # (the |grams|-sized min table broadcasts at fixture scale)
     plans.assert_max_shuffles(df, 3)
+
+
+def test_waiting_orders_posture(spark):
+    """q_report_waiting_orders: the Q21 decorrelation — per-order agg
+    + back-join on orderkey (keyed shuffles only), supplier⋈nation
+    broadcast, top-50 via TakeOrderedAndProject, no cartesian."""
+    df = build(spark, "q_report_waiting_orders")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
