@@ -1507,3 +1507,73 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+@register(
+    "q_sample_shard_rendezvous",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         GREATEST(
+           MD5(CAST(doc_id AS VARCHAR) || ':0'),
+           MD5(CAST(doc_id AS VARCHAR) || ':1'),
+           MD5(CAST(doc_id AS VARCHAR) || ':2'),
+           MD5(CAST(doc_id AS VARCHAR) || ':3'),
+           MD5(CAST(doc_id AS VARCHAR) || ':4'),
+           MD5(CAST(doc_id AS VARCHAR) || ':5'),
+           MD5(CAST(doc_id AS VARCHAR) || ':6'),
+           MD5(CAST(doc_id AS VARCHAR) || ':7')
+         ) AS best
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CASE best
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':0') THEN 0
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':1') THEN 1
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':2') THEN 2
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':3') THEN 3
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':4') THEN 4
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':5') THEN 5
+           WHEN MD5(CAST(doc_id AS VARCHAR) || ':6') THEN 6
+           ELSE 7 END AS shard
+  FROM h
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM s GROUP BY shard ORDER BY shard
+""",
+    doc="RENDEZVOUS (highest-random-weight) sharding (round 12): each "
+        "document goes to the shard with the greatest md5(doc:shard) "
+        "— the assignment every shard computes independently, and the "
+        "property no modulo scheme has: adding or removing a shard "
+        "moves ONLY the documents whose winner changed (~1/n of "
+        "them), never reshuffles the world. The operator every "
+        "resumable 100 TB pipeline wants for stable work assignment "
+        "(crawl ownership, embedding-index shards, cache keys). Pure "
+        "map-side expression work — 8 md5s + GREATEST per row, no "
+        "explode, no window — plus one |shards|-row audit agg; "
+        "md5-hex comparison is lexicographic and engine-portable.",
+)
+def q_sample_shard_rendezvous(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    hs = [F.md5(F.concat(key, F.lit(f":{i}"))) for i in range(8)]
+    best = F.greatest(*hs)
+    shard = F.lit(7)
+    for i in range(6, -1, -1):
+        shard = F.when(best == hs[i], i).otherwise(shard)
+    return (
+        d.select("doc_id", "lang", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -97,6 +97,7 @@ CANONICAL_ORDER: list[str] = [
     "q_validate_referential",
     "q_multimodal_audio_resample",
     "q_report_waiting_orders",
+    "q_sample_shard_rendezvous",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
