@@ -98,6 +98,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_audio_resample",
     "q_report_waiting_orders",
     "q_sample_shard_rendezvous",
+    "q_ml_naive_bayes",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
