@@ -383,3 +383,70 @@ def q_fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_monday"
         ),
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents,
+       CAST(SUM(o_orderkey % 7) AS BIGINT) AS sum_items,
+       MAX(o_orderkey) AS max_id,
+       CAST(0 AS BIGINT) AS n_xpath_mismatch
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+    doc="XML parse surface (round 12 — from_xml/xpath_* are NEW in "
+        "Spark 4; feeds/exports still ship XML): each order renders "
+        "to a closed-form XML string (attributes AND nested elements), "
+        "from_xml parses it against an explicit struct schema "
+        "(attribute fields via the '_' prefix), one field is "
+        "re-extracted with xpath_long and ASSERTED equal to the "
+        "struct route inside the query, and the aggregation consumes "
+        "ONLY parsed values — the oracle aggregates the source "
+        "columns directly, so any parse slip (attribute/element "
+        "confusion, number widening, entity handling) hash-"
+        "mismatches. Map-side expression work + one keyed agg; the "
+        "parser is JVM-side (no Python).",
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey"),
+        F.lit('" status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><total>'),
+        F.floor(F.col("o_totalprice") * 100).cast("long"),
+        F.lit("</total><items n=\""),
+        F.col("o_orderkey") % 7,
+        F.lit('"/></order>'),
+    )
+    parsed = od.select(
+        F.from_xml(
+            xml,
+            "`_id` long, `_status` string, total long, "
+            "items struct<`_n`: long>",
+        ).alias("o"),
+        F.xpath_long(xml, F.lit("/order/items/@n")).alias("xp_n"),
+    )
+    # the xpath-vs-from_xml cross-check is an OUTPUT column (oracle
+    # pins it to 0) — an unused assert_true would be pruned away
+    return (
+        parsed.groupBy(F.col("o._status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o.total").alias("sum_total_cents"),
+            F.sum("o.items._n").alias("sum_items"),
+            F.max("o._id").alias("max_id"),
+            F.sum(
+                F.when(
+                    F.col("o.items._n") == F.col("xp_n"), 0
+                ).otherwise(1).cast("long")
+            ).alias("n_xpath_mismatch"),
+        )
+        .orderBy("status")
+    )

@@ -99,6 +99,7 @@ CANONICAL_ORDER: list[str] = [
     "q_report_waiting_orders",
     "q_sample_shard_rendezvous",
     "q_ml_naive_bayes",
+    "q_fn_xml",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

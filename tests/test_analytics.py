@@ -90,7 +90,7 @@ NEW_KEYS = [
     "q_text_ngram_novelty", "snk_netcdf4_write_enum_opaque",
     "q_agg_weighted_percentile", "q_validate_referential",
     "q_multimodal_audio_resample", "q_report_waiting_orders",
-    "q_sample_shard_rendezvous", "q_ml_naive_bayes",
+    "q_sample_shard_rendezvous", "q_ml_naive_bayes", "q_fn_xml",
 ]
 
 
