@@ -100,6 +100,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sample_shard_rendezvous",
     "q_ml_naive_bayes",
     "q_fn_xml",
+    "src_netcdf_describe",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -5493,3 +5493,83 @@ def src_netcdf4_bigendian_scan(
             dsum(F.col("humidity").cast("double")).alias("sum_hum"),
         )
     )
+
+
+@register(
+    "src_netcdf_describe",
+    oracle="""
+SELECT * FROM (
+  SELECT 'classic' AS container, 'ptemp' AS var_name,
+         'int16' AS dtype_str, 't,cell' AS dims,
+         TRUE AS is_record,
+         'scale_factor=0.25 add_offset=100.5' AS extra
+  UNION ALL
+  SELECT 'nc4', 'flag', 'uint8', 't,cell', TRUE,
+         'enum{clear=0,cloud=1,snow=2,missing=255}'
+  UNION ALL
+  SELECT 'nc4', 'rad', 'float32', 't,cell', TRUE, ''
+  UNION ALL
+  SELECT 'nc4', 'blob', 'V8', 't,cell', TRUE,
+         'opaque(sensor-packet)'
+) u ORDER BY container, var_name
+""",
+    doc="ncdump -h SURFACE (round 12): the header-describe every "
+        "netCDF user runs first — variables, dtypes, dims, record "
+        "flag, and the type-level extras (CF packing attrs, NC_ENUM "
+        "members with values, NC_OPAQUE tag) as one DataFrame, read "
+        "from KB-scale headers of BOTH containers on the driver "
+        "(the same O(metadata) cost class as schema inference; no "
+        "executor I/O at all). The oracle pins every cell, so a "
+        "header mis-parse, a dropped enum member, or a lost tag "
+        "hash-mismatches. Fixtures are the round-12 packed / enum / "
+        "opaque files — written by the engine's own writer.",
+)
+def src_netcdf_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+    )
+
+    rows = []
+    nc = NetCDF3File(ensure_packed_fixture(".nc"))
+    for v in nc.variables.values():
+        if not v.is_record:
+            continue
+        extra = []
+        if v.attrs.get("scale_factor") is not None:
+            extra.append(f"scale_factor={v.attrs['scale_factor']}")
+        if v.attrs.get("add_offset") is not None:
+            extra.append(f"add_offset={v.attrs['add_offset']}")
+        dims = ",".join(list(nc.dims)[i] for i in v.dimids)
+        rows.append(
+            (
+                "classic", v.name, str(v.dtype.newbyteorder("=")),
+                dims, True, " ".join(extra),
+            )
+        )
+    for path in (ensure_enum_fixture(), ensure_opaque_fixture()):
+        view = NetCDF4View(path)
+        for x in view.variables.values():
+            if not x.is_record:
+                continue
+            if x.enum_members:
+                extra = "enum{" + ",".join(
+                    f"{n}={v}" for n, v in x.enum_members
+                ) + "}"
+            elif x.opaque_tag is not None:
+                extra = f"opaque({x.opaque_tag})"
+            else:
+                extra = ""
+            dt = str(x.dtype.newbyteorder("="))
+            if x.dtype.kind == "V":
+                dt = f"V{x.dtype.itemsize}"
+            rows.append(
+                ("nc4", x.name, dt, ",".join(x.dims), True, extra)
+            )
+    return spark.createDataFrame(
+        sorted(rows),
+        "container string, var_name string, dtype_str string, "
+        "dims string, is_record boolean, extra string",
+    )
