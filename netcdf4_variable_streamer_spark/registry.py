@@ -101,6 +101,7 @@ CANONICAL_ORDER: list[str] = [
     "q_ml_naive_bayes",
     "q_fn_xml",
     "src_netcdf_describe",
+    "snk_netcdf4_write_dir",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
