@@ -203,3 +203,68 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+WITH b AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS bal
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id, bal,
+         MAX(bal) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS peak
+  FROM b
+)
+SELECT user_id,
+       CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(MAX(CASE WHEN peak = bal THEN 0 ELSE 1 END) AS BIGINT)
+         AS ever_below_peak
+FROM p GROUP BY user_id
+""",
+    doc="Maximum DRAWDOWN per user (round 12 — the nested-cumulative "
+        "pattern risk/finance dashboards run constantly: running "
+        "balance, running PEAK of that balance, max gap between the "
+        "two): two stacked cumulative windows over ONE (user_id) "
+        "partitioning with a total (ts, event_id) order, all in "
+        "integer cents — no float accumulation anywhere. The plan "
+        "shape is the point: both window passes and the final "
+        "per-user agg reuse a single hash partitioning, so the whole "
+        "operator costs one shuffle at any scale.",
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .over(cum)
+        .alias("bal"),
+    )
+    p = b.select(
+        "user_id",
+        "bal",
+        F.max("bal").over(cum).alias("peak"),
+    )
+    return p.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.max(
+            F.when(F.col("peak") == F.col("bal"), 0).otherwise(1)
+        ).cast("long").alias("ever_below_peak"),
+    )

@@ -102,6 +102,7 @@ CANONICAL_ORDER: list[str] = [
     "q_fn_xml",
     "src_netcdf_describe",
     "snk_netcdf4_write_dir",
+    "q_win_drawdown",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

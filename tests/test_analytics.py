@@ -91,7 +91,7 @@ NEW_KEYS = [
     "q_agg_weighted_percentile", "q_validate_referential",
     "q_multimodal_audio_resample", "q_report_waiting_orders",
     "q_sample_shard_rendezvous", "q_ml_naive_bayes", "q_fn_xml",
-    "src_netcdf_describe", "snk_netcdf4_write_dir",
+    "src_netcdf_describe", "snk_netcdf4_write_dir", "q_win_drawdown",
 ]
 
 
