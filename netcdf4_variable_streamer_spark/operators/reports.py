@@ -540,3 +540,73 @@ def q_report_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(50)
     )
+
+
+@register(
+    "q_report_idle_rich_customers",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+thr AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS sum_pos,
+         COUNT(*) AS n_pos
+  FROM c WHERE cents > 0
+),
+idle AS (
+  SELECT c.c_nationkey, c.cents
+  FROM c CROSS JOIN thr
+  WHERE c.cents * thr.n_pos > thr.sum_pos
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_custs,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    doc="IDLE-RICH-CUSTOMERS report (round 12 — the TPC-H Q22 shape): "
+        "customers whose balance beats the positive-balance average "
+        "but who never placed an order, grouped by nation. The global "
+        "threshold is a 1-row aggregate BROADCAST back and the "
+        "comparison is integer cross-multiplication over cents "
+        "(cents * n_pos > sum_pos — no float division, no averaging "
+        "drift); the never-ordered check is a LEFT ANTI join against "
+        "the orders custkey table. Shape: one |customers| scan + a "
+        "1-row broadcast + one anti join whose right side collapses "
+        "to distinct custkeys — the Q22 correlated NOT EXISTS "
+        "decorrelated by construction.",
+)
+def q_report_idle_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    c = cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    thr = c.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    idle = rich.join(
+        od.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("c_nationkey")
+    )

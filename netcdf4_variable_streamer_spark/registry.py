@@ -103,6 +103,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf_describe",
     "snk_netcdf4_write_dir",
     "q_win_drawdown",
+    "q_report_idle_rich_customers",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
