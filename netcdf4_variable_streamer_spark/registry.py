@@ -104,6 +104,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write_dir",
     "q_win_drawdown",
     "q_report_idle_rich_customers",
+    "q_stream_distinct_bitmap",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
