@@ -489,3 +489,50 @@ def test_quality_gate_restart_from_checkpoint(spark, tmp_path):
         want["avg_bigram_logprob"]
     )
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_chained_streaming_window_reaggregation(spark):
+    """Spark 4 multiple-stateful-operators surface: a second windowed
+    aggregation CHAINED onto the bitmap-word agg inside ONE streaming
+    query (window re-aggregation on the event-time window column) —
+    the per-window exact distinct count must equal the batch
+    computation under the same watermark-finalization rule."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    ev = sq.load_events_stream(spark, SF_DIR).withWatermark(
+        "ts", "30 minutes"
+    )
+    words = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        F.expr("user_id div 62").alias("word"),
+    ).agg(
+        F.bit_or(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            )
+        ).alias("bitmap")
+    )
+    tot = words.groupBy(F.window(F.col("w"), "1 hour").alias("w2")).agg(
+        F.sum(F.expr("bit_count(bitmap)")).alias("n_users")
+    )
+    got = {
+        (r["w2"]["start"], r["n_users"])
+        for r in sq.run_to_completion(tot, output_mode="append").collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events")
+    wm = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w")
+    ).first()[0]
+    exact = {
+        (r["ws"], r["n"])
+        for r in (
+            e.select(F.window("ts", "1 hour").alias("w"), "user_id")
+            .filter(F.col("w.end") <= F.lit(wm))
+            .groupBy(F.col("w.start").alias("ws"))
+            .agg(F.countDistinct("user_id").alias("n"))
+        ).collect()
+    }
+    assert got == exact and len(exact) > 0
