@@ -1709,3 +1709,81 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
+  WHERE length(text) >= 1
+),
+hist AS (
+  SELECT doc_id, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, c
+),
+tot AS (
+  SELECT doc_id, c, n_c,
+         SUM(n_c) OVER (PARTITION BY doc_id) AS n
+  FROM hist
+),
+q AS (
+  SELECT doc_id, n,
+         CAST(FLOOR((n_c * 1000000) * LN(CAST(n_c AS DOUBLE) / n))
+              AS BIGINT) AS q_c
+  FROM tot
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       CAST((-SUM(q_c)) // MAX(n) AS BIGINT) AS entropy_unats
+FROM q GROUP BY doc_id
+""",
+    doc="Per-document character-level SHANNON ENTROPY (round 12 — the "
+        "gibberish/compressibility signal C4-class quality filters "
+        "use beside length and repetition: natural text sits in a "
+        "narrow entropy band, base64 blobs and aaaa-runs fall "
+        "outside): per-char contributions n_c*ln(n_c/N) are "
+        "floor-quantized to integer micro-nats BEFORE summing (the "
+        "house fixed-point rule), the per-doc division is positive-"
+        "operand integer floor division — no float accumulation "
+        "anywhere, so the value is partitioning- and engine-exact. "
+        "Shape: char explode is corpus-linear map-side work; one "
+        "(doc, char) agg (<=128 rows per ASCII doc), one doc window, "
+        "one doc agg — all on the doc_id partitioning.",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id", F.expr("substring(text, i, 1)").alias("c")
+    )
+    hist = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    tot = hist.select(
+        "doc_id",
+        "n_c",
+        F.sum("n_c").over(wdoc).alias("n"),
+    )
+    q_c = F.floor(
+        (F.col("n_c") * 1000000).cast("double")
+        * F.log(F.col("n_c").cast("double") / F.col("n"))
+    ).cast("long")
+    return (
+        tot.select("doc_id", "n", q_c.alias("q_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.expr("(-SUM(q_c)) DIV MAX(n)").alias("entropy_unats"),
+        )
+    )

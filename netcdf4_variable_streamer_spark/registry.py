@@ -105,6 +105,7 @@ CANONICAL_ORDER: list[str] = [
     "q_win_drawdown",
     "q_report_idle_rich_customers",
     "q_stream_distinct_bitmap",
+    "q_text_entropy",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",
