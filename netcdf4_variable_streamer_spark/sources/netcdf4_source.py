@@ -949,6 +949,15 @@ def _stream_rows4(path: str, columns, lo: int, hi: int, base: int = 0):
         if x.dtype.kind in ("S", "O"):
             cols[x.name] = _nc4_strings(v.read_records(x.name, lo, hi), x)
             continue
+        if x.dtype.kind == "V" and not x.dtype.names:
+            # NC_OPAQUE cells -> bytes rows (binary column)
+            cols[x.name] = [
+                bytes(c)
+                for c in v.read_records(x.name, lo, hi)
+                .reshape(-1)
+                .tolist()
+            ]
+            continue
         flat = v.read_records(x.name, lo, hi).reshape(-1)
         fv = x.attrs.get("_FillValue")
         vals = flat.astype(

@@ -4435,3 +4435,57 @@ def test_vlen_of_enum_dataset_refuses(tmp_path, monkeypatch):
         hl.HDF5File(p)
     monkeypatch.setattr(hl, "_parse_dt", real)
     assert hl.HDF5File(p).read("v").tolist() == list(range(6))
+
+
+def test_enum_opaque_simple_tail(spark, tmp_path):
+    """The Simple (row-based) streaming tail handles NC_ENUM (base
+    integers) and NC_OPAQUE (bytes) record variables — the row path's
+    twin of the Arrow scan's zero-copy binary build."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    members = (("off", 0), ("on", 1))
+    edt = np.dtype("u1", metadata={"enum_members": members})
+    odt = np.dtype("V4", metadata={"opaque_tag": "quad"})
+    flags = np.array([0, 1, 1, 0], dtype=edt)
+    blobs = np.zeros(4, dtype=odt)
+    blobs.view("u1").reshape(4, 4)[:] = (
+        np.arange(16, dtype="u1").reshape(4, 4)
+    )
+    p = os.path.join(tmp_path, "eo_tail.nc4")
+    write_netcdf4(
+        p,
+        dims={"t": None},
+        variables={"flag": (edt, ("t",)), "blob": (odt, ("t",))},
+        data={"flag": flags, "blob": blobs},
+    )
+    spark.dataSource.register(NetCDF4DataSource)
+    st = (
+        spark.readStream.format(FORMAT4_NAME)
+        .option("path", p)
+        .option("tail_reader", "simple")
+        .load()
+    )
+    q = (
+        st.writeStream.format("memory")
+        .queryName("eo_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    rows = (
+        spark.table("eo_tail").orderBy("t_idx").collect()
+    )
+    assert [r.flag for r in rows] == [0, 1, 1, 0]
+    assert [bytes(r.blob) for r in rows] == [
+        bytes(range(0, 4)), bytes(range(4, 8)),
+        bytes(range(8, 12)), bytes(range(12, 16)),
+    ]
