@@ -19,7 +19,11 @@ default:
   zero-copy view);
 - version-1 object headers;
 - the symbol-table root group (v1 group B-tree + local heap + SNOD);
-- dataspace v1 / datatype v1 (fixed-point, IEEE float, fixed string) /
+- dataspace v1 / datatype v1 (fixed-point, IEEE float, fixed string,
+  and since round 12 class-5 OPAQUE — tagged raw bytes, numpy void —
+  and class-8 ENUM over integer bases, (name, value) members carried
+  as dtype metadata on write and surfaced on the dataset on read;
+  enum members inside compounds read as their integer base) /
   layout v3 (contiguous, or chunked with a v1 raw-data B-tree);
 - filter pipeline v1 with shuffle (id 2), deflate (id 1, stdlib
   zlib), and Fletcher-32 checksums (id 3, round 10 — netcdf-c's
