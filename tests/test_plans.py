@@ -807,3 +807,50 @@ def test_waiting_orders_posture(spark):
     assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_weighted_percentile_preagg_before_window(spark):
+    """q_agg_weighted_percentile: the (key, value) pre-aggregation
+    must collapse rows BEFORE the window (partial/hash agg upstream),
+    and the whole chain is keyed — no cartesian, no Python."""
+    df = build(spark, "q_agg_weighted_percentile")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "Window") >= 1, plan
+    assert plans.count_nodes(plan, "HashAggregate") >= 2, plan
+
+
+def test_idle_rich_broadcast_and_anti(spark):
+    """q_report_idle_rich_customers: the 1-row threshold broadcasts
+    (nested-loop on a 1-row side is the designed plan), the
+    never-ordered check is an anti join — no Python anywhere."""
+    df = build(spark, "q_report_idle_rich_customers")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") >= 1, plan
+    assert "LeftAnti" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_naive_bayes_posture(spark):
+    """q_ml_naive_bayes: the |langs|-row prior table broadcasts; the
+    model join is a (lang, tok) equi-join; scoring is pure JVM
+    expression work."""
+    df = build(spark, "q_ml_naive_bayes")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert (
+        plans.count_nodes(plan, "BroadcastNestedLoopJoin")
+        + plans.count_nodes(plan, "BroadcastHashJoin")
+    ) >= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_entropy_single_partitioning(spark):
+    """q_text_entropy: char explode is map-side; histogram, window,
+    and final agg all hash-partition on doc_id — at most 2 data
+    exchanges end-to-end, no Python."""
+    df = build(spark, "q_text_entropy")
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    plans.assert_max_shuffles(df, 2)
