@@ -4489,3 +4489,69 @@ def test_enum_opaque_simple_tail(spark, tmp_path):
         bytes(range(0, 4)), bytes(range(4, 8)),
         bytes(range(8, 12)), bytes(range(12, 16)),
     ]
+
+
+def test_opaque_compound_member_refuses_by_name():
+    """A compound member of opaque type (outside the netCDF model)
+    refuses naming the member and the datatype — never a silent
+    misread of raw bytes as numbers."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_body,
+        _walk_compound,
+    )
+
+    obody = _dt_body(np.dtype("V6", metadata={"opaque_tag": "pix"}))
+    body = bytes([0x16, 1, 0, 0]) + struct.pack("<I", 6)
+    body += b"px\x00" + b"\x00" * 5
+    body += struct.pack("<IB3xI4x", 0, 0, 0)
+    body += struct.pack("<4I", 0, 0, 0, 0)
+    body += obody
+    walked, total = _walk_compound(body)
+    assert total == len(body)
+    assert walked[0] == "unsupported"
+    assert "px" in walked[1] and "opaque" in walked[1]
+
+
+def test_enum_zero_members_parses():
+    """A degenerate zero-member enum (foreign writers can emit one)
+    parses to an empty member list rather than crashing."""
+    import struct
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _parse_dt,
+    )
+
+    body = bytes([0x18, 0, 0, 0]) + struct.pack("<I", 1)
+    body += bytes([0x10, 0x00, 0, 0]) + struct.pack("<IHH", 1, 0, 8)
+    assert _parse_dt(body) == ("enum", np.dtype("u1"), (), ())
+
+
+def test_mask_scale_float32_attrs(tmp_path):
+    """Foreign files store scale_factor/add_offset as FLOAT (f4)
+    attributes (netcdf-c writes the attr in the type you pass):
+    the unpack math must treat them by value."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        write_netcdf3,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _mask_scale,
+    )
+
+    p = os.path.join(tmp_path, "f4attr.nc")
+    write_netcdf3(
+        p,
+        dims={"t": None},
+        variables={"x": ("int16", ("t",))},
+        data={"x": np.arange(4, dtype="<i2")},
+        var_attrs={
+            "x": {
+                "scale_factor": np.float32(0.25),
+                "add_offset": np.float32(-2.5),
+            }
+        },
+    )
+    v = NetCDF3File(p).variables["x"]
+    assert _mask_scale(v) == (0.25, -2.5)
