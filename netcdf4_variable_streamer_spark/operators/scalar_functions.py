@@ -404,13 +404,16 @@ ORDER BY status
         "to a closed-form XML string (attributes AND nested elements), "
         "from_xml parses it against an explicit struct schema "
         "(attribute fields via the '_' prefix), one field is "
-        "re-extracted with xpath_long and ASSERTED equal to the "
-        "struct route inside the query, and the aggregation consumes "
-        "ONLY parsed values — the oracle aggregates the source "
-        "columns directly, so any parse slip (attribute/element "
-        "confusion, number widening, entity handling) hash-"
-        "mismatches. Map-side expression work + one keyed agg; the "
-        "parser is JVM-side (no Python).",
+        "re-extracted with xpath_long on a deterministic 1% row "
+        "sample and cross-checked against the struct route as a "
+        "pinned output column (xpath is a per-row DOM parse, ~10x "
+        "from_xml — full-column double-parsing would dominate; the "
+        "sample still catches any systematic divergence), and the "
+        "aggregation consumes ONLY parsed values — the oracle "
+        "aggregates the source columns directly, so any parse slip "
+        "(attribute/element confusion, number widening, entity "
+        "handling) hash-mismatches. Map-side expression work + one "
+        "keyed agg; the parser is JVM-side (no Python).",
 )
 def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
@@ -431,7 +434,15 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "`_id` long, `_status` string, total long, "
             "items struct<`_n`: long>",
         ).alias("o"),
-        F.xpath_long(xml, F.lit("/order/items/@n")).alias("xp_n"),
+        # the xpath route is a PER-ROW DOM parse + XPath evaluation
+        # (~40 µs/row, outside codegen — measured 10x from_xml at
+        # sf0.1), so the cross-check runs on a deterministic 1%
+        # sample: enough to catch a systematic parse divergence,
+        # never the dominant cost
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.xpath_long(xml, F.lit("/order/items/@n")),
+        ).alias("xp_n"),
     )
     # the xpath-vs-from_xml cross-check is an OUTPUT column (oracle
     # pins it to 0) — an unused assert_true would be pruned away
@@ -444,8 +455,10 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o._id").alias("max_id"),
             F.sum(
                 F.when(
-                    F.col("o.items._n") == F.col("xp_n"), 0
-                ).otherwise(1).cast("long")
+                    F.col("xp_n").isNotNull()
+                    & (F.col("o.items._n") != F.col("xp_n")),
+                    1,
+                ).otherwise(0).cast("long")
             ).alias("n_xpath_mismatch"),
         )
         .orderBy("status")
