@@ -2390,3 +2390,79 @@ def test_compound_vlen_members_roundtrip_hypothesis(
                 np.testing.assert_array_equal(got, want)
         else:
             np.testing.assert_array_equal(r[name], arr[name])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_rows=st.integers(1, 16),
+    base=st.sampled_from(["u1", "i1", "i2", "u2", "i4", "i8"]),
+    n_members=st.integers(0, 8),
+    opq_size=st.integers(1, 24),
+    tag=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=40,
+    ),
+    chunked=st.booleans(),
+    level=st.sampled_from([None, 1, 6]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_enum_opaque_roundtrip_hypothesis(
+    tmp_path_factory, n_rows, base, n_members, opq_size, tag,
+    chunked, level, seed,
+):
+    """Property (round 12): NC_ENUM datasets over any integer base
+    with arbitrary (name, value) members — including zero members,
+    negative values, and non-contiguous ids — and NC_OPAQUE datasets
+    of any cell size with arbitrary printable-ASCII tags round-trip
+    bit-exactly across layouts and filters, members and tag surfaced
+    on the DatasetInfo."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    rng = np.random.RandomState(seed)
+    bdt = np.dtype(base)
+    info = np.iinfo(bdt)
+    vals = rng.randint(
+        info.min, int(info.max) + 1, size=n_members * 3
+    ).astype(bdt)
+    vals = np.unique(vals)[:n_members]
+    members = tuple(
+        (f"mem_{i}", int(v)) for i, v in enumerate(vals)
+    )
+    edt = (
+        np.dtype(base, metadata={"enum_members": members})
+        if members
+        else np.dtype(base, metadata={"enum_members": ()})
+    )
+    flags = (
+        rng.choice([v for _n, v in members], size=n_rows).astype(bdt)
+        if members
+        else np.zeros(n_rows, dtype=bdt)
+    ).astype(edt)
+    odt = np.dtype(f"V{opq_size}", metadata={"opaque_tag": tag})
+    blobs = np.zeros(n_rows, dtype=odt)
+    blobs.view("u1").reshape(n_rows, opq_size)[:] = rng.randint(
+        0, 256, size=(n_rows, opq_size)
+    )
+    opts = {}
+    if chunked:
+        o = {"chunk": (max(1, n_rows // 2),)}
+        if level is not None:
+            o["compress"] = level
+            o["shuffle"] = True
+        opts = {"flag": dict(o), "blob": dict(o)}
+    tmp = tmp_path_factory.mktemp("eoh")
+    p = os.path.join(str(tmp), "eo.h5")
+    write_hdf5(p, {"flag": flags, "blob": blobs}, opts or None)
+    h = HDF5File(p)
+    assert h.datasets["flag"].enum_members == members
+    got_tag = h.datasets["blob"].opaque_tag
+    # the writer pads the tag to 8 with NULs; parse strips trailing
+    # NULs — embedded content is preserved verbatim
+    assert got_tag == tag
+    np.testing.assert_array_equal(
+        h.read("flag"), flags.view(bdt)
+    )
+    assert h.read("blob").tobytes() == blobs.tobytes()
