@@ -2466,3 +2466,80 @@ def test_enum_opaque_roundtrip_hypothesis(
         h.read("flag"), flags.view(bdt)
     )
     assert h.read("blob").tobytes() == blobs.tobytes()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    base=st.sampled_from(["i1", "i2", "i4", "u1", "u2"]),
+    scale=st.floats(
+        min_value=1e-4, max_value=1e4,
+        allow_nan=False, allow_infinity=False,
+    ),
+    offset=st.floats(
+        min_value=-1e6, max_value=1e6,
+        allow_nan=False, allow_infinity=False,
+    ),
+    use_missing=st.booleans(),
+    use_range=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mask_and_scale_roundtrip_hypothesis(
+    tmp_path_factory, n, base, scale, offset, use_missing, use_range,
+    seed,
+):
+    """Property (round 12): for ANY packed integer variable with ANY
+    scale/offset floats, the mask_and_scale batch equals the numpy
+    reference packed*scale+offset with exactly the missing_value /
+    valid_range cells NULL (judged on packed values)."""
+    import pyarrow as pa
+
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        write_netcdf3,
+    )
+    from netcdf4_variable_streamer_spark.sources.netcdf3_source import (
+        _arrow_batches,
+    )
+
+    rng = np.random.RandomState(seed)
+    bdt = np.dtype(base)
+    info = np.iinfo(bdt)
+    packed = rng.randint(
+        info.min, int(info.max) + 1, size=n
+    ).astype(bdt)
+    attrs = {"scale_factor": float(scale), "add_offset": float(offset)}
+    mask = np.zeros(n, dtype=bool)
+    if use_missing:
+        mv = packed[0]  # guaranteed present
+        attrs["missing_value"] = mv
+        mask |= packed == mv
+    if use_range:
+        lo, hi = sorted(
+            rng.randint(info.min, int(info.max) + 1, 2).astype(bdt)
+        )
+        attrs["valid_range"] = np.array([lo, hi], dtype=bdt)
+        mask |= (packed < lo) | (packed > hi)
+
+    npname = {"i1": "int8", "i2": "int16", "i4": "int32",
+              "u1": "uint8", "u2": "uint16"}[base]
+    tmp = tmp_path_factory.mktemp("msh")
+    p = os.path.join(str(tmp), "m.nc")
+    write_netcdf3(
+        p,
+        dims={"t": None},
+        variables={"x": (npname, ("t",))},
+        data={"x": packed},
+        var_attrs={"x": attrs},
+    )
+    tbl = pa.Table.from_batches(
+        list(
+            _arrow_batches(p, ["t_idx", "x"], 0, n, mask_and_scale=True)
+        )
+    )
+    got = tbl["x"].to_pylist()
+    ref = packed.astype(np.float64) * float(scale) + float(offset)
+    for i in range(n):
+        if mask[i]:
+            assert got[i] is None, (i, got[i])
+        else:
+            assert got[i] == ref[i], (i, got[i], ref[i])
