@@ -1395,3 +1395,212 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _minhash_calibration_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"MIN(({MH_A[p]} * h + {MH_B[p]}) % {MINHASH_P}) AS mh{p}"
+        for p in range(NUM_PERM)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(CONCAT_WS(',', {cols})) AS sig"
+        " FROM mh".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    est_terms = " + ".join(
+        f"CASE WHEN a.mh{p} = b.mh{p} THEN 1 ELSE 0 END"
+        for p in range(NUM_PERM)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {_md5_int_sql('s', 7)} AS h FROM sh),
+mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+capped AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           COUNT(*) OVER (PARTITION BY band, sig) AS w
+    FROM bands) WHERE w <= {MAX_BUCKET}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.d1, c.d2, ({est_terms}) AS est32
+  FROM cands c
+  JOIN mh a ON a.doc_id = c.d1
+  JOIN mh b ON b.doc_id = c.d2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2
+),
+j AS (
+  SELECT e.est32,
+         CAST((COALESCE(i.n_inter, 0) * 1000000)
+              // (z1.n_sh + z2.n_sh - COALESCE(i.n_inter, 0))
+              AS BIGINT) AS jac_ppm
+  FROM est e
+  LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+  JOIN sizes z1 ON z1.doc_id = e.d1
+  JOIN sizes z2 ON z2.doc_id = e.d2
+)
+SELECT CAST(est32 AS BIGINT) AS est32,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(jac_ppm) // COUNT(*) AS BIGINT) AS mean_jac_ppm,
+       MIN(jac_ppm) AS min_jac_ppm,
+       MAX(jac_ppm) AS max_jac_ppm
+FROM j GROUP BY est32 ORDER BY est32
+"""
+
+
+@register(
+    "q_dedup_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc="MinHash ESTIMATOR CALIBRATION (round 12 — how the dedup "
+        "threshold is actually chosen at 100 TB: measure the "
+        "estimator against ground truth on the candidate set, then "
+        "pick the signature cutoff with the desired precision): for "
+        "every LSH candidate pair, the matching-component count of "
+        "the 32-perm signatures (the estimator, E[matches/32] = "
+        "true Jaccard) is bucketed against the EXACT shingle Jaccard "
+        "in integer ppm — per estimator value: pair count, mean/min/"
+        "max true Jaccard. Zero-intersection candidates (pure band "
+        "collisions) stay in the curve via the LEFT join — they are "
+        "exactly the false-positive mass the threshold must cut. "
+        "Cost is candidate-bounded (bucket-capped, never corpus²): "
+        "two doc-keyed mh joins + the shingle-intersection join the "
+        "verify stage already pays.",
+)
+def q_dedup_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("ss"))
+        .filter(F.size("ss") > 0)
+    )
+    ex = d.select("doc_id", F.explode("ss").alias("sh")).withColumn(
+        "h", _md5_int(F.col("sh"), 7)
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MH_A[p]) * F.col("h") + F.lit(MH_B[p])) % MINHASH_P
+            ).alias(f"mh{p}")
+            for p in range(NUM_PERM)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+    wb = Window.partitionBy("band", "sig")
+    bands = (
+        bands.withColumn("w", F.count(F.lit(1)).over(wb))
+        .filter(F.col("w") <= MAX_BUCKET)
+        .drop("w")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    est32 = sum(
+        (F.col(f"a.mh{p}") == F.col(f"b.mh{p}")).cast("int")
+        for p in range(NUM_PERM)
+    )
+    est = (
+        cands.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, F.col("d2") == F.col("b.doc_id"))
+        .select("d1", "d2", est32.alias("est32"))
+    )
+    sizes = d.select("doc_id", F.size("ss").alias("n_sh"))
+    sh = d.select("doc_id", F.explode("ss").alias("sh"))
+    inter = (
+        cands.join(
+            sh.alias("s1"), F.col("d1") == F.col("s1.doc_id")
+        )
+        .join(
+            sh.alias("s2"),
+            (F.col("d2") == F.col("s2.doc_id"))
+            & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        est.join(inter, ["d1", "d2"], "left")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")
+            ),
+            "d1",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")
+            ),
+            "d2",
+        )
+        .select(
+            "est32",
+            F.expr(
+                "(COALESCE(n_inter, 0) * 1000000)"
+                " div (n1 + n2 - COALESCE(n_inter, 0))"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        j.groupBy(F.col("est32").cast("long").alias("est32"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("SUM(jac_ppm) DIV COUNT(*)").alias("mean_jac_ppm"),
+            F.min("jac_ppm").alias("min_jac_ppm"),
+            F.max("jac_ppm").alias("max_jac_ppm"),
+        )
+        .orderBy("est32")
+    )

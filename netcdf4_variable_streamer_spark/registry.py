@@ -106,6 +106,7 @@ CANONICAL_ORDER: list[str] = [
     "q_report_idle_rich_customers",
     "q_stream_distinct_bitmap",
     "q_text_entropy",
+    "q_dedup_minhash_calibration",
     # last driver check: r6
     "q_fn_math",
     "q_fn_cond",

@@ -93,7 +93,7 @@ NEW_KEYS = [
     "q_sample_shard_rendezvous", "q_ml_naive_bayes", "q_fn_xml",
     "src_netcdf_describe", "snk_netcdf4_write_dir", "q_win_drawdown",
     "q_report_idle_rich_customers", "q_stream_distinct_bitmap",
-    "q_text_entropy",
+    "q_text_entropy", "q_dedup_minhash_calibration",
 ]
 
 
