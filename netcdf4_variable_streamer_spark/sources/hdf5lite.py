@@ -1481,11 +1481,45 @@ def _materialize_compound_strings(
     flat = arr.reshape(-1)
     str_members: list[str] = []
     seq_members: list[tuple[str, str]] = []
+    # explicit per-member markers on the INPUT dtype win over cell
+    # inference (ADVICE r12 #3): an all-None member is otherwise
+    # ambiguous — inferring NC_STRING would silently flip an intended
+    # NC_VLEN-of-numeric member's on-disk type to class-9 string
+    declared_str = set(
+        (dt.metadata or {}).get("vlen_str_members", ())
+    )
+    declared_seq = dict(
+        (dt.metadata or {}).get("vlen_seq_members", ())
+    )
     for m in dt.names:
         if dt.fields[m][0].kind != "O":
             continue
         cells = flat[m].tolist()
-        if all(c is None or isinstance(c, str) for c in cells):
+        if m in declared_str:
+            str_members.append(m)
+            continue
+        if m in declared_seq:
+            seq_members.append((m, np.dtype(declared_seq[m]).str))
+            continue
+        has_str = any(isinstance(c, str) for c in cells)
+        has_seq = any(
+            c is not None and not isinstance(c, str) for c in cells
+        )
+        if has_str and has_seq:
+            raise ValueError(
+                f"compound member {m!r} mixes str and sequence "
+                "cells — declare its type via dtype metadata "
+                "('vlen_str_members' or 'vlen_seq_members') instead "
+                "of relying on cell inference"
+            )
+        if not has_str and not has_seq:
+            raise ValueError(
+                f"compound member {m!r} has only None cells — its "
+                "on-disk type (NC_STRING vs NC_VLEN) cannot be "
+                "inferred; declare it via dtype metadata "
+                "('vlen_str_members' or 'vlen_seq_members')"
+            )
+        if has_str:
             str_members.append(m)
         else:
             # NC_VLEN-of-numeric member: base inferred like vlen
@@ -5669,6 +5703,18 @@ def _deflate_record_chunks(
     phase 2b BOTH call this, so they share the chain by construction
     (ADVICE r8 #2: a phase-1 size computed on a differently-typed
     block can no longer diverge from what phase 2b writes)."""
+    if szip is not None and fletcher:
+        # same loud guard as _write_dataset (ADVICE r12 #2): without
+        # it, phase 1 appends the 4 checksum bytes before szip and
+        # either dies with a misleading whole-block error deep in the
+        # codec or sizes a file phase 2a will refuse
+        raise ValueError(
+            "szip with fletcher32 is never produced by this "
+            "writer: the 4 checksum bytes would ride the szip "
+            "stream as misaligned extra samples (the partial-"
+            "block padding rule is unverifiable without the "
+            "szip library)"
+        )
     block = np.ascontiguousarray(
         block, dtype=np.dtype(dtype).newbyteorder("<")
     )

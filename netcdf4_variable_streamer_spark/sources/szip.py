@@ -290,7 +290,16 @@ def _encode_block(
         and int(vals.max(initial=0)) < 1 << 30  # keep gamma in int64
     ):
         se_gammas = _se_pairs(vals)
-        costs[0] = F + 1 + int(se_gammas.sum()) + se_gammas.shape[0]
+        # sum in Python ints: each gamma fits int64 (guard above) but a
+        # 16-gamma block of ~2^61 gammas wraps an int64 SUM negative,
+        # making argmin pick SE and write_fs_many allocate a negative/
+        # astronomical array (ADVICE r12 #1 — float32 bit patterns in
+        # [0.5, 2.0) land exactly in that band). Clamp to the sentinel
+        # so an astronomical cost can never win.
+        se_cost = (
+            F + 1 + sum(int(g) for g in se_gammas) + se_gammas.shape[0]
+        )
+        costs[0] = min(se_cost, int(np.iinfo(np.int64).max))
     best_id = int(np.argmin(costs))
     w.write(best_id, F)
     if ref is not None:

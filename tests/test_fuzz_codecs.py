@@ -2543,3 +2543,51 @@ def test_mask_and_scale_roundtrip_hypothesis(
             assert got[i] is None, (i, got[i])
         else:
             assert got[i] == ref[i], (i, got[i], ref[i])
+
+
+def test_szip_se_cost_sum_no_int64_overflow():
+    """ADVICE r12 #1 regression: the second-extension option's block
+    cost is a SUM of per-pair gammas; samples just below the 2^30
+    per-sample guard produce ~2^61 gammas whose int64 sum wraps
+    negative, making argmin pick SE and the writer allocate a
+    negative-size array. float32 values in [0.5, 2.0) — a common
+    normalized-data range — have bit patterns exactly in that band.
+    The cost must be computed in Python ints (clamped), so encode
+    succeeds and round-trips."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        szip_decode,
+        szip_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    f = rng.uniform(0.5, 2.0, 32).astype(np.float32)
+    samples = f.view(np.uint32)
+    assert int(samples.max()) < 1 << 30  # inside the per-gamma guard
+    s = szip_encode(
+        samples, nbits=32, pixels_per_block=8,
+        pixels_per_scanline=32, nn=False,
+    )
+    assert szip_decode(
+        s, 32, nbits=32, pixels_per_block=8,
+        pixels_per_scanline=32, nn=False,
+    ) == list(samples)
+
+
+def test_deflate_record_chunks_szip_fletcher_refused():
+    """ADVICE r12 #2 regression: the two-phase distributed writer's
+    phase-1 chunk sizer shares _write_dataset's loud szip+fletcher32
+    refusal instead of appending checksum bytes the codec then
+    rejects with a misleading whole-block error (or silently sizing a
+    file phase 2a will refuse)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _deflate_record_chunks,
+    )
+
+    block = np.arange(64, dtype=np.int32).reshape(4, 16)
+    with pytest.raises(ValueError, match="szip with fletcher32"):
+        list(
+            _deflate_record_chunks(
+                block, "<i4", 6, False, fletcher=True,
+                szip={"pixels_per_block": 16},
+            )
+        )

@@ -4555,3 +4555,55 @@ def test_mask_scale_float32_attrs(tmp_path):
     )
     v = NetCDF3File(p).variables["x"]
     assert _mask_scale(v) == (0.25, -2.5)
+
+
+def test_compound_object_member_inference_refusals(tmp_path):
+    """ADVICE r12 #3 regression: an object member whose cells are ALL
+    None is ambiguous (NC_STRING vs NC_VLEN) and must refuse loudly
+    naming the member instead of silently writing class-9 '' cells; a
+    member mixing str and sequence cells likewise refuses by name
+    instead of dying in a raw numpy cast."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import write_hdf5
+
+    dt = np.dtype([("sid", "<i4"), ("payload", object)])
+    a = np.zeros(3, dt)
+    a["sid"] = [1, 2, 3]
+    a["payload"] = [None, None, None]
+    with pytest.raises(ValueError, match="'payload' has only None"):
+        write_hdf5(
+            os.path.join(tmp_path, "allnone.h5"), {"obs": a},
+            {"obs": {"chunk": (2,)}},
+        )
+    b = np.zeros(3, dt)
+    b["sid"] = [1, 2, 3]
+    b["payload"] = ["x", np.array([1, 2], "<i4"), None]
+    with pytest.raises(ValueError, match="'payload' mixes str"):
+        write_hdf5(
+            os.path.join(tmp_path, "mixed.h5"), {"obs": b},
+            {"obs": {"chunk": (2,)}},
+        )
+
+
+def test_compound_object_member_declared_metadata_wins(tmp_path):
+    """ADVICE r12 #3, the positive path: explicit dtype-metadata
+    markers override cell inference, so an all-None member declared
+    as an NC_VLEN-of-int writes class-sequence (not class-9 string)
+    and reads back as empty arrays."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("sid", "<i4"), ("readings", object)],
+        metadata={"vlen_seq_members": (("readings", "<i4"),)},
+    )
+    a = np.zeros(3, dt)
+    a["sid"] = [1, 2, 3]
+    a["readings"] = [None, None, None]
+    p = os.path.join(tmp_path, "declared.h5")
+    write_hdf5(p, {"obs": a}, {"obs": {"chunk": (2,)}})
+    r = HDF5File(p).read("obs")
+    assert r.dtype.metadata["vlen_seq_members"] == (("readings", "<i4"),)
+    assert (r.dtype.metadata.get("vlen_str_members") or ()) == ()
+    assert [list(x) for x in r["readings"]] == [[], [], []]
