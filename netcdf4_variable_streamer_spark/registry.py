@@ -53,75 +53,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 # small remainder to carry one extra round (r10 left 10 r05 keys for
 # r11). That is the policy working, not a rotation bug.
 #
-# Round-12 rotation (VERDICT r11 "Next round" #1): at rotation time
-# all 270 keys had a driver row, all green at latest check — no
+# Round-13 rotation (VERDICT r12 "Next round" #1): at rotation time
+# all 306 keys had a driver row, all green at latest check — no
 # failures, none never-checked. The order is green keys
-# stalest-proof-first: new round-12 keys are inserted at the very top
-# as they land (unchecked keys outrank stale-green ones), then the 20
-# keys whose latest evidence is r06, then the r07 block fills the
-# remaining window slots; the remainder follows in latest-check order
-# (r07, r08, r09, r10, r11).
+# stalest-proof-first: new round-13 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 6
+# keys whose latest evidence is r06, then the oldest r07 block fills
+# the remaining window slots; the remainder follows in latest-check
+# order (r07, r08, r09, r10, r11, r12).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-12 additions (never driver-checked) are inserted at the
-    #    very top as they land, so they enter the window first. --
-    "q_text_perplexity_crosstrain",
-    "src_netcdf4_szip_scan",
-    "src_netcdf4_compound_string_scan",
-    "q_dedup_prefix_segmented",
-    "snk_netcdf4_write_szip",
-    "q_text_classifier_score",
-    "q_stream_quality_gate",
-    "src_netcdf4_points_v2_scan",
-    "q_sim_mips_topk",
-    "q_multimodal_patchify",
-    "q_join_asof_tolerance",
-    "q_pipeline_curation",
-    "q_sample_token_budget",
-    "src_hdf5_foreign_scan",
-    "q_dedup_cross_corpus",
-    "q_join_asof_forward",
-    "q_join_lateral_topn",
-    "src_netcdf4_enum_scan",
-    "src_netcdf4_opaque_scan",
-    "src_netcdf_packed_scan",
-    "q_text_ngram_novelty",
-    "snk_netcdf4_write_enum_opaque",
-    "q_agg_weighted_percentile",
-    "q_validate_referential",
-    "q_multimodal_audio_resample",
-    "q_report_waiting_orders",
-    "q_sample_shard_rendezvous",
-    "q_ml_naive_bayes",
-    "q_fn_xml",
-    "src_netcdf_describe",
-    "snk_netcdf4_write_dir",
-    "q_win_drawdown",
-    "q_report_idle_rich_customers",
-    "q_stream_distinct_bitmap",
-    "q_text_entropy",
-    "q_dedup_minhash_calibration",
     # last driver check: r6
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    "q_fn_map",
-    "q_fn_json",
-    "q_multimodal_bundle",
-    "q_pivot_lang_source",
-    "q_agg_percentiles",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embed_cosine",
-    "q_dedup_cc_clusters",
-    "q_join_range_bucketed",
-    "q_sim_knn_blocked",
-    "q_fn_variant",
     "q_multimodal_features",
     "src_parquet_scan",
     "src_netcdf_chunked_scan",
@@ -383,6 +331,57 @@ CANONICAL_ORDER: list[str] = [
     "q_except",
     "q_fn_string",
     "q_fn_date",
+    # last driver check: r12
+    "q_text_perplexity_crosstrain",
+    "src_netcdf4_szip_scan",
+    "src_netcdf4_compound_string_scan",
+    "q_dedup_prefix_segmented",
+    "snk_netcdf4_write_szip",
+    "q_text_classifier_score",
+    "q_stream_quality_gate",
+    "src_netcdf4_points_v2_scan",
+    "q_sim_mips_topk",
+    "q_multimodal_patchify",
+    "q_join_asof_tolerance",
+    "q_pipeline_curation",
+    "q_sample_token_budget",
+    "src_hdf5_foreign_scan",
+    "q_dedup_cross_corpus",
+    "q_join_asof_forward",
+    "q_join_lateral_topn",
+    "src_netcdf4_enum_scan",
+    "src_netcdf4_opaque_scan",
+    "src_netcdf_packed_scan",
+    "q_text_ngram_novelty",
+    "snk_netcdf4_write_enum_opaque",
+    "q_agg_weighted_percentile",
+    "q_validate_referential",
+    "q_multimodal_audio_resample",
+    "q_report_waiting_orders",
+    "q_sample_shard_rendezvous",
+    "q_ml_naive_bayes",
+    "q_fn_xml",
+    "src_netcdf_describe",
+    "snk_netcdf4_write_dir",
+    "q_win_drawdown",
+    "q_report_idle_rich_customers",
+    "q_stream_distinct_bitmap",
+    "q_text_entropy",
+    "q_dedup_minhash_calibration",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    "q_fn_map",
+    "q_fn_json",
+    "q_multimodal_bundle",
+    "q_pivot_lang_source",
+    "q_agg_percentiles",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embed_cosine",
+    "q_dedup_cc_clusters",
+    "q_join_range_bucketed",
+    "q_sim_knn_blocked",
+    "q_fn_variant",
 ]
 
 
