@@ -1604,3 +1604,115 @@ def q_dedup_minhash_calibration(
         )
         .orderBy("est32")
     )
+
+
+_SPAN_K = 8  # tokens per span — the exact-substring detection unit
+_SPAN_MAX_OCC = 64  # boilerplate cap: hotter clusters are dropped
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM t WHERE len(tk) >= {_SPAN_K}
+),
+spans AS (
+  SELECT doc_id, span_start,
+         MD5(array_to_string(
+             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
+           AS cluster
+  FROM pos
+),
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM spans GROUP BY cluster
+)
+SELECT s.doc_id, s.span_start,
+       CAST({_SPAN_K} AS BIGINT) AS span_len, s.cluster,
+       CAST(st.n_docs AS BIGINT) AS n_docs,
+       CAST(st.n_occ AS BIGINT) AS n_occ
+FROM spans s JOIN stats st USING (cluster)
+WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+ORDER BY cluster, doc_id, span_start
+""",
+    doc="SUBSTRING-SPAN exact dedup (round 13, VERDICT r12 #2 — the "
+        "Lee et al. 'Deduplicating Training Data Makes Language "
+        "Models Better' ExactSubstr family, re-expressed Spark-first "
+        "instead of the paper's suffix array): detect >=k-token "
+        "spans repeated ACROSS documents — the duplication document-"
+        "level and near-dedup both miss (a quoted paragraph inside "
+        "otherwise-distinct pages). Every token position emits the "
+        "16-byte md5 of its k-token window MAP-SIDE (posexplode + "
+        "slice + array_join — one hash per token, corpus-LINEAR in "
+        "tokens, never a suffix array on the driver and never "
+        "all-pairs); only (doc_id, span_start, cluster) ever enters "
+        "a shuffle — document text is plan-excluded, machine-"
+        "enforced by tests/test_plans.py. Clusters with >=2 distinct "
+        "docs are true cross-document repeats; clusters hotter than "
+        f"{_SPAN_MAX_OCC} occurrences are boilerplate (headers, "
+        "licenses) and are dropped by the cap — the cap also bounds "
+        "the emit join's fan-out, so output stays proportional to "
+        "genuine duplication. At 100 TB the span table is "
+        "~16 B/token (a few % of corpus bytes), the stats agg is a "
+        "standard partial-agg shuffle on the hash, and merging "
+        "adjacent emitted spans into maximal ranges is a per-doc "
+        "sort — the classic production layout (CCNet/RefinedWeb run "
+        "exactly this shape at bloom/exact-hash granularity).",
+)
+def q_dedup_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    K = _SPAN_K
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", r"\s+").alias("tk"))
+        .filter(F.size("tk") >= K)
+    )
+    # hash computed before any exchange: the projection after the
+    # explode drops tk, so shuffles carry only (doc_id, pos, 16-B md5)
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - (K - 1))
+            ).alias("span_start"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.md5(
+                F.array_join(F.expr(f"slice(tk, span_start, {K})"), " ")
+            ).alias("cluster"),
+        )
+    )
+    stats = (
+        spans.groupBy("cluster")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+        )
+    )
+    return (
+        spans.join(stats, "cluster")
+        .select(
+            "doc_id",
+            "span_start",
+            F.lit(K).cast("long").alias("span_len"),
+            "cluster",
+            "n_docs",
+            "n_occ",
+        )
+        .orderBy("cluster", "doc_id", "span_start")
+    )

@@ -69,6 +69,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 WINDOW_ROUND = 13
 
 CANONICAL_ORDER: list[str] = [
+    # -- round-13 additions (never driver-checked) are inserted at the
+    #    very top as they land, so they enter the window first. --
+    "q_dedup_substring_spans",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

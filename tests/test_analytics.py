@@ -94,6 +94,8 @@ NEW_KEYS = [
     "src_netcdf_describe", "snk_netcdf4_write_dir", "q_win_drawdown",
     "q_report_idle_rich_customers", "q_stream_distinct_bitmap",
     "q_text_entropy", "q_dedup_minhash_calibration",
+    # round 13
+    "q_dedup_substring_spans",
 ]
 
 

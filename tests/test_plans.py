@@ -854,3 +854,28 @@ def test_entropy_single_partitioning(spark):
     plan = plans.plan_string(df)
     assert "BatchEvalPython" not in plan, plan
     plans.assert_max_shuffles(df, 2)
+
+
+def test_substring_spans_no_text_in_shuffle(spark):
+    """q_dedup_substring_spans (round 13): span hashes are computed
+    map-side — every Exchange input excludes both the text column and
+    the token array; no cartesian/nested-loop stage anywhere."""
+    import re
+
+    df = build(spark, "q_dedup_substring_spans")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    checked = 0
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange\b", block.strip()):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), (
+                f"text in shuffle input: {block}"
+            )
+            assert "tk#" not in m.group(1), (
+                f"token array in shuffle input: {block}"
+            )
+            checked += 1
+    assert checked >= 2, plan  # stats agg + emit join
