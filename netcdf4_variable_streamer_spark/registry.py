@@ -72,6 +72,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-13 additions (never driver-checked) are inserted at the
     #    very top as they land, so they enter the window first. --
     "q_dedup_substring_spans",
+    "q_text_pii_scrub",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

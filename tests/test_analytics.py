@@ -95,7 +95,7 @@ NEW_KEYS = [
     "q_report_idle_rich_customers", "q_stream_distinct_bitmap",
     "q_text_entropy", "q_dedup_minhash_calibration",
     # round 13
-    "q_dedup_substring_spans",
+    "q_dedup_substring_spans", "q_text_pii_scrub",
 ]
 
 

@@ -879,3 +879,15 @@ def test_substring_spans_no_text_in_shuffle(spark):
             )
             checked += 1
     assert checked >= 2, plan  # stats agg + emit join
+
+
+def test_pii_scrub_map_side(spark):
+    """q_text_pii_scrub (round 13): the scrub is ONE map-side
+    projection — no Python, no join/agg; the only exchange is the
+    final presentation sort."""
+    df = build(spark, "q_text_pii_scrub")
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "HashAggregate") == 0, plan
+    assert plans.count_nodes(plan, "Join") == 0, plan
+    plans.assert_max_shuffles(df, 1)
