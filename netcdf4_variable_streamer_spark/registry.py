@@ -73,6 +73,7 @@ CANONICAL_ORDER: list[str] = [
     #    very top as they land, so they enter the window first. --
     "q_dedup_substring_spans",
     "q_text_pii_scrub",
+    "q_stream_pipeline_curation",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

@@ -1397,3 +1397,437 @@ def q_stream_distinct_bitmap(
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation composite (round 13, VERDICT r12 #7) — quality gate
+# + incremental exact dedup + token-budget sampling in ONE foreachBatch
+# loop: the full production crawl shape. Batch 0 (the reference corpus)
+# trains the LM and seeds the hash index + budget ledger; every crawl
+# batch dedups against the persisted index, gates survivors through the
+# persisted LM, scores what remains with the hashed classifier and cuts
+# greedily against the per-language token budget REMAINING after all
+# prior batches. All state (LM, hash index, budget ledger) is versioned
+# parquet on disk — the restart contract the individual loops prove,
+# composed.
+# ---------------------------------------------------------------------------
+
+_CUR_REF_SPLIT = 400  # doc_id < this = the reference corpus (batch 0)
+_CUR_BATCH_SPLIT = 450  # crawl batch 1 = [400, 450); batch 2 = [450, inf)
+_CUR_BUDGET = 700  # per-language token budget across ALL crawl batches
+
+
+def _docs_multi_batch_stream_dir(
+    spark: SparkSession, sf_dir: str, splits: tuple,
+    columns: tuple = ("doc_id", "text"),
+) -> str:
+    """N-file stream directory: consecutive doc_id ranges delimited by
+    ``splits`` (ascending), oldest first — the len(splits)+1-batch
+    generalization of :func:`_docs_two_batch_stream_dir`."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(
+        prefix="crawl_feed_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=list(columns))
+    bounds = [None, *splits, None]
+    files = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = t
+        if lo is not None:
+            part = part.filter(pc.greater_equal(part["doc_id"], lo))
+        if hi is not None:
+            part = part.filter(pc.less(part["doc_id"], hi))
+        f = os.path.join(stream_dir, f"{i}_part.parquet")
+        pq.write_table(part, f)
+        files.append(f)
+    now = os.stat(files[-1]).st_mtime
+    for i, f in enumerate(files):
+        ts = now - 1000 * (len(files) - i)
+        os.utime(f, (ts, ts))
+    return stream_dir
+
+
+def make_curation_loop(spark: SparkSession, run_dir: str):
+    """The composed foreachBatch closure + its batch counter. Restart-
+    safe exactly like :func:`make_crawl_loop` / :func:`make_quality_
+    gate`: the in-memory state dict is only a cache — a fresh closure
+    recovers the newest committed hash-index/budget version strictly
+    older than the current batch from the versioned parquet paths, the
+    LM is the once-persisted lm.json + bgc/ctx parquet, and decisions
+    write to per-batch versioned paths with overwrite (idempotent
+    replay)."""
+    import json
+
+    from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
+    from netcdf4_variable_streamer_spark.operators.text import (
+        perplexity_decisions,
+        perplexity_lm,
+    )
+
+    state: dict[str, str] = {}
+    n_batches = [0]
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        lm_meta = os.path.join(run_dir, "lm.json")
+        if not os.path.exists(lm_meta):
+            # reference batch: train + persist the LM, seed the hash
+            # index and the zeroed per-language budget ledger
+            bgc, ctx, vsz = perplexity_lm(batch_df)
+            bgc.write.mode("overwrite").parquet(
+                os.path.join(run_dir, "bgc")
+            )
+            ctx.write.mode("overwrite").parquet(
+                os.path.join(run_dir, "ctx")
+            )
+            h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
+            u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
+            batch_df.select(F.md5("text").alias("h")).distinct() \
+                .write.mode("overwrite").parquet(h_dst)
+            batch_df.select("lang").distinct().withColumn(
+                "used", F.lit(0).cast("long")
+            ).write.mode("overwrite").parquet(u_dst)
+            with open(lm_meta + ".tmp", "w") as f:
+                json.dump({"vsz": vsz}, f)
+            os.replace(lm_meta + ".tmp", lm_meta)
+            state["hashes"], state["budget"] = h_dst, u_dst
+            return
+        if not state:  # fresh closure (restart): recover newest state
+            prior = sorted(
+                int(p.split("_v")[1])
+                for p in os.listdir(run_dir)
+                if p.startswith("hashes_v")
+                and int(p.split("_v")[1]) < batch_id
+            )
+            v = prior[-1]
+            state["hashes"] = os.path.join(run_dir, f"hashes_v{v}")
+            state["budget"] = os.path.join(run_dir, f"budget_v{v}")
+        with open(lm_meta) as f:
+            vsz = json.load(f)["vsz"]
+        bgc = spark.read.parquet(os.path.join(run_dir, "bgc"))
+        ctx = spark.read.parquet(os.path.join(run_dir, "ctx"))
+        idx = spark.read.parquet(state["hashes"])
+        used = spark.read.parquet(state["budget"])
+
+        b = batch_df.select(
+            "doc_id", "lang", "text",
+            F.md5("text").alias("h"),
+            F.expr(
+                "size(filter(split(text, ' '), t -> t != ''))"
+            ).cast("long").alias("n_tokens"),
+        )
+        # stage 1: exact dedup against the standing index + in-batch
+        # min-id keeper (16-byte keys; batch-proportional probe)
+        wmin = Window.partitionBy("h")
+        b2 = (
+            b.join(idx.withColumn("in_idx", F.lit(1)), "h", "left")
+            .withColumn("min_id", F.min("doc_id").over(wmin))
+            .withColumn(
+                "is_dup",
+                F.col("in_idx").isNotNull()
+                | (F.col("doc_id") != F.col("min_id")),
+            )
+        )
+        survivors = b2.filter(~F.col("is_dup")).select(
+            "doc_id", "lang", "text", "n_tokens"
+        )
+        # stage 2: perplexity gate under the persisted LM (per-lang
+        # cutoff over THIS batch's survivors — batch-proportional)
+        ppl = perplexity_decisions(bgc, ctx, vsz, survivors)
+        kept = survivors.join(
+            ppl.filter(F.col("keep")).select("doc_id"), "doc_id"
+        )
+        # stage 3: hashed-classifier score + greedy budget cut against
+        # the per-language budget REMAINING from prior batches
+        toks = (
+            kept.filter(F.length("text") > 0)
+            .select(
+                "doc_id", "lang",
+                F.explode(F.split("text", " ")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+        feats = toks.groupBy(
+            "doc_id", "lang",
+            (_md5_int(F.col("tok"), 7) % 4096).alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        wgt = (
+            _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+            - 1000
+        )
+        scored = feats.groupBy("doc_id", "lang").agg(
+            F.sum(F.col("cnt") * wgt).alias("score_q"),
+            F.sum("cnt").alias("nt"),
+        )
+        wcum = (
+            Window.partitionBy("lang")
+            .orderBy(F.desc("score_q"), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        samp = (
+            scored.join(F.broadcast(used), "lang", "left")
+            .withColumn("cum", F.sum("nt").over(wcum))
+            .withColumn(
+                "sampled",
+                F.coalesce(F.col("used"), F.lit(0)) + F.col("cum")
+                <= _CUR_BUDGET,
+            )
+        )
+        (
+            b2.select("doc_id", "lang", "is_dup", "n_tokens")
+            .join(
+                ppl.select(
+                    "doc_id", F.col("keep").alias("ppl_keep")
+                ),
+                "doc_id", "left",
+            )
+            .join(samp.select("doc_id", "sampled"), "doc_id", "left")
+            .select(
+                "doc_id", "lang",
+                F.lit(batch_id).cast("long").alias("batch"),
+                "is_dup",
+                F.coalesce(F.col("ppl_keep"), F.lit(False)).alias(
+                    "ppl_keep"
+                ),
+                "n_tokens",
+                F.coalesce(F.col("sampled"), F.lit(False)).alias(
+                    "sampled"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(run_dir, f"dec_v{batch_id}"))
+        )
+        # commit the new state versions (decisions first: a replayed
+        # batch overwrites both idempotently)
+        h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
+        u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
+        idx.unionByName(b.select("h").distinct()).distinct() \
+            .write.mode("overwrite").parquet(h_dst)
+        batch_used = (
+            samp.filter(F.col("sampled"))
+            .groupBy("lang")
+            .agg(F.sum("nt").alias("bu"))
+        )
+        used.join(batch_used, "lang", "full").select(
+            "lang",
+            (
+                F.coalesce(F.col("used"), F.lit(0))
+                + F.coalesce(F.col("bu"), F.lit(0))
+            ).alias("used"),
+        ).write.mode("overwrite").parquet(u_dst)
+        state["hashes"], state["budget"] = h_dst, u_dst
+
+    return curate, n_batches
+
+
+def run_foreachbatch_pipeline_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-micro-batch composed curation stream: reference + two crawl
+    batches; returns the union of both crawl batches' decisions."""
+    import shutil
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = _docs_multi_batch_stream_dir(
+        spark, sf_dir, (_CUR_REF_SPLIT, _CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = tempfile.mkdtemp(
+        prefix="cur_state_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    )
+    curate, n_batches = make_curation_loop(spark, run_dir)
+    schema = spark.read.parquet(feed).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(curate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] == 3, f"expected 3 micro-batches, got {n_batches[0]}"
+    out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
+    rows = out.collect()
+    schema_out = out.schema
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.rmtree(feed, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+_CUR_ORACLE = f"""
+WITH ref AS (SELECT * FROM documents WHERE doc_id < {_CUR_REF_SPLIT}),
+crawl AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN doc_id < {_CUR_BATCH_SPLIT} THEN 1 ELSE 2 END
+           AS batch,
+         MD5(text) AS h,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id >= {_CUR_REF_SPLIT}
+),
+idx AS (SELECT DISTINCT MD5(text) AS h FROM ref),
+dup AS (
+  SELECT c.doc_id,
+         (i.h IS NOT NULL OR EXISTS (
+            SELECT 1 FROM crawl c2 WHERE c2.h = c.h
+            AND (c2.batch < c.batch
+                 OR (c2.batch = c.batch AND c2.doc_id < c.doc_id))
+         )) AS is_dup
+  FROM crawl c LEFT JOIN idx i ON c.h = i.h
+),
+surv AS (
+  SELECT c.* FROM crawl c JOIN dup USING (doc_id) WHERE NOT is_dup
+),
+ttoks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM ref
+),
+tok AS (SELECT UNNEST(w) AS tok FROM ttoks),
+v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+tbg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ttoks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM tbg GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c_u FROM tbg GROUP BY w1),
+stoks AS (
+  SELECT doc_id, lang, batch,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM surv
+),
+bg AS (
+  SELECT doc_id, lang, batch, w[i] AS w1, w[i + 1] AS w2
+  FROM stoks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+scored AS (
+  SELECT b.doc_id, b.lang, b.batch,
+         CAST(SUM(CAST(FLOOR(LN(
+             CAST(COALESCE(bgc.c_bg, 0) + 1 AS DOUBLE)
+             / (COALESCE(ctx.c_u, 0) + v.vsz)) * 1000000)
+           AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS cnt
+  FROM bg b
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.lang, b.batch
+),
+qd AS (
+  SELECT doc_id, lang, batch, -((-s) // cnt) AS q FROM scored
+),
+cut AS (
+  SELECT batch, lang, CAST(SUM(q) AS BIGINT) AS sum_q,
+         COUNT(*) AS n_docs
+  FROM qd GROUP BY batch, lang
+),
+ppl AS (
+  SELECT s.doc_id, (s.q * c.n_docs >= c.sum_q) AS ppl_keep
+  FROM qd s JOIN cut c USING (batch, lang)
+),
+keptdocs AS (
+  SELECT s.doc_id, s.lang, s.batch, s.text
+  FROM surv s JOIN ppl p USING (doc_id) WHERE p.ppl_keep
+),
+ktoks AS (
+  SELECT doc_id, lang, batch, UNNEST(string_split(text, ' ')) AS tok
+  FROM keptdocs WHERE LENGTH(text) > 0
+),
+feats AS (
+  SELECT doc_id, lang, batch,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 4096
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM ktoks WHERE tok <> ''
+  GROUP BY doc_id, lang, batch, bucket
+),
+csc AS (
+  SELECT doc_id, lang, batch,
+         CAST(SUM(cnt) AS BIGINT) AS nt,
+         CAST(SUM(cnt * (CAST(('0x' || SUBSTR(MD5('w:' || bucket), 1, 7))
+                              AS BIGINT) % 2001 - 1000)) AS BIGINT)
+           AS score_q
+  FROM feats GROUP BY doc_id, lang, batch
+),
+s1 AS (
+  SELECT doc_id, lang, nt,
+         CAST(SUM(nt) OVER (PARTITION BY lang
+                            ORDER BY score_q DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM csc WHERE batch = 1
+),
+k1 AS (
+  SELECT doc_id, lang, nt, (cum <= {_CUR_BUDGET}) AS sampled FROM s1
+),
+u1 AS (
+  SELECT lang,
+         CAST(COALESCE(SUM(CASE WHEN sampled THEN nt END), 0)
+              AS BIGINT) AS used
+  FROM k1 GROUP BY lang
+),
+s2 AS (
+  SELECT c.doc_id, c.lang, c.nt,
+         CAST(SUM(c.nt) OVER (PARTITION BY c.lang
+                              ORDER BY c.score_q DESC, c.doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum,
+         COALESCE(u.used, 0) AS used
+  FROM csc c LEFT JOIN u1 u ON c.lang = u.lang WHERE c.batch = 2
+),
+k2 AS (
+  SELECT doc_id, lang, nt, (used + cum <= {_CUR_BUDGET}) AS sampled
+  FROM s2
+),
+samp AS (
+  SELECT doc_id, sampled FROM k1
+  UNION ALL SELECT doc_id, sampled FROM k2
+)
+SELECT c.doc_id, c.lang, CAST(c.batch AS BIGINT) AS batch, d.is_dup,
+       COALESCE(p.ppl_keep, FALSE) AS ppl_keep,
+       c.n_tokens,
+       COALESCE(s.sampled, FALSE) AS sampled
+FROM crawl c
+JOIN dup d USING (doc_id)
+LEFT JOIN ppl p USING (doc_id)
+LEFT JOIN samp s USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+@register(
+    "q_stream_pipeline_curation",
+    oracle=_CUR_ORACLE,
+    doc="STREAMING CURATION COMPOSITE (round 13, VERDICT r12 #7) — "
+        "the three production loops this engine already restart-"
+        "proves individually (incremental dedup, perplexity quality "
+        "gate, token-budget sampling) composed into ONE foreachBatch "
+        "crawl loop: batch 0 trains + persists the bigram LM and "
+        "seeds the exact-hash index and per-language budget ledger; "
+        "each crawl batch (two here) dedups against the persisted "
+        "index (16-byte keys, in-batch min-id keeper), gates "
+        "survivors through the persisted LM with per-batch per-lang "
+        "integer cutoffs, scores what remains with the hashed linear "
+        "classifier and fills each language's REMAINING token budget "
+        "greedily best-first — then commits versioned hash-index and "
+        "budget state for the next batch. The oracle replays the "
+        "whole 3-batch protocol declaratively (batch boundaries are "
+        "doc_id ranges), so stream decisions — dedup verdicts, gate "
+        "verdicts AND the cross-batch budget cut — must equal the "
+        "batch computation exactly. The budget constant is chosen so "
+        "the fixture exercises all three regimes: never cut, cut "
+        "mid-batch-1, and cut in batch 2 against carried state. "
+        "100 TB: every stage is batch-proportional against "
+        "persisted, mergeable state; restart recovery is versioned-"
+        "path discovery, proven by the composed restart test.",
+)
+def q_stream_pipeline_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_foreachbatch_pipeline_curation(spark, sf_dir)

@@ -536,3 +536,79 @@ def test_chained_streaming_window_reaggregation(spark):
         ).collect()
     }
     assert got == exact and len(exact) > 0
+
+
+def test_curation_pipeline_restart_from_checkpoint(spark, tmp_path):
+    """RESTART proof for the COMPOSED curation loop (round 13): run
+    the reference batch + crawl batch 1, STOP, then restart a brand-
+    new query — fresh closure, EMPTY state dict, same checkpoint —
+    after the second crawl file arrives. The restarted run must (a)
+    not replay batches 0-1, (b) not retrain the LM, (c) recover the
+    hash index AND the budget ledger from the versioned parquet
+    paths, and (d) produce decisions equal to the 3-batch oracle —
+    including the batch-2 budget cut against batch-1's carried
+    usage."""
+    import os
+    import shutil
+
+    from netcdf4_variable_streamer_spark import oracle as oracle_mod
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    crawl2 = os.path.join(feed, "2_part.parquet")
+    held = str(tmp_path / "held.parquet")
+    shutil.move(crawl2, held)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    ckpt = os.path.join(run_dir, "ckpt")
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        curate, n = sq.make_curation_loop(spark, run_dir)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(curate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return n[0]
+
+    # run 1: reference + crawl batch 1
+    assert run_once() == 2
+    assert os.path.exists(os.path.join(run_dir, "lm.json"))
+    assert os.path.isdir(os.path.join(run_dir, "hashes_v1"))
+    assert os.path.isdir(os.path.join(run_dir, "budget_v1"))
+    assert os.path.isdir(os.path.join(run_dir, "dec_v1"))
+    assert not os.path.isdir(os.path.join(run_dir, "dec_v2"))
+    lm_mtime = os.path.getmtime(os.path.join(run_dir, "lm.json"))
+
+    # crawl batch 2 arrives; the RESTARTED query (fresh closure) must
+    # process exactly one new batch from the recovered state
+    shutil.move(held, crawl2)
+    assert run_once() == 1
+    assert os.path.getmtime(os.path.join(run_dir, "lm.json")) == lm_mtime
+
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "n_tokens",
+                "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    # the fixture must actually exercise the cross-batch budget carry:
+    # some batch-2 docs dropped ONLY because batch 1 consumed budget
+    b2 = want[want["batch"] == 2]
+    assert (~b2["sampled"] & b2["ppl_keep"] & ~b2["is_dup"]).any()
+    shutil.rmtree(feed, ignore_errors=True)
