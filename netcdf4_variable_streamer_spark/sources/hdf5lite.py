@@ -119,11 +119,10 @@ refused, since round 11).
 Honest scope (loud refusals naming the feature):
 nbit/scaleoffset and truly unknown filter ids (szip decodes AND
 encodes from the public CCSDS 121.0 spec since round 12 —
-sources/szip.py), reference-typed compound members (NC_STRING AND
-NC_VLEN-of-numeric members read and write since round 12), and
-low-entropy szip option IDs in a reference block (this writer
-never emits them; the pairing convention is unverifiable without
-the external library). Documented assumption rather than refusal:
+sources/szip.py; low-entropy option IDs in reference blocks decode
+since round 13, closing the last plausible real-file refusal) and
+reference-typed compound members (NC_STRING AND NC_VLEN-of-numeric
+members read and write since round 12). Documented assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own

@@ -2066,8 +2066,8 @@ def test_szip_roundtrip_fuzz():
 
 def test_szip_refusals_loud():
     """Every malformed input refuses with a named ValueError: partial
-    blocks, bad geometry, the raw-option mask, low-entropy IDs in a
-    reference block (never written, pairing ambiguous), truncation,
+    blocks, bad geometry, the raw-option mask, truncation (including
+    a low-entropy reference block cut before its raw reference),
     and an NN unmap that leaves the sample range."""
     from netcdf4_variable_streamer_spark.sources.szip import (
         szip_decode,
@@ -2095,8 +2095,8 @@ def test_szip_refusals_loud():
     with pytest.raises(ValueError, match="not whole 2-byte samples"):
         szip_h5_decode(struct.pack("<I", 7) + b"\x00" * 8,
                        (32 | 8, 16, 8, 8))
-    # low-entropy ID in a reference block
-    with pytest.raises(ValueError, match="reference block"):
+    # low-entropy reference block truncated before the raw reference
+    with pytest.raises(ValueError, match="truncated"):
         szip_decode(
             _bits("000" + "0" + _fs(4)), 8, nbits=8,
             pixels_per_block=8, pixels_per_scanline=8, nn=True,
@@ -2590,4 +2590,91 @@ def test_deflate_record_chunks_szip_fletcher_refused():
                 block, "<i4", 6, False, fletcher=True,
                 szip={"pixels_per_block": 16},
             )
+        )
+
+
+def test_szip_golden_zero_block_reference():
+    """Round 13 (VERDICT r12 #3): a ZERO-BLOCK ID in a reference
+    block — the shape a real szip/libaec file emits for constant
+    data — decodes per the CCSDS low-entropy layout: 3-bit ID 0,
+    1-bit selector 0, the raw reference sample, then the FS run
+    codeword; the reference block's J-1 coded samples are zero, so
+    every sample equals the reference."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # one 8-sample NN interval, ref=5, run=1 (fsv 0 -> '1')
+    stream = _bits("000" + "0" + format(5, "08b") + "1")
+    got = szip_decode(
+        stream, 8, nbits=8, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    assert got == [5] * 8
+
+
+def test_szip_golden_zero_run_from_reference():
+    """A zero-block RUN that starts at the reference block spans the
+    following all-zero blocks too: 4 blocks of 4, run codeword
+    fsv=3 -> run 4, all 16 samples equal the reference."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    stream = _bits("000" + "0" + format(77, "08b") + _fs(3))
+    got = szip_decode(
+        stream, 16, nbits=8, pixels_per_block=4,
+        pixels_per_scanline=16, nn=True,
+    )
+    assert got == [77] * 16
+
+
+def test_szip_golden_second_extension_reference():
+    """SECOND EXTENSION in a reference block: the pair grid starts at
+    the reference's slot, so the first gamma encodes the dummy pair
+    (0, delta_1) and contributes only delta_1; J/2 gammas cover the
+    J-1 coded samples. Expected samples computed by hand through the
+    NN unmap chain."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # ref=10, deltas [2,0,4,1,0,2,3] -> pairs (0,2)(0,4)(1,0)(2,3)
+    # gammas g(a,b) = (a+b)(a+b+1)/2 + b = 5, 14, 1, 18
+    stream = _bits(
+        "000" + "1" + format(10, "08b")
+        + _fs(5) + _fs(14) + _fs(1) + _fs(18)
+    )
+    got = szip_decode(
+        stream, 8, nbits=8, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    # unmap by hand: 10 +1 +0 +2 -1 +0 +1 -2
+    assert got == [10, 11, 11, 13, 12, 12, 13, 11]
+
+
+def test_szip_golden_se_reference_then_normal_block():
+    """A low-entropy reference block followed by a normal FS block in
+    the same interval: the reader resumes the standard per-block loop
+    after the irregular first block."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # J=4, pps=8: block 0 codes 3 samples (SE: 2 gammas, first
+    # contributes only delta_1), block 1 codes 4 via FS (id 1, k=0)
+    stream = _bits(
+        "000" + "1" + format(100, "08b") + _fs(5) + _fs(14)  # [2,0,4]
+        + "001" + _fs(1) + _fs(0) + _fs(2) + _fs(3)  # [1,0,2,3]
+    )
+    got = szip_decode(
+        stream, 8, nbits=8, pixels_per_block=4,
+        pixels_per_scanline=8, nn=True,
+    )
+    # 100 +1 +0 +2 -1 +0 +1 -2
+    assert got == [100, 101, 101, 103, 102, 102, 103, 101]
+
+
+def test_szip_se_reference_truncated_payload_refuses():
+    """A second-extension reference block whose gamma payload is cut
+    short refuses loudly instead of decoding garbage."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    stream = _bits("000" + "1" + format(10, "08b") + _fs(5))
+    with pytest.raises(ValueError, match="truncated"):
+        szip_decode(
+            stream, 8, nbits=8, pixels_per_block=8,
+            pixels_per_scanline=8, nn=True,
         )
