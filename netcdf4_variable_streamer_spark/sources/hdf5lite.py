@@ -276,6 +276,7 @@ def _dt_compound(dtype: np.dtype) -> bytes:
     names = dtype.names or ()
     vlens = (dtype.metadata or {}).get("vlen_str_members", ())
     seqs = dict((dtype.metadata or {}).get("vlen_seq_members", ()))
+    refs = (dtype.metadata or {}).get("ref_members", ())
     body = b""
     for n in names:
         fdt, off = dtype.fields[n][0], dtype.fields[n][1]
@@ -283,7 +284,11 @@ def _dt_compound(dtype: np.dtype) -> bytes:
         body += nb + b"\x00" * (-len(nb) % 8)
         body += struct.pack("<IB3xI4x", off, 0, 0)
         body += struct.pack("<4I", 0, 0, 0, 0)  # v1 dim sizes (unused)
-        if n in vlens:
+        if n in refs:
+            # class-7 object-reference member (round 13): the field
+            # holds the referenced object's 8-byte header address
+            body += struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+        elif n in vlens:
             body += _dt_vlen_str()
         elif n in seqs:
             # class-9 variant 0 (sequence) of the numeric base
@@ -488,6 +493,7 @@ def _walk_compound_impl(body: bytes):
     offsets: list[int] = []
     vlen_strs: list[str] = []
     vlen_seqs: dict[str, str] = {}
+    ref_names: list[str] = []
     why = None
     for _ in range(nmembers):
         end = body.index(b"\x00", pos)
@@ -547,6 +553,16 @@ def _walk_compound_impl(body: bytes):
             # datatype, not the data; netCDF4-python surfaces ints
             # for enum compound members the same way)
             parsed = parsed[1]
+        elif parsed == ("ref", 8) and not shape:
+            # OBJECT-REFERENCE member (round 13, VERDICT r12 #4 — the
+            # last compound refusal): the cell is the referenced
+            # object's 8-byte header address; read resolves it to the
+            # object PATH through the same _object_paths map class-7
+            # reference datasets use (dataset-REGION reference
+            # members stay refused — their heap payload carries a
+            # selection, not just an address)
+            ref_names.append(name)
+            parsed = np.dtype("<u8")
         if not isinstance(parsed, (np.dtype, str)):
             kind = (
                 f"class {parsed[1]}"
@@ -563,7 +579,9 @@ def _walk_compound_impl(body: bytes):
         offsets.append(off)
     if why is not None:
         return ("unsupported", why), pos
-    return (names, formats, offsets, size, vlen_strs, vlen_seqs), pos
+    return (
+        names, formats, offsets, size, vlen_strs, vlen_seqs, ref_names
+    ), pos
 
 
 def _compound_dtype(walked):
@@ -576,7 +594,8 @@ def _compound_dtype(walked):
     string members — the marker round-trips)."""
     if walked and walked[0] == "unsupported":
         return ("compound_unsupported", walked[1])
-    names, formats, offsets, size, vlen_strs, vlen_seqs = walked
+    (names, formats, offsets, size, vlen_strs, vlen_seqs,
+     ref_names) = walked
     try:
         spec = {
             "names": names,
@@ -589,6 +608,8 @@ def _compound_dtype(walked):
             meta["vlen_str_members"] = tuple(vlen_strs)
         if vlen_seqs:
             meta["vlen_seq_members"] = tuple(sorted(vlen_seqs.items()))
+        if ref_names:
+            meta["ref_members"] = tuple(ref_names)
         if meta:
             return np.dtype(spec, metadata=meta)
         return np.dtype(spec)
@@ -1453,8 +1474,14 @@ def _resolved_compound_dtype(dt: np.dtype, info) -> np.dtype:
     str member from an array member."""
     vlens = set(info.compound_vlen)
     seqs = dict(info.compound_vlen_seq)
+    refs = set(info.compound_ref)
     fmts = [
-        (m, object if (m in vlens or m in seqs) else dt.fields[m][0])
+        (
+            m,
+            object
+            if (m in vlens or m in seqs or m in refs)
+            else dt.fields[m][0],
+        )
         for m in dt.names
     ]
     meta = {}
@@ -1462,7 +1489,35 @@ def _resolved_compound_dtype(dt: np.dtype, info) -> np.dtype:
         meta["vlen_str_members"] = tuple(info.compound_vlen)
     if info.compound_vlen_seq:
         meta["vlen_seq_members"] = tuple(info.compound_vlen_seq)
+    if info.compound_ref:
+        meta["ref_members"] = tuple(info.compound_ref)
     return np.dtype(fmts, metadata=meta) if meta else np.dtype(fmts)
+
+
+def _materialize_compound_refs(
+    arr: np.ndarray, resolve: dict
+) -> np.ndarray:
+    """Structured records with OBJECT-REFERENCE members (round 13,
+    declared via dtype metadata ``ref_members``): path (str) cells
+    resolve to the referenced objects' 8-byte header addresses (None
+    -> the null reference), producing ``<u8`` fields; the marker
+    survives on the output dtype so :func:`_dt_compound` emits the
+    class-7 member datatype."""
+    dt = arr.dtype
+    refs = tuple((dt.metadata or {}).get("ref_members", ()))
+    fmts = [
+        (m, "<u8" if m in refs else dt.fields[m][0]) for m in dt.names
+    ]
+    new_dt = np.dtype(fmts, metadata=dict(dt.metadata or {}))
+    res = np.zeros(arr.shape, new_dt)
+    for m in dt.names:
+        if m in refs:
+            res[m] = _resolve_ref_addrs(
+                arr[m].reshape(-1).tolist(), resolve
+            ).reshape(arr.shape)
+        else:
+            res[m] = arr[m]
+    return res
 
 
 def _materialize_compound_strings(
@@ -1536,7 +1591,13 @@ def _materialize_compound_strings(
             ).newbyteorder("<")
             seq_members.append((m, base.str))
     seq_bases = dict(seq_members)
-    meta = {}
+    # ref members were already materialized to <u8 upstream; their
+    # marker must survive so _dt_compound emits class-7 for them
+    meta = {
+        k: v
+        for k, v in (dt.metadata or {}).items()
+        if k == "ref_members"
+    }
     if str_members:
         meta["vlen_str_members"] = tuple(str_members)
     if seq_members:
@@ -1725,8 +1786,18 @@ def _write_dataset(
     ):
         # NC_COMPOUND with NC_STRING members (round 12): object (str)
         # fields become 16-byte heap descriptors; the metadata marker
-        # makes _dt_compound emit class-9 string member datatypes
-        arr = _materialize_compound_strings(out, arr)
+        # makes _dt_compound emit class-9 string member datatypes.
+        # OBJECT-REFERENCE members (round 13, declared via the
+        # "ref_members" metadata marker) materialize FIRST: path
+        # cells resolve to 8-byte header addresses against already-
+        # written objects, exactly like class-7 reference datasets
+        if (arr.dtype.metadata or {}).get("ref_members"):
+            arr = _materialize_compound_refs(arr, resolve or {})
+        if any(
+            arr.dtype.fields[m][0].kind == "O"
+            for m in arr.dtype.names
+        ):
+            arr = _materialize_compound_strings(out, arr)
         dt_body = _dt_body(arr.dtype)
     elif presized is not None:
         if chunk is None:
@@ -2634,6 +2705,11 @@ class DatasetInfo:
     # ((name, base_dtype_str), ...) — same descriptor machinery,
     # cells resolve to variable-length numpy arrays of the base
     compound_vlen_seq: tuple = ()
+    # NC_COMPOUND with OBJECT-REFERENCE members (round 13): names of
+    # the members whose on-disk cells are 8-byte header addresses;
+    # reads resolve them to referenced-object paths (str), null
+    # references to None
+    compound_ref: tuple = ()
     # NC_ENUM dataset (round 12): ((name, value), ...) member pairs
     # from the class-8 datatype; cells read as the integer base dtype
     enum_members: tuple = ()
@@ -3963,6 +4039,9 @@ class HDF5File:
                     info.compound_vlen_seq = tuple(
                         dtype.metadata.get("vlen_seq_members", ())
                     )
+                    info.compound_ref = tuple(
+                        dtype.metadata.get("ref_members", ())
+                    )
                 if dtype == ("ref", 8):
                     # class-7 object references (round 10): scan the
                     # 8-byte addresses, decode to object paths at read
@@ -4508,7 +4587,8 @@ class HDF5File:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
-            if info.compound_vlen or info.compound_vlen_seq:
+            if (info.compound_vlen or info.compound_vlen_seq
+                    or info.compound_ref):
                 return self._compound_vlen_resolve(a, info)
             return a
 
@@ -4538,6 +4618,10 @@ class HDF5File:
                     np.ascontiguousarray(a[m]),
                     np.dtype(seq_bases[m]),
                 )
+            elif m in info.compound_ref:
+                # round 13: address member -> referenced object path
+                # (None for null references; unknown address is loud)
+                out[m] = self._ref_decode(np.ascontiguousarray(a[m]))
             else:
                 out[m] = a[m]
         return out
@@ -5000,7 +5084,8 @@ class HDF5File:
                 return self._vlen_str_decode(a)
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
-            if info.compound_vlen or info.compound_vlen_seq:
+            if (info.compound_vlen or info.compound_vlen_seq
+                    or info.compound_ref):
                 return self._compound_vlen_resolve(a, info)
             return a
 
@@ -5260,7 +5345,7 @@ class NetCDF4View:
                     continue  # pure dimension, not a coordinate var
             vdims = self._resolve_dims(d)
             is_rec = bool(vdims) and vdims[0] == self._rec_dim
-            if d.compound_vlen or d.compound_vlen_seq:
+            if d.compound_vlen or d.compound_vlen_seq or d.compound_ref:
                 # compound with NC_STRING / NC_VLEN members: the
                 # netCDF view (and Spark schema) sees the RESOLVED
                 # record layout — object fields where the disk holds

@@ -96,7 +96,7 @@ NEW_KEYS = [
     "q_text_entropy", "q_dedup_minhash_calibration",
     # round 13
     "q_dedup_substring_spans", "q_text_pii_scrub",
-    "q_stream_pipeline_curation",
+    "q_stream_pipeline_curation", "src_netcdf4_compound_ref_scan",
 ]
 
 

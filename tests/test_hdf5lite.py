@@ -2787,12 +2787,14 @@ def test_compound_unsupported_member_refuses(tmp_path):
         _parse_dt,
     )
 
-    # hand-craft: {ok <i4 @0, bad objref @4}
+    # hand-craft: {ok <i4 @0, bad dataset-REGION ref @4} (object
+    # references parse since round 13; region refs stay refused —
+    # their heap payload carries a selection, not just an address)
     nb1 = b"ok\x00" + b"\x00" * 5
     nb2 = b"bad\x00" + b"\x00" * 4
     i4body = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
-    refbody = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)  # class 7 v1
-    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
+    refbody = struct.pack("<B3BI", 0x17, 0x01, 0, 0, 12)  # regref
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 16)
     body += nb1 + struct.pack("<IB3xI4x4I", 0, 0, 0, 0, 0, 0, 0) + i4body
     body += nb2 + struct.pack("<IB3xI4x4I", 4, 0, 0, 0, 0, 0, 0) + refbody
     marker = _parse_dt(body)
@@ -3962,9 +3964,19 @@ def test_compound_refusal_narrowed_to_references(tmp_path):
     assert dt.metadata["vlen_str_members"] == ("label",)
     assert dt.fields["label"][0].itemsize == 16
 
-    # {ok i4 @0, bad objref @4}: still the loud named refusal
+    # {ok i4 @0, ptr objref @4}: PARSES since round 13 — the member
+    # reads as a <u8 address field carrying the ref_members marker
     body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
-    body += member("ok", 0, i4body) + member("bad", 4, refbody)
+    body += member("ok", 0, i4body) + member("ptr", 4, refbody)
+    dt2 = _parse_dt(body)
+    assert isinstance(dt2, np.dtype)
+    assert dt2.metadata["ref_members"] == ("ptr",)
+    assert dt2.fields["ptr"][0] == np.dtype("<u8")
+
+    # {ok i4 @0, bad REGION ref @4}: the remaining loud refusal
+    regbody = struct.pack("<B3BI", 0x17, 0x01, 0, 0, 12)
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 16)
+    body += member("ok", 0, i4body) + member("bad", 4, regbody)
     marker = _parse_dt(body)
     assert marker[0] == "compound_unsupported" and "bad" in marker[1]
 
@@ -4335,10 +4347,11 @@ def test_compound_enum_member_reads_as_base():
     body += ebody
     walked, total = _walk_compound(body)
     assert total == len(body)
-    names, formats, offsets, itemsize, vlen_strs, vlen_seqs = walked
+    (names, formats, offsets, itemsize, vlen_strs, vlen_seqs,
+     ref_names) = walked
     assert names == ["st"]
     assert formats == [np.dtype("<i2")]
-    assert not vlen_strs and not vlen_seqs
+    assert not vlen_strs and not vlen_seqs and not ref_names
 
 
 def test_enum_attribute_steps_over(tmp_path):
@@ -4607,3 +4620,106 @@ def test_compound_object_member_declared_metadata_wins(tmp_path):
     assert r.dtype.metadata["vlen_seq_members"] == (("readings", "<i4"),)
     assert (r.dtype.metadata.get("vlen_str_members") or ()) == ()
     assert [list(x) for x in r["readings"]] == [[], [], []]
+
+
+def test_compound_object_reference_member_roundtrip(tmp_path):
+    """NC_COMPOUND with an OBJECT-REFERENCE member (round 13, VERDICT
+    r12 #4 — the last compound refusal closed): cells declared via
+    the ``ref_members`` dtype-metadata marker write as class-7
+    members holding the referenced objects' 8-byte header addresses,
+    and read back as the referenced PATHS (None for the null
+    reference); slab reads prune as usual."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("sid", "<i4"), ("target", object)],
+        metadata={"ref_members": ("target",)},
+    )
+    a = np.zeros(4, dt)
+    a["sid"] = [1, 2, 3, 4]
+    a["target"] = ["temp", None, "temp", "g/press"]
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"cref_{libver}.h5")
+        write_hdf5(
+            p,
+            {
+                "temp": np.arange(3, dtype=np.int32),
+                "g/press": np.arange(2, dtype=np.float32),
+                "obs": a,
+            },
+            {"obs": {"chunk": (2,)}},
+            libver=libver,
+        )
+        h = HDF5File(p)
+        r = h.read("obs")
+        assert r.dtype.metadata["ref_members"] == ("target",)
+        assert list(r["sid"]) == [1, 2, 3, 4]
+        assert list(r["target"]) == ["temp", None, "temp", "g/press"]
+        sl = h.read_slab0("obs", 1, 4)
+        assert list(sl["target"]) == [None, "temp", "g/press"]
+
+
+def test_compound_ref_member_with_string_member_roundtrip(tmp_path):
+    """Reference and NC_STRING members coexist in one compound: the
+    ref marker survives the string materialization, so the datatype
+    message carries BOTH the class-7 and class-9 members."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("sid", "<i4"), ("name", object), ("target", object)],
+        metadata={"ref_members": ("target",)},
+    )
+    a = np.zeros(3, dt)
+    a["sid"] = [1, 2, 3]
+    a["name"] = ["alpha", None, "gamma"]
+    a["target"] = ["base", "base", None]
+    p = os.path.join(tmp_path, "cref_str.h5")
+    write_hdf5(
+        p,
+        {"base": np.arange(2, dtype=np.int16), "obs": a},
+        {"obs": {"chunk": (2,), "compress": 4}},
+    )
+    r = HDF5File(p).read("obs")
+    assert r.dtype.metadata["ref_members"] == ("target",)
+    assert r.dtype.metadata["vlen_str_members"] == ("name",)
+    assert list(r["name"]) == ["alpha", "", "gamma"]
+    assert list(r["target"]) == ["base", "base", None]
+
+
+def test_compound_ref_member_dangling_address_loud(tmp_path):
+    """A compound ref member whose stored address names no object in
+    the file refuses loudly, same as class-7 reference datasets."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("sid", "<i4"), ("target", object)],
+        metadata={"ref_members": ("target",)},
+    )
+    a = np.zeros(2, dt)
+    a["sid"] = [1, 2]
+    a["target"] = ["temp", "temp"]
+    p = os.path.join(tmp_path, "cref_bad.h5")
+    write_hdf5(
+        p,
+        {"temp": np.arange(3, dtype=np.int32), "obs": a},
+        {"obs": {"chunk": (2,)}},
+    )
+    h = HDF5File(p)
+    info = h.datasets["obs"]
+    chunks = list(h._iter_chunks(info))
+    buf = bytearray(open(p, "rb").read())
+    # first record: 4-byte sid then the 8-byte address
+    struct.pack_into("<Q", buf, chunks[0][2] + 4, 424242)
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="no object in this file"):
+        HDF5File(p).read("obs")
