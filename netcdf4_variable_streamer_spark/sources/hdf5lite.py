@@ -126,7 +126,9 @@ members read and write since round 12). Documented assumption rather than refusa
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own
-checksum still fails loudly on garbage.
+checksum still fails loudly on garbage (probe-tested under shrunken
+geometry since round 13; the writer emits real UNDEF-entry pages
+with valid checksums for such blocks).
 """
 
 from __future__ import annotations
@@ -1113,12 +1115,22 @@ def _write_extensible_array(
     pos_elem = _EA_IDX_ELMTS
     tail_imgs: list[bytes] = []
 
-    def dblock(elem0: int, ne: int) -> tuple[int, list[bool]]:
+    def dblock(
+        elem0: int, ne: int, direct: bool = False
+    ) -> tuple[int, list[bool]]:
         """Append one EADB image — unpaged (elements inline, one block
         checksum) or paged (prefix + prefix checksum, then
         page_nelmts-element pages each with its own checksum; pages
-        with no real entry stay zeroed). Returns (address, page-init
-        flags) — address UNDEF when no entries fall in the block."""
+        with no real entry stay zeroed under a secondary block, whose
+        bitmap marks them uninitialized). ``direct`` = the block is
+        addressed straight from the index block (possible only under
+        non-default geometry): NO bitmap exists for it, the reader
+        treats every page as initialized, so trailing empty pages
+        must be written as REAL pages of UNDEF entries with valid
+        checksums (round-13 fuzz find: zeroed page space fails the
+        page checksum the bitmap-less reader is obliged to verify).
+        Returns (address, page-init flags) — address UNDEF when no
+        entries fall in the block."""
         nonlocal next_addr, pos_elem
         npages = ne // page_nelmts if ne > page_nelmts else 0
         if pos_elem >= len(entries):
@@ -1137,7 +1149,7 @@ def _write_extensible_array(
         img = bytearray(blk + struct.pack("<I", lookup3(blk)))
         init: list[bool] = []
         for _p in range(npages):
-            if pos_elem >= len(entries):
+            if pos_elem >= len(entries) and not direct:
                 # wholly-empty page: uninitialized per the bitmap;
                 # space reserved (elements + checksum slot), zeroed
                 img += b"\0" * (page_nelmts * esz + 4)
@@ -1160,7 +1172,7 @@ def _write_extensible_array(
         return addr, init
 
     dblk_addrs = [
-        dblock(_EA_IDX_ELMTS + sidx + j * ne, ne)[0]
+        dblock(_EA_IDX_ELMTS + sidx + j * ne, ne, direct=True)[0]
         for nd, ne, sidx, _ in sblks[:nsblks_direct]
         for j in range(nd)
     ]

@@ -2328,7 +2328,9 @@ def test_szip_roundtrip_hypothesis(
 @given(
     n_rows=st.integers(1, 12),
     members=st.lists(
-        st.sampled_from(["i4", "f8", "i2", "str", "seq_i4", "seq_f8"]),
+        st.sampled_from(
+            ["i4", "f8", "i2", "str", "seq_i4", "seq_f8", "ref"]
+        ),
         min_size=1, max_size=5,
     ),
     chunked=st.booleans(),
@@ -2339,8 +2341,9 @@ def test_compound_vlen_members_roundtrip_hypothesis(
     tmp_path_factory, n_rows, members, chunked, level, seed
 ):
     """Property: NC_COMPOUND datasets with arbitrary mixes of fixed,
-    NC_STRING, and NC_VLEN-of-numeric members round-trip through the
-    writer/reader pair across layouts and filters (round 12)."""
+    NC_STRING, NC_VLEN-of-numeric, and (round 13) OBJECT-REFERENCE
+    members round-trip through the writer/reader pair across layouts
+    and filters."""
     from netcdf4_variable_streamer_spark.sources.hdf5lite import (
         HDF5File,
         write_hdf5,
@@ -2351,14 +2354,27 @@ def test_compound_vlen_members_roundtrip_hypothesis(
     fields, fills = [], []
     for i, kind in enumerate(members):
         name = f"m{i}"
-        if kind in ("str", "seq_i4", "seq_f8"):
+        if kind in ("str", "seq_i4", "seq_f8", "ref"):
             fields.append((name, object))
         else:
             fields.append((name, f"<{kind}"))
         fills.append(kind)
-    arr = np.zeros(n_rows, np.dtype(fields))
+    refs = tuple(
+        n for (n, _f), k in zip(fields, fills) if k == "ref"
+    )
+    dt = (
+        np.dtype(fields, metadata={"ref_members": refs})
+        if refs
+        else np.dtype(fields)
+    )
+    arr = np.zeros(n_rows, dt)
     for (name, _fmt), kind in zip(fields, fills):
-        if kind == "str":
+        if kind == "ref":
+            arr[name] = [
+                [None, "tgt_a", "g/tgt_b"][int(rng.randint(0, 3))]
+                for _ in range(n_rows)
+            ]
+        elif kind == "str":
             arr[name] = [
                 "" if rng.rand() < 0.2
                 else "s%d-%s" % (j, "x" * int(rng.randint(0, 20)))
@@ -2380,10 +2396,20 @@ def test_compound_vlen_members_roundtrip_hypothesis(
         if level is not None:
             opts["obs"]["compress"] = level
     p = os.path.join(str(tmp), "c.h5")
-    write_hdf5(p, {"obs": arr}, opts)
+    targets = (
+        {
+            "tgt_a": np.arange(2, dtype=np.int32),
+            "g/tgt_b": np.arange(3, dtype=np.float32),
+        }
+        if refs
+        else {}
+    )
+    write_hdf5(p, {**targets, "obs": arr}, opts)
     r = HDF5File(p).read("obs")
     for (name, _fmt), kind in zip(fields, fills):
-        if kind == "str":
+        if kind == "ref":
+            assert list(r[name]) == list(arr[name])
+        elif kind == "str":
             assert list(r[name]) == list(arr[name])
         elif kind.startswith("seq_"):
             for got, want in zip(r[name], arr[name]):
@@ -2678,3 +2704,171 @@ def test_szip_se_reference_truncated_payload_refuses():
             stream, 8, nbits=8, pixels_per_block=8,
             pixels_per_scanline=8, nn=True,
         )
+
+
+def _unmap_nn_independent(ref: int, deltas, nbits: int) -> list[int]:
+    """Independent CCSDS unit-delay unmap for golden expectations —
+    deliberately NOT the module's implementation."""
+    xmax = (1 << nbits) - 1
+    out = [ref]
+    pred = ref
+    for delta in deltas:
+        theta = min(pred, xmax - pred)
+        if delta <= 2 * theta:
+            d = delta // 2 if delta % 2 == 0 else -((delta + 1) // 2)
+        else:
+            mag = delta - theta
+            d = mag if pred <= xmax - pred else -mag
+        pred += d
+        assert 0 <= pred <= xmax
+        out.append(pred)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ref=st.integers(0, 255),
+    deltas=st.lists(st.integers(0, 3), min_size=7, max_size=7),
+    zero=st.booleans(),
+)
+def test_szip_low_entropy_reference_hypothesis(ref, deltas, zero):
+    """Fuzz round 6: low-entropy reference blocks assembled with the
+    INDEPENDENT bit-string assembler decode to the independently
+    unmapped samples — zero-block (deltas forced to 0) and
+    second-extension (dummy-paired first gamma) shapes, arbitrary
+    reference values."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    if zero:
+        deltas = [0] * 7
+        payload = "1"  # run 1 (fsv 0)
+        sel = "0"
+    else:
+        pairs = [(0, deltas[0])] + [
+            (deltas[i], deltas[i + 1]) for i in (1, 3, 5)
+        ]
+        payload = "".join(
+            _fs((a + b) * (a + b + 1) // 2 + b) for a, b in pairs
+        )
+        sel = "1"
+    # a delta can step below 0 — only decode when the walk stays in
+    # range (the loud out-of-range case is pinned separately)
+    xmax = 255
+    pred, ok = ref, True
+    for d in deltas:
+        theta = min(pred, xmax - pred)
+        if d <= 2 * theta:
+            step = d // 2 if d % 2 == 0 else -((d + 1) // 2)
+        else:
+            step = (d - theta) if pred <= xmax - pred else -(d - theta)
+        pred += step
+        if not 0 <= pred <= xmax:
+            ok = False
+            break
+    if not ok:
+        return
+    stream = _bits("000" + sel + format(ref, "08b") + payload)
+    got = szip_decode(
+        stream, 8, nbits=8, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    assert got == _unmap_nn_independent(ref, deltas, 8)
+
+
+def test_szip_se_reference_out_of_range_refuses():
+    """A second-extension reference block whose decoded delta walks
+    the sample out of [0, 2^n) refuses loudly (the NN unmap range
+    guard), never returns garbage."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # ref=0 -> theta=0; any odd delta steps negative. gamma for the
+    # dummy pair (0, 305): (305*306)/2 + 305
+    g = 305 * 306 // 2 + 305
+    stream = _bits(
+        "000" + "1" + format(0, "08b") + _fs(g) + _fs(0) * 3
+    )
+    with pytest.raises(ValueError, match="left the sample range"):
+        szip_decode(
+            stream, 8, nbits=8, pixels_per_block=8,
+            pixels_per_scanline=8, nn=True,
+        )
+
+
+def test_foreign_compound_versions_with_ref_member():
+    """Fuzz round 6: v2 and v3 compound datatype messages (foreign
+    writers — this writer emits v1) with a class-7 object-reference
+    member parse to the same dtype + ref_members marker; a v3 message
+    mixing ref, vlen-str and fixed members parses all three."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_vlen_str,
+        _parse_dt,
+    )
+
+    i4 = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
+    ref = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+
+    def member_v2(name, off, dtbody):
+        nb = name.encode() + b"\x00"
+        return (
+            nb + b"\x00" * (-len(nb) % 8)
+            + struct.pack("<I", off) + dtbody
+        )
+
+    def member_v3(name, off, dtbody):
+        # compact name, minimal-width offset (1 byte for size < 256)
+        return name.encode() + b"\x00" + bytes([off]) + dtbody
+
+    body2 = struct.pack("<BBBBI", 0x26, 2, 0, 0, 12)
+    body2 += member_v2("ok", 0, i4) + member_v2("ptr", 4, ref)
+    dt2 = _parse_dt(body2)
+    assert dt2.metadata["ref_members"] == ("ptr",)
+    assert dt2.fields["ptr"][0] == np.dtype("<u8")
+
+    body3 = struct.pack("<BBBBI", 0x36, 3, 0, 0, 28)
+    body3 += member_v3("a", 0, i4)
+    body3 += member_v3("p", 4, ref)
+    body3 += member_v3("s", 12, _dt_vlen_str())
+    dt3 = _parse_dt(body3)
+    assert dt3.metadata["ref_members"] == ("p",)
+    assert dt3.metadata["vlen_str_members"] == ("s",)
+    assert dt3.names == ("a", "p", "s")
+
+
+def test_ea_direct_paged_block_probe(tmp_path, monkeypatch):
+    """Fuzz round 6: the documented direct-paged assumption probed.
+    With shrunken page geometry (4-element pages < 16-element direct
+    blocks) the extensible array emits PAGED data blocks addressed
+    DIRECTLY from the index block — the layout libhdf5's defaults
+    never produce. The reader treats every page of such a block as
+    initialized (no EASB bitmap exists for it); the probe verifies
+    (a) the honest half: a full round-trip through the shrunken
+    geometry, and (b) the loudness half: a flipped byte inside one
+    page of a DIRECT data block still fails that page's checksum."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    monkeypatch.setattr(hl, "_EA_PAGE_BITS", 2)  # 4-element pages
+    n = 200
+    v = (np.arange(n, dtype=np.int32) * 3 % 997).reshape(n, 1)
+    p = os.path.join(tmp_path, "ea_direct_paged.h5")
+    hl.write_hdf5(
+        p, {"v": v}, {"v": {"chunk": (1, 1), "maxshape": (None, 1)}},
+        libver="latest",
+    )
+    h = hl.HDF5File(p)
+    assert h.datasets["v"].chunk_index == "ea"
+    np.testing.assert_array_equal(h.read("v"), v)
+    np.testing.assert_array_equal(h.read_slab0("v", 3, 9), v[3:9])
+    # chunk 5 lives in the FIRST direct data block (16 elements,
+    # now 4 pages); flip a byte of its stored address
+    chunks = list(h._iter_chunks(h.datasets["v"]))
+    assert len(chunks) == n
+    needle = struct.pack("<Q", chunks[5][2])
+    del h
+    buf = bytearray(open(p, "rb").read())
+    hit = buf.rfind(needle)
+    assert hit > 0
+    buf[hit + 1] ^= 0x10
+    p2 = os.path.join(tmp_path, "ea_direct_paged_corrupt.h5")
+    open(p2, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="page checksum mismatch"):
+        hl.HDF5File(p2).read("v")
