@@ -1610,6 +1610,50 @@ _SPAN_K = 8  # tokens per span — the exact-substring detection unit
 _SPAN_MAX_OCC = 64  # boilerplate cap: hotter clusters are dropped
 
 
+def _substring_span_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(spans, qualifying cluster stats) shared by the substring-span
+    keys: one 16-byte md5 per token position computed MAP-SIDE, stats
+    filtered to cross-document repeats under the boilerplate cap."""
+    K = _SPAN_K
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", r"\s+").alias("tk"))
+        .filter(F.size("tk") >= K)
+    )
+    # hash computed before any exchange: the projection after the
+    # explode drops tk, so shuffles carry only (doc_id, pos, 16-B md5)
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - (K - 1))
+            ).alias("span_start"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.md5(
+                F.array_join(F.expr(f"slice(tk, span_start, {K})"), " ")
+            ).alias("cluster"),
+        )
+    )
+    stats = (
+        spans.groupBy("cluster")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+        )
+    )
+    return spans, stats
+
+
+
 @register(
     "q_dedup_substring_spans",
     oracle=rf"""
@@ -1671,39 +1715,7 @@ def q_dedup_substring_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     K = _SPAN_K
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", r"\s+").alias("tk"))
-        .filter(F.size("tk") >= K)
-    )
-    # hash computed before any exchange: the projection after the
-    # explode drops tk, so shuffles carry only (doc_id, pos, 16-B md5)
-    spans = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("tk") - (K - 1))
-            ).alias("span_start"),
-            "tk",
-        )
-        .select(
-            "doc_id",
-            F.col("span_start").cast("long").alias("span_start"),
-            F.md5(
-                F.array_join(F.expr(f"slice(tk, span_start, {K})"), " ")
-            ).alias("cluster"),
-        )
-    )
-    stats = (
-        spans.groupBy("cluster")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
-        .filter(
-            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
-        )
-    )
+    spans, stats = _substring_span_tables(spark, sf_dir)
     return (
         spans.join(stats, "cluster")
         .select(
@@ -1715,4 +1727,115 @@ def q_dedup_substring_spans(
             "n_occ",
         )
         .orderBy("cluster", "doc_id", "span_start")
+    )
+
+
+@register(
+    "q_dedup_substring_maximal",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM t WHERE len(tk) >= {_SPAN_K}
+),
+spans AS (
+  SELECT doc_id, span_start,
+         MD5(array_to_string(
+             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
+           AS cluster
+  FROM pos
+),
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM spans GROUP BY cluster
+),
+rep AS (
+  SELECT s.doc_id, s.span_start
+  FROM spans s JOIN stats st USING (cluster)
+  WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+),
+marked AS (
+  SELECT doc_id, span_start,
+         CASE WHEN span_start > COALESCE(MAX(span_start + {_SPAN_K})
+                OVER (PARTITION BY doc_id ORDER BY span_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM rep
+),
+islands AS (
+  SELECT doc_id, span_start,
+         CAST(SUM(new_island) OVER (PARTITION BY doc_id
+              ORDER BY span_start
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM marked
+)
+SELECT doc_id, island,
+       MIN(span_start) AS range_start,
+       MAX(span_start) + {_SPAN_K} AS range_end,
+       MAX(span_start) + {_SPAN_K} - MIN(span_start)
+         AS n_tokens_covered,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, range_start
+""",
+    doc="MAXIMAL repeated-range merge (round 13) — the second half "
+        "of the Lee et al. ExactSubstr recipe: the per-position "
+        "repeated spans q_dedup_substring_spans detects merge into "
+        "MAXIMAL per-document token ranges (the unit a production "
+        "pipeline actually cuts from each document), via the classic "
+        "gaps-and-islands pattern — a span opens a new island iff it "
+        "starts past the running max end of its predecessors. The "
+        "window is partitioned per doc_id over REPEATED spans only, "
+        "so its input is proportional to detected duplication, not "
+        "the corpus; everything upstream is the shared map-side "
+        "span-hash machinery (text never shuffles, 16 B/position). "
+        "Output: (doc_id, island, range_start, range_end, coverage, "
+        "n_spans) — range_end - range_start >= k by construction, "
+        "overlapping k-grams collapse to one row per contiguous "
+        "repeated region.",
+)
+def q_dedup_substring_maximal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    K = _SPAN_K
+    spans, stats = _substring_span_tables(spark, sf_dir)
+    rep = spans.join(stats, "cluster").select("doc_id", "span_start")
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    marked = rep.withColumn(
+        "new_island",
+        (
+            F.col("span_start")
+            > F.coalesce(
+                F.max(F.col("span_start") + K).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            )
+        ).cast("int"),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("range_start"),
+            (F.max("span_start") + K).alias("range_end"),
+            (F.max("span_start") + K - F.min("span_start")).alias(
+                "n_tokens_covered"
+            ),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .orderBy("doc_id", "range_start")
     )

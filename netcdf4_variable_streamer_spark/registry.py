@@ -75,6 +75,7 @@ CANONICAL_ORDER: list[str] = [
     "q_text_pii_scrub",
     "q_stream_pipeline_curation",
     "src_netcdf4_compound_ref_scan",
+    "q_dedup_substring_maximal",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

@@ -891,3 +891,21 @@ def test_pii_scrub_map_side(spark):
     assert plans.count_nodes(plan, "HashAggregate") == 0, plan
     assert plans.count_nodes(plan, "Join") == 0, plan
     plans.assert_max_shuffles(df, 1)
+
+
+def test_substring_maximal_posture(spark):
+    """q_dedup_substring_maximal (round 13): same no-text-in-shuffle
+    posture as the spans key, plus the merge window is doc-keyed over
+    repeated spans only — no cartesian/nested-loop anywhere."""
+    import re
+
+    df = build(spark, "q_dedup_substring_maximal")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange\b", block.strip()):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
