@@ -76,6 +76,7 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_pipeline_curation",
     "src_netcdf4_compound_ref_scan",
     "q_dedup_substring_maximal",
+    "src_netcdf4_compound_regref_scan",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

@@ -117,12 +117,15 @@ filtered — so filtered 17-28-byte ids are B-tree-keyed, not
 refused, since round 11).
 
 Honest scope (loud refusals naming the feature):
-nbit/scaleoffset and truly unknown filter ids (szip decodes AND
+nbit/scaleoffset and truly unknown filter ids only (szip decodes AND
 encodes from the public CCSDS 121.0 spec since round 12 —
 sources/szip.py; low-entropy option IDs in reference blocks decode
-since round 13, closing the last plausible real-file refusal) and
-reference-typed compound members (NC_STRING AND NC_VLEN-of-numeric
-members read and write since round 12). Documented assumption rather than refusal:
+since round 13, closing the last plausible real-file refusal).
+Compound members are COMPLETE since round 13: NC_STRING and
+NC_VLEN-of-numeric (round 12), object-reference and dataset-region
+reference members (round 13) all read and write; only members of a
+truly unknown datatype class refuse, naming the member. Documented
+assumption rather than refusal:
 a PAGED data block addressed directly from the index block has no
 on-disk page-init bitmap (the index block's layout is closed-form),
 so all its pages are treated as initialized — each page's own
@@ -279,6 +282,7 @@ def _dt_compound(dtype: np.dtype) -> bytes:
     vlens = (dtype.metadata or {}).get("vlen_str_members", ())
     seqs = dict((dtype.metadata or {}).get("vlen_seq_members", ()))
     refs = (dtype.metadata or {}).get("ref_members", ())
+    regrefs = (dtype.metadata or {}).get("regref_members", ())
     body = b""
     for n in names:
         fdt, off = dtype.fields[n][0], dtype.fields[n][1]
@@ -290,6 +294,10 @@ def _dt_compound(dtype: np.dtype) -> bytes:
             # class-7 object-reference member (round 13): the field
             # holds the referenced object's 8-byte header address
             body += struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+        elif n in regrefs:
+            # class-7 DATASET-REGION reference member (round 13): the
+            # field holds the 12-byte heap pointer
+            body += struct.pack("<B3BI", 0x17, 0x01, 0, 0, 12)
         elif n in vlens:
             body += _dt_vlen_str()
         elif n in seqs:
@@ -496,6 +504,7 @@ def _walk_compound_impl(body: bytes):
     vlen_strs: list[str] = []
     vlen_seqs: dict[str, str] = {}
     ref_names: list[str] = []
+    regref_names: list[str] = []
     why = None
     for _ in range(nmembers):
         end = body.index(b"\x00", pos)
@@ -555,6 +564,20 @@ def _walk_compound_impl(body: bytes):
             # datatype, not the data; netCDF4-python surfaces ints
             # for enum compound members the same way)
             parsed = parsed[1]
+        elif (
+            isinstance(parsed, tuple)
+            and parsed
+            and parsed[0] == "regref"
+            and parsed[1] == 12
+            and not shape
+        ):
+            # DATASET-REGION reference member (round 13 — compound
+            # member support now COMPLETE): the cell is the 12-byte
+            # heap pointer; read resolves it to a RegionRef through
+            # the same heap/selection machinery as region-reference
+            # datasets
+            regref_names.append(name)
+            parsed = _REGREF_DT
         elif parsed == ("ref", 8) and not shape:
             # OBJECT-REFERENCE member (round 13, VERDICT r12 #4 — the
             # last compound refusal): the cell is the referenced
@@ -582,7 +605,8 @@ def _walk_compound_impl(body: bytes):
     if why is not None:
         return ("unsupported", why), pos
     return (
-        names, formats, offsets, size, vlen_strs, vlen_seqs, ref_names
+        names, formats, offsets, size, vlen_strs, vlen_seqs,
+        ref_names, regref_names,
     ), pos
 
 
@@ -597,7 +621,7 @@ def _compound_dtype(walked):
     if walked and walked[0] == "unsupported":
         return ("compound_unsupported", walked[1])
     (names, formats, offsets, size, vlen_strs, vlen_seqs,
-     ref_names) = walked
+     ref_names, regref_names) = walked
     try:
         spec = {
             "names": names,
@@ -612,6 +636,8 @@ def _compound_dtype(walked):
             meta["vlen_seq_members"] = tuple(sorted(vlen_seqs.items()))
         if ref_names:
             meta["ref_members"] = tuple(ref_names)
+        if regref_names:
+            meta["regref_members"] = tuple(regref_names)
         if meta:
             return np.dtype(spec, metadata=meta)
         return np.dtype(spec)
@@ -1486,7 +1512,7 @@ def _resolved_compound_dtype(dt: np.dtype, info) -> np.dtype:
     str member from an array member."""
     vlens = set(info.compound_vlen)
     seqs = dict(info.compound_vlen_seq)
-    refs = set(info.compound_ref)
+    refs = set(info.compound_ref) | set(info.compound_regref)
     fmts = [
         (
             m,
@@ -1503,7 +1529,49 @@ def _resolved_compound_dtype(dt: np.dtype, info) -> np.dtype:
         meta["vlen_seq_members"] = tuple(info.compound_vlen_seq)
     if info.compound_ref:
         meta["ref_members"] = tuple(info.compound_ref)
+    if info.compound_regref:
+        meta["regref_members"] = tuple(info.compound_regref)
     return np.dtype(fmts, metadata=meta) if meta else np.dtype(fmts)
+
+
+def _materialize_compound_regrefs(
+    out: bytearray, arr: np.ndarray, resolve: dict
+) -> np.ndarray:
+    """Structured records with DATASET-REGION reference members
+    (round 13, declared via dtype metadata ``regref_members``): cells
+    are ``None`` or ``(path, sel)`` exactly like :class:`RegionRefs`
+    dataset cells; each live cell's heap payload (referenced header
+    address + serialized selection) appends via the shared GCOL path
+    and the member becomes the 12-byte heap pointer."""
+    dt = arr.dtype
+    regs = tuple((dt.metadata or {}).get("regref_members", ()))
+    fmts = [
+        (m, _REGREF_DT if m in regs else dt.fields[m][0])
+        for m in dt.names
+    ]
+    new_dt = np.dtype(fmts, metadata=dict(dt.metadata or {}))
+    res = np.zeros(arr.shape, new_dt)
+    for m in dt.names:
+        if m not in regs:
+            res[m] = arr[m]
+            continue
+        flat_cells = arr[m].reshape(-1)
+        payloads, live = [], []
+        for i, c in enumerate(flat_cells.tolist()):
+            if c is None:
+                continue
+            nm, sel = c
+            addr = _resolve_ref_addrs([nm], resolve)[0]
+            payloads.append(
+                struct.pack("<Q", addr) + _serialize_selection(sel)
+            )
+            live.append(i)
+        refs = iter(_gcol_append(out, payloads))
+        cells12 = np.zeros(flat_cells.shape, dtype=_REGREF_DT)
+        for i in live:
+            cells12[i] = next(refs)
+        res[m] = cells12.reshape(arr.shape)
+    return res
 
 
 def _materialize_compound_refs(
@@ -1608,7 +1676,7 @@ def _materialize_compound_strings(
     meta = {
         k: v
         for k, v in (dt.metadata or {}).items()
-        if k == "ref_members"
+        if k in ("ref_members", "regref_members")
     }
     if str_members:
         meta["vlen_str_members"] = tuple(str_members)
@@ -1805,6 +1873,10 @@ def _write_dataset(
         # written objects, exactly like class-7 reference datasets
         if (arr.dtype.metadata or {}).get("ref_members"):
             arr = _materialize_compound_refs(arr, resolve or {})
+        if (arr.dtype.metadata or {}).get("regref_members"):
+            arr = _materialize_compound_regrefs(
+                out, arr, resolve or {}
+            )
         if any(
             arr.dtype.fields[m][0].kind == "O"
             for m in arr.dtype.names
@@ -2717,6 +2789,11 @@ class DatasetInfo:
     # ((name, base_dtype_str), ...) — same descriptor machinery,
     # cells resolve to variable-length numpy arrays of the base
     compound_vlen_seq: tuple = ()
+    # NC_COMPOUND with DATASET-REGION reference members (round 13):
+    # names of the members whose on-disk cells are 12-byte heap
+    # pointers; reads resolve them to RegionRef values (None for the
+    # null reference)
+    compound_regref: tuple = ()
     # NC_COMPOUND with OBJECT-REFERENCE members (round 13): names of
     # the members whose on-disk cells are 8-byte header addresses;
     # reads resolve them to referenced-object paths (str), null
@@ -4054,6 +4131,9 @@ class HDF5File:
                     info.compound_ref = tuple(
                         dtype.metadata.get("ref_members", ())
                     )
+                    info.compound_regref = tuple(
+                        dtype.metadata.get("regref_members", ())
+                    )
                 if dtype == ("ref", 8):
                     # class-7 object references (round 10): scan the
                     # 8-byte addresses, decode to object paths at read
@@ -4600,7 +4680,7 @@ class HDF5File:
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
             if (info.compound_vlen or info.compound_vlen_seq
-                    or info.compound_ref):
+                    or info.compound_ref or info.compound_regref):
                 return self._compound_vlen_resolve(a, info)
             return a
 
@@ -4634,6 +4714,11 @@ class HDF5File:
                 # round 13: address member -> referenced object path
                 # (None for null references; unknown address is loud)
                 out[m] = self._ref_decode(np.ascontiguousarray(a[m]))
+            elif m in info.compound_regref:
+                # round 13: 12-byte heap-pointer member -> RegionRef
+                out[m] = self._regref_decode(
+                    np.ascontiguousarray(a[m])
+                )
             else:
                 out[m] = a[m]
         return out
@@ -5097,7 +5182,7 @@ class HDF5File:
             if info.vlen_seq is not None:
                 return self._vlen_seq_decode(a, info.vlen_seq)
             if (info.compound_vlen or info.compound_vlen_seq
-                    or info.compound_ref):
+                    or info.compound_ref or info.compound_regref):
                 return self._compound_vlen_resolve(a, info)
             return a
 
@@ -5357,7 +5442,8 @@ class NetCDF4View:
                     continue  # pure dimension, not a coordinate var
             vdims = self._resolve_dims(d)
             is_rec = bool(vdims) and vdims[0] == self._rec_dim
-            if d.compound_vlen or d.compound_vlen_seq or d.compound_ref:
+            if (d.compound_vlen or d.compound_vlen_seq or d.compound_ref
+                    or d.compound_regref):
                 # compound with NC_STRING / NC_VLEN members: the
                 # netCDF view (and Spark schema) sees the RESOLVED
                 # record layout — object fields where the disk holds

@@ -136,7 +136,10 @@ def _compound_spark(var_name: str, dtype: np.dtype) -> str:
                     f"{_ddl_name(m)}:array<{_NP_SPARK[bkey][0]}>"
                 )
             else:
-                # NC_STRING member (resolved through the global heap)
+                # NC_STRING member (resolved through the global
+                # heap), object-reference member (referenced path) or
+                # region-reference member (RegionRef string form,
+                # round 13) — all surface as string
                 parts.append(f"{_ddl_name(m)}:string")
         elif fdt.kind == "S":
             parts.append(f"{_ddl_name(m)}:string")
@@ -199,8 +202,18 @@ def _compound_arrow(flat: np.ndarray) -> "pa.StructArray":
                 )
                 if child.type == pa.list_(pa.uint64()):
                     child = child.cast(pa.list_(pa.decimal128(20, 0)))
+            elif m in dict.fromkeys(
+                (flat.dtype.metadata or {}).get("regref_members", ())
+            ):
+                # region-reference member (round 13): RegionRef cells
+                # -> their deterministic string form, None stays null
+                child = pa.array(
+                    [None if c is None else str(c) for c in col],
+                    pa.string(),
+                )
             else:
-                # NC_STRING member: already python str from the heap
+                # NC_STRING member: already python str from the heap;
+                # object-reference members are already path str/None
                 child = pa.array(col.tolist(), pa.string())
         else:
             child = pa.array(

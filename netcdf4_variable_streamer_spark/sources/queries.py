@@ -5814,3 +5814,124 @@ def src_netcdf4_compound_ref_scan(
         )
         .orderBy("ref_target")
     )
+
+
+def ensure_compound_regref_fixture(t_total: int = 64) -> str:
+    """An NC_COMPOUND record variable with a DATASET-REGION reference
+    member (round 13 — compound member support complete): cells are
+    ``{wid i4, win region-reference, score f4}`` where ``win`` points
+    at a window of the ``cal`` dataset (or is the null reference).
+    Values closed-form: ``wid = t*10 + s``, ``win = cal[lo:lo+4]``
+    with ``lo = ((t + s) % 5) * 4`` (null when ``(t + s) % 7 == 0``),
+    ``score = t*0.5 + s*0.25`` (dyadic-exact in float32)."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        write_netcdf4,
+    )
+
+    path = os.path.join(SCRATCH, f"compound_regref_{t_total}.nc4")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    n_s = 4
+    dt = np.dtype(
+        [("wid", "<i4"), ("win", object), ("score", "<f4")],
+        metadata={"regref_members": ("win",)},
+    )
+    obs = np.zeros((t_total, n_s), dtype=dt)
+    for t in range(t_total):
+        for s in range(n_s):
+            lo = ((t + s) % 5) * 4
+            win = (
+                None
+                if (t + s) % 7 == 0
+                else ("cal", [((lo, lo + 4),)])
+            )
+            obs[t, s] = (t * 10 + s, win, t * 0.5 + s * 0.25)
+    tmp = path + ".tmp"
+    write_netcdf4(
+        tmp,
+        dims={"t": None, "station": n_s, "bin": 20},
+        variables={
+            "cal": ("<i4", ("bin",)),
+            "obs": (dt, ("t", "station")),
+        },
+        data={
+            "cal": np.arange(20, dtype="<i4"),
+            "obs": obs,
+        },
+        compress=4,
+        shuffle=True,
+        chunk0=16,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "src_netcdf4_compound_regref_scan",
+    oracle=f"""
+WITH g AS (
+  SELECT tt.t AS t, ss.s AS s,
+         tt.t * 10 + ss.s AS wid,
+         CASE WHEN (tt.t + ss.s) % 7 = 0 THEN '(null)'
+              ELSE printf('cal[%d:%d]', ((tt.t + ss.s) % 5) * 4,
+                          ((tt.t + ss.s) % 5) * 4 + 4) END AS win,
+         CAST(CAST(tt.t * 0.5 + ss.s * 0.25 AS FLOAT) AS DOUBLE)
+           AS score
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS t) tt
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS s) ss
+  WHERE tt.t >= 8 AND tt.t < 56
+)
+SELECT win AS window_ref,
+       COUNT(*) AS n_rec,
+       CAST(SUM(wid) AS BIGINT) AS sum_wid,
+       {SQL_DSUM('score')} AS sum_score
+FROM g GROUP BY window_ref ORDER BY window_ref
+""",
+    doc="NC_COMPOUND with a DATASET-REGION reference member scan "
+        "(round 13 — compound member support COMPLETE: string, vlen, "
+        "object-reference and region-reference members all read and "
+        "write): the class-7 type-1 member's 12-byte heap pointers "
+        "resolve to RegionRef values through the shared heap/"
+        "selection machinery and surface as their deterministic "
+        "string form inside the struct column (null reference -> "
+        "NULL); the query groups records by which calibration window "
+        "they reference. Heap resolution is per-cell against the "
+        "GCOL collections the chunk's records point into — slab "
+        "pruning prunes heap parses too; cells scan through the "
+        "normal shuffle+deflate machinery, chunk-pruned by the "
+        "record window [8, 56). Fixture written by the engine's own "
+        "writer (regref_members marker -> class-7 type-1 member, "
+        "(path, selection) cells -> heap payloads).",
+)
+def src_netcdf4_compound_regref_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.sources.netcdf4_source import (
+        FORMAT4_NAME,
+        NetCDF4DataSource,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(NetCDF4DataSource)
+    df = (
+        spark.read.format(FORMAT4_NAME)
+        .option("path", ensure_compound_regref_fixture())
+        .load()
+        .filter((F.col("t_idx") >= 8) & (F.col("t_idx") < 56))
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("obs.win"), F.lit("(null)")).alias(
+                "window_ref"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rec"),
+            F.sum(F.col("obs.wid")).cast("long").alias("sum_wid"),
+            dsum(F.col("obs.score").cast("double")).alias("sum_score"),
+        )
+        .orderBy("window_ref")
+    )

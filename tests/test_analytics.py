@@ -97,7 +97,7 @@ NEW_KEYS = [
     # round 13
     "q_dedup_substring_spans", "q_text_pii_scrub",
     "q_stream_pipeline_curation", "src_netcdf4_compound_ref_scan",
-    "q_dedup_substring_maximal",
+    "q_dedup_substring_maximal", "src_netcdf4_compound_regref_scan",
 ]
 
 

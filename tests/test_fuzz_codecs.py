@@ -2329,7 +2329,8 @@ def test_szip_roundtrip_hypothesis(
     n_rows=st.integers(1, 12),
     members=st.lists(
         st.sampled_from(
-            ["i4", "f8", "i2", "str", "seq_i4", "seq_f8", "ref"]
+            ["i4", "f8", "i2", "str", "seq_i4", "seq_f8", "ref",
+             "regref"]
         ),
         min_size=1, max_size=5,
     ),
@@ -2354,7 +2355,7 @@ def test_compound_vlen_members_roundtrip_hypothesis(
     fields, fills = [], []
     for i, kind in enumerate(members):
         name = f"m{i}"
-        if kind in ("str", "seq_i4", "seq_f8", "ref"):
+        if kind in ("str", "seq_i4", "seq_f8", "ref", "regref"):
             fields.append((name, object))
         else:
             fields.append((name, f"<{kind}"))
@@ -2362,11 +2363,15 @@ def test_compound_vlen_members_roundtrip_hypothesis(
     refs = tuple(
         n for (n, _f), k in zip(fields, fills) if k == "ref"
     )
-    dt = (
-        np.dtype(fields, metadata={"ref_members": refs})
-        if refs
-        else np.dtype(fields)
+    regrefs = tuple(
+        n for (n, _f), k in zip(fields, fills) if k == "regref"
     )
+    meta = {}
+    if refs:
+        meta["ref_members"] = refs
+    if regrefs:
+        meta["regref_members"] = regrefs
+    dt = np.dtype(fields, metadata=meta) if meta else np.dtype(fields)
     arr = np.zeros(n_rows, dt)
     for (name, _fmt), kind in zip(fields, fills):
         if kind == "ref":
@@ -2374,6 +2379,20 @@ def test_compound_vlen_members_roundtrip_hypothesis(
                 [None, "tgt_a", "g/tgt_b"][int(rng.randint(0, 3))]
                 for _ in range(n_rows)
             ]
+        elif kind == "regref":
+            cells = []
+            for _ in range(n_rows):
+                c = int(rng.randint(0, 4))
+                lo = int(rng.randint(0, 2))
+                cells.append(
+                    [
+                        None,
+                        ("tgt_a", [((lo, lo + 1),)]),
+                        ("tgt_a", "all"),
+                        ("g/tgt_b", "none"),
+                    ][c]
+                )
+            arr[name] = cells
         elif kind == "str":
             arr[name] = [
                 "" if rng.rand() < 0.2
@@ -2401,7 +2420,7 @@ def test_compound_vlen_members_roundtrip_hypothesis(
             "tgt_a": np.arange(2, dtype=np.int32),
             "g/tgt_b": np.arange(3, dtype=np.float32),
         }
-        if refs
+        if refs or regrefs
         else {}
     )
     write_hdf5(p, {**targets, "obs": arr}, opts)
@@ -2409,6 +2428,17 @@ def test_compound_vlen_members_roundtrip_hypothesis(
     for (name, _fmt), kind in zip(fields, fills):
         if kind == "ref":
             assert list(r[name]) == list(arr[name])
+        elif kind == "regref":
+            for got, want in zip(r[name], arr[name]):
+                if want is None:
+                    assert got is None
+                elif want[1] == "all":
+                    assert got.kind == "all" and got.path == want[0]
+                elif want[1] == "none":
+                    assert got.kind == "none" and got.path == want[0]
+                else:
+                    assert got.path == want[0]
+                    assert got.blocks == (tuple(want[1][0]),)
         elif kind == "str":
             assert list(r[name]) == list(arr[name])
         elif kind.startswith("seq_"):

@@ -2787,14 +2787,14 @@ def test_compound_unsupported_member_refuses(tmp_path):
         _parse_dt,
     )
 
-    # hand-craft: {ok <i4 @0, bad dataset-REGION ref @4} (object
-    # references parse since round 13; region refs stay refused —
-    # their heap payload carries a selection, not just an address)
+    # hand-craft: {ok <i4 @0, bad TIME-class @4} (all reference
+    # member kinds parse since round 13; an unknown datatype class
+    # is the remaining refusal)
     nb1 = b"ok\x00" + b"\x00" * 5
     nb2 = b"bad\x00" + b"\x00" * 4
     i4body = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
-    refbody = struct.pack("<B3BI", 0x17, 0x01, 0, 0, 12)  # regref
-    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 16)
+    refbody = struct.pack("<B3BI", 0x12, 0, 0, 0, 8)  # class 2 TIME
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
     body += nb1 + struct.pack("<IB3xI4x4I", 0, 0, 0, 0, 0, 0, 0) + i4body
     body += nb2 + struct.pack("<IB3xI4x4I", 4, 0, 0, 0, 0, 0, 0) + refbody
     marker = _parse_dt(body)
@@ -3973,10 +3973,18 @@ def test_compound_refusal_narrowed_to_references(tmp_path):
     assert dt2.metadata["ref_members"] == ("ptr",)
     assert dt2.fields["ptr"][0] == np.dtype("<u8")
 
-    # {ok i4 @0, bad REGION ref @4}: the remaining loud refusal
+    # {ok i4 @0, win REGION ref @4}: PARSES since round 13 — the
+    # member is the 12-byte heap pointer with the regref marker
     regbody = struct.pack("<B3BI", 0x17, 0x01, 0, 0, 12)
     body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 16)
-    body += member("ok", 0, i4body) + member("bad", 4, regbody)
+    body += member("ok", 0, i4body) + member("win", 4, regbody)
+    dtr = _parse_dt(body)
+    assert dtr.metadata["regref_members"] == ("win",)
+
+    # {ok i4 @0, bad TIME class @4}: the remaining loud refusal
+    timebody = struct.pack("<B3BI", 0x12, 0, 0, 0, 8)
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
+    body += member("ok", 0, i4body) + member("bad", 4, timebody)
     marker = _parse_dt(body)
     assert marker[0] == "compound_unsupported" and "bad" in marker[1]
 
@@ -4348,10 +4356,11 @@ def test_compound_enum_member_reads_as_base():
     walked, total = _walk_compound(body)
     assert total == len(body)
     (names, formats, offsets, itemsize, vlen_strs, vlen_seqs,
-     ref_names) = walked
+     ref_names, regref_names) = walked
     assert names == ["st"]
     assert formats == [np.dtype("<i2")]
     assert not vlen_strs and not vlen_seqs and not ref_names
+    assert not regref_names
 
 
 def test_enum_attribute_steps_over(tmp_path):
@@ -4723,3 +4732,49 @@ def test_compound_ref_member_dangling_address_loud(tmp_path):
         f.write(bytes(buf))
     with pytest.raises(ValueError, match="no object in this file"):
         HDF5File(p).read("obs")
+
+
+def test_compound_regionref_member_roundtrip(tmp_path):
+    """NC_COMPOUND with a DATASET-REGION reference member (round 13 —
+    compound member support complete): cells declared via the
+    ``regref_members`` marker are None or (path, sel) exactly like
+    RegionRefs dataset cells; they write as class-7 type-1 members
+    holding 12-byte heap pointers and read back as RegionRef values
+    resolvable with read_region."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("wid", "<i4"), ("win", object)],
+        metadata={"regref_members": ("win",)},
+    )
+    a = np.zeros(4, dt)
+    a["wid"] = [1, 2, 3, 4]
+    a["win"] = [
+        ("temp", [((0, 4),)]),
+        None,
+        ("temp", [((4, 9),)]),
+        ("temp", "all"),
+    ]
+    p = os.path.join(tmp_path, "cregref.h5")
+    write_hdf5(
+        p,
+        {"temp": np.arange(10, dtype=np.int32) * 3, "obs": a},
+        {"obs": {"chunk": (2,), "compress": 4}},
+    )
+    h = HDF5File(p)
+    r = h.read("obs")
+    assert r.dtype.metadata["regref_members"] == ("win",)
+    assert r["win"][1] is None
+    r0 = r["win"][0]
+    assert r0.path == "temp" and r0.kind == "hyperslab"
+    assert r0.blocks == (((0, 4),),)
+    assert str(r0) == "temp[0:4]"
+    assert r["win"][3].kind == "all"
+    np.testing.assert_array_equal(
+        h.read_region(r["win"][2]), np.arange(4, 9) * 3
+    )
+    sl = h.read_slab0("obs", 1, 3)
+    assert sl["win"][0] is None and str(sl["win"][1]) == "temp[4:9]"
