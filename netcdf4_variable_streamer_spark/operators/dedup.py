@@ -1839,3 +1839,101 @@ def q_dedup_substring_maximal(
         )
         .orderBy("doc_id", "range_start")
     )
+
+
+_SXC_SPLIT = 400  # doc_id < split = reference (eval/benchmark) corpus
+_SXC_QUARANTINE_PPM = 100000  # quarantine at >= 10% contaminated spans
+
+
+@register(
+    "q_dedup_substring_cross_corpus",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM t WHERE len(tk) >= {_SPAN_K}
+),
+spans AS (
+  SELECT doc_id, span_start,
+         MD5(array_to_string(
+             tk[span_start:span_start + {_SPAN_K - 1}], ' ')) AS h
+  FROM pos
+),
+ref AS (SELECT DISTINCT h FROM spans WHERE doc_id < {_SXC_SPLIT}),
+new_spans AS (
+  SELECT s.doc_id, s.span_start, (r.h IS NOT NULL) AS hit
+  FROM spans s LEFT JOIN ref r USING (h)
+  WHERE s.doc_id >= {_SXC_SPLIT}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS contamination_ppm,
+       MIN(CASE WHEN hit THEN span_start END) AS first_hit,
+       (CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) >= {_SXC_QUARANTINE_PPM})
+         AS quarantine
+FROM new_spans GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="SPAN-LEVEL eval decontamination (round 13) — the k-token "
+        "cross-corpus check the GPT-3 appendix and Lee et al. run "
+        "before training: every span of a NEW document is probed "
+        "against the DISTINCT span-hash set of the standing "
+        "reference corpus (here the eval/benchmark side), and "
+        "documents whose contamination ratio crosses the quarantine "
+        "threshold are flagged — the span-granular sibling of "
+        "document-level q_dedup_cross_corpus and 13-gram "
+        "q_text_contamination (k-token spans catch quoted passages "
+        "those two bracket from opposite sides). Both sides shuffle "
+        "ONLY 16-byte md5s through one distinct + one left join; "
+        "text is plan-excluded by the shared map-side span-hash "
+        "machinery. At 100 TB the reference span set is built ONCE "
+        "and persisted (eval sets are small and static — the set is "
+        "MB-scale), then every crawl batch probes at "
+        "batch-proportional cost; integer-ppm ratios keep the "
+        "quarantine boundary bit-identical cross-engine.",
+)
+def q_dedup_substring_cross_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spans, _stats = _substring_span_tables(spark, sf_dir)
+    spans = spans.withColumnRenamed("cluster", "h")
+    ref = (
+        spans.filter(F.col("doc_id") < _SXC_SPLIT)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new = spans.filter(F.col("doc_id") >= _SXC_SPLIT)
+    return (
+        new.join(ref, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("hit").isNotNull().cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.expr(
+                "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*)"
+            ).alias("contamination_ppm"),
+            F.min(
+                F.when(F.col("hit").isNotNull(), F.col("span_start"))
+            ).alias("first_hit"),
+            (
+                F.expr(
+                    "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+                    " * 1000000 DIV COUNT(*)"
+                )
+                >= _SXC_QUARANTINE_PPM
+            ).alias("quarantine"),
+        )
+        .orderBy("doc_id")
+    )

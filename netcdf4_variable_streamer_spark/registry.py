@@ -77,6 +77,7 @@ CANONICAL_ORDER: list[str] = [
     "src_netcdf4_compound_ref_scan",
     "q_dedup_substring_maximal",
     "src_netcdf4_compound_regref_scan",
+    "q_dedup_substring_cross_corpus",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

@@ -909,3 +909,21 @@ def test_substring_maximal_posture(spark):
             assert m, block
             assert "text#" not in m.group(1), block
             assert "tk#" not in m.group(1), block
+
+
+def test_substring_cross_corpus_posture(spark):
+    """q_dedup_substring_cross_corpus (round 13): probe join shuffles
+    16-byte hashes only — no text/token array in any Exchange, no
+    cartesian/nested-loop stage."""
+    import re
+
+    df = build(spark, "q_dedup_substring_cross_corpus")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange\b", block.strip()):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
