@@ -1705,11 +1705,15 @@ ORDER BY cluster, doc_id, span_start
         "licenses) and are dropped by the cap — the cap also bounds "
         "the emit join's fan-out, so output stays proportional to "
         "genuine duplication. At 100 TB the span table is "
-        "~16 B/token (a few % of corpus bytes), the stats agg is a "
-        "standard partial-agg shuffle on the hash, and merging "
-        "adjacent emitted spans into maximal ranges is a per-doc "
-        "sort — the classic production layout (CCNet/RefinedWeb run "
-        "exactly this shape at bloom/exact-hash granularity).",
+        "~32 B/position (hash + ids) — comparable to corpus bytes, "
+        "the same order as Lee et al.'s 8 B/token suffix array, and "
+        "an honest cost both designs pay; production trims it with "
+        "stride sampling (hash every s-th position, catching any "
+        "repeat of length >= k+s-1) or a Bloom pre-filter on the "
+        "hash before the shuffle. The stats agg is a standard "
+        "partial-agg shuffle on the hash, and merging adjacent "
+        "emitted spans into maximal ranges is the per-doc window "
+        "q_dedup_substring_maximal implements.",
 )
 def q_dedup_substring_spans(
     spark: SparkSession, sf_dir: str
