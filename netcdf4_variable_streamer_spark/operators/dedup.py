@@ -1941,3 +1941,97 @@ def q_dedup_substring_cross_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+_SPAN_FP_MOD = 8  # keep 1/8 of span hashes (content-defined anchors)
+
+
+@register(
+    "q_dedup_substring_fingerprint",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM t WHERE len(tk) >= {_SPAN_K}
+),
+spans AS (
+  SELECT doc_id, span_start,
+         MD5(array_to_string(
+             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
+           AS cluster
+  FROM pos
+),
+sampled AS (
+  SELECT * FROM spans
+  WHERE CAST(('0x' || SUBSTR(cluster, 1, 7)) AS BIGINT)
+        % {_SPAN_FP_MOD} = 0
+),
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM sampled GROUP BY cluster
+)
+SELECT s.doc_id, s.span_start,
+       CAST({_SPAN_K} AS BIGINT) AS span_len, s.cluster,
+       CAST(st.n_docs AS BIGINT) AS n_docs,
+       CAST(st.n_occ AS BIGINT) AS n_occ
+FROM sampled s JOIN stats st USING (cluster)
+WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+ORDER BY cluster, doc_id, span_start
+""",
+    doc="FINGERPRINT-SAMPLED substring dedup (round 13) — the scale "
+        "path q_dedup_substring_spans's docstring promises, made "
+        "real: Manber's 0-mod-p fingerprint selection (the sif/"
+        "winnowing family): only span hashes with hash % "
+        f"{_SPAN_FP_MOD} == 0 enter the shuffle. The anchor test is "
+        "CONTENT-DEFINED (a function of the hash itself, not the "
+        "position), so two documents sharing a span select it "
+        "identically — cross-document detection is exact ON the "
+        "sampled subset, and a repeated region of L tokens is caught "
+        f"with probability 1-(1-1/{_SPAN_FP_MOD})^(L-k+1) (~79% at "
+        "L=2k, ~99% at L=4k; winnowing's min-in-window selection "
+        "makes the guarantee deterministic at the cost of a window "
+        "pass). Hashing stays map-side over every position (compute "
+        f"is cheap); the SHUFFLED span table shrinks {_SPAN_FP_MOD}x "
+        "— the term that dominates at 100 TB, where the full span "
+        "table is corpus-scale. Same emit shape and plan posture as "
+        "the exact twin (text plan-excluded; occurrence cap bounds "
+        "fan-out).",
+)
+def q_dedup_substring_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    K = _SPAN_K
+    spans, _ = _substring_span_tables(spark, sf_dir)
+    sampled = spans.filter(
+        F.conv(F.substring("cluster", 1, 7), 16, 10).cast("long")
+        % _SPAN_FP_MOD
+        == 0
+    )
+    stats = (
+        sampled.groupBy("cluster")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+        )
+    )
+    return (
+        sampled.join(stats, "cluster")
+        .select(
+            "doc_id",
+            "span_start",
+            F.lit(K).cast("long").alias("span_len"),
+            "cluster",
+            "n_docs",
+            "n_occ",
+        )
+        .orderBy("cluster", "doc_id", "span_start")
+    )

@@ -78,6 +78,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_substring_maximal",
     "src_netcdf4_compound_regref_scan",
     "q_dedup_substring_cross_corpus",
+    "q_dedup_substring_fingerprint",
     # last driver check: r6
     "q_multimodal_features",
     "src_parquet_scan",

@@ -98,7 +98,7 @@ NEW_KEYS = [
     "q_dedup_substring_spans", "q_text_pii_scrub",
     "q_stream_pipeline_curation", "src_netcdf4_compound_ref_scan",
     "q_dedup_substring_maximal", "src_netcdf4_compound_regref_scan",
-    "q_dedup_substring_cross_corpus",
+    "q_dedup_substring_cross_corpus", "q_dedup_substring_fingerprint",
 ]
 
 
