@@ -1271,7 +1271,12 @@ def make_quality_gate(spark: SparkSession, run_dir: str):
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
         lm_meta = os.path.join(run_dir, "lm.json")
-        if not os.path.exists(lm_meta):
+        # batch 0 is the reference corpus BY batch id, not by lm.json
+        # absence: a crash between the atomic lm.json publish and the
+        # checkpoint commit re-delivers batch 0, which must retrain
+        # idempotently (overwrite + atomic replace), never score the
+        # reference corpus as if it were a crawl (round 13)
+        if batch_id == 0 or not os.path.exists(lm_meta):
             # reference batch: train + persist the LM (train-linear,
             # once per corpus — never re-run for later crawls)
             bgc, ctx, vsz = perplexity_lm(batch_df)
@@ -1473,7 +1478,19 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
     def curate(batch_df: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
         lm_meta = os.path.join(run_dir, "lm.json")
-        if not os.path.exists(lm_meta):
+        prior = sorted(
+            int(p.split("_v")[1])
+            for p in os.listdir(run_dir)
+            if p.startswith("hashes_v")
+            and int(p.split("_v")[1]) < batch_id
+        )
+        # reference path iff the LM is unpublished OR no state version
+        # strictly older than this batch exists — the latter catches a
+        # REPLAYED batch 0 after a crash between the atomic lm.json
+        # publish and the checkpoint commit: it must re-seed
+        # idempotently, never be scored as a crawl (round 13; a
+        # genuine crawl batch k always has hashes_v<k on disk)
+        if not os.path.exists(lm_meta) or not prior:
             # reference batch: train + persist the LM, seed the hash
             # index and the zeroed per-language budget ledger
             bgc, ctx, vsz = perplexity_lm(batch_df)
@@ -1496,12 +1513,6 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
             state["hashes"], state["budget"] = h_dst, u_dst
             return
         if not state:  # fresh closure (restart): recover newest state
-            prior = sorted(
-                int(p.split("_v")[1])
-                for p in os.listdir(run_dir)
-                if p.startswith("hashes_v")
-                and int(p.split("_v")[1]) < batch_id
-            )
             v = prior[-1]
             state["hashes"] = os.path.join(run_dir, f"hashes_v{v}")
             state["budget"] = os.path.join(run_dir, f"budget_v{v}")

@@ -612,3 +612,94 @@ def test_curation_pipeline_restart_from_checkpoint(spark, tmp_path):
     b2 = want[want["batch"] == 2]
     assert (~b2["sampled"] & b2["ppl_keep"] & ~b2["is_dup"]).any()
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_batch0_replay_idempotent(spark, tmp_path):
+    """Crash-replay edge (round 13): a failure between the atomic
+    lm.json publish and the checkpoint commit re-delivers batch 0.
+    The replayed reference batch must re-seed state idempotently —
+    never crash on missing prior versions, never write a decisions
+    file for the reference corpus — and the subsequent crawl batches
+    must still match the oracle exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark import oracle as oracle_mod
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    ref_pdf = pq.read_table(os.path.join(feed, "0_part.parquet"))
+    ref_df = spark.createDataFrame(ref_pdf.to_pandas())
+    # deliver batch 0 TWICE (foreachBatch replay semantics)
+    curate(ref_df, 0)
+    lm_mtime0 = os.path.getmtime(os.path.join(run_dir, "lm.json"))
+    curate(ref_df, 0)
+    assert not any(
+        p.startswith("dec_v") for p in os.listdir(run_dir)
+    ), "replayed reference batch must not write decisions"
+    assert os.path.getmtime(
+        os.path.join(run_dir, "lm.json")
+    ) >= lm_mtime0  # republished atomically, still a valid LM
+    # now the crawl batches; decisions must equal the oracle
+    for i, b in ((1, "1_part.parquet"), (2, "2_part.parquet")):
+        pdf = pq.read_table(os.path.join(feed, b))
+        curate(spark.createDataFrame(pdf.to_pandas()), i)
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    import shutil
+
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_quality_gate_batch0_replay_idempotent(spark, tmp_path):
+    """Same replay edge for the quality gate: a re-delivered batch 0
+    retrains idempotently instead of scoring the reference corpus as
+    a crawl."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_two_batch_stream_dir(
+        spark, SF_DIR, sq._GATE_SPLIT, columns=("doc_id", "text", "lang")
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    gate, _n = sq.make_quality_gate(spark, run_dir)
+    ref_pdf = pq.read_table(os.path.join(feed, "0_index.parquet"))
+    ref_df = spark.createDataFrame(ref_pdf.to_pandas())
+    gate(ref_df, 0)
+    gate(ref_df, 0)  # replay
+    assert not any(
+        p.startswith("dec_v") for p in os.listdir(run_dir)
+    ), "replayed reference batch must not write decisions"
+    crawl_pdf = pq.read_table(os.path.join(feed, "1_crawl.parquet"))
+    gate(spark.createDataFrame(crawl_pdf.to_pandas()), 1)
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert (got["doc_id"] >= sq._GATE_SPLIT).all()
+    assert len(got) > 0
+    import shutil
+
+    shutil.rmtree(feed, ignore_errors=True)
