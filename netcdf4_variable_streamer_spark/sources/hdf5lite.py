@@ -1560,6 +1560,12 @@ def _materialize_compound_regrefs(
         for i, c in enumerate(flat_cells.tolist()):
             if c is None:
                 continue
+            if not (isinstance(c, tuple) and len(c) == 2):
+                raise ValueError(
+                    f"region-reference member {m!r}: cell must be "
+                    "None or a (path, selection) tuple, got "
+                    f"{type(c).__name__}"
+                )
             nm, sel = c
             addr = _resolve_ref_addrs([nm], resolve)[0]
             payloads.append(

@@ -4778,3 +4778,24 @@ def test_compound_regionref_member_roundtrip(tmp_path):
     )
     sl = h.read_slab0("obs", 1, 3)
     assert sl["win"][0] is None and str(sl["win"][1]) == "temp[4:9]"
+
+
+def test_compound_regref_member_bad_cell_loud(tmp_path):
+    """A regref member cell that is neither None nor a (path, sel)
+    tuple refuses loudly naming the member — a stray string must not
+    be silently unpacked into a 1-char dataset name."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import write_hdf5
+
+    dt = np.dtype(
+        [("wid", "<i4"), ("win", object)],
+        metadata={"regref_members": ("win",)},
+    )
+    a = np.zeros(2, dt)
+    a["wid"] = [1, 2]
+    a["win"] = ["oops", None]
+    with pytest.raises(ValueError, match="'win'.*got str"):
+        write_hdf5(
+            os.path.join(tmp_path, "badcell.h5"),
+            {"temp": np.arange(3, dtype=np.int32), "obs": a},
+            {"obs": {"chunk": (2,)}},
+        )
