@@ -1654,26 +1654,49 @@ def _substring_span_tables(
 
 
 
-@register(
-    "q_dedup_substring_spans",
-    oracle=rf"""
-WITH t AS (
+# DuckDB twin of _substring_span_tables' span construction — the shared
+# CTE prefix of every substring-dedup oracle (ends at `spans` with
+# columns doc_id, span_start, cluster).
+_SPAN_CTE_SQL = r"""t AS (
   SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
   FROM documents
 ),
 pos AS (
   SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+         CAST(unnest(generate_series(1, len(tk) - {K1}))
               AS BIGINT) AS span_start
-  FROM t WHERE len(tk) >= {_SPAN_K}
+  FROM t WHERE len(tk) >= {K}
 ),
 spans AS (
   SELECT doc_id, span_start,
          MD5(array_to_string(
-             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
+             tk[span_start:span_start + {K1}], ' '))
            AS cluster
   FROM pos
-),
+)""".format(K=_SPAN_K, K1=_SPAN_K - 1)
+
+
+def _substring_emit(spans, stats):
+    """The shared emit block of the exact and fingerprint span keys:
+    qualifying-cluster join + the canonical output column set."""
+    return (
+        spans.join(stats, "cluster")
+        .select(
+            "doc_id",
+            "span_start",
+            F.lit(_SPAN_K).cast("long").alias("span_len"),
+            "cluster",
+            "n_docs",
+            "n_occ",
+        )
+        .orderBy("cluster", "doc_id", "span_start")
+    )
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
 stats AS (
   SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
          COUNT(*) AS n_occ
@@ -1694,8 +1717,8 @@ ORDER BY cluster, doc_id, span_start
         "spans repeated ACROSS documents — the duplication document-"
         "level and near-dedup both miss (a quoted paragraph inside "
         "otherwise-distinct pages). Every token position emits the "
-        "16-byte md5 of its k-token window MAP-SIDE (posexplode + "
-        "slice + array_join — one hash per token, corpus-LINEAR in "
+        "16-byte md5 of its k-token window MAP-SIDE (an exploded "
+        "position sequence + slice + array_join — one hash per token, corpus-LINEAR in "
         "tokens, never a suffix array on the driver and never "
         "all-pairs); only (doc_id, span_start, cluster) ever enters "
         "a shuffle — document text is plan-excluded, machine-"
@@ -1718,42 +1741,14 @@ ORDER BY cluster, doc_id, span_start
 def q_dedup_substring_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    K = _SPAN_K
     spans, stats = _substring_span_tables(spark, sf_dir)
-    return (
-        spans.join(stats, "cluster")
-        .select(
-            "doc_id",
-            "span_start",
-            F.lit(K).cast("long").alias("span_len"),
-            "cluster",
-            "n_docs",
-            "n_occ",
-        )
-        .orderBy("cluster", "doc_id", "span_start")
-    )
+    return _substring_emit(spans, stats)
 
 
 @register(
     "q_dedup_substring_maximal",
-    oracle=rf"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
-  FROM documents
-),
-pos AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
-              AS BIGINT) AS span_start
-  FROM t WHERE len(tk) >= {_SPAN_K}
-),
-spans AS (
-  SELECT doc_id, span_start,
-         MD5(array_to_string(
-             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
-           AS cluster
-  FROM pos
-),
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
 stats AS (
   SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
          COUNT(*) AS n_occ
@@ -1851,27 +1846,15 @@ _SXC_QUARANTINE_PPM = 100000  # quarantine at >= 10% contaminated spans
 
 @register(
     "q_dedup_substring_cross_corpus",
-    oracle=rf"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
-  FROM documents
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+ref AS (
+  SELECT DISTINCT cluster AS h FROM spans
+  WHERE doc_id < {_SXC_SPLIT}
 ),
-pos AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
-              AS BIGINT) AS span_start
-  FROM t WHERE len(tk) >= {_SPAN_K}
-),
-spans AS (
-  SELECT doc_id, span_start,
-         MD5(array_to_string(
-             tk[span_start:span_start + {_SPAN_K - 1}], ' ')) AS h
-  FROM pos
-),
-ref AS (SELECT DISTINCT h FROM spans WHERE doc_id < {_SXC_SPLIT}),
 new_spans AS (
   SELECT s.doc_id, s.span_start, (r.h IS NOT NULL) AS hit
-  FROM spans s LEFT JOIN ref r USING (h)
+  FROM spans s LEFT JOIN ref r ON s.cluster = r.h
   WHERE s.doc_id >= {_SXC_SPLIT}
 )
 SELECT doc_id,
@@ -1948,24 +1931,8 @@ _SPAN_FP_MOD = 8  # keep 1/8 of span hashes (content-defined anchors)
 
 @register(
     "q_dedup_substring_fingerprint",
-    oracle=rf"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
-  FROM documents
-),
-pos AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
-              AS BIGINT) AS span_start
-  FROM t WHERE len(tk) >= {_SPAN_K}
-),
-spans AS (
-  SELECT doc_id, span_start,
-         MD5(array_to_string(
-             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
-           AS cluster
-  FROM pos
-),
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
 sampled AS (
   SELECT * FROM spans
   WHERE CAST(('0x' || SUBSTR(cluster, 1, 7)) AS BIGINT)
@@ -2006,7 +1973,6 @@ ORDER BY cluster, doc_id, span_start
 def q_dedup_substring_fingerprint(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    K = _SPAN_K
     spans, _ = _substring_span_tables(spark, sf_dir)
     sampled = spans.filter(
         F.conv(F.substring("cluster", 1, 7), 16, 10).cast("long")
@@ -2023,15 +1989,4 @@ def q_dedup_substring_fingerprint(
             (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
         )
     )
-    return (
-        sampled.join(stats, "cluster")
-        .select(
-            "doc_id",
-            "span_start",
-            F.lit(K).cast("long").alias("span_len"),
-            "cluster",
-            "n_docs",
-            "n_occ",
-        )
-        .orderBy("cluster", "doc_id", "span_start")
-    )
+    return _substring_emit(sampled, stats)

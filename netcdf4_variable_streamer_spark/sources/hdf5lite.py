@@ -584,8 +584,7 @@ def _walk_compound_impl(body: bytes):
             # object's 8-byte header address; read resolves it to the
             # object PATH through the same _object_paths map class-7
             # reference datasets use (dataset-REGION reference
-            # members stay refused — their heap payload carries a
-            # selection, not just an address)
+            # members take the regref branch above)
             ref_names.append(name)
             parsed = np.dtype("<u8")
         if not isinstance(parsed, (np.dtype, str)):

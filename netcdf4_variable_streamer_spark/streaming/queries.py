@@ -937,25 +937,13 @@ def _docs_two_batch_stream_dir(
 ) -> str:
     """Materialize documents as a TWO-file stream directory: doc_id <
     ``split`` in the older file (the first crawl = the standing index),
-    the rest in the newer one. With maxFilesPerTrigger=1 the file source
-    turns each file into its own micro-batch, oldest first (mtimes are
-    forced 1000 s apart and the name prefix tie-breaks the same way)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    stream_dir = tempfile.mkdtemp(
-        prefix="crawl_feed_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    the rest in the newer one — the 2-batch specialization of
+    :func:`_docs_multi_batch_stream_dir` (the file names are part of
+    the tests' contract)."""
+    return _docs_multi_batch_stream_dir(
+        spark, sf_dir, (split,), columns=columns,
+        names=("0_index", "1_crawl"),
     )
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=list(columns))
-    mask = pc.less(t["doc_id"], split)
-    f0 = os.path.join(stream_dir, "0_index.parquet")
-    f1 = os.path.join(stream_dir, "1_crawl.parquet")
-    pq.write_table(t.filter(mask), f0)
-    pq.write_table(t.filter(pc.invert(mask)), f1)
-    now = os.stat(f1).st_mtime
-    os.utime(f0, (now - 2000, now - 2000))
-    os.utime(f1, (now - 1000, now - 1000))
-    return stream_dir
 
 
 def run_foreachbatch_incremental_dedup(
@@ -1425,10 +1413,17 @@ _CUR_BUDGET = 700  # per-language token budget across ALL crawl batches
 def _docs_multi_batch_stream_dir(
     spark: SparkSession, sf_dir: str, splits: tuple,
     columns: tuple = ("doc_id", "text"),
+    names: tuple | None = None,
 ) -> str:
     """N-file stream directory: consecutive doc_id ranges delimited by
-    ``splits`` (ascending), oldest first — the len(splits)+1-batch
-    generalization of :func:`_docs_two_batch_stream_dir`."""
+    ``splits`` (ascending), oldest first. With maxFilesPerTrigger=1
+    the file source turns each file into its own micro-batch, oldest
+    first (mtimes are forced 1000 s apart and the name prefix
+    tie-breaks the same way). ``spark`` is accepted for signature
+    parity with the other feed builders; the write is pure pyarrow.
+    ``names`` overrides the per-file basenames (default
+    ``{i}_part``)."""
+    del spark  # unused — pure pyarrow write
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -1445,7 +1440,8 @@ def _docs_multi_batch_stream_dir(
             part = part.filter(pc.greater_equal(part["doc_id"], lo))
         if hi is not None:
             part = part.filter(pc.less(part["doc_id"], hi))
-        f = os.path.join(stream_dir, f"{i}_part.parquet")
+        base = names[i] if names is not None else f"{i}_part"
+        f = os.path.join(stream_dir, f"{base}.parquet")
         pq.write_table(part, f)
         files.append(f)
     now = os.stat(files[-1]).st_mtime
