@@ -1609,6 +1609,13 @@ def q_dedup_minhash_calibration(
 _SPAN_K = 8  # tokens per span — the exact-substring detection unit
 _SPAN_MAX_OCC = 64  # boilerplate cap: hotter clusters are dropped
 
+# Pinned whitespace class for the span tokenizer (ADVICE r13 #2): Java's
+# \s includes \x0B (vertical tab) while DuckDB/RE2's does not, so a bare
+# \s+ splitter could make span hashes diverge cross-engine on corpora
+# containing vertical tabs. The explicit class below means the same five
+# characters in both regex dialects.
+_SPAN_WS = r"[ \t\n\f\r]+"
+
 
 def _substring_span_tables(
     spark: SparkSession, sf_dir: str
@@ -1619,7 +1626,7 @@ def _substring_span_tables(
     K = _SPAN_K
     toks = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", r"\s+").alias("tk"))
+        .select("doc_id", F.split("text", _SPAN_WS).alias("tk"))
         .filter(F.size("tk") >= K)
     )
     # hash computed before any exchange: the projection after the
@@ -1658,7 +1665,7 @@ def _substring_span_tables(
 # CTE prefix of every substring-dedup oracle (ends at `spans` with
 # columns doc_id, span_start, cluster).
 _SPAN_CTE_SQL = r"""t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\f\r]+') AS tk
   FROM documents
 ),
 pos AS (

@@ -1789,6 +1789,14 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASCII-corpus assumption (ADVICE r13 #2): \b is Unicode-aware in Java
+# regex but ASCII-only in DuckDB/RE2, and \d matches Unicode digits in
+# neither dialect here but *word characters adjacent* to a match differ —
+# so an IP/phone abutting a non-ASCII letter could count in one engine
+# and not the other. The fixture (and the documented contract of these
+# keys) is ASCII text around PII tokens; corpora with non-ASCII word
+# characters adjacent to digits should pin explicit boundary classes
+# (e.g. (?<![0-9A-Za-z]) / (?![0-9A-Za-z])) in BOTH pattern sets.
 _SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SCRUB_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _SCRUB_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"

@@ -308,6 +308,20 @@ def _encode_block(
         )
         costs[0] = min(se_cost, int(np.iinfo(np.int64).max))
     best_id = int(np.argmin(costs))
+    if best_id == 0 and ref is not None:
+        # Latent-ordering guard (ADVICE r13 #1): the low-entropy layout
+        # puts the selector bit BEFORE the raw reference sample (see
+        # _decode_rsi), and an SE reference block packs its pair grid
+        # from slot 0 with a zero dummy — neither of which this writer
+        # emits. allow_low is False for every reference block today, so
+        # costs[0] stays at the sentinel and this is unreachable; if a
+        # future change arms allow_low for reference blocks, refuse
+        # loudly instead of silently writing ref-before-selector bits
+        # that this decoder (and libaec) would misparse.
+        raise ValueError(
+            "szip: low-entropy encoding of a reference block is not "
+            "supported (selector-before-reference layout not emitted)"
+        )
     w.write(best_id, F)
     if ref is not None:
         w.write(ref, nbits)

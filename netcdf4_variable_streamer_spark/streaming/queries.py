@@ -1474,10 +1474,17 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
     def curate(batch_df: DataFrame, batch_id: int) -> None:
         n_batches[0] += 1
         lm_meta = os.path.join(run_dir, "lm.json")
+        # A state version counts only once its commit marker exists —
+        # the marker is written LAST, after hashes_v/budget_v/dec_v, so
+        # recovery can never select a version whose sibling tables are
+        # missing or half-written (ADVICE r13 #3: the old scan keyed on
+        # hashes_v* alone and merely assumed budget_v existed). A crash
+        # between the state writes and the marker makes the version
+        # invisible; the replayed batch recomputes it idempotently.
         prior = sorted(
             int(p.split("_v")[1])
             for p in os.listdir(run_dir)
-            if p.startswith("hashes_v")
+            if p.startswith("commit_v")
             and int(p.split("_v")[1]) < batch_id
         )
         # reference path iff the LM is unpublished OR no state version
@@ -1506,6 +1513,11 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
+            # commit marker last: the version is now recoverable
+            with open(
+                os.path.join(run_dir, f"commit_v{batch_id}"), "w"
+            ):
+                pass
             state["hashes"], state["budget"] = h_dst, u_dst
             return
         if not state:  # fresh closure (restart): recover newest state
@@ -1625,6 +1637,9 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
                 + F.coalesce(F.col("bu"), F.lit(0))
             ).alias("used"),
         ).write.mode("overwrite").parquet(u_dst)
+        # commit marker last: only now may recovery select this version
+        with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
+            pass
         state["hashes"], state["budget"] = h_dst, u_dst
 
     return curate, n_batches

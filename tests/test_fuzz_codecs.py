@@ -2902,3 +2902,27 @@ def test_ea_direct_paged_block_probe(tmp_path, monkeypatch):
     open(p2, "wb").write(bytes(buf))
     with pytest.raises(ValueError, match="page checksum mismatch"):
         hl.HDF5File(p2).read("v")
+
+
+def test_szip_encode_block_low_entropy_ref_guard():
+    """ADVICE r13 #1 regression: _encode_block must refuse loudly if a
+    future change arms low-entropy encoding for a reference block —
+    the ID-then-reference bit order it emits for normal options would
+    disagree with the selector-BEFORE-reference layout the decoder
+    (and libaec) parse for option 0, and the SE pair grid of a
+    reference block needs the zero-dummy slot-0 padding this writer
+    does not produce. Today allow_low is False whenever ref is not
+    None, so this guard is the only thing standing between a future
+    allow_low change and silently misparseable bytes."""
+    from netcdf4_variable_streamer_spark.sources.szip import (
+        _BitWriter,
+        _encode_block,
+        _id_bits,
+    )
+
+    vals = np.zeros(8, dtype=np.int64)  # SE wins: F+5 bits < F+8 FS
+    w = _BitWriter()
+    with pytest.raises(ValueError, match="reference block"):
+        _encode_block(w, vals, 8, _id_bits(8), allow_low=True, ref=3)
+    # the real reference path (allow_low=False) is unaffected
+    _encode_block(w, vals, 8, _id_bits(8), allow_low=False, ref=3)

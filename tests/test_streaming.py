@@ -703,3 +703,54 @@ def test_quality_gate_batch0_replay_idempotent(spark, tmp_path):
     import shutil
 
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_recovery_ignores_uncommitted_version(spark, tmp_path):
+    """ADVICE r13 #3 regression: a crash AFTER hashes_v1 finishes but
+    BEFORE budget_v1 does leaves a torn state version on disk. The
+    commit-marker protocol (marker written LAST, recovery keyed ONLY
+    on markers) must make a fresh closure fall back to version 0 and
+    recompute the replayed batch — the old hashes_v*-keyed scan would
+    have selected v1 and died reading the missing budget table."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, b)).to_pandas()
+        )
+        for b in ("0_part.parquet", "1_part.parquet", "2_part.parquet")
+    ]
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    curate(batches[0], 0)
+    curate(batches[1], 1)
+    assert os.path.exists(os.path.join(run_dir, "commit_v1"))
+    # simulate the crash: budget_v1 never finished, marker never written
+    os.remove(os.path.join(run_dir, "commit_v1"))
+    shutil.rmtree(os.path.join(run_dir, "budget_v1"))
+    # fresh closure (restart): the checkpoint replays batch 1
+    curate2, _n2 = sq.make_curation_loop(spark, run_dir)
+    curate2(batches[1], 1)  # must recover v0, not the torn v1
+    curate2(batches[2], 2)
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    shutil.rmtree(feed, ignore_errors=True)
