@@ -53,76 +53,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # small remainder to carry one extra round (r10 left 10 r05 keys for
 # r11). That is the policy working, not a rotation bug.
 #
-# Round-13 rotation (VERDICT r12 "Next round" #1): at rotation time
-# all 306 keys had a driver row, all green at latest check — no
+# Round-14 rotation (VERDICT r13 "Next round" #1): at rotation time
+# all 314 keys had a driver row, all green at latest check — no
 # failures, none never-checked. The order is green keys
-# stalest-proof-first: new round-13 keys are inserted at the very top
-# as they land (unchecked keys outrank stale-green ones), then the 6
-# keys whose latest evidence is r06, then the oldest r07 block fills
+# stalest-proof-first: new round-14 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 14
+# keys whose latest evidence is r07, then the oldest r08 block fills
 # the remaining window slots; the remainder follows in latest-check
-# order (r07, r08, r09, r10, r11, r12).
+# order (r08, r09, r10, r11, r12, r13).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-13 additions (never driver-checked) are inserted at the
-    #    very top as they land, so they enter the window first. --
-    "q_dedup_substring_spans",
-    "q_text_pii_scrub",
-    "q_stream_pipeline_curation",
-    "src_netcdf4_compound_ref_scan",
-    "q_dedup_substring_maximal",
-    "src_netcdf4_compound_regref_scan",
-    "q_dedup_substring_cross_corpus",
-    "q_dedup_substring_fingerprint",
-    # last driver check: r6
-    "q_multimodal_features",
-    "src_parquet_scan",
-    "src_netcdf_chunked_scan",
-    "src_netcdf_stream_tail",
-    "snk_chunked_write",
-    "q_filter_hyperslab",
+    # -- round-14 additions (never driver-checked) are inserted at
+    #    the very top as they land, so they enter the window first. --
     # last driver check: r7
-    "src_netcdf_string_scan",
-    "q_win_rank_topk_group",
-    "q_win_running_sum",
-    "q_win_sliding_frame",
-    "q_win_range_frame",
-    "q_win_lead_lag",
-    "q_win_ntile_pct",
-    "q_win_first_last",
-    "q_udf_row",
-    "q_udf_pandas",
-    "q_udaf_pandas",
-    "q_udtf_split",
-    "q_map_in_arrow",
-    "q_text_stats",
-    "q_text_tfidf_top",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_watermark_late",
-    "q_stream_stateful_custom",
-    "q_agg_approx_distinct",
-    "q_dedup_near_minhash",
-    "q_dedup_simhash",
-    "q_sim_lsh_ann",
-    "q_project_rename_cast",
-    "q_filter_predicates",
-    "q_join_inner_hash",
-    "q_join_left_outer",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast_star",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_agg_groupby_sum",
     "q_agg_having",
     "q_agg_distinct",
     "q_agg_rollup",
@@ -392,6 +341,57 @@ CANONICAL_ORDER: list[str] = [
     "q_join_range_bucketed",
     "q_sim_knn_blocked",
     "q_fn_variant",
+    # last driver check: r13
+    "q_dedup_substring_spans",
+    "q_text_pii_scrub",
+    "q_stream_pipeline_curation",
+    "src_netcdf4_compound_ref_scan",
+    "q_dedup_substring_maximal",
+    "src_netcdf4_compound_regref_scan",
+    "q_dedup_substring_cross_corpus",
+    "q_dedup_substring_fingerprint",
+    "q_multimodal_features",
+    "src_parquet_scan",
+    "src_netcdf_chunked_scan",
+    "src_netcdf_stream_tail",
+    "snk_chunked_write",
+    "q_filter_hyperslab",
+    "src_netcdf_string_scan",
+    "q_win_rank_topk_group",
+    "q_win_running_sum",
+    "q_win_sliding_frame",
+    "q_win_range_frame",
+    "q_win_lead_lag",
+    "q_win_ntile_pct",
+    "q_win_first_last",
+    "q_udf_row",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_split",
+    "q_map_in_arrow",
+    "q_text_stats",
+    "q_text_tfidf_top",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_watermark_late",
+    "q_stream_stateful_custom",
+    "q_agg_approx_distinct",
+    "q_dedup_near_minhash",
+    "q_dedup_simhash",
+    "q_sim_lsh_ann",
+    "q_project_rename_cast",
+    "q_filter_predicates",
+    "q_join_inner_hash",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast_star",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_agg_groupby_sum",
 ]
 
 
