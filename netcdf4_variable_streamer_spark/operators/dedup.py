@@ -1997,3 +1997,175 @@ def q_dedup_substring_fingerprint(
         )
     )
     return _substring_emit(sampled, stats)
+
+
+@register(
+    "q_dedup_substring_rewrite",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM spans GROUP BY cluster
+),
+qual AS (
+  SELECT s.doc_id, s.span_start,
+         ROW_NUMBER() OVER (PARTITION BY s.cluster
+                            ORDER BY s.doc_id, s.span_start) AS rn
+  FROM spans s JOIN stats st USING (cluster)
+  WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+),
+cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
+marked AS (
+  SELECT doc_id, span_start,
+         CASE WHEN span_start > COALESCE(MAX(span_start + {_SPAN_K})
+                OVER (PARTITION BY doc_id ORDER BY span_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM cut
+),
+islands AS (
+  SELECT doc_id, span_start,
+         SUM(new_island) OVER (PARTITION BY doc_id
+              ORDER BY span_start
+              ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+ranges AS (
+  SELECT doc_id, MIN(span_start) AS range_start,
+         MAX(span_start) + {_SPAN_K} AS range_end
+  FROM islands GROUP BY doc_id, island
+),
+rng AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ranges
+  FROM ranges GROUP BY doc_id
+),
+pos2 AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk))) AS BIGINT) AS p
+  FROM t
+),
+posk AS (
+  SELECT p.doc_id, p.p, p.tk[p.p] AS tok,
+         (r.doc_id IS NOT NULL) AS is_cut
+  FROM pos2 p LEFT JOIN ranges r
+    ON p.doc_id = r.doc_id
+   AND p.p >= r.range_start AND p.p < r.range_end
+),
+rw AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+         CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens_cut,
+         MD5(COALESCE(STRING_AGG(CASE WHEN NOT is_cut THEN tok END,
+             ' ' ORDER BY p), '')) AS rewritten_md5
+  FROM posk GROUP BY doc_id
+)
+SELECT rw.doc_id,
+       rw.n_tokens_before,
+       CAST(COALESCE(g.n_ranges, 0) AS BIGINT) AS n_ranges,
+       rw.n_tokens_cut,
+       rw.n_tokens_before - rw.n_tokens_cut AS n_tokens_after,
+       rw.rewritten_md5
+FROM rw LEFT JOIN rng g USING (doc_id)
+ORDER BY rw.doc_id
+""",
+    doc="SUBSTRING-DEDUP REWRITE (round 14, VERDICT r13 #2) — the "
+        "third step of the Lee et al. ExactSubstr recipe and the one "
+        "production pipelines actually ship: CUT the repeated token "
+        "ranges out of each document. Policy (pinned): keep-first-"
+        "occurrence — per qualifying cluster (>=2 docs, under the "
+        f"{_SPAN_MAX_OCC}-occurrence boilerplate cap) the occurrence "
+        "with the smallest (doc_id, span_start) survives; every other "
+        "occurrence's k-token coverage is cut. Cut spans merge into "
+        "maximal disjoint per-doc ranges (the q_dedup_substring_"
+        "maximal gaps-and-islands pattern over CUT occurrences only), "
+        "which a broadcast join hands to a single JVM-side map stage: "
+        "filter(tk, (x, i) -> no cut range covers i) + array_join — "
+        "the q_text_pii_scrub verified-rewrite pattern applied to "
+        "dedup, with the rewritten text's md5 AND before/after token "
+        "counts pinned so the oracle verifies the rewrite itself, not "
+        "just the bookkeeping. Scale: everything upstream shuffles "
+        "only (doc_id, position, 16-byte hash) — text enters the "
+        "FINAL map-side reassembly straight off the scan and never an "
+        "exchange (plan-enforced); the ranges side is proportional to "
+        "detected duplication, so the broadcast is duplication-sized, "
+        "not corpus-sized (at 100 TB, fall back to a doc_id-bucketed "
+        "sort-merge join — the map stage is unchanged). Whitespace is "
+        "normalized to single spaces by the rewrite (the tokenizer's "
+        "documented contract).",
+)
+def q_dedup_substring_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    K = _SPAN_K
+    spans, stats = _substring_span_tables(spark, sf_dir)
+    wfirst = Window.partitionBy("cluster").orderBy(
+        "doc_id", "span_start"
+    )
+    cut = (
+        spans.join(stats.select("cluster"), "cluster")
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "span_start")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("span_start")
+    marked = cut.withColumn(
+        "new_island",
+        (
+            F.col("span_start")
+            > F.coalesce(
+                F.max(F.col("span_start") + K).over(
+                    wdoc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            )
+        ).cast("int"),
+    )
+    ranges = (
+        marked.withColumn(
+            "island",
+            F.sum("new_island").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("range_start"),
+            (F.max("span_start") + K).alias("range_end"),
+        )
+    )
+    cuts_per_doc = ranges.groupBy("doc_id").agg(
+        F.collect_list(F.struct("range_start", "range_end")).alias(
+            "cuts"
+        ),
+        F.count(F.lit(1)).alias("n_ranges"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", _SPAN_WS).alias("tk")
+    )
+    return (
+        docs.join(F.broadcast(cuts_per_doc), "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.expr(
+                "CASE WHEN cuts IS NULL THEN tk ELSE filter(tk, "
+                "(x, i) -> NOT exists(cuts, c -> i + 1 >= "
+                "c.range_start AND i + 1 < c.range_end)) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens_before"),
+            F.coalesce(F.col("n_ranges"), F.lit(0))
+            .cast("long")
+            .alias("n_ranges"),
+            (F.size("tk") - F.size("kept"))
+            .cast("long")
+            .alias("n_tokens_cut"),
+            F.size("kept").cast("long").alias("n_tokens_after"),
+            F.md5(F.array_join("kept", " ")).alias("rewritten_md5"),
+        )
+        .orderBy("doc_id")
+    )

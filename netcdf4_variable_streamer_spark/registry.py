@@ -71,6 +71,7 @@ WINDOW_ROUND = 14
 CANONICAL_ORDER: list[str] = [
     # -- round-14 additions (never driver-checked) are inserted at
     #    the very top as they land, so they enter the window first. --
+    "q_dedup_substring_rewrite",
     # last driver check: r7
     "q_agg_having",
     "q_agg_distinct",

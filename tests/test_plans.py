@@ -927,3 +927,31 @@ def test_substring_cross_corpus_posture(spark):
             assert m, block
             assert "text#" not in m.group(1), block
             assert "tk#" not in m.group(1), block
+
+
+def test_substring_rewrite_posture(spark):
+    """q_dedup_substring_rewrite (round 14): the cut-range machinery
+    shuffles only (doc_id, position, 16-byte hash); document text and
+    the token array enter ONLY the final map-side reassembly — never
+    an Exchange (regular or broadcast) — and the ranges reach the
+    documents scan through a broadcast hash join, not a shuffle of
+    the corpus."""
+    import re
+
+    df = build(spark, "q_dedup_substring_rewrite")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    checked = 0
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
+            checked += 1
+    assert checked >= 3, plan  # stats agg, window, ranges broadcast
