@@ -2169,3 +2169,128 @@ def q_dedup_substring_rewrite(
         )
         .orderBy("doc_id")
     )
+
+
+_WINNOW_W = 15  # winnowing window: every W consecutive positions anchor
+
+
+def _winnow_anchor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowed anchor set: per document, the distinct union of
+    per-window minima of cluster||':'||zero-padded-position strings
+    over every valid window start (short docs winnow their single
+    truncated window). Exposed as a helper so the >=1-anchor-per-
+    window guarantee is testable on the real output, pre-stats."""
+    W = _WINNOW_W
+    spans, _ = _substring_span_tables(spark, sf_dir)
+    wdoc = Window.partitionBy("doc_id").orderBy("span_start")
+    ss = (
+        spans.select(
+            "doc_id",
+            "span_start",
+            F.concat(
+                F.col("cluster"),
+                F.lit(":"),
+                F.lpad(F.col("span_start").cast("string"), 12, "0"),
+            ).alias("sstr"),
+        )
+        .withColumn(
+            "n_spans",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+        .withColumn(
+            "wmin", F.min("sstr").over(wdoc.rowsBetween(0, W - 1))
+        )
+    )
+    return (
+        ss.filter(
+            F.col("span_start")
+            <= F.greatest(F.col("n_spans") - (W - 1), F.lit(1))
+        )
+        .select(
+            "doc_id",
+            F.substring("wmin", 34, 12).cast("long").alias(
+                "span_start"
+            ),
+            F.substring("wmin", 1, 32).alias("cluster"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_substring_winnow",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+ss AS (
+  SELECT doc_id, span_start,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_spans,
+         MIN(cluster || ':' ||
+             lpad(CAST(span_start AS VARCHAR), 12, '0'))
+           OVER (PARTITION BY doc_id ORDER BY span_start
+                 ROWS BETWEEN CURRENT ROW
+                 AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM spans
+),
+anchors AS (
+  SELECT DISTINCT doc_id,
+         CAST(SUBSTR(wmin, 34, 12) AS BIGINT) AS span_start,
+         SUBSTR(wmin, 1, 32) AS cluster
+  FROM ss
+  WHERE span_start <= GREATEST(n_spans - {_WINNOW_W - 1}, 1)
+),
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM anchors GROUP BY cluster
+)
+SELECT a.doc_id, a.span_start,
+       CAST({_SPAN_K} AS BIGINT) AS span_len, a.cluster,
+       CAST(st.n_docs AS BIGINT) AS n_docs,
+       CAST(st.n_occ AS BIGINT) AS n_occ
+FROM anchors a JOIN stats st USING (cluster)
+WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+ORDER BY cluster, doc_id, span_start
+""",
+    doc="WINNOWED substring dedup (round 14, VERDICT r13 #3 — the "
+        "Schleimer/Wilkerson/Aiken winnowing upgrade the fingerprint "
+        "key's own docstring names): per document, every window of "
+        f"{_WINNOW_W} consecutive span positions selects its MINIMUM "
+        "hash (total order pinned by cluster||':'||zero-padded "
+        "position, so ties can't exist and the window min is ONE "
+        "plain string MIN window function in both engines); the "
+        "anchor set is the distinct union of per-window minima. "
+        "Unlike the 0-mod-p fingerprint's probabilistic recall, the "
+        "guarantee is DETERMINISTIC by construction: every "
+        f"{_WINNOW_W}-position window contains >=1 anchor "
+        "(test-enforced), so any repeated region of >= W+k-1 = "
+        f"{_WINNOW_W + _SPAN_K - 1} tokens shares a full window in "
+        "both documents and therefore selects the SAME min cluster "
+        "in both — detection is guaranteed above the winnowing "
+        "threshold (the min over identical hash windows is content-"
+        "defined; the position tie-break only picks WHICH occurrence "
+        "is reported, never which cluster). Expected anchor density "
+        f"is 2/(W+1) = 1/{(_WINNOW_W + 1) // 2} "
+        "of positions, matching the fingerprint key's measured ~8x "
+        "shuffle cut — but hashing stays map-side over every "
+        "position and the ONE added cost is a doc-keyed window pass "
+        "shuffling (doc_id, position, 45-byte anchor string), still "
+        "never text [plan-enforced]. Short docs (< W spans) winnow "
+        "their single truncated window, so no document escapes "
+        "anchoring. Emit shape and downstream posture identical to "
+        "the exact/fingerprint twins.",
+)
+def q_dedup_substring_winnow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    anchors = _winnow_anchor_table(spark, sf_dir)
+    stats = (
+        anchors.groupBy("cluster")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+        )
+    )
+    return _substring_emit(anchors, stats)

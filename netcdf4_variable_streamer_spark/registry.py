@@ -72,6 +72,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-14 additions (never driver-checked) are inserted at
     #    the very top as they land, so they enter the window first. --
     "q_dedup_substring_rewrite",
+    "q_dedup_substring_winnow",
     # last driver check: r7
     "q_agg_having",
     "q_agg_distinct",

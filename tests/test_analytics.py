@@ -100,7 +100,7 @@ NEW_KEYS = [
     "q_dedup_substring_maximal", "src_netcdf4_compound_regref_scan",
     "q_dedup_substring_cross_corpus", "q_dedup_substring_fingerprint",
     # round 14
-    "q_dedup_substring_rewrite",
+    "q_dedup_substring_rewrite", "q_dedup_substring_winnow",
 ]
 
 

@@ -464,3 +464,47 @@ def test_perplexity_filter_two_table_api(spark):
     for p in (1, 2, 3):
         assert rows[p]["keep"] == (q[p] * 3 >= sum_q)
     assert [rows[p]["keep"] for p in (1, 2, 3)] == [True, False, True]
+
+
+def test_winnow_anchor_guarantee(spark):
+    """The winnowing invariant, asserted on the REAL Spark anchor set:
+    every valid window of _WINNOW_W consecutive span positions in
+    every document contains at least one anchor — the deterministic
+    guarantee that separates winnowing from 0-mod-p fingerprint
+    sampling (whose misses are probabilistic). Token counts are
+    recomputed independently with the pinned whitespace class."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.operators import dedup as dd
+    from tests.conftest import SF_DIR
+
+    anchors = (
+        dd._winnow_anchor_table(spark, SF_DIR)
+        .select("doc_id", "span_start")
+        .toPandas()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in anchors.itertuples():
+        by_doc.setdefault(r.doc_id, []).append(r.span_start)
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    K, W = dd._SPAN_K, dd._WINNOW_W
+    n_checked = 0
+    for r in docs.itertuples():
+        tk = _re.split("[ \t\n\f\r]+", r.text)
+        n = len(tk) - K + 1
+        if n < 1:
+            assert r.doc_id not in by_doc
+            continue
+        pos = sorted(by_doc.get(r.doc_id, []))
+        assert pos, f"doc {r.doc_id} has spans but no anchors"
+        for p in range(1, max(n - W + 1, 1) + 1):
+            assert any(p <= q <= p + W - 1 for q in pos), (
+                f"doc {r.doc_id}: window [{p}, {p + W - 1}] "
+                "has no anchor"
+            )
+            n_checked += 1
+    assert n_checked > 100  # the fixture genuinely exercises windows

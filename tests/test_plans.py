@@ -955,3 +955,28 @@ def test_substring_rewrite_posture(spark):
             assert "tk#" not in m.group(1), block
             checked += 1
     assert checked >= 3, plan  # stats agg, window, ranges broadcast
+
+
+def test_substring_winnow_posture(spark):
+    """q_dedup_substring_winnow (round 14): the winnowing window pass
+    shuffles (doc_id, position, 45-byte anchor string) — document
+    text and the token array are excluded from every Exchange, and
+    there is no cartesian/nested-loop stage."""
+    import re
+
+    df = build(spark, "q_dedup_substring_winnow")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    checked = 0
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
+            checked += 1
+    assert checked >= 2, plan  # window pass + stats agg
