@@ -1531,3 +1531,291 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# the full-recipe curation composite imports the span-decontamination
+# machinery (pinned tokenizer + split/threshold constants) from dedup
+from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
+    _SPAN_K,
+    _SXC_QUARANTINE_PPM,
+    _SXC_SPLIT,
+    _span_table,
+)
+
+_CURF_ORACLE = rf"""
+WITH dedup AS (
+  SELECT doc_id, lang, text
+  FROM (
+    SELECT doc_id, lang, text,
+           MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id
+    FROM documents) z
+  WHERE doc_id = keep_id
+),
+dtk AS (
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\f\r]+') AS tk
+  FROM dedup
+),
+dpos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM dtk WHERE len(tk) >= {_SPAN_K}
+),
+dspans AS (
+  SELECT doc_id, span_start,
+         MD5(array_to_string(
+             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
+           AS cluster
+  FROM dpos
+),
+sref AS (
+  SELECT DISTINCT cluster AS h FROM dspans
+  WHERE doc_id < {_SXC_SPLIT}
+),
+sprobe AS (
+  SELECT s.doc_id, (r.h IS NOT NULL) AS hit
+  FROM dspans s LEFT JOIN sref r ON s.cluster = r.h
+  WHERE s.doc_id >= {_SXC_SPLIT}
+),
+quar AS (
+  SELECT doc_id FROM sprobe GROUP BY doc_id
+  HAVING SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+         // COUNT(*) >= {_SXC_QUARANTINE_PPM}
+),
+decon AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM dedup d LEFT JOIN quar q USING (doc_id)
+  WHERE q.doc_id IS NULL
+),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM decon
+),
+tok AS (SELECT UNNEST(w) AS tok FROM toks),
+v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+bg AS (
+  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c_u FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(SUM(CAST(FLOOR(LN(
+             CAST(COALESCE(bgc.c_bg, 0) + 1 AS DOUBLE)
+             / (COALESCE(ctx.c_u, 0) + v.vsz)) * 1000000)
+           AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS cnt
+  FROM bg b
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.lang
+),
+qd AS (SELECT doc_id, lang, -((-s) // cnt) AS q FROM scored),
+pcut AS (
+  SELECT lang, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_docs
+  FROM qd GROUP BY lang
+),
+ppl AS (
+  SELECT s.doc_id FROM qd s JOIN pcut c USING (lang)
+  WHERE s.q * c.n_docs >= c.sum_q
+),
+cl_tok AS (
+  SELECT d.doc_id, d.lang, UNNEST(STRING_SPLIT(d.text, ' ')) AS tok
+  FROM decon d JOIN ppl USING (doc_id)
+),
+cl_feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 4096
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM cl_tok WHERE tok <> '' GROUP BY doc_id, lang, bucket
+),
+cl_scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * (CAST(('0x' || SUBSTR(MD5('w:' || bucket), 1, 7))
+                              AS BIGINT) % 2001 - 1000)) AS BIGINT)
+           AS score_q
+  FROM cl_feats GROUP BY doc_id, lang
+),
+ccut AS (
+  SELECT lang,
+         CAST(SUM(score_q) AS BIGINT) AS sum_q,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_n
+  FROM cl_scored GROUP BY lang
+),
+final AS (
+  SELECT s.doc_id, s.lang, s.n_tokens
+  FROM cl_scored s JOIN ccut c USING (lang)
+  WHERE s.score_q * c.sum_n >= c.sum_q * s.n_tokens
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN dc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_decontam,
+       CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_ppl,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final,
+       CAST(COALESCE(SUM(f.n_tokens), 0) AS BIGINT) AS tokens_final
+FROM documents d
+LEFT JOIN dedup dd ON d.doc_id = dd.doc_id
+LEFT JOIN decon dc ON d.doc_id = dc.doc_id
+LEFT JOIN ppl p ON d.doc_id = p.doc_id
+LEFT JOIN final f ON d.doc_id = f.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register(
+    "q_pipeline_curation_full",
+    oracle=_CURF_ORACLE,
+    doc="FULL-RECIPE CURATION (round 14, VERDICT r13 #4): the modern "
+        "production sequence — exact dedup -> SPAN-LEVEL EVAL "
+        "DECONTAMINATION -> perplexity gate -> classifier gate -> "
+        "per-language funnel — as ONE declarative plan. The new stage "
+        "is q_dedup_substring_cross_corpus's machinery applied to the "
+        "dedup survivors: every k-token span of a crawl-side doc "
+        f"(doc_id >= {_SXC_SPLIT}) probes the reference side's "
+        "distinct span-hash set, and docs at or above the "
+        f"{_SXC_QUARANTINE_PPM}-ppm contamination ratio are "
+        "quarantined before any quality gate sees them (eval-side "
+        "docs pass through — they ARE the reference corpus). The "
+        "decontam machinery itself moves NO text: its span/probe/"
+        "ratio stages shuffle only (doc_id, position, 16-byte hash) "
+        "[plan-enforced: every Exchange touching span or probe "
+        "columns excludes text], and the quarantine list is "
+        "duplication-sized, broadcast back as one anti join. Text-"
+        "carrying exchanges in the composed plan come solely from "
+        "re-derivations of the dedup/decon frame across stages — the "
+        "base pipeline's documented posture (Catalyst sees one plan; "
+        "production would persist the interstage frame, which "
+        "changes no semantics). Downstream gates consume the "
+        "decontaminated frame lazily, so Catalyst still sees one "
+        "end-to-end plan; the funnel audit gains n_after_decontam "
+        "between dedup and perplexity. 100 TB: every stage corpus-"
+        "linear; the reference span set is MB-scale for static eval "
+        "corpora and persistable exactly as the standalone key "
+        "documents.",
+)
+def q_pipeline_curation_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
+    from netcdf4_variable_streamer_spark.operators.text import (
+        perplexity_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    wkeep = Window.partitionBy(F.md5("text"))
+    dedup = (
+        docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    # stage 2: span-level decontamination over the dedup survivors
+    spans = _span_table(dedup.select("doc_id", "text"))
+    sref = (
+        spans.filter(F.col("doc_id") < _SXC_SPLIT)
+        .select(F.col("cluster").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    quar = (
+        spans.filter(F.col("doc_id") >= _SXC_SPLIT)
+        .withColumnRenamed("cluster", "h")
+        .join(sref, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*)"
+            ).alias("ppm")
+        )
+        .filter(F.col("ppm") >= _SXC_QUARANTINE_PPM)
+        .select("doc_id")
+    )
+    decon = dedup.join(F.broadcast(quar), "doc_id", "left_anti")
+    ppl = (
+        perplexity_filter(decon, decon)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    survivors = decon.join(ppl, "doc_id")
+    toks = (
+        survivors.filter(F.length("text") > 0)
+        .select(
+            "doc_id", "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    feats = toks.groupBy(
+        "doc_id", "lang",
+        (_md5_int(F.col("tok"), 7) % 4096).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wgt = (
+        _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+        - 1000
+    )
+    cl = feats.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * wgt).alias("score_q"),
+    )
+    ccut = cl.groupBy("lang").agg(
+        F.sum("score_q").alias("sum_q"),
+        F.sum("n_tokens").alias("sum_n"),
+    )
+    final = (
+        cl.join(F.broadcast(ccut), "lang")
+        .filter(
+            F.col("score_q") * F.col("sum_n")
+            >= F.col("sum_q") * F.col("n_tokens")
+        )
+        .select("doc_id", "n_tokens")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(
+            dedup.select("doc_id", F.lit(1).alias("in_dedup")),
+            "doc_id", "left",
+        )
+        .join(
+            decon.select("doc_id", F.lit(1).alias("in_decon")),
+            "doc_id", "left",
+        )
+        .join(
+            ppl.select("doc_id", F.lit(1).alias("in_ppl")),
+            "doc_id", "left",
+        )
+        .join(final.withColumnRenamed("n_tokens", "f_tokens"),
+              "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(
+                F.coalesce(F.col("in_dedup"), F.lit(0)).cast("long")
+            ).alias("n_after_dedup"),
+            F.sum(
+                F.coalesce(F.col("in_decon"), F.lit(0)).cast("long")
+            ).alias("n_after_decontam"),
+            F.sum(
+                F.coalesce(F.col("in_ppl"), F.lit(0)).cast("long")
+            ).alias("n_after_ppl"),
+            F.sum(
+                F.col("f_tokens").isNotNull().cast("long")
+            ).alias("n_final"),
+            F.coalesce(F.sum("f_tokens"), F.lit(0)).cast("long").alias(
+                "tokens_final"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1617,21 +1617,16 @@ _SPAN_MAX_OCC = 64  # boilerplate cap: hotter clusters are dropped
 _SPAN_WS = r"[ \t\n\f\r]+"
 
 
-def _substring_span_tables(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(spans, qualifying cluster stats) shared by the substring-span
-    keys: one 16-byte md5 per token position computed MAP-SIDE, stats
-    filtered to cross-document repeats under the boilerplate cap."""
+def _span_table(docs: DataFrame) -> DataFrame:
+    """Map-side span-hash table over any (doc_id, text) frame: one
+    16-byte md5 per token position. The hash is computed before any
+    exchange — the projection after the explode drops tk, so shuffles
+    carry only (doc_id, span_start, cluster)."""
     K = _SPAN_K
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", _SPAN_WS).alias("tk"))
-        .filter(F.size("tk") >= K)
-    )
-    # hash computed before any exchange: the projection after the
-    # explode drops tk, so shuffles carry only (doc_id, pos, 16-B md5)
-    spans = (
+    toks = docs.select(
+        "doc_id", F.split("text", _SPAN_WS).alias("tk")
+    ).filter(F.size("tk") >= K)
+    return (
         toks.select(
             "doc_id",
             F.explode(
@@ -1647,6 +1642,15 @@ def _substring_span_tables(
             ).alias("cluster"),
         )
     )
+
+
+def _substring_span_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(spans, qualifying cluster stats) shared by the substring-span
+    keys: one 16-byte md5 per token position computed MAP-SIDE, stats
+    filtered to cross-document repeats under the boilerplate cap."""
+    spans = _span_table(load_table(spark, sf_dir, "documents"))
     stats = (
         spans.groupBy("cluster")
         .agg(

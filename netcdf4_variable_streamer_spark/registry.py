@@ -73,6 +73,7 @@ CANONICAL_ORDER: list[str] = [
     #    the very top as they land, so they enter the window first. --
     "q_dedup_substring_rewrite",
     "q_dedup_substring_winnow",
+    "q_pipeline_curation_full",
     # last driver check: r7
     "q_agg_having",
     "q_agg_distinct",

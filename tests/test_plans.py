@@ -980,3 +980,32 @@ def test_substring_winnow_posture(spark):
             assert "tk#" not in m.group(1), block
             checked += 1
     assert checked >= 2, plan  # window pass + stats agg
+
+
+def test_curation_full_decontam_posture(spark):
+    """q_pipeline_curation_full (round 14): the added span-decontam
+    machinery moves hashes and ids only — every Exchange whose input
+    touches span/probe columns (span_start, the probe hash h, the
+    contamination ratio) excludes document text; the quarantine list
+    reaches the pipeline through a broadcast; no Python, no
+    cartesian/nested-loop stage anywhere in the composed plan."""
+    import re
+
+    df = build(spark, "q_pipeline_curation_full")
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    span_exchanges = 0
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            cols = m.group(1)
+            if "span_start#" in cols or "h#" in cols or "ppm#" in cols:
+                assert "text#" not in cols, block
+                assert "tk#" not in cols, block
+                span_exchanges += 1
+    assert span_exchanges >= 2, plan  # ref distinct + probe/ratio agg
