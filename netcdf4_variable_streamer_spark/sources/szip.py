@@ -470,10 +470,17 @@ def _decode_rsi(
                     run = seg_end - b
                 else:
                     run = fsv
-                if b + run > nblocks:
+                if b + run > seg_end:
+                    # fuzz round 7: a plain (non-ROS) run may not
+                    # cross the 64-block segment boundary — libaec
+                    # interprets run lengths within the segment, so
+                    # accepting one would silently desynchronize
+                    # against the reference decoder (and a run past
+                    # nblocks would overrun the interval outright)
                     raise ValueError(
-                        f"szip: zero-block run of {run} overruns the "
-                        f"interval at block {b}/{nblocks}"
+                        f"szip: zero-block run of {run} at block {b} "
+                        f"crosses the segment boundary at block "
+                        f"{seg_end} (interval {nblocks} blocks)"
                     )
                 parts.append(
                     np.zeros(sum(sizes[b : b + run]), dtype=np.int64)

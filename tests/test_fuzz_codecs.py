@@ -2926,3 +2926,224 @@ def test_szip_encode_block_low_entropy_ref_guard():
         _encode_block(w, vals, 8, _id_bits(8), allow_low=True, ref=3)
     # the real reference path (allow_low=False) is unaffected
     _encode_block(w, vals, 8, _id_bits(8), allow_low=False, ref=3)
+
+
+def test_szip_zero_run_reference_segment_boundary():
+    """Fuzz round 7 (VERDICT r13 #5): a remainder-of-segment zero run
+    STARTING AT a low-entropy reference block must stop at the
+    64-block segment boundary, with the second segment carrying its
+    own codewords — J=2 / 80 blocks puts the boundary strictly inside
+    the interval. The writer never starts a run at the reference
+    block; the decoder accepts the shape a real libaec stream can
+    take."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # segment 1: ref block + ROS (blocks 0..63); segment 2: ROS again
+    stream = _bits(
+        "000" + "0" + format(200, "08b") + _fs(4)  # _ROS
+        + "000" + "0" + _fs(4)
+    )
+    got = szip_decode(
+        stream, 160, nbits=8, pixels_per_block=2,
+        pixels_per_scanline=160, nn=True,
+    )
+    assert got == [200] * 160
+
+
+def test_szip_zero_run_reference_short_then_fs_at_boundary():
+    """Fuzz round 7: a PLAIN (non-ROS) zero run from the reference
+    block ending one block short of the segment boundary, a normal FS
+    block AS the segment's last block, then a second-segment ROS run
+    — the irregular first block, the explicit run-length path, and
+    the boundary re-sync composed in one interval."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    ref = 50
+    # run 63 covers blocks 0..62 (fsv == run for run >= 5);
+    # block 63 is FS k=0 with mapped deltas [2, 4]; blocks 64..79 ROS
+    stream = _bits(
+        "000" + "0" + format(ref, "08b") + _fs(63)
+        + "001" + _fs(2) + _fs(4)
+        + "000" + "0" + _fs(4)
+    )
+    got = szip_decode(
+        stream, 160, nbits=8, pixels_per_block=2,
+        pixels_per_scanline=160, nn=True,
+    )
+    deltas = [0] * 125 + [2, 4] + [0] * 32
+    assert got == _unmap_nn_independent(ref, deltas, 8)
+
+
+@pytest.mark.parametrize(
+    "J", [2, 16, 32], ids=["J2-single-gamma", "J16", "J32-max"]
+)
+def test_szip_se_reference_edge_geometries(J):
+    """Fuzz round 7: SECOND-EXTENSION reference blocks at the J edge
+    geometries — J=2 (the pair grid degenerates to ONE gamma whose
+    first element is the spec's zero dummy, so it contributes exactly
+    one sample), J=16 and J=32 (the largest legal block). Expected
+    samples come from the independent unit-delay unmap, not the
+    module under test."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    ref = 100
+    deltas = [(3 + 5 * i) % 7 for i in range(J - 1)]
+    pairs = [(0, deltas[0])] + [
+        (deltas[i], deltas[i + 1]) for i in range(1, J - 2, 2)
+    ]
+    assert len(pairs) == J // 2
+    payload = "".join(
+        _fs((a + b) * (a + b + 1) // 2 + b) for a, b in pairs
+    )
+    stream = _bits("000" + "1" + format(ref, "08b") + payload)
+    got = szip_decode(
+        stream, J, nbits=8, pixels_per_block=J,
+        pixels_per_scanline=J, nn=True,
+    )
+    assert got == _unmap_nn_independent(ref, deltas, 8)
+
+
+def test_compound_regref_members_multi_gcol_filtered(tmp_path):
+    """Fuzz round 7: region-reference member cells spilling across
+    MULTIPLE 4096-byte global-heap collections (600 serialized
+    hyperslab payloads cannot fit one GCOL), under the full filter
+    stack (shuffle + deflate + Fletcher-32) on the compound dataset.
+    Every heap pointer must resolve to its own selection; slab reads
+    prune chunks AND heap parses."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    n = 600
+    dt = np.dtype(
+        [("wid", "<i4"), ("win", object)],
+        metadata={"regref_members": ("win",)},
+    )
+    a = np.zeros(n, dt)
+    a["wid"] = np.arange(n)
+    a["win"] = [
+        None if i % 97 == 0
+        else ("grid", [((i % 50, i % 50 + 3),)])
+        for i in range(n)
+    ]
+    p = os.path.join(tmp_path, "regref_gcol.h5")
+    write_hdf5(
+        p,
+        {"grid": np.arange(60, dtype=np.int64) * 7, "obs": a},
+        {"obs": {"chunk": (64,), "compress": 6, "shuffle": True,
+                 "fletcher32": True}},
+    )
+    # multiple collections actually exist on disk
+    raw = open(p, "rb").read()
+    assert raw.count(b"GCOL") >= 2, raw.count(b"GCOL")
+    h = HDF5File(p)
+    r = h.read("obs")
+    assert list(r["wid"]) == list(range(n))
+    for i in (1, 97 * 2, 311, n - 1):
+        if i % 97 == 0:
+            assert r["win"][i] is None
+        else:
+            lo = i % 50
+            assert str(r["win"][i]) == f"grid[{lo}:{lo + 3}]"
+            np.testing.assert_array_equal(
+                h.read_region(r["win"][i]),
+                np.arange(lo, lo + 3, dtype=np.int64) * 7,
+            )
+    sl = h.read_slab0("obs", 128, 192)
+    assert list(sl["wid"]) == list(range(128, 192))
+    assert str(sl["win"][0]) == "grid[28:31]"
+
+
+def test_compound_mixed_ref_regref_string_members(tmp_path):
+    """Fuzz round 7: NC_STRING + object-reference + region-reference
+    members in ONE compound type — the three heap-backed member
+    classes the writer supports separately, proven composed: the
+    datatype message carries class-9 AND both class-7 flavors, all
+    three markers survive the round trip, and every member resolves
+    independently (slab reads included)."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype(
+        [("sid", "<i4"), ("name", object), ("target", object),
+         ("win", object)],
+        metadata={"ref_members": ("target",),
+                  "regref_members": ("win",)},
+    )
+    a = np.zeros(4, dt)
+    a["sid"] = [1, 2, 3, 4]
+    a["name"] = ["alpha", None, "gamma", "delta"]
+    a["target"] = ["base", None, "g/press", "base"]
+    a["win"] = [
+        ("base", [((0, 2),)]),
+        None,
+        ("base", "all"),
+        ("g/press", [((1, 2),)]),
+    ]
+    for libver in ("earliest", "latest"):
+        p = os.path.join(tmp_path, f"mixed_{libver}.h5")
+        write_hdf5(
+            p,
+            {"base": np.arange(5, dtype=np.int16),
+             "g/press": np.arange(3, dtype=np.float32) * 0.5,
+             "obs": a},
+            {"obs": {"chunk": (2,), "compress": 4}},
+            libver=libver,
+        )
+        h = HDF5File(p)
+        r = h.read("obs")
+        md = r.dtype.metadata
+        assert md["vlen_str_members"] == ("name",)
+        assert md["ref_members"] == ("target",)
+        assert md["regref_members"] == ("win",)
+        assert list(r["name"]) == ["alpha", "", "gamma", "delta"]
+        assert list(r["target"]) == ["base", None, "g/press", "base"]
+        wins = [None if w is None else str(w) for w in r["win"]]
+        assert wins == ["base[0:2]", None, "base[...]", "g/press[1:2]"]
+        np.testing.assert_array_equal(
+            h.read_region(r["win"][0]), np.arange(2, dtype=np.int16)
+        )
+        sl = h.read_slab0("obs", 2, 4)
+        assert list(sl["target"]) == ["g/press", "base"]
+        assert str(sl["win"][1]) == "g/press[1:2]"
+
+
+def test_szip_zero_run_crossing_segment_refuses():
+    """Fuzz round 7 regression (found by this round's boundary
+    probes): a PLAIN zero-run codeword whose length crosses the
+    64-block segment boundary is malformed — libaec interprets run
+    lengths within the segment, so decoding it would silently
+    desynchronize. Both the long-form (fsv >= 5) and short-form
+    (fsv <= 3 near the boundary) crossings refuse by name; a run
+    overrunning the whole interval stays loud too."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # J=2, 80 blocks: plain run 70 at block 0 crosses the boundary 64
+    stream = _bits("000" + "0" + format(9, "08b") + _fs(70))
+    with pytest.raises(ValueError, match="crosses the segment"):
+        szip_decode(
+            stream, 160, nbits=8, pixels_per_block=2,
+            pixels_per_scanline=160, nn=True,
+        )
+    # short-form: run 63 to block 62, FS block 63... then at block 64
+    # a run of 4 (fsv 3) inside segment 2 is fine — but a 63-block
+    # run followed by fsv=3 AT block 63 would cross: blocks 63..66
+    stream = _bits(
+        "000" + "0" + format(9, "08b") + _fs(62)  # blocks 0..61
+        + "000" + "0" + _fs(3)  # blocks 62..65 — crosses 64
+    )
+    with pytest.raises(ValueError, match="crosses the segment"):
+        szip_decode(
+            stream, 160, nbits=8, pixels_per_block=2,
+            pixels_per_scanline=160, nn=True,
+        )
+    # interval overrun in the FINAL (short) segment is also loud
+    stream = _bits("000" + "0" + format(9, "08b") + _fs(10))
+    with pytest.raises(ValueError, match="crosses the segment"):
+        szip_decode(
+            stream, 16, nbits=8, pixels_per_block=2,
+            pixels_per_scanline=16, nn=True,
+        )
