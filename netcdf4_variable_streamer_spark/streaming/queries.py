@@ -1451,7 +1451,9 @@ def _docs_multi_batch_stream_dir(
     return stream_dir
 
 
-def make_curation_loop(spark: SparkSession, run_dir: str):
+def make_curation_loop(
+    spark: SparkSession, run_dir: str, *, decontam: bool = False
+):
     """The composed foreachBatch closure + its batch counter. Restart-
     safe exactly like :func:`make_crawl_loop` / :func:`make_quality_
     gate`: the in-memory state dict is only a cache — a fresh closure
@@ -1459,10 +1461,22 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
     older than the current batch from the versioned parquet paths, the
     LM is the once-persisted lm.json + bgc/ctx parquet, and decisions
     write to per-batch versioned paths with overwrite (idempotent
-    replay)."""
+    replay).
+
+    ``decontam=True`` (round 14) inserts the span-level eval-
+    decontamination stage between dedup and the quality gate: batch 0
+    additionally persists the reference corpus's DISTINCT span-hash
+    set (once, like the LM — eval sets are static), and every crawl
+    batch probes its dedup survivors' spans against it, quarantining
+    docs at or above the contamination-ppm threshold before the gate
+    sees them; decisions gain a ``decon_keep`` column."""
     import json
 
-    from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _SXC_QUARANTINE_PPM,
+        _md5_int,
+        _span_table,
+    )
     from netcdf4_variable_streamer_spark.operators.text import (
         perplexity_decisions,
         perplexity_lm,
@@ -1510,6 +1524,14 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
             batch_df.select("lang").distinct().withColumn(
                 "used", F.lit(0).cast("long")
             ).write.mode("overwrite").parquet(u_dst)
+            if decontam:
+                # the reference span-hash set, persisted ONCE like
+                # the LM (the eval corpus is static; MB-scale)
+                _span_table(
+                    batch_df.select("doc_id", "text")
+                ).select("cluster").distinct().write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(run_dir, "spanref"))
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
@@ -1553,6 +1575,44 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
         survivors = b2.filter(~F.col("is_dup")).select(
             "doc_id", "lang", "text", "n_tokens"
         )
+        dkeep = None
+        if decontam:
+            # stage 1b: span-level eval decontamination — probe the
+            # survivors' span hashes against the persisted reference
+            # set; quarantine at the contamination-ppm threshold.
+            # Only (doc_id, 16-byte hash) shuffles; the quarantine
+            # list is duplication-sized and broadcast.
+            sref = (
+                spark.read.parquet(os.path.join(run_dir, "spanref"))
+                .withColumnRenamed("cluster", "h")
+                .withColumn("hit", F.lit(1))
+            )
+            quar = (
+                _span_table(survivors.select("doc_id", "text"))
+                .withColumnRenamed("cluster", "h")
+                .join(sref, "h", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.expr(
+                        "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0"
+                        " END) * 1000000 DIV COUNT(*)"
+                    ).alias("ppm")
+                )
+                .filter(F.col("ppm") >= _SXC_QUARANTINE_PPM)
+                .select("doc_id", F.lit(1).alias("qflag"))
+            )
+            dkeep = (
+                survivors.select("doc_id")
+                .join(F.broadcast(quar), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.col("qflag").isNull().alias("decon_keep"),
+                )
+            )
+            survivors = survivors.join(
+                F.broadcast(quar.select("doc_id")), "doc_id",
+                "left_anti",
+            )
         # stage 2: perplexity gate under the persisted LM (per-lang
         # cutoff over THIS batch's survivors — batch-proportional)
         ppl = perplexity_decisions(bgc, ctx, vsz, survivors)
@@ -1595,7 +1655,7 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
                 <= _CUR_BUDGET,
             )
         )
-        (
+        dec = (
             b2.select("doc_id", "lang", "is_dup", "n_tokens")
             .join(
                 ppl.select(
@@ -1604,20 +1664,31 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
                 "doc_id", "left",
             )
             .join(samp.select("doc_id", "sampled"), "doc_id", "left")
-            .select(
-                "doc_id", "lang",
-                F.lit(batch_id).cast("long").alias("batch"),
-                "is_dup",
-                F.coalesce(F.col("ppl_keep"), F.lit(False)).alias(
-                    "ppl_keep"
-                ),
-                "n_tokens",
-                F.coalesce(F.col("sampled"), F.lit(False)).alias(
-                    "sampled"
-                ),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(run_dir, f"dec_v{batch_id}"))
+        )
+        if decontam:
+            dec = dec.join(dkeep, "doc_id", "left")
+        dec.select(
+            "doc_id", "lang",
+            F.lit(batch_id).cast("long").alias("batch"),
+            "is_dup",
+            *(
+                [
+                    F.coalesce(
+                        F.col("decon_keep"), F.lit(False)
+                    ).alias("decon_keep")
+                ]
+                if decontam
+                else []
+            ),
+            F.coalesce(F.col("ppl_keep"), F.lit(False)).alias(
+                "ppl_keep"
+            ),
+            "n_tokens",
+            F.coalesce(F.col("sampled"), F.lit(False)).alias(
+                "sampled"
+            ),
+        ).write.mode("overwrite").parquet(
+            os.path.join(run_dir, f"dec_v{batch_id}")
         )
         # commit the new state versions (decisions first: a replayed
         # batch overwrites both idempotently)
@@ -1646,7 +1717,7 @@ def make_curation_loop(spark: SparkSession, run_dir: str):
 
 
 def run_foreachbatch_pipeline_curation(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, decontam: bool = False
 ) -> DataFrame:
     """3-micro-batch composed curation stream: reference + two crawl
     batches; returns the union of both crawl batches' decisions."""
@@ -1662,7 +1733,9 @@ def run_foreachbatch_pipeline_curation(
     run_dir = tempfile.mkdtemp(
         prefix="cur_state_", dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
     )
-    curate, n_batches = make_curation_loop(spark, run_dir)
+    curate, n_batches = make_curation_loop(
+        spark, run_dir, decontam=decontam
+    )
     schema = spark.read.parquet(feed).schema
     q = (
         spark.readStream.schema(schema)
@@ -1853,3 +1926,132 @@ def q_stream_pipeline_curation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return run_foreachbatch_pipeline_curation(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the FULL-RECIPE streaming composite — the batch key
+# q_pipeline_curation_full's span-level eval-decontamination stage run
+# INSIDE the foreachBatch crawl loop. The oracle derives from the base
+# 3-batch protocol by string surgery so the shared protocol lives in
+# exactly one place (_CUR_ORACLE): rename the dedup survivors to surv0,
+# insert the reference-span build + probe + quarantine CTEs, regate the
+# whole downstream on the decontaminated surv, and emit the decon_keep
+# verdict column.
+# ---------------------------------------------------------------------------
+
+from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
+    _SPAN_K as _CURF_SPAN_K,
+    _SXC_QUARANTINE_PPM as _CURF_PPM,
+)
+
+_CURF_OLD_SURV = """surv AS (
+  SELECT c.* FROM crawl c JOIN dup USING (doc_id) WHERE NOT is_dup
+),"""
+_CURF_NEW_SURV = rf"""surv0 AS (
+  SELECT c.* FROM crawl c JOIN dup USING (doc_id) WHERE NOT is_dup
+),
+rtk AS (
+  SELECT doc_id, regexp_split_to_array(text, '[ 	
+]+') AS tk
+  FROM ref
+),
+rpos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_CURF_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM rtk WHERE len(tk) >= {_CURF_SPAN_K}
+),
+refspan AS (
+  SELECT DISTINCT MD5(array_to_string(
+             tk[span_start:span_start + {_CURF_SPAN_K - 1}], ' '))
+           AS cluster
+  FROM rpos
+),
+stk AS (
+  SELECT doc_id, regexp_split_to_array(text, '[ 	
+]+') AS tk
+  FROM surv0
+),
+spos AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk) - {_CURF_SPAN_K - 1}))
+              AS BIGINT) AS span_start
+  FROM stk WHERE len(tk) >= {_CURF_SPAN_K}
+),
+sspans AS (
+  SELECT doc_id,
+         MD5(array_to_string(
+             tk[span_start:span_start + {_CURF_SPAN_K - 1}], ' '))
+           AS cluster
+  FROM spos
+),
+sprobe AS (
+  SELECT s.doc_id, (r.cluster IS NOT NULL) AS hit
+  FROM sspans s LEFT JOIN refspan r USING (cluster)
+),
+quar AS (
+  SELECT doc_id FROM sprobe GROUP BY doc_id
+  HAVING SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000
+         // COUNT(*) >= {_CURF_PPM}
+),
+dk AS (
+  SELECT s.doc_id, (q.doc_id IS NULL) AS keep
+  FROM surv0 s LEFT JOIN quar q USING (doc_id)
+),
+surv AS (
+  SELECT s.* FROM surv0 s LEFT JOIN quar q USING (doc_id)
+  WHERE q.doc_id IS NULL
+),"""
+
+_CURF_OLD_SEL = """SELECT c.doc_id, c.lang, CAST(c.batch AS BIGINT) AS batch, d.is_dup,
+       COALESCE(p.ppl_keep, FALSE) AS ppl_keep,"""
+_CURF_NEW_SEL = """SELECT c.doc_id, c.lang, CAST(c.batch AS BIGINT) AS batch, d.is_dup,
+       COALESCE(dk.keep, FALSE) AS decon_keep,
+       COALESCE(p.ppl_keep, FALSE) AS ppl_keep,"""
+
+_CURF_OLD_JOIN = """JOIN dup d USING (doc_id)
+LEFT JOIN ppl p USING (doc_id)"""
+_CURF_NEW_JOIN = """JOIN dup d USING (doc_id)
+LEFT JOIN dk USING (doc_id)
+LEFT JOIN ppl p USING (doc_id)"""
+
+for frag in (_CURF_OLD_SURV, _CURF_OLD_SEL, _CURF_OLD_JOIN):
+    assert frag in _CUR_ORACLE, frag[:60]
+_CURF_STREAM_ORACLE = (
+    _CUR_ORACLE.replace(_CURF_OLD_SURV, _CURF_NEW_SURV)
+    .replace(_CURF_OLD_SEL, _CURF_NEW_SEL)
+    .replace(_CURF_OLD_JOIN, _CURF_NEW_JOIN)
+)
+
+
+@register(
+    "q_stream_pipeline_curation_full",
+    oracle=_CURF_STREAM_ORACLE,
+    doc="FULL-RECIPE STREAMING CURATION (round 14) — the batch "
+        "composite q_pipeline_curation_full's span-level eval-"
+        "decontamination stage run INSIDE the foreachBatch crawl "
+        "loop: batch 0 persists the reference corpus's distinct "
+        "span-hash set ONCE alongside the LM (eval sets are static, "
+        "the set is MB-scale); every crawl batch probes its dedup "
+        "survivors' k-token span hashes against it and quarantines "
+        f"docs at >= {_CURF_PPM} ppm contaminated spans BEFORE the "
+        "quality gate — so the gate's per-batch per-language cutoffs "
+        "and the cross-batch budget cuts are computed over "
+        "decontaminated survivors, exactly as the declarative oracle "
+        "replays them. Decisions gain a decon_keep verdict per crawl "
+        "doc (FALSE for quarantined and for docs never evaluated "
+        "because dedup dropped them — mirroring ppl_keep). The probe "
+        "shuffles only (doc_id, 16-byte hash); the quarantine list "
+        "is broadcast; all versioned-state restart machinery "
+        "(commit markers, idempotent replay) is the SAME loop, "
+        "flag-selected, so the composed restart proof carries over — "
+        "and a dedicated restart test re-proves it with the stage "
+        "armed. 100 TB: the span probe is batch-proportional against "
+        "the once-built reference set, like every other stage.",
+)
+def q_stream_pipeline_curation_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_foreachbatch_pipeline_curation(
+        spark, sf_dir, decontam=True
+    )

@@ -101,7 +101,7 @@ NEW_KEYS = [
     "q_dedup_substring_cross_corpus", "q_dedup_substring_fingerprint",
     # round 14
     "q_dedup_substring_rewrite", "q_dedup_substring_winnow",
-    "q_pipeline_curation_full",
+    "q_pipeline_curation_full", "q_stream_pipeline_curation_full",
 ]
 
 

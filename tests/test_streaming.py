@@ -754,3 +754,73 @@ def test_curation_recovery_ignores_uncommitted_version(spark, tmp_path):
     for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
         assert list(got[col]) == list(want[col]), col
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_full_restart_from_checkpoint(spark, tmp_path):
+    """RESTART proof for the FULL-RECIPE loop (round 14): same
+    protocol as the base composite's restart test but with the
+    span-decontamination stage armed — the restarted fresh closure
+    must additionally recover the once-persisted reference span set,
+    and the final decisions (including decon_keep and the gate/budget
+    verdicts computed over DECONTAMINATED survivors) must equal the
+    derived oracle. The fixture must quarantine docs in BOTH crawl
+    batches, including on the post-restart side."""
+    import os
+    import shutil
+
+    from netcdf4_variable_streamer_spark import oracle as oracle_mod
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    crawl2 = os.path.join(feed, "2_part.parquet")
+    held = str(tmp_path / "held.parquet")
+    shutil.move(crawl2, held)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    ckpt = os.path.join(run_dir, "ckpt")
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        curate, n = sq.make_curation_loop(spark, run_dir, decontam=True)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(curate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return n[0]
+
+    assert run_once() == 2
+    assert os.path.isdir(os.path.join(run_dir, "spanref"))
+    ref_mtime = os.path.getmtime(os.path.join(run_dir, "spanref"))
+    shutil.move(held, crawl2)
+    assert run_once() == 1
+    # the reference span set was recovered, not rebuilt
+    assert os.path.getmtime(
+        os.path.join(run_dir, "spanref")
+    ) == ref_mtime
+
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CURF_STREAM_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "decon_keep",
+                "ppl_keep", "n_tokens", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    quar = want[~want["decon_keep"] & ~want["is_dup"]]
+    assert set(quar["batch"]) == {1, 2}, (
+        "fixture must quarantine docs in both crawl batches"
+    )
+    shutil.rmtree(feed, ignore_errors=True)
