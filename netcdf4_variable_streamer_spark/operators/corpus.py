@@ -1539,6 +1539,8 @@ from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
     _SPAN_K,
     _SXC_QUARANTINE_PPM,
     _SXC_SPLIT,
+    _span_cte_sql,
+    _span_quarantine,
     _span_table,
 )
 
@@ -1551,23 +1553,7 @@ WITH dedup AS (
     FROM documents) z
   WHERE doc_id = keep_id
 ),
-dtk AS (
-  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\f\r]+') AS tk
-  FROM dedup
-),
-dpos AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
-              AS BIGINT) AS span_start
-  FROM dtk WHERE len(tk) >= {_SPAN_K}
-),
-dspans AS (
-  SELECT doc_id, span_start,
-         MD5(array_to_string(
-             tk[span_start:span_start + {_SPAN_K - 1}], ' '))
-           AS cluster
-  FROM dpos
-),
+{_span_cte_sql("dedup", "d")},
 sref AS (
   SELECT DISTINCT cluster AS h FROM dspans
   WHERE doc_id < {_SXC_SPLIT}
@@ -1729,19 +1715,8 @@ def q_pipeline_curation_full(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    quar = (
-        spans.filter(F.col("doc_id") >= _SXC_SPLIT)
-        .withColumnRenamed("cluster", "h")
-        .join(sref, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
-                " * 1000000 DIV COUNT(*)"
-            ).alias("ppm")
-        )
-        .filter(F.col("ppm") >= _SXC_QUARANTINE_PPM)
-        .select("doc_id")
+    quar = _span_quarantine(
+        spans.filter(F.col("doc_id") >= _SXC_SPLIT), sref
     )
     decon = dedup.join(F.broadcast(quar), "doc_id", "left_anti")
     ppl = (

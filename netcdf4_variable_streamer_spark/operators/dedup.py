@@ -1644,6 +1644,26 @@ def _span_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _span_quarantine(spans, sref) -> DataFrame:
+    """doc_ids whose contamination ratio vs the reference span set
+    ``sref`` (columns h, hit) reaches the quarantine threshold —
+    the single Spark home of the integer-ppm rule shared by the
+    batch and streaming full-recipe composites."""
+    return (
+        spans.withColumnRenamed("cluster", "h")
+        .join(sref, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*)"
+            ).alias("ppm")
+        )
+        .filter(F.col("ppm") >= _SXC_QUARANTINE_PPM)
+        .select("doc_id")
+    )
+
+
 def _substring_span_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1665,26 +1685,35 @@ def _substring_span_tables(
 
 
 
-# DuckDB twin of _substring_span_tables' span construction — the shared
-# CTE prefix of every substring-dedup oracle (ends at `spans` with
-# columns doc_id, span_start, cluster).
-_SPAN_CTE_SQL = r"""t AS (
+# DuckDB twin of _span_table — the single SQL home of the pinned
+# k-token span-hash construction (tokenize -> positions -> md5),
+# parameterized by source table and CTE-name prefix so the batch and
+# streaming composites reuse it verbatim (round-14 review finding #2).
+def _span_cte_sql(src: str = "documents", prefix: str = "") -> str:
+    """Three CTEs `{prefix}t` / `{prefix}pos` / `{prefix}spans`; the
+    last has columns (doc_id, span_start, cluster)."""
+    return r"""{p}t AS (
   SELECT doc_id, regexp_split_to_array(text, '[ \t\n\f\r]+') AS tk
-  FROM documents
+  FROM {src}
 ),
-pos AS (
+{p}pos AS (
   SELECT doc_id, tk,
          CAST(unnest(generate_series(1, len(tk) - {K1}))
               AS BIGINT) AS span_start
-  FROM t WHERE len(tk) >= {K}
+  FROM {p}t WHERE len(tk) >= {K}
 ),
-spans AS (
+{p}spans AS (
   SELECT doc_id, span_start,
          MD5(array_to_string(
              tk[span_start:span_start + {K1}], ' '))
            AS cluster
-  FROM pos
-)""".format(K=_SPAN_K, K1=_SPAN_K - 1)
+  FROM {p}pos
+)""".format(src=src, p=prefix, K=_SPAN_K, K1=_SPAN_K - 1)
+
+
+# the shared CTE prefix of every substring-dedup oracle (ends at
+# `spans` with columns doc_id, span_start, cluster)
+_SPAN_CTE_SQL = _span_cte_sql()
 
 
 def _substring_emit(spans, stats):

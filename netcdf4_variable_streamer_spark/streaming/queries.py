@@ -1473,8 +1473,8 @@ def make_curation_loop(
     import json
 
     from netcdf4_variable_streamer_spark.operators.dedup import (
-        _SXC_QUARANTINE_PPM,
         _md5_int,
+        _span_quarantine,
         _span_table,
     )
     from netcdf4_variable_streamer_spark.operators.text import (
@@ -1587,32 +1587,24 @@ def make_curation_loop(
                 .withColumnRenamed("cluster", "h")
                 .withColumn("hit", F.lit(1))
             )
-            quar = (
-                _span_table(survivors.select("doc_id", "text"))
-                .withColumnRenamed("cluster", "h")
-                .join(sref, "h", "left")
-                .groupBy("doc_id")
-                .agg(
-                    F.expr(
-                        "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0"
-                        " END) * 1000000 DIV COUNT(*)"
-                    ).alias("ppm")
-                )
-                .filter(F.col("ppm") >= _SXC_QUARANTINE_PPM)
-                .select("doc_id", F.lit(1).alias("qflag"))
+            # ONE broadcast frame feeds both consumers below, so the
+            # span-probe aggregation plans (and broadcasts) once —
+            # ReuseExchange needs the two subplans canonically equal
+            quar = F.broadcast(
+                _span_quarantine(
+                    _span_table(survivors.select("doc_id", "text")),
+                    sref,
+                ).withColumn("qflag", F.lit(1))
             )
             dkeep = (
                 survivors.select("doc_id")
-                .join(F.broadcast(quar), "doc_id", "left")
+                .join(quar, "doc_id", "left")
                 .select(
                     "doc_id",
                     F.col("qflag").isNull().alias("decon_keep"),
                 )
             )
-            survivors = survivors.join(
-                F.broadcast(quar.select("doc_id")), "doc_id",
-                "left_anti",
-            )
+            survivors = survivors.join(quar, "doc_id", "left_anti")
         # stage 2: perplexity gate under the persisted LM (per-lang
         # cutoff over THIS batch's survivors — batch-proportional)
         ppl = perplexity_decisions(bgc, ctx, vsz, survivors)
@@ -1940,51 +1932,21 @@ def q_stream_pipeline_curation(
 # ---------------------------------------------------------------------------
 
 from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
-    _SPAN_K as _CURF_SPAN_K,
     _SXC_QUARANTINE_PPM as _CURF_PPM,
+    _span_cte_sql,
 )
 
 _CURF_OLD_SURV = """surv AS (
   SELECT c.* FROM crawl c JOIN dup USING (doc_id) WHERE NOT is_dup
 ),"""
-_CURF_NEW_SURV = rf"""surv0 AS (
+_CURF_NEW_SURV = f"""surv0 AS (
   SELECT c.* FROM crawl c JOIN dup USING (doc_id) WHERE NOT is_dup
 ),
-rtk AS (
-  SELECT doc_id, regexp_split_to_array(text, '[ 	
-]+') AS tk
-  FROM ref
-),
-rpos AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_CURF_SPAN_K - 1}))
-              AS BIGINT) AS span_start
-  FROM rtk WHERE len(tk) >= {_CURF_SPAN_K}
-),
+{_span_cte_sql("ref", "r")},
 refspan AS (
-  SELECT DISTINCT MD5(array_to_string(
-             tk[span_start:span_start + {_CURF_SPAN_K - 1}], ' '))
-           AS cluster
-  FROM rpos
+  SELECT DISTINCT cluster FROM rspans
 ),
-stk AS (
-  SELECT doc_id, regexp_split_to_array(text, '[ 	
-]+') AS tk
-  FROM surv0
-),
-spos AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk) - {_CURF_SPAN_K - 1}))
-              AS BIGINT) AS span_start
-  FROM stk WHERE len(tk) >= {_CURF_SPAN_K}
-),
-sspans AS (
-  SELECT doc_id,
-         MD5(array_to_string(
-             tk[span_start:span_start + {_CURF_SPAN_K - 1}], ' '))
-           AS cluster
-  FROM spos
-),
+{_span_cte_sql("surv0", "s")},
 sprobe AS (
   SELECT s.doc_id, (r.cluster IS NOT NULL) AS hit
   FROM sspans s LEFT JOIN refspan r USING (cluster)
