@@ -2175,8 +2175,14 @@ def q_dedup_substring_rewrite(
         ),
         F.count(F.lit(1)).alias("n_ranges"),
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", _SPAN_WS).alias("tk")
+    # NULL-text docs are omitted, matching the oracle (whose
+    # position CTE yields no rows for a NULL token array and whose
+    # inner join then drops the doc); without this pin Spark would
+    # emit a row of NULLs where DuckDB emits none.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", _SPAN_WS).alias("tk"))
     )
     return (
         docs.join(F.broadcast(cuts_per_doc), "doc_id", "left")

@@ -3147,3 +3147,41 @@ def test_szip_zero_run_crossing_segment_refuses():
             stream, 16, nbits=8, pixels_per_block=2,
             pixels_per_scanline=16, nn=True,
         )
+
+
+def test_szip_low_entropy_reference_wide_samples():
+    """Fuzz round 7: the low-entropy reference-block layout at the
+    16- and 32-bit sample widths — the ID field widens (4 and 5
+    bits) and the raw reference occupies the full sample width, but
+    the selector-before-reference order is unchanged. Goldens pin a
+    zero-block reference and an SE reference at 16 bits and a
+    zero-block reference at 32 bits (ref above 2^31 exercises the
+    unsigned width)."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    stream = _bits("0000" + "0" + format(40000, "016b") + "1")
+    got = szip_decode(
+        stream, 8, nbits=16, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    assert got == [40000] * 8
+
+    g = lambda a, b: (a + b) * (a + b + 1) // 2 + b  # noqa: E731
+    stream = _bits(
+        "0000" + "1" + format(1000, "016b")
+        + _fs(g(0, 2)) + _fs(g(0, 4)) + _fs(g(1, 0)) + _fs(g(2, 3))
+    )
+    got = szip_decode(
+        stream, 8, nbits=16, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    assert got == _unmap_nn_independent(1000, [2, 0, 4, 1, 0, 2, 3], 16)
+
+    stream = _bits(
+        "00000" + "0" + format(3_000_000_000, "032b") + "1"
+    )
+    got = szip_decode(
+        stream, 8, nbits=32, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    assert got == [3_000_000_000] * 8
