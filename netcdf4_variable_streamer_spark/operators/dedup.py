@@ -2032,117 +2032,29 @@ def q_dedup_substring_fingerprint(
     return _substring_emit(sampled, stats)
 
 
-@register(
-    "q_dedup_substring_rewrite",
-    oracle=f"""
-WITH {_SPAN_CTE_SQL},
-stats AS (
-  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
-         COUNT(*) AS n_occ
-  FROM spans GROUP BY cluster
-),
-qual AS (
-  SELECT s.doc_id, s.span_start,
-         ROW_NUMBER() OVER (PARTITION BY s.cluster
-                            ORDER BY s.doc_id, s.span_start) AS rn
-  FROM spans s JOIN stats st USING (cluster)
-  WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
-),
-cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
-marked AS (
-  SELECT doc_id, span_start,
-         CASE WHEN span_start > COALESCE(MAX(span_start + {_SPAN_K})
-                OVER (PARTITION BY doc_id ORDER BY span_start
-                      ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS new_island
-  FROM cut
-),
-islands AS (
-  SELECT doc_id, span_start,
-         SUM(new_island) OVER (PARTITION BY doc_id
-              ORDER BY span_start
-              ROWS UNBOUNDED PRECEDING) AS island
-  FROM marked
-),
-ranges AS (
-  SELECT doc_id, MIN(span_start) AS range_start,
-         MAX(span_start) + {_SPAN_K} AS range_end
-  FROM islands GROUP BY doc_id, island
-),
-rng AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ranges
-  FROM ranges GROUP BY doc_id
-),
-pos2 AS (
-  SELECT doc_id, tk,
-         CAST(unnest(generate_series(1, len(tk))) AS BIGINT) AS p
-  FROM t
-),
-posk AS (
-  SELECT p.doc_id, p.p, p.tk[p.p] AS tok,
-         (r.doc_id IS NOT NULL) AS is_cut
-  FROM pos2 p LEFT JOIN ranges r
-    ON p.doc_id = r.doc_id
-   AND p.p >= r.range_start AND p.p < r.range_end
-),
-rw AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
-         CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_tokens_cut,
-         MD5(COALESCE(STRING_AGG(CASE WHEN NOT is_cut THEN tok END,
-             ' ' ORDER BY p), '')) AS rewritten_md5
-  FROM posk GROUP BY doc_id
-)
-SELECT rw.doc_id,
-       rw.n_tokens_before,
-       CAST(COALESCE(g.n_ranges, 0) AS BIGINT) AS n_ranges,
-       rw.n_tokens_cut,
-       rw.n_tokens_before - rw.n_tokens_cut AS n_tokens_after,
-       rw.rewritten_md5
-FROM rw LEFT JOIN rng g USING (doc_id)
-ORDER BY rw.doc_id
-""",
-    doc="SUBSTRING-DEDUP REWRITE (round 14, VERDICT r13 #2) — the "
-        "third step of the Lee et al. ExactSubstr recipe and the one "
-        "production pipelines actually ship: CUT the repeated token "
-        "ranges out of each document. Policy (pinned): keep-first-"
-        "occurrence — per qualifying cluster (>=2 docs, under the "
-        f"{_SPAN_MAX_OCC}-occurrence boilerplate cap) the occurrence "
-        "with the smallest (doc_id, span_start) survives; every other "
-        "occurrence's k-token coverage is cut. Cut spans merge into "
-        "maximal disjoint per-doc ranges (the q_dedup_substring_"
-        "maximal gaps-and-islands pattern over CUT occurrences only), "
-        "which a broadcast join hands to a single JVM-side map stage: "
-        "filter(tk, (x, i) -> no cut range covers i) + array_join — "
-        "the q_text_pii_scrub verified-rewrite pattern applied to "
-        "dedup, with the rewritten text's md5 AND before/after token "
-        "counts pinned so the oracle verifies the rewrite itself, not "
-        "just the bookkeeping. Scale: everything upstream shuffles "
-        "only (doc_id, position, 16-byte hash) — text enters the "
-        "FINAL map-side reassembly straight off the scan and never an "
-        "exchange (plan-enforced); the ranges side is proportional to "
-        "detected duplication, so the broadcast is duplication-sized, "
-        "not corpus-sized (at 100 TB, fall back to a doc_id-bucketed "
-        "sort-merge join — the map stage is unchanged). Whitespace is "
-        "normalized to single spaces by the rewrite (the tokenizer's "
-        "documented contract).",
-)
-def q_dedup_substring_rewrite(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    K = _SPAN_K
-    spans, stats = _substring_span_tables(spark, sf_dir)
+def _keep_first_cut(spans: DataFrame, stats: DataFrame) -> DataFrame:
+    """The pinned keep-first-occurrence policy: per qualifying
+    cluster, every occurrence except the (doc_id, span_start)-minimal
+    one is CUT. Returns (doc_id, span_start) of cut occurrences."""
     wfirst = Window.partitionBy("cluster").orderBy(
         "doc_id", "span_start"
     )
-    cut = (
+    return (
         spans.join(stats.select("cluster"), "cluster")
         .withColumn("rn", F.row_number().over(wfirst))
         .filter(F.col("rn") > 1)
         .select("doc_id", "span_start")
     )
+
+
+def _rewrite_emit(
+    spark: SparkSession, sf_dir: str, cut: DataFrame
+) -> DataFrame:
+    """Shared emit of the rewrite keys: merge the CUT occurrences into
+    maximal disjoint per-doc ranges (gaps-and-islands), broadcast them
+    into ONE map-side reassembly of the corpus, and emit the
+    verified-rewrite columns for every non-NULL-text document."""
+    K = _SPAN_K
     wdoc = Window.partitionBy("doc_id").orderBy("span_start")
     marked = cut.withColumn(
         "new_island",
@@ -2210,7 +2122,139 @@ def q_dedup_substring_rewrite(
     )
 
 
+
+# the shared tail of the rewrite oracles: islands-merge of the CUT
+# occurrences, per-position left join, and the verified-rewrite
+# projection (consumes CTEs `cut` and `t`)
+_REWRITE_TAIL_SQL = f"""marked AS (
+  SELECT doc_id, span_start,
+         CASE WHEN span_start > COALESCE(MAX(span_start + {_SPAN_K})
+                OVER (PARTITION BY doc_id ORDER BY span_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM cut
+),
+islands AS (
+  SELECT doc_id, span_start,
+         SUM(new_island) OVER (PARTITION BY doc_id
+              ORDER BY span_start
+              ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+ranges AS (
+  SELECT doc_id, MIN(span_start) AS range_start,
+         MAX(span_start) + {_SPAN_K} AS range_end
+  FROM islands GROUP BY doc_id, island
+),
+rng AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ranges
+  FROM ranges GROUP BY doc_id
+),
+pos2 AS (
+  SELECT doc_id, tk,
+         CAST(unnest(generate_series(1, len(tk))) AS BIGINT) AS p
+  FROM t
+),
+posk AS (
+  SELECT p.doc_id, p.p, p.tk[p.p] AS tok,
+         (r.doc_id IS NOT NULL) AS is_cut
+  FROM pos2 p LEFT JOIN ranges r
+    ON p.doc_id = r.doc_id
+   AND p.p >= r.range_start AND p.p < r.range_end
+),
+rw AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+         CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens_cut,
+         MD5(COALESCE(STRING_AGG(CASE WHEN NOT is_cut THEN tok END,
+             ' ' ORDER BY p), '')) AS rewritten_md5
+  FROM posk GROUP BY doc_id
+)
+SELECT rw.doc_id,
+       rw.n_tokens_before,
+       CAST(COALESCE(g.n_ranges, 0) AS BIGINT) AS n_ranges,
+       rw.n_tokens_cut,
+       rw.n_tokens_before - rw.n_tokens_cut AS n_tokens_after,
+       rw.rewritten_md5
+FROM rw LEFT JOIN rng g USING (doc_id)
+ORDER BY rw.doc_id
+"""
+
+
+@register(
+    "q_dedup_substring_rewrite",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM spans GROUP BY cluster
+),
+qual AS (
+  SELECT s.doc_id, s.span_start,
+         ROW_NUMBER() OVER (PARTITION BY s.cluster
+                            ORDER BY s.doc_id, s.span_start) AS rn
+  FROM spans s JOIN stats st USING (cluster)
+  WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+),
+cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
+{_REWRITE_TAIL_SQL}
+""",
+    doc="SUBSTRING-DEDUP REWRITE (round 14, VERDICT r13 #2) — the "
+        "third step of the Lee et al. ExactSubstr recipe and the one "
+        "production pipelines actually ship: CUT the repeated token "
+        "ranges out of each document. Policy (pinned): keep-first-"
+        "occurrence — per qualifying cluster (>=2 docs, under the "
+        f"{_SPAN_MAX_OCC}-occurrence boilerplate cap) the occurrence "
+        "with the smallest (doc_id, span_start) survives; every other "
+        "occurrence's k-token coverage is cut. Cut spans merge into "
+        "maximal disjoint per-doc ranges (the q_dedup_substring_"
+        "maximal gaps-and-islands pattern over CUT occurrences only), "
+        "which a broadcast join hands to a single JVM-side map stage: "
+        "filter(tk, (x, i) -> no cut range covers i) + array_join — "
+        "the q_text_pii_scrub verified-rewrite pattern applied to "
+        "dedup, with the rewritten text's md5 AND before/after token "
+        "counts pinned so the oracle verifies the rewrite itself, not "
+        "just the bookkeeping. Scale: everything upstream shuffles "
+        "only (doc_id, position, 16-byte hash) — text enters the "
+        "FINAL map-side reassembly straight off the scan and never an "
+        "exchange (plan-enforced); the ranges side is proportional to "
+        "detected duplication, so the broadcast is duplication-sized, "
+        "not corpus-sized (at 100 TB, fall back to a doc_id-bucketed "
+        "sort-merge join — the map stage is unchanged). Whitespace is "
+        "normalized to single spaces by the rewrite (the tokenizer's "
+        "documented contract).",
+)
+def q_dedup_substring_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spans, stats = _substring_span_tables(spark, sf_dir)
+    return _rewrite_emit(spark, sf_dir, _keep_first_cut(spans, stats))
+
+
 _WINNOW_W = 15  # winnowing window: every W consecutive positions anchor
+
+# DuckDB twin of _winnow_anchor_table (consumes the `spans` CTE):
+# per-doc window minima of cluster||':'||zero-padded position, distinct
+_WINNOW_CTE_SQL = f"""ss AS (
+  SELECT doc_id, span_start,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_spans,
+         MIN(cluster || ':' ||
+             lpad(CAST(span_start AS VARCHAR), 12, '0'))
+           OVER (PARTITION BY doc_id ORDER BY span_start
+                 ROWS BETWEEN CURRENT ROW
+                 AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM spans
+),
+anchors AS (
+  SELECT DISTINCT doc_id,
+         CAST(SUBSTR(wmin, 34, 12) AS BIGINT) AS span_start,
+         SUBSTR(wmin, 1, 32) AS cluster
+  FROM ss
+  WHERE span_start <= GREATEST(n_spans - {_WINNOW_W - 1}, 1)
+)"""
 
 
 def _winnow_anchor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2260,23 +2304,7 @@ def _winnow_anchor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_substring_winnow",
     oracle=f"""
 WITH {_SPAN_CTE_SQL},
-ss AS (
-  SELECT doc_id, span_start,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_spans,
-         MIN(cluster || ':' ||
-             lpad(CAST(span_start AS VARCHAR), 12, '0'))
-           OVER (PARTITION BY doc_id ORDER BY span_start
-                 ROWS BETWEEN CURRENT ROW
-                 AND {_WINNOW_W - 1} FOLLOWING) AS wmin
-  FROM spans
-),
-anchors AS (
-  SELECT DISTINCT doc_id,
-         CAST(SUBSTR(wmin, 34, 12) AS BIGINT) AS span_start,
-         SUBSTR(wmin, 1, 32) AS cluster
-  FROM ss
-  WHERE span_start <= GREATEST(n_spans - {_WINNOW_W - 1}, 1)
-),
+{_WINNOW_CTE_SQL},
 stats AS (
   SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
          COUNT(*) AS n_occ
@@ -2333,3 +2361,95 @@ def q_dedup_substring_winnow(
         )
     )
     return _substring_emit(anchors, stats)
+
+
+@register(
+    "q_dedup_substring_rewrite_anchored",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+{_WINNOW_CTE_SQL},
+astats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM anchors GROUP BY cluster
+),
+flagged AS (
+  SELECT DISTINCT a.doc_id
+  FROM anchors a JOIN astats st USING (cluster)
+  WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+),
+fspans AS (
+  SELECT s.* FROM spans s JOIN flagged USING (doc_id)
+),
+stats AS (
+  SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM fspans GROUP BY cluster
+),
+qual AS (
+  SELECT s.doc_id, s.span_start,
+         ROW_NUMBER() OVER (PARTITION BY s.cluster
+                            ORDER BY s.doc_id, s.span_start) AS rn
+  FROM fspans s JOIN stats st USING (cluster)
+  WHERE st.n_docs >= 2 AND st.n_occ <= {_SPAN_MAX_OCC}
+),
+cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
+{_REWRITE_TAIL_SQL}
+""",
+    doc="ANCHORED substring rewrite (round 14) — the 100 TB path of "
+        "q_dedup_substring_rewrite, composing this round's two new "
+        "pieces: DETECT with the winnowed anchor table (the only "
+        "corpus-scale pass — its shuffled table is ~1/8 of span "
+        "positions, and every repeated region of >= W+k-1 = "
+        f"{_WINNOW_W + _SPAN_K - 1} tokens is flagged "
+        "DETERMINISTICALLY, the winnow guarantee), then recompute "
+        "EXACT spans over the FLAGGED documents only — a set "
+        "proportional to detected duplication, reached through a "
+        "broadcast join on the scan — so the cut ranges on flagged "
+        "docs are bit-identical to what the full-table rewrite "
+        "produces there (exact re-detection also catches sub-"
+        "threshold repeats AMONG flagged docs). The deterministic "
+        "recall bound: only repeats shorter than the winnow "
+        "threshold confined entirely to unflagged documents are "
+        "left uncut. Output shape and policy identical to the exact "
+        "twin (keep-first-occurrence, all non-NULL-text docs, "
+        "rewritten-text md5 + token counts pinned); the corpus text "
+        "enters only the scan-side broadcast joins and the final "
+        "map-side reassembly — never an exchange [plan-enforced].",
+)
+def q_dedup_substring_rewrite_anchored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    anchors = _winnow_anchor_table(spark, sf_dir)
+    astats = (
+        anchors.groupBy("cluster")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+        )
+    )
+    flagged = (
+        anchors.join(astats.select("cluster"), "cluster")
+        .select("doc_id")
+        .distinct()
+    )
+    docs_f = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(flagged), "doc_id"
+    )
+    spans_f = _span_table(docs_f)
+    stats_f = (
+        spans_f.groupBy("cluster")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+        )
+    )
+    return _rewrite_emit(
+        spark, sf_dir, _keep_first_cut(spans_f, stats_f)
+    )

@@ -75,6 +75,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_substring_winnow",
     "q_pipeline_curation_full",
     "q_stream_pipeline_curation_full",
+    "q_dedup_substring_rewrite_anchored",
     # last driver check: r7
     "q_agg_having",
     "q_agg_distinct",

@@ -102,6 +102,7 @@ NEW_KEYS = [
     # round 14
     "q_dedup_substring_rewrite", "q_dedup_substring_winnow",
     "q_pipeline_curation_full", "q_stream_pipeline_curation_full",
+    "q_dedup_substring_rewrite_anchored",
 ]
 
 

@@ -508,3 +508,30 @@ def test_winnow_anchor_guarantee(spark):
             )
             n_checked += 1
     assert n_checked > 100  # the fixture genuinely exercises windows
+
+
+def test_anchored_rewrite_matches_exact_on_fixture(spark):
+    """The anchored (winnow-flagged) rewrite must reproduce the exact
+    full-table rewrite wherever every repeated region meets the
+    winnow threshold — which holds for the whole fixture (its planted
+    duplications are >= W+k-1 tokens), so the two outputs must be
+    IDENTICAL row for row: same cut docs, same ranges, same
+    rewritten-text md5s, at ~1/9 the detection shuffle."""
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    ex = (
+        REGISTRY["q_dedup_substring_rewrite"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    an = (
+        REGISTRY["q_dedup_substring_rewrite_anchored"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    assert len(ex) == len(an)
+    for col in ("doc_id", "n_tokens_before", "n_ranges",
+                "n_tokens_cut", "n_tokens_after", "rewritten_md5"):
+        assert list(ex[col]) == list(an[col]), col
+    assert (ex.n_tokens_cut > 0).any()  # the fixture exercises cuts

@@ -1009,3 +1009,26 @@ def test_curation_full_decontam_posture(spark):
                 assert "tk#" not in cols, block
                 span_exchanges += 1
     assert span_exchanges >= 2, plan  # ref distinct + probe/ratio agg
+
+
+def test_substring_rewrite_anchored_posture(spark):
+    """q_dedup_substring_rewrite_anchored (round 14): the winnow
+    detection pass and the flagged-only exact recompute both exclude
+    text/token arrays from every Exchange; the flagged set and the
+    cut ranges reach the corpus scan through broadcast hash joins."""
+    import re
+
+    df = build(spark, "q_dedup_substring_rewrite_anchored")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 2, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
