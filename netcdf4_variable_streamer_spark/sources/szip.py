@@ -502,7 +502,19 @@ def _decode_rsi(
         if parts
         else np.empty(0, dtype=np.int64)
     )
-    return _unmap_nn(ref, seq, nbits) if nn else seq
+    if nn:
+        return _unmap_nn(ref, seq, nbits)
+    # fuzz round 7: entropy-coded (non-NN) streams have no unmap range
+    # guard, and FS/split/SE codewords are unbounded — a corrupt
+    # stream could decode samples past 2^nbits, which the HDF5 layer's
+    # astype would then silently WRAP into wrong data. Refuse loudly
+    # instead (NN streams get the same protection from _unmap_nn).
+    if seq.size and int(seq.max()) >= 1 << nbits:
+        raise ValueError(
+            f"szip: decoded sample {int(seq.max())} left the "
+            f"{nbits}-bit sample range (corrupt entropy-coded stream)"
+        )
+    return seq
 
 
 def _validate(nbits: int, J: int, pps: int) -> None:

@@ -3185,3 +3185,36 @@ def test_szip_low_entropy_reference_wide_samples():
         pixels_per_scanline=8, nn=True,
     )
     assert got == [3_000_000_000] * 8
+
+
+def test_szip_ec_mode_out_of_range_refuses():
+    """Fuzz round 7 regression (found by this round's EC-mode probe):
+    entropy-coded (non-NN) streams have no NN-unmap range guard, and
+    FS / k-split / second-extension codewords are unbounded — a
+    corrupt stream used to decode samples past 2^nbits, which
+    szip_h5_decode's astype then silently WRAPPED into wrong data
+    (403 -> 147 at 8 bits). Both shapes now refuse loudly; in-range
+    EC streams still decode."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # FS block with a raw value 300 > 255 at nbits=8
+    stream = _bits("001" + _fs(300) + _fs(0) * 7)
+    with pytest.raises(ValueError, match="left the 8-bit"):
+        szip_decode(
+            stream, 8, nbits=8, pixels_per_block=8,
+            pixels_per_scanline=8, nn=False,
+        )
+    # k-split (k=2): hi=100 -> (100<<2)|3 = 403 > 255
+    stream = _bits("011" + (_fs(100) + _fs(0) * 7) + "11" + "00" * 7)
+    with pytest.raises(ValueError, match="left the 8-bit"):
+        szip_decode(
+            stream, 8, nbits=8, pixels_per_block=8,
+            pixels_per_scanline=8, nn=False,
+        )
+    # an in-range EC stream still decodes: FS values [250, 0 x7]
+    stream = _bits("001" + _fs(250) + _fs(0) * 7)
+    got = szip_decode(
+        stream, 8, nbits=8, pixels_per_block=8,
+        pixels_per_scanline=8, nn=False,
+    )
+    assert got == [250, 0, 0, 0, 0, 0, 0, 0]
