@@ -3218,3 +3218,46 @@ def test_szip_ec_mode_out_of_range_refuses():
         pixels_per_scanline=8, nn=False,
     )
     assert got == [250, 0, 0, 0, 0, 0, 0, 0]
+
+
+def test_compound_bigendian_members_roundtrip(tmp_path):
+    """Fuzz round 7: per-member byte order inside compounds — a
+    foreign writer (or nc_def_var_endian) may mark individual members
+    big-endian. Signed/unsigned/float members at >i4 / >u2 widths
+    round-trip exactly (incl. INT32_MIN and the u2 max), the reader
+    normalizes to little-endian, and a big-endian member composes
+    with heap-backed string + object-reference members in the same
+    compound."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    dt = np.dtype([("a", ">i4"), ("b", "<f8"), ("c", ">u2")])
+    arr = np.zeros(5, dt)
+    arr["a"] = [-3, 7, 2**30, -(2**31), 0]
+    arr["b"] = [0.5, -1.25, 3e9, 0.0, -0.0]
+    arr["c"] = [1, 65535, 256, 0, 513]
+    p = os.path.join(tmp_path, "be_comp.h5")
+    write_hdf5(p, {"obs": arr}, {"obs": {"chunk": (2,), "compress": 4}})
+    r = HDF5File(p).read("obs")
+    assert r.dtype == np.dtype(
+        [("a", "<i4"), ("b", "<f8"), ("c", "<u2")]
+    )
+    for name in ("a", "b", "c"):
+        np.testing.assert_array_equal(r[name], arr[name])
+
+    dt2 = np.dtype(
+        [("a", ">i4"), ("name", object), ("t", object)],
+        metadata={"ref_members": ("t",)},
+    )
+    a2 = np.zeros(3, dt2)
+    a2["a"] = [-3, 2**30, 5]
+    a2["name"] = ["x", None, "zz"]
+    a2["t"] = ["base", None, "base"]
+    p2 = os.path.join(tmp_path, "be_mix.h5")
+    write_hdf5(p2, {"base": np.arange(2, dtype=np.int8), "obs": a2}, {})
+    r2 = HDF5File(p2).read("obs")
+    assert list(r2["a"]) == [-3, 2**30, 5]
+    assert list(r2["name"]) == ["x", "", "zz"]
+    assert list(r2["t"]) == ["base", None, "base"]
