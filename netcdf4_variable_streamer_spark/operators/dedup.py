@@ -2048,12 +2048,17 @@ def _keep_first_cut(spans: DataFrame, stats: DataFrame) -> DataFrame:
 
 
 def _rewrite_emit(
-    spark: SparkSession, sf_dir: str, cut: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cut: DataFrame,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared emit of the rewrite keys: merge the CUT occurrences into
     maximal disjoint per-doc ranges (gaps-and-islands), broadcast them
     into ONE map-side reassembly of the corpus, and emit the
-    verified-rewrite columns for every non-NULL-text document."""
+    verified-rewrite columns for every non-NULL-text document (of
+    ``docs`` when given — e.g. the crawl side only — else the whole
+    documents table)."""
     K = _SPAN_K
     wdoc = Window.partitionBy("doc_id").orderBy("span_start")
     marked = cut.withColumn(
@@ -2091,10 +2096,10 @@ def _rewrite_emit(
     # position CTE yields no rows for a NULL token array and whose
     # inner join then drops the doc); without this pin Spark would
     # emit a row of NULLs where DuckDB emits none.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", F.split("text", _SPAN_WS).alias("tk"))
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", _SPAN_WS).alias("tk")
     )
     return (
         docs.join(F.broadcast(cuts_per_doc), "doc_id", "left")
@@ -2125,8 +2130,10 @@ def _rewrite_emit(
 
 # the shared tail of the rewrite oracles: islands-merge of the CUT
 # occurrences, per-position left join, and the verified-rewrite
-# projection (consumes CTEs `cut` and `t`)
-_REWRITE_TAIL_SQL = f"""marked AS (
+# projection (consumes the `cut` CTE plus the token-array CTE named
+# by ``docs_cte`` — `t` for whole-corpus rewrites)
+def _rewrite_tail_sql(docs_cte: str = "t") -> str:
+    return f"""marked AS (
   SELECT doc_id, span_start,
          CASE WHEN span_start > COALESCE(MAX(span_start + {_SPAN_K})
                 OVER (PARTITION BY doc_id ORDER BY span_start
@@ -2154,7 +2161,7 @@ rng AS (
 pos2 AS (
   SELECT doc_id, tk,
          CAST(unnest(generate_series(1, len(tk))) AS BIGINT) AS p
-  FROM t
+  FROM {docs_cte}
 ),
 posk AS (
   SELECT p.doc_id, p.p, p.tk[p.p] AS tok,
@@ -2181,6 +2188,9 @@ SELECT rw.doc_id,
 FROM rw LEFT JOIN rng g USING (doc_id)
 ORDER BY rw.doc_id
 """
+
+
+_REWRITE_TAIL_SQL = _rewrite_tail_sql()
 
 
 @register(
@@ -2453,3 +2463,60 @@ def q_dedup_substring_rewrite_anchored(
     return _rewrite_emit(
         spark, sf_dir, _keep_first_cut(spans_f, stats_f)
     )
+
+
+@register(
+    "q_dedup_substring_decontam_rewrite",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+sref AS (
+  SELECT DISTINCT cluster FROM spans WHERE doc_id < {_SXC_SPLIT}
+),
+cut AS (
+  SELECT s.doc_id, s.span_start
+  FROM spans s JOIN sref USING (cluster)
+  WHERE s.doc_id >= {_SXC_SPLIT}
+),
+ct AS (
+  SELECT * FROM t WHERE doc_id >= {_SXC_SPLIT}
+),
+{_rewrite_tail_sql("ct")}
+""",
+    doc="SURGICAL span-level decontamination (round 14) — the "
+        "rewrite-out alternative to quarantining: instead of dropping "
+        "a crawl document whose contamination ratio crosses a "
+        "threshold (q_dedup_substring_cross_corpus / the curation "
+        "composites), CUT every k-token span that matches the "
+        "reference/eval corpus out of every crawl document — the "
+        "policy production pipelines use when documents are valuable "
+        "but quoted benchmark text must not be trained on. Every "
+        "contaminated occurrence is cut (no keep-first here: eval "
+        "text must ALL go); overlapping hits merge into maximal "
+        "disjoint ranges via the shared gaps-and-islands machinery, "
+        "and the shared verified-rewrite emit pins the rewritten "
+        "text's md5 + token counts for every crawl document "
+        "(n_tokens_cut = 0 rows prove clean docs pass untouched). "
+        "Scale: the reference span set is the same MB-scale, "
+        "build-once table the probe key documents; the cut table is "
+        "contamination-proportional and broadcast; only (doc_id, "
+        "position, 16-byte hash) ever shuffles, and crawl text "
+        "enters ONLY the final map-side reassembly [plan-enforced].",
+)
+def q_dedup_substring_decontam_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spans = _span_table(load_table(spark, sf_dir, "documents"))
+    sref = (
+        spans.filter(F.col("doc_id") < _SXC_SPLIT)
+        .select("cluster")
+        .distinct()
+    )
+    cut = (
+        spans.filter(F.col("doc_id") >= _SXC_SPLIT)
+        .join(sref, "cluster")
+        .select("doc_id", "span_start")
+    )
+    crawl = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= _SXC_SPLIT
+    )
+    return _rewrite_emit(spark, sf_dir, cut, docs=crawl)

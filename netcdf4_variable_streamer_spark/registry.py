@@ -76,6 +76,7 @@ CANONICAL_ORDER: list[str] = [
     "q_pipeline_curation_full",
     "q_stream_pipeline_curation_full",
     "q_dedup_substring_rewrite_anchored",
+    "q_dedup_substring_decontam_rewrite",
     # last driver check: r7
     "q_agg_having",
     "q_agg_distinct",

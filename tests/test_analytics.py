@@ -103,6 +103,7 @@ NEW_KEYS = [
     "q_dedup_substring_rewrite", "q_dedup_substring_winnow",
     "q_pipeline_curation_full", "q_stream_pipeline_curation_full",
     "q_dedup_substring_rewrite_anchored",
+    "q_dedup_substring_decontam_rewrite",
 ]
 
 

@@ -1032,3 +1032,26 @@ def test_substring_rewrite_anchored_posture(spark):
             assert m, block
             assert "text#" not in m.group(1), block
             assert "tk#" not in m.group(1), block
+
+
+def test_substring_decontam_rewrite_posture(spark):
+    """q_dedup_substring_decontam_rewrite (round 14): reference-set
+    build and contaminated-span probe shuffle 16-byte hashes and ids
+    only — text/token arrays in no Exchange; the cut ranges reach the
+    crawl scan through a broadcast hash join."""
+    import re
+
+    df = build(spark, "q_dedup_substring_decontam_rewrite")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
