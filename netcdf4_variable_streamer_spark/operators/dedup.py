@@ -1664,6 +1664,20 @@ def _span_quarantine(spans, sref) -> DataFrame:
     )
 
 
+def _cluster_stats(spans: DataFrame) -> DataFrame:
+    """The family's qualifying-cluster rule, in ONE place: clusters
+    repeated across >=2 distinct docs, under the boilerplate
+    occurrence cap — counted over whatever span subset is passed
+    (full table, fingerprint sample, winnow anchors, flagged docs)."""
+    stats = spans.groupBy("cluster").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return stats.where(
+        (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
+    )
+
+
 def _substring_span_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1671,16 +1685,7 @@ def _substring_span_tables(
     keys: one 16-byte md5 per token position computed MAP-SIDE, stats
     filtered to cross-document repeats under the boilerplate cap."""
     spans = _span_table(load_table(spark, sf_dir, "documents"))
-    stats = (
-        spans.groupBy("cluster")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
-        .filter(
-            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
-        )
-    )
+    stats = _cluster_stats(spans)
     return spans, stats
 
 
@@ -2019,16 +2024,7 @@ def q_dedup_substring_fingerprint(
         % _SPAN_FP_MOD
         == 0
     )
-    stats = (
-        sampled.groupBy("cluster")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
-        .filter(
-            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
-        )
-    )
+    stats = _cluster_stats(sampled)
     return _substring_emit(sampled, stats)
 
 
@@ -2360,16 +2356,7 @@ def q_dedup_substring_winnow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     anchors = _winnow_anchor_table(spark, sf_dir)
-    stats = (
-        anchors.groupBy("cluster")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
-        .filter(
-            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
-        )
-    )
+    stats = _cluster_stats(anchors)
     return _substring_emit(anchors, stats)
 
 
@@ -2412,35 +2399,33 @@ cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
         "corpus-scale pass — its shuffled table is ~1/8 of span "
         "positions, and every repeated region of >= W+k-1 = "
         f"{_WINNOW_W + _SPAN_K - 1} tokens is flagged "
-        "DETERMINISTICALLY, the winnow guarantee), then recompute "
-        "EXACT spans over the FLAGGED documents only — a set "
-        "proportional to detected duplication, reached through a "
-        "broadcast join on the scan — so the cut ranges on flagged "
-        "docs are bit-identical to what the full-table rewrite "
-        "produces there (exact re-detection also catches sub-"
-        "threshold repeats AMONG flagged docs). The deterministic "
-        "recall bound: only repeats shorter than the winnow "
-        "threshold confined entirely to unflagged documents are "
-        "left uncut. Output shape and policy identical to the exact "
-        "twin (keep-first-occurrence, all non-NULL-text docs, "
-        "rewritten-text md5 + token counts pinned); the corpus text "
-        "enters only the scan-side broadcast joins and the final "
-        "map-side reassembly — never an exchange [plan-enforced].",
+        "DETERMINISTICALLY, the winnow guarantee — provided the "
+        "shared anchor cluster itself survives the boilerplate cap), "
+        "then recompute EXACT spans over the FLAGGED documents only "
+        "— a set proportional to detected duplication, reached "
+        "through a broadcast join on the scan. Exact re-detection "
+        "also catches sub-threshold repeats AMONG flagged docs. "
+        "Honest divergences from the full-table twin, both flagged-"
+        "LOCAL by construction: (1) keep-first ranks over flagged "
+        "spans only, so a cluster whose global first occurrence "
+        "lies in an unflagged doc keeps its flagged-first occurrence "
+        "instead — the anchored path cuts a SUBSET of the twin's "
+        "ranges there; (2) occurrence caps are evaluated on the "
+        "anchor table and the flagged subset, so boilerplate bounds "
+        "are approximate on this path. On the fixture none of these "
+        "cases arise and the two outputs coincide 500/500 (test-"
+        "asserted as a fixture property, not a general identity). "
+        "Output shape and policy identical to the exact twin "
+        "(keep-first-occurrence, all non-NULL-text docs, rewritten-"
+        "text md5 + token counts pinned); the corpus text enters "
+        "only the scan-side broadcast joins and the final map-side "
+        "reassembly — never an exchange [plan-enforced].",
 )
 def q_dedup_substring_rewrite_anchored(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     anchors = _winnow_anchor_table(spark, sf_dir)
-    astats = (
-        anchors.groupBy("cluster")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
-        .filter(
-            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
-        )
-    )
+    astats = _cluster_stats(anchors)
     flagged = (
         anchors.join(astats.select("cluster"), "cluster")
         .select("doc_id")
@@ -2450,19 +2435,18 @@ def q_dedup_substring_rewrite_anchored(
         F.broadcast(flagged), "doc_id"
     )
     spans_f = _span_table(docs_f)
-    stats_f = (
-        spans_f.groupBy("cluster")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
-        .filter(
-            (F.col("n_docs") >= 2) & (F.col("n_occ") <= _SPAN_MAX_OCC)
-        )
-    )
+    stats_f = _cluster_stats(spans_f)
     return _rewrite_emit(
         spark, sf_dir, _keep_first_cut(spans_f, stats_f)
     )
+
+
+# frequent-n-gram exclusion for the surgical decontam path: reference
+# spans matching more crawl positions than this are ubiquitous common
+# text (stop-phrases), not eval leakage — cutting them would shred
+# documents while growing the cut table without bound (the GPT-3
+# appendix applies the same exclusion to its overlap decontamination)
+_SDR_MAX_OCC = _SPAN_MAX_OCC
 
 
 @register(
@@ -2472,10 +2456,19 @@ WITH {_SPAN_CTE_SQL},
 sref AS (
   SELECT DISTINCT cluster FROM spans WHERE doc_id < {_SXC_SPLIT}
 ),
-cut AS (
-  SELECT s.doc_id, s.span_start
+hits AS (
+  SELECT s.doc_id, s.span_start, s.cluster
   FROM spans s JOIN sref USING (cluster)
   WHERE s.doc_id >= {_SXC_SPLIT}
+),
+common AS (
+  SELECT cluster FROM hits GROUP BY cluster
+  HAVING COUNT(*) > {_SDR_MAX_OCC}
+),
+cut AS (
+  SELECT h.doc_id, h.span_start
+  FROM hits h LEFT JOIN common c USING (cluster)
+  WHERE c.cluster IS NULL
 ),
 ct AS (
   SELECT * FROM t WHERE doc_id >= {_SXC_SPLIT}
@@ -2496,9 +2489,14 @@ ct AS (
         "and the shared verified-rewrite emit pins the rewritten "
         "text's md5 + token counts for every crawl document "
         "(n_tokens_cut = 0 rows prove clean docs pass untouched). "
-        "Scale: the reference span set is the same MB-scale, "
-        "build-once table the probe key documents; the cut table is "
-        "contamination-proportional and broadcast; only (doc_id, "
+        "Reference spans matching more than "
+        f"{_SDR_MAX_OCC} crawl positions are excluded as ubiquitous "
+        "common text (stop-phrases are not eval leakage — the GPT-3 "
+        "appendix applies the same frequent-n-gram exclusion), which "
+        "BOUNDS the cut table to |reference spans| x the cap, making "
+        "the broadcast defensible by construction rather than by "
+        "hope. Scale: the reference span set is the same MB-scale, "
+        "build-once table the probe key documents; only (doc_id, "
         "position, 16-byte hash) ever shuffles, and crawl text "
         "enters ONLY the final map-side reassembly [plan-enforced].",
 )
@@ -2511,10 +2509,17 @@ def q_dedup_substring_decontam_rewrite(
         .select("cluster")
         .distinct()
     )
-    cut = (
-        spans.filter(F.col("doc_id") >= _SXC_SPLIT)
-        .join(sref, "cluster")
-        .select("doc_id", "span_start")
+    hits = spans.filter(F.col("doc_id") >= _SXC_SPLIT).join(
+        sref, "cluster"
+    )
+    common = (
+        hits.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > _SDR_MAX_OCC)
+        .select("cluster")
+    )
+    cut = hits.join(common, "cluster", "left_anti").select(
+        "doc_id", "span_start"
     )
     crawl = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= _SXC_SPLIT

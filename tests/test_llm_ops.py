@@ -511,12 +511,14 @@ def test_winnow_anchor_guarantee(spark):
 
 
 def test_anchored_rewrite_matches_exact_on_fixture(spark):
-    """The anchored (winnow-flagged) rewrite must reproduce the exact
-    full-table rewrite wherever every repeated region meets the
-    winnow threshold — which holds for the whole fixture (its planted
-    duplications are >= W+k-1 tokens), so the two outputs must be
-    IDENTICAL row for row: same cut docs, same ranges, same
-    rewritten-text md5s, at ~1/9 the detection shuffle."""
+    """FIXTURE property (not a general identity — keeper and cap
+    decisions are flagged-local, see the key's docstring): every
+    planted repeat meets the winnow threshold, no cluster's first
+    occurrence hides in an unflagged doc, and no cap decision
+    diverges between the global and flagged counts — so here the
+    anchored rewrite must reproduce the exact full-table rewrite
+    row for row (same cut docs, ranges, rewritten-text md5s) at
+    ~1/9 the detection shuffle."""
     from netcdf4_variable_streamer_spark.registry import REGISTRY
     from tests.conftest import SF_DIR
 
@@ -535,3 +537,51 @@ def test_anchored_rewrite_matches_exact_on_fixture(spark):
                 "n_tokens_cut", "n_tokens_after", "rewritten_md5"):
         assert list(ex[col]) == list(an[col]), col
     assert (ex.n_tokens_cut > 0).any()  # the fixture exercises cuts
+
+
+def test_rewrite_null_text_omitted_both_engines(spark, tmp_path):
+    """Round-14 review finding: the NULL-text pin in _rewrite_emit had
+    no coverage because the shipped fixtures contain no NULL text.
+    Differential on a purpose-built corpus with a NULL-text doc: the
+    Spark builder and the registered DuckDB oracle must BOTH omit the
+    NULL doc and agree exactly on everything else (row set, counts,
+    rewritten-text md5s) — without the pin Spark emitted a row of
+    NULLs where DuckDB emitted none."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+    rep = " ".join(f"tok{i}" for i in range(12))  # >= k-token repeat
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                f"alpha beta {rep} gamma",
+                None,  # the NULL-text doc: must vanish on BOTH sides
+                f"delta {rep} epsilon zeta",
+                "unrelated words entirely here",
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    got = (
+        REGISTRY["q_dedup_substring_rewrite"]
+        .builder(spark, sf)
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(
+        REGISTRY["q_dedup_substring_rewrite"].oracle
+    ).df()
+    assert list(got["doc_id"]) == [1, 3, 4] == list(want["doc_id"])
+    for col in ("n_tokens_before", "n_ranges", "n_tokens_cut",
+                "n_tokens_after", "rewritten_md5"):
+        assert list(got[col]) == list(want[col]), col
+    # the repeat was genuinely detected and cut from the later doc
+    assert list(got["n_tokens_cut"]) == [0, 12, 0]
