@@ -1536,7 +1536,6 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full-recipe curation composite imports the span-decontamination
 # machinery (pinned tokenizer + split/threshold constants) from dedup
 from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
-    _SPAN_K,
     _SXC_QUARANTINE_PPM,
     _SXC_SPLIT,
     _span_cte_sql,

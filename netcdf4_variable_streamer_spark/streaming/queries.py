@@ -1482,6 +1482,32 @@ def make_curation_loop(
         perplexity_lm,
     )
 
+    # A run_dir persisted by the pre-marker protocol (hashes_v*/
+    # budget_v* written by the old hashes-keyed scan, no commit_v*)
+    # would look version-less to the marker-keyed recovery below and
+    # send a crawl batch down the reference path, retraining the LM
+    # from crawl text (ADVICE r14). Backfill a marker on first open
+    # for every version whose hashes_v/budget_v pair is COMPLETE
+    # (parquet _SUCCESS present on both — the old protocol wrote the
+    # pair before anything else could observe it); half-written pairs
+    # stay invisible, exactly as the marker protocol intends.
+    for _p in os.listdir(run_dir):
+        if not _p.startswith("hashes_v"):
+            continue
+        _v = _p[len("hashes_v"):]
+        if not _v.isdigit():
+            continue
+        _marker = os.path.join(run_dir, f"commit_v{_v}")
+        if os.path.exists(_marker) or not all(
+            os.path.exists(
+                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
+            )
+            for _t in ("hashes", "budget")
+        ):
+            continue
+        with open(_marker, "w"):
+            pass
+
     state: dict[str, str] = {}
     n_batches = [0]
 
@@ -1978,7 +2004,14 @@ LEFT JOIN dk USING (doc_id)
 LEFT JOIN ppl p USING (doc_id)"""
 
 for frag in (_CURF_OLD_SURV, _CURF_OLD_SEL, _CURF_OLD_JOIN):
-    assert frag in _CUR_ORACLE, frag[:60]
+    # str.replace silently no-ops on a missing fragment, so this guard
+    # must survive `python -O` (where asserts are stripped): a plain
+    # raise, not an assert (ADVICE r14).
+    if frag not in _CUR_ORACLE:
+        raise RuntimeError(
+            "_CUR_ORACLE drifted: surgery fragment not found: "
+            + frag[:80]
+        )
 _CURF_STREAM_ORACLE = (
     _CUR_ORACLE.replace(_CURF_OLD_SURV, _CURF_NEW_SURV)
     .replace(_CURF_OLD_SEL, _CURF_NEW_SEL)

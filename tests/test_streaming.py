@@ -756,6 +756,67 @@ def test_curation_recovery_ignores_uncommitted_version(spark, tmp_path):
     shutil.rmtree(feed, ignore_errors=True)
 
 
+def test_curation_backfills_premarker_run_dir(spark, tmp_path):
+    """ADVICE r14 regression: a run_dir persisted by the PRE-marker
+    protocol (complete hashes_v*/budget_v* pairs, no commit_v*) must
+    not look version-less to the marker-keyed recovery — that would
+    send the replayed crawl batch down the reference path and retrain
+    the LM (and spanref) from crawl text. make_curation_loop now
+    backfills a commit marker on first open for every version whose
+    hashes/budget pair is complete (_SUCCESS on both), so the old
+    run_dir restarts exactly like a marker-era one."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, b)).to_pandas()
+        )
+        for b in ("0_part.parquet", "1_part.parquet", "2_part.parquet")
+    ]
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    curate(batches[0], 0)
+    curate(batches[1], 1)
+    # simulate a pre-marker-era run_dir: state tables complete,
+    # no commit markers anywhere
+    for p in list(os.listdir(run_dir)):
+        if p.startswith("commit_v"):
+            os.remove(os.path.join(run_dir, p))
+    lm_mtime = os.path.getmtime(os.path.join(run_dir, "lm.json"))
+    # fresh closure (restart): must backfill v0/v1 markers, recover
+    # v1, and treat the replayed batch as a CRAWL batch
+    curate2, _n2 = sq.make_curation_loop(spark, run_dir)
+    assert os.path.exists(os.path.join(run_dir, "commit_v0"))
+    assert os.path.exists(os.path.join(run_dir, "commit_v1"))
+    curate2(batches[1], 1)
+    curate2(batches[2], 2)
+    assert os.path.getmtime(
+        os.path.join(run_dir, "lm.json")
+    ) == lm_mtime, "LM must not be retrained from crawl text"
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    shutil.rmtree(feed, ignore_errors=True)
+
+
 def test_curation_full_restart_from_checkpoint(spark, tmp_path):
     """RESTART proof for the FULL-RECIPE loop (round 14): same
     protocol as the base composite's restart test but with the
