@@ -53,76 +53,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 # small remainder to carry one extra round (r10 left 10 r05 keys for
 # r11). That is the policy working, not a rotation bug.
 #
-# Round-14 rotation (VERDICT r13 "Next round" #1): at rotation time
-# all 314 keys had a driver row, all green at latest check — no
+# Round-15 rotation (VERDICT r14 "Next round" #1): at rotation time
+# all 320 keys had a driver row, all green at latest check — no
 # failures, none never-checked. The order is green keys
-# stalest-proof-first: new round-14 keys are inserted at the very top
-# as they land (unchecked keys outrank stale-green ones), then the 14
-# keys whose latest evidence is r07, then the oldest r08 block fills
+# stalest-proof-first: new round-15 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 20
+# keys whose latest evidence is r08, then the oldest r09 block fills
 # the remaining window slots; the remainder follows in latest-check
-# order (r08, r09, r10, r11, r12, r13).
+# order (r09, r10, r11, r12, r13, r14).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-14 additions (never driver-checked) are inserted at
-    #    the very top as they land, so they enter the window first. --
-    "q_dedup_substring_rewrite",
-    "q_dedup_substring_winnow",
-    "q_pipeline_curation_full",
-    "q_stream_pipeline_curation_full",
-    "q_dedup_substring_rewrite_anchored",
-    "q_dedup_substring_decontam_rewrite",
-    # last driver check: r7
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_collect",
-    "q_dedup_exact",
-    "q_sim_knn_cosine",
-    "q_sim_threshold_pairs",
-    "q_sim_threshold_lsh",
-    "q_dedup_cc_lsh",
-    "q_dedup_semantic",
-    "q_text_langid",
-    # last driver check: r8
-    "src_netcdf3_arrow_tail",
-    "src_netcdf4_arrow_tail",
-    "snk_netcdf4_write_deflate",
-    "src_netcdf_vlen_scan",
-    "src_netcdf3_arrow_dir_tail",
-    "src_netcdf_arrow_tail",
-    "q_agg_sum_wide",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_contamination",
-    "q_text_unigram_logprob",
-    "q_text_repetition",
-    "q_text_pii_redact",
-    "q_multimodal_image_decode",
-    "q_sample_hash_split",
-    "q_sample_stratified",
-    "snk_parquet_partitioned",
-    "snk_partition_overwrite",
-    "snk_compact_small_files",
-    "snk_clustered_sort",
-    "src_netcdf3_scan",
-    "q_agg_histogram_equidepth_approx",
-    "q_graph_jaccard_neighbors",
-    "q_hierarchy_flatten",
-    "q_agg_histogram_equidepth",
-    "q_sim_ivf_ann",
-    "q_sim_pq_codes",
-    "q_ml_knn_classify",
-    "q_sample_per_group",
+    # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",
     "q_text_collocation_lift",
@@ -143,7 +90,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sample_topk_hash",
     "q_text_sentence_split",
     "q_text_inverted_index",
-    # last driver check: r9
+    # -- last driver check: r9 --
     "snk_netcdf4_write_vlen",
     "q_sim_pq_adc",
     "q_emb_pca_project",
@@ -194,7 +141,7 @@ CANONICAL_ORDER: list[str] = [
     "snk_netcdf4_write",
     "src_netcdf4_stream_tail",
     "src_netcdf3_cdf5_scan",
-    # last driver check: r10
+    # -- last driver check: r10 --
     "src_netcdf3_cf_scan",
     "q_dedup_containment",
     "q_dedup_image_phash",
@@ -245,7 +192,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_minhash_incremental",
     "src_netcdf4_userblock_scan",
     "src_netcdf4_fill_scan",
-    # last driver check: r11
+    # -- last driver check: r11 --
     "q_stream_dedup_incremental",
     "q_sim_binary_hamming_multiword",
     "src_netcdf4_regionref_v3_scan",
@@ -296,7 +243,7 @@ CANONICAL_ORDER: list[str] = [
     "q_except",
     "q_fn_string",
     "q_fn_date",
-    # last driver check: r12
+    # -- last driver check: r12 --
     "q_text_perplexity_crosstrain",
     "src_netcdf4_szip_scan",
     "src_netcdf4_compound_string_scan",
@@ -347,7 +294,7 @@ CANONICAL_ORDER: list[str] = [
     "q_join_range_bucketed",
     "q_sim_knn_blocked",
     "q_fn_variant",
-    # last driver check: r13
+    # -- last driver check: r13 --
     "q_dedup_substring_spans",
     "q_text_pii_scrub",
     "q_stream_pipeline_curation",
@@ -398,6 +345,57 @@ CANONICAL_ORDER: list[str] = [
     "q_join_theta_range",
     "q_join_asof",
     "q_agg_groupby_sum",
+    # -- last driver check: r14 --
+    "q_dedup_substring_rewrite",
+    "q_dedup_substring_winnow",
+    "q_pipeline_curation_full",
+    "q_stream_pipeline_curation_full",
+    "q_dedup_substring_rewrite_anchored",
+    "q_dedup_substring_decontam_rewrite",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_collect",
+    "q_dedup_exact",
+    "q_sim_knn_cosine",
+    "q_sim_threshold_pairs",
+    "q_sim_threshold_lsh",
+    "q_dedup_cc_lsh",
+    "q_dedup_semantic",
+    "q_text_langid",
+    "src_netcdf3_arrow_tail",
+    "src_netcdf4_arrow_tail",
+    "snk_netcdf4_write_deflate",
+    "src_netcdf_vlen_scan",
+    "src_netcdf3_arrow_dir_tail",
+    "src_netcdf_arrow_tail",
+    "q_agg_sum_wide",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_contamination",
+    "q_text_unigram_logprob",
+    "q_text_repetition",
+    "q_text_pii_redact",
+    "q_multimodal_image_decode",
+    "q_sample_hash_split",
+    "q_sample_stratified",
+    "snk_parquet_partitioned",
+    "snk_partition_overwrite",
+    "snk_compact_small_files",
+    "snk_clustered_sort",
+    "src_netcdf3_scan",
+    "q_agg_histogram_equidepth_approx",
+    "q_graph_jaccard_neighbors",
+    "q_hierarchy_flatten",
+    "q_agg_histogram_equidepth",
+    "q_sim_ivf_ann",
+    "q_sim_pq_codes",
+    "q_ml_knn_classify",
+    "q_sample_per_group",
 ]
 
 
