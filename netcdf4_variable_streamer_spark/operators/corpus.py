@@ -1536,8 +1536,14 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full-recipe curation composite imports the span-decontamination
 # machinery (pinned tokenizer + split/threshold constants) from dedup
 from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
+    _SDR_CUT_CTE_SQL,
+    _SPAN_CTE_SQL,
     _SXC_QUARANTINE_PPM,
     _SXC_SPLIT,
+    _md5_int,
+    _rewrite_kept,
+    _rewrite_ranges_cte_sql,
+    _sdr_cut,
     _span_cte_sql,
     _span_quarantine,
     _span_table,
@@ -1792,4 +1798,135 @@ def q_pipeline_curation_full(
             ),
         )
         .orderBy("lang")
+    )
+
+
+# per-language token budget for the decontam-aware sampler fixture —
+# sized so the cut lands INSIDE every language's crawl-side token mass
+# at sf0.01 (449-2108 post-rewrite tokens/lang) so both verdicts occur
+_BDC_BUDGET = 500
+
+
+@register(
+    "q_sample_budget_decontam",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+{_SDR_CUT_CTE_SQL},
+{_rewrite_ranges_cte_sql("ct")},
+acct AS (
+  SELECT doc_id,
+         CAST(COUNT(*) - SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tokens_after
+  FROM posk GROUP BY doc_id
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 4096
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM posk WHERE NOT is_cut AND tok <> '' GROUP BY doc_id, bucket
+),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt * (CAST(('0x' || SUBSTR(MD5('w:' || bucket), 1, 7))
+                              AS BIGINT) % 2001 - 1000)) AS BIGINT)
+           AS score_q
+  FROM feats GROUP BY doc_id
+),
+scored AS (
+  SELECT a.doc_id, d.lang, a.n_tokens_after,
+         COALESCE(s.score_q, 0) AS score_q
+  FROM acct a
+  JOIN documents d USING (doc_id)
+  LEFT JOIN sc s USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens_after, score_q,
+         CAST(SUM(n_tokens_after) OVER (PARTITION BY lang
+                ORDER BY score_q DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens_after, score_q, cum_tokens,
+       (cum_tokens <= {_BDC_BUDGET}) AS kept
+FROM cum
+ORDER BY doc_id
+""",
+    doc="DECONTAM-AWARE TOKEN-BUDGET sampling (round 15, VERDICT r14 "
+        "#3) — q_sample_token_budget composed with the surgical "
+        "decontamination rewrite's cut accounting: the per-language "
+        "budget fills greedily best-first over POST-REWRITE token "
+        "counts (q_dedup_substring_decontam_rewrite's n_tokens_after, "
+        "bit-identical accounting via the shared _rewrite_kept/"
+        "_rewrite_ranges_cte_sql core), and the hashed-classifier "
+        "priority score is computed over the KEPT tokens only — you "
+        "rank and budget the text you will actually train on, not the "
+        "contaminated raw bytes. A fully-cut document scores 0 and "
+        "consumes 0 budget. All-integer ordering (raw int64 score, "
+        "doc_id tie-break) keeps the cut bit-identical cross-engine. "
+        "100 TB: the cut table is bounded by the _SDR_MAX_OCC "
+        "frequent-n-gram exclusion and broadcasts into ONE map-side "
+        "reassembly (shared with the rewrite keys); scoring shuffles "
+        "only (doc_id, bucket, cnt) partial aggregates — document "
+        "text enters the scan and the map stage, never an Exchange "
+        "[plan-enforced]; the budget window is the same lang-"
+        "partitioned running SUM as q_sample_token_budget (per-"
+        "language sort parallelism = lang cardinality; pre-bucket by "
+        "score range for a skewed single-language corpus).",
+)
+def q_sample_budget_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crawl = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= _SXC_SPLIT
+    )
+    k = _rewrite_kept(
+        spark, sf_dir, _sdr_cut(spark, sf_dir),
+        docs=crawl, extra_cols=("lang",),
+    )
+    # ONE exploded pass computes both the post-rewrite token count
+    # and the quality score, so the span/cut subtree plans once and
+    # the corpus is scanned once. explode_outer keeps fully-cut docs
+    # (kept = []) as a single NULL-token row; empty-string split
+    # artifacts share the NULL bucket (excluded from scoring, like
+    # the oracle's tok <> '') but count(tok) counts them toward
+    # n_tokens_after while skipping the outer NULL row — exactly
+    # size(kept), the rewrite keys' accounting.
+    ex = k.select(
+        "doc_id", "lang", F.explode_outer("kept").alias("tok")
+    )
+    feats = ex.groupBy(
+        "doc_id", "lang",
+        F.when(
+            F.col("tok").isNotNull() & (F.col("tok") != ""),
+            _md5_int(F.col("tok"), 7) % 4096,
+        ).alias("bucket"),
+    ).agg(F.count("tok").alias("cnt"))
+    wgt = (
+        _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+        - 1000
+    )
+    scored = feats.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").cast("long").alias("n_tokens_after"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("bucket").isNotNull(),
+                    F.col("cnt") * wgt,
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("score_q"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens_after").over(w))
+        .select(
+            "doc_id", "lang", "n_tokens_after", "score_q",
+            "cum_tokens",
+            (F.col("cum_tokens") <= _BDC_BUDGET).alias("kept"),
+        )
+        .orderBy("doc_id")
     )

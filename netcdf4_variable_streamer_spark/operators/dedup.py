@@ -2043,18 +2043,22 @@ def _keep_first_cut(spans: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
-def _rewrite_emit(
+def _rewrite_kept(
     spark: SparkSession,
     sf_dir: str,
     cut: DataFrame,
     docs: DataFrame | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Shared emit of the rewrite keys: merge the CUT occurrences into
+    """Shared core of the rewrite keys: merge the CUT occurrences into
     maximal disjoint per-doc ranges (gaps-and-islands), broadcast them
-    into ONE map-side reassembly of the corpus, and emit the
-    verified-rewrite columns for every non-NULL-text document (of
-    ``docs`` when given — e.g. the crawl side only — else the whole
-    documents table)."""
+    into ONE map-side reassembly of the corpus, and return one row per
+    non-NULL-text document (of ``docs`` when given — e.g. the crawl
+    side only — else the whole documents table) with the original
+    token array ``tk``, the post-cut array ``kept``, and ``n_ranges``
+    (NULL for untouched docs). ``extra_cols`` carries additional
+    document columns (e.g. ``lang``) through the map stage so
+    consumers never need a second documents join."""
     K = _SPAN_K
     wdoc = Window.partitionBy("doc_id").orderBy("span_start")
     marked = cut.withColumn(
@@ -2095,18 +2099,31 @@ def _rewrite_emit(
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     docs = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.split("text", _SPAN_WS).alias("tk")
+        "doc_id", *extra_cols, F.split("text", _SPAN_WS).alias("tk")
     )
+    return docs.join(
+        F.broadcast(cuts_per_doc), "doc_id", "left"
+    ).withColumn(
+        "kept",
+        F.expr(
+            "CASE WHEN cuts IS NULL THEN tk ELSE filter(tk, "
+            "(x, i) -> NOT exists(cuts, c -> i + 1 >= "
+            "c.range_start AND i + 1 < c.range_end)) END"
+        ),
+    )
+
+
+def _rewrite_emit(
+    spark: SparkSession,
+    sf_dir: str,
+    cut: DataFrame,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """The verified-rewrite projection over :func:`_rewrite_kept`:
+    before/after token counts, merged-range count, and the rewritten
+    text's md5, one row per non-NULL-text document."""
     return (
-        docs.join(F.broadcast(cuts_per_doc), "doc_id", "left")
-        .withColumn(
-            "kept",
-            F.expr(
-                "CASE WHEN cuts IS NULL THEN tk ELSE filter(tk, "
-                "(x, i) -> NOT exists(cuts, c -> i + 1 >= "
-                "c.range_start AND i + 1 < c.range_end)) END"
-            ),
-        )
+        _rewrite_kept(spark, sf_dir, cut, docs)
         .select(
             "doc_id",
             F.size("tk").cast("long").alias("n_tokens_before"),
@@ -2128,7 +2145,13 @@ def _rewrite_emit(
 # occurrences, per-position left join, and the verified-rewrite
 # projection (consumes the `cut` CTE plus the token-array CTE named
 # by ``docs_cte`` — `t` for whole-corpus rewrites)
-def _rewrite_tail_sql(docs_cte: str = "t") -> str:
+def _rewrite_ranges_cte_sql(docs_cte: str = "t") -> str:
+    """The range-merge + per-position half of the rewrite oracle tail:
+    CTEs ``marked``/``islands``/``ranges``/``rng``/``pos2``/``posk``
+    (consumes ``cut`` plus the token-array CTE named by ``docs_cte``;
+    ends at ``posk`` with columns doc_id, p, tok, is_cut). Shared by
+    the full rewrite tail below and the decontam-aware budget sampler
+    (operators/corpus.py), which scores/budgets over posk directly."""
     return f"""marked AS (
   SELECT doc_id, span_start,
          CASE WHEN span_start > COALESCE(MAX(span_start + {_SPAN_K})
@@ -2165,7 +2188,11 @@ posk AS (
   FROM pos2 p LEFT JOIN ranges r
     ON p.doc_id = r.doc_id
    AND p.p >= r.range_start AND p.p < r.range_end
-),
+)"""
+
+
+def _rewrite_tail_sql(docs_cte: str = "t") -> str:
+    return _rewrite_ranges_cte_sql(docs_cte) + f""",
 rw AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
@@ -2449,11 +2476,37 @@ def q_dedup_substring_rewrite_anchored(
 _SDR_MAX_OCC = _SPAN_MAX_OCC
 
 
-@register(
-    "q_dedup_substring_decontam_rewrite",
-    oracle=f"""
-WITH {_SPAN_CTE_SQL},
-sref AS (
+def _sdr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgical-decontam CUT table (doc_id, span_start over the
+    crawl side): every crawl span matching a reference-corpus span
+    cluster, minus clusters exceeding the ``_SDR_MAX_OCC``
+    frequent-n-gram exclusion. Shared by
+    ``q_dedup_substring_decontam_rewrite`` and the decontam-aware
+    budget sampler (operators/corpus.py)."""
+    spans = _span_table(load_table(spark, sf_dir, "documents"))
+    sref = (
+        spans.filter(F.col("doc_id") < _SXC_SPLIT)
+        .select("cluster")
+        .distinct()
+    )
+    hits = spans.filter(F.col("doc_id") >= _SXC_SPLIT).join(
+        sref, "cluster"
+    )
+    common = (
+        hits.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > _SDR_MAX_OCC)
+        .select("cluster")
+    )
+    return hits.join(common, "cluster", "left_anti").select(
+        "doc_id", "span_start"
+    )
+
+
+# the decontam cut CTEs shared (verbatim) by the two oracles that
+# consume _sdr_cut: reference span set, crawl hits, frequent-n-gram
+# exclusion, and the final cut table
+_SDR_CUT_CTE_SQL = f"""sref AS (
   SELECT DISTINCT cluster FROM spans WHERE doc_id < {_SXC_SPLIT}
 ),
 hits AS (
@@ -2472,7 +2525,14 @@ cut AS (
 ),
 ct AS (
   SELECT * FROM t WHERE doc_id >= {_SXC_SPLIT}
-),
+)"""
+
+
+@register(
+    "q_dedup_substring_decontam_rewrite",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+{_SDR_CUT_CTE_SQL},
 {_rewrite_tail_sql("ct")}
 """,
     doc="SURGICAL span-level decontamination (round 14) — the "
@@ -2503,25 +2563,9 @@ ct AS (
 def q_dedup_substring_decontam_rewrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    spans = _span_table(load_table(spark, sf_dir, "documents"))
-    sref = (
-        spans.filter(F.col("doc_id") < _SXC_SPLIT)
-        .select("cluster")
-        .distinct()
-    )
-    hits = spans.filter(F.col("doc_id") >= _SXC_SPLIT).join(
-        sref, "cluster"
-    )
-    common = (
-        hits.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > _SDR_MAX_OCC)
-        .select("cluster")
-    )
-    cut = hits.join(common, "cluster", "left_anti").select(
-        "doc_id", "span_start"
-    )
     crawl = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= _SXC_SPLIT
     )
-    return _rewrite_emit(spark, sf_dir, cut, docs=crawl)
+    return _rewrite_emit(
+        spark, sf_dir, _sdr_cut(spark, sf_dir), docs=crawl
+    )

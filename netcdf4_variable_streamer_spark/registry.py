@@ -69,6 +69,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 WINDOW_ROUND = 15
 
 CANONICAL_ORDER: list[str] = [
+    # -- round-15 additions (never driver-checked) enter the window
+    #    first --
+    "q_sample_budget_decontam",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

@@ -104,6 +104,8 @@ NEW_KEYS = [
     "q_pipeline_curation_full", "q_stream_pipeline_curation_full",
     "q_dedup_substring_rewrite_anchored",
     "q_dedup_substring_decontam_rewrite",
+    # round 15
+    "q_sample_budget_decontam",
 ]
 
 

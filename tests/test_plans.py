@@ -1055,3 +1055,38 @@ def test_substring_decontam_rewrite_posture(spark):
             assert m, block
             assert "text#" not in m.group(1), block
             assert "tk#" not in m.group(1), block
+
+
+def test_budget_decontam_posture(spark):
+    """q_sample_budget_decontam (round 15): text/token arrays and the
+    exploded tokens appear in NO Exchange — the cut ranges reach the
+    crawl scan via broadcast, token scoring shuffles only (doc_id,
+    lang, bucket, cnt) partial aggregates, and the cut-table subtree
+    plans ONCE (one gaps-and-islands window pass feeds both the token
+    accounting and the score through a single exploded pass)."""
+    import re
+
+    df = build(spark, "q_sample_budget_decontam")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            for col in ("text#", "tk#", "tok#", "cuts#"):
+                if col == "cuts#":
+                    continue  # the ranges broadcast itself is fine
+                assert col not in m.group(1), block
+    # single planning of the islands window = exactly one Exchange
+    # keyed on (doc_id, span_start) for the range merge
+    islands = [
+        b for b in re.split(r"\n\n", plan)
+        if re.match(r"\(\d+\) Exchange\b", b.strip())
+        and "span_start#" in b
+    ]
+    assert len(islands) == 1, plan
