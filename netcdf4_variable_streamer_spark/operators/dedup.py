@@ -2439,9 +2439,18 @@ cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
         "instead — the anchored path cuts a SUBSET of the twin's "
         "ranges there; (2) occurrence caps are evaluated on the "
         "anchor table and the flagged subset, so boilerplate bounds "
-        "are approximate on this path. On the fixture none of these "
-        "cases arise and the two outputs coincide 500/500 (test-"
-        "asserted as a fixture property, not a general identity). "
+        "are approximate on this path. BOTH divergences are now "
+        "EXERCISED on purpose-built corpora (round 15): (1) pins the "
+        "per-doc subset relationship — anchored cut ranges are a "
+        "subset of the twin's when a cluster's global first "
+        "occurrence hides in an unflagged doc "
+        "[test_anchored_rewrite_keeper_divergence]; (2) pins the "
+        "opposite direction — a cluster past the corpus-wide cap but "
+        "under it on the flagged subset is cut by THIS path only "
+        "[test_anchored_rewrite_cap_divergence]. On the shipped "
+        "fixture neither case arises and the two outputs coincide "
+        "500/500 (test-asserted as a fixture property, not a general "
+        "identity). "
         "Output shape and policy identical to the exact twin "
         "(keep-first-occurrence, all non-NULL-text docs, rewritten-"
         "text md5 + token counts pinned); the corpus text enters "

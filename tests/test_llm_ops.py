@@ -585,3 +585,178 @@ def test_rewrite_null_text_omitted_both_engines(spark, tmp_path):
         assert list(got[col]) == list(want[col]), col
     # the repeat was genuinely detected and cut from the later doc
     assert list(got["n_tokens_cut"]) == [0, 12, 0]
+
+
+# ---- anchored-rewrite flagged-local divergences (VERDICT r14 #1) ----
+#
+# The anchored rewrite's docstring documents two divergences from the
+# full-table twin, both flagged-LOCAL by construction; until round 15
+# they were only narrated ("doesn't arise on the fixture"). The two
+# purpose-built corpora below make each one ARISE and pin the
+# documented relationship. Constructed offline against the pinned
+# span/winnow parameters (K=8, W=15, cap=64) with the preconditions
+# re-asserted here on the REAL Spark anchor table, so any drift in the
+# machinery is loud rather than silently voiding the scenario.
+
+_DIV_X = [f"x{i}" for i in range(8)]          # the k-token cluster X
+_DIV_Y = [f"y{i}" for i in range(8)]          # the boilerplate-ish Y
+_DIV_D = [f"d{i}" for i in range(22)]         # >= W+K-1 tokens: the
+#                                               winnow-guaranteed flag
+
+
+def _div_doc(prefix, mid):
+    """90-token document: 20 unique filler + D(22) + 20 filler + the
+    8-token mid cluster + 20 filler (filler unique per prefix)."""
+    f1 = [f"{prefix}a0_{i}" for i in range(20)]
+    f2 = [f"{prefix}b0_{i}" for i in range(20)]
+    f3 = [f"{prefix}c0_{i}" for i in range(20)]
+    return f1 + _DIV_D + f2 + mid + f3
+
+
+def _div_write(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "text": [" ".join(tk) for _, tk in rows],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    return sf
+
+
+def _div_run(spark, sf):
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+    full = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_dedup_substring_rewrite"]
+        .builder(spark, sf)
+        .collect()
+    }
+    anch = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_dedup_substring_rewrite_anchored"]
+        .builder(spark, sf)
+        .collect()
+    }
+    return full, anch
+
+
+def _div_flagged(spark, sf):
+    """The anchored path's REAL flagged-doc set, recomputed exactly as
+    the builder computes it (winnow anchors -> qualifying stats)."""
+    from netcdf4_variable_streamer_spark.operators import dedup as dd
+
+    anchors = dd._winnow_anchor_table(spark, sf)
+    stats = dd._cluster_stats(anchors)
+    return anchors, {
+        r["doc_id"]: None
+        for r in anchors.join(stats.select("cluster"), "cluster")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }.keys()
+
+
+def _div_md5(tokens):
+    import hashlib
+
+    return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+
+def _div_expect(row, tokens, cut_1idx_ranges):
+    """Assert one output row against explicitly-stated cut ranges
+    ([start, end) over 1-indexed token positions)."""
+    kept = [
+        t
+        for i, t in enumerate(tokens, start=1)
+        if not any(s <= i < e for s, e in cut_1idx_ranges)
+    ]
+    assert row["n_tokens_before"] == len(tokens)
+    assert row["n_ranges"] == len(cut_1idx_ranges)
+    assert row["n_tokens_cut"] == len(tokens) - len(kept)
+    assert row["n_tokens_after"] == len(kept)
+    assert row["rewritten_md5"] == _div_md5(kept)
+
+
+def test_anchored_rewrite_keeper_divergence(spark, tmp_path):
+    """Divergence (1): keep-first ranks over flagged spans only. X's
+    global first occurrence lies in doc 1 — an 8-token doc whose only
+    span IS X, which winnowing never flags because X is not anchored
+    in docs 2/3 (precondition asserted) and doc 1's lone anchor
+    cluster has n_docs=1 on the anchor table. The full twin keeps
+    doc 1's occurrence and cuts docs 2 AND 3; the anchored path keeps
+    the flagged-first (doc 2) and cuts ONLY doc 3 — so per doc the
+    anchored cut ranges are a SUBSET of the twin's, exactly the
+    relationship the key's docstring documents for this case."""
+    rows = [
+        (1, _DIV_X),
+        (2, _div_doc("b", _DIV_X)),
+        (3, _div_doc("c", _DIV_X)),
+    ]
+    sf = _div_write(tmp_path, rows)
+
+    # preconditions, on the REAL anchor table
+    anchors, flagged = _div_flagged(spark, sf)
+    assert set(flagged) == {2, 3}  # doc 1 (global first) unflagged
+    xcl = _div_md5(_DIV_X)
+    assert not [
+        r
+        for r in anchors.collect()
+        if r["cluster"] == xcl and r["doc_id"] in (2, 3)
+    ], "X unexpectedly anchored in a long doc; corpus invalid"
+
+    full, anch = _div_run(spark, sf)
+    assert set(full) == set(anch) == {1, 2, 3}
+    b, c = rows[1][1], rows[2][1]
+    # doc 1: both paths keep the global-first occurrence untouched
+    _div_expect(full[1], _DIV_X, [])
+    _div_expect(anch[1], _DIV_X, [])
+    # doc 2: THE DIVERGENCE — full cuts X (range [63, 71)); anchored
+    # keeps it (flagged-first). D survives in both (keep-first doc 2).
+    _div_expect(full[2], b, [(63, 71)])
+    _div_expect(anch[2], b, [])
+    # doc 3: identical on both paths — D [21, 43) + X [63, 71) cut
+    for r in (full[3], anch[3]):
+        _div_expect(r, c, [(21, 43), (63, 71)])
+    # the documented subset relationship, per doc
+    for d in (1, 2, 3):
+        assert anch[d]["n_tokens_cut"] <= full[d]["n_tokens_cut"]
+
+
+def test_anchored_rewrite_cap_divergence(spark, tmp_path):
+    """Divergence (2): occurrence caps are evaluated on the anchor
+    table and the flagged subset. Y occurs 72 times corpus-wide (past
+    the 64-occurrence boilerplate cap, so the FULL twin never cuts
+    it) but only twice among the flagged docs — the anchored path's
+    flagged-subset stats qualify it and cut doc 3's occurrence, a
+    range the full twin does NOT cut. The 70 Y-only docs also pin the
+    anchor-table cap: each contributes one Y anchor, pushing Y past
+    the cap AT THE ANCHOR LEVEL, so none of them is ever flagged
+    (asserted) and both paths leave them untouched."""
+    rows = [(2, _div_doc("b", _DIV_Y)), (3, _div_doc("c", _DIV_Y))]
+    rows += [(10 + i, _DIV_Y) for i in range(70)]
+    sf = _div_write(tmp_path, rows)
+
+    anchors, flagged = _div_flagged(spark, sf)
+    assert set(flagged) == {2, 3}  # Y's anchor cap keeps Y-docs out
+
+    full, anch = _div_run(spark, sf)
+    assert set(full) == set(anch) == {2, 3} | {10 + i for i in range(70)}
+    b, c = rows[0][1], rows[1][1]
+    # doc 2: untouched on both paths (D keep-first, Y kept/capped)
+    _div_expect(full[2], b, [])
+    _div_expect(anch[2], b, [])
+    # doc 3: full cuts D only; anchored ALSO cuts Y — the divergent
+    # extra range the cap's flagged-subset evaluation admits
+    _div_expect(full[3], c, [(21, 43)])
+    _div_expect(anch[3], c, [(21, 43), (63, 71)])
+    assert anch[3]["n_tokens_cut"] > full[3]["n_tokens_cut"]
+    # the 70 Y-only docs are untouched on BOTH paths
+    for d in range(10, 80):
+        _div_expect(full[d], _DIV_Y, [])
+        _div_expect(anch[d], _DIV_Y, [])
