@@ -72,6 +72,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-15 additions (never driver-checked) enter the window
     #    first --
     "q_sample_budget_decontam",
+    "q_stream_pipeline_curation_rewrite",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

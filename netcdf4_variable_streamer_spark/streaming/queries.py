@@ -1452,7 +1452,10 @@ def _docs_multi_batch_stream_dir(
 
 
 def make_curation_loop(
-    spark: SparkSession, run_dir: str, *, decontam: bool = False
+    spark: SparkSession,
+    run_dir: str,
+    *,
+    decontam: bool | str = False,
 ):
     """The composed foreachBatch closure + its batch counter. Restart-
     safe exactly like :func:`make_crawl_loop` / :func:`make_quality_
@@ -1469,14 +1472,29 @@ def make_curation_loop(
     set (once, like the LM — eval sets are static), and every crawl
     batch probes its dedup survivors' spans against it, quarantining
     docs at or above the contamination-ppm threshold before the gate
-    sees them; decisions gain a ``decon_keep`` column."""
+    sees them; decisions gain a ``decon_keep`` column.
+
+    ``decontam="rewrite"`` (round 15, VERDICT r14 #5) is the surgical
+    posture instead: rather than dropping a contaminated document,
+    every survivor span matching the persisted reference set is CUT
+    (no keep-first — eval text must all go), under the same per-batch
+    frequent-n-gram exclusion the batch key
+    ``q_dedup_substring_decontam_rewrite`` applies, and the gate /
+    classifier / budget stages all score the REWRITTEN text; decisions
+    gain ``n_tokens_cut`` + ``rewritten_md5`` columns (0 / NULL for
+    docs dedup dropped before the stage saw them).
+    ``decontam=True`` is an alias for ``"quarantine"``."""
     import json
 
     from netcdf4_variable_streamer_spark.operators.dedup import (
+        _SDR_MAX_OCC,
         _md5_int,
+        _rewrite_kept,
         _span_quarantine,
         _span_table,
     )
+
+    mode = "quarantine" if decontam is True else decontam
     from netcdf4_variable_streamer_spark.operators.text import (
         perplexity_decisions,
         perplexity_lm,
@@ -1602,7 +1620,8 @@ def make_curation_loop(
             "doc_id", "lang", "text", "n_tokens"
         )
         dkeep = None
-        if decontam:
+        rwi = None
+        if mode == "quarantine":
             # stage 1b: span-level eval decontamination — probe the
             # survivors' span hashes against the persisted reference
             # set; quarantine at the contamination-ppm threshold.
@@ -1631,6 +1650,55 @@ def make_curation_loop(
                 )
             )
             survivors = survivors.join(quar, "doc_id", "left_anti")
+        elif mode == "rewrite":
+            # stage 1b (surgical): CUT every survivor span matching
+            # the persisted reference set — the batch decontam-rewrite
+            # key's semantics run per micro-batch. The frequent-n-gram
+            # exclusion is evaluated over THIS batch's hits (batch-
+            # proportional, like every other stage); the cut table is
+            # contamination-sized and bounded by the exclusion, so the
+            # broadcast inside _rewrite_kept is defensible by
+            # construction. Both downstream consumers (survivors +
+            # the decisions columns) derive from the ONE rw frame, so
+            # the cut subtree's exchanges are canonically equal and
+            # reused rather than recomputed.
+            sref = spark.read.parquet(
+                os.path.join(run_dir, "spanref")
+            ).select("cluster")
+            hits = _span_table(
+                survivors.select("doc_id", "text")
+            ).join(F.broadcast(sref), "cluster")
+            common = (
+                hits.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n_occ"))
+                .filter(F.col("n_occ") > _SDR_MAX_OCC)
+                .select("cluster")
+            )
+            cut = hits.join(common, "cluster", "left_anti").select(
+                "doc_id", "span_start"
+            )
+            rw = _rewrite_kept(
+                spark,
+                run_dir,  # unused: docs is passed explicitly
+                cut,
+                docs=survivors,
+                extra_cols=("lang", "n_tokens"),
+            ).withColumn("rtext", F.array_join("kept", " "))
+            rwi = rw.select(
+                "doc_id",
+                (F.size("tk") - F.size("kept"))
+                .cast("long")
+                .alias("n_tokens_cut"),
+                F.md5("rtext").alias("rewritten_md5"),
+            )
+            # the gate, classifier and budget all score the REWRITTEN
+            # text from here on (the whole point of the posture)
+            survivors = rw.select(
+                "doc_id",
+                "lang",
+                F.col("rtext").alias("text"),
+                "n_tokens",
+            )
         # stage 2: perplexity gate under the persisted LM (per-lang
         # cutoff over THIS batch's survivors — batch-proportional)
         ppl = perplexity_decisions(bgc, ctx, vsz, survivors)
@@ -1683,8 +1751,10 @@ def make_curation_loop(
             )
             .join(samp.select("doc_id", "sampled"), "doc_id", "left")
         )
-        if decontam:
+        if mode == "quarantine":
             dec = dec.join(dkeep, "doc_id", "left")
+        elif mode == "rewrite":
+            dec = dec.join(rwi, "doc_id", "left")
         dec.select(
             "doc_id", "lang",
             F.lit(batch_id).cast("long").alias("batch"),
@@ -1695,7 +1765,17 @@ def make_curation_loop(
                         F.col("decon_keep"), F.lit(False)
                     ).alias("decon_keep")
                 ]
-                if decontam
+                if mode == "quarantine"
+                else []
+            ),
+            *(
+                [
+                    F.coalesce(F.col("n_tokens_cut"), F.lit(0))
+                    .cast("long")
+                    .alias("n_tokens_cut"),
+                    F.col("rewritten_md5"),
+                ]
+                if mode == "rewrite"
                 else []
             ),
             F.coalesce(F.col("ppl_keep"), F.lit(False)).alias(
@@ -1735,7 +1815,7 @@ def make_curation_loop(
 
 
 def run_foreachbatch_pipeline_curation(
-    spark: SparkSession, sf_dir: str, *, decontam: bool = False
+    spark: SparkSession, sf_dir: str, *, decontam: bool | str = False
 ) -> DataFrame:
     """3-micro-batch composed curation stream: reference + two crawl
     batches; returns the union of both crawl batches' decisions."""
@@ -1835,14 +1915,14 @@ scored AS (
 qd AS (
   SELECT doc_id, lang, batch, -((-s) // cnt) AS q FROM scored
 ),
-cut AS (
+pplcut AS (
   SELECT batch, lang, CAST(SUM(q) AS BIGINT) AS sum_q,
          COUNT(*) AS n_docs
   FROM qd GROUP BY batch, lang
 ),
 ppl AS (
   SELECT s.doc_id, (s.q * c.n_docs >= c.sum_q) AS ppl_keep
-  FROM qd s JOIN cut c USING (batch, lang)
+  FROM qd s JOIN pplcut c USING (batch, lang)
 ),
 keptdocs AS (
   SELECT s.doc_id, s.lang, s.batch, s.text
@@ -1958,7 +2038,9 @@ def q_stream_pipeline_curation(
 # ---------------------------------------------------------------------------
 
 from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
+    _SDR_MAX_OCC as _CURW_MAX_OCC,
     _SXC_QUARANTINE_PPM as _CURF_PPM,
+    _rewrite_ranges_cte_sql,
     _span_cte_sql,
 )
 
@@ -2049,4 +2131,120 @@ def q_stream_pipeline_curation_full(
 ) -> DataFrame:
     return run_foreachbatch_pipeline_curation(
         spark, sf_dir, decontam=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 15 (VERDICT r14 #5): the SURGICAL decontamination posture run
+# inside the crawl loop — rewrite-out instead of quarantine. Derived
+# from _CUR_ORACLE by the same assert-checked surgery discipline: the
+# dedup survivors become surv0; reference spans + per-batch hit /
+# frequent-n-gram-exclusion / cut CTEs and the shared rewrite-ranges
+# tail (operators/dedup._rewrite_ranges_cte_sql over the survivors'
+# token-array CTE `st`) rebuild `surv` with the REWRITTEN text, so the
+# gate, classifier and budget replay over post-cut tokens exactly as
+# the loop computes them; the final select gains n_tokens_cut +
+# rewritten_md5 per crawl doc.
+# ---------------------------------------------------------------------------
+
+_CURW_NEW_SURV = f"""surv0 AS (
+  SELECT c.* FROM crawl c JOIN dup USING (doc_id) WHERE NOT is_dup
+),
+{_span_cte_sql("ref", "r")},
+refspan AS (
+  SELECT DISTINCT cluster FROM rspans
+),
+{_span_cte_sql("surv0", "s")},
+shits AS (
+  SELECT sp.doc_id, sp.span_start, sp.cluster, s0.batch
+  FROM sspans sp JOIN refspan USING (cluster)
+  JOIN surv0 s0 ON sp.doc_id = s0.doc_id
+),
+scommon AS (
+  SELECT batch, cluster FROM shits GROUP BY batch, cluster
+  HAVING COUNT(*) > {_CURW_MAX_OCC}
+),
+cut AS (
+  SELECT h.doc_id, h.span_start
+  FROM shits h LEFT JOIN scommon c
+    ON h.batch = c.batch AND h.cluster = c.cluster
+  WHERE c.cluster IS NULL
+),
+{_rewrite_ranges_cte_sql("st")},
+rwx AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokens_cut,
+         COALESCE(STRING_AGG(CASE WHEN NOT is_cut THEN tok END,
+             ' ' ORDER BY p), '') AS rtext
+  FROM posk GROUP BY doc_id
+),
+rwi AS (
+  SELECT doc_id, n_tokens_cut, MD5(rtext) AS rewritten_md5 FROM rwx
+),
+surv AS (
+  SELECT s.doc_id, s.lang, s.batch, r.rtext AS text
+  FROM surv0 s JOIN rwx r USING (doc_id)
+),"""
+
+_CURW_NEW_SEL = """SELECT c.doc_id, c.lang, CAST(c.batch AS BIGINT) AS batch, d.is_dup,
+       CAST(COALESCE(r.n_tokens_cut, 0) AS BIGINT) AS n_tokens_cut,
+       r.rewritten_md5,
+       COALESCE(p.ppl_keep, FALSE) AS ppl_keep,"""
+
+_CURW_NEW_JOIN = """JOIN dup d USING (doc_id)
+LEFT JOIN rwi r USING (doc_id)
+LEFT JOIN ppl p USING (doc_id)"""
+
+for frag in (_CURF_OLD_SURV, _CURF_OLD_SEL, _CURF_OLD_JOIN):
+    # same -O-proof guard as the quarantine derivation above: a plain
+    # raise, because str.replace silently no-ops on a missing fragment
+    if frag not in _CUR_ORACLE:
+        raise RuntimeError(
+            "_CUR_ORACLE drifted: surgery fragment not found: "
+            + frag[:80]
+        )
+_CURW_STREAM_ORACLE = (
+    _CUR_ORACLE.replace(_CURF_OLD_SURV, _CURW_NEW_SURV)
+    .replace(_CURF_OLD_SEL, _CURW_NEW_SEL)
+    .replace(_CURF_OLD_JOIN, _CURW_NEW_JOIN)
+)
+
+
+@register(
+    "q_stream_pipeline_curation_rewrite",
+    oracle=_CURW_STREAM_ORACLE,
+    doc="SURGICAL-DECONTAM STREAMING CURATION (round 15, VERDICT r14 "
+        "#5) — the rewrite-out posture inside the foreachBatch crawl "
+        "loop, the policy real crawl pipelines prefer when documents "
+        "are valuable: instead of quarantining a contaminated "
+        "survivor, every k-token span matching the once-persisted "
+        "reference span set is CUT from it (no keep-first — eval "
+        "text must all go), with the frequent-n-gram exclusion "
+        f"(> {_CURW_MAX_OCC} hits within the batch = ubiquitous "
+        "common text, not leakage) evaluated per micro-batch so the "
+        "cut table stays batch-proportional AND bounded. The "
+        "perplexity gate's per-batch per-language cutoffs, the "
+        "hashed-classifier scores and the cross-batch token-budget "
+        "fill are all computed over the REWRITTEN text — cutting a "
+        "span genuinely changes downstream verdicts, which the "
+        "declarative 3-batch oracle replays exactly (shared rewrite-"
+        "ranges SQL tail, per-batch exclusion). Decisions gain "
+        "n_tokens_cut (0 for clean survivors) and rewritten_md5 "
+        "(NULL for docs dedup dropped before the stage saw them), so "
+        "the oracle verifies the rewrite itself, not just the "
+        "verdicts. All versioned-state restart machinery (commit "
+        "markers, idempotent replay) is the SAME loop, mode-"
+        "selected; a dedicated restart test re-proves recovery with "
+        "the surgical stage armed. 100 TB: the probe + cut table "
+        "shuffle only (doc_id, position, 16-byte hash) against the "
+        "MB-scale build-once reference set; crawl text enters only "
+        "the scan and the final map-side reassembly, exactly like "
+        "the batch twin.",
+)
+def q_stream_pipeline_curation_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_foreachbatch_pipeline_curation(
+        spark, sf_dir, decontam="rewrite"
     )

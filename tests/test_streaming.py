@@ -885,3 +885,87 @@ def test_curation_full_restart_from_checkpoint(spark, tmp_path):
         "fixture must quarantine docs in both crawl batches"
     )
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_rewrite_restart_from_checkpoint(spark, tmp_path):
+    """RESTART proof for the SURGICAL-decontam loop (round 15,
+    VERDICT r14 #5): same protocol as the quarantine composite's
+    restart test but with decontam=\"rewrite\" — the restarted fresh
+    closure must recover the once-persisted reference span set and
+    produce decisions equal to the derived oracle, including the
+    rewrite accounting (n_tokens_cut, rewritten_md5) and the gate /
+    budget verdicts computed over REWRITTEN text. The fixture must
+    cut spans in BOTH crawl batches — including the post-restart
+    one — so the recovered span set is proven load-bearing, not
+    merely present."""
+    import os
+    import shutil
+
+    from netcdf4_variable_streamer_spark import oracle as oracle_mod
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    crawl2 = os.path.join(feed, "2_part.parquet")
+    held = str(tmp_path / "held.parquet")
+    shutil.move(crawl2, held)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    ckpt = os.path.join(run_dir, "ckpt")
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        curate, n = sq.make_curation_loop(
+            spark, run_dir, decontam="rewrite"
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(curate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return n[0]
+
+    assert run_once() == 2
+    assert os.path.isdir(os.path.join(run_dir, "spanref"))
+    ref_mtime = os.path.getmtime(os.path.join(run_dir, "spanref"))
+    shutil.move(held, crawl2)
+    assert run_once() == 1
+    # the reference span set was recovered, not rebuilt
+    assert os.path.getmtime(
+        os.path.join(run_dir, "spanref")
+    ) == ref_mtime
+
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CURW_STREAM_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "n_tokens_cut",
+                "rewritten_md5", "ppl_keep", "n_tokens", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    # surgical cuts landed in BOTH crawl batches (batch 2 ran against
+    # the RECOVERED span set after the restart)
+    cutdocs = want[want["n_tokens_cut"] > 0]
+    assert set(cutdocs["batch"]) == {1, 2}, (
+        "fixture must cut spans in both crawl batches"
+    )
+    # the stage is load-bearing: at least one gate or budget verdict
+    # differs from the base (no-decontam) composite's replay
+    base = con.execute(sq._CUR_ORACLE).df()
+    m = want.merge(base, on="doc_id", suffixes=("_w", "_b"))
+    assert (
+        (m["ppl_keep_w"] != m["ppl_keep_b"])
+        | (m["sampled_w"] != m["sampled_b"])
+    ).any()
+    shutil.rmtree(feed, ignore_errors=True)
