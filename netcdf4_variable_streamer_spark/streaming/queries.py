@@ -1539,11 +1539,17 @@ def make_curation_loop(
         # hashes_v* alone and merely assumed budget_v existed). A crash
         # between the state writes and the marker makes the version
         # invisible; the replayed batch recomputes it idempotently.
+        # non-numeric suffixes (a torn "commit_v" with no digits, an
+        # external tool's "commit_v2.tmp" backup) are ignored, not
+        # crashed on — markers count only when the version number
+        # parses, mirroring the backfill scan's isdigit guard
+        # (fuzz round 8)
         prior = sorted(
-            int(p.split("_v")[1])
+            int(s)
             for p in os.listdir(run_dir)
             if p.startswith("commit_v")
-            and int(p.split("_v")[1]) < batch_id
+            and (s := p[len("commit_v"):]).isdigit()
+            and int(s) < batch_id
         )
         # reference path iff the LM is unpublished OR no state version
         # strictly older than this batch exists — the latter catches a

@@ -3261,3 +3261,135 @@ def test_compound_bigendian_members_roundtrip(tmp_path):
     assert list(r2["a"]) == [-3, 2**30, 5]
     assert list(r2["name"]) == ["x", "", "zz"]
     assert list(r2["t"]) == ["base", None, "base"]
+
+
+# ---------------------------------------------------------------------------
+# Fuzz round 8 (VERDICT r14 #6): wide-sample SE reference blocks,
+# big-endian FOREIGN compound messages, zero-run + low-entropy-
+# reference composition across RSI boundaries, and the NN range guard
+# reached THROUGH a low-entropy reference block at wide widths.
+# ---------------------------------------------------------------------------
+
+
+def test_szip_se_reference_wide32():
+    """Fuzz round 8: the SECOND-EXTENSION reference layout at the
+    32-bit sample width — the widest ID field (5 bits) composed with
+    the selector-before-reference order and the slot-0 dummy of the
+    pair grid, with the raw reference above 2^31 so the full unsigned
+    width is exercised. r14 pinned only the zero-block reference at
+    32 bits; this closes the SE half."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    ref = 3_000_000_001
+    deltas = [2, 0, 4, 1, 0, 2, 3]
+    pairs = [(0, deltas[0])] + [
+        (deltas[i], deltas[i + 1]) for i in range(1, 6, 2)
+    ]
+    payload = "".join(
+        _fs((a + b) * (a + b + 1) // 2 + b) for a, b in pairs
+    )
+    stream = _bits("00000" + "1" + format(ref, "032b") + payload)
+    got = szip_decode(
+        stream, 8, nbits=32, pixels_per_block=8,
+        pixels_per_scanline=8, nn=True,
+    )
+    assert got == _unmap_nn_independent(ref, deltas, 32)
+
+
+def test_szip_low_entropy_ref_then_out_of_range_refuses():
+    """Fuzz round 8: the NN unmap range guard reached THROUGH a
+    low-entropy reference block at the 16-bit width — block 0 is a
+    zero-run reference (run 1), block 1 a k=13 split whose first
+    sample decodes to delta 65536; the unmap must refuse (the sample
+    leaves the 16-bit range) rather than hand a wrapped value to the
+    HDF5 layer's astype. The in-range twin of the same stream shape
+    decodes exactly."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    ref = 100
+    head = "0000" + "0" + format(ref, "016b") + _fs(0)  # run 1
+    # block 1: ID 14 -> k = 13; hi FS values then 13-bit low fields
+    bad = head + "1110" + _fs(8) + _fs(0) * 7 + "0" * 13 * 8
+    with pytest.raises(ValueError, match="left the sample range"):
+        szip_decode(
+            _bits(bad), 16, nbits=16, pixels_per_block=8,
+            pixels_per_scanline=16, nn=True,
+        )
+    ok = head + "1110" + _fs(4) + _fs(0) * 7 + "0" * 13 * 8
+    got = szip_decode(
+        _bits(ok), 16, nbits=16, pixels_per_block=8,
+        pixels_per_scanline=16, nn=True,
+    )
+    deltas = [0] * 7 + [4 << 13] + [0] * 7
+    assert got == _unmap_nn_independent(ref, deltas, 16)
+
+
+def test_szip_multi_rsi_low_entropy_composition():
+    """Fuzz round 8: zero-run + low-entropy-reference composition at
+    the RSI boundary — scanline 1 is entirely a zero-run REFERENCE
+    block (ROS codeword), scanline 2 opens with a second-extension
+    reference and closes with a plain zero run. The decoder must
+    restart the reference, the segment counter AND the block grid at
+    the scanline boundary; a desync here would corrupt every later
+    scanline of the chunk."""
+    from netcdf4_variable_streamer_spark.sources.szip import szip_decode
+
+    # RSI 1 (16 samples, J=2, 8 blocks): zero-run ref, ROS
+    rsi1 = "000" + "0" + format(7, "08b") + _fs(4)
+    # RSI 2: SE ref (one gamma, slot-0 dummy) then zero run of 7
+    rsi2 = (
+        "000" + "1" + format(9, "08b") + _fs(3 * 4 // 2 + 3)
+        + "000" + "0" + _fs(7)
+    )
+    got = szip_decode(
+        _bits(rsi1 + rsi2), 32, nbits=8, pixels_per_block=2,
+        pixels_per_scanline=16, nn=True,
+    )
+    want = [7] * 16 + _unmap_nn_independent(9, [3] + [0] * 14, 8)
+    assert got == want
+
+
+def test_foreign_compound_bigendian_members_v2_v3():
+    """Fuzz round 8: BIG-ENDIAN members inside v2 and v3 compound
+    datatype messages — the foreign-writer shapes (this writer emits
+    v1) composed with the byte-order bit r14 pinned only through the
+    v1 path. A v2 compound with a >i4 member and a v3 compound mixing
+    >i4, >f8, a vlen-string and an object-reference member must parse
+    to big-endian numpy dtypes with the heap-member markers intact."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        _dt_vlen_str,
+        _parse_dt,
+    )
+
+    i4be = struct.pack("<B3BIHH", 0x10, 0x08 | 0x01, 0, 0, 4, 0, 32)
+    u2be = struct.pack("<B3BIHH", 0x10, 0x01, 0, 0, 2, 0, 16)
+    f8be = struct.pack("<B3BI", 0x11, 0x01, 0, 0, 8) + b"\x00" * 12
+    ref = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+
+    def member_v2(name, off, dtbody):
+        nb = name.encode() + b"\x00"
+        return (
+            nb + b"\x00" * (-len(nb) % 8)
+            + struct.pack("<I", off) + dtbody
+        )
+
+    def member_v3(name, off, dtbody):
+        return name.encode() + b"\x00" + bytes([off]) + dtbody
+
+    body2 = struct.pack("<BBBBI", 0x26, 2, 0, 0, 8)
+    body2 += member_v2("a", 0, i4be) + member_v2("c", 4, u2be)
+    dt2 = _parse_dt(body2)
+    assert dt2.fields["a"][0] == np.dtype(">i4")
+    assert dt2.fields["c"][0] == np.dtype(">u2")
+
+    body3 = struct.pack("<BBBBI", 0x36, 4, 0, 0, 36)
+    body3 += member_v3("a", 0, i4be)
+    body3 += member_v3("x", 4, f8be)
+    body3 += member_v3("s", 12, _dt_vlen_str())
+    body3 += member_v3("p", 28, ref)
+    dt3 = _parse_dt(body3)
+    assert dt3.names == ("a", "x", "s", "p")
+    assert dt3.fields["a"][0] == np.dtype(">i4")
+    assert dt3.fields["x"][0] == np.dtype(">f8")
+    assert dt3.metadata["vlen_str_members"] == ("s",)
+    assert dt3.metadata["ref_members"] == ("p",)

@@ -969,3 +969,92 @@ def test_curation_rewrite_restart_from_checkpoint(spark, tmp_path):
         | (m["sampled_w"] != m["sampled_b"])
     ).any()
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_ignores_torn_marker_names(spark, tmp_path):
+    """Fuzz round 8 (VERDICT r14 #6, torn-write recovery): stray
+    commit_v* files whose version suffix does not parse — a torn
+    "commit_v" with no digits, an external tool's "commit_v1.tmp"
+    backup, a "commit_vabc" — must be IGNORED by marker-keyed
+    recovery, not crashed on (int() on the raw suffix used to raise
+    ValueError mid-loop). The 3-batch protocol must complete and the
+    decisions must still equal the declarative oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark import oracle as oracle_mod
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    for stray in ("commit_v", "commit_v1.tmp", "commit_vabc"):
+        with open(os.path.join(run_dir, stray), "w") as f:
+            f.write("torn")
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    for i, b in enumerate(
+        ("0_part.parquet", "1_part.parquet", "2_part.parquet")
+    ):
+        pdf = pq.read_table(os.path.join(feed, b))
+        curate(spark.createDataFrame(pdf.to_pandas()), i)
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_marker_without_state_fails_loud(spark, tmp_path):
+    """Fuzz round 8: the inverse torn shape — a commit marker that
+    names a version whose state tables are GONE (external deletion;
+    the write ordering itself cannot produce this). Recovery must
+    fail LOUDLY on the missing parquet path, never silently fall
+    back to the reference path and retrain the LM from crawl text —
+    the silent-corruption direction the marker protocol exists to
+    prevent."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, b)).to_pandas()
+        )
+        for b in ("0_part.parquet", "1_part.parquet")
+    ]
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    curate(batches[0], 0)
+    # forge a committed-looking version 1 with no state behind it
+    with open(os.path.join(run_dir, "commit_v1"), "w"):
+        pass
+    lm_mtime = os.path.getmtime(os.path.join(run_dir, "lm.json"))
+    curate2, _n2 = sq.make_curation_loop(spark, run_dir)
+    with pytest.raises(Exception, match="hashes_v1|PATH_NOT_FOUND"):
+        curate2(batches[1], 2)
+    # and the LM was NOT retrained from crawl text
+    assert os.path.getmtime(
+        os.path.join(run_dir, "lm.json")
+    ) == lm_mtime
+    shutil.rmtree(feed, ignore_errors=True)
