@@ -2578,3 +2578,106 @@ def q_dedup_substring_decontam_rewrite(
     return _rewrite_emit(
         spark, sf_dir, _sdr_cut(spark, sf_dir), docs=crawl
     )
+
+
+@register(
+    "q_dedup_substring_decontam_anchored",
+    oracle=f"""
+WITH {_SPAN_CTE_SQL},
+{_WINNOW_CTE_SQL},
+refa AS (
+  SELECT DISTINCT cluster FROM anchors WHERE doc_id < {_SXC_SPLIT}
+),
+flagged AS (
+  SELECT DISTINCT a.doc_id FROM anchors a JOIN refa USING (cluster)
+  WHERE a.doc_id >= {_SXC_SPLIT}
+),
+sref AS (
+  SELECT DISTINCT cluster FROM spans WHERE doc_id < {_SXC_SPLIT}
+),
+hits AS (
+  SELECT s.doc_id, s.span_start, s.cluster
+  FROM spans s JOIN flagged USING (doc_id) JOIN sref USING (cluster)
+),
+common AS (
+  SELECT cluster FROM hits GROUP BY cluster
+  HAVING COUNT(*) > {_SDR_MAX_OCC}
+),
+cut AS (
+  SELECT h.doc_id, h.span_start
+  FROM hits h LEFT JOIN common c USING (cluster)
+  WHERE c.cluster IS NULL
+),
+ct AS (
+  SELECT * FROM t WHERE doc_id >= {_SXC_SPLIT}
+),
+{_rewrite_tail_sql("ct")}
+""",
+    doc="ANCHORED surgical decontamination (round 15) — the 100 TB "
+        "path of q_dedup_substring_decontam_rewrite, the same winnow-"
+        "flag-then-exact-recompute composition the anchored rewrite "
+        "key applies to dedup: DETECT contaminated crawl documents by "
+        "intersecting the crawl side's winnowed anchors with the "
+        "reference side's winnowed anchor set (the only corpus-scale "
+        "pass — ~1/8 of span positions shuffle, and any quoted "
+        f"region of >= W+k-1 = {_WINNOW_W + _SPAN_K - 1} tokens "
+        "shares a full window with the reference and therefore "
+        "selects the SAME anchor cluster on both sides — detection "
+        "of long contamination is DETERMINISTIC, the winnow "
+        "guarantee), then recompute EXACT spans over the FLAGGED "
+        "documents only (contamination-proportional, 7% of the crawl "
+        "on the fixture, reached via a broadcast on the scan) and "
+        "cut every reference-matching span exactly as the full twin "
+        "does. Honest divergences, both flagged-local: (1) a crawl "
+        "doc whose ONLY contamination is shorter than the winnowing "
+        f"threshold ({_WINNOW_W + _SPAN_K - 1} tokens) may escape "
+        "flagging — the full twin cuts down to single "
+        f"{_SPAN_K}-token quotes; (2) the frequent-n-gram exclusion "
+        "counts hits over "
+        "flagged docs only, so a phrase ubiquitous corpus-wide but "
+        "rare among flagged docs is cut here and excluded there. "
+        "Both are exercised on a purpose-built corpus "
+        "[test_anchored_decontam_short_quote_divergence]; on the "
+        "shipped fixture the outputs coincide 100/100 (a fixture "
+        "property — its planted contamination is all above the "
+        "threshold). Output shape identical to the full twin (every "
+        "non-NULL-text crawl doc, n_tokens_cut = 0 rows prove clean "
+        "docs pass untouched); crawl text enters only the scan-side "
+        "broadcast joins and the final map-side reassembly "
+        "[plan-enforced].",
+)
+def q_dedup_substring_decontam_anchored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    anchors = _winnow_anchor_table(spark, sf_dir)
+    refa = (
+        anchors.filter(F.col("doc_id") < _SXC_SPLIT)
+        .select("cluster")
+        .distinct()
+    )
+    flagged = (
+        anchors.filter(F.col("doc_id") >= _SXC_SPLIT)
+        .join(F.broadcast(refa), "cluster")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    crawl = docs.filter(F.col("doc_id") >= _SXC_SPLIT)
+    fdocs = crawl.join(F.broadcast(flagged), "doc_id")
+    fspans = _span_table(fdocs)
+    sref = (
+        _span_table(docs.filter(F.col("doc_id") < _SXC_SPLIT))
+        .select("cluster")
+        .distinct()
+    )
+    hits = fspans.join(sref, "cluster")
+    common = (
+        hits.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > _SDR_MAX_OCC)
+        .select("cluster")
+    )
+    cut = hits.join(common, "cluster", "left_anti").select(
+        "doc_id", "span_start"
+    )
+    return _rewrite_emit(spark, sf_dir, cut, docs=crawl)

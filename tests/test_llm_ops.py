@@ -760,3 +760,140 @@ def test_anchored_rewrite_cap_divergence(spark, tmp_path):
     for d in range(10, 80):
         _div_expect(full[d], _DIV_Y, [])
         _div_expect(anch[d], _DIV_Y, [])
+
+
+def test_anchored_decontam_short_quote_divergence(spark, tmp_path):
+    """The anchored decontam key's two documented flagged-local
+    divergences, each made to ARISE on a purpose-built corpus
+    (round 15, same discipline as the anchored-rewrite divergence
+    tests; constructed offline against the pinned K=8/W=15/cap=64
+    parameters with preconditions re-asserted on the real anchor
+    table).
+
+    (1) short-quote miss: the reference doc is exactly the 8-token
+    phrase P, whose anchor cluster is never selected in the crawl
+    doc embedding it — the anchored path flags nothing and cuts
+    nothing while the full twin surgically cuts P; anchored cut
+    ranges remain a subset of the twin's.
+
+    (2) cap on the flagged subset: Q sits in a reference doc without
+    ever being anchored there, and occurs 71 times crawl-wide (past
+    the 64-hit frequent-n-gram exclusion, so the full twin treats it
+    as common text) but only ONCE among flagged docs — the anchored
+    path cuts it, the divergent extra range."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.operators import dedup as dd
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+    P = [f"p{i}" for i in range(8)]
+    Q = [f"q{i}" for i in range(8)]
+    L = [f"l{i}" for i in range(22)]
+
+    def run_pair(sf):
+        full = {
+            r["doc_id"]: r
+            for r in REGISTRY["q_dedup_substring_decontam_rewrite"]
+            .builder(spark, sf)
+            .collect()
+        }
+        anch = {
+            r["doc_id"]: r
+            for r in REGISTRY["q_dedup_substring_decontam_anchored"]
+            .builder(spark, sf)
+            .collect()
+        }
+        return full, anch
+
+    def flagged_set(sf):
+        anchors = dd._winnow_anchor_table(spark, sf)
+        refa = (
+            anchors.filter(F.col("doc_id") < dd._SXC_SPLIT)
+            .select("cluster")
+            .distinct()
+        )
+        return {
+            r["doc_id"]
+            for r in anchors.filter(
+                F.col("doc_id") >= dd._SXC_SPLIT
+            )
+            .join(refa, "cluster")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+
+    # --- scenario 1: short quote escapes the winnow threshold ---
+    c = (
+        [f"ca0_{i}" for i in range(20)] + P
+        + [f"cb0_{i}" for i in range(20)]
+    )
+    sf1 = str(tmp_path / "s1")
+    os.makedirs(sf1)
+    _div_write(tmp_path / "s1", [(1, P), (400, c)])
+    assert flagged_set(sf1) == set()  # precondition: nothing flagged
+    full, anch = run_pair(sf1)
+    assert set(full) == set(anch) == {400}  # crawl side only
+    _div_expect(full[400], c, [(21, 29)])  # the 8-token quote cut
+    _div_expect(anch[400], c, [])  # THE MISS — documented divergence
+    assert anch[400]["n_tokens_cut"] <= full[400]["n_tokens_cut"]
+
+    # --- scenario 2: cap evaluated on the flagged subset only ---
+    r2 = (
+        [f"ra0_{i}" for i in range(20)] + Q
+        + [f"rb0_{i}" for i in range(20)] + L
+        + [f"rc0_{i}" for i in range(20)]
+    )
+    c2 = (
+        [f"cc_{i}" for i in range(20)] + L
+        + [f"cd_{i}" for i in range(20)] + Q
+        + [f"ce_{i}" for i in range(20)]
+    )
+    rows = [(1, r2), (400, c2)] + [
+        (401 + i, Q) for i in range(70)
+    ]
+    sf2 = str(tmp_path / "s2")
+    os.makedirs(sf2)
+    _div_write(tmp_path / "s2", rows)
+    assert flagged_set(sf2) == {400}  # Q-docs stay unflagged
+    full, anch = run_pair(sf2)
+    assert set(full) == set(anch) == {400} | set(range(401, 471))
+    # full twin: Q is common text (71 crawl hits > 64) — L only
+    _div_expect(full[400], c2, [(21, 43)])
+    # anchored: Q hits once among flagged docs — cut as contamination
+    _div_expect(anch[400], c2, [(21, 43), (63, 71)])
+    assert anch[400]["n_tokens_cut"] > full[400]["n_tokens_cut"]
+    # the 70 Q-only crawl docs are untouched on BOTH paths
+    for d in range(401, 471):
+        _div_expect(full[d], Q, [])
+        _div_expect(anch[d], Q, [])
+
+
+def test_anchored_decontam_matches_full_on_fixture(spark):
+    """FIXTURE property (not a general identity — see the divergence
+    test above): every planted contamination span in the shipped
+    fixture exceeds the winnowing threshold and no cap decision
+    diverges between corpus-wide and flagged-subset hit counts, so
+    the anchored decontam must reproduce the full twin row for row
+    while exploding exact spans over only the flagged slice of the
+    crawl."""
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    full = (
+        REGISTRY["q_dedup_substring_decontam_rewrite"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    anch = (
+        REGISTRY["q_dedup_substring_decontam_anchored"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    assert len(full) == len(anch)
+    for col in ("doc_id", "n_tokens_before", "n_ranges",
+                "n_tokens_cut", "n_tokens_after", "rewritten_md5"):
+        assert list(full[col]) == list(anch[col]), col
+    assert (full.n_tokens_cut > 0).any()  # cuts genuinely exercised

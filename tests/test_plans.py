@@ -1090,3 +1090,28 @@ def test_budget_decontam_posture(spark):
         and "span_start#" in b
     ]
     assert len(islands) == 1, plan
+
+
+def test_substring_decontam_anchored_posture(spark):
+    """q_dedup_substring_decontam_anchored (round 15): the winnow
+    probe, flagged-set broadcast, reference-set build and exact
+    recompute all shuffle 16-byte hashes / 45-byte anchor strings /
+    ids only — text and token arrays appear in NO Exchange; the
+    flagged set and the cut ranges reach the crawl scan through
+    broadcast hash joins."""
+    import re
+
+    df = build(spark, "q_dedup_substring_decontam_anchored")
+    plan = plans.plan_string(df)
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "BroadcastHashJoin") >= 2, plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            assert "text#" not in m.group(1), block
+            assert "tk#" not in m.group(1), block
