@@ -74,6 +74,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sample_budget_decontam",
     "q_stream_pipeline_curation_rewrite",
     "q_dedup_substring_decontam_anchored",
+    "src_orc_ingest",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

@@ -1194,6 +1194,97 @@ def src_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_orc_ingest",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_meta,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars_text
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '_filtered', COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT),
+       CAST(SUM(LENGTH(text)) AS BIGINT)
+FROM documents WHERE n_chars >= 300
+""",
+    doc="ORC corpus ingestion (round 15) — the columnar interchange "
+        "sibling of the JSONL/CSV ingest keys, completing the trio of "
+        "formats a Spark data-engineering stack is expected to read "
+        "natively: documents round-trip through zlib-compressed ORC "
+        "(the JVM writer/reader, zero Python crossings), the read-back "
+        "uses an EXPLICIT schema (inference on ORC is cheap — footer "
+        "metadata — but pinning the schema keeps type drift loud), "
+        "and both character sums must match the parquet originals "
+        "exactly (codepoint-preserving round-trip through ORC's UTF-8 "
+        "string encoding). A second, FILTERED read aggregates docs "
+        "with n_chars >= 300 through a predicate that reaches the ORC "
+        "scan as a PushedFilter (plan-asserted) — ORC carries "
+        "per-stripe min/max statistics, so at 100 TB the filter "
+        "prunes whole stripes at the storage layer exactly like "
+        "parquet row groups; the '_filtered' row proves the pushdown "
+        "path returns exact results, not just a fast plan. ORC is "
+        "splittable by stripe, so reads parallelize by byte range at "
+        "any scale.",
+)
+def src_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.tables import load_table
+
+    dst = os.path.join(SCRATCH, f"orc_{_uuid.uuid4().hex[:8]}")
+    try:
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).option("compression", "zlib").orc(dst)
+        schema = (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        full = spark.read.schema(schema).orc(dst)
+        out = full.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars_meta"),
+            F.sum(F.length("text")).alias("sum_chars_text"),
+        )
+        rows = out.collect()
+        filt = (
+            spark.read.schema(schema)
+            .orc(dst)
+            .filter(F.col("n_chars") >= 300)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars_meta"),
+                F.sum(F.length("text")).alias("sum_chars_text"),
+            )
+            .collect()[0]
+        )
+        rows.append(("_filtered", filt[0], filt[1], filt[2]))
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "lang string, n_docs long, sum_chars_meta long, "
+            "sum_chars_text long",
+        )
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def orc_filtered_scan(spark: SparkSession, sf_dir: str, dst: str):
+    """The src_orc_ingest filtered read as a plan-inspectable frame
+    (the key itself collects driver-side rows, so the plan test
+    builds this directly after writing the ORC copy)."""
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    return (
+        spark.read.schema(schema)
+        .orc(dst)
+        .filter(F.col("n_chars") >= 300)
+        .select("lang", "n_chars")
+    )
+
+
+@register(
     "snk_zorder",
     oracle="""
 SELECT COUNT(*) AS n_rows,

@@ -1115,3 +1115,22 @@ def test_substring_decontam_anchored_posture(spark):
             assert m, block
             assert "text#" not in m.group(1), block
             assert "tk#" not in m.group(1), block
+
+
+def test_orc_ingest_filtered_scan_pushdown(spark, tmp_path):
+    """src_orc_ingest (round 15): the filtered read's predicate must
+    reach the ORC scan as a PushedFilter (stripe-statistics pruning
+    at scale) and column pruning must drop text/doc_id/source from
+    the scan's ReadSchema — the '_filtered' output row already proves
+    the pushed path returns exact values; this pins the plan shape."""
+    from netcdf4_variable_streamer_spark.sources import queries as srcq
+    from netcdf4_variable_streamer_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    dst = str(tmp_path / "orc")
+    load_table(spark, SF_DIR, "documents").write.mode(
+        "overwrite"
+    ).option("compression", "zlib").orc(dst)
+    df = srcq.orc_filtered_scan(spark, SF_DIR, dst)
+    plans.assert_pushed_filters(df, "n_chars")
+    plans.assert_read_schema_excludes(df, "text", "doc_id", "source")
