@@ -958,10 +958,13 @@ def test_substring_rewrite_posture(spark):
 
 
 def test_substring_winnow_posture(spark):
-    """q_dedup_substring_winnow (round 14): the winnowing window pass
-    shuffles (doc_id, position, 45-byte anchor string) — document
-    text and the token array are excluded from every Exchange, and
-    there is no cartesian/nested-loop stage."""
+    """q_dedup_substring_winnow (round 15 posture): anchor
+    construction is ENTIRELY map-side — per-document HOF window
+    minima replace the round-14 doc-keyed Window pass, so the plan
+    contains NO Window operator and the first thing to reach an
+    Exchange is the ~1/8-sampled anchor table (doc_id, position,
+    16-byte cluster). Document text and the token array are excluded
+    from every Exchange; no cartesian/nested-loop stage."""
     import re
 
     df = build(spark, "q_dedup_substring_winnow")
@@ -969,6 +972,7 @@ def test_substring_winnow_posture(spark):
     assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
     assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
     assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "Window") == 0, plan
     checked = 0
     for block in re.split(r"\n\n", plan):
         if re.match(
@@ -978,8 +982,10 @@ def test_substring_winnow_posture(spark):
             assert m, block
             assert "text#" not in m.group(1), block
             assert "tk#" not in m.group(1), block
+            assert "ss#" not in m.group(1), block  # the HOF string
+            #                                        array stays local
             checked += 1
-    assert checked >= 2, plan  # window pass + stats agg
+    assert checked >= 1, plan  # the anchor stats agg
 
 
 def test_curation_full_decontam_posture(spark):
