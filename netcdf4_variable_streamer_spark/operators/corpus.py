@@ -1537,6 +1537,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # machinery (pinned tokenizer + split/threshold constants) from dedup
 from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
     _SDR_CUT_CTE_SQL,
+    _SDR_MAX_OCC,
     _SPAN_CTE_SQL,
     _SXC_QUARANTINE_PPM,
     _SXC_SPLIT,
@@ -1929,4 +1930,302 @@ def q_sample_budget_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_tokens") <= _BDC_BUDGET).alias("kept"),
         )
         .orderBy("doc_id")
+    )
+
+
+_CURS_ORACLE = rf"""
+WITH dedup AS (
+  SELECT doc_id, lang, text
+  FROM (
+    SELECT doc_id, lang, text,
+           MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep_id
+    FROM documents) z
+  WHERE doc_id = keep_id
+),
+{_span_cte_sql("dedup", "d")},
+sref AS (
+  SELECT DISTINCT cluster FROM dspans WHERE doc_id < {_SXC_SPLIT}
+),
+shits AS (
+  SELECT s.doc_id, s.span_start, s.cluster
+  FROM dspans s JOIN sref USING (cluster)
+  WHERE s.doc_id >= {_SXC_SPLIT}
+),
+scommon AS (
+  SELECT cluster FROM shits GROUP BY cluster
+  HAVING COUNT(*) > {_SDR_MAX_OCC}
+),
+cut AS (
+  SELECT h.doc_id, h.span_start
+  FROM shits h LEFT JOIN scommon c USING (cluster)
+  WHERE c.cluster IS NULL
+),
+ct AS (
+  SELECT doc_id, tk FROM dt WHERE doc_id >= {_SXC_SPLIT}
+),
+{_rewrite_ranges_cte_sql("ct")},
+rwx AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cut,
+         COALESCE(STRING_AGG(CASE WHEN NOT is_cut THEN tok END,
+             ' ' ORDER BY p), '') AS rtext
+  FROM posk GROUP BY doc_id
+),
+surg AS (
+  SELECT doc_id, lang, text, CAST(0 AS BIGINT) AS n_cut
+  FROM dedup WHERE doc_id < {_SXC_SPLIT}
+  UNION ALL
+  SELECT d.doc_id, d.lang, r.rtext AS text, r.n_cut
+  FROM dedup d JOIN rwx r USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM surg
+),
+tok AS (SELECT UNNEST(w) AS tok FROM toks),
+v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM tok),
+bg AS (
+  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, COUNT(*) AS c_u FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(SUM(CAST(FLOOR(LN(
+             CAST(COALESCE(bgc.c_bg, 0) + 1 AS DOUBLE)
+             / (COALESCE(ctx.c_u, 0) + v.vsz)) * 1000000)
+           AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS cnt
+  FROM bg b
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.lang
+),
+qd AS (SELECT doc_id, lang, -((-s) // cnt) AS q FROM scored),
+pcut AS (
+  SELECT lang, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_docs
+  FROM qd GROUP BY lang
+),
+ppl AS (
+  SELECT s.doc_id FROM qd s JOIN pcut c USING (lang)
+  WHERE s.q * c.n_docs >= c.sum_q
+),
+cl_tok AS (
+  SELECT d.doc_id, d.lang, UNNEST(STRING_SPLIT(d.text, ' ')) AS tok
+  FROM surg d JOIN ppl USING (doc_id)
+),
+cl_feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || SUBSTR(MD5(tok), 1, 7)) AS BIGINT) % 4096
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM cl_tok WHERE tok <> '' GROUP BY doc_id, lang, bucket
+),
+cl_scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * (CAST(('0x' || SUBSTR(MD5('w:' || bucket), 1, 7))
+                              AS BIGINT) % 2001 - 1000)) AS BIGINT)
+           AS score_q
+  FROM cl_feats GROUP BY doc_id, lang
+),
+ccut AS (
+  SELECT lang,
+         CAST(SUM(score_q) AS BIGINT) AS sum_q,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_n
+  FROM cl_scored GROUP BY lang
+),
+final AS (
+  SELECT s.doc_id, s.lang, s.n_tokens
+  FROM cl_scored s JOIN ccut c USING (lang)
+  WHERE s.score_q * c.sum_n >= c.sum_q * s.n_tokens
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_dedup,
+       CAST(COALESCE(SUM(sr.n_cut), 0) AS BIGINT) AS n_tokens_cut,
+       CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_ppl,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final,
+       CAST(COALESCE(SUM(f.n_tokens), 0) AS BIGINT) AS tokens_final
+FROM documents d
+LEFT JOIN dedup dd ON d.doc_id = dd.doc_id
+LEFT JOIN surg sr ON d.doc_id = sr.doc_id
+LEFT JOIN ppl p ON d.doc_id = p.doc_id
+LEFT JOIN final f ON d.doc_id = f.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register(
+    "q_pipeline_curation_surgical",
+    oracle=_CURS_ORACLE,
+    doc="SURGICAL-RECIPE CURATION (round 15) — the batch twin of "
+        "q_stream_pipeline_curation_rewrite and the rewrite-out "
+        "sibling of q_pipeline_curation_full: exact dedup -> "
+        "SURGICAL span-level decontamination (cut every reference-"
+        "matching span out of every crawl survivor, no keep-first — "
+        "eval text must all go — under the frequent-n-gram "
+        "exclusion) -> perplexity gate -> classifier gate -> "
+        "per-language funnel, as ONE declarative plan. Where the "
+        "quarantine composite DROPS a contaminated document, this "
+        "one rewrites it and keeps it: the LM trains on and the "
+        "gates score the REWRITTEN text, so cutting a span genuinely "
+        "moves per-language cutoffs and the final token mass — the "
+        "funnel reports n_tokens_cut (the surgically removed mass) "
+        "in place of n_after_decontam (nothing is dropped at this "
+        "stage). On the shipped fixture every rewritten doc happens "
+        "to fail the perplexity gate, so the downstream funnel "
+        "coincides with the quarantine composite there (a fixture "
+        "property); the divergent case this posture exists for — a "
+        "contaminated-but-valuable doc SAVED through the gate after "
+        "its quote is cut — is pinned on a purpose-built corpus "
+        "[test_surgical_curation_saves_doc_quarantine_drops]. "
+        "The cut machinery shuffles only (doc_id, position, "
+        "16-byte hash) [plan-enforced]; cut ranges reach the crawl "
+        "scan via ONE broadcast into the shared map-side reassembly "
+        "(_rewrite_kept), and reference-side docs pass through "
+        "untouched — they ARE the eval corpus. 100 TB: every stage "
+        "corpus-linear; the reference span set is the MB-scale "
+        "build-once table; the cut table is contamination-"
+        "proportional and bounded by the exclusion cap.",
+)
+def q_pipeline_curation_surgical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.operators.text import (
+        perplexity_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    wkeep = Window.partitionBy(F.md5("text"))
+    dedup = (
+        docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    # stage 2 (surgical): cut every reference-matching span from the
+    # crawl-side dedup survivors; reference docs pass through raw
+    crawl = dedup.filter(F.col("doc_id") >= _SXC_SPLIT)
+    sref = (
+        _span_table(
+            dedup.filter(F.col("doc_id") < _SXC_SPLIT).select(
+                "doc_id", "text"
+            )
+        )
+        .select("cluster")
+        .distinct()
+    )
+    hits = _span_table(crawl.select("doc_id", "text")).join(
+        F.broadcast(sref), "cluster"
+    )
+    common = (
+        hits.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > _SDR_MAX_OCC)
+        .select("cluster")
+    )
+    cut = hits.join(common, "cluster", "left_anti").select(
+        "doc_id", "span_start"
+    )
+    rw = _rewrite_kept(
+        spark, sf_dir, cut, docs=crawl, extra_cols=("lang",)
+    )
+    surg = (
+        dedup.filter(F.col("doc_id") < _SXC_SPLIT)
+        .select(
+            "doc_id", "lang", "text",
+            F.lit(0).cast("long").alias("n_cut"),
+        )
+        .unionByName(
+            rw.select(
+                "doc_id",
+                "lang",
+                F.array_join("kept", " ").alias("text"),
+                (F.size("tk") - F.size("kept"))
+                .cast("long")
+                .alias("n_cut"),
+            )
+        )
+    )
+    ppl = (
+        perplexity_filter(surg, surg)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    survivors = surg.join(ppl, "doc_id")
+    toks = (
+        survivors.filter(F.length("text") > 0)
+        .select(
+            "doc_id", "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    feats = toks.groupBy(
+        "doc_id", "lang",
+        (_md5_int(F.col("tok"), 7) % 4096).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wgt = (
+        _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+        - 1000
+    )
+    cl = feats.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * wgt).alias("score_q"),
+    )
+    ccut = cl.groupBy("lang").agg(
+        F.sum("score_q").alias("sum_q"),
+        F.sum("n_tokens").alias("sum_n"),
+    )
+    final = (
+        cl.join(F.broadcast(ccut), "lang")
+        .filter(
+            F.col("score_q") * F.col("sum_n")
+            >= F.col("sum_q") * F.col("n_tokens")
+        )
+        .select("doc_id", "n_tokens")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(
+            dedup.select("doc_id", F.lit(1).alias("in_dedup")),
+            "doc_id", "left",
+        )
+        .join(surg.select("doc_id", "n_cut"), "doc_id", "left")
+        .join(
+            ppl.select("doc_id", F.lit(1).alias("in_ppl")),
+            "doc_id", "left",
+        )
+        .join(final.withColumnRenamed("n_tokens", "f_tokens"),
+              "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(
+                F.coalesce(F.col("in_dedup"), F.lit(0)).cast("long")
+            ).alias("n_after_dedup"),
+            F.coalesce(F.sum("n_cut"), F.lit(0)).cast("long").alias(
+                "n_tokens_cut"
+            ),
+            F.sum(
+                F.coalesce(F.col("in_ppl"), F.lit(0)).cast("long")
+            ).alias("n_after_ppl"),
+            F.sum(
+                F.col("f_tokens").isNotNull().cast("long")
+            ).alias("n_final"),
+            F.coalesce(F.sum("f_tokens"), F.lit(0)).cast("long").alias(
+                "tokens_final"
+            ),
+        )
+        .orderBy("lang")
     )

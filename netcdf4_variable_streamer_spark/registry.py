@@ -75,6 +75,7 @@ CANONICAL_ORDER: list[str] = [
     "q_stream_pipeline_curation_rewrite",
     "q_dedup_substring_decontam_anchored",
     "src_orc_ingest",
+    "q_pipeline_curation_surgical",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

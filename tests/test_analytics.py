@@ -105,7 +105,9 @@ NEW_KEYS = [
     "q_dedup_substring_rewrite_anchored",
     "q_dedup_substring_decontam_rewrite",
     # round 15
-    "q_sample_budget_decontam",
+    "q_sample_budget_decontam", "q_stream_pipeline_curation_rewrite",
+    "q_dedup_substring_decontam_anchored", "src_orc_ingest",
+    "q_pipeline_curation_surgical",
 ]
 
 

@@ -897,3 +897,92 @@ def test_anchored_decontam_matches_full_on_fixture(spark):
                 "n_tokens_cut", "n_tokens_after", "rewritten_md5"):
         assert list(full[col]) == list(anch[col]), col
     assert (full.n_tokens_cut > 0).any()  # cuts genuinely exercised
+
+
+def test_surgical_curation_saves_doc_quarantine_drops(spark, tmp_path):
+    """The surgical composite's reason to exist, made to arise
+    (round 15): a crawl document whose 22-token eval quote pushes it
+    past the quarantine threshold but whose REMAINING text is
+    high-quality. The quarantine recipe (q_pipeline_curation_full)
+    DROPS it before any gate; the surgical recipe cuts exactly the
+    quote and the rewritten text PASSES the perplexity gate — the
+    document is saved for training, which is why production pipelines
+    prefer rewrite-out when documents are valuable. On the shipped
+    fixture the two recipes coincide downstream (every rewritten doc
+    happens to fail the gate there), so this corpus pins the
+    divergent case; both Spark builders are also differentially
+    checked against their oracles on it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+    cyc = lambda n, off=0: [f"t{(i + off) % 10}" for i in range(n)]  # noqa: E731
+    E = [f"e{i}" for i in range(22)]  # the eval quote (>= W+k-1)
+    docs = [
+        # the reference/eval doc holding the quote
+        (1, "en", " ".join(
+            [f"ra_{i}" for i in range(20)] + E
+            + [f"rb_{i}" for i in range(20)]
+        )),
+        # doc 400: 40 clean common-bigram tokens + the quote — 15 of
+        # 55 spans contaminated (27% >= the 10% quarantine bar), but
+        # the post-cut body is pure high-frequency bigrams
+        (400, "en", " ".join(cyc(40) + E)),
+    ] + [
+        # five clean-ish crawl docs whose unique-junk tails drag the
+        # per-language perplexity mean below doc 400's rewritten body
+        (401 + k, "en", " ".join(
+            cyc(40, off=k) + [f"u{k}_{j}" for j in range(10)]
+        ))
+        for k in range(5)
+    ]
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                "lang": [la for _, la, _ in docs],
+                "text": [x for _, _, x in docs],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+
+    surg = {
+        r["lang"]: r
+        for r in REGISTRY["q_pipeline_curation_surgical"]
+        .builder(spark, sf)
+        .collect()
+    }
+    quar = {
+        r["lang"]: r
+        for r in REGISTRY["q_pipeline_curation_full"]
+        .builder(spark, sf)
+        .collect()
+    }
+    # exactly the quote was cut, nothing was dropped at the stage
+    assert surg["en"]["n_tokens_cut"] == 22
+    assert surg["en"]["n_after_dedup"] == 7
+    # quarantine drops doc 400 pre-gate; surgery saves it THROUGH
+    # the gate — the divergent doc survives to the ppl stage
+    assert quar["en"]["n_after_decontam"] == 6
+    assert quar["en"]["n_after_ppl"] == 5
+    assert surg["en"]["n_after_ppl"] == 6
+
+    # differential: both Spark funnels equal their oracles here too
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'"
+    )
+    for key, got in (
+        ("q_pipeline_curation_surgical", surg),
+        ("q_pipeline_curation_full", quar),
+    ):
+        want = con.execute(REGISTRY[key].oracle).df()
+        assert len(want) == len(got)
+        for _, w in want.iterrows():
+            g = got[w["lang"]]
+            for col in want.columns:
+                assert g[col] == w[col], (key, col)

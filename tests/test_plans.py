@@ -1140,3 +1140,32 @@ def test_orc_ingest_filtered_scan_pushdown(spark, tmp_path):
     df = srcq.orc_filtered_scan(spark, SF_DIR, dst)
     plans.assert_pushed_filters(df, "n_chars")
     plans.assert_read_schema_excludes(df, "text", "doc_id", "source")
+
+
+def test_curation_surgical_posture(spark):
+    """q_pipeline_curation_surgical (round 15): the surgical-cut
+    machinery moves hashes and ids only — every Exchange whose input
+    touches span/cut columns excludes document text and token
+    arrays; the cut ranges reach the crawl scan through a broadcast;
+    no Python, no cartesian/nested-loop stage in the composed
+    plan."""
+    import re
+
+    df = build(spark, "q_pipeline_curation_surgical")
+    plan = plans.plan_string(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
+    assert plans.count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    span_exchanges = 0
+    for block in re.split(r"\n\n", plan):
+        if re.match(
+            r"\(\d+\) (Exchange|BroadcastExchange)\b", block.strip()
+        ):
+            m = re.search(r"Input \[\d+\]: \[(.*)\]", block)
+            assert m, block
+            cols = m.group(1)
+            if "span_start#" in cols or "cluster#" in cols:
+                assert "text#" not in cols, block
+                assert "tk#" not in cols, block
+                span_exchanges += 1
+    assert span_exchanges >= 2, plan  # sref distinct + cut/common aggs
