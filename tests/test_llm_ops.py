@@ -986,3 +986,67 @@ def test_surgical_curation_saves_doc_quarantine_drops(spark, tmp_path):
             g = got[w["lang"]]
             for col in want.columns:
                 assert g[col] == w[col], (key, col)
+
+
+def test_winnow_hof_equals_reference_model(spark, tmp_path):
+    """Differential pin for the round-15 MAP-SIDE winnow build: on a
+    corpus of edge-geometry documents (exactly K tokens = one span;
+    K-1 = no spans; exactly W spans = one full window; W±1; a long
+    doc; multi-whitespace separators; duplicate window minima), the
+    HOF anchor table must equal an independent pure-Python
+    recomputation of the winnowing definition position for position —
+    not just satisfy the coverage guarantee."""
+    import hashlib
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.operators import dedup as dd
+
+    K, W = dd._SPAN_K, dd._WINNOW_W
+    rng_words = [f"w{i % 13}_{i % 7}" for i in range(200)]
+    texts = {
+        1: " ".join(rng_words[:K]),            # one span
+        2: " ".join(rng_words[: K - 1]),       # below span threshold
+        3: " ".join(rng_words[: K + W - 1]),   # exactly W spans
+        4: " ".join(rng_words[: K + W - 2]),   # W-1 spans (short doc)
+        5: " ".join(rng_words[: K + W]),       # W+1 spans (2 windows)
+        6: " ".join(rng_words[:90]),           # long doc
+        7: "a b\tc\nd e f g h i j k l\fm n\ro p q",  # mixed whitespace
+        8: " ".join(["rep"] * (K + 2 * W)),    # constant tokens: all
+        #   clusters identical, min decided purely by position padding
+    }
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), type=pa.int64()),
+                "text": [texts[d] for d in sorted(texts)],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["cluster"])
+        for r in dd._winnow_anchor_table(spark, sf).collect()
+    }
+
+    want = set()
+    for d, tx in texts.items():
+        tk = _re.split("[ \t\n\f\r]+", tx)
+        n = len(tk) - K + 1
+        if n < 1:
+            continue
+        ss = [
+            hashlib.md5(
+                " ".join(tk[p - 1 : p - 1 + K]).encode()
+            ).hexdigest()
+            + ":"
+            + str(p).zfill(12)
+            for p in range(1, n + 1)
+        ]
+        for p in range(1, max(n - W + 1, 1) + 1):
+            m = min(ss[p - 1 : p - 1 + W])
+            want.add((d, int(m[33:]), m[:32]))
+    assert got == want
