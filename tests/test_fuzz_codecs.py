@@ -3393,3 +3393,45 @@ def test_foreign_compound_bigendian_members_v2_v3():
     assert dt3.fields["x"][0] == np.dtype(">f8")
     assert dt3.metadata["vlen_str_members"] == ("s",)
     assert dt3.metadata["ref_members"] == ("p",)
+
+
+def test_foreign_file_v3_compound_bigendian(tmp_path, monkeypatch):
+    """Fuzz round 8, file-level half of the BE-foreign-compound probe:
+    the message-parse test above checks _parse_dt in isolation; here a
+    whole FILE is written with the writer's compound emitter swapped
+    for a v3-emitting variant (compact names, minimal-width offsets —
+    the libver-latest shape a foreign writer produces) carrying
+    big-endian members, then read back through the untouched reader
+    stack — object-header walk, chunk B-tree, shuffle+deflate filters
+    and the member-wise byte-order normalization all composed."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    def dt_compound_v3(dtype):
+        names = dtype.names or ()
+        assert dtype.itemsize < 256  # 1-byte v3 offsets suffice here
+        body = b""
+        for n in names:
+            fdt, off = dtype.fields[n][0], dtype.fields[n][1]
+            body += n.encode() + b"\x00" + bytes([off])
+            body += hl._dt_body(fdt)
+        return struct.pack(
+            "<BBBBI", 0x36, len(names) & 0xFF,
+            (len(names) >> 8) & 0xFF, 0, dtype.itemsize,
+        ) + body
+
+    monkeypatch.setattr(hl, "_dt_compound", dt_compound_v3)
+    dt = np.dtype([("a", ">i4"), ("b", "<f8"), ("c", ">u2")])
+    arr = np.zeros(5, dt)
+    arr["a"] = [-3, 7, 2**30, -(2**31), 0]
+    arr["b"] = [0.5, -1.25, 3e9, 0.0, -0.0]
+    arr["c"] = [1, 65535, 256, 0, 513]
+    p = os.path.join(tmp_path, "v3_be_comp.h5")
+    hl.write_hdf5(
+        p, {"obs": arr}, {"obs": {"chunk": (2,), "compress": 4}}
+    )
+    r = hl.HDF5File(p).read("obs")
+    assert r.dtype == np.dtype(
+        [("a", "<i4"), ("b", "<f8"), ("c", "<u2")]
+    )
+    for name in ("a", "b", "c"):
+        np.testing.assert_array_equal(r[name], arr[name])
