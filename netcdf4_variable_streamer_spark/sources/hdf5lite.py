@@ -768,7 +768,8 @@ def _attr_envelope(
         body = _attr_body3(nb, dt, ds, data)
         if len(body) > 0xFFFF:
             raise ValueError(
-                f"attribute {nb[:-1].decode()!r}: {len(body)}-byte "
+                f"attribute {nb[:-1].decode('utf-8', 'replace')!r}: "
+                f"{len(body)}-byte "
                 "message exceeds a compact header message's 16-bit "
                 "size — dense attribute storage (libver='latest', "
                 "> 8 attributes on the object) is required"
@@ -778,7 +779,8 @@ def _attr_envelope(
     body += _pad8(nb) + _pad8(dt) + _pad8(ds) + data
     if len(body) > 0xFFFF:
         raise ValueError(
-            f"attribute {nb[:-1].decode()!r}: {len(body)}-byte "
+            f"attribute {nb[:-1].decode('utf-8', 'replace')!r}: "
+                f"{len(body)}-byte "
             "message exceeds a compact header message's 16-bit size "
             "— use libver='latest' with > 8 attributes on the object "
             "(dense storage)"
@@ -3467,7 +3469,7 @@ class HDF5File:
         lsz = 1 << (flags & 0x03)
         nlen = int.from_bytes(body[pos : pos + lsz], "little")
         pos += lsz
-        name = body[pos : pos + nlen].decode()
+        name = body[pos : pos + nlen].decode("utf-8", "replace")
         pos += nlen
         if ltype != 0:
             return None  # soft/external link: skip
@@ -3670,7 +3672,7 @@ class HDF5File:
                 f"{self.path}: unterminated local-heap name at "
                 f"offset {seg + offset} — file truncated or corrupt"
             )
-        return bytes(b[seg + offset : end]).decode()
+        return bytes(b[seg + offset : end]).decode("utf-8", "replace")
 
     def _walk_group(self, bt_addr: int, heap_addr: int):
         """Yield (name, object_header_addr) from a v1 group B-tree."""
@@ -3706,7 +3708,9 @@ class HDF5File:
         if ver == 3:
             pos += 1  # character-set encoding byte
         pad = ver == 1  # v1 pads name/dt/ds to 8; v2/v3 do not
-        name = body[pos : pos + name_sz].split(b"\x00")[0].decode()
+        name = body[pos : pos + name_sz].split(b"\x00")[0].decode(
+            "utf-8", "replace"
+        )
         pos += -(-name_sz // 8) * 8 if pad else name_sz
         dt = _parse_dt(body[pos : pos + dt_sz])
         pos += -(-dt_sz // 8) * 8 if pad else dt_sz
@@ -3715,7 +3719,7 @@ class HDF5File:
         if isinstance(dt, str):  # fixed string
             n = int(dt[1:])
             raw = body[pos : pos + n]
-            return name, raw.split(b"\x00")[0].decode()
+            return name, raw.split(b"\x00")[0].decode("utf-8", "replace")
         count = int(np.prod(shape, dtype=np.int64)) if shape else 1
         if isinstance(dt, tuple):
             if dt == ("vlen_str",):

@@ -3506,3 +3506,62 @@ def test_szip_decode_bitflip_never_crash(flip, nbits):
         return
     assert len(got) == n
     assert all(0 <= v < (1 << nbits) for v in got)
+
+
+def test_hdf5_corrupt_link_name_no_unicode_crash(tmp_path):
+    """Fuzz round 8 (whole-file corruption sweep finding): a bit flip
+    inside a stored LINK NAME used to escape as UnicodeDecodeError
+    from the strict utf-8 decode — now every name decode follows the
+    codec's established ("utf-8", "replace") convention, so the file
+    still opens, the corrupted name simply no longer matches, and the
+    lookup misses with a clean KeyError while intact datasets read
+    exactly."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    p = os.path.join(tmp_path, "t.h5")
+    v = np.arange(12, dtype=np.int32).reshape(4, 3)
+    hl.write_hdf5(p, {"zq": v, "ok": np.arange(5, dtype=np.int16)}, {})
+    buf = bytearray(open(p, "rb").read())
+    hit = buf.find(b"zq\x00")
+    assert hit > 0
+    buf[hit] = 0xF3  # invalid UTF-8 lead byte inside the name
+    p2 = os.path.join(tmp_path, "c.h5")
+    open(p2, "wb").write(bytes(buf))
+    h = hl.HDF5File(p2)  # opening must not crash
+    np.testing.assert_array_equal(
+        h.read("ok"), np.arange(5, dtype=np.int16)
+    )
+    with pytest.raises(KeyError):
+        h.read("zq")
+
+
+@_SETTINGS
+@given(flip=st.integers(min_value=0, max_value=10_000_000))
+def test_hdf5_bitflip_refuses_cleanly(flip, tmp_path):
+    """Whole-file single-bit corruption sweep: reading a mutated HDF5
+    container must either succeed (the flip landed in padding/unused
+    space), refuse with ValueError (checksum/signature/structure
+    guards), or miss a renamed object with KeyError — never any other
+    exception class. A 4000-case offline sweep ran clean before this
+    bounded version was committed."""
+    import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
+
+    p = os.path.join(tmp_path, "t.h5")
+    v = (np.arange(60, dtype=np.int32) * 7 % 97).reshape(20, 3)
+    hl.write_hdf5(
+        p,
+        {"v": v, "s": np.array([b"ab", b"cd"], dtype="S2")},
+        {"v": {"chunk": (4, 3), "compress": 4}},
+    )
+    buf = bytearray(open(p, "rb").read())
+    pos = flip % (len(buf) * 8)
+    buf[pos // 8] ^= 1 << (pos % 8)
+    p2 = os.path.join(tmp_path, "c.h5")
+    open(p2, "wb").write(bytes(buf))
+    try:
+        h = hl.HDF5File(p2)
+        got = h.read("v")
+        assert got.shape == (20, 3)
+        h.read("s")
+    except (ValueError, KeyError):
+        pass
