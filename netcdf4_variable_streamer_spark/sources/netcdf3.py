@@ -528,7 +528,11 @@ class NetCDF3File:
         def read_name(pos: int) -> tuple[str, int]:
             n, pos = read_nn(pos)
             need(pos, _pad4(n))
-            name = header[pos : pos + n].decode("utf-8")
+            # "replace", not strict: a corrupt byte inside a stored
+            # name must surface as a name-lookup miss, never escape
+            # as UnicodeDecodeError (whole-file corruption sweep,
+            # fuzz round 8 — same convention as hdf5lite)
+            name = header[pos : pos + n].decode("utf-8", "replace")
             return name, pos + _pad4(n)
 
         def read_tag(pos: int) -> tuple[int, int, int]:
@@ -634,17 +638,21 @@ class NetCDF3File:
     def record_dim(self) -> str | None:
         return self._rec_dim
 
-    def _check_span(self, name: str, end: int) -> None:
-        """Refuse byte spans past EOF — a corrupted begin/vsize would
-        otherwise stretch the memmap view off the file and SIGBUS the
-        whole process (found by corruption fuzzing, round 5)."""
+    def _check_span(self, name: str, start: int, end: int) -> None:
+        """Refuse byte spans outside the file — a corrupted begin/
+        vsize past EOF would otherwise stretch the memmap view off
+        the file and SIGBUS the whole process (found by corruption
+        fuzzing, round 5), and a sign-flipped NEGATIVE begin would
+        seek-fail in read_fixed but SILENTLY slice from the file's
+        END in read_records' memmap path — wrong data, no error
+        (whole-file corruption sweep, fuzz round 8)."""
         import os
 
         size = os.path.getsize(self.path)
-        if end > size:
+        if start < 0 or end < start or end > size:
             raise ValueError(
-                f"{self.path}: {name}: data span ends at byte {end} "
-                f"but the file is {size} bytes — header corrupt or "
+                f"{self.path}: {name}: data span [{start}, {end}) "
+                f"outside the {size}-byte file — header corrupt or "
                 "file truncated"
             )
 
@@ -652,7 +660,7 @@ class NetCDF3File:
         v = self.variables[name]
         if v.is_record:
             raise ValueError(f"{name} is a record variable")
-        self._check_span(name, v.begin + v.slab_bytes)
+        self._check_span(name, v.begin, v.begin + v.slab_bytes)
         with open(self.path, "rb") as f:
             f.seek(v.begin)
             raw = f.read(v.slab_bytes)
@@ -674,6 +682,7 @@ class NetCDF3File:
             return np.empty((0, *v.shape), dtype=v.dtype)
         self._check_span(
             name,
+            v.begin + lo * self.recsize,
             v.begin + (hi - 1) * self.recsize + v.slab_bytes,
         )
         mm = np.memmap(self.path, dtype=np.uint8, mode="r")

@@ -3565,3 +3565,100 @@ def test_hdf5_bitflip_refuses_cleanly(flip, tmp_path):
         h.read("s")
     except (ValueError, KeyError):
         pass
+
+
+def test_netcdf3_negative_begin_refuses_both_paths(tmp_path):
+    """Fuzz round 8 (whole-file corruption sweep finding): a
+    sign-flipped NEGATIVE variable begin offset used to escape as
+    OSError from read_fixed's seek — and, far worse, read_records'
+    memmap path would have SILENTLY sliced from the file's END
+    (Python negative-index semantics) and returned wrong data with no
+    error. _check_span now refuses spans outside [0, filesize) on
+    both paths."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        write_netcdf3,
+    )
+
+    p = os.path.join(tmp_path, "t.nc")
+    write_netcdf3(
+        p, {"time": None, "x": 3},
+        {"temp": ("float32", ("time", "x")), "base": ("int32", ("x",))},
+        {"temp": np.arange(30, dtype="float32").reshape(10, 3),
+         "base": np.array([1, 2, 3], dtype="int32")},
+    )
+    h = NetCDF3File(p)
+    buf = bytearray(open(p, "rb").read())
+    for var in ("base", "temp"):
+        needle = struct.pack(">i", h.variables[var].begin)
+        hit = buf.find(needle)
+        assert hit > 0
+        b2 = bytearray(buf)
+        b2[hit] |= 0x80  # flip the sign bit of the begin offset
+        p2 = os.path.join(tmp_path, f"neg_{var}.nc")
+        open(p2, "wb").write(bytes(b2))
+        h2 = NetCDF3File(p2)
+        with pytest.raises(ValueError, match="outside the"):
+            if var == "base":
+                h2.read_fixed("base")
+            else:
+                h2.read_records("temp")
+
+
+def test_netcdf3_corrupt_name_no_unicode_crash(tmp_path):
+    """Sibling of the hdf5 link-name finding: a corrupt byte inside a
+    stored NetCDF-3 variable name must surface as a lookup miss
+    (KeyError), never escape as UnicodeDecodeError from a strict
+    utf-8 decode."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        write_netcdf3,
+    )
+
+    p = os.path.join(tmp_path, "t.nc")
+    write_netcdf3(
+        p, {"x": 3}, {"zq": ("int32", ("x",))},
+        {"zq": np.array([1, 2, 3], dtype="int32")},
+    )
+    buf = bytearray(open(p, "rb").read())
+    hit = buf.find(b"zq")
+    assert hit > 0
+    buf[hit] = 0xF3
+    p2 = os.path.join(tmp_path, "c.nc")
+    open(p2, "wb").write(bytes(buf))
+    h = NetCDF3File(p2)  # header parse must not crash
+    with pytest.raises(KeyError):
+        h.read_fixed("zq")
+
+
+@_SETTINGS
+@given(flip=st.integers(min_value=0, max_value=10_000_000))
+def test_netcdf3_bitflip_refuses_cleanly(flip, tmp_path):
+    """Whole-file single-bit corruption sweep for the NetCDF-3 codec:
+    reading a mutated file must succeed, refuse with ValueError, or
+    miss a renamed variable with KeyError — never any other exception
+    class. An 8000-case offline sweep ran clean before this bounded
+    version was committed."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        write_netcdf3,
+    )
+
+    p = os.path.join(tmp_path, "t.nc")
+    write_netcdf3(
+        p, {"time": None, "x": 3},
+        {"temp": ("float32", ("time", "x")), "base": ("int32", ("x",))},
+        {"temp": np.arange(30, dtype="float32").reshape(10, 3),
+         "base": np.array([1, 2, 3], dtype="int32")},
+    )
+    buf = bytearray(open(p, "rb").read())
+    pos = flip % (len(buf) * 8)
+    buf[pos // 8] ^= 1 << (pos % 8)
+    p2 = os.path.join(tmp_path, "c.nc")
+    open(p2, "wb").write(bytes(buf))
+    try:
+        h = NetCDF3File(p2)
+        h.read_fixed("base")
+        list(h.read_records("temp"))
+    except (ValueError, KeyError):
+        pass
