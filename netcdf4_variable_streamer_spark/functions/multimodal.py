@@ -48,6 +48,32 @@ def _fake_pixels(payload: bytes, shape=(8, 8, 3)) -> np.ndarray:
 import struct
 
 
+def _codec_guard(fmt: str):
+    """Normalize low-level parse failures on UNTRUSTED payload bytes
+    into the codec family's defined ValueError refusal. A truncated
+    header otherwise escapes as struct.error and a corrupt deflate
+    stream as zlib.error (whole-payload corruption sweep, fuzz round
+    8) — opaque task-killers inside the mapInPandas kernels instead
+    of the documented corrupt-payload contract."""
+
+    def deco(fn):
+        import functools
+        import zlib as _zlib
+
+        @functools.wraps(fn)
+        def wrapped(payload, *a, **kw):
+            try:
+                return fn(payload, *a, **kw)
+            except (struct.error, _zlib.error) as e:
+                raise ValueError(
+                    f"truncated or corrupt {fmt} payload: {e}"
+                ) from e
+
+        return wrapped
+
+    return deco
+
+
 def encode_bmp(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes
     (bottom-up rows, BGR channel order, rows padded to 4 bytes)."""
@@ -66,6 +92,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+@_codec_guard("BMP")
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB.
     Handles bottom-up (height > 0) and top-down (height < 0) row order
@@ -98,6 +125,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+@_codec_guard("PPM")
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6) bytes → (h, w, 3) uint8 RGB. Handles comment
     lines and arbitrary whitespace in the header per the netpbm spec."""
@@ -301,6 +329,7 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
+@_codec_guard("WAV")
 def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM16 WAV bytes → (1-D int16 samples, sample_rate). Walks the
     RIFF chunk list (fmt may be followed by LIST/fact/cue chunks before
@@ -392,6 +421,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_codec_guard("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """Non-interlaced 8-bit PNG bytes → (h, w, channels) uint8. Handles
     all five row filters (None/Sub/Up/Average/Paeth); Sub and Up are

@@ -3662,3 +3662,56 @@ def test_netcdf3_bitflip_refuses_cleanly(flip, tmp_path):
         list(h.read_records("temp"))
     except (ValueError, KeyError):
         pass
+
+
+def test_multimodal_codecs_refuse_cleanly():
+    """Fuzz round 8 (payload corruption sweep finding): the BMP / PPM
+    / PNG / WAV decoders parse UNTRUSTED binary columns inside
+    mapInPandas kernels — a truncated header used to escape as
+    struct.error and a corrupt PNG deflate stream as zlib.error,
+    opaque task-killers instead of the documented corrupt-payload
+    ValueError. Deterministic worst offenders from the sweep, plus a
+    400-case mutation spot-sweep per codec asserting only
+    ValueError / NotImplementedError ever surface."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    wav = mm.encode_wav_pcm16(
+        rng.randint(-3000, 3000, 64).astype(np.int16)
+    )
+    png = mm.encode_png(img)
+    # deterministic regressions: the exact shapes that leaked
+    with pytest.raises(ValueError, match="truncated or corrupt BMP"):
+        mm.decode_bmp(mm.encode_bmp(img)[:12])  # header cut short
+    with pytest.raises(ValueError, match="truncated or corrupt WAV"):
+        mm.decode_wav_pcm16(wav[:20])  # mid-fmt-chunk truncation
+    bad_png = bytearray(png)
+    bad_png[373 // 8 if len(png) > 47 else 40] ^= 0x20  # corrupt IDAT
+    try:
+        mm.decode_png(bytes(bad_png))
+    except (ValueError, NotImplementedError):
+        pass
+    # mutation spot-sweep across all four codecs
+    cases = [
+        (mm.decode_bmp, mm.encode_bmp(img)),
+        (mm.decode_ppm, mm.encode_ppm(img)),
+        (mm.decode_png, png),
+        (lambda b: mm.decode_wav_pcm16(b), wav),
+    ]
+    for dec, payload in cases:
+        for _ in range(100):
+            pos = rng.randint(0, len(payload) * 8)
+            b2 = bytearray(payload)
+            b2[pos // 8] ^= 1 << (pos % 8)
+            try:
+                dec(bytes(b2))
+            except (ValueError, NotImplementedError):
+                pass
+            for n in (0, 7, len(payload) // 2):
+                try:
+                    dec(bytes(payload[:n]))
+                except (ValueError, NotImplementedError):
+                    pass
