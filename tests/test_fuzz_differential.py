@@ -286,3 +286,83 @@ def test_window_differential(win_ctx, part, fn, frame_lo):
     opdf = con.execute(sql).fetchdf()
     spdf = e.select("event_id", expr.alias("win_val")).toPandas()
     oracle_mod.compare_frames(spdf, opdf, f"fuzz-win[{fn}|{part}|{frame_lo}]")
+
+
+# ---------------------------------------------------------------------------
+# Round 15: random-corpus differential for the substring-span family.
+# The driver checks these keys on the FIXED fixtures; this property runs
+# the exact-span, verified-rewrite and winnowed-anchor keys on RANDOM
+# corpora drawn over a 2-token alphabet (so k-token repeats arise
+# naturally), with NULL-text, empty, sub-threshold and mixed-whitespace
+# documents injected — the cross-engine edges (tokenizer class, span
+# grid, keep-first ranking, islands merge, window minima) under inputs
+# nobody hand-picked.
+# ---------------------------------------------------------------------------
+
+_SPAN_FUZZ_KEYS = [
+    "q_dedup_substring_spans",
+    "q_dedup_substring_rewrite",
+    "q_dedup_substring_winnow",
+]
+
+
+@st.composite
+def _span_corpus(draw):
+    n_docs = draw(st.integers(3, 7))
+    docs = []
+    for i in range(n_docs):
+        kind = draw(st.integers(0, 9))
+        if kind == 0:
+            docs.append(None)  # NULL text
+        elif kind == 1:
+            docs.append("")  # empty
+        elif kind == 2:
+            docs.append("a b a")  # below the span threshold
+        else:
+            toks = draw(
+                st.lists(
+                    st.sampled_from(["a", "b"]),
+                    min_size=0,
+                    max_size=50,
+                )
+            )
+            sep = draw(st.sampled_from([" ", "  ", " \t", "\n"]))
+            docs.append(sep.join(toks))
+    return docs
+
+
+@given(docs=_span_corpus(), key=st.sampled_from(_SPAN_FUZZ_KEYS))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_family_random_corpus_differential(
+    spark, tmp_path_factory, docs, key
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+    sf = str(tmp_path_factory.mktemp("spanfuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    range(1, len(docs) + 1), type=pa.int64()
+                ),
+                # explicit type: an all-NULL draw must not degrade
+                # the column to the null type (unreadable as text)
+                "text": pa.array(docs, type=pa.string()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    got = REGISTRY[key].builder(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(REGISTRY[key].oracle).df()
+    oracle_mod.compare_frames(got, want, f"spanfuzz:{key}")
