@@ -3715,3 +3715,45 @@ def test_multimodal_codecs_refuse_cleanly():
                     dec(bytes(payload[:n]))
                 except (ValueError, NotImplementedError):
                     pass
+
+
+def test_netcdf3_torn_append_recovers(tmp_path):
+    """Fuzz round 8: the publish-then-patch append invariant under a
+    TORN append — a crash after the record bytes land but before the
+    4-byte numrecs patch leaves orphan bytes past the declared count.
+    A reader must see exactly the OLD records (never the orphans);
+    a subsequent append must position at the declared count,
+    OVERWRITE the orphan bytes, and leave the file byte-consistent
+    with a never-crashed history."""
+    from netcdf4_variable_streamer_spark.sources.netcdf3 import (
+        NetCDF3File,
+        append_records,
+        write_netcdf3,
+    )
+
+    p = os.path.join(tmp_path, "t.nc")
+    base = np.arange(9, dtype="int32").reshape(3, 3)
+    write_netcdf3(
+        p, {"time": None, "x": 3}, {"v": ("int32", ("time", "x"))},
+        {"v": base},
+    )
+    # torn append: do a real append, then un-publish the count
+    orphan = np.full((2, 3), 77, dtype="int32")
+    append_records(p, {"v": orphan})
+    buf = bytearray(open(p, "rb").read())
+    buf[4:8] = struct.pack(">i", 3)  # crash before the patch
+    open(p, "wb").write(bytes(buf))
+
+    h = NetCDF3File(p)
+    assert h.numrecs == 3
+    np.testing.assert_array_equal(
+        np.concatenate(list(h.read_records("v"))).reshape(3, 3), base
+    )
+    # recovery append overwrites the orphan region
+    fresh = np.full((2, 3), 99, dtype="int32")
+    assert append_records(p, {"v": fresh}) == 5
+    h2 = NetCDF3File(p)
+    got = np.asarray(list(h2.read_records("v"))).reshape(5, 3)
+    np.testing.assert_array_equal(got[:3], base)
+    np.testing.assert_array_equal(got[3:], fresh)
+    assert not (got == 77).any()  # no orphan byte survived
