@@ -3757,3 +3757,43 @@ def test_netcdf3_torn_append_recovers(tmp_path):
     np.testing.assert_array_equal(got[:3], base)
     np.testing.assert_array_equal(got[3:], fresh)
     assert not (got == 77).any()  # no orphan byte survived
+
+
+def test_nc4_torn_append_recovers(tmp_path):
+    """Fuzz round 8, HDF5-container twin of the torn-append test: a
+    crash between pwrite_records_nc4 and _patch_extents leaves chunk
+    bytes on disk past the published extent. Readers must see exactly
+    the OLD records; a recovery append positions at the published
+    extent, overwrites the orphan chunks, and the final file reads as
+    a never-crashed history."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        NetCDF4View,
+        append_records_nc4,
+        create_netcdf4_tail,
+        pwrite_records_nc4,
+    )
+
+    p = os.path.join(tmp_path, "t.nc4")
+    base = np.arange(9, dtype="int32").reshape(3, 3)
+    create_netcdf4_tail(
+        p,
+        dims={"time": None, "x": 3},
+        variables={"v": ("int32", ("time", "x"))},
+        capacity=16,
+    )
+    assert append_records_nc4(p, {"v": base}) == 3
+    # the torn append: orphan chunk bytes land, extent never published
+    pwrite_records_nc4(
+        p, {"v": np.full((2, 3), 77, dtype="int32")}, 3
+    )
+    v = NetCDF4View(p)
+    assert v.numrecs == 3
+    np.testing.assert_array_equal(v.read_records("v", 0, 3), base)
+    # recovery append overwrites the orphans
+    fresh = np.full((2, 3), 99, dtype="int32")
+    assert append_records_nc4(p, {"v": fresh}) == 5
+    v2 = NetCDF4View(p)
+    got = v2.read_records("v", 0, 5)
+    np.testing.assert_array_equal(got[:3], base)
+    np.testing.assert_array_equal(got[3:], fresh)
+    assert not (got == 77).any()
