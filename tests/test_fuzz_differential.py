@@ -366,3 +366,89 @@ def test_substring_family_random_corpus_differential(
     )
     want = con.execute(REGISTRY[key].oracle).df()
     oracle_mod.compare_frames(got, want, f"spanfuzz:{key}")
+
+
+# ---------------------------------------------------------------------------
+# Round 15: random-corpus differential for the batch curation
+# composites. These chain every cross-engine hazard the repo documents
+# — fixed-point LN scoring, integer-ppm ratios, truncated-division
+# cutoffs, hashed-classifier buckets, keep-first dedup — so random
+# corpora (two languages, natural repeats, reference/crawl split,
+# NULL/empty/whitespace edges) are the right stress for the seams
+# between stages that the fixed fixtures cannot move.
+# ---------------------------------------------------------------------------
+
+_CURATION_FUZZ_KEYS = [
+    "q_pipeline_curation_full",
+    "q_pipeline_curation_surgical",
+]
+
+
+@st.composite
+def _curation_corpus(draw):
+    rows = []
+    # reference side: doc_id < 400
+    for i in range(draw(st.integers(2, 4))):
+        toks = draw(
+            st.lists(st.sampled_from(["a", "b", "c"]), max_size=40)
+        )
+        rows.append((1 + i, draw(st.sampled_from(["en", "de"])),
+                     " ".join(toks)))
+    # crawl side: doc_id >= 400, with occasional NULL/empty/dup docs
+    n_crawl = draw(st.integers(3, 8))
+    for i in range(n_crawl):
+        kind = draw(st.integers(0, 9))
+        lang = draw(st.sampled_from(["en", "de"]))
+        if kind == 0:
+            rows.append((400 + i, lang, None))
+        elif kind == 1:
+            rows.append((400 + i, lang, ""))
+        elif kind == 2 and rows:
+            rows.append((400 + i, lang, rows[-1][2]))  # exact dup
+        else:
+            toks = draw(
+                st.lists(st.sampled_from(["a", "b", "c"]), max_size=40)
+            )
+            sep = draw(st.sampled_from([" ", "  "]))
+            rows.append((400 + i, lang, sep.join(toks)))
+    return rows
+
+
+@given(rows=_curation_corpus(), key=st.sampled_from(_CURATION_FUZZ_KEYS))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_curation_composites_random_corpus_differential(
+    spark, tmp_path_factory, rows, key
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+
+    sf = str(tmp_path_factory.mktemp("curfuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [d for d, _, _ in rows], type=pa.int64()
+                ),
+                "lang": pa.array(
+                    [la for _, la, _ in rows], type=pa.string()
+                ),
+                "text": pa.array(
+                    [t for _, _, t in rows], type=pa.string()
+                ),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    got = REGISTRY[key].builder(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(REGISTRY[key].oracle).df()
+    oracle_mod.compare_frames(got, want, f"curfuzz:{key}")
