@@ -2059,6 +2059,36 @@ def _rewrite_kept(
     (NULL for untouched docs). ``extra_cols`` carries additional
     document columns (e.g. ``lang``) through the map stage so
     consumers never need a second documents join."""
+    cuts_per_doc = _cut_ranges_per_doc(cut)
+    # NULL-text docs are omitted, matching the oracle (whose
+    # position CTE yields no rows for a NULL token array and whose
+    # inner join then drops the doc); without this pin Spark would
+    # emit a row of NULLs where DuckDB emits none.
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", *extra_cols, F.split("text", _SPAN_WS).alias("tk")
+    )
+    return docs.join(
+        F.broadcast(cuts_per_doc), "doc_id", "left"
+    ).withColumn("kept", _kept_expr())
+
+
+def _kept_expr():
+    """The rewrite map stage's position filter (shared by the
+    broadcast and bucketed physicalizations)."""
+    return F.expr(
+        "CASE WHEN cuts IS NULL THEN tk ELSE filter(tk, "
+        "(x, i) -> NOT exists(cuts, c -> i + 1 >= "
+        "c.range_start AND i + 1 < c.range_end)) END"
+    )
+
+
+def _cut_ranges_per_doc(cut: DataFrame) -> DataFrame:
+    """Merge CUT occurrences into maximal disjoint per-doc ranges
+    (gaps-and-islands over cut positions only — duplication-
+    proportional) and collect them per doc: (doc_id, cuts
+    array<struct<range_start,range_end>>, n_ranges)."""
     K = _SPAN_K
     wdoc = Window.partitionBy("doc_id").orderBy("span_start")
     marked = cut.withColumn(
@@ -2086,30 +2116,11 @@ def _rewrite_kept(
             (F.max("span_start") + K).alias("range_end"),
         )
     )
-    cuts_per_doc = ranges.groupBy("doc_id").agg(
+    return ranges.groupBy("doc_id").agg(
         F.collect_list(F.struct("range_start", "range_end")).alias(
             "cuts"
         ),
         F.count(F.lit(1)).alias("n_ranges"),
-    )
-    # NULL-text docs are omitted, matching the oracle (whose
-    # position CTE yields no rows for a NULL token array and whose
-    # inner join then drops the doc); without this pin Spark would
-    # emit a row of NULLs where DuckDB emits none.
-    if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
-    docs = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", *extra_cols, F.split("text", _SPAN_WS).alias("tk")
-    )
-    return docs.join(
-        F.broadcast(cuts_per_doc), "doc_id", "left"
-    ).withColumn(
-        "kept",
-        F.expr(
-            "CASE WHEN cuts IS NULL THEN tk ELSE filter(tk, "
-            "(x, i) -> NOT exists(cuts, c -> i + 1 >= "
-            "c.range_start AND i + 1 < c.range_end)) END"
-        ),
     )
 
 
@@ -2122,9 +2133,15 @@ def _rewrite_emit(
     """The verified-rewrite projection over :func:`_rewrite_kept`:
     before/after token counts, merged-range count, and the rewritten
     text's md5, one row per non-NULL-text document."""
+    return _rewrite_project(_rewrite_kept(spark, sf_dir, cut, docs))
+
+
+def _rewrite_project(kept: DataFrame) -> DataFrame:
+    """The canonical verified-rewrite output over a (doc_id, tk,
+    kept, n_ranges) frame — shared by the broadcast and bucketed
+    physicalizations."""
     return (
-        _rewrite_kept(spark, sf_dir, cut, docs)
-        .select(
+        kept.select(
             "doc_id",
             F.size("tk").cast("long").alias("n_tokens_before"),
             F.coalesce(F.col("n_ranges"), F.lit(0))
@@ -2216,9 +2233,10 @@ ORDER BY rw.doc_id
 _REWRITE_TAIL_SQL = _rewrite_tail_sql()
 
 
-@register(
-    "q_dedup_substring_rewrite",
-    oracle=f"""
+# the exact-rewrite oracle, shared verbatim by the broadcast key and
+# its bucketed sort-merge twin (identical semantics, different join
+# physicalization)
+_REWRITE_ORACLE = f"""
 WITH {_SPAN_CTE_SQL},
 stats AS (
   SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs,
@@ -2234,7 +2252,12 @@ qual AS (
 ),
 cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
 {_REWRITE_TAIL_SQL}
-""",
+"""
+
+
+@register(
+    "q_dedup_substring_rewrite",
+    oracle=_REWRITE_ORACLE,
     doc="SUBSTRING-DEDUP REWRITE (round 14, VERDICT r13 #2) — the "
         "third step of the Lee et al. ExactSubstr recipe and the one "
         "production pipelines actually ship: CUT the repeated token "
@@ -2255,8 +2278,10 @@ cut AS (SELECT doc_id, span_start FROM qual WHERE rn > 1),
         "FINAL map-side reassembly straight off the scan and never an "
         "exchange (plan-enforced); the ranges side is proportional to "
         "detected duplication, so the broadcast is duplication-sized, "
-        "not corpus-sized (at 100 TB, fall back to a doc_id-bucketed "
-        "sort-merge join — the map stage is unchanged). Whitespace is "
+        "not corpus-sized (at 100 TB, fall back to the doc_id-"
+        "bucketed sort-merge join that "
+        "q_dedup_substring_rewrite_bucketed implements — the map "
+        "stage is unchanged). Whitespace is "
         "normalized to single spaces by the rewrite (the tokenizer's "
         "documented contract).",
 )
@@ -2707,3 +2732,96 @@ def q_dedup_substring_decontam_anchored(
         "doc_id", "span_start"
     )
     return _rewrite_emit(spark, sf_dir, cut, docs=crawl)
+
+
+@register(
+    "q_dedup_substring_rewrite_bucketed",
+    oracle=_REWRITE_ORACLE,
+    doc="BUCKETED substring rewrite (round 15) — the exact rewrite "
+        "key's documented 100 TB fallback MADE REAL instead of "
+        "narrated: when the cut-range table outgrows a broadcast "
+        "(massive duplication), the reassembly becomes a doc_id-"
+        "bucketed SORT-MERGE join against a documents copy written "
+        "bucketBy(doc_id)+sortBy(doc_id) ONCE at ingest — the "
+        "storage layout q_join_bucketed demonstrates, applied to "
+        "the one place the rewrite family still leaned on broadcast "
+        "hope. Semantics identical to q_dedup_substring_rewrite "
+        "(same oracle string, keep-first policy, range merge, "
+        "verified md5/counts); only the join physicalization "
+        "changes: the ranges side shuffles (doc_id, ranges) to the "
+        "bucket layout while the documents side is read IN PLACE "
+        "per bucket, pre-sorted — so document text STILL never "
+        "enters an Exchange [asserted in-key on the composed plan: "
+        "every Exchange input excludes text/tk, and >=1 "
+        "SortMergeJoin is present], which is precisely why this is "
+        "the correct shape when broadcast is off the table. The "
+        "span detection side also reads the bucketed copy (one "
+        "ingest copy serves every stage). The bucketed write here "
+        "is per-invocation because the fixture has no standing "
+        "catalog; production pays it once at ingest.",
+)
+def q_dedup_substring_rewrite_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from netcdf4_variable_streamer_spark.plans.inspect import (
+        count_nodes,
+        plan_string,
+    )
+    from netcdf4_variable_streamer_spark.sources.queries import SCRATCH
+
+    tag = _uuid.uuid4().hex[:8]
+    db = f"rwb_{tag}"
+    loc = os.path.join(SCRATCH, f"rwbdb_{tag}")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(8, F.col("doc_id"))
+            .write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .option("path", os.path.join(loc, "documents_b"))
+            .mode("overwrite")
+            .saveAsTable(f"{db}.documents_b")
+        )
+        docs_b = spark.table(f"{db}.documents_b")
+        spans = _span_table(docs_b.select("doc_id", "text"))
+        stats = _cluster_stats(spans)
+        cuts_per_doc = _cut_ranges_per_doc(
+            _keep_first_cut(spans, stats)
+        )
+        toks = docs_b.filter(F.col("text").isNotNull()).select(
+            "doc_id", F.split("text", _SPAN_WS).alias("tk")
+        )
+        # shuffle the duplication-sized ranges side INTO the bucket
+        # layout (8-way doc_id hash, matching the table's bucket
+        # spec) — without this Spark aligns partition counts by
+        # re-shuffling the BUCKETED side up to shuffle.partitions,
+        # which would put text back in an Exchange and defeat the
+        # whole layout
+        ranges8 = cuts_per_doc.repartition(8, F.col("doc_id"))
+        out = _rewrite_project(
+            toks.join(ranges8.hint("merge"), "doc_id", "left")
+            .withColumn("kept", _kept_expr())
+        )
+        rows = out.collect()
+        plan = plan_string(out)
+        assert count_nodes(plan, "SortMergeJoin") >= 1, plan
+        import re as _re
+
+        for block in _re.split(r"\n\n", plan):
+            if _re.match(
+                r"\(\d+\) (Exchange|BroadcastExchange)\b",
+                block.strip(),
+            ):
+                m = _re.search(r"Input \[\d+\]: \[(.*)\]", block)
+                assert m, block
+                assert "text#" not in m.group(1), block
+                assert "tk#" not in m.group(1), block
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)

@@ -76,6 +76,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_substring_decontam_anchored",
     "src_orc_ingest",
     "q_pipeline_curation_surgical",
+    "q_dedup_substring_rewrite_bucketed",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",
