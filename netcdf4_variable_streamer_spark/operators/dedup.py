@@ -2807,7 +2807,6 @@ def q_dedup_substring_rewrite_bucketed(
             toks.join(ranges8.hint("merge"), "doc_id", "left")
             .withColumn("kept", _kept_expr())
         )
-        rows = out.collect()
         plan = plan_string(out)
         assert count_nodes(plan, "SortMergeJoin") >= 1, plan
         import re as _re
@@ -2821,7 +2820,13 @@ def q_dedup_substring_rewrite_bucketed(
                 assert m, block
                 assert "text#" not in m.group(1), block
                 assert "tk#" not in m.group(1), block
-        return spark.createDataFrame(rows, out.schema)
+        # localCheckpoint, NOT collect: the result must outlive the
+        # fixture-lifecycle DROP of the temp bucketed database, but a
+        # driver-side collect would be corpus-sized at scale —
+        # executor-block materialization cuts the lineage at executor
+        # parallelism instead (production keeps the bucketed table
+        # and returns the lazy frame; none of this block exists)
+        return out.localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(loc, ignore_errors=True)
