@@ -1007,13 +1007,39 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
     with overwrite, so a replayed micro-batch (failure after the state
     write but before the checkpoint commit) is idempotent — the
     exactly-once story is (versioned paths + overwrite), not the
-    checkpoint alone."""
+    checkpoint alone.
+
+    Round 15: state versions count only once their ``commit_v{N}``
+    marker exists — written LAST, after both the bands and shingle
+    tables — mirroring the curation loop's protocol (ADVICE r13 #3 /
+    r14 class): the old ``bands_v*``-keyed scan could select a
+    version whose sibling ``sh_v`` table a crash left missing (loud)
+    or mid-commit (silently partial under a v2 committer). Pre-marker
+    run_dirs backfill markers for every version whose bands/sh pair
+    is complete on first open."""
     from netcdf4_variable_streamer_spark.operators.dedup import (
         MAX_BUCKET,
         _incremental_decisions,
         _minhash_band_table,
         _shingled,
     )
+
+    for _p in os.listdir(run_dir):
+        if not _p.startswith("bands_v"):
+            continue
+        _v = _p[len("bands_v"):]
+        if not _v.isdigit():
+            continue
+        _marker = os.path.join(run_dir, f"commit_v{_v}")
+        if os.path.exists(_marker) or not all(
+            os.path.exists(
+                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
+            )
+            for _t in ("bands", "sh")
+        ):
+            continue
+        with open(_marker, "w"):
+            pass
 
     state: dict[str, str] = {}
     n_batches = [0]
@@ -1022,10 +1048,11 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
         n_batches[0] += 1
         if not state:
             prior = sorted(
-                int(p.split("_v")[1])
+                int(s)
                 for p in os.listdir(run_dir)
-                if p.startswith("bands_v")
-                and int(p.split("_v")[1]) < batch_id
+                if p.startswith("commit_v")
+                and (s := p[len("commit_v"):]).isdigit()
+                and int(s) < batch_id
             )
             if prior:
                 v = prior[-1]
@@ -1049,6 +1076,11 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
         sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
         new_bands.write.mode("overwrite").parquet(bands_dst)
         new_sh.write.mode("overwrite").parquet(sh_dst)
+        # commit marker LAST: the version becomes recoverable only
+        # once both tables are fully on disk; a crash before this
+        # line makes the replayed batch recompute them idempotently
+        with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
+            pass
         state["bands"], state["sh"] = bands_dst, sh_dst
 
     return crawl, n_batches

@@ -1058,3 +1058,74 @@ def test_curation_marker_without_state_fails_loud(spark, tmp_path):
         os.path.join(run_dir, "lm.json")
     ) == lm_mtime
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_crawl_loop_recovery_ignores_uncommitted_version(
+    spark, tmp_path
+):
+    """Round 15: the commit-marker protocol extended to the
+    incremental-dedup crawl loop (the same ADVICE r13 #3 class the
+    curation loop fixed): a crash AFTER bands_v1 lands but BEFORE
+    sh_v1 finishes leaves a torn state version. Recovery keyed on
+    markers must make a fresh closure fall back to version 0 and
+    recompute the replayed batch — the old bands_v*-keyed scan
+    selected the torn v1 and died (or silently read a partial
+    shingle table under a v2 committer). Pre-marker run_dirs
+    backfill markers for complete pairs, so old state keeps
+    working."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _INC_SPLIT,
+    )
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_two_batch_stream_dir(spark, SF_DIR, _INC_SPLIT)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, b)).to_pandas()
+        )
+        for b in ("0_index.parquet", "1_crawl.parquet")
+    ]
+    crawl, _n = sq.make_crawl_loop(spark, run_dir)
+    crawl(batches[0], 0)
+    assert os.path.exists(os.path.join(run_dir, "commit_v0"))
+    crawl(batches[1], 1)
+    assert os.path.exists(os.path.join(run_dir, "commit_v1"))
+    # simulate the crash: sh_v1 never finished, marker never written
+    os.remove(os.path.join(run_dir, "commit_v1"))
+    shutil.rmtree(os.path.join(run_dir, "sh_v1"))
+    # fresh closure (restart): the checkpoint replays batch 1 — it
+    # must recover v0, not the torn v1
+    crawl2, _n2 = sq.make_crawl_loop(spark, run_dir)
+    crawl2(batches[1], 1)
+    stream = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    batch = (
+        REGISTRY["q_dedup_minhash_incremental"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        stream.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+    # backfill path: a pre-marker run_dir (markers stripped) is
+    # recognized on next open — complete pairs get their markers back
+    for p in list(os.listdir(run_dir)):
+        if p.startswith("commit_v"):
+            os.remove(os.path.join(run_dir, p))
+    crawl3, _n3 = sq.make_crawl_loop(spark, run_dir)
+    assert os.path.exists(os.path.join(run_dir, "commit_v0"))
+    assert os.path.exists(os.path.join(run_dir, "commit_v1"))
+    shutil.rmtree(feed, ignore_errors=True)
