@@ -1268,7 +1268,7 @@ def src_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(dst, ignore_errors=True)
 
 
-def orc_filtered_scan(spark: SparkSession, sf_dir: str, dst: str):
+def orc_filtered_scan(spark: SparkSession, dst: str):
     """The src_orc_ingest filtered read as a plan-inspectable frame
     (the key itself collects driver-side rows, so the plan test
     builds this directly after writing the ORC copy)."""

@@ -1137,7 +1137,7 @@ def test_orc_ingest_filtered_scan_pushdown(spark, tmp_path):
     load_table(spark, SF_DIR, "documents").write.mode(
         "overwrite"
     ).option("compression", "zlib").orc(dst)
-    df = srcq.orc_filtered_scan(spark, SF_DIR, dst)
+    df = srcq.orc_filtered_scan(spark, dst)
     plans.assert_pushed_filters(df, "n_chars")
     plans.assert_read_schema_excludes(df, "text", "doc_id", "source")
 
