@@ -159,6 +159,8 @@ def decode_any(payload: bytes) -> np.ndarray | None:
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:4] == b"qoif":
+        return decode_qoi(payload)
     return None
 
 
@@ -386,6 +388,161 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
         + body
         + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
     )
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org — public-domain one-page spec):
+# a third REAL image codec alongside BMP/PPM/PNG. RGB and RGBA, the five
+# chunk ops (INDEX/DIFF/LUMA/RUN/RGB[A]), wrapping byte arithmetic, the
+# 64-entry hash index, and the 8-byte end marker — encode AND decode, so
+# round-trips pin the bitstream without any external library. The codec
+# is inherently per-pixel sequential (each op depends on the previous
+# pixel and the running index), so both directions are plain loops —
+# fine for the fixture-scale payload columns these kernels decode, and
+# honest about it; a production hot path would sit behind mapInPandas
+# exactly like the PNG codec, parallel across rows/batches.
+# ---------------------------------------------------------------------------
+
+
+def encode_qoi(arr: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 → QOI bytes (colorspace byte 0: sRGB)."""
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4) or arr.dtype != np.uint8:
+        raise ValueError("encode_qoi expects (h, w, 3|4) uint8")
+    h, w, c = arr.shape
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, c, 0)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    px = arr.reshape(-1, c)
+    run = 0
+    for i in range(px.shape[0]):
+        p = px[i]
+        cur = (int(p[0]), int(p[1]), int(p[2]),
+               int(p[3]) if c == 4 else 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if index[hidx] == cur:
+            out.append(hidx)
+        else:
+            index[hidx] = cur
+            if cur[3] == prev[3]:
+                dr = (cur[0] - prev[0]) % 256
+                dg = (cur[1] - prev[1]) % 256
+                db = (cur[2] - prev[2]) % 256
+                sr = dr - 256 if dr > 127 else dr
+                sg = dg - 256 if dg > 127 else dg
+                sb = db - 256 if db > 127 else db
+                if -2 <= sr <= 1 and -2 <= sg <= 1 and -2 <= sb <= 1:
+                    out.append(
+                        0x40 | ((sr + 2) << 4) | ((sg + 2) << 2)
+                        | (sb + 2)
+                    )
+                elif (
+                    -32 <= sg <= 31
+                    and -8 <= sr - sg <= 7
+                    and -8 <= sb - sg <= 7
+                ):
+                    out.append(0x80 | (sg + 32))
+                    out.append(((sr - sg + 8) << 4) | (sb - sg + 8))
+                else:
+                    out.append(0xFE)
+                    out += bytes(cur[:3])
+            else:
+                out.append(0xFF)
+                out += bytes(cur)
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+@_codec_guard("QOI")
+def decode_qoi(payload: bytes) -> np.ndarray:
+    """QOI bytes → (h, w, 3|4) uint8. Refuses truncated streams, a
+    pixel count that disagrees with the header, and a missing end
+    marker — the silent-desync shapes of a run-length format."""
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h, c, _cs = struct.unpack_from(">IIBB", payload, 4)
+    if c not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {c}")
+    n = w * h
+    if n > 50_000_000:
+        raise ValueError(f"QOI dimensions implausible: {w}x{h}")
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    pos, i, ln = 14, 0, len(payload)
+    while i < n:
+        if pos >= ln:
+            raise ValueError("QOI stream truncated mid-image")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0xFE:  # RGB
+            if pos + 3 > ln:
+                raise ValueError("QOI stream truncated in RGB op")
+            prev = (payload[pos], payload[pos + 1], payload[pos + 2],
+                    prev[3])
+            pos += 3
+        elif b0 == 0xFF:  # RGBA
+            if pos + 4 > ln:
+                raise ValueError("QOI stream truncated in RGBA op")
+            prev = (payload[pos], payload[pos + 1], payload[pos + 2],
+                    payload[pos + 3])
+            pos += 4
+        elif b0 >> 6 == 0:  # INDEX
+            prev = index[b0]
+        elif b0 >> 6 == 1:  # DIFF
+            prev = (
+                (prev[0] + ((b0 >> 4) & 3) - 2) % 256,
+                (prev[1] + ((b0 >> 2) & 3) - 2) % 256,
+                (prev[2] + (b0 & 3) - 2) % 256,
+                prev[3],
+            )
+        elif b0 >> 6 == 2:  # LUMA
+            if pos >= ln:
+                raise ValueError("QOI stream truncated in LUMA op")
+            dg = (b0 & 0x3F) - 32
+            b1 = payload[pos]
+            pos += 1
+            prev = (
+                (prev[0] + dg + ((b1 >> 4) & 0x0F) - 8) % 256,
+                (prev[1] + dg) % 256,
+                (prev[2] + dg + (b1 & 0x0F) - 8) % 256,
+                prev[3],
+            )
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            if i + run > n:
+                raise ValueError(
+                    f"QOI run of {run} overruns the {w}x{h} image"
+                )
+            out[i : i + run] = prev
+            i += run
+            index[
+                (prev[0] * 3 + prev[1] * 5 + prev[2] * 7
+                 + prev[3] * 11) % 64
+            ] = prev
+            continue
+        index[
+            (prev[0] * 3 + prev[1] * 5 + prev[2] * 7 + prev[3] * 11)
+            % 64
+        ] = prev
+        out[i] = prev
+        i += 1
+    if payload[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI end marker missing or malformed")
+    img = out.reshape(h, w, 4)
+    return img if c == 4 else img[:, :, :3].copy()
 
 
 def encode_png(arr: np.ndarray) -> bytes:

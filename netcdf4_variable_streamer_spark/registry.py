@@ -77,6 +77,7 @@ CANONICAL_ORDER: list[str] = [
     "src_orc_ingest",
     "q_pipeline_curation_surgical",
     "q_dedup_substring_rewrite_bucketed",
+    "q_multimodal_qoi_decode",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

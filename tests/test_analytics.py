@@ -108,7 +108,7 @@ NEW_KEYS = [
     "q_sample_budget_decontam", "q_stream_pipeline_curation_rewrite",
     "q_dedup_substring_decontam_anchored", "src_orc_ingest",
     "q_pipeline_curation_surgical",
-    "q_dedup_substring_rewrite_bucketed",
+    "q_dedup_substring_rewrite_bucketed", "q_multimodal_qoi_decode",
 ]
 
 

@@ -3695,10 +3695,14 @@ def test_multimodal_codecs_refuse_cleanly():
     except (ValueError, NotImplementedError):
         pass
     # mutation spot-sweep across all four codecs
+    qoi = mm.encode_qoi(
+        rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    )
     cases = [
         (mm.decode_bmp, mm.encode_bmp(img)),
         (mm.decode_ppm, mm.encode_ppm(img)),
         (mm.decode_png, png),
+        (mm.decode_qoi, qoi),
         (lambda b: mm.decode_wav_pcm16(b), wav),
     ]
     for dec, payload in cases:
