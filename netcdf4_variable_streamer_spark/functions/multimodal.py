@@ -161,6 +161,8 @@ def decode_any(payload: bytes) -> np.ndarray | None:
         return decode_ppm(payload)
     if payload[:4] == b"qoif":
         return decode_qoi(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)[0]  # first frame as the image
     return None
 
 
@@ -388,6 +390,268 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
         + body
         + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a, public spec): the REAL multi-frame format — with it the
+# video-frame-sampling story runs on actual bytes instead of synthetic
+# frame splits. Decode implements full LZW (dictionary rebuild, code
+# width growth, CLEAR/EOI), global + local color tables, interlace
+# deinterlacing, draw-over composition and GCE transparency; the
+# encoder emits literal LZW codes with periodic CLEAR resets (the
+# classic "uncompressed GIF" construction — spec-valid output any
+# standard decoder opens, no dictionary search needed). Refusals are
+# loud and named: >256-color frames (encode), restore-to-previous
+# disposal, truncated streams, LZW code references past the dictionary.
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(frames, delay_cs: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 (or a single (h, w, 3) frame) → animated
+    GIF89a bytes. All frames share one global palette built from the
+    union of their colors; more than 256 distinct colors refuses
+    (quantization needs a real imaging library)."""
+    fr = np.asarray(frames)
+    if fr.ndim == 3:
+        fr = fr[None]
+    if fr.ndim != 4 or fr.shape[3] != 3 or fr.dtype != np.uint8:
+        raise ValueError("encode_gif expects (n, h, w, 3) uint8")
+    n, h, w, _ = fr.shape
+    flat = fr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise NotImplementedError(
+            f"{colors.shape[0]} distinct colors need palette "
+            "quantization (requires an imaging library)"
+        )
+    depth = max(2, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    idx = inverse.reshape(n, h, w).astype(np.uint16)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4)
+                       | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop
+    mcs = depth  # LZW minimum code size
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    for f in range(n):
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 0, delay_cs, 0
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([mcs])
+        # literal-code LZW: CLEAR, then raw indices at mcs+1 bits,
+        # re-CLEARing before the decoder's dictionary would force a
+        # code-width change — every emitted code stays mcs+1 bits
+        bits = bytearray()
+        acc = clear
+        nacc = 0
+
+        codes = [clear]
+        room = (1 << mcs) - 2
+        row = idx[f].reshape(-1)
+        for i, v in enumerate(row):
+            if i and i % room == 0:
+                codes.append(clear)
+            codes.append(int(v))
+        codes.append(eoi)
+        acc = 0
+        nacc = 0
+        width = mcs + 1
+        for c in codes:
+            acc |= c << nacc
+            nacc += width
+            while nacc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            bits.append(acc & 0xFF)
+        for off in range(0, len(bits), 255):
+            chunk = bits[off : off + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+@_codec_guard("GIF")
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → (n_frames, h, w, 3) uint8 composed frames
+    (draw-over disposal; GCE-transparent pixels keep the canvas)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gn = 2 << (flags & 0x07)
+        gpal = np.frombuffer(
+            payload, np.uint8, gn * 3, pos
+        ).reshape(gn, 3)
+        pos += gn * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gpal is not None and bg < gpal.shape[0]:
+        canvas[:] = gpal[bg]
+
+    def at(p: int) -> int:
+        # every single-byte read goes through this bound check: a
+        # truncated stream must refuse, not escape as IndexError
+        # (found immediately by this codec's corruption sweep)
+        if p >= len(payload):
+            raise ValueError(
+                f"GIF stream truncated at byte {p} of {len(payload)}"
+            )
+        return payload[p]
+
+    frames = []
+    transparent = None
+    while True:
+        b0 = at(pos)
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = at(pos)
+            pos += 1
+            if label == 0xF9:  # graphic control
+                sz = at(pos)
+                gflags = at(pos + 1)
+                disposal = (gflags >> 2) & 0x07
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF restore-to-previous disposal unsupported"
+                    )
+                transparent = (
+                    at(pos + sz) if gflags & 0x01 else None
+                )
+                pos += sz + 1
+            while True:  # skip (or finish) sub-blocks
+                sz = at(pos)
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            continue
+        if b0 != 0x2C:
+            raise ValueError(
+                f"unknown GIF block 0x{b0:02x} at byte {pos - 1}"
+            )
+        fx, fy, fw, fh, iflags = struct.unpack_from(
+            "<HHHHB", payload, pos
+        )
+        pos += 9
+        pal = gpal
+        if iflags & 0x80:
+            ln = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload, np.uint8, ln * 3, pos
+            ).reshape(ln, 3)
+            pos += ln * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = at(pos)
+        pos += 1
+        data = bytearray()
+        while True:
+            sz = at(pos)
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(payload):
+                raise ValueError("GIF data sub-block truncated")
+            data += payload[pos : pos + sz]
+            pos += sz
+        indices = _gif_lzw_decode(bytes(data), mcs, fw * fh)
+        grid = np.asarray(indices, dtype=np.int32).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = []
+            for start, step in _GIF_INTERLACE:
+                rows.extend(range(start, fh, step))
+            de = np.empty_like(grid)
+            de[np.asarray(rows)] = grid
+            grid = de
+        if int(grid.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                "GIF pixel index outside the color table"
+            )
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = pal[grid[mask]]
+        else:
+            region[:] = pal[grid]
+        frames.append(canvas.copy())
+        transparent = None
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int):
+    """GIF-variant LZW: little-endian bit packing, code width grows
+    after the dictionary reaches 2^width (capped at 12 bits), CLEAR
+    resets, EOI terminates."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"GIF LZW minimum code size {mcs} invalid")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+    base = [(i,) for i in range(1 << mcs)] + [(), ()]
+    table = list(base)
+    prev = None
+    out = []
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(
+                    "GIF LZW stream truncated mid-image"
+                )
+            bits |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(
+                    f"GIF LZW first code {code} not in dictionary"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(
+                f"GIF LZW code {code} references past the "
+                f"{len(table)}-entry dictionary"
+            )
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW ended after {len(out)} of {n_pixels} pixels"
+        )
+    return out[:n_pixels]
 
 
 # ---------------------------------------------------------------------------

@@ -666,6 +666,111 @@ def q_multimodal_qoi_decode(
 
 
 @register(
+    "q_multimodal_gif_frames",
+    oracle="""
+WITH fr AS (
+  SELECT d.doc_id, f.f
+  FROM documents d,
+       UNNEST(generate_series(0, 1 + CAST(d.doc_id % 3 AS INTEGER)))
+         AS f(f)
+),
+px AS (
+  SELECT fr.doc_id, fr.f,
+         ((fr.doc_id * 7 + fr.f * 31 + yy.y * 5 + xx.x * 3
+           + cc.c * 11) % 4) * 60 AS v
+  FROM fr
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(5 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(SUM(v) AS BIGINT) AS frame_checksum
+FROM px
+GROUP BY doc_id, f
+ORDER BY doc_id, frame_idx
+""",
+    doc="REAL animated-GIF frame extraction (round 15) — the video-"
+        "frame-sampling story on actual bytes: a pure-NumPy GIF89a "
+        "codec (functions.multimodal.encode_gif/decode_gif — full "
+        "LZW decode with dictionary rebuild, code-width growth and "
+        "CLEAR/EOI handling; global+local color tables; interlace "
+        "deinterlacing; draw-over composition; GCE transparency; the "
+        "encoder emits the spec-valid literal-code construction any "
+        "standard decoder opens). Each document carries a 2-4 frame "
+        "6x5 animation with closed-form pixels; decode explodes one "
+        "row per frame with an exact integer checksum the oracle "
+        "regenerates in SQL — an LZW slip, palette reorder, frame "
+        "miscount or composition error all hash-mismatch. Refusals "
+        "are loud and named (truncation at any byte, LZW codes past "
+        "the dictionary, run overruns, restore-to-previous "
+        "disposal); swept with 9k mutated/truncated/random payloads. "
+        "Scale shape: one Arrow-batched mapInPandas per side, rows = "
+        "docs x frames, zero shuffles — the exploding-frame contract "
+        "q_multimodal_frame_sample stubs is here real end to end.",
+)
+def q_multimodal_gif_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    H, W, C = 6, 5, 3
+    ys, xs, cs = np.indices((H, W, C))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 2 + int(d) % 3
+                frames = np.stack(
+                    [
+                        (
+                            (int(d) * 7 + f * 31 + ys * 5 + xs * 3
+                             + cs * 11) % 4
+                        ).astype(np.uint8) * 60
+                        for f in range(n)
+                    ]
+                )
+                payloads.append(encode_gif(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_gif(bytes(payload))
+                for i, img in enumerate(frames):
+                    h, w, _ = img.shape
+                    rows.append(
+                        (d, i, w, h, int(img.astype(np.int64).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "frame_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, frame_idx int, width int, height int, "
+        "frame_checksum long",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "q_multimodal_audio_vad",
     oracle="""
 WITH s AS (

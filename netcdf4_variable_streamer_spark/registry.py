@@ -78,6 +78,7 @@ CANONICAL_ORDER: list[str] = [
     "q_pipeline_curation_surgical",
     "q_dedup_substring_rewrite_bucketed",
     "q_multimodal_qoi_decode",
+    "q_multimodal_gif_frames",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

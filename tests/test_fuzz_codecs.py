@@ -3698,11 +3698,15 @@ def test_multimodal_codecs_refuse_cleanly():
     qoi = mm.encode_qoi(
         rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
     )
+    gif = mm.encode_gif(
+        (rng.randint(0, 5, size=(2, 8, 8, 3)) * 50).astype(np.uint8)
+    )
     cases = [
         (mm.decode_bmp, mm.encode_bmp(img)),
         (mm.decode_ppm, mm.encode_ppm(img)),
         (mm.decode_png, png),
         (mm.decode_qoi, qoi),
+        (mm.decode_gif, gif),
         (lambda b: mm.decode_wav_pcm16(b), wav),
     ]
     for dec, payload in cases:

@@ -1098,3 +1098,49 @@ def test_qoi_codec_roundtrip():
     )
     (out,) = list(mm.decode_image_batches(iter([payloads])))
     assert out.loc[0, "width"] == 5 and out.loc[0, "n_channels"] == 4
+
+
+def test_gif_codec_roundtrip():
+    """The pure-NumPy GIF89a codec is REAL (round 15): animated
+    round-trips are exact (multi-frame, non-gray palettes, the full
+    256-color boundary, 1x1, frames wide enough to split 255-byte
+    sub-blocks and re-CLEAR the literal-code LZW stream), >256
+    distinct colors refuses by name, and the magic dispatch returns
+    the first frame as a plain image."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = (
+        rng.randint(0, 6, size=(4, 9, 11, 1)).astype(np.uint8) * 40
+    ).repeat(3, axis=3)
+    got = mm.decode_gif(mm.encode_gif(frames))
+    assert got.shape == (4, 9, 11, 3)
+    assert (got == frames).all()
+    colored = rng.randint(0, 5, size=(2, 16, 16, 3)).astype(
+        np.uint8
+    ) * 50
+    assert (mm.decode_gif(mm.encode_gif(colored)) == colored).all()
+    base = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([base, base // 2, base // 3], axis=2).astype(
+        np.uint8
+    )
+    assert (mm.decode_gif(mm.encode_gif(img))[0] == img).all()
+    tiny = np.zeros((1, 1, 3), np.uint8)
+    assert (mm.decode_gif(mm.encode_gif(tiny))[0] == tiny).all()
+    wide = rng.randint(0, 3, size=(40, 40, 3)).astype(np.uint8) * 80
+    assert (mm.decode_gif(mm.encode_gif(wide))[0] == wide).all()
+    with _pytest.raises(NotImplementedError, match="distinct colors"):
+        mm.encode_gif(
+            rng.randint(0, 256, size=(1, 32, 32, 3)).astype(np.uint8)
+        )
+    payloads = pd.DataFrame(
+        {"doc_id": [1], "payload": [mm.encode_gif(colored)]}
+    )
+    (out,) = list(mm.decode_image_batches(iter([payloads])))
+    assert out.loc[0, "width"] == 16 and out.loc[0, "height"] == 16
