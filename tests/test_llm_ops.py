@@ -1144,3 +1144,91 @@ def test_gif_codec_roundtrip():
     )
     (out,) = list(mm.decode_image_batches(iter([payloads])))
     assert out.loc[0, "width"] == 16 and out.loc[0, "height"] == 16
+
+
+def test_gif_decodes_foreign_compressed_lzw(tmp_path):
+    """The in-repo GIF encoder deliberately emits only literal LZW
+    codes, so this differential drives the decoder with a FOREIGN-
+    style stream: an independent, test-local LZW compressor (real
+    dictionary growth, code-width bumps, the 12-bit cap) compresses
+    patterns chosen to hit the KwKwK edge (code == next table slot —
+    the classic LZW corner) and long repeats; hand-assembled GIF
+    bytes around it must decode to exactly the source pixels."""
+    import numpy as np
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    def ref_lzw_compress(indices, mcs):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table = {(i,): i for i in range(1 << mcs)}
+        next_code = eoi + 1
+        out_codes = [clear]
+        w = ()
+        for k in indices:
+            wk = w + (k,)
+            if wk in table:
+                w = wk
+                continue
+            out_codes.append(table[w])
+            table[wk] = next_code
+            next_code += 1
+            w = (k,)
+        if w:
+            out_codes.append(table[w])
+        out_codes.append(eoi)
+        # pack each code at the width the DECODER holds when reading
+        # it, by simulating the decoder's table growth (one entry per
+        # code after the first following a CLEAR; width bumps when
+        # the next free slot reaches 2^width — the spec-appendix
+        # rule). The encoder's own dictionary never needs a width.
+        bits = bytearray()
+        acc = nacc = 0
+        size = eoi + 1
+        width = mcs + 1
+        first = True
+        for c in out_codes:
+            acc |= c << nacc
+            nacc += width
+            while nacc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+            if c == clear:
+                size, width, first = eoi + 1, mcs + 1, True
+            elif c != eoi:
+                if first:
+                    first = False
+                else:
+                    size += 1
+                    if size == (1 << width) and width < 12:
+                        width += 1
+        if nacc:
+            bits.append(acc & 0xFF)
+        return bytes(bits)
+
+    for pattern in (
+        [0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1],       # KwKwK territory
+        [2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],       # long single run
+        [0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3],       # repeating phrase
+        list(np.random.RandomState(3).randint(0, 4, 60)),
+    ):
+        w = len(pattern)
+        mcs = 2
+        data = ref_lzw_compress([int(v) for v in pattern], mcs)
+        gif = bytearray(b"GIF89a")
+        gif += _struct.pack("<HHBBB", w, 1, 0x80 | 0x11, 0, 0)
+        gif += bytes([0, 0, 0, 60, 60, 60, 120, 120, 120,
+                      180, 180, 180])  # 4-entry GCT
+        gif += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, 1, 0)
+        gif += bytes([mcs])
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            gif += bytes([len(chunk)]) + chunk
+        gif += b"\x00\x3b"
+        got = mm.decode_gif(bytes(gif))
+        assert got.shape == (1, 1, w, 3)
+        want = (np.asarray(pattern) * 60).astype(np.uint8)
+        assert (got[0, 0, :, 0] == want).all(), pattern
