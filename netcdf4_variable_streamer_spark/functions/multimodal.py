@@ -341,6 +341,7 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, channels = 12, None, None, None
+    fmt_tag = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -350,7 +351,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
                 "<HHI", payload, body
             )
             (bits,) = struct.unpack_from("<H", payload, body + 14)
-            if fmt_tag != 1:
+            if fmt_tag not in (1, 6, 7):
+                # 1 = PCM, 6 = G.711 A-law, 7 = G.711 mu-law (all
+                # decoded natively since round 15); anything else
+                # genuinely needs external codecs
                 raise NotImplementedError(
                     f"compressed WAV (fmt tag {fmt_tag}) needs external "
                     "codecs"
@@ -358,6 +362,17 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt chunk")
+            if fmt_tag in (6, 7):
+                if bits != 8 or channels != 1:
+                    raise NotImplementedError(
+                        f"{bits}-bit/{channels}-channel G.711 WAV "
+                        "unsupported (8-bit mono only)"
+                    )
+                codes = np.frombuffer(
+                    payload, np.uint8, size, body
+                )
+                dec = alaw_decode if fmt_tag == 6 else mulaw_decode
+                return dec(codes), rate
             if bits != 16 or channels != 1:
                 raise NotImplementedError(
                     f"{bits}-bit/{channels}-channel WAV unsupported "
@@ -367,6 +382,78 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
             return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
         pos = body + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk found")
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (public ITU-T spec; the CCITT reference
+# arithmetic): telephony WAV payloads (fmt tags 7 / 6) expand natively
+# to int16 — no external codec. Both directions, fully vectorized; the
+# exact idempotency property encode(decode(code)) == code over all 256
+# codewords is test-pinned, the strongest statement a lossy companding
+# pair admits.
+# ---------------------------------------------------------------------------
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 mu-law codewords -> int16 linear (CCITT ulaw2linear)."""
+    u = ~np.asarray(codes, dtype=np.uint8)
+    t = ((u & 0x0F).astype(np.int32) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> uint8 mu-law codewords (CCITT linear2ulaw)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 A-law codewords -> int16 linear (CCITT alaw2linear)."""
+    a = np.asarray(codes, dtype=np.uint8) ^ 0x55
+    seg = ((a >> 4) & 0x07).astype(np.int32)
+    t = ((a & 0x0F).astype(np.int32) << 4) + 8
+    t = np.where(seg > 0, (t + 0x100) << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> uint8 A-law codewords (CCITT linear2alaw)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    seg = (
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7
+    ).clip(0, 7)
+    small = mag < 256
+    mant = np.where(small, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    seg = np.where(small, 0, seg)
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, law: str, sample_rate: int = 8000
+) -> bytes:
+    """1-D int16 -> mono G.711 WAV bytes (fmt tag 6 for "alaw",
+    7 for "mulaw") — the telephony container real ASR corpora ship."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav_g711 expects 1-D int16")
+    if law == "mulaw":
+        tag, data = 7, mulaw_encode(samples).tobytes()
+    elif law == "alaw":
+        tag, data = 6, alaw_encode(samples).tobytes()
+    else:
+        raise ValueError(f"law must be 'mulaw' or 'alaw', not {law!r}")
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, tag, 1, sample_rate, sample_rate, 1, 8
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
 
 
 # ---------------------------------------------------------------------------

@@ -771,6 +771,122 @@ def q_multimodal_gif_frames(
 
 
 @register(
+    "q_multimodal_audio_g711",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 13 + t.i * 7) % 256 AS code
+  FROM documents d,
+       UNNEST(generate_series(0, 299 + CAST(d.doc_id % 5 AS INTEGER)
+              * 50)) AS t(i)
+),
+mu AS (
+  SELECT doc_id, code, 255 - code AS u FROM s
+),
+muv AS (
+  SELECT doc_id,
+         CASE WHEN u >= 128
+              THEN 132 - (((u % 16) * 8 + 132)
+                          * (1 << ((u // 16) % 8)))
+              ELSE (((u % 16) * 8 + 132)
+                    * (1 << ((u // 16) % 8))) - 132
+         END AS v
+  FROM mu
+),
+al AS (
+  SELECT doc_id, xor(code, 85) AS a FROM s
+),
+alv AS (
+  SELECT doc_id,
+         CASE WHEN a >= 128 THEN 1 ELSE -1 END
+         * CASE WHEN ((a // 16) % 8) = 0
+                THEN (a % 16) * 16 + 8
+                ELSE ((a % 16) * 16 + 8 + 256)
+                     << (((a // 16) % 8) - 1)
+           END AS v
+  FROM al
+)
+SELECT m.doc_id,
+       CAST(300 + (m.doc_id % 5) * 50 AS BIGINT) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(SUM(m.v) AS BIGINT) AS sum_mulaw,
+       CAST(a.sum_alaw AS BIGINT) AS sum_alaw
+FROM muv m
+JOIN (SELECT doc_id, SUM(v) AS sum_alaw FROM alv GROUP BY doc_id) a
+  USING (doc_id)
+GROUP BY m.doc_id, a.sum_alaw
+ORDER BY m.doc_id
+""",
+    doc="REAL G.711 telephony audio decode (round 15) — mu-law AND "
+        "A-law WAV payloads (fmt tags 7 / 6, the containers ASR "
+        "corpora actually ship) expand natively to int16 through the "
+        "public ITU companding arithmetic (CCITT reference "
+        "formulas), vectorized NumPy both directions; the value-"
+        "level idempotency encode(decode(c)) round-trip over all "
+        "256 codewords of BOTH laws is test-pinned, the strongest "
+        "statement a lossy companding pair admits. Each document "
+        "carries closed-form codewords in both containers; decode "
+        "reduces to exact integer sample sums the oracle regenerates "
+        "from the same bit arithmetic in SQL (complement, segment "
+        "shift, bias — any formula slip on either engine hash-"
+        "mismatches). Scale shape: one Arrow-batched mapInPandas, "
+        "zero shuffles.",
+)
+def q_multimodal_audio_g711(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        alaw_decode,
+        decode_wav_pcm16,
+        encode_wav_g711,
+        mulaw_decode,
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                n = 300 + int(d) % 5 * 50
+                codes = (
+                    (int(d) * 13 + np.arange(n) * 7) % 256
+                ).astype(np.uint8)
+                # build REAL WAV containers from the codewords (the
+                # encoder expects linear; decode first, then wrap —
+                # G.711 is value-idempotent, so the container's data
+                # bytes carry codewords decoding to exactly these
+                # values)
+                mu, rate = decode_wav_pcm16(
+                    encode_wav_g711(mulaw_decode(codes), "mulaw")
+                )
+                al, _ = decode_wav_pcm16(
+                    encode_wav_g711(alaw_decode(codes), "alaw")
+                )
+                rows.append(
+                    (
+                        int(d), n, rate,
+                        int(mu.astype(np.int64).sum()),
+                        int(al.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_mulaw", "sum_alaw",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate int, "
+        "sum_mulaw long, sum_alaw long",
+    ).orderBy("doc_id")
+
+
+@register(
     "q_multimodal_audio_vad",
     oracle="""
 WITH s AS (

@@ -79,6 +79,7 @@ CANONICAL_ORDER: list[str] = [
     "q_dedup_substring_rewrite_bucketed",
     "q_multimodal_qoi_decode",
     "q_multimodal_gif_frames",
+    "q_multimodal_audio_g711",
     # -- last driver check: r8 --
     "q_chunk_context_windows",
     "q_text_vocab_pairs",

@@ -109,7 +109,7 @@ NEW_KEYS = [
     "q_dedup_substring_decontam_anchored", "src_orc_ingest",
     "q_pipeline_curation_surgical",
     "q_dedup_substring_rewrite_bucketed", "q_multimodal_qoi_decode",
-    "q_multimodal_gif_frames",
+    "q_multimodal_gif_frames", "q_multimodal_audio_g711",
 ]
 
 

@@ -1232,3 +1232,56 @@ def test_gif_decodes_foreign_compressed_lzw(tmp_path):
         assert got.shape == (1, 1, w, 3)
         want = (np.asarray(pattern) * 60).astype(np.uint8)
         assert (got[0, 0, :, 0] == want).all(), pattern
+
+
+def test_g711_codec_properties():
+    """G.711 mu-law/A-law (round 15): value-level idempotency over
+    ALL 256 codewords of both laws (decode∘encode∘decode == decode —
+    the strongest statement a lossy companding pair admits; both
+    laws carry a duplicate-zero codeword, so raw codeword identity
+    is deliberately NOT claimed), ITU golden values, sign
+    preservation and companding error bounds over the full int16
+    range, and WAV container round-trips through fmt tags 7/6."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for dec, enc in (
+        (mm.mulaw_decode, mm.mulaw_encode),
+        (mm.alaw_decode, mm.alaw_encode),
+    ):
+        vals = dec(codes)
+        assert (dec(enc(vals)) == vals).all()
+    # ITU goldens
+    assert int(mm.mulaw_decode(np.array([0xFF], np.uint8))[0]) == 0
+    assert int(mm.mulaw_decode(np.array([0x7F], np.uint8))[0]) == 0
+    assert int(mm.alaw_decode(np.array([0xD5], np.uint8))[0]) == 8
+    assert int(mm.alaw_decode(np.array([0x55], np.uint8))[0]) == -8
+    assert (
+        int(mm.alaw_decode(np.array([0x2A], np.uint8))[0]) == -32256
+    )
+    # full-range error bounds + sign preservation
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for name, enc, dec, bound in (
+        ("mulaw", mm.mulaw_encode, mm.mulaw_decode, 1024),
+        ("alaw", mm.alaw_encode, mm.alaw_decode, 1024),
+    ):
+        y = dec(enc(x)).astype(np.int32)
+        err = np.abs(y - x.astype(np.int32))
+        assert err.max() <= bound, (name, err.max())
+        big = np.abs(x.astype(np.int32)) > 64
+        assert (
+            np.sign(y[big]) == np.sign(x.astype(np.int32)[big])
+        ).all(), name
+    # container round-trips (fmt 7 / fmt 6)
+    s16 = (np.sin(np.arange(500) / 5) * 12000).astype(np.int16)
+    for law in ("mulaw", "alaw"):
+        out, rate = mm.decode_wav_pcm16(mm.encode_wav_g711(s16, law))
+        assert rate == 8000 and len(out) == 500
+        assert (
+            np.abs(out.astype(np.int32) - s16.astype(np.int32)).max()
+            <= 256
+        )
