@@ -378,6 +378,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
                     f"{bits}-bit/{channels}-channel WAV unsupported "
                     "(PCM16 mono only)"
                 )
+            if body + size > len(payload):
+                raise ValueError(
+                    "WAV data chunk truncated (declares "
+                    f"{size} bytes, {len(payload) - body} present)"
+                )
             raw = payload[body : body + size]
             return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
         pos = body + size + (size & 1)  # chunks are word-aligned
@@ -388,9 +393,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
 # G.711 mu-law / A-law (public ITU-T spec; the CCITT reference
 # arithmetic): telephony WAV payloads (fmt tags 7 / 6) expand natively
 # to int16 — no external codec. Both directions, fully vectorized; the
-# exact idempotency property encode(decode(code)) == code over all 256
-# codewords is test-pinned, the strongest statement a lossy companding
-# pair admits.
+# VALUE-level idempotency decode(encode(decode(c))) == decode(c) over
+# all 256 codewords is test-pinned — the strongest statement a lossy
+# companding pair admits (both laws carry a duplicate zero codeword,
+# so raw codeword identity deliberately is NOT claimed).
 # ---------------------------------------------------------------------------
 
 
@@ -532,9 +538,6 @@ def encode_gif(frames, delay_cs: int = 10) -> bytes:
         # re-CLEARing before the decoder's dictionary would force a
         # code-width change — every emitted code stays mcs+1 bits
         bits = bytearray()
-        acc = clear
-        nacc = 0
-
         codes = [clear]
         room = (1 << mcs) - 2
         row = idx[f].reshape(-1)
@@ -632,6 +635,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
             "<HHHHB", payload, pos
         )
         pos += 9
+        # frame must be non-empty and fit the logical screen — an
+        # oversized or empty descriptor otherwise escapes later as
+        # IndexError from the composition/deinterlace indexing
+        # (round-15 self-review finding)
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError(
+                f"GIF frame {fw}x{fh} at ({fx},{fy}) outside the "
+                f"{w}x{h} logical screen"
+            )
         pal = gpal
         if iflags & 0x80:
             ln = 2 << (iflags & 0x07)

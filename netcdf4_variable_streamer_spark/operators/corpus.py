@@ -1538,6 +1538,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 from netcdf4_variable_streamer_spark.operators.dedup import (  # noqa: E402
     _SDR_CUT_CTE_SQL,
     _SDR_MAX_OCC,
+    _cap_excluded_cut,
     _SPAN_CTE_SQL,
     _SXC_QUARANTINE_PPM,
     _SXC_SPLIT,
@@ -2128,15 +2129,7 @@ def q_pipeline_curation_surgical(
     hits = _span_table(crawl.select("doc_id", "text")).join(
         F.broadcast(sref), "cluster"
     )
-    common = (
-        hits.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > _SDR_MAX_OCC)
-        .select("cluster")
-    )
-    cut = hits.join(common, "cluster", "left_anti").select(
-        "doc_id", "span_start"
-    )
+    cut = _cap_excluded_cut(hits)
     rw = _rewrite_kept(
         spark, sf_dir, cut, docs=crawl, extra_cols=("lang",)
     )

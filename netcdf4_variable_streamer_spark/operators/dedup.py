@@ -2536,6 +2536,24 @@ def q_dedup_substring_rewrite_anchored(
 _SDR_MAX_OCC = _SPAN_MAX_OCC
 
 
+def _cap_excluded_cut(hits: DataFrame) -> DataFrame:
+    """The frequent-n-gram exclusion (GPT-3 appendix) applied to a
+    (doc_id, span_start, cluster) hit table: clusters with more than
+    ``_SDR_MAX_OCC`` hits are ubiquitous common text, not leakage —
+    drop them and return the bounded (doc_id, span_start) cut table.
+    The SINGLE Spark home of the rule (round-15 review: it had been
+    copy-pasted into four consumers)."""
+    common = (
+        hits.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > _SDR_MAX_OCC)
+        .select("cluster")
+    )
+    return hits.join(common, "cluster", "left_anti").select(
+        "doc_id", "span_start"
+    )
+
+
 def _sdr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surgical-decontam CUT table (doc_id, span_start over the
     crawl side): every crawl span matching a reference-corpus span
@@ -2552,15 +2570,7 @@ def _sdr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = spans.filter(F.col("doc_id") >= _SXC_SPLIT).join(
         sref, "cluster"
     )
-    common = (
-        hits.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > _SDR_MAX_OCC)
-        .select("cluster")
-    )
-    return hits.join(common, "cluster", "left_anti").select(
-        "doc_id", "span_start"
-    )
+    return _cap_excluded_cut(hits)
 
 
 # the decontam cut CTEs shared (verbatim) by the two oracles that
@@ -2722,16 +2732,9 @@ def q_dedup_substring_decontam_anchored(
         .distinct()
     )
     hits = fspans.join(sref, "cluster")
-    common = (
-        hits.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > _SDR_MAX_OCC)
-        .select("cluster")
+    return _rewrite_emit(
+        spark, sf_dir, _cap_excluded_cut(hits), docs=crawl
     )
-    cut = hits.join(common, "cluster", "left_anti").select(
-        "doc_id", "span_start"
-    )
-    return _rewrite_emit(spark, sf_dir, cut, docs=crawl)
 
 
 @register(
@@ -2808,7 +2811,13 @@ def q_dedup_substring_rewrite_bucketed(
             .withColumn("kept", _kept_expr())
         )
         plan = plan_string(out)
-        assert count_nodes(plan, "SortMergeJoin") >= 1, plan
+        # plain raises, not asserts: the in-key plan guarantee must
+        # survive `python -O` (the ADVICE-r14 class this repo fixed
+        # in the oracle-surgery guards)
+        if count_nodes(plan, "SortMergeJoin") < 1:
+            raise RuntimeError(
+                "bucketed rewrite lost its SortMergeJoin:\n" + plan
+            )
         import re as _re
 
         for block in _re.split(r"\n\n", plan):
@@ -2817,9 +2826,13 @@ def q_dedup_substring_rewrite_bucketed(
                 block.strip(),
             ):
                 m = _re.search(r"Input \[\d+\]: \[(.*)\]", block)
-                assert m, block
-                assert "text#" not in m.group(1), block
-                assert "tk#" not in m.group(1), block
+                if m is None or "text#" in m.group(1) or (
+                    "tk#" in m.group(1)
+                ):
+                    raise RuntimeError(
+                        "bucketed rewrite shuffled document text:\n"
+                        + block
+                    )
         # localCheckpoint, NOT collect: the result must outlive the
         # fixture-lifecycle DROP of the temp bucketed database, but a
         # driver-side collect would be corpus-sized at scale —

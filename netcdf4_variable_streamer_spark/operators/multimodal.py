@@ -821,10 +821,12 @@ ORDER BY m.doc_id
         "A-law WAV payloads (fmt tags 7 / 6, the containers ASR "
         "corpora actually ship) expand natively to int16 through the "
         "public ITU companding arithmetic (CCITT reference "
-        "formulas), vectorized NumPy both directions; the value-"
-        "level idempotency encode(decode(c)) round-trip over all "
-        "256 codewords of BOTH laws is test-pinned, the strongest "
-        "statement a lossy companding pair admits. Each document "
+        "formulas), vectorized NumPy both directions; the VALUE-"
+        "level idempotency decode(encode(decode(c))) == decode(c) "
+        "over all 256 codewords of BOTH laws is test-pinned — the "
+        "strongest statement a lossy companding pair admits (each "
+        "law has a duplicate zero codeword, so raw codeword "
+        "identity deliberately is NOT claimed). Each document "
         "carries closed-form codewords in both containers; decode "
         "reduces to exact integer sample sums the oracle regenerates "
         "from the same bit arithmetic in SQL (complement, segment "

@@ -1519,7 +1519,7 @@ def make_curation_loop(
     import json
 
     from netcdf4_variable_streamer_spark.operators.dedup import (
-        _SDR_MAX_OCC,
+        _cap_excluded_cut,
         _md5_int,
         _rewrite_kept,
         _span_quarantine,
@@ -1651,7 +1651,16 @@ def make_curation_loop(
             .withColumn(
                 "is_dup",
                 F.col("in_idx").isNotNull()
-                | (F.col("doc_id") != F.col("min_id")),
+                # h non-null pin (round-15 self-review): md5(NULL) is
+                # NULL and the window groups ALL NULLs into one
+                # partition, so two NULL-text docs in a batch would
+                # mark the later one a "duplicate" of nothing — and
+                # diverge from the oracle, whose equality probe never
+                # matches NULL. Docs without text are never dups.
+                | (
+                    F.col("h").isNotNull()
+                    & (F.col("doc_id") != F.col("min_id"))
+                ),
             )
         )
         survivors = b2.filter(~F.col("is_dup")).select(
@@ -1706,15 +1715,7 @@ def make_curation_loop(
             hits = _span_table(
                 survivors.select("doc_id", "text")
             ).join(F.broadcast(sref), "cluster")
-            common = (
-                hits.groupBy("cluster")
-                .agg(F.count(F.lit(1)).alias("n_occ"))
-                .filter(F.col("n_occ") > _SDR_MAX_OCC)
-                .select("cluster")
-            )
-            cut = hits.join(common, "cluster", "left_anti").select(
-                "doc_id", "span_start"
-            )
+            cut = _cap_excluded_cut(hits)
             rw = _rewrite_kept(
                 spark,
                 run_dir,  # unused: docs is passed explicitly

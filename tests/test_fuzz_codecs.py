@@ -3805,3 +3805,46 @@ def test_nc4_torn_append_recovers(tmp_path):
     np.testing.assert_array_equal(got[:3], base)
     np.testing.assert_array_equal(got[3:], fresh)
     assert not (got == 77).any()
+
+
+def test_gif_bad_frame_geometry_refuses():
+    """Round-15 self-review regressions: a GIF image descriptor
+    placing a frame OUTSIDE the logical screen (or declaring an
+    empty frame) used to escape as IndexError from the composition /
+    deinterlace indexing — both now refuse with the codec's named
+    ValueError; an in-bounds smaller frame at an offset still
+    composes fine."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    img = (np.arange(48, dtype=np.uint8) % 4).reshape(4, 4, 3) * 60
+    payload = bytearray(mm.encode_gif(img))
+    # image descriptor: find block 0x2C; its fw field is 4
+    idx = payload.index(0x2C, 13)
+    # oversize: fw = 9 > canvas width 4
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, idx + 5, 9)
+    with pytest.raises(ValueError, match="outside the"):
+        mm.decode_gif(bytes(bad))
+    # empty: fh = 0
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, idx + 7, 0)
+    with pytest.raises(ValueError, match="outside the"):
+        mm.decode_gif(bytes(bad))
+
+
+def test_wav_truncated_data_chunk_refuses():
+    """Round-15 self-review regression: a PCM16 WAV whose data chunk
+    declares more bytes than the payload carries used to silently
+    return PARTIAL audio (np.frombuffer clamps); it now refuses —
+    matching the G.711 branch added in the same round."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    wav = mm.encode_wav_pcm16(
+        np.arange(64, dtype=np.int16), sample_rate=8000
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav_pcm16(wav[:100])

@@ -1129,3 +1129,69 @@ def test_crawl_loop_recovery_ignores_uncommitted_version(
     assert os.path.exists(os.path.join(run_dir, "commit_v0"))
     assert os.path.exists(os.path.join(run_dir, "commit_v1"))
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_null_text_docs_never_dedup(spark, tmp_path):
+    """Round-15 self-review regression: md5(NULL) is NULL and the
+    in-batch keeper window groups every NULL into ONE partition, so
+    two NULL-text crawl docs in the same micro-batch used to mark
+    the later one a 'duplicate' of nothing — diverging from the
+    oracle, whose equality probe never matches NULL. Docs without
+    text are never duplicates; pinned by running the curate closure
+    AND the declarative oracle on a purpose-built corpus with two
+    NULL-text docs in one batch."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    rows = [
+        (i, "en", f"ref doc number {i} tokens " * 3) for i in range(4)
+    ] + [
+        (400, "en", "crawl doc one with words"),
+        (401, "en", None),
+        (402, "en", None),  # second NULL-text doc, same batch
+        (403, "en", "crawl doc two with words"),
+        (452, "en", "batch two doc"),
+    ]
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+                "lang": pa.array([la for _, la, _ in rows]),
+                "text": pa.array(
+                    [t for _, _, t in rows], type=pa.string()
+                ),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    curate(docs.filter("doc_id < 400"), 0)
+    curate(docs.filter("doc_id >= 400 AND doc_id < 450"), 1)
+    curate(docs.filter("doc_id >= 450"), 2)
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # neither NULL-text doc is a duplicate
+    assert not got.set_index("doc_id").loc[[401, 402], "is_dup"].any()
+    # and the whole decision table equals the declarative oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
+        assert list(got[col]) == list(want[col]), col
