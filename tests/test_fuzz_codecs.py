@@ -3539,11 +3539,16 @@ def test_hdf5_corrupt_link_name_no_unicode_crash(tmp_path):
 @given(flip=st.integers(min_value=0, max_value=10_000_000))
 def test_hdf5_bitflip_refuses_cleanly(flip, tmp_path):
     """Whole-file single-bit corruption sweep: reading a mutated HDF5
-    container must either succeed (the flip landed in padding/unused
-    space), refuse with ValueError (checksum/signature/structure
-    guards), or miss a renamed object with KeyError — never any other
-    exception class. A 4000-case offline sweep ran clean before this
-    bounded version was committed."""
+    container must either succeed, refuse with ValueError (checksum/
+    signature/structure guards), or miss a renamed object with
+    KeyError — never any other exception class. The returned SHAPE is
+    deliberately NOT pinned: v0 object headers carry no checksum, so
+    a flip inside a dataspace dimension is undetectable in principle
+    — the reader faithfully reports the corrupted extent (hypothesis
+    found exactly that: a dim flip 20 -> 21 reads one extra record
+    from the preallocated region). A 4000-case offline sweep ran
+    clean on the exception-class contract before this bounded
+    version was committed."""
     import netcdf4_variable_streamer_spark.sources.hdf5lite as hl
 
     p = os.path.join(tmp_path, "t.h5")
@@ -3560,8 +3565,7 @@ def test_hdf5_bitflip_refuses_cleanly(flip, tmp_path):
     open(p2, "wb").write(bytes(buf))
     try:
         h = hl.HDF5File(p2)
-        got = h.read("v")
-        assert got.shape == (20, 3)
+        h.read("v")
         h.read("s")
     except (ValueError, KeyError):
         pass
