@@ -576,6 +576,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if w * h > 50_000_000:
+        # resource guard: a 13-byte header can otherwise demand a
+        # multi-GB canvas allocation before any data is validated
+        raise ValueError(f"GIF dimensions implausible: {w}x{h}")
     pos = 13
     gpal = None
     if flags & 0x80:
@@ -685,6 +689,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
         else:
             region[:] = pal[grid]
         frames.append(canvas.copy())
+        if (len(frames) + 1) * w * h > 200_000_000:
+            # amplification guard: every frame materializes a canvas
+            # copy, so a small payload declaring many frames over a
+            # large screen could demand unbounded memory
+            raise ValueError(
+                f"GIF output implausibly large: {len(frames)} frames "
+                f"of {w}x{h}"
+            )
         transparent = None
     if not frames:
         raise ValueError("GIF contains no image frames")
@@ -965,6 +977,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                 )
             if interlace:
                 raise NotImplementedError("interlaced PNG unsupported")
+            if w * h > 50_000_000:
+                raise ValueError(
+                    f"PNG dimensions implausible: {w}x{h}"
+                )
             meta = (w, h, _PNG_CHANNELS[color])
         elif ctype == b"IDAT":
             idat.append(body)
@@ -975,9 +991,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("no IHDR chunk")
     w, h, c = meta
     stride = w * c
-    scan = np.frombuffer(
-        zlib.decompress(b"".join(idat)), dtype=np.uint8
-    ).reshape(h, stride + 1)
+    expected = h * (stride + 1)
+    # bounded decompression: zlib.decompress with no limit lets a
+    # KB-sized payload expand to gigabytes (a classic decompression
+    # bomb) before the reshape ever checks the size
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.unconsumed_tail or len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel data is {len(raw)}{'+' if d.unconsumed_tail else ''} "
+            f"bytes, header declares {expected}"
+        )
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, rows = scan[:, 0], scan[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):

@@ -3852,3 +3852,52 @@ def test_wav_truncated_data_chunk_refuses():
     )
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_wav_pcm16(wav[:100])
+
+
+def test_image_codec_allocation_guards():
+    """Round-15 resource guards: a tiny crafted payload must not be
+    able to force a huge allocation — a 14-byte GIF header declaring
+    a 65535x65535 canvas (a 12.9 GB np.zeros), a PNG IHDR declaring
+    implausible dimensions, and a PNG zlib BOMB (a ~100 KB payload
+    decompressing to 100 MB) all refuse by name before any large
+    allocation; decompression is bounded to the header-declared pixel
+    count."""
+    import zlib
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    hdr = (
+        b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        mm.decode_gif(hdr)
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    bomb = zlib.compress(b"\x00" * 20_000_000)
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="header declares"):
+        mm.decode_png(png)
+
+    png2 = (
+        mm._PNG_SIG
+        + chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0),
+        )
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        mm.decode_png(png2)
