@@ -163,6 +163,9 @@ def decode_any(payload: bytes) -> np.ndarray | None:
         return decode_qoi(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)[0]  # first frame as the image
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        img = decode_png(payload)
+        return img[:, :, None] if img.ndim == 2 else img
     return None
 
 
@@ -171,10 +174,11 @@ def decode_image_batches(
 ) -> Iterator[pd.DataFrame]:
     """payload(binary) → image features.
 
-    BMP (uncompressed 24-bit) and PPM (P6) payloads decode through the
-    pure-NumPy codecs above — a REAL path with no external dependency.
-    Other formats need Pillow; without it they raise the clearly-marked
-    stub error (or use the `fake=True` synthetic decode in tests)."""
+    BMP (uncompressed 24-bit), PPM (P6), PNG (8-bit non-interlaced),
+    QOI and GIF payloads decode through the pure-NumPy codecs above —
+    REAL paths with no external dependency. Other formats need Pillow;
+    without it they raise the clearly-marked stub error (or use the
+    `fake=True` synthetic decode in tests)."""
     try:
         from PIL import Image  # noqa: F401
 
@@ -193,10 +197,10 @@ def decode_image_batches(
                 if img is None:
                     if not have_pil:
                         raise NotImplementedError(
-                            "STUB: only BMP/P6-PPM decode natively; other "
-                            "formats require Pillow (not installed here). "
-                            "Pass fake=True for the synthetic decode used "
-                            "by the plumbing tests"
+                            "STUB: BMP/PPM/PNG/QOI/GIF decode natively; "
+                            "other formats require Pillow (not installed "
+                            "here). Pass fake=True for the synthetic "
+                            "decode used by the plumbing tests"
                         )
                     import io
 
