@@ -53,76 +53,26 @@ REGISTRY: dict[str, QuerySpec] = {}
 # small remainder to carry one extra round (r10 left 10 r05 keys for
 # r11). That is the policy working, not a rotation bug.
 #
-# Round-15 rotation (VERDICT r14 "Next round" #1): at rotation time
-# all 320 keys had a driver row, all green at latest check — no
+# Round-16 rotation (VERDICT r15 "Next round" #1): at rotation time
+# all 329 keys had a driver row, all green at latest check — no
 # failures, none never-checked. The order is green keys
-# stalest-proof-first: new round-15 keys are inserted at the very top
-# as they land (unchecked keys outrank stale-green ones), then the 20
-# keys whose latest evidence is r08, then the oldest r09 block fills
-# the remaining window slots; the remainder follows in latest-check
-# order (r09, r10, r11, r12, r13, r14).
+# stalest-proof-first: new round-16 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 29
+# keys whose latest evidence is r09 (q_report_nation_profit …
+# src_netcdf3_cdf5_scan), then the oldest r10 block fills the
+# remaining window slots; the remainder follows in latest-check order
+# (r10, r11, r12, r13, r14, r15).
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-15 additions (never driver-checked) enter the window
+    # -- round-16 additions (never driver-checked) enter the window
     #    first --
-    "q_sample_budget_decontam",
-    "q_stream_pipeline_curation_rewrite",
-    "q_dedup_substring_decontam_anchored",
-    "src_orc_ingest",
-    "q_pipeline_curation_surgical",
-    "q_dedup_substring_rewrite_bucketed",
-    "q_multimodal_qoi_decode",
-    "q_multimodal_gif_frames",
-    "q_multimodal_audio_g711",
-    # -- last driver check: r8 --
-    "q_chunk_context_windows",
-    "q_text_vocab_pairs",
-    "q_text_collocation_lift",
-    "q_pack_sequences",
-    "q_pipeline_pretrain",
-    "q_text_boilerplate",
-    "q_multimodal_resize",
-    "q_multimodal_frame_sample",
-    "snk_zorder",
-    "src_jsonl_ingest",
-    "src_csv_ingest",
-    "q_join_bucketed",
-    "q_ml_kmeans",
-    "q_dedup_ngram_spans",
-    "q_dedup_keep_best",
-    "q_sample_weighted",
-    "q_sample_mixture",
-    "q_sample_topk_hash",
-    "q_text_sentence_split",
-    "q_text_inverted_index",
     # -- last driver check: r9 --
-    "snk_netcdf4_write_vlen",
-    "q_sim_pq_adc",
-    "q_emb_pca_project",
-    "q_text_bpe_apply",
-    "q_emb_pca_power",
-    "q_text_bpe_merges",
-    "src_netcdf4_dense_wide_scan",
-    "src_netcdf4_dir_tail",
-    "src_netcdf4_arrow_dir_tail",
-    "src_netcdf_compound_scan",
-    "snk_netcdf4_write_compound",
-    "src_netcdf_vlen_compound_scan",
-    "q_stream_dedup_minhash",
-    "q_agg_heavy_hitters_sketch",
-    "q_agg_heavy_hitters",
-    "q_agg_histogram",
-    "q_hierarchy_rollup",
-    "q_multimodal_audio_decode",
-    "q_multimodal_png_decode",
-    "q_report_volume_shipping",
-    "q_report_promo_share",
     "q_report_nation_profit",
     "q_geo_heatmap_grid",
     "q_funnel_conversion",
@@ -407,6 +357,57 @@ CANONICAL_ORDER: list[str] = [
     "q_sim_pq_codes",
     "q_ml_knn_classify",
     "q_sample_per_group",
+    # -- last driver check: r15 --
+    "q_sample_budget_decontam",
+    "q_stream_pipeline_curation_rewrite",
+    "q_dedup_substring_decontam_anchored",
+    "src_orc_ingest",
+    "q_pipeline_curation_surgical",
+    "q_dedup_substring_rewrite_bucketed",
+    "q_multimodal_qoi_decode",
+    "q_multimodal_gif_frames",
+    "q_multimodal_audio_g711",
+    "q_chunk_context_windows",
+    "q_text_vocab_pairs",
+    "q_text_collocation_lift",
+    "q_pack_sequences",
+    "q_pipeline_pretrain",
+    "q_text_boilerplate",
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
+    "snk_zorder",
+    "src_jsonl_ingest",
+    "src_csv_ingest",
+    "q_join_bucketed",
+    "q_ml_kmeans",
+    "q_dedup_ngram_spans",
+    "q_dedup_keep_best",
+    "q_sample_weighted",
+    "q_sample_mixture",
+    "q_sample_topk_hash",
+    "q_text_sentence_split",
+    "q_text_inverted_index",
+    "snk_netcdf4_write_vlen",
+    "q_sim_pq_adc",
+    "q_emb_pca_project",
+    "q_text_bpe_apply",
+    "q_emb_pca_power",
+    "q_text_bpe_merges",
+    "src_netcdf4_dense_wide_scan",
+    "src_netcdf4_dir_tail",
+    "src_netcdf4_arrow_dir_tail",
+    "src_netcdf_compound_scan",
+    "snk_netcdf4_write_compound",
+    "src_netcdf_vlen_compound_scan",
+    "q_stream_dedup_minhash",
+    "q_agg_heavy_hitters_sketch",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram",
+    "q_hierarchy_rollup",
+    "q_multimodal_audio_decode",
+    "q_multimodal_png_decode",
+    "q_report_volume_shipping",
+    "q_report_promo_share",
 ]
 
 
