@@ -458,10 +458,14 @@ def encode_wav_g711(
         tag, data = 6, alaw_encode(samples).tobytes()
     else:
         raise ValueError(f"law must be 'mulaw' or 'alaw', not {law!r}")
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    # Non-PCM format tags require the 18-byte fmt chunk (cbSize=0) plus
+    # a fact chunk carrying the per-channel sample count — strict
+    # readers (libsndfile et al.) reject a bare 16-byte fmt for tag 6/7.
+    hdr = b"RIFF" + struct.pack("<I", 50 + len(data)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, tag, 1, sample_rate, sample_rate, 1, 8
+        "<IHHIIHHH", 18, tag, 1, sample_rate, sample_rate, 1, 8, 0
     )
+    hdr += b"fact" + struct.pack("<II", 4, len(samples))
     hdr += b"data" + struct.pack("<I", len(data))
     return hdr + data
 
@@ -618,6 +622,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 1
             if label == 0xF9:  # graphic control
                 sz = at(pos)
+                if sz != 4:
+                    # the GCE block size is fixed at 4 by the spec;
+                    # the transparent-color byte sits at pos+sz only
+                    # when that holds — anything else would silently
+                    # misread which palette index is transparent
+                    raise ValueError(
+                        f"GIF graphic-control block size {sz} != 4"
+                    )
                 gflags = at(pos + 1)
                 disposal = (gflags >> 2) & 0x07
                 if disposal == 3:
@@ -707,10 +719,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
-def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int):
+def _gif_lzw_decode(
+    data: bytes, mcs: int, n_pixels: int, _stats: dict | None = None
+):
     """GIF-variant LZW: little-endian bit packing, code width grows
     after the dictionary reaches 2^width (capped at 12 bits), CLEAR
-    resets, EOI terminates."""
+    resets, EOI terminates. The dictionary freezes at the spec's
+    4096-entry maximum (codes stay ≤4095 at the 12-bit width cap, so
+    entries past 4096 could never be referenced anyway — the freeze
+    bounds memory on long deferred-clear streams to what a conformant
+    decoder holds). ``_stats``, when given, records the peak table
+    size so tests can pin the bound."""
     if not 2 <= mcs <= 11:
         raise ValueError(f"GIF LZW minimum code size {mcs} invalid")
     clear, eoi = 1 << mcs, (1 << mcs) + 1
@@ -735,6 +754,10 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int):
         bits >>= width
         nbits -= width
         if code == clear:
+            if _stats is not None:
+                _stats["max_table"] = max(
+                    _stats.get("max_table", 0), len(table)
+                )
             table = list(base)
             width = mcs + 1
             prev = None
@@ -749,7 +772,10 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int):
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + (entry[0],))
+            if len(table) < 4096:
+                # dictionary freezes at the 12-bit cap; codes stay
+                # ≤4095 so the frozen table remains fully addressable
+                table.append(prev + (entry[0],))
         elif code == len(table):
             entry = prev + (prev[0],)
             table.append(entry)
@@ -762,6 +788,10 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int):
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
+    if _stats is not None:
+        _stats["max_table"] = max(
+            _stats.get("max_table", 0), len(table)
+        )
     if len(out) < n_pixels:
         raise ValueError(
             f"GIF LZW ended after {len(out)} of {n_pixels} pixels"

@@ -3901,3 +3901,149 @@ def test_image_codec_allocation_guards():
     )
     with pytest.raises(ValueError, match="implausible"):
         mm.decode_png(png2)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz round 9 (round 16): the three ADVICE r15 advisories plus the
+# deferred-clear / code-width-cap edges of the new codecs.
+# ---------------------------------------------------------------------------
+
+
+def test_gif_gce_bad_size_refuses():
+    """ADVICE r15: the transparent-color index lives at pos+sz only
+    when the graphic-control sub-block size is exactly 4 — a corrupt
+    in-bounds GCE with any other size used to silently misread WHICH
+    palette index is transparent (wrong pixels, no error). It now
+    refuses by name; the conformant sz=4 stream still decodes."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    img = (np.arange(48, dtype=np.uint8) % 4).reshape(4, 4, 3) * 60
+    payload = bytearray(mm.encode_gif(img))
+    assert (mm.decode_gif(bytes(payload))[0] == img).all()
+    # locate the GCE introducer 0x21 0xF9; the size byte follows
+    i = payload.index(b"\x21\xf9")
+    assert payload[i + 2] == 4
+    for bad_sz in (3, 5):
+        bad = bytearray(payload)
+        bad[i + 2] = bad_sz
+        with pytest.raises(ValueError, match="graphic-control"):
+            mm.decode_gif(bytes(bad))
+
+
+def test_g711_wav_strict_container():
+    """ADVICE r15: non-PCM WAV format tags (6/7) require an 18-byte
+    fmt chunk (cbSize=0) plus a fact chunk carrying the sample count —
+    strict readers reject a bare 16-byte fmt. Pin the emitted chunk
+    layout field by field, and that the chunk-walking decoder still
+    round-trips through the fact chunk."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    s16 = (np.sin(np.arange(321) / 4) * 9000).astype(np.int16)
+    for law, tag in (("mulaw", 7), ("alaw", 6)):
+        wav = mm.encode_wav_g711(s16, law)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        (riff_size,) = struct.unpack_from("<I", wav, 4)
+        assert riff_size == len(wav) - 8
+        chunks = {}
+        pos = 12
+        while pos + 8 <= len(wav):
+            cid = wav[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", wav, pos + 4)
+            chunks[cid] = wav[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        fmt = chunks[b"fmt "]
+        assert len(fmt) == 18
+        got_tag, ch, rate, byps, align, bits, cb = struct.unpack(
+            "<HHIIHHH", fmt
+        )
+        assert (got_tag, ch, rate, bits, cb) == (tag, 1, 8000, 8, 0)
+        assert byps == 8000 and align == 1
+        (n_samples,) = struct.unpack("<I", chunks[b"fact"])
+        assert n_samples == len(s16)
+        assert len(chunks[b"data"]) == len(s16)
+        out, got_rate = mm.decode_wav_pcm16(wav)
+        assert got_rate == 8000 and len(out) == len(s16)
+
+
+def _ref_lzw_compress_frozen(indices, mcs):
+    """Test-local conformant LZW compressor with the spec's 4096-entry
+    dictionary FREEZE (no CLEAR emitted once full — the deferred-clear
+    construction real encoders like GIFLIB use). Returns (packed
+    bytes, n_table_entries_at_end)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    out_codes = [clear]
+    w = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        out_codes.append(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        w = (k,)
+    if w:
+        out_codes.append(table[w])
+    out_codes.append(eoi)
+    # pack each code at the width the decoder holds when reading it
+    bits = bytearray()
+    acc = nacc = 0
+    size = eoi + 1
+    width = mcs + 1
+    first = True
+    for c in out_codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+        if c == clear:
+            size, width, first = eoi + 1, mcs + 1, True
+        elif c != eoi:
+            if first:
+                first = False
+            elif size < 4096:
+                size += 1
+                if size == (1 << width) and width < 12:
+                    width += 1
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits), next_code
+
+
+def test_gif_lzw_dictionary_freezes_at_4096():
+    """ADVICE r15: the LZW table must FREEZE at the spec's 4096-entry
+    cap — decoding stayed correct (codes cannot exceed 4095 at the
+    12-bit width cap) but the table grew with pixel count on long
+    deferred-clear streams, costing memory beyond what a conformant
+    decoder holds. Drive the decoder with a real frozen deferred-clear
+    stream long enough to fill the dictionary: pixels must round-trip
+    exactly and the peak table size must be exactly 4096."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(16)
+    n = 60_000
+    pixels = [int(v) for v in rng.randint(0, 256, n)]
+    data, next_code = _ref_lzw_compress_frozen(pixels, 8)
+    assert next_code == 4096, "fixture failed to fill the dictionary"
+    stats = {}
+    out = mm._gif_lzw_decode(data, 8, n, _stats=stats)
+    assert out == pixels
+    assert stats["max_table"] == 4096
+    # the boundary itself: exactly enough input to reach (not pass)
+    # the cap still round-trips
+    short = pixels[: n // 4]
+    data2, _ = _ref_lzw_compress_frozen(short, 8)
+    stats2 = {}
+    assert mm._gif_lzw_decode(data2, 8, len(short), _stats=stats2) == short
+    assert stats2["max_table"] <= 4096
