@@ -166,6 +166,13 @@ def decode_any(payload: bytes) -> np.ndarray | None:
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         img = decode_png(payload)
         return img[:, :, None] if img.ndim == 2 else img
+    if payload[:2] == b"\xff\xd8":
+        from netcdf4_variable_streamer_spark.functions.jpeg import (
+            decode_jpeg,
+        )
+
+        img = decode_jpeg(payload)
+        return img[:, :, None] if img.ndim == 2 else img
     return None
 
 
@@ -175,10 +182,11 @@ def decode_image_batches(
     """payload(binary) → image features.
 
     BMP (uncompressed 24-bit), PPM (P6), PNG (8-bit non-interlaced),
-    QOI and GIF payloads decode through the pure-NumPy codecs above —
-    REAL paths with no external dependency. Other formats need Pillow;
-    without it they raise the clearly-marked stub error (or use the
-    `fake=True` synthetic decode in tests)."""
+    QOI, GIF and baseline JPEG payloads decode through the pure-NumPy
+    codecs (see also :mod:`functions.jpeg`) — REAL paths with no
+    external dependency. Other formats need Pillow; without it they
+    raise the clearly-marked stub error (or use the `fake=True`
+    synthetic decode in tests)."""
     try:
         from PIL import Image  # noqa: F401
 
@@ -197,10 +205,11 @@ def decode_image_batches(
                 if img is None:
                     if not have_pil:
                         raise NotImplementedError(
-                            "STUB: BMP/PPM/PNG/QOI/GIF decode natively; "
-                            "other formats require Pillow (not installed "
-                            "here). Pass fake=True for the synthetic "
-                            "decode used by the plumbing tests"
+                            "STUB: BMP/PPM/PNG/QOI/GIF/JPEG decode "
+                            "natively; other formats require Pillow "
+                            "(not installed here). Pass fake=True for "
+                            "the synthetic decode used by the "
+                            "plumbing tests"
                         )
                     import io
 

@@ -2,11 +2,12 @@
 
 The engine's multimodal model: an opaque `binary` payload column + a
 typed metadata struct, processed by Arrow-batched pandas UDFs over
-`mapInPandas`. The real decode step (JPEG/WAV/frame-sampling) needs
-codec libraries absent from this environment, so `functions.multimodal`
-stubs it behind NotImplementedError; the *plumbing* — binary columns,
-schema, batch shape, partitioning — is real and oracle-checked here
-using a deterministic byte-level feature extractor instead of a codec.
+`mapInPandas`. BMP/PPM/PNG/QOI/GIF/JPEG images, WAV-PCM16 and G.711
+audio decode through REAL from-scratch codecs in `functions.multimodal`
+/ `functions.jpeg` (no external library); formats beyond those refuse
+behind a clearly-marked NotImplementedError, with the *plumbing* —
+binary columns, schema, batch shape, partitioning — still real and
+oracle-checked via a deterministic byte-level feature extractor.
 """
 
 from __future__ import annotations
@@ -644,6 +645,102 @@ def q_multimodal_qoi_decode(
             rows = []
             for d, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_qoi(bytes(payload))
+                h, w, c = img.shape
+                rows.append(
+                    (d, w, h, c, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_channels int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
+    "q_multimodal_jpeg_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 13 + yy.y * 29 + xx.x * 37) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS x) xx
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(SUM(v) * 64 * 3 AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL baseline JPEG decode (round 16) — the web's dominant "
+        "image format, pure NumPy from the public ITU-T T.81 spec "
+        "(functions.jpeg: marker parse, Annex K Huffman entropy "
+        "decode with byte-stuffing and restart segmentation, "
+        "dequantize, vectorized 8x8 IDCT, 4:2:0 chroma upsampling, "
+        "BT.601 YCbCr->RGB; progressive/arithmetic/12-bit refuse by "
+        "name). JPEG is lossy, so the fixture is chosen to make the "
+        "round-trip EXACT rather than merely bounded: gray-in-RGB "
+        "images (R=G=B) of flat 8x8 blocks at quality 75 — the "
+        "Annex-K luminance DC quantizer scales to exactly 8 there, "
+        "so the block DC 8*(v-128) quantizes losslessly, every AC "
+        "coefficient is exactly zero, and chroma is exactly 128 "
+        "through the BT.601 transform — meaning ANY defect in the "
+        "DCT, quantization, Huffman tables, bit packing, stuffing, "
+        "upsampling or color transform perturbs the checksum and "
+        "hash-mismatches against the closed form the oracle "
+        "regenerates in SQL (the lossy envelope is pinned separately "
+        "in pytest with error bounds + a custom-table differential "
+        "stream). Scale shape identical to the PNG/QOI keys: one "
+        "Arrow-batched mapInPandas per side, zero shuffles; the "
+        "bit-serial entropy loop is the format's nature and "
+        "parallelizes across rows/batches.",
+)
+def q_multimodal_jpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    BY, BX = 2, 2  # 8x8 blocks per axis -> 16x16 images
+    ys, xs = np.indices((BY, BX))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                v = (
+                    (int(d) * 13 + ys * 29 + xs * 37) % 256
+                ).astype(np.uint8)
+                g = v.repeat(8, axis=0).repeat(8, axis=1)
+                rgb = np.stack([g, g, g], axis=2)
+                payloads.append(
+                    encode_jpeg(rgb, quality=75, subsampling="420")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
                 h, w, c = img.shape
                 rows.append(
                     (d, w, h, c, int(img.astype(np.int64).sum()))

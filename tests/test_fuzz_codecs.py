@@ -4047,3 +4047,104 @@ def test_gif_lzw_dictionary_freezes_at_4096():
     stats2 = {}
     assert mm._gif_lzw_decode(data2, 8, len(short), _stats=stats2) == short
     assert stats2["max_table"] <= 4096
+
+
+def test_jpeg_refusals_and_guards():
+    """JPEG (round 16) refusal envelope: progressive (SOF2),
+    arithmetic-coded (SOF9), 12-bit precision, 4-component,
+    2x2-sampled grayscale, implausible dimensions (before any
+    allocation), missing tables, truncated entropy data, and
+    non-JPEG payloads all refuse by name — never hang, never return
+    wrong pixels silently."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = bytearray(
+        encode_jpeg(np.zeros((16, 16, 3), np.uint8), quality=75)
+    )
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG")
+
+    def swap_sof(marker2):
+        bad = bytearray(good)
+        i = bad.index(b"\xff\xc0")
+        bad[i + 1] = marker2
+        return bytes(bad)
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(swap_sof(0xC2))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(swap_sof(0xC9))
+    # 12-bit precision
+    bad = bytearray(good)
+    i = bad.index(b"\xff\xc0")
+    bad[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(bad))
+    # implausible dimensions refuse before allocating
+    bad = bytearray(good)
+    _struct.pack_into(">HH", bad, i + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(bad))
+    # grayscale with 2x2 sampling is non-interleaved per T.81
+    gray = bytearray(
+        encode_jpeg(np.zeros((8, 8), np.uint8), quality=75)
+    )
+    i = gray.index(b"\xff\xc0")
+    gray[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="grayscale JPEG"):
+        decode_jpeg(bytes(gray))
+    # truncations at every structural boundary
+    for cut in (2, 4, 21, len(good) // 2, len(good) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bytes(good[:cut]))
+    # entropy data replaced by an invalid Huffman walk must refuse,
+    # not desync: flip bits over the scan tail
+    sos = bytes(good).index(b"\xff\xda")
+    for pos in range(sos + 20, min(sos + 60, len(good) - 2)):
+        bad = bytearray(good)
+        bad[pos] ^= 0xFF
+        try:
+            decode_jpeg(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_jpeg_mutation_sweep():
+    """400-case bit-flip + truncation sweep over real encoded JPEG
+    payloads (the same posture as the other codecs' sweeps): only
+    ValueError / NotImplementedError may surface — anything else
+    (IndexError, struct.error, hang) is an escape."""
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(99)
+    payloads = [
+        encode_jpeg(
+            rng.randint(0, 256, (24, 17, 3)).astype(np.uint8),
+            quality=60,
+        ),
+        encode_jpeg(
+            rng.randint(0, 256, (9, 30)).astype(np.uint8), quality=85
+        ),
+    ]
+    for payload in payloads:
+        for _ in range(200):
+            pos = rng.randint(0, len(payload) * 8)
+            b2 = bytearray(payload)
+            b2[pos // 8] ^= 1 << (pos % 8)
+            try:
+                decode_jpeg(bytes(b2))
+            except (ValueError, NotImplementedError):
+                pass
+        for n in (0, 1, 2, 19, len(payload) // 3, len(payload) - 1):
+            try:
+                decode_jpeg(bytes(payload[:n]))
+            except (ValueError, NotImplementedError):
+                pass
