@@ -680,6 +680,278 @@ def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_FLOOR = 0.5  # ivf_exact floor: pruning loss only, nprobe/nlist=1/2
+
+
+def _recall_oracle() -> str:
+    """Recall-accounting oracle: the ivfpq chain's CTEs (reused up to
+    ``scored``), a prefixed plain-PQ chain, the exact fixed-point
+    ground truth, an IVF-exact rescoring chain, and the per-(method,k)
+    recall aggregation."""
+    ivf_ctes = _ivfpq_sql().rsplit("SELECT q_id, vec_id, adc2", 1)[0]
+
+    def d2full(a: str, b: str) -> str:
+        return (
+            f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(0, 63), i ->"
+            f" ({a}[CAST(1 + i AS INTEGER)] - {b}[CAST(1 + i AS INTEGER)])"
+            f" * ({a}[CAST(1 + i AS INTEGER)] - {b}[CAST(1 + i AS INTEGER)])))"
+            f" AS BIGINT)"
+        )
+
+    topk = (
+        "SELECT q_id, vec_id, rn FROM (SELECT q_id, vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY {ord}, vec_id) "
+        f"AS rn FROM {{src}}) t WHERE rn <= {TOP_K}"
+    )
+    return f"""
+WITH {ivf_ctes.strip().rstrip(',').strip()},
+ivf_topk AS ({topk.format(ord='adc2', src='scored')}),
+pcents AS (
+  SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < {_PQ_C}
+),
+pd AS (
+  SELECT e.vec_id, s.range AS s, c.c, {_pq_d2_sql('e')} AS d2
+  FROM embeddings e, range(0, {_PQ_S}) s, pcents c
+),
+pcodes AS (
+  SELECT vec_id, s, MIN(d2 * {_PQ_C} + c) % {_PQ_C} AS code
+  FROM pd GROUP BY vec_id, s
+),
+plut AS (
+  SELECT q.q_id, s.range AS s, c.c, {_pq_d2_sql('q')} AS d2
+  FROM (SELECT vec_id AS q_id, embedding FROM embeddings
+        WHERE vec_id < {N_QUERIES}) q,
+       range(0, {_PQ_S}) s, pcents c
+),
+pscored AS (
+  SELECT l.q_id, cd.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc2
+  FROM pcodes cd JOIN plut l ON l.s = cd.s AND l.c = cd.code
+  WHERE cd.vec_id <> l.q_id
+  GROUP BY l.q_id, cd.vec_id
+),
+pq_topk AS ({topk.format(ord='adc2', src='pscored')}),
+exact_p AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         {d2full('q.fxv', 'e.fxv')} AS d2
+  FROM fxe q JOIN fxe e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact_topk AS ({topk.format(ord='d2', src='exact_p')}),
+ivfx_cand AS (
+  SELECT p.q_id, m.vec_id
+  FROM probes p JOIN a m USING (cl)
+  WHERE m.vec_id <> p.q_id
+),
+ivfx_scored AS (
+  SELECT c.q_id, c.vec_id, {d2full('q.fxv', 'e.fxv')} AS d2
+  FROM ivfx_cand c
+  JOIN fxe q ON q.vec_id = c.q_id
+  JOIN fxe e ON e.vec_id = c.vec_id
+),
+ivfx_topk AS ({topk.format(ord='d2', src='ivfx_scored')}),
+ann AS (
+  SELECT 'ivf_exact' AS method, q_id, vec_id, rn FROM ivfx_topk
+  UNION ALL
+  SELECT 'ivfpq_adc' AS method, q_id, vec_id, rn FROM ivf_topk
+  UNION ALL
+  SELECT 'pq_adc' AS method, q_id, vec_id, rn FROM pq_topk
+),
+matched AS (
+  SELECT ann.method, ann.q_id, ann.rn AS arn, g.rn AS grn
+  FROM ann JOIN exact_topk g USING (q_id, vec_id)
+),
+spine AS (
+  SELECT m.method, k.k
+  FROM (VALUES ('ivf_exact'), ('ivfpq_adc'), ('pq_adc')) m(method),
+       (VALUES (1), (3), (5)) k(k)
+),
+rh AS (
+  SELECT s.method, s.k, COUNT(m.q_id) AS hits
+  FROM spine s
+  LEFT JOIN matched m
+    ON m.method = s.method AND m.arn <= s.k AND m.grn <= s.k
+  GROUP BY s.method, s.k
+)
+SELECT method, CAST(k AS INTEGER) AS k,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(hits AS DOUBLE) / (k * {N_QUERIES}) AS recall,
+       CAST(hits AS DOUBLE) / (k * {N_QUERIES})
+         >= (CASE WHEN method = 'ivf_exact' THEN {_RECALL_FLOOR}
+                  ELSE 0.0 END) AS meets_floor
+FROM rh
+"""
+
+
+@register(
+    "q_sim_ivfpq_recall",
+    oracle=_recall_oracle(),
+    doc="ANN RECALL ACCOUNTING (round 16) — the first question a real "
+        "100 TB similarity-search user asks of an approximate index: "
+        "recall@k of each serving path against the exact fixed-point "
+        "L2 ground truth, as deterministic per-(method, k) rows. "
+        "Three methods isolate WHERE the loss comes from: "
+        "'ivf_exact' (probe nprobe/nlist coarse lists, rescore "
+        "candidates with exact distances — pruning loss only), "
+        "'ivfpq_adc' (the full IVF-PQ serving chain of "
+        "q_sim_ivfpq_adc), and 'pq_adc' (the unpruned PQ-ADC chain of "
+        "q_sim_pq_adc — quantization loss only). On this fixture the "
+        "accounting shows quantization DOMINATES: ivf_exact holds "
+        "recall@1≈0.85 while the 2-bit-per-subspace ADC paths sit "
+        "near zero — the honest conclusion (pinned in pytest) that a "
+        "4-entry toy codebook compresses but cannot rank, and real "
+        "serving at this codebook size must exact-rescore probed "
+        "lists (the ivf_exact path) or train a bigger codebook. The "
+        "in-key floor (meets_floor) asserts ivf_exact ≥ 0.5 — "
+        "structural pruning quality — while the ADC rows document "
+        "their measured reality. All distances integer fixed-point, "
+        "so hits/recall are bit-deterministic cross-engine. 100 TB "
+        "posture: ground truth is brute force over the SAMPLED query "
+        "set only (the standard recall-eval protocol — one broadcast "
+        "pass, linear in the corpus, never all-pairs); candidates are "
+        "bounded by probed lists; the serving chains reuse their "
+        "keys' DAGs unchanged. SCALE trade-off: raising nprobe 2→4 "
+        "sends ivf_exact recall to 1.0 at 2x candidate cost — the "
+        "knob this key exists to measure.",
+)
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _fx64(F.col("embedding")).alias("fxv")
+    )
+    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
+        F.col("vec_id").alias("cl"), F.col("fxv").alias("c_fx")
+    )
+    ad = e.join(F.broadcast(ccents), F.lit(True)).select(
+        "vec_id",
+        "cl",
+        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
+    )
+    assign = ad.groupBy("vec_id").agg(
+        (
+            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
+            % _IVFPQ_NLIST
+        ).alias("cl")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
+    probes = (
+        ad.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _IVFPQ_NPROBE)
+        .select("q_id", "cl")
+    )
+    qfx = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("fxv").alias("q_fx")
+    )
+
+    def topk(scores: DataFrame, order: str) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(
+            F.asc(order), F.asc("vec_id")
+        )
+        return (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id", "rn")
+        )
+
+    exact_topk = topk(
+        e.join(F.broadcast(qfx), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _d2_span(
+                F.col("q_fx"), F.col("fxv"), F.lit(1), 64
+            ).alias("d2"),
+        ),
+        "d2",
+    )
+    ivfx_topk = topk(
+        assign.join(F.broadcast(probes), "cl")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(e.select("vec_id", "fxv"), "vec_id")
+        .join(F.broadcast(qfx), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            _d2_span(
+                F.col("q_fx"), F.col("fxv"), F.lit(1), 64
+            ).alias("d2"),
+        ),
+        "d2",
+    )
+    ann = (
+        ivfx_topk.select(F.lit("ivf_exact").alias("method"), "*")
+        .unionByName(
+            q_sim_ivfpq_adc(spark, sf_dir).select(
+                F.lit("ivfpq_adc").alias("method"),
+                "q_id",
+                "vec_id",
+                F.col("rn").cast("int").alias("rn"),
+            )
+        )
+        .unionByName(
+            q_sim_pq_adc(spark, sf_dir).select(
+                F.lit("pq_adc").alias("method"),
+                "q_id",
+                "vec_id",
+                F.col("rn").cast("int").alias("rn"),
+            )
+        )
+    )
+    matched = ann.join(
+        exact_topk.select(
+            "q_id", "vec_id", F.col("rn").alias("grn")
+        ),
+        ["q_id", "vec_id"],
+    ).select("method", "q_id", F.col("rn").alias("arn"), "grn")
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    F.lit("ivf_exact"),
+                    F.lit("ivfpq_adc"),
+                    F.lit("pq_adc"),
+                )
+            ).alias("method")
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.array(F.lit(1), F.lit(3), F.lit(5))
+                ).alias("k")
+            )
+        )
+    )
+    hits = (
+        spine.join(
+            F.broadcast(matched),
+            (spine["method"] == matched["method"])
+            & (F.col("arn") <= F.col("k"))
+            & (F.col("grn") <= F.col("k")),
+            "left",
+        )
+        .groupBy(spine["method"].alias("method"), "k")
+        .agg(F.count(F.col("arn")).alias("hits"))
+    )
+    recall = F.col("hits").cast("double") / (
+        F.col("k") * F.lit(N_QUERIES)
+    )
+    return hits.select(
+        "method",
+        F.col("k").cast("int").alias("k"),
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.col("hits").cast("long").alias("hits"),
+        recall.alias("recall"),
+        (
+            recall
+            >= F.when(
+                F.col("method") == "ivf_exact", F.lit(_RECALL_FLOOR)
+            ).otherwise(F.lit(0.0))
+        ).alias("meets_floor"),
+    )
+
+
 @register(
     "q_ml_knn_classify",
     oracle=f"""

@@ -73,6 +73,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-16 additions (never driver-checked) enter the window
     #    first --
     "q_multimodal_jpeg_decode",
+    "q_sim_ivfpq_recall",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

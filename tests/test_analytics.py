@@ -110,6 +110,8 @@ NEW_KEYS = [
     "q_pipeline_curation_surgical",
     "q_dedup_substring_rewrite_bucketed", "q_multimodal_qoi_decode",
     "q_multimodal_gif_frames", "q_multimodal_audio_g711",
+    # round 16
+    "q_multimodal_jpeg_decode", "q_sim_ivfpq_recall",
 ]
 
 
@@ -577,3 +579,30 @@ def test_pca_centers_by_mean_not_sum(spark):
         np.linalg.norm(comp) * np.linalg.norm(mu)
     )
     assert cos_mu < 0.9  # the sum-centering bug sits at ~0.99999997
+
+
+def test_ivfpq_recall_accounting_pins_quantization_loss(spark):
+    """Round-16 ANN recall accounting: the per-method rows must tell
+    the true story on this fixture — IVF pruning alone (ivf_exact)
+    keeps recall well above the in-key 0.5 floor at every k, while
+    BOTH 2-bit-per-subspace ADC paths collapse (< 0.2 recall at
+    every k): quantization, not pruning, dominates the loss, so
+    serving at this codebook size must exact-rescore probed lists.
+    Also pins that every row meets its floor (the in-key assertion
+    column) and that the spine is complete (3 methods x 3 ks)."""
+    rows = (
+        REGISTRY["q_sim_ivfpq_recall"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index(["method", "k"])
+        .sort_index()
+    )
+    assert len(rows) == 9
+    assert rows["meets_floor"].all()
+    for k in (1, 3, 5):
+        assert rows.loc[("ivf_exact", k), "recall"] >= 0.5, k
+        assert rows.loc[("ivfpq_adc", k), "recall"] < 0.2, k
+        assert rows.loc[("pq_adc", k), "recall"] < 0.2, k
+    # hits are consistent with recall (hits = recall * k * n_queries)
+    for (m, k), r in rows.iterrows():
+        assert r["hits"] == round(r["recall"] * k * r["n_queries"])
