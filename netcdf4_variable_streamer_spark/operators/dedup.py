@@ -2343,10 +2343,17 @@ def _winnow_anchor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange and Sort in every winnow consumer), which is what
     matters on a real cluster where that Exchange is network
     I/O."""
+    return _winnow_anchors_of(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_anchors_of(docs: DataFrame) -> DataFrame:
+    """:func:`_winnow_anchor_table` over an arbitrary documents frame
+    — the form the streaming per-batch posture needs (each micro-batch
+    anchors only its own rows, then probes the standing index)."""
     W = _WINNOW_W
     K = _SPAN_K
     toks = (
-        load_table(spark, sf_dir, "documents")
+        docs
         .select("doc_id", F.split("text", _SPAN_WS).alias("tk"))
         .filter(F.size("tk") >= K)
     )
@@ -2641,9 +2648,10 @@ def q_dedup_substring_decontam_rewrite(
     )
 
 
-@register(
-    "q_dedup_substring_decontam_anchored",
-    oracle=f"""
+# shared by the batch key below AND the streaming per-batch posture
+# (streaming/queries.py q_stream_dedup_substring_anchored, whose
+# 2-batch run at the same split must reproduce this output exactly)
+_SXC_ANCHORED_ORACLE = f"""
 WITH {_SPAN_CTE_SQL},
 {_WINNOW_CTE_SQL},
 refa AS (
@@ -2673,7 +2681,12 @@ ct AS (
   SELECT * FROM t WHERE doc_id >= {_SXC_SPLIT}
 ),
 {_rewrite_tail_sql("ct")}
-""",
+"""
+
+
+@register(
+    "q_dedup_substring_decontam_anchored",
+    oracle=_SXC_ANCHORED_ORACLE,
     doc="ANCHORED surgical decontamination (round 15) — the 100 TB "
         "path of q_dedup_substring_decontam_rewrite, the same winnow-"
         "flag-then-exact-recompute composition the anchored rewrite "

@@ -74,6 +74,7 @@ CANONICAL_ORDER: list[str] = [
     #    first --
     "q_multimodal_jpeg_decode",
     "q_sim_ivfpq_recall",
+    "q_stream_dedup_substring_anchored",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

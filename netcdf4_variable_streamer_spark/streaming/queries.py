@@ -1134,6 +1134,193 @@ def q_stream_dedup_incremental(
 
 
 # ---------------------------------------------------------------------------
+# Streaming SUBSTRING dedup via winnow anchors (round 16, VERDICT r15
+# #4): the crawl loop's missing granularity. The minhash loop above
+# catches near-duplicate DOCUMENTS; this loop catches copied PASSAGES
+# crawl-vs-index, with the anchored posture the batch keys proved:
+# each micro-batch winnow-anchors only ITS OWN rows (map-side, ~1/8 of
+# span positions), probes the PERSISTED anchor index to flag docs,
+# recomputes exact spans over the flagged subset only, and cuts spans
+# matching the persisted span-cluster index — batch-proportional by
+# construction. State = two parquet tables grown per batch exactly
+# like the minhash loop's bands/shingles: `anch_vN` (the winnowed
+# anchor index) and `spcl_vN` (the distinct span-cluster set, the
+# exact-side index — the `sh` analogue), committed under the same
+# marker-last protocol with pre-marker backfill.
+# ---------------------------------------------------------------------------
+
+
+def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
+    """foreachBatch closure for anchored substring dedup — the
+    :func:`make_crawl_loop` protocol (versioned state + commit-marker-
+    last + idempotent per-batch decision overwrite + pre-marker
+    backfill) applied to the winnow-anchor index pair."""
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _cap_excluded_cut,
+        _rewrite_emit,
+        _span_table,
+        _winnow_anchors_of,
+    )
+
+    for _p in os.listdir(run_dir):
+        if not _p.startswith("anch_v"):
+            continue
+        _v = _p[len("anch_v"):]
+        if not _v.isdigit():
+            continue
+        _marker = os.path.join(run_dir, f"commit_v{_v}")
+        if os.path.exists(_marker) or not all(
+            os.path.exists(
+                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
+            )
+            for _t in ("anch", "spcl")
+        ):
+            continue
+        with open(_marker, "w"):
+            pass
+
+    state: dict[str, str] = {}
+    n_batches = [0]
+
+    def crawl(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        if not state:
+            prior = sorted(
+                int(s)
+                for p in os.listdir(run_dir)
+                if p.startswith("commit_v")
+                and (s := p[len("commit_v"):]).isdigit()
+                and int(s) < batch_id
+            )
+            if prior:
+                v = prior[-1]
+                state["anch"] = os.path.join(run_dir, f"anch_v{v}")
+                state["spcl"] = os.path.join(run_dir, f"spcl_v{v}")
+        b = batch_df.select("doc_id", "text")
+        b_anch = _winnow_anchors_of(b)
+        b_spcl = _span_table(b).select("cluster").distinct()
+        if state:
+            idx_anch = spark.read.parquet(state["anch"])
+            idx_spcl = spark.read.parquet(state["spcl"])
+            flagged = (
+                b_anch.join(
+                    F.broadcast(
+                        idx_anch.select("cluster").distinct()
+                    ),
+                    "cluster",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            fspans = _span_table(b.join(F.broadcast(flagged), "doc_id"))
+            hits = fspans.join(idx_spcl, "cluster")
+            _rewrite_emit(
+                spark, "", _cap_excluded_cut(hits), docs=b
+            ).write.mode("overwrite").parquet(
+                os.path.join(run_dir, f"dec_v{batch_id}")
+            )
+            b_anch = idx_anch.unionByName(b_anch)
+            # the cluster index must stay a SET: duplicate clusters
+            # would double-count hits in the frequent-n-gram cap
+            b_spcl = idx_spcl.unionByName(b_spcl).distinct()
+        anch_dst = os.path.join(run_dir, f"anch_v{batch_id}")
+        spcl_dst = os.path.join(run_dir, f"spcl_v{batch_id}")
+        b_anch.write.mode("overwrite").parquet(anch_dst)
+        b_spcl.write.mode("overwrite").parquet(spcl_dst)
+        # commit marker LAST (same exactly-once story as the minhash
+        # loop: versioned paths + overwrite + marker)
+        with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
+            pass
+        state["anch"], state["spcl"] = anch_dst, spcl_dst
+
+    return crawl, n_batches
+
+
+def run_foreachbatch_substring_anchored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-micro-batch run of the substring crawl loop split at the
+    decontam fixture boundary, so batch 2's decisions must equal the
+    batch twin ``q_dedup_substring_decontam_anchored`` exactly."""
+    import shutil
+
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _SXC_SPLIT,
+    )
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    stream_dir = _docs_two_batch_stream_dir(spark, sf_dir, _SXC_SPLIT)
+    run_dir = tempfile.mkdtemp(
+        prefix="sxc_state_",
+        dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp"),
+    )
+    crawl, n_batches = make_substring_crawl_loop(spark, run_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(crawl)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] == 2, (
+        f"expected 2 micro-batches, got {n_batches[0]}"
+    )
+    out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
+    rows = out.collect()  # materialize before the scratch dirs go
+    schema_out = out.schema
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+def _stream_sxc_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _SXC_ANCHORED_ORACLE,
+    )
+
+    return _SXC_ANCHORED_ORACLE
+
+
+@register(
+    "q_stream_dedup_substring_anchored",
+    oracle=_stream_sxc_oracle(),
+    doc="STREAMING substring dedup, anchored posture (round 16, "
+        "VERDICT r15 #4) — the crawl loop's last missing granularity: "
+        "the minhash loop catches near-duplicate DOCUMENTS per batch; "
+        "this loop catches copied PASSAGES crawl-vs-index. Each "
+        "micro-batch (1) winnow-anchors only ITS OWN rows map-side "
+        "(~1/8 of span positions — the round-15 HOF build), (2) "
+        "probes the PERSISTED anchor index to flag its contaminated "
+        "docs, (3) recomputes exact spans over the flagged subset "
+        "only, (4) cuts spans matching the persisted span-cluster "
+        "index (minus the frequent-n-gram cap), and (5) merges its "
+        "anchors and clusters into the versioned parquet state under "
+        "the commit-marker-last protocol (idempotent decision "
+        "overwrite; pre-marker backfill; restart re-proven with the "
+        "stage armed in tests/test_streaming.py::"
+        "test_substring_crawl_loop_restart). Per-batch probe cost is "
+        "proportional to the BATCH (batch anchors x broadcast index "
+        "clusters, exact spans over flagged docs only); state grows "
+        "with the corpus like the minhash index and is amortized "
+        "across crawls. A 2-batch run split at the decontam fixture "
+        "boundary must reproduce the batch twin "
+        "q_dedup_substring_decontam_anchored EXACTLY — the oracle IS "
+        "that key's SQL.",
+)
+def q_stream_dedup_substring_anchored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_foreachbatch_substring_anchored(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Watermarked per-window top-k heavy hitters (round 11) — the streaming
 # "trending now" shape: APPEND-mode windowed counts whose state is
 # dropped as windows finalize, ranked top-k AFTER the stream (ranking

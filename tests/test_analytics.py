@@ -112,6 +112,7 @@ NEW_KEYS = [
     "q_multimodal_gif_frames", "q_multimodal_audio_g711",
     # round 16
     "q_multimodal_jpeg_decode", "q_sim_ivfpq_recall",
+    "q_stream_dedup_substring_anchored",
 ]
 
 

@@ -1195,3 +1195,80 @@ def test_curation_null_text_docs_never_dedup(spark, tmp_path):
     assert len(got) == len(want)
     for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_substring_crawl_loop_restart(spark, tmp_path):
+    """RESTART proof for the round-16 substring crawl loop, WITH THE
+    STAGE ARMED: run batch 1 (the standing corpus — its anchors and
+    span-cluster index) to completion, STOP, then restart a brand-new
+    query (fresh foreachBatch closure, empty state dict, same
+    checkpoint) after the crawl file arrives. The restarted run must
+    (a) not replay batch 0, (b) recover the committed anchor/cluster
+    index from the versioned parquet paths, and (c) produce decisions
+    exactly equal to the batch twin q_dedup_substring_decontam_anchored
+    — including rows that actually CUT text (the armed proof: planted
+    contamination crosses the restart boundary and is excised)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _SXC_SPLIT,
+    )
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_two_batch_stream_dir(spark, SF_DIR, _SXC_SPLIT)
+    crawl_file = os.path.join(feed, "1_crawl.parquet")
+    held_back = str(tmp_path / "held_back.parquet")
+    shutil.move(crawl_file, held_back)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    ckpt = os.path.join(run_dir, "ckpt")
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        crawl, n = sq.make_substring_crawl_loop(spark, run_dir)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(crawl)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return n[0]
+
+    # run 1: only the index file -> one micro-batch, no decisions
+    assert run_once() == 1
+    assert any(p.startswith("anch_v") for p in os.listdir(run_dir))
+    assert any(p.startswith("spcl_v") for p in os.listdir(run_dir))
+    assert any(p.startswith("commit_v") for p in os.listdir(run_dir))
+    assert not any(p.startswith("dec_v") for p in os.listdir(run_dir))
+
+    shutil.move(held_back, crawl_file)
+    assert run_once() == 1  # restarted query: exactly one new batch
+
+    stream = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    batch = (
+        REGISTRY["q_dedup_substring_decontam_anchored"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        stream.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+    # the armed proof: cross-restart contamination was actually cut
+    assert (stream["n_tokens_cut"] > 0).any()
+    assert (stream["n_tokens_cut"] == 0).any()  # clean docs untouched
+    shutil.rmtree(feed, ignore_errors=True)
