@@ -4148,3 +4148,113 @@ def test_jpeg_mutation_sweep():
                 decode_jpeg(bytes(payload[:n]))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_qoi_run_length_boundaries():
+    """Fuzz round 9: QOI_OP_RUN boundaries. The run op stores runs
+    1..62 biased by -1 (values 63/64 are reserved — they would
+    collide with the RGB/RGBA tags 0xFE/0xFF), so images with runs
+    of exactly 61/62/63/124 pixels and a run ending exactly at the
+    image boundary exercise the encoder's split logic and the
+    decoder's run replay at every edge. All must round-trip exactly,
+    and the encoded stream must never contain a run chunk whose
+    biased length exceeds 61."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    for n in (1, 2, 61, 62, 63, 64, 123, 124, 125, 200):
+        img = np.full((1, n + 1, 3), 77, np.uint8)
+        img[0, 0] = (1, 2, 3)  # a non-run head so the run is exactly n
+        enc = mm.encode_qoi(img)
+        assert (mm.decode_qoi(enc) == img).all(), n
+        # scan chunk stream: no QOI_OP_RUN with biased length > 61
+        pos = 14
+        while pos < len(enc) - 8:
+            b = enc[pos]
+            if b == 0xFE:
+                pos += 4
+            elif b == 0xFF:
+                pos += 5
+            else:
+                if (b >> 6) == 3:  # QOI_OP_RUN
+                    assert (b & 0x3F) <= 61, n
+                pos += 1
+        # run ending exactly at the image end (no trailing pixel)
+        tail = np.full((1, n, 4), 200, np.uint8)
+        assert (mm.decode_qoi(mm.encode_qoi(tail)) == tail).all(), n
+
+
+def test_g711_alaw_sign_and_clamp_edges():
+    """Fuzz round 9: G.711 companding edges — segment-0/1 boundary
+    (|x| = 256), the int16 extremes (−32768 must clamp without
+    overflow), ±1, 0, and sign preservation straddling each segment
+    boundary, for BOTH laws. Also pins the A-law even-bit inversion
+    invariant (codeword ^ 0x55 symmetry): alaw_encode(0) == 0xD5 and
+    mulaw_encode(0) == 0xFF — the spec's zero codewords."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    edges = np.array(
+        [-32768, -32767, -16384, -4097, -4096, -257, -256, -255,
+         -129, -128, -2, -1, 0, 1, 2, 127, 128, 255, 256, 257,
+         4095, 4096, 16383, 32767],
+        dtype=np.int16,
+    )
+    assert int(mm.alaw_encode(np.array([0], np.int16))[0]) == 0xD5
+    assert int(mm.mulaw_encode(np.array([0], np.int16))[0]) == 0xFF
+    for enc, dec, bound in (
+        (mm.alaw_encode, mm.alaw_decode, 1024),
+        (mm.mulaw_encode, mm.mulaw_decode, 1024),
+    ):
+        y = dec(enc(edges)).astype(np.int32)
+        err = np.abs(y - edges.astype(np.int32))
+        assert err.max() <= bound
+        # relative error: companding error is proportional to segment
+        # step, ≤ half the step ≈ |x|/16 + O(1) for both laws
+        big = np.abs(edges.astype(np.int32)) >= 256
+        rel = err[big] / np.abs(edges.astype(np.int32))[big]
+        assert rel.max() <= 0.04
+        nz = np.abs(edges.astype(np.int32)) > 64
+        assert (
+            np.sign(y[nz]) == np.sign(edges.astype(np.int32)[nz])
+        ).all()
+    # int16 extreme: -32768 clamps to the top magnitude codeword of
+    # the negative half, decode stays in int16 range
+    for enc, dec in (
+        (mm.alaw_encode, mm.alaw_decode),
+        (mm.mulaw_encode, mm.mulaw_decode),
+    ):
+        lo = dec(enc(np.array([-32768], np.int16)))[0]
+        hi = dec(enc(np.array([32767], np.int16)))[0]
+        assert -32768 <= int(lo) < -30000 and 30000 < int(hi) <= 32767
+
+
+def test_png_interlace_refusal():
+    """Fuzz round 9: the Adam7 interlace flag must refuse by NAME
+    before any pixel work — a decoder that ignores the flag returns
+    scrambled pixels silently."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    def chunk(t, b):
+        return (
+            _struct.pack(">I", len(b)) + t + b
+            + _struct.pack(">I", _zlib.crc32(t + b))
+        )
+
+    png = (
+        mm._PNG_SIG
+        + chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+        )
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * (4 * (4 * 3 + 1))))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_png(png)

@@ -1272,3 +1272,131 @@ def test_substring_crawl_loop_restart(spark, tmp_path):
     assert (stream["n_tokens_cut"] > 0).any()
     assert (stream["n_tokens_cut"] == 0).any()  # clean docs untouched
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_curation_backfill_skips_partial_newer_pair(spark, tmp_path):
+    """Fuzz round 9 (VERDICT r15 #5): the pre-marker BACKFILL branch
+    against a TORN run_dir — a COMPLETE older hashes/budget pair (v0)
+    plus a PARTIAL newer pair (v1's budget table missing its
+    _SUCCESS, the shape a crash mid-pair-write leaves). Backfill must
+    mint a marker for v0 ONLY; the torn v1 stays invisible, recovery
+    resumes from v0, the replayed batch 1 rewrites v1 idempotently,
+    the LM is not retrained, and the final decisions equal the
+    oracle."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, (sq._CUR_REF_SPLIT, sq._CUR_BATCH_SPLIT),
+        columns=("doc_id", "text", "lang"),
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, b)).to_pandas()
+        )
+        for b in ("0_part.parquet", "1_part.parquet", "2_part.parquet")
+    ]
+    curate, _n = sq.make_curation_loop(spark, run_dir)
+    curate(batches[0], 0)
+    curate(batches[1], 1)
+    # pre-marker era + torn v1: markers gone, v1's budget _SUCCESS gone
+    for p in list(os.listdir(run_dir)):
+        if p.startswith("commit_v"):
+            os.remove(os.path.join(run_dir, p))
+    os.remove(os.path.join(run_dir, "budget_v1", "_SUCCESS"))
+    lm_mtime = os.path.getmtime(os.path.join(run_dir, "lm.json"))
+    curate2, _n2 = sq.make_curation_loop(spark, run_dir)
+    assert os.path.exists(os.path.join(run_dir, "commit_v0"))
+    assert not os.path.exists(os.path.join(run_dir, "commit_v1")), (
+        "backfill minted a marker for a torn pair"
+    )
+    curate2(batches[1], 1)  # checkpoint replay of the torn batch
+    curate2(batches[2], 2)
+    assert os.path.exists(os.path.join(run_dir, "commit_v1"))
+    assert os.path.exists(
+        os.path.join(run_dir, "budget_v1", "_SUCCESS")
+    )
+    assert os.path.getmtime(
+        os.path.join(run_dir, "lm.json")
+    ) == lm_mtime, "LM must not be retrained from crawl text"
+    got = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = oracle_mod.connect(SF_DIR)
+    want = con.execute(sq._CUR_ORACLE).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "batch", "is_dup", "ppl_keep", "sampled"):
+        assert list(got[col]) == list(want[col]), col
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_substring_loop_backfill_skips_partial_newer_pair(
+    spark, tmp_path
+):
+    """The same torn-backfill shape for the round-16 substring crawl
+    loop: complete anch/spcl pair at v0, torn v1 (spcl missing
+    _SUCCESS) — backfill mints v0's marker only, recovery resumes
+    from v0, and the replayed crawl batch reproduces the batch twin
+    exactly."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _SXC_SPLIT,
+    )
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_two_batch_stream_dir(spark, SF_DIR, _SXC_SPLIT)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    b0 = spark.createDataFrame(
+        pq.read_table(os.path.join(feed, "0_index.parquet")).to_pandas()
+    )
+    b1 = spark.createDataFrame(
+        pq.read_table(os.path.join(feed, "1_crawl.parquet")).to_pandas()
+    )
+    crawl, _n = sq.make_substring_crawl_loop(spark, run_dir)
+    crawl(b0, 0)
+    crawl(b1, 1)
+    for p in list(os.listdir(run_dir)):
+        if p.startswith("commit_v"):
+            os.remove(os.path.join(run_dir, p))
+    os.remove(os.path.join(run_dir, "spcl_v1", "_SUCCESS"))
+    crawl2, _n2 = sq.make_substring_crawl_loop(spark, run_dir)
+    assert os.path.exists(os.path.join(run_dir, "commit_v0"))
+    assert not os.path.exists(os.path.join(run_dir, "commit_v1"))
+    crawl2(b1, 1)  # replay the torn batch
+    assert os.path.exists(os.path.join(run_dir, "commit_v1"))
+    stream = (
+        sq.read_crawl_decisions(spark, run_dir)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    batch = (
+        REGISTRY["q_dedup_substring_decontam_anchored"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        stream.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+    assert (stream["n_tokens_cut"] > 0).any()
+    shutil.rmtree(feed, ignore_errors=True)
