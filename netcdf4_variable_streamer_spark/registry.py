@@ -75,6 +75,8 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_jpeg_decode",
     "q_sim_ivfpq_recall",
     "q_stream_dedup_substring_anchored",
+    "q_sim_pq_train_codebook",
+    "q_sim_pq_trained_recall",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

@@ -113,6 +113,7 @@ NEW_KEYS = [
     # round 16
     "q_multimodal_jpeg_decode", "q_sim_ivfpq_recall",
     "q_stream_dedup_substring_anchored",
+    "q_sim_pq_train_codebook", "q_sim_pq_trained_recall",
 ]
 
 
@@ -607,3 +608,41 @@ def test_ivfpq_recall_accounting_pins_quantization_loss(spark):
     # hits are consistent with recall (hits = recall * k * n_queries)
     for (m, k), r in rows.iterrows():
         assert r["hits"] == round(r["recall"] * k * r["n_queries"])
+
+
+def test_trained_codebook_lifts_recall(spark):
+    """Round-16 codebook training must BUY something measurable: the
+    trained 16-entry/2-round ADC path's recall@5 must strictly exceed
+    the untrained 4-entry path's (the q_sim_ivfpq_recall 'pq_adc'
+    row) on the same fixture, and every trained row must meet its
+    in-key floor. Also sanity-pins the training key: 8 subspaces,
+    no centroid claims more members than the corpus, member counts
+    per subspace sum to the number of vectors with >= 64 dims."""
+    trained = (
+        REGISTRY["q_sim_pq_trained_recall"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("k")
+    )
+    base = (
+        REGISTRY["q_sim_ivfpq_recall"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    base5 = base[(base.method == "pq_adc") & (base.k == 5)][
+        "recall"
+    ].iloc[0]
+    assert trained.loc[5, "recall"] > base5
+    assert trained["meets_floor"].all()
+    cb = (
+        REGISTRY["q_sim_pq_train_codebook"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    assert set(cb["s"]) == set(range(8))
+    n_vec = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    )
+    per_sub = cb.groupby("s")["n_members"].sum()
+    assert (per_sub == n_vec).all()
+    assert (cb["n_members"] <= n_vec).all()
