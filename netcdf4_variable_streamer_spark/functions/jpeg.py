@@ -1,26 +1,36 @@
-"""Baseline JFIF (JPEG) codec, pure NumPy + stdlib — no external
-imaging library.
+"""JFIF (JPEG) codec — baseline AND progressive — pure NumPy +
+stdlib, no external imaging library.
 
 Built from the public ITU-T T.81 spec (the JPEG standard) and the JFIF
 container note, with the same discipline as the PNG/GIF/QOI/G.711
 codecs in :mod:`functions.multimodal`:
 
-- **decode**: baseline sequential DCT (SOF0, and SOF1 when 8-bit) —
-  marker parse (DQT 8/16-bit precision, DHT, DRI, APPn/COM skip),
-  canonical Huffman entropy decode with byte-stuffing removal and
-  restart-marker segmentation, dequantize, inverse zigzag, vectorized
-  8x8 IDCT (orthonormal DCT-II basis matrix, einsum over all blocks),
-  chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, BT.601 YCbCr→RGB.
-  Grayscale (1 component) and YCbCr (3 components).
+- **decode**: baseline sequential DCT (SOF0, and SOF1 when 8-bit) AND
+  progressive DCT (SOF2, round 16) — marker parse (DQT 8/16-bit
+  precision, DHT, DRI, APPn/COM skip), canonical Huffman entropy
+  decode with byte-stuffing removal and restart-marker segmentation;
+  for progressive frames, multi-scan coefficient accumulation with
+  all four T.81 G.2 modes (DC/AC x first/refinement: spectral
+  selection bands, EOB runs, successive-approximation correction
+  bits, interleaved DC + non-interleaved AC geometry); then
+  dequantize, inverse zigzag, vectorized 8x8 IDCT (orthonormal DCT-II
+  basis matrix, einsum over all blocks), chroma upsampling for
+  4:4:4 / 4:2:2 / 4:2:0, BT.601 YCbCr→RGB. Grayscale (1 component)
+  and YCbCr (3 components).
 - **encode**: grayscale or RGB at 4:4:4 / 4:2:0, Annex K quantization
   tables with the classic libjpeg-style quality scaling, Annex K
   Huffman tables, interleaved MCU scan, byte stuffing — a
-  spec-conformant stream any standard decoder opens.
-- **refusals are loud and named**: progressive (SOF2), arithmetic
-  coding, hierarchical, 12-bit precision, >2x2 sampling factors,
-  truncated streams, Huffman codes past the table, coefficient index
-  overruns. Dimension/allocation guards fire before any large
-  allocation (same posture as the GIF/PNG guards).
+  spec-conformant stream any standard decoder opens. With
+  ``progressive=True``, a 4-phase SOF2 scan script (DC first at Al=1,
+  per-component AC first, DC/AC refinement) that re-codes the same
+  quantized coefficients losslessly — progressive output decodes
+  pixel-identical to the baseline stream (test-pinned).
+- **refusals are loud and named**: arithmetic coding, lossless,
+  hierarchical, 12-bit precision, >2x2 sampling factors, illegal
+  progressive scan headers, truncated streams, Huffman codes past
+  the table, coefficient index overruns. Dimension/allocation guards
+  fire before any large allocation (same posture as the GIF/PNG
+  guards).
 
 The per-symbol entropy loops are plain Python over small ints — the
 format's sequential nature; decodes parallelize across rows/batches
@@ -280,7 +290,6 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -331,9 +340,9 @@ def _split_scan(payload: bytes, pos: int):
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w) uint8 grayscale or (h, w, 3)
-    uint8 RGB. See the module docstring for the supported envelope;
-    everything outside it refuses by name."""
+    """Baseline or progressive JFIF bytes → (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB. See the module docstring for the supported
+    envelope; everything outside it refuses by name."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -341,8 +350,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → table
     frame = None
     restart_interval = 0
-    scan_segs = None
-    scan_comps = None
+    stores: dict[int, np.ndarray] = {}  # comp id → (by, bx, 64) zz coefs
+    n_scans = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(
@@ -404,12 +413,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if tc > 1:
                     raise ValueError(f"JPEG DHT class {tc} invalid")
                 huff[(tc, th)] = _decode_table(bits, huffval)
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             _need(seg, 6, "SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG unsupported (8-bit baseline only)"
+                    f"{prec}-bit JPEG unsupported (8-bit only)"
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(
@@ -438,7 +447,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"{hi}x{vi} unsupported (1x1 only)"
                     )
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame["mcux"], frame["mcuy"] = mcux, mcuy
+            for c in comps:
+                stores[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} unsupported "
@@ -453,48 +476,93 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             _need(seg, 1, "SOS")
             ns = seg[0]
             _need(seg, 4 + 2 * ns, "SOS")
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "JPEG non-interleaved / multi-scan streams "
-                    "unsupported (single interleaved scan only)"
-                )
-            sel = {}
+            sel = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                sel[cs] = (tt >> 4, tt & 0x0F)
+                sel.append((cs, tt >> 4, tt & 0x0F))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-            if (ss, se, ahal) != (0, 63, 0):
-                raise NotImplementedError(
-                    "JPEG spectral selection / successive approximation"
-                    " unsupported (baseline scan header must be "
-                    "0/63/0)"
-                )
-            scan_comps = []
-            for c in frame["comps"]:
-                if c["id"] not in sel:
+            ah, al_ = ahal >> 4, ahal & 0x0F
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scomps = []
+            for cs, td, ta in sel:
+                if cs not in by_id:
                     raise ValueError(
-                        f"JPEG SOS missing component {c['id']}"
+                        f"JPEG SOS names unknown component {cs}"
                     )
-                td, ta = sel[c["id"]]
-                scan_comps.append({**c, "td": td, "ta": ta})
-            scan_segs, pos = _split_scan(payload, pos)
+                scomps.append({**by_id[cs], "td": td, "ta": ta})
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "JPEG non-interleaved sequential scans "
+                        "unsupported (single interleaved scan only)"
+                    )
+                if (ss, se, ahal) != (0, 63, 0):
+                    raise ValueError(
+                        "JPEG sequential scan header must be 0/63/0, "
+                        f"got {ss}/{se}/{ahal}"
+                    )
+            else:
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError(
+                            "JPEG progressive DC scan must have Se=0 "
+                            f"(a {ss}..{se} band is not legal in a "
+                            "progressive frame)"
+                        )
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "JPEG progressive AC scans must be "
+                            f"single-component (got {ns})"
+                        )
+                    if not ss <= se <= 63:
+                        raise ValueError(
+                            f"JPEG spectral band {ss}..{se} invalid"
+                        )
+                if al_ > 13 or (ah != 0 and ah != al_ + 1):
+                    raise ValueError(
+                        f"JPEG successive approximation Ah={ah} "
+                        f"Al={al_} invalid"
+                    )
+            segs, pos = _split_scan(payload, pos)
+            _decode_scan_into(
+                frame, scomps, ss, se, ah, al_, segs, huff,
+                restart_interval, stores,
+            )
+            n_scans += 1
         # else: APPn / COM / DNL — skipped
-    if frame is None or scan_segs is None:
+    if frame is None or n_scans == 0:
         raise ValueError("JPEG stream carries no SOF/SOS")
-    return _decode_scan(
-        frame, scan_comps, scan_segs, qt, huff, restart_interval
-    )
+    return _reconstruct(frame, qt, stores)
 
 
-def _decode_scan(frame, comps, segs, qt, huff, restart_interval):
+def _decode_scan_into(
+    frame, scomps, ss, se, ah, al, segs, huff, restart_interval, stores
+):
+    """Entropy-decode ONE scan into the per-component coefficient
+    stores (zigzag order). Handles all five modes: sequential full
+    blocks, progressive DC/AC x first/refinement — the T.81 G.2
+    algorithms (EOB runs, successive-approximation correction bits).
+    Plain-Python Huffman walk; everything downstream is vectorized."""
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    interleaved = len(scomps) > 1
+    full = not frame["progressive"]
+    if interleaved or full:
+        units = mcux * mcuy
+    else:
+        # non-interleaved geometry (T.81 A.2.2): blocks tile the
+        # COMPONENT's own pixel dims, no MCU grouping
+        c0 = scomps[0]
+        comp_w = -(-(w * c0["h"]) // hmax)
+        comp_h = -(-(h * c0["v"]) // vmax)
+        cbw = -(-comp_w // 8)
+        cbh = -(-comp_h // 8)
+        units = cbw * cbh
     if restart_interval:
-        expect = -(-n_mcus // restart_interval)
+        expect = -(-units // restart_interval)
         if len(segs) != expect:
             raise ValueError(
                 f"JPEG restart interval {restart_interval} implies "
@@ -504,64 +572,171 @@ def _decode_scan(frame, comps, segs, qt, huff, restart_interval):
         raise ValueError(
             "JPEG restart markers present but no DRI interval set"
         )
-    for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError(f"JPEG quant table {c['tq']} undefined")
-        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+    need_dc = ss == 0 and ah == 0
+    need_ac = full or ss > 0
+    for c in scomps:
+        if need_dc and (0, c["td"]) not in huff:
             raise ValueError(
-                f"JPEG Huffman tables {c['td']}/{c['ta']} undefined"
+                f"JPEG DC Huffman table {c['td']} undefined"
             )
-        c["blocks"] = np.zeros(
-            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
-        )
-    # entropy pass: plain-Python Huffman walk (the format is bit-serial
-    # by construction); everything after it is vectorized NumPy
-    pred = {c["id"]: 0 for c in comps}
+        if need_ac and (1, c["ta"]) not in huff:
+            raise ValueError(
+                f"JPEG AC Huffman table {c['ta']} undefined"
+            )
+    pred = {c["id"]: 0 for c in scomps}
+    eobrun = 0
     reader = _BitReader(segs[0])
     seg_i = 0
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
+
+    def block_full(c, coef):
+        nonlocal pred
+        dc_t = huff[(0, c["td"])]
+        ac_t = huff[(1, c["ta"])]
+        t = reader.read_symbol(dc_t)
+        if t > 11:
+            raise ValueError(f"JPEG DC category {t} invalid")
+        diff = _extend(reader.bits(t), t) if t else 0
+        pred[c["id"]] += diff
+        coef[0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflows the block")
+            coef[k] = _extend(reader.bits(s), s)
+            k += 1
+
+    def block_dc_first(c, coef):
+        t = reader.read_symbol(huff[(0, c["td"])])
+        if t > 11:
+            raise ValueError(f"JPEG DC category {t} invalid")
+        diff = _extend(reader.bits(t), t) if t else 0
+        pred[c["id"]] += diff
+        coef[0] = pred[c["id"]] << al
+
+    def block_dc_refine(c, coef):
+        if reader.bits(1):
+            coef[0] |= 1 << al
+
+    def block_ac_first(c, coef):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        ac_t = huff[(1, c["ta"])]
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflows the band")
+            coef[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def block_ac_refine(c, coef):
+        # T.81 G.2 / the classic successive-approximation refinement:
+        # existing nonzero coefficients consume one correction bit
+        # each; zero-history runs position newly-significant ±1<<Al
+        # values; EOB runs cover whole blocks (whose nonzero history
+        # still consumes correction bits)
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        ac_t = huff[(1, c["ta"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_symbol(ac_t)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    s_val = 0  # ZRL: 16 zero-history positions
+                elif s == 1:
+                    s_val = p1 if reader.bits(1) else m1
+                else:
+                    raise ValueError(
+                        "JPEG AC refinement magnitude must be 1"
+                    )
+                while k <= se:
+                    cv = int(coef[k])
+                    if cv != 0:
+                        if reader.bits(1) and (cv & p1) == 0:
+                            coef[k] = cv + (p1 if cv > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s_val and k <= se:
+                    coef[k] = s_val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                cv = int(coef[k])
+                if cv != 0 and reader.bits(1) and (cv & p1) == 0:
+                    coef[k] = cv + (p1 if cv > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if full:
+        block_fn = block_full
+    elif ss == 0:
+        block_fn = block_dc_first if ah == 0 else block_dc_refine
+    else:
+        block_fn = block_ac_first if ah == 0 else block_ac_refine
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
             seg_i += 1
             reader = _BitReader(segs[seg_i])
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcux)
-        for c in comps:
-            dc_t = huff[(0, c["td"])]
-            ac_t = huff[(1, c["ta"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64, dtype=np.int32)
-                    t = reader.read_symbol(dc_t)
-                    if t > 11:
-                        raise ValueError(
-                            f"JPEG DC category {t} invalid"
+            pred = {c["id"]: 0 for c in scomps}
+            eobrun = 0
+        if interleaved or full:
+            my, mx = divmod(u, mcux)
+            for c in scomps:
+                st = stores[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block_fn(
+                            c, st[my * c["v"] + by, mx * c["h"] + bx]
                         )
-                    diff = _extend(reader.bits(t), t) if t else 0
-                    pred[c["id"]] += diff
-                    coef[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_symbol(ac_t)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError(
-                                "JPEG AC run overflows the block"
-                            )
-                        coef[k] = _extend(reader.bits(s), s)
-                        k += 1
-                    c["blocks"][
-                        my * c["v"] + by, mx * c["h"] + bx
-                    ] = coef
+        else:
+            by, bx = divmod(u, cbw)
+            block_fn(scomps[0], stores[scomps[0]["id"]][by, bx])
+
+
+def _reconstruct(frame, qt, stores):
+    """Dequantize, inverse-zigzag, IDCT, upsample and color-convert
+    the accumulated coefficient stores into the final image."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     planes = []
-    for c in comps:
-        by, bx, _ = c["blocks"].shape
-        deq = (c["blocks"] * qt[c["tq"]][None, None, ZIGZAG]).astype(
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG quant table {c['tq']} undefined")
+        blocks = stores[c["id"]]
+        by, bx, _ = blocks.shape
+        deq = (blocks * qt[c["tq"]][None, None, ZIGZAG]).astype(
             np.float64
         )
         blocks8 = np.zeros((by, bx, 64))
@@ -659,12 +834,31 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     )
 
 
+# Simple flat canonical tables for progressive scans: the Annex K AC
+# tables carry no EOBn symbols (r >= 1) — progressive encoders ship
+# their own tables, so ours do too: 12 DC categories at 4 bits, all
+# 256 AC symbols at 9–10 bits (a DHT BITS count is one byte, so 255
+# codes sit at length 9 and the last at 10; prefix-free by
+# construction; size over speed is irrelevant for correctness).
+HUFF_DC_FLAT = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+HUFF_AC_FLAT = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 75, subsampling: str = "420"
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "420",
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → baseline JFIF
-    bytes (Annex K tables, quality-scaled quantization; color streams
-    are 4:2:0 by default or 4:4:4 with ``subsampling='444'``)."""
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → JFIF bytes.
+    Baseline (Annex K tables, quality-scaled quantization; color
+    streams are 4:2:0 by default or 4:4:4 with ``subsampling='444'``)
+    or, with ``progressive=True``, a progressive (SOF2) stream whose
+    scan script exercises every T.81 progressive mode: interleaved DC
+    first at Al=1, per-component full-band AC first at Al=1
+    (spectral selection + EOB runs), then DC and AC refinement scans
+    (successive approximation, correction bits, buffered-bit EOB
+    runs)."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects (h, w[, 3]) uint8")
     color = arr.ndim == 3
@@ -737,19 +931,30 @@ def encode_jpeg(
     for tq, q in ((0, q_lum), (1, q_chr)) if color else ((0, q_lum),):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
         out += bytes(int(v) for v in q[ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(
         ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
     )
     for cid, (hi, vi), tq, _, _, _ in comps:
         out += bytes([cid, (hi << 4) | vi, tq])
-    huff_specs = [(0, 0, HUFF_DC_LUM), (1, 0, HUFF_AC_LUM)]
-    if color:
-        huff_specs += [(0, 1, HUFF_DC_CHROM), (1, 1, HUFF_AC_CHROM)]
+    if progressive:
+        huff_specs = [(0, 0, HUFF_DC_FLAT), (1, 0, HUFF_AC_FLAT)]
+    else:
+        huff_specs = [(0, 0, HUFF_DC_LUM), (1, 0, HUFF_AC_LUM)]
+        if color:
+            huff_specs += [
+                (0, 1, HUFF_DC_CHROM),
+                (1, 1, HUFF_AC_CHROM),
+            ]
     for tc, th, (bits, huffval) in huff_specs:
         out += b"\xff\xc4" + struct.pack(
             ">HB", 19 + len(huffval), (tc << 4) | th
         )
         out += bytes(bits) + bytes(huffval)
+    if progressive:
+        _emit_progressive_scans(out, comps, h, w, hmax, vmax)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
     for cid, _, tq, _, _, _ in comps:
         out += bytes([cid, (tq << 4) | tq])
@@ -772,3 +977,202 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive scan emission (encoder side of the T.81 G.2 modes)
+# ---------------------------------------------------------------------------
+
+_PROG_AL = 1  # successive-approximation point transform of the first pass
+
+
+def _sos_header(comps_sel, ss, se, ah, al) -> bytes:
+    hdr = b"\xff\xda" + struct.pack(
+        ">HB", 6 + 2 * len(comps_sel), len(comps_sel)
+    )
+    for cid, td, ta in comps_sel:
+        hdr += bytes([cid, (td << 4) | ta])
+    return hdr + bytes([ss, se, (ah << 4) | al])
+
+
+def _emit_progressive_scans(out, comps, h, w, hmax, vmax):
+    """The four-phase scan script: DC first (interleaved, Al=1),
+    per-component AC first (1..63, Al=1), DC refine, per-component
+    AC refine — every progressive decode mode round-trips."""
+    dc_t = _encode_table(*HUFF_DC_FLAT)
+    ac_t = _encode_table(*HUFF_AC_FLAT)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    AL = _PROG_AL
+
+    def comp_grid(hi, vi):
+        return (
+            -(-(-(-h * vi // vmax)) // 8),
+            -(-(-(-w * hi // hmax)) // 8),
+        )
+
+    # scan 1: DC first, interleaved, Ah=0 Al=AL
+    out += _sos_header([(cid, 0, 0) for cid, *_ in comps], 0, 0, 0, AL)
+    bw = _BitWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for cid, (hi, vi), _, blocks, _, _ in comps:
+            for by in range(vi):
+                for bx in range(hi):
+                    v = int(blocks[my * vi + by, mx * hi + bx][0]) >> AL
+                    diff = v - pred[cid]
+                    pred[cid] = v
+                    t = _category(diff)
+                    code, length = dc_t[t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(
+                            diff if diff >= 0 else diff + (1 << t) - 1,
+                            t,
+                        )
+    bw.flush()
+    out += bw.out
+    # scans 2..: AC first per component, band 1..63, Ah=0 Al=AL
+    for cid, (hi, vi), _, blocks, _, _ in comps:
+        cbh, cbw = comp_grid(hi, vi)
+        out += _sos_header([(cid, 0, 0)], 1, 63, 0, AL)
+        bw = _BitWriter()
+        _enc_ac_first(bw, blocks, cbh, cbw, 1, 63, AL, ac_t)
+        bw.flush()
+        out += bw.out
+    # DC refinement: one bit per block, interleaved, Ah=AL Al=AL-1
+    out += _sos_header(
+        [(cid, 0, 0) for cid, *_ in comps], 0, 0, AL, AL - 1
+    )
+    bw = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for cid, (hi, vi), _, blocks, _, _ in comps:
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(blocks[my * vi + by, mx * hi + bx][0])
+                    bw.write((dc >> (AL - 1)) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # AC refinement per component, Ah=AL Al=AL-1
+    for cid, (hi, vi), _, blocks, _, _ in comps:
+        cbh, cbw = comp_grid(hi, vi)
+        out += _sos_header([(cid, 0, 0)], 1, 63, AL, AL - 1)
+        bw = _BitWriter()
+        _enc_ac_refine(bw, blocks, cbh, cbw, 1, 63, AL - 1, ac_t)
+        bw.flush()
+        out += bw.out
+
+
+def _enc_ac_first(bw, blocks, cbh, cbw, ss, se, al, ac_t):
+    """AC first pass: point-transformed band values with EOB runs."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_t[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+
+    for u in range(cbh * cbw):
+        by, bx = divmod(u, cbw)
+        coef = blocks[by, bx]
+        vals = []
+        for k in range(ss, se + 1):
+            cv = int(coef[k])
+            v = abs(cv) >> al
+            vals.append(-v if cv < 0 else v)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = ac_t[0xF0]
+                bw.write(code, length)
+                r -= 16
+            s = _category(v)
+            code, length = ac_t[(r << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if nz[-1] < len(vals) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(bw, blocks, cbh, cbw, ss, se, al, ac_t):
+    """AC refinement pass (the libjpeg encode_mcu_AC_refine shape):
+    newly-significant coefficients emit (run, 1)+sign; prior nonzero
+    coefficients emit correction bits, buffered so they land after
+    the symbol (or EOBn) the decoder reads before consuming them."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_t[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+
+    for u in range(cbh * cbw):
+        by, bx = divmod(u, cbw)
+        coef = blocks[by, bx]
+        absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                code, length = ac_t[0xF0]
+                bw.write(code, length)
+                r -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, length = ac_t[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(coef[ss + i]) > 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()

@@ -689,8 +689,9 @@ GROUP BY doc_id
         "(functions.jpeg: marker parse, Annex K Huffman entropy "
         "decode with byte-stuffing and restart segmentation, "
         "dequantize, vectorized 8x8 IDCT, 4:2:0 chroma upsampling, "
-        "BT.601 YCbCr->RGB; progressive/arithmetic/12-bit refuse by "
-        "name). JPEG is lossy, so the fixture is chosen to make the "
+        "BT.601 YCbCr->RGB; arithmetic/12-bit refuse by name; "
+        "progressive SOF2 decodes too — see the _progressive twin "
+        "key). JPEG is lossy, so the fixture is chosen to make the "
         "round-trip EXACT rather than merely bounded: gray-in-RGB "
         "images (R=G=B) of flat 8x8 blocks at quality 75 — the "
         "Annex-K luminance DC quantizer scales to exactly 8 there, "
@@ -731,6 +732,103 @@ def q_multimodal_jpeg_decode(
                 rgb = np.stack([g, g, g], axis=2)
                 payloads.append(
                     encode_jpeg(rgb, quality=75, subsampling="420")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
+                h, w, c = img.shape
+                rows.append(
+                    (d, w, h, c, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_channels int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
+    "q_multimodal_jpeg_progressive",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 23 + yy.y * 31 + xx.x * 41) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS x) xx
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(SUM(v) * 64 * 3 AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL progressive JPEG decode (round 16) — the SOF2 "
+        "multi-scan variant most web JPEGs above ~10 KB actually "
+        "use: the encoder re-codes the same quantized coefficients "
+        "through a 4-phase scan script (interleaved DC first at "
+        "Al=1, per-component full-band AC first with EOB runs, DC "
+        "refinement bits, AC refinement with buffered correction "
+        "bits — all four T.81 G.2 entropy modes), and the decoder "
+        "accumulates scans into per-component coefficient stores "
+        "before one vectorized IDCT. Same exact-by-construction "
+        "fixture trick as the baseline key (flat 8x8 gray-in-RGB "
+        "blocks at Q75 -> lossless DC quantization, zero AC, chroma "
+        "exactly 128), different closed form — so a defect in EOB-"
+        "run bookkeeping, successive-approximation shifts, "
+        "correction-bit order, non-interleaved AC geometry, or the "
+        "flat progressive Huffman tables hash-mismatches against "
+        "SQL. Progressive==baseline pixel identity over random "
+        "images is separately test-pinned. Scale shape identical: "
+        "one Arrow-batched mapInPandas per side, zero shuffles.",
+)
+def q_multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    BY, BX = 2, 2
+    ys, xs = np.indices((BY, BX))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                v = (
+                    (int(d) * 23 + ys * 31 + xs * 41) % 256
+                ).astype(np.uint8)
+                g = v.repeat(8, axis=0).repeat(8, axis=1)
+                rgb = np.stack([g, g, g], axis=2)
+                payloads.append(
+                    encode_jpeg(
+                        rgb,
+                        quality=75,
+                        subsampling="420",
+                        progressive=True,
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}

@@ -114,6 +114,7 @@ NEW_KEYS = [
     "q_multimodal_jpeg_decode", "q_sim_ivfpq_recall",
     "q_stream_dedup_substring_anchored",
     "q_sim_pq_train_codebook", "q_sim_pq_trained_recall",
+    "q_multimodal_jpeg_progressive",
 ]
 
 

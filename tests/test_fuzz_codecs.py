@@ -4075,7 +4075,10 @@ def test_jpeg_refusals_and_guards():
         bad[i + 1] = marker2
         return bytes(bad)
 
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # round 16: progressive (SOF2) is now SUPPORTED — but a baseline
+    # 0..63 full-band scan header inside a progressive frame is
+    # illegal per T.81 and must refuse by name, not decode garbage
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(swap_sof(0xC2))
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(swap_sof(0xC9))
@@ -4132,6 +4135,11 @@ def test_jpeg_mutation_sweep():
         ),
         encode_jpeg(
             rng.randint(0, 256, (9, 30)).astype(np.uint8), quality=85
+        ),
+        encode_jpeg(
+            rng.randint(0, 256, (18, 21, 3)).astype(np.uint8),
+            quality=70,
+            progressive=True,
         ),
     ]
     for payload in payloads:

@@ -1483,3 +1483,171 @@ def test_jpeg_restart_markers_reset_dc():
     got = decode_jpeg(bytes(jpg))
     assert got.shape == (8, 16)
     assert (got[:, :8] == v1).all() and (got[:, 8:] == v2).all()
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive JPEG (round 16): the encoder's 4-phase scan script
+    (interleaved DC first at Al=1, per-component full-band AC first,
+    DC refinement, AC refinement with buffered correction bits) is a
+    lossless RE-CODING of the same quantized coefficients — so the
+    progressive stream must decode to EXACTLY the baseline stream's
+    pixels, for gray and color, 4:2:0 and 4:4:4, odd dims, and
+    multiple qualities. Any defect in EOB-run bookkeeping,
+    successive-approximation shifts, correction-bit order, or
+    non-interleaved geometry breaks pixel identity."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(77)
+    for shape, kw in (
+        ((16, 24, 3), {"subsampling": "420"}),
+        ((37, 45, 3), {"subsampling": "420"}),
+        ((9, 23, 3), {"subsampling": "444"}),
+        ((23, 31), {}),
+        ((64, 80, 3), {"subsampling": "420"}),
+    ):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for q in (30, 75, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=q, progressive=True, **kw)
+            )
+            assert (base == prog).all(), (shape, q)
+    # smooth/sparse image: most AC bands are all-zero, so the stream
+    # MUST contain real EOBn (r>=1) runs — assert the decoder path is
+    # actually exercised by checking the flat fixture decodes exactly
+    flat = np.full((32, 48), 200, np.uint8)
+    got = decode_jpeg(encode_jpeg(flat, quality=75, progressive=True))
+    assert (got == flat).all()
+    # magic dispatch routes progressive too (same FFD8 signature)
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    rgb = np.full((16, 16, 3), 100, np.uint8)
+    out = mm.decode_any(encode_jpeg(rgb, quality=75, progressive=True))
+    assert (out == rgb).all()
+
+
+def test_jpeg_progressive_differential_hand_built():
+    """Differential for the progressive decoder against a HAND-BUILT
+    SOF2 stream with custom tables (independent of the in-repo
+    encoder): grayscale 8x24 (3 blocks), unit 8-bit DQT, four scans —
+    DC first (Al=1), AC first (Al=1) where block 0 carries two AC
+    coefficients and blocks 1-2 form a real EOBRUN=2 (EOBn r=1 +
+    1 extra bit), DC refinement bits, and an AC refinement scan that
+    appends one correction bit to an existing coefficient and plants
+    one newly-significant +-1. Expected pixels computed with an
+    explicit independent IDCT cosine loop."""
+    import struct as _struct
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+    )
+
+    # custom tables: DC cats 0..5 at length 3; AC symbols at length 4
+    dc_bits = [0, 0, 6] + [0] * 13
+    dc_vals = [0, 1, 2, 3, 4, 5]
+    ac_bits = [0, 0, 0, 5] + [0] * 12
+    # canonical codes 0000..0100 in this order:
+    ac_vals = [0x00, 0x01, 0x03, 0x10, 0x11]
+
+    def pack(bits):
+        while len(bits) % 8:
+            bits.append(1)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+    def dc_code(cat):  # canonical: symbol k -> code k at length 3
+        return [(cat >> 2) & 1, (cat >> 1) & 1, cat & 1]
+
+    ac_code = {v: [(i >> 3) & 1, (i >> 2) & 1, (i >> 1) & 1, i & 1]
+               for i, v in enumerate(ac_vals)}
+
+    # final coefficient targets (zigzag): block0 DC=12, k1=-5, k2=3
+    # block1 DC=-7, block2 DC=4, plus refine adds
+    # scan 1: DC first Al=1 -> code (dc >> 1) as diffs: 6, -4, 2
+    s1 = []
+    for v, pred in ((6, 0), (-4, 6), (2, -4)):
+        diff = v - pred
+        cat = abs(diff).bit_length()
+        s1 += dc_code(cat)
+        raw = diff if diff >= 0 else diff + (1 << cat) - 1
+        s1 += [(raw >> (cat - 1 - i)) & 1 for i in range(cat)]
+    # scan 2: AC first Al=1, band 1..63 — block 0 plants first-pass
+    # magnitudes of 1 at k=1 (negative) and k=2 (positive); blocks
+    # 1-2 form the EOBRUN
+    s2 = []
+    s2 += ac_code[0x01] + [0]             # k=1: (run 0, cat 1), -1
+    s2 += ac_code[0x01] + [1]             # k=2: (run 0, cat 1), +1
+    s2 += ac_code[0x00]                   # EOB for rest of block 0
+    s2 += ac_code[0x10] + [0]             # EOBn r=1, extra bit 0 -> run 2
+    # scan 3: DC refine Ah=1 Al=0 -> bit 0 of each true DC (12,-7,4)
+    s3 = [12 & 1, (-7) & 1, 4 & 1]
+    # scan 4: AC refine Ah=1 Al=0 on block 0 — final targets:
+    #   k1 = -2 (history -1<<1, correction bit 0 keeps it),
+    #   k2 = +3 (history  1<<1 = 2, correction bit 1 appends),
+    #   k3 = +1 (newly significant; r=0 because k1/k2 have nonzero
+    #   history and only ZERO-history positions count toward the run)
+    # blocks 1-2: EOBRUN = 2
+    s4 = []
+    s4 += ac_code[0x01]        # (r=0, s=1): next new coef
+    s4 += [1]                  # sign: positive
+    s4 += [0, 1]               # correction bits for k1 (-2: bit0=0),
+                               # k2 (2 -> +1 => 3: bit 1)
+    s4 += ac_code[0x00]        # EOB: rest of block 0
+    s4 += ac_code[0x10] + [0]  # EOBRUN = 2 for blocks 1-2
+    jpg = bytearray(b"\xff\xd8")
+    jpg += b"\xff\xdb" + _struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
+    jpg += b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, 8, 24, 1)
+    jpg += bytes([1, 0x11, 0])
+    jpg += b"\xff\xc4" + _struct.pack(">HB", 19 + 6, 0x00)
+    jpg += bytes(dc_bits) + bytes(dc_vals)
+    jpg += b"\xff\xc4" + _struct.pack(">HB", 19 + 5, 0x10)
+    jpg += bytes(ac_bits) + bytes(ac_vals)
+    for ss, se, ah, al, bits in (
+        (0, 0, 0, 1, s1),
+        (1, 63, 0, 1, s2),
+        (0, 0, 1, 0, s3),
+        (1, 63, 1, 0, s4),
+    ):
+        jpg += b"\xff\xda" + _struct.pack(">HB", 8, 1)
+        jpg += bytes([1, 0x00, ss, se, (ah << 4) | al])
+        jpg += pack(list(bits))
+    jpg += b"\xff\xd9"
+    got = decode_jpeg(bytes(jpg))
+    assert got.shape == (8, 24)
+    # expected: independent IDCT of the final coefficient targets
+    ZZ_NAT = [(0, 0), (0, 1), (1, 0), (0, 2)]  # zigzag 0..3
+    F0 = np.zeros((8, 8))
+    F0[ZZ_NAT[0]] = 12
+    F0[ZZ_NAT[1]] = -2
+    F0[ZZ_NAT[2]] = 3
+    F0[ZZ_NAT[3]] = 1
+    F1 = np.zeros((8, 8)); F1[0, 0] = -7
+    F2 = np.zeros((8, 8)); F2[0, 0] = 4
+    a = lambda u: (1 / np.sqrt(2)) if u == 0 else 1.0  # noqa: E731
+    want = np.zeros((8, 24))
+    for bi, Fm in enumerate((F0, F1, F2)):
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            a(u) * a(v) / 4 * Fm[u, v]
+                            * np.cos((2 * y + 1) * u * np.pi / 16)
+                            * np.cos((2 * x + 1) * v * np.pi / 16)
+                        )
+                want[y, bi * 8 + x] = s + 128
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
+    assert (got == want).mean() > 0.9
