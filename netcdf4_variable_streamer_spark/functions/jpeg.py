@@ -849,6 +849,7 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "420",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → JFIF bytes.
     Baseline (Annex K tables, quality-scaled quantization; color
@@ -858,7 +859,10 @@ def encode_jpeg(
     first at Al=1, per-component full-band AC first at Al=1
     (spectral selection + EOB runs), then DC and AC refinement scans
     (successive approximation, correction bits, buffered-bit EOB
-    runs)."""
+    runs). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (baseline / interleaved scans) or
+    blocks (non-interleaved progressive AC scans) — the resync
+    markers real camera JPEGs carry."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects (h, w[, 3]) uint8")
     color = arr.ndim == 3
@@ -951,8 +955,12 @@ def encode_jpeg(
             ">HB", 19 + len(huffval), (tc << 4) | th
         )
         out += bytes(bits) + bytes(huffval)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if progressive:
-        _emit_progressive_scans(out, comps, h, w, hmax, vmax)
+        _emit_progressive_scans(
+            out, comps, h, w, hmax, vmax, restart_interval
+        )
         out += b"\xff\xd9"  # EOI
         return bytes(out)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
@@ -961,7 +969,14 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"  # Ss/Se/AhAl
     bw = _BitWriter()
     pred = {cid: 0 for cid, *_ in comps}
+    rst = 0
     for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out + bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw = _BitWriter()
+            pred = {cid: 0 for cid, *_ in comps}
         my, mx = divmod(mcu, mcux)
         for cid, (hi, vi), _, blocks, dc_t, ac_t in comps:
             for by in range(vi):
@@ -995,10 +1010,43 @@ def _sos_header(comps_sel, ss, se, ah, al) -> bytes:
     return hdr + bytes([ss, se, (ah << 4) | al])
 
 
-def _emit_progressive_scans(out, comps, h, w, hmax, vmax):
+class _ScanWriter:
+    """A `_BitWriter` that byte-aligns and emits RSTn markers every
+    ``ri`` units — the shared restart machinery of every scan type."""
+
+    __slots__ = ("out", "bw", "ri", "rst", "on_restart")
+
+    def __init__(self, out: bytearray, ri: int, on_restart=None):
+        self.out = out
+        self.bw = _BitWriter()
+        self.ri = ri
+        self.rst = 0
+        self.on_restart = on_restart
+
+    def unit_boundary(self, u: int):
+        if self.ri and u and u % self.ri == 0:
+            if self.on_restart is not None:
+                self.on_restart()
+            self.bw.flush()
+            self.out += self.bw.out
+            self.out += bytes([0xFF, 0xD0 + self.rst % 8])
+            self.rst += 1
+            self.bw = _BitWriter()
+
+    def write(self, val: int, count: int):
+        self.bw.write(val, count)
+
+    def close(self):
+        self.bw.flush()
+        self.out += self.bw.out
+
+
+def _emit_progressive_scans(out, comps, h, w, hmax, vmax, ri=0):
     """The four-phase scan script: DC first (interleaved, Al=1),
     per-component AC first (1..63, Al=1), DC refine, per-component
-    AC refine — every progressive decode mode round-trips."""
+    AC refine — every progressive decode mode round-trips. ``ri``
+    inserts RSTn markers every ri MCUs (DC scans) / blocks (AC
+    scans)."""
     dc_t = _encode_table(*HUFF_DC_FLAT)
     ac_t = _encode_table(*HUFF_AC_FLAT)
     mcux = -(-w // (8 * hmax))
@@ -1013,9 +1061,12 @@ def _emit_progressive_scans(out, comps, h, w, hmax, vmax):
 
     # scan 1: DC first, interleaved, Ah=0 Al=AL
     out += _sos_header([(cid, 0, 0) for cid, *_ in comps], 0, 0, 0, AL)
-    bw = _BitWriter()
     pred = {cid: 0 for cid, *_ in comps}
+    sw = _ScanWriter(
+        out, ri, lambda: pred.update({cid: 0 for cid, *_ in comps})
+    )
     for mcu in range(mcux * mcuy):
+        sw.unit_boundary(mcu)
         my, mx = divmod(mcu, mcux)
         for cid, (hi, vi), _, blocks, _, _ in comps:
             for by in range(vi):
@@ -1025,47 +1076,40 @@ def _emit_progressive_scans(out, comps, h, w, hmax, vmax):
                     pred[cid] = v
                     t = _category(diff)
                     code, length = dc_t[t]
-                    bw.write(code, length)
+                    sw.write(code, length)
                     if t:
-                        bw.write(
+                        sw.write(
                             diff if diff >= 0 else diff + (1 << t) - 1,
                             t,
                         )
-    bw.flush()
-    out += bw.out
+    sw.close()
     # scans 2..: AC first per component, band 1..63, Ah=0 Al=AL
     for cid, (hi, vi), _, blocks, _, _ in comps:
         cbh, cbw = comp_grid(hi, vi)
         out += _sos_header([(cid, 0, 0)], 1, 63, 0, AL)
-        bw = _BitWriter()
-        _enc_ac_first(bw, blocks, cbh, cbw, 1, 63, AL, ac_t)
-        bw.flush()
-        out += bw.out
+        _enc_ac_first(out, blocks, cbh, cbw, 1, 63, AL, ac_t, ri)
     # DC refinement: one bit per block, interleaved, Ah=AL Al=AL-1
     out += _sos_header(
         [(cid, 0, 0) for cid, *_ in comps], 0, 0, AL, AL - 1
     )
-    bw = _BitWriter()
+    sw = _ScanWriter(out, ri)
     for mcu in range(mcux * mcuy):
+        sw.unit_boundary(mcu)
         my, mx = divmod(mcu, mcux)
         for cid, (hi, vi), _, blocks, _, _ in comps:
             for by in range(vi):
                 for bx in range(hi):
                     dc = int(blocks[my * vi + by, mx * hi + bx][0])
-                    bw.write((dc >> (AL - 1)) & 1, 1)
-    bw.flush()
-    out += bw.out
+                    sw.write((dc >> (AL - 1)) & 1, 1)
+    sw.close()
     # AC refinement per component, Ah=AL Al=AL-1
     for cid, (hi, vi), _, blocks, _, _ in comps:
         cbh, cbw = comp_grid(hi, vi)
         out += _sos_header([(cid, 0, 0)], 1, 63, AL, AL - 1)
-        bw = _BitWriter()
-        _enc_ac_refine(bw, blocks, cbh, cbw, 1, 63, AL - 1, ac_t)
-        bw.flush()
-        out += bw.out
+        _enc_ac_refine(out, blocks, cbh, cbw, 1, 63, AL - 1, ac_t, ri)
 
 
-def _enc_ac_first(bw, blocks, cbh, cbw, ss, se, al, ac_t):
+def _enc_ac_first(out, blocks, cbh, cbw, ss, se, al, ac_t, ri=0):
     """AC first pass: point-transformed band values with EOB runs."""
     eobrun = 0
 
@@ -1079,7 +1123,9 @@ def _enc_ac_first(bw, blocks, cbh, cbw, ss, se, al, ac_t):
                 bw.write(eobrun & ((1 << r) - 1), r)
             eobrun = 0
 
+    bw = _ScanWriter(out, ri, flush)
     for u in range(cbh * cbw):
+        bw.unit_boundary(u)
         by, bx = divmod(u, cbw)
         coef = blocks[by, bx]
         vals = []
@@ -1114,9 +1160,10 @@ def _enc_ac_first(bw, blocks, cbh, cbw, ss, se, al, ac_t):
             if eobrun == 0x7FFF:
                 flush()
     flush()
+    bw.close()
 
 
-def _enc_ac_refine(bw, blocks, cbh, cbw, ss, se, al, ac_t):
+def _enc_ac_refine(out, blocks, cbh, cbw, ss, se, al, ac_t, ri=0):
     """AC refinement pass (the libjpeg encode_mcu_AC_refine shape):
     newly-significant coefficients emit (run, 1)+sign; prior nonzero
     coefficients emit correction bits, buffered so they land after
@@ -1137,7 +1184,9 @@ def _enc_ac_refine(bw, blocks, cbh, cbw, ss, se, al, ac_t):
             bw.write(b, 1)
         pending = []
 
+    bw = _ScanWriter(out, ri, flush_eob)
     for u in range(cbh * cbw):
+        bw.unit_boundary(u)
         by, bx = divmod(u, cbw)
         coef = blocks[by, bx]
         absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
@@ -1176,3 +1225,4 @@ def _enc_ac_refine(bw, blocks, cbh, cbw, ss, se, al, ac_t):
             if eobrun == 0x7FFF:
                 flush_eob()
     flush_eob()
+    bw.close()

@@ -1651,3 +1651,50 @@ def test_jpeg_progressive_differential_hand_built():
     want = np.clip(np.round(want), 0, 255).astype(np.uint8)
     assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
     assert (got == want).mean() > 0.9
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """Encoder-side restart markers (round 16): DRI + RSTn emission
+    every N MCUs (baseline / interleaved progressive scans) or blocks
+    (non-interleaved AC scans) must decode pixel-identically to the
+    marker-free stream — DC predictors and EOB runs reset and
+    byte-align at every boundary, in BOTH codings. ri=1 (a marker
+    after every unit) is the stress case."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(88)
+    for shape, kw in (
+        ((37, 45, 3), {"subsampling": "420"}),
+        ((23, 31), {}),
+        ((9, 23, 3), {"subsampling": "444"}),
+    ):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        ref_b = decode_jpeg(encode_jpeg(img, quality=75, **kw))
+        ref_p = decode_jpeg(
+            encode_jpeg(img, quality=75, progressive=True, **kw)
+        )
+        for ri in (1, 3, 7):
+            b = decode_jpeg(
+                encode_jpeg(img, quality=75, restart_interval=ri, **kw)
+            )
+            assert (b == ref_b).all(), (shape, ri)
+            p = decode_jpeg(
+                encode_jpeg(
+                    img,
+                    quality=75,
+                    progressive=True,
+                    restart_interval=ri,
+                    **kw,
+                )
+            )
+            assert (p == ref_p).all(), (shape, ri)
+        # the streams really carry RST markers
+        wm = encode_jpeg(img, quality=75, restart_interval=2, **kw)
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in wm for i in range(8)
+        )
