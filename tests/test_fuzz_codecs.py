@@ -4266,3 +4266,126 @@ def test_png_interlace_refusal():
     )
     with pytest.raises(NotImplementedError, match="interlaced"):
         mm.decode_png(png)
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1), nflips=st.integers(1, 6))
+def test_hdf5_vlen_gcol_corruption_fails_controlled(
+    tmp_path_factory, seed, nflips
+):
+    """Fuzz round 9: byte flips over a VLEN-STRING file — the global-
+    heap (GCOL) machinery the shuffle+deflate sweep never touches:
+    collection signatures, sizes, object indices, descriptor streams.
+    A flip must surface as ValueError or parse clean — never a bare
+    struct.error/IndexError/UnicodeDecodeError, and never an
+    unbounded allocation from a corrupt heap size."""
+    import random
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    root = str(tmp_path_factory.mktemp("gcolcorrupt"))
+    base_path = os.path.join(root, "base.h5")
+    vals = np.array(
+        ["alpha", "", "a much longer string payload", "x" * 90,
+         "beta", "gamma delta", "7", "eight"],
+        dtype=object,
+    )
+    write_hdf5(
+        base_path,
+        {"s": vals, "t": np.arange(6, dtype=np.int32)},
+        {"s": {"attrs": {"note": "vlen"}}},
+    )
+    buf = bytearray(open(base_path, "rb").read())
+    rng = random.Random(seed)
+    for _ in range(nflips):
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+    path = os.path.join(root, "t.h5")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    try:
+        h = HDF5File(path)
+        for n in list(h.datasets):
+            h.read(n)
+            dict(h.datasets[n].attrs)
+    except ValueError:
+        pass  # loud, contextual refusal — the contract
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1), nflips=st.integers(1, 6))
+def test_hdf5_dense_corruption_fails_controlled(
+    tmp_path_factory, seed, nflips
+):
+    """Fuzz round 9: byte flips over a libver='latest' DENSE-storage
+    file — fractal heaps, v2 B-trees, creation-order indexes: the
+    structures the original corruption sweep's compact-storage file
+    never exercises. Same contract: ValueError or clean, never an
+    opaque crash or runaway allocation."""
+    import random
+
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    root = str(tmp_path_factory.mktemp("densecorrupt"))
+    base_path = os.path.join(root, "base.h5")
+    data = {
+        f"d{i:02d}": np.arange(i + 1, dtype=np.int32)
+        for i in range(12)
+    }
+    attrs = {f"a{i}": float(i) * 0.25 for i in range(12)}
+    write_hdf5(
+        base_path, data, {"d00": {"attrs": attrs}}, attrs=attrs,
+        libver="latest",
+    )
+    buf = bytearray(open(base_path, "rb").read())
+    rng = random.Random(seed)
+    for _ in range(nflips):
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+    path = os.path.join(root, "t.h5")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    try:
+        h = HDF5File(path)
+        dict(h.attrs)
+        for n in list(h.datasets):
+            h.read(n)
+            dict(h.datasets[n].attrs)
+    except ValueError:
+        pass
+
+
+def test_hdf5_vlen_and_dense_truncation_refuses(tmp_path):
+    """Fuzz round 9 companion: every prefix truncation of the vlen
+    and dense fixture files must refuse with ValueError or open
+    cleanly-partial — never an opaque exception class."""
+    from netcdf4_variable_streamer_spark.sources.hdf5lite import (
+        HDF5File,
+        write_hdf5,
+    )
+
+    vals = np.array(["abc", "d" * 70, "", "ef"], dtype=object)
+    p1 = os.path.join(str(tmp_path), "v.h5")
+    write_hdf5(p1, {"s": vals})
+    p2 = os.path.join(str(tmp_path), "d.h5")
+    write_hdf5(
+        p2,
+        {f"d{i}": np.arange(3, dtype=np.int32) for i in range(11)},
+        libver="latest",
+    )
+    for src in (p1, p2):
+        raw = open(src, "rb").read()
+        for frac in (0.05, 0.2, 0.5, 0.8, 0.95, 0.999):
+            cut = os.path.join(str(tmp_path), "cut.h5")
+            with open(cut, "wb") as f:
+                f.write(raw[: int(len(raw) * frac)])
+            try:
+                h = HDF5File(cut)
+                for n in list(h.datasets):
+                    h.read(n)
+            except ValueError:
+                pass
