@@ -868,8 +868,10 @@ def encode_jpeg(
     color = arr.ndim == 3
     if color and arr.shape[2] != 3:
         raise ValueError("encode_jpeg expects 3 channels for color")
-    if subsampling not in ("420", "444"):
-        raise ValueError(f"subsampling {subsampling!r} not in 420/444")
+    if subsampling not in ("420", "422", "444"):
+        raise ValueError(
+            f"subsampling {subsampling!r} not in 420/422/444"
+        )
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg got an empty image")
@@ -911,6 +913,18 @@ def encode_jpeg(
             cr = cr.reshape(
                 cr.shape[0] // 2, 2, cr.shape[1] // 2, 2
             ).mean(axis=(1, 3))
+        elif subsampling == "422":
+            sy, sc = (2, 1), (1, 1)
+            y = _pad_edge(y, 8, 16)
+            cb = _pad_edge(cb, 8, 16)
+            cr = _pad_edge(cr, 8, 16)
+            # horizontal-only 1x2 box-filter chroma downsample
+            cb = cb.reshape(
+                cb.shape[0], cb.shape[1] // 2, 2
+            ).mean(axis=2)
+            cr = cr.reshape(
+                cr.shape[0], cr.shape[1] // 2, 2
+            ).mean(axis=2)
         else:
             sy, sc = (1, 1), (1, 1)
             y = _pad_edge(y, 8, 8)

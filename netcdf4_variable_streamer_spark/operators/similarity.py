@@ -952,6 +952,221 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nprobe_sweep_oracle() -> str:
+    def d2full(a: str, b: str) -> str:
+        return (
+            f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(0, 63), i ->"
+            f" ({a}[CAST(1 + i AS INTEGER)] - {b}[CAST(1 + i AS INTEGER)])"
+            f" * ({a}[CAST(1 + i AS INTEGER)] - {b}[CAST(1 + i AS INTEGER)])))"
+            f" AS BIGINT)"
+        )
+
+    return f"""
+WITH fxe AS (
+  SELECT vec_id, LIST_TRANSFORM(generate_series(1, 64), i ->
+    CAST(FLOOR(CAST(embeddings.embedding[CAST(i AS INTEGER)]
+               AS DOUBLE) * {_PQ_FX}) AS BIGINT)) AS fxv
+  FROM embeddings
+),
+ccents AS (
+  SELECT vec_id AS cl, fxv AS c_fx FROM fxe
+  WHERE vec_id < {_IVFPQ_NLIST}
+),
+ad AS (
+  SELECT f.vec_id, c.cl, {d2full('f.fxv', 'c.c_fx')} AS d2
+  FROM fxe f, ccents c
+),
+a AS (
+  SELECT vec_id, MIN(d2 * {_IVFPQ_NLIST} + cl) % {_IVFPQ_NLIST} AS cl
+  FROM ad GROUP BY vec_id
+),
+pr AS (
+  SELECT vec_id AS q_id, cl,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cl) AS prn
+  FROM ad WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT n.np, p.q_id, m.vec_id
+  FROM (VALUES (1), (2), (4)) n(np)
+  JOIN pr p ON p.prn <= n.np
+  JOIN a m ON m.cl = p.cl
+  WHERE m.vec_id <> p.q_id
+),
+exact_p AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         {d2full('q.fxv', 'e.fxv')} AS d2
+  FROM fxe q JOIN fxe e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+gt AS (
+  SELECT q_id, vec_id, rn FROM (
+    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+    FROM exact_p) t
+  WHERE rn <= {TOP_K}
+),
+ann AS (
+  SELECT np, q_id, vec_id, rn FROM (
+    SELECT c.np, c.q_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c.np, c.q_id
+                              ORDER BY x.d2, c.vec_id) AS rn
+    FROM cand c JOIN exact_p x USING (q_id, vec_id)) t
+  WHERE rn <= {TOP_K}
+),
+costs AS (SELECT np, COUNT(*) AS n_cand FROM cand GROUP BY np),
+matched AS (
+  SELECT ann.np, ann.q_id, ann.rn AS arn, g.rn AS grn
+  FROM ann JOIN gt g USING (q_id, vec_id)
+),
+spine AS (
+  SELECT n.np, k.k
+  FROM (VALUES (1), (2), (4)) n(np), (VALUES (1), (3), (5)) k(k)
+),
+rh AS (
+  SELECT s.np, s.k, COUNT(m.q_id) AS hits
+  FROM spine s
+  LEFT JOIN matched m
+    ON m.np = s.np AND m.arn <= s.k AND m.grn <= s.k
+  GROUP BY s.np, s.k
+)
+SELECT CAST(rh.np AS INTEGER) AS nprobe, CAST(k AS INTEGER) AS k,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(hits AS DOUBLE) / (k * {N_QUERIES}) AS recall,
+       CAST(c.n_cand AS DOUBLE) / {N_QUERIES} AS avg_candidates
+FROM rh JOIN costs c ON c.np = rh.np
+"""
+
+
+@register(
+    "q_sim_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    doc="The nprobe/recall TRADE-OFF, measured (round 16) — the knob "
+        "the recall-accounting key's SCALE note claims, as data: for "
+        "nprobe in {1, 2, 4(=nlist)}, the ivf_exact serving path "
+        "(probe nprobe coarse lists, rescore candidates with exact "
+        "fixed-point distances) emits recall@{1,3,5} AND the cost "
+        "side — avg candidates scored per query. By construction "
+        "recall is non-decreasing in nprobe and hits 1.0 exactly at "
+        "nprobe = nlist (pruning off), while candidate cost scales "
+        "~linearly with nprobe: the curve a 100 TB ANN operator "
+        "reads to pick its operating point (pytest pins "
+        "monotonicity, the nprobe=2 agreement with "
+        "q_sim_ivfpq_recall's ivf_exact rows, and the exact-recall "
+        "endpoint). All-integer distances keep every row "
+        "bit-deterministic. Scale posture: ONE exact-distance pass "
+        "over (queries x corpus) — the sampled-query eval protocol, "
+        "linear, broadcast-driven — reused as both the ground truth "
+        "and the rescore table; candidate sets are list-pruned "
+        "subsets of it; everything downstream is KB-scale.",
+)
+def q_sim_ivf_nprobe_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _fx64(F.col("embedding")).alias("fxv")
+    )
+    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
+        F.col("vec_id").alias("cl"), F.col("fxv").alias("c_fx")
+    )
+    ad = e.join(F.broadcast(ccents), F.lit(True)).select(
+        "vec_id",
+        "cl",
+        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
+    )
+    assign = ad.groupBy("vec_id").agg(
+        (
+            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
+            % _IVFPQ_NLIST
+        ).alias("cl")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
+    pr = (
+        ad.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
+        .withColumn("prn", F.row_number().over(wp))
+        .select("q_id", "cl", "prn")
+    )
+    nps = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np")
+    )
+    probes = nps.join(
+        F.broadcast(pr), F.col("prn") <= F.col("np")
+    ).select("np", "q_id", "cl")
+    cand = (
+        assign.join(F.broadcast(probes), "cl")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("np", "q_id", "vec_id")
+    )
+    qfx = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("fxv").alias("q_fx")
+    )
+    exact_p = e.join(
+        F.broadcast(qfx), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        _d2_span(F.col("q_fx"), F.col("fxv"), F.lit(1), 64).alias("d2"),
+    )
+    wg = Window.partitionBy("q_id").orderBy(
+        F.asc("d2"), F.asc("vec_id")
+    )
+    gt = (
+        exact_p.withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= TOP_K)
+        .select("q_id", "vec_id", "grn")
+    )
+    wa = Window.partitionBy("np", "q_id").orderBy(
+        F.asc("d2"), F.asc("vec_id")
+    )
+    ann = (
+        cand.join(exact_p, ["q_id", "vec_id"])
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= TOP_K)
+        .select("np", "q_id", "vec_id", "arn")
+    )
+    costs = cand.groupBy("np").agg(F.count(F.lit(1)).alias("n_cand"))
+    matched = ann.join(gt, ["q_id", "vec_id"]).select(
+        "np", "q_id", "arn", "grn"
+    )
+    spine = nps.crossJoin(
+        spark.range(1).select(
+            F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k")
+        )
+    ).select(F.col("np").alias("s_np"), "k")
+    rh = (
+        spine.join(
+            F.broadcast(matched),
+            (F.col("np") == F.col("s_np"))
+            & (F.col("arn") <= F.col("k"))
+            & (F.col("grn") <= F.col("k")),
+            "left",
+        )
+        .groupBy("s_np", "k")
+        .agg(F.count(F.col("arn")).alias("hits"))
+    )
+    recall = F.col("hits").cast("double") / (
+        F.col("k") * F.lit(N_QUERIES)
+    )
+    return (
+        rh.join(
+            F.broadcast(costs),
+            F.col("s_np") == costs["np"],
+        )
+        .select(
+            F.col("s_np").cast("int").alias("nprobe"),
+            F.col("k").cast("int").alias("k"),
+            F.lit(N_QUERIES).cast("long").alias("n_queries"),
+            F.col("hits").cast("long").alias("hits"),
+            recall.alias("recall"),
+            (
+                F.col("n_cand").cast("double") / F.lit(N_QUERIES)
+            ).alias("avg_candidates"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trained PQ codebooks (round 16) — making q_sim_pq_codes' promise
 # ("codebook training = q_ml_kmeans per subspace") real code: C=16

@@ -78,6 +78,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sim_pq_train_codebook",
     "q_sim_pq_trained_recall",
     "q_multimodal_jpeg_progressive",
+    "q_sim_ivf_nprobe_sweep",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

@@ -114,7 +114,7 @@ NEW_KEYS = [
     "q_multimodal_jpeg_decode", "q_sim_ivfpq_recall",
     "q_stream_dedup_substring_anchored",
     "q_sim_pq_train_codebook", "q_sim_pq_trained_recall",
-    "q_multimodal_jpeg_progressive",
+    "q_multimodal_jpeg_progressive", "q_sim_ivf_nprobe_sweep",
 ]
 
 
@@ -647,3 +647,39 @@ def test_trained_codebook_lifts_recall(spark):
     per_sub = cb.groupby("s")["n_members"].sum()
     assert (per_sub == n_vec).all()
     assert (cb["n_members"] <= n_vec).all()
+
+
+def test_nprobe_sweep_tradeoff_shape(spark):
+    """The round-16 nprobe sweep must have the structural properties
+    an operating-point curve promises: recall non-decreasing in
+    nprobe at every k; EXACT recall (1.0) at nprobe = nlist (pruning
+    off); candidate cost strictly increasing in nprobe; and the
+    nprobe=2 rows must agree exactly with q_sim_ivfpq_recall's
+    'ivf_exact' rows (same path, two keys — any drift is a bug in
+    one of them)."""
+    sweep = (
+        REGISTRY["q_sim_ivf_nprobe_sweep"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index(["nprobe", "k"])
+        .sort_index()
+    )
+    assert len(sweep) == 9
+    for k in (1, 3, 5):
+        r1 = sweep.loc[(1, k), "recall"]
+        r2 = sweep.loc[(2, k), "recall"]
+        r4 = sweep.loc[(4, k), "recall"]
+        assert r1 <= r2 <= r4, k
+        assert r4 == 1.0, k
+    c = sweep.reset_index().groupby("nprobe")["avg_candidates"].first()
+    assert c[1] < c[2] < c[4]
+    base = (
+        REGISTRY["q_sim_ivfpq_recall"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    ivfx = base[base.method == "ivf_exact"].set_index("k")
+    for k in (1, 3, 5):
+        assert (
+            sweep.loc[(2, k), "hits"] == ivfx.loc[k, "hits"]
+        ), k

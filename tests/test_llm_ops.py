@@ -1698,3 +1698,45 @@ def test_jpeg_restart_interval_roundtrip():
         assert any(
             bytes([0xFF, 0xD0 + i]) in wm for i in range(8)
         )
+
+
+def test_jpeg_422_subsampling():
+    """4:2:2 chroma subsampling (round 16): the decoder's generic
+    upsampler handled 2x1 factors but no encoder exercised them —
+    now one does. Flat gray-in-RGB blocks at Q75 stay exact through
+    4:2:2 (the same lossless-DC argument as 4:2:0/4:4:4), random
+    images keep their shape in baseline/progressive/restart
+    combinations, and progressive==baseline pixel identity holds."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    v = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    g = v.repeat(8, 0).repeat(8, 1)
+    rgb = np.stack([g, g, g], 2)
+    assert (
+        decode_jpeg(encode_jpeg(rgb, quality=75, subsampling="422"))
+        == rgb
+    ).all()
+    for shape in ((37, 45, 3), (9, 23, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(img, quality=80, subsampling="422")
+        )
+        prog = decode_jpeg(
+            encode_jpeg(
+                img, quality=80, subsampling="422", progressive=True
+            )
+        )
+        assert base.shape == img.shape
+        assert (base == prog).all(), shape
+        rst = decode_jpeg(
+            encode_jpeg(
+                img, quality=80, subsampling="422", restart_interval=2
+            )
+        )
+        assert (rst == base).all(), shape

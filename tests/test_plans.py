@@ -386,7 +386,12 @@ def test_url_canonical_single_shuffle_no_joins(spark):
 def test_codec_decode_keys_zero_shuffle(spark):
     # real-codec round trips are two chained mapInPandas: decode
     # parallelism = scan parallelism, no exchange anywhere
-    for key in ("q_multimodal_audio_decode", "q_multimodal_png_decode"):
+    for key in (
+        "q_multimodal_audio_decode",
+        "q_multimodal_png_decode",
+        "q_multimodal_jpeg_decode",
+        "q_multimodal_jpeg_progressive",
+    ):
         df = build(spark, key)
         plans.assert_max_shuffles(df, 0)
 
