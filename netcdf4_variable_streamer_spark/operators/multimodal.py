@@ -764,6 +764,116 @@ def q_multimodal_jpeg_decode(
 
 
 @register(
+    "q_multimodal_decode_dispatch",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 19 + yy.y * 43 + xx.x * 53) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS x) xx
+)
+SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
+         WHEN 3 THEN 'qoi' WHEN 4 THEN 'gif' ELSE 'jpeg'
+       END AS fmt,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(SUM(v) * 64 * 3 AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="HETEROGENEOUS-corpus image decode (round 16) — what a real "
+        "crawled binary column looks like: each row carries a "
+        "DIFFERENT container format (doc_id mod 6 chooses BMP / PPM "
+        "/ PNG / QOI / GIF / JPEG), and ONE magic-byte dispatch "
+        "(functions.multimodal.decode_any) routes every payload to "
+        "its pure-NumPy codec inside a single mapInPandas kernel. "
+        "All six containers carry the SAME closed-form pixels (flat "
+        "8x8 gray-in-RGB blocks — lossless in the five lossless "
+        "formats and exact-by-construction through JPEG at Q75), so "
+        "the per-doc checksum is format-independent and the oracle "
+        "regenerates it uniformly: a wrong dispatch, a codec "
+        "disagreement between containers, or any format-specific "
+        "defect hash-mismatches on exactly the rows of that format "
+        "(the emitted fmt column localizes it). Scale shape: one "
+        "Arrow-batched mapInPandas per side, zero shuffles — "
+        "heterogeneity costs nothing because dispatch is per-row.",
+)
+def q_multimodal_decode_dispatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        encode_jpeg,
+    )
+
+    BY, BX = 2, 2
+    ys, xs = np.indices((BY, BX))
+    fmts = ("bmp", "ppm", "png", "qoi", "gif", "jpeg")
+
+    def encode(batches):
+        encoders = {
+            "bmp": mm.encode_bmp,
+            "ppm": mm.encode_ppm,
+            "png": mm.encode_png,
+            "qoi": mm.encode_qoi,
+            "gif": mm.encode_gif,
+            "jpeg": lambda a: encode_jpeg(
+                a, quality=75, subsampling="420"
+            ),
+        }
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                v = (
+                    (int(d) * 19 + ys * 43 + xs * 53) % 256
+                ).astype(np.uint8)
+                g = v.repeat(8, axis=0).repeat(8, axis=1)
+                rgb = np.stack([g, g, g], axis=2)
+                fmt = fmts[int(d) % 6]
+                rows.append((d, fmt, encoders[fmt](rgb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "payload"]
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                img = mm.decode_any(bytes(payload))
+                h, w, c = img.shape
+                rows.append(
+                    (d, fmt, w, h, c, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "n_channels", "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode, "doc_id long, fmt string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, fmt string, width int, height int, "
+        "n_channels int, pixel_checksum long",
+    )
+
+
+@register(
     "q_multimodal_jpeg_progressive",
     oracle="""
 WITH px AS (

@@ -79,6 +79,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sim_pq_trained_recall",
     "q_multimodal_jpeg_progressive",
     "q_sim_ivf_nprobe_sweep",
+    "q_multimodal_decode_dispatch",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",
