@@ -575,6 +575,28 @@ def test_ivfpq_adc_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_round16_sim_keys_broadcast_no_python(spark):
+    # the round-16 ANN accounting/training chains keep the family
+    # posture: every small side (query block, centroids, codebooks,
+    # LUTs, probe tables, k/method spines) travels as a broadcast,
+    # scoring is JVM integer arithmetic — no Python row path, no
+    # CartesianProduct anywhere
+    for key in (
+        "q_sim_ivfpq_recall",
+        "q_sim_pq_train_codebook",
+        "q_sim_pq_trained_recall",
+        "q_sim_ivf_nprobe_sweep",
+    ):
+        df = build(spark, key)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, (key, plan)
+        plans.assert_no_cartesian(df)
+        assert (
+            "BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), (key, plan)
+
+
 def test_round10_source_keys_prune_partitions(spark):
     """The round-10 source layouts (userblock, fletcher stack, union
     schema) must keep the Python-DataSource pushdown posture: a
