@@ -764,6 +764,95 @@ def q_multimodal_jpeg_decode(
 
 
 @register(
+    "q_multimodal_audio_flac",
+    oracle="""
+WITH sm AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 7 + i.i * 13) % 2001) - 1000 AS l,
+         ((d.doc_id * 11 + i.i * 17) % 2001) - 1000 AS r
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 299)) AS i) i
+)
+SELECT doc_id,
+       CAST(300 AS BIGINT) AS n_samples,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(2 AS INTEGER) AS n_channels,
+       CAST(SUM(l + r) AS BIGINT) AS sample_checksum
+FROM sm
+GROUP BY doc_id
+""",
+    doc="REAL FLAC decode (round 16) — the container speech-"
+        "pretraining corpora actually ship (LibriSpeech, MLS): a "
+        "from-scratch pure-Python/NumPy codec built from the public "
+        "FLAC spec (functions/flac.py — STREAMINFO + frame parse "
+        "with CRC-8/CRC-16 VERIFIED, all four subframe types incl. "
+        "LPC, rice residual partitions with escapes, wasted bits, "
+        "left/side / right/side / mid/side stereo decorrelation; "
+        "the encoder picks the best fixed predictor per block and "
+        "fits rice parameters — spec-valid files that genuinely "
+        "compress). FLAC is LOSSLESS, so closed-form stereo int16 "
+        "samples per document round-trip through encode → binary "
+        "column → decode BIT-EXACTLY and reduce to an integer "
+        "checksum the oracle regenerates in SQL — any prediction, "
+        "rice, CRC, or channel bug hash-mismatches. Decoder paths "
+        "the encoder never emits (LPC, escapes, partition orders, "
+        "all stereo modes) are pinned by hand-built differential "
+        "streams in pytest. Scale shape identical to the other "
+        "codec keys: one Arrow-batched mapInPandas per side, zero "
+        "shuffles.",
+)
+def q_multimodal_audio_flac(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    N = 300
+    i = np.arange(N, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                left = ((int(d) * 7 + i * 13) % 2001) - 1000
+                right = ((int(d) * 11 + i * 17) % 2001) - 1000
+                st = np.stack([left, right], axis=1).astype(np.int16)
+                payloads.append(encode_flac(st, 16000, block=128))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_flac(bytes(payload))
+                n, c = samples.shape
+                rows.append(
+                    (d, n, rate, c, int(samples.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "n_channels", "sample_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, n_samples long, sample_rate int, "
+        "n_channels int, sample_checksum long",
+    )
+
+
+@register(
     "q_multimodal_decode_dispatch",
     oracle="""
 WITH px AS (
