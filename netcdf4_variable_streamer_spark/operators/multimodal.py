@@ -764,6 +764,108 @@ def q_multimodal_jpeg_decode(
 
 
 @register(
+    "q_multimodal_video_mjpeg",
+    oracle="""
+WITH fr AS (
+  SELECT d.doc_id, f.f
+  FROM documents d,
+       UNNEST(generate_series(0, 1 + CAST(d.doc_id % 3 AS INTEGER)))
+         AS f(f)
+),
+px AS (
+  SELECT fr.doc_id, fr.f,
+         (fr.doc_id * 37 + fr.f * 61 + yy.y * 13 + xx.x * 7) % 256
+           AS v
+  FROM fr
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS x) xx
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(SUM(v) * 64 * 3 AS BIGINT) AS frame_checksum
+FROM px
+GROUP BY doc_id, f
+""",
+    doc="REAL video container decode (round 16) — MJPEG-in-AVI, the "
+        "RIFF container legacy cameras and surveillance corpora "
+        "ship, composed from two in-repo pieces: the RIFF chunk "
+        "grammar (shared with the WAV codec) and the round-16 JPEG "
+        "codec, every frame a standalone baseline JPEG "
+        "(functions/avi.py: avih/strl headers validated, "
+        "frame-vs-header dim and count cross-checks, idx1 emitted). "
+        "Per document, 2 + doc_id%3 frames of flat 8x8 gray-in-RGB "
+        "blocks (the exact-through-JPEG fixture) round-trip through "
+        "encode → binary column → decode and emit one EXACT "
+        "checksum row per frame — the video-frame-sampling story on "
+        "an actual video container with an actual codec, not "
+        "synthetic splits. Rows = docs x frames; zero shuffles; one "
+        "Arrow-batched mapInPandas per side.",
+)
+def q_multimodal_video_mjpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    ys, xs = np.indices((2, 2))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 2 + int(d) % 3
+                frames = []
+                for f in range(n):
+                    v = (
+                        (int(d) * 37 + f * 61 + ys * 13 + xs * 7)
+                        % 256
+                    ).astype(np.uint8)
+                    g = v.repeat(8, axis=0).repeat(8, axis=1)
+                    frames.append(np.stack([g, g, g], axis=2))
+                payloads.append(
+                    encode_avi_mjpeg(np.stack(frames), fps=10)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _fps = decode_avi_mjpeg(bytes(payload))
+                for f in range(frames.shape[0]):
+                    img = frames[f]
+                    rows.append(
+                        (
+                            d, f, img.shape[1], img.shape[0],
+                            int(img.astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "frame_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, frame_idx int, width int, height int, "
+        "frame_checksum long",
+    )
+
+
+@register(
     "q_multimodal_tiff_decode",
     oracle="""
 WITH px AS (

@@ -82,6 +82,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_decode_dispatch",
     "q_multimodal_audio_flac",
     "q_multimodal_tiff_decode",
+    "q_multimodal_video_mjpeg",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

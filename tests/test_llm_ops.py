@@ -2096,3 +2096,62 @@ def test_tiff_refusals_and_mutation_sweep():
             decode_tiff(bytes(good[:n]))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_avi_mjpeg_roundtrip_and_refusals():
+    """MJPEG-in-AVI (round 16): flat-block frames round-trip EXACTLY
+    (each frame is the exact-through-JPEG fixture), lossy frames keep
+    shape/count/fps, and the container refuses by name: non-AVI
+    payloads, frame-vs-header dimension and count disagreements,
+    truncated chunks. Plus a 300-case mutation sweep (ValueError /
+    NotImplementedError only)."""
+    import numpy as np
+    import pytest as _pytest
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    v = rng.randint(0, 256, (4, 2, 2)).astype(np.uint8)
+    frames = np.stack(
+        [
+            np.stack([v[i].repeat(8, 0).repeat(8, 1)] * 3, axis=2)
+            for i in range(4)
+        ]
+    )
+    enc = encode_avi_mjpeg(frames, fps=25)
+    out, fps = decode_avi_mjpeg(enc)
+    assert fps == 25 and (out == frames).all()
+    nf = rng.randint(0, 256, (3, 24, 32, 3)).astype(np.uint8)
+    out, _ = decode_avi_mjpeg(encode_avi_mjpeg(nf))
+    assert out.shape == (3, 24, 32, 3)
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    # header/frame-count disagreement refuses
+    bad = bytearray(enc)
+    i = bad.index(b"avih") + 8 + 16  # dwTotalFrames
+    _struct.pack_into("<I", bad, i, 9)
+    with _pytest.raises(ValueError, match="declares 9 frames"):
+        decode_avi_mjpeg(bytes(bad))
+    # header/frame-dims disagreement refuses
+    bad = bytearray(enc)
+    i = bad.index(b"avih") + 8 + 32  # dwWidth
+    _struct.pack_into("<I", bad, i, 8)
+    with _pytest.raises(ValueError, match="header"):
+        decode_avi_mjpeg(bytes(bad))
+    for _ in range(300):
+        b2 = bytearray(enc)
+        pos = rng.randint(0, len(b2))
+        b2[pos] = rng.randint(0, 256)
+        try:
+            decode_avi_mjpeg(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
+    for n in (0, 4, 11, 40, len(enc) // 2, len(enc) - 1):
+        try:
+            decode_avi_mjpeg(bytes(enc[:n]))
+        except (ValueError, NotImplementedError):
+            pass
