@@ -1,12 +1,17 @@
-"""Multimodal decode / feature-extraction kernels (gated codec stubs).
+"""Multimodal decode / feature-extraction kernels.
 
 The Spark-side plumbing (binary columns + typed metadata + Arrow-batched
-`mapInPandas`, see operators/multimodal.py) is real and tested; the
-actual codecs (Pillow/libav) are not installed in this environment, so
-each decode kernel is import-gated: with the library present it decodes,
-without it it raises NotImplementedError (clearly marked stub) — or, for
-the `fake=True` test path, produces a deterministic synthetic decode so
-the distributed plumbing can be exercised end to end.
+`mapInPandas`, see operators/multimodal.py) is real and tested, and so
+are the codecs: BMP, PPM, PNG, QOI, GIF, JPEG (baseline + progressive,
+:mod:`functions.jpeg`), TIFF (:mod:`functions.tiff`), WAV-PCM16, G.711,
+FLAC (:mod:`functions.flac`) and MJPEG-in-AVI video
+(:mod:`functions.avi`) are all from-scratch pure-Python/NumPy
+implementations of the public specs — no external imaging/audio
+library. Formats beyond those (e.g. WEBP/AVIF/MP3) are import-gated:
+with Pillow/libav present they decode, without it they raise
+NotImplementedError (clearly marked stub) — or, for the `fake=True`
+test path, produce a deterministic synthetic decode so the distributed
+plumbing can be exercised end to end.
 
 Batch contract (all kernels): ``Iterator[pd.DataFrame] ->
 Iterator[pd.DataFrame]`` for ``DataFrame.mapInPandas``; input column
@@ -39,10 +44,11 @@ def _fake_pixels(payload: bytes, shape=(8, 8, 3)) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# REAL codecs, pure NumPy (no external libraries): uncompressed 24-bit BMP
-# and binary PPM (P6). These are not stubs — any BMP/P6 payload a user
-# writes with a standard tool decodes here, and the encoders produce files
-# standard tools open. Everything else (JPEG/PNG/...) still needs Pillow.
+# REAL codecs, pure NumPy (no external libraries). This module hosts the
+# simpler image formats (BMP, PPM, PNG, QOI, GIF) and audio (WAV, G.711);
+# JPEG, TIFF, FLAC and AVI live in their own sibling modules. None are
+# stubs — payloads a user writes with standard tools decode here, and the
+# encoders produce files standard tools open.
 # ---------------------------------------------------------------------------
 
 import struct
@@ -189,8 +195,9 @@ def decode_image_batches(
     """payload(binary) → image features.
 
     BMP (uncompressed 24-bit), PPM (P6), PNG (8-bit non-interlaced),
-    QOI, GIF and baseline JPEG payloads decode through the pure-NumPy
-    codecs (see also :mod:`functions.jpeg`) — REAL paths with no
+    QOI, GIF, JPEG (baseline + progressive) and TIFF payloads decode
+    through the pure-NumPy codecs (see also :mod:`functions.jpeg`,
+    :mod:`functions.tiff`) — REAL paths with no
     external dependency. Other formats need Pillow; without it they
     raise the clearly-marked stub error (or use the `fake=True`
     synthetic decode in tests)."""
@@ -212,7 +219,7 @@ def decode_image_batches(
                 if img is None:
                     if not have_pil:
                         raise NotImplementedError(
-                            "STUB: BMP/PPM/PNG/QOI/GIF/JPEG decode "
+                            "STUB: BMP/PPM/PNG/QOI/GIF/JPEG/TIFF decode "
                             "natively; other formats require Pillow "
                             "(not installed here). Pass fake=True for "
                             "the synthetic decode used by the "
