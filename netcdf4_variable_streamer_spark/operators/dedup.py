@@ -2648,6 +2648,51 @@ def q_dedup_substring_decontam_rewrite(
     )
 
 
+def _sxc_anchored_ranges_oracle(
+    ref: tuple[int, int], crawl: tuple[int, int]
+) -> str:
+    """The anchored-decontam oracle parameterized over doc_id RANGES
+    — reference [ref_lo, ref_hi), crawl [crawl_lo, crawl_hi) — the
+    form the streaming TTL posture needs (each batch's probe sees
+    only the RETAINED reference window, so its oracle is this query
+    at that window)."""
+    rlo, rhi = ref
+    clo, chi = crawl
+    return f"""
+WITH {_SPAN_CTE_SQL},
+{_WINNOW_CTE_SQL},
+refa AS (
+  SELECT DISTINCT cluster FROM anchors
+  WHERE doc_id >= {rlo} AND doc_id < {rhi}
+),
+flagged AS (
+  SELECT DISTINCT a.doc_id FROM anchors a JOIN refa USING (cluster)
+  WHERE a.doc_id >= {clo} AND a.doc_id < {chi}
+),
+sref AS (
+  SELECT DISTINCT cluster FROM spans
+  WHERE doc_id >= {rlo} AND doc_id < {rhi}
+),
+hits AS (
+  SELECT s.doc_id, s.span_start, s.cluster
+  FROM spans s JOIN flagged USING (doc_id) JOIN sref USING (cluster)
+),
+common AS (
+  SELECT cluster FROM hits GROUP BY cluster
+  HAVING COUNT(*) > {_SDR_MAX_OCC}
+),
+cut AS (
+  SELECT h.doc_id, h.span_start
+  FROM hits h LEFT JOIN common c USING (cluster)
+  WHERE c.cluster IS NULL
+),
+ct AS (
+  SELECT * FROM t WHERE doc_id >= {clo} AND doc_id < {chi}
+),
+{_rewrite_tail_sql("ct")}
+"""
+
+
 # shared by the batch key below AND the streaming per-batch posture
 # (streaming/queries.py q_stream_dedup_substring_anchored, whose
 # 2-batch run at the same split must reproduce this output exactly)

