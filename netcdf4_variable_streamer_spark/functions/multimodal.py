@@ -189,6 +189,21 @@ def decode_any(payload: bytes) -> np.ndarray | None:
     return None
 
 
+def decode_audio_any(payload: bytes):
+    """Dispatch on magic bytes to a pure-Python audio decoder:
+    (samples, sample_rate) for RIFF/WAVE (PCM16 + G.711) and FLAC;
+    None if the format needs an external codec."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_pcm16(payload)
+    if payload[:4] == b"fLaC":
+        from netcdf4_variable_streamer_spark.functions.flac import (
+            decode_flac,
+        )
+
+        return decode_flac(payload)
+    return None
+
+
 def decode_image_batches(
     batches: Iterator[pd.DataFrame], fake: bool = False
 ) -> Iterator[pd.DataFrame]:

@@ -764,6 +764,102 @@ def q_multimodal_jpeg_decode(
 
 
 @register(
+    "q_multimodal_audio_dispatch",
+    oracle="""
+WITH sm AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 5 + i.i * 19) % 2001) - 1000 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 199)) AS i) i
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS fmt,
+       CAST(200 AS BIGINT) AS n_samples,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sample_checksum
+FROM sm
+GROUP BY doc_id
+""",
+    doc="HETEROGENEOUS audio decode (round 16) — the image dispatch "
+        "key's audio twin, because real speech corpora mix "
+        "containers: each row carries WAV-PCM16 or FLAC (doc_id mod "
+        "2), and ONE magic-byte dispatch "
+        "(functions.multimodal.decode_audio_any) routes every "
+        "payload inside a single mapInPandas kernel. Both formats "
+        "are LOSSLESS for int16, so the same closed-form samples "
+        "produce the same exact checksum regardless of container — "
+        "the oracle regenerates it uniformly and any per-format "
+        "defect mismatches on exactly that format's rows. Zero "
+        "shuffles; dispatch is per-row.",
+)
+def q_multimodal_audio_dispatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        encode_flac,
+    )
+
+    N = 200
+    i = np.arange(N, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                s = (
+                    ((int(d) * 5 + i * 19) % 2001) - 1000
+                ).astype(np.int16)
+                if int(d) % 2 == 0:
+                    fmt, payload = "wav", mm.encode_wav_pcm16(
+                        s, sample_rate=16000
+                    )
+                else:
+                    fmt, payload = "flac", encode_flac(
+                        s, 16000, block=64
+                    )
+                rows.append((d, fmt, payload))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "payload"]
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                samples, rate = mm.decode_audio_any(bytes(payload))
+                rows.append(
+                    (
+                        d, fmt, len(samples), rate,
+                        int(samples.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "n_samples", "sample_rate",
+                    "sample_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode, "doc_id long, fmt string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, fmt string, n_samples long, sample_rate int, "
+        "sample_checksum long",
+    )
+
+
+@register(
     "q_multimodal_video_mjpeg",
     oracle="""
 WITH fr AS (

@@ -117,7 +117,7 @@ NEW_KEYS = [
     "q_multimodal_jpeg_progressive", "q_sim_ivf_nprobe_sweep",
     "q_multimodal_decode_dispatch", "q_multimodal_audio_flac",
     "q_multimodal_tiff_decode", "q_multimodal_video_mjpeg",
-    "q_stream_dedup_substring_ttl",
+    "q_stream_dedup_substring_ttl", "q_multimodal_audio_dispatch",
 ]
 
 
