@@ -4389,3 +4389,78 @@ def test_hdf5_vlen_and_dense_truncation_refuses(tmp_path):
                     h.read(n)
             except ValueError:
                 pass
+
+
+@_SETTINGS
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    nch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_lossless_image_codecs_roundtrip_hypothesis(h, w, nch, seed):
+    """Property sweep over EVERY lossless image codec at arbitrary
+    small shapes: encode→decode must be the identity for BMP/PPM
+    (RGB), PNG (gray/RGB/RGBA), QOI (RGB/RGBA), TIFF (any, both
+    compressions), and GIF (RGB quantized to ≤256 colors by
+    construction)."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, nch)).astype(np.uint8)
+    if nch == 3:
+        assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+        assert (mm.decode_ppm(mm.encode_ppm(img)) == img).all()
+        # GIF needs ≤256 distinct colors: quantize to a 4-value grid
+        few = (rng.randint(0, 4, (h, w, 3)) * 80).astype(np.uint8)
+        assert (mm.decode_gif(mm.encode_gif(few))[0] == few).all()
+    if nch in (3, 4):
+        assert (mm.decode_qoi(mm.encode_qoi(img)) == img).all()
+    png_in = img[:, :, 0] if nch == 1 else img
+    got = mm.decode_png(mm.encode_png(png_in))
+    assert (got.reshape(png_in.shape) == png_in).all()
+    tin = img[:, :, 0] if nch == 1 else img
+    for comp in ("none", "packbits"):
+        assert (
+            decode_tiff(encode_tiff(tin, compression=comp)) == tin
+        ).all()
+
+
+@_SETTINGS
+@given(
+    n=st.integers(0, 600),
+    stereo=st.booleans(),
+    block=st.sampled_from([32, 192, 4096]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_lossless_audio_codecs_roundtrip_hypothesis(
+    n, stereo, block, seed
+):
+    """Property sweep over the lossless audio codecs: WAV-PCM16 and
+    FLAC (mono/stereo, arbitrary lengths incl. empty and
+    non-multiple-of-block) must round-trip bit-exactly."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (n, 2) if stereo else (n,)
+    s = rng.randint(-32768, 32768, shape).astype(np.int16)
+    out, rate = decode_flac(encode_flac(s, 22050, block=block))
+    assert rate == 22050 and out.shape == s.shape
+    assert (out == s).all()
+    if not stereo:
+        w, rate = mm.decode_wav_pcm16(
+            mm.encode_wav_pcm16(s, sample_rate=8000)
+        )
+        assert rate == 8000 and (w == s).all()
