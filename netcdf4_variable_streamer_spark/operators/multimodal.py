@@ -764,6 +764,161 @@ def q_multimodal_jpeg_decode(
 
 
 @register(
+    "q_multimodal_phash_cross_container",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 50 AS img, yy.y, xx.x,
+         (d.doc_id % 50 * 37 + yy.y * 17 + xx.x * 29
+          + (xx.x * yy.y) % 13) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS x) xx
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS by, x // 2 AS bx,
+         CAST(SUM(v) AS BIGINT) // 4 AS b
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) // 256 AS t
+  FROM px GROUP BY doc_id
+),
+bits AS (
+  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+         CASE WHEN b.b > t.t THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32
+                       THEN bit * (CAST(1 AS BIGINT) << k)
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN k >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM bits GROUP BY doc_id
+),
+clusters AS (
+  SELECT h.h_hi, h.h_lo, MIN(h.doc_id) AS keep_doc,
+         COUNT(*) AS cluster_n,
+         COUNT(DISTINCT h.doc_id % 7) AS n_formats
+  FROM hashes h GROUP BY h.h_hi, h.h_lo
+)
+SELECT h.doc_id,
+       CASE CAST(h.doc_id % 7 AS INTEGER)
+         WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
+         WHEN 3 THEN 'qoi' WHEN 4 THEN 'gif' WHEN 5 THEN 'tiff'
+         ELSE 'tiff_pb'
+       END AS fmt,
+       h.h_hi, h.h_lo, c.keep_doc,
+       CAST(c.cluster_n AS BIGINT) AS cluster_n,
+       CAST(c.n_formats AS BIGINT) AS n_formats,
+       h.doc_id <> c.keep_doc AS is_dup
+FROM hashes h
+JOIN clusters c ON h.h_hi = c.h_hi AND h.h_lo = c.h_lo
+""",
+    doc="CROSS-CONTAINER perceptual dedup (round 16) — the composite "
+        "a real image-corpus pipeline runs: the SAME image content "
+        "arrives wrapped in SEVEN different lossless containers "
+        "(doc_id mod 7 picks BMP/PPM/PNG/QOI/GIF/TIFF/TIFF-PackBits "
+        "— 7 is coprime to the 50-image content cycle, so every "
+        "duplicate cluster mixes containers), the magic-byte "
+        "dispatch decodes each, and the integer average-hash "
+        "clusters them: byte-level dedup (md5 of the payload) finds "
+        "NOTHING here — every payload differs — while the decoded-"
+        "pixel perceptual hash reunites the duplicates exactly "
+        "(n_formats per cluster > 1, pytest-pinned). Keeper "
+        "election and emit shape follow q_dedup_image_phash; all "
+        "arithmetic floor-exact integer so the SQL oracle matches "
+        "bit-for-bit. Scale: decode+hash zero-shuffle mapInPandas, "
+        "one hash-keyed agg + score-back join — no pairwise stage.",
+)
+def q_multimodal_phash_cross_container(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        encode_tiff,
+    )
+
+    ys, xs = np.indices((16, 16))
+    fmts = ("bmp", "ppm", "png", "qoi", "gif", "tiff", "tiff_pb")
+
+    def encode(batches):
+        encoders = {
+            "bmp": mm.encode_bmp,
+            "ppm": mm.encode_ppm,
+            "png": mm.encode_png,
+            "qoi": mm.encode_qoi,
+            "gif": mm.encode_gif,
+            "tiff": encode_tiff,
+            "tiff_pb": lambda a: encode_tiff(
+                a, compression="packbits"
+            ),
+        }
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                img = int(d) % 50
+                gray = (
+                    (img * 37 + ys * 17 + xs * 29 + (xs * ys) % 13)
+                    % 256
+                ).astype(np.uint8)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                fmt = fmts[int(d) % 7]
+                rows.append((d, fmt, encoders[fmt](rgb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "payload"]
+            )
+
+    def ahash(batches):
+        for pdf in batches:
+            rows = []
+            for d, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                gray = mm.decode_any(bytes(payload))[:, :, 0].astype(
+                    np.int64
+                )
+                blocks = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3)) // 4
+                t = int(gray.sum()) // 256
+                bits = (blocks > t).astype(np.int64).reshape(64)
+                h_hi = int((bits[:32] << np.arange(32)).sum())
+                h_lo = int((bits[32:] << np.arange(32)).sum())
+                rows.append((d, fmt, h_hi, h_lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "h_hi", "h_lo"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode, "doc_id long, fmt string, payload binary"
+    )
+    hashes = payloads.mapInPandas(
+        ahash, "doc_id long, fmt string, h_hi long, h_lo long"
+    )
+    clusters = hashes.groupBy("h_hi", "h_lo").agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.count(F.lit(1)).alias("cluster_n"),
+        F.countDistinct(F.col("doc_id") % 7).alias("n_formats"),
+    )
+    return hashes.join(clusters, ["h_hi", "h_lo"]).select(
+        "doc_id",
+        "fmt",
+        "h_hi",
+        "h_lo",
+        "keep_doc",
+        F.col("cluster_n").cast("long").alias("cluster_n"),
+        F.col("n_formats").cast("long").alias("n_formats"),
+        (F.col("doc_id") != F.col("keep_doc")).alias("is_dup"),
+    )
+
+
+@register(
     "q_multimodal_audio_dispatch",
     oracle="""
 WITH sm AS (

@@ -85,6 +85,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_video_mjpeg",
     "q_stream_dedup_substring_ttl",
     "q_multimodal_audio_dispatch",
+    "q_multimodal_phash_cross_container",
     # -- last driver check: r9 --
     "q_report_nation_profit",
     "q_geo_heatmap_grid",

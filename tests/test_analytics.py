@@ -118,6 +118,7 @@ NEW_KEYS = [
     "q_multimodal_decode_dispatch", "q_multimodal_audio_flac",
     "q_multimodal_tiff_decode", "q_multimodal_video_mjpeg",
     "q_stream_dedup_substring_ttl", "q_multimodal_audio_dispatch",
+    "q_multimodal_phash_cross_container",
 ]
 
 
@@ -686,3 +687,25 @@ def test_nprobe_sweep_tradeoff_shape(spark):
         assert (
             sweep.loc[(2, k), "hits"] == ivfx.loc[k, "hits"]
         ), k
+
+
+def test_phash_cross_container_clusters_mix_formats(spark):
+    """The round-16 cross-container dedup composite must demonstrate
+    the thing it exists for: duplicate clusters MIX container
+    formats (byte-level payload dedup would find nothing), every
+    multi-member cluster spans >1 format at fixture scale, and the
+    keeper election matches the plain phash key's shape."""
+    got = (
+        REGISTRY["q_multimodal_phash_cross_container"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    multi = got[got.cluster_n > 1]
+    assert len(multi) > 0
+    assert (multi["n_formats"] > 1).all()
+    assert set(got["fmt"]) == {
+        "bmp", "ppm", "png", "qoi", "gif", "tiff", "tiff_pb"
+    }
+    # keeper is a member of its own cluster and not a dup
+    keepers = got[~got.is_dup]
+    assert (keepers["doc_id"] == keepers["keep_doc"]).all()
