@@ -260,8 +260,11 @@ def decode_audio_batches(
     for pdf in batches:
         if not fake:
             raise NotImplementedError(
-                "STUB: audio decode requires soundfile/libav (not installed); "
-                "pass fake=True for the synthetic decode"
+                "STUB: this kernel is the synthetic-plumbing path — "
+                "pass fake=True; real WAV/G.711/FLAC audio decodes "
+                "natively via decode_audio_any / decode_wav_pcm16 / "
+                "functions.flac (other formats require soundfile/"
+                "libav, not installed)"
             )
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
