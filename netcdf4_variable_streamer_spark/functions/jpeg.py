@@ -234,6 +234,9 @@ class _BitReader:
             self.n += 8
         self.n -= count
         val = (self.acc >> self.n) & ((1 << count) - 1)
+        # trim consumed bits: an ever-growing accumulator makes the
+        # per-byte shift O(scan length) — quadratic on large scans
+        self.acc &= (1 << self.n) - 1
         return val
 
     def read_symbol(self, table: dict) -> int:

@@ -121,6 +121,9 @@ def _tiff_lzw(data: bytes, expect: int) -> bytes:
             nbits += 8
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
+        # trim consumed bits — an ever-growing accumulator would make
+        # each per-byte shift O(stream length) (quadratic decode)
+        acc &= (1 << nbits) - 1
         if code == CLEAR:
             reset()
             prev = None
