@@ -1459,3 +1459,73 @@ def test_substring_ttl_loop_evicts(spark, tmp_path):
     import shutil
 
     shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_substring_ttl_restart(spark, tmp_path):
+    """RESTART proof for the TTL substring loop: run batches 0-1 to
+    completion, STOP, then restart a brand-new query (fresh closure —
+    the loop keeps NO in-memory state, recovery is the commit-marker
+    scan) after the third file arrives. The restarted batch 2 must
+    probe batch 1 only (batch 0's index already evicted), produce
+    decisions equal to the range-parameterized oracle, and leave only
+    batch 2's index on disk."""
+    import os
+    import shutil
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, sq._SXC_TTL_SPLITS, columns=("doc_id", "text")
+    )
+    last = os.path.join(feed, "2_part.parquet")
+    held = str(tmp_path / "held.parquet")
+    shutil.move(last, held)
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    ckpt = os.path.join(run_dir, "ckpt")
+    schema = spark.read.parquet(feed).schema
+
+    def run_once():
+        crawl, n = sq.make_substring_ttl_loop(spark, run_dir, ttl=1)
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(crawl)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return n[0]
+
+    assert run_once() == 2  # batches 0 and 1
+    assert os.path.exists(os.path.join(run_dir, "anch_b1"))
+    assert not os.path.exists(os.path.join(run_dir, "anch_b0"))
+    shutil.move(held, last)
+    assert run_once() == 1  # restarted query: exactly batch 2
+    names = set(os.listdir(run_dir))
+    assert "anch_b2" in names and "anch_b1" not in names
+    got = (
+        spark.read.parquet(os.path.join(run_dir, "dec_v2"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    s1, s2 = sq._SXC_TTL_SPLITS
+    from netcdf4_variable_streamer_spark.operators.dedup import (
+        _sxc_anchored_ranges_oracle,
+    )
+
+    want = (
+        oracle_mod.connect(SF_DIR)
+        .execute(_sxc_anchored_ranges_oracle((s1, s2), (s2, 1 << 40)))
+        .df()
+    )
+    assert len(got) == len(want)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_tokens_cut"]) == list(want["n_tokens_cut"])
+    assert list(got["rewritten_md5"]) == list(want["rewritten_md5"])
+    shutil.rmtree(feed, ignore_errors=True)
