@@ -461,6 +461,21 @@ def encode_flac(
         raise ValueError("encode_flac expects 1-D or (n, 2) int16")
     if samples.ndim == 2 and samples.shape[1] != 2:
         raise ValueError("encode_flac stereo needs exactly 2 channels")
+    if not 1 <= sample_rate < (1 << 20):
+        raise ValueError(
+            f"FLAC sample rate {sample_rate} outside the 20-bit range"
+        )
+    # frame-header rate coding: 16-bit Hz (code 13) when it fits,
+    # 16-bit daHz (code 14) for the high rates (96 kHz etc.)
+    if sample_rate <= 0xFFFF:
+        rate_code, rate_field = 13, sample_rate
+    elif sample_rate % 10 == 0 and sample_rate // 10 <= 0xFFFF:
+        rate_code, rate_field = 14, sample_rate // 10
+    else:
+        raise ValueError(
+            f"FLAC sample rate {sample_rate} not representable in a "
+            "frame header (needs 16-bit Hz or 16-bit daHz)"
+        )
     chans = (
         [samples.astype(np.int64)]
         if samples.ndim == 1
@@ -491,7 +506,7 @@ def encode_flac(
         hdr.write(0, 1)  # fixed blocking
         # always the 16-bit explicit block size (code 7)
         hdr.write(7, 4)
-        hdr.write(13, 4)  # 16-bit Hz sample rate follows
+        hdr.write(rate_code, 4)
         hdr.write(nch - 1, 4)  # independent channels
         hdr.write(4, 3)  # 16 bps
         hdr.write(0, 1)
@@ -499,7 +514,7 @@ def encode_flac(
         hdr_bytes = bytearray(hdr.out)
         hdr_bytes += _utf8_encode(frame_no)
         hdr_bytes += struct.pack(">H", bs - 1)
-        hdr_bytes += struct.pack(">H", sample_rate)
+        hdr_bytes += struct.pack(">H", rate_field)
         hdr_bytes.append(_crc8(bytes(hdr_bytes)))
         fw = _BitW()
         for ch in chans:

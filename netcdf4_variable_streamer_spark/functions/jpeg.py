@@ -361,6 +361,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"JPEG marker expected at byte {pos}, got "
                 f"0x{payload[pos]:02x}"
             )
+        # T.81 B.1.1.2: markers may be preceded by any number of
+        # 0xFF fill bytes — skip padding before reading the code
+        # (code-review finding: real encoder output using fill-byte
+        # padding mis-parsed the pad as a segment length)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1] if pos + 1 < len(payload) else None
         if marker is None:
             raise ValueError("JPEG stream truncated at 0xFF")

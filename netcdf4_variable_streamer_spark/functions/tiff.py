@@ -328,14 +328,20 @@ def encode_tiff(
     def long_(tag, *vals):
         entries.append((tag, 4, len(vals), vals, None))
 
-    short(256, w)
-    short(257, h)
+    def dim(tag, val):
+        # TIFF 6.0 allows SHORT or LONG for the dimension tags; use
+        # LONG when the value outgrows a SHORT (code-review finding:
+        # a 2x70000 image is valid but died in struct.pack)
+        (short if val <= 0xFFFF else long_)(tag, val)
+
+    dim(256, w)
+    dim(257, h)
     short(258, *([8] * spp))
     short(259, comp)
     short(262, photo)
     long_(273, None)  # strip offsets — resolved in the layout pass
     short(277, spp)
-    short(278, min(rows_per_strip, h))
+    dim(278, min(rows_per_strip, h))
     long_(279, *[len(s) for s in strips])
     if spp == 4:
         short(338, 2)  # unassociated alpha

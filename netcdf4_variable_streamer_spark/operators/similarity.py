@@ -398,6 +398,70 @@ _IVFPQ_NLIST = 4  # coarse (IVF) centroids
 _IVFPQ_NPROBE = 2  # coarse lists probed per query
 
 
+def _ivf_coarse_chain(e: DataFrame, cent_cols: dict | None = None):
+    """(ccents, ad, assign, probe_rank): the coarse-quantizer DAG
+    shared by every IVF key — fixed-point full-vector distances to
+    the broadcast centroid table, packed-MIN assignment, and the
+    per-query probe ranking (round-16 review: this chain had been
+    copied into three builders). ``e`` needs (vec_id, fxv, …);
+    ``cent_cols`` maps extra centroid column aliases to source
+    columns (e.g. {"c_emb": "embedding"} for the residual-PQ key)."""
+    sel = [
+        F.col("vec_id").alias("cl"),
+        F.col("fxv").alias("c_fx"),
+    ] + [
+        F.col(src).alias(dst) for dst, src in (cent_cols or {}).items()
+    ]
+    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(*sel)
+    ad = e.join(
+        F.broadcast(ccents.select("cl", "c_fx")), F.lit(True)
+    ).select(
+        "vec_id",
+        "cl",
+        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
+    )
+    assign = ad.groupBy("vec_id").agg(
+        (
+            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
+            % _IVFPQ_NLIST
+        ).alias("cl")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
+    probe_rank = (
+        ad.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
+        .withColumn("prn", F.row_number().over(wp))
+        .select("q_id", "cl", "prn")
+    )
+    return ccents, ad, assign, probe_rank
+
+
+def _exact_gt(e: DataFrame):
+    """(qfx, exact_p, gt): the exact fixed-point ground truth over the
+    sampled query block — one broadcast-driven linear pass, shared by
+    the recall/sweep/trained-recall keys. ``gt`` carries
+    (q_id, vec_id, grn <= TOP_K)."""
+    qfx = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("fxv").alias("q_fx")
+    )
+    exact_p = e.join(
+        F.broadcast(qfx), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        _d2_span(F.col("q_fx"), F.col("fxv"), F.lit(1), 64).alias("d2"),
+    )
+    wg = Window.partitionBy("q_id").orderBy(
+        F.asc("d2"), F.asc("vec_id")
+    )
+    gt = (
+        exact_p.withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= TOP_K)
+        .select("q_id", "vec_id", "grn")
+    )
+    return qfx, exact_p, gt
+
+
 def _fx64(col: Column) -> Column:
     """ARRAY<long> 1e-6 fixed-point image of a float-array column —
     the shared exact-arithmetic representation of the IVF-PQ chain."""
@@ -553,21 +617,8 @@ def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _fx64(F.col("embedding")).alias("fxv")
     )
-    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
-        F.col("vec_id").alias("cl"),
-        F.col("embedding").alias("c_emb"),
-        F.col("fxv").alias("c_fx"),
-    )
-    ad = e.join(F.broadcast(ccents), F.lit(True)).select(
-        "vec_id",
-        "cl",
-        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
-    )
-    assign = ad.groupBy("vec_id").agg(
-        (
-            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
-            % _IVFPQ_NLIST
-        ).alias("cl")
+    ccents, ad, assign, probe_rank = _ivf_coarse_chain(
+        e, {"c_emb": "embedding"}
     )
     rfx = F.zip_with(
         F.col("embedding"),
@@ -610,14 +661,9 @@ def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes8")
         )
     )
-    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
-    probes = (
-        ad.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= _IVFPQ_NPROBE)
-        .select("q_id", "cl")
-    )
+    probes = probe_rank.filter(
+        F.col("prn") <= _IVFPQ_NPROBE
+    ).select("q_id", "cl")
     qres = (
         probes.join(
             e.select(F.col("vec_id").alias("q_id"), "embedding"), "q_id"
@@ -816,56 +862,18 @@ FROM rh
 )
 def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _fx64(F.col("embedding")).alias("fxv")
+        "vec_id", _fx64(F.col("embedding")).alias("fxv")
     )
-    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
-        F.col("vec_id").alias("cl"), F.col("fxv").alias("c_fx")
+    _, _, assign, probe_rank = _ivf_coarse_chain(e)
+    probes = probe_rank.filter(
+        F.col("prn") <= _IVFPQ_NPROBE
+    ).select("q_id", "cl")
+    qfx, _, gt = _exact_gt(e)
+    exact_topk = gt.select("q_id", "vec_id", F.col("grn").alias("rn"))
+    wk = Window.partitionBy("q_id").orderBy(
+        F.asc("d2"), F.asc("vec_id")
     )
-    ad = e.join(F.broadcast(ccents), F.lit(True)).select(
-        "vec_id",
-        "cl",
-        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
-    )
-    assign = ad.groupBy("vec_id").agg(
-        (
-            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
-            % _IVFPQ_NLIST
-        ).alias("cl")
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
-    probes = (
-        ad.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= _IVFPQ_NPROBE)
-        .select("q_id", "cl")
-    )
-    qfx = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("fxv").alias("q_fx")
-    )
-
-    def topk(scores: DataFrame, order: str) -> DataFrame:
-        w = Window.partitionBy("q_id").orderBy(
-            F.asc(order), F.asc("vec_id")
-        )
-        return (
-            scores.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TOP_K)
-            .select("q_id", "vec_id", "rn")
-        )
-
-    exact_topk = topk(
-        e.join(F.broadcast(qfx), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            _d2_span(
-                F.col("q_fx"), F.col("fxv"), F.lit(1), 64
-            ).alias("d2"),
-        ),
-        "d2",
-    )
-    ivfx_topk = topk(
+    ivfx_topk = (
         assign.join(F.broadcast(probes), "cl")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(e.select("vec_id", "fxv"), "vec_id")
@@ -876,8 +884,10 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _d2_span(
                 F.col("q_fx"), F.col("fxv"), F.lit(1), 64
             ).alias("d2"),
-        ),
-        "d2",
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "rn")
     )
     ann = (
         ivfx_topk.select(F.lit("ivf_exact").alias("method"), "*")
@@ -1067,27 +1077,7 @@ def q_sim_ivf_nprobe_sweep(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _fx64(F.col("embedding")).alias("fxv")
     )
-    ccents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
-        F.col("vec_id").alias("cl"), F.col("fxv").alias("c_fx")
-    )
-    ad = e.join(F.broadcast(ccents), F.lit(True)).select(
-        "vec_id",
-        "cl",
-        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
-    )
-    assign = ad.groupBy("vec_id").agg(
-        (
-            F.min(F.col("d2") * _IVFPQ_NLIST + F.col("cl"))
-            % _IVFPQ_NLIST
-        ).alias("cl")
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
-    pr = (
-        ad.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), "cl", "d2")
-        .withColumn("prn", F.row_number().over(wp))
-        .select("q_id", "cl", "prn")
-    )
+    _, _, assign, pr = _ivf_coarse_chain(e)
     nps = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np")
     )
@@ -1099,24 +1089,7 @@ def q_sim_ivf_nprobe_sweep(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("np", "q_id", "vec_id")
     )
-    qfx = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("fxv").alias("q_fx")
-    )
-    exact_p = e.join(
-        F.broadcast(qfx), F.col("vec_id") != F.col("q_id")
-    ).select(
-        "q_id",
-        "vec_id",
-        _d2_span(F.col("q_fx"), F.col("fxv"), F.lit(1), 64).alias("d2"),
-    )
-    wg = Window.partitionBy("q_id").orderBy(
-        F.asc("d2"), F.asc("vec_id")
-    )
-    gt = (
-        exact_p.withColumn("grn", F.row_number().over(wg))
-        .filter(F.col("grn") <= TOP_K)
-        .select("q_id", "vec_id", "grn")
-    )
+    _, exact_p, gt = _exact_gt(e)
     wa = Window.partitionBy("np", "q_id").orderBy(
         F.asc("d2"), F.asc("vec_id")
     )
@@ -1531,21 +1504,7 @@ def q_sim_pq_trained_recall(
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id", F.col("rn").alias("arn"))
     )
-    exact = e.join(
-        F.broadcast(q), F.col("vec_id") != F.col("q_id")
-    ).select(
-        "q_id",
-        "vec_id",
-        _d2_span(F.col("qfx"), F.col("fxv"), F.lit(1), 64).alias("d2"),
-    )
-    wg = Window.partitionBy("q_id").orderBy(
-        F.asc("d2"), F.asc("vec_id")
-    )
-    exact_topk = (
-        exact.withColumn("grn", F.row_number().over(wg))
-        .filter(F.col("grn") <= TOP_K)
-        .select("q_id", "vec_id", "grn")
-    )
+    _, _, exact_topk = _exact_gt(e)
     matched = ann.join(exact_topk, ["q_id", "vec_id"]).select(
         "q_id", "arn", "grn"
     )

@@ -1400,9 +1400,17 @@ def make_substring_ttl_loop(
         ):
             pass
         # TTL eviction: batch indexes older than the horizon are
-        # REMOVED from disk — state is bounded by the ttl window
+        # REMOVED from disk — state is bounded by ttl+1 batch
+        # indexes. The horizon deliberately keeps ONE batch beyond
+        # what the NEXT batch will probe: a checkpoint replay of
+        # batch N (crash between foreachBatch returning and the
+        # checkpoint commit) must still find its [N-ttl, N) probe
+        # window on disk — evicting up to batch_id-ttl+1 here would
+        # delete exactly that and make the restart unrecoverable
+        # (round-16 code-review finding, replay-pinned in
+        # tests/test_streaming.py::test_substring_ttl_replay_safe).
         for v in committed():
-            if v < batch_id - ttl + 1:
+            if v < batch_id - ttl:
                 for t in ("anch", "spcl"):
                     shutil.rmtree(
                         os.path.join(run_dir, f"{t}_b{v}"),

@@ -2155,3 +2155,48 @@ def test_avi_mjpeg_roundtrip_and_refusals():
             decode_avi_mjpeg(bytes(enc[:n]))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_round16_codec_review_regressions():
+    """Round-16 code-review findings, pinned: (1) FLAC encodes the
+    high studio rates (96/176.4/192 kHz) via the daHz frame-header
+    code instead of dying in struct.pack, and refuses non-
+    representable rates BY NAME; (2) TIFF dimension tags switch to
+    LONG beyond 65535 (a 2x70000 strip image round-trips); (3) the
+    JPEG marker loop skips T.81 fill bytes (0xFF padding) before
+    markers instead of mis-parsing them as segment lengths."""
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(16)
+    for rate in (96000, 176400, 192000):
+        s = rng.randint(-3000, 3000, 700).astype(np.int16)
+        out, r = decode_flac(encode_flac(s, rate))
+        assert r == rate and (out == s).all(), rate
+    with _pytest.raises(ValueError, match="not representable"):
+        encode_flac(np.zeros(4, np.int16), 65537)
+    with _pytest.raises(ValueError, match="20-bit"):
+        encode_flac(np.zeros(4, np.int16), 1 << 20)
+
+    img = rng.randint(0, 256, (2, 70000, 3)).astype(np.uint8)
+    assert (decode_tiff(encode_tiff(img)) == img).all()
+
+    base = encode_jpeg(np.full((8, 8), 100, np.uint8), quality=75)
+    padded = base[:-2] + b"\xff\xff\xff" + base[-2:]
+    assert (decode_jpeg(padded) == 100).all()
+    sos = base.index(b"\xff\xda")
+    padded2 = base[:sos] + b"\xff\xff" + base[sos:]
+    assert (decode_jpeg(padded2) == 100).all()

@@ -1405,7 +1405,8 @@ def test_substring_loop_backfill_skips_partial_newer_pair(
 def test_substring_ttl_loop_evicts(spark, tmp_path):
     """The round-16 TTL substring loop must (a) DELETE batch indexes
     older than the horizon from disk — after the 3-batch run only the
-    final batch's anch/spcl directories remain; (b) make eviction
+    final batch's and its replay-horizon predecessor's anch/spcl
+    directories remain (ttl+1 kept for checkpoint-replay safety); (b) make eviction
     OBSERVABLE: batch 2's decisions (probed against batch 1 only)
     must cut strictly FEWER tokens than the unbounded anchored twin
     (whose reference is batches 0+1) cuts on the same crawl docs —
@@ -1438,10 +1439,13 @@ def test_substring_ttl_loop_evicts(spark, tmp_path):
     for i, b in enumerate(batches):
         crawl(b, i)
     names = set(os.listdir(run_dir))
-    # only the final batch's index survives (ttl=1)
+    # the final batch AND one replay-horizon batch survive (ttl=1
+    # keeps ttl+1 indexes so a checkpoint replay of the last batch
+    # can still probe); everything older is gone
     assert "anch_b2" in names and "spcl_b2" in names
-    for old in ("anch_b0", "spcl_b0", "anch_b1", "spcl_b1"):
-        assert old not in names, old
+    assert "anch_b1" in names and "spcl_b1" in names
+    for gone in ("anch_b0", "spcl_b0"):
+        assert gone not in names, gone
     ttl_dec = (
         spark.read.parquet(os.path.join(run_dir, "dec_v2"))
         .orderBy("doc_id")
@@ -1504,11 +1508,13 @@ def test_substring_ttl_restart(spark, tmp_path):
 
     assert run_once() == 2  # batches 0 and 1
     assert os.path.exists(os.path.join(run_dir, "anch_b1"))
-    assert not os.path.exists(os.path.join(run_dir, "anch_b0"))
+    # b0 stays within the replay horizon after batch 1 (ttl+1 kept)
+    assert os.path.exists(os.path.join(run_dir, "anch_b0"))
     shutil.move(held, last)
     assert run_once() == 1  # restarted query: exactly batch 2
     names = set(os.listdir(run_dir))
-    assert "anch_b2" in names and "anch_b1" not in names
+    assert "anch_b2" in names and "anch_b1" in names
+    assert "anch_b0" not in names
     got = (
         spark.read.parquet(os.path.join(run_dir, "dec_v2"))
         .orderBy("doc_id")
@@ -1528,4 +1534,58 @@ def test_substring_ttl_restart(spark, tmp_path):
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["n_tokens_cut"]) == list(want["n_tokens_cut"])
     assert list(got["rewritten_md5"]) == list(want["rewritten_md5"])
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+def test_substring_ttl_replay_safe(spark, tmp_path):
+    """Round-16 code-review regression: a checkpoint REPLAY of the
+    batch that just ran (crash between foreachBatch returning and the
+    checkpoint commit) must still find its probe window on disk. The
+    old eviction horizon deleted batch N-1's index while processing
+    batch N, so the replayed batch N crashed with PATH_NOT_FOUND;
+    the fixed horizon keeps ttl+1 indexes, and the replay must
+    reproduce identical decisions (idempotent overwrite)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.session import (
+        apply_runtime_confs,
+    )
+
+    apply_runtime_confs(spark)
+    feed = sq._docs_multi_batch_stream_dir(
+        spark, SF_DIR, sq._SXC_TTL_SPLITS, columns=("doc_id", "text")
+    )
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir)
+    batches = [
+        spark.createDataFrame(
+            pq.read_table(os.path.join(feed, f"{i}_part.parquet"))
+            .to_pandas()
+        )
+        for i in range(3)
+    ]
+    crawl, _n = sq.make_substring_ttl_loop(spark, run_dir, ttl=1)
+    for i, b in enumerate(batches):
+        crawl(b, i)
+    first = (
+        spark.read.parquet(os.path.join(run_dir, "dec_v2"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # simulate the crash window: replay batch 2 with a FRESH closure
+    crawl2, _n2 = sq.make_substring_ttl_loop(spark, run_dir, ttl=1)
+    crawl2(batches[2], 2)  # must not raise PATH_NOT_FOUND
+    second = (
+        spark.read.parquet(os.path.join(run_dir, "dec_v2"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        first.reset_index(drop=True), second.reset_index(drop=True)
+    )
+    import shutil
+
     shutil.rmtree(feed, ignore_errors=True)
