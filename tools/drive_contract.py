@@ -46,6 +46,9 @@ sample = [
     "q_multimodal_audio_vad",
     "src_netcdf4_scan",
     "snk_netcdf4_write",
+    # round 16: one codec key (JPEG path) + one ANN accounting key
+    "q_multimodal_jpeg_decode",
+    "q_sim_ivfpq_recall",
 ]
 con = oracle.connect(SF)
 for key in sample:
