@@ -40,6 +40,8 @@ def encode_avi_mjpeg(
     fr = np.asarray(frames)
     if fr.ndim != 4 or fr.shape[3] != 3 or fr.dtype != np.uint8:
         raise ValueError("encode_avi_mjpeg expects (n, h, w, 3) uint8")
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError(f"fps {fps} outside 1..1000000")
     n, h, w, _ = fr.shape
     payloads = [
         encode_jpeg(fr[i], quality=quality, subsampling="420")
@@ -95,8 +97,13 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, int]:
     usec = None
     frames: list[np.ndarray] = []
 
-    def walk(pos: int, end: int):
+    def walk(pos: int, end: int, depth: int = 0):
         nonlocal dims, n_declared, usec
+        if depth > 16:
+            # legal AVIs nest ~3 LISTs deep; a crafted payload of
+            # nested LIST shells otherwise escapes as RecursionError
+            # (round-16 review)
+            raise ValueError("AVI LIST nesting implausibly deep")
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -106,7 +113,7 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     f"AVI chunk {cid!r} at byte {pos} truncated"
                 )
             if cid == b"LIST":
-                walk(body + 4, body + size)
+                walk(body + 4, body + size, depth + 1)
             elif cid == b"avih":
                 if size < 56:
                     raise ValueError("AVI main header truncated")

@@ -203,7 +203,16 @@ def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> list:
             pred = sum(
                 c * samples[-1 - j] for j, c in enumerate(coefs)
             )
-            samples.append(pred + r)
+            val = pred + r
+            if not -(1 << 40) < val < (1 << 40):
+                # a crafted stream (valid CRCs, extreme coefficients)
+                # can grow predictions geometrically; unbounded they
+                # escape as OverflowError at the int64 conversion
+                # instead of the named refusal (round-16 review)
+                raise ValueError(
+                    "FLAC decoded sample magnitude implausible"
+                )
+            samples.append(val)
     elif stype >= 32:  # LPC order 1-32
         order = (stype & 0x1F) + 1
         samples = [bits.sread(bps) for _ in range(order)]
@@ -218,7 +227,12 @@ def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> list:
         resid = _read_residual(bits, blocksize, order)
         for r in resid:
             acc = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-            samples.append((acc >> shift) + r)
+            val = (acc >> shift) + r
+            if not -(1 << 40) < val < (1 << 40):
+                raise ValueError(
+                    "FLAC decoded sample magnitude implausible"
+                )
+            samples.append(val)
     else:
         raise ValueError(f"FLAC subframe type {stype} reserved")
     if wasted:
@@ -464,6 +478,10 @@ def encode_flac(
     if not 1 <= sample_rate < (1 << 20):
         raise ValueError(
             f"FLAC sample rate {sample_rate} outside the 20-bit range"
+        )
+    if not 16 <= block <= 65535:
+        raise ValueError(
+            f"FLAC block size {block} outside 16..65535"
         )
     # frame-header rate coding: 16-bit Hz (code 13) when it fits,
     # 16-bit daHz (code 14) for the high rates (96 kHz etc.)

@@ -54,13 +54,16 @@ def _read_ifd(payload: bytes, off: int, bo: str) -> dict[int, list]:
             (src,) = struct.unpack_from(bo + "I", payload, base + 8)
             if src + total > len(payload):
                 raise ValueError(f"TIFF tag {tag} data past payload")
-        if typ in (3,):
+        fmts = {3: "H", 8: "h", 4: "I", 9: "i", 11: "f"}
+        if typ in fmts:
+            # each wire type decodes with ITS OWN format — unpacking
+            # SLONG/FLOAT as unsigned LONG yields silently wrong
+            # values (round-16 review); FLOAT values then refuse at
+            # the integer-tag accessor rather than mis-parse
             vals = list(
-                struct.unpack_from(bo + f"{count}H", payload, src)
-            )
-        elif typ in (4, 9, 11):
-            vals = list(
-                struct.unpack_from(bo + f"{count}I", payload, src)
+                struct.unpack_from(
+                    bo + f"{count}{fmts[typ]}", payload, src
+                )
             )
         elif typ in (1, 2, 6, 7):
             vals = list(payload[src : src + count])
@@ -169,6 +172,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         bo = ">"
     else:
         raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
     tags = _read_ifd(payload, ifd_off, bo)
 
@@ -193,6 +198,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if w == 0 or h == 0 or w * h > _MAX_PIXELS:
         raise ValueError(f"TIFF dimensions implausible: {w}x{h}")
     spp = one(277, 1)
+    if not 1 <= spp <= 4:
+        # an unbounded samples-per-pixel would multiply into the
+        # expected strip size BELOW the w*h pixel guard and let a
+        # crafted PackBits/LZW strip decompress gigabytes
+        # (round-16 review)
+        raise NotImplementedError(
+            f"{spp} samples per pixel unsupported (1..4 only)"
+        )
     bps = tags.get(258, [8])
     if any(b != 8 for b in bps):
         raise NotImplementedError(
@@ -308,14 +321,27 @@ def encode_tiff(
         raise ValueError("encode_tiff expects 3 or 4 channels")
     if compression not in ("none", "packbits"):
         raise ValueError(f"compression {compression!r} unsupported")
+    if rows_per_strip < 1:
+        raise ValueError(
+            f"rows_per_strip {rows_per_strip} must be >= 1"
+        )
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
     flat = arr.reshape(h, w * spp)
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        block = flat[r0 : r0 + rows_per_strip].tobytes()
+        rows = flat[r0 : r0 + rows_per_strip]
         if compression == "packbits":
-            block = _packbits(block)
+            # TIFF 6.0: each ROW must be PackBits-compressed
+            # separately — runs must not cross row boundaries
+            # (round-16 review; the in-repo decoder tolerated it but
+            # strict readers mis-frame rows)
+            block = b"".join(
+                _packbits(rows[r].tobytes())
+                for r in range(rows.shape[0])
+            )
+        else:
+            block = rows.tobytes()
         strips.append(block)
     n_strips = len(strips)
     photo = 1 if spp == 1 else 2

