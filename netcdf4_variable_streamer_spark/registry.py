@@ -53,77 +53,26 @@ REGISTRY: dict[str, QuerySpec] = {}
 # small remainder to carry one extra round (r10 left 10 r05 keys for
 # r11). That is the policy working, not a rotation bug.
 #
-# Round-16 rotation (VERDICT r15 "Next round" #1): at rotation time
-# all 329 keys had a driver row, all green at latest check — no
+# Round-17 rotation (VERDICT r16 "Next round" #1): at rotation time
+# all 343 keys had a driver row, all green at latest check — no
 # failures, none never-checked. The order is green keys
-# stalest-proof-first: new round-16 keys are inserted at the very top
-# as they land (unchecked keys outrank stale-green ones), then the 29
-# keys whose latest evidence is r09 (q_report_nation_profit …
-# src_netcdf3_cdf5_scan), then the oldest r10 block fills the
-# remaining window slots; the remainder follows in latest-check order
-# (r10, r11, r12, r13, r14, r15).
+# stalest-proof-first: new round-17 keys are inserted at the very top
+# as they land (unchecked keys outrank stale-green ones), then the 43
+# keys whose latest evidence is r10 (the oldest block), then the
+# oldest r11 keys fill the remaining window slots; the remainder
+# follows in latest-check order (r11, r12, r13, r14, r15, r16).
+# Window arithmetic: 43 + 7 = 50, so this round caps NEW keys at 7 —
+# any more would push r10-stale keys out of the window and leave
+# evidence older than r11, violating the r16 prescription.
 # ---------------------------------------------------------------------------
 
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-16 additions (never driver-checked) enter the window
-    #    first --
-    "q_multimodal_jpeg_decode",
-    "q_sim_ivfpq_recall",
-    "q_stream_dedup_substring_anchored",
-    "q_sim_pq_train_codebook",
-    "q_sim_pq_trained_recall",
-    "q_multimodal_jpeg_progressive",
-    "q_sim_ivf_nprobe_sweep",
-    "q_multimodal_decode_dispatch",
-    "q_multimodal_audio_flac",
-    "q_multimodal_tiff_decode",
-    "q_multimodal_video_mjpeg",
-    "q_stream_dedup_substring_ttl",
-    "q_multimodal_audio_dispatch",
-    "q_multimodal_phash_cross_container",
-    # -- last driver check: r9 --
-    "q_report_nation_profit",
-    "q_geo_heatmap_grid",
-    "q_funnel_conversion",
-    "q_time_resample_ffill",
-    "q_outlier_mad",
-    "q_unpivot_melt",
-    "q_sessionize_gap",
-    "q_validate_constraints",
-    "q_table_diff",
-    "q_agg_incremental_merge",
-    "q_report_top_returns",
-    "q_report_market_share",
-    "q_join_point_in_time",
-    "q_rollup_time_hierarchy",
-    "q_join_bloom_pruned",
-    "q_cdc_apply",
-    "q_graph_bfs_reach",
-    "q_ab_experiment",
-    "q_agg_filtered",
-    "q_drift_report",
-    "q_event_transitions",
-    "q_funnel_attribution",
-    "q_interval_merge",
-    "q_join_interval_overlap",
-    "q_join_salted_skew",
-    "src_netcdf4_scan",
-    "snk_netcdf4_write",
-    "src_netcdf4_stream_tail",
-    "src_netcdf3_cdf5_scan",
     # -- last driver check: r10 --
-    "src_netcdf3_cf_scan",
-    "q_dedup_containment",
-    "q_dedup_image_phash",
-    "q_emb_int8_quantize",
-    "q_text_bigram_logprob",
-    "q_dedup_lines",
-    "q_curriculum_order",
     "q_multimodal_audio_vad",
     "q_sample_temperature",
     "snk_netcdf3_write",
@@ -422,6 +371,57 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_png_decode",
     "q_report_volume_shipping",
     "q_report_promo_share",
+    # -- last driver check: r16 --
+    "q_multimodal_jpeg_decode",
+    "q_sim_ivfpq_recall",
+    "q_stream_dedup_substring_anchored",
+    "q_sim_pq_train_codebook",
+    "q_sim_pq_trained_recall",
+    "q_multimodal_jpeg_progressive",
+    "q_sim_ivf_nprobe_sweep",
+    "q_multimodal_decode_dispatch",
+    "q_multimodal_audio_flac",
+    "q_multimodal_tiff_decode",
+    "q_multimodal_video_mjpeg",
+    "q_stream_dedup_substring_ttl",
+    "q_multimodal_audio_dispatch",
+    "q_multimodal_phash_cross_container",
+    "q_report_nation_profit",
+    "q_geo_heatmap_grid",
+    "q_funnel_conversion",
+    "q_time_resample_ffill",
+    "q_outlier_mad",
+    "q_unpivot_melt",
+    "q_sessionize_gap",
+    "q_validate_constraints",
+    "q_table_diff",
+    "q_agg_incremental_merge",
+    "q_report_top_returns",
+    "q_report_market_share",
+    "q_join_point_in_time",
+    "q_rollup_time_hierarchy",
+    "q_join_bloom_pruned",
+    "q_cdc_apply",
+    "q_graph_bfs_reach",
+    "q_ab_experiment",
+    "q_agg_filtered",
+    "q_drift_report",
+    "q_event_transitions",
+    "q_funnel_attribution",
+    "q_interval_merge",
+    "q_join_interval_overlap",
+    "q_join_salted_skew",
+    "src_netcdf4_scan",
+    "snk_netcdf4_write",
+    "src_netcdf4_stream_tail",
+    "src_netcdf3_cdf5_scan",
+    "src_netcdf3_cf_scan",
+    "q_dedup_containment",
+    "q_dedup_image_phash",
+    "q_emb_int8_quantize",
+    "q_text_bigram_logprob",
+    "q_dedup_lines",
+    "q_curriculum_order",
 ]
 
 
