@@ -72,6 +72,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 WINDOW_ROUND = 17
 
 CANONICAL_ORDER: list[str] = [
+    # -- round-17 additions (never driver-checked) enter the window
+    #    first --
+    "q_sim_ivfpq_trained_recall",
+    "q_sim_ivf_train_coarse",
     # -- last driver check: r10 --
     "q_multimodal_audio_vad",
     "q_sample_temperature",

@@ -597,6 +597,25 @@ def test_round16_sim_keys_broadcast_no_python(spark):
         ), (key, plan)
 
 
+def test_round17_trained_ivfpq_broadcast_no_python(spark):
+    # the trained IVF-PQ chain keeps the family posture: centroid
+    # tables, residual codebooks, probe tables, LUTs and spines all
+    # travel as broadcasts; Lloyd rounds are map-side expansions +
+    # keyed aggregations; no Python row path, no CartesianProduct
+    for key in (
+        "q_sim_ivf_train_coarse",
+        "q_sim_ivfpq_trained_recall",
+    ):
+        df = build(spark, key)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, (key, plan)
+        plans.assert_no_cartesian(df)
+        assert (
+            "BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), (key, plan)
+
+
 def test_round10_source_keys_prune_partitions(spark):
     """The round-10 source layouts (userblock, fletcher stack, union
     schema) must keep the Python-DataSource pushdown posture: a

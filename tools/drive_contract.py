@@ -49,6 +49,9 @@ sample = [
     # round 16: one codec key (JPEG path) + one ANN accounting key
     "q_multimodal_jpeg_decode",
     "q_sim_ivfpq_recall",
+    # round 17: the trained IVF-PQ chain
+    "q_sim_ivf_train_coarse",
+    "q_sim_ivfpq_trained_recall",
 ]
 con = oracle.connect(SF)
 for key in sample:
