@@ -1596,16 +1596,19 @@ def _civf_update(asg: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
-def _civf_chain(spark: SparkSession, sf_dir: str):
+def _civf_chain(
+    spark: SparkSession, sf_dir: str, nlist: int = _CIVF_NLIST
+):
     """(fxe, trained coarse centroids, assignment, probe_rank): the
     trained twin of :func:`_ivf_coarse_chain` — same outputs, but the
     centroid table comes out of ``_CIVF_ITERS`` full-vector Lloyd
-    rounds (init = first ``_CIVF_NLIST`` vectors) instead of the raw
-    first-4-vectors fixture."""
+    rounds (init = first ``nlist`` vectors) instead of the raw
+    first-4-vectors fixture. ``nlist`` parameterizes the consumer:
+    8 for the trained IVF-PQ chain, 16 for SemDeDup clustering."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _fx64(F.col("embedding")).alias("fxv")
     )
-    ccb = e.filter(F.col("vec_id") < _CIVF_NLIST).select(
+    ccb = e.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cl"), F.col("fxv").alias("cfx")
     )
     for _ in range(_CIVF_ITERS):
@@ -1630,29 +1633,23 @@ def _civf_chain(spark: SparkSession, sf_dir: str):
     return e, ccb, assign, probe_rank
 
 
-def _civf_sql_ctes() -> str:
-    """DuckDB mirror of the trained IVF-PQ chain up to serving inputs:
-    coarse Lloyd rounds unrolled (``ccb0``→``ccbN``), final assignment
-    ``ca``, integer residuals ``res``, residual-PQ Lloyd rounds
-    (``rcb0``→``rcbN``), final codes ``tcodes``, and the probe table
-    ``probes``."""
+def _sql_d2full(a: str, b: str) -> str:
+    ai = f"{a}[CAST(i AS INTEGER)]"
+    bi = f"{b}[CAST(i AS INTEGER)]"
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 64),"
+        f" i -> ({ai} - {bi}) * ({ai} - {bi}))) AS BIGINT)"
+    )
+
+
+def _coarse_sql_ctes(nlist: int) -> tuple[list[str], str]:
+    """(CTE parts, final centroid-CTE name): the coarse-training
+    prefix of the trained-chain oracle — ``fxe``, init ``ccb0``,
+    ``_CIVF_ITERS`` unrolled (assign, update) pairs, and the final
+    assignment ``ca``. Shared by the IVF-PQ oracle (nlist=8) and the
+    trained-SemDeDup oracle (nlist=16)."""
     FX = _PQ_FX
-
-    def d2full(a: str, b: str) -> str:
-        ai = f"{a}[CAST(i AS INTEGER)]"
-        bi = f"{b}[CAST(i AS INTEGER)]"
-        return (
-            f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 64),"
-            f" i -> ({ai} - {bi}) * ({ai} - {bi}))) AS BIGINT)"
-        )
-
-    def d2sub(r: str, c: str) -> str:
-        ri = f"{r}[CAST(b.s * 8 + i AS INTEGER)]"
-        ci = f"{c}[CAST(i AS INTEGER)]"
-        return (
-            f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8),"
-            f" i -> ({ri} - {ci}) * ({ri} - {ci}))) AS BIGINT)"
-        )
+    d2full = _sql_d2full
 
     def cassign(name: str, cb: str) -> str:
         return f"""{name}_d AS (
@@ -1677,6 +1674,42 @@ def _civf_sql_ctes() -> str:
   SELECT cl, LIST(v ORDER BY j) AS cfx FROM {name}_u GROUP BY cl
 )"""
 
+    parts = [
+        f"""fxe AS (
+  SELECT vec_id, LIST_TRANSFORM(generate_series(1, 64), i ->
+    CAST(FLOOR(CAST(embeddings.embedding[CAST(i AS INTEGER)]
+               AS DOUBLE) * {FX}) AS BIGINT)) AS fxv
+  FROM embeddings
+),
+ccb0 AS (
+  SELECT vec_id AS cl, fxv AS cfx FROM fxe
+  WHERE vec_id < {nlist}
+)"""
+    ]
+    ccb = "ccb0"
+    for it in range(1, _CIVF_ITERS + 1):
+        parts.append(cassign(f"casg{it}", ccb))
+        ccb = f"ccb{it}"
+        parts.append(cupdate(ccb, f"casg{it}"))
+    parts.append(cassign("ca", ccb))
+    return parts, ccb
+
+
+def _civf_sql_ctes() -> tuple[str, str, str]:
+    """DuckDB mirror of the trained IVF-PQ chain up to serving inputs:
+    the coarse prefix of :func:`_coarse_sql_ctes`, integer residuals
+    ``res``, residual-PQ Lloyd rounds (``rcb0``→``rcbN``), final codes
+    ``tcodes``, and the probe table ``probes``."""
+    d2full = _sql_d2full
+
+    def d2sub(r: str, c: str) -> str:
+        ri = f"{r}[CAST(b.s * 8 + i AS INTEGER)]"
+        ci = f"{c}[CAST(i AS INTEGER)]"
+        return (
+            f"CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8),"
+            f" i -> ({ri} - {ci}) * ({ri} - {ci}))) AS BIGINT)"
+        )
+
     def rassign(name: str, cb: str) -> str:
         return f"""{name}_d AS (
   SELECT r.vec_id, b.s, b.c, {d2sub('r.rfx', 'b.cfx')} AS d2
@@ -1700,24 +1733,7 @@ def _civf_sql_ctes() -> str:
   SELECT s, c, LIST(v ORDER BY j) AS cfx FROM {name}_u GROUP BY s, c
 )"""
 
-    parts = [
-        f"""fxe AS (
-  SELECT vec_id, LIST_TRANSFORM(generate_series(1, 64), i ->
-    CAST(FLOOR(CAST(embeddings.embedding[CAST(i AS INTEGER)]
-               AS DOUBLE) * {FX}) AS BIGINT)) AS fxv
-  FROM embeddings
-),
-ccb0 AS (
-  SELECT vec_id AS cl, fxv AS cfx FROM fxe
-  WHERE vec_id < {_CIVF_NLIST}
-)"""
-    ]
-    ccb = "ccb0"
-    for it in range(1, _CIVF_ITERS + 1):
-        parts.append(cassign(f"casg{it}", ccb))
-        ccb = f"ccb{it}"
-        parts.append(cupdate(ccb, f"casg{it}"))
-    parts.append(cassign("ca", ccb))
+    parts, ccb = _coarse_sql_ctes(_CIVF_NLIST)
     parts.append(
         f"""res AS (
   SELECT f.vec_id, a.cl,

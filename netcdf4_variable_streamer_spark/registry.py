@@ -75,6 +75,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-17 additions (never driver-checked) enter the window
     #    first --
     "q_sim_ivfpq_trained_recall",
+    "q_dedup_semantic_trained",
     "q_sim_ivf_train_coarse",
     # -- last driver check: r10 --
     "q_multimodal_audio_vad",

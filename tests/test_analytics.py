@@ -121,6 +121,7 @@ NEW_KEYS = [
     "q_multimodal_phash_cross_container",
     # round 17
     "q_sim_ivf_train_coarse", "q_sim_ivfpq_trained_recall",
+    "q_dedup_semantic_trained",
 ]
 
 
@@ -735,6 +736,39 @@ def test_trained_ivfpq_chain_lifts_recall(spark):
     assert len(cb) <= 8  # Lloyd may drop empty clusters
     assert cb["n_members"].sum() == n_vec
     assert (cb["n_members"] <= n_vec).all()
+
+
+def test_trained_semdedup_lifts_recall_at_lower_pair_volume(spark):
+    """Round-17 SemDeDup training pin (VERDICT r16 #5): replacing the
+    16 arbitrary seed centroids with trained k-means centroids must
+    buy measurable structure — on the sf0.01 fixture the trained
+    twin recovers MORE true duplicates (68 vs 61 of the 201 the
+    exact all-pairs ground truth finds at tau=0.35) at NO MORE
+    quadratic within-cluster pair volume (Σ|cluster|² 15,976 vs
+    16,062). Clusters still partition the corpus."""
+    t = (
+        REGISTRY["q_dedup_semantic_trained"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+    )
+    u = (
+        REGISTRY["q_dedup_semantic"].builder(spark, SF_DIR).toPandas()
+    )
+    n_vec = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    )
+    assert len(t) == len(u) == n_vec
+
+    def pair_volume(df):
+        sizes = df.groupby("cluster_id").size()
+        return int((sizes * sizes).sum())
+
+    assert t["is_dup"].sum() > u["is_dup"].sum()
+    assert pair_volume(t) <= pair_volume(u)
+    # canonical ids are cluster-internal: every canonical is a vec
+    # of the same cluster, and non-dups are their own canonical
+    keep = t[t.is_dup == 0]
+    assert (keep["canonical_id"] == keep["vec_id"]).all()
 
 
 def test_phash_cross_container_clusters_mix_formats(spark):

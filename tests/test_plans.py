@@ -278,6 +278,17 @@ def test_semantic_dedup_broadcast_assign_no_cartesian(spark):
     plans.assert_no_cartesian(df)
 
 
+def test_semantic_dedup_trained_keeps_posture(spark):
+    # the trained twin keeps the family posture: Lloyd rounds are
+    # broadcast-driven map-side passes, the pair stage stays an
+    # equi-join on cluster_id — no Python row path, no cartesian
+    df = build(spark, "q_dedup_semantic_trained")
+    plans.assert_broadcast_joins(df, at_least=1)
+    plans.assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_pipeline_pretrain_no_single_partition_exchange(spark):
     # the composed pipeline inherits the packing stage's posture: the
     # global cumsum must not collapse into a one-partition window
