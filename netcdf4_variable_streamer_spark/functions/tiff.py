@@ -163,6 +163,337 @@ def _tiff_lzw(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (ITU-T T.6) two-dimensional MMR coding — the dominant
+# compression in real scanned-document archives (round 17, VERDICT r16
+# #3). Pure stdlib/NumPy from the public T.4/T.6 recommendations: the
+# 2-D mode codes (pass/horizontal/vertical), the T.4 modified-Huffman
+# run-length tables horizontal mode borrows (white + black terminating
+# and make-up codes, shared extended make-ups to 2560), and both
+# directions. No EOL codes exist in T.6; extension/uncompressed mode
+# refuses by name.
+# ---------------------------------------------------------------------------
+
+# T.4 §2.4.1/§2.4.2 run-length code tables as (run, 'bits') — decode
+# dicts key on (code_width, code_value), encode uses them directly.
+_T4_WHITE = [
+    (0, "00110101"), (1, "000111"), (2, "0111"), (3, "1000"),
+    (4, "1011"), (5, "1100"), (6, "1110"), (7, "1111"),
+    (8, "10011"), (9, "10100"), (10, "00111"), (11, "01000"),
+    (12, "001000"), (13, "000011"), (14, "110100"), (15, "110101"),
+    (16, "101010"), (17, "101011"), (18, "0100111"), (19, "0001100"),
+    (20, "0001000"), (21, "0010111"), (22, "0000011"),
+    (23, "0000100"), (24, "0101000"), (25, "0101011"),
+    (26, "0010011"), (27, "0100100"), (28, "0011000"),
+    (29, "00000010"), (30, "00000011"), (31, "00011010"),
+    (32, "00011011"), (33, "00010010"), (34, "00010011"),
+    (35, "00010100"), (36, "00010101"), (37, "00010110"),
+    (38, "00010111"), (39, "00101000"), (40, "00101001"),
+    (41, "00101010"), (42, "00101011"), (43, "00101100"),
+    (44, "00101101"), (45, "00000100"), (46, "00000101"),
+    (47, "00001010"), (48, "00001011"), (49, "01010010"),
+    (50, "01010011"), (51, "01010100"), (52, "01010101"),
+    (53, "00100100"), (54, "00100101"), (55, "01011000"),
+    (56, "01011001"), (57, "01011010"), (58, "01011011"),
+    (59, "01001010"), (60, "01001011"), (61, "00110010"),
+    (62, "00110011"), (63, "00110100"),
+    # make-up codes
+    (64, "11011"), (128, "10010"), (192, "010111"),
+    (256, "0110111"), (320, "00110110"), (384, "00110111"),
+    (448, "01100100"), (512, "01100101"), (576, "01101000"),
+    (640, "01100111"), (704, "011001100"), (768, "011001101"),
+    (832, "011010010"), (896, "011010011"), (960, "011010100"),
+    (1024, "011010101"), (1088, "011010110"), (1152, "011010111"),
+    (1216, "011011000"), (1280, "011011001"), (1344, "011011010"),
+    (1408, "011011011"), (1472, "010011000"), (1536, "010011001"),
+    (1600, "010011010"), (1664, "011000"), (1728, "010011011"),
+]
+
+_T4_BLACK = [
+    (0, "0000110111"), (1, "010"), (2, "11"), (3, "10"),
+    (4, "011"), (5, "0011"), (6, "0010"), (7, "00011"),
+    (8, "000101"), (9, "000100"), (10, "0000100"),
+    (11, "0000101"), (12, "0000111"), (13, "00000100"),
+    (14, "00000111"), (15, "000011000"), (16, "0000010111"),
+    (17, "0000011000"), (18, "0000001000"), (19, "00001100111"),
+    (20, "00001101000"), (21, "00001101100"), (22, "00000110111"),
+    (23, "00000101000"), (24, "00000010111"), (25, "00000011000"),
+    (26, "000011001010"), (27, "000011001011"), (28, "000011001100"),
+    (29, "000011001101"), (30, "000001101000"), (31, "000001101001"),
+    (32, "000001101010"), (33, "000001101011"), (34, "000011010010"),
+    (35, "000011010011"), (36, "000011010100"), (37, "000011010101"),
+    (38, "000011010110"), (39, "000011010111"), (40, "000001101100"),
+    (41, "000001101101"), (42, "000011011010"), (43, "000011011011"),
+    (44, "000001010100"), (45, "000001010101"), (46, "000001010110"),
+    (47, "000001010111"), (48, "000001100100"), (49, "000001100101"),
+    (50, "000001010010"), (51, "000001010011"), (52, "000000100100"),
+    (53, "000000110111"), (54, "000000111000"), (55, "000000100111"),
+    (56, "000000101000"), (57, "000001011000"), (58, "000001011001"),
+    (59, "000000101011"), (60, "000000101100"), (61, "000001011010"),
+    (62, "000001100110"), (63, "000001100111"),
+    # make-up codes
+    (64, "0000001111"), (128, "000011001000"), (192, "000011001001"),
+    (256, "000001011011"), (320, "000000110011"),
+    (384, "000000110100"), (448, "000000110101"),
+    (512, "0000001101100"), (576, "0000001101101"),
+    (640, "0000001001010"), (704, "0000001001011"),
+    (768, "0000001001100"), (832, "0000001001101"),
+    (896, "0000001110010"), (960, "0000001110011"),
+    (1024, "0000001110100"), (1088, "0000001110101"),
+    (1152, "0000001110110"), (1216, "0000001110111"),
+    (1280, "0000001010010"), (1344, "0000001010011"),
+    (1408, "0000001010100"), (1472, "0000001010101"),
+    (1536, "0000001011010"), (1600, "0000001011011"),
+    (1664, "0000001100100"), (1728, "0000001100101"),
+]
+
+# T.4 §2.4.3 extended make-up codes, shared by both colours
+_T4_EXT = [
+    (1792, "00000001000"), (1856, "00000001100"),
+    (1920, "00000001101"), (1984, "000000010010"),
+    (2048, "000000010011"), (2112, "000000010100"),
+    (2176, "000000010101"), (2240, "000000010110"),
+    (2304, "000000010111"), (2368, "000000011100"),
+    (2432, "000000011101"), (2496, "000000011110"),
+    (2560, "000000011111"),
+]
+
+
+def _mh_decode_table(pairs):
+    return {
+        (len(bits), int(bits, 2)): run for run, bits in pairs
+    }
+
+
+_MH_DEC = (
+    _mh_decode_table(_T4_WHITE + _T4_EXT),  # colour 0 = white
+    _mh_decode_table(_T4_BLACK + _T4_EXT),  # colour 1 = black
+)
+_MH_ENC = (
+    {run: bits for run, bits in _T4_WHITE + _T4_EXT},
+    {run: bits for run, bits in _T4_BLACK + _T4_EXT},
+)
+_MH_MAX_WIDTH = 14
+
+
+class _BitReader:
+    """MSB-first bit reader over one G4-coded strip."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("CCITT G4 stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+
+def _mh_run(rd: _BitReader, colour: int, w: int) -> int:
+    """One T.4 run length for ``colour``: zero or more make-up codes
+    (2560s chain for runs past the table) then a terminating code."""
+    table = _MH_DEC[colour]
+    total = 0
+    while True:
+        val = 0
+        n = 0
+        while True:
+            val = (val << 1) | rd.bit()
+            n += 1
+            run = table.get((n, val))
+            if run is not None:
+                break
+            if n > _MH_MAX_WIDTH:
+                raise ValueError(
+                    f"CCITT G4 invalid run code for colour {colour}"
+                )
+        total += run
+        if total > w:
+            raise ValueError(
+                f"CCITT G4 run {total} exceeds row width {w}"
+            )
+        if run < 64:  # terminating code ends the run
+            return total
+
+
+def _ccitt_g4_decode(data: bytes, w: int, nrows: int) -> np.ndarray:
+    """One G4-coded strip → (nrows, w) uint8 bit array (1 = black).
+    Reference line starts imaginary all-white; no EOL codes exist in
+    T.6 (EOFB after the last row is not required and not read)."""
+    from bisect import bisect_right
+
+    if w <= 0 or nrows <= 0:
+        raise ValueError("CCITT G4 strip with empty dimensions")
+    rd = _BitReader(data)
+    out = np.zeros((nrows, w), np.uint8)
+    ref: list[int] = [w, w]
+    for y in range(nrows):
+        cur: list[int] = []
+        a0 = -1
+        colour = 0
+        while a0 < w:
+            # b1: first changing element of ref right of a0 whose
+            # parity matches the current colour (transitions
+            # alternate white->black at even indexes)
+            i = bisect_right(ref, a0)
+            if (i & 1) != colour:
+                i += 1
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            # mode code
+            if rd.bit():  # 1 -> V0
+                a1 = b1
+            else:
+                if rd.bit():  # 01x
+                    a1 = b1 + 1 if rd.bit() else b1 - 1
+                elif rd.bit():  # 001 -> horizontal
+                    base = a0 if a0 > 0 else 0
+                    r1 = _mh_run(rd, colour, w)
+                    r2 = _mh_run(rd, colour ^ 1, w)
+                    a1 = base + r1
+                    a2 = a1 + r2
+                    if a2 > w or a1 > w:
+                        raise ValueError(
+                            "CCITT G4 horizontal runs overflow row"
+                        )
+                    cur += [a1, a2]
+                    a0 = a2
+                    continue
+                elif rd.bit():  # 0001 -> pass
+                    a0 = b2
+                    continue
+                elif rd.bit():  # 00001x
+                    a1 = b1 + 2 if rd.bit() else b1 - 2
+                elif rd.bit():  # 000001x
+                    a1 = b1 + 3 if rd.bit() else b1 - 3
+                elif rd.bit():  # 0000001 -> extension
+                    raise NotImplementedError(
+                        "CCITT G4 extension/uncompressed mode "
+                        "unsupported"
+                    )
+                else:
+                    raise ValueError(
+                        "CCITT G4 invalid mode code (EOL/EOFB "
+                        "inside a strip)"
+                    )
+            if a1 < 0 or a1 > w or (cur and a1 < cur[-1]):
+                raise ValueError(
+                    f"CCITT G4 transition {a1} out of order"
+                )
+            cur.append(a1)
+            a0 = a1
+            colour ^= 1
+        # render: transitions alternate white->black
+        for k in range(0, len(cur), 2):
+            x0 = cur[k]
+            x1 = cur[k + 1] if k + 1 < len(cur) else w
+            out[y, x0:x1] = 1
+        ref = (cur if cur else []) + [w, w]
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, bits: str):
+        for b in bits:
+            self.acc = (self.acc << 1) | (b == "1")
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _mh_emit(wr: _BitWriter, run: int, colour: int):
+    enc = _MH_ENC[colour]
+    while run >= 64:
+        mk = min(run - run % 64, 2560)
+        if run - mk > 63:
+            mk = 2560
+        wr.write(enc[mk])
+        run -= mk
+    wr.write(enc[run])
+
+
+def _transitions(row: np.ndarray) -> list[int]:
+    """Changing-element positions of one 0/1 row (a leading black
+    pixel is a change at 0; transitions then alternate colours)."""
+    t = [0] if row[0] else []
+    t += [
+        int(x) + 1
+        for x in np.flatnonzero(np.diff(row.astype(np.int8)))
+    ]
+    return t
+
+
+def _ccitt_g4_encode(bits: np.ndarray) -> bytes:
+    """(h, w) 0/1 array (1 = black) → one G4-coded strip (no EOFB —
+    optional per T.6 and not emitted, matching the decoder)."""
+    h, w = bits.shape
+    from bisect import bisect_right
+
+    wr = _BitWriter()
+    ref: list[int] = [w, w]
+    for y in range(h):
+        cur = _transitions(bits[y]) + [w, w]
+        a0 = -1
+        colour = 0
+        ci = 0  # index of next transition of cur at/after a0
+        while a0 < w:
+            i = bisect_right(ref, a0)
+            if (i & 1) != colour:
+                i += 1
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            j = bisect_right(cur, a0)
+            if (j & 1) != colour:
+                j += 1
+            a1 = cur[j] if j < len(cur) else w
+            if b2 < a1:
+                wr.write("0001")  # pass
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                wr.write(
+                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                     -1: "010", -2: "000010", -3: "0000010"}[d]
+                )
+                a0 = a1
+                colour ^= 1
+            else:
+                a2 = cur[j + 1] if j + 1 < len(cur) else w
+                base = a0 if a0 > 0 else 0
+                wr.write("001")
+                _mh_emit(wr, a1 - base, colour)
+                _mh_emit(wr, a2 - a1, colour ^ 1)
+                a0 = a2
+        ref = cur
+    return wr.done()
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF bytes → (h, w) uint8 gray or (h, w, C) uint8
     RGB/RGBA (first IFD only)."""
@@ -206,8 +537,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"{spp} samples per pixel unsupported (1..4 only)"
         )
+    comp0 = one(259, 1)
     bps = tags.get(258, [8])
-    if any(b != 8 for b in bps):
+    if comp0 == 4:
+        if any(b != 1 for b in bps):
+            raise NotImplementedError(
+                f"{bps}-bit CCITT G4 TIFF unsupported (bilevel only)"
+            )
+    elif any(b != 8 for b in bps):
         raise NotImplementedError(
             f"{bps}-bit TIFF unsupported (8-bit samples only)"
         )
@@ -226,9 +563,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"RGB TIFF with {spp} samples per pixel invalid"
         )
-    comp = one(259, 1)
+    comp = comp0
     predictor = one(317, 1)
-    if predictor not in (1, 2):
+    if predictor not in (1, 2) or (comp == 4 and predictor != 1):
         raise NotImplementedError(
             f"TIFF predictor {predictor} unsupported"
         )
@@ -243,6 +580,40 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     ):
         raise ValueError("TIFF strip offsets/byte-counts invalid")
     rps = one(278, h)
+    if comp == 4:
+        # CCITT Group 4 (T.6) — bilevel scanned-document archives.
+        if spp != 1:
+            raise NotImplementedError(
+                f"CCITT G4 with {spp} samples per pixel unsupported"
+            )
+        if photo not in (0, 1):
+            raise ValueError(
+                f"CCITT G4 photometric {photo} invalid (bilevel only)"
+            )
+        if one(266, 1) != 1:
+            raise NotImplementedError(
+                "TIFF FillOrder 2 (LSB-first) unsupported"
+            )
+        t6opts = one(293, 0)
+        if t6opts & ~2:
+            raise ValueError(f"TIFF T6Options {t6opts} invalid")
+        rows_g4 = []
+        rows_left = h
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            if soff + scnt > len(payload):
+                raise ValueError(f"TIFF strip {si} past the payload")
+            nrows = min(rps, rows_left)
+            rows_left -= nrows
+            rows_g4.append(
+                _ccitt_g4_decode(
+                    payload[soff : soff + scnt], w, nrows
+                )
+            )
+        bits = np.concatenate(rows_g4, axis=0)
+        # white runs decode as 0 regardless of photometric sign
+        # (the T.6 coding is defined on white/black directly); the
+        # gray expansion below therefore needs no photo-0 inversion
+        return ((1 - bits) * 255).astype(np.uint8)
     raw = bytearray()
     rows_left = h
     for si, (soff, scnt) in enumerate(zip(offsets, counts)):
@@ -266,7 +637,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         else:
             raise NotImplementedError(
                 f"TIFF compression {comp} unsupported "
-                "(none/LZW/PackBits only)"
+                "(none/CCITT-G4/LZW/PackBits only)"
             )
         raw += strip
     img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
@@ -314,13 +685,17 @@ def encode_tiff(
     arr: np.ndarray, compression: str = "none", rows_per_strip: int = 16
 ) -> bytes:
     """(h, w) | (h, w, 3|4) uint8 → little-endian baseline TIFF
-    (chunky strips; ``compression`` in {'none', 'packbits'})."""
+    (chunky strips; ``compression`` in {'none', 'packbits', 'g4'} —
+    'g4' is CCITT Group 4 for bilevel (h, w) input where pixel < 128
+    codes black, emitted as BitsPerSample=1 / WhiteIsZero)."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_tiff expects (h, w[, 3|4]) uint8")
     if arr.ndim == 3 and arr.shape[2] not in (3, 4):
         raise ValueError("encode_tiff expects 3 or 4 channels")
-    if compression not in ("none", "packbits"):
+    if compression not in ("none", "packbits", "g4"):
         raise ValueError(f"compression {compression!r} unsupported")
+    if compression == "g4" and arr.ndim != 2:
+        raise ValueError("G4 TIFF is bilevel: (h, w) input only")
     if rows_per_strip < 1:
         raise ValueError(
             f"rows_per_strip {rows_per_strip} must be >= 1"
@@ -340,12 +715,18 @@ def encode_tiff(
                 _packbits(rows[r].tobytes())
                 for r in range(rows.shape[0])
             )
+        elif compression == "g4":
+            block = _ccitt_g4_encode(
+                (rows < 128).astype(np.uint8)
+            )
         else:
             block = rows.tobytes()
         strips.append(block)
     n_strips = len(strips)
-    photo = 1 if spp == 1 else 2
-    comp = 1 if compression == "none" else 32773
+    photo = (
+        0 if compression == "g4" else 1 if spp == 1 else 2
+    )
+    comp = {"none": 1, "packbits": 32773, "g4": 4}[compression]
     entries = []  # (tag, type, count, packed-value-or-None, data)
 
     def short(tag, *vals):
@@ -362,7 +743,7 @@ def encode_tiff(
 
     dim(256, w)
     dim(257, h)
-    short(258, *([8] * spp))
+    short(258, *([1 if compression == "g4" else 8] * spp))
     short(259, comp)
     short(262, photo)
     long_(273, None)  # strip offsets — resolved in the layout pass

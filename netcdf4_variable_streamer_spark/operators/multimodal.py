@@ -1210,6 +1210,104 @@ def q_multimodal_tiff_decode(
 
 
 @register(
+    "q_multimodal_tiff_g4",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         CASE WHEN (d.doc_id * 13 + yy.y * 7 + xx.x * 3) % 11 < 4
+              THEN 1 ELSE 0 END AS b
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 17)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 25)) AS x) xx
+)
+SELECT doc_id,
+       CAST(26 AS INTEGER) AS width,
+       CAST(18 AS INTEGER) AS height,
+       CAST(SUM(b) AS BIGINT) AS n_black,
+       CAST(SUM((1 - b) * 255) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="CCITT Group 4 TIFF decode (round 17, VERDICT r16 #3) — the "
+        "compression real scanned-document archives actually ship "
+        "(ITU-T T.6 two-dimensional MMR), pure stdlib/NumPy from the "
+        "public T.4/T.6 code tables (functions/tiff.py: "
+        "pass/horizontal/vertical modes, white+black terminating and "
+        "make-up run codes with the shared extended make-ups, both "
+        "directions; extension/uncompressed mode, LSB-first "
+        "FillOrder and invalid T6Options refuse by name). G4 is "
+        "lossless, so a closed-form 18x26 bilevel 'text page' per "
+        "document round-trips through encode (multi-strip: 4 "
+        "independently-coded G4 blocks of 5 rows) → binary column → "
+        "decode EXACTLY, reducing to black-pixel count + gray "
+        "checksum the oracle regenerates in SQL. Two hand-built "
+        "differential streams (horizontal-mode MH codes; V0/VR1/PASS "
+        "modes) are pinned bit-exactly in pytest, plus a 500-case "
+        "mutation sweep. Scale shape identical to the other codec "
+        "keys: one Arrow-batched mapInPandas per side, zero "
+        "shuffles, per-row codec CPU riding scan parallelism.",
+)
+def q_multimodal_tiff_g4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    H, W = 18, 26
+    ys, xs = np.indices((H, W))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                bits = (
+                    (int(d) * 13 + ys * 7 + xs * 3) % 11 < 4
+                ).astype(np.uint8)
+                gray = ((1 - bits) * 255).astype(np.uint8)
+                payloads.append(
+                    encode_tiff(
+                        gray, compression="g4", rows_per_strip=5
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_tiff(bytes(payload))
+                h, w = img.shape
+                rows.append(
+                    (
+                        d, w, h,
+                        int((img == 0).sum()),
+                        int(img.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_black",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_black int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
     "q_multimodal_audio_flac",
     oracle="""
 WITH sm AS (

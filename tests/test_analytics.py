@@ -121,7 +121,7 @@ NEW_KEYS = [
     "q_multimodal_phash_cross_container",
     # round 17
     "q_sim_ivf_train_coarse", "q_sim_ivfpq_trained_recall",
-    "q_dedup_semantic_trained",
+    "q_dedup_semantic_trained", "q_multimodal_tiff_g4",
 ]
 
 
