@@ -1209,6 +1209,151 @@ def q_multimodal_tiff_decode(
     )
 
 
+def _adpcm_oracle() -> str:
+    """The IMA ADPCM decode recursion mirrored as a DuckDB recursive
+    CTE — the format is integer-exact end to end, so the ORACLE runs
+    the actual sequential decoder (step table joined per iteration,
+    shift arithmetic as floor division, int16 clamp) over the same
+    closed-form nibble stream the Spark side packs into real WAV
+    containers. No fixture compromise, unlike the perceptual codecs."""
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        _IMA_STEPS,
+    )
+
+    steps = ", ".join(
+        f"({i}, {int(v)})" for i, v in enumerate(_IMA_STEPS)
+    )
+    nib = "((r.doc_id * 3 + r.t * 5) % 16)"
+    diff = (
+        f"(s.step // 8"
+        f" + CASE WHEN {nib} % 8 >= 4 THEN s.step ELSE 0 END"
+        f" + CASE WHEN {nib} % 4 >= 2 THEN s.step // 2 ELSE 0 END"
+        f" + CASE WHEN {nib} % 2 = 1 THEN s.step // 4 ELSE 0 END)"
+    )
+    return f"""
+WITH RECURSIVE steps(i, step) AS (VALUES {steps}),
+rec(doc_id, t, pred, idx) AS (
+  SELECT doc_id, 0,
+         CAST((doc_id * 97) % 2001 - 1000 AS BIGINT),
+         CAST(doc_id % 89 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT r.doc_id, r.t + 1,
+         GREATEST(-32768, LEAST(32767,
+           r.pred
+           + CASE WHEN {nib} >= 8 THEN -{diff} ELSE {diff} END)),
+         GREATEST(0, LEAST(88,
+           r.idx + CASE {nib} % 8
+                     WHEN 4 THEN 2 WHEN 5 THEN 4
+                     WHEN 6 THEN 6 WHEN 7 THEN 8
+                     ELSE -1 END))
+  FROM rec r JOIN steps s ON s.i = r.idx
+  WHERE r.t < 64
+)
+SELECT doc_id,
+       CAST(65 AS BIGINT) AS n_samples,
+       CAST(8000 + (doc_id % 3) * 1000 AS INTEGER) AS sample_rate,
+       CAST(SUM(pred) AS BIGINT) AS sample_checksum
+FROM rec
+GROUP BY doc_id
+"""
+
+
+@register(
+    "q_multimodal_audio_adpcm",
+    oracle=_adpcm_oracle(),
+    doc="IMA/DVI ADPCM WAV decode (round 17) — real compressed audio "
+        "at 4:1 (WAV format tag 0x11: telephony archives, game "
+        "assets, older web audio), pure integer arithmetic from the "
+        "public IMA algorithm (functions/multimodal.py: 89-entry "
+        "step table, nibble→diff shifts, int16 clamp, per-block "
+        "header predictor + step index, low-nibble-first packing, "
+        "cbSize=2 samplesPerBlock fmt layout). Because the decoder "
+        "is integer-exact, the DuckDB oracle runs the ACTUAL decode "
+        "recursion as a recursive CTE over the same closed-form "
+        "nibble stream — the strongest oracle a compressed audio "
+        "format admits here (the perceptual codecs MP3/MP2 stay "
+        "loud refusals: their synthesis window table can't be "
+        "transcribed reliably in-sandbox). Per doc: one 36-byte "
+        "block, 64 nibbles + header sample, rate varying by doc; "
+        "the WAV routes through the same RIFF walker as "
+        "PCM16/G.711, so the audio dispatch picks it up by fmt tag "
+        "with zero new plumbing. Encoder direction (search-free "
+        "quantizer tracking decoder state) is pinned in pytest by "
+        "SNR + hand-derived blocks + mutation sweep. Scale: "
+        "zero-shuffle mapInPandas both sides, per-row integer CPU.",
+)
+def q_multimodal_audio_adpcm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pred = (d * 97) % 2001 - 1000
+                idx = d % 89
+                nibs = [(d * 3 + t * 5) % 16 for t in range(64)]
+                body = struct.pack("<hBB", pred, idx, 0) + bytes(
+                    nibs[i] | (nibs[i + 1] << 4)
+                    for i in range(0, 64, 2)
+                )
+                rate = 8000 + (d % 3) * 1000
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 52 + len(body))
+                    + b"WAVE"
+                )
+                hdr += b"fmt " + struct.pack(
+                    "<IHHIIHHHH",
+                    20, 0x11, 1, rate,
+                    (rate * 36 + 64) // 65, 36, 4, 2, 65,
+                )
+                hdr += b"fact" + struct.pack("<II", 4, 65)
+                hdr += b"data" + struct.pack("<I", len(body))
+                payloads.append(hdr + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav_pcm16(bytes(payload))
+                rows.append(
+                    (
+                        d,
+                        int(len(samples)),
+                        int(rate),
+                        int(samples.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sample_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, n_samples long, sample_rate int, "
+        "sample_checksum long",
+    )
+
+
 @register(
     "q_multimodal_tiff_g4",
     oracle="""

@@ -77,6 +77,7 @@ CANONICAL_ORDER: list[str] = [
     "q_sim_ivfpq_trained_recall",
     "q_dedup_semantic_trained",
     "q_multimodal_tiff_g4",
+    "q_multimodal_audio_adpcm",
     "q_sim_ivf_train_coarse",
     # -- last driver check: r10 --
     "q_multimodal_audio_vad",

@@ -1234,6 +1234,115 @@ def test_gif_decodes_foreign_compressed_lzw(tmp_path):
         assert (got[0, 0, :, 0] == want).all(), pattern
 
 
+def test_ima_adpcm_codec_hand_derived_and_roundtrip():
+    """IMA ADPCM (round 17, functions/multimodal.py — public IMA
+    algorithm, WAV fmt tag 0x11): (a) a HAND-DERIVED block pinned
+    against the spec arithmetic (pred=100, idx=0/step=7: nibble 3 →
+    +4, nibble 8 → −0, nibble 15 → −11 with idx → 8); (b) state
+    clamps (int16 saturation, idx 0..88); (c) container round-trip
+    through the RIFF walker and the decode_audio_any dispatch with
+    reconstruction SNR > 30 dB on a smooth signal (the codec is
+    lossy — exactness is per the decode recursion, which the
+    registry key's recursive-CTE oracle pins end to end);
+    (d) multi-block streams incl. a final short block via the fact
+    chunk; (e) first sample of every block is bit-exact (header
+    predictor)."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    blk = (
+        np.int16(100).tobytes()
+        + bytes([0, 0])
+        + bytes([3 | (8 << 4), 15])
+    )
+    assert mm.ima_adpcm_decode_block(blk, 4).tolist() == [
+        100, 104, 104, 93,
+    ]
+    p, i = mm._ima_step(32760, 88, 7)
+    assert p == 32767 and i == 88
+    p, _ = mm._ima_step(-32760, 88, 15)
+    assert p == -32768
+    assert mm._ima_step(0, 0, 0)[1] == 0  # idx floor
+
+    t = np.arange(5000)
+    sig = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(
+        np.int16
+    )
+    wav = mm.encode_wav_ima_adpcm(sig, 16000)
+    dec, rate = mm.decode_audio_any(wav)
+    assert rate == 16000 and len(dec) == len(sig)
+    err = dec.astype(np.float64) - sig.astype(np.float64)
+    snr = 10 * np.log10(
+        (sig.astype(np.float64) ** 2).mean() / (err**2).mean()
+    )
+    assert snr > 30, snr
+    blocks, spb = mm.ima_adpcm_encode(sig)
+    assert len(blocks) > 1 and len(sig) % spb != 0  # short tail
+    for b in range(0, len(sig), spb):
+        assert dec[b] == sig[b], b  # block header samples exact
+
+
+def test_ima_adpcm_refusals_and_mutation_sweep():
+    """ADPCM refusal envelope: step index > 88, nonzero reserved
+    byte, samplesPerBlock past block capacity, stereo/8-bit claims,
+    missing samplesPerBlock, truncated data; 400-case mutation sweep
+    surfaces only ValueError / NotImplementedError."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    with _pytest.raises(ValueError, match="step index"):
+        mm.ima_adpcm_decode_block(
+            np.int16(0).tobytes() + bytes([89, 0, 0x00]), 2
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        mm.ima_adpcm_decode_block(
+            np.int16(0).tobytes() + bytes([0, 7, 0x00]), 2
+        )
+    with _pytest.raises(ValueError, match="nibbles"):
+        mm.ima_adpcm_decode_block(
+            np.int16(0).tobytes() + bytes([0, 0]), 5
+        )
+    rng = np.random.RandomState(4)
+    sig = rng.randint(-2000, 2000, 600).astype(np.int16)
+    good = mm.encode_wav_ima_adpcm(sig, 8000, block_nibbles=100)
+    assert (
+        len(mm.decode_wav_pcm16(good)[0]) == 600
+    )
+    # stereo claim refuses
+    bad = bytearray(good)
+    i = bad.index(b"fmt ") + 8
+    _struct.pack_into("<HH", bad, i, 0x11, 2)
+    with _pytest.raises(NotImplementedError, match="mono"):
+        mm.decode_wav_pcm16(bytes(bad))
+    # fmt chunk too short for samplesPerBlock
+    bad = bytearray(good)
+    _struct.pack_into("<I", bad, bad.index(b"fmt ") + 4, 16)
+    with _pytest.raises((ValueError, NotImplementedError)):
+        mm.decode_wav_pcm16(bytes(bad))
+    for _ in range(400):
+        b2 = bytearray(good)
+        pos = rng.randint(0, len(b2) * 8)
+        b2[pos // 8] ^= 1 << (pos % 8)
+        try:
+            mm.decode_wav_pcm16(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in (0, 11, 40, len(good) // 2, len(good) - 1):
+        try:
+            mm.decode_wav_pcm16(bytes(good[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_g711_codec_properties():
     """G.711 mu-law/A-law (round 15): value-level idempotency over
     ALL 256 codewords of both laws (decode∘encode∘decode == decode —
