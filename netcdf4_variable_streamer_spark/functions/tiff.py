@@ -389,6 +389,14 @@ def _ccitt_g4_decode(data: bytes, w: int, nrows: int) -> np.ndarray:
                 raise ValueError(
                     f"CCITT G4 transition {a1} out of order"
                 )
+            if len(cur) > w:
+                # a legitimate row has at most w changing elements
+                # (plus one terminal a1 == w); a crafted stream
+                # repeating zero-advance vertical codes could
+                # otherwise grow this list to 8x the input size
+                raise ValueError(
+                    f"CCITT G4 row carries more than {w} transitions"
+                )
             cur.append(a1)
             a0 = a1
             colour ^= 1

@@ -4533,3 +4533,347 @@ def test_round16_codec_review_round2_regressions():
     avi = b"RIFF" + _struct.pack("<I", len(nest) + 4) + b"AVI " + nest
     with pytest.raises(ValueError, match="nesting"):
         decode_avi_mjpeg(avi)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz round 10 (round 17, VERDICT r16 #4): the round-16 codecs under
+# the attacks the verdict prescribed — TIFF EARLY-CHANGE width bumps
+# at table-full boundaries, FLAC mid-frame corruption against the CRC
+# envelope, AVI movi/idx1 truncation, progressive-JPEG scan-script
+# violations, and cross-format dispatch confusion.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress_tiff(data: bytes) -> bytes:
+    """Test-local TIFF-variant LZW compressor (independent of the
+    decoder: MSB-first, Clear=256/EOI=257, EARLY-CHANGE bumps when
+    the just-added code hits 511/1023/2047)."""
+    bits = []
+    width = 9
+
+    def emit(code, w):
+        bits.extend((code >> (w - 1 - i)) & 1 for i in range(w))
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code <= 4093:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+
+
+def test_fuzz10_tiff_lzw_width_bumps_and_boundary_truncation():
+    """EARLY-CHANGE width bumps at the table-full boundaries: streams
+    engineered so the dictionary ends exactly AT / one-before / one
+    after each bump (511, 1023, 2047) and one crossing the 4094-entry
+    freeze must round-trip byte-exactly through the in-repo decoder;
+    every PREFIX truncation of a bump-crossing stream must raise —
+    never hang, never return short data silently."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _tiff_lzw,
+    )
+
+    rng = np.random.RandomState(10)
+    # incompressible bytes add ~1 dictionary entry per input byte:
+    # size sweeps land the final code count around each boundary
+    for target in (250, 251, 252, 253, 254, 255, 764, 765, 766,
+                   1788, 1789, 1790):
+        data = bytes(rng.randint(0, 256, target).astype(np.uint8))
+        blob = _lzw_compress_tiff(data)
+        assert _tiff_lzw(blob, len(data)) == data, target
+    # cross the 4094 freeze: ~4.5k of incompressible data
+    data = bytes(rng.randint(0, 256, 4600).astype(np.uint8))
+    blob = _lzw_compress_tiff(data)
+    assert _tiff_lzw(blob, len(data)) == data
+    for cut in range(0, len(blob), 37):
+        with pytest.raises((ValueError, NotImplementedError)):
+            _tiff_lzw(blob[:cut], len(data))
+
+
+def test_fuzz10_flac_mid_frame_corruption_never_silent():
+    """Every single-bit flip inside the FRAME region of a FLAC stream
+    (past the metadata blocks) must surface as a controlled error —
+    the CRC-8 (header) / CRC-16 (frame) envelope means no corrupted
+    frame may ever decode to silently-wrong samples."""
+    import struct as _struct
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(12)
+    sig = (
+        rng.randint(-3000, 3000, (700, 2)).cumsum(axis=0) % 8000
+    ).astype(np.int16)
+    blob = encode_flac(sig, 16000, block=256)
+    assert (decode_flac(blob)[0] == sig).all()
+    # locate the first frame: walk metadata blocks from offset 4
+    pos = 4
+    while True:
+        hdr = blob[pos]
+        (size,) = _struct.unpack(">I", b"\0" + blob[pos + 1 : pos + 4])
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    frames_at = pos
+    for bitpos in range(0, (len(blob) - frames_at) * 8, 11):
+        b2 = bytearray(blob)
+        b2[frames_at + bitpos // 8] ^= 1 << (bitpos % 8)
+        try:
+            out, _ = decode_flac(bytes(b2))
+        except (ValueError, NotImplementedError):
+            continue
+        raise AssertionError(
+            f"bit flip at frame offset {bitpos} decoded silently"
+        )
+
+
+def test_fuzz10_avi_movi_idx1_truncation_and_size_lies():
+    """AVI container truncation at every boundary around the movi and
+    idx1 lists, plus size-field lies (declared chunk sizes past the
+    payload, a frame count the movi list cannot satisfy): controlled
+    errors only."""
+    import struct as _struct
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(13)
+    v = rng.randint(0, 256, (3, 2, 2)).astype(np.uint8)
+    frames = np.stack(
+        [
+            np.stack([v[i].repeat(8, 0).repeat(8, 1)] * 3, axis=2)
+            for i in range(3)
+        ]
+    )
+    blob = encode_avi_mjpeg(frames, fps=12)
+    out, fps = decode_avi_mjpeg(blob)
+    assert fps == 12 and (out == frames).all()
+    movi = blob.index(b"movi")
+    idx1 = blob.index(b"idx1")
+    cuts = sorted(
+        {
+            movi - 8, movi - 1, movi, movi + 3, movi + 12,
+            idx1 - 8, idx1 - 1, idx1, idx1 + 4, idx1 + 9,
+            len(blob) - 1,
+        }
+    )
+    for cut in cuts:
+        try:
+            decode_avi_mjpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    # size lies: inflate each LIST/chunk size dword found at the
+    # first 40 chunk headers
+    pos = 12
+    edits = 0
+    while pos + 8 <= len(blob) and edits < 40:
+        b2 = bytearray(blob)
+        _struct.pack_into("<I", b2, pos + 4, 0x7FFFFFF0)
+        try:
+            decode_avi_mjpeg(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
+        (sz,) = _struct.unpack_from("<I", blob, pos + 4)
+        cid = blob[pos : pos + 4]
+        pos += 8 + (4 if cid == b"LIST" else sz + (sz & 1))
+        edits += 1
+
+
+def test_fuzz10_progressive_jpeg_scan_script_violations():
+    """Progressive scan-script violations injected into a REAL SOF2
+    stream's SOS headers: Ss>Se, Se>63, a DC scan claiming a spectral
+    band, refinement jumps (Ah-Al != 1), and a full sweep of the
+    three scan-script bytes on every scan — each mutation must either
+    refuse (ValueError / NotImplementedError) or still decode to the
+    original image SHAPE; no crash, no hang, no mis-shaped output."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(14)
+    img = rng.randint(0, 256, (24, 16, 3)).astype(np.uint8)
+    blob = encode_jpeg(img, quality=80, progressive=True)
+    base = decode_jpeg(blob)
+    assert base.shape == img.shape
+
+    # SOS positions: marker FF DA, then L(2) ns(1) 2*ns comp bytes,
+    # then Ss, Se, AhAl
+    sos_at = []
+    i = 2
+    while i + 4 < len(blob):
+        if blob[i] == 0xFF and blob[i + 1] == 0xDA:
+            ns = blob[i + 4]
+            sos_at.append(i + 5 + 2 * ns)  # offset of Ss
+        i += 1
+    assert len(sos_at) >= 4  # the 4-phase script
+    for off in sos_at:
+        for ss, se, ahal in (
+            (5, 2, 0x00),   # Ss > Se
+            (1, 64, 0x10),  # Se past the block
+            (0, 63, 0x00),  # DC+AC mixed claim on every scan
+            (1, 63, 0x31),  # refinement jump Ah=3 -> Al=1
+            (0, 0, 0x75),   # absurd approximation bits
+        ):
+            b2 = bytearray(blob)
+            b2[off], b2[off + 1], b2[off + 2] = ss, se, ahal
+            try:
+                out = decode_jpeg(bytes(b2))
+                assert out.shape == img.shape
+            except (ValueError, NotImplementedError):
+                pass
+        for byte_off in range(3):
+            for val in range(0, 256, 17):
+                b2 = bytearray(blob)
+                b2[off + byte_off] = val
+                try:
+                    out = decode_jpeg(bytes(b2))
+                    assert out.shape == img.shape
+                except (ValueError, NotImplementedError):
+                    pass
+
+
+def test_fuzz10_dispatch_confusion_chimeras():
+    """Payloads whose MAGIC claims format A but whose body is format
+    B must fail controlled (or legitimately decode the inner body
+    when the container genuinely carries it) — never hang, never
+    raise an uncontrolled type. Covers the image dispatch, the audio
+    dispatch, and RIFF-family confusion (WAV vs AVI)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from netcdf4_variable_streamer_spark.functions.flac import (
+        encode_flac,
+    )
+    from netcdf4_variable_streamer_spark.functions.jpeg import (
+        encode_jpeg,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(15)
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    sig = rng.randint(-500, 500, 200).astype(np.int16)
+    bodies = {
+        "jpeg": encode_jpeg(img),
+        "tiff": encode_tiff(img),
+        "png": mm.encode_png(img),
+        "gif": mm.encode_gif(img),
+        "flac": encode_flac(sig, 8000, block=64),
+        "wav": mm.encode_wav_pcm16(sig, 8000),
+        "avi": encode_avi_mjpeg(
+            np.zeros((1, 8, 8, 3), np.uint8), fps=10
+        ),
+    }
+    magics = {
+        "jpeg": b"\xff\xd8\xff",
+        "tiff": b"II*\x00",
+        "png": b"\x89PNG\r\n\x1a\n",
+        "gif": b"GIF89a",
+        "flac": b"fLaC",
+    }
+    for mname, magic in magics.items():
+        for bname, body in bodies.items():
+            if bname == mname:
+                continue
+            chimera = magic + body
+            try:
+                mm.decode_any(chimera)
+            except (ValueError, NotImplementedError):
+                pass
+            try:
+                mm.decode_audio_any(chimera)
+            except (ValueError, NotImplementedError):
+                pass
+    # RIFF-family confusion: WAVE header, AVI list body (and reverse)
+    wav_avi = (
+        b"RIFF"
+        + _struct.pack("<I", len(bodies["avi"]) - 8 + 4)
+        + b"WAVE"
+        + bodies["avi"][12:]
+    )
+    try:
+        mm.decode_audio_any(wav_avi)
+    except (ValueError, NotImplementedError):
+        pass
+    avi_wav = (
+        b"RIFF"
+        + _struct.pack("<I", len(bodies["wav"]) - 8 + 4)
+        + b"AVI "
+        + bodies["wav"][12:]
+    )
+    try:
+        decode_avi_mjpeg(avi_wav)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_fuzz10_g4_transition_list_bounded():
+    """Fuzz round 10's find: a crafted G4 stream repeating
+    zero-advance vertical codes could grow a row's transition list to
+    8x the INPUT size (memory amplification) before the row ever
+    finished — legitimate rows carry at most w transitions (+ one
+    terminal a1 == w), and the decoder now enforces exactly that
+    bound while still decoding every fully-alternating row (the
+    worst legitimate case, both phases, widths 1..64)."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _ccitt_g4_decode,
+        _ccitt_g4_encode,
+    )
+
+    for w in (1, 2, 3, 6, 7, 64):
+        for phase in (0, 1):
+            bits = (
+                ((np.arange(w) + phase) % 2)
+                .astype(np.uint8)[None, :]
+                .repeat(3, 0)
+            )
+            enc = _ccitt_g4_encode(bits)
+            assert (_ccitt_g4_decode(enc, w, 3) == bits).all()
+    # adversarial: alternating VR1/VL1 mode codes on a huge row must
+    # die on a bound, not allocate 8x the stream in transitions
+    stream = bytes(int("011010" * 4, 2).to_bytes(3, "big")) * 2000
+    with pytest.raises(ValueError):
+        _ccitt_g4_decode(stream, 1 << 20, 1)
