@@ -502,6 +502,94 @@ def _ccitt_g4_encode(bits: np.ndarray) -> bytes:
     return wr.done()
 
 
+def _decode_tiled(
+    payload: bytes, tags, one, w, h, spp, comp, predictor, photo
+) -> np.ndarray:
+    """Tiled-layout decode (TIFF 6.0 §15, round 17): a ceil(w/tw) x
+    ceil(h/tl) grid of INDEPENDENTLY-compressed tiles (each padded to
+    full tile size at the image edges), reassembled and cropped.
+    Tiles compress exactly like strips (none/LZW/PackBits/CCITT G4);
+    the horizontal predictor applies WITHIN each tile's rows — a
+    tile, not an image row, is the compression unit."""
+    tw = one(322)
+    tl = one(323)
+    if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+        raise ValueError(
+            f"TIFF tile dimensions {tw}x{tl} must be positive "
+            "multiples of 16"
+        )
+    if 273 in tags or 278 in tags or 279 in tags:
+        raise ValueError(
+            "TIFF carries both strip and tile layout tags"
+        )
+    ta = -(-w // tw)
+    td = -(-h // tl)
+    if (ta * tw) * (td * tl) > 2 * _MAX_PIXELS:
+        # edge padding can only double a legal image; a crafted tile
+        # grid must not allocate past that
+        raise ValueError(
+            f"TIFF tile grid {ta}x{td} of {tw}x{tl} implausible"
+        )
+    offsets = tags.get(324)
+    counts = tags.get(325)
+    if (
+        not offsets
+        or not counts
+        or len(offsets) != len(counts)
+        or not all(isinstance(v, int) for v in offsets)
+        or not all(isinstance(v, int) for v in counts)
+    ):
+        raise ValueError("TIFF tile offsets/byte-counts invalid")
+    if len(offsets) != ta * td:
+        raise ValueError(
+            f"TIFF tile count {len(offsets)} != grid {ta}x{td}"
+        )
+    if comp == 4:
+        canvas = np.zeros((td * tl, ta * tw), np.uint8)
+    else:
+        canvas = np.zeros((td * tl, ta * tw, spp), np.uint8)
+    expect = tl * tw * spp
+    for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
+        if toff + tcnt > len(payload):
+            raise ValueError(f"TIFF tile {ti} past the payload")
+        blob = payload[toff : toff + tcnt]
+        y0 = (ti // ta) * tl
+        x0 = (ti % ta) * tw
+        if comp == 4:
+            canvas[y0 : y0 + tl, x0 : x0 + tw] = _ccitt_g4_decode(
+                blob, tw, tl
+            )
+            continue
+        if comp == 1:
+            if len(blob) < expect:
+                raise ValueError(
+                    f"TIFF tile {ti} carries {len(blob)} of "
+                    f"{expect} bytes"
+                )
+            raw = bytes(blob[:expect])
+        elif comp == 5:
+            raw = _tiff_lzw(blob, expect)
+        elif comp == 32773:
+            raw = _unpackbits(blob, expect)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} unsupported "
+                "(none/CCITT-G4/LZW/PackBits only)"
+            )
+        tile = np.frombuffer(raw, np.uint8).reshape(tl, tw, spp)
+        if predictor == 2:
+            tile = np.cumsum(tile.astype(np.int64), axis=1).astype(
+                np.uint8
+            )
+        canvas[y0 : y0 + tl, x0 : x0 + tw] = tile
+    if comp == 4:
+        return ((1 - canvas[:h, :w]) * 255).astype(np.uint8)
+    img = canvas[:h, :w]
+    if photo == 0:
+        img = 255 - img
+    return img[:, :, 0] if spp == 1 else img
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF bytes → (h, w) uint8 gray or (h, w, C) uint8
     RGB/RGBA (first IFD only)."""
@@ -528,10 +616,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             )
         return v[0]
 
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError(
-            "tiled TIFF unsupported (strip layout only)"
-        )
+    tiled = 322 in tags or 323 in tags
     w = one(256)
     h = one(257)
     if w == 0 or h == 0 or w * h > _MAX_PIXELS:
@@ -577,17 +662,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF predictor {predictor} unsupported"
         )
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if (
-        not offsets
-        or not counts
-        or len(offsets) != len(counts)
-        or not all(isinstance(v, int) for v in offsets)
-        or not all(isinstance(v, int) for v in counts)
-    ):
-        raise ValueError("TIFF strip offsets/byte-counts invalid")
-    rps = one(278, h)
     if comp == 4:
         # CCITT Group 4 (T.6) — bilevel scanned-document archives.
         if spp != 1:
@@ -605,6 +679,22 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         t6opts = one(293, 0)
         if t6opts & ~2:
             raise ValueError(f"TIFF T6Options {t6opts} invalid")
+    if tiled:
+        return _decode_tiled(
+            payload, tags, one, w, h, spp, comp, predictor, photo
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if (
+        not offsets
+        or not counts
+        or len(offsets) != len(counts)
+        or not all(isinstance(v, int) for v in offsets)
+        or not all(isinstance(v, int) for v in counts)
+    ):
+        raise ValueError("TIFF strip offsets/byte-counts invalid")
+    rps = one(278, h)
+    if comp == 4:
         rows_g4 = []
         rows_left = h
         for si, (soff, scnt) in enumerate(zip(offsets, counts)):
@@ -690,12 +780,18 @@ def _packbits(row: bytes) -> bytes:
 
 
 def encode_tiff(
-    arr: np.ndarray, compression: str = "none", rows_per_strip: int = 16
+    arr: np.ndarray,
+    compression: str = "none",
+    rows_per_strip: int = 16,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """(h, w) | (h, w, 3|4) uint8 → little-endian baseline TIFF
     (chunky strips; ``compression`` in {'none', 'packbits', 'g4'} —
     'g4' is CCITT Group 4 for bilevel (h, w) input where pixel < 128
-    codes black, emitted as BitsPerSample=1 / WhiteIsZero)."""
+    codes black, emitted as BitsPerSample=1 / WhiteIsZero).
+    ``tile=(tl, tw)`` (positive multiples of 16) switches to the
+    TIFF 6.0 §15 tiled layout: each tile zero-padded to full size at
+    the edges and compressed independently."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_tiff expects (h, w[, 3|4]) uint8")
     if arr.ndim == 3 and arr.shape[2] not in (3, 4):
@@ -710,26 +806,48 @@ def encode_tiff(
         )
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
-    flat = arr.reshape(h, w * spp)
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        rows = flat[r0 : r0 + rows_per_strip]
+
+    def pack(chunk):
         if compression == "packbits":
             # TIFF 6.0: each ROW must be PackBits-compressed
             # separately — runs must not cross row boundaries
             # (round-16 review; the in-repo decoder tolerated it but
             # strict readers mis-frame rows)
-            block = b"".join(
-                _packbits(rows[r].tobytes())
-                for r in range(rows.shape[0])
+            return b"".join(
+                _packbits(chunk[r].tobytes())
+                for r in range(chunk.shape[0])
             )
-        elif compression == "g4":
-            block = _ccitt_g4_encode(
-                (rows < 128).astype(np.uint8)
+        if compression == "g4":
+            return _ccitt_g4_encode((chunk < 128).astype(np.uint8))
+        return chunk.tobytes()
+
+    strips = []
+    if tile is not None:
+        tl, tw = tile
+        if tl <= 0 or tw <= 0 or tl % 16 or tw % 16:
+            raise ValueError(
+                f"tile dimensions {tw}x{tl} must be positive "
+                "multiples of 16"
             )
+        grid = np.zeros(
+            (-(-h // tl) * tl, -(-w // tw) * tw)
+            + (() if arr.ndim == 2 else (spp,)),
+            np.uint8,
+        )
+        if compression == "g4":
+            grid[:h, :w] = arr
+            grid[:h, w:] = 255  # pad white, not black
+            grid[h:, :] = 255
         else:
-            block = rows.tobytes()
-        strips.append(block)
+            grid[:h, :w] = arr
+        for y0 in range(0, grid.shape[0], tl):
+            for x0 in range(0, grid.shape[1], tw):
+                t = grid[y0 : y0 + tl, x0 : x0 + tw]
+                strips.append(pack(t.reshape(tl, tw * spp)))
+    else:
+        flat = arr.reshape(h, w * spp)
+        for r0 in range(0, h, rows_per_strip):
+            strips.append(pack(flat[r0 : r0 + rows_per_strip]))
     n_strips = len(strips)
     photo = (
         0 if compression == "g4" else 1 if spp == 1 else 2
@@ -754,10 +872,17 @@ def encode_tiff(
     short(258, *([1 if compression == "g4" else 8] * spp))
     short(259, comp)
     short(262, photo)
-    long_(273, None)  # strip offsets — resolved in the layout pass
-    short(277, spp)
-    dim(278, min(rows_per_strip, h))
-    long_(279, *[len(s) for s in strips])
+    if tile is not None:
+        short(277, spp)
+        dim(322, tile[1])
+        dim(323, tile[0])
+        long_(324, None)  # tile offsets — resolved in the layout pass
+        long_(325, *[len(s) for s in strips])
+    else:
+        long_(273, None)  # strip offsets — resolved in layout pass
+        short(277, spp)
+        dim(278, min(rows_per_strip, h))
+        long_(279, *[len(s) for s in strips])
     if spp == 4:
         short(338, 2)  # unassociated alpha
     entries.sort(key=lambda e: e[0])
@@ -766,8 +891,9 @@ def encode_tiff(
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * len(entries) + 4
     oline_off = {}
+    off_tag = 273 if tile is None else 324
     for tag, typ, count, vals, _ in entries:
-        count = n_strips if tag == 273 else count
+        count = n_strips if tag == off_tag else count
         size = _TYPE_SIZE[typ] * count
         if size > 4:
             oline_off[tag] = data_off
@@ -781,7 +907,7 @@ def encode_tiff(
     out += struct.pack("<H", len(entries))
     blobs = bytearray()
     for tag, typ, count, vals, _ in entries:
-        if tag == 273:
+        if tag == off_tag:
             vals, count = strip_offs, n_strips
         fmt = "H" if typ == 3 else "I"
         raw = struct.pack(f"<{count}{fmt}", *vals)

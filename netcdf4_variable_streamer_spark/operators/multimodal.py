@@ -1260,6 +1260,101 @@ GROUP BY doc_id
 
 
 @register(
+    "q_multimodal_tiff_tiled",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 31 + yy.y * 41 + xx.x * 43 + cc.c * 23) % 256
+           AS v
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 19)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 29)) AS x) xx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS c) cc
+)
+SELECT doc_id,
+       CAST(30 AS INTEGER) AS width,
+       CAST(20 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="TILED TIFF decode (round 17) — the OTHER layout real "
+        "scanned archives ship (TIFF 6.0 §15): a grid of "
+        "independently-compressed fixed-size tiles, zero-padded at "
+        "the image edges, each tile the compression unit (the "
+        "horizontal predictor resets per tile, not per image row). "
+        "Closes the last refusal a real TIFF corpus hits first "
+        "(functions/tiff.py: tiles for none/LZW/PackBits AND CCITT "
+        "G4, grid-vs-count validation, strip/tile tag-mix refusal, "
+        "grid-bomb allocation guard; both directions). Lossless: "
+        "closed-form 20x30 RGB pixels per document round-trip "
+        "through encode (PackBits, 16x16 tiles -> a real 2x2 grid "
+        "with edge cropping) -> binary column -> decode EXACTLY to "
+        "the checksum the oracle regenerates in SQL. An "
+        "independently-built big-endian tiled file pins grid "
+        "placement in pytest; 400-case mutation sweep. Scale shape: "
+        "one Arrow-batched mapInPandas per side, zero shuffles — "
+        "and at 100 TB the tiled layout is WHY a hyperslab read of "
+        "a scanned page region touches only its tiles' bytes.",
+)
+def q_multimodal_tiff_tiled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    H, W, C = 20, 30, 3
+    ys, xs, cs = np.indices((H, W, C))
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                encode_tiff(
+                    (
+                        (int(d) * 31 + ys * 41 + xs * 43 + cs * 23)
+                        % 256
+                    ).astype(np.uint8),
+                    compression="packbits",
+                    tile=(16, 16),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_tiff(bytes(payload))
+                h, w, c = img.shape
+                rows.append(
+                    (d, w, h, c, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_channels int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
     "q_multimodal_audio_adpcm",
     oracle=_adpcm_oracle(),
     doc="IMA/DVI ADPCM WAV decode (round 17) — real compressed audio "

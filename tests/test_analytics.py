@@ -122,7 +122,7 @@ NEW_KEYS = [
     # round 17
     "q_sim_ivf_train_coarse", "q_sim_ivfpq_trained_recall",
     "q_dedup_semantic_trained", "q_multimodal_tiff_g4",
-    "q_multimodal_audio_adpcm",
+    "q_multimodal_audio_adpcm", "q_multimodal_tiff_tiled",
 ]
 
 

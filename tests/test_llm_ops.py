@@ -2385,6 +2385,130 @@ def _mini_g4(bps=1, fillorder=1, t6options=0, predictor=1):
     return bytes(out)
 
 
+def test_tiff_tiled_layout_roundtrip_and_placement():
+    """Tiled TIFF (round 17 — TIFF 6.0 §15, the other layout real
+    scanned archives ship): (a) an INDEPENDENTLY-constructed
+    big-endian tiled file (test-local IFD writer, constant-valued
+    tiles) decodes with every tile in its grid position and edge
+    padding cropped; (b) round-trips for gray/RGB/RGBA x
+    none/PackBits/G4 across edge-padding shapes and non-square
+    tiles; (c) the per-tile horizontal predictor; (d) refusals:
+    non-multiple-of-16 dims, strip+tile tag mixes, count/grid
+    mismatches, grid bombs; (e) 400-case mutation sweep."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    # (a) hand-built: 20x30 gray, 16x16 tiles -> 2x2 grid, tile k
+    # filled with value 10*k; uncompressed, big-endian
+    def build(tile_vals, w=30, h=20, tw=16, tl=16, extra=()):
+        tiles = [bytes([v]) * (tw * tl) for v in tile_vals]
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+            (322, 3, 1, tw), (323, 3, 1, tl),
+            (324, 4, len(tiles), None),
+            (325, 4, len(tiles), [len(t) for t in tiles]),
+            *extra,
+        ]
+        entries.sort()
+        ifd = 8
+        # layout: IFD, then out-of-line arrays, then tiles
+        oline = ifd + 2 + 12 * len(entries) + 4
+        arrays = bytearray()
+        offs = {}
+        for tag, typ, cnt, val in entries:
+            if cnt > 1 or tag == 324:
+                offs[tag] = oline + len(arrays)
+                if tag == 324:
+                    arrays += b"\0\0\0\0" * cnt  # patched below
+                else:
+                    arrays += _struct.pack(f">{cnt}I", *val)
+        tile_base = oline + len(arrays)
+        toffs = []
+        o = tile_base
+        for t in tiles:
+            toffs.append(o)
+            o += len(t)
+        arrays[
+            offs[324] - oline : offs[324] - oline + 4 * len(tiles)
+        ] = _struct.pack(f">{len(tiles)}I", *toffs)
+        out = bytearray(b"MM\x00*" + _struct.pack(">I", ifd))
+        out += _struct.pack(">H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += _struct.pack(">HHI", tag, typ, cnt)
+            if cnt > 1 or tag == 324:
+                out += _struct.pack(">I", offs[tag])
+            elif typ == 3:
+                out += _struct.pack(">H", val) + b"\0\0"
+            else:
+                out += _struct.pack(">I", val)
+        out += _struct.pack(">I", 0)
+        out += arrays
+        for t in tiles:
+            out += t
+        return bytes(out)
+
+    img = decode_tiff(build([10, 20, 30, 40]))
+    assert img.shape == (20, 30)
+    assert img[0, 0] == 10 and img[0, 29] == 20
+    assert img[19, 0] == 30 and img[19, 29] == 40
+    assert (img[:16, :16] == 10).all() and (img[16:, 16:] == 40).all()
+
+    # (b) round-trips incl. G4 tiles and (c) predictor via packbits
+    rng = np.random.RandomState(22)
+    for shape in ((5, 7), (17, 33, 3), (40, 50, 4)):
+        im = rng.randint(0, 256, shape).astype(np.uint8)
+        for comp in ("none", "packbits"):
+            got = decode_tiff(
+                encode_tiff(im, compression=comp, tile=(16, 32))
+            )
+            assert got.shape == im.shape and (got == im).all()
+    bil = (rng.randint(0, 2, (37, 61)) * 255).astype(np.uint8)
+    got = decode_tiff(encode_tiff(bil, compression="g4", tile=(16, 16)))
+    assert (got == bil).all()
+
+    # (d) refusals
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        decode_tiff(build([10, 20, 30, 40], tw=10))
+    with _pytest.raises(ValueError, match="both strip and tile"):
+        decode_tiff(
+            build([10, 20, 30, 40], extra=((278, 3, 1, 16),))
+        )
+    with _pytest.raises(ValueError, match="tile count"):
+        decode_tiff(build([10, 20, 30]))
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_tiff(build([10, 20, 30, 40], w=60000, h=60000))
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(np.zeros((8, 8), np.uint8), tile=(16, 24 + 1))
+
+    # (e) mutation sweep over a tiled packbits file
+    good = encode_tiff(
+        rng.randint(0, 256, (20, 30, 3)).astype(np.uint8),
+        compression="packbits",
+        tile=(16, 16),
+    )
+    for _ in range(400):
+        b2 = bytearray(good)
+        pos = rng.randint(0, len(b2) * 8)
+        b2[pos // 8] ^= 1 << (pos % 8)
+        try:
+            decode_tiff(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in (0, 9, 30, len(good) // 2, len(good) - 1):
+        try:
+            decode_tiff(bytes(good[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_avi_mjpeg_roundtrip_and_refusals():
     """MJPEG-in-AVI (round 16): flat-block frames round-trip EXACTLY
     (each frame is the exact-through-JPEG fixture), lossy frames keep
