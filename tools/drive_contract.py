@@ -49,9 +49,11 @@ sample = [
     # round 16: one codec key (JPEG path) + one ANN accounting key
     "q_multimodal_jpeg_decode",
     "q_sim_ivfpq_recall",
-    # round 17: the trained IVF-PQ chain
+    # round 17: the trained IVF-PQ chain + one codec key per family
     "q_sim_ivf_train_coarse",
     "q_sim_ivfpq_trained_recall",
+    "q_multimodal_tiff_g4",
+    "q_multimodal_audio_adpcm",
 ]
 con = oracle.connect(SF)
 for key in sample:
