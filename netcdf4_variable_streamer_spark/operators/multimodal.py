@@ -1260,6 +1260,156 @@ GROUP BY doc_id
 
 
 @register(
+    "q_multimodal_scanned_archive",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, doc_id % 5 AS variant FROM documents
+),
+gray AS (
+  SELECT v.doc_id, v.variant,
+         SUM((v.doc_id * 29 + yy.y * 47 + xx.x * 59) % 256)
+           AS checksum
+  FROM v
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 17)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 25)) AS x) xx
+  WHERE v.variant IN (0, 1, 3)
+  GROUP BY v.doc_id, v.variant
+),
+bilevel AS (
+  SELECT v.doc_id, v.variant,
+         SUM(CASE WHEN (v.doc_id * 13 + yy.y * 7 + xx.x * 3) % 11
+                       < 4
+                  THEN 0 ELSE 255 END) AS checksum
+  FROM v
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 17)) AS y) yy
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 25)) AS x) xx
+  WHERE v.variant IN (2, 4)
+  GROUP BY v.doc_id, v.variant
+),
+u AS (
+  SELECT * FROM gray UNION ALL SELECT * FROM bilevel
+)
+SELECT doc_id,
+       CASE variant
+         WHEN 0 THEN 'strip_none' WHEN 1 THEN 'strip_packbits'
+         WHEN 2 THEN 'strip_g4' WHEN 3 THEN 'tiled_packbits'
+         ELSE 'tiled_g4' END AS variant,
+       CAST(26 AS INTEGER) AS width,
+       CAST(18 AS INTEGER) AS height,
+       CAST(checksum AS BIGINT) AS pixel_checksum
+FROM u
+""",
+    doc="SCANNED-ARCHIVE ingest composite (round 17) — the "
+        "heterogeneous-corpus story for the document-archive "
+        "surface: one magic-byte-dispatched kernel ingests a corpus "
+        "mixing all five TIFF variants a real archive ships "
+        "(uncompressed strips, PackBits strips, CCITT-G4 strips, "
+        "PackBits tiles, G4 tiles — variant chosen per doc), every "
+        "page decoding through decode_any with NO per-format "
+        "branching in the pipeline, and a defect in any one "
+        "variant's codec localizes to exactly that variant's rows "
+        "(the dispatch-key property, extended to the round-17 "
+        "layout/compression surface). Gray pages and bilevel pages "
+        "carry different closed forms, both regenerated in SQL. "
+        "Scale shape: zero shuffles, one Arrow-batched mapInPandas "
+        "per side; per-row codec CPU rides scan parallelism, so a "
+        "1000-executor archive scan divides the decode bill by "
+        "1000.",
+)
+def q_multimodal_scanned_archive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_any,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        encode_tiff,
+    )
+
+    H, W = 18, 26
+    ys, xs = np.indices((H, W))
+    names = [
+        "strip_none", "strip_packbits", "strip_g4",
+        "tiled_packbits", "tiled_g4",
+    ]
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            variants = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 5
+                variants.append(names[v])
+                if v in (2, 4):  # bilevel page
+                    bits = (
+                        (d * 13 + ys * 7 + xs * 3) % 11 < 4
+                    ).astype(np.uint8)
+                    page = ((1 - bits) * 255).astype(np.uint8)
+                else:  # gray page
+                    page = (
+                        (d * 29 + ys * 47 + xs * 59) % 256
+                    ).astype(np.uint8)
+                if v == 0:
+                    blob = encode_tiff(page, compression="none")
+                elif v == 1:
+                    blob = encode_tiff(
+                        page, compression="packbits", rows_per_strip=5
+                    )
+                elif v == 2:
+                    blob = encode_tiff(
+                        page, compression="g4", rows_per_strip=5
+                    )
+                elif v == 3:
+                    blob = encode_tiff(
+                        page, compression="packbits", tile=(16, 16)
+                    )
+                else:
+                    blob = encode_tiff(
+                        page, compression="g4", tile=(16, 16)
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "variant": variants,
+                    "payload": payloads,
+                }
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, v, payload in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                img = decode_any(bytes(payload))
+                h, w = img.shape[:2]
+                rows.append(
+                    (d, v, w, h, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "width", "height",
+                    "pixel_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode, "doc_id long, variant string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, variant string, width int, height int, "
+        "pixel_checksum long",
+    )
+
+
+@register(
     "q_multimodal_tiff_tiled",
     oracle="""
 WITH px AS (

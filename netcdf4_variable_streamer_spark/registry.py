@@ -79,6 +79,7 @@ CANONICAL_ORDER: list[str] = [
     "q_multimodal_tiff_g4",
     "q_multimodal_audio_adpcm",
     "q_multimodal_tiff_tiled",
+    "q_multimodal_scanned_archive",
     "q_sim_ivf_train_coarse",
     # -- last driver check: r10 --
     "q_multimodal_audio_vad",

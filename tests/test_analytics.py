@@ -123,6 +123,7 @@ NEW_KEYS = [
     "q_sim_ivf_train_coarse", "q_sim_ivfpq_trained_recall",
     "q_dedup_semantic_trained", "q_multimodal_tiff_g4",
     "q_multimodal_audio_adpcm", "q_multimodal_tiff_tiled",
+    "q_multimodal_scanned_archive",
 ]
 
 
