@@ -402,6 +402,11 @@ def test_codec_decode_keys_zero_shuffle(spark):
         "q_multimodal_png_decode",
         "q_multimodal_jpeg_decode",
         "q_multimodal_jpeg_progressive",
+        # round 17
+        "q_multimodal_tiff_g4",
+        "q_multimodal_tiff_tiled",
+        "q_multimodal_audio_adpcm",
+        "q_multimodal_scanned_archive",
     ):
         df = build(spark, key)
         plans.assert_max_shuffles(df, 0)
