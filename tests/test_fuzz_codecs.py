@@ -4430,6 +4430,26 @@ def test_lossless_image_codecs_roundtrip_hypothesis(h, w, nch, seed):
         assert (
             decode_tiff(encode_tiff(tin, compression=comp)) == tin
         ).all()
+        # round 17: the tiled layout over the same shapes (edge
+        # padding always exercised — shapes here never reach 16)
+        assert (
+            decode_tiff(
+                encode_tiff(tin, compression=comp, tile=(16, 16))
+            )
+            == tin
+        ).all()
+    if nch == 1:
+        # round 17: G4 bilevel round-trip, strip and tiled layouts
+        bil = ((tin < 128) * 255).astype(np.uint8)
+        assert (
+            decode_tiff(encode_tiff(bil, compression="g4")) == bil
+        ).all()
+        assert (
+            decode_tiff(
+                encode_tiff(bil, compression="g4", tile=(16, 16))
+            )
+            == bil
+        ).all()
 
 
 @_SETTINGS
@@ -4877,3 +4897,49 @@ def test_fuzz10_g4_transition_list_bounded():
     stream = bytes(int("011010" * 4, 2).to_bytes(3, "big")) * 2000
     with pytest.raises(ValueError):
         _ccitt_g4_decode(stream, 1 << 20, 1)
+
+
+def test_fuzz10_spec_table_invariants():
+    """Structural invariants of the transcribed spec tables — the
+    checks that catch transcription typos which encoder/decoder
+    symmetry would hide: (a) the T.4 white and black code tables
+    (each unioned with the shared extended make-ups) are PREFIX-FREE
+    with no duplicates — a mistyped bit string almost always collides
+    with or prefixes another code; (b) run coverage is complete and
+    exact (terminating 0..63, make-ups 64..1728 in 64s, extended
+    1792..2560 in 64s); (c) the IMA ADPCM step table is strictly
+    monotone from 7 to 32767 with the spec's ~1.1 growth ratio
+    (observed band 1.06..1.15) — a digit typo breaks one of the
+    three immediately."""
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        _IMA_STEPS,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _T4_BLACK,
+        _T4_EXT,
+        _T4_WHITE,
+    )
+
+    for pairs in (_T4_WHITE + _T4_EXT, _T4_BLACK + _T4_EXT):
+        codes = [bits for _, bits in pairs]
+        assert len(set(codes)) == len(codes)
+        s = sorted(codes)
+        clashes = [
+            (a, b) for a, b in zip(s, s[1:]) if b.startswith(a)
+        ]
+        assert not clashes, clashes
+        assert all(set(c) <= {"0", "1"} for c in codes)
+        assert max(len(c) for c in codes) <= 14
+    expected = list(range(64)) + [64 * i for i in range(1, 28)]
+    assert [r for r, _ in _T4_WHITE] == expected
+    assert [r for r, _ in _T4_BLACK] == expected
+    assert [r for r, _ in _T4_EXT] == [
+        1792 + 64 * i for i in range(13)
+    ]
+    st = _IMA_STEPS
+    assert len(st) == 89 and st[0] == 7 and st[88] == 32767
+    assert (np.diff(st) > 0).all()
+    ratio = st[1:].astype(np.float64) / st[:-1]
+    assert ratio.min() > 1.05 and ratio.max() < 1.15
