@@ -1240,15 +1240,78 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass. The seven
+# passes PARTITION the pixel grid (test-pinned) — the canonical
+# pattern matrix's row 0 is 1 6 4 6 2 6 4 6.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# samples per pixel by color type (3 = palette: one index sample)
+_PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_defilter(scan: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """(rows, 1+stride) filtered scanlines → (rows, stride) uint8.
+    All five filters (None/Sub/Up/Average/Paeth); Sub and Up are
+    vectorized, Average/Paeth fall back to the spec's per-byte
+    recurrence. ``bpp`` is the left-neighbor distance in BYTES
+    (1 for sub-byte depths, samples-per-pixel at 8 bits)."""
+    nrows = scan.shape[0]
+    filters, rows = scan[:, 0], scan[:, 1:].astype(np.int32)
+    out = np.zeros((nrows, stride), dtype=np.int32)
+    for y in range(nrows):
+        f, row = int(filters[y]), rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: cumulative sum per byte lane
+            out[y] = (
+                np.cumsum(row.reshape(-1, bpp), axis=0).reshape(stride)
+                % 256
+            )
+        elif f == 2:  # Up
+            out[y] = (row + prev) % 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = out[y, i - bpp] if i >= bpp else 0
+                out[y, i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = out[y, i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                out[y, i] = (
+                    row[i] + _paeth(int(left), int(prev[i]), int(ul))
+                ) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+def _png_unpack_samples(
+    rows: np.ndarray, pw: int, spp: int, depth: int
+) -> np.ndarray:
+    """De-filtered scanline bytes → (rows, pw*spp) uint8 samples —
+    identity at 8 bits, MSB-first bit unpacking below."""
+    if depth == 8:
+        return rows[:, : pw * spp]
+    bits = np.unpackbits(rows, axis=1)[:, : pw * spp * depth]
+    vals = bits.reshape(rows.shape[0], pw * spp, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)
+
+
 @_codec_guard("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG bytes → (h, w, channels) uint8. Handles
-    all five row filters (None/Sub/Up/Average/Paeth); Sub and Up are
-    vectorized, Average/Paeth fall back to the spec's per-byte recurrence
-    (rare in practice, correctness first)."""
+    """PNG bytes → (h, w, channels) uint8. 8-bit gray/RGB/RGBA plus
+    (round 17) PALETTE images (PLTE, optional tRNS alpha, depths
+    1/2/4/8 — the ubiquitous web-icon class), low-depth GRAYSCALE
+    (1/2/4-bit — scanned bilevel pages), and ADAM7 INTERLACE for all
+    of those. All five row filters; 16-bit stays a loud refusal."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, meta = len(_PNG_SIG), [], None
+    plte = trns = None
     while pos + 8 <= len(payload):
         (size,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -1257,18 +1320,33 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color not in _PNG_CHANNELS:
+            if color not in _PNG_SPP:
+                raise NotImplementedError(
+                    f"PNG color type {color} unsupported"
+                )
+            ok_depth = (
+                (1, 2, 4, 8) if color in (0, 3) else (8,)
+            )
+            if depth not in ok_depth:
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} unsupported "
-                    "(8-bit gray/RGB/RGBA only)"
+                    "(8-bit samples; 1/2/4-bit gray and palette only)"
                 )
-            if interlace:
-                raise NotImplementedError("interlaced PNG unsupported")
-            if w * h > 50_000_000:
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"PNG interlace method {interlace} invalid"
+                )
+            if w * h > 50_000_000 or w == 0 or h == 0:
                 raise ValueError(
                     f"PNG dimensions implausible: {w}x{h}"
                 )
-            meta = (w, h, _PNG_CHANNELS[color])
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"PLTE":
+            if size % 3 or size == 0 or size > 768:
+                raise ValueError(f"PNG PLTE size {size} invalid")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -1276,9 +1354,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + size
     if meta is None:
         raise ValueError("no IHDR chunk")
-    w, h, c = meta
-    stride = w * c
-    expected = h * (stride + 1)
+    w, h, depth, color, interlace = meta
+    spp = _PNG_SPP[color]
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+
+    def pass_stride(pw: int) -> int:
+        return (pw * spp * depth + 7) // 8
+
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    dims = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        dims.append((pw, ph))
+        if pw and ph:
+            expected += ph * (1 + pass_stride(pw))
     # bounded decompression: zlib.decompress with no limit lets a
     # KB-sized payload expand to gigabytes (a classic decompression
     # bomb) before the reshape ever checks the size
@@ -1289,29 +1381,38 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG pixel data is {len(raw)}{'+' if d.unconsumed_tail else ''} "
             f"bytes, header declares {expected}"
         )
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters, rows = scan[:, 0], scan[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.int32)
-    for y in range(h):
-        f, row = int(filters[y]), rows[y]
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
-        if f == 0:
-            out[y] = row
-        elif f == 1:  # Sub: cumulative sum per channel lane
-            out[y] = (
-                np.cumsum(row.reshape(w, c), axis=0).reshape(stride) % 256
+    bpp = max(1, (spp * depth) // 8)
+    samples = np.zeros((h, w * spp), np.uint8)
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if not (pw and ph):
+            continue
+        stride = pass_stride(pw)
+        n = ph * (1 + stride)
+        scan = np.frombuffer(
+            raw[off : off + n], np.uint8
+        ).reshape(ph, 1 + stride)
+        off += n
+        rows = _png_unpack_samples(
+            _png_defilter(scan, stride, bpp), pw, spp, depth
+        ).reshape(ph, pw, spp)
+        grid = samples.reshape(h, w, spp)
+        grid[y0:h:dy, x0:w:dx] = rows
+    if color == 3:
+        idx = samples.reshape(h, w)
+        if int(idx.max()) >= len(plte):
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} outside the "
+                f"{len(plte)}-entry PLTE"
             )
-        elif f == 2:  # Up
-            out[y] = (row + prev) % 256
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = out[y, i - c] if i >= c else 0
-                out[y, i] = (row[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = out[y, i - c] if i >= c else 0
-                ul = prev[i - c] if i >= c else 0
-                out[y, i] = (row[i] + _paeth(int(left), int(prev[i]), int(ul))) % 256
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-    return out.astype(np.uint8).reshape(h, w, c)
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(256, 255, np.uint8)
+        alpha[: len(trns)] = trns
+        return np.dstack([rgb, alpha[idx]])
+    if depth < 8:  # low-depth gray: scale to full 8-bit range
+        samples = (
+            samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
+    return samples.reshape(h, w, spp)

@@ -4239,10 +4239,13 @@ def test_g711_alaw_sign_and_clamp_edges():
         assert -32768 <= int(lo) < -30000 and 30000 < int(hi) <= 32767
 
 
-def test_png_interlace_refusal():
-    """Fuzz round 9: the Adam7 interlace flag must refuse by NAME
-    before any pixel work — a decoder that ignores the flag returns
-    scrambled pixels silently."""
+def test_png_interlace_layout_enforced():
+    """Round 9 required the Adam7 flag to refuse by name; round 17
+    DECODES Adam7 (see test_llm_ops), so the guarantee evolves: an
+    interlaced header whose payload carries the NON-interlaced byte
+    layout must fail the pass-structure size check — a decoder that
+    ignored the flag would return scrambled pixels silently. Unknown
+    interlace methods still refuse."""
     import struct as _struct
     import zlib as _zlib
 
@@ -4264,8 +4267,18 @@ def test_png_interlace_refusal():
         + chunk(b"IDAT", _zlib.compress(b"\x00" * (4 * (4 * 3 + 1))))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="header declares"):
         mm.decode_png(png)
+    bad = (
+        mm._PNG_SIG
+        + chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
+        )
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 52))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace method"):
+        mm.decode_png(bad)
 
 
 @_SETTINGS
@@ -4943,3 +4956,142 @@ def test_fuzz10_spec_table_invariants():
     assert (np.diff(st) > 0).all()
     ratio = st[1:].astype(np.float64) / st[:-1]
     assert ratio.min() > 1.05 and ratio.max() < 1.15
+
+
+def _png_file(w, h, depth, color, interlace, rows, plte=None, trns=None):
+    """Test-local PNG writer (independent of encode_png): raw filtered
+    scanline bytes in, chunked/CRC'd file out."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(t, b):
+        return (
+            _struct.pack(">I", len(b)) + t + b
+            + _struct.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    out = bytearray(mm._PNG_SIG)
+    out += chunk(
+        b"IHDR",
+        _struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace),
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", _zlib.compress(rows))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _png_pack(row, depth):
+    bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth:]
+    return np.packbits(bits.flatten()).tobytes()
+
+
+def test_png_palette_lowdepth_adam7():
+    """Round 17 PNG surface extensions, each pinned by an
+    INDEPENDENTLY-built file (test-local chunk writer + bit packer):
+    (a) the Adam7 pass grid PARTITIONS the pixel grid at arbitrary
+    shapes (every pixel exactly once — the wrong-table failure mode
+    is silent double/zero coverage); (b) 8-bit palette (PLTE lookup),
+    2-bit palette with tRNS alpha (RGBA out, 255 past the tRNS
+    length), indexes past the PLTE refuse by name; (c) 1-bit
+    grayscale scales to 0/255 (the scanned-page class); (d) Adam7
+    RGB and Adam7 1-bit gray reassemble exactly; (e) 300-case
+    mutation sweep over an interlaced palette file."""
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        _ADAM7,
+    )
+
+    # (a) partition property
+    for w, h in ((1, 1), (2, 3), (8, 8), (9, 10), (17, 5), (33, 31)):
+        cover = np.zeros((h, w), int)
+        for x0, y0, dx, dy in _ADAM7:
+            cover[y0:h:dy, x0:w:dx] += 1
+        assert (cover == 1).all(), (w, h)
+
+    rng = np.random.RandomState(33)
+    # (b) palettes
+    w, h = 5, 4
+    plte = rng.randint(0, 256, (6, 3)).astype(np.uint8)
+    idx = rng.randint(0, 6, (h, w)).astype(np.uint8)
+    rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    got = mm.decode_png(_png_file(w, h, 8, 3, 0, rows, plte))
+    assert got.shape == (h, w, 3) and (got == plte[idx]).all()
+    idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+    rows = b"".join(
+        b"\x00" + _png_pack(idx[y], 2) for y in range(h)
+    )
+    got = mm.decode_png(
+        _png_file(w, h, 2, 3, 0, rows, plte[:4], [200, 100, 50])
+    )
+    assert got.shape == (h, w, 4)
+    assert (got[:, :, :3] == plte[:4][idx]).all()
+    alpha = np.full(256, 255, np.uint8)
+    alpha[:3] = [200, 100, 50]
+    assert (got[:, :, 3] == alpha[idx]).all()
+    bad_idx = np.full((2, 2), 7, np.uint8)
+    rows = b"".join(
+        b"\x00" + bad_idx[y].tobytes() for y in range(2)
+    )
+    with pytest.raises(ValueError, match="outside the"):
+        mm.decode_png(_png_file(2, 2, 8, 3, 0, rows, plte[:4]))
+
+    # (c) 1-bit gray
+    g = rng.randint(0, 2, (h, w)).astype(np.uint8)
+    rows = b"".join(b"\x00" + _png_pack(g[y], 1) for y in range(h))
+    got = mm.decode_png(_png_file(w, h, 1, 0, 0, rows))
+    assert got.shape == (h, w, 1) and (got[:, :, 0] == g * 255).all()
+
+    # (d) Adam7
+    w, h = 9, 10
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    rows = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            rows += b"\x00" + sub[y].tobytes()
+    assert (
+        mm.decode_png(_png_file(w, h, 8, 2, 1, rows)) == img
+    ).all()
+    g = rng.randint(0, 2, (h, w)).astype(np.uint8)
+    rows = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = g[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            rows += b"\x00" + _png_pack(sub[y], 1)
+    got = mm.decode_png(_png_file(w, h, 1, 0, 1, rows))
+    assert (got[:, :, 0] == g * 255).all()
+
+    # (e) mutation sweep over an interlaced 2-bit palette file
+    idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+    rows = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            rows += b"\x00" + _png_pack(sub[y], 2)
+    good = _png_file(w, h, 2, 3, 1, rows, plte[:4])
+    assert (
+        mm.decode_png(good) == plte[:4][idx]
+    ).all()
+    for _ in range(300):
+        b2 = bytearray(good)
+        p = rng.randint(0, len(b2) * 8)
+        b2[p // 8] ^= 1 << (p % 8)
+        try:
+            mm.decode_png(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in (0, 10, 33, len(good) // 2, len(good) - 1):
+        try:
+            mm.decode_png(bytes(good[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
