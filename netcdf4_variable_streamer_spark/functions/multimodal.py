@@ -209,7 +209,8 @@ def decode_image_batches(
 ) -> Iterator[pd.DataFrame]:
     """payload(binary) → image features.
 
-    BMP (uncompressed 24-bit), PPM (P6), PNG (8-bit non-interlaced),
+    BMP (uncompressed 24-bit), PPM (P6), PNG (incl. palette,
+    low-depth gray, Adam7 interlace),
     QOI, GIF, JPEG (baseline + progressive) and TIFF payloads decode
     through the pure-NumPy codecs (see also :mod:`functions.jpeg`,
     :mod:`functions.tiff`) — REAL paths with no
@@ -724,11 +725,13 @@ def encode_wav_g711(
 
 
 # ---------------------------------------------------------------------------
-# REAL PNG codec, stdlib zlib + NumPy: 8-bit gray/RGB/RGBA, non-interlaced.
-# zlib ships with CPython, so PNG needs no external library at all — any
-# standard non-interlaced 8-bit PNG decodes here (all five row filters),
-# and the encoder emits spec-conformant files (Sub-filtered, CRC'd) that
-# any tool opens. 16-bit/palette/interlaced variants raise cleanly.
+# REAL PNG codec, stdlib zlib + NumPy. zlib ships with CPython, so PNG
+# needs no external library at all — the decoder handles 8-bit
+# gray/RGB/RGBA plus (round 17) palette images (PLTE/tRNS, depths
+# 1/2/4/8), low-depth grayscale and Adam7 interlace (all five row
+# filters everywhere); the encoder emits spec-conformant 8-bit
+# non-interlaced files (Sub-filtered, CRC'd) that any tool opens.
+# 16-bit samples raise cleanly.
 # ---------------------------------------------------------------------------
 
 import zlib
