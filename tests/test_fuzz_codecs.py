@@ -5095,3 +5095,36 @@ def test_png_palette_lowdepth_adam7():
             mm.decode_png(bytes(good[:cut]))
         except (ValueError, NotImplementedError):
             pass
+
+
+@_SETTINGS
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    nch=st.sampled_from([1, 3]),
+    comp=st.sampled_from(["none", "packbits", "g4"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_layout_equivalence_hypothesis(h, w, nch, comp, seed):
+    """Cross-LAYOUT property: the same image encoded as strips and as
+    tiles must decode identically for every compression — the two
+    layouts are storage arrangements of the same pixels, so any
+    divergence is a placement/padding/predictor-scope bug in one of
+    them."""
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    if comp == "g4":
+        if nch != 1:
+            return  # bilevel only
+        img = (rng.randint(0, 2, (h, w)) * 255).astype(np.uint8)
+    else:
+        shape = (h, w) if nch == 1 else (h, w, nch)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+    a = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=7))
+    b = decode_tiff(encode_tiff(img, compression=comp, tile=(16, 16)))
+    assert a.shape == b.shape == img.shape
+    assert (a == img).all() and (b == img).all()
