@@ -582,12 +582,79 @@ def ima_adpcm_decode_block(
     return out
 
 
+def ima_adpcm_decode_block_stereo(
+    block: bytes, samples_per_block: int
+) -> np.ndarray:
+    """One STEREO IMA ADPCM block → (samples_per_block, 2) int16.
+    Layout per the IMA WAV convention: a 4-byte header per channel,
+    then the data interleaved in 4-byte (8-nibble) groups per
+    channel — both channels advance 8 samples per 8-byte pair."""
+    if len(block) < 8:
+        raise ValueError("IMA ADPCM stereo block shorter than headers")
+    preds = []
+    idxs = []
+    for c in range(2):
+        (p,) = struct.unpack_from("<h", block, 4 * c)
+        i = block[4 * c + 2]
+        if i > 88:
+            raise ValueError(f"IMA ADPCM step index {i} > 88")
+        if block[4 * c + 3] != 0:
+            raise ValueError("IMA ADPCM reserved header byte nonzero")
+        preds.append(p)
+        idxs.append(i)
+    out = np.empty((samples_per_block, 2), np.int16)
+    out[0] = preds
+    n_rem = samples_per_block - 1
+    if n_rem > (len(block) - 8) // 8 * 8:
+        raise ValueError(
+            f"IMA ADPCM stereo block carries "
+            f"{(len(block) - 8) // 8 * 8} sample slots for {n_rem}"
+        )
+    base = 1
+    pos = 8
+    while n_rem > 0:
+        take = min(8, n_rem)
+        for c in range(2):
+            grp = block[pos + 4 * c : pos + 4 * c + 4]
+            p, i = preds[c], idxs[c]
+            for k in range(take):
+                byte = grp[k >> 1]
+                n = (byte >> 4) & 0xF if k & 1 else byte & 0xF
+                p, i = _ima_step(p, i, n)
+                out[base + k, c] = p
+            preds[c], idxs[c] = p, i
+        base += take
+        n_rem -= take
+        pos += 8
+    return out
+
+
+def _ima_quantize(s: int, pred: int, idx: int):
+    """Search-free IMA quantizer for one sample: (nibble, next
+    predictor, next step index) — the next-state comes from the
+    DECODER recursion so encoder drift cannot accumulate."""
+    step = int(_IMA_STEPS[idx])
+    delta = s - pred
+    n = 0
+    if delta < 0:
+        n = 8
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    pred, idx = _ima_step(pred, idx, n)
+    return n, pred, idx
+
+
 def ima_adpcm_encode(
     samples: np.ndarray, block_nibbles: int = 1010
 ) -> tuple[list[bytes], int]:
-    """1-D int16 → (mono IMA ADPCM blocks, samples_per_block). The
-    standard search-free quantizer; the encoder tracks the DECODER's
-    reconstruction state so drift cannot accumulate."""
+    """1-D int16 → (mono IMA ADPCM blocks, samples_per_block)."""
     if samples.ndim != 1 or samples.dtype != np.int16:
         raise ValueError("ima_adpcm_encode expects 1-D int16")
     if block_nibbles < 2 or block_nibbles % 2:
@@ -603,21 +670,7 @@ def ima_adpcm_encode(
         hdr = struct.pack("<hBB", pred, idx, 0)
         nibbles = []
         for s in chunk[1:]:
-            step = int(_IMA_STEPS[idx])
-            delta = int(s) - pred
-            n = 0
-            if delta < 0:
-                n = 8
-                delta = -delta
-            if delta >= step:
-                n |= 4
-                delta -= step
-            if delta >= step >> 1:
-                n |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                n |= 1
-            pred, idx = _ima_step(pred, idx, n)
+            n, pred, idx = _ima_quantize(int(s), pred, idx)
             nibbles.append(n)
         if len(nibbles) % 2:
             nibbles.append(0)  # pad nibble (decoder never reads it)
@@ -630,15 +683,71 @@ def ima_adpcm_encode(
     return blocks, spb
 
 
+def ima_adpcm_encode_stereo(
+    samples: np.ndarray, block_groups: int = 126
+) -> tuple[list[bytes], int]:
+    """(n, 2) int16 → (stereo IMA ADPCM blocks, samples_per_block).
+    ``block_groups`` 8-byte data groups per channel per block →
+    samples_per_block = 8*block_groups + 1."""
+    if samples.ndim != 2 or samples.shape[1] != 2 or (
+        samples.dtype != np.int16
+    ):
+        raise ValueError("ima_adpcm_encode_stereo expects (n, 2) int16")
+    if block_groups < 1:
+        raise ValueError("block_groups must be >= 1")
+    spb = 8 * block_groups + 1
+    blocks = []
+    pos = 0
+    idxs = [0, 0]
+    n_total = len(samples)
+    while pos < n_total:
+        chunk = samples[pos : pos + spb]
+        hdr = b""
+        preds = []
+        for c in range(2):
+            p = int(chunk[0, c])
+            hdr += struct.pack("<hBB", p, idxs[c], 0)
+            preds.append(p)
+        nibs = [[], []]
+        for c in range(2):
+            p, i = preds[c], idxs[c]
+            for s in chunk[1:, c]:
+                n, p, i = _ima_quantize(int(s), p, i)
+                nibs[c].append(n)
+            while len(nibs[c]) % 8:
+                nibs[c].append(0)  # pad to a full group
+            preds[c], idxs[c] = p, i
+        body = bytearray()
+        for g in range(len(nibs[0]) // 8):
+            for c in range(2):
+                part = nibs[c][8 * g : 8 * g + 8]
+                body += bytes(
+                    part[k] | (part[k + 1] << 4)
+                    for k in range(0, 8, 2)
+                )
+        blocks.append(hdr + bytes(body))
+        pos += spb
+    return blocks, spb
+
+
 def encode_wav_ima_adpcm(
     samples: np.ndarray,
     sample_rate: int = 8000,
     block_nibbles: int = 1010,
 ) -> bytes:
-    """1-D int16 → mono IMA ADPCM WAV (fmt tag 0x11, cbSize=2 with
-    samplesPerBlock, fact chunk — the layout strict readers demand)."""
-    blocks, spb = ima_adpcm_encode(samples, block_nibbles)
-    block_align = 4 + block_nibbles // 2
+    """1-D (mono) or (n, 2) (stereo) int16 → IMA ADPCM WAV (fmt tag
+    0x11, cbSize=2 with samplesPerBlock, fact chunk — the layout
+    strict readers demand)."""
+    if samples.ndim == 2:
+        blocks, spb = ima_adpcm_encode_stereo(
+            samples, max(1, block_nibbles // 8)
+        )
+        ch = 2
+        block_align = 8 + (spb - 1)  # 8*groups data bytes + headers
+    else:
+        blocks, spb = ima_adpcm_encode(samples, block_nibbles)
+        ch = 1
+        block_align = 4 + block_nibbles // 2
     # the container strides the data chunk at blockAlign, so a short
     # final block pads to full size; the fact chunk stops the decoder
     data = b"".join(b.ljust(block_align, b"\0") for b in blocks)
@@ -646,7 +755,7 @@ def encode_wav_ima_adpcm(
     hdr = b"RIFF" + struct.pack("<I", 52 + len(data)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
         "<IHHIIHHHH",
-        20, 0x11, 1, sample_rate, avg, block_align, 4, 2, spb,
+        20, 0x11, ch, sample_rate, avg, block_align, 4, 2, spb,
     )
     hdr += b"fact" + struct.pack("<II", 4, len(samples))
     hdr += b"data" + struct.pack("<I", len(data))
@@ -664,18 +773,29 @@ def ima_adpcm_decode_wav(
     n_samples: int | None,
 ) -> np.ndarray:
     """The data-chunk half of IMA ADPCM WAV decode (called from the
-    RIFF walker once fmt tag 0x11 is seen)."""
-    if bits != 4 or channels != 1:
+    RIFF walker once fmt tag 0x11 is seen). Mono returns 1-D int16;
+    stereo returns (n, 2) — the same shape convention as FLAC."""
+    if bits != 4 or channels not in (1, 2):
         raise NotImplementedError(
             f"{bits}-bit/{channels}-channel IMA ADPCM WAV "
-            "unsupported (4-bit mono only)"
+            "unsupported (4-bit mono/stereo only)"
         )
-    if block_align < 5 or samples_per_block < 2:
+    hdr_bytes = 4 * channels
+    if block_align < hdr_bytes + 1 or samples_per_block < 2:
         raise ValueError(
             f"IMA ADPCM block layout invalid (align {block_align}, "
             f"{samples_per_block} samples/block)"
         )
-    if samples_per_block - 1 > (block_align - 4) * 2:
+    if channels == 2:
+        if (block_align - 8) % 8:
+            raise ValueError(
+                f"IMA ADPCM stereo blockAlign {block_align} is not "
+                "headers + whole 8-byte channel groups"
+            )
+        capacity = (block_align - 8) // 8 * 8
+    else:
+        capacity = (block_align - 4) * 2
+    if samples_per_block - 1 > capacity:
         raise ValueError(
             "IMA ADPCM samplesPerBlock exceeds block capacity"
         )
@@ -690,7 +810,10 @@ def ima_adpcm_decode_wav(
             if left <= 0:
                 break
             spb = min(spb, left)
-        dec = ima_adpcm_decode_block(block, spb)
+        if channels == 2:
+            dec = ima_adpcm_decode_block_stereo(block, spb)
+        else:
+            dec = ima_adpcm_decode_block(block, spb)
         out.append(dec)
         if left is not None:
             left -= len(dec)

@@ -1317,11 +1317,18 @@ def test_ima_adpcm_refusals_and_mutation_sweep():
     assert (
         len(mm.decode_wav_pcm16(good)[0]) == 600
     )
-    # stereo claim refuses
+    # a stereo CLAIM over the mono block layout fails the stereo
+    # group-structure check (round 17 decodes real stereo — see
+    # test_ima_adpcm_stereo below)
     bad = bytearray(good)
     i = bad.index(b"fmt ") + 8
     _struct.pack_into("<HH", bad, i, 0x11, 2)
-    with _pytest.raises(NotImplementedError, match="mono"):
+    with _pytest.raises(ValueError, match="channel groups"):
+        mm.decode_wav_pcm16(bytes(bad))
+    # 3-channel refuses by name
+    bad = bytearray(good)
+    _struct.pack_into("<HH", bad, i, 0x11, 3)
+    with _pytest.raises(NotImplementedError, match="mono/stereo"):
         mm.decode_wav_pcm16(bytes(bad))
     # fmt chunk too short for samplesPerBlock
     bad = bytearray(good)
@@ -1341,6 +1348,62 @@ def test_ima_adpcm_refusals_and_mutation_sweep():
             mm.decode_wav_pcm16(bytes(good[:cut]))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_ima_adpcm_stereo():
+    """Stereo IMA ADPCM (round 17): (a) a HAND-DERIVED two-channel
+    block — per-channel 4-byte headers then interleaved 4-byte
+    nibble groups — decodes both channels against spec arithmetic
+    computed independently (ch0 reproduces the mono hand block;
+    ch1 pinned at pred=-50: n=15 → -61 with idx→8, n=3 at step 16 →
+    -47); (b) container round-trip through the RIFF walker with
+    (n, 2) output (the FLAC shape convention), SNR > 30 dB, and
+    every block-header sample bit-exact; (c) a stereo blockAlign
+    that is not headers + whole 8-byte groups refuses."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    hdr = _struct.pack("<hBB", 100, 0, 0) + _struct.pack(
+        "<hBB", -50, 0, 0
+    )
+    blk = hdr + bytes([3 | (8 << 4), 15, 0, 0]) + bytes(
+        [15 | (3 << 4), 0, 0, 0]
+    )
+    out = mm.ima_adpcm_decode_block_stereo(blk, 9)
+    assert out[:4, 0].tolist() == [100, 104, 104, 93]
+    assert out[:3, 1].tolist() == [-50, -61, -47]
+
+    t = np.arange(5000)
+    sig = np.stack(
+        [
+            (3000 * np.sin(t / 20)).astype(np.int16),
+            (2000 * np.sin(t / 31 + 1.0)).astype(np.int16),
+        ],
+        axis=1,
+    )
+    wav = mm.encode_wav_ima_adpcm(sig, 22050)
+    dec, rate = mm.decode_audio_any(wav)
+    assert rate == 22050 and dec.shape == sig.shape
+    err = dec.astype(np.float64) - sig
+    snr = 10 * np.log10(
+        (sig.astype(np.float64) ** 2).mean() / (err**2).mean()
+    )
+    assert snr > 30, snr
+    _, spb = mm.ima_adpcm_encode_stereo(sig)
+    for b in range(0, len(sig), spb):
+        assert (dec[b] == sig[b]).all(), b
+
+    bad = bytearray(wav)
+    i = bad.index(b"fmt ") + 8 + 12  # blockAlign field
+    _struct.pack_into("<H", bad, i, 1011)
+    with _pytest.raises(ValueError, match="channel groups"):
+        mm.decode_wav_pcm16(bytes(bad))
 
 
 def test_g711_codec_properties():
