@@ -367,13 +367,18 @@ def resize_image_batches(
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """1-D int16 samples → canonical 44-byte-header mono PCM16 WAV."""
-    if samples.ndim != 1 or samples.dtype != np.int16:
-        raise ValueError("encode_wav_pcm16 expects 1-D int16")
+    """1-D (mono) or (n, 2) (stereo, interleaved frames) int16 →
+    canonical 44-byte-header PCM16 WAV."""
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError("encode_wav_pcm16 expects 1-D or (n, 2) int16")
+    if samples.ndim == 2 and samples.shape[1] != 2:
+        raise ValueError("encode_wav_pcm16 stereo needs 2 channels")
+    ch = 1 if samples.ndim == 1 else 2
     data = samples.astype("<i2").tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        "<IHHIIHH",
+        16, 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16,
     )
     hdr += b"data" + struct.pack("<I", len(data))
     return hdr + data
@@ -438,18 +443,27 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
                 )
                 dec = alaw_decode if fmt_tag == 6 else mulaw_decode
                 return dec(codes), rate
-            if bits != 16 or channels != 1:
+            if bits != 16 or channels not in (1, 2):
                 raise NotImplementedError(
                     f"{bits}-bit/{channels}-channel WAV unsupported "
-                    "(PCM16 mono only)"
+                    "(PCM16 mono/stereo only)"
                 )
             if body + size > len(payload):
                 raise ValueError(
                     "WAV data chunk truncated (declares "
                     f"{size} bytes, {len(payload) - body} present)"
                 )
+            if channels == 2 and size % 4:
+                raise ValueError(
+                    f"stereo PCM16 data chunk of {size} bytes is "
+                    "not whole frames"
+                )
             raw = payload[body : body + size]
-            return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
+            mono = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+            if channels == 2:
+                # interleaved L/R frames → (n, 2), the FLAC shape
+                return mono.reshape(-1, 2), rate
+            return mono, rate
         pos = body + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk found")
 

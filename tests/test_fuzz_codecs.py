@@ -4492,11 +4492,21 @@ def test_lossless_audio_codecs_roundtrip_hypothesis(
     out, rate = decode_flac(encode_flac(s, 22050, block=block))
     assert rate == 22050 and out.shape == s.shape
     assert (out == s).all()
-    if not stereo:
+    # PCM16 WAV round-trips both channel layouts (stereo since r17)
+    if n > 0 or not stereo:
         w, rate = mm.decode_wav_pcm16(
             mm.encode_wav_pcm16(s, sample_rate=8000)
         )
-        assert rate == 8000 and (w == s).all()
+        assert rate == 8000 and w.shape == s.shape and (w == s).all()
+    # stereo IMA ADPCM: header samples exact, shape preserved
+    if stereo and n >= 2:
+        a, rate = mm.decode_wav_pcm16(
+            mm.encode_wav_ima_adpcm(s, 8000, block_nibbles=64)
+        )
+        assert rate == 8000 and a.shape == s.shape
+        _, spb = mm.ima_adpcm_encode_stereo(s, 8)
+        for b in range(0, n, spb):
+            assert (a[b] == s[b]).all()
 
 
 def test_round16_codec_review_round2_regressions():
