@@ -874,7 +874,6 @@ def encode_wav_g711(
 import zlib
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -1486,7 +1485,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError(f"PNG PLTE size {size} invalid")
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            trns = np.frombuffer(body, np.uint8)
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -1549,10 +1548,35 @@ def decode_png(payload: bytes) -> np.ndarray:
         if trns is None:
             return rgb
         alpha = np.full(256, 255, np.uint8)
-        alpha[: len(trns)] = trns
+        ta = np.frombuffer(trns, np.uint8)
+        alpha[: len(ta)] = ta
         return np.dstack([rgb, alpha[idx]])
+    # tRNS on gray/RGB carries a big-endian 16-bit SAMPLE KEY per
+    # channel, matched in the RAW (pre-scaling) sample domain; the
+    # matching pixels become fully transparent (round-17 review: the
+    # chunk used to parse and silently drop)
+    akey = None
+    if trns is not None and color in (0, 2):
+        need = 2 if color == 0 else 6
+        if len(trns) < need:
+            raise ValueError(
+                f"PNG tRNS for color type {color} needs {need} bytes"
+            )
+        keys = [
+            (trns[2 * i] << 8) | trns[2 * i + 1]
+            for i in range(need // 2)
+        ]
+        px = samples.reshape(h, w, spp).astype(np.int32)
+        akey = np.full((h, w), 255, np.uint8)
+        match = np.ones((h, w), bool)
+        for ci, k in enumerate(keys):
+            match &= px[:, :, ci] == k
+        akey[match] = 0
     if depth < 8:  # low-depth gray: scale to full 8-bit range
         samples = (
             samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
         ).astype(np.uint8)
-    return samples.reshape(h, w, spp)
+    out = samples.reshape(h, w, spp)
+    if akey is not None:
+        return np.dstack([out, akey])
+    return out

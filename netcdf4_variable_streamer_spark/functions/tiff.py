@@ -8,18 +8,22 @@ scanned-document / OCR training corpora ship.
 - **decode**: both byte orders (II little-endian, MM big-endian),
   IFD walk with all the baseline tags (width/length, bits-per-sample,
   compression, photometric, strip offsets/byte-counts, rows-per-strip,
-  samples-per-pixel, planar config, predictor), strip assembly;
-  compressions: none (1), LZW (5 — the TIFF variant: MSB-first
+  samples-per-pixel, planar config, predictor), STRIP and (round 17)
+  TILED layouts; compressions: none (1), CCITT Group 4 (4 — ITU-T T.6
+  2-D MMR, bilevel, round 17), LZW (5 — the TIFF variant: MSB-first
   packing, EARLY-CHANGE code-width bumps, 256/257 clear/EOI,
   4094-entry cap) and PackBits (32773); the horizontal-differencing
-  predictor (tag 317 = 2); photometrics: BlackIsZero, WhiteIsZero
-  (inverted), RGB, and RGBA via ExtraSamples. 8-bit samples, chunky
-  planar layout.
-- **encode**: 8-bit gray/RGB/RGBA, chunky strips, uncompressed or
-  PackBits — spec-conformant files any standard reader opens.
-- **refusals are loud and named**: tiled TIFFs, 16-bit/palette/
-  planar=2 layouts, unknown compressions, truncated strips, LZW
-  code overruns. Dimension guards fire before allocation.
+  predictor (tag 317 = 2, per tile in the tiled layout);
+  photometrics: BlackIsZero, WhiteIsZero (inverted), RGB, and RGBA
+  via ExtraSamples. 8-bit samples (1-bit for G4), chunky planar
+  layout.
+- **encode**: 8-bit gray/RGB/RGBA and bilevel G4, strips or tiles,
+  uncompressed/PackBits/G4 — spec-conformant files any standard
+  reader opens.
+- **refusals are loud and named**: 16-bit/palette/planar=2 layouts,
+  unknown compressions, truncated strips/tiles, LZW code overruns,
+  G4 extension mode, LSB-first FillOrder. Dimension/grid/transition
+  guards fire before allocation.
 """
 
 from __future__ import annotations
@@ -341,6 +345,15 @@ def _ccitt_g4_decode(data: bytes, w: int, nrows: int) -> np.ndarray:
         a0 = -1
         colour = 0
         while a0 < w:
+            if len(cur) > w:
+                # a legitimate row has at most w changing elements
+                # (plus one terminal a1 == w); a crafted stream
+                # repeating zero-advance vertical OR zero-length-run
+                # horizontal codes could otherwise grow this list to
+                # 8x the input size (fuzz round 10 + its review)
+                raise ValueError(
+                    f"CCITT G4 row carries more than {w} transitions"
+                )
             # b1: first changing element of ref right of a0 whose
             # parity matches the current colour (transitions
             # alternate white->black at even indexes)
@@ -389,14 +402,6 @@ def _ccitt_g4_decode(data: bytes, w: int, nrows: int) -> np.ndarray:
                 raise ValueError(
                     f"CCITT G4 transition {a1} out of order"
                 )
-            if len(cur) > w:
-                # a legitimate row has at most w changing elements
-                # (plus one terminal a1 == w); a crafted stream
-                # repeating zero-advance vertical codes could
-                # otherwise grow this list to 8x the input size
-                raise ValueError(
-                    f"CCITT G4 row carries more than {w} transitions"
-                )
             cur.append(a1)
             a0 = a1
             colour ^= 1
@@ -438,8 +443,6 @@ def _mh_emit(wr: _BitWriter, run: int, colour: int):
     enc = _MH_ENC[colour]
     while run >= 64:
         mk = min(run - run % 64, 2560)
-        if run - mk > 63:
-            mk = 2560
         wr.write(enc[mk])
         run -= mk
     wr.write(enc[run])
@@ -468,7 +471,6 @@ def _ccitt_g4_encode(bits: np.ndarray) -> bytes:
         cur = _transitions(bits[y]) + [w, w]
         a0 = -1
         colour = 0
-        ci = 0  # index of next transition of cur at/after a0
         while a0 < w:
             i = bisect_right(ref, a0)
             if (i & 1) != colour:
@@ -500,6 +502,18 @@ def _ccitt_g4_encode(bits: np.ndarray) -> bytes:
                 a0 = a2
         ref = cur
     return wr.done()
+
+
+def _g4_gray(bits: np.ndarray, photo: int) -> np.ndarray:
+    """G4 bit array (1 = black-coded run) → uint8 gray. The T.6
+    coding produces SAMPLE 0 for white runs, so photo=0 (WhiteIsZero)
+    displays white where bits are 0; photo=1 (BlackIsZero — legal but
+    unusual for G4) displays the REVERSE, matching libtiff-family
+    readers (round-17 review: both photometrics used to render
+    identically)."""
+    if photo == 1:
+        return (bits * 255).astype(np.uint8)
+    return ((1 - bits) * 255).astype(np.uint8)
 
 
 def _decode_tiled(
@@ -583,7 +597,7 @@ def _decode_tiled(
             )
         canvas[y0 : y0 + tl, x0 : x0 + tw] = tile
     if comp == 4:
-        return ((1 - canvas[:h, :w]) * 255).astype(np.uint8)
+        return _g4_gray(canvas[:h, :w], photo)
     img = canvas[:h, :w]
     if photo == 0:
         img = 255 - img
@@ -707,11 +721,15 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                     payload[soff : soff + scnt], w, nrows
                 )
             )
+        if rows_left:
+            # every other decode path raises loudly on short data;
+            # a short strip LIST must not return a short image
+            # silently (round-17 review)
+            raise ValueError(
+                f"TIFF G4 strips cover {h - rows_left} of {h} rows"
+            )
         bits = np.concatenate(rows_g4, axis=0)
-        # white runs decode as 0 regardless of photometric sign
-        # (the T.6 coding is defined on white/black directly); the
-        # gray expansion below therefore needs no photo-0 inversion
-        return ((1 - bits) * 255).astype(np.uint8)
+        return _g4_gray(bits, photo)
     raw = bytearray()
     rows_left = h
     for si, (soff, scnt) in enumerate(zip(offsets, counts)):

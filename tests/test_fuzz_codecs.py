@@ -5138,3 +5138,107 @@ def test_tiff_layout_equivalence_hypothesis(h, w, nch, comp, seed):
     b = decode_tiff(encode_tiff(img, compression=comp, tile=(16, 16)))
     assert a.shape == b.shape == img.shape
     assert (a == img).all() and (b == img).all()
+
+
+def test_round17_review_regressions():
+    """Round-17 code-review batch, pinned: (1) a G4 strip LIST
+    covering fewer than the declared rows raises instead of silently
+    returning a short image; (2) zero-length-run HORIZONTAL codes hit
+    the same transition-list bound as vertical codes (the fuzz-10
+    guard originally only covered the V path); (3) G4 photo=1
+    (BlackIsZero) renders REVERSED from photo=0, matching
+    libtiff-family readers, in both strip and tiled layouts; (4) PNG
+    tRNS on gray/RGB emits the alpha plane (raw-sample-domain key
+    match) instead of parsing and silently dropping; short tRNS
+    refuses."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _ccitt_g4_decode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    # (1) short strip list
+    img = (np.arange(18 * 26).reshape(18, 26) % 2 * 255).astype(
+        np.uint8
+    )
+    good = encode_tiff(img, compression="g4", rows_per_strip=5)
+    assert (decode_tiff(good) == img).all()
+    b = bytearray(good)
+    # halve the strip count in both 324-family tags (273/279 arrays)
+    n273 = b.index(_struct.pack("<HH", 273, 4))
+    n279 = b.index(_struct.pack("<HH", 279, 4))
+    for at in (n273, n279):
+        cnt = _struct.unpack_from("<I", b, at + 4)[0]
+        _struct.pack_into("<I", b, at + 4, cnt // 2)
+    with pytest.raises(ValueError, match="strips cover"):
+        decode_tiff(bytes(b))
+
+    # (2) zero-advance horizontal attack bounded
+    atk = ("001" + "00110101" + "0000110111") * 3000
+    data = int(atk + "0" * ((-len(atk)) % 8), 2).to_bytes(
+        (len(atk) + 7) // 8, "big"
+    )
+    with pytest.raises(ValueError, match="transitions"):
+        _ccitt_g4_decode(data, 8, 1)
+
+    # (3) photo=1 inversion (strip + tiled)
+    for tile in (None, (16, 16)):
+        kw = {"tile": tile} if tile else {"rows_per_strip": 5}
+        blob = bytearray(encode_tiff(img, compression="g4", **kw))
+        i = blob.index(_struct.pack("<HH", 262, 3)) + 8
+        assert _struct.unpack_from("<H", blob, i)[0] == 0
+        _struct.pack_into("<H", blob, i, 1)
+        assert (decode_tiff(bytes(blob)) == 255 - img).all(), tile
+
+    # (4) gray/RGB tRNS
+    def chunk(t, body):
+        return (
+            _struct.pack(">I", len(body)) + t + body
+            + _struct.pack(">I", _zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    g = np.array([[7, 9], [7, 0]], np.uint8)
+    rows = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    png = (
+        mm._PNG_SIG
+        + chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        )
+        + chunk(b"tRNS", bytes([0, 7]))
+        + chunk(b"IDAT", _zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    got = mm.decode_png(png)
+    assert got.shape == (2, 2, 2)
+    assert (got[:, :, 0] == g).all()
+    assert (got[:, :, 1] == np.where(g == 7, 0, 255)).all()
+    rgb = np.array([[[1, 2, 3], [9, 9, 9]]], np.uint8)
+    png = (
+        mm._PNG_SIG
+        + chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        )
+        + chunk(b"tRNS", bytes([0, 1, 0, 2, 0, 3]))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" + rgb[0].tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    got = mm.decode_png(png)
+    assert (got[0, 0] == [1, 2, 3, 0]).all()
+    assert (got[0, 1] == [9, 9, 9, 255]).all()
+    png_short = (
+        mm._PNG_SIG
+        + chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        )
+        + chunk(b"tRNS", bytes([0, 1]))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" + rgb[0].tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="tRNS"):
+        mm.decode_png(png_short)
