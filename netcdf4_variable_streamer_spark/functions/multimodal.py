@@ -833,6 +833,12 @@ def ima_adpcm_decode_wav(
             left -= len(dec)
     if not out:
         raise ValueError("IMA ADPCM data chunk carries no blocks")
+    if left is not None and left > 0:
+        decoded = n_samples - left
+        raise ValueError(
+            f"IMA ADPCM fact chunk declares {n_samples} samples but the "
+            f"data chunk only decodes {decoded} — truncated stream"
+        )
     return np.concatenate(out)
 
 
@@ -1547,8 +1553,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         rgb = plte[idx]
         if trns is None:
             return rgb
-        alpha = np.full(256, 255, np.uint8)
         ta = np.frombuffer(trns, np.uint8)
+        if len(ta) > len(plte):
+            raise ValueError(
+                f"PNG tRNS carries {len(ta)} entries but the PLTE has "
+                f"only {len(plte)} — spec caps tRNS at palette size"
+            )
+        alpha = np.full(256, 255, np.uint8)
         alpha[: len(ta)] = ta
         return np.dstack([rgb, alpha[idx]])
     # tRNS on gray/RGB carries a big-endian 16-bit SAMPLE KEY per

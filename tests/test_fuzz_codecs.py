@@ -5242,3 +5242,52 @@ def test_round17_review_regressions():
     )
     with pytest.raises(ValueError, match="tRNS"):
         mm.decode_png(png_short)
+
+
+def test_round18_advice_regressions():
+    """Round-18 ADVICE fixes, pinned: (1) an IMA ADPCM WAV whose fact
+    chunk declares more samples than the data chunk's blocks decode
+    refuses by name instead of returning silently-short audio (the
+    same loud-refusal discipline G4 short strips got in r17); (2) a
+    palette PNG whose tRNS chunk carries more entries than the PLTE
+    refuses by name instead of escaping as a raw numpy broadcast
+    error."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    # (1) fact chunk lies long: 606 samples encoded, fact says 5000
+    s = (np.arange(606, dtype=np.int16) * 37) % 2048
+    wav = bytearray(mm.encode_wav_ima_adpcm(s.astype(np.int16), 8000))
+    fi = wav.index(b"fact")
+    assert _struct.unpack_from("<I", wav, fi + 8)[0] == 606
+    _struct.pack_into("<I", wav, fi + 8, 5000)
+    with pytest.raises(ValueError, match="fact chunk declares 5000"):
+        mm.decode_wav_pcm16(bytes(wav))
+    # the untampered file still decodes exactly as long as declared
+    out, rate = mm.decode_wav_pcm16(
+        mm.encode_wav_ima_adpcm(s.astype(np.int16), 8000)
+    )
+    assert rate == 8000 and out.shape == (606,)
+
+    # (2) tRNS longer than the PLTE refuses by name (was a numpy
+    # broadcast ValueError for >256, silent 255-padding semantics
+    # confusion below)
+    plte = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    rows = b"\x00" + bytes([0, 1, 2, 3])
+    png = _png_file(
+        4, 1, 8, 3, 0, rows, plte=plte, trns=bytes(range(6))
+    )
+    with pytest.raises(ValueError, match="tRNS carries 6"):
+        mm.decode_png(png)
+    # in-bounds tRNS (shorter than PLTE) still decodes, 255-padded
+    png_ok = _png_file(
+        4, 1, 8, 3, 0, rows, plte=plte, trns=bytes([10, 20])
+    )
+    got = mm.decode_png(png_ok)
+    assert got.shape == (1, 4, 4)
+    assert list(got[0, :, 3]) == [10, 20, 255, 255]
