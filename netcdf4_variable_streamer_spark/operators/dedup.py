@@ -774,10 +774,14 @@ GROUP BY e.vec_id, e.cluster_id
         "clusters put near-neighbors together instead of splitting "
         "them across arbitrary seed boundaries (pinned in pytest, "
         "recorded in SCALE.md). 100 TB: training is O(iters) "
-        "corpus-linear passes with a KB-scale model; the pair stage "
-        "stays an equi-join on cluster_id bounded by Σ|cluster|², "
-        "with recursive sub-clustering the documented cap for "
-        "oversized clusters.",
+        "corpus-linear passes with a KB-scale model, run ONCE — the "
+        "trained (vec_id, cluster) assignment is localCheckpoint'd "
+        "before the self-join so the Lloyd subtree never re-derives "
+        "per plan branch (round-18 fix; production persists the "
+        "assignment table the same way); the pair stage stays an "
+        "equi-join on cluster_id bounded by Σ|cluster|², with "
+        "recursive sub-clustering the documented cap for oversized "
+        "clusters.",
 )
 def q_dedup_semantic_trained(
     spark: SparkSession, sf_dir: str
@@ -789,17 +793,27 @@ def q_dedup_semantic_trained(
     )
 
     _, _, assign, _ = _civf_chain(spark, sf_dir, nlist=_SEM_NLIST)
+    # Train ONCE: the (vec_id, cluster) assignment feeds both branches
+    # of the within-cluster self-join. localCheckpoint (lazy) cuts the
+    # lineage so the Lloyd subtree materializes exactly once by
+    # CONTRACT — before round 18 that dedup was only ReusedExchange
+    # luck, which AQE re-planning can and does break. Round-18
+    # re-measurement (count(), best-of-3, 500 → 5000 vectors): the 10×
+    # premium over the untrained twin is NOT double derivation — a
+    # single training chain alone scales 1.48 → 3.59 s while the whole
+    # untrained key runs 0.90 → 1.19 s — it is the O(N·nlist·dim)
+    # training pass itself, corpus-linear by construction. Eager
+    # checkpointing was measured SLOWER (extra blocking materialization
+    # per build: 2.35/7.24 s vs lazy 1.86/5.24 s), so lazy it is.
+    asg = assign.select(
+        "vec_id", F.col("cl").cast("long").alias("cluster_id")
+    ).localCheckpoint(eager=False)
     v = _with_norm(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
     )
-    va = v.join(
-        assign.select(
-            "vec_id", F.col("cl").cast("long").alias("cluster_id")
-        ),
-        "vec_id",
-    )
+    va = v.join(asg, "vec_id")
     a = va.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("emb1"),
