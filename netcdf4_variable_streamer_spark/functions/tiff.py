@@ -20,10 +20,17 @@ scanned-document / OCR training corpora ship.
 - **encode**: 8-bit gray/RGB/RGBA and bilevel G4, strips or tiles,
   uncompressed/PackBits/G4 — spec-conformant files any standard
   reader opens.
+- **FillOrder 2** (round 18): LSB-first byte fill — the fax-derived
+  scanned-archive convention — handled by bit-reversing raw
+  strip/tile bytes before decompression for EVERY codec (the libtiff
+  model: FillOrder describes the on-disk bit order of the compressed
+  stream, so one uniform raw-byte reversal recovers the MSB-first
+  stream each decoder expects); the encoder emits it on request for
+  differential fixtures.
 - **refusals are loud and named**: 16-bit/palette/planar=2 layouts,
   unknown compressions, truncated strips/tiles, LZW code overruns,
-  G4 extension mode, LSB-first FillOrder. Dimension/grid/transition
-  guards fire before allocation.
+  G4 extension mode, FillOrder values outside {1, 2}. Dimension/
+  grid/transition guards fire before allocation.
 """
 
 from __future__ import annotations
@@ -33,6 +40,13 @@ import struct
 import numpy as np
 
 _MAX_PIXELS = 50_000_000
+
+# FillOrder 2 (tag 266): bytes.translate through this 256-entry table
+# reverses the bits of every byte — the whole LSB-first story, applied
+# once to raw strip/tile data before any decoder sees it.
+_BITREV = bytes(
+    int(f"{i:08b}"[::-1], 2) for i in range(256)
+)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
@@ -517,7 +531,8 @@ def _g4_gray(bits: np.ndarray, photo: int) -> np.ndarray:
 
 
 def _decode_tiled(
-    payload: bytes, tags, one, w, h, spp, comp, predictor, photo
+    payload: bytes, tags, one, w, h, spp, comp, predictor, photo,
+    fillorder=1,
 ) -> np.ndarray:
     """Tiled-layout decode (TIFF 6.0 §15, round 17): a ceil(w/tw) x
     ceil(h/tl) grid of INDEPENDENTLY-compressed tiles (each padded to
@@ -567,6 +582,8 @@ def _decode_tiled(
         if toff + tcnt > len(payload):
             raise ValueError(f"TIFF tile {ti} past the payload")
         blob = payload[toff : toff + tcnt]
+        if fillorder == 2:
+            blob = blob.translate(_BITREV)
         y0 = (ti // ta) * tl
         x0 = (ti % ta) * tw
         if comp == 4:
@@ -671,6 +688,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"RGB TIFF with {spp} samples per pixel invalid"
         )
     comp = comp0
+    fillorder = one(266, 1)
+    if fillorder not in (1, 2):
+        raise ValueError(f"TIFF FillOrder {fillorder} invalid")
     predictor = one(317, 1)
     if predictor not in (1, 2) or (comp == 4 and predictor != 1):
         raise NotImplementedError(
@@ -686,16 +706,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"CCITT G4 photometric {photo} invalid (bilevel only)"
             )
-        if one(266, 1) != 1:
-            raise NotImplementedError(
-                "TIFF FillOrder 2 (LSB-first) unsupported"
-            )
         t6opts = one(293, 0)
         if t6opts & ~2:
             raise ValueError(f"TIFF T6Options {t6opts} invalid")
     if tiled:
         return _decode_tiled(
-            payload, tags, one, w, h, spp, comp, predictor, photo
+            payload, tags, one, w, h, spp, comp, predictor, photo,
+            fillorder,
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -716,11 +733,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 raise ValueError(f"TIFF strip {si} past the payload")
             nrows = min(rps, rows_left)
             rows_left -= nrows
-            rows_g4.append(
-                _ccitt_g4_decode(
-                    payload[soff : soff + scnt], w, nrows
-                )
-            )
+            sdat = payload[soff : soff + scnt]
+            if fillorder == 2:
+                sdat = sdat.translate(_BITREV)
+            rows_g4.append(_ccitt_g4_decode(sdat, w, nrows))
         if rows_left:
             # every other decode path raises loudly on short data;
             # a short strip LIST must not return a short image
@@ -739,6 +755,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         rows_left -= nrows
         expect = nrows * w * spp
         blob = payload[soff : soff + scnt]
+        if fillorder == 2:
+            blob = blob.translate(_BITREV)
         if comp == 1:
             if len(blob) < expect:
                 raise ValueError(
@@ -802,6 +820,7 @@ def encode_tiff(
     compression: str = "none",
     rows_per_strip: int = 16,
     tile: tuple[int, int] | None = None,
+    fill_order: int = 1,
 ) -> bytes:
     """(h, w) | (h, w, 3|4) uint8 → little-endian baseline TIFF
     (chunky strips; ``compression`` in {'none', 'packbits', 'g4'} —
@@ -809,7 +828,9 @@ def encode_tiff(
     codes black, emitted as BitsPerSample=1 / WhiteIsZero).
     ``tile=(tl, tw)`` (positive multiples of 16) switches to the
     TIFF 6.0 §15 tiled layout: each tile zero-padded to full size at
-    the edges and compressed independently."""
+    the edges and compressed independently. ``fill_order=2`` stores
+    every strip/tile bit-reversed with tag 266=2 — the fax-derived
+    LSB-first convention (round 18)."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_tiff expects (h, w[, 3|4]) uint8")
     if arr.ndim == 3 and arr.shape[2] not in (3, 4):
@@ -822,6 +843,8 @@ def encode_tiff(
         raise ValueError(
             f"rows_per_strip {rows_per_strip} must be >= 1"
         )
+    if fill_order not in (1, 2):
+        raise ValueError(f"fill_order {fill_order} must be 1 or 2")
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
 
@@ -866,6 +889,10 @@ def encode_tiff(
         flat = arr.reshape(h, w * spp)
         for r0 in range(0, h, rows_per_strip):
             strips.append(pack(flat[r0 : r0 + rows_per_strip]))
+    if fill_order == 2:
+        # LSB-first on disk: the stored bytes are the bit-reversal of
+        # the MSB-first stream every decoder produces
+        strips = [s.translate(_BITREV) for s in strips]
     n_strips = len(strips)
     photo = (
         0 if compression == "g4" else 1 if spp == 1 else 2
@@ -890,6 +917,8 @@ def encode_tiff(
     short(258, *([1 if compression == "g4" else 8] * spp))
     short(259, comp)
     short(262, photo)
+    if fill_order == 2:
+        short(266, 2)
     if tile is not None:
         short(277, spp)
         dim(322, tile[1])

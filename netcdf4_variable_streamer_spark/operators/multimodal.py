@@ -1263,7 +1263,7 @@ GROUP BY doc_id
     "q_multimodal_scanned_archive",
     oracle="""
 WITH v AS (
-  SELECT doc_id, doc_id % 5 AS variant FROM documents
+  SELECT doc_id, doc_id % 6 AS variant FROM documents
 ),
 gray AS (
   SELECT v.doc_id, v.variant,
@@ -1283,7 +1283,7 @@ bilevel AS (
   FROM v
   CROSS JOIN (SELECT UNNEST(generate_series(0, 17)) AS y) yy
   CROSS JOIN (SELECT UNNEST(generate_series(0, 25)) AS x) xx
-  WHERE v.variant IN (2, 4)
+  WHERE v.variant IN (2, 4, 5)
   GROUP BY v.doc_id, v.variant
 ),
 u AS (
@@ -1293,7 +1293,8 @@ SELECT doc_id,
        CASE variant
          WHEN 0 THEN 'strip_none' WHEN 1 THEN 'strip_packbits'
          WHEN 2 THEN 'strip_g4' WHEN 3 THEN 'tiled_packbits'
-         ELSE 'tiled_g4' END AS variant,
+         WHEN 4 THEN 'tiled_g4'
+         ELSE 'strip_g4_lsb' END AS variant,
        CAST(26 AS INTEGER) AS width,
        CAST(18 AS INTEGER) AS height,
        CAST(checksum AS BIGINT) AS pixel_checksum
@@ -1302,9 +1303,11 @@ FROM u
     doc="SCANNED-ARCHIVE ingest composite (round 17) — the "
         "heterogeneous-corpus story for the document-archive "
         "surface: one magic-byte-dispatched kernel ingests a corpus "
-        "mixing all five TIFF variants a real archive ships "
+        "mixing all six TIFF variants a real archive ships "
         "(uncompressed strips, PackBits strips, CCITT-G4 strips, "
-        "PackBits tiles, G4 tiles — variant chosen per doc), every "
+        "PackBits tiles, G4 tiles, and — round 18 — FillOrder-2 "
+        "LSB-first G4 strips, the fax-derived byte-fill convention; "
+        "variant chosen per doc), every "
         "page decoding through decode_any with NO per-format "
         "branching in the pipeline, and a defect in any one "
         "variant's codec localizes to exactly that variant's rows "
@@ -1332,7 +1335,7 @@ def q_multimodal_scanned_archive(
     ys, xs = np.indices((H, W))
     names = [
         "strip_none", "strip_packbits", "strip_g4",
-        "tiled_packbits", "tiled_g4",
+        "tiled_packbits", "tiled_g4", "strip_g4_lsb",
     ]
 
     def encode(batches):
@@ -1341,9 +1344,9 @@ def q_multimodal_scanned_archive(
             variants = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                v = d % 5
+                v = d % 6
                 variants.append(names[v])
-                if v in (2, 4):  # bilevel page
+                if v in (2, 4, 5):  # bilevel page
                     bits = (
                         (d * 13 + ys * 7 + xs * 3) % 11 < 4
                     ).astype(np.uint8)
@@ -1366,9 +1369,14 @@ def q_multimodal_scanned_archive(
                     blob = encode_tiff(
                         page, compression="packbits", tile=(16, 16)
                     )
-                else:
+                elif v == 4:
                     blob = encode_tiff(
                         page, compression="g4", tile=(16, 16)
+                    )
+                else:
+                    blob = encode_tiff(
+                        page, compression="g4", rows_per_strip=5,
+                        fill_order=2,
                     )
                 payloads.append(blob)
             yield pd.DataFrame(
@@ -1624,8 +1632,9 @@ GROUP BY doc_id
         "public T.4/T.6 code tables (functions/tiff.py: "
         "pass/horizontal/vertical modes, white+black terminating and "
         "make-up run codes with the shared extended make-ups, both "
-        "directions; extension/uncompressed mode, LSB-first "
-        "FillOrder and invalid T6Options refuse by name). G4 is "
+        "directions; extension/uncompressed mode and invalid "
+        "T6Options refuse by name; FillOrder 2 DECODES since round "
+        "18 via raw-byte bit reversal). G4 is "
         "lossless, so a closed-form 18x26 bilevel 'text page' per "
         "document round-trips through encode (multi-strip: 4 "
         "independently-coded G4 blocks of 5 rows) → binary column → "

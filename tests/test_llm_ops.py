@@ -2390,8 +2390,13 @@ def test_tiff_g4_refusals_and_mutation_sweep():
     assert (decode_tiff(_mini_g4()) == [[255, 0, 0, 255]]).all()
     with _pytest.raises(ValueError, match="T6Options"):
         decode_tiff(_mini_g4(t6options=5))
-    with _pytest.raises(NotImplementedError, match="FillOrder"):
+    # FillOrder 2 is SUPPORTED since round 18 — a tag claiming LSB
+    # order over MSB-encoded strip data bit-reverses into garbage and
+    # must fail the G4 walk loudly, never decode wrong pixels
+    with _pytest.raises((ValueError, NotImplementedError)):
         decode_tiff(_mini_g4(fillorder=2))
+    with _pytest.raises(ValueError, match="FillOrder 3"):
+        decode_tiff(_mini_g4(fillorder=3))
     with _pytest.raises(NotImplementedError, match="bilevel"):
         decode_tiff(_mini_g4(bps=8))
     with _pytest.raises(NotImplementedError, match="predictor"):
@@ -2674,3 +2679,53 @@ def test_round16_codec_review_regressions():
     sos = base.index(b"\xff\xda")
     padded2 = base[:sos] + b"\xff\xff" + base[sos:]
     assert (decode_jpeg(padded2) == 100).all()
+
+
+def test_tiff_fillorder2_roundtrip_and_tag_honored():
+    """Round-18 FillOrder 2 (tag 266, LSB-first byte fill — the
+    fax-derived convention): (a) every supported codec x layout
+    round-trips with fill_order=2 to the SAME pixels as its
+    MSB-first twin while the files differ on disk; (b) the tag is
+    actually honored — rewriting 266 to 1 over LSB data changes the
+    decoded pixels (uncompressed) or dies in the G4 walk; (c)
+    FillOrder 3 refuses by name; (d) the encoder refuses
+    fill_order outside {1, 2}."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _BITREV,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    assert bytes(range(256)).translate(_BITREV).translate(
+        _BITREV
+    ) == bytes(range(256))
+    rng = np.random.RandomState(18)
+    page = (rng.randint(0, 2, (37, 61)) * 255).astype(np.uint8)
+    rgb = rng.randint(0, 256, (23, 19, 3)).astype(np.uint8)
+    for img, kw in [
+        (page, dict(compression="g4", rows_per_strip=9)),
+        (page, dict(compression="g4", tile=(16, 16))),
+        (rgb, dict(compression="none", rows_per_strip=5)),
+        (rgb, dict(compression="packbits", rows_per_strip=5)),
+        (rgb, dict(compression="packbits", tile=(16, 32))),
+    ]:
+        f1 = encode_tiff(img, **kw)
+        f2 = encode_tiff(img, fill_order=2, **kw)
+        assert f2 != f1
+        assert (decode_tiff(f2) == decode_tiff(f1)).all(), kw
+    f2 = bytearray(
+        encode_tiff(rgb, compression="none", fill_order=2)
+    )
+    i = f2.index(_struct.pack("<HH", 266, 3)) + 8
+    f2[i : i + 2] = _struct.pack("<H", 1)
+    assert not (decode_tiff(bytes(f2)) == rgb).all()
+    f2[i : i + 2] = _struct.pack("<H", 3)
+    with _pytest.raises(ValueError, match="FillOrder 3"):
+        decode_tiff(bytes(f2))
+    with _pytest.raises(ValueError, match="fill_order"):
+        encode_tiff(rgb, fill_order=0)
