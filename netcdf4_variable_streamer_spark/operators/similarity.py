@@ -1154,9 +1154,13 @@ _PQT_ITERS = 2  # Lloyd rounds (the measured recall optimum at C=16)
 _PQT_PACK = 64  # packed-argmin base, > _PQT_C
 
 
-def _pqt_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
+def _pqt_assign(
+    e: DataFrame, cb: DataFrame, pack: int = _PQT_PACK
+) -> DataFrame:
     """(vec_id, s, c): nearest trained centroid per subspace — integer
-    fixed-point distances, packed-MIN tie-break (centroid id asc)."""
+    fixed-point distances, packed-MIN tie-break (centroid id asc).
+    ``pack`` must exceed the codebook size (64 for the 16-entry
+    codebooks; the production-shaped key passes 512 for 256)."""
     d2 = F.aggregate(
         F.sequence(F.lit(1), F.lit(8)),
         F.lit(0).cast("long"),
@@ -1180,8 +1184,7 @@ def _pqt_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
         "vec_id", "s", "c", d2.alias("d2")
     )
     return d.groupBy("vec_id", "s").agg(
-        (F.min(F.col("d2") * _PQT_PACK + F.col("c")) % _PQT_PACK)
-        .alias("c")
+        (F.min(F.col("d2") * pack + F.col("c")) % pack).alias("c")
     )
 
 
@@ -1550,18 +1553,21 @@ _CIVF_NPROBE = 2  # coarse lists probed per query
 _CIVF_ITERS = 2  # coarse Lloyd rounds
 
 
-def _civf_assign(e: DataFrame, ccb: DataFrame) -> DataFrame:
+def _civf_assign(
+    e: DataFrame, ccb: DataFrame, pack: int = _PQT_PACK
+) -> DataFrame:
     """(vec_id, cl): nearest TRAINED coarse centroid — full-vector
     fixed-point distances to the broadcast centroid table, packed-MIN
-    tie-break (centroid id asc)."""
+    tie-break (centroid id asc). ``pack`` must exceed nlist (64
+    covers the 8/16-list chains; the production-shaped key passes
+    1024 for nlist up to 1023)."""
     d = e.join(F.broadcast(ccb), F.lit(True)).select(
         "vec_id",
         "cl",
         _d2_span(F.col("fxv"), F.col("cfx"), F.lit(1), 64).alias("d2"),
     )
     return d.groupBy("vec_id").agg(
-        (F.min(F.col("d2") * _PQT_PACK + F.col("cl")) % _PQT_PACK)
-        .alias("cl")
+        (F.min(F.col("d2") * pack + F.col("cl")) % pack).alias("cl")
     )
 
 
@@ -1642,12 +1648,16 @@ def _sql_d2full(a: str, b: str) -> str:
     )
 
 
-def _coarse_sql_ctes(nlist: int) -> tuple[list[str], str]:
+def _coarse_sql_ctes(
+    nlist, pack: int = _PQT_PACK
+) -> tuple[list[str], str]:
     """(CTE parts, final centroid-CTE name): the coarse-training
     prefix of the trained-chain oracle — ``fxe``, init ``ccb0``,
     ``_CIVF_ITERS`` unrolled (assign, update) pairs, and the final
-    assignment ``ca``. Shared by the IVF-PQ oracle (nlist=8) and the
-    trained-SemDeDup oracle (nlist=16)."""
+    assignment ``ca``. Shared by the IVF-PQ oracle (nlist=8), the
+    trained-SemDeDup oracle (nlist=16), and — with ``nlist`` passed
+    as a scalar-subquery STRING and ``pack=1024`` — the
+    production-shaped recall oracle whose nlist is data-derived."""
     FX = _PQ_FX
     d2full = _sql_d2full
 
@@ -1657,7 +1667,7 @@ def _coarse_sql_ctes(nlist: int) -> tuple[list[str], str]:
   FROM fxe f, {cb} b
 ),
 {name} AS (
-  SELECT vec_id, MIN(d2 * {_PQT_PACK} + cl) % {_PQT_PACK} AS cl
+  SELECT vec_id, MIN(d2 * {pack} + cl) % {pack} AS cl
   FROM {name}_d GROUP BY vec_id
 )"""
 
@@ -1695,11 +1705,22 @@ ccb0 AS (
     return parts, ccb
 
 
-def _civf_sql_ctes() -> tuple[str, str, str]:
+def _civf_sql_ctes(
+    nlist=_CIVF_NLIST,
+    cpack: int = _PQT_PACK,
+    pq_c: int = _PQT_C,
+    pq_pack: int = _PQT_PACK,
+    nprobe=_CIVF_NPROBE,
+    pre: tuple = (),
+) -> tuple[str, str, str]:
     """DuckDB mirror of the trained IVF-PQ chain up to serving inputs:
     the coarse prefix of :func:`_coarse_sql_ctes`, integer residuals
     ``res``, residual-PQ Lloyd rounds (``rcb0``→``rcbN``), final codes
-    ``tcodes``, and the probe table ``probes``."""
+    ``tcodes``, and the probe table ``probes``. Defaults reproduce the
+    round-17 trained chain byte-for-byte; the production-shaped key
+    passes data-derived ``nlist``/``nprobe`` scalar-subquery strings
+    (with their ``params`` CTE in ``pre``), 256-entry codebooks and
+    the matching wider pack bases."""
     d2full = _sql_d2full
 
     def d2sub(r: str, c: str) -> str:
@@ -1716,7 +1737,7 @@ def _civf_sql_ctes() -> tuple[str, str, str]:
   FROM res r, {cb} b
 ),
 {name} AS (
-  SELECT vec_id, s, MIN(d2 * {_PQT_PACK} + c) % {_PQT_PACK} AS c
+  SELECT vec_id, s, MIN(d2 * {pq_pack} + c) % {pq_pack} AS c
   FROM {name}_d GROUP BY vec_id, s
 )"""
 
@@ -1733,7 +1754,8 @@ def _civf_sql_ctes() -> tuple[str, str, str]:
   SELECT s, c, LIST(v ORDER BY j) AS cfx FROM {name}_u GROUP BY s, c
 )"""
 
-    parts, ccb = _coarse_sql_ctes(_CIVF_NLIST)
+    parts, ccb = _coarse_sql_ctes(nlist, cpack)
+    parts = list(pre) + parts
     parts.append(
         f"""res AS (
   SELECT f.vec_id, a.cl,
@@ -1746,7 +1768,7 @@ rcb0 AS (
   SELECT s.range AS s, r.vec_id AS c,
          LIST_TRANSFORM(generate_series(1, 8), i ->
            r.rfx[CAST(s.range * 8 + i AS INTEGER)]) AS cfx
-  FROM res r, range(0, {_PQ_S}) s WHERE r.vec_id < {_PQT_C}
+  FROM res r, range(0, {_PQ_S}) s WHERE r.vec_id < {pq_c}
 )"""
     )
     rcb = "rcb0"
@@ -1763,7 +1785,7 @@ rcb0 AS (
                {d2full('f.fxv', 'b.cfx')} AS d2
         FROM fxe f, {ccb} b WHERE f.vec_id < {N_QUERIES}) t
 ),
-probes AS (SELECT q_id, cl FROM pr WHERE prn <= {_CIVF_NPROBE})"""
+probes AS (SELECT q_id, cl FROM pr WHERE prn <= {nprobe})"""
     )
     return ",\n".join(parts), ccb, rcb
 
@@ -1825,6 +1847,355 @@ def q_sim_ivf_train_coarse(
 # at HALF the untrained chain's probe fraction).
 _CIVF_ADC_FLOOR = 0.1
 _CIVF_EXACT_FLOOR = 0.5
+
+
+
+def _recall_oracle_body(
+    ccb: str,
+    rcb: str,
+    m_exact: str,
+    m_adc: str,
+    exact_floor: float,
+    adc_floor: float,
+    rerank: tuple | None = None,
+) -> str:
+    """The serving + recall half of the trained-chain oracle,
+    parameterized over the CTE names, method labels and floors —
+    shared by the round-17 trained key and the round-18
+    production-shaped key (identical pipeline, different quantizer
+    scale). ``rerank=(method, R, floor)`` appends the production
+    refine stage: exact rescore of the ADC top-R shortlist."""
+    rr_ctes = rr_union = rr_value = rr_case = ""
+    if rerank is not None:
+        m_rr, rr_r, rr_floor = rerank
+        rr_ctes = f"""rr_short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY adc2, vec_id) AS srn
+    FROM scored) t
+  WHERE srn <= {rr_r}
+),
+rr_topk AS (
+  SELECT q_id, vec_id, rn FROM (
+    SELECT s.q_id, s.vec_id, ROW_NUMBER() OVER (
+      PARTITION BY s.q_id ORDER BY x.d2, s.vec_id) AS rn
+    FROM rr_short s JOIN exact_p x USING (q_id, vec_id)) t
+  WHERE rn <= {TOP_K}
+),
+"""
+        rr_union = f"""
+  UNION ALL
+  SELECT '{m_rr}' AS method, q_id, vec_id, rn
+  FROM rr_topk"""
+        rr_value = f", ('{m_rr}')"
+        rr_case = f"""
+                  WHEN method = '{m_rr}'
+                  THEN {rr_floor}"""
+    return f"""qres AS (
+  SELECT p.q_id, p.cl,
+         LIST_TRANSFORM(generate_series(1, 64), i ->
+           f.fxv[CAST(i AS INTEGER)] - c.cfx[CAST(i AS INTEGER)])
+           AS qrfx
+  FROM probes p
+  JOIN fxe f ON f.vec_id = p.q_id
+  JOIN {ccb} c USING (cl)
+),
+lut AS (
+  SELECT q.q_id, q.cl, b.s, b.c,
+         CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8), i ->
+           (q.qrfx[CAST(b.s * 8 + i AS INTEGER)]
+            - b.cfx[CAST(i AS INTEGER)])
+           * (q.qrfx[CAST(b.s * 8 + i AS INTEGER)]
+              - b.cfx[CAST(i AS INTEGER)]))) AS BIGINT) AS d2
+  FROM qres q, {rcb} b
+),
+scored AS (
+  SELECT l.q_id, t.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc2
+  FROM tcodes t
+  JOIN ca a USING (vec_id)
+  JOIN lut l ON l.cl = a.cl AND l.s = t.s AND l.c = t.c
+  WHERE t.vec_id <> l.q_id
+  GROUP BY l.q_id, t.vec_id
+),
+adc_topk AS (
+  SELECT q_id, vec_id, rn FROM (
+    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY adc2, vec_id) AS rn
+    FROM scored) t
+  WHERE rn <= {TOP_K}
+),
+exact_p AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(generate_series(0, 63), i ->
+           (q.fxv[CAST(1 + i AS INTEGER)]
+            - e.fxv[CAST(1 + i AS INTEGER)])
+           * (q.fxv[CAST(1 + i AS INTEGER)]
+              - e.fxv[CAST(1 + i AS INTEGER)]))) AS BIGINT) AS d2
+  FROM fxe q JOIN fxe e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+exact_topk AS (
+  SELECT q_id, vec_id, rn FROM (
+    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+    FROM exact_p) t
+  WHERE rn <= {TOP_K}
+),
+ivfx_scored AS (
+  SELECT x.q_id, x.vec_id, x.d2
+  FROM probes p
+  JOIN ca m USING (cl)
+  JOIN exact_p x ON x.q_id = p.q_id AND x.vec_id = m.vec_id
+),
+ivfx_topk AS (
+  SELECT q_id, vec_id, rn FROM (
+    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+    FROM ivfx_scored) t
+  WHERE rn <= {TOP_K}
+),
+{rr_ctes}ann AS (
+  SELECT '{m_exact}' AS method, q_id, vec_id, rn
+  FROM ivfx_topk
+  UNION ALL
+  SELECT '{m_adc}' AS method, q_id, vec_id, rn
+  FROM adc_topk{rr_union}
+),
+matched AS (
+  SELECT ann.method, ann.q_id, ann.rn AS arn, g.rn AS grn
+  FROM ann JOIN exact_topk g USING (q_id, vec_id)
+),
+spine AS (
+  SELECT m.method, k.k
+  FROM (VALUES ('{m_exact}'), ('{m_adc}'){rr_value})
+       m(method),
+       (VALUES (1), (3), (5)) k(k)
+),
+rh AS (
+  SELECT s.method, s.k, COUNT(m.q_id) AS hits
+  FROM spine s
+  LEFT JOIN matched m
+    ON m.method = s.method AND m.arn <= s.k AND m.grn <= s.k
+  GROUP BY s.method, s.k
+)
+SELECT method, CAST(k AS INTEGER) AS k,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(hits AS DOUBLE) / (k * {N_QUERIES}) AS recall,
+       CAST(hits AS DOUBLE) / (k * {N_QUERIES})
+         >= (CASE WHEN method = '{m_exact}'
+                  THEN {exact_floor}{rr_case}
+                  ELSE {adc_floor} END) AS meets_floor
+FROM rh
+"""
+
+
+def _ivfpq_recall_frame(
+    spark: SparkSession,
+    e: DataFrame,
+    ccb: DataFrame,
+    assign: DataFrame,
+    probes: DataFrame,
+    pq_c: int,
+    pq_pack: int,
+    m_exact: str,
+    m_adc: str,
+    exact_floor: float,
+    adc_floor: float,
+    rerank: tuple | None = None,
+) -> DataFrame:
+    """Spark half of the shared trained-IVF-PQ recall pipeline:
+    residual-PQ training (``pq_c``-entry codebooks over the exact
+    integer coarse residuals), ADC serving over probed lists, exact
+    sampled-query ground truth, and the recall@{1,3,5} frame — the
+    body of the round-17 trained key, parameterized so the round-18
+    production-shaped key reuses it verbatim at its quantizer scale."""
+    rfx = F.zip_with(
+        F.col("fxv"), F.col("cfx"), lambda x, c: x - c
+    )
+    res = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(ccb), "cl")
+        .select("vec_id", "cl", rfx.alias("rfx"))
+    )
+    res_fx = res.select("vec_id", F.col("rfx").alias("fxv"))
+    sub = res_fx.select(
+        "vec_id",
+        "fxv",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(_PQ_S)])
+        ).alias("s"),
+    )
+    rcb = (
+        res.filter(F.col("vec_id") < pq_c)
+        .select(
+            F.col("vec_id").alias("c"),
+            "rfx",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(_PQ_S)])
+            ).alias("s"),
+        )
+        .select(
+            "s",
+            "c",
+            F.slice(F.col("rfx"), F.col("s") * 8 + 1, 8).alias("cfx"),
+        )
+    )
+    for _ in range(_PQT_ITERS):
+        asg = _pqt_assign(sub, rcb, pack=pq_pack)
+        rcb = _pqt_update(asg, res_fx)
+    codes = _pqt_assign(sub, rcb, pack=pq_pack).join(
+        res.select("vec_id", "cl"), "vec_id"
+    )
+    qres = (
+        probes.join(
+            e.select(F.col("vec_id").alias("q_id"), "fxv"), "q_id"
+        )
+        .join(F.broadcast(ccb), "cl")
+        .select(
+            "q_id",
+            "cl",
+            F.zip_with(
+                F.col("fxv"), F.col("cfx"), lambda x, c: x - c
+            ).alias("qrfx"),
+        )
+    )
+    lut_d2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(8)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (
+            (
+                F.element_at(
+                    F.col("qrfx"), (F.col("s") * 8 + i).cast("int")
+                )
+                - F.element_at(F.col("cfx"), i.cast("int"))
+            )
+            * (
+                F.element_at(
+                    F.col("qrfx"), (F.col("s") * 8 + i).cast("int")
+                )
+                - F.element_at(F.col("cfx"), i.cast("int"))
+            )
+        ),
+    )
+    lut = (
+        qres.select(
+            "q_id",
+            "cl",
+            "qrfx",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(_PQ_S)])
+            ).alias("s"),
+        )
+        .join(F.broadcast(rcb), "s")
+        .select("q_id", "cl", "s", "c", lut_d2.alias("d2"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cl", "s", "c"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("long").alias("adc2"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.asc("adc2"), F.asc("vec_id")
+    )
+    adc_topk = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    _, exact_p, gt = _exact_gt(e)
+    exact_topk = gt.select("q_id", "vec_id", F.col("grn").alias("rn"))
+    wx = Window.partitionBy("q_id").orderBy(
+        F.asc("d2"), F.asc("vec_id")
+    )
+    ivfx_topk = (
+        assign.join(F.broadcast(probes), "cl")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(exact_p, ["q_id", "vec_id"])
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    ann = ivfx_topk.select(
+        F.lit(m_exact).alias("method"), "*"
+    ).unionByName(
+        adc_topk.select(F.lit(m_adc).alias("method"), "*")
+    )
+    methods = [m_exact, m_adc]
+    floor_col = F.when(
+        F.col("s_method") == m_exact, F.lit(exact_floor)
+    )
+    if rerank is not None:
+        # the production refine stage: exact rescore of the ADC top-R
+        # shortlist (in the eval both stages read exact_p, which the
+        # ground-truth protocol already computes; production rescores
+        # only the R shortlisted full vectors per query)
+        m_rr, rr_r, rr_floor = rerank
+        ws = Window.partitionBy("q_id").orderBy(
+            F.asc("adc2"), F.asc("vec_id")
+        )
+        rr_topk = (
+            scored.withColumn("srn", F.row_number().over(ws))
+            .filter(F.col("srn") <= rr_r)
+            .join(exact_p, ["q_id", "vec_id"])
+            .withColumn("rn", F.row_number().over(wx))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id", "rn")
+        )
+        ann = ann.unionByName(
+            rr_topk.select(F.lit(m_rr).alias("method"), "*")
+        )
+        methods.append(m_rr)
+        floor_col = floor_col.when(
+            F.col("s_method") == m_rr, F.lit(rr_floor)
+        )
+    floor_col = floor_col.otherwise(F.lit(adc_floor))
+    matched = ann.join(
+        exact_topk.select(
+            "q_id", "vec_id", F.col("rn").alias("grn")
+        ),
+        ["q_id", "vec_id"],
+    ).select("method", "q_id", F.col("rn").alias("arn"), "grn")
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(m) for m in methods])
+            ).alias("method")
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.array(F.lit(1), F.lit(3), F.lit(5))
+                ).alias("k")
+            )
+        )
+        .select(F.col("method").alias("s_method"), "k")
+    )
+    rh = (
+        spine.join(
+            F.broadcast(matched),
+            (F.col("method") == F.col("s_method"))
+            & (F.col("arn") <= F.col("k"))
+            & (F.col("grn") <= F.col("k")),
+            "left",
+        )
+        .groupBy("s_method", "k")
+        .agg(F.count(F.col("arn")).alias("hits"))
+    )
+    recall = F.col("hits").cast("double") / (
+        F.col("k") * F.lit(N_QUERIES)
+    )
+    return rh.select(
+        F.col("s_method").alias("method"),
+        F.col("k").cast("int").alias("k"),
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.col("hits").cast("long").alias("hits"),
+        recall.alias("recall"),
+        (recall >= floor_col).alias("meets_floor"),
+    )
 
 
 @register(
@@ -1964,175 +2335,150 @@ def q_sim_ivfpq_trained_recall(
     probes = probe_rank.filter(F.col("prn") <= _CIVF_NPROBE).select(
         "q_id", "cl"
     )
-    # residuals: exact integer subtraction in the fixed-point domain
-    rfx = F.zip_with(
-        F.col("fxv"), F.col("cfx"), lambda x, c: x - c
+    return _ivfpq_recall_frame(
+        spark, e, ccb, assign, probes, _PQT_C, _PQT_PACK,
+        "ivf_exact_trained", "ivfpq_adc_trained",
+        _CIVF_EXACT_FLOOR, _CIVF_ADC_FLOOR,
     )
-    res = (
-        e.join(assign, "vec_id")
-        .join(F.broadcast(ccb), "cl")
-        .select("vec_id", "cl", rfx.alias("rfx"))
+
+
+# --- production-shaped trained IVF-PQ (round 18, VERDICT r17 #4) ----------
+_PROD_C = 256  # PQ codebook entries per subspace (production scale)
+_PROD_PACK = 512  # packed-argmin base > _PROD_C
+_PROD_CPACK = 1024  # coarse packed-argmin base > the nlist cap
+_PROD_NLIST_CAP = 1023  # keeps d2 * pack inside int64 (see doc)
+# floors set below the values measured at sf0.01 (500 vectors,
+# nlist=22, nprobe=2): exact pruning 0.93@5, raw ADC 0.52@5 (0.20@1),
+# ADC+refine 0.93@5 — see tests/test_llm_ops.py; the
+# production-parameter chain must clear the r17 trained chain's own
+# MEASURED values (0.62/0.22 @5), not merely its floors.
+_PROD_EXACT_FLOOR = 0.8
+_PROD_ADC_FLOOR = 0.2
+_PROD_RERANK_R = 50  # ADC shortlist size the refine stage rescores
+_PROD_RERANK_FLOOR = 0.9
+
+_PROD_NLIST_SQL = "(SELECT nlist FROM params)"
+_PROD_PARAMS_CTE = f"""params AS (
+  SELECT LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT),
+               {_PROD_NLIST_CAP}) AS nlist,
+         GREATEST(CAST(1 AS BIGINT),
+                  LEAST(CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT),
+                        {_PROD_NLIST_CAP}) // 8) AS nprobe
+  FROM embeddings
+)"""
+
+_PROD_CTES, _PROD_CCB, _PROD_RCB = _civf_sql_ctes(
+    nlist=_PROD_NLIST_SQL,
+    cpack=_PROD_CPACK,
+    pq_c=_PROD_C,
+    pq_pack=_PROD_PACK,
+    nprobe="(SELECT nprobe FROM params)",
+    pre=(_PROD_PARAMS_CTE,),
+)
+
+
+@register(
+    "q_sim_ivfpq_production_recall",
+    oracle=f"""
+WITH {_PROD_CTES},
+{_recall_oracle_body(_PROD_CCB, _PROD_RCB,
+                     "ivf_exact_prod", "ivfpq_adc_prod",
+                     _PROD_EXACT_FLOOR, _PROD_ADC_FLOOR,
+                     rerank=("ivfpq_refine_prod", _PROD_RERANK_R,
+                             _PROD_RERANK_FLOOR))}
+""",
+    doc="PRODUCTION-SHAPED trained IVF-PQ recall (round 18, VERDICT "
+        "r17 #4) — the same trained serving chain as "
+        "q_sim_ivfpq_trained_recall but at the parameters a real "
+        "deployment would pick, DERIVED FROM THE CORPUS instead of "
+        "fixture-sized constants: nlist = floor(sqrt(N)) (the "
+        "standard IVF sizing rule; 22 at the 500-vector fixture, 70 "
+        f"at the 10x fixture), nprobe = max(1, nlist // 8) (a ~12% "
+        f"probe fraction), and {_PROD_C}-entry residual PQ codebooks "
+        f"(the k=256 single-byte-code point of Jegou et al.'s PQ) "
+        f"with packed-argmin bases widened to match ({_PROD_PACK} "
+        f"subspace / {_PROD_CPACK} coarse; nlist is capped at "
+        f"{_PROD_NLIST_CAP} so d2*pack stays inside int64 — past "
+        "that, production swaps the packed MIN for a struct-ordered "
+        "min, same semantics). Both engines derive nlist/nprobe from "
+        "COUNT(*) — Spark as a broadcast 1-row params table joined "
+        "into the centroid init and probe filters (fully "
+        "declarative, no driver-side collect), DuckDB as scalar "
+        "subqueries — so the key is one fixed program that "
+        "re-parameterizes itself at any corpus size. The chain adds "
+        f"the third production serving stage, REFINE: exact rescore "
+        f"of the ADC top-{_PROD_RERANK_R} shortlist (FAISS's "
+        "IndexRefine posture — the shortlist's full vectors are the "
+        "only exact reads). Measured at sf0.01 vs the fixture-sized "
+        "trained chain: exact pruning recall@5 0.93 (was 0.62 at "
+        "HALF this probe fraction's cost profile), raw ADC 0.52 "
+        "(was 0.22), ADC+refine 0.93 — and on the 10x "
+        "perturbed-replica fixture (5,000 vectors, nlist=70) refine "
+        "holds recall@{{1,3,5}} = 1.0, the >= 0.8 regime pinned in "
+        "pytest. Raw ADC at 256-entry codebooks stays ~0.5-0.6: on "
+        "near-uniform fixtures neighbor d2 gaps sit below PQ "
+        "quantization error, which is exactly WHY production chains "
+        "ship the refine stage. "
+        "100 TB: training stays O(iters) corpus-linear passes (the "
+        "model is nlist x 64 + 8 x 256 x 8 fixed-point longs — "
+        "~600 KB at the cap, still a broadcast); serving touches "
+        "only probed lists; the eval is the sampled-query protocol, "
+        "never all-pairs.",
+)
+def q_sim_ivfpq_production_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _fx64(F.col("embedding")).alias("fxv")
     )
-    res_fx = res.select("vec_id", F.col("rfx").alias("fxv"))
-    sub = res_fx.select(
-        "vec_id",
-        "fxv",
-        F.explode(
-            F.array(*[F.lit(s) for s in range(_PQ_S)])
-        ).alias("s"),
-    )
-    rcb = (
-        res.filter(F.col("vec_id") < _PQT_C)
+    params = (
+        e.agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("vec_id").alias("c"),
-            "rfx",
-            F.explode(
-                F.array(*[F.lit(s) for s in range(_PQ_S)])
-            ).alias("s"),
+            F.least(
+                F.floor(F.sqrt(F.col("n"))).cast("long"),
+                F.lit(_PROD_NLIST_CAP).cast("long"),
+            ).alias("nlist")
         )
         .select(
-            "s",
-            "c",
-            F.slice(F.col("rfx"), F.col("s") * 8 + 1, 8).alias("cfx"),
+            "nlist",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("nlist") / F.lit(8)).cast("long"),
+            ).alias("nprobe"),
         )
     )
-    for _ in range(_PQT_ITERS):
-        asg = _pqt_assign(sub, rcb)
-        rcb = _pqt_update(asg, res_fx)
-    codes = _pqt_assign(sub, rcb).join(
-        res.select("vec_id", "cl"), "vec_id"
-    )
-    qres = (
-        probes.join(
-            e.select(F.col("vec_id").alias("q_id"), "fxv"), "q_id"
-        )
-        .join(F.broadcast(ccb), "cl")
+    ccb = e.join(
+        F.broadcast(params), F.col("vec_id") < F.col("nlist")
+    ).select(F.col("vec_id").alias("cl"), F.col("fxv").alias("cfx"))
+    for _ in range(_CIVF_ITERS):
+        asg = _civf_assign(e, ccb, pack=_PROD_CPACK)
+        ccb = _civf_update(asg, e)
+    assign = _civf_assign(e, ccb, pack=_PROD_CPACK)
+    qd = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(ccb), F.lit(True))
         .select(
-            "q_id",
+            F.col("vec_id").alias("q_id"),
             "cl",
-            F.zip_with(
-                F.col("fxv"), F.col("cfx"), lambda x, c: x - c
-            ).alias("qrfx"),
+            _d2_span(F.col("fxv"), F.col("cfx"), F.lit(1), 64).alias(
+                "d2"
+            ),
         )
     )
-    lut_d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(8)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (
-            (
-                F.element_at(
-                    F.col("qrfx"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-            * (
-                F.element_at(
-                    F.col("qrfx"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-        ),
+    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
+    probes = (
+        qd.withColumn("prn", F.row_number().over(wp))
+        .join(F.broadcast(params), F.col("prn") <= F.col("nprobe"))
+        .select("q_id", "cl")
     )
-    lut = (
-        qres.select(
-            "q_id",
-            "cl",
-            "qrfx",
-            F.explode(
-                F.array(*[F.lit(s) for s in range(_PQ_S)])
-            ).alias("s"),
-        )
-        .join(F.broadcast(rcb), "s")
-        .select("q_id", "cl", "s", "c", lut_d2.alias("d2"))
+    return _ivfpq_recall_frame(
+        spark, e, ccb, assign, probes, _PROD_C, _PROD_PACK,
+        "ivf_exact_prod", "ivfpq_adc_prod",
+        _PROD_EXACT_FLOOR, _PROD_ADC_FLOOR,
+        rerank=("ivfpq_refine_prod", _PROD_RERANK_R,
+                _PROD_RERANK_FLOOR),
     )
-    scored = (
-        codes.join(F.broadcast(lut), ["cl", "s", "c"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d2").cast("long").alias("adc2"))
-    )
-    wk = Window.partitionBy("q_id").orderBy(
-        F.asc("adc2"), F.asc("vec_id")
-    )
-    adc_topk = (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "vec_id", "rn")
-    )
-    _, exact_p, gt = _exact_gt(e)
-    exact_topk = gt.select("q_id", "vec_id", F.col("grn").alias("rn"))
-    wx = Window.partitionBy("q_id").orderBy(
-        F.asc("d2"), F.asc("vec_id")
-    )
-    ivfx_topk = (
-        assign.join(F.broadcast(probes), "cl")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .join(exact_p, ["q_id", "vec_id"])
-        .withColumn("rn", F.row_number().over(wx))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "vec_id", "rn")
-    )
-    ann = ivfx_topk.select(
-        F.lit("ivf_exact_trained").alias("method"), "*"
-    ).unionByName(
-        adc_topk.select(
-            F.lit("ivfpq_adc_trained").alias("method"), "*"
-        )
-    )
-    matched = ann.join(
-        exact_topk.select(
-            "q_id", "vec_id", F.col("rn").alias("grn")
-        ),
-        ["q_id", "vec_id"],
-    ).select("method", "q_id", F.col("rn").alias("arn"), "grn")
-    spine = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    F.lit("ivf_exact_trained"),
-                    F.lit("ivfpq_adc_trained"),
-                )
-            ).alias("method")
-        )
-        .crossJoin(
-            spark.range(1).select(
-                F.explode(
-                    F.array(F.lit(1), F.lit(3), F.lit(5))
-                ).alias("k")
-            )
-        )
-        .select(F.col("method").alias("s_method"), "k")
-    )
-    rh = (
-        spine.join(
-            F.broadcast(matched),
-            (F.col("method") == F.col("s_method"))
-            & (F.col("arn") <= F.col("k"))
-            & (F.col("grn") <= F.col("k")),
-            "left",
-        )
-        .groupBy("s_method", "k")
-        .agg(F.count(F.col("arn")).alias("hits"))
-    )
-    recall = F.col("hits").cast("double") / (
-        F.col("k") * F.lit(N_QUERIES)
-    )
-    return rh.select(
-        F.col("s_method").alias("method"),
-        F.col("k").cast("int").alias("k"),
-        F.lit(N_QUERIES).cast("long").alias("n_queries"),
-        F.col("hits").cast("long").alias("hits"),
-        recall.alias("recall"),
-        (
-            recall
-            >= F.when(
-                F.col("s_method") == "ivf_exact_trained",
-                F.lit(_CIVF_EXACT_FLOOR),
-            ).otherwise(F.lit(_CIVF_ADC_FLOOR))
-        ).alias("meets_floor"),
-    )
+
 
 
 @register(

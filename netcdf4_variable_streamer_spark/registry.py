@@ -69,62 +69,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The round whose driver window this ordering was built for. The policy
 # test derives green/failed sets only from CORRECTNESS_r0N.json with
 # N < WINDOW_ROUND; bump this whenever CANONICAL_ORDER is re-rotated.
-WINDOW_ROUND = 17
+WINDOW_ROUND = 18
 
 CANONICAL_ORDER: list[str] = [
-    # -- round-17 additions (never driver-checked) enter the window
+    # -- round-18 additions (never driver-checked) enter the window
     #    first --
-    "q_sim_ivfpq_trained_recall",
-    "q_dedup_semantic_trained",
-    "q_multimodal_tiff_g4",
-    "q_multimodal_audio_adpcm",
-    "q_multimodal_tiff_tiled",
-    "q_multimodal_scanned_archive",
-    "q_sim_ivf_train_coarse",
-    # -- last driver check: r10 --
-    "q_multimodal_audio_vad",
-    "q_sample_temperature",
-    "snk_netcdf3_write",
-    "src_netcdf3_stream_tail",
-    "src_netcdf3_multifile_scan",
-    "q_dedup_url_canonical",
-    "q_rfm_segments",
-    "q_union_schema_evolution",
-    "q_win_gap_interpolate",
-    "q_agg_hll_setops",
-    "q_subquery_scalar",
-    "q_subquery_scalar_corr",
-    "q_subquery_exists",
-    "q_subquery_in",
-    "q_stream_join",
-    "q_join_skew_salted",
-    "q_agg_median_mode",
-    "q_stream_upsert",
-    "q_merge_scd1",
-    "q_fn_url",
-    "q_agg_sketches",
-    "q_merge_scd2",
-    "q_graph_pagerank",
-    "q_retention_cohort",
-    "q_profile_columns",
-    "q_graph_triangles",
-    "q_join_fuzzy_levenshtein",
-    "q_win_pattern_burst",
-    "q_agg_corr_matrix",
-    "src_netcdf4_regionref_scan",
-    "q_stream_dedup_minhash_ttl",
-    "q_sim_ivfpq_adc",
-    "src_netcdf4_fletcher_scan",
-    "src_netcdf3_union_schema_scan",
-    "src_netcdf4_union_schema_scan",
-    "src_netcdf3_union_dir_tail",
-    "src_netcdf4_union_dir_tail",
-    "q_text_hashed_ngram_features",
-    "q_sim_binary_hamming",
-    "src_netcdf4_cf_scan",
-    "q_dedup_minhash_incremental",
-    "src_netcdf4_userblock_scan",
-    "src_netcdf4_fill_scan",
+    "q_sim_ivfpq_production_recall",
     # -- last driver check: r11 --
     "q_stream_dedup_incremental",
     "q_sim_binary_hamming_multiword",
@@ -431,6 +381,57 @@ CANONICAL_ORDER: list[str] = [
     "q_text_bigram_logprob",
     "q_dedup_lines",
     "q_curriculum_order",
+    # -- last driver check: r17 --
+    "q_sim_ivfpq_trained_recall",
+    "q_dedup_semantic_trained",
+    "q_multimodal_tiff_g4",
+    "q_multimodal_audio_adpcm",
+    "q_multimodal_tiff_tiled",
+    "q_multimodal_scanned_archive",
+    "q_sim_ivf_train_coarse",
+    "q_multimodal_audio_vad",
+    "q_sample_temperature",
+    "snk_netcdf3_write",
+    "src_netcdf3_stream_tail",
+    "src_netcdf3_multifile_scan",
+    "q_dedup_url_canonical",
+    "q_rfm_segments",
+    "q_union_schema_evolution",
+    "q_win_gap_interpolate",
+    "q_agg_hll_setops",
+    "q_subquery_scalar",
+    "q_subquery_scalar_corr",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_stream_join",
+    "q_join_skew_salted",
+    "q_agg_median_mode",
+    "q_stream_upsert",
+    "q_merge_scd1",
+    "q_fn_url",
+    "q_agg_sketches",
+    "q_merge_scd2",
+    "q_graph_pagerank",
+    "q_retention_cohort",
+    "q_profile_columns",
+    "q_graph_triangles",
+    "q_join_fuzzy_levenshtein",
+    "q_win_pattern_burst",
+    "q_agg_corr_matrix",
+    "src_netcdf4_regionref_scan",
+    "q_stream_dedup_minhash_ttl",
+    "q_sim_ivfpq_adc",
+    "src_netcdf4_fletcher_scan",
+    "src_netcdf3_union_schema_scan",
+    "src_netcdf4_union_schema_scan",
+    "src_netcdf3_union_dir_tail",
+    "src_netcdf4_union_dir_tail",
+    "q_text_hashed_ngram_features",
+    "q_sim_binary_hamming",
+    "src_netcdf4_cf_scan",
+    "q_dedup_minhash_incremental",
+    "src_netcdf4_userblock_scan",
+    "src_netcdf4_fill_scan",
 ]
 
 

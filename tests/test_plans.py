@@ -621,6 +621,10 @@ def test_round17_trained_ivfpq_broadcast_no_python(spark):
     for key in (
         "q_sim_ivf_train_coarse",
         "q_sim_ivfpq_trained_recall",
+        # round 18: the production-shaped chain derives nlist/nprobe
+        # from COUNT(*) via a broadcast 1-row params table — same
+        # posture, plus the refine stage's shortlist rescore
+        "q_sim_ivfpq_production_recall",
     ):
         df = build(spark, key)
         plan = df._jdf.queryExecution().executedPlan().toString()
