@@ -191,8 +191,9 @@ def decode_any(payload: bytes) -> np.ndarray | None:
 
 def decode_audio_any(payload: bytes):
     """Dispatch on magic bytes to a pure-Python audio decoder:
-    (samples, sample_rate) for RIFF/WAVE (PCM16 + G.711 + IMA ADPCM)
-    and FLAC; None if the format needs an external codec."""
+    (samples, sample_rate) for RIFF/WAVE (PCM16 + G.711 + IMA ADPCM),
+    FLAC and Ogg Vorbis (round 18); None if the format needs an
+    external codec."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_pcm16(payload)
     if payload[:4] == b"fLaC":
@@ -201,6 +202,12 @@ def decode_audio_any(payload: bytes):
         )
 
         return decode_flac(payload)
+    if payload[:4] == b"OggS":
+        from netcdf4_variable_streamer_spark.functions.vorbis import (
+            decode_ogg_vorbis,
+        )
+
+        return decode_ogg_vorbis(payload)
     return None
 
 

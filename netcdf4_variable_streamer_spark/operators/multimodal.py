@@ -2664,3 +2664,213 @@ def q_multimodal_audio_resample(
         "doc_id long, n_out long, rate_out int, sum_abs_out long, "
         "energy_out long, roundtrip_ok boolean",
     )
+
+
+@register(
+    "q_multimodal_audio_vorbis",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 2 AS v FROM documents),
+mono_floor AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id*5 + f.range*3) % 256
+             + (d.doc_id*3 + f.range*7) % 256) AS fc
+  FROM d, range(0, 4) f WHERE d.v = 0 GROUP BY d.doc_id
+),
+mono_res AS (
+  SELECT d.doc_id,
+         SUM(CASE WHEN (d.doc_id + f.range + p.range) % 2 = 1
+                  THEN (d.doc_id*7 + f.range*5 + p.range*3 + i.range)
+                       % 17 - 8
+                  ELSE 0 END) AS rc
+  FROM d, range(0, 4) f, range(0, 8) p, range(0, 8) i
+  WHERE d.v = 0 GROUP BY d.doc_id
+),
+st_flag AS (
+  SELECT f.range AS f,
+         CASE WHEN f.range IN (1, 2) THEN 32 ELSE 8 END AS parts
+  FROM range(0, 4) f
+),
+st_floor AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id*3 + f.range + c.range) % 128
+             + (d.doc_id*5 + f.range*2 + c.range) % 128
+             + (d.doc_id + f.range + c.range) % 16
+             + (d.doc_id*2 + f.range + c.range) % 16
+             + (d.doc_id*7 + f.range + c.range) % 16) AS fc
+  FROM d, range(0, 4) f, range(0, 2) c
+  WHERE d.v = 1 GROUP BY d.doc_id
+),
+st_res AS (
+  SELECT d.doc_id,
+         SUM(CASE WHEN q.range < s.parts
+                   AND (d.doc_id + s.f + q.range) % 2 = 1
+                  THEN
+           ((d.doc_id + s.f + q.range) % 8) % 2
+           + (((d.doc_id + s.f + q.range) % 8) // 2) % 2
+           + (((d.doc_id + s.f + q.range) % 8) // 4) % 2
+           + ((d.doc_id + s.f + q.range) % 8) % 4 - 8
+           + ((d.doc_id*3 + s.f + q.range) % 8) % 2
+           + (((d.doc_id*3 + s.f + q.range) % 8) // 2) % 2
+           + (((d.doc_id*3 + s.f + q.range) % 8) // 4) % 2
+           + ((d.doc_id*3 + s.f + q.range) % 8) % 4 - 8
+           + (SELECT SUM((d.doc_id*11 + s.f*7 + q.range*3 + i.range)
+                         % 17 - 8)
+              FROM range(0, 8) i)
+                  ELSE 0 END) AS rc
+  FROM d, st_flag s, range(0, 32) q
+  WHERE d.v = 1 GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.v = 0 THEN 'ogg_vorbis_mono'
+            ELSE 'ogg_vorbis_stereo' END AS fmt,
+       CAST(CASE WHEN d.v = 0 THEN 1 ELSE 2 END AS INTEGER)
+         AS channels,
+       CAST(CASE WHEN d.v = 0 THEN 8000 ELSE 16000 END AS INTEGER)
+         AS sample_rate,
+       CAST(4 AS BIGINT) AS n_packets,
+       CAST(CASE WHEN d.v = 0 THEN 192 ELSE 288 END AS BIGINT)
+         AS n_samples,
+       CAST(COALESCE(mf.fc, sf.fc) AS BIGINT) AS floor_checksum,
+       CAST(COALESCE(mr.rc, sr.rc) AS BIGINT) AS residue_checksum
+FROM d
+LEFT JOIN mono_floor mf USING (doc_id)
+LEFT JOIN mono_res mr USING (doc_id)
+LEFT JOIN st_floor sf USING (doc_id)
+LEFT JOIN st_res sr USING (doc_id)
+""",
+    doc="OGG VORBIS decode (round 18, VERDICT r17 #3) — the "
+        "perceptually-compressed-audio step MP3 could not honestly "
+        "take: every constant Vorbis needs rides IN the stream "
+        "(Huffman codebooks, floor/residue/mapping configs all live "
+        "in the setup header) or is an analytic spec formula (the "
+        "window, the 140dB/256-step inverse-dB ramp, float32_unpack, "
+        "the MDCT basis), so nothing requires transcribing an ISO "
+        "table that could silently round-trip wrong "
+        "(functions/vorbis.py — full Ogg page framing with the RFC "
+        "3533 CRC, LSB-first bitpack, complete codebook/floor1/"
+        "residue-0-1-2/mapping/mode setup parse, floor1's integer "
+        "prediction walk, multi-pass residue with classword radix "
+        "decode, square-polar coupling inverse, IMDCT + "
+        "Princen-Bradley window + variable-blocksize overlap-add). "
+        "Each doc builds an exact-by-construction fixture stream "
+        "(even docs: mono, one blocksize, zero-partition floor, "
+        "residue type 1; odd docs: stereo with one coupling step, "
+        "64/256 dual blocksizes with truthful window flags, a "
+        "partitioned floor through a subclass book, residue type 2 "
+        "with a two-pass cascade over lookup-type-2 AND lookup-type-1 "
+        "books) and decodes it through the SAME generic bitstream "
+        "decoder `decode_audio_any` dispatches to; the emitted "
+        "observables are the bit-exact integer plane of the decode "
+        "(decoded floor Y sums, rounded residue sums, packet/sample "
+        "counts), regenerated closed-form in SQL — the float "
+        "synthesis tail is pinned by analytic identities in pytest "
+        "(COLA = 1, TDAC symmetry, perfect reconstruction at gain "
+        "n/4 against a test-local forward MDCT). Scale shape: zero "
+        "shuffles, one Arrow-batched mapInPandas per side; per-row "
+        "entropy decode is the documented per-symbol-codec posture, "
+        "dividing by executor count on a real cluster.",
+)
+def q_multimodal_audio_vorbis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from netcdf4_variable_streamer_spark.functions.vorbis import (
+        encode_ogg_vorbis_mono,
+        encode_ogg_vorbis_stereo,
+        vorbis_stream_stats,
+    )
+
+    def mk_mono(doc: int) -> bytes:
+        frames = []
+        for f in range(4):
+            y = ((doc * 5 + f * 3) % 256, (doc * 3 + f * 7) % 256)
+            classes = [(doc + f + p) % 2 for p in range(8)]
+            rv = [
+                ((doc * 7 + f * 5 + p * 3 + i) % 17 - 8)
+                if classes[p]
+                else 0
+                for p in range(8)
+                for i in range(8)
+            ]
+            frames.append((y, classes, rv))
+        return encode_ogg_vorbis_mono(frames, sample_rate=8000)
+
+    def mk_stereo(doc: int) -> bytes:
+        flags = [0, 1, 1, 0]
+        frames = []
+        for fi, bf in enumerate(flags):
+            parts = (256 if bf else 64) // 8
+            ys = tuple(
+                (
+                    (doc * 3 + fi + ch) % 128,
+                    (doc * 5 + fi * 2 + ch) % 128,
+                    (doc + fi + ch) % 16,
+                    (doc * 2 + fi + ch) % 16,
+                    (doc * 7 + fi + ch) % 16,
+                )
+                for ch in range(2)
+            )
+            classes = [(doc + fi + q) % 2 for q in range(parts)]
+            p0, p1 = [], []
+            for q in range(parts):
+                if classes[q]:
+                    p0 += [(doc + fi + q) % 8, (doc * 3 + fi + q) % 8]
+                    p1 += [
+                        ((doc * 11 + fi * 7 + q * 3 + i) % 17 - 8)
+                        for i in range(8)
+                    ]
+            frames.append((bf, ys, classes, p0, p1))
+        return encode_ogg_vorbis_stereo(frames, sample_rate=16000)
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    rows.append((d, "ogg_vorbis_mono", mk_mono(d)))
+                else:
+                    rows.append(
+                        (d, "ogg_vorbis_stereo", mk_stereo(d))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "payload"]
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                st = vorbis_stream_stats(bytes(payload))
+                rows.append(
+                    (
+                        d,
+                        fmt,
+                        st["channels"],
+                        st["sample_rate"],
+                        st["n_packets"],
+                        st["n_samples"],
+                        st["floor_checksum"],
+                        st["residue_checksum"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "channels", "sample_rate",
+                    "n_packets", "n_samples", "floor_checksum",
+                    "residue_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode, "doc_id long, fmt string, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, fmt string, channels int, sample_rate int, "
+        "n_packets long, n_samples long, floor_checksum long, "
+        "residue_checksum long",
+    )

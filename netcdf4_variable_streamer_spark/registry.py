@@ -75,6 +75,7 @@ CANONICAL_ORDER: list[str] = [
     # -- round-18 additions (never driver-checked) enter the window
     #    first --
     "q_sim_ivfpq_production_recall",
+    "q_multimodal_audio_vorbis",
     # -- last driver check: r11 --
     "q_stream_dedup_incremental",
     "q_sim_binary_hamming_multiword",

@@ -125,7 +125,7 @@ NEW_KEYS = [
     "q_multimodal_audio_adpcm", "q_multimodal_tiff_tiled",
     "q_multimodal_scanned_archive",
     # round 18
-    "q_sim_ivfpq_production_recall",
+    "q_sim_ivfpq_production_recall", "q_multimodal_audio_vorbis",
 ]
 
 

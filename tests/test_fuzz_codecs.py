@@ -5291,3 +5291,282 @@ def test_round18_advice_regressions():
     got = mm.decode_png(png_ok)
     assert got.shape == (1, 4, 4)
     assert list(got[0, :, 3]) == [10, 20, 255, 255]
+
+
+def _vorbis_mono_fixture(doc):
+    from netcdf4_variable_streamer_spark.functions.vorbis import (
+        encode_ogg_vorbis_mono,
+    )
+
+    frames = []
+    for f in range(4):
+        y = ((doc * 5 + f * 3) % 256, (doc * 3 + f * 7) % 256)
+        classes = [(doc + f + p) % 2 for p in range(8)]
+        rv = [
+            ((doc * 7 + f * 5 + p * 3 + i) % 17 - 8)
+            if classes[p]
+            else 0
+            for p in range(8)
+            for i in range(8)
+        ]
+        frames.append((y, classes, rv))
+    return encode_ogg_vorbis_mono(frames), frames
+
+
+def _vorbis_stereo_fixture(doc):
+    from netcdf4_variable_streamer_spark.functions.vorbis import (
+        encode_ogg_vorbis_stereo,
+    )
+
+    flags = [0, 1, 1, 0]
+    frames = []
+    for fi, bf in enumerate(flags):
+        parts = (256 if bf else 64) // 8
+        ys = tuple(
+            (
+                (doc * 3 + fi + ch) % 128,
+                (doc * 5 + fi * 2 + ch) % 128,
+                (doc + fi + ch) % 16,
+                (doc * 2 + fi + ch) % 16,
+                (doc * 7 + fi + ch) % 16,
+            )
+            for ch in range(2)
+        )
+        classes = [(doc + fi + q) % 2 for q in range(parts)]
+        p0, p1 = [], []
+        for q in range(parts):
+            if classes[q]:
+                p0 += [(doc + fi + q) % 8, (doc * 3 + fi + q) % 8]
+                p1 += [
+                    ((doc * 11 + fi * 7 + q * 3 + i) % 17 - 8)
+                    for i in range(8)
+                ]
+        frames.append((bf, ys, classes, p0, p1))
+    return encode_ogg_vorbis_stereo(frames), frames
+
+
+def test_vorbis_ogg_page_layer():
+    """Ogg framing (RFC 3533): packet reassembly across spanning
+    pages and 255-multiple nil terminators, CRC verification, BOS/EOS
+    discipline, sequence-gap and continued-flag validation."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+
+    pkts = [b"a" * 10, b"b" * 600, b"c" * 255, b"", b"d" * 5000]
+    grans = [0, 64, 128, 128, 256]
+    stream = V.ogg_pages(pkts, 0x1234, grans, max_body=700)
+    out, g, serial = V.ogg_depage(stream)
+    assert out == pkts and serial == 0x1234
+    # every single-bit corruption of the stream must surface as a
+    # named ValueError (CRC catches body/header flips)
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        bad = bytearray(stream)
+        bad[rng.randint(len(bad))] ^= 1 << rng.randint(8)
+        if bytes(bad) == stream:
+            continue
+        with pytest.raises((ValueError, NotImplementedError)):
+            V.ogg_depage(bytes(bad))
+    with pytest.raises(ValueError, match="EOS"):
+        V.ogg_depage(stream[: stream.index(b"OggS", 4)])
+
+
+def test_vorbis_roundtrip_integer_observables():
+    """Both fixture variants decode through the generic bitstream
+    decoder with BIT-EXACT integer observables: floor Y sums, rounded
+    residue sums, packet and sample counts (incl. the dual-blocksize
+    pn/4 + n/4 lapping arithmetic)."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_audio_any,
+    )
+
+    for doc in (0, 7):
+        stream, frames = _vorbis_mono_fixture(doc)
+        st = V.vorbis_stream_stats(stream)
+        assert st["floor_checksum"] == sum(
+            sum(fr[0]) for fr in frames
+        )
+        assert st["residue_checksum"] == sum(
+            sum(fr[2]) for fr in frames
+        )
+        assert st["n_samples"] == 3 * 64 and st["n_packets"] == 4
+        pcm, rate = decode_audio_any(stream)
+        assert rate == 8000 and pcm.shape == (192,)
+        assert pcm.dtype == np.int16
+
+        stream, frames = _vorbis_stereo_fixture(doc)
+        st = V.vorbis_stream_stats(stream)
+        assert st["floor_checksum"] == sum(
+            sum(ys[ch]) for (_, ys, _, _, _) in frames
+            for ch in range(2)
+        )
+
+        def dsum(e):
+            return (
+                (e % 2) + (e // 2 % 2) + (e // 4 % 2) + (e % 4) - 8
+            )
+
+        rc = sum(
+            sum(map(dsum, p0)) + sum(p1)
+            for (_, _, _, p0, p1) in frames
+        )
+        assert st["residue_checksum"] == rc
+        # lapping: [0,1,1,0] -> (16+64) + (64+64) + (64+16)
+        assert st["n_samples"] == 288 and st["channels"] == 2
+        pcm, rate = decode_audio_any(stream)
+        assert rate == 16000 and pcm.shape == (288, 2)
+
+
+def test_vorbis_synthesis_analytic_identities():
+    """The float synthesis tail is pinned by spec-derivable math, not
+    fixture agreement: (a) the window satisfies Princen-Bradley
+    w^2[k] + w^2[k+n/2] = 1 exactly; (b) IMDCT output carries the
+    TDAC symmetries (first half antisymmetric, second half
+    symmetric); (c) PERFECT RECONSTRUCTION: random integer spectra
+    fed through the decoder (flat floor at amplitude 1.0), analyzed
+    by a TEST-LOCAL forward MDCT, return the spectra at one uniform
+    gain of n/4 — any window/basis/lapping mistake breaks the ratio
+    uniformity."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+
+    for n in (64, 128, 256, 512):
+        w = V._vorbis_window(n)
+        assert np.allclose(
+            w[: n // 2] ** 2 + w[n // 2 :] ** 2, 1.0, atol=1e-12
+        )
+    rng = np.random.RandomState(1)
+    for n in (64, 256):
+        y = V._imdct(rng.randn(n // 2))
+        assert np.allclose(y[: n // 2], -y[: n // 2][::-1], atol=1e-9)
+        assert np.allclose(y[n // 2 :], y[n // 2 :][::-1], atol=1e-9)
+    F, n, n2 = 8, 128, 64
+    specs = rng.randint(-8, 9, (F, n2))
+    frames = [
+        ((255, 255), [1] * 8, [int(v) for v in specs[f]])
+        for f in range(F)
+    ]
+    stream = V.encode_ogg_vorbis_mono(frames)
+    pkts, _, _ = V.ogg_depage(stream)
+    dec = V.VorbisDecoder(V.parse_headers(pkts))
+    out = np.concatenate(
+        [dec.decode_packet(p) for p in pkts[3:]]
+    )[:, 0]
+    w = V._vorbis_window(n)
+    k = np.arange(n)[:, None]
+    j = np.arange(n2)[None, :]
+    fwd = np.cos(np.pi / (2 * n) * (2 * k + 1 + n / 2) * (2 * j + 1))
+    ratios = []
+    for f in range(1, F - 1):
+        seg = out[(f - 1) * n2 : (f - 1) * n2 + n]
+        X = (seg * w) @ fwd
+        nz = specs[f] != 0
+        assert np.allclose(
+            X[~nz], 0, atol=1e-9 * max(1, abs(X).max())
+        )
+        ratios.append(X[nz] / specs[f][nz])
+    ratios = np.concatenate(ratios)
+    assert np.allclose(ratios, n / 4, rtol=1e-9)
+
+
+def test_vorbis_refusals_and_mutation_sweep():
+    """Refusal envelope: floor type 0 (LSP), nonzero mapping type,
+    nonzero time transform, codebook allocation bombs,
+    over/underspecified Huffman trees, version != 0 — each by name;
+    then a 12k-case bit-flip/truncation/burst sweep over both fixture
+    variants surfaces only ValueError / NotImplementedError."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        decode_audio_any,
+    )
+
+    def headers_with(floors=None, mappings=None, times_ok=True):
+        vbook = V.BookSpec(
+            32, 1, [5] * 32, lookup_type=1, minimum=-15.0,
+            delta=1.0, value_bits=5,
+            multiplicands=list(range(32)),
+        )
+
+        def def_floors(bw):
+            bw.write(0, 6)
+            bw.write(1, 16)
+            bw.write(0, 5)
+            bw.write(0, 2)
+            bw.write(6, 4)
+
+        def def_res(bw):
+            bw.write(0, 6)
+            bw.write(1, 16)
+            bw.write(0, 24)
+            bw.write(64, 24)
+            bw.write(7, 24)
+            bw.write(0, 6)
+            bw.write(0, 8)
+            bw.write(1, 3)
+            bw.write(0, 1)
+            bw.write(0, 8)
+
+        def def_maps(bw):
+            bw.write(0, 6)
+            bw.write(0, 16)
+            bw.write(0, 1)
+            bw.write(0, 1)
+            bw.write(0, 2)
+            bw.write(0, 8)
+            bw.write(0, 8)
+            bw.write(0, 8)
+
+        return V._vorbis_headers(
+            1, 8000, 128, 128, [vbook],
+            floors or def_floors, def_res, mappings or def_maps,
+            modes=[0],
+        )
+
+    def bad_floor0(bw):
+        bw.write(0, 6)
+        bw.write(0, 16)  # floor type 0
+
+    with pytest.raises(NotImplementedError, match="floor type 0"):
+        V.parse_headers(headers_with(floors=bad_floor0))
+
+    def bad_maptype(bw):
+        bw.write(0, 6)
+        bw.write(3, 16)
+
+    with pytest.raises(NotImplementedError, match="mapping type 3"):
+        V.parse_headers(headers_with(mappings=bad_maptype))
+    # codebook bombs and malformed trees, straight at the parser
+    bw = V.BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)
+    bw.write(1 << 21, 24)  # 2M entries
+    with pytest.raises(ValueError, match="implausible"):
+        V.parse_codebook(V.BitReader(bw.bytes() + b"\0" * 64))
+    with pytest.raises(ValueError, match="underspecified"):
+        V.assign_codewords([2, 2, 2])
+    with pytest.raises(ValueError, match="overspecified"):
+        V.assign_codewords([1, 1, 2])
+    # version byte in the identification header
+    mono, _ = _vorbis_mono_fixture(3)
+    pkts, grans, serial = V.ogg_depage(mono)
+    bad_ident = pkts[0][:7] + b"\x09" + pkts[0][8:]
+    with pytest.raises(ValueError, match="version"):
+        V.parse_headers([bad_ident] + pkts[1:])
+
+    # mutation sweep over both variants
+    stereo, _ = _vorbis_stereo_fixture(3)
+    rng = np.random.RandomState(18)
+    for base in (mono, stereo):
+        for _ in range(6000):
+            mut = bytearray(base)
+            kind = rng.randint(3)
+            if kind == 0:
+                mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+            elif kind == 1:
+                mut = mut[: rng.randint(len(mut))]
+            else:
+                for _ in range(rng.randint(1, 8)):
+                    mut[rng.randint(len(mut))] ^= rng.randint(1, 256)
+            try:
+                decode_audio_any(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass

@@ -407,6 +407,8 @@ def test_codec_decode_keys_zero_shuffle(spark):
         "q_multimodal_tiff_tiled",
         "q_multimodal_audio_adpcm",
         "q_multimodal_scanned_archive",
+        # round 18
+        "q_multimodal_audio_vorbis",
     ):
         df = build(spark, key)
         plans.assert_max_shuffles(df, 0)
