@@ -5570,3 +5570,225 @@ def test_vorbis_refusals_and_mutation_sweep():
                 decode_audio_any(bytes(mut))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_fuzz11_g4_tiled_edges_and_photometric_composition():
+    """Fuzz round 11 target 1 (VERDICT r17 #6): G4 x tiled layouts at
+    edge-crop shapes composed with BOTH photometrics and (round 18)
+    FillOrder 2 — grid placement, pad cropping and inversion must
+    compose, and bit-flips over the tile directory and tile data must
+    refuse, never mis-place a tile."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w in [(17, 19), (16, 33), (47, 15), (16, 16)]:
+        page = (rng.randint(0, 2, (h, w)) * 255).astype(np.uint8)
+        for fo in (1, 2):
+            f = encode_tiff(
+                page, compression="g4", tile=(16, 16), fill_order=fo
+            )
+            got = decode_tiff(f)
+            assert got.shape == (h, w)
+            # G4 encodes photometric 0 (WhiteIsZero): bilevel content
+            # must round-trip exactly after the inversion convention
+            assert (got == page).all(), (h, w, fo)
+        # photometric flip: patch tag 262 to 1 (BlackIsZero) — pixels
+        # must invert, not silently stay
+        f = bytearray(
+            encode_tiff(page, compression="g4", tile=(16, 16))
+        )
+        i = f.index(_struct.pack("<HH", 262, 3)) + 8
+        f[i : i + 2] = _struct.pack("<H", 1)
+        assert (decode_tiff(bytes(f)) == 255 - page).all()
+    # mutation sweep over one tiled G4 FillOrder-2 file
+    base = encode_tiff(
+        (rng.randint(0, 2, (33, 47)) * 255).astype(np.uint8),
+        compression="g4", tile=(16, 16), fill_order=2,
+    )
+    ok = 0
+    for _ in range(3000):
+        mut = bytearray(base)
+        if rng.randint(2):
+            mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+        else:
+            mut = mut[: rng.randint(len(mut))]
+        try:
+            decode_tiff(bytes(mut))
+            ok += 1
+        except (ValueError, NotImplementedError):
+            pass
+    assert ok < 3000  # corruption is actually being caught
+
+
+def test_fuzz11_adpcm_blockalign_lies_and_truncation():
+    """Fuzz round 11 target 2: stereo IMA ADPCM with lying blockAlign
+    / samplesPerBlock header fields and truncated final blocks must
+    refuse by name (incl. the round-18 fact-chunk rule), never return
+    silently wrong-length audio."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-3000, 3000, (300, 2)).astype(np.int16)
+    base = mm.encode_wav_ima_adpcm(s, 8000, block_nibbles=64)
+    ref, rate = mm.decode_wav_pcm16(base)
+    assert rate == 8000 and ref.shape == s.shape
+
+    def patch_fmt(payload, off, val):
+        b = bytearray(payload)
+        i = b.index(b"fmt ") + 8 + off
+        _struct.pack_into("<H", b, i, val)
+        return bytes(b)
+
+    # blockAlign lies: not headers + whole 8-byte groups -> named
+    with pytest.raises(ValueError, match="blockAlign"):
+        mm.decode_wav_pcm16(patch_fmt(base, 12, 13))
+    # samplesPerBlock exceeding block capacity -> named
+    with pytest.raises(ValueError, match="capacity"):
+        mm.decode_wav_pcm16(patch_fmt(base, 18, 60000))
+    # truncation inside a block refuses with the slot-count error;
+    # truncation at a BLOCK boundary survives per-block checks and
+    # must then trip the round-18 fact-chunk rule
+    fi = base.index(b"fmt ")
+    (balign,) = _struct.unpack_from("<H", base, fi + 8 + 12)
+    di = base.index(b"data")
+    (dsize,) = _struct.unpack_from("<I", base, di + 4)
+    b = bytearray(base[: di + 8 + dsize - 40])
+    _struct.pack_into("<I", b, di + 4, dsize - 40)
+    with pytest.raises(ValueError, match="sample slots"):
+        mm.decode_wav_pcm16(bytes(b))
+    cut = (dsize // balign - 1) * balign
+    b = bytearray(base[: di + 8 + cut])
+    _struct.pack_into("<I", b, di + 4, cut)
+    with pytest.raises(ValueError, match="fact chunk declares"):
+        mm.decode_wav_pcm16(bytes(b))
+    # mutation sweep
+    for _ in range(3000):
+        mut = bytearray(base)
+        if rng.randint(2):
+            mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+        else:
+            mut = mut[: rng.randint(len(mut))]
+        try:
+            mm.decode_wav_pcm16(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_fuzz11_png_palette_trns_and_adam7_edges():
+    """Fuzz round 11 target 3: palette/tRNS chunk-length edges (zero
+    PLTE, non-multiple-of-3 PLTE, round-18 oversized tRNS) and Adam7
+    pass grids at degenerate shapes (1xN, Nx1, pass-empty sizes) —
+    every pixel exactly once, every malformed chunk a named error."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    def chunk(t, b):
+        return (
+            _struct.pack(">I", len(b)) + t + b
+            + _struct.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(11)
+    # Adam7 degenerate shapes: interlaced gray8, every pixel once
+    for h, w in [(1, 1), (1, 9), (9, 1), (2, 3), (5, 5), (8, 8)]:
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        rows = bytearray()
+        for y0, x0, dy, dx in (
+            (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4),
+            (0, 2, 4, 4), (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+        ):
+            sub = g[y0:h:dy, x0:w:dx]
+            if sub.size == 0:
+                continue
+            for r in sub:
+                rows += b"\x00" + r.tobytes()
+        png = (
+            mm._PNG_SIG
+            + chunk(
+                b"IHDR",
+                _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1),
+            )
+            + chunk(b"IDAT", _zlib.compress(bytes(rows)))
+            + chunk(b"IEND", b"")
+        )
+        assert (mm.decode_png(png)[:, :, 0] == g).all(), (h, w)
+    # malformed palette chunks refuse by name
+    base = lambda plte, trns=None: (
+        mm._PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + (chunk(b"tRNS", trns) if trns else b"")
+        + chunk(b"IDAT", _zlib.compress(b"\x00\x00\x01"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png(base(b"\x01\x02"))  # not a multiple of 3
+    with pytest.raises(ValueError, match="tRNS"):
+        mm.decode_png(base(b"\x00" * 6, b"\x00\x01\x02"))  # 3 > 2
+
+
+def test_fuzz11_scanned_archive_dispatch_chimeras():
+    """Fuzz round 11 target 4: chimeras over the (now six-variant)
+    TIFF corpus — headers of one variant grafted onto strip data of
+    another (G4 counts over PackBits bytes, FillOrder-2 tag over
+    MSB data, tile tags over strip data) must refuse or decode to a
+    full-shape image, never crash or return a partial array."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(11)
+    page = (rng.randint(0, 2, (18, 26)) * 255).astype(np.uint8)
+    gray = rng.randint(0, 256, (18, 26)).astype(np.uint8)
+    variants = [
+        encode_tiff(gray, compression="none"),
+        encode_tiff(gray, compression="packbits", rows_per_strip=5),
+        encode_tiff(page, compression="g4", rows_per_strip=5),
+        encode_tiff(gray, compression="packbits", tile=(16, 16)),
+        encode_tiff(page, compression="g4", tile=(16, 16)),
+        encode_tiff(
+            page, compression="g4", rows_per_strip=5, fill_order=2
+        ),
+    ]
+    # graft: take each file's IFD, splice the strip/tile DATA region
+    # of every other file behind it
+    for a in variants:
+        for b in variants:
+            if a is b:
+                continue
+            cut = min(64, len(a) // 2)
+            chimera = a[:cut] + b[cut:] + b[:cut]
+            try:
+                img = decode_tiff(chimera)
+                assert img.shape[0] == 18 and img.shape[1] == 26
+            except (ValueError, NotImplementedError):
+                pass
+    # cross-tag graft: set the FillOrder tag on every MSB variant
+    for v in variants[:5]:
+        b = bytearray(v)
+        try:
+            i = b.index(_struct.pack("<HH", 266, 3)) + 8
+            b[i : i + 2] = _struct.pack("<H", 2)
+        except ValueError:
+            continue  # variant carries no FillOrder tag
+        try:
+            img = decode_tiff(bytes(b))
+            assert img.shape == (18, 26)
+        except (ValueError, NotImplementedError):
+            pass
