@@ -5792,3 +5792,176 @@ def test_fuzz11_scanned_archive_dispatch_chimeras():
             assert img.shape == (18, 26)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_vorbis_decoder_generic_paths():
+    """The decoder is generic over the bitstream, not over what the
+    in-repo encoder emits — exercise the setup/packet paths the two
+    fixture variants never produce: (a) ORDERED codebook length
+    lists; (b) SPARSE codebooks with unused entries; (c) lookup-1
+    multi-dim integer-root reconstruction WITH sequence_p cascading;
+    (d) floor1 subclass_bits > 0 routing points through a MASTERBOOK
+    codeword; (e) residue type 0's strided vector placement."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+
+    # (a) ordered lengths [1,2,3,4,5,6,7,7] (Kraft-complete)
+    bw = V.BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)
+    bw.write(8, 24)
+    bw.write(1, 1)  # ordered
+    bw.write(0, 5)  # initial length 1
+    for cur, bits, num in (
+        (0, 4, 1), (1, 3, 1), (2, 3, 1), (3, 3, 1),
+        (4, 3, 1), (5, 2, 1), (6, 2, 2),
+    ):
+        bw.write(num, bits)
+    bw.write(0, 4)  # lookup type 0
+    cb = V.parse_codebook(V.BitReader(bw.bytes()))
+    assert cb.codewords == V.assign_codewords(
+        [1, 2, 3, 4, 5, 6, 7, 7]
+    )
+
+    # (b) sparse: entries [used len1, unused, len2, len3, unused, len3]
+    bw = V.BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)
+    bw.write(6, 24)
+    bw.write(0, 1)  # unordered
+    bw.write(1, 1)  # sparse
+    for used, ln in ((1, 1), (0, 0), (1, 2), (1, 3), (0, 0), (1, 3)):
+        bw.write(used, 1)
+        if used:
+            bw.write(ln - 1, 5)
+    bw.write(0, 4)
+    cb = V.parse_codebook(V.BitReader(bw.bytes()))
+    assert set(cb.codewords) == {0, 2, 3, 5}
+    assert cb.codewords == V.assign_codewords(
+        [1, None, 2, 3, None, 3]
+    )
+
+    # (c) lookup-1, dim 2, entries 9 -> lookup_values 3, sequence_p=1
+    bw = V.BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(2, 16)
+    bw.write(9, 24)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    lens = [3, 3, 3, 3, 3, 3, 3, 4, 4]  # Kraft: 7/8 + 2/16 = 1
+    for ln in lens:
+        bw.write(ln - 1, 5)
+    bw.write(1, 4)  # lookup type 1
+    bw.write(V.float32_pack(10.0), 32)
+    bw.write(V.float32_pack(1.0), 32)
+    bw.write(1, 4)  # value_bits 2
+    bw.write(1, 1)  # sequence_p = 1
+    for m in (0, 1, 2):
+        bw.write(m, 2)
+    cb = V.parse_codebook(V.BitReader(bw.bytes()))
+    assert cb.lookup_values == 3 and cb.sequence_p == 1
+    # entry 5 -> offsets (5 % 3, 5 // 3 % 3) = (2, 1):
+    # v0 = 10 + 2 = 12; v1 = v0 + 10 + 1 = 23 (sequence cascade)
+    code, ln = cb.codewords[5]
+    bw2 = V.BitWriter()
+    for i in range(ln - 1, -1, -1):
+        bw2.write((code >> i) & 1, 1)
+    assert cb.decode_vector(V.BitReader(bw2.bytes())) == [12.0, 23.0]
+
+    # (d) floor1 masterbook routing: cbits=1, 2 subclass books with
+    # DIFFERENT decode tables; the masterbook codeword picks per point
+    master = V.BookSpec(2, 1, [1, 1])
+    sub_a = V.BookSpec(4, 1, [2, 2, 2, 2])
+    sub_b = V.BookSpec(8, 1, [3] * 8)
+    books = [None, None, None]
+    fl = V.Floor1()
+    fl.partition_classes = [0]
+    fl.class_dims = [2]
+    fl.class_subclass_bits = [1]
+    fl.class_masterbooks = [0]
+    fl.subclass_books = [[1, 2]]
+    fl.multiplier = 1
+    fl.rangebits = 6
+    fl.x_list = [0, 64, 16, 48]
+
+    def mkbook(spec):
+        cb = V.Codebook()
+        cb.dimensions = spec.dim
+        cb.entries = spec.entries
+        cb.decode_map = {
+            (1 << ln) | code: e
+            for e, (code, ln) in spec.codewords.items()
+        }
+        cb.max_len = max(ln for _, ln in spec.codewords.values())
+        cb.lookup_type = 0
+        return cb
+
+    books = [mkbook(master), mkbook(sub_a), mkbook(sub_b)]
+    bw = V.BitWriter()
+    bw.write(1, 1)  # nonzero
+    bw.write(100, 8)
+    bw.write(50, 8)
+    # masterbook cval = entry 1 -> bits: point 0 book = subclass[1]
+    # (sub_b), point 1 book = subclass[0] (sub_a)
+    c, ln = master.codewords[1]
+    for i in range(ln - 1, -1, -1):
+        bw.write((c >> i) & 1, 1)
+    c, ln = sub_b.codewords[5]
+    for i in range(ln - 1, -1, -1):
+        bw.write((c >> i) & 1, 1)
+    c, ln = sub_a.codewords[2]
+    for i in range(ln - 1, -1, -1):
+        bw.write((c >> i) & 1, 1)
+    y = V.decode_floor1_yvals(V.BitReader(bw.bytes()), fl, books)
+    assert y == [100, 50, 5, 2]
+    # and the curve renders monotone segments into amplitude domain
+    curve = V.floor1_curve(fl, y, 64)
+    assert curve.shape == (64,) and (curve > 0).all()
+
+    # (e) residue type 0: stride placement — one partition, book dim
+    # 4 over partition_size 8 -> step 2, vec d lands at off + s + d*2
+    vb = V.BookSpec(
+        16, 4, [4] * 16, lookup_type=1, minimum=0.0, delta=1.0,
+        value_bits=2, multiplicands=[0, 1],
+    )
+    r = V.Residue()
+    r.rtype = 0
+    r.begin = 0
+    r.end = 8
+    r.partition_size = 8
+    r.classifications = 2
+    r.classbook = 0
+    r.cascade = [0, 1]
+    r.books = [[None] * 8, [1] + [None] * 7]
+    clsb = V.BookSpec(4, 2, [2, 2, 2, 2])
+    dbooks = [None, None]
+
+    def mkvq(spec):
+        cb = mkbook(spec)
+        cb.lookup_type = spec.lookup_type
+        cb.minimum = spec.minimum
+        cb.delta = spec.delta
+        cb.sequence_p = 0
+        cb.lookup_values = 2
+        cb.multiplicands = spec.multiplicands
+        return cb
+
+    dbooks = [mkbook(clsb), mkvq(vb)]
+    bw = V.BitWriter()
+    # classword: single channel, classwords=2 but parts=1 -> one
+    # codeword covers it; class of partition 0 must be 1:
+    # entry = temp with temp % 2 assigned to index 1.. (i=1 gets
+    # pcount+1 which is PAST parts) — entry 2 gives class[0]=1
+    c, ln = clsb.codewords[2]
+    for i in range(ln - 1, -1, -1):
+        bw.write((c >> i) & 1, 1)
+    # two vectors: entry 0b0110 -> mults (0,1,1,0); entry 0b1001
+    for e in (6, 9):
+        c, ln = vb.codewords[e]
+        for i in range(ln - 1, -1, -1):
+            bw.write((c >> i) & 1, 1)
+    out = V._residue_core(
+        V.BitReader(bw.bytes()), r, dbooks, 1, 8, [False]
+    )[0]
+    # entry 6 mult offsets: (6%2, 6//2%2, 6//4%2, 6//8%2) = (0,1,1,0)
+    # placed at 0,2,4,6; entry 9 -> (1,0,0,1) placed at 1,3,5,7
+    assert list(out) == [0, 1, 1, 0, 1, 0, 0, 1]
