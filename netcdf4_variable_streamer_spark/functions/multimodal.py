@@ -878,10 +878,11 @@ def encode_wav_g711(
 # REAL PNG codec, stdlib zlib + NumPy. zlib ships with CPython, so PNG
 # needs no external library at all — the decoder handles 8-bit
 # gray/RGB/RGBA plus (round 17) palette images (PLTE/tRNS, depths
-# 1/2/4/8), low-depth grayscale and Adam7 interlace (all five row
+# 1/2/4/8), (round 18) 16-bit samples as uint16,
+# low-depth grayscale and Adam7 interlace (all five row
 # filters everywhere); the encoder emits spec-conformant 8-bit
 # non-interlaced files (Sub-filtered, CRC'd) that any tool opens.
-# 16-bit samples raise cleanly.
+# the encoder side stays 8-bit (fixtures build 16-bit files by hand).
 # ---------------------------------------------------------------------------
 
 import zlib
@@ -1443,10 +1444,19 @@ def _png_defilter(scan: np.ndarray, stride: int, bpp: int) -> np.ndarray:
 def _png_unpack_samples(
     rows: np.ndarray, pw: int, spp: int, depth: int
 ) -> np.ndarray:
-    """De-filtered scanline bytes → (rows, pw*spp) uint8 samples —
-    identity at 8 bits, MSB-first bit unpacking below."""
+    """De-filtered scanline bytes → (rows, pw*spp) samples — identity
+    at 8 bits, big-endian pair packing to uint16 at 16 bits (round
+    18), MSB-first bit unpacking below 8."""
     if depth == 8:
         return rows[:, : pw * spp]
+    if depth == 16:
+        # big-endian byte pairs -> uint16 (round 18)
+        pairs = rows[:, : pw * spp * 2].reshape(
+            rows.shape[0], pw * spp, 2
+        )
+        return (pairs[:, :, 0].astype(np.uint16) << 8) | pairs[
+            :, :, 1
+        ]
     bits = np.unpackbits(rows, axis=1)[:, : pw * spp * depth]
     vals = bits.reshape(rows.shape[0], pw * spp, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
@@ -1477,12 +1487,17 @@ def decode_png(payload: bytes) -> np.ndarray:
                     f"PNG color type {color} unsupported"
                 )
             ok_depth = (
-                (1, 2, 4, 8) if color in (0, 3) else (8,)
+                (1, 2, 4, 8, 16)
+                if color == 0
+                else (1, 2, 4, 8)
+                if color == 3
+                else (8, 16)
             )
             if depth not in ok_depth:
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} unsupported "
-                    "(8-bit samples; 1/2/4-bit gray and palette only)"
+                    "(8/16-bit samples; 1/2/4-bit and 16-bit gray, "
+                    "1/2/4/8-bit palette)"
                 )
             if interlace not in (0, 1):
                 raise ValueError(
@@ -1534,7 +1549,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"bytes, header declares {expected}"
         )
     bpp = max(1, (spp * depth) // 8)
-    samples = np.zeros((h, w * spp), np.uint8)
+    samples = np.zeros(
+        (h, w * spp), np.uint16 if depth == 16 else np.uint8
+    )
     off = 0
     for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
         if not (pw and ph):
@@ -1585,7 +1602,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             for i in range(need // 2)
         ]
         px = samples.reshape(h, w, spp).astype(np.int32)
-        akey = np.full((h, w), 255, np.uint8)
+        opaque = 65535 if depth == 16 else 255
+        akey = np.full((h, w), opaque, samples.dtype)
         match = np.ones((h, w), bool)
         for ci, k in enumerate(keys):
             match &= px[:, :, ci] == k

@@ -5965,3 +5965,125 @@ def test_vorbis_decoder_generic_paths():
     # entry 6 mult offsets: (6%2, 6//2%2, 6//4%2, 6//8%2) = (0,1,1,0)
     # placed at 0,2,4,6; entry 9 -> (1,0,0,1) placed at 1,3,5,7
     assert list(out) == [0, 1, 1, 0, 1, 0, 0, 1]
+
+
+def test_png_16bit_depth_all_colors():
+    """Round-18 16-bit PNG (the scientific/HDR sample class — closes
+    a named r17 refusal): gray/RGB/gray-alpha/RGBA at depth 16 decode
+    to uint16 with big-endian pair unpacking, plain AND Adam7
+    interlaced; the Sub filter's left-neighbor distance is the full
+    2*spp bytes; tRNS keys match at FULL 16-bit range with a
+    65535-opaque alpha plane; palette stays 8-bit-max by spec; 8-bit
+    decode is unchanged; mutation sweep refuses controlled."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from netcdf4_variable_streamer_spark.functions import (
+        multimodal as mm,
+    )
+
+    def chunk(t, b):
+        return (
+            _struct.pack(">I", len(b)) + t + b
+            + _struct.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(18)
+    for color, spp in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for interlace in (0, 1):
+            h, w = 5, 7
+            g = rng.randint(0, 65536, (h, w, spp)).astype(np.uint16)
+            rows = bytearray()
+            passes = (
+                mm._ADAM7 if interlace else ((0, 0, 1, 1),)
+            )
+            for x0, y0, dx, dy in passes:
+                sub = g[y0:h:dy, x0:w:dx]
+                if sub.size == 0:
+                    continue
+                for r in sub:
+                    rows += b"\x00" + r.astype(">u2").tobytes()
+            png = (
+                mm._PNG_SIG
+                + chunk(
+                    b"IHDR",
+                    _struct.pack(
+                        ">IIBBBBB", w, h, 16, color, 0, 0, interlace
+                    ),
+                )
+                + chunk(b"IDAT", _zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b"")
+            )
+            out = mm.decode_png(png)
+            assert out.dtype == np.uint16
+            assert out.shape == (h, w, spp)
+            assert (out == g).all(), (color, interlace)
+    # Sub filter at bpp = 2 bytes (gray16)
+    h, w = 3, 6
+    g = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+    rows = bytearray()
+    for r in g:
+        raw = r.astype(">u2").tobytes()
+        filt = bytearray(raw)
+        for i in range(len(raw) - 1, 1, -1):
+            filt[i] = (raw[i] - raw[i - 2]) % 256
+        rows += b"\x01" + bytes(filt)
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (mm.decode_png(png)[:, :, 0] == g).all()
+    # full-range tRNS key, 65535-opaque alpha
+    g = np.array([[1000, 65535, 1000]], np.uint16)
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 1, 16, 0, 0, 0, 0))
+        + chunk(b"tRNS", _struct.pack(">H", 65535))
+        + chunk(
+            b"IDAT",
+            _zlib.compress(b"\x00" + g[0].astype(">u2").tobytes()),
+        )
+        + chunk(b"IEND", b"")
+    )
+    out = mm.decode_png(png)
+    assert out.dtype == np.uint16 and list(out[0, :, 1]) == [
+        65535, 0, 65535,
+    ]
+    # 16-bit palette is invalid by spec and still refuses by name
+    with pytest.raises(NotImplementedError, match="depth=16 color=3"):
+        mm.decode_png(
+            mm._PNG_SIG
+            + chunk(
+                b"IHDR",
+                _struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0),
+            )
+            + chunk(b"IEND", b"")
+        )
+    # 8-bit regression
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    assert (mm.decode_png(mm.encode_png(img))[:, :, :3] == img).all()
+    # mutation sweep over a 16-bit interlaced RGBA file
+    g = rng.randint(0, 65536, (8, 9, 4)).astype(np.uint16)
+    rows = bytearray()
+    for x0, y0, dx, dy in mm._ADAM7:
+        sub = g[y0:8:dy, x0:9:dx]
+        for r in sub:
+            rows += b"\x00" + r.astype(">u2").tobytes()
+    base = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 9, 8, 16, 6, 0, 0, 1))
+        + chunk(b"IDAT", _zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+    for _ in range(2000):
+        mut = bytearray(base)
+        if rng.randint(2):
+            mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+        else:
+            mut = mut[: rng.randint(len(mut))]
+        try:
+            mm.decode_png(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
