@@ -6087,3 +6087,34 @@ def test_png_16bit_depth_all_colors():
             mm.decode_png(bytes(mut))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_vorbis_silent_channel_packet():
+    """A floor nonzero flag of 0 marks the channel silent: the floor
+    reads nothing further, the residue skips the channel entirely
+    (do-not-decode), and the synthesis yields zeros — a path the
+    fixture encoders never emit."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+
+    stream, frames = _vorbis_mono_fixture(1)
+    pkts, _, _ = V.ogg_depage(stream)
+    setup = V.parse_headers(pkts)
+    dec = V.VorbisDecoder(setup)
+    dec.decode_packet(pkts[3])  # prime the lapping state
+    fc0, rc0 = dec.floor_checksum, dec.residue_checksum
+    bw = V.BitWriter()
+    bw.write(0, 1)  # audio packet
+    bw.write(0, 1)  # floor nonzero = 0 -> silent, packet ends here
+    out = dec.decode_packet(bw.bytes())
+    assert out.shape == (64, 1)
+    # left half of this block is silent; only the previous block's
+    # windowed right half remains
+    assert dec.floor_checksum == fc0
+    assert dec.residue_checksum == rc0
+    # a fully-silent pair produces exact zeros
+    out2 = dec.decode_packet(bw.bytes())
+    bw2 = V.BitWriter()
+    bw2.write(0, 1)
+    bw2.write(0, 1)
+    out3 = dec.decode_packet(bw2.bytes())
+    assert (out3 == 0).all()
