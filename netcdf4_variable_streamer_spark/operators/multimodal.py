@@ -2874,3 +2874,131 @@ def q_multimodal_audio_vorbis(
         "n_packets long, n_samples long, floor_checksum long, "
         "residue_checksum long",
     )
+
+
+@register(
+    "q_multimodal_png16",
+    oracle="""
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 2999 + yy.range * 513 + xx.range * 257) % 65536
+           AS v
+  FROM documents d, range(0, 6) yy, range(0, 9) xx
+)
+SELECT doc_id,
+       CAST(9 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(16 AS INTEGER) AS bit_depth,
+       CAST(doc_id % 2 AS INTEGER) AS interlaced,
+       CAST(SUM(v) AS BIGINT) AS pixel_checksum,
+       CAST(MAX(v) AS BIGINT) AS pixel_max
+FROM px
+GROUP BY doc_id
+""",
+    doc="16-BIT PNG decode (round 18) — the scientific/HDR sample "
+        "class (depth maps, medical scans, astronomy plates) that "
+        "was a named refusal through round 17: big-endian sample "
+        "pairs decode to uint16 through the same filter/interlace "
+        "machinery as 8-bit (functions/multimodal.py decode_png; "
+        "the Sub/Paeth left-neighbor distance becomes the full "
+        "2-byte-per-sample stride, tRNS keys match at full 16-bit "
+        "range). Lossless: closed-form 6x9 uint16 pixels per "
+        "document are hand-chunked into a REAL PNG (even docs plain "
+        "with alternating None/Sub row filters — exercising the "
+        "2-byte filter stride; odd docs Adam7-interlaced), decoded "
+        "through decode_any's magic-byte dispatch, and reduce to "
+        "the checksum SQL regenerates. Scale shape: zero shuffles, "
+        "one Arrow-batched mapInPandas per side, decode CPU rides "
+        "scan parallelism.",
+)
+def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from netcdf4_variable_streamer_spark.functions.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        decode_any,
+    )
+
+    H, W = 6, 9
+    ys, xs = np.indices((H, W))
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    def encode(batches):
+        for pdf in batches:
+            rows_out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = (
+                    (d * 2999 + ys * 513 + xs * 257) % 65536
+                ).astype(np.uint16)
+                interlace = d % 2
+                scan = bytearray()
+                if interlace:
+                    for x0, y0, dx, dy in _ADAM7:
+                        for r in g[y0:H:dy, x0:W:dx]:
+                            scan += b"\x00" + r.astype(">u2").tobytes()
+                else:
+                    for y in range(H):
+                        raw = g[y].astype(">u2").tobytes()
+                        if y % 2:
+                            filt = bytearray(raw)
+                            for i in range(len(raw) - 1, 1, -1):
+                                filt[i] = (raw[i] - raw[i - 2]) % 256
+                            scan += b"\x01" + bytes(filt)
+                        else:
+                            scan += b"\x00" + raw
+                png = (
+                    _PNG_SIG
+                    + chunk(
+                        b"IHDR",
+                        struct.pack(
+                            ">IIBBBBB", W, H, 16, 0, 0, 0, interlace
+                        ),
+                    )
+                    + chunk(b"IDAT", zlib.compress(bytes(scan)))
+                    + chunk(b"IEND", b"")
+                )
+                rows_out.append((d, interlace, png))
+            yield pd.DataFrame(
+                rows_out, columns=["doc_id", "interlaced", "payload"]
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, il, payload in zip(
+                pdf["doc_id"], pdf["interlaced"], pdf["payload"]
+            ):
+                img = decode_any(bytes(payload))
+                assert img.dtype == np.uint16
+                h, w = img.shape[:2]
+                v = img.astype(np.int64)
+                rows.append(
+                    (d, w, h, 16, int(il), int(v.sum()), int(v.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bit_depth",
+                    "interlaced", "pixel_checksum", "pixel_max",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        encode, "doc_id long, interlaced int, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, bit_depth int, "
+        "interlaced int, pixel_checksum long, pixel_max long",
+    )

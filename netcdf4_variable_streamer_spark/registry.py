@@ -76,6 +76,7 @@ CANONICAL_ORDER: list[str] = [
     #    first --
     "q_sim_ivfpq_production_recall",
     "q_multimodal_audio_vorbis",
+    "q_multimodal_png16",
     # -- last driver check: r11 --
     "q_stream_dedup_incremental",
     "q_sim_binary_hamming_multiword",

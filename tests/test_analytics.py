@@ -126,6 +126,7 @@ NEW_KEYS = [
     "q_multimodal_scanned_archive",
     # round 18
     "q_sim_ivfpq_production_recall", "q_multimodal_audio_vorbis",
+    "q_multimodal_png16",
 ]
 
 

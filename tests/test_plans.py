@@ -409,6 +409,7 @@ def test_codec_decode_keys_zero_shuffle(spark):
         "q_multimodal_scanned_archive",
         # round 18
         "q_multimodal_audio_vorbis",
+        "q_multimodal_png16",
     ):
         df = build(spark, key)
         plans.assert_max_shuffles(df, 0)
