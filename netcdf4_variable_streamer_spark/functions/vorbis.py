@@ -92,12 +92,17 @@ def ogg_pages(
     serial: int,
     granules: list[int],
     max_body: int = 4096,
+    flush_after: frozenset = frozenset(),
 ) -> bytes:
     """Frame ``packets`` into version-0 Ogg pages (one logical
     stream): BOS on the first page, EOS on the last, ``granules[i]``
     stamped on the page where packet i COMPLETES (RFC 3533 §6), -1 on
     pages that complete no packet. Packets larger than ``max_body``
-    span pages with the continued-packet flag."""
+    span pages with the continued-packet flag. ``flush_after`` forces
+    a page boundary after the named packet indexes — the Vorbis
+    embedding rules (spec A.2) require the identification header
+    ALONE on the BOS page and audio starting on a fresh page after
+    the setup header, so the encoders pass {0, 2}."""
     if len(packets) != len(granules):
         raise ValueError("one granule per packet required")
     # split every packet into lacing segments (255-terminated)
@@ -132,6 +137,8 @@ def ogg_pages(
             if done:
                 last_done_pkt = pi
             i += 1
+            if done and pi in flush_after:
+                break
         is_first = page_seq == 0
         is_last = i >= len(segs)
         # continued flag: this page starts mid-packet
@@ -1013,25 +1020,26 @@ def _residue_core(br, r, books, ch, n, do_not_decode):
 # Synthesis: IMDCT + window + lapping
 
 
-def _imdct_matrix(n: int) -> np.ndarray:
-    """(n x n/2) inverse-MDCT basis: out[k] = sum_j X[j] *
-    cos(pi/(2n) (2k + 1 + n/2)(2j + 1))."""
-    k = np.arange(n)[:, None]
-    j = np.arange(n // 2)[None, :]
-    return np.cos(np.pi / (2 * n) * (2 * k + 1 + n / 2) * (2 * j + 1))
-
-
-_IMDCT_CACHE: dict[int, np.ndarray] = {}
 _WIN_CACHE: dict[int, np.ndarray] = {}
 
 
 def _imdct(spec: np.ndarray) -> np.ndarray:
-    n = 2 * len(spec)
-    m = _IMDCT_CACHE.get(n)
-    if m is None:
-        m = _imdct_matrix(n)
-        _IMDCT_CACHE[n] = m
-    return m @ spec
+    """Inverse MDCT, out[k] = sum_j X[j] cos(pi/(2n)(2k+1+n/2)(2j+1)),
+    computed via one length-4n FFT instead of a dense (n x n/2) basis
+    matrix (round-18 review: the matrix form cached ~268 MB forever
+    for a hostile-or-real blocksize-8192 stream and cost O(n^2) per
+    packet; this is O(n log n) with O(n) transient allocation).
+    Derivation: split the phase (2k+1+n/2)(2j+1) = 2k(2j+1) +
+    (1+n/2)(2j+1); the first factor makes Re[IDFT] of a length-4n
+    spectrum carrying the pre-twiddled coefficients at odd bins."""
+    m = len(spec)
+    n = 2 * m
+    j = np.arange(m)
+    theta = np.pi / (2 * n)
+    c = spec * np.exp(1j * theta * (1 + n / 2) * (2 * j + 1))
+    big = np.zeros(2 * n, complex)
+    big[2 * j + 1] = c
+    return (np.fft.ifft(big)[:n] * (2 * n)).real
 
 
 def _vorbis_window(n: int) -> np.ndarray:
@@ -1214,11 +1222,7 @@ def _decode_ogg_vorbis_full(payload: bytes):
         blocks.append(dec.decode_packet(p))
     if not blocks:
         raise ValueError("Ogg Vorbis stream carries no audio packets")
-    pcm = (
-        np.concatenate(blocks, axis=0)
-        if blocks
-        else np.zeros((0, setup.channels))
-    )
+    pcm = np.concatenate(blocks, axis=0)
     final_granule = granules[-1]
     if 0 <= final_granule < len(pcm):
         pcm = pcm[:final_granule]
@@ -1460,7 +1464,9 @@ def encode_ogg_vorbis_mono(
             p += 2
         packets.append(bw.bytes())
         granules.append(fi * n2)
-    return ogg_pages(packets, serial, granules)
+    return ogg_pages(
+        packets, serial, granules, flush_after=frozenset({0, 2})
+    )
 
 
 def encode_ogg_vorbis_stereo(
@@ -1589,4 +1595,6 @@ def encode_ogg_vorbis_stereo(
             total += prev_n // 4 + n // 4
         prev_n = n
         granules.append(total)
-    return ogg_pages(packets, serial, granules)
+    return ogg_pages(
+        packets, serial, granules, flush_after=frozenset({0, 2})
+    )

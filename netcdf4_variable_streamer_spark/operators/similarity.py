@@ -2202,102 +2202,9 @@ def _ivfpq_recall_frame(
     "q_sim_ivfpq_trained_recall",
     oracle=f"""
 WITH {_CIVF_CTES},
-qres AS (
-  SELECT p.q_id, p.cl,
-         LIST_TRANSFORM(generate_series(1, 64), i ->
-           f.fxv[CAST(i AS INTEGER)] - c.cfx[CAST(i AS INTEGER)])
-           AS qrfx
-  FROM probes p
-  JOIN fxe f ON f.vec_id = p.q_id
-  JOIN {_CIVF_CCB} c USING (cl)
-),
-lut AS (
-  SELECT q.q_id, q.cl, b.s, b.c,
-         CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 8), i ->
-           (q.qrfx[CAST(b.s * 8 + i AS INTEGER)]
-            - b.cfx[CAST(i AS INTEGER)])
-           * (q.qrfx[CAST(b.s * 8 + i AS INTEGER)]
-              - b.cfx[CAST(i AS INTEGER)]))) AS BIGINT) AS d2
-  FROM qres q, {_CIVF_RCB} b
-),
-scored AS (
-  SELECT l.q_id, t.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc2
-  FROM tcodes t
-  JOIN ca a USING (vec_id)
-  JOIN lut l ON l.cl = a.cl AND l.s = t.s AND l.c = t.c
-  WHERE t.vec_id <> l.q_id
-  GROUP BY l.q_id, t.vec_id
-),
-adc_topk AS (
-  SELECT q_id, vec_id, rn FROM (
-    SELECT q_id, vec_id, ROW_NUMBER() OVER (
-      PARTITION BY q_id ORDER BY adc2, vec_id) AS rn
-    FROM scored) t
-  WHERE rn <= {TOP_K}
-),
-exact_p AS (
-  SELECT q.vec_id AS q_id, e.vec_id,
-         CAST(LIST_SUM(LIST_TRANSFORM(generate_series(0, 63), i ->
-           (q.fxv[CAST(1 + i AS INTEGER)]
-            - e.fxv[CAST(1 + i AS INTEGER)])
-           * (q.fxv[CAST(1 + i AS INTEGER)]
-              - e.fxv[CAST(1 + i AS INTEGER)]))) AS BIGINT) AS d2
-  FROM fxe q JOIN fxe e ON e.vec_id <> q.vec_id
-  WHERE q.vec_id < {N_QUERIES}
-),
-exact_topk AS (
-  SELECT q_id, vec_id, rn FROM (
-    SELECT q_id, vec_id, ROW_NUMBER() OVER (
-      PARTITION BY q_id ORDER BY d2, vec_id) AS rn
-    FROM exact_p) t
-  WHERE rn <= {TOP_K}
-),
-ivfx_scored AS (
-  SELECT x.q_id, x.vec_id, x.d2
-  FROM probes p
-  JOIN ca m USING (cl)
-  JOIN exact_p x ON x.q_id = p.q_id AND x.vec_id = m.vec_id
-),
-ivfx_topk AS (
-  SELECT q_id, vec_id, rn FROM (
-    SELECT q_id, vec_id, ROW_NUMBER() OVER (
-      PARTITION BY q_id ORDER BY d2, vec_id) AS rn
-    FROM ivfx_scored) t
-  WHERE rn <= {TOP_K}
-),
-ann AS (
-  SELECT 'ivf_exact_trained' AS method, q_id, vec_id, rn
-  FROM ivfx_topk
-  UNION ALL
-  SELECT 'ivfpq_adc_trained' AS method, q_id, vec_id, rn
-  FROM adc_topk
-),
-matched AS (
-  SELECT ann.method, ann.q_id, ann.rn AS arn, g.rn AS grn
-  FROM ann JOIN exact_topk g USING (q_id, vec_id)
-),
-spine AS (
-  SELECT m.method, k.k
-  FROM (VALUES ('ivf_exact_trained'), ('ivfpq_adc_trained'))
-       m(method),
-       (VALUES (1), (3), (5)) k(k)
-),
-rh AS (
-  SELECT s.method, s.k, COUNT(m.q_id) AS hits
-  FROM spine s
-  LEFT JOIN matched m
-    ON m.method = s.method AND m.arn <= s.k AND m.grn <= s.k
-  GROUP BY s.method, s.k
-)
-SELECT method, CAST(k AS INTEGER) AS k,
-       CAST({N_QUERIES} AS BIGINT) AS n_queries,
-       CAST(hits AS BIGINT) AS hits,
-       CAST(hits AS DOUBLE) / (k * {N_QUERIES}) AS recall,
-       CAST(hits AS DOUBLE) / (k * {N_QUERIES})
-         >= (CASE WHEN method = 'ivf_exact_trained'
-                  THEN {_CIVF_EXACT_FLOOR}
-                  ELSE {_CIVF_ADC_FLOOR} END) AS meets_floor
-FROM rh
+{_recall_oracle_body(_CIVF_CCB, _CIVF_RCB,
+                     "ivf_exact_trained", "ivfpq_adc_trained",
+                     _CIVF_EXACT_FLOOR, _CIVF_ADC_FLOOR)}
 """,
     doc="TRAINED IVF-PQ serving chain + recall (round 17, VERDICT r16 "
         "#2) — the payoff step the round-16 accounting asked for: the "

@@ -5368,6 +5368,15 @@ def test_vorbis_ogg_page_layer():
             V.ogg_depage(bytes(bad))
     with pytest.raises(ValueError, match="EOS"):
         V.ogg_depage(stream[: stream.index(b"OggS", 4)])
+    # Vorbis embedding rules (spec A.2, round-18 review): the BOS
+    # page carries the identification header ALONE and audio starts
+    # on a fresh page after the setup header
+    vs, _ = _vorbis_mono_fixture(0)
+    first_nsegs = vs[26]
+    first_lace = list(vs[27 : 27 + first_nsegs])
+    hdr_pkts, _, _ = V.ogg_depage(vs)
+    assert sum(first_lace) == len(hdr_pkts[0])
+    assert first_lace[-1] < 255
 
 
 def test_vorbis_roundtrip_integer_observables():
