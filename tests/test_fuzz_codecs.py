@@ -6127,3 +6127,80 @@ def test_vorbis_silent_channel_packet():
     bw2.write(0, 1)
     out3 = dec.decode_packet(bw2.bytes())
     assert (out3 == 0).all()
+
+
+@_SETTINGS
+@given(
+    seed=st.integers(0, 10**6),
+    n_frames=st.integers(1, 7),
+    stereo=st.booleans(),
+)
+def test_vorbis_roundtrip_hypothesis(seed, n_frames, stereo):
+    """Property round-trip: ARBITRARY frame content (random floor Y
+    values, random partition classes, random in-range residues,
+    random block-size sequences for the stereo variant) encodes to a
+    stream whose generic decode reproduces the integer observables
+    bit-exactly and yields the lapping-arithmetic sample count."""
+    from netcdf4_variable_streamer_spark.functions import vorbis as V
+
+    rng = np.random.RandomState(seed)
+    if not stereo:
+        frames = []
+        for _ in range(n_frames):
+            y = (int(rng.randint(256)), int(rng.randint(256)))
+            classes = [int(rng.randint(2)) for _ in range(8)]
+            rv = [
+                int(rng.randint(-15, 17)) if classes[p] else 0
+                for p in range(8)
+                for _ in range(8)
+            ]
+            frames.append((y, classes, rv))
+        stream = V.encode_ogg_vorbis_mono(frames)
+        st_ = V.vorbis_stream_stats(stream)
+        assert st_["floor_checksum"] == sum(
+            sum(fr[0]) for fr in frames
+        )
+        assert st_["residue_checksum"] == sum(
+            sum(fr[2]) for fr in frames
+        )
+        assert st_["n_samples"] == (n_frames - 1) * 64
+        return
+    flags = [int(rng.randint(2)) for _ in range(n_frames)]
+    frames = []
+    for bf in flags:
+        parts = (256 if bf else 64) // 8
+        ys = tuple(
+            (
+                int(rng.randint(128)), int(rng.randint(128)),
+                int(rng.randint(16)), int(rng.randint(16)),
+                int(rng.randint(16)),
+            )
+            for _ in range(2)
+        )
+        classes = [int(rng.randint(2)) for _ in range(parts)]
+        p0, p1 = [], []
+        for q in range(parts):
+            if classes[q]:
+                p0 += [int(rng.randint(8)), int(rng.randint(8))]
+                p1 += [int(rng.randint(-15, 17)) for _ in range(8)]
+        frames.append((bf, ys, classes, p0, p1))
+    stream = V.encode_ogg_vorbis_stereo(frames)
+    st_ = V.vorbis_stream_stats(stream)
+    assert st_["floor_checksum"] == sum(
+        sum(ys[ch]) for (_, ys, _, _, _) in frames for ch in range(2)
+    )
+
+    def dsum(e):
+        return (e % 2) + (e // 2 % 2) + (e // 4 % 2) + (e % 4) - 8
+
+    assert st_["residue_checksum"] == sum(
+        sum(map(dsum, p0)) + sum(p1)
+        for (_, _, _, p0, p1) in frames
+    )
+    ns, prev = 0, None
+    for bf in flags:
+        n = 256 if bf else 64
+        if prev is not None:
+            ns += prev // 4 + n // 4
+        prev = n
+    assert st_["n_samples"] == ns
