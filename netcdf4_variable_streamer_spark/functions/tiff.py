@@ -14,9 +14,11 @@ scanned-document / OCR training corpora ship.
   packing, EARLY-CHANGE code-width bumps, 256/257 clear/EOI,
   4094-entry cap) and PackBits (32773); the horizontal-differencing
   predictor (tag 317 = 2, per tile in the tiled layout);
-  photometrics: BlackIsZero, WhiteIsZero (inverted), RGB, and RGBA
-  via ExtraSamples. 8-bit samples (1-bit for G4), chunky planar
-  layout.
+  photometrics: BlackIsZero, WhiteIsZero (inverted), RGB, RGBA via
+  ExtraSamples, and (round 18) PALETTE-COLOR (photometric 3: 16-bit
+  ColorMap high-byte lookup, 4-bit MSB-first-nibble or 8-bit
+  indices, strips AND tiles, composing with every compression and
+  FillOrder). 8-bit samples (1-bit for G4), chunky planar layout.
 - **encode**: 8-bit gray/RGB/RGBA and bilevel G4, strips or tiles,
   uncompressed/PackBits/G4 — spec-conformant files any standard
   reader opens.
@@ -27,10 +29,11 @@ scanned-document / OCR training corpora ship.
   stream, so one uniform raw-byte reversal recovers the MSB-first
   stream each decoder expects); the encoder emits it on request for
   differential fixtures.
-- **refusals are loud and named**: 16-bit/palette/planar=2 layouts,
-  unknown compressions, truncated strips/tiles, LZW code overruns,
-  G4 extension mode, FillOrder values outside {1, 2}. Dimension/
-  grid/transition guards fire before allocation.
+- **refusals are loud and named**: 16-bit samples, planar=2
+  layouts, unknown compressions, truncated strips/tiles, LZW code
+  overruns, G4 extension mode, FillOrder values outside {1, 2},
+  missing/short ColorMaps, predictor-2 over palette or bilevel
+  data. Dimension/grid/transition guards fire before allocation.
 """
 
 from __future__ import annotations
@@ -532,7 +535,7 @@ def _g4_gray(bits: np.ndarray, photo: int) -> np.ndarray:
 
 def _decode_tiled(
     payload: bytes, tags, one, w, h, spp, comp, predictor, photo,
-    fillorder=1,
+    fillorder=1, cmap=None, bps0=8,
 ) -> np.ndarray:
     """Tiled-layout decode (TIFF 6.0 §15, round 17): a ceil(w/tw) x
     ceil(h/tl) grid of INDEPENDENTLY-compressed tiles (each padded to
@@ -573,11 +576,12 @@ def _decode_tiled(
         raise ValueError(
             f"TIFF tile count {len(offsets)} != grid {ta}x{td}"
         )
-    if comp == 4:
+    if comp == 4 or photo == 3:
         canvas = np.zeros((td * tl, ta * tw), np.uint8)
     else:
         canvas = np.zeros((td * tl, ta * tw, spp), np.uint8)
-    expect = tl * tw * spp
+    tile_row_bytes = (tw * spp * bps0 + 7) // 8
+    expect = tl * tile_row_bytes
     for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
         if toff + tcnt > len(payload):
             raise ValueError(f"TIFF tile {ti} past the payload")
@@ -607,6 +611,17 @@ def _decode_tiled(
                 f"TIFF compression {comp} unsupported "
                 "(none/CCITT-G4/LZW/PackBits only)"
             )
+        if photo == 3:
+            canvas[y0 : y0 + tl, x0 : x0 + tw] = (
+                _tiff_unpack_indices(
+                    np.frombuffer(raw, np.uint8).reshape(
+                        tl, tile_row_bytes
+                    ),
+                    tw,
+                    bps0,
+                )
+            )
+            continue
         tile = np.frombuffer(raw, np.uint8).reshape(tl, tw, spp)
         if predictor == 2:
             tile = np.cumsum(tile.astype(np.int64), axis=1).astype(
@@ -615,6 +630,8 @@ def _decode_tiled(
         canvas[y0 : y0 + tl, x0 : x0 + tw] = tile
     if comp == 4:
         return _g4_gray(canvas[:h, :w], photo)
+    if photo == 3:
+        return _tiff_apply_colormap(canvas[:h, :w], cmap)
     img = canvas[:h, :w]
     if photo == 0:
         img = 255 - img
@@ -663,11 +680,38 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     comp0 = one(259, 1)
     bps = tags.get(258, [8])
+    photo = one(262)
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} unsupported"
+        )
+    cmap = None
     if comp0 == 4:
         if any(b != 1 for b in bps):
             raise NotImplementedError(
                 f"{bps}-bit CCITT G4 TIFF unsupported (bilevel only)"
             )
+    elif photo == 3:
+        # palette-color (round 18): ColorMap lookup, 4- or 8-bit
+        # indices, one sample per pixel
+        if bps not in ([4], [8]):
+            raise NotImplementedError(
+                f"{bps}-bit palette TIFF unsupported (4/8-bit only)"
+            )
+        if spp != 1:
+            raise ValueError(
+                f"palette TIFF with {spp} samples per pixel invalid"
+            )
+        cm = tags.get(320)
+        if not cm or len(cm) != 3 * (1 << bps[0]) or not all(
+            isinstance(v, int) for v in cm
+        ):
+            raise ValueError(
+                "palette TIFF ColorMap missing or wrong size"
+            )
+        import numpy as _np
+
+        cmap = _np.array(cm, _np.uint16).reshape(3, 1 << bps[0])
     elif any(b != 8 for b in bps):
         raise NotImplementedError(
             f"{bps}-bit TIFF unsupported (8-bit samples only)"
@@ -675,13 +719,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if one(284, 1) != 1:
         raise NotImplementedError(
             "planar TIFF (PlanarConfiguration=2) unsupported"
-        )
-    photo = one(262)
-    if photo == 3:
-        raise NotImplementedError("palette TIFF unsupported")
-    if photo not in (0, 1, 2):
-        raise NotImplementedError(
-            f"TIFF photometric {photo} unsupported"
         )
     if photo == 2 and spp not in (3, 4):
         raise ValueError(
@@ -692,7 +729,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if fillorder not in (1, 2):
         raise ValueError(f"TIFF FillOrder {fillorder} invalid")
     predictor = one(317, 1)
-    if predictor not in (1, 2) or (comp == 4 and predictor != 1):
+    if predictor not in (1, 2) or (
+        predictor == 2 and (comp == 4 or photo == 3)
+    ):
+        # horizontal differencing is for continuous-tone data; over
+        # palette indices or G4 bilevel it is spec-invalid
         raise NotImplementedError(
             f"TIFF predictor {predictor} unsupported"
         )
@@ -712,7 +753,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if tiled:
         return _decode_tiled(
             payload, tags, one, w, h, spp, comp, predictor, photo,
-            fillorder,
+            fillorder, cmap, bps[0],
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -748,12 +789,15 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         return _g4_gray(bits, photo)
     raw = bytearray()
     rows_left = h
+    # palette indices pack two-per-byte at 4 bits with byte-aligned
+    # rows; everything else is one byte per sample
+    row_bytes = (w * spp * bps[0] + 7) // 8
     for si, (soff, scnt) in enumerate(zip(offsets, counts)):
         if soff + scnt > len(payload):
             raise ValueError(f"TIFF strip {si} past the payload")
         nrows = min(rps, rows_left)
         rows_left -= nrows
-        expect = nrows * w * spp
+        expect = nrows * row_bytes
         blob = payload[soff : soff + scnt]
         if fillorder == 2:
             blob = blob.translate(_BITREV)
@@ -774,6 +818,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 "(none/CCITT-G4/LZW/PackBits only)"
             )
         raw += strip
+    if photo == 3:
+        idx = _tiff_unpack_indices(
+            np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes),
+            w,
+            bps[0],
+        )
+        return _tiff_apply_colormap(idx, cmap)
     img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
     if predictor == 2:
         img = np.cumsum(img.astype(np.int64), axis=1).astype(
@@ -782,6 +833,31 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if photo == 0:  # WhiteIsZero
         img = 255 - img
     return img[:, :, 0] if spp == 1 else img
+
+
+def _tiff_unpack_indices(
+    rows: np.ndarray, w: int, depth: int
+) -> np.ndarray:
+    """(h, row_bytes) packed palette indices → (h, w): identity at 8
+    bits, MSB-first nibble split at 4."""
+    if depth == 8:
+        return rows[:, :w]
+    hi = rows >> 4
+    lo = rows & 15
+    out = np.empty((rows.shape[0], rows.shape[1] * 2), np.uint8)
+    out[:, 0::2] = hi
+    out[:, 1::2] = lo
+    return out[:, :w]
+
+
+def _tiff_apply_colormap(
+    idx: np.ndarray, cmap: np.ndarray
+) -> np.ndarray:
+    """(h, w) indices + (3, 2^depth) 16-bit ColorMap → (h, w, 3)
+    uint8 (high byte of each 16-bit component, the libtiff
+    convention)."""
+    rgb = (cmap[:, idx] >> 8).astype(np.uint8)
+    return np.moveaxis(rgb, 0, 2)
 
 
 def _packbits(row: bytes) -> bytes:

@@ -6204,3 +6204,177 @@ def test_vorbis_roundtrip_hypothesis(seed, n_frames, stereo):
             ns += prev // 4 + n // 4
         prev = n
     assert st_["n_samples"] == ns
+
+
+def _palette_tiff(idx, depth, comp=1, tile=None, strips_of=None):
+    """Test-local palette-TIFF writer (independent IFD layout):
+    ColorMap[i][c] = ((i*37 + c*101) % 256) * 257."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _packbits,
+    )
+
+    h, w = idx.shape
+    nmap = 1 << depth
+    cmap = []
+    for c in range(3):
+        cmap += [((i * 37 + c * 101) % 256) * 257 for i in range(nmap)]
+
+    def pack_rows(a):
+        if depth == 8:
+            raw = a.tobytes()
+        else:
+            out = bytearray()
+            for r in a:
+                rr = list(r) + [0] * (len(r) % 2)
+                for i in range(0, len(rr), 2):
+                    out.append((rr[i] << 4) | rr[i + 1])
+            raw = bytes(out)
+        if comp == 32773:
+            rb = len(raw) // a.shape[0]
+            return b"".join(
+                _packbits(raw[i * rb : (i + 1) * rb])
+                for i in range(a.shape[0])
+            )
+        return raw
+
+    chunks = []
+    rps = h
+    if tile:
+        tl_, tw_ = tile
+        gh, gw = -(-h // tl_) * tl_, -(-w // tw_) * tw_
+        grid = np.zeros((gh, gw), np.uint8)
+        grid[:h, :w] = idx
+        for y0 in range(0, gh, tl_):
+            for x0 in range(0, gw, tw_):
+                chunks.append(
+                    pack_rows(grid[y0 : y0 + tl_, x0 : x0 + tw_])
+                )
+    elif strips_of:
+        rps = strips_of
+        for r0 in range(0, h, rps):
+            chunks.append(pack_rows(idx[r0 : r0 + rps]))
+    else:
+        chunks.append(pack_rows(idx))
+    entries = [
+        (256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, 1, [depth]),
+        (259, 3, 1, [comp]), (262, 3, 1, [3]), (277, 3, 1, [1]),
+        (320, 3, len(cmap), cmap),
+    ]
+    if tile:
+        entries += [
+            (322, 3, 1, [tile[1]]), (323, 3, 1, [tile[0]]),
+            (324, 4, len(chunks), None),
+            (325, 4, len(chunks), [len(x) for x in chunks]),
+        ]
+        off_tag = 324
+    else:
+        entries += [
+            (273, 4, len(chunks), None), (278, 3, 1, [rps]),
+            (279, 4, len(chunks), [len(x) for x in chunks]),
+        ]
+        off_tag = 273
+    entries.sort()
+    ifd = 8
+    data_off = ifd + 2 + 12 * len(entries) + 4
+    oline = {}
+    for tag, typ, cnt, vals in entries:
+        size = (2 if typ == 3 else 4) * cnt
+        if size > 4:
+            oline[tag] = data_off
+            data_off += size
+    soffs = []
+    o = data_off
+    for x in chunks:
+        soffs.append(o)
+        o += len(x)
+    out = bytearray(
+        b"II*\x00" + _struct.pack("<I", ifd)
+        + _struct.pack("<H", len(entries))
+    )
+    blobs = bytearray()
+    for tag, typ, cnt, vals in entries:
+        if tag == off_tag:
+            vals = soffs
+        fmt = "H" if typ == 3 else "I"
+        rawv = _struct.pack(f"<{cnt}{fmt}", *vals)
+        out += _struct.pack("<HHI", tag, typ, cnt)
+        if len(rawv) <= 4:
+            out += rawv.ljust(4, b"\0")
+        else:
+            out += _struct.pack("<I", oline[tag])
+            blobs += rawv
+    out += _struct.pack("<I", 0)
+    out += blobs
+    for x in chunks:
+        out += x
+    return bytes(out)
+
+
+def test_tiff_palette_colormap_decode():
+    """Round-18 palette TIFF (photometric 3 — the older-archive
+    indexed-color class): 4-bit (MSB-first nibbles, byte-aligned
+    rows) and 8-bit indices decode through the 16-bit ColorMap's
+    high byte, across single-strip / multi-strip / tiled layouts
+    and uncompressed / PackBits; missing or short ColorMaps,
+    predictor 2 over indices, and 16-bit palette refuse by name;
+    mutation sweep stays controlled."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        decode_tiff,
+    )
+
+    rng = np.random.RandomState(18)
+    for depth in (4, 8):
+        idx = (
+            np.arange(7 * 9).reshape(7, 9) % (1 << depth)
+        ).astype(np.uint8)
+        exp = np.zeros((7, 9, 3), np.uint8)
+        for c in range(3):
+            lut = np.array(
+                [(i * 37 + c * 101) % 256 for i in range(1 << depth)],
+                np.uint8,
+            )
+            exp[:, :, c] = lut[idx]
+        for kw in (
+            {},
+            {"strips_of": 3},
+            {"tile": (16, 16)},
+            {"comp": 32773},
+            {"comp": 32773, "strips_of": 2},
+        ):
+            f = _palette_tiff(idx, depth, **kw)
+            got = decode_tiff(f)
+            assert got.shape == (7, 9, 3) and (got == exp).all(), (
+                depth, kw,
+            )
+    # refusals
+    base = _palette_tiff(idx, 8)
+    i = base.index(_struct.pack("<HH", 320, 3))
+    no_cmap = base[:i] + base[i + 12 :]
+    # (count byte in the IFD header must drop too)
+    n = bytearray(no_cmap)
+    _struct.pack_into(
+        "<H", n, 8, _struct.unpack_from("<H", no_cmap, 8)[0] - 1
+    )
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bytes(n))
+    b = bytearray(base)
+    j = b.index(_struct.pack("<HH", 258, 3)) + 8
+    b[j : j + 2] = _struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_tiff(bytes(b))
+    # mutation sweep over a PackBits 4-bit palette file
+    pal = _palette_tiff(idx % 16, 4, comp=32773, strips_of=2)
+    for _ in range(2000):
+        mut = bytearray(pal)
+        if rng.randint(2):
+            mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+        else:
+            mut = mut[: rng.randint(len(mut))]
+        try:
+            decode_tiff(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
