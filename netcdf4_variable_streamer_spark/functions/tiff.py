@@ -9,10 +9,11 @@ scanned-document / OCR training corpora ship.
   IFD walk with all the baseline tags (width/length, bits-per-sample,
   compression, photometric, strip offsets/byte-counts, rows-per-strip,
   samples-per-pixel, planar config, predictor), STRIP and (round 17)
-  TILED layouts; compressions: none (1), CCITT Group 4 (4 — ITU-T T.6
-  2-D MMR, bilevel, round 17), LZW (5 — the TIFF variant: MSB-first
-  packing, EARLY-CHANGE code-width bumps, 256/257 clear/EOI,
-  4094-entry cap) and PackBits (32773); the horizontal-differencing
+  TILED layouts; compressions: none (1), CCITT RLE (2 — T.4 Modified
+  Huffman 1-D, byte-aligned rows, round 18), CCITT Group 4 (4 —
+  ITU-T T.6 2-D MMR, bilevel, round 17), LZW (5 — the TIFF variant:
+  MSB-first packing, EARLY-CHANGE code-width bumps, 256/257
+  clear/EOI, 4094-entry cap) and PackBits (32773); the horizontal-differencing
   predictor (tag 317 = 2, per tile in the tiled layout);
   photometrics: BlackIsZero, WhiteIsZero (inverted), RGB, RGBA via
   ExtraSamples, and (round 18) PALETTE-COLOR (photometric 3: 16-bit
@@ -31,9 +32,10 @@ scanned-document / OCR training corpora ship.
   differential fixtures.
 - **refusals are loud and named**: 16-bit samples, planar=2
   layouts, unknown compressions, truncated strips/tiles, LZW code
-  overruns, G4 extension mode, FillOrder values outside {1, 2},
-  missing/short ColorMaps, predictor-2 over palette or bilevel
-  data. Dimension/grid/transition guards fire before allocation.
+  overruns, G4 extension mode, nonzero T4Options (2-D G3/EOL
+  variants), FillOrder values outside {1, 2}, missing/short
+  ColorMaps, predictor-2 over palette or bilevel data.
+  Dimension/grid/transition guards fire before allocation.
 """
 
 from __future__ import annotations
@@ -476,6 +478,49 @@ def _transitions(row: np.ndarray) -> list[int]:
     return t
 
 
+def _ccitt_mh_decode(data: bytes, w: int, nrows: int) -> np.ndarray:
+    """One CCITT-RLE strip (TIFF compression 2 — T.4 Modified
+    Huffman, one-dimensional, round 18) → (nrows, w) uint8 bit array
+    (1 = black): alternating white/black runs from the shared T.4
+    tables, each ROW starting on a byte boundary (the compression-2
+    rule; no EOL codes)."""
+    if w <= 0 or nrows <= 0:
+        raise ValueError("CCITT RLE strip with empty dimensions")
+    rd = _BitReader(data)
+    out = np.zeros((nrows, w), np.uint8)
+    for y in range(nrows):
+        rd.nbits = 0  # byte-align: discard the previous row's pad
+        pos = 0
+        colour = 0
+        while pos < w:
+            run = _mh_run(rd, colour, w - pos)
+            if colour:
+                out[y, pos : pos + run] = 1
+            pos += run
+            colour ^= 1
+    return out
+
+
+def _ccitt_mh_encode(bits: np.ndarray) -> bytes:
+    """(h, w) 0/1 array (1 = black) → CCITT-RLE bytes: each row coded
+    standalone as white-first alternating T.4 runs and padded to a
+    byte boundary."""
+    h, w = bits.shape
+    out = bytearray()
+    for y in range(h):
+        wr = _BitWriter()
+        prev = 0
+        colour = 0
+        for tr in _transitions(bits[y]) + [w]:
+            _mh_emit(wr, tr - prev, colour)
+            prev = tr
+            colour ^= 1
+            if prev >= w:
+                break
+        out += wr.done()
+    return bytes(out)
+
+
 def _ccitt_g4_encode(bits: np.ndarray) -> bytes:
     """(h, w) 0/1 array (1 = black) → one G4-coded strip (no EOFB —
     optional per T.6 and not emitted, matching the decoder)."""
@@ -576,7 +621,7 @@ def _decode_tiled(
         raise ValueError(
             f"TIFF tile count {len(offsets)} != grid {ta}x{td}"
         )
-    if comp == 4 or photo == 3:
+    if comp in (2, 4) or photo == 3:
         canvas = np.zeros((td * tl, ta * tw), np.uint8)
     else:
         canvas = np.zeros((td * tl, ta * tw, spp), np.uint8)
@@ -590,9 +635,11 @@ def _decode_tiled(
             blob = blob.translate(_BITREV)
         y0 = (ti // ta) * tl
         x0 = (ti % ta) * tw
-        if comp == 4:
-            canvas[y0 : y0 + tl, x0 : x0 + tw] = _ccitt_g4_decode(
-                blob, tw, tl
+        if comp in (2, 4):
+            canvas[y0 : y0 + tl, x0 : x0 + tw] = (
+                _ccitt_g4_decode(blob, tw, tl)
+                if comp == 4
+                else _ccitt_mh_decode(blob, tw, tl)
             )
             continue
         if comp == 1:
@@ -628,7 +675,7 @@ def _decode_tiled(
                 np.uint8
             )
         canvas[y0 : y0 + tl, x0 : x0 + tw] = tile
-    if comp == 4:
+    if comp in (2, 4):
         return _g4_gray(canvas[:h, :w], photo)
     if photo == 3:
         return _tiff_apply_colormap(canvas[:h, :w], cmap)
@@ -686,10 +733,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"TIFF photometric {photo} unsupported"
         )
     cmap = None
-    if comp0 == 4:
+    if comp0 in (2, 4):
         if any(b != 1 for b in bps):
             raise NotImplementedError(
-                f"{bps}-bit CCITT G4 TIFF unsupported (bilevel only)"
+                f"{bps}-bit CCITT TIFF unsupported (bilevel only)"
             )
     elif photo == 3:
         # palette-color (round 18): ColorMap lookup, 4- or 8-bit
@@ -730,26 +777,32 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(f"TIFF FillOrder {fillorder} invalid")
     predictor = one(317, 1)
     if predictor not in (1, 2) or (
-        predictor == 2 and (comp == 4 or photo == 3)
+        predictor == 2 and (comp in (2, 4) or photo == 3)
     ):
         # horizontal differencing is for continuous-tone data; over
         # palette indices or G4 bilevel it is spec-invalid
         raise NotImplementedError(
             f"TIFF predictor {predictor} unsupported"
         )
-    if comp == 4:
-        # CCITT Group 4 (T.6) — bilevel scanned-document archives.
+    if comp in (2, 4):
+        # CCITT bilevel — G4 (T.6 2-D) or compression-2 RLE (T.4 1-D)
         if spp != 1:
             raise NotImplementedError(
-                f"CCITT G4 with {spp} samples per pixel unsupported"
+                f"CCITT with {spp} samples per pixel unsupported"
             )
         if photo not in (0, 1):
             raise ValueError(
-                f"CCITT G4 photometric {photo} invalid (bilevel only)"
+                f"CCITT photometric {photo} invalid (bilevel only)"
             )
-        t6opts = one(293, 0)
-        if t6opts & ~2:
-            raise ValueError(f"TIFF T6Options {t6opts} invalid")
+        if comp == 4:
+            t6opts = one(293, 0)
+            if t6opts & ~2:
+                raise ValueError(f"TIFF T6Options {t6opts} invalid")
+        elif one(292, 0) != 0:
+            raise NotImplementedError(
+                "TIFF T4Options (2-D G3 / uncompressed / EOL fill) "
+                "unsupported — compression-2 is 1-D MH only"
+            )
     if tiled:
         return _decode_tiled(
             payload, tags, one, w, h, spp, comp, predictor, photo,
@@ -766,7 +819,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     ):
         raise ValueError("TIFF strip offsets/byte-counts invalid")
     rps = one(278, h)
-    if comp == 4:
+    if comp in (2, 4):
         rows_g4 = []
         rows_left = h
         for si, (soff, scnt) in enumerate(zip(offsets, counts)):
@@ -777,13 +830,17 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             sdat = payload[soff : soff + scnt]
             if fillorder == 2:
                 sdat = sdat.translate(_BITREV)
-            rows_g4.append(_ccitt_g4_decode(sdat, w, nrows))
+            rows_g4.append(
+                _ccitt_g4_decode(sdat, w, nrows)
+                if comp == 4
+                else _ccitt_mh_decode(sdat, w, nrows)
+            )
         if rows_left:
             # every other decode path raises loudly on short data;
             # a short strip LIST must not return a short image
             # silently (round-17 review)
             raise ValueError(
-                f"TIFF G4 strips cover {h - rows_left} of {h} rows"
+                f"TIFF CCITT strips cover {h - rows_left} of {h} rows"
             )
         bits = np.concatenate(rows_g4, axis=0)
         return _g4_gray(bits, photo)
@@ -911,10 +968,10 @@ def encode_tiff(
         raise ValueError("encode_tiff expects (h, w[, 3|4]) uint8")
     if arr.ndim == 3 and arr.shape[2] not in (3, 4):
         raise ValueError("encode_tiff expects 3 or 4 channels")
-    if compression not in ("none", "packbits", "g4"):
+    if compression not in ("none", "packbits", "g4", "g3"):
         raise ValueError(f"compression {compression!r} unsupported")
-    if compression == "g4" and arr.ndim != 2:
-        raise ValueError("G4 TIFF is bilevel: (h, w) input only")
+    if compression in ("g4", "g3") and arr.ndim != 2:
+        raise ValueError("CCITT TIFF is bilevel: (h, w) input only")
     if rows_per_strip < 1:
         raise ValueError(
             f"rows_per_strip {rows_per_strip} must be >= 1"
@@ -936,6 +993,8 @@ def encode_tiff(
             )
         if compression == "g4":
             return _ccitt_g4_encode((chunk < 128).astype(np.uint8))
+        if compression == "g3":
+            return _ccitt_mh_encode((chunk < 128).astype(np.uint8))
         return chunk.tobytes()
 
     strips = []
@@ -951,7 +1010,7 @@ def encode_tiff(
             + (() if arr.ndim == 2 else (spp,)),
             np.uint8,
         )
-        if compression == "g4":
+        if compression in ("g4", "g3"):
             grid[:h, :w] = arr
             grid[:h, w:] = 255  # pad white, not black
             grid[h:, :] = 255
@@ -971,9 +1030,11 @@ def encode_tiff(
         strips = [s.translate(_BITREV) for s in strips]
     n_strips = len(strips)
     photo = (
-        0 if compression == "g4" else 1 if spp == 1 else 2
+        0 if compression in ("g4", "g3") else 1 if spp == 1 else 2
     )
-    comp = {"none": 1, "packbits": 32773, "g4": 4}[compression]
+    comp = {"none": 1, "packbits": 32773, "g4": 4, "g3": 2}[
+        compression
+    ]
     entries = []  # (tag, type, count, packed-value-or-None, data)
 
     def short(tag, *vals):
@@ -990,7 +1051,7 @@ def encode_tiff(
 
     dim(256, w)
     dim(257, h)
-    short(258, *([1 if compression == "g4" else 8] * spp))
+    short(258, *([1 if compression in ("g4", "g3") else 8] * spp))
     short(259, comp)
     short(262, photo)
     if fill_order == 2:

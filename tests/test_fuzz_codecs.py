@@ -6378,3 +6378,69 @@ def test_tiff_palette_colormap_decode():
             decode_tiff(bytes(mut))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_tiff_g3_mh_rle_decode():
+    """Round-18 CCITT RLE (TIFF compression 2 — T.4 Modified Huffman
+    1-D, the OTHER fax compression old archives ship): byte-aligned
+    per-row alternating white/black runs through the shared T.4
+    tables. Pinned by (a) a HAND-DERIVED stream (white-4 '1011' +
+    black-3 '10' + white-1 '000111' -> 0xB8 0x70); (b) round-trips
+    across strip/tile layouts, both FillOrders, uniform pages;
+    (c) nonzero T4Options refuse by name; (d) mutation sweep."""
+    import struct as _struct
+
+    from netcdf4_variable_streamer_spark.functions.tiff import (
+        _ccitt_mh_decode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    got = _ccitt_mh_decode(bytes([0xB8, 0x70]), 8, 1)
+    assert list(got[0]) == [0, 0, 0, 0, 1, 1, 1, 0]
+    rng = np.random.RandomState(7)
+    page = (rng.randint(0, 2, (37, 61)) * 255).astype(np.uint8)
+    for kw in (
+        {"rows_per_strip": 9},
+        {"tile": (16, 16)},
+        {"rows_per_strip": 9, "fill_order": 2},
+        {"tile": (16, 32), "fill_order": 2},
+    ):
+        f = encode_tiff(page, compression="g3", **kw)
+        assert (decode_tiff(f) == page).all(), kw
+    for fill in (0, 255):
+        u = np.full((5, 23), fill, np.uint8)
+        assert (
+            decode_tiff(encode_tiff(u, compression="g3")) == u
+        ).all(), fill
+    # photometric 1 over G3 renders inverted, same as G4
+    base = encode_tiff(page, compression="g3", rows_per_strip=9)
+    b = bytearray(base)
+    i = b.index(_struct.pack("<HH", 262, 3)) + 8
+    b[i : i + 2] = _struct.pack("<H", 1)
+    assert (decode_tiff(bytes(b)) == 255 - page).all()
+    # nonzero T4Options (2-D G3 / EOL variants) refuse by name: add
+    # tag 292 by rewriting a harmless SHORT tag slot is fiddly, so
+    # build a minimal file with the tag via _mini_g4-style injection
+    from test_llm_ops import _mini_g4
+
+    g3 = bytearray(_mini_g4())
+    i = g3.index(_struct.pack("<HH", 259, 3)) + 8
+    g3[i : i + 2] = _struct.pack("<H", 2)
+    i = g3.index(_struct.pack("<HH", 293, 4))
+    g3[i : i + 2] = _struct.pack("<H", 292)
+    g3[i + 2 : i + 4] = _struct.pack("<H", 3)
+    g3[i + 8 : i + 12] = _struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="T4Options"):
+        decode_tiff(bytes(g3))
+    # mutation sweep
+    for _ in range(2500):
+        mut = bytearray(base)
+        if rng.randint(2):
+            mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+        else:
+            mut = mut[: rng.randint(len(mut))]
+        try:
+            decode_tiff(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
