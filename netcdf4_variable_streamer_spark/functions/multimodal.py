@@ -203,6 +203,17 @@ def decode_audio_any(payload: bytes):
 
         return decode_flac(payload)
     if payload[:4] == b"OggS":
+        # Peek past the first Ogg page header for the \x01vorbis
+        # identification packet before committing to the Vorbis decoder:
+        # Ogg is a container, and non-Vorbis payloads (Opus, Speex,
+        # Ogg-FLAC) honor the documented "None if the format needs an
+        # external codec" contract instead of raising (r18 ADVICE #1).
+        if len(payload) < 27:
+            return None
+        n_segs = payload[26]
+        first_packet = 27 + n_segs
+        if payload[first_packet : first_packet + 7] != b"\x01vorbis":
+            return None
         from netcdf4_variable_streamer_spark.functions.vorbis import (
             decode_ogg_vorbis,
         )

@@ -300,7 +300,9 @@ _MH_MAX_WIDTH = 14
 
 
 class _BitReader:
-    """MSB-first bit reader over one G4-coded strip."""
+    """MSB-first bit reader over one CCITT-coded strip (shared by the
+    G4/T.6 and compression-2 MH/T.4 decoders, so messages say the
+    neutral "CCITT" — r18 ADVICE #3)."""
 
     __slots__ = ("data", "pos", "acc", "nbits")
 
@@ -313,7 +315,7 @@ class _BitReader:
     def bit(self) -> int:
         if self.nbits == 0:
             if self.pos >= len(self.data):
-                raise ValueError("CCITT G4 stream truncated")
+                raise ValueError("CCITT stream truncated")
             self.acc = self.data[self.pos]
             self.pos += 1
             self.nbits = 8
@@ -337,12 +339,12 @@ def _mh_run(rd: _BitReader, colour: int, w: int) -> int:
                 break
             if n > _MH_MAX_WIDTH:
                 raise ValueError(
-                    f"CCITT G4 invalid run code for colour {colour}"
+                    f"CCITT invalid run code for colour {colour}"
                 )
         total += run
         if total > w:
             raise ValueError(
-                f"CCITT G4 run {total} exceeds row width {w}"
+                f"CCITT run {total} exceeds row width {w}"
             )
         if run < 64:  # terminating code ends the run
             return total
@@ -956,9 +958,13 @@ def encode_tiff(
     fill_order: int = 1,
 ) -> bytes:
     """(h, w) | (h, w, 3|4) uint8 → little-endian baseline TIFF
-    (chunky strips; ``compression`` in {'none', 'packbits', 'g4'} —
-    'g4' is CCITT Group 4 for bilevel (h, w) input where pixel < 128
-    codes black, emitted as BitsPerSample=1 / WhiteIsZero).
+    (chunky strips; ``compression`` in {'none', 'packbits', 'g4',
+    'g3'} — 'g4' is CCITT Group 4 for bilevel (h, w) input where
+    pixel < 128 codes black, emitted as BitsPerSample=1 / WhiteIsZero.
+    NOTE on 'g3': it writes TIFF compression tag **2** — CCITT
+    Modified Huffman RLE, i.e. T.4 one-dimensional coding WITHOUT EOL
+    codes — not tag 3 (true Group 3 fax with EOLs); the name is kept
+    for call-site compatibility but means MH/RLE (r18 ADVICE #2)).
     ``tile=(tl, tw)`` (positive multiples of 16) switches to the
     TIFF 6.0 §15 tiled layout: each tile zero-padded to full size at
     the edges and compressed independently. ``fill_order=2`` stores

@@ -1140,8 +1140,11 @@ GROUP BY doc_id
         "corpus container, pure NumPy from the public TIFF 6.0 spec "
         "(functions/tiff.py: both byte orders, IFD walk, strip "
         "assembly, none/LZW/PackBits compressions, horizontal-"
-        "differencing predictor, WhiteIsZero/RGB/RGBA photometrics; "
-        "tiled/16-bit/palette refuse by name). TIFF is lossless, so "
+        "differencing predictor, WhiteIsZero/RGB/RGBA/palette "
+        "photometrics, CCITT G4 + MH-RLE, FillOrder 2, tiled layout "
+        "— tiled and G4 have their own keys since r17; the remaining "
+        "named refusals are 16-bit samples, G4 extension mode, and "
+        "nonzero T4Options). TIFF is lossless, so "
         "closed-form 9x7 RGB pixels per document round-trip through "
         "encode (PackBits, 4-row strips — real run compression and "
         "multi-strip assembly) → binary column → decode EXACTLY and "
