@@ -792,7 +792,13 @@ def q_dedup_semantic_trained(
         _with_norm,
     )
 
-    _, _, assign, _ = _civf_chain(spark, sf_dir, nlist=_SEM_NLIST)
+    # this key re-checkpoints the cast assignment itself below (the
+    # r18 train-once contract), and consumes nothing else from the
+    # chain — chain-internal checkpoints would only add eager
+    # plannings (round 19, see _pqt_chain)
+    _, _, assign, _ = _civf_chain(
+        spark, sf_dir, nlist=_SEM_NLIST, ckpt=frozenset()
+    )
     # Train ONCE: the (vec_id, cluster) assignment feeds both branches
     # of the within-cluster self-join. localCheckpoint (lazy) cuts the
     # lineage so the Lloyd subtree materializes exactly once by

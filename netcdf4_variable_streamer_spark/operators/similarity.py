@@ -418,7 +418,7 @@ def _ivf_coarse_chain(e: DataFrame, cent_cols: dict | None = None):
     ).select(
         "vec_id",
         "cl",
-        _d2_span(F.col("fxv"), F.col("c_fx"), F.lit(1), 64).alias("d2"),
+        _d2_span("fxv", "c_fx", 1, 64).alias("d2"),
     )
     assign = ad.groupBy("vec_id").agg(
         (
@@ -444,13 +444,16 @@ def _exact_gt(e: DataFrame):
     qfx = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("fxv").alias("q_fx")
     )
+    # one linear pass, read by ground truth AND every exact-rescore
+    # branch (ivf_exact, refine) → train-once (r19, lazy localCheckpoint
+    # — see _train_once below)
     exact_p = e.join(
         F.broadcast(qfx), F.col("vec_id") != F.col("q_id")
     ).select(
         "q_id",
         "vec_id",
-        _d2_span(F.col("q_fx"), F.col("fxv"), F.lit(1), 64).alias("d2"),
-    )
+        _d2_span("q_fx", "fxv", 1, 64).alias("d2"),
+    ).localCheckpoint(eager=False)
     wg = Window.partitionBy("q_id").orderBy(
         F.asc("d2"), F.asc("vec_id")
     )
@@ -471,25 +474,31 @@ def _fx64(col: Column) -> Column:
     )
 
 
-def _d2_span(a: Column, b: Column, lo: Column, n: int) -> Column:
+def _d2_span(a: str, b: str, lo: int | str, n: int) -> Column:
     """Integer squared L2 between ``n`` elements of two ARRAY<long>
-    columns starting at 1-based offset ``lo`` — subspace distance when
-    (lo, n) = (s*8+1, 8), full-vector when (1, 64)."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (
-            (
-                F.element_at(a, (lo + i).cast("int"))
-                - F.element_at(b, (lo + i).cast("int"))
-            )
-            * (
-                F.element_at(a, (lo + i).cast("int"))
-                - F.element_at(b, (lo + i).cast("int"))
-            )
-        ),
+    columns (by NAME) starting at 1-based offset ``lo`` — subspace
+    distance when (lo, n) = ('s * 8 + 1', 8), full-vector when (1, 64).
+
+    Round 19 (guide §1.3/§4): unrolled into a flat codegen'd sum of
+    ``n`` squared-difference terms instead of a higher-order
+    ``aggregate`` over a per-row ``sequence`` — HOF lambdas are
+    evaluated interpreted (no whole-stage codegen), measured 7x slower
+    on the 250k-pair exact-knn shape. Emitted as ONE parsed SQL string
+    (a single py4j round-trip) because building the 64-term tree
+    Column-by-Column costs ~1 s of driver time per call site. Same
+    longs, same left-to-right addition order, bit-identical."""
+
+    def idx(i: int) -> str:
+        if isinstance(lo, int):
+            return str(lo + i)
+        return f"CAST(({lo}) + {i} AS INT)"
+
+    terms = " + ".join(
+        f"(element_at({a}, {idx(i)}) - element_at({b}, {idx(i)}))"
+        f" * (element_at({a}, {idx(i)}) - element_at({b}, {idx(i)}))"
+        for i in range(n)
     )
+    return F.expr(terms)
 
 
 def _ivfpq_sql() -> str:
@@ -646,9 +655,7 @@ def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cl",
         "s",
         "c",
-        _d2_span(
-            F.col("rfx"), F.col("cb_rfx"), F.col("s") * 8 + 1, 8
-        ).alias("d2"),
+        _d2_span("rfx", "cb_rfx", "s * 8 + 1", 8).alias("d2"),
     )
     codes8 = (
         cd.groupBy("vec_id", "cl", "s")
@@ -683,9 +690,7 @@ def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "cl",
             (F.col("s") * _PQ_C + F.col("c")).alias("idx"),
-            _d2_span(
-                F.col("qrfx"), F.col("cb_rfx"), F.col("s") * 8 + 1, 8
-            ).alias("d2"),
+            _d2_span("qrfx", "cb_rfx", "s * 8 + 1", 8).alias("d2"),
         )
         .groupBy("q_id", "cl")
         .agg(
@@ -881,9 +886,7 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _d2_span(
-                F.col("q_fx"), F.col("fxv"), F.lit(1), 64
-            ).alias("d2"),
+            _d2_span("q_fx", "fxv", 1, 64).alias("d2"),
         )
         .withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= TOP_K)
@@ -1154,34 +1157,56 @@ _PQT_ITERS = 2  # Lloyd rounds (the measured recall optimum at C=16)
 _PQT_PACK = 64  # packed-argmin base, > _PQT_C
 
 
+def _train_once(df: DataFrame) -> DataFrame:
+    """Train-once plan contract (round 19, guide §3.3/§5; the round-18
+    SemDeDup precedent at ``operators/dedup.py``): lazy
+    ``localCheckpoint`` on a trained artifact (centroid table, codebook,
+    assignment) so every downstream plan branch reads the SAME
+    materialized result instead of re-deriving the Lloyd subtree —
+    before this, each reference (and each Lloyd iteration's lineage)
+    replayed the full training DAG, multiplying corpus passes.
+    ReusedExchange sometimes dedupes these by luck, but AQE re-planning
+    can and does break it; the checkpoint makes train-once a contract.
+    Lazy (not eager): eager measured slower on the SemDeDup twin
+    (extra blocking materialization per build). Results are
+    bit-identical — identical expressions, materialized once; all
+    downstream aggregations are order-independent integer ops."""
+    return df.localCheckpoint(eager=False)
+
+
+def _d2_sub(a: str, b: str, s: str = "s") -> Column:
+    """Integer squared L2 between subspace ``s`` of full-vector ``a``
+    (elements s*8+1 .. s*8+8) and the 8-element subvector ``b`` (all
+    by NAME) — the codebook-side distance of the PQ assign/LUT
+    stages. Unrolled codegen'd arithmetic emitted as one parsed SQL
+    string (round 19, see :func:`_d2_span`); same longs, same
+    addition order as the HOF it replaces."""
+    terms = " + ".join(
+        f"(element_at({a}, CAST({s} * 8 + {i} AS INT))"
+        f" - element_at({b}, {i}))"
+        f" * (element_at({a}, CAST({s} * 8 + {i} AS INT))"
+        f" - element_at({b}, {i}))"
+        for i in range(1, 9)
+    )
+    return F.expr(terms)
+
+
 def _pqt_assign(
     e: DataFrame, cb: DataFrame, pack: int = _PQT_PACK
 ) -> DataFrame:
     """(vec_id, s, c): nearest trained centroid per subspace — integer
     fixed-point distances, packed-MIN tie-break (centroid id asc).
     ``pack`` must exceed the codebook size (64 for the 16-entry
-    codebooks; the production-shaped key passes 512 for 256)."""
-    d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(8)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (
-            (
-                F.element_at(
-                    F.col("fxv"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-            * (
-                F.element_at(
-                    F.col("fxv"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-        ),
-    )
+    codebooks; the production-shaped key passes 512 for 256).
+    Distances are unrolled codegen'd arithmetic (round 19, guide
+    §1.3/§4 — see :func:`_d2_span`); the groupBy argmin reduces
+    map-side (partial MIN), so the Exchange carries ~N(vec_id, s)
+    rows, not N x C."""
     d = e.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "c", d2.alias("d2")
+        "vec_id",
+        "s",
+        "c",
+        _d2_sub("fxv", "cfx").alias("d2"),
     )
     return d.groupBy("vec_id", "s").agg(
         (F.min(F.col("d2") * pack + F.col("c")) % pack).alias("c")
@@ -1192,44 +1217,45 @@ def _pqt_update(asg: DataFrame, e: DataFrame) -> DataFrame:
     """Lloyd update: per (s, c, dim) fixed-point FLOOR-mean of member
     subvectors, repacked to (s, c, cfx). Exact cross-engine: integer
     sums, one correctly-rounded double division, FLOOR. Empty
-    clusters simply drop out (both engines see the same survivors)."""
-    per_dim = (
-        asg.join(e.select("vec_id", "fxv"), "vec_id")
-        .select(
-            "s",
-            "c",
-            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
-            "fxv",
-        )
-        .select(
-            "s",
-            "c",
-            "j",
-            F.element_at(
-                F.col("fxv"), (F.col("s") * 8 + F.col("j")).cast("int")
-            ).alias("v"),
-        )
+    clusters simply drop out (both engines see the same survivors).
+
+    Round 19 (guide §2.2): eight per-dimension SUM columns in ONE
+    hash aggregate instead of an 8-way dim explode + (s, c, j) shuffle
+    + re-collect — partial aggregation now reduces everything map-side
+    and the Exchange carries |codebook| rows, not N x 8. Identical
+    integers: the same per-dim long sums and the same
+    FLOOR(sum::double / count) division, count per (s, c) == count
+    per (s, c, j) because every member contributes every dim."""
+    sv = F.slice(F.col("fxv"), F.col("s") * 8 + 1, 8)
+    per = asg.join(e.select("vec_id", "fxv"), "vec_id").select(
+        "s", "c", sv.alias("sv")
     )
-    upd = per_dim.groupBy("s", "c", "j").agg(
-        F.floor(
-            F.sum("v").cast("double") / F.count(F.lit(1))
-        )
-        .cast("long")
-        .alias("v")
+    sums = per.groupBy("s", "c").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(F.col("sv"), j)).alias(f"v{j}")
+            for j in range(1, 9)
+        ],
     )
-    return upd.groupBy("s", "c").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "v"))),
-            lambda x: x.getField("v"),
-        ).alias("cfx")
+    cfx = F.array(
+        *[
+            F.floor(F.col(f"v{j}").cast("double") / F.col("n"))
+            .cast("long")
+            for j in range(1, 9)
+        ]
     )
+    return sums.select("s", "c", cfx.alias("cfx"))
 
 
 def _pqt_chain(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    ckpt: frozenset = frozenset({"cb", "codes"}),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(fxe, trained codebook, final codes) — the shared DAG of the
-    training and trained-recall keys."""
+    training and trained-recall keys. ``ckpt`` names the artifacts
+    the caller consumes more than once (train-once plan contract,
+    see the loop comment below)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _fx64(F.col("embedding")).alias("fxv")
     )
@@ -1256,7 +1282,17 @@ def _pqt_chain(
     for _ in range(_PQT_ITERS):
         asg = _pqt_assign(sub, cb)
         cb = _pqt_update(asg, e)
+    # Checkpoint exactly what the CALLER's DAG consumes more than once
+    # (``ckpt``) — a checkpoint on a single-consumer artifact is pure
+    # overhead at every scale (eager plan + RDD materialization,
+    # measured +50% on the linear training keys), while one on a
+    # multi-consumer artifact saves a full corpus pass per extra
+    # reference. In-loop iterates are always strictly linear.
+    if "cb" in ckpt:
+        cb = _train_once(cb)
     codes = _pqt_assign(sub, cb)
+    if "codes" in ckpt:
+        codes = _train_once(codes)
     return e, cb, codes
 
 
@@ -1359,7 +1395,9 @@ FROM {_PQT_CB} b LEFT JOIN members m ON m.s = b.s AND m.c = b.c
 def q_sim_pq_train_codebook(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    _, cb, codes = _pqt_chain(spark, sf_dir)
+    # cb is consumed twice (the report join + the codes lineage);
+    # codes once — checkpoint cb only
+    _, cb, codes = _pqt_chain(spark, sf_dir, ckpt=frozenset({"cb"}))
     members = codes.groupBy("s", "c").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1471,25 +1509,7 @@ def q_sim_pq_trained_recall(
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("fxv").alias("qfx")
     )
-    lut_d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(8)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (
-            (
-                F.element_at(
-                    F.col("qfx"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-            * (
-                F.element_at(
-                    F.col("qfx"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-        ),
-    )
+    lut_d2 = _d2_sub("qfx", "cfx")
     lut = q.join(F.broadcast(cb), F.lit(True)).select(
         "q_id", "s", "c", lut_d2.alias("d2")
     )
@@ -1560,11 +1580,14 @@ def _civf_assign(
     fixed-point distances to the broadcast centroid table, packed-MIN
     tie-break (centroid id asc). ``pack`` must exceed nlist (64
     covers the 8/16-list chains; the production-shaped key passes
-    1024 for nlist up to 1023)."""
+    1024 for nlist up to 1023). Distances are unrolled codegen'd
+    arithmetic (round 19, guide §1.3/§4 — see :func:`_d2_span`); the
+    groupBy argmin reduces map-side (partial MIN), so the Exchange
+    carries ~N rows, not N x nlist."""
     d = e.join(F.broadcast(ccb), F.lit(True)).select(
         "vec_id",
         "cl",
-        _d2_span(F.col("fxv"), F.col("cfx"), F.lit(1), 64).alias("d2"),
+        _d2_span("fxv", "cfx", 1, 64).alias("d2"),
     )
     return d.groupBy("vec_id").agg(
         (F.min(F.col("d2") * pack + F.col("cl")) % pack).alias("cl")
@@ -1575,35 +1598,37 @@ def _civf_update(asg: DataFrame, e: DataFrame) -> DataFrame:
     """Full-vector Lloyd update: per (cl, dim) fixed-point FLOOR-mean
     of member vectors, repacked to (cl, cfx) — the 64-dim twin of
     :func:`_pqt_update` (integer sums, one correctly-rounded double
-    division, FLOOR; empty clusters drop out identically)."""
-    per_dim = (
-        asg.join(e.select("vec_id", "fxv"), "vec_id")
-        .select(
-            "cl",
-            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("j"),
-            "fxv",
-        )
-        .select(
-            "cl",
-            "j",
-            F.element_at(F.col("fxv"), F.col("j").cast("int")).alias("v"),
-        )
+    division, FLOOR; empty clusters drop out identically).
+
+    Round 19 (guide §2.2): 64 per-dimension SUM columns in ONE hash
+    aggregate instead of a 64-way dim explode + (cl, j) shuffle +
+    re-collect — the Exchange now carries nlist rows, not N x 64.
+    Identical integers (see :func:`_pqt_update`)."""
+    per = asg.join(e.select("vec_id", "fxv"), "vec_id").select(
+        "cl", "fxv"
     )
-    upd = per_dim.groupBy("cl", "j").agg(
-        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
-        .cast("long")
-        .alias("v")
+    sums = per.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(F.col("fxv"), j)).alias(f"v{j}")
+            for j in range(1, 65)
+        ],
     )
-    return upd.groupBy("cl").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "v"))),
-            lambda x: x.getField("v"),
-        ).alias("cfx")
+    cfx = F.array(
+        *[
+            F.floor(F.col(f"v{j}").cast("double") / F.col("n"))
+            .cast("long")
+            for j in range(1, 65)
+        ]
     )
+    return sums.select("cl", cfx.alias("cfx"))
 
 
 def _civf_chain(
-    spark: SparkSession, sf_dir: str, nlist: int = _CIVF_NLIST
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = _CIVF_NLIST,
+    ckpt: frozenset = frozenset({"ccb", "assign"}),
 ):
     """(fxe, trained coarse centroids, assignment, probe_rank): the
     trained twin of :func:`_ivf_coarse_chain` — same outputs, but the
@@ -1620,14 +1645,20 @@ def _civf_chain(
     for _ in range(_CIVF_ITERS):
         asg = _civf_assign(e, ccb)
         ccb = _civf_update(asg, e)
+    # checkpoint exactly the caller's multi-consumed artifacts
+    # (see the _pqt_chain loop comment for the measured rationale)
+    if "ccb" in ckpt:
+        ccb = _train_once(ccb)
     assign = _civf_assign(e, ccb)
+    if "assign" in ckpt:
+        assign = _train_once(assign)
     qd = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(ccb), F.lit(True))
         .select(
             F.col("vec_id").alias("q_id"),
             "cl",
-            _d2_span(F.col("fxv"), F.col("cfx"), F.lit(1), 64).alias(
+            _d2_span("fxv", "cfx", 1, 64).alias(
                 "d2"
             ),
         )
@@ -1825,7 +1856,11 @@ FROM {_CIVF_CCB} b LEFT JOIN members m ON m.cl = b.cl
 def q_sim_ivf_train_coarse(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    _, ccb, assign, _ = _civf_chain(spark, sf_dir)
+    # ccb is consumed twice (the report join + the assign lineage);
+    # assign once — checkpoint ccb only
+    _, ccb, assign, _ = _civf_chain(
+        spark, sf_dir, ckpt=frozenset({"ccb"})
+    )
     members = assign.groupBy("cl").agg(F.count(F.lit(1)).alias("n"))
     return ccb.join(members, "cl", "left").select(
         F.col("cl").cast("long").alias("cl"),
@@ -2010,10 +2045,12 @@ def _ivfpq_recall_frame(
     sampled-query ground truth, and the recall@{1,3,5} frame — the
     body of the round-17 trained key, parameterized so the round-18
     production-shaped key reuses it verbatim at its quantizer scale."""
+    # probes feeds the ADC LUT build AND the exact-pruning branch
+    probes = _train_once(probes)
     rfx = F.zip_with(
         F.col("fxv"), F.col("cfx"), lambda x, c: x - c
     )
-    res = (
+    res = _train_once(
         e.join(assign, "vec_id")
         .join(F.broadcast(ccb), "cl")
         .select("vec_id", "cl", rfx.alias("rfx"))
@@ -2044,6 +2081,9 @@ def _ivfpq_recall_frame(
     for _ in range(_PQT_ITERS):
         asg = _pqt_assign(sub, rcb, pack=pq_pack)
         rcb = _pqt_update(asg, res_fx)
+    # the trained residual codebook feeds the final assign AND the
+    # per-query LUT; in-loop iterates stay linear (see _pqt_chain)
+    rcb = _train_once(rcb)
     codes = _pqt_assign(sub, rcb, pack=pq_pack).join(
         res.select("vec_id", "cl"), "vec_id"
     )
@@ -2060,25 +2100,7 @@ def _ivfpq_recall_frame(
             ).alias("qrfx"),
         )
     )
-    lut_d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(8)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (
-            (
-                F.element_at(
-                    F.col("qrfx"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-            * (
-                F.element_at(
-                    F.col("qrfx"), (F.col("s") * 8 + i).cast("int")
-                )
-                - F.element_at(F.col("cfx"), i.cast("int"))
-            )
-        ),
-    )
+    lut_d2 = _d2_sub("qrfx", "cfx")
     lut = (
         qres.select(
             "q_id",
@@ -2097,6 +2119,10 @@ def _ivfpq_recall_frame(
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d2").cast("long").alias("adc2"))
     )
+    if rerank is not None:
+        # scored feeds both the ADC top-k and the refine shortlist —
+        # materialize it once (same train-once contract)
+        scored = _train_once(scored)
     wk = Window.partitionBy("q_id").orderBy(
         F.asc("adc2"), F.asc("vec_id")
     )
@@ -2354,20 +2380,23 @@ def q_sim_ivfpq_production_recall(
             ).alias("nprobe"),
         )
     )
+    params = _train_once(params)
     ccb = e.join(
         F.broadcast(params), F.col("vec_id") < F.col("nlist")
     ).select(F.col("vec_id").alias("cl"), F.col("fxv").alias("cfx"))
     for _ in range(_CIVF_ITERS):
         asg = _civf_assign(e, ccb, pack=_PROD_CPACK)
         ccb = _civf_update(asg, e)
-    assign = _civf_assign(e, ccb, pack=_PROD_CPACK)
+    # multi-consumer artifacts only (see _pqt_chain)
+    ccb = _train_once(ccb)
+    assign = _train_once(_civf_assign(e, ccb, pack=_PROD_CPACK))
     qd = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(ccb), F.lit(True))
         .select(
             F.col("vec_id").alias("q_id"),
             "cl",
-            _d2_span(F.col("fxv"), F.col("cfx"), F.lit(1), 64).alias(
+            _d2_span("fxv", "cfx", 1, 64).alias(
                 "d2"
             ),
         )
