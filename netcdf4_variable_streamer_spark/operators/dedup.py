@@ -470,7 +470,7 @@ def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb2"),
         F.col("nrm").alias("n2"),
     )
-    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    cos = _dot("emb1", "emb2") / (F.col("n1") * F.col("n2"))
     return a.join(b, F.col("v1") < F.col("v2")).filter(cos >= TAU_EMB).select(
         "v1", "v2"
     )
@@ -681,7 +681,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     cs = F.round(
-        _dot(F.col("embedding"), F.col("c_emb"))
+        _dot("embedding", "c_emb")
         / (F.col("nrm") * F.col("c_nrm")),
         4,
     )
@@ -706,7 +706,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("n2"),
         "cluster_id",
     )
-    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    cos = _dot("emb1", "emb2") / (F.col("n1") * F.col("n2"))
     p = (
         a.join(b, "cluster_id")
         .filter(F.col("v1") < F.col("v2"))
@@ -832,7 +832,7 @@ def q_dedup_semantic_trained(
         F.col("nrm").alias("n2"),
         "cluster_id",
     )
-    cos = _dot(F.col("emb1"), F.col("emb2")) / (
+    cos = _dot("emb1", "emb2") / (
         F.col("n1") * F.col("n2")
     )
     p = (

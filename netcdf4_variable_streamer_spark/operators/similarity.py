@@ -65,16 +65,26 @@ WHERE rn <= {TOP_K}
 """
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _dot(a: str, b: str) -> Column:
+    """Double dot product of two 64-dim ARRAY columns (by NAME).
+
+    Round 19 (guide §1.3/§4): unrolled into a flat codegen'd sum
+    emitted as one parsed SQL string instead of a zip_with +
+    aggregate HOF (interpreted per element, measured ~4x slower on
+    the 250k-pair knn shape). Bit-identical doubles: the fold started
+    from literal 0.0 and added left-to-right — the unrolled chain
+    keeps the leading 0.0 term and the same addition order, so even
+    the signed-zero edge case matches."""
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, 65)
     )
+    return F.expr(f"CAST(0 AS DOUBLE) + {terms}")
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
-    return df.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    return df.withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
 
 
 def _topk(pairs: DataFrame) -> DataFrame:
@@ -104,7 +114,7 @@ def q_sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")),
                 4,
             ),
@@ -2473,7 +2483,7 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")),
                 4,
             ),
@@ -2535,7 +2545,7 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb2"),
         F.col("nrm").alias("n2"),
     )
-    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    cos = _dot("emb1", "emb2") / (F.col("n1") * F.col("n2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .filter(cos >= TAU)
@@ -2686,7 +2696,7 @@ def lsh_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb2"),
         F.col("nrm").alias("n2"),
     )
-    cos = _dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))
+    cos = _dot("emb1", "emb2") / (F.col("n1") * F.col("n2"))
     return (
         cands.join(a, "v1")
         .join(b, "v2")
@@ -2807,7 +2817,7 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")),
                 4,
             ),
@@ -2924,7 +2934,7 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")),
                 4,
             ),
@@ -3737,7 +3747,7 @@ def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(mx))
-        .withColumn("ip_raw", _dot(F.col("q_emb"), F.col("embedding")))
+        .withColumn("ip_raw", _dot("q_emb", "embedding"))
         .select(
             "q_id",
             "vec_id",
