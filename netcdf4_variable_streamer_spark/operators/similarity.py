@@ -68,19 +68,22 @@ WHERE rn <= {TOP_K}
 def _dot(a: str, b: str) -> Column:
     """Double dot product of two 64-dim ARRAY columns (by NAME).
 
-    Round 19 (guide §1.3/§4): unrolled into a flat codegen'd sum
-    emitted as one parsed SQL string instead of a zip_with +
-    aggregate HOF (interpreted per element, measured ~4x slower on
-    the 250k-pair knn shape). Bit-identical doubles: the fold started
-    from literal 0.0 and added left-to-right — the unrolled chain
-    keeps the leading 0.0 term and the same addition order, so even
-    the signed-zero edge case matches."""
-    terms = " + ".join(
-        f"(CAST(element_at({a}, {i}) AS DOUBLE)"
-        f" * CAST(element_at({b}, {i}) AS DOUBLE))"
-        for i in range(1, 65)
+    Round 19 (guide §1.1): stays the zip_with + aggregate HOF.  The
+    flat 64-term unrolled expr() that won 7x for the _d2_span/_d2_sub
+    chain shapes was A/B-tested here too and LOST on every _dot
+    consumer (knn cosine 1.18 vs 0.59 s at sf0.1; threshold_pairs
+    3.11 vs 1.36, embed_cosine 3.56 vs 1.85, mips 0.70 vs 0.46,
+    knn_classify 0.74 vs 0.45 s at sf0.01, min-of-3 noop runs): these
+    plans evaluate the dot inside broadcast-join projections where
+    the giant unrolled tree is walked interpreted per row, while the
+    HOF's single array traversal amortizes.  Per-shape choice, made
+    on measurements, not by analogy."""
+    ca, cb = F.col(a), F.col(b)
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return F.expr(f"CAST(0 AS DOUBLE) + {terms}")
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
