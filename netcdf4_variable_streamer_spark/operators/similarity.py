@@ -1232,32 +1232,48 @@ def _pqt_update(asg: DataFrame, e: DataFrame) -> DataFrame:
     sums, one correctly-rounded double division, FLOOR. Empty
     clusters simply drop out (both engines see the same survivors).
 
-    Round 19 (guide §2.2): eight per-dimension SUM columns in ONE
-    hash aggregate instead of an 8-way dim explode + (s, c, j) shuffle
-    + re-collect — partial aggregation now reduces everything map-side
-    and the Exchange carries |codebook| rows, not N x 8. Identical
-    integers: the same per-dim long sums and the same
-    FLOOR(sum::double / count) division, count per (s, c) == count
-    per (s, c, j) because every member contributes every dim."""
-    sv = F.slice(F.col("fxv"), F.col("s") * 8 + 1, 8)
-    per = asg.join(e.select("vec_id", "fxv"), "vec_id").select(
-        "s", "c", sv.alias("sv")
+    Round 19: stays the dim explode + (s, c, j) aggregate +
+    array_sort re-collect. The "wide-sum" rewrite (8 per-dim SUM
+    columns in one hash aggregate) looked better on paper (§2.2:
+    Exchange carries |codebook| rows, not N x 8) but A/B-measured
+    2-3x SLOWER end-to-end on every training key (train_coarse
+    3.84 -> 1.24 s, semantic_trained 3.99 -> 1.67 s,
+    production_recall 10.4 -> 6.2 s when reverted; shared-session
+    min-of-2 noop runs at sf0.01): at these codebook shapes the
+    shuffle it saves is KB-scale while the wide aggregate's per-row
+    element_at fan-out and 65-field buffers cost more than the
+    Exchange ever did. Re-evaluate only with a measured win at a
+    larger nlist."""
+    per_dim = (
+        asg.join(e.select("vec_id", "fxv"), "vec_id")
+        .select(
+            "s",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+            "fxv",
+        )
+        .select(
+            "s",
+            "c",
+            "j",
+            F.element_at(
+                F.col("fxv"), (F.col("s") * 8 + F.col("j")).cast("int")
+            ).alias("v"),
+        )
     )
-    sums = per.groupBy("s", "c").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at(F.col("sv"), j)).alias(f"v{j}")
-            for j in range(1, 9)
-        ],
+    upd = per_dim.groupBy("s", "c", "j").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("v")
     )
-    cfx = F.array(
-        *[
-            F.floor(F.col(f"v{j}").cast("double") / F.col("n"))
-            .cast("long")
-            for j in range(1, 9)
-        ]
+    return upd.groupBy("s", "c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))),
+            lambda x: x.getField("v"),
+        ).alias("cfx")
     )
-    return sums.select("s", "c", cfx.alias("cfx"))
 
 
 def _pqt_chain(
@@ -1613,28 +1629,33 @@ def _civf_update(asg: DataFrame, e: DataFrame) -> DataFrame:
     :func:`_pqt_update` (integer sums, one correctly-rounded double
     division, FLOOR; empty clusters drop out identically).
 
-    Round 19 (guide §2.2): 64 per-dimension SUM columns in ONE hash
-    aggregate instead of a 64-way dim explode + (cl, j) shuffle +
-    re-collect — the Exchange now carries nlist rows, not N x 64.
-    Identical integers (see :func:`_pqt_update`)."""
-    per = asg.join(e.select("vec_id", "fxv"), "vec_id").select(
-        "cl", "fxv"
+    Round 19: stays the dim explode + (cl, j) aggregate — the 64-SUM
+    wide-aggregate rewrite measured 2-3x slower end-to-end; see the
+    measured rationale on :func:`_pqt_update`."""
+    per_dim = (
+        asg.join(e.select("vec_id", "fxv"), "vec_id")
+        .select(
+            "cl",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("j"),
+            "fxv",
+        )
+        .select(
+            "cl",
+            "j",
+            F.element_at(F.col("fxv"), F.col("j").cast("int")).alias("v"),
+        )
     )
-    sums = per.groupBy("cl").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at(F.col("fxv"), j)).alias(f"v{j}")
-            for j in range(1, 65)
-        ],
+    upd = per_dim.groupBy("cl", "j").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("v")
     )
-    cfx = F.array(
-        *[
-            F.floor(F.col(f"v{j}").cast("double") / F.col("n"))
-            .cast("long")
-            for j in range(1, 65)
-        ]
+    return upd.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))),
+            lambda x: x.getField("v"),
+        ).alias("cfx")
     )
-    return sums.select("cl", cfx.alias("cfx"))
 
 
 def _civf_chain(
