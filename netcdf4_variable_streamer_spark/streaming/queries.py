@@ -2037,7 +2037,11 @@ def make_curation_loop(
                     & (F.col("doc_id") != F.col("min_id"))
                 ),
             )
-        )
+        ).persist()  # read by the survivors branch AND the decisions
+        # base (round 19, guide §5): the standard foreachBatch idiom —
+        # persist what multiple actions/branches of the batch consume,
+        # unpersist at batch end (no leak across batches, unlike a
+        # localCheckpoint). Semantics unchanged: cache only.
         survivors = b2.filter(~F.col("is_dup")).select(
             "doc_id", "lang", "text", "n_tokens"
         )
@@ -2154,7 +2158,9 @@ def make_curation_loop(
                 F.coalesce(F.col("used"), F.lit(0)) + F.col("cum")
                 <= _CUR_BUDGET,
             )
-        )
+        ).persist()  # read by the decisions write AND the budget-
+        # ledger write below — without the cache the second action
+        # re-runs the whole classifier/budget DAG (round 19, guide §5)
         dec = (
             b2.select("doc_id", "lang", "is_dup", "n_tokens")
             .join(
@@ -2224,6 +2230,8 @@ def make_curation_loop(
         with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
             pass
         state["hashes"], state["budget"] = h_dst, u_dst
+        samp.unpersist()
+        b2.unpersist()
 
     return curate, n_batches
 
