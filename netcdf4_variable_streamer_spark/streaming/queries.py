@@ -1059,7 +1059,12 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
                 state["bands"] = os.path.join(run_dir, f"bands_v{v}")
                 state["sh"] = os.path.join(run_dir, f"sh_v{v}")
         b = batch_df.select("doc_id", "text")
-        new_sh = _shingled(b, "doc_id", "text")
+        # the shingle/minhash pass is the batch's expensive map-side
+        # work and feeds THREE actions (decisions probe, bands write,
+        # sh write) — persist for the batch, unpersist at the end
+        # (round 19, guide §5; cache only, semantics unchanged)
+        batch_sh = _shingled(b, "doc_id", "text").persist()
+        new_sh = batch_sh
         new_bands = _minhash_band_table(new_sh)
         if state:
             idx_bands = spark.read.parquet(state["bands"])
@@ -1082,6 +1087,7 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
         with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
             pass
         state["bands"], state["sh"] = bands_dst, sh_dst
+        batch_sh.unpersist()
 
     return crawl, n_batches
 
@@ -1197,7 +1203,10 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
                 state["anch"] = os.path.join(run_dir, f"anch_v{v}")
                 state["spcl"] = os.path.join(run_dir, f"spcl_v{v}")
         b = batch_df.select("doc_id", "text")
-        b_anch = _winnow_anchors_of(b)
+        # the winnow-anchor pass feeds the probe AND the anch_v write
+        # — persist for the batch (round 19, guide §5; cache only)
+        b_anch = _winnow_anchors_of(b).persist()
+        batch_anch = b_anch
         b_spcl = _span_table(b).select("cluster").distinct()
         if state:
             idx_anch = spark.read.parquet(state["anch"])
@@ -1232,6 +1241,7 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
         with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
             pass
         state["anch"], state["spcl"] = anch_dst, spcl_dst
+        batch_anch.unpersist()
 
     return crawl, n_batches
 
@@ -1366,6 +1376,10 @@ def make_substring_ttl_loop(
         retained = [
             v for v in committed() if batch_id - ttl <= v < batch_id
         ]
+        # ONE winnow-anchor pass per batch: it feeds the probe branch
+        # AND the anch_b index write — persist for the batch
+        # (round 19, guide §5; cache only, semantics unchanged)
+        b_anch = _winnow_anchors_of(b).persist()
         if retained:
             idx_anch = spark.read.parquet(
                 *[os.path.join(run_dir, f"anch_b{v}") for v in retained]
@@ -1373,7 +1387,6 @@ def make_substring_ttl_loop(
             idx_spcl = spark.read.parquet(
                 *[os.path.join(run_dir, f"spcl_b{v}") for v in retained]
             ).distinct()
-            b_anch = _winnow_anchors_of(b)
             flagged = (
                 b_anch.join(
                     F.broadcast(idx_anch.select("cluster").distinct()),
@@ -1389,7 +1402,7 @@ def make_substring_ttl_loop(
             ).write.mode("overwrite").parquet(
                 os.path.join(run_dir, f"dec_v{batch_id}")
             )
-        _winnow_anchors_of(b).write.mode("overwrite").parquet(
+        b_anch.write.mode("overwrite").parquet(
             os.path.join(run_dir, f"anch_b{batch_id}")
         )
         _span_table(b).select("cluster").distinct().write.mode(
@@ -1416,6 +1429,7 @@ def make_substring_ttl_loop(
                         os.path.join(run_dir, f"{t}_b{v}"),
                         ignore_errors=True,
                     )
+        b_anch.unpersist()
 
     return crawl, n_batches
 
