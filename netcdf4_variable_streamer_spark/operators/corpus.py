@@ -1369,7 +1369,9 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
-    )
+    ).localCheckpoint(eager=False)  # read by the LM train pass, the
+    # scoring pass, the survivors join AND the report join (round 19
+    # train-once contract, guide §5)
     ppl = (
         perplexity_filter(dedup, dedup)
         .filter(F.col("keep"))
@@ -1713,7 +1715,9 @@ def q_pipeline_curation_full(
         docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
-    )
+    ).localCheckpoint(eager=False)  # read by the span build, the
+    # decon anti-join AND the report join (round 19 train-once
+    # contract, guide §5)
     # stage 2: span-level decontamination over the dedup survivors
     spans = _span_table(dedup.select("doc_id", "text"))
     sref = (
@@ -1725,7 +1729,10 @@ def q_pipeline_curation_full(
     quar = _span_quarantine(
         spans.filter(F.col("doc_id") >= _SXC_SPLIT), sref
     )
-    decon = dedup.join(F.broadcast(quar), "doc_id", "left_anti")
+    decon = dedup.join(
+        F.broadcast(quar), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)  # read by the LM train pass, the
+    # scoring pass, the survivors join AND the report join
     ppl = (
         perplexity_filter(decon, decon)
         .filter(F.col("keep"))
@@ -2113,7 +2120,9 @@ def q_pipeline_curation_surgical(
         docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
-    )
+    ).localCheckpoint(eager=False)  # read by the crawl/ref splits,
+    # the span-ref build AND the report join — materialize the dedup
+    # window once (round 19 train-once contract, guide §5)
     # stage 2 (surgical): cut every reference-matching span from the
     # crawl-side dedup survivors; reference docs pass through raw
     crawl = dedup.filter(F.col("doc_id") >= _SXC_SPLIT)
@@ -2149,7 +2158,8 @@ def q_pipeline_curation_surgical(
                 .alias("n_cut"),
             )
         )
-    )
+    ).localCheckpoint(eager=False)  # read by the LM train pass, the
+    # scoring pass, the classifier explode AND the report join
     ppl = (
         perplexity_filter(surg, surg)
         .filter(F.col("keep"))
