@@ -2061,6 +2061,7 @@ def make_curation_loop(
         )
         dkeep = None
         rwi = None
+        rwf = None  # the persisted rewrite frame, unpersisted at end
         if mode == "quarantine":
             # stage 1b: span-level eval decontamination — probe the
             # survivors' span hashes against the persisted reference
@@ -2115,7 +2116,13 @@ def make_curation_loop(
                 cut,
                 docs=survivors,
                 extra_cols=("lang", "n_tokens"),
-            ).withColumn("rtext", F.array_join("kept", " "))
+            ).withColumn("rtext", F.array_join("kept", " ")).persist()
+            # ^ round 19 (guide §5): the span-cut HOF walk feeds the
+            # decisions columns (rwi), the gate/classifier/budget
+            # chain (survivors) AND — through them — the dec plan's
+            # replayed branches; persist for the batch like b2/samp
+            # (unpersisted at batch end below; cache only)
+            rwf = rw
             rwi = rw.select(
                 "doc_id",
                 (F.size("tk") - F.size("kept"))
@@ -2246,6 +2253,8 @@ def make_curation_loop(
         state["hashes"], state["budget"] = h_dst, u_dst
         samp.unpersist()
         b2.unpersist()
+        if rwf is not None:
+            rwf.unpersist()
 
     return curate, n_batches
 
