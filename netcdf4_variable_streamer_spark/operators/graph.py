@@ -75,8 +75,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v1").alias("src"), F.col("v2").alias("dst")
     ).unionAll(
         pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ).localCheckpoint(eager=False)
+    # ^ round 19 (guide §5, train-once): every power iteration below
+    # references edges, so without the checkpoint the final plan
+    # replays the quadratic exact-pair join _N_ITER times
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
     pr = nodes.withColumn("pr", F.lit(_PR0).cast("long"))
     for _ in range(_N_ITER):
         contrib = (
@@ -416,7 +421,10 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v1").alias("src"), F.col("v2").alias("dst")
     ).unionAll(
         pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
+    # ^ round 19 (guide §5, train-once): each propagation round joins
+    # edges again — checkpoint so the quadratic exact-pair join runs
+    # once, not _LP_ROUNDS times
     lab = nodes.select(
         F.col("vec_id").alias("v"), F.col("vec_id").alias("lab")
     )
