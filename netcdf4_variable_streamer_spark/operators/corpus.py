@@ -1355,21 +1355,32 @@ ORDER BY d.lang
         "the funnel audit joins are id-keyed and the final output "
         "is |langs| rows.",
 )
-def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pipeline_curation(
+    spark: SparkSession, sf_dir: str, *, _checkpoint: bool = True
+) -> DataFrame:
     from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
     from netcdf4_variable_streamer_spark.operators.text import (
         perplexity_filter,
     )
 
+    # _checkpoint=False is the plan-posture test hook: lazy checkpoints
+    # truncate explain() at the materialization boundary, so the tests
+    # build the identical un-checkpointed composition to see the one
+    # end-to-end Catalyst plan the docstring contract describes.
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if _checkpoint
+        else (lambda df: df)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     wkeep = Window.partitionBy(F.md5("text"))
-    dedup = (
+    dedup = ckpt(
         docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
-    ).localCheckpoint(eager=False)  # read by the LM train pass, the
+    )  # read by the LM train pass, the
     # scoring pass, the survivors join AND the report join (round 19
     # train-once contract, guide §5)
     ppl = (
@@ -1700,22 +1711,28 @@ ORDER BY d.lang
         "documents.",
 )
 def q_pipeline_curation_full(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, _checkpoint: bool = True
 ) -> DataFrame:
     from netcdf4_variable_streamer_spark.operators.dedup import _md5_int
     from netcdf4_variable_streamer_spark.operators.text import (
         perplexity_filter,
     )
 
+    # _checkpoint=False: plan-posture test hook (see q_pipeline_curation)
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if _checkpoint
+        else (lambda df: df)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     wkeep = Window.partitionBy(F.md5("text"))
-    dedup = (
+    dedup = ckpt(
         docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
-    ).localCheckpoint(eager=False)  # read by the span build, the
+    )  # read by the span build, the
     # decon anti-join AND the report join (round 19 train-once
     # contract, guide §5)
     # stage 2: span-level decontamination over the dedup survivors
@@ -1729,9 +1746,9 @@ def q_pipeline_curation_full(
     quar = _span_quarantine(
         spans.filter(F.col("doc_id") >= _SXC_SPLIT), sref
     )
-    decon = dedup.join(
-        F.broadcast(quar), "doc_id", "left_anti"
-    ).localCheckpoint(eager=False)  # read by the LM train pass, the
+    decon = ckpt(
+        dedup.join(F.broadcast(quar), "doc_id", "left_anti")
+    )  # read by the LM train pass, the
     # scoring pass, the survivors join AND the report join
     ppl = (
         perplexity_filter(decon, decon)
@@ -2106,21 +2123,27 @@ ORDER BY d.lang
         "proportional and bounded by the exclusion cap.",
 )
 def q_pipeline_curation_surgical(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, _checkpoint: bool = True
 ) -> DataFrame:
     from netcdf4_variable_streamer_spark.operators.text import (
         perplexity_filter,
     )
 
+    # _checkpoint=False: plan-posture test hook (see q_pipeline_curation)
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if _checkpoint
+        else (lambda df: df)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     wkeep = Window.partitionBy(F.md5("text"))
-    dedup = (
+    dedup = ckpt(
         docs.withColumn("keep_id", F.min("doc_id").over(wkeep))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
-    ).localCheckpoint(eager=False)  # read by the crawl/ref splits,
+    )  # read by the crawl/ref splits,
     # the span-ref build AND the report join — materialize the dedup
     # window once (round 19 train-once contract, guide §5)
     # stage 2 (surgical): cut every reference-matching span from the
@@ -2158,7 +2181,8 @@ def q_pipeline_curation_surgical(
                 .alias("n_cut"),
             )
         )
-    ).localCheckpoint(eager=False)  # read by the LM train pass, the
+    )
+    surg = ckpt(surg)  # read by the LM train pass, the
     # scoring pass, the classifier explode AND the report join
     ppl = (
         perplexity_filter(surg, surg)

@@ -232,7 +232,11 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", _shingles(F.col("toks")).alias("ss"))
     )
-    d = d.filter(F.size("ss") > 0)
+    # Round 19 (guide §5, train-once): the shingled frame feeds three
+    # branches (band table, explode-verify, sizes) that diverge BEFORE
+    # any exchange, so each would re-run the O(tokens) shingle HOF over
+    # the full corpus — checkpoint makes shingle-once a plan contract.
+    d = d.filter(F.size("ss") > 0).localCheckpoint(eager=False)
     ex = d.select("doc_id", F.explode("ss").alias("sh")).withColumn(
         "h", _md5_int(F.col("sh"), 7)
     )
@@ -1044,8 +1048,15 @@ def incremental_near_dedup(
     output cardinality is proportional to true near-duplicates.
     """
     qthr = int(round(threshold * 10000))
-    idx_sh = _shingled(index_df, id_col, text_col)
-    new_sh = _shingled(batch_df, id_col, text_col)
+    # Round 19 (guide §5, train-once): each shingled frame feeds three
+    # branches of _incremental_decisions (band table, explode-verify,
+    # sizes) — checkpoint so the shingle pass runs once per side.
+    idx_sh = _shingled(index_df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    new_sh = _shingled(batch_df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     return _incremental_decisions(
         _minhash_band_table(idx_sh),
         idx_sh,
@@ -1627,6 +1638,12 @@ def q_dedup_minhash_calibration(
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", _shingles(F.col("toks")).alias("ss"))
         .filter(F.size("ss") > 0)
+        # Round 19 (guide §5, train-once): d feeds three branches
+        # (minhash explode, sizes, verify explode), mh feeds three
+        # (band table + both estimator joins) — each divergence is
+        # before an exchange, so without the checkpoints the shingle
+        # HOF and the 32-min aggregation replay per branch.
+        .localCheckpoint(eager=False)
     )
     ex = d.select("doc_id", F.explode("ss").alias("sh")).withColumn(
         "h", _md5_int(F.col("sh"), 7)
@@ -1638,7 +1655,7 @@ def q_dedup_minhash_calibration(
             ).alias(f"mh{p}")
             for p in range(NUM_PERM)
         ]
-    )
+    ).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -1677,6 +1694,7 @@ def q_dedup_minhash_calibration(
             F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
         )
         .distinct()
+        .localCheckpoint(eager=False)  # round 19: feeds est AND inter
     )
     a, b = mh.alias("a"), mh.alias("b")
     est32 = sum(

@@ -2655,6 +2655,14 @@ def lsh_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (threshold key below; transitive clustering in operators/dedup.py)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
+    # Round 19: measured and kept as the HOF fold. The _d2_span-style
+    # flat unroll (48 tables x 64-term literal sums) was tried and
+    # REVERTED: the combined projection overflows janino's 64 KB method
+    # limit ("Code grows beyond 64 KB"), whole-stage codegen falls back
+    # to interpreted mode, and every consumer regressed ~2x (A/B
+    # min-of-2 noop at sf0.01: threshold_lsh 4.26->8.35 s, cc_lsh
+    # 5.76->8.77, jaccard_neighbors 4.36->7.24, triangles 3.75->6.95).
+    # The zip_with/aggregate HOF stays — same lesson as _dot.
     def lit_plane(t: int, b: int) -> Column:
         return F.array(*[F.lit(x) for x in _plsh_plane(t, b)])
 
@@ -3588,9 +3596,15 @@ def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same way). Every block op (subtract, multiply, >0) is a single
 # exact IEEE operation, so both engines binarize identically.
 _HAM_BLOCKS_SPARK = [
-    lambda e, i: F.element_at(e, i),
-    lambda e, i: F.element_at(e, i) - F.element_at(e, (i % 64) + 1),
-    lambda e, i: F.element_at(e, i) * F.element_at(e, ((i + 6) % 64) + 1),
+    lambda i: f"element_at(embedding, {i})",
+    lambda i: (
+        f"(element_at(embedding, {i})"
+        f" - element_at(embedding, {(i % 64) + 1}))"
+    ),
+    lambda i: (
+        f"(element_at(embedding, {i})"
+        f" * element_at(embedding, {((i + 6) % 64) + 1}))"
+    ),
 ]
 _HAM_BLOCKS_SQL = [
     "embedding[CAST(i AS INTEGER)]",
@@ -3617,15 +3631,20 @@ def _ham_fold_sql(s: str) -> str:
                 ELSE {s} END AS BIGINT)"""
 
 
-def _ham_word_spark(e: Column, block: int) -> Column:
-    terms = [
-        F.when(
-            _HAM_BLOCKS_SPARK[block](e, i) > 0,
-            F.lit((1 << (i - 1)) if i < 64 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+def _ham_word_spark(block: int) -> Column:
+    """One 64-bit sign word as a flat codegen'd SQL sum (round 19,
+    guide §1.3 — the _d2_span idiom): the 64 CASE terms in ONE parsed
+    expr() instead of 64 py4j ``when`` Columns per word (192 per build
+    — measurable driver time), same left-to-right BIGINT addition of
+    disjoint bit values, bit-identical.  ``shiftleft(1L, 63)`` IS the
+    two's-complement -(1<<63) the Column form set for bit 64."""
+    terms = " + ".join(
+        f"(CASE WHEN {_HAM_BLOCKS_SPARK[block](i)} > 0"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {i - 1})"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for i in range(1, 65)
-    ]
-    return sum(terms[1:], terms[0])
+    )
+    return F.expr(terms)
 
 
 @register(
@@ -3679,24 +3698,22 @@ def q_sim_binary_hamming_multiword(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    emb = F.col("embedding")
     sig = e.select(
         "vec_id",
-        F.array(
-            *[_ham_word_spark(emb, b) for b in range(3)]
-        ).alias("sig"),
+        F.array(*[_ham_word_spark(b) for b in range(3)]).alias("sig"),
     )
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("sig").alias("q_sig")
     )
-    ham = F.aggregate(
-        F.zip_with(
-            "q_sig",
-            "sig",
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # Round 19: the 3-word popcount fold unrolled to three flat terms —
+    # the zip_with/aggregate HOF ran interpreted per (query, vector)
+    # row; integer sum, order-free, bit-identical.
+    ham = F.expr(
+        " + ".join(
+            f"CAST(bit_count(element_at(q_sig, {w}) ^"
+            f" element_at(sig, {w})) AS BIGINT)"
+            for w in (1, 2, 3)
+        )
     )
     scored = (
         sig.join(F.broadcast(q), F.lit(True))

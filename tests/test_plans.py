@@ -1063,10 +1063,18 @@ def test_curation_full_decontam_posture(spark):
     touches span/probe columns (span_start, the probe hash h, the
     contamination ratio) excludes document text; the quarantine list
     reaches the pipeline through a broadcast; no Python, no
-    cartesian/nested-loop stage anywhere in the composed plan."""
+    cartesian/nested-loop stage anywhere in the composed plan.
+
+    Built with _checkpoint=False (round 19): the production builder
+    lazily localCheckpoints the dedup/decon frames (train-once), which
+    truncates explain() at the materialization boundary — the posture
+    is asserted on the identical un-checkpointed composition so the
+    whole end-to-end plan is visible."""
     import re
 
-    df = build(spark, "q_pipeline_curation_full")
+    df = REGISTRY["q_pipeline_curation_full"].builder(
+        spark, SF, _checkpoint=False
+    )
     plan = plans.plan_string(df)
     assert "BatchEvalPython" not in plan, plan
     assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
@@ -1217,10 +1225,18 @@ def test_curation_surgical_posture(spark):
     touches span/cut columns excludes document text and token
     arrays; the cut ranges reach the crawl scan through a broadcast;
     no Python, no cartesian/nested-loop stage in the composed
-    plan."""
+    plan.
+
+    Built with _checkpoint=False (round 19): the production builder
+    lazily localCheckpoints the dedup/surg frames (train-once), which
+    truncates explain() at the materialization boundary — the posture
+    is asserted on the identical un-checkpointed composition so the
+    whole end-to-end plan is visible."""
     import re
 
-    df = build(spark, "q_pipeline_curation_surgical")
+    df = REGISTRY["q_pipeline_curation_surgical"].builder(
+        spark, SF, _checkpoint=False
+    )
     plan = plans.plan_string(df)
     assert "BatchEvalPython" not in plan, plan
     assert plans.count_nodes(plan, "CartesianProduct") == 0, plan
