@@ -539,9 +539,28 @@ def _cc_over_pairs(
     iterative min-label propagation; O(diameter) rounds, lineage cut per
     round, only a strictly-decreasing label-sum scalar ever reaches the
     driver (equality = fixpoint)."""
+    # Round 19 (guide §2.2): both edge directions come from ONE pass over
+    # the pair set — explode of a 2-struct array — instead of a union of
+    # two selects. The union form duplicated p's whole subtree (the pair
+    # generator's exact-verify projection, or the quadratic theta-join
+    # itself for cc_clusters) above any reusable exchange, so it executed
+    # twice inside the one edge materialization; a localCheckpoint on p
+    # fixed the duplication but its persist barrier measured net-negative
+    # at sf0.01 (cc_clusters 4.9 -> 5.6 s). The explode needs no state.
     edges = (
-        p.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
-        .unionByName(p.select(F.col("v2").alias("src"), F.col("v1").alias("dst")))
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("v1").alias("src"), F.col("v2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("v2").alias("src"), F.col("v1").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()  # edge set reused every iteration
     )
     labels = (

@@ -71,11 +71,21 @@ SELECT vec_id, pr FROM pr3
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
     pairs = _emb_pairs(spark, sf_dir)
+    # Round 19 (guide §2.2): both edge directions in ONE pass over the
+    # pair set (explode of a 2-struct array) — the union-of-two-selects
+    # form duplicated the quadratic theta-join subtree above any
+    # reusable exchange, so it executed twice inside the one edge
+    # materialization. A localCheckpoint on pairs also fixed the
+    # duplication but its persist barrier measured flat at sf0.01; the
+    # explode needs no state at any scale.
     edges = pairs.select(
-        F.col("v1").alias("src"), F.col("v2").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
-    ).localCheckpoint(eager=False)
+        F.explode(
+            F.array(
+                F.struct(F.col("v1").alias("src"), F.col("v2").alias("dst")),
+                F.struct(F.col("v2").alias("src"), F.col("v1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint(eager=False)
     # ^ round 19 (guide §5, train-once): every power iteration below
     # references edges, so without the checkpoint the final plan
     # replays the quadratic exact-pair join _N_ITER times
@@ -417,11 +427,17 @@ FROM l2
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
     pairs = _emb_pairs(spark, sf_dir)
+    # Round 19 (guide §2.2): both edge directions in ONE pass over the
+    # pair set (explode of a 2-struct array) — see q_graph_pagerank for
+    # the measured rationale vs union-of-selects / pairs checkpoint.
     edges = pairs.select(
-        F.col("v1").alias("src"), F.col("v2").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
-    ).localCheckpoint(eager=False)
+        F.explode(
+            F.array(
+                F.struct(F.col("v1").alias("src"), F.col("v2").alias("dst")),
+                F.struct(F.col("v2").alias("src"), F.col("v1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint(eager=False)
     # ^ round 19 (guide §5, train-once): each propagation round joins
     # edges again — checkpoint so the quadratic exact-pair join runs
     # once, not _LP_ROUNDS times

@@ -2649,58 +2649,69 @@ lsh_pairs AS (
 )"""
 
 
+def _plsh_bucketize(batches):
+    """Arrow-batch LSH bucketizer: (vec_id, embedding) batches in,
+    (vec_id, tbl, bucket) batches out — 48 hyperplane dots per row,
+    vectorized NumPy behind mapInArrow (guide §4.2). The accumulation
+    is a strict LEFT-TO-RIGHT fold over dimensions (acc += x_d * p_d,
+    one multiply rounding + one add rounding per step), the exact
+    operation sequence of the previous zip_with/aggregate HOF and of
+    the DuckDB oracle's LIST_SUM, so every sign bit — and therefore
+    the whole candidate set — is BIT-IDENTICAL (asserted equal on the
+    fixtures before switching; keys oracle-MATCH unchanged). NOT a
+    matmul: BLAS reassociates the sum and can flip near-zero signs.
+    Measured (min-of-2 noop, sf0.01): bucket stage 0.42 -> 0.18 s vs
+    the interpreted HOF; the flat-SQL unroll alternative (48 x 64-term
+    literal sums in one projection) was tried earlier this round and
+    REVERTED — it overflows janino's 64 KB method limit, drops the
+    stage to interpreted mode, and regressed every consumer ~2x.
+    At scale the stage is embarrassingly parallel: zero shuffles
+    before it, cost divides by executor count, only (vec_id,
+    embedding) crosses the Python boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    from netcdf4_variable_streamer_spark.functions.arrow_np import (
+        column_i64,
+        list_matrix_f64,
+    )
+
+    planes = np.array(
+        [
+            [_plsh_plane(t, b) for b in range(_PLSH_BITS)]
+            for t in range(_PLSH_TABLES)
+        ],
+        dtype=np.float64,
+    ).reshape(_PLSH_TABLES * _PLSH_BITS, 64)
+    weights = 1 << np.arange(_PLSH_BITS, dtype=np.int64)
+    for batch in batches:
+        X = list_matrix_f64(batch, "embedding")
+        ids = column_i64(batch, "vec_id")
+        n = len(ids)
+        acc = np.zeros((n, _PLSH_TABLES * _PLSH_BITS))
+        for d in range(64):  # left-to-right fold — see docstring
+            acc += X[:, d : d + 1] * planes[None, :, d][0]
+        bk = (
+            (acc > 0).reshape(n, _PLSH_TABLES, _PLSH_BITS) * weights
+        ).sum(axis=2)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "vec_id": np.repeat(ids, _PLSH_TABLES),
+                "tbl": np.tile(np.arange(_PLSH_TABLES, dtype=np.int64), n),
+                "bucket": bk.reshape(-1).astype(np.int64),
+            }
+        )
+
+
 def lsh_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(v1, v2, cos_sim) with cos >= TAU via LSH-bucketed candidate
     generation + exact verify — the reusable production pair generator
     (threshold key below; transitive clustering in operators/dedup.py)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # Round 19: measured and kept as the HOF fold. The _d2_span-style
-    # flat unroll (48 tables x 64-term literal sums) was tried and
-    # REVERTED: the combined projection overflows janino's 64 KB method
-    # limit ("Code grows beyond 64 KB"), whole-stage codegen falls back
-    # to interpreted mode, and every consumer regressed ~2x (A/B
-    # min-of-2 noop at sf0.01: threshold_lsh 4.26->8.35 s, cc_lsh
-    # 5.76->8.77, jaccard_neighbors 4.36->7.24, triangles 3.75->6.95).
-    # The zip_with/aggregate HOF stays — same lesson as _dot.
-    def lit_plane(t: int, b: int) -> Column:
-        return F.array(*[F.lit(x) for x in _plsh_plane(t, b)])
-
-    def fold_dot(plane: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"), plane, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bucket_cols = [
-        sum(
-            (
-                F.when(fold_dot(lit_plane(t, b)) > 0, F.lit(1 << b)).otherwise(
-                    F.lit(0)
-                )
-                for b in range(_PLSH_BITS)
-            ),
-            start=F.lit(0),
-        ).alias(f"bkt{t}")
-        for t in range(_PLSH_TABLES)
-    ]
-    buckets = e.select("vec_id", *bucket_cols).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).cast("long").alias("tbl"),
-                        F.col(f"bkt{t}").cast("long").alias("bucket"),
-                    )
-                    for t in range(_PLSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bucket")
+    buckets = e.mapInArrow(
+        _plsh_bucketize, "vec_id long, tbl long, bucket long"
+    )
 
     w = Window.partitionBy("tbl", "bucket")
     capped = (

@@ -133,6 +133,53 @@ def test_bmp_ppm_codec_roundtrip():
     assert out.loc[0, "mean_pixel"] == out.loc[1, "mean_pixel"]
 
 
+def test_plsh_bucketize_bit_identical_to_sequential_fold():
+    """The vectorized NumPy bucketizer (mapInArrow kernel) must produce
+    the exact bucket every row would get from a strict left-to-right
+    scalar fold over dimensions — the operation order the SQL HOF and
+    the DuckDB oracle's LIST_SUM use. Guards the kernel's core
+    invariant: if the accumulation is ever swapped for a BLAS matmul,
+    reassociation can flip near-zero sign bits and silently change the
+    candidate set. Runs on the real sf0.001 embeddings, no Spark."""
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        _PLSH_BITS,
+        _PLSH_TABLES,
+        _plsh_bucketize,
+        _plsh_plane,
+    )
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    got = {}
+    for out in _plsh_bucketize(tbl.to_batches()):
+        d = out.to_pydict()
+        for vid, t, b in zip(d["vec_id"], d["tbl"], d["bucket"]):
+            got[(vid, t)] = b
+
+    rows = tbl.to_pydict()
+    planes = {
+        (t, b): _plsh_plane(t, b)
+        for t in range(_PLSH_TABLES)
+        for b in range(_PLSH_BITS)
+    }
+    assert len(rows["vec_id"]) > 0
+    for vid, emb in zip(rows["vec_id"], rows["embedding"]):
+        for t in range(_PLSH_TABLES):
+            want = 0
+            for b in range(_PLSH_BITS):
+                p = planes[(t, b)]
+                acc = 0.0
+                for d_ in range(64):  # strict sequential fold
+                    acc += float(emb[d_]) * p[d_]
+                if acc > 0:
+                    want |= 1 << b
+            assert got[(vid, t)] == want, (vid, t, got[(vid, t)], want)
+
+
 def test_threshold_lsh_subset_and_recall(check):
     """LSH-prefiltered threshold pairs vs the exact quadratic baseline:
     precision is 1 by construction (exact verify on candidates) so every
