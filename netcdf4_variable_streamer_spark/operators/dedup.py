@@ -457,27 +457,17 @@ p AS (
 
 
 def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(v1, v2) with v1 < v2 and cosine >= TAU_EMB — shared edge set."""
+    """(v1, v2) with v1 < v2 and cosine >= TAU_EMB — shared edge set.
+
+    Round 19 (guide §4.2): the quadratic theta-join + interpreted HOF
+    dot per pair is now the vectorized ordered-fold mapInArrow kernel
+    shared with q_sim_threshold_pairs — bit-identical pair set (see
+    ``_exact_pairs_kernel``'s contract and its fixture test)."""
     from netcdf4_variable_streamer_spark.operators.similarity import (
-        _dot,
-        _with_norm,
+        exact_threshold_pairs,
     )
 
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("emb1"),
-        F.col("nrm").alias("n1"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("emb2"),
-        F.col("nrm").alias("n2"),
-    )
-    cos = _dot("emb1", "emb2") / (F.col("n1") * F.col("n2"))
-    return a.join(b, F.col("v1") < F.col("v2")).filter(cos >= TAU_EMB).select(
-        "v1", "v2"
-    )
+    return exact_threshold_pairs(spark, sf_dir, TAU_EMB).select("v1", "v2")
 
 
 @register(

@@ -22,6 +22,8 @@ the order immune to 1-ulp cross-engine drift, vec_id makes it total.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2543,6 +2545,95 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_pairs_kernel(sf_dir: str, tau: float):
+    """Arrow-batch exact all-pairs cosine kernel: (vec_id, embedding)
+    batches in, (v1, v2, cos) batches out for every pair with v1 < v2
+    and cos >= tau — the quadratic theta-join's work, vectorized NumPy
+    behind mapInArrow (guide §4.2, round 19).
+
+    Before: ``a.join(b, v1 < v2)`` planned as a BroadcastNestedLoopJoin
+    evaluating the interpreted zip_with/aggregate HOF dot per candidate
+    pair (N^2/2 pairs x 64 lambda steps each).  The kernel does the
+    same arithmetic blocked: the build side (the WHOLE embeddings
+    table — the exact data the BNLJ already broadcast to every task)
+    is loaded ONCE per task straight from the parquet input
+    (heavyweight-init-once, guide §4.3; ~1 MB at sf0.1, and the
+    fit-in-memory constraint is the same one the broadcast join
+    already imposed), and each incoming batch computes its dot block
+    against it.
+
+    Bit-identity contract (same as :func:`_plsh_bucketize`): the
+    accumulation is a strict LEFT-TO-RIGHT fold over dimensions
+    (``acc += x_d * y_d`` — one multiply rounding + one add rounding
+    per step, acc starts 0.0), the exact operation sequence of the
+    ``_dot`` HOF and of the DuckDB oracle's LIST_SUM; norms are the
+    same fold + one sqrt; cos divides by ``(n1 * n2)`` with the same
+    two roundings as the column expression.  Every surviving pair and
+    every cos double is therefore BIT-IDENTICAL to the join form
+    (asserted on the real fixtures by
+    ``tests/test_llm_ops.py::test_exact_pairs_kernel_bit_identical``).
+    Deliberately NOT a matmul: BLAS reassociates the sum and could
+    flip pairs sitting exactly on the threshold.  Only pairs that
+    PASS the threshold ever cross the Python boundary back."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from netcdf4_variable_streamer_spark.functions.arrow_np import (
+            column_i64,
+            list_matrix_f64,
+        )
+
+        build = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ).combine_chunks()
+        if build.num_rows == 0:
+            return
+        ball = build.to_batches()[0]
+        ids_all = column_i64(ball, "vec_id")
+        M = list_matrix_f64(ball, "embedding")
+        dims = M.shape[1]
+        nacc = np.zeros(M.shape[0])
+        for d in range(dims):  # left-to-right fold — see docstring
+            nacc += M[:, d] * M[:, d]
+        nrm_all = np.sqrt(nacc)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = column_i64(batch, "vec_id")
+            X = list_matrix_f64(batch, "embedding")
+            dot = np.zeros((len(ids), len(ids_all)))
+            xacc = np.zeros(len(ids))
+            for d in range(dims):  # left-to-right fold
+                dot += X[:, d : d + 1] * M[:, d]
+                xacc += X[:, d] * X[:, d]
+            cos = dot / (np.sqrt(xacc)[:, None] * nrm_all[None, :])
+            keep = (ids[:, None] < ids_all[None, :]) & (cos >= tau)
+            i, j = np.nonzero(keep)
+            yield pa.RecordBatch.from_pydict(
+                {"v1": ids[i], "v2": ids_all[j], "cos": cos[i, j]}
+            )
+
+    return fn
+
+
+def exact_threshold_pairs(
+    spark: SparkSession, sf_dir: str, tau: float
+) -> DataFrame:
+    """(v1, v2, cos) with v1 < v2 and exact cosine >= tau — the shared
+    exact quadratic pair generator (threshold key below; one-hop dedup
+    and transitive clustering in operators/dedup.py; the graph keys'
+    edge source in operators/graph.py)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(
+        _exact_pairs_kernel(sf_dir, tau), "v1 long, v2 long, cos double"
+    )
+
+
 @register(
     "q_sim_threshold_pairs",
     oracle=f"""
@@ -2558,22 +2649,8 @@ WHERE {_DOT_SQL.format(a='a', b='b')} / (a.nrm * b.nrm) >= {TAU}
         "near-dup detection).",
 )
 def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("emb1"),
-        F.col("nrm").alias("n1"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("emb2"),
-        F.col("nrm").alias("n2"),
-    )
-    cos = _dot("emb1", "emb2") / (F.col("n1") * F.col("n2"))
-    return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .filter(cos >= TAU)
-        .select("v1", "v2", F.round(cos, 4).alias("cos_sim"))
+    return exact_threshold_pairs(spark, sf_dir, TAU).select(
+        "v1", "v2", F.round(F.col("cos"), 4).alias("cos_sim")
     )
 
 

@@ -180,6 +180,56 @@ def test_plsh_bucketize_bit_identical_to_sequential_fold():
             assert got[(vid, t)] == want, (vid, t, got[(vid, t)], want)
 
 
+def test_exact_pairs_kernel_bit_identical(check):
+    """The vectorized exact all-pairs kernel (mapInArrow, round 19)
+    must emit exactly the pairs — and exactly the cos doubles — a
+    strict left-to-right scalar fold over dimensions produces (the
+    operation order of the previous zip_with/aggregate theta-join and
+    of the DuckDB oracle's LIST_SUM). Guards the kernel's core
+    invariant: if the accumulation is ever swapped for a BLAS matmul,
+    reassociation can move pairs across the tau threshold. Runs on the
+    real sf0.001 embeddings, no Spark."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from netcdf4_variable_streamer_spark.operators.similarity import (
+        TAU,
+        _exact_pairs_kernel,
+    )
+
+    del check  # fixture unused — pure-kernel test
+    sf_dir = "/root/testdata/sf0.001"
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = {}
+    for out in _exact_pairs_kernel(sf_dir, TAU)(tbl.to_batches()):
+        d = out.to_pydict()
+        for v1, v2, c in zip(d["v1"], d["v2"], d["cos"]):
+            got[(v1, v2)] = c
+
+    rows = tbl.to_pydict()
+    embs = dict(zip(rows["vec_id"], rows["embedding"]))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):  # strict sequential fold
+            acc = acc + float(x) * float(y)
+        return acc
+
+    nrm = {k: math.sqrt(dot(v, v)) for k, v in embs.items()}
+    ids = sorted(embs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = dot(embs[a], embs[b]) / (nrm[a] * nrm[b])
+            if c >= TAU:
+                want[(a, b)] = c
+    assert len(want) > 0
+    assert got == want  # same pairs AND bit-equal doubles
+
+
 def test_threshold_lsh_subset_and_recall(check):
     """LSH-prefiltered threshold pairs vs the exact quadratic baseline:
     precision is 1 by construction (exact verify on candidates) so every
