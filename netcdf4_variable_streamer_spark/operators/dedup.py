@@ -391,7 +391,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = sim.bitwiseOR(
             F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
         )
-    fp = bit_sums.select("doc_id", sim.alias("simhash"))
+    # Round 19 (guide §5, compute-once): the chunk self-join below
+    # consumes fp on BOTH sides with no reusable exchange between them
+    # (the build side is broadcast), so the expensive token-explode +
+    # 60-column sign aggregate ran twice per execution. fp is one tiny
+    # row per doc — checkpoint it so the fingerprint is built once.
+    fp = bit_sums.select("doc_id", sim.alias("simhash")).localCheckpoint(
+        eager=False
+    )
 
     chunks = fp.select(
         "doc_id",
