@@ -54,6 +54,50 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _overlap_jobs(*thunks) -> None:
+    """Run independent per-batch Spark actions concurrently (guide
+    §2.6: overlap independent jobs). A foreachBatch body that calls
+    several write actions back to back serializes jobs the scheduler
+    could overlap — each tiny stage's scheduling latency and task tail
+    leaves executors idle that the sibling job's tasks could back-fill
+    (and on a real cluster the same overlap hides per-job commit
+    latency). Every thunk must be a self-contained action writing to
+    its OWN path; the call returns only after ALL have finished, so a
+    commit marker written after it still happens strictly LAST, and a
+    failure in any thunk propagates (the marker is then never written
+    and the version stays invisible — the same crash contract as the
+    serial form: which sibling writes completed before a crash is
+    immaterial, the replayed batch overwrites every one idempotently).
+    Shared cached frames (the per-batch ``persist()`` caches) are safe
+    under concurrent first use: consumers substitute the
+    InMemoryRelation at planning time and the block manager's
+    per-block locking handles concurrent materialization.
+
+    SAFETY RULE (measured, not theoretical): two concurrent thunks
+    must NOT share a higher-order-function subtree that is not behind
+    a ``persist()``. Catalyst HOF lambdas (``NamedLambdaVariable``)
+    carry mutable per-evaluation state, and for LocalRelation-backed
+    frames the optimizer's ConvertToLocalRelation rule interprets the
+    expressions ON THE DRIVER during each query's optimization — two
+    threads optimizing plans that reference the SAME lambda instances
+    corrupt each other's rows (reproduced: concurrent bgc/ctx writes
+    sharing one `_doc_bigrams` subtree over a createDataFrame batch
+    were nondeterministic every run; serial, rebuilt-per-plan, and
+    parquet-backed variants were all bit-stable). Parquet-backed
+    micro-batches never hit the rule (tasks deserialize private
+    expression copies), but foreachBatch closures are also driven
+    directly with createDataFrame frames in the restart tests, so the
+    loops below bundle any HOF-sharing writes into ONE thunk."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def run_to_completion(
     df: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:
@@ -1066,21 +1110,37 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
         batch_sh = _shingled(b, "doc_id", "text").persist()
         new_sh = batch_sh
         new_bands = _minhash_band_table(new_sh)
+        # the batch's three write actions (decisions, bands_v, sh_v)
+        # are independent jobs on independent paths — overlap them
+        # (round 19 session 3, guide §2.6) instead of serializing
+        # their tiny stages; the marker below still lands strictly
+        # after all three
+        writes = []
         if state:
             idx_bands = spark.read.parquet(state["bands"])
             idx_sh = spark.read.parquet(state["sh"])
-            _incremental_decisions(
+            dec = _incremental_decisions(
                 idx_bands, idx_sh, new_sh, b.select("doc_id"),
                 qthr=6000, max_bucket=MAX_BUCKET,
-            ).write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"dec_v{batch_id}")
+            )
+            writes.append(
+                lambda df=dec: df.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, f"dec_v{batch_id}")
+                )
             )
             new_bands = idx_bands.unionByName(new_bands)
             new_sh = idx_sh.unionByName(new_sh)
         bands_dst = os.path.join(run_dir, f"bands_v{batch_id}")
         sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
-        new_bands.write.mode("overwrite").parquet(bands_dst)
-        new_sh.write.mode("overwrite").parquet(sh_dst)
+        writes.append(
+            lambda df=new_bands: df.write.mode("overwrite").parquet(
+                bands_dst
+            )
+        )
+        writes.append(
+            lambda df=new_sh: df.write.mode("overwrite").parquet(sh_dst)
+        )
+        _overlap_jobs(*writes)
         # commit marker LAST: the version becomes recoverable only
         # once both tables are fully on disk; a crash before this
         # line makes the replayed batch recompute them idempotently
@@ -1208,6 +1268,9 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
         b_anch = _winnow_anchors_of(b).persist()
         batch_anch = b_anch
         b_spcl = _span_table(b).select("cluster").distinct()
+        # independent write actions on independent paths — overlapped
+        # (round 19 session 3, guide §2.6), marker still strictly last
+        writes = []
         if state:
             idx_anch = spark.read.parquet(state["anch"])
             idx_spcl = spark.read.parquet(state["spcl"])
@@ -1223,10 +1286,13 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
             )
             fspans = _span_table(b.join(F.broadcast(flagged), "doc_id"))
             hits = fspans.join(idx_spcl, "cluster")
-            _rewrite_emit(
+            dec = _rewrite_emit(
                 spark, "", _cap_excluded_cut(hits), docs=b
-            ).write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"dec_v{batch_id}")
+            )
+            writes.append(
+                lambda df=dec: df.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, f"dec_v{batch_id}")
+                )
             )
             b_anch = idx_anch.unionByName(b_anch)
             # the cluster index must stay a SET: duplicate clusters
@@ -1234,8 +1300,17 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
             b_spcl = idx_spcl.unionByName(b_spcl).distinct()
         anch_dst = os.path.join(run_dir, f"anch_v{batch_id}")
         spcl_dst = os.path.join(run_dir, f"spcl_v{batch_id}")
-        b_anch.write.mode("overwrite").parquet(anch_dst)
-        b_spcl.write.mode("overwrite").parquet(spcl_dst)
+        writes.append(
+            lambda df=b_anch: df.write.mode("overwrite").parquet(
+                anch_dst
+            )
+        )
+        writes.append(
+            lambda df=b_spcl: df.write.mode("overwrite").parquet(
+                spcl_dst
+            )
+        )
+        _overlap_jobs(*writes)
         # commit marker LAST (same exactly-once story as the minhash
         # loop: versioned paths + overwrite + marker)
         with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
@@ -1380,6 +1455,9 @@ def make_substring_ttl_loop(
         # AND the anch_b index write — persist for the batch
         # (round 19, guide §5; cache only, semantics unchanged)
         b_anch = _winnow_anchors_of(b).persist()
+        # independent write actions on independent paths — overlapped
+        # (round 19 session 3, guide §2.6), marker still strictly last
+        writes = []
         if retained:
             idx_anch = spark.read.parquet(
                 *[os.path.join(run_dir, f"anch_b{v}") for v in retained]
@@ -1397,17 +1475,26 @@ def make_substring_ttl_loop(
             )
             fspans = _span_table(b.join(F.broadcast(flagged), "doc_id"))
             hits = fspans.join(idx_spcl, "cluster")
-            _rewrite_emit(
+            dec = _rewrite_emit(
                 spark, "", _cap_excluded_cut(hits), docs=b
-            ).write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"dec_v{batch_id}")
             )
-        b_anch.write.mode("overwrite").parquet(
-            os.path.join(run_dir, f"anch_b{batch_id}")
+            writes.append(
+                lambda df=dec: df.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, f"dec_v{batch_id}")
+                )
+            )
+        writes.append(
+            lambda df=b_anch: df.write.mode("overwrite").parquet(
+                os.path.join(run_dir, f"anch_b{batch_id}")
+            )
         )
-        _span_table(b).select("cluster").distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(run_dir, f"spcl_b{batch_id}"))
+        b_spcl = _span_table(b).select("cluster").distinct()
+        writes.append(
+            lambda df=b_spcl: df.write.mode("overwrite").parquet(
+                os.path.join(run_dir, f"spcl_b{batch_id}")
+            )
+        )
+        _overlap_jobs(*writes)
         with open(
             os.path.join(run_dir, f"commit_b{batch_id}"), "w"
         ):
@@ -1687,14 +1774,25 @@ def make_quality_gate(spark: SparkSession, run_dir: str):
         # reference corpus as if it were a crawl (round 13)
         if batch_id == 0 or not os.path.exists(lm_meta):
             # reference batch: train + persist the LM (train-linear,
-            # once per corpus — never re-run for later crawls)
-            bgc, ctx, vsz = perplexity_lm(batch_df)
+            # once per corpus — never re-run for later crawls).
+            # ctx is DERIVED from the just-persisted bgc table:
+            # c_u(w1) = Σ_w2 c_bg(w1, w2) by definition (both count
+            # tbg rows grouped by w1; pinned in
+            # tests/test_llm_ops.py::test_ctx_derivable_from_bgc), so
+            # the second corpus-linear tokenize+explode pass becomes
+            # a vocab-sized aggregate of the table just written
+            # (round 19 session 3, guide §2.3/§5) — and reading the
+            # parquet back keeps the two writes free of shared live
+            # subtrees (the _overlap_jobs safety rule)
+            bgc, _ctx, vsz = perplexity_lm(batch_df)
             bgc.write.mode("overwrite").parquet(
                 os.path.join(run_dir, "bgc")
             )
-            ctx.write.mode("overwrite").parquet(
-                os.path.join(run_dir, "ctx")
-            )
+            spark.read.parquet(os.path.join(run_dir, "bgc")).groupBy(
+                "w1"
+            ).agg(F.sum("c_bg").alias("c_u")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(run_dir, "ctx"))
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
@@ -1980,29 +2078,62 @@ def make_curation_loop(
         # genuine crawl batch k always has hashes_v<k on disk)
         if not os.path.exists(lm_meta) or not prior:
             # reference batch: train + persist the LM, seed the hash
-            # index and the zeroed per-language budget ledger
-            bgc, ctx, vsz = perplexity_lm(batch_df)
-            bgc.write.mode("overwrite").parquet(
-                os.path.join(run_dir, "bgc")
-            )
-            ctx.write.mode("overwrite").parquet(
-                os.path.join(run_dir, "ctx")
-            )
+            # index and the zeroed per-language budget ledger. The
+            # 4-5 table writes are independent jobs on independent
+            # paths — overlapped (round 19 session 3, guide §2.6);
+            # lm.json publishes after the LM tables are on disk and
+            # the commit marker still lands strictly LAST
+            bgc, _ctx, vsz = perplexity_lm(batch_df)
             h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
             u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
-            batch_df.select(F.md5("text").alias("h")).distinct() \
-                .write.mode("overwrite").parquet(h_dst)
-            batch_df.select("lang").distinct().withColumn(
-                "used", F.lit(0).cast("long")
-            ).write.mode("overwrite").parquet(u_dst)
+
+            def _write_lm() -> None:
+                # ONE thunk for both LM tables (the _overlap_jobs
+                # safety rule: they may not share live subtrees with
+                # a concurrent thunk), serial inside, overlapped with
+                # the HOF-free index/ledger seeds and the span-ref
+                # build. ctx is DERIVED from the just-written bgc —
+                # c_u(w1) = Σ_w2 c_bg(w1, w2) by definition (pinned
+                # in tests/test_llm_ops.py::
+                # test_ctx_derivable_from_bgc), turning the second
+                # corpus-linear tokenize pass into a vocab-sized
+                # aggregate of the persisted table (guide §2.3/§5)
+                bgc.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "bgc")
+                )
+                spark.read.parquet(
+                    os.path.join(run_dir, "bgc")
+                ).groupBy("w1").agg(
+                    F.sum("c_bg").alias("c_u")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "ctx")
+                )
+
+            writes = [
+                _write_lm,
+                lambda: batch_df.select(F.md5("text").alias("h"))
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(h_dst),
+                lambda: batch_df.select("lang")
+                .distinct()
+                .withColumn("used", F.lit(0).cast("long"))
+                .write.mode("overwrite")
+                .parquet(u_dst),
+            ]
             if decontam:
                 # the reference span-hash set, persisted ONCE like
                 # the LM (the eval corpus is static; MB-scale)
-                _span_table(
-                    batch_df.select("doc_id", "text")
-                ).select("cluster").distinct().write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(run_dir, "spanref"))
+                writes.append(
+                    lambda: _span_table(
+                        batch_df.select("doc_id", "text")
+                    )
+                    .select("cluster")
+                    .distinct()
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(run_dir, "spanref"))
+                )
+            _overlap_jobs(*writes)
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
@@ -2196,7 +2327,7 @@ def make_curation_loop(
             dec = dec.join(dkeep, "doc_id", "left")
         elif mode == "rewrite":
             dec = dec.join(rwi, "doc_id", "left")
-        dec.select(
+        dec_out = dec.select(
             "doc_id", "lang",
             F.lit(batch_id).cast("long").alias("batch"),
             "is_dup",
@@ -2226,27 +2357,35 @@ def make_curation_loop(
             F.coalesce(F.col("sampled"), F.lit(False)).alias(
                 "sampled"
             ),
-        ).write.mode("overwrite").parquet(
-            os.path.join(run_dir, f"dec_v{batch_id}")
         )
-        # commit the new state versions (decisions first: a replayed
-        # batch overwrites both idempotently)
+        # the batch's three write actions (decisions, hash-index,
+        # budget ledger) are independent jobs on independent paths —
+        # overlapped (round 19 session 3, guide §2.6); recovery keys
+        # off the commit marker alone, which still lands strictly
+        # LAST, so which sibling write a crash interrupts is
+        # immaterial (the replayed batch overwrites all idempotently)
         h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
         u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
-        idx.unionByName(b.select("h").distinct()).distinct() \
-            .write.mode("overwrite").parquet(h_dst)
+        new_idx = idx.unionByName(b.select("h").distinct()).distinct()
         batch_used = (
             samp.filter(F.col("sampled"))
             .groupBy("lang")
             .agg(F.sum("nt").alias("bu"))
         )
-        used.join(batch_used, "lang", "full").select(
+        new_used = used.join(batch_used, "lang", "full").select(
             "lang",
             (
                 F.coalesce(F.col("used"), F.lit(0))
                 + F.coalesce(F.col("bu"), F.lit(0))
             ).alias("used"),
-        ).write.mode("overwrite").parquet(u_dst)
+        )
+        _overlap_jobs(
+            lambda: dec_out.write.mode("overwrite").parquet(
+                os.path.join(run_dir, f"dec_v{batch_id}")
+            ),
+            lambda: new_idx.write.mode("overwrite").parquet(h_dst),
+            lambda: new_used.write.mode("overwrite").parquet(u_dst),
+        )
         # commit marker last: only now may recovery select this version
         with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
             pass

@@ -335,6 +335,31 @@ def test_text_bigram_logprob(check):
     assert np.isfinite(pdf["avg_bigram_logprob"]).all()
 
 
+def test_ctx_derivable_from_bgc(spark):
+    """Pin the identity the streaming-loop LM persist relies on
+    (round 19): the context-count table is exactly the bigram-count
+    table re-aggregated — c_u(w1) = Σ_w2 c_bg(w1, w2), both counting
+    tbg rows grouped by w1 — so the loops may derive ctx from the
+    persisted bgc parquet instead of re-running the corpus-linear
+    tokenize pass. If perplexity_lm's definition of either table ever
+    changes, this must fail loudly."""
+    from pyspark.sql import functions as F
+
+    from netcdf4_variable_streamer_spark.operators.text import (
+        perplexity_lm,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    bgc, ctx, _vsz = perplexity_lm(docs)
+    derived = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_u"))
+    got = sorted(
+        derived.collect(), key=lambda r: (r["w1"] or "",)
+    )
+    want = sorted(ctx.collect(), key=lambda r: (r["w1"] or "",))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_dedup_lines_keeper_semantics(check):
     """The earliest doc keeps everything: the min doc_id in the corpus
     must have zero duplicated chunks, and dup_frac = n_dup/n_chunks."""
