@@ -2270,8 +2270,14 @@ def make_curation_loop(
                 "n_tokens",
             )
         # stage 2: perplexity gate under the persisted LM (per-lang
-        # cutoff over THIS batch's survivors — batch-proportional)
-        ppl = perplexity_decisions(bgc, ctx, vsz, survivors)
+        # cutoff over THIS batch's survivors — batch-proportional).
+        # Persisted for the batch (round 19 session 3, guide §5): the
+        # scored frame feeds the gate chain (kept -> classifier ->
+        # samp) AND the decisions plan's ppl_keep column — without
+        # the cache the decisions action re-runs the whole bigram
+        # scoring pass (the dominant per-batch compute). Cache only;
+        # unpersisted at batch end with b2/samp
+        ppl = perplexity_decisions(bgc, ctx, vsz, survivors).persist()
         kept = survivors.join(
             ppl.filter(F.col("keep")).select("doc_id"), "doc_id"
         )
@@ -2391,6 +2397,7 @@ def make_curation_loop(
             pass
         state["hashes"], state["budget"] = h_dst, u_dst
         samp.unpersist()
+        ppl.unpersist()
         b2.unpersist()
         if rwf is not None:
             rwf.unpersist()
