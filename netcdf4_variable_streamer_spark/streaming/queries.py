@@ -87,15 +87,41 @@ def _overlap_jobs(*thunks) -> None:
     micro-batches never hit the rule (tasks deserialize private
     expression copies), but foreachBatch closures are also driven
     directly with createDataFrame frames in the restart tests, so the
-    loops below bundle any HOF-sharing writes into ONE thunk."""
+    loops below bundle any HOF-sharing writes into ONE thunk.
+
+    Threads are ``pyspark.InheritableThread``, the documented thread
+    type for PySpark driver-side concurrency: it inherits the
+    creator's JVM-local properties (job group / description, so
+    concurrent jobs stay correctly labelled) and, under py4j
+    pinned-thread mode (the default), explicitly cleans its JVM
+    connection thread when the Python thread exits instead of waiting
+    for garbage collection. (JVM thread-count growth across
+    foreachBatch runs was probed while choosing this: it is identical
+    with a plain ThreadPoolExecutor, with InheritableThread, and on
+    the pre-overlap serial code — 62 → ~440 over three runs, all of
+    it Spark's own streaming machinery, none of it these thunks.)"""
     if len(thunks) == 1:
         thunks[0]()
         return
-    from concurrent.futures import ThreadPoolExecutor
+    from pyspark import InheritableThread
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        for f in [pool.submit(t) for t in thunks]:
-            f.result()
+    errs: list[BaseException] = []
+
+    def _run(t) -> None:
+        try:
+            t()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    threads = [
+        InheritableThread(target=_run, args=(t,)) for t in thunks
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
 
 
 def run_to_completion(
