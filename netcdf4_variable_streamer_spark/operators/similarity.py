@@ -1207,7 +1207,10 @@ def _d2_sub(a: str, b: str, s: str = "s") -> Column:
 
 
 def _pqt_assign(
-    e: DataFrame, cb: DataFrame, pack: int = _PQT_PACK
+    e: DataFrame,
+    cb: DataFrame,
+    pack: int = _PQT_PACK,
+    carry: tuple = (),
 ) -> DataFrame:
     """(vec_id, s, c): nearest trained centroid per subspace — integer
     fixed-point distances, packed-MIN tie-break (centroid id asc).
@@ -1216,23 +1219,44 @@ def _pqt_assign(
     Distances are unrolled codegen'd arithmetic (round 19, guide
     §1.3/§4 — see :func:`_d2_span`); the groupBy argmin reduces
     map-side (partial MIN), so the Exchange carries ~N(vec_id, s)
-    rows, not N x C."""
+    rows, not N x C.
+
+    Round 20: the subspace frame carries the pre-sliced 8-long
+    subvector ``sfx`` instead of the full 64-long ``fxv`` (narrower
+    rows, guide §2.3), and ``carry`` names extra input columns that
+    are constant per (vec_id, s) group and ride through the aggregate
+    via ``min_by`` on the same packed key — so consumers that need
+    them (the Lloyd update's member vector, the code table's coarse
+    list id) no longer join back to the corpus (guide §2.4). min_by
+    is exact here: the packed keys are distinct within a group and
+    the carried value is identical on every row of the group."""
+    p = F.col("d2") * pack + F.col("c")
     d = e.join(F.broadcast(cb), "s").select(
         "vec_id",
         "s",
         "c",
-        _d2_sub("fxv", "cfx").alias("d2"),
+        _d2_span("sfx", "cfx", 1, 8).alias("d2"),
+        *carry,
     )
     return d.groupBy("vec_id", "s").agg(
-        (F.min(F.col("d2") * pack + F.col("c")) % pack).alias("c")
+        (F.min(p) % pack).alias("c"),
+        *[F.min_by(c, p).alias(c) for c in carry],
     )
 
 
-def _pqt_update(asg: DataFrame, e: DataFrame) -> DataFrame:
+def _pqt_update(asg: DataFrame) -> DataFrame:
     """Lloyd update: per (s, c, dim) fixed-point FLOOR-mean of member
     subvectors, repacked to (s, c, cfx). Exact cross-engine: integer
     sums, one correctly-rounded double division, FLOOR. Empty
     clusters simply drop out (both engines see the same survivors).
+
+    Round 20 (guide §2.4): consumes the member subvector ``sfx`` that
+    :func:`_pqt_assign` carried through the argmin aggregate, so the
+    per-round join back to the corpus (one exchange at scale plus a
+    corpus re-scan per Lloyd round) is gone — assign and update now
+    share the one (vec_id, s)-keyed exchange. Same longs, same sums:
+    posexplode of sfx yields exactly the (dim, value) rows the old
+    explode(sequence)+element_at form produced.
 
     Round 19: stays the dim explode + (s, c, j) aggregate +
     array_sort re-collect. The "wide-sum" rewrite (8 per-dim SUM
@@ -1246,22 +1270,8 @@ def _pqt_update(asg: DataFrame, e: DataFrame) -> DataFrame:
     element_at fan-out and 65-field buffers cost more than the
     Exchange ever did. Re-evaluate only with a measured win at a
     larger nlist."""
-    per_dim = (
-        asg.join(e.select("vec_id", "fxv"), "vec_id")
-        .select(
-            "s",
-            "c",
-            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
-            "fxv",
-        )
-        .select(
-            "s",
-            "c",
-            "j",
-            F.element_at(
-                F.col("fxv"), (F.col("s") * 8 + F.col("j")).cast("int")
-            ).alias("v"),
-        )
+    per_dim = asg.select(
+        "s", "c", F.posexplode("sfx").alias("j", "v")
     )
     upd = per_dim.groupBy("s", "c", "j").agg(
         F.floor(
@@ -1296,6 +1306,10 @@ def _pqt_chain(
         F.explode(
             F.array(*[F.lit(s) for s in range(_PQ_S)])
         ).alias("s"),
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("fxv"), F.col("s") * 8 + 1, 8).alias("sfx"),
     )
     cb = (
         e.filter(F.col("vec_id") < _PQT_C)
@@ -1311,8 +1325,8 @@ def _pqt_chain(
         )
     )
     for _ in range(_PQT_ITERS):
-        asg = _pqt_assign(sub, cb)
-        cb = _pqt_update(asg, e)
+        asg = _pqt_assign(sub, cb, carry=("sfx",))
+        cb = _pqt_update(asg)
     # Checkpoint exactly what the CALLER's DAG consumes more than once
     # (``ckpt``) — a checkpoint on a single-consumer artifact is pure
     # overhead at every scale (eager plan + RDD materialization,
@@ -1605,7 +1619,10 @@ _CIVF_ITERS = 2  # coarse Lloyd rounds
 
 
 def _civf_assign(
-    e: DataFrame, ccb: DataFrame, pack: int = _PQT_PACK
+    e: DataFrame,
+    ccb: DataFrame,
+    pack: int = _PQT_PACK,
+    carry: tuple = (),
 ) -> DataFrame:
     """(vec_id, cl): nearest TRAINED coarse centroid — full-vector
     fixed-point distances to the broadcast centroid table, packed-MIN
@@ -1614,38 +1631,43 @@ def _civf_assign(
     1024 for nlist up to 1023). Distances are unrolled codegen'd
     arithmetic (round 19, guide §1.3/§4 — see :func:`_d2_span`); the
     groupBy argmin reduces map-side (partial MIN), so the Exchange
-    carries ~N rows, not N x nlist."""
+    carries ~N rows, not N x nlist.
+
+    Round 20: ``carry`` rides group-constant input columns through the
+    aggregate via ``min_by`` on the same packed key (exact: keys are
+    distinct within a group and the carried value is identical on
+    every row of the group) — the Lloyd update reads its member
+    vector straight off the assignment instead of joining back to the
+    corpus (guide §2.4)."""
+    p = F.col("d2") * pack + F.col("cl")
     d = e.join(F.broadcast(ccb), F.lit(True)).select(
         "vec_id",
         "cl",
         _d2_span("fxv", "cfx", 1, 64).alias("d2"),
+        *carry,
     )
     return d.groupBy("vec_id").agg(
-        (F.min(F.col("d2") * pack + F.col("cl")) % pack).alias("cl")
+        (F.min(p) % pack).alias("cl"),
+        *[F.min_by(c, p).alias(c) for c in carry],
     )
 
 
-def _civf_update(asg: DataFrame, e: DataFrame) -> DataFrame:
+def _civf_update(asg: DataFrame) -> DataFrame:
     """Full-vector Lloyd update: per (cl, dim) fixed-point FLOOR-mean
     of member vectors, repacked to (cl, cfx) — the 64-dim twin of
     :func:`_pqt_update` (integer sums, one correctly-rounded double
     division, FLOOR; empty clusters drop out identically).
 
+    Round 20 (guide §2.4): consumes the member vector ``fxv`` carried
+    through :func:`_civf_assign`'s argmin — no join back to the
+    corpus per round; posexplode(fxv) yields exactly the (dim, value)
+    rows the old explode(sequence)+element_at form produced.
+
     Round 19: stays the dim explode + (cl, j) aggregate — the 64-SUM
     wide-aggregate rewrite measured 2-3x slower end-to-end; see the
     measured rationale on :func:`_pqt_update`."""
-    per_dim = (
-        asg.join(e.select("vec_id", "fxv"), "vec_id")
-        .select(
-            "cl",
-            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("j"),
-            "fxv",
-        )
-        .select(
-            "cl",
-            "j",
-            F.element_at(F.col("fxv"), F.col("j").cast("int")).alias("v"),
-        )
+    per_dim = asg.select(
+        "cl", F.posexplode("fxv").alias("j", "v")
     )
     upd = per_dim.groupBy("cl", "j").agg(
         F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
@@ -1665,6 +1687,7 @@ def _civf_chain(
     sf_dir: str,
     nlist: int = _CIVF_NLIST,
     ckpt: frozenset = frozenset({"ccb", "assign"}),
+    recall_carry: bool = False,
 ):
     """(fxe, trained coarse centroids, assignment, probe_rank): the
     trained twin of :func:`_ivf_coarse_chain` — same outputs, but the
@@ -1679,14 +1702,23 @@ def _civf_chain(
         F.col("vec_id").alias("cl"), F.col("fxv").alias("cfx")
     )
     for _ in range(_CIVF_ITERS):
-        asg = _civf_assign(e, ccb)
-        ccb = _civf_update(asg, e)
+        asg = _civf_assign(e, ccb, carry=("fxv",))
+        ccb = _civf_update(asg)
     # checkpoint exactly the caller's multi-consumed artifacts
     # (see the _pqt_chain loop comment for the measured rationale)
     if "ccb" in ckpt:
         ccb = _train_once(ccb)
-    assign = _civf_assign(e, ccb)
-    if "assign" in ckpt:
+    # recall_carry (round 20, guide §2.4): the recall pipeline derives
+    # residuals from (assign x ccb) and query residuals from the probe
+    # table — carrying the member/query vectors through the argmin and
+    # the probe window lets _ivfpq_recall_frame build both WITHOUT
+    # joining back to the corpus (and drops the assign checkpoint: the
+    # carried assign has a single consumer, the res build, which IS
+    # checkpointed). Same values ride along; no arithmetic changes.
+    assign = _civf_assign(
+        e, ccb, carry=("fxv",) if recall_carry else ()
+    )
+    if "assign" in ckpt and not recall_carry:
         assign = _train_once(assign)
     qd = (
         e.filter(F.col("vec_id") < N_QUERIES)
@@ -1697,11 +1729,15 @@ def _civf_chain(
             _d2_span("fxv", "cfx", 1, 64).alias(
                 "d2"
             ),
+            *(("fxv", "cfx") if recall_carry else ()),
         )
     )
     wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
     probe_rank = qd.withColumn("prn", F.row_number().over(wp)).select(
-        "q_id", "cl", "prn"
+        "q_id",
+        "cl",
+        "prn",
+        *(("fxv", "cfx") if recall_carry else ()),
     )
     return e, ccb, assign, probe_rank
 
@@ -2081,23 +2117,35 @@ def _ivfpq_recall_frame(
     sampled-query ground truth, and the recall@{1,3,5} frame — the
     body of the round-17 trained key, parameterized so the round-18
     production-shaped key reuses it verbatim at its quantizer scale."""
-    # probes feeds the ADC LUT build AND the exact-pruning branch
+    # probes feeds the ADC LUT build AND the exact-pruning branch;
+    # it carries the query vector and probed centroid (fxv, cfx), so
+    # the LUT's query residuals need no join back to the corpus
+    # (round 20, guide §2.4)
     probes = _train_once(probes)
     rfx = F.zip_with(
         F.col("fxv"), F.col("cfx"), lambda x, c: x - c
     )
+    # assign carries the member vector through its argmin (round 20),
+    # so the residual table derives from assign x broadcast(ccb)
+    # directly — no corpus join; assign's single consumer is this
+    # build, so only res is checkpointed (the exact-pruning branch
+    # reads (vec_id, cl) off res below)
     res = _train_once(
-        e.join(assign, "vec_id")
-        .join(F.broadcast(ccb), "cl")
+        assign.join(F.broadcast(ccb), "cl")
         .select("vec_id", "cl", rfx.alias("rfx"))
     )
-    res_fx = res.select("vec_id", F.col("rfx").alias("fxv"))
-    sub = res_fx.select(
+    sub = res.select(
         "vec_id",
-        "fxv",
+        "cl",
+        "rfx",
         F.explode(
             F.array(*[F.lit(s) for s in range(_PQ_S)])
         ).alias("s"),
+    ).select(
+        "vec_id",
+        "cl",
+        "s",
+        F.slice(F.col("rfx"), F.col("s") * 8 + 1, 8).alias("sfx"),
     )
     rcb = (
         res.filter(F.col("vec_id") < pq_c)
@@ -2115,26 +2163,20 @@ def _ivfpq_recall_frame(
         )
     )
     for _ in range(_PQT_ITERS):
-        asg = _pqt_assign(sub, rcb, pack=pq_pack)
-        rcb = _pqt_update(asg, res_fx)
+        asg = _pqt_assign(sub, rcb, pack=pq_pack, carry=("sfx",))
+        rcb = _pqt_update(asg)
     # the trained residual codebook feeds the final assign AND the
     # per-query LUT; in-loop iterates stay linear (see _pqt_chain)
     rcb = _train_once(rcb)
-    codes = _pqt_assign(sub, rcb, pack=pq_pack).join(
-        res.select("vec_id", "cl"), "vec_id"
-    )
-    qres = (
-        probes.join(
-            e.select(F.col("vec_id").alias("q_id"), "fxv"), "q_id"
-        )
-        .join(F.broadcast(ccb), "cl")
-        .select(
-            "q_id",
-            "cl",
-            F.zip_with(
-                F.col("fxv"), F.col("cfx"), lambda x, c: x - c
-            ).alias("qrfx"),
-        )
+    # cl rides through the argmin (carry) instead of a join back to
+    # res — one exchange less on the code table (r20, guide §2.4)
+    codes = _pqt_assign(sub, rcb, pack=pq_pack, carry=("cl",))
+    qres = probes.select(
+        "q_id",
+        "cl",
+        F.zip_with(
+            F.col("fxv"), F.col("cfx"), lambda x, c: x - c
+        ).alias("qrfx"),
     )
     lut_d2 = _d2_sub("qrfx", "cfx")
     lut = (
@@ -2173,7 +2215,8 @@ def _ivfpq_recall_frame(
         F.asc("d2"), F.asc("vec_id")
     )
     ivfx_topk = (
-        assign.join(F.broadcast(probes), "cl")
+        res.select("vec_id", "cl")
+        .join(F.broadcast(probes.select("q_id", "cl")), "cl")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(exact_p, ["q_id", "vec_id"])
         .withColumn("rn", F.row_number().over(wx))
@@ -2300,9 +2343,11 @@ WITH {_CIVF_CTES},
 def q_sim_ivfpq_trained_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    e, ccb, assign, probe_rank = _civf_chain(spark, sf_dir)
+    e, ccb, assign, probe_rank = _civf_chain(
+        spark, sf_dir, ckpt=frozenset({"ccb"}), recall_carry=True
+    )
     probes = probe_rank.filter(F.col("prn") <= _CIVF_NPROBE).select(
-        "q_id", "cl"
+        "q_id", "cl", "fxv", "cfx"
     )
     return _ivfpq_recall_frame(
         spark, e, ccb, assign, probes, _PQT_C, _PQT_PACK,
@@ -2421,11 +2466,14 @@ def q_sim_ivfpq_production_recall(
         F.broadcast(params), F.col("vec_id") < F.col("nlist")
     ).select(F.col("vec_id").alias("cl"), F.col("fxv").alias("cfx"))
     for _ in range(_CIVF_ITERS):
-        asg = _civf_assign(e, ccb, pack=_PROD_CPACK)
-        ccb = _civf_update(asg, e)
-    # multi-consumer artifacts only (see _pqt_chain)
+        asg = _civf_assign(e, ccb, pack=_PROD_CPACK, carry=("fxv",))
+        ccb = _civf_update(asg)
+    # multi-consumer artifacts only (see _pqt_chain); assign carries
+    # fxv for the res build and stays un-checkpointed — its single
+    # consumer, the residual table, is the checkpointed artifact
+    # (round 20, guide §2.4)
     ccb = _train_once(ccb)
-    assign = _train_once(_civf_assign(e, ccb, pack=_PROD_CPACK))
+    assign = _civf_assign(e, ccb, pack=_PROD_CPACK, carry=("fxv",))
     qd = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(ccb), F.lit(True))
@@ -2435,13 +2483,15 @@ def q_sim_ivfpq_production_recall(
             _d2_span("fxv", "cfx", 1, 64).alias(
                 "d2"
             ),
+            "fxv",
+            "cfx",
         )
     )
     wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cl"))
     probes = (
         qd.withColumn("prn", F.row_number().over(wp))
         .join(F.broadcast(params), F.col("prn") <= F.col("nprobe"))
-        .select("q_id", "cl")
+        .select("q_id", "cl", "fxv", "cfx")
     )
     return _ivfpq_recall_frame(
         spark, e, ccb, assign, probes, _PROD_C, _PROD_PACK,
@@ -2545,6 +2595,11 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-task dense-intermediate budget of the exact-pairs kernel: the
+# batch x block dot matrix is capped at this many bytes (r20 #4)
+_PAIRS_BLOCK_BYTES = 64 * 1024 * 1024
+
+
 def _exact_pairs_kernel(sf_dir: str, tau: float):
     """Arrow-batch exact all-pairs cosine kernel: (vec_id, embedding)
     batches in, (v1, v2, cos) batches out for every pair with v1 < v2
@@ -2574,7 +2629,18 @@ def _exact_pairs_kernel(sf_dir: str, tau: float):
     ``tests/test_llm_ops.py::test_exact_pairs_kernel_bit_identical``).
     Deliberately NOT a matmul: BLAS reassociates the sum and could
     flip pairs sitting exactly on the threshold.  Only pairs that
-    PASS the threshold ever cross the Python boundary back."""
+    PASS the threshold ever cross the Python boundary back.
+
+    Peak-memory bound (round 20, VERDICT r19 #3): the dense dot block
+    is computed over BUILD-SIDE ROW BLOCKS of at most
+    ``_PAIRS_BLOCK_BYTES / (8 * batch_rows)`` rows, so the per-task
+    intermediate is O(batch_rows x block) ~ ``_PAIRS_BLOCK_BYTES``
+    (64 MB) regardless of corpus size N — only the N x dims build
+    matrix itself (the same fits-in-memory constraint the broadcast
+    join imposed) still scales with N.  Blocking build ROWS leaves
+    every pair's dimension fold untouched (each (i, j) cell still
+    accumulates d = 0..63 left to right), and a final lexsort restores
+    the exact unblocked (i asc, j asc) output order."""
 
     def fn(batches):
         import numpy as np
@@ -2596,7 +2662,8 @@ def _exact_pairs_kernel(sf_dir: str, tau: float):
         ids_all = column_i64(ball, "vec_id")
         M = list_matrix_f64(ball, "embedding")
         dims = M.shape[1]
-        nacc = np.zeros(M.shape[0])
+        n_all = M.shape[0]
+        nacc = np.zeros(n_all)
         for d in range(dims):  # left-to-right fold — see docstring
             nacc += M[:, d] * M[:, d]
         nrm_all = np.sqrt(nacc)
@@ -2606,16 +2673,36 @@ def _exact_pairs_kernel(sf_dir: str, tau: float):
                 continue
             ids = column_i64(batch, "vec_id")
             X = list_matrix_f64(batch, "embedding")
-            dot = np.zeros((len(ids), len(ids_all)))
             xacc = np.zeros(len(ids))
             for d in range(dims):  # left-to-right fold
-                dot += X[:, d : d + 1] * M[:, d]
                 xacc += X[:, d] * X[:, d]
-            cos = dot / (np.sqrt(xacc)[:, None] * nrm_all[None, :])
-            keep = (ids[:, None] < ids_all[None, :]) & (cos >= tau)
-            i, j = np.nonzero(keep)
+            xn = np.sqrt(xacc)
+            blk = max(1024, _PAIRS_BLOCK_BYTES // (8 * len(ids)))
+            parts = []
+            for b0 in range(0, n_all, blk):
+                b1 = min(b0 + blk, n_all)
+                Mb = M[b0:b1]
+                dot = np.zeros((len(ids), b1 - b0))
+                for d in range(dims):  # left-to-right fold per pair
+                    dot += X[:, d : d + 1] * Mb[:, d]
+                cos = dot / (xn[:, None] * nrm_all[None, b0:b1])
+                keep = (
+                    ids[:, None] < ids_all[None, b0:b1]
+                ) & (cos >= tau)
+                i, j = np.nonzero(keep)
+                if len(i):
+                    parts.append((i, j + b0, cos[i, j]))
+            if parts:
+                bi = np.concatenate([p[0] for p in parts])
+                bj = np.concatenate([p[1] for p in parts])
+                bc = np.concatenate([p[2] for p in parts])
+                o = np.lexsort((bj, bi))  # unblocked (i, j) order
+                bi, bj, bc = bi[o], bj[o], bc[o]
+            else:
+                bi = bj = np.array([], dtype=np.int64)
+                bc = np.array([], dtype=np.float64)
             yield pa.RecordBatch.from_pydict(
-                {"v1": ids[i], "v2": ids_all[j], "cos": cos[i, j]}
+                {"v1": ids[bi], "v2": ids_all[bj], "cos": bc}
             )
 
     return fn

@@ -121,7 +121,54 @@ def _overlap_jobs(*thunks) -> None:
     for th in threads:
         th.join()
     if errs:
-        raise errs[0]
+        # surface every sibling failure, not just the first (ADVICE
+        # r19): the first error propagates, the rest ride along as
+        # explicitly chained context
+        first, rest = errs[0], errs[1:]
+        if rest:
+            raise first from ExceptionGroup(
+                f"{len(rest)} sibling overlapped write(s) also failed",
+                rest,
+            )
+        raise first
+
+
+def _backfill_premarker(
+    run_dir: str, prefix: str, tables: tuple
+) -> None:
+    """Backfill commit markers for a run_dir persisted by the
+    PRE-marker protocol (state tables written with no commit_v*): a
+    marker is minted for every version whose sibling tables are ALL
+    complete (parquet _SUCCESS present — the old protocol wrote them
+    before anything else could observe the version).
+
+    Round 20 (ADVICE r19 #1): the scan runs ONLY when the run_dir has
+    no commit_v* at all — a genuinely pre-marker layout. A marker-era
+    run_dir reopened after a mid-batch crash can hold a NEWER version
+    whose ``{prefix}``/sibling pair completed while another overlapped
+    write (e.g. dec_v) tore; minting a marker for it would surface a
+    version with missing decisions to marker-keyed readers. Such
+    versions stay invisible and the replayed batch rewrites them
+    idempotently, exactly as the marker protocol intends."""
+    for _p in os.listdir(run_dir):
+        if _p.startswith("commit_v") and _p[len("commit_v"):].isdigit():
+            return
+    for _p in os.listdir(run_dir):
+        if not _p.startswith(f"{prefix}_v"):
+            continue
+        _v = _p[len(f"{prefix}_v"):]
+        if not _v.isdigit():
+            continue
+        if all(
+            os.path.exists(
+                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
+            )
+            for _t in tables
+        ):
+            with open(
+                os.path.join(run_dir, f"commit_v{_v}"), "w"
+            ):
+                pass
 
 
 def run_to_completion(
@@ -1094,22 +1141,7 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
         _shingled,
     )
 
-    for _p in os.listdir(run_dir):
-        if not _p.startswith("bands_v"):
-            continue
-        _v = _p[len("bands_v"):]
-        if not _v.isdigit():
-            continue
-        _marker = os.path.join(run_dir, f"commit_v{_v}")
-        if os.path.exists(_marker) or not all(
-            os.path.exists(
-                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
-            )
-            for _t in ("bands", "sh")
-        ):
-            continue
-        with open(_marker, "w"):
-            pass
+    _backfill_premarker(run_dir, "bands", ("bands", "sh"))
 
     state: dict[str, str] = {}
     n_batches = [0]
@@ -1134,46 +1166,55 @@ def make_crawl_loop(spark: SparkSession, run_dir: str):
         # sh write) — persist for the batch, unpersist at the end
         # (round 19, guide §5; cache only, semantics unchanged)
         batch_sh = _shingled(b, "doc_id", "text").persist()
-        new_sh = batch_sh
-        new_bands = _minhash_band_table(new_sh)
-        # the batch's three write actions (decisions, bands_v, sh_v)
-        # are independent jobs on independent paths — overlap them
-        # (round 19 session 3, guide §2.6) instead of serializing
-        # their tiny stages; the marker below still lands strictly
-        # after all three
-        writes = []
-        if state:
-            idx_bands = spark.read.parquet(state["bands"])
-            idx_sh = spark.read.parquet(state["sh"])
-            dec = _incremental_decisions(
-                idx_bands, idx_sh, new_sh, b.select("doc_id"),
-                qthr=6000, max_bucket=MAX_BUCKET,
+        try:
+            new_sh = batch_sh
+            new_bands = _minhash_band_table(new_sh)
+            # the batch's three write actions (decisions, bands_v,
+            # sh_v) are independent jobs on independent paths —
+            # overlap them (round 19 session 3, guide §2.6) instead
+            # of serializing their tiny stages; the marker below
+            # still lands strictly after all three
+            writes = []
+            if state:
+                idx_bands = spark.read.parquet(state["bands"])
+                idx_sh = spark.read.parquet(state["sh"])
+                dec = _incremental_decisions(
+                    idx_bands, idx_sh, new_sh, b.select("doc_id"),
+                    qthr=6000, max_bucket=MAX_BUCKET,
+                )
+                writes.append(
+                    lambda df=dec: df.write.mode("overwrite").parquet(
+                        os.path.join(run_dir, f"dec_v{batch_id}")
+                    )
+                )
+                new_bands = idx_bands.unionByName(new_bands)
+                new_sh = idx_sh.unionByName(new_sh)
+            bands_dst = os.path.join(run_dir, f"bands_v{batch_id}")
+            sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
+            writes.append(
+                lambda df=new_bands: df.write.mode(
+                    "overwrite"
+                ).parquet(bands_dst)
             )
             writes.append(
-                lambda df=dec: df.write.mode("overwrite").parquet(
-                    os.path.join(run_dir, f"dec_v{batch_id}")
+                lambda df=new_sh: df.write.mode("overwrite").parquet(
+                    sh_dst
                 )
             )
-            new_bands = idx_bands.unionByName(new_bands)
-            new_sh = idx_sh.unionByName(new_sh)
-        bands_dst = os.path.join(run_dir, f"bands_v{batch_id}")
-        sh_dst = os.path.join(run_dir, f"sh_v{batch_id}")
-        writes.append(
-            lambda df=new_bands: df.write.mode("overwrite").parquet(
-                bands_dst
-            )
-        )
-        writes.append(
-            lambda df=new_sh: df.write.mode("overwrite").parquet(sh_dst)
-        )
-        _overlap_jobs(*writes)
-        # commit marker LAST: the version becomes recoverable only
-        # once both tables are fully on disk; a crash before this
-        # line makes the replayed batch recompute them idempotently
-        with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
-            pass
-        state["bands"], state["sh"] = bands_dst, sh_dst
-        batch_sh.unpersist()
+            _overlap_jobs(*writes)
+            # commit marker LAST: the version becomes recoverable
+            # only once both tables are fully on disk; a crash before
+            # this line makes the replayed batch recompute them
+            # idempotently
+            with open(
+                os.path.join(run_dir, f"commit_v{batch_id}"), "w"
+            ):
+                pass
+            state["bands"], state["sh"] = bands_dst, sh_dst
+        finally:
+            # unpersist even on a failed batch (ADVICE r19: no cache
+            # leak across failed batches in a long-lived session)
+            batch_sh.unpersist()
 
     return crawl, n_batches
 
@@ -1254,22 +1295,7 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
         _winnow_anchors_of,
     )
 
-    for _p in os.listdir(run_dir):
-        if not _p.startswith("anch_v"):
-            continue
-        _v = _p[len("anch_v"):]
-        if not _v.isdigit():
-            continue
-        _marker = os.path.join(run_dir, f"commit_v{_v}")
-        if os.path.exists(_marker) or not all(
-            os.path.exists(
-                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
-            )
-            for _t in ("anch", "spcl")
-        ):
-            continue
-        with open(_marker, "w"):
-            pass
+    _backfill_premarker(run_dir, "anch", ("anch", "spcl"))
 
     state: dict[str, str] = {}
     n_batches = [0]
@@ -1293,56 +1319,65 @@ def make_substring_crawl_loop(spark: SparkSession, run_dir: str):
         # — persist for the batch (round 19, guide §5; cache only)
         b_anch = _winnow_anchors_of(b).persist()
         batch_anch = b_anch
-        b_spcl = _span_table(b).select("cluster").distinct()
-        # independent write actions on independent paths — overlapped
-        # (round 19 session 3, guide §2.6), marker still strictly last
-        writes = []
-        if state:
-            idx_anch = spark.read.parquet(state["anch"])
-            idx_spcl = spark.read.parquet(state["spcl"])
-            flagged = (
-                b_anch.join(
-                    F.broadcast(
-                        idx_anch.select("cluster").distinct()
-                    ),
-                    "cluster",
+        try:
+            b_spcl = _span_table(b).select("cluster").distinct()
+            # independent write actions on independent paths —
+            # overlapped (round 19 session 3, guide §2.6), marker
+            # still strictly last
+            writes = []
+            if state:
+                idx_anch = spark.read.parquet(state["anch"])
+                idx_spcl = spark.read.parquet(state["spcl"])
+                flagged = (
+                    b_anch.join(
+                        F.broadcast(
+                            idx_anch.select("cluster").distinct()
+                        ),
+                        "cluster",
+                    )
+                    .select("doc_id")
+                    .distinct()
                 )
-                .select("doc_id")
-                .distinct()
-            )
-            fspans = _span_table(b.join(F.broadcast(flagged), "doc_id"))
-            hits = fspans.join(idx_spcl, "cluster")
-            dec = _rewrite_emit(
-                spark, "", _cap_excluded_cut(hits), docs=b
+                fspans = _span_table(
+                    b.join(F.broadcast(flagged), "doc_id")
+                )
+                hits = fspans.join(idx_spcl, "cluster")
+                dec = _rewrite_emit(
+                    spark, "", _cap_excluded_cut(hits), docs=b
+                )
+                writes.append(
+                    lambda df=dec: df.write.mode("overwrite").parquet(
+                        os.path.join(run_dir, f"dec_v{batch_id}")
+                    )
+                )
+                b_anch = idx_anch.unionByName(b_anch)
+                # the cluster index must stay a SET: duplicate
+                # clusters would double-count hits in the
+                # frequent-n-gram cap
+                b_spcl = idx_spcl.unionByName(b_spcl).distinct()
+            anch_dst = os.path.join(run_dir, f"anch_v{batch_id}")
+            spcl_dst = os.path.join(run_dir, f"spcl_v{batch_id}")
+            writes.append(
+                lambda df=b_anch: df.write.mode("overwrite").parquet(
+                    anch_dst
+                )
             )
             writes.append(
-                lambda df=dec: df.write.mode("overwrite").parquet(
-                    os.path.join(run_dir, f"dec_v{batch_id}")
+                lambda df=b_spcl: df.write.mode("overwrite").parquet(
+                    spcl_dst
                 )
             )
-            b_anch = idx_anch.unionByName(b_anch)
-            # the cluster index must stay a SET: duplicate clusters
-            # would double-count hits in the frequent-n-gram cap
-            b_spcl = idx_spcl.unionByName(b_spcl).distinct()
-        anch_dst = os.path.join(run_dir, f"anch_v{batch_id}")
-        spcl_dst = os.path.join(run_dir, f"spcl_v{batch_id}")
-        writes.append(
-            lambda df=b_anch: df.write.mode("overwrite").parquet(
-                anch_dst
-            )
-        )
-        writes.append(
-            lambda df=b_spcl: df.write.mode("overwrite").parquet(
-                spcl_dst
-            )
-        )
-        _overlap_jobs(*writes)
-        # commit marker LAST (same exactly-once story as the minhash
-        # loop: versioned paths + overwrite + marker)
-        with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
-            pass
-        state["anch"], state["spcl"] = anch_dst, spcl_dst
-        batch_anch.unpersist()
+            _overlap_jobs(*writes)
+            # commit marker LAST (same exactly-once story as the
+            # minhash loop: versioned paths + overwrite + marker)
+            with open(
+                os.path.join(run_dir, f"commit_v{batch_id}"), "w"
+            ):
+                pass
+            state["anch"], state["spcl"] = anch_dst, spcl_dst
+        finally:
+            # ADVICE r19: no cache leak across failed batches
+            batch_anch.unpersist()
 
     return crawl, n_batches
 
@@ -1481,68 +1516,83 @@ def make_substring_ttl_loop(
         # AND the anch_b index write — persist for the batch
         # (round 19, guide §5; cache only, semantics unchanged)
         b_anch = _winnow_anchors_of(b).persist()
-        # independent write actions on independent paths — overlapped
-        # (round 19 session 3, guide §2.6), marker still strictly last
-        writes = []
-        if retained:
-            idx_anch = spark.read.parquet(
-                *[os.path.join(run_dir, f"anch_b{v}") for v in retained]
-            )
-            idx_spcl = spark.read.parquet(
-                *[os.path.join(run_dir, f"spcl_b{v}") for v in retained]
-            ).distinct()
-            flagged = (
-                b_anch.join(
-                    F.broadcast(idx_anch.select("cluster").distinct()),
-                    "cluster",
+        try:
+            # independent write actions on independent paths —
+            # overlapped (round 19 session 3, guide §2.6), marker
+            # still strictly last
+            writes = []
+            if retained:
+                idx_anch = spark.read.parquet(
+                    *[
+                        os.path.join(run_dir, f"anch_b{v}")
+                        for v in retained
+                    ]
                 )
-                .select("doc_id")
-                .distinct()
-            )
-            fspans = _span_table(b.join(F.broadcast(flagged), "doc_id"))
-            hits = fspans.join(idx_spcl, "cluster")
-            dec = _rewrite_emit(
-                spark, "", _cap_excluded_cut(hits), docs=b
-            )
-            writes.append(
-                lambda df=dec: df.write.mode("overwrite").parquet(
-                    os.path.join(run_dir, f"dec_v{batch_id}")
-                )
-            )
-        writes.append(
-            lambda df=b_anch: df.write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"anch_b{batch_id}")
-            )
-        )
-        b_spcl = _span_table(b).select("cluster").distinct()
-        writes.append(
-            lambda df=b_spcl: df.write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"spcl_b{batch_id}")
-            )
-        )
-        _overlap_jobs(*writes)
-        with open(
-            os.path.join(run_dir, f"commit_b{batch_id}"), "w"
-        ):
-            pass
-        # TTL eviction: batch indexes older than the horizon are
-        # REMOVED from disk — state is bounded by ttl+1 batch
-        # indexes. The horizon deliberately keeps ONE batch beyond
-        # what the NEXT batch will probe: a checkpoint replay of
-        # batch N (crash between foreachBatch returning and the
-        # checkpoint commit) must still find its [N-ttl, N) probe
-        # window on disk — evicting up to batch_id-ttl+1 here would
-        # delete exactly that and make the restart unrecoverable
-        # (round-16 code-review finding, replay-pinned in
-        # tests/test_streaming.py::test_substring_ttl_replay_safe).
-        for v in committed():
-            if v < batch_id - ttl:
-                for t in ("anch", "spcl"):
-                    shutil.rmtree(
-                        os.path.join(run_dir, f"{t}_b{v}"),
-                        ignore_errors=True,
+                idx_spcl = spark.read.parquet(
+                    *[
+                        os.path.join(run_dir, f"spcl_b{v}")
+                        for v in retained
+                    ]
+                ).distinct()
+                flagged = (
+                    b_anch.join(
+                        F.broadcast(
+                            idx_anch.select("cluster").distinct()
+                        ),
+                        "cluster",
                     )
-        b_anch.unpersist()
+                    .select("doc_id")
+                    .distinct()
+                )
+                fspans = _span_table(
+                    b.join(F.broadcast(flagged), "doc_id")
+                )
+                hits = fspans.join(idx_spcl, "cluster")
+                dec = _rewrite_emit(
+                    spark, "", _cap_excluded_cut(hits), docs=b
+                )
+                writes.append(
+                    lambda df=dec: df.write.mode("overwrite").parquet(
+                        os.path.join(run_dir, f"dec_v{batch_id}")
+                    )
+                )
+            writes.append(
+                lambda df=b_anch: df.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, f"anch_b{batch_id}")
+                )
+            )
+            b_spcl = _span_table(b).select("cluster").distinct()
+            writes.append(
+                lambda df=b_spcl: df.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, f"spcl_b{batch_id}")
+                )
+            )
+            _overlap_jobs(*writes)
+            with open(
+                os.path.join(run_dir, f"commit_b{batch_id}"), "w"
+            ):
+                pass
+            # TTL eviction: batch indexes older than the horizon are
+            # REMOVED from disk — state is bounded by ttl+1 batch
+            # indexes. The horizon deliberately keeps ONE batch beyond
+            # what the NEXT batch will probe: a checkpoint replay of
+            # batch N (crash between foreachBatch returning and the
+            # checkpoint commit) must still find its [N-ttl, N) probe
+            # window on disk — evicting up to batch_id-ttl+1 here
+            # would delete exactly that and make the restart
+            # unrecoverable (round-16 code-review finding,
+            # replay-pinned in
+            # tests/test_streaming.py::test_substring_ttl_replay_safe).
+            for v in committed():
+                if v < batch_id - ttl:
+                    for t in ("anch", "spcl"):
+                        shutil.rmtree(
+                            os.path.join(run_dir, f"{t}_b{v}"),
+                            ignore_errors=True,
+                        )
+        finally:
+            # ADVICE r19: no cache leak across failed batches
+            b_anch.unpersist()
 
     return crawl, n_batches
 
@@ -1801,24 +1851,27 @@ def make_quality_gate(spark: SparkSession, run_dir: str):
         if batch_id == 0 or not os.path.exists(lm_meta):
             # reference batch: train + persist the LM (train-linear,
             # once per corpus — never re-run for later crawls).
-            # ctx is DERIVED from the just-persisted bgc table:
-            # c_u(w1) = Σ_w2 c_bg(w1, w2) by definition (both count
-            # tbg rows grouped by w1; pinned in
+            # ctx is DERIVED from bgc: c_u(w1) = Σ_w2 c_bg(w1, w2) by
+            # definition (both count tbg rows grouped by w1; pinned in
             # tests/test_llm_ops.py::test_ctx_derivable_from_bgc), so
-            # the second corpus-linear tokenize+explode pass becomes
-            # a vocab-sized aggregate of the table just written
-            # (round 19 session 3, guide §2.3/§5) — and reading the
-            # parquet back keeps the two writes free of shared live
-            # subtrees (the _overlap_jobs safety rule)
+            # the second corpus-linear tokenize+explode pass becomes a
+            # vocab-sized aggregate (round 19 session 3, guide
+            # §2.3/§5). Round 20 (VERDICT r19 #3): derive from the
+            # PERSISTED in-memory frame instead of reading the parquet
+            # back — same exact long sums, one disk round-trip less
             bgc, _ctx, vsz = perplexity_lm(batch_df)
-            bgc.write.mode("overwrite").parquet(
-                os.path.join(run_dir, "bgc")
-            )
-            spark.read.parquet(os.path.join(run_dir, "bgc")).groupBy(
-                "w1"
-            ).agg(F.sum("c_bg").alias("c_u")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(run_dir, "ctx"))
+            bgc.persist()
+            try:
+                bgc.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "bgc")
+                )
+                bgc.groupBy("w1").agg(
+                    F.sum("c_bg").alias("c_u")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "ctx")
+                )
+            finally:
+                bgc.unpersist()
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
@@ -2049,27 +2102,10 @@ def make_curation_loop(
     # budget_v* written by the old hashes-keyed scan, no commit_v*)
     # would look version-less to the marker-keyed recovery below and
     # send a crawl batch down the reference path, retraining the LM
-    # from crawl text (ADVICE r14). Backfill a marker on first open
-    # for every version whose hashes_v/budget_v pair is COMPLETE
-    # (parquet _SUCCESS present on both — the old protocol wrote the
-    # pair before anything else could observe it); half-written pairs
-    # stay invisible, exactly as the marker protocol intends.
-    for _p in os.listdir(run_dir):
-        if not _p.startswith("hashes_v"):
-            continue
-        _v = _p[len("hashes_v"):]
-        if not _v.isdigit():
-            continue
-        _marker = os.path.join(run_dir, f"commit_v{_v}")
-        if os.path.exists(_marker) or not all(
-            os.path.exists(
-                os.path.join(run_dir, f"{_t}_v{_v}", "_SUCCESS")
-            )
-            for _t in ("hashes", "budget")
-        ):
-            continue
-        with open(_marker, "w"):
-            pass
+    # from crawl text (ADVICE r14). Backfill markers for complete
+    # pairs — but only in genuinely pre-marker layouts (ADVICE r19
+    # #1, see _backfill_premarker).
+    _backfill_premarker(run_dir, "hashes", ("hashes", "budget"))
 
     state: dict[str, str] = {}
     n_batches = [0]
@@ -2113,30 +2149,26 @@ def make_curation_loop(
             h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
             u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
 
-            def _write_lm() -> None:
-                # ONE thunk for both LM tables (the _overlap_jobs
-                # safety rule: they may not share live subtrees with
-                # a concurrent thunk), serial inside, overlapped with
-                # the HOF-free index/ledger seeds and the span-ref
-                # build. ctx is DERIVED from the just-written bgc —
-                # c_u(w1) = Σ_w2 c_bg(w1, w2) by definition (pinned
-                # in tests/test_llm_ops.py::
-                # test_ctx_derivable_from_bgc), turning the second
-                # corpus-linear tokenize pass into a vocab-sized
-                # aggregate of the persisted table (guide §2.3/§5)
-                bgc.write.mode("overwrite").parquet(
-                    os.path.join(run_dir, "bgc")
-                )
-                spark.read.parquet(
-                    os.path.join(run_dir, "bgc")
-                ).groupBy("w1").agg(
-                    F.sum("c_bg").alias("c_u")
-                ).write.mode("overwrite").parquet(
-                    os.path.join(run_dir, "ctx")
-                )
-
+            # Round 20 (VERDICT r19 #3): bgc is PERSISTED for the
+            # batch, so the two LM writes become two independent
+            # thunks — the _overlap_jobs safety rule is satisfied by
+            # persistence (consumers substitute the InMemoryRelation
+            # at planning time; concurrent first materialization is
+            # handled by the block manager's per-block locking) — and
+            # ctx derives from the in-memory frame instead of reading
+            # the just-written parquet back: c_u(w1) = Σ_w2
+            # c_bg(w1, w2) by definition (pinned in tests/
+            # test_llm_ops.py::test_ctx_derivable_from_bgc), exact
+            # long sums either way (guide §2.3/§5)
+            bgc.persist()
             writes = [
-                _write_lm,
+                lambda: bgc.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "bgc")
+                ),
+                lambda: bgc.groupBy("w1")
+                .agg(F.sum("c_bg").alias("c_u"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(run_dir, "ctx")),
                 lambda: batch_df.select(F.md5("text").alias("h"))
                 .distinct()
                 .write.mode("overwrite")
@@ -2159,7 +2191,13 @@ def make_curation_loop(
                     .write.mode("overwrite")
                     .parquet(os.path.join(run_dir, "spanref"))
                 )
-            _overlap_jobs(*writes)
+            try:
+                _overlap_jobs(*writes)
+            finally:
+                # unpersist even on a failed batch (ADVICE r19:
+                # long-lived sessions must not leak executor cache
+                # across failed batches)
+                bgc.unpersist()
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
@@ -2213,220 +2251,224 @@ def make_curation_loop(
         # persist what multiple actions/branches of the batch consume,
         # unpersist at batch end (no leak across batches, unlike a
         # localCheckpoint). Semantics unchanged: cache only.
-        survivors = b2.filter(~F.col("is_dup")).select(
-            "doc_id", "lang", "text", "n_tokens"
-        )
-        dkeep = None
-        rwi = None
-        rwf = None  # the persisted rewrite frame, unpersisted at end
-        if mode == "quarantine":
-            # stage 1b: span-level eval decontamination — probe the
-            # survivors' span hashes against the persisted reference
-            # set; quarantine at the contamination-ppm threshold.
-            # Only (doc_id, 16-byte hash) shuffles; the quarantine
-            # list is duplication-sized and broadcast.
-            sref = (
-                spark.read.parquet(os.path.join(run_dir, "spanref"))
-                .withColumnRenamed("cluster", "h")
-                .withColumn("hit", F.lit(1))
+        caches = [b2]
+        try:
+            survivors = b2.filter(~F.col("is_dup")).select(
+                "doc_id", "lang", "text", "n_tokens"
             )
-            # ONE broadcast frame feeds both consumers below, so the
-            # span-probe aggregation plans (and broadcasts) once —
-            # ReuseExchange needs the two subplans canonically equal
-            quar = F.broadcast(
-                _span_quarantine(
-                    _span_table(survivors.select("doc_id", "text")),
-                    sref,
-                ).withColumn("qflag", F.lit(1))
-            )
-            dkeep = (
-                survivors.select("doc_id")
-                .join(quar, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.col("qflag").isNull().alias("decon_keep"),
+            dkeep = None
+            rwi = None
+            if mode == "quarantine":
+                # stage 1b: span-level eval decontamination — probe the
+                # survivors' span hashes against the persisted reference
+                # set; quarantine at the contamination-ppm threshold.
+                # Only (doc_id, 16-byte hash) shuffles; the quarantine
+                # list is duplication-sized and broadcast.
+                sref = (
+                    spark.read.parquet(os.path.join(run_dir, "spanref"))
+                    .withColumnRenamed("cluster", "h")
+                    .withColumn("hit", F.lit(1))
                 )
-            )
-            survivors = survivors.join(quar, "doc_id", "left_anti")
-        elif mode == "rewrite":
-            # stage 1b (surgical): CUT every survivor span matching
-            # the persisted reference set — the batch decontam-rewrite
-            # key's semantics run per micro-batch. The frequent-n-gram
-            # exclusion is evaluated over THIS batch's hits (batch-
-            # proportional, like every other stage); the cut table is
-            # contamination-sized and bounded by the exclusion, so the
-            # broadcast inside _rewrite_kept is defensible by
-            # construction. Both downstream consumers (survivors +
-            # the decisions columns) derive from the ONE rw frame, so
-            # the cut subtree's exchanges are canonically equal and
-            # reused rather than recomputed.
-            sref = spark.read.parquet(
-                os.path.join(run_dir, "spanref")
-            ).select("cluster")
-            hits = _span_table(
-                survivors.select("doc_id", "text")
-            ).join(F.broadcast(sref), "cluster")
-            cut = _cap_excluded_cut(hits)
-            rw = _rewrite_kept(
-                spark,
-                run_dir,  # unused: docs is passed explicitly
-                cut,
-                docs=survivors,
-                extra_cols=("lang", "n_tokens"),
-            ).withColumn("rtext", F.array_join("kept", " ")).persist()
-            # ^ round 19 (guide §5): the span-cut HOF walk feeds the
-            # decisions columns (rwi), the gate/classifier/budget
-            # chain (survivors) AND — through them — the dec plan's
-            # replayed branches; persist for the batch like b2/samp
-            # (unpersisted at batch end below; cache only)
-            rwf = rw
-            rwi = rw.select(
-                "doc_id",
-                (F.size("tk") - F.size("kept"))
-                .cast("long")
-                .alias("n_tokens_cut"),
-                F.md5("rtext").alias("rewritten_md5"),
-            )
-            # the gate, classifier and budget all score the REWRITTEN
-            # text from here on (the whole point of the posture)
-            survivors = rw.select(
-                "doc_id",
-                "lang",
-                F.col("rtext").alias("text"),
-                "n_tokens",
-            )
-        # stage 2: perplexity gate under the persisted LM (per-lang
-        # cutoff over THIS batch's survivors — batch-proportional).
-        # Persisted for the batch (round 19 session 3, guide §5): the
-        # scored frame feeds the gate chain (kept -> classifier ->
-        # samp) AND the decisions plan's ppl_keep column — without
-        # the cache the decisions action re-runs the whole bigram
-        # scoring pass (the dominant per-batch compute). Cache only;
-        # unpersisted at batch end with b2/samp
-        ppl = perplexity_decisions(bgc, ctx, vsz, survivors).persist()
-        kept = survivors.join(
-            ppl.filter(F.col("keep")).select("doc_id"), "doc_id"
-        )
-        # stage 3: hashed-classifier score + greedy budget cut against
-        # the per-language budget REMAINING from prior batches
-        toks = (
-            kept.filter(F.length("text") > 0)
-            .select(
-                "doc_id", "lang",
-                F.explode(F.split("text", " ")).alias("tok"),
-            )
-            .filter(F.col("tok") != "")
-        )
-        feats = toks.groupBy(
-            "doc_id", "lang",
-            (_md5_int(F.col("tok"), 7) % 4096).alias("bucket"),
-        ).agg(F.count(F.lit(1)).alias("cnt"))
-        wgt = (
-            _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
-            - 1000
-        )
-        scored = feats.groupBy("doc_id", "lang").agg(
-            F.sum(F.col("cnt") * wgt).alias("score_q"),
-            F.sum("cnt").alias("nt"),
-        )
-        wcum = (
-            Window.partitionBy("lang")
-            .orderBy(F.desc("score_q"), "doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        samp = (
-            scored.join(F.broadcast(used), "lang", "left")
-            .withColumn("cum", F.sum("nt").over(wcum))
-            .withColumn(
-                "sampled",
-                F.coalesce(F.col("used"), F.lit(0)) + F.col("cum")
-                <= _CUR_BUDGET,
-            )
-        ).persist()  # read by the decisions write AND the budget-
-        # ledger write below — without the cache the second action
-        # re-runs the whole classifier/budget DAG (round 19, guide §5)
-        dec = (
-            b2.select("doc_id", "lang", "is_dup", "n_tokens")
-            .join(
-                ppl.select(
-                    "doc_id", F.col("keep").alias("ppl_keep")
-                ),
-                "doc_id", "left",
-            )
-            .join(samp.select("doc_id", "sampled"), "doc_id", "left")
-        )
-        if mode == "quarantine":
-            dec = dec.join(dkeep, "doc_id", "left")
-        elif mode == "rewrite":
-            dec = dec.join(rwi, "doc_id", "left")
-        dec_out = dec.select(
-            "doc_id", "lang",
-            F.lit(batch_id).cast("long").alias("batch"),
-            "is_dup",
-            *(
-                [
-                    F.coalesce(
-                        F.col("decon_keep"), F.lit(False)
-                    ).alias("decon_keep")
-                ]
-                if mode == "quarantine"
-                else []
-            ),
-            *(
-                [
-                    F.coalesce(F.col("n_tokens_cut"), F.lit(0))
+                # ONE broadcast frame feeds both consumers below, so the
+                # span-probe aggregation plans (and broadcasts) once —
+                # ReuseExchange needs the two subplans canonically equal
+                quar = F.broadcast(
+                    _span_quarantine(
+                        _span_table(survivors.select("doc_id", "text")),
+                        sref,
+                    ).withColumn("qflag", F.lit(1))
+                )
+                dkeep = (
+                    survivors.select("doc_id")
+                    .join(quar, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.col("qflag").isNull().alias("decon_keep"),
+                    )
+                )
+                survivors = survivors.join(quar, "doc_id", "left_anti")
+            elif mode == "rewrite":
+                # stage 1b (surgical): CUT every survivor span matching
+                # the persisted reference set — the batch decontam-rewrite
+                # key's semantics run per micro-batch. The frequent-n-gram
+                # exclusion is evaluated over THIS batch's hits (batch-
+                # proportional, like every other stage); the cut table is
+                # contamination-sized and bounded by the exclusion, so the
+                # broadcast inside _rewrite_kept is defensible by
+                # construction. Both downstream consumers (survivors +
+                # the decisions columns) derive from the ONE rw frame, so
+                # the cut subtree's exchanges are canonically equal and
+                # reused rather than recomputed.
+                sref = spark.read.parquet(
+                    os.path.join(run_dir, "spanref")
+                ).select("cluster")
+                hits = _span_table(
+                    survivors.select("doc_id", "text")
+                ).join(F.broadcast(sref), "cluster")
+                cut = _cap_excluded_cut(hits)
+                rw = _rewrite_kept(
+                    spark,
+                    run_dir,  # unused: docs is passed explicitly
+                    cut,
+                    docs=survivors,
+                    extra_cols=("lang", "n_tokens"),
+                ).withColumn("rtext", F.array_join("kept", " ")).persist()
+                caches.append(rw)
+                # ^ round 19 (guide §5): the span-cut HOF walk feeds the
+                # decisions columns (rwi), the gate/classifier/budget
+                # chain (survivors) AND — through them — the dec plan's
+                # replayed branches; persist for the batch like b2/samp
+                # (unpersisted at batch end below; cache only)
+                rwi = rw.select(
+                    "doc_id",
+                    (F.size("tk") - F.size("kept"))
                     .cast("long")
                     .alias("n_tokens_cut"),
-                    F.col("rewritten_md5"),
-                ]
-                if mode == "rewrite"
-                else []
-            ),
-            F.coalesce(F.col("ppl_keep"), F.lit(False)).alias(
-                "ppl_keep"
-            ),
-            "n_tokens",
-            F.coalesce(F.col("sampled"), F.lit(False)).alias(
-                "sampled"
-            ),
-        )
-        # the batch's three write actions (decisions, hash-index,
-        # budget ledger) are independent jobs on independent paths —
-        # overlapped (round 19 session 3, guide §2.6); recovery keys
-        # off the commit marker alone, which still lands strictly
-        # LAST, so which sibling write a crash interrupts is
-        # immaterial (the replayed batch overwrites all idempotently)
-        h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
-        u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
-        new_idx = idx.unionByName(b.select("h").distinct()).distinct()
-        batch_used = (
-            samp.filter(F.col("sampled"))
-            .groupBy("lang")
-            .agg(F.sum("nt").alias("bu"))
-        )
-        new_used = used.join(batch_used, "lang", "full").select(
-            "lang",
-            (
-                F.coalesce(F.col("used"), F.lit(0))
-                + F.coalesce(F.col("bu"), F.lit(0))
-            ).alias("used"),
-        )
-        _overlap_jobs(
-            lambda: dec_out.write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"dec_v{batch_id}")
-            ),
-            lambda: new_idx.write.mode("overwrite").parquet(h_dst),
-            lambda: new_used.write.mode("overwrite").parquet(u_dst),
-        )
-        # commit marker last: only now may recovery select this version
-        with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
-            pass
-        state["hashes"], state["budget"] = h_dst, u_dst
-        samp.unpersist()
-        ppl.unpersist()
-        b2.unpersist()
-        if rwf is not None:
-            rwf.unpersist()
+                    F.md5("rtext").alias("rewritten_md5"),
+                )
+                # the gate, classifier and budget all score the REWRITTEN
+                # text from here on (the whole point of the posture)
+                survivors = rw.select(
+                    "doc_id",
+                    "lang",
+                    F.col("rtext").alias("text"),
+                    "n_tokens",
+                )
+            # stage 2: perplexity gate under the persisted LM (per-lang
+            # cutoff over THIS batch's survivors — batch-proportional).
+            # Persisted for the batch (round 19 session 3, guide §5): the
+            # scored frame feeds the gate chain (kept -> classifier ->
+            # samp) AND the decisions plan's ppl_keep column — without
+            # the cache the decisions action re-runs the whole bigram
+            # scoring pass (the dominant per-batch compute). Cache only;
+            # unpersisted at batch end with b2/samp
+            ppl = perplexity_decisions(bgc, ctx, vsz, survivors).persist()
+            caches.append(ppl)
+            kept = survivors.join(
+                ppl.filter(F.col("keep")).select("doc_id"), "doc_id"
+            )
+            # stage 3: hashed-classifier score + greedy budget cut against
+            # the per-language budget REMAINING from prior batches
+            toks = (
+                kept.filter(F.length("text") > 0)
+                .select(
+                    "doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("tok"),
+                )
+                .filter(F.col("tok") != "")
+            )
+            feats = toks.groupBy(
+                "doc_id", "lang",
+                (_md5_int(F.col("tok"), 7) % 4096).alias("bucket"),
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+            wgt = (
+                _md5_int(F.concat(F.lit("w:"), F.col("bucket")), 7) % 2001
+                - 1000
+            )
+            scored = feats.groupBy("doc_id", "lang").agg(
+                F.sum(F.col("cnt") * wgt).alias("score_q"),
+                F.sum("cnt").alias("nt"),
+            )
+            wcum = (
+                Window.partitionBy("lang")
+                .orderBy(F.desc("score_q"), "doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            samp = (
+                scored.join(F.broadcast(used), "lang", "left")
+                .withColumn("cum", F.sum("nt").over(wcum))
+                .withColumn(
+                    "sampled",
+                    F.coalesce(F.col("used"), F.lit(0)) + F.col("cum")
+                    <= _CUR_BUDGET,
+                )
+            ).persist()  # read by the decisions write AND the budget-
+            # ledger write below — without the cache the second action
+            # re-runs the whole classifier/budget DAG (round 19, guide §5)
+            caches.append(samp)
+            dec = (
+                b2.select("doc_id", "lang", "is_dup", "n_tokens")
+                .join(
+                    ppl.select(
+                        "doc_id", F.col("keep").alias("ppl_keep")
+                    ),
+                    "doc_id", "left",
+                )
+                .join(samp.select("doc_id", "sampled"), "doc_id", "left")
+            )
+            if mode == "quarantine":
+                dec = dec.join(dkeep, "doc_id", "left")
+            elif mode == "rewrite":
+                dec = dec.join(rwi, "doc_id", "left")
+            dec_out = dec.select(
+                "doc_id", "lang",
+                F.lit(batch_id).cast("long").alias("batch"),
+                "is_dup",
+                *(
+                    [
+                        F.coalesce(
+                            F.col("decon_keep"), F.lit(False)
+                        ).alias("decon_keep")
+                    ]
+                    if mode == "quarantine"
+                    else []
+                ),
+                *(
+                    [
+                        F.coalesce(F.col("n_tokens_cut"), F.lit(0))
+                        .cast("long")
+                        .alias("n_tokens_cut"),
+                        F.col("rewritten_md5"),
+                    ]
+                    if mode == "rewrite"
+                    else []
+                ),
+                F.coalesce(F.col("ppl_keep"), F.lit(False)).alias(
+                    "ppl_keep"
+                ),
+                "n_tokens",
+                F.coalesce(F.col("sampled"), F.lit(False)).alias(
+                    "sampled"
+                ),
+            )
+            # the batch's three write actions (decisions, hash-index,
+            # budget ledger) are independent jobs on independent paths —
+            # overlapped (round 19 session 3, guide §2.6); recovery keys
+            # off the commit marker alone, which still lands strictly
+            # LAST, so which sibling write a crash interrupts is
+            # immaterial (the replayed batch overwrites all idempotently)
+            h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
+            u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
+            new_idx = idx.unionByName(b.select("h").distinct()).distinct()
+            batch_used = (
+                samp.filter(F.col("sampled"))
+                .groupBy("lang")
+                .agg(F.sum("nt").alias("bu"))
+            )
+            new_used = used.join(batch_used, "lang", "full").select(
+                "lang",
+                (
+                    F.coalesce(F.col("used"), F.lit(0))
+                    + F.coalesce(F.col("bu"), F.lit(0))
+                ).alias("used"),
+            )
+            _overlap_jobs(
+                lambda: dec_out.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, f"dec_v{batch_id}")
+                ),
+                lambda: new_idx.write.mode("overwrite").parquet(h_dst),
+                lambda: new_used.write.mode("overwrite").parquet(u_dst),
+            )
+            # commit marker last: only now may recovery select this version
+            with open(os.path.join(run_dir, f"commit_v{batch_id}"), "w"):
+                pass
+            state["hashes"], state["budget"] = h_dst, u_dst
+        finally:
+            # unpersist every per-batch cache even on a
+            # failed batch (ADVICE r19: no executor-cache
+            # leak across failed batches)
+            for c in reversed(caches):
+                c.unpersist()
 
     return curate, n_batches
 

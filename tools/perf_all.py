@@ -35,9 +35,11 @@ def main() -> None:
     if only:
         q = {k: q[k] for k in only}
     out: dict[str, float] = {}
+    loads: dict[str, float] = {}
     errs: dict[str, str] = {}
     for i, (key, builder) in enumerate(q.items()):
         spark.sparkContext.setJobDescription(f"perf:{key}")
+        loads[key] = os.getloadavg()[0]  # 1-min load at key start (r20 #10)
         try:
             builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -59,7 +61,8 @@ def main() -> None:
     ranked = dict(sorted(out.items(), key=lambda kv: -kv[1]))
     print(json.dumps({"sf_dir": sf_dir, "n": len(out), "errors": errs,
                       "total": round(sum(out.values()), 2),
-                      "timings": ranked}))
+                      "timings": ranked,
+                      "load_1min_at_key_start": loads}))
     spark.stop()
 
 
