@@ -1851,27 +1851,29 @@ def make_quality_gate(spark: SparkSession, run_dir: str):
         if batch_id == 0 or not os.path.exists(lm_meta):
             # reference batch: train + persist the LM (train-linear,
             # once per corpus — never re-run for later crawls).
-            # ctx is DERIVED from bgc: c_u(w1) = Σ_w2 c_bg(w1, w2) by
-            # definition (both count tbg rows grouped by w1; pinned in
+            # ctx is DERIVED from the just-persisted bgc table:
+            # c_u(w1) = Σ_w2 c_bg(w1, w2) by definition (both count
+            # tbg rows grouped by w1; pinned in
             # tests/test_llm_ops.py::test_ctx_derivable_from_bgc), so
-            # the second corpus-linear tokenize+explode pass becomes a
-            # vocab-sized aggregate (round 19 session 3, guide
-            # §2.3/§5). Round 20 (VERDICT r19 #3): derive from the
-            # PERSISTED in-memory frame instead of reading the parquet
-            # back — same exact long sums, one disk round-trip less
+            # the second corpus-linear tokenize+explode pass becomes
+            # a vocab-sized aggregate of the table just written
+            # (round 19 session 3, guide §2.3/§5). Round 20 tried
+            # VERDICT r19 #3 (persist bgc, derive ctx from the cache,
+            # no read-back) and REVERTED it on measurement: the
+            # columnar-cache materialization costs MORE than the
+            # LM-table parquet round-trip (q_stream_quality_gate
+            # 1.73 -> 2.65 s min-of-3 at sf0.01, controls flat), and
+            # at scale both forms pay one LM-sized round-trip, so the
+            # read-back stays.
             bgc, _ctx, vsz = perplexity_lm(batch_df)
-            bgc.persist()
-            try:
-                bgc.write.mode("overwrite").parquet(
-                    os.path.join(run_dir, "bgc")
-                )
-                bgc.groupBy("w1").agg(
-                    F.sum("c_bg").alias("c_u")
-                ).write.mode("overwrite").parquet(
-                    os.path.join(run_dir, "ctx")
-                )
-            finally:
-                bgc.unpersist()
+            bgc.write.mode("overwrite").parquet(
+                os.path.join(run_dir, "bgc")
+            )
+            spark.read.parquet(os.path.join(run_dir, "bgc")).groupBy(
+                "w1"
+            ).agg(F.sum("c_bg").alias("c_u")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(run_dir, "ctx"))
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)
@@ -2149,26 +2151,38 @@ def make_curation_loop(
             h_dst = os.path.join(run_dir, f"hashes_v{batch_id}")
             u_dst = os.path.join(run_dir, f"budget_v{batch_id}")
 
-            # Round 20 (VERDICT r19 #3): bgc is PERSISTED for the
-            # batch, so the two LM writes become two independent
-            # thunks — the _overlap_jobs safety rule is satisfied by
-            # persistence (consumers substitute the InMemoryRelation
-            # at planning time; concurrent first materialization is
-            # handled by the block manager's per-block locking) — and
-            # ctx derives from the in-memory frame instead of reading
-            # the just-written parquet back: c_u(w1) = Σ_w2
-            # c_bg(w1, w2) by definition (pinned in tests/
-            # test_llm_ops.py::test_ctx_derivable_from_bgc), exact
-            # long sums either way (guide §2.3/§5)
-            bgc.persist()
-            writes = [
-                lambda: bgc.write.mode("overwrite").parquet(
+            def _write_lm() -> None:
+                # ONE thunk for both LM tables (the _overlap_jobs
+                # safety rule: they may not share live subtrees with
+                # a concurrent thunk), serial inside, overlapped with
+                # the HOF-free index/ledger seeds and the span-ref
+                # build. ctx is DERIVED from the just-written bgc —
+                # c_u(w1) = Σ_w2 c_bg(w1, w2) by definition (pinned
+                # in tests/test_llm_ops.py::
+                # test_ctx_derivable_from_bgc), turning the second
+                # corpus-linear tokenize pass into a vocab-sized
+                # aggregate of the persisted table (guide §2.3/§5).
+                # Round 20 tried VERDICT r19 #3 (persist bgc, split
+                # into two cache-fed thunks, no read-back) and
+                # REVERTED it on measurement: the columnar-cache
+                # materialization costs more than the LM-sized
+                # parquet round-trip (curation 5.56 -> 6.9/6.5 s,
+                # quality_gate 1.73 -> 2.65 s min-of-3 at sf0.01
+                # with flat controls), and at scale both forms pay
+                # one LM-sized round-trip.
+                bgc.write.mode("overwrite").parquet(
                     os.path.join(run_dir, "bgc")
-                ),
-                lambda: bgc.groupBy("w1")
-                .agg(F.sum("c_bg").alias("c_u"))
-                .write.mode("overwrite")
-                .parquet(os.path.join(run_dir, "ctx")),
+                )
+                spark.read.parquet(
+                    os.path.join(run_dir, "bgc")
+                ).groupBy("w1").agg(
+                    F.sum("c_bg").alias("c_u")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "ctx")
+                )
+
+            writes = [
+                _write_lm,
                 lambda: batch_df.select(F.md5("text").alias("h"))
                 .distinct()
                 .write.mode("overwrite")
@@ -2191,13 +2205,7 @@ def make_curation_loop(
                     .write.mode("overwrite")
                     .parquet(os.path.join(run_dir, "spanref"))
                 )
-            try:
-                _overlap_jobs(*writes)
-            finally:
-                # unpersist even on a failed batch (ADVICE r19:
-                # long-lived sessions must not leak executor cache
-                # across failed batches)
-                bgc.unpersist()
+            _overlap_jobs(*writes)
             with open(lm_meta + ".tmp", "w") as f:
                 json.dump({"vsz": vsz}, f)
             os.replace(lm_meta + ".tmp", lm_meta)

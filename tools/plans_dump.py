@@ -1,5 +1,5 @@
 """Dump ``.explain("formatted")`` for named registry keys (or the bench
-keys by default) into plans/r19/<key>_<tag>.txt.
+keys by default) into plans/$SPARK_GRAFT_PLANS_DIR (default r20)/<key>_<tag>.txt.
 
     SPARK_GRAFT_SF_DIR=... python tools/plans_dump.py before [key1,key2,...]
 """
@@ -26,7 +26,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else BENCH_DEFAULT
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r19")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r20"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("nvss-plans-dump")
